@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The operator inventory (SURVEY.md §2) expressed over the driver's
+  * testdata tables, each paired with DuckDB oracle SQL in [[oracle]].
+  */
+object Queries {
+  import Tables._
+
+  /** A1/A2 — Aggregate component / aggregate-refresh pattern
+    * (ref: constants.py:31, SalesFactETL.dtsx:293-306, agg_daily_sales.sql:55-66).
+    * TPC-H Q1-shaped group-by with exact decimal sums.
+    */
+  def q01_agg_group(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir)
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(Money)).cast(MoneySum).as("sum_qty"),
+        sum(col("l_extendedprice").cast(Money)).cast(MoneySum).as("sum_base_price"),
+        count(lit(1)).as("count_order")
+      )
+  }
+
+  val q01Oracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base_price,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_agg_group" -> (q01_agg_group _)
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q01_agg_group" -> q01Oracle
+  )
+}
