@@ -34,11 +34,9 @@ object Queries {
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       |GROUP BY l_returnflag, l_linestatus""".stripMargin
 
-  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q01_agg_group" -> (q01_agg_group _)
-  )
+  def all: Map[String, (SparkSession, String) => DataFrame] =
+    Map("q01_agg_group" -> (q01_agg_group _)) ++ QueriesRelational.all
 
-  def oracle: Map[String, String] = Map(
-    "q01_agg_group" -> q01Oracle
-  )
+  def oracle: Map[String, String] =
+    Map("q01_agg_group" -> q01Oracle) ++ QueriesRelational.oracle
 }

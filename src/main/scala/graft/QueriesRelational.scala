@@ -1,0 +1,541 @@
+package graft
+
+import graft.expr.SsisExprCompiler
+import graft.expr.SsisExprCompiler.Env
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Relational operator inventory (SURVEY.md §2.1–§2.6) over the driver's
+  * testdata, each with a DuckDB oracle in [[QueriesRelational.oracle]].
+  *
+  * Scale posture (SURVEY.md §7.4.5): dims (`nation`, `region`, `part`,
+  * `supplier`) are broadcast — the Lookup full-cache contract (J1); fact-to-
+  * fact joins shuffle on their keys and rely on AQE. Filters sit directly on
+  * scans so Catalyst pushes them into parquet.
+  */
+object QueriesRelational {
+  import Tables._
+
+  // ---------------------------------------------------------------- P1/P4
+  /** Staging projection: select + cast + snake_case rename
+    * (ref builder.py:183-206, stg_sales__transactions.sql:38-53). */
+  def q02_project_cast_rename(spark: SparkSession, dir: String): DataFrame =
+    customer(spark, dir).select(
+      col("c_custkey").cast(LongType).as("customer_id"),
+      col("c_name").cast(StringType).as("customer_name"),
+      col("c_nationkey").cast(IntegerType).as("nation_key"),
+      col("c_acctbal").cast(DecimalType(12, 2)).as("account_balance"),
+      upper(col("c_mktsegment")).as("market_segment"))
+
+  val q02Oracle: String =
+    """SELECT CAST(c_custkey AS BIGINT) AS customer_id,
+      |  CAST(c_name AS VARCHAR) AS customer_name,
+      |  CAST(c_nationkey AS INT) AS nation_key,
+      |  CAST(c_acctbal AS DECIMAL(12,2)) AS account_balance,
+      |  UPPER(c_mktsegment) AS market_segment
+      |FROM customer""".stripMargin
+
+  // ---------------------------------------------------------------- S2/P2
+  /** SQL-mode source with pushed-down BETWEEN + equality filters
+    * (ref SalesFactETL.dtsx:79-91 `WHERE SaleDate BETWEEN ? AND ? AND IsVoided = 0`). */
+  def q03_source_filter_params(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .filter(col("l_shipdate").between(
+        lit("1996-01-01").cast(TimestampType), lit("1996-12-31").cast(TimestampType)))
+      .filter(col("l_discount") > lit(0.05))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_shipdate"))
+
+  val q03Oracle: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+      |FROM lineitem
+      |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+      |  AND l_discount > 0.05""".stripMargin
+
+  // ---------------------------------------------------------------- J1/J2
+  /** Lookup chain ≙ fct_sales.sql:46-76 — fact + 3 dimension lookups.
+    * Full-cache lookups → broadcast left joins with extra predicates
+    * (`IsActive = 1` analog). Orders is fact-sized → shuffle join. */
+  def q04_lookup_chain(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir)
+    val ord = orders(spark, dir).select("o_orderkey", "o_orderpriority", "o_orderstatus")
+    val p = part(spark, dir).filter(col("p_size") > 0).select("p_partkey", "p_name", "p_brand")
+    val s = supplier(spark, dir).select("s_suppkey", "s_name")
+    li.select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+      .join(ord, Seq("l_orderkey" -> "o_orderkey").map(_ => col("l_orderkey") === col("o_orderkey")).head, "left")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"), "left")
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"), "left")
+      .select(col("l_orderkey"), col("l_linenumber"), col("o_orderpriority"),
+        col("p_name"), col("p_brand"), col("s_name"))
+  }
+
+  val q04Oracle: String =
+    """SELECT l.l_orderkey, l.l_linenumber, o.o_orderpriority, p.p_name, p.p_brand, s.s_name
+      |FROM lineitem l
+      |LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |LEFT JOIN (SELECT * FROM part WHERE p_size > 0) p ON l.l_partkey = p.p_partkey
+      |LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey""".stripMargin
+
+  // ---------------------------------------------------------------- P3
+  /** Derived Column through the SSIS expression compiler — the exact
+    * SalesFactETL.dtsx:243-258 amount expressions, bound to lineitem
+    * columns, with the staged NUMERIC(18,2) casts the generated models pin. */
+  def q05_derived_columns(spark: SparkSession, dir: String): DataFrame = {
+    val base = lineitem(spark, dir).select(
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity").cast(IntegerType).as("Quantity"),
+      col("l_extendedprice").cast(DecimalType(18, 2)).as("UnitPrice"),
+      (col("l_discount") * 100).cast(DecimalType(5, 2)).as("DiscountPercent"))
+    val env = Env(colType = {
+      case "Quantity" => Some(IntegerType)
+      case "UnitPrice" => Some(DecimalType(18, 2))
+      case "DiscountPercent" => Some(DecimalType(5, 2))
+      case _ => None
+    })
+    def e(s: String): Column = SsisExprCompiler.compile(s, env)
+    // The generated staging models pin each arithmetic step with an explicit
+    // NUMERIC(18,2) cast (stg_sales__transactions.sql:70-76; SURVEY §7.4.1) —
+    // replicate that so intermediate decimal scales are engine-independent.
+    val gross = e("[Quantity] * [UnitPrice]").cast(DecimalType(18, 2))
+    val dpFrac = e("[DiscountPercent] / 100").cast(DecimalType(7, 4))
+    val discount = (gross * dpFrac).cast(DecimalType(18, 2))
+    base.select(
+      col("l_orderkey"), col("l_linenumber"),
+      gross.as("gross_amount"),
+      discount.as("discount_amount"),
+      (gross - discount).cast(DecimalType(18, 2)).as("net_amount"))
+  }
+
+  val q05Oracle: String =
+    """WITH base AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    CAST(l_quantity AS INT) AS q,
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) AS up,
+      |    CAST(l_discount * 100 AS DECIMAL(5,2)) AS dp
+      |  FROM lineitem),
+      |staged AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    CAST(round(q * up, 2) AS DECIMAL(18,2)) AS gross,
+      |    CAST(dp / 100 AS DECIMAL(7,4)) AS dpf
+      |  FROM base)
+      |SELECT l_orderkey, l_linenumber,
+      |  gross AS gross_amount,
+      |  CAST(round(gross * dpf, 2) AS DECIMAL(18,2)) AS discount_amount,
+      |  CAST(gross - CAST(round(gross * dpf, 2) AS DECIMAL(18,2)) AS DECIMAL(18,2)) AS net_amount
+      |FROM staged""".stripMargin
+  // NB: DuckDB CAST(decimal) rounds half-even; Spark's decimal cast rounds
+  // half-up. DuckDB round() is half-up, so oracles round() before CAST.
+
+  // ---------------------------------------------------------------- P5
+  /** Cleaning idioms: NULLIF(TRIM(x),''), COALESCE(x,0)
+    * (ref stg_crm__customers.sql:37-40, stg_warehouse__inventory.sql:42-49). */
+  def q06_cleaning(spark: SparkSession, dir: String): DataFrame =
+    customer(spark, dir).select(
+      col("c_custkey").as("customer_id"),
+      nullif(trim(col("c_name")), lit("")).as("clean_name"),
+      coalesce(nullif(trim(col("c_mktsegment")), lit("")), lit("UNKNOWN")).as("segment"),
+      coalesce(col("c_acctbal").cast(DecimalType(12, 2)), lit(0).cast(DecimalType(12, 2)))
+        .as("balance"))
+
+  val q06Oracle: String =
+    """SELECT c_custkey AS customer_id,
+      |  NULLIF(TRIM(c_name), '') AS clean_name,
+      |  COALESCE(NULLIF(TRIM(c_mktsegment), ''), 'UNKNOWN') AS segment,
+      |  CAST(COALESCE(CAST(c_acctbal AS DECIMAL(12,2)), 0) AS DECIMAL(12,2)) AS balance
+      |FROM customer""".stripMargin
+
+  // ---------------------------------------------------------------- J3
+  /** Merge Join (sorted-input inner join) — Spark picks sort-merge for the
+    * fact-fact shuffle join itself (constants.py:28, README.md:132). */
+  def q07_merge_join(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir).select("l_orderkey", "l_linenumber", "l_quantity")
+      .join(orders(spark, dir).select("o_orderkey", "o_custkey", "o_orderstatus"),
+        col("l_orderkey") === col("o_orderkey"), "inner")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("o_custkey"), col("o_orderstatus"))
+
+  val q07Oracle: String =
+    """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_custkey, o.o_orderstatus
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- J4/W4
+  /** Union All (n-ary, by name) — constants.py:27/29. */
+  def q08_union_all(spark: SparkSession, dir: String): DataFrame = {
+    val c = customer(spark, dir).select(
+      lit("customer").as("entity"), col("c_name").as("name"),
+      col("c_acctbal").cast(DecimalType(12, 2)).as("balance"))
+    val s = supplier(spark, dir).select(
+      lit("supplier").as("entity"), col("s_name").as("name"),
+      col("s_acctbal").cast(DecimalType(12, 2)).as("balance"))
+    c.unionByName(s)
+  }
+
+  val q08Oracle: String =
+    """SELECT 'customer' AS entity, c_name AS name, CAST(c_acctbal AS DECIMAL(12,2)) AS balance FROM customer
+      |UNION ALL
+      |SELECT 'supplier', s_name, CAST(s_acctbal AS DECIMAL(12,2)) FROM supplier""".stripMargin
+
+  // ---------------------------------------------------------------- W5
+  /** Conditional Split: ordered, mutually-exclusive predicates + default
+    * output, single-pass CASE tag (constants.py:30, README.md:131), then a
+    * per-route rollup so the routing itself is what's checked. */
+  def q09_conditional_split(spark: SparkSession, dir: String): DataFrame =
+    part(spark, dir)
+      .withColumn("route",
+        when(col("p_size") <= 10, "small")
+          .when(col("p_size") <= 30, "medium")
+          .when(col("p_retailprice") > 1500, "large_premium")
+          .otherwise("large"))
+      .groupBy("route")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("p_retailprice").cast(DecimalType(12, 2))).cast(DecimalType(38, 2))
+          .as("total_price"))
+
+  val q09Oracle: String =
+    """SELECT CASE WHEN p_size <= 10 THEN 'small'
+      |            WHEN p_size <= 30 THEN 'medium'
+      |            WHEN p_retailprice > 1500 THEN 'large_premium'
+      |            ELSE 'large' END AS route,
+      |  COUNT(*) AS n_parts,
+      |  CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total_price
+      |FROM part GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- J5
+  /** SCD2 dim rebuild with hash change-detection ≙ dim_customer.sql:34-84:
+    * dbt_utils.generate_surrogate_key byte-parity (md5 of '-'-joined,
+    * null-sentinel-coalesced strings) + SCD2 metadata columns. */
+  def q10_scd2_rebuild(spark: SparkSession, dir: String): DataFrame = {
+    val sentinel = "_dbt_utils_surrogate_key_null_"
+    def sk(cols: Column*): Column =
+      md5(concat_ws("-", cols.map(c => coalesce(c.cast(StringType), lit(sentinel))): _*))
+    customer(spark, dir).select(
+      sk(col("c_custkey")).as("customer_key"),
+      col("c_custkey").as("customer_id"),
+      col("c_name").as("customer_name"),
+      col("c_nationkey").as("nation_key"),
+      sk(col("c_name"), col("c_mktsegment"), col("c_acctbal").cast(DecimalType(12, 2)))
+        .as("row_hash"),
+      lit(1).as("is_current"),
+      lit("1900-01-01").cast(DateType).as("valid_from"),
+      lit(null).cast(DateType).as("valid_to"))
+  }
+
+  val q10Oracle: String =
+    """SELECT
+      |  md5(COALESCE(CAST(c_custkey AS VARCHAR), '_dbt_utils_surrogate_key_null_')) AS customer_key,
+      |  c_custkey AS customer_id,
+      |  c_name AS customer_name,
+      |  c_nationkey AS nation_key,
+      |  md5(concat_ws('-',
+      |    COALESCE(CAST(c_name AS VARCHAR), '_dbt_utils_surrogate_key_null_'),
+      |    COALESCE(CAST(c_mktsegment AS VARCHAR), '_dbt_utils_surrogate_key_null_'),
+      |    COALESCE(CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR), '_dbt_utils_surrogate_key_null_'))) AS row_hash,
+      |  1 AS is_current,
+      |  DATE '1900-01-01' AS valid_from,
+      |  CAST(NULL AS DATE) AS valid_to
+      |FROM customer""".stripMargin
+
+  // ---------------------------------------------------------------- J6
+  /** Subquery semi-join: `WHERE key IN (SELECT ...)` → left_semi
+    * (ref SalesFactETL.dtsx:305, agg_daily_sales.sql:42-52). */
+  def q11_semi_join(spark: SparkSession, dir: String): DataFrame = {
+    val shipped96 = lineitem(spark, dir)
+      .filter(col("l_shipdate") < lit("1996-07-01").cast(TimestampType))
+      .select("l_orderkey")
+    orders(spark, dir)
+      .join(shipped96, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast(DecimalType(12, 2)).as("total_price"))
+  }
+
+  val q11Oracle: String =
+    """SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(12,2)) AS total_price
+      |FROM orders
+      |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+      |                     WHERE l_shipdate < TIMESTAMP '1996-07-01')""".stripMargin
+
+  /** Anti join — used internally by the SCD2 rewrite (SURVEY §2.3):
+    * customers with no finalized order. */
+  def q12_anti_join(spark: SparkSession, dir: String): DataFrame =
+    customer(spark, dir)
+      .join(orders(spark, dir).filter(col("o_orderstatus") === "F").select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey").as("customer_id"), col("c_name").as("customer_name"))
+
+  val q12Oracle: String =
+    """SELECT c_custkey AS customer_id, c_name AS customer_name
+      |FROM customer
+      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+      |                        WHERE o_orderstatus = 'F' AND o_custkey IS NOT NULL)""".stripMargin
+
+  // ---------------------------------------------------------------- W1
+  /** Watermark fetch: TOP-1-by-sort / max() per group
+    * (ref InventorySync.dtsx:58-63 `SELECT TOP 1 LastSyncTime ... ORDER BY ... DESC`).
+    * ts compared at µs — see [[Tables.eventsNs]]. */
+  def q13_watermark_top1(spark: SparkSession, dir: String): DataFrame =
+    eventsNs(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(max(col("ts_us")).as("last_sync_us"), count(lit(1)).as("n_events"))
+
+  val q13Oracle: String =
+    """SELECT event_type, max(epoch_us(ts)) AS last_sync_us, COUNT(*) AS n_events
+      |FROM events GROUP BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- W6
+  /** True SCD2 window semantics: close out prior versions with
+    * lead()/row_number() (SURVEY §2.5 W6 — the reference's rebuild is lossy;
+    * this is the "done right" variant of §7.3). */
+  def q14_scd2_windows(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    eventsNs(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_from_us", col("ts_us"))
+      .withColumn("valid_to_us", lead(col("ts_us"), 1).over(w))
+      .withColumn("is_current", lead(col("ts_us"), 1).over(w).isNull.cast(IntegerType))
+      .drop("ts_us")
+  }
+
+  val q14Oracle: String =
+    """SELECT user_id, event_id,
+      |  ROW_NUMBER() OVER w AS version,
+      |  epoch_us(ts) AS valid_from_us,
+      |  LEAD(epoch_us(ts), 1) OVER w AS valid_to_us,
+      |  CAST(LEAD(epoch_us(ts), 1) OVER w IS NULL AS INT) AS is_current
+      |FROM events WHERE event_type = 'purchase'
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""".stripMargin
+
+  // ---------------------------------------------------------------- W3/A3
+  /** Row Count component + pre-ETL guard counts as one observable summary
+    * (constants.py:33; SalesFactETL.dtsx:54-61). */
+  def q15_row_counts(spark: SparkSession, dir: String): DataFrame = {
+    val tables = Seq("lineitem", "orders", "customer", "part", "supplier", "nation", "region")
+    tables.map { t =>
+      load(spark, dir, t).agg(count(lit(1)).as("row_count")).select(lit(t).as("table_name"), col("row_count"))
+    }.reduce(_ unionByName _)
+  }
+
+  val q15Oracle: String =
+    """SELECT 'lineitem' AS table_name, COUNT(*) AS row_count FROM lineitem
+      |UNION ALL SELECT 'orders', COUNT(*) FROM orders
+      |UNION ALL SELECT 'customer', COUNT(*) FROM customer
+      |UNION ALL SELECT 'part', COUNT(*) FROM part
+      |UNION ALL SELECT 'supplier', COUNT(*) FROM supplier
+      |UNION ALL SELECT 'nation', COUNT(*) FROM nation
+      |UNION ALL SELECT 'region', COUNT(*) FROM region""".stripMargin
+
+  // ---------------------------------------------------------------- A3
+  /** PK integrity profile (validator.py:357-388): row count, null keys,
+    * duplicated keys — all as one distributed aggregation, no collect. */
+  def q16_pk_validation(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n"))
+      .agg(
+        sum(col("n")).as("row_count"),
+        count(lit(1)).as("distinct_keys"),
+        sum(when(col("o_orderkey").isNull, col("n")).otherwise(0)).as("null_keys"),
+        sum(when(col("n") > 1, 1).otherwise(0)).as("duplicated_keys"))
+
+  val q16Oracle: String =
+    """SELECT CAST(SUM(n) AS BIGINT) AS row_count, COUNT(*) AS distinct_keys,
+      |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN n ELSE 0 END) AS BIGINT) AS null_keys,
+      |  CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS duplicated_keys
+      |FROM (SELECT o_orderkey, COUNT(*) AS n FROM orders GROUP BY o_orderkey)""".stripMargin
+  // NB: DuckDB SUM(BIGINT) yields HUGEINT → float in pandas; CAST to BIGINT.
+
+  // ---------------------------------------------------------------- A2
+  /** Aggregate-refresh ≙ agg_daily_sales.sql:55-95: GROUP BY surrogate date
+    * key with post-agg derived average (exact-decimal sums; the average is
+    * computed in DOUBLE identically on both engines). */
+  def q17_agg_refresh_daily(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .groupBy(to_date(col("l_shipdate")).as("ship_date"), col("l_returnflag"))
+      .agg(
+        sum(col("l_quantity").cast(DecimalType(12, 2))).cast(DecimalType(38, 2)).as("total_quantity"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(DecimalType(18, 4)))
+          .cast(DecimalType(38, 4)).as("net_amount"),
+        count(lit(1)).as("transaction_count"))
+      .withColumn("avg_transaction_value",
+        when(col("transaction_count") > 0,
+          col("net_amount").cast(DoubleType) / col("transaction_count")).otherwise(0.0))
+
+  val q17Oracle: String =
+    """SELECT CAST(l_shipdate AS DATE) AS ship_date, l_returnflag,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total_quantity,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS net_amount,
+      |  COUNT(*) AS transaction_count,
+      |  CASE WHEN COUNT(*) > 0
+      |       THEN CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4))::DOUBLE / COUNT(*)
+      |       ELSE 0.0 END AS avg_transaction_value
+      |FROM lineitem
+      |GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- §2.6 hash
+  /** Surrogate/hash keys: HASHBYTES SHA2_256 ≙ sha2(concat_ws) and
+    * dbt_utils md5 surrogate (CustomerDataLoad.dtsx:169, fct_sales.sql:80). */
+  def q18_hash_keys(spark: SparkSession, dir: String): DataFrame =
+    supplier(spark, dir).select(
+      col("s_suppkey").as("supplier_id"),
+      sha2(concat_ws("|", col("s_name"), col("s_nationkey").cast(StringType)), 256)
+        .as("sha256_key"),
+      md5(concat_ws("-",
+        coalesce(col("s_suppkey").cast(StringType), lit("_dbt_utils_surrogate_key_null_")),
+        coalesce(col("s_name"), lit("_dbt_utils_surrogate_key_null_"))))
+        .as("surrogate_key"))
+
+  val q18Oracle: String =
+    """SELECT s_suppkey AS supplier_id,
+      |  sha256(concat_ws('|', s_name, CAST(s_nationkey AS VARCHAR))) AS sha256_key,
+      |  md5(concat_ws('-',
+      |    COALESCE(CAST(s_suppkey AS VARCHAR), '_dbt_utils_surrogate_key_null_'),
+      |    COALESCE(s_name, '_dbt_utils_surrogate_key_null_'))) AS surrogate_key
+      |FROM supplier""".stripMargin
+
+  // ---------------------------------------------------------------- §2.6 strings
+  /** Scalar string-function parity: CONCAT/SUBSTRING/CHARINDEX(instr,
+    * 1-based)/LEN/TRIM/LEFT/RIGHT/UPPER/LOWER/REPLACE (prompts.py:150-158). */
+  def q19_string_functions(spark: SparkSession, dir: String): DataFrame =
+    part(spark, dir).select(
+      col("p_partkey").as("part_id"),
+      concat(col("p_brand"), lit(":"), col("p_name")).as("brand_name"),
+      substring(col("p_name"), 1, 10).as("name_prefix"),
+      instr(col("p_name"), "a").as("first_a_pos"),
+      length(col("p_name")).as("name_len"),
+      upper(col("p_brand")).as("brand_upper"),
+      lower(col("p_type")).as("type_lower"),
+      trim(col("p_name")).as("name_trimmed"),
+      call_function("right", col("p_type"), lit(5)).as("type_suffix"),
+      call_function("replace", col("p_name"), lit(" "), lit("_")).as("name_snake"))
+
+  val q19Oracle: String =
+    """SELECT p_partkey AS part_id,
+      |  p_brand || ':' || p_name AS brand_name,
+      |  substr(p_name, 1, 10) AS name_prefix,
+      |  instr(p_name, 'a') AS first_a_pos,
+      |  length(p_name) AS name_len,
+      |  upper(p_brand) AS brand_upper,
+      |  lower(p_type) AS type_lower,
+      |  trim(p_name) AS name_trimmed,
+      |  right(p_type, 5) AS type_suffix,
+      |  replace(p_name, ' ', '_') AS name_snake
+      |FROM part""".stripMargin
+
+  // ---------------------------------------------------------------- §2.6 money
+  /** Decimal/money arithmetic with per-step NUMERIC pinning
+    * (stg_sales__transactions.sql:70-76; SURVEY §7.4.1). */
+  def q20_decimal_money_math(spark: SparkSession, dir: String): DataFrame = {
+    val price = col("l_extendedprice").cast(DecimalType(18, 2))
+    val disc = col("l_discount").cast(DecimalType(5, 4))
+    val tax = col("l_tax").cast(DecimalType(5, 4))
+    lineitem(spark, dir).select(
+      col("l_orderkey"), col("l_linenumber"),
+      price.as("gross"),
+      (price * (lit(1).cast(DecimalType(5, 4)) - disc)).cast(DecimalType(18, 2)).as("discounted"),
+      ((price * (lit(1).cast(DecimalType(5, 4)) - disc)).cast(DecimalType(18, 2))
+        * (lit(1).cast(DecimalType(5, 4)) + tax)).cast(DecimalType(18, 2)).as("charged"),
+      (price / lit(100).cast(DecimalType(5, 0))).cast(DecimalType(18, 4)).as("per_cent_unit"))
+  }
+
+  val q20Oracle: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(l_extendedprice AS DECIMAL(18,2)) AS gross,
+      |  CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4))), 2) AS DECIMAL(18,2)) AS discounted,
+      |  CAST(round(CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4))), 2) AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(5,4)) + CAST(l_tax AS DECIMAL(5,4))), 2) AS DECIMAL(18,2)) AS charged,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) / CAST(100 AS DECIMAL(5,0)) AS DECIMAL(18,4)) AS per_cent_unit
+      |FROM lineitem""".stripMargin
+
+  // ---------------------------------------------------------------- §2.7
+  /** Incremental watermark load: `WHERE modified >= ?` over the watermark
+    * (builder.py:320-326 is_incremental block; CustomerDataLoad.dtsx:78). */
+  def q21_incremental_filter(spark: SparkSession, dir: String): DataFrame = {
+    val watermarkUs = lit(1705795200000000L) // 2024-01-21T00:00:00Z in µs
+    eventsNs(spark, dir)
+      .filter(col("ts_us") >= watermarkUs)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_new"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DecimalType(38, 4)).as("sum_value"))
+  }
+
+  val q21Oracle: String =
+    """SELECT event_type, COUNT(*) AS n_new,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value
+      |FROM events WHERE epoch_us(ts) >= 1705795200000000
+      |GROUP BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- §2.6 dates
+  /** Date-function parity: DATEADD/DATEDIFF/DATEPART shapes
+    * (prompts.py:157, fct_sales.sql:75 CAST(ts AS DATE)). */
+  def q22_date_functions(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir).select(
+      col("o_orderkey"),
+      to_date(col("o_orderdate")).as("order_date"),
+      year(col("o_orderdate")).as("order_year"),
+      quarter(col("o_orderdate")).as("order_quarter"),
+      month(col("o_orderdate")).as("order_month"),
+      dayofmonth(col("o_orderdate")).as("order_day"),
+      date_add(to_date(col("o_orderdate")), 30).as("due_date"),
+      datediff(lit("1999-01-01").cast(DateType), to_date(col("o_orderdate"))).as("age_days"),
+      date_trunc("month", col("o_orderdate")).cast(DateType).as("order_month_start"))
+
+  val q22Oracle: String =
+    """SELECT o_orderkey,
+      |  CAST(o_orderdate AS DATE) AS order_date,
+      |  CAST(year(o_orderdate) AS INT) AS order_year,
+      |  CAST(quarter(o_orderdate) AS INT) AS order_quarter,
+      |  CAST(month(o_orderdate) AS INT) AS order_month,
+      |  CAST(day(o_orderdate) AS INT) AS order_day,
+      |  CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_date,
+      |  datediff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS age_days,
+      |  CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month_start
+      |FROM orders""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q02_project_cast_rename" -> (q02_project_cast_rename _),
+    "q03_source_filter_params" -> (q03_source_filter_params _),
+    "q04_lookup_chain" -> (q04_lookup_chain _),
+    "q05_derived_columns" -> (q05_derived_columns _),
+    "q06_cleaning" -> (q06_cleaning _),
+    "q07_merge_join" -> (q07_merge_join _),
+    "q08_union_all" -> (q08_union_all _),
+    "q09_conditional_split" -> (q09_conditional_split _),
+    "q10_scd2_rebuild" -> (q10_scd2_rebuild _),
+    "q11_semi_join" -> (q11_semi_join _),
+    "q12_anti_join" -> (q12_anti_join _),
+    "q13_watermark_top1" -> (q13_watermark_top1 _),
+    "q14_scd2_windows" -> (q14_scd2_windows _),
+    "q15_row_counts" -> (q15_row_counts _),
+    "q16_pk_validation" -> (q16_pk_validation _),
+    "q17_agg_refresh_daily" -> (q17_agg_refresh_daily _),
+    "q18_hash_keys" -> (q18_hash_keys _),
+    "q19_string_functions" -> (q19_string_functions _),
+    "q20_decimal_money_math" -> (q20_decimal_money_math _),
+    "q21_incremental_filter" -> (q21_incremental_filter _),
+    "q22_date_functions" -> (q22_date_functions _))
+
+  val oracle: Map[String, String] = Map(
+    "q02_project_cast_rename" -> q02Oracle,
+    "q03_source_filter_params" -> q03Oracle,
+    "q04_lookup_chain" -> q04Oracle,
+    "q05_derived_columns" -> q05Oracle,
+    "q06_cleaning" -> q06Oracle,
+    "q07_merge_join" -> q07Oracle,
+    "q08_union_all" -> q08Oracle,
+    "q09_conditional_split" -> q09Oracle,
+    "q10_scd2_rebuild" -> q10Oracle,
+    "q11_semi_join" -> q11Oracle,
+    "q12_anti_join" -> q12Oracle,
+    "q13_watermark_top1" -> q13Oracle,
+    "q14_scd2_windows" -> q14Oracle,
+    "q15_row_counts" -> q15Oracle,
+    "q16_pk_validation" -> q16Oracle,
+    "q17_agg_refresh_daily" -> q17Oracle,
+    "q18_hash_keys" -> q18Oracle,
+    "q19_string_functions" -> q19Oracle,
+    "q20_decimal_money_math" -> q20Oracle,
+    "q21_incremental_filter" -> q21Oracle,
+    "q22_date_functions" -> q22Oracle)
+}

@@ -22,6 +22,19 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's µs timestamps
+    * cannot hold ([PARQUET_TYPE_ILLEGAL]). We read it as a raw ns-epoch
+    * Long via the legacy conf and expose `ts_us` (µs, = DuckDB's own
+    * truncation on read, so `epoch_us(ts)` is the oracle-side equivalent)
+    * plus `ts_t` as a proper TimestampType for window/date logic.
+    */
+  def eventsNs(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events")
+      .withColumn("ts_us", call_function("div", col("ts"), lit(1000L)))
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+  }
+
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
