@@ -1,0 +1,289 @@
+package graft
+
+import graft.dedup.DedupOps
+import graft.multimodal.MultimodalOps
+import graft.sim.SimilarityOps
+import graft.text.TextOps
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Training-data pipeline operators (dedup / similarity / text analysis /
+  * multimodal plumbing) over the `documents` and `embeddings` tables —
+  * first-class components beside the reference-parity inventory.
+  */
+object QueriesTrainingData {
+  import Tables._
+
+  // ---------------------------------------------------------------- text
+  /** Token counting: whitespace tokens, distinct tokens, and a BPE-ish
+    * `\w+`-run proxy — all narrow codegen'd expressions. */
+  def x01_token_count(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    documents(spark, dir).select(
+      col("doc_id"),
+      TextOps.tokenCount(t).as("n_tokens"),
+      TextOps.distinctTokenCount(t).as("n_distinct_tokens"),
+      TextOps.wordishCount(t).as("n_wordish"))
+  }
+
+  val x01Oracle: String =
+    """SELECT doc_id,
+      |  CASE WHEN length(text)=0 THEN 0 ELSE len(string_split_regex(text,'\s+')) END AS n_tokens,
+      |  CASE WHEN length(text)=0 THEN 0 ELSE len(list_distinct(string_split_regex(text,'\s+'))) END AS n_distinct_tokens,
+      |  len(list_filter(string_split_regex(text,'[^A-Za-z0-9]+'), x -> len(x) > 0)) AS n_wordish
+      |FROM documents""".stripMargin
+
+  /** Quality scoring: length/stopword/type-token signals (Gopher/C4-style
+    * heuristics), ratios in DOUBLE with identical op order both engines. */
+  def x02_quality_score(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val quality = TextOps.qualityColumns(t).map { case (n, c) => c.as(n) }
+    documents(spark, dir).select(col("doc_id") +: length(t).as("n_chars") +: quality: _*)
+  }
+
+  val x02Oracle: String =
+    """WITH base AS (
+      |  SELECT doc_id, text, length(text) AS n_chars,
+      |    CASE WHEN length(text)=0 THEN 0 ELSE len(string_split_regex(text,'\s+')) END AS nt,
+      |    CASE WHEN length(text)=0 THEN 0 ELSE len(list_distinct(string_split_regex(text,'\s+'))) END AS nd,
+      |    len(list_filter(string_split_regex(text,'\s+'),
+      |        x -> x IN ('the','a','an','of','and','or','to','in','is','it'))) AS ns
+      |  FROM documents)
+      |SELECT doc_id, n_chars, nt AS n_tokens, nd AS n_distinct_tokens,
+      |  CASE WHEN nt > 0 THEN CAST(n_chars AS DOUBLE) / CAST(nt AS DOUBLE) ELSE 0.0 END AS mean_token_len,
+      |  CASE WHEN nt > 0 THEN CAST(ns AS DOUBLE) / CAST(nt AS DOUBLE) ELSE 0.0 END AS stopword_ratio,
+      |  CASE WHEN nt > 0 THEN CAST(nd AS DOUBLE) / CAST(nt AS DOUBLE) ELSE 0.0 END AS type_token_ratio
+      |FROM base""".stripMargin
+
+  /** Language ID: marker-token scoring with deterministic argmax. */
+  def x03_langid(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    documents(spark, dir).select(
+      col("doc_id"), col("lang").as("labeled_lang"),
+      TextOps.languageScore(t, "en").as("score_en"),
+      TextOps.languageScore(t, "es").as("score_es"),
+      TextOps.languageId(t).as("predicted_lang"))
+  }
+
+  val x03Oracle: String = {
+    def score(markers: Seq[String]) =
+      s"len(list_filter(string_split_regex(text,'\\s+'), x -> x IN (${markers.map("'" + _ + "'").mkString(",")})))"
+    val langs = TextOps.languageMarkers.keys.toSeq.sorted // de,en,es,fr,zh
+    val scoreExprs = langs.map(l => l -> score(TextOps.languageMarkers(l))).toMap
+    val best = s"greatest(${langs.map(l => s"s_$l").mkString(",")})"
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang, ${langs.map(l => s"${scoreExprs(l)} AS s_$l").mkString(", ")}
+       |  FROM documents)
+       |SELECT doc_id, lang AS labeled_lang, s_en AS score_en, s_es AS score_es,
+       |  CASE ${langs.map(l => s"WHEN $best > 0 AND s_$l = $best THEN '$l'").mkString(" ")}
+       |       ELSE 'und' END AS predicted_lang
+       |FROM scored""".stripMargin
+  }
+
+  /** Content fingerprinting: md5 of normalized text + 60-bit integer
+    * fingerprint (engine-reproducible, md5-derived). */
+  def x04_fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    documents(spark, dir).select(
+      col("doc_id"),
+      TextOps.fingerprintMd5(t).as("fp_md5"),
+      TextOps.fingerprint64(t).as("fp64"))
+  }
+
+  val x04Oracle: String =
+    """WITH n AS (
+      |  SELECT doc_id,
+      |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS m
+      |  FROM documents)
+      |SELECT doc_id, m AS fp_md5,
+      |  CAST(('0x' || substr(m, 1, 15)) AS BIGINT) AS fp64
+      |FROM n""".stripMargin
+
+  // ---------------------------------------------------------------- dedup
+  /** Exact dedup on a content key (md5 of the 5-token prefix, which has
+    * natural collisions in this corpus): survivor per group + group size.
+    * Map-side-combining hash aggregate — the 100 TB exact-dedup shape. */
+  def x05_dedup_exact(spark: SparkSession, dir: String): DataFrame = {
+    val key = md5(concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 5)))
+    DedupOps.exactDedup(documents(spark, dir), "doc_id", key)
+  }
+
+  val x05Oracle: String =
+    """SELECT md5(array_to_string((string_split_regex(text,'\s+'))[1:5], ' ')) AS dup_key,
+      |  min(doc_id) AS survivor_id, COUNT(*) AS group_size
+      |FROM documents GROUP BY 1""".stripMargin
+
+  /** MinHash(8)+LSH(4 bands × 2 rows) candidate pairs with n-gram Jaccard
+    * verification — the banded equi-join scale path, no cross join. */
+  def x06_dedup_minhash_lsh(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+      .select(col("doc_id"), DedupOps.shingles(col("text"), 3).as("sh"))
+    val sigs = DedupOps.minhashSignature(col("sh"), 8)
+    val withSig = docs.select(col("doc_id") +: col("sh") +: sigs.map { case (n, c) => c.as(n) }: _*)
+    val withBands = withSig.withColumn("bands",
+      DedupOps.bandKeys((0 until 8).map(i => col(s"sig$i")), 2))
+    val pairs = DedupOps.lshCandidatePairs(withBands, "doc_id", "bands", carry = Seq("sh"))
+    pairs.select(col("doc_a"), col("doc_b"),
+      DedupOps.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+  }
+
+  val x06Oracle: String = {
+    val sigDefs = (0 until 8).map(i =>
+      s"list_aggregate(list_transform(sh, s -> md5('$i|' || s)), 'min') AS sig$i").mkString(",\n      ")
+    val bandRows = (0 until 4).map(i =>
+      s"SELECT doc_id, $i AS band_idx, md5(sig${2 * i} || sig${2 * i + 1}) AS band_key FROM sig")
+      .mkString("\n      UNION ALL ")
+    s"""WITH words AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, greatest(len(ws) - 2, 1)),
+       |    i -> array_to_string(ws[i:i+2], ' '))) AS sh
+       |  FROM words),
+       |sig AS (
+       |  SELECT doc_id, sh,
+       |      $sigDefs
+       |  FROM sh),
+       |bands AS (
+       |      $bandRows),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_key = b.band_key AND a.band_idx = b.band_idx AND a.doc_id < b.doc_id)
+       |SELECT p.doc_a, p.doc_b,
+       |  CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+       |  CAST(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) AS DOUBLE) AS jaccard
+       |FROM pairs p
+       |JOIN sh x ON x.doc_id = p.doc_a
+       |JOIN sh y ON y.doc_id = p.doc_b""".stripMargin
+  }
+
+  /** SimHash (8-bit, md5-derived token hashes) per document. */
+  def x07_dedup_simhash(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir).select(
+      col("doc_id"),
+      DedupOps.simhash(col("text"), 8).as("simhash8"))
+
+  val x07Oracle: String = {
+    val bitSums = (0 until 8).map(b =>
+      s"""list_sum(list_transform(list_distinct(string_split_regex(text,'\\s+')),
+         |    w -> CASE WHEN (CAST(('0x'||substr(md5(w),1,15)) AS BIGINT) >> $b) & 1 = 1
+         |              THEN 1 ELSE -1 END)) AS s$b""".stripMargin).mkString(",\n  ")
+    val sig = (0 until 8).map(b => s"CASE WHEN s$b >= 0 THEN ${1 << b} ELSE 0 END").mkString(" + ")
+    s"""WITH sums AS (
+       |  SELECT doc_id,
+       |  $bitSums
+       |  FROM documents)
+       |SELECT doc_id, CAST($sig AS INT) AS simhash8 FROM sums""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- similarity
+  /** Embedding near-dup pairs within a coarse block (label ≈ IVF cell),
+    * exact-integer quantized cosine — bit-reproducible across engines. */
+  def x08_embedding_near_dup(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.nearDupPairs(embeddings(spark, dir), "vec_id", "embedding", "label", 0.3)
+
+  val x08Oracle: String =
+    """WITH q AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, label, qv,
+      |    list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])) AS n2
+      |  FROM q)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  CAST(list_sum(list_transform(generate_series(1, len(a.qv)), i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+      |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cosine
+      |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE CAST(list_sum(list_transform(generate_series(1, len(a.qv)), i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+      |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) > 0.3""".stripMargin
+
+  /** Brute-force cosine top-k (the ANN correctness baseline): first 10
+    * vectors as queries, k=5, deterministic (score desc, id asc) ranking. */
+  def x09_knn_bruteforce(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(spark, dir)
+    SimilarityOps.knnBruteForce(
+      emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", 5)
+  }
+
+  val x09Oracle: String =
+    """WITH q AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, qv,
+      |    list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])) AS n2
+      |  FROM q),
+      |scored AS (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |    CAST(list_sum(list_transform(generate_series(1, len(a.qv)), i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+      |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cosine
+      |  FROM n a JOIN n b ON a.vec_id < 10 AND a.vec_id <> b.vec_id)
+      |SELECT query_id, neighbor_id, rank, cosine FROM (
+      |  SELECT query_id, neighbor_id, cosine,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+      |  FROM scored)
+      |WHERE rank <= 5""".stripMargin
+
+  // ---------------------------------------------------------------- multimodal
+  /** Multimodal plumbing: binary payload + typed metadata through the stub
+    * decode (expression twin of the mapPartitions path — see
+    * [[graft.multimodal.MultimodalOps]]; equivalence is spec-tested). */
+  def x10_multimodal_meta(spark: SparkSession, dir: String): DataFrame = {
+    val mt = when(col("doc_id") % 3 === 0, "image")
+      .when(col("doc_id") % 3 === 1, "audio").otherwise("video")
+    val payloadHex = md5(col("text"))
+    val metaCols = MultimodalOps.stubMetaColumns(payloadHex, col("media_type"))
+      .map { case (n, c) => c.as(n) }
+    documents(spark, dir)
+      .select(col("doc_id").as("media_id"), mt.as("media_type"), payloadHex.as("payload_hex"), col("text"))
+      .select(col("media_id") +: col("media_type") +: metaCols :+
+        size(MultimodalOps.frameSamplePlan(
+          MultimodalOps.stubMetaColumns(col("payload_hex"), col("media_type"))(2)._2, 4))
+          .as("n_sampled_frames"): _*)
+  }
+
+  val x10Oracle: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+      |    md5(text) AS h
+      |  FROM documents),
+      |meta AS (
+      |  SELECT media_id, media_type,
+      |    CAST(('0x'||substr(h,1,2)) AS INT) * 16 + 64 AS width,
+      |    CAST(('0x'||substr(h,3,2)) AS INT) * 16 + 64 AS height,
+      |    CASE WHEN media_type = 'video' THEN CAST(('0x'||substr(h,5,2)) AS INT) + 1 ELSE 1 END AS n_frames,
+      |    CASE WHEN media_type = 'audio' THEN 8000 + CAST(('0x'||substr(h,7,2)) AS INT) * 128 ELSE 0 END AS sample_rate
+      |  FROM m)
+      |SELECT media_id, media_type, width, height, n_frames, sample_rate,
+      |  CAST(len(range(0, n_frames, 4)) AS INT) AS n_sampled_frames
+      |FROM meta""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x01_token_count" -> (x01_token_count _),
+    "x02_quality_score" -> (x02_quality_score _),
+    "x03_langid" -> (x03_langid _),
+    "x04_fingerprint" -> (x04_fingerprint _),
+    "x05_dedup_exact" -> (x05_dedup_exact _),
+    "x06_dedup_minhash_lsh" -> (x06_dedup_minhash_lsh _),
+    "x07_dedup_simhash" -> (x07_dedup_simhash _),
+    "x08_embedding_near_dup" -> (x08_embedding_near_dup _),
+    "x09_knn_bruteforce" -> (x09_knn_bruteforce _),
+    "x10_multimodal_meta" -> (x10_multimodal_meta _))
+
+  val oracle: Map[String, String] = Map(
+    "x01_token_count" -> x01Oracle,
+    "x02_quality_score" -> x02Oracle,
+    "x03_langid" -> x03Oracle,
+    "x04_fingerprint" -> x04Oracle,
+    "x05_dedup_exact" -> x05Oracle,
+    "x06_dedup_minhash_lsh" -> x06Oracle,
+    "x07_dedup_simhash" -> x07Oracle,
+    "x08_embedding_near_dup" -> x08Oracle,
+    "x09_knn_bruteforce" -> x09Oracle,
+    "x10_multimodal_meta" -> x10Oracle)
+}

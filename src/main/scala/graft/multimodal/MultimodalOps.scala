@@ -1,0 +1,93 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads ride as opaque
+  * `BinaryType` columns with a typed metadata struct beside them; decode /
+  * feature-extract run per-partition in batches.
+  *
+  * The Spark-side plumbing (schema, partitioning, batch iteration,
+  * operator signatures) is real and tested. The actual codec step is a
+  * STUB (`StubDecoder`) — this container has no image/audio libraries —
+  * producing deterministic pseudo-metadata from the payload bytes, so the
+  * pipeline shape can be verified end-to-end and a real decoder (JNI/
+  * javax.imageio/ffmpeg) can be dropped in behind the same trait.
+  */
+object MultimodalOps {
+
+  /** Canonical multimodal column bundle. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("media_type", StringType, nullable = false),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_frames", IntegerType),
+      StructField("sample_rate", IntegerType))), nullable = true)))
+
+  final case class MediaMeta(width: Int, height: Int, nFrames: Int, sampleRate: Int)
+
+  /** Pluggable codec boundary. Implementations MUST be deterministic and
+    * serializable (they run inside executors). */
+  trait MediaDecoder extends Serializable {
+    def decode(payload: Array[Byte], mediaType: String): MediaMeta
+  }
+
+  /** STUB decoder: derives pseudo-dimensions from the payload bytes.
+    * Deterministic stand-in for a real image/audio codec. */
+  object StubDecoder extends MediaDecoder {
+    def decode(payload: Array[Byte], mediaType: String): MediaMeta = {
+      def ub(i: Int): Int = if (payload.length > i) payload(i) & 0xff else 0
+      MediaMeta(
+        width = ub(0) * 16 + 64,
+        height = ub(1) * 16 + 64,
+        nFrames = if (mediaType == "video") ub(2) + 1 else 1,
+        sampleRate = if (mediaType == "audio") 8000 + ub(3) * 128 else 0)
+    }
+  }
+
+  /** Wrap a text/blob column as a media payload (for testdata, which has
+    * no true binary column: payload := md5 bytes of the text). */
+  def fakePayload(content: Column): Column = unhex(md5(content))
+
+  /** Batch decode via `mapPartitions` — the Scala-native equivalent of a
+    * pandas-batch UDF: one decoder instance per partition, streaming
+    * iterator (no per-row setup, no full-partition materialization). */
+  def decodeMeta(df: DataFrame, idCol: String, payloadCol: String,
+      typeCol: String, decoder: MediaDecoder = StubDecoder): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(payloadCol), col(typeCol))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload, mt) =>
+          val m = decoder.decode(if (payload == null) Array.emptyByteArray else payload, mt)
+          (id, mt, m.width, m.height, m.nFrames, m.sampleRate)
+        }
+      }
+      .toDF("media_id", "media_type", "width", "height", "n_frames", "sample_rate")
+  }
+
+  /** Pure-expression twin of [[decodeMeta]]+[[StubDecoder]]: the same
+    * pseudo-metadata computed as codegen'd Column expressions, used as the
+    * oracle-checkable face of the stub (and the fast path when the "decode"
+    * is metadata-only). byte_i(payload) = conv(hex pair i, 16, 10). */
+  def stubMetaColumns(payloadHex: Column, mediaType: Column): Seq[(String, Column)] = {
+    def ub(i: Int): Column =
+      conv(substring(payloadHex, 2 * i + 1, 2), 16, 10).cast(IntegerType)
+    Seq(
+      "width" -> (ub(0) * 16 + 64),
+      "height" -> (ub(1) * 16 + 64),
+      "n_frames" -> when(mediaType === "video", ub(2) + 1).otherwise(1),
+      "sample_rate" -> when(mediaType === "audio", lit(8000) + ub(3) * 128).otherwise(0))
+  }
+
+  /** Frame sampling plan for video-ish payloads: every `stride`-th frame
+    * index as an array column — the shape a real frame extractor consumes. */
+  def frameSamplePlan(nFrames: Column, stride: Int): Column =
+    when(nFrames > 0, sequence(lit(0), nFrames - 1, lit(stride)))
+      .otherwise(array().cast(ArrayType(IntegerType)))
+}

@@ -1,0 +1,109 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Numeric contract: embeddings are quantized to integers
+  * (`round(x·10⁴)` as BIGINT) so dot products and norms are **exact
+  * integer arithmetic** — the only floating-point steps are one final
+  * `sqrt`/division, both correctly-rounded IEEE ops, making cosine scores
+  * bit-reproducible across engines (the DuckDB oracle contract).
+  *
+  * Scale design: brute-force top-k is the correctness baseline; the scale
+  * path blocks candidates on a coarse partition (here the `label` column,
+  * standing in for an IVF centroid assignment — see [[knnBlocked]]), which
+  * turns the O(n²) cross join into a per-bucket shuffle join.
+  */
+object SimilarityOps {
+
+  val QuantScale = 10000
+
+  /** `Array[Float]` → `Array[Long]` quantized at 1e-4 resolution. */
+  def quantize(vec: Column): Column =
+    transform(vec, x => round(x.cast(DoubleType) * QuantScale).cast(LongType))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Exact integer squared norm. */
+  def qnorm2(a: Column): Column = qdot(a, a)
+
+  /** Cosine similarity of two quantized vectors, as DOUBLE:
+    * dot / (sqrt(n2a)·sqrt(n2b)) — sqrt of an exact integer each side. */
+  def cosineQ(a: Column, b: Column): Column =
+    qdot(a, b).cast(DoubleType) /
+      (sqrt(qnorm2(a).cast(DoubleType)) * sqrt(qnorm2(b).cast(DoubleType)))
+
+  /** Adds `qvec` (quantized embedding) and `qn2` (its squared norm) so the
+    * per-row work happens once, before any join fan-out. */
+  def withQuantized(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn("qvec", quantize(col(vecCol)))
+      .withColumn("qn2", qnorm2(col("qvec")))
+
+  /** Brute-force cosine top-k: every query row against every candidate row
+    * (minus self), ranked per query with a deterministic (score desc, id
+    * asc) tiebreak. The correctness baseline — O(|q|·|c|). */
+  def knnBruteForce(queries: DataFrame, candidates: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = withQuantized(queries, vecCol).select(
+      col(idCol).as("query_id"), col("qvec").as("qv"), col("qn2").as("qn"))
+    val c = withQuantized(candidates, vecCol).select(
+      col(idCol).as("neighbor_id"), col("qvec").as("cv"), col("qn2").as("cn"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        qdot(col("qv"), col("cv")).cast(DoubleType) /
+          (sqrt(col("qn").cast(DoubleType)) * sqrt(col("cn").cast(DoubleType))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
+  /** IVF-style blocked variant: candidates are only compared within the
+    * same coarse bucket (`blockCol` ≈ nearest-centroid assignment), so the
+    * join shuffles on the bucket key instead of exploding the cross
+    * product. Recall < 1.0 by construction; that's the ANN trade. */
+  def knnBlocked(df: DataFrame, idCol: String, vecCol: String, blockCol: String,
+      k: Int): DataFrame = {
+    val q = withQuantized(df, vecCol).select(
+      col(idCol).as("query_id"), col(blockCol).as("blk"),
+      col("qvec").as("qv"), col("qn2").as("qn"))
+    val c = withQuantized(df, vecCol).select(
+      col(idCol).as("neighbor_id"), col(blockCol).as("blk2"),
+      col("qvec").as("cv"), col("qn2").as("cn"))
+    val scored = q.join(c,
+      col("blk") === col("blk2") && col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        qdot(col("qv"), col("cv")).cast(DoubleType) /
+          (sqrt(col("qn").cast(DoubleType)) * sqrt(col("cn").cast(DoubleType))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
+  /** Near-duplicate pairs by cosine threshold within a coarse block —
+    * embedding-based near-dedup (doc_a < doc_b, deterministic). */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, minCosine: Double): DataFrame = {
+    val a = withQuantized(df, vecCol).select(
+      col(idCol).as("id_a"), col(blockCol).as("blk"),
+      col("qvec").as("va"), col("qn2").as("na"))
+    val b = withQuantized(df, vecCol).select(
+      col(idCol).as("id_b"), col(blockCol).as("blk2"),
+      col("qvec").as("vb"), col("qn2").as("nb"))
+    a.join(b, col("blk") === col("blk2") && col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        qdot(col("va"), col("vb")).cast(DoubleType) /
+          (sqrt(col("na").cast(DoubleType)) * sqrt(col("nb").cast(DoubleType))))
+      .filter(col("cosine") > minCosine)
+      .select("id_a", "id_b", "cosine")
+  }
+}

@@ -1,0 +1,97 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for large-scale training-data pipelines —
+  * language ID, quality scoring, token counting, fingerprinting.
+  *
+  * Everything is pure `Column` expressions (codegen'd, no UDFs), so the
+  * operators stay inside whole-stage codegen and scale linearly with no
+  * shuffle: each is a narrow map over the documents table.
+  */
+object TextOps {
+
+  /** Whitespace tokenization. `\s+` split matches the common convention
+    * and DuckDB's `string_split_regex` for oracle parity. */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  def tokenCount(text: Column): Column =
+    when(length(text) === 0, 0).otherwise(size(tokens(text)))
+
+  def distinctTokenCount(text: Column): Column =
+    when(length(text) === 0, 0).otherwise(size(array_distinct(tokens(text))))
+
+  /** A BPE-ish subword proxy: count of alternating letter/digit boundary
+    * splits — `\w+`-runs rather than whitespace tokens. */
+  def wordishCount(text: Column): Column =
+    size(filter(split(text, "[^A-Za-z0-9]+"), c => length(c) > 0))
+
+  private val defaultStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "or", "to", "in", "is", "it")
+
+  def stopwordCount(text: Column, stopwords: Seq[String] = defaultStopwords): Column = {
+    val stops = array(stopwords.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(stops, t)))
+  }
+
+  /** Quality signals in the style of Gopher/C4 heuristic filters: length,
+    * mean token length, stopword ratio, type-token ratio. All ratios are
+    * DOUBLE with an identical operation order on Spark and DuckDB. */
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val nTok = tokenCount(text).cast(DoubleType)
+    val nChar = length(text).cast(DoubleType)
+    Seq(
+      "n_tokens" -> tokenCount(text),
+      "n_distinct_tokens" -> distinctTokenCount(text),
+      "mean_token_len" -> when(tokenCount(text) > 0, nChar / nTok).otherwise(0.0),
+      "stopword_ratio" -> when(tokenCount(text) > 0,
+        stopwordCount(text).cast(DoubleType) / nTok).otherwise(0.0),
+      "type_token_ratio" -> when(tokenCount(text) > 0,
+        distinctTokenCount(text).cast(DoubleType) / nTok).otherwise(0.0))
+  }
+
+  /** Language-marker token lists for the n-gram/stopword language-ID
+    * heuristic. Deliberately tiny: language ID at 100 TB is a scoring
+    * problem, not a model problem — each language's score is one
+    * codegen'd filter+size over the token array. */
+  val languageMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  def languageScore(text: Column, lang: String): Column =
+    stopwordCount(text, languageMarkers(lang))
+
+  /** Predicted language = argmax of marker scores with a deterministic
+    * alphabetical tiebreak; "und" (undetermined) when all scores are 0. */
+  def languageId(text: Column): Column = {
+    val langs = languageMarkers.keys.toSeq.sorted
+    val scores = langs.map(l => languageScore(text, l))
+    val best = greatest(scores: _*)
+    langs.zip(scores).foldRight(lit("und"): Column) { case ((l, s), acc) =>
+      when(best > 0 && s === best, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Canonical normalization for fingerprinting: lowercase, strip
+    * non-alphanumerics, collapse whitespace. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** 128-bit content fingerprint (hex md5 of normalized text). */
+  def fingerprintMd5(text: Column): Column = md5(normalized(text))
+
+  /** 60-bit integer fingerprint: first 15 hex digits of the md5 → BIGINT.
+    * Parity contract: DuckDB `CAST('0x' || substr(md5(t),1,15) AS BIGINT)`. */
+  def fingerprint64(text: Column): Column =
+    conv(substring(fingerprintMd5(text), 1, 15), 16, 10).cast(LongType)
+
+  /** Stable 60-bit hash of an arbitrary string expression (md5-based so
+    * any engine can reproduce it — unlike Murmur3 `hash()`). */
+  def stableHash64(e: Column): Column =
+    conv(substring(md5(e), 1, 15), 16, 10).cast(LongType)
+}

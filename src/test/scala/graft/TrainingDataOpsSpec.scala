@@ -1,0 +1,110 @@
+package graft
+
+import graft.dedup.DedupOps
+import graft.multimodal.MultimodalOps
+import graft.sim.SimilarityOps
+import graft.text.TextOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TrainingDataOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("tokenize / quality / langid are deterministic and sane") {
+    val df = Seq(
+      (1L, "the quick brown fox the end"),
+      (2L, ""),
+      (3L, "der der die und und ist x")).toDF("doc_id", "text")
+    val rows = df.select(col("doc_id"), TextOps.tokenCount(col("text")),
+      TextOps.languageId(col("text"))).collect()
+    assert(rows.map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet ===
+      Set((1L, 6, "en"), (2L, 0, "und"), (3L, 7, "de")))
+  }
+
+  test("fingerprint normalization collapses case/punct/whitespace variants") {
+    val df = Seq(
+      (1L, "Hello,  World!"),
+      (2L, "hello world"),
+      (3L, "something else")).toDF("doc_id", "text")
+    val fps = df.select(TextOps.fingerprintMd5(col("text"))).collect().map(_.getString(0))
+    assert(fps(0) === fps(1))
+    assert(fps(0) !== fps(2))
+  }
+
+  test("shingles produce distinct n-grams; short docs yield one shingle") {
+    val df = Seq("w1 w2 w3 w4", "tiny").toDF("text")
+    val sh = df.select(DedupOps.shingles(col("text"), 3).as("s")).collect()
+      .map(_.getSeq[String](0).toSet)
+    assert(sh(0) === Set("w1 w2 w3", "w2 w3 w4"))
+    assert(sh(1) === Set("tiny"))
+  }
+
+  test("minhash LSH finds a planted near-duplicate pair") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val nearDup = base + "lambda"
+    val distinctDoc = "one two three four five six seven eight nine ten " * 3
+    val df = Seq((1L, base), (2L, nearDup), (3L, distinctDoc)).toDF("doc_id", "text")
+    val docs = df.select(col("doc_id"), DedupOps.shingles(col("text"), 3).as("sh"))
+    val sigs = DedupOps.minhashSignature(col("sh"), 8)
+    val withBands = docs.select(col("doc_id") +: col("sh") +: sigs.map { case (n, c) => c.as(n) }: _*)
+      .withColumn("bands", DedupOps.bandKeys((0 until 8).map(i => col(s"sig$i")), 2))
+    val pairs = DedupOps.lshCandidatePairs(withBands, "doc_id", "bands", carry = Seq("sh"))
+      .select(col("doc_a"), col("doc_b"), DedupOps.jaccard(col("sh_a"), col("sh_b")).as("j"))
+      .collect()
+    assert(pairs.exists(r => r.getLong(0) === 1L && r.getLong(1) === 2L && r.getDouble(2) > 0.8))
+    assert(!pairs.exists(r => r.getLong(1) === 3L || r.getLong(0) === 3L))
+  }
+
+  test("simhash: identical docs equal; near-identical docs within hamming 1") {
+    val df = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"), (3L, "totally different words here now")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), DedupOps.simhash(col("text"), 8).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out(1L) === out(2L))
+    assert(out(1L) >= 0 && out(1L) < 256)
+  }
+
+  test("knn brute force: self excluded, rank deterministic, k respected") {
+    val emb = Tables.embeddings(spark, sf)
+    val knn = SimilarityOps.knnBruteForce(emb.filter(col("vec_id") < 3), emb, "vec_id", "embedding", 4)
+      .collect()
+    assert(knn.length === 12)
+    assert(!knn.exists(r => r.getLong(0) === r.getLong(1)))
+    val ranks = knn.filter(_.getLong(0) == 0L).map(_.getInt(2)).sorted
+    assert(ranks.toSeq === Seq(1, 2, 3, 4))
+  }
+
+  test("blocked knn only pairs within the same label block") {
+    val emb = Tables.embeddings(spark, sf).limit(100).cache()
+    val labels = emb.select("vec_id", "label").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val out = SimilarityOps.knnBlocked(emb, "vec_id", "embedding", "label", 2).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(labels(r.getLong(0)) === labels(r.getLong(1))))
+  }
+
+  test("multimodal: mapPartitions stub decode ≡ expression twin") {
+    val docs = Tables.documents(spark, sf).limit(50)
+      .select(col("doc_id"), col("text"),
+        when(col("doc_id") % 3 === 0, "image").when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("media_type"))
+      .withColumn("payload", MultimodalOps.fakePayload(col("text")))
+      .cache()
+    val viaPartitions = MultimodalOps.decodeMeta(docs, "doc_id", "payload", "media_type")
+      .collect().map(r => (r.getLong(0), (r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5)))).toMap
+    val metaCols = MultimodalOps.stubMetaColumns(md5(col("text")), col("media_type"))
+    val viaExprs = docs.select(col("doc_id") +: metaCols.map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+    assert(viaPartitions === viaExprs)
+  }
+
+  test("frame sample plan strides over n_frames") {
+    val df = Seq(9, 1, 0).toDF("n_frames")
+    val plans = df.select(MultimodalOps.frameSamplePlan(col("n_frames"), 4).as("p"))
+      .collect().map(_.getSeq[Int](0).toSeq)
+    assert(plans(0) === Seq(0, 4, 8))
+    assert(plans(1) === Seq(0))
+    assert(plans(2) === Seq.empty)
+  }
+}
