@@ -114,26 +114,41 @@ object QueriesTrainingData {
       |  min(doc_id) AS survivor_id, COUNT(*) AS group_size
       |FROM documents GROUP BY 1""".stripMargin
 
-  /** MinHash(8)+LSH(4 bands × 2 rows) candidate pairs with n-gram Jaccard
-    * verification — the banded equi-join scale path, no cross join. */
+  /** MinHash(8 numeric permutations)+LSH(2 bands × 4 rows) candidate pairs
+    * with n-gram Jaccard verification — the banded equi-join scale path:
+    * one md5 pass per shingle, integer permutation mins, pairs join on
+    * ids only (shingle sets re-join after dedup, never ride the explode). */
   def x06_dedup_minhash_lsh(spark: SparkSession, dir: String): DataFrame = {
-    val docs = documents(spark, dir)
+    // small single-file scans must still parallelize: spread the signature
+    // pipeline over the cluster before the (md5-heavy) per-row work; the
+    // shingle and signature frames are materialized (one small row per
+    // doc) because three consumers reuse them and Generate/Filter nodes
+    // would otherwise re-evaluate the md5 pipeline several times over
+    val sh = documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), DedupOps.shingles(col("text"), 3).as("sh"))
-    val sigs = DedupOps.minhashSignature(col("sh"), 8)
-    val withSig = docs.select(col("doc_id") +: col("sh") +: sigs.map { case (n, c) => c.as(n) }: _*)
-    val withBands = withSig.withColumn("bands",
-      DedupOps.bandKeys((0 until 8).map(i => col(s"sig$i")), 2))
-    val pairs = DedupOps.lshCandidatePairs(withBands, "doc_id", "bands", carry = Seq("sh"))
-    pairs.select(col("doc_a"), col("doc_b"),
-      DedupOps.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .cache()
+    val withBands = sh.select(col("doc_id"),
+      DedupOps.bandKeysFromSigArray(
+        DedupOps.minhashSignatureArray(DedupOps.hashedShingles(col("sh"))),
+        rowsPerBand = 4, nBands = 2).as("bands"))
+      .cache()
+    val pairs = DedupOps.lshCandidatePairs(withBands, "doc_id", "bands")
+    pairs
+      .join(sh.toDF("doc_a", "sh_a"), "doc_a")
+      .join(sh.toDF("doc_b", "sh_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        DedupOps.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
   }
 
   val x06Oracle: String = {
-    val sigDefs = (0 until 8).map(i =>
-      s"list_aggregate(list_transform(sh, s -> md5('$i|' || s)), 'min') AS sig$i").mkString(",\n      ")
-    val bandRows = (0 until 4).map(i =>
-      s"SELECT doc_id, $i AS band_idx, md5(sig${2 * i} || sig${2 * i + 1}) AS band_key FROM sig")
-      .mkString("\n      UNION ALL ")
+    val sigDefs = DedupOps.DefaultPerms.zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(hs, h -> (h * $a + $b) % 2147483647)) AS sig$i"
+    }.mkString(",\n      ")
+    val bandRows = (0 until 2).map { i =>
+      val cols = (4 * i until 4 * i + 4).map(j => s"sig$j").mkString(" || '|' || ")
+      s"SELECT doc_id, $i AS band_idx, md5($cols) AS band_key FROM sig"
+    }.mkString("\n      UNION ALL ")
     s"""WITH words AS (
        |  SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents),
        |sh AS (
@@ -141,10 +156,14 @@ object QueriesTrainingData {
        |    generate_series(1, greatest(len(ws) - 2, 1)),
        |    i -> array_to_string(ws[i:i+2], ' '))) AS sh
        |  FROM words),
-       |sig AS (
-       |  SELECT doc_id, sh,
-       |      $sigDefs
+       |h AS (
+       |  SELECT doc_id, list_transform(sh,
+       |    s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) AS hs
        |  FROM sh),
+       |sig AS (
+       |  SELECT doc_id,
+       |      $sigDefs
+       |  FROM h),
        |bands AS (
        |      $bandRows),
        |pairs AS (
@@ -182,7 +201,9 @@ object QueriesTrainingData {
   /** Embedding near-dup pairs within a coarse block (label ≈ IVF cell),
     * exact-integer quantized cosine — bit-reproducible across engines. */
   def x08_embedding_near_dup(spark: SparkSession, dir: String): DataFrame =
-    SimilarityOps.nearDupPairs(embeddings(spark, dir), "vec_id", "embedding", "label", 0.3)
+    SimilarityOps.nearDupPairs(
+      embeddings(spark, dir).repartition(spark.sparkContext.defaultParallelism),
+      "vec_id", "embedding", "label", 0.3)
 
   val x08Oracle: String =
     """WITH q AS (
@@ -203,7 +224,7 @@ object QueriesTrainingData {
   /** Brute-force cosine top-k (the ANN correctness baseline): first 10
     * vectors as queries, k=5, deterministic (score desc, id asc) ranking. */
   def x09_knn_bruteforce(spark: SparkSession, dir: String): DataFrame = {
-    val emb = embeddings(spark, dir)
+    val emb = embeddings(spark, dir).repartition(spark.sparkContext.defaultParallelism)
     SimilarityOps.knnBruteForce(
       emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", 5)
   }

@@ -32,13 +32,72 @@ object DedupOps {
   }
 
   /** One MinHash value: lexicographic min of seed-prefixed md5 over the
-    * shingle set. min(md5) over a set is a valid permutation-min family. */
+    * shingle set. min(md5) over a set is a valid permutation-min family.
+    * Costs one md5 per (seed × shingle) — prefer the numeric family below
+    * in hot paths. */
   def minhash(shingleSet: Column, seed: Int): Column =
     array_min(transform(shingleSet, s => md5(concat(lit(s"$seed|"), s))))
 
   /** MinHash signature of `k` hashes as separate columns sig0..sig{k-1}. */
   def minhashSignature(shingleSet: Column, k: Int): Seq[(String, Column)] =
     (0 until k).map(i => s"sig$i" -> minhash(shingleSet, i))
+
+  /** Mersenne prime 2³¹−1: the universal-hash modulus. */
+  val HashPrime = 2147483647L
+
+  /** (a, b) parameters of the 8 default universal-hash permutations. */
+  val DefaultPerms: Seq[(Long, Long)] = Seq(
+    (1000003L, 12345L), (1000033L, 54321L), (1000211L, 11111L), (1000231L, 99999L),
+    (1000249L, 22222L), (1000253L, 33333L), (1000273L, 44444L), (1000289L, 55555L))
+
+  /** Shingle set → integer hash set: one md5 per shingle (engine-
+    * reproducible), reduced mod 2³¹−1 so permutation arithmetic stays in
+    * Long range. */
+  def hashedShingles(shingleSet: Column): Column =
+    transform(shingleSet, s => TextOps.stableHash64(s) % HashPrime)
+
+  /** Numeric MinHash: min of (a·h + b) mod p over the hashed shingle set —
+    * 8 signatures cost one md5 pass + cheap integer folds. */
+  def minhashNumeric(hashedSet: Column, a: Long, b: Long): Column =
+    array_min(transform(hashedSet, h => (h * a + lit(b)) % HashPrime))
+
+  def minhashSignatureNumeric(hashedSet: Column,
+      perms: Seq[(Long, Long)] = DefaultPerms): Seq[(String, Column)] =
+    perms.zipWithIndex.map { case ((a, b), i) =>
+      s"sig$i" -> minhashNumeric(hashedSet, a, b)
+    }
+
+  /** All `perms.length` MinHash values in ONE fold over the hashed shingle
+    * set, as an array column. Critical at scale: separate sig columns get
+    * their shared input inlined per column by CollapseProject, multiplying
+    * the (md5-heavy) shingle hashing by the signature width — the single
+    * aggregate keeps it at one pass. */
+  def minhashSignatureArray(hashedSet: Column,
+      perms: Seq[(Long, Long)] = DefaultPerms): Column = {
+    val aArr = array(perms.map(p => lit(p._1)): _*)
+    val bArr = array(perms.map(p => lit(p._2)): _*)
+    aggregate(
+      hashedSet,
+      array(perms.map(_ => lit(HashPrime)): _*),
+      (acc, h) => transform(acc, (m, i) =>
+        least(m, (h * element_at(aArr, i + 1) + element_at(bArr, i + 1)) % HashPrime)))
+  }
+
+  /** Band keys from a signature array: md5 of the '|'-joined slice per
+    * band. Same key material as [[bandKeysNumeric]]. */
+  def bandKeysFromSigArray(sigArr: Column, rowsPerBand: Int, nBands: Int): Column =
+    transform(sequence(lit(0), lit(nBands - 1)), bi =>
+      md5(array_join(
+        transform(slice(sigArr, bi * rowsPerBand + 1, lit(rowsPerBand)),
+          x => x.cast(org.apache.spark.sql.types.StringType)), "|")))
+
+  /** Band keys over numeric signatures: md5 of the '|'-joined band. */
+  def bandKeysNumeric(sigCols: Seq[Column], rowsPerBand: Int): Column = {
+    require(sigCols.length % rowsPerBand == 0, "signature length must divide into bands")
+    array(sigCols.grouped(rowsPerBand)
+      .map(g => md5(concat_ws("|", g.map(_.cast(org.apache.spark.sql.types.StringType)): _*)))
+      .toSeq: _*)
+  }
 
   /** LSH band keys: bands of `rowsPerBand` consecutive signature values,
     * hashed to one key per band. Docs sharing any band key are candidates. */
@@ -47,26 +106,34 @@ object DedupOps {
     array(sigCols.grouped(rowsPerBand).map(g => md5(concat(g: _*))).toSeq: _*)
   }
 
-  /** Candidate pairs via the band-bucket join. Input must carry `idCol`
-    * and an array column `bandsCol`; output: (doc_a, doc_b) distinct with
-    * doc_a < doc_b, plus any `carry` columns from both sides (suffixed
-    * _a/_b). This is the scale path: shuffle on band key, pairs exist only
-    * within a bucket. */
+  /** Candidate pairs via band buckets. Input must carry `idCol` and an
+    * array column `bandsCol`; output: distinct (doc_a, doc_b), doc_a <
+    * doc_b.
+    *
+    * Scale shape: ONE shuffle (groupBy band key) computes the signature
+    * pipeline exactly once, then each bucket emits its id-pair
+    * combinations locally. A band self-join would evaluate the signature
+    * expressions once per join side (and candidate generation is quadratic
+    * per bucket either way); `maxBucket` caps pathological buckets — an
+    * all-identical-key skew bucket at 100 TB would otherwise emit |b|²
+    * pairs. Oversize buckets are dropped (they indicate a degenerate band,
+    * not near-duplicates). */
   def lshCandidatePairs(df: DataFrame, idCol: String, bandsCol: String,
-      carry: Seq[String] = Nil): DataFrame = {
+      maxBucket: Int = 10000): DataFrame = {
     val exploded = df.select(
-      (col(idCol) +: carry.map(col)) :+ posexplode(col(bandsCol)).as(Seq("band_idx", "band_key")): _*)
-    val a = exploded.as("a")
-    val b = exploded.as("b")
-    val joined = a.join(b,
-      col(s"a.band_key") === col(s"b.band_key") &&
-        col(s"a.band_idx") === col(s"b.band_idx") &&
-        col(s"a.$idCol") < col(s"b.$idCol"))
-    val out = joined.select(
-      (Seq(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b")) ++
-        carry.map(c => col(s"a.$c").as(s"${c}_a")) ++
-        carry.map(c => col(s"b.$c").as(s"${c}_b"))): _*)
-    out.dropDuplicates("doc_a", "doc_b")
+      col(idCol).as("__id"),
+      posexplode(col(bandsCol)).as(Seq("band_idx", "band_key")))
+    val buckets = exploded
+      .groupBy(col("band_idx"), col("band_key"))
+      .agg(sort_array(collect_list(col("__id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    // all i<j combinations from the sorted bucket
+    val combos = flatten(transform(col("ids"), (x, i) =>
+      transform(slice(col("ids"), i + lit(2), size(col("ids")) - i - 1),
+        y => struct(x.as("a"), y.as("b")))))
+    buckets.select(explode(combos).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
   }
 
   /** Jaccard similarity of two pre-distinct shingle arrays, as DOUBLE. */

@@ -48,10 +48,13 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     val distinctDoc = "one two three four five six seven eight nine ten " * 3
     val df = Seq((1L, base), (2L, nearDup), (3L, distinctDoc)).toDF("doc_id", "text")
     val docs = df.select(col("doc_id"), DedupOps.shingles(col("text"), 3).as("sh"))
-    val sigs = DedupOps.minhashSignature(col("sh"), 8)
+    val sigs = DedupOps.minhashSignatureNumeric(DedupOps.hashedShingles(col("sh")))
     val withBands = docs.select(col("doc_id") +: col("sh") +: sigs.map { case (n, c) => c.as(n) }: _*)
-      .withColumn("bands", DedupOps.bandKeys((0 until 8).map(i => col(s"sig$i")), 2))
-    val pairs = DedupOps.lshCandidatePairs(withBands, "doc_id", "bands", carry = Seq("sh"))
+      .withColumn("bands", DedupOps.bandKeysNumeric((0 until 8).map(i => col(s"sig$i")), 2))
+    val shSets = docs.select(col("doc_id"), col("sh"))
+    val pairs = DedupOps.lshCandidatePairs(withBands, "doc_id", "bands")
+      .join(shSets.toDF("doc_a", "sh_a"), "doc_a")
+      .join(shSets.toDF("doc_b", "sh_b"), "doc_b")
       .select(col("doc_a"), col("doc_b"), DedupOps.jaccard(col("sh_a"), col("sh_b")).as("j"))
       .collect()
     assert(pairs.exists(r => r.getLong(0) === 1L && r.getLong(1) === 2L && r.getDouble(2) > 0.8))
