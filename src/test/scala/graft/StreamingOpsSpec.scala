@@ -1,0 +1,82 @@
+package graft
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.{SessionEvent, SessionSummary}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).toString
+
+  test("windowed aggregation with watermark over a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val agg = StreamingOps.windowedAgg(events, "ts", "event_type", "10 minutes",
+      watermarkDelay = "5 minutes")
+    val q = agg.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("win_out")
+      .option("checkpointLocation", tmp("ckpt-win")).start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    input.addData(
+      (ts("2024-01-01 00:01:00"), "click", 1.0),
+      (ts("2024-01-01 00:04:00"), "click", 2.0),
+      (ts("2024-01-01 00:11:00"), "view", 5.0))
+    q.processAllAvailable()
+    // advance the watermark far enough to close the first windows
+    input.addData((ts("2024-01-01 01:00:00"), "click", 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("win_out")
+      .select("window_start", "event_type", "n", "total_value").collect()
+    q.stop()
+    val byKey = rows.map(r => (r.getTimestamp(0).toString, r.getString(1)) ->
+      (r.getLong(2), r.getDouble(3))).toMap
+    assert(byKey(("2024-01-01 00:00:00.0", "click")) === (2L, 3.0))
+    assert(byKey(("2024-01-01 00:10:00.0", "view")) === (1L, 5.0))
+  }
+
+  test("sessionize closes sessions on inactivity gap within a batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val sessions = StreamingOps.sessionize(input.toDS(), gapMs = 60000L,
+      timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+    val q = sessions.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sess_out")
+      .option("checkpointLocation", tmp("ckpt-sess")).start()
+    // user 1: two events 10s apart (one session), then a 5-minute gap and
+    // another event -> first session closes when the later batch arrives
+    input.addData(
+      SessionEvent(1L, 1000L, 1.0),
+      SessionEvent(1L, 11000L, 2.0),
+      SessionEvent(1L, 400000L, 3.0))
+    q.processAllAvailable()
+    val closed = spark.table("sess_out").as[SessionSummary].collect()
+    q.stop()
+    assert(closed.length === 1)
+    assert(closed.head === SessionSummary(1L, 1000L, 11000L, 2L, 3.0))
+  }
+
+  test("AvailableNow drains the events table as an incremental batch") {
+    // FileStreamSource needs a directory: stage the events file into one
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stage = java.nio.file.Path.of(tmp("events-stage"), "events.parquet")
+    java.nio.file.Files.copy(
+      java.nio.file.Path.of("/root/testdata/sf0.001/events.parquet"), stage)
+    val raw = spark.readStream
+      .schema(spark.read.parquet(stage.toString).schema)
+      .parquet(stage.getParent.toString)
+    val out = raw.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("value"))
+    val drained = StreamingOps.drainToMemory(out, "drain_out", tmp("ckpt-drain"))
+    val expected = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .filter(col("event_type") === "purchase").count()
+    assert(drained.count() === expected)
+    assert(expected > 0)
+  }
+}
