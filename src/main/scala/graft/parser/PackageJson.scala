@@ -1,0 +1,102 @@
+package graft.parser
+
+import graft.ir.Ir._
+import graft.types.SsisTypes
+
+/** JSON export of parsed packages — tooling parity with the reference's
+  * `parsed_packages.json` / `schema_metadata.json` artifacts
+  * (ssis-to-dbt `src/parser/ssis_parser.py:583-639`): connection strings
+  * are credential-REDACTED on serialize, tasks keep declaration order,
+  * dataflow components keep pipeline order. Hand-rolled writer — the
+  * library adds no JSON dependency for one export.
+  */
+object PackageJson {
+
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  private def obj(fields: (String, String)*): String =
+    fields.map { case (k, v) => s"${q(k)}: $v" }.mkString("{", ", ", "}")
+
+  private def arr(items: Seq[String]): String = items.mkString("[", ", ", "]")
+
+  private def columnJson(c: ColumnInfo): String = obj(
+    "name" -> q(c.name),
+    "ssis_type" -> q(SsisTypes.canonical(c.ssisType.name)),
+    "sql_type" -> q(SsisTypes.toSqlServer(c.ssisType)),
+    "spark_type" -> q(SsisTypes.toSpark(c.ssisType).simpleString),
+    "nullable" -> c.nullable.toString)
+
+  private def componentJson(c: DataFlowComponent): String = c match {
+    case s: SourceComponent => obj(
+      "kind" -> q("source"), "name" -> q(s.name),
+      "component_type" -> q(s.componentType),
+      "sql_command" -> s.sqlCommand.map(q).getOrElse("null"),
+      "table" -> s.tableName.map(q).getOrElse("null"),
+      "columns" -> arr(s.columns.map(columnJson)))
+    case d: DestinationComponent => obj(
+      "kind" -> q("destination"), "name" -> q(d.name),
+      "table" -> d.tableName.map(q).getOrElse("null"),
+      "fast_load" -> d.accessMode.contains(3).toString)
+    case l: LookupComponent => obj(
+      "kind" -> q("lookup"), "name" -> q(l.name),
+      "sql_command" -> l.sqlCommand.map(q).getOrElse("null"),
+      "cache_mode" -> q(l.cacheMode.toString),
+      "no_match_behavior" -> q(l.noMatchBehavior.toString),
+      "input_columns" -> arr(l.inputColumns.map(q)),
+      "output_columns" -> arr(l.outputColumns.map(c => q(c.name))))
+    case d: DerivedColumnComponent => obj(
+      "kind" -> q("derived_column"), "name" -> q(d.name),
+      "columns" -> arr(d.columns.map(dc => obj(
+        "name" -> q(dc.name), "expression" -> q(dc.expression),
+        "output_type" -> q(SsisTypes.toSqlServer(dc.outputType))))))
+    case other => obj("kind" -> q(other.componentType), "name" -> q(other.name))
+  }
+
+  private def taskJson(t: Task): String = t match {
+    case e: ExecuteSqlTask => obj(
+      "task_type" -> q("ExecuteSQLTask"), "name" -> q(e.name),
+      "sql_statement" -> q(e.sqlStatement), "result_set" -> q(e.resultSet))
+    case d: DataFlowTask => obj(
+      "task_type" -> q("DataFlowTask"), "name" -> q(d.name),
+      "components" -> arr(d.components.map(componentJson)))
+    case s: ScriptTask => obj(
+      "task_type" -> q("ScriptTask"), "name" -> q(s.name),
+      "manual_review_required" -> "true", "review_reason" -> q(s.reviewReason),
+      "read_only_variables" -> arr(s.readOnlyVariables.map(q)),
+      "read_write_variables" -> arr(s.readWriteVariables.map(q)))
+    case m: SendMailTask => obj(
+      "task_type" -> q("SendMailTask"), "name" -> q(m.name),
+      "skip_reason" -> q(m.skipReason))
+    case c: ContainerTask => obj(
+      "task_type" -> q(s"${c.containerType}Container"), "name" -> q(c.name),
+      "children" -> arr(c.children.map(taskJson)))
+    case u: UnsupportedTask => obj(
+      "task_type" -> q(u.executableType), "name" -> q(u.name),
+      "review_reason" -> q(u.reviewReason))
+  }
+
+  def toJson(pkg: SsisPackage): String = obj(
+    "name" -> q(pkg.name),
+    "description" -> pkg.description.map(q).getOrElse("null"),
+    "connection_managers" -> arr(pkg.connectionManagers.map(cm => obj(
+      "name" -> q(cm.name),
+      "connection_string" -> q(cm.redactedConnectionString),
+      "server" -> cm.server.map(q).getOrElse("null"),
+      "database" -> cm.database.map(q).getOrElse("null")))),
+    "variables" -> arr(pkg.variables.map(v => obj(
+      "name" -> q(v.qualifiedName), "type" -> q(v.ssisType), "value" -> q(v.value)))),
+    "tasks" -> arr(pkg.tasks.map(taskJson)),
+    "precedence_constraints" -> arr(pkg.constraints.map(pc => obj(
+      "from" -> q(pc.fromTask), "to" -> q(pc.toTask), "kind" -> q(pc.kind.toString)))),
+    "warnings" -> arr(pkg.warnings.map(q)))
+
+  def toJson(pkgs: Seq[SsisPackage]): String = arr(pkgs.map(toJson))
+}

@@ -1,0 +1,74 @@
+package graft
+
+import graft.ir.Ir.ExecuteSqlTask
+import graft.parser.{DtsxParser, PackageJson}
+import graft.patterns.SqlPatternRewriter
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SqlRewriteAndJsonSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  private def task(sql: String) = ExecuteSqlTask("t", None, "conn", sql)
+
+  test("DELETE+INSERT aggregate refresh rewrites to SELECT + overwrite") {
+    Tables.lineitem(spark, "/root/testdata/sf0.001").createOrReplaceTempView("lineitem_v")
+    val sql =
+      """-- Refresh daily aggregates
+        |DELETE FROM agg.daily WHERE ship_date BETWEEN @StartDate AND @EndDate;
+        |
+        |INSERT INTO agg.daily (flag, qty)
+        |SELECT l_returnflag, SUM(l_quantity) FROM lineitem_v GROUP BY l_returnflag;""".stripMargin
+    val out = SqlPatternRewriter.rewrite(spark, task(sql),
+      params = Map("StartDate" -> "'1996-01-01'", "EndDate" -> "'1996-12-31'"))
+    assert(out.isDefined)
+    assert(out.get.target === Some("agg.daily"))
+    assert(out.get.mode === SaveMode.Overwrite)
+    assert(out.get.df.get.count() === 3) // A/N/R flags
+  }
+
+  test("TRUNCATE+INSERT rewrites to overwrite; plain INSERT appends") {
+    Tables.region(spark, "/root/testdata/sf0.001").createOrReplaceTempView("region_v")
+    val t = SqlPatternRewriter.rewrite(spark,
+      task("TRUNCATE TABLE stg.r; INSERT INTO stg.r SELECT * FROM region_v;"))
+    assert(t.get.mode === SaveMode.Overwrite)
+    val a = SqlPatternRewriter.rewrite(spark,
+      task("INSERT INTO stg.r SELECT * FROM region_v;"))
+    assert(a.get.mode === SaveMode.Append)
+    assert(a.get.df.get.count() === 5)
+  }
+
+  test("bare SELECT (watermark fetch) runs without a write target") {
+    Tables.orders(spark, "/root/testdata/sf0.001").createOrReplaceTempView("orders_v")
+    val out = SqlPatternRewriter.rewrite(spark,
+      task("SELECT MAX(o_orderdate) AS wm FROM orders_v"))
+    assert(out.get.target === None)
+    assert(out.get.df.get.columns.toSeq === Seq("wm"))
+  }
+
+  test("MERGE / RAISERROR guards are not rewritten (handled elsewhere)") {
+    assert(SqlPatternRewriter.rewrite(spark,
+      task("MERGE dim.c AS t USING s ON t.id = s.id WHEN MATCHED THEN UPDATE SET x=1;")).isEmpty)
+    assert(SqlPatternRewriter.rewrite(spark,
+      task("IF @n = 0 RAISERROR('empty', 16, 1);")).isEmpty)
+  }
+
+  test("package JSON export: valid JSON, credentials redacted, full structure") {
+    val pkg = DtsxParser.parseFile(
+      getClass.getResource("/dtsx/SalesFactETL.dtsx").getPath)
+    val json = PackageJson.toJson(pkg)
+    // parse with Spark's JSON reader as an independent validity check
+    val parsed = spark.read.json(Seq(json).toDS())
+    assert(parsed.select("name").head().getString(0) === "SalesFactETL")
+    assert(json.contains("\"DataFlowTask\""))
+    assert(json.contains("\"lookup\""))
+    assert(json.contains("NUMERIC(18,2)"))
+    assert(!json.toLowerCase.contains("password="))
+    val redacted = PackageJson.toJson(pkg.copy(connectionManagers =
+      pkg.connectionManagers.map(_.copy(connectionString =
+        "Data Source=S;Password=hunter2;"))))
+    assert(!redacted.contains("hunter2"))
+  }
+}
