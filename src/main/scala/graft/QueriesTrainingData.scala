@@ -284,7 +284,19 @@ object QueriesTrainingData {
       |  CAST(len(range(0, n_frames, 4)) AS INT) AS n_sampled_frames
       |FROM meta""".stripMargin
 
+  /** IVF (k-means coarse quantizer) ANN search — the scale path past
+    * x09's brute force. No SQL oracle (KMeans isn't expressible); the
+    * spec proves exactness at full probe width vs brute force. */
+  def x11_ann_ivf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism).cache()
+    val model = graft.sim.IvfIndex.build(emb, "vec_id", "embedding", k = 16)
+    graft.sim.IvfIndex.search(spark, model, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, nProbe = 4)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x11_ann_ivf" -> (x11_ann_ivf _),
     "x01_token_count" -> (x01_token_count _),
     "x02_quality_score" -> (x02_quality_score _),
     "x03_langid" -> (x03_langid _),

@@ -1,0 +1,73 @@
+package graft.sim
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** IVF (inverted-file) approximate nearest neighbor index: k-means coarse
+  * quantizer + per-cell candidate lists — the scale path past brute force.
+  *
+  * Build: one MLlib KMeans fit (sampled at scale) + one narrow pass
+  * assigning each vector to its nearest centroid. Search: queries score
+  * only the vectors inside their `nProbe` nearest cells — the join
+  * shuffles on `cell`, never the cross product. Recall < 1.0 by
+  * construction; raise `nProbe` to trade speed for recall.
+  */
+object IvfIndex {
+
+  final case class Model(centroids: Array[(Int, Array[Double])], assigned: DataFrame)
+
+  /** Fit the coarse quantizer and assign every row to a cell. */
+  def build(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      seed: Long = 42L): Model = {
+    val withVec = df.withColumn("__v", array_to_vector(
+      transform(col(vecCol), x => x.cast(DoubleType))))
+    val km = new KMeans().setK(k).setSeed(seed).setFeaturesCol("__v")
+      .setPredictionCol("cell")
+    val model = km.fit(withVec)
+    val assigned = model.transform(withVec).drop("__v")
+    Model(model.clusterCenters.zipWithIndex.map { case (c, i) => i -> c.toArray },
+      assigned)
+  }
+
+  /** Top-k within the `nProbe` nearest cells of each query vector.
+    * Output: query_id, neighbor_id, rank, cosine. */
+  def search(spark: SparkSession, model: Model, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nProbe: Int): DataFrame = {
+    import spark.implicits._
+    // centroid table is tiny → broadcast; distance = negative dot on the
+    // quantized vectors (cosine ranking needs no exact centroid metric)
+    val cents = model.centroids.toSeq
+      .map { case (i, arr) => (i, arr) }.toDF("cell", "centroid")
+
+    val q = SimilarityOps.withQuantized(queries, vecCol)
+      .select(col(idCol).as("query_id"), col("qvec").as("qv"), col("qn2").as("qn"))
+    // query → nProbe nearest cells by centroid dot product
+    val qCells = q.crossJoin(broadcast(cents))
+      .withColumn("cscore",
+        aggregate(zip_with(col("qv"), col("centroid"),
+          (a, c) => a.cast(DoubleType) * c), lit(0.0), (acc, x) => acc + x))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cscore").desc, col("cell"))))
+      .filter(col("crank") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cell"))
+
+    val cands = SimilarityOps.withQuantized(model.assigned, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("cell"),
+        col("qvec").as("cv"), col("qn2").as("cn"))
+
+    val scored = qCells.join(cands, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        SimilarityOps.qdot(col("qv"), col("cv")).cast(DoubleType) /
+          (sqrt(col("qn").cast(DoubleType)) * sqrt(col("cn").cast(DoubleType))))
+    scored.withColumn("rank", row_number().over(
+      Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+}

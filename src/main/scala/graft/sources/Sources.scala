@@ -1,0 +1,75 @@
+package graft.sources
+
+import graft.ir.Ir.{ColumnInfo, ConnectionManager}
+import graft.types.SsisTypes
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.{StructField, StructType}
+
+/** Source/sink surface (SURVEY.md §2.1).
+  *
+  * S3 Flat File: CSV with an explicit declared schema — never
+  * `inferSchema` (the reference's schemas are always declared,
+  * §1.1 "Schema system"). S5/S6: catalog registration + schema assertion
+  * on read. S7: connection-manager → reader-options mapping.
+  */
+object Sources {
+
+  def schemaOf(columns: Seq[ColumnInfo]): StructType =
+    StructType(columns.map(c =>
+      StructField(c.name, SsisTypes.toSpark(c.ssisType), c.nullable)))
+
+  /** Flat File Source: header CSV with declared columns. */
+  def readCsv(spark: SparkSession, path: String, columns: Seq[ColumnInfo],
+      delimiter: String = ",", header: Boolean = true): DataFrame =
+    spark.read
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .schema(schemaOf(columns))
+      .csv(path)
+
+  /** Flat File Destination. */
+  def writeCsv(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite,
+      delimiter: String = ",", header: Boolean = true): Unit =
+    df.write.mode(mode)
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+      .csv(path)
+
+  /** Register an external parquet table in the session catalog
+    * (`CREATE TABLE … USING parquet` — the dbt `source()` analog). */
+  def registerParquetTable(spark: SparkSession, name: String, path: String): Unit =
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $name USING parquet LOCATION '$path'")
+
+  final case class SchemaMismatch(column: String, expected: String, actual: String)
+
+  /** Schema assertion on read: declared columns must exist with the
+    * declared Spark type (src_*.yml contract — extra physical columns are
+    * allowed, missing/mistyped ones are violations). */
+  def assertSchema(df: DataFrame, declared: Seq[ColumnInfo]): List[SchemaMismatch] = {
+    val actual = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    declared.toList.flatMap { c =>
+      val expected = SsisTypes.toSpark(c.ssisType)
+      actual.get(c.name) match {
+        case None => Some(SchemaMismatch(c.name, expected.simpleString, "<missing>"))
+        case Some(t) if t != expected =>
+          Some(SchemaMismatch(c.name, expected.simpleString, t.simpleString))
+        case _ => None
+      }
+    }
+  }
+
+  /** Connection manager → Spark reader options (S7). JDBC shape for SQL
+    * Server-style managers; parquet/csv managers pass their path through.
+    * Credentials never logged — use [[ConnectionManager.redactedConnectionString]]. */
+  def readerOptions(cm: ConnectionManager): Map[String, String] = {
+    val base = Map.newBuilder[String, String]
+    cm.server.foreach(s => base += ("host" -> s))
+    cm.database.foreach(d => base += ("database" -> d))
+    cm.provider.foreach(p => base += ("provider" -> p))
+    cm.server.zip(cm.database).foreach { case (s, d) =>
+      base += ("url" -> s"jdbc:sqlserver://$s;databaseName=$d")
+    }
+    base.result()
+  }
+}
