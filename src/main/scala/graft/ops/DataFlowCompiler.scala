@@ -148,7 +148,18 @@ object DataFlowCompiler {
     // copy of same-named join columns after the join
     val needed = (joinPairs.map(_._2) ++ outputNames).distinct
     val dim = dim0.select(needed.map(col): _*)
-    val cond = joinPairs.map { case (p, d) => probe(p) === dim(d) }.reduce(_ && _)
+    val probeTypes = probe.schema.fields.map(f => f.name -> f.dataType).toMap
+    val dimTypes = dim.schema.fields.map(f => f.name -> f.dataType).toMap
+    val cond = joinPairs.map { case (p, d) =>
+      // J2's cast-join shape (fct_sales.sql:75): a timestamp probing a
+      // date dimension joins on the derived date — still an equi join
+      (probeTypes.get(p), dimTypes.get(d)) match {
+        case (Some(org.apache.spark.sql.types.TimestampType),
+            Some(org.apache.spark.sql.types.DateType)) =>
+          to_date(probe(p)) === dim(d)
+        case _ => probe(p) === dim(d)
+      }
+    }.reduce(_ && _)
     val dimSide = if (l.cacheMode == CacheMode.Full) broadcast(dim) else dim
     val joinType = "left" // see scaladoc: FailComponent validates, never drops
     val joined = joinPairs.foldLeft(probe.join(dimSide, cond, joinType)) {

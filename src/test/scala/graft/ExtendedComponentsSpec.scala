@@ -1,0 +1,173 @@
+package graft
+
+import graft.ir.Ir._
+import graft.ops.DataFlowCompiler
+import graft.ops.DataFlowCompiler.Resolver
+import graft.parser.DtsxParser
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The components the reference only recognizes by class id
+  * (constants.py:22-39) get full parse + executable semantics here
+  * (SURVEY.md §7.4.4) — exercised through a synthetic package that uses
+  * the documented SSIS XML shapes. */
+class ExtendedComponentsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  private val syntheticDtsx =
+    """<?xml version="1.0"?>
+      |<DTS:Executable xmlns:DTS="www.microsoft.com/SqlServer/Dts" DTS:ObjectName="Extended">
+      |  <DTS:Executables>
+      |    <DTS:Executable DTS:refId="Package\Flow" DTS:ExecutableType="Microsoft.Pipeline"
+      |                    DTS:ObjectName="Flow">
+      |      <DTS:ObjectData>
+      |        <pipeline version="1">
+      |          <components>
+      |            <component refId="P\F\Src" componentClassID="Microsoft.OLEDBSource" name="Src">
+      |              <properties><property name="OpenRowset">[dbo].[items]</property></properties>
+      |              <outputs><output name="o">
+      |                <outputColumns>
+      |                  <outputColumn name="Id" dataType="i4"/>
+      |                  <outputColumn name="Qty" dataType="i4"/>
+      |                  <outputColumn name="Price" dataType="numeric" precision="12" scale="2"/>
+      |                  <outputColumn name="Cat" dataType="wstr" length="10"/>
+      |                </outputColumns>
+      |              </output></outputs>
+      |            </component>
+      |            <component refId="P\F\Conv" componentClassID="Microsoft.DataConversion" name="Conv">
+      |              <outputs><output name="o"><outputColumns>
+      |                <outputColumn name="Qty_conv" dataType="i8">
+      |                  <properties><property name="SourceInputColumn">Qty</property></properties>
+      |                </outputColumn>
+      |              </outputColumns></output></outputs>
+      |            </component>
+      |            <component refId="P\F\Split" componentClassID="Microsoft.ConditionalSplit" name="Split">
+      |              <outputs>
+      |                <output name="big">
+      |                  <properties><property name="Expression">[Qty] &gt;= 10</property></properties>
+      |                </output>
+      |                <output name="mid">
+      |                  <properties><property name="Expression">[Qty] &gt;= 5</property></properties>
+      |                </output>
+      |                <output name="rest" isDefault="true"/>
+      |              </outputs>
+      |            </component>
+      |            <component refId="P\F\Cnt" componentClassID="Microsoft.RowCount" name="Cnt">
+      |              <properties><property name="VariableName">User::N</property></properties>
+      |            </component>
+      |            <component refId="P\F\Agg" componentClassID="Microsoft.Aggregate" name="Agg">
+      |              <outputs><output name="o"><outputColumns>
+      |                <outputColumn name="Cat">
+      |                  <properties><property name="AggregationType">groupby</property></properties>
+      |                </outputColumn>
+      |                <outputColumn name="TotalQty">
+      |                  <properties>
+      |                    <property name="AggregationType">sum</property>
+      |                    <property name="AggregationColumn">Qty</property>
+      |                  </properties>
+      |                </outputColumn>
+      |                <outputColumn name="N">
+      |                  <properties><property name="AggregationType">count</property></properties>
+      |                </outputColumn>
+      |              </outputColumns></output></outputs>
+      |            </component>
+      |            <component refId="P\F\Sort" componentClassID="Microsoft.Sort" name="Sort">
+      |              <inputs><input name="i"><inputColumns>
+      |                <inputColumn cachedName="TotalQty" sortDescending="true"/>
+      |              </inputColumns></input></inputs>
+      |            </component>
+      |          </components>
+      |        </pipeline>
+      |      </DTS:ObjectData>
+      |    </DTS:Executable>
+      |    <DTS:Executable DTS:refId="Package\Loop" DTS:ExecutableType="Microsoft.ForEachLoop"
+      |                    DTS:ObjectName="Loop">
+      |      <DTS:Executables>
+      |        <DTS:Executable DTS:refId="Package\Loop\Inner" DTS:ExecutableType="Microsoft.ExecuteSQLTask"
+      |                        DTS:ObjectName="Inner">
+      |          <DTS:ObjectData>
+      |            <SQLTask:SqlTaskData xmlns:SQLTask="www.microsoft.com/sqlserver/dts/tasks/sqltask"
+      |              SQLTask:SqlStatementSource="SELECT 1"/>
+      |          </DTS:ObjectData>
+      |        </DTS:Executable>
+      |      </DTS:Executables>
+      |    </DTS:Executable>
+      |  </DTS:Executables>
+      |</DTS:Executable>""".stripMargin
+
+  lazy val pkg: SsisPackage = DtsxParser.parseString(syntheticDtsx)
+
+  private val items = Seq(
+    (1, 12, BigDecimal("1.00"), "a"),
+    (2, 7, BigDecimal("2.00"), "a"),
+    (3, 2, BigDecimal("3.00"), "b"),
+    (4, 20, BigDecimal("4.00"), "b"))
+    .toDF("Id", "Qty", "Price", "Cat")
+
+  test("parser: extended components fully parsed") {
+    val flow = pkg.tasks.collectFirst { case d: DataFlowTask => d }.get
+    val types = flow.components.map(_.componentType)
+    assert(types === List("OLEDBSource", "DataConversion", "ConditionalSplit",
+      "RowCount", "Aggregate", "Sort"))
+    val split = flow.components.collectFirst { case c: ConditionalSplitComponent => c }.get
+    assert(split.cases === List("big" -> "[Qty] >= 10", "mid" -> "[Qty] >= 5"))
+    assert(split.defaultOutput === "rest")
+    val agg = flow.components.collectFirst { case c: AggregateComponent => c }.get
+    assert(agg.groupByCols === List("Cat"))
+    assert(agg.aggs.map(_.fn).toSet ===
+      Set(AggFunction.GroupBy, AggFunction.Sum, AggFunction.Count))
+    val loop = pkg.tasks.collectFirst { case c: ContainerTask => c }.get
+    assert(loop.containerType === "ForEachLoop")
+    assert(loop.children.map(_.name) === List("Inner"))
+  }
+
+  test("compiler: conversion -> split routes -> observe -> aggregate -> sort") {
+    val flow = pkg.tasks.collectFirst { case d: DataFlowTask => d }.get
+    val compiled = DataFlowCompiler.compile(flow, Resolver(_ => items, _ => fail("no lookups")))
+    // conditional split tag: ordered first-match-wins
+    assert(compiled.routes.keySet === Set("big", "mid", "rest"))
+    assert(compiled.routes("big").select("Id").collect().map(_.getInt(0)).toSet === Set(1, 4))
+    assert(compiled.routes("mid").select("Id").collect().map(_.getInt(0)).toSet === Set(2))
+    assert(compiled.routes("rest").select("Id").collect().map(_.getInt(0)).toSet === Set(3))
+    // final frame: conversion column flowed through, aggregate + sort applied
+    val out = compiled.df.collect()
+    assert(compiled.df.columns.toSeq === Seq("Cat", "TotalQty", "N"))
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq(("b", 22L, 2L), ("a", 19L, 2L))) // sorted by TotalQty desc
+    // row count observation fires with the action above
+    val obs = compiled.observations("User::N")
+    assert(obs.get("row_count") === 4L)
+  }
+
+  test("compiler: timestamp probe joins a DATE-typed dim on the derived date (J2)") {
+    val facts = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-05 10:30:00")),
+      (2L, java.sql.Timestamp.valueOf("2024-01-06 23:59:59")))
+      .toDF("SaleID", "SaleDate")
+    val dimDate = Seq(
+      (20240105, java.sql.Date.valueOf("2024-01-05")),
+      (20240106, java.sql.Date.valueOf("2024-01-06")))
+      .toDF("DateKey", "FullDate")
+    val lookup = LookupComponent("Lookup Date", None, None, CacheMode.Full,
+      NoMatchBehavior.FailComponent, inputColumns = List("SaleDate"),
+      outputColumns = List(ColumnInfo("DateKey",
+        graft.types.SsisTypes.SsisColumnType("i4"))))
+    val (joined, key) = DataFlowCompiler.applyLookup(facts, lookup,
+      Resolver(_ => fail("no source"), _ => dimDate))
+    assert(key === Some("DateKey"))
+    assert(joined.select("DateKey").collect().map(_.getInt(0)).toSet ===
+      Set(20240105, 20240106))
+  }
+
+  test("compiler: mergeJoin and unionAll helpers") {
+    val l = Seq((1, "x"), (2, "y")).toDF("k", "lv")
+    val r = Seq((1, 10), (3, 30)).toDF("k2", "rv")
+    val mj = DataFlowCompiler.mergeJoin(l, r,
+      MergeJoinComponent("mj", "LEFT", List("k"), List("k2")))
+    assert(mj.count() === 2)
+    assert(mj.filter(col("k") === 2).head().isNullAt(3))
+    val u = DataFlowCompiler.unionAll(Seq(l, Seq((9, "z")).toDF("k", "lv")))
+    assert(u.count() === 3)
+  }
+}
