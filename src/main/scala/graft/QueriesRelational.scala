@@ -493,7 +493,53 @@ object QueriesRelational {
       |  CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month_start
       |FROM orders""".stripMargin
 
+  // ---------------------------------------------------------------- A3/§5
+  /** Validation suite as data: the dbt-style checks over orders emitted as
+    * one report frame (check, target, violations) — every check a single
+    * aggregation, unioned; no driver round-trips. */
+  def q23_validation_report(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir)
+    val c = customer(spark, dir)
+    def row(check: String, target: String, violations: Column, src: DataFrame): DataFrame =
+      src.agg(violations.cast(LongType).as("violations"))
+        .select(lit(check).as("check"), lit(target).as("target"), col("violations"))
+    val pk = o.groupBy(col("o_orderkey")).agg(count(lit(1)).as("n"))
+    row("not_null(o_orderkey)", "orders",
+      sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)), o)
+      .unionByName(row("unique(o_orderkey)", "orders",
+        sum(when(col("n") > 1, 1L).otherwise(0L)), pk))
+      .unionByName(row("accepted_values(o_orderstatus)", "orders",
+        sum(when(col("o_orderstatus").isin("F", "O", "P"), 0L).otherwise(1L)), o))
+      .unionByName(row("between(o_totalprice,0,)", "orders",
+        sum(when(col("o_totalprice") < 0, 1L).otherwise(0L)), o))
+      .unionByName(
+        o.join(c.select(col("c_custkey")).distinct(),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+          .agg(count(lit(1)).cast(LongType).as("violations"))
+          .select(lit("relationships(o_custkey->c_custkey)").as("check"),
+            lit("orders").as("target"), col("violations")))
+  }
+
+  val q23Oracle: String =
+    """SELECT 'not_null(o_orderkey)' AS "check", 'orders' AS target,
+      |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations FROM orders
+      |UNION ALL
+      |SELECT 'unique(o_orderkey)', 'orders',
+      |  CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM (SELECT o_orderkey, COUNT(*) n FROM orders GROUP BY 1)
+      |UNION ALL
+      |SELECT 'accepted_values(o_orderstatus)', 'orders',
+      |  CAST(SUM(CASE WHEN o_orderstatus IN ('F','O','P') THEN 0 ELSE 1 END) AS BIGINT) FROM orders
+      |UNION ALL
+      |SELECT 'between(o_totalprice,0,)', 'orders',
+      |  CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+      |UNION ALL
+      |SELECT 'relationships(o_custkey->c_custkey)', 'orders',
+      |  CAST(COUNT(*) AS BIGINT) FROM orders
+      |  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_validation_report" -> (q23_validation_report _),
     "q02_project_cast_rename" -> (q02_project_cast_rename _),
     "q03_source_filter_params" -> (q03_source_filter_params _),
     "q04_lookup_chain" -> (q04_lookup_chain _),
@@ -517,6 +563,7 @@ object QueriesRelational {
     "q22_date_functions" -> (q22_date_functions _))
 
   val oracle: Map[String, String] = Map(
+    "q23_validation_report" -> q23Oracle,
     "q02_project_cast_rename" -> q02Oracle,
     "q03_source_filter_params" -> q03Oracle,
     "q04_lookup_chain" -> q04Oracle,
