@@ -538,8 +538,56 @@ object QueriesRelational {
       |  CAST(COUNT(*) AS BIGINT) FROM orders
       |  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)""".stripMargin
 
+  // ------------------------------------------------------------ beyond-parity
+  /** Rollup (subtotal + grand-total levels) — not in the reference's
+    * surface (SURVEY §2.4 "not present") but free on Spark and part of a
+    * complete engine; exact-decimal measures. */
+  def q24_rollup(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(Money)).cast(MoneySum).as("sum_qty"),
+        count(lit(1)).as("n"))
+
+  val q24Oracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
+
+  /** Ranking/analytic window functions (row_number/rank/dense_rank/lag) —
+    * listed "not present" in the reference (SURVEY §2.5) but required for
+    * true SCD2 and top-k; deterministic (value, key) ordering. */
+  def q25_window_rank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(spark, dir).select(
+      col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice").cast(DecimalType(12, 2)).as("total_price"),
+      row_number().over(w).as("rn"),
+      rank().over(w).as("rnk"),
+      dense_rank().over(w).as("drnk"),
+      lag(col("o_totalprice").cast(DecimalType(12, 2)), 1).over(w).as("prev_price"))
+      .filter(col("rn") <= 100)
+  }
+
+  val q25Oracle: String =
+    """SELECT * FROM (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(o_totalprice AS DECIMAL(12,2)) AS total_price,
+      |    CAST(ROW_NUMBER() OVER w AS INT) AS rn,
+      |    CAST(RANK() OVER w AS INT) AS rnk,
+      |    CAST(DENSE_RANK() OVER w AS INT) AS drnk,
+      |    LAG(CAST(o_totalprice AS DECIMAL(12,2)), 1) OVER w AS prev_price
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey))
+      |WHERE rn <= 100""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_validation_report" -> (q23_validation_report _),
+    "q24_rollup" -> (q24_rollup _),
+    "q25_window_rank" -> (q25_window_rank _),
     "q02_project_cast_rename" -> (q02_project_cast_rename _),
     "q03_source_filter_params" -> (q03_source_filter_params _),
     "q04_lookup_chain" -> (q04_lookup_chain _),
@@ -564,6 +612,8 @@ object QueriesRelational {
 
   val oracle: Map[String, String] = Map(
     "q23_validation_report" -> q23Oracle,
+    "q24_rollup" -> q24Oracle,
+    "q25_window_rank" -> q25Oracle,
     "q02_project_cast_rename" -> q02Oracle,
     "q03_source_filter_params" -> q03Oracle,
     "q04_lookup_chain" -> q04Oracle,

@@ -21,12 +21,16 @@ object IvfIndex {
 
   final case class Model(centroids: Array[(Int, Array[Double])], assigned: DataFrame)
 
-  /** Fit the coarse quantizer and assign every row to a cell. */
+  /** Fit the coarse quantizer and assign every row to a cell. A coarse
+    * quantizer needs rough cells, not converged ones: few iterations and
+    * random init keep the build cheap (recall comes from nProbe, not from
+    * centroid quality). */
   def build(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      seed: Long = 42L): Model = {
+      seed: Long = 42L, maxIter: Int = 5): Model = {
     val withVec = df.withColumn("__v", array_to_vector(
       transform(col(vecCol), x => x.cast(DoubleType))))
     val km = new KMeans().setK(k).setSeed(seed).setFeaturesCol("__v")
+      .setMaxIter(maxIter).setInitMode("random")
       .setPredictionCol("cell")
     val model = km.fit(withVec)
     val assigned = model.transform(withVec).drop("__v")

@@ -1,0 +1,76 @@
+package graft
+
+import graft.ops.Skew
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression tests (the 100 TB discipline): filters must reach
+  * the parquet scan, lookup dims must broadcast, aggregates must partial-
+  * combine, and scans must prune columns. A refactor that silently loses
+  * one of these properties fails here, not at the bench. */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def executedPlan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q03: filters pushed to parquet, columns pruned") {
+    val plan = executedPlan("q03_source_filter_params")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"))
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"))
+    // projection pruning: only the 6 needed columns in ReadSchema
+    assert(!plan.contains("l_returnflag"))
+  }
+
+  test("q04: all three dimension lookups broadcast; fact side never exchanges") {
+    val plan = executedPlan("q04_lookup_chain")
+    assert("BroadcastHashJoin".r.findAllIn(plan).length === 3)
+    assert(!plan.contains("SortMergeJoin"))
+    // the p_size dim predicate is pushed into the dim scan
+    assert(plan.contains("GreaterThan(p_size,0)"))
+  }
+
+  test("q01/q17: hash aggregates partial-combine before the exchange") {
+    val plan = executedPlan("q17_agg_refresh_daily")
+    assert(plan.contains("partial_sum"))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1)
+  }
+
+  test("q11: IN-subquery plans as a semi join, not an aggregate+filter") {
+    val plan = executedPlan("q11_semi_join")
+    assert(plan.contains("LeftSemi"))
+  }
+
+  test("salted join spreads a hot key and preserves results") {
+    val hot = (1 to 2000).map(_ => (1, "h")) ++ Seq((2, "x"), (3, "y"))
+    val left = hot.toDF("k", "v")
+    val right = Seq((1, "dim1"), (2, "dim2")).toDF("rk", "dv")
+    val out = Skew.saltedJoin(left, right, "k", "rk", saltFactor = 8)
+    assert(out.count() === 2001)
+    assert(out.filter(col("k") === 1).count() === 2000)
+    // same result as the plain join
+    val plain = left.join(right, col("k") === col("rk")).count()
+    assert(out.count() === plain)
+  }
+
+  test("null-bypass join keeps null-key rows without shuffling them") {
+    val fact = Seq((Some(1), 10.0), (None, 99.0), (Some(2), 20.0))
+      .toDF("fk", "amt")
+    val dim = Seq((1, "a"), (2, "b")).toDF("dk", "dname")
+    val out = Skew.joinWithNullBypass(fact, dim, "fk", "dk")
+    assert(out.count() === 3)
+    val nullRow = out.filter(col("fk").isNull).head()
+    assert(nullRow.getAs[Double]("amt") === 99.0)
+    assert(nullRow.isNullAt(out.columns.indexOf("dname")))
+  }
+
+  test("key histogram surfaces the heavy hitter") {
+    val df = ((1 to 500).map(_ => 7) ++ Seq(1, 2, 3)).toDF("k")
+    val top = Skew.keyHistogram(df, col("k"), 1).head()
+    assert(top.getInt(0) === 7)
+    assert(top.getLong(1) === 500L)
+  }
+}
