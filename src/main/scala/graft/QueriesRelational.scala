@@ -584,10 +584,37 @@ object QueriesRelational {
       |  WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey))
       |WHERE rn <= 100""".stripMargin
 
+  /** The SQL API surface (S2's parameterized `SqlCommand` execution
+    * path): register scans as views, run ANSI SQL with named parameters
+    * through `spark.sql(query, args)` — Catalyst rewrites the IN-subquery
+    * and pushes the filters exactly as the DataFrame plans do. */
+  def q26_sql_api(spark: SparkSession, dir: String): DataFrame = {
+    orders(spark, dir).createOrReplaceTempView("orders_sql")
+    customer(spark, dir).createOrReplaceTempView("customer_sql")
+    spark.sql(
+      """SELECT c.c_mktsegment AS segment,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total
+        |FROM orders_sql o
+        |JOIN customer_sql c ON o.o_custkey = c.c_custkey
+        |WHERE o.o_orderdate >= :cutoff
+        |GROUP BY c.c_mktsegment""".stripMargin,
+      Map("cutoff" -> "1995-01-01"))
+  }
+
+  val q26Oracle: String =
+    """SELECT c.c_mktsegment AS segment,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+      |GROUP BY c.c_mktsegment""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_validation_report" -> (q23_validation_report _),
     "q24_rollup" -> (q24_rollup _),
     "q25_window_rank" -> (q25_window_rank _),
+    "q26_sql_api" -> (q26_sql_api _),
     "q02_project_cast_rename" -> (q02_project_cast_rename _),
     "q03_source_filter_params" -> (q03_source_filter_params _),
     "q04_lookup_chain" -> (q04_lookup_chain _),
@@ -614,6 +641,7 @@ object QueriesRelational {
     "q23_validation_report" -> q23Oracle,
     "q24_rollup" -> q24Oracle,
     "q25_window_rank" -> q25Oracle,
+    "q26_sql_api" -> q26Oracle,
     "q02_project_cast_rename" -> q02Oracle,
     "q03_source_filter_params" -> q03Oracle,
     "q04_lookup_chain" -> q04Oracle,

@@ -165,6 +165,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(merged.filter(col("id") === 103 && col("is_current")).count() === 1)
   }
 
+  test("SCD2 merge is idempotent: replaying the same increment changes nothing") {
+    val ts0 = lit("2024-01-01 00:00:00").cast("timestamp")
+    val ts1 = lit("2024-02-01 00:00:00").cast("timestamp")
+    val current = ScdType2.rebuild(
+      Seq((101, "Ada", "gold")).toDF("id", "name", "tier"),
+      naturalKey = Seq("id"), tracked = Seq("name", "tier"), validFrom = ts0)
+    val incoming = Seq((101, "Ada", "platinum")).toDF("id", "name", "tier")
+    val once = ScdType2.merge(current, incoming, Seq("id"), Seq("name", "tier"), ts1)
+    val twice = ScdType2.merge(once, incoming, Seq("id"), Seq("name", "tier"),
+      lit("2024-03-01 00:00:00").cast("timestamp"))
+    assert(once.count() === 2)
+    assert(twice.count() === 2) // replay adds no rows
+    assert(twice.filter(col("is_current")).count() === 1)
+  }
+
   test("incremental aboveWatermark keeps only new rows; empty sink passes all") {
     val sink = Seq((1L, java.sql.Timestamp.valueOf("2024-01-05 00:00:00")))
       .toDF("id", "updated_at")
