@@ -610,11 +610,49 @@ object QueriesRelational {
       |WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
       |GROUP BY c.c_mktsegment""".stripMargin
 
+  /** As-of join (nearest prior order per user at each event time) — the
+    * composed union+window operator, no range nested loop
+    * ([[graft.ops.AsOfJoin]]). Deterministic tie handling on both sides. */
+  def q27_asof_join(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsNs(spark, dir).select(col("user_id"), col("event_id"), col("ts_us"))
+    val ord = orders(spark, dir).select(
+      col("o_custkey"),
+      unix_micros(col("o_orderdate").cast(TimestampType)).as("odate_us"),
+      col("o_orderkey").as("asof_order"),
+      col("o_totalprice").cast(DecimalType(12, 2)).as("asof_total"))
+    graft.ops.AsOfJoin.asOf(ev, ord,
+      leftKey = "user_id", rightKey = "o_custkey",
+      leftTime = "ts_us", rightTime = "odate_us",
+      rightTiebreak = "asof_order",
+      carryCols = Seq("asof_order", "asof_total"))
+      .select("user_id", "event_id", "asof_order", "asof_total")
+  }
+
+  val q27Oracle: String =
+    """WITH l AS (
+      |  SELECT user_id AS k, epoch_us(ts) AS t, 1 AS side, CAST(NULL AS BIGINT) AS tie,
+      |    event_id, CAST(NULL AS BIGINT) AS ao, CAST(NULL AS DECIMAL(12,2)) AS at
+      |  FROM events),
+      |r AS (
+      |  SELECT o_custkey, epoch_us(o_orderdate), 0, o_orderkey,
+      |    CAST(NULL AS BIGINT), o_orderkey, CAST(o_totalprice AS DECIMAL(12,2))
+      |  FROM orders),
+      |u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+      |c AS (
+      |  SELECT k, side, event_id,
+      |    LAST_VALUE(ao IGNORE NULLS) OVER w AS asof_order,
+      |    LAST_VALUE(at IGNORE NULLS) OVER w AS asof_total
+      |  FROM u
+      |  WINDOW w AS (PARTITION BY k ORDER BY t ASC, side ASC, tie ASC NULLS LAST
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT k AS user_id, event_id, asof_order, asof_total FROM c WHERE side = 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_validation_report" -> (q23_validation_report _),
     "q24_rollup" -> (q24_rollup _),
     "q25_window_rank" -> (q25_window_rank _),
     "q26_sql_api" -> (q26_sql_api _),
+    "q27_asof_join" -> (q27_asof_join _),
     "q02_project_cast_rename" -> (q02_project_cast_rename _),
     "q03_source_filter_params" -> (q03_source_filter_params _),
     "q04_lookup_chain" -> (q04_lookup_chain _),
@@ -642,6 +680,7 @@ object QueriesRelational {
     "q24_rollup" -> q24Oracle,
     "q25_window_rank" -> q25Oracle,
     "q26_sql_api" -> q26Oracle,
+    "q27_asof_join" -> q27Oracle,
     "q02_project_cast_rename" -> q02Oracle,
     "q03_source_filter_params" -> q03Oracle,
     "q04_lookup_chain" -> q04Oracle,
