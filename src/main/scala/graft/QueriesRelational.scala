@@ -647,7 +647,68 @@ object QueriesRelational {
       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
       |SELECT k AS user_id, event_id, asof_order, asof_total FROM c WHERE side = 1""".stripMargin
 
+  /** Distinct aggregation (§2.4 "not present" in the reference; standard
+    * engine surface): per-flag distinct parts/suppliers. */
+  def q28_count_distinct(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("distinct_parts"),
+        countDistinct(col("l_suppkey")).as("distinct_suppliers"),
+        count(lit(1)).as("n"))
+
+  val q28Oracle: String =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_partkey) AS distinct_parts,
+      |  COUNT(DISTINCT l_suppkey) AS distinct_suppliers,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** Batch sessionization (gap > 30 min starts a session) — the batch twin
+    * of the streaming sessionizer: lag + running sum of session starts,
+    * then per-session aggregates. One shuffle on user_id. */
+  def q29_sessionization(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = 30L * 60 * 1000000
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    eventsNs(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("value").cast(DecimalType(18, 4)).as("v"))
+      .withColumn("new_session",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(byUser) > gapUs, 1)
+          .when(lag(col("ts_us"), 1).over(byUser).isNull, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(byUser))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(col("ts_us")).as("session_start_us"),
+        max(col("ts_us")).as("session_end_us"),
+        count(lit(1)).as("n_events"),
+        sum(col("v")).cast(DecimalType(38, 4)).as("total_value"))
+  }
+
+  val q29Oracle: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS t,
+      |    CAST(value AS DECIMAL(18,4)) AS v,
+      |    CASE WHEN LAG(epoch_us(ts), 1) OVER w IS NULL THEN 1
+      |         WHEN epoch_us(ts) - LAG(epoch_us(ts), 1) OVER w > 1800000000 THEN 1
+      |         ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      |sessions AS (
+      |  SELECT user_id, event_id, t, v,
+      |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY t, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, session_id,
+      |  MIN(t) AS session_start_us, MAX(t) AS session_end_us,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(v) AS DECIMAL(38,4)) AS total_value
+      |FROM sessions GROUP BY user_id, session_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_count_distinct" -> (q28_count_distinct _),
+    "q29_sessionization" -> (q29_sessionization _),
     "q23_validation_report" -> (q23_validation_report _),
     "q24_rollup" -> (q24_rollup _),
     "q25_window_rank" -> (q25_window_rank _),
@@ -681,6 +742,8 @@ object QueriesRelational {
     "q25_window_rank" -> q25Oracle,
     "q26_sql_api" -> q26Oracle,
     "q27_asof_join" -> q27Oracle,
+    "q28_count_distinct" -> q28Oracle,
+    "q29_sessionization" -> q29Oracle,
     "q02_project_cast_rename" -> q02Oracle,
     "q03_source_filter_params" -> q03Oracle,
     "q04_lookup_chain" -> q04Oracle,
