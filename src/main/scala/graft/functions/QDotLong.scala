@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Native codegen'd integer dot product of two `ARRAY<BIGINT>` columns —
+  * the hot inner loop of every similarity operator (SURVEY.md §2.8 /
+  * guide: "a native Catalyst `Expression` (with doGenCode) beats a Scala
+  * UDF"). Spark's `aggregate`/`zip_with` higher-order functions evaluate
+  * interpreted, allocating a lambda frame per element; this compiles to a
+  * tight `long` loop inside whole-stage codegen.
+  *
+  * Semantics match `aggregate(zip_with(a, b, _*_), 0L, _+_)`: NULL if
+  * either array (or any element) is NULL; lengths are not required to
+  * match (the shorter bound wins, like `zip_with` would after a filter).
+  */
+case class QDotLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<BIGINT> inputs, got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int qdl_n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long qdl_s = 0L;
+         |for (int qdl_i = 0; qdl_i < qdl_n; qdl_i++) {
+         |  if ($a.isNullAt(qdl_i) || $b.isNullAt(qdl_i)) { ${ev.isNull} = true; break; }
+         |  qdl_s += $a.getLong(qdl_i) * $b.getLong(qdl_i);
+         |}
+         |${ev.value} = qdl_s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_qdot"
+}
+
+/** Session-scoped registration of the native functions; `Column`
+  * construction goes through the function registry (`call_function`), the
+  * supported public path in Spark 4. */
+object NativeFunctions {
+  private val registered = java.util.Collections.synchronizedSet(
+    new java.util.HashSet[String]())
+
+  def register(spark: SparkSession): Unit =
+    if (registered.add(System.identityHashCode(spark).toString)) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_qdot", exprs => QDotLong(exprs(0), exprs(1)), "built-in")
+    }
+
+  /** Codegen'd dot product; requires an active session (register on use). */
+  def qdot(a: Column, b: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_qdot", a, b)
+  }
+}

@@ -26,9 +26,16 @@ object SimilarityOps {
   def quantize(vec: Column): Column =
     transform(vec, x => round(x.cast(DoubleType) * QuantScale).cast(LongType))
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors. Uses the native
+    * codegen'd expression when a session is active (the interpreted
+    * higher-order-function fold is the hot cost in pair scoring); falls
+    * back to `aggregate(zip_with(...))` — identical semantics, verified
+    * in SimilaritySpec. */
   def qdot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    if (org.apache.spark.sql.SparkSession.getActiveSession.isDefined)
+      graft.functions.NativeFunctions.qdot(a, b)
+    else
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
   /** Exact integer squared norm. */
   def qnorm2(a: Column): Column = qdot(a, a)

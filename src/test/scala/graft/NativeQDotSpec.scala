@@ -1,0 +1,48 @@
+package graft
+
+import graft.functions.NativeFunctions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class NativeQDotSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  test("native qdot equals the HOF fold on real embeddings (incl. codegen path)") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(100)
+    val q = graft.sim.SimilarityOps.withQuantized(emb, "embedding")
+      .select(col("vec_id"), col("qvec"))
+    val pairs = q.toDF("ida", "va").crossJoin(q.toDF("idb", "vb")).limit(500)
+    val hof = pairs.select(col("ida"), col("idb"),
+      aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y), lit(0L),
+        (acc, x) => acc + x).as("d")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val native = pairs.select(col("ida"), col("idb"),
+      NativeFunctions.qdot(col("va"), col("vb")).as("d")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(native === hof)
+  }
+
+  test("null array and null element both yield NULL (HOF parity)") {
+    val df = Seq(
+      (Seq[java.lang.Long](1L, 2L), Seq[java.lang.Long](3L, 4L)),
+      (Seq[java.lang.Long](1L, null), Seq[java.lang.Long](3L, 4L)))
+      .toDF("a", "b")
+      .union(Seq((null, Seq[java.lang.Long](1L))).toDF("a", "b"))
+    val out = df.select(NativeFunctions.qdot(col("a"), col("b"))).collect().map(_.get(0))
+    assert(out(0) === 11L)
+    assert(out(1) === null)
+    assert(out(2) === null)
+  }
+
+  test("expression participates in whole-stage codegen over a real scan") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val df = graft.sim.SimilarityOps.withQuantized(emb, "embedding")
+      .select(NativeFunctions.qdot(col("qvec"), col("qvec")).as("d"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the "*(n)" stage prefix marks whole-stage-codegen'd operators
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("graft_qdot")),
+      s"graft_qdot not inside a codegen stage:\n$plan")
+    assert(df.agg(max(col("d"))).head().getLong(0) > 0L)
+  }
+}
