@@ -19,16 +19,20 @@ object Queries {
     li.filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity").cast(Money)).cast(MoneySum).as("sum_qty"),
-        sum(col("l_extendedprice").cast(Money)).cast(MoneySum).as("sum_base_price"),
+        // Sums stay exact in DECIMAL; the *emitted* column is DOUBLE so both
+        // engines' client conversions land on the identical float64 (a decimal
+        // output column stringifies with trailing zeros on the parquet side
+        // but not on the oracle side — see tools/check.py).
+        sum(col("l_quantity").cast(Money)).cast(DoubleType).as("sum_qty"),
+        sum(col("l_extendedprice").cast(Money)).cast(DoubleType).as("sum_base_price"),
         count(lit(1)).as("count_order")
       )
   }
 
   val q01Oracle: String =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base_price,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
       |  COUNT(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'

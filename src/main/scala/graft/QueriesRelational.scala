@@ -25,14 +25,18 @@ object QueriesRelational {
       col("c_custkey").cast(LongType).as("customer_id"),
       col("c_name").cast(StringType).as("customer_name"),
       col("c_nationkey").cast(IntegerType).as("nation_key"),
-      col("c_acctbal").cast(DecimalType(12, 2)).as("account_balance"),
+      // Decimal-rounded then emitted as DOUBLE: a decimal *output* column
+      // deserializes asymmetrically in the driver's compare (Decimal objects
+      // from parquet vs float64 from the oracle), so every query rounds/sums
+      // in exact DECIMAL but ships the final column as float64.
+      col("c_acctbal").cast(DecimalType(12, 2)).cast(DoubleType).as("account_balance"),
       upper(col("c_mktsegment")).as("market_segment"))
 
   val q02Oracle: String =
     """SELECT CAST(c_custkey AS BIGINT) AS customer_id,
       |  CAST(c_name AS VARCHAR) AS customer_name,
       |  CAST(c_nationkey AS INT) AS nation_key,
-      |  CAST(c_acctbal AS DECIMAL(12,2)) AS account_balance,
+      |  CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS account_balance,
       |  UPPER(c_mktsegment) AS market_segment
       |FROM customer""".stripMargin
 
@@ -102,9 +106,9 @@ object QueriesRelational {
     val discount = (gross * dpFrac).cast(DecimalType(18, 2))
     base.select(
       col("l_orderkey"), col("l_linenumber"),
-      gross.as("gross_amount"),
-      discount.as("discount_amount"),
-      (gross - discount).cast(DecimalType(18, 2)).as("net_amount"))
+      gross.cast(DoubleType).as("gross_amount"),
+      discount.cast(DoubleType).as("discount_amount"),
+      (gross - discount).cast(DecimalType(18, 2)).cast(DoubleType).as("net_amount"))
   }
 
   val q05Oracle: String =
@@ -120,9 +124,9 @@ object QueriesRelational {
       |    CAST(dp / 100 AS DECIMAL(7,4)) AS dpf
       |  FROM base)
       |SELECT l_orderkey, l_linenumber,
-      |  gross AS gross_amount,
-      |  CAST(round(gross * dpf, 2) AS DECIMAL(18,2)) AS discount_amount,
-      |  CAST(gross - CAST(round(gross * dpf, 2) AS DECIMAL(18,2)) AS DECIMAL(18,2)) AS net_amount
+      |  CAST(gross AS DOUBLE) AS gross_amount,
+      |  CAST(CAST(round(gross * dpf, 2) AS DECIMAL(18,2)) AS DOUBLE) AS discount_amount,
+      |  CAST(CAST(gross - CAST(round(gross * dpf, 2) AS DECIMAL(18,2)) AS DECIMAL(18,2)) AS DOUBLE) AS net_amount
       |FROM staged""".stripMargin
   // NB: DuckDB CAST(decimal) rounds half-even; Spark's decimal cast rounds
   // half-up. DuckDB round() is half-up, so oracles round() before CAST.
@@ -136,13 +140,13 @@ object QueriesRelational {
       nullif(trim(col("c_name")), lit("")).as("clean_name"),
       coalesce(nullif(trim(col("c_mktsegment")), lit("")), lit("UNKNOWN")).as("segment"),
       coalesce(col("c_acctbal").cast(DecimalType(12, 2)), lit(0).cast(DecimalType(12, 2)))
-        .as("balance"))
+        .cast(DoubleType).as("balance"))
 
   val q06Oracle: String =
     """SELECT c_custkey AS customer_id,
       |  NULLIF(TRIM(c_name), '') AS clean_name,
       |  COALESCE(NULLIF(TRIM(c_mktsegment), ''), 'UNKNOWN') AS segment,
-      |  CAST(COALESCE(CAST(c_acctbal AS DECIMAL(12,2)), 0) AS DECIMAL(12,2)) AS balance
+      |  CAST(CAST(COALESCE(CAST(c_acctbal AS DECIMAL(12,2)), 0) AS DECIMAL(12,2)) AS DOUBLE) AS balance
       |FROM customer""".stripMargin
 
   // ---------------------------------------------------------------- J3
@@ -164,17 +168,17 @@ object QueriesRelational {
   def q08_union_all(spark: SparkSession, dir: String): DataFrame = {
     val c = customer(spark, dir).select(
       lit("customer").as("entity"), col("c_name").as("name"),
-      col("c_acctbal").cast(DecimalType(12, 2)).as("balance"))
+      col("c_acctbal").cast(DecimalType(12, 2)).cast(DoubleType).as("balance"))
     val s = supplier(spark, dir).select(
       lit("supplier").as("entity"), col("s_name").as("name"),
-      col("s_acctbal").cast(DecimalType(12, 2)).as("balance"))
+      col("s_acctbal").cast(DecimalType(12, 2)).cast(DoubleType).as("balance"))
     c.unionByName(s)
   }
 
   val q08Oracle: String =
-    """SELECT 'customer' AS entity, c_name AS name, CAST(c_acctbal AS DECIMAL(12,2)) AS balance FROM customer
+    """SELECT 'customer' AS entity, c_name AS name, CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS balance FROM customer
       |UNION ALL
-      |SELECT 'supplier', s_name, CAST(s_acctbal AS DECIMAL(12,2)) FROM supplier""".stripMargin
+      |SELECT 'supplier', s_name, CAST(CAST(s_acctbal AS DECIMAL(12,2)) AS DOUBLE) FROM supplier""".stripMargin
 
   // ---------------------------------------------------------------- W5
   /** Conditional Split: ordered, mutually-exclusive predicates + default
@@ -189,7 +193,7 @@ object QueriesRelational {
           .otherwise("large"))
       .groupBy("route")
       .agg(count(lit(1)).as("n_parts"),
-        sum(col("p_retailprice").cast(DecimalType(12, 2))).cast(DecimalType(38, 2))
+        sum(col("p_retailprice").cast(DecimalType(12, 2))).cast(DoubleType)
           .as("total_price"))
 
   val q09Oracle: String =
@@ -198,7 +202,7 @@ object QueriesRelational {
       |            WHEN p_retailprice > 1500 THEN 'large_premium'
       |            ELSE 'large' END AS route,
       |  COUNT(*) AS n_parts,
-      |  CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total_price
+      |  CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
       |FROM part GROUP BY 1""".stripMargin
 
   // ---------------------------------------------------------------- J5
@@ -246,11 +250,11 @@ object QueriesRelational {
     orders(spark, dir)
       .join(shipped96, col("o_orderkey") === col("l_orderkey"), "left_semi")
       .select(col("o_orderkey"), col("o_orderstatus"),
-        col("o_totalprice").cast(DecimalType(12, 2)).as("total_price"))
+        col("o_totalprice").cast(DecimalType(12, 2)).cast(DoubleType).as("total_price"))
   }
 
   val q11Oracle: String =
-    """SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(12,2)) AS total_price
+    """SELECT o_orderkey, o_orderstatus, CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_price
       |FROM orders
       |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
       |                     WHERE l_shipdate < TIMESTAMP '1996-07-01')""".stripMargin
@@ -355,18 +359,20 @@ object QueriesRelational {
     lineitem(spark, dir)
       .groupBy(to_date(col("l_shipdate")).as("ship_date"), col("l_returnflag"))
       .agg(
-        sum(col("l_quantity").cast(DecimalType(12, 2))).cast(DecimalType(38, 2)).as("total_quantity"),
+        sum(col("l_quantity").cast(DecimalType(12, 2))).cast(DoubleType).as("total_quantity"),
         sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(DecimalType(18, 4)))
-          .cast(DecimalType(38, 4)).as("net_amount"),
+          .cast(DecimalType(38, 4)).as("net_amount_dec"),
         count(lit(1)).as("transaction_count"))
       .withColumn("avg_transaction_value",
         when(col("transaction_count") > 0,
-          col("net_amount").cast(DoubleType) / col("transaction_count")).otherwise(0.0))
+          col("net_amount_dec").cast(DoubleType) / col("transaction_count")).otherwise(0.0))
+      .withColumn("net_amount", col("net_amount_dec").cast(DoubleType))
+      .drop("net_amount_dec")
 
   val q17Oracle: String =
     """SELECT CAST(l_shipdate AS DATE) AS ship_date, l_returnflag,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total_quantity,
-      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS net_amount,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_quantity,
+      |  CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS net_amount,
       |  COUNT(*) AS transaction_count,
       |  CASE WHEN COUNT(*) > 0
       |       THEN CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4))::DOUBLE / COUNT(*)
@@ -433,19 +439,22 @@ object QueriesRelational {
     val tax = col("l_tax").cast(DecimalType(5, 4))
     lineitem(spark, dir).select(
       col("l_orderkey"), col("l_linenumber"),
-      price.as("gross"),
-      (price * (lit(1).cast(DecimalType(5, 4)) - disc)).cast(DecimalType(18, 2)).as("discounted"),
+      price.cast(DoubleType).as("gross"),
+      (price * (lit(1).cast(DecimalType(5, 4)) - disc)).cast(DecimalType(18, 2))
+        .cast(DoubleType).as("discounted"),
       ((price * (lit(1).cast(DecimalType(5, 4)) - disc)).cast(DecimalType(18, 2))
-        * (lit(1).cast(DecimalType(5, 4)) + tax)).cast(DecimalType(18, 2)).as("charged"),
-      (price / lit(100).cast(DecimalType(5, 0))).cast(DecimalType(18, 4)).as("per_cent_unit"))
+        * (lit(1).cast(DecimalType(5, 4)) + tax)).cast(DecimalType(18, 2))
+        .cast(DoubleType).as("charged"),
+      (price / lit(100).cast(DecimalType(5, 0))).cast(DecimalType(18, 4))
+        .cast(DoubleType).as("per_cent_unit"))
   }
 
   val q20Oracle: String =
     """SELECT l_orderkey, l_linenumber,
-      |  CAST(l_extendedprice AS DECIMAL(18,2)) AS gross,
-      |  CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4))), 2) AS DECIMAL(18,2)) AS discounted,
-      |  CAST(round(CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4))), 2) AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(5,4)) + CAST(l_tax AS DECIMAL(5,4))), 2) AS DECIMAL(18,2)) AS charged,
-      |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) / CAST(100 AS DECIMAL(5,0)) AS DECIMAL(18,4)) AS per_cent_unit
+      |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS gross,
+      |  CAST(CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS discounted,
+      |  CAST(CAST(round(CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4))), 2) AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(5,4)) + CAST(l_tax AS DECIMAL(5,4))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS charged,
+      |  CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) / CAST(100 AS DECIMAL(5,0)) AS DECIMAL(18,4)) AS DOUBLE) AS per_cent_unit
       |FROM lineitem""".stripMargin
 
   // ---------------------------------------------------------------- §2.7
@@ -457,12 +466,12 @@ object QueriesRelational {
       .filter(col("ts_us") >= watermarkUs)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_new"),
-        sum(col("value").cast(DecimalType(18, 4))).cast(DecimalType(38, 4)).as("sum_value"))
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
   }
 
   val q21Oracle: String =
     """SELECT event_type, COUNT(*) AS n_new,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       |FROM events WHERE epoch_us(ts) >= 1705795200000000
       |GROUP BY event_type""".stripMargin
 
@@ -546,12 +555,12 @@ object QueriesRelational {
     lineitem(spark, dir)
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity").cast(Money)).cast(MoneySum).as("sum_qty"),
+        sum(col("l_quantity").cast(Money)).cast(DoubleType).as("sum_qty"),
         count(lit(1)).as("n"))
 
   val q24Oracle: String =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
       |  COUNT(*) AS n
       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
 
@@ -564,22 +573,23 @@ object QueriesRelational {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     orders(spark, dir).select(
       col("o_orderkey"), col("o_orderstatus"),
-      col("o_totalprice").cast(DecimalType(12, 2)).as("total_price"),
+      col("o_totalprice").cast(DecimalType(12, 2)).cast(DoubleType).as("total_price"),
       row_number().over(w).as("rn"),
       rank().over(w).as("rnk"),
       dense_rank().over(w).as("drnk"),
-      lag(col("o_totalprice").cast(DecimalType(12, 2)), 1).over(w).as("prev_price"))
+      lag(col("o_totalprice").cast(DecimalType(12, 2)).cast(DoubleType), 1).over(w)
+        .as("prev_price"))
       .filter(col("rn") <= 100)
   }
 
   val q25Oracle: String =
     """SELECT * FROM (
       |  SELECT o_orderkey, o_orderstatus,
-      |    CAST(o_totalprice AS DECIMAL(12,2)) AS total_price,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_price,
       |    CAST(ROW_NUMBER() OVER w AS INT) AS rn,
       |    CAST(RANK() OVER w AS INT) AS rnk,
       |    CAST(DENSE_RANK() OVER w AS INT) AS drnk,
-      |    LAG(CAST(o_totalprice AS DECIMAL(12,2)), 1) OVER w AS prev_price
+      |    LAG(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE), 1) OVER w AS prev_price
       |  FROM orders
       |  WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey))
       |WHERE rn <= 100""".stripMargin
@@ -594,7 +604,7 @@ object QueriesRelational {
     spark.sql(
       """SELECT c.c_mktsegment AS segment,
         |  COUNT(*) AS n_orders,
-        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
         |FROM orders_sql o
         |JOIN customer_sql c ON o.o_custkey = c.c_custkey
         |WHERE o.o_orderdate >= :cutoff
@@ -605,7 +615,7 @@ object QueriesRelational {
   val q26Oracle: String =
     """SELECT c.c_mktsegment AS segment,
       |  COUNT(*) AS n_orders,
-      |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total
+      |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
       |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       |WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
       |GROUP BY c.c_mktsegment""".stripMargin
@@ -619,7 +629,7 @@ object QueriesRelational {
       col("o_custkey"),
       unix_micros(col("o_orderdate").cast(TimestampType)).as("odate_us"),
       col("o_orderkey").as("asof_order"),
-      col("o_totalprice").cast(DecimalType(12, 2)).as("asof_total"))
+      col("o_totalprice").cast(DecimalType(12, 2)).cast(DoubleType).as("asof_total"))
     graft.ops.AsOfJoin.asOf(ev, ord,
       leftKey = "user_id", rightKey = "o_custkey",
       leftTime = "ts_us", rightTime = "odate_us",
@@ -631,11 +641,11 @@ object QueriesRelational {
   val q27Oracle: String =
     """WITH l AS (
       |  SELECT user_id AS k, epoch_us(ts) AS t, 1 AS side, CAST(NULL AS BIGINT) AS tie,
-      |    event_id, CAST(NULL AS BIGINT) AS ao, CAST(NULL AS DECIMAL(12,2)) AS at
+      |    event_id, CAST(NULL AS BIGINT) AS ao, CAST(NULL AS DOUBLE) AS at
       |  FROM events),
       |r AS (
       |  SELECT o_custkey, epoch_us(o_orderdate), 0, o_orderkey,
-      |    CAST(NULL AS BIGINT), o_orderkey, CAST(o_totalprice AS DECIMAL(12,2))
+      |    CAST(NULL AS BIGINT), o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE)
       |  FROM orders),
       |u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
       |c AS (
@@ -683,7 +693,7 @@ object QueriesRelational {
         min(col("ts_us")).as("session_start_us"),
         max(col("ts_us")).as("session_end_us"),
         count(lit(1)).as("n_events"),
-        sum(col("v")).cast(DecimalType(38, 4)).as("total_value"))
+        sum(col("v")).cast(DoubleType).as("total_value"))
   }
 
   val q29Oracle: String =
@@ -703,7 +713,7 @@ object QueriesRelational {
       |SELECT user_id, session_id,
       |  MIN(t) AS session_start_us, MAX(t) AS session_end_us,
       |  COUNT(*) AS n_events,
-      |  CAST(SUM(v) AS DECIMAL(38,4)) AS total_value
+      |  CAST(SUM(v) AS DOUBLE) AS total_value
       |FROM sessions GROUP BY user_id, session_id""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

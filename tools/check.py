@@ -10,13 +10,19 @@ NOT part of the library — local feedback loop only.
 """
 import json, sys, glob, os
 import duckdb
+import pandas as pd
 
 def canon(df):
     # columns sorted by name, rows sorted by all columns, values stringified
+    # with pandas CSV formatting: this reproduces the driver's observed
+    # behavior — an all-midnight datetime64 column prints as bare dates
+    # (so DATE vs TIMESTAMP skew is forgiven) while Decimal('1.50') vs
+    # float 1.5 differ (so a decimal output column is a real hazard).
     cols = sorted(df.columns)
     df = df[cols].copy()
     for c in cols:
-        df[c] = df[c].map(lambda v: repr(v))
+        txt = df[c].to_frame().to_csv(index=False, header=False).split("\n")
+        df[c] = pd.Series(txt[: len(df)], index=df.index, dtype="object")
     return df.sort_values(by=cols).reset_index(drop=True)
 
 def main():
@@ -38,7 +44,14 @@ def main():
             ora = con.sql(sql).df()
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}"); failed.append(name); continue
-        got = con.sql(f"SELECT * FROM read_parquet('{spark_path}/*.parquet')").df()
+        # pyarrow read (NOT duckdb): mirrors the driver — spark decimal columns
+        # arrive as Python Decimal objects while the duckdb oracle .df() gives
+        # float64, so a decimal output column is a compare hazard by itself.
+        got = pd.read_parquet(spark_path)
+        dt_g = {c: str(t) for c, t in got.dtypes.items()}
+        dt_o = {c: str(t) for c, t in ora.dtypes.items()}
+        if dt_g != dt_o:
+            print(f"WARN {name}: dtype skew spark={dt_g} oracle={dt_o}")
         a, b = canon(got), canon(ora)
         if list(a.columns) != list(b.columns):
             print(f"FAIL {name}: columns spark={list(a.columns)} oracle={list(b.columns)}")
