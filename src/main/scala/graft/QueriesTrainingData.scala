@@ -285,15 +285,38 @@ object QueriesTrainingData {
       |FROM meta""".stripMargin
 
   /** IVF (k-means coarse quantizer) ANN search — the scale path past
-    * x09's brute force. No SQL oracle (KMeans isn't expressible); the
-    * spec proves exactness at full probe width vs brute force. */
+    * x09's brute force. Probing ALL cells makes IVF exact (every vector
+    * lives in exactly one cell), so the full machinery — quantizer build,
+    * cell assignment, probe ranking, per-cell candidate join — is
+    * oracle-checked against the brute-force SQL; the approximate
+    * nProbe < k mode is spec-tested (SourcesAndIvfSpec). */
   def x11_ann_ivf(spark: SparkSession, dir: String): DataFrame = {
     val emb = embeddings(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism).cache()
     val model = graft.sim.IvfIndex.build(emb, "vec_id", "embedding", k = 16)
     graft.sim.IvfIndex.search(spark, model, emb.filter(col("vec_id") < 10),
-      "vec_id", "embedding", k = 5, nProbe = 4)
+      "vec_id", "embedding", k = 5, nProbe = 16)
   }
+
+  /** Full-probe IVF ≡ brute-force top-k: same oracle shape as x09. */
+  val x11Oracle: String =
+    """WITH q AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, qv,
+      |    list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])) AS n2
+      |  FROM q),
+      |scored AS (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |    CAST(list_sum(list_transform(generate_series(1, len(a.qv)), i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+      |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cosine
+      |  FROM n a JOIN n b ON a.vec_id < 10 AND a.vec_id <> b.vec_id)
+      |SELECT query_id, neighbor_id, rank, cosine FROM (
+      |  SELECT query_id, neighbor_id, cosine,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+      |  FROM scored)
+      |WHERE rank <= 5""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x11_ann_ivf" -> (x11_ann_ivf _),
@@ -318,5 +341,6 @@ object QueriesTrainingData {
     "x07_dedup_simhash" -> x07Oracle,
     "x08_embedding_near_dup" -> x08Oracle,
     "x09_knn_bruteforce" -> x09Oracle,
-    "x10_multimodal_meta" -> x10Oracle)
+    "x10_multimodal_meta" -> x10Oracle,
+    "x11_ann_ivf" -> x11Oracle)
 }
