@@ -120,23 +120,24 @@ object QueriesTrainingData {
     * ids only (shingle sets re-join after dedup, never ride the explode). */
   def x06_dedup_minhash_lsh(spark: SparkSession, dir: String): DataFrame = {
     // small single-file scans must still parallelize: spread the signature
-    // pipeline over the cluster before the (md5-heavy) per-row work; the
-    // shingle and signature frames are materialized (one small row per
-    // doc) because three consumers reuse them and Generate/Filter nodes
-    // would otherwise re-evaluate the md5 pipeline several times over
+    // pipeline over the cluster before the (md5-heavy) per-row work. ONE
+    // cached frame carries both the shingle set and the band keys (one
+    // small row per doc); three consumers — the candidate explode and both
+    // sides of the verify join — reuse it, and Generate/Filter nodes would
+    // otherwise re-evaluate the md5 pipeline several times over
     val sh = documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), DedupOps.shingles(col("text"), 3).as("sh"))
+      .withColumn("bands",
+        DedupOps.bandKeysFromSigArray(
+          DedupOps.minhashSignatureArray(DedupOps.hashedShingles(col("sh"))),
+          rowsPerBand = 4, nBands = 2))
       .cache()
-    val withBands = sh.select(col("doc_id"),
-      DedupOps.bandKeysFromSigArray(
-        DedupOps.minhashSignatureArray(DedupOps.hashedShingles(col("sh"))),
-        rowsPerBand = 4, nBands = 2).as("bands"))
-      .cache()
-    val pairs = DedupOps.lshCandidatePairs(withBands, "doc_id", "bands")
+    val pairs = DedupOps.lshCandidatePairs(sh.select("doc_id", "bands"), "doc_id", "bands")
+    val shOnly = sh.select("doc_id", "sh")
     pairs
-      .join(sh.toDF("doc_a", "sh_a"), "doc_a")
-      .join(sh.toDF("doc_b", "sh_b"), "doc_b")
+      .join(shOnly.toDF("doc_a", "sh_a"), "doc_a")
+      .join(shOnly.toDF("doc_b", "sh_b"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         DedupOps.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
   }

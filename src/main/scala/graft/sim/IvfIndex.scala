@@ -24,15 +24,19 @@ object IvfIndex {
   /** Fit the coarse quantizer and assign every row to a cell. A coarse
     * quantizer needs rough cells, not converged ones: few iterations and
     * random init keep the build cheap (recall comes from nProbe, not from
-    * centroid quality). */
+    * centroid quality). The fit runs on a bounded single-partition sample
+    * — the classic IVF training recipe: at 100 TB you train the quantizer
+    * on ~10⁵ vectors, never the full table, and only the cell *assignment*
+    * (a narrow map with the broadcast model) touches every row. */
   def build(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      seed: Long = 42L, maxIter: Int = 5): Model = {
+      seed: Long = 42L, maxIter: Int = 2, maxTrainRows: Int = 100000): Model = {
     val withVec = df.withColumn("__v", array_to_vector(
       transform(col(vecCol), x => x.cast(DoubleType))))
+    val train = withVec.select("__v").limit(maxTrainRows).coalesce(1)
     val km = new KMeans().setK(k).setSeed(seed).setFeaturesCol("__v")
       .setMaxIter(maxIter).setInitMode("random")
       .setPredictionCol("cell")
-    val model = km.fit(withVec)
+    val model = km.fit(train)
     val assigned = model.transform(withVec).drop("__v")
     Model(model.clusterCenters.zipWithIndex.map { case (c, i) => i -> c.toArray },
       assigned)
