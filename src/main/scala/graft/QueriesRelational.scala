@@ -716,7 +716,72 @@ object QueriesRelational {
       |  CAST(SUM(v) AS DOUBLE) AS total_value
       |FROM sessions GROUP BY user_id, session_id""".stripMargin
 
+  /** Tumbling time windows over events — Spark's `window()` operator (the
+    * batch twin of the Structured Streaming windowed aggregate, SURVEY
+    * §2.7); boundaries emitted as epoch-µs so both engines compare exact
+    * integers. */
+  def q30_tumbling_window(spark: SparkSession, dir: String): DataFrame =
+    eventsNs(spark, dir)
+      .groupBy(window(col("ts_t"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("total_value"))
+      .select(unix_micros(col("w.start")).as("window_start_us"),
+        unix_micros(col("w.end")).as("window_end_us"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  val q30Oracle: String =
+    """SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS window_start_us,
+      |  epoch_us(ts) - epoch_us(ts) % 3600000000 + 3600000000 AS window_end_us,
+      |  event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2, 3""".stripMargin
+
+  /** INTERSECT / EXCEPT set operators (SURVEY §2.5 "not present" in the
+    * reference; standard engine surface): customers ordering in both/only
+    * one of two years, tagged and unioned. */
+  def q31_set_ops(spark: SparkSession, dir: String): DataFrame = {
+    def custsIn(y: Int): DataFrame =
+      orders(spark, dir)
+        .filter(year(col("o_orderdate")) === y)
+        .select(col("o_custkey")).distinct()
+    custsIn(1995).intersect(custsIn(1996))
+      .select(lit("both_years").as("cohort"), col("o_custkey").as("customer_id"))
+      .unionByName(
+        custsIn(1995).except(custsIn(1996))
+          .select(lit("only_1995").as("cohort"), col("o_custkey").as("customer_id")))
+  }
+
+  val q31Oracle: String =
+    """WITH c95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+      |     c96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+      |SELECT 'both_years' AS cohort, o_custkey AS customer_id
+      |FROM (SELECT o_custkey FROM c95 INTERSECT SELECT o_custkey FROM c96)
+      |UNION ALL
+      |SELECT 'only_1995', o_custkey
+      |FROM (SELECT o_custkey FROM c95 EXCEPT SELECT o_custkey FROM c96)""".stripMargin
+
+  /** Pivot (long → wide) — return-flag quantity matrix per linestatus;
+    * exact decimal sums emitted as DOUBLE, absent cells stay NULL on both
+    * engines (SUM over an empty CASE set). */
+  def q32_pivot(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(sum(col("l_quantity").cast(Money)).cast(DoubleType))
+      .select(col("l_linestatus"), col("A").as("qty_a"),
+        col("N").as("qty_n"), col("R").as("qty_r"))
+
+  val q32Oracle: String =
+    """SELECT l_linestatus,
+      |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_a,
+      |  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_n,
+      |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_r
+      |FROM lineitem GROUP BY l_linestatus""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_tumbling_window" -> (q30_tumbling_window _),
+    "q31_set_ops" -> (q31_set_ops _),
+    "q32_pivot" -> (q32_pivot _),
     "q28_count_distinct" -> (q28_count_distinct _),
     "q29_sessionization" -> (q29_sessionization _),
     "q23_validation_report" -> (q23_validation_report _),
@@ -747,6 +812,9 @@ object QueriesRelational {
     "q22_date_functions" -> (q22_date_functions _))
 
   val oracle: Map[String, String] = Map(
+    "q30_tumbling_window" -> q30Oracle,
+    "q31_set_ops" -> q31Oracle,
+    "q32_pivot" -> q32Oracle,
     "q23_validation_report" -> q23Oracle,
     "q24_rollup" -> q24Oracle,
     "q25_window_rank" -> q25Oracle,

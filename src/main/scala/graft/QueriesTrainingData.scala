@@ -319,7 +319,92 @@ object QueriesTrainingData {
       |  FROM scored)
       |WHERE rank <= 5""".stripMargin
 
+  /** Blocked all-pairs n-gram Jaccard: each doc's most-similar partner
+    * inside its (lang, id-bucket) block — the standalone n-gram-Jaccard
+    * dedup surface (x06 uses Jaccard only to verify LSH candidates).
+    * Block-bounded pair generation is the 100 TB shape: the join shuffles
+    * on the block key, never the cross product. */
+  def x12_ngram_jaccard(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("lang"), (col("doc_id") % 16).as("bucket"),
+        DedupOps.shingles(col("text"), 2).as("sh"))
+      .cache()
+    val pairs = d.select(col("doc_id"), col("lang"), col("bucket"), col("sh"))
+      .join(d.select(col("doc_id").as("partner_id"), col("lang").as("l2"),
+          col("bucket").as("b2"), col("sh").as("sh2")),
+        col("lang") === col("l2") && col("bucket") === col("b2") &&
+          col("doc_id") =!= col("partner_id"))
+      .withColumn("jaccard", DedupOps.jaccard(col("sh"), col("sh2")))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("jaccard").desc, col("partner_id").asc)
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("partner_id").as("best_match"), col("jaccard"))
+  }
+
+  val x12Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang, doc_id % 16 AS bucket,
+      |    list_distinct(list_transform(
+      |      generate_series(1, greatest(len(string_split_regex(text,'\s+')) - 1, 1)),
+      |      i -> array_to_string((string_split_regex(text,'\s+'))[i:i+1], ' '))) AS sh
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT a.doc_id, b.doc_id AS partner_id,
+      |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |    CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
+      |  FROM d a JOIN d b
+      |    ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id <> b.doc_id)
+      |SELECT doc_id, partner_id AS best_match, jaccard FROM (
+      |  SELECT doc_id, partner_id, jaccard,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY jaccard DESC, partner_id) AS rn
+      |  FROM pairs)
+      |WHERE rn = 1""".stripMargin
+
+  /** LSH-bucketed ANN (random-hyperplane sign buckets) — the zero-training
+    * alternative scale path beside IVF (x11). Hyperplanes are md5-derived,
+    * so the oracle reproduces the exact buckets; recall < 1.0 is inherent
+    * (both engines compute the identical approximate answer). */
+  def x13_knn_lsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    SimilarityOps.knnLsh(emb.filter(col("vec_id") < 40), emb,
+      "vec_id", "embedding", k = 5, bits = 8, dim = 64)
+  }
+
+  val x13Oracle: String =
+    """WITH hp AS (
+      |  SELECT b, list_transform(generate_series(0, 63), i ->
+      |    CAST(('0x' || substr(md5(b || '|' || i), 1, 15)) AS BIGINT) % 2001 - 1000) AS h
+      |  FROM generate_series(0, 7) t(b)),
+      |q AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, qv,
+      |    list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])) AS n2
+      |  FROM q),
+      |bkt AS (
+      |  SELECT vec_id, qv, n2,
+      |    CAST(sum(CASE WHEN list_sum(list_transform(generate_series(1, 64), i -> qv[i] * h[i])) >= 0
+      |             THEN 1 << b ELSE 0 END) AS INT) AS bucket
+      |  FROM n CROSS JOIN hp GROUP BY vec_id, qv, n2),
+      |scored AS (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |    CAST(list_sum(list_transform(generate_series(1, len(a.qv)), i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+      |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cosine
+      |  FROM bkt a JOIN bkt b
+      |    ON a.bucket = b.bucket AND a.vec_id < 40 AND a.vec_id <> b.vec_id)
+      |SELECT query_id, neighbor_id, rank, cosine FROM (
+      |  SELECT query_id, neighbor_id, cosine,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+      |  FROM scored)
+      |WHERE rank <= 5""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x12_ngram_jaccard" -> (x12_ngram_jaccard _),
+    "x13_knn_lsh" -> (x13_knn_lsh _),
     "x11_ann_ivf" -> (x11_ann_ivf _),
     "x01_token_count" -> (x01_token_count _),
     "x02_quality_score" -> (x02_quality_score _),
@@ -343,5 +428,7 @@ object QueriesTrainingData {
     "x08_embedding_near_dup" -> x08Oracle,
     "x09_knn_bruteforce" -> x09Oracle,
     "x10_multimodal_meta" -> x10Oracle,
-    "x11_ann_ivf" -> x11Oracle)
+    "x11_ann_ivf" -> x11Oracle,
+    "x12_ngram_jaccard" -> x12Oracle,
+    "x13_knn_lsh" -> x13Oracle)
 }

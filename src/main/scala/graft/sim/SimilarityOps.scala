@@ -96,6 +96,52 @@ object SimilarityOps {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** Deterministic md5-derived random hyperplanes for sign-LSH:
+    * `h(b)(i) = (int64(md5("b|i")[0:15]) mod 2001) − 1000` ∈ [−1000, 1000].
+    * md5-derived (not an RNG) so any engine reproduces the exact planes —
+    * the DuckDB-oracle contract, same trick as [[graft.text.TextOps.stableHash64]]. */
+  def lshHyperplanes(bits: Int, dim: Int): Seq[Seq[Long]] = {
+    def h64(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    (0 until bits).map(b => (0 until dim).map(i => h64(s"$b|$i") % 2001 - 1000))
+  }
+
+  /** Sign-LSH bucket id of a quantized vector: bit b = sign(v · h_b). */
+  def lshBucket(qvec: Column, planes: Seq[Seq[Long]]): Column =
+    planes.zipWithIndex.map { case (p, b) =>
+      when(qdot(qvec, array(p.map(lit): _*)) >= 0, lit(1 << b)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN: random-hyperplane sign buckets replace the learned
+    * IVF cells — zero training, one narrow pass to bucket, then the same
+    * per-bucket shuffle join as [[knnBlocked]]. Cosine-sign LSH puts
+    * high-cosine vectors in the same bucket with high probability; recall
+    * < 1.0 by construction (raise `bits`↓bucket size, or hash several
+    * tables, to trade). */
+  def knnLsh(queries: DataFrame, candidates: DataFrame, idCol: String,
+      vecCol: String, k: Int, bits: Int = 8, dim: Int = 64): DataFrame = {
+    val planes = lshHyperplanes(bits, dim)
+    val q = withQuantized(queries, vecCol).select(
+      col(idCol).as("query_id"), col("qvec").as("qv"), col("qn2").as("qn"),
+      lshBucket(col("qvec"), planes).as("bkt"))
+    val c = withQuantized(candidates, vecCol).select(
+      col(idCol).as("neighbor_id"), col("qvec").as("cv"), col("qn2").as("cn"),
+      lshBucket(col("qvec"), planes).as("bkt2"))
+    val scored = q.join(c,
+      col("bkt") === col("bkt2") && col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        qdot(col("qv"), col("cv")).cast(DoubleType) /
+          (sqrt(col("qn").cast(DoubleType)) * sqrt(col("cn").cast(DoubleType))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
   /** Near-duplicate pairs by cosine threshold within a coarse block —
     * embedding-based near-dedup (doc_a < doc_b, deterministic). */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,

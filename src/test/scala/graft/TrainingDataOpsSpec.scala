@@ -110,4 +110,48 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(plans(1) === Seq(0))
     assert(plans(2) === Seq.empty)
   }
+
+  test("LSH hyperplanes are deterministic and bounded") {
+    val p1 = SimilarityOps.lshHyperplanes(8, 16)
+    val p2 = SimilarityOps.lshHyperplanes(8, 16)
+    assert(p1 === p2)
+    assert(p1.flatten.forall(v => v >= -1000 && v <= 1000))
+    // distinct planes (md5 keeps them independent)
+    assert(p1.distinct.length === 8)
+  }
+
+  test("knnLsh: positive scalar multiples share every sign bit and rank first") {
+    // v and 2·v have identical hyperplane signs → same bucket, cosine 1.0
+    val base = Seq.tabulate(8)(i => (i % 3 - 1).toFloat + 0.5f)
+    val rows = Seq(
+      (0L, base.toArray),
+      (1L, base.map(_ * 2).toArray),
+      (2L, base.map(x => -x).toArray)) // antipode: all bits flipped
+    val df = rows.toDF("vec_id", "embedding")
+    val out = SimilarityOps.knnLsh(df.filter($"vec_id" === 0), df,
+        "vec_id", "embedding", k = 2, bits = 6, dim = 8)
+      .orderBy("rank").collect()
+    assert(out.nonEmpty)
+    assert(out.head.getAs[Long]("neighbor_id") === 1L)
+    assert(math.abs(out.head.getAs[Double]("cosine") - 1.0) < 1e-12)
+    // the antipode can never share the bucket (every bit differs)
+    assert(!out.map(_.getAs[Long]("neighbor_id")).contains(2L))
+  }
+
+  test("blocked n-gram jaccard keeps identical docs at 1.0") {
+    val df = Seq(
+      (1L, "en", "alpha beta gamma delta"),
+      (17L, "en", "alpha beta gamma delta"), // same bucket (1 % 16 == 17 % 16)
+      (2L, "en", "zz yy xx ww")).toDF("doc_id", "lang", "text")
+    val sh = df.select(col("doc_id"), col("lang"), (col("doc_id") % 16).as("b"),
+      DedupOps.shingles(col("text"), 2).as("sh"))
+    val pairs = sh.join(
+        sh.select(col("doc_id").as("p"), col("lang").as("l2"), col("b").as("b2"),
+          col("sh").as("sh2")),
+        col("lang") === col("l2") && col("b") === col("b2") && col("doc_id") =!= col("p"))
+      .select(col("doc_id"), col("p"), DedupOps.jaccard(col("sh"), col("sh2")).as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 17L)) === 1.0)
+    assert(!pairs.contains((1L, 2L))) // different bucket
+  }
 }
