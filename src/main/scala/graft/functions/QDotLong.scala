@@ -78,10 +78,23 @@ object NativeFunctions {
   private val registered = java.util.Collections.synchronizedSet(
     new java.util.HashSet[String]())
 
+  /** The native function catalog: one entry per custom Expression, in
+    * `SparkSessionExtensions.injectFunction` shape so the same list backs
+    * both the session-scoped registration and [[GraftExtensions]]. */
+  val functions: Seq[(org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_qdot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[QDotLong].getCanonicalName, "graft_qdot"),
+      (exprs: Seq[Expression]) => QDotLong(exprs(0), exprs(1))))
+
   def register(spark: SparkSession): Unit =
     if (registered.add(System.identityHashCode(spark).toString)) {
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "graft_qdot", exprs => QDotLong(exprs(0), exprs(1)), "built-in")
+      functions.foreach { case (ident, _, builder) =>
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+          ident.funcName, builder, "built-in")
+      }
     }
 
   /** Codegen'd dot product; requires an active session (register on use). */
@@ -89,4 +102,14 @@ object NativeFunctions {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_qdot", a, b)
   }
+}
+
+/** `SparkSessionExtensions` injector — the deployment path for a real
+  * cluster: `spark.sql.extensions=graft.functions.GraftExtensions` (or
+  * `builder.withExtensions(new GraftExtensions)`) registers every native
+  * function in the session catalog at startup, so SQL-only users (JDBC,
+  * thrift, notebooks) get `graft_qdot(...)` without touching Scala. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    NativeFunctions.functions.foreach(ext.injectFunction)
 }

@@ -45,4 +45,24 @@ class NativeQDotSpec extends AnyFunSuite {
       s"graft_qdot not inside a codegen stage:\n$plan")
     assert(df.agg(max(col("d"))).head().getLong(0) > 0L)
   }
+
+  test("GraftExtensions injects natives for SQL-only sessions") {
+    import org.apache.spark.sql.SparkSession
+    val prev = spark // keep the shared session to restore after
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // reuses prev's SparkContext; extensions apply to the new session
+      val s2 = SparkSession.builder()
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      assert(s2 ne prev)
+      val d = s2.sql("SELECT graft_qdot(array(1L, 2L), array(3L, 4L)) AS d")
+        .head().getLong(0)
+      assert(d === 11L)
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
 }

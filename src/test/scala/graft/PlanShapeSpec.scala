@@ -73,4 +73,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(top.getInt(0) === 7)
     assert(top.getLong(1) === 500L)
   }
+
+  test("q30: tumbling-window aggregate partial-combines before one exchange") {
+    val plan = executedPlan("q30_tumbling_window")
+    assert(plan.contains("partial_"))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1)
+  }
+
+  test("q32: pivot stays a single hash aggregate pair (no per-value scans)") {
+    val plan = executedPlan("q32_pivot")
+    assert("FileScan|Scan parquet".r.findAllIn(plan).length === 1)
+    assert(plan.contains("pivotfirst") || plan.contains("partial_"))
+  }
+
+  test("x13: LSH join is a bucket equi-join, never a cross product") {
+    val plan = SparkEntry.queries("x13_knn_lsh")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Cross"))
+  }
 }
