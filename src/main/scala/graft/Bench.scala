@@ -17,10 +17,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup so the first query doesn't absorb JVM/codegen/shuffle
-    // startup: a scan + a small shuffling aggregate
+    // untimed warmup so the first query per table doesn't absorb JVM/
+    // codegen/shuffle startup or first-touch file I/O: count every table
+    // (page cache + footer reads), then one small shuffling aggregate
     try {
       import org.apache.spark.sql.functions._
+      Seq("lineitem", "orders", "customer", "part", "supplier", "nation",
+        "region", "events", "documents", "embeddings").foreach { t =>
+        try spark.read.parquet(s"$sfDir/$t.parquet").count()
+        catch { case _: Throwable => }
+      }
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       li.groupBy("l_returnflag").agg(sum("l_quantity")).count()
     } catch { case _: Throwable => }
