@@ -778,7 +778,61 @@ object QueriesRelational {
       |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_r
       |FROM lineitem GROUP BY l_linestatus""".stripMargin
 
+  /** The FRONTEND in the correctness gate: parse an engine-authored
+    * `.dtsx` from the classpath, compile its dataflow (source schema cast,
+    * two full-cache lookups → broadcast joins, SSIS-expression derived
+    * column, conditional-split routing tag, observe row count) with
+    * [[graft.ops.DataFlowCompiler]], bind tables to the testdata parquet
+    * via [[graft.sources.Sources.testdataResolver]], and emit the enriched
+    * rows. The oracle re-states the same semantics in SQL — so parser,
+    * IR, expression compiler, and operator compiler are all hash-checked. */
+  def q33_dtsx_dataflow(spark: SparkSession, dir: String): DataFrame = {
+    val in = getClass.getResourceAsStream("/dtsx/LineitemMartETL.dtsx")
+    val xml = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    val pkg = graft.parser.DtsxParser.parseString(xml)
+    val flow = pkg.tasks.collectFirst { case d: graft.ir.Ir.DataFlowTask => d }
+      .getOrElse(throw new IllegalStateException("no dataflow in package"))
+    val compiled = graft.ops.DataFlowCompiler.compile(
+      flow, graft.sources.Sources.testdataResolver(spark, dir))
+    compiled.df.select(
+      col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+      col("l_quantity").cast(DoubleType).as("l_quantity"),
+      col("l_extendedprice").cast(DoubleType).as("l_extendedprice"),
+      col("l_discount").cast(DoubleType).as("l_discount"),
+      col("l_shipdate"),
+      col("p_brand"), col("s_name"),
+      col("net_price").cast(DoubleType).as("net_price"),
+      col(graft.ops.DataFlowCompiler.SplitTagColumn).as("route"))
+  }
+
+  val q33Oracle: String =
+    """WITH src AS (
+      |  SELECT l_orderkey, CAST(l_linenumber AS INT) AS l_linenumber,
+      |    l_partkey, l_suppkey,
+      |    CAST(l_quantity AS DECIMAL(12,2)) AS qty,
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+      |    CAST(l_discount AS DECIMAL(5,4)) AS disc,
+      |    l_shipdate
+      |  FROM lineitem),
+      |derived AS (
+      |  SELECT *, CAST(round(price * (1 - disc), 2) AS DECIMAL(18,2)) AS np
+      |  FROM src)
+      |SELECT d.l_orderkey, d.l_linenumber, d.l_partkey, d.l_suppkey,
+      |  CAST(d.qty AS DOUBLE) AS l_quantity,
+      |  CAST(d.price AS DOUBLE) AS l_extendedprice,
+      |  CAST(d.disc AS DOUBLE) AS l_discount,
+      |  d.l_shipdate,
+      |  p.p_brand, s.s_name,
+      |  CAST(d.np AS DOUBLE) AS net_price,
+      |  CASE WHEN d.np > 4000 THEN 'high'
+      |       WHEN d.np > 1000 THEN 'mid'
+      |       ELSE 'low' END AS route
+      |FROM derived d
+      |LEFT JOIN part p ON d.l_partkey = p.p_partkey
+      |LEFT JOIN supplier s ON d.l_suppkey = s.s_suppkey""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q33_dtsx_dataflow" -> (q33_dtsx_dataflow _),
     "q30_tumbling_window" -> (q30_tumbling_window _),
     "q31_set_ops" -> (q31_set_ops _),
     "q32_pivot" -> (q32_pivot _),
@@ -812,6 +866,7 @@ object QueriesRelational {
     "q22_date_functions" -> (q22_date_functions _))
 
   val oracle: Map[String, String] = Map(
+    "q33_dtsx_dataflow" -> q33Oracle,
     "q30_tumbling_window" -> q30Oracle,
     "q31_set_ops" -> q31Oracle,
     "q32_pivot" -> q32Oracle,

@@ -3,6 +3,7 @@ package graft.sources
 import graft.ir.Ir.{ColumnInfo, ConnectionManager}
 import graft.types.SsisTypes
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Source/sink surface (SURVEY.md §2.1).
@@ -57,6 +58,33 @@ object Sources {
         case _ => None
       }
     }
+  }
+
+  /** Resolver backing a parsed package with parquet testdata: the
+    * `[schema].[table]` in a component's `SqlCommand`/`OpenRowset` names
+    * the parquet file under `dir`, and a `SELECT a, b FROM …` projection
+    * in the SQL is honored (column pruning reaches the scan). This is the
+    * S1/S2 runtime binding — swap the body for `spark.read.format("jdbc")`
+    * against a live warehouse; the compiled plan is identical. */
+  def testdataResolver(spark: SparkSession, dir: String)
+      : graft.ops.DataFlowCompiler.Resolver = {
+    val tableRe = """\[\w+\]\.\[(\w+)\]""".r
+    val projRe = """(?is)\s*SELECT\s+(.*?)\s+FROM\s.*""".r
+    def resolve(sql: Option[String], openRowset: Option[String]): DataFrame = {
+      val text = openRowset.orElse(sql).getOrElse(
+        throw new IllegalArgumentException("component names no table"))
+      val table = tableRe.findFirstMatchIn(text).map(_.group(1)).getOrElse(
+        throw new IllegalArgumentException(s"no [schema].[table] in: $text"))
+      val scan = spark.read.parquet(s"$dir/$table.parquet")
+      sql match {
+        case Some(projRe(cols)) if cols.trim != "*" =>
+          scan.select(cols.split(",").map(c => col(c.trim)): _*)
+        case _ => scan
+      }
+    }
+    graft.ops.DataFlowCompiler.Resolver(
+      source = s => resolve(s.sqlCommand, s.tableName),
+      lookup = l => resolve(l.sqlCommand, None))
   }
 
   /** Connection manager → Spark reader options (S7). JDBC shape for SQL

@@ -86,6 +86,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("pivotfirst") || plan.contains("partial_"))
   }
 
+  test("q33: dtsx-compiled full-cache lookups broadcast; source projection prunes") {
+    val plan = executedPlan("q33_dtsx_dataflow")
+    assert("BroadcastHashJoin".r.findAllIn(plan).length === 2)
+    assert(!plan.contains("SortMergeJoin"))
+    // the SELECT projection in the source SqlCommand reaches the scan
+    assert(!plan.contains("l_comment"))
+  }
+
   test("x13: LSH join is a bucket equi-join, never a cross product") {
     val plan = SparkEntry.queries("x13_knn_lsh")(spark, sf)
       .queryExecution.optimizedPlan.toString
