@@ -831,7 +831,70 @@ object QueriesRelational {
       |LEFT JOIN part p ON d.l_partkey = p.p_partkey
       |LEFT JOIN supplier s ON d.l_suppkey = s.s_suppkey""".stripMargin
 
+  /** True SCD2 merge in the gate (§7.3's hard part, beyond the
+    * reference's lossy rebuild): a deterministic incoming batch flips the
+    * segment of every 10th customer; changed keys close out (valid_to set,
+    * is_current false) and re-insert as the new current version, unchanged
+    * rows pass through. One shuffle on the natural key. */
+  def q34_scd2_merge(spark: SparkSession, dir: String): DataFrame = {
+    import graft.patterns.ScdType2
+    val base = customer(spark, dir).select(
+      col("c_custkey").as("customer_id"),
+      col("c_name").as("customer_name"),
+      col("c_mktsegment").as("segment"))
+    val current = ScdType2.rebuild(base,
+      naturalKey = Seq("customer_id"), tracked = Seq("customer_name", "segment"),
+      validFrom = lit("2024-01-01").cast(TimestampType))
+    val incoming = base.withColumn("segment",
+      when(col("customer_id") % 10 === 0, lit("MACHINERY")).otherwise(col("segment")))
+    ScdType2.merge(current, incoming,
+      naturalKey = Seq("customer_id"), tracked = Seq("customer_name", "segment"),
+      effectiveTs = lit("2024-06-01").cast(TimestampType))
+  }
+
+  val q34Oracle: String =
+    """WITH base AS (
+      |  SELECT c_custkey AS customer_id, c_name AS customer_name,
+      |    c_mktsegment AS segment
+      |  FROM customer),
+      |cur AS (
+      |  SELECT customer_id, customer_name, segment,
+      |    md5(COALESCE(CAST(customer_id AS VARCHAR), '_dbt_utils_surrogate_key_null_')) AS surrogate_key,
+      |    md5(concat_ws('-',
+      |      COALESCE(customer_name, '_dbt_utils_surrogate_key_null_'),
+      |      COALESCE(segment, '_dbt_utils_surrogate_key_null_'))) AS row_hash,
+      |    TRUE AS is_current,
+      |    TIMESTAMP '2024-01-01' AS valid_from,
+      |    CAST(NULL AS TIMESTAMP) AS valid_to
+      |  FROM base),
+      |inc AS (
+      |  SELECT customer_id, customer_name,
+      |    CASE WHEN customer_id % 10 = 0 THEN 'MACHINERY' ELSE segment END AS segment
+      |  FROM base),
+      |inc_h AS (
+      |  SELECT *,
+      |    md5(COALESCE(CAST(customer_id AS VARCHAR), '_dbt_utils_surrogate_key_null_')) AS surrogate_key,
+      |    md5(concat_ws('-',
+      |      COALESCE(customer_name, '_dbt_utils_surrogate_key_null_'),
+      |      COALESCE(segment, '_dbt_utils_surrogate_key_null_'))) AS row_hash
+      |  FROM inc),
+      |changed AS (
+      |  SELECT i.customer_id FROM inc_h i JOIN cur c USING (customer_id)
+      |  WHERE c.row_hash <> i.row_hash)
+      |SELECT customer_id, customer_name, segment, surrogate_key, row_hash,
+      |  is_current, valid_from, valid_to
+      |FROM cur WHERE customer_id NOT IN (SELECT customer_id FROM changed)
+      |UNION ALL
+      |SELECT customer_id, customer_name, segment, surrogate_key, row_hash,
+      |  FALSE, valid_from, TIMESTAMP '2024-06-01'
+      |FROM cur WHERE customer_id IN (SELECT customer_id FROM changed)
+      |UNION ALL
+      |SELECT customer_id, customer_name, segment, surrogate_key, row_hash,
+      |  TRUE, TIMESTAMP '2024-06-01', CAST(NULL AS TIMESTAMP)
+      |FROM inc_h WHERE customer_id IN (SELECT customer_id FROM changed)""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_scd2_merge" -> (q34_scd2_merge _),
     "q33_dtsx_dataflow" -> (q33_dtsx_dataflow _),
     "q30_tumbling_window" -> (q30_tumbling_window _),
     "q31_set_ops" -> (q31_set_ops _),
@@ -866,6 +929,7 @@ object QueriesRelational {
     "q22_date_functions" -> (q22_date_functions _))
 
   val oracle: Map[String, String] = Map(
+    "q34_scd2_merge" -> q34Oracle,
     "q33_dtsx_dataflow" -> q33Oracle,
     "q30_tumbling_window" -> q30Oracle,
     "q31_set_ops" -> q31Oracle,
