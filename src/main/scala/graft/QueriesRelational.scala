@@ -893,7 +893,47 @@ object QueriesRelational {
       |  TRUE, TIMESTAMP '2024-06-01', CAST(NULL AS TIMESTAMP)
       |FROM inc_h WHERE customer_id IN (SELECT customer_id FROM changed)""".stripMargin
 
+  /** Branched-dataflow frontend in the gate: the `<paths>` graph routes a
+    * Conditional Split's outputs into two different derived-column
+    * branches that re-merge in a Union All and aggregate —
+    * [[graft.ops.DataFlowCompiler.compileDag]]'s general pipeline
+    * topology, hash-checked end-to-end (one plan: branches share the
+    * source scan subtree, the union aggregates with partial combine). */
+  def q35_dtsx_branched(spark: SparkSession, dir: String): DataFrame = {
+    val in = getClass.getResourceAsStream("/dtsx/DispositionBranchETL.dtsx")
+    val xml = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    val pkg = graft.parser.DtsxParser.parseString(xml)
+    val flow = pkg.tasks.collectFirst { case d: graft.ir.Ir.DataFlowTask => d }
+      .getOrElse(throw new IllegalStateException("no dataflow in package"))
+    val dag = graft.ops.DataFlowCompiler.compileDag(
+      flow, graft.sources.Sources.testdataResolver(spark, dir))
+    val (_, rollup) = dag.destinations("Mart Destination")
+    rollup.select(
+      col("disposition"),
+      col("total_amount").cast(DoubleType).as("total_amount"),
+      col("total_quantity").cast(DoubleType).as("total_quantity"),
+      col("n_rows"))
+  }
+
+  val q35Oracle: String =
+    """WITH src AS (
+      |  SELECT l_returnflag,
+      |    CAST(l_quantity AS DECIMAL(12,2)) AS q,
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) AS p
+      |  FROM lineitem),
+      |routed AS (
+      |  SELECT CASE WHEN l_returnflag = 'R' THEN 'RETURN' ELSE 'KEEP' END AS disposition,
+      |    CASE WHEN l_returnflag = 'R' THEN CAST(0 - p AS DECIMAL(18,2)) ELSE p END AS amount,
+      |    q
+      |  FROM src)
+      |SELECT disposition,
+      |  CAST(SUM(amount) AS DOUBLE) AS total_amount,
+      |  CAST(SUM(q) AS DOUBLE) AS total_quantity,
+      |  COUNT(*) AS n_rows
+      |FROM routed GROUP BY disposition""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q35_dtsx_branched" -> (q35_dtsx_branched _),
     "q34_scd2_merge" -> (q34_scd2_merge _),
     "q33_dtsx_dataflow" -> (q33_dtsx_dataflow _),
     "q30_tumbling_window" -> (q30_tumbling_window _),
@@ -929,6 +969,7 @@ object QueriesRelational {
     "q22_date_functions" -> (q22_date_functions _))
 
   val oracle: Map[String, String] = Map(
+    "q35_dtsx_branched" -> q35Oracle,
     "q34_scd2_merge" -> q34Oracle,
     "q33_dtsx_dataflow" -> q33Oracle,
     "q30_tumbling_window" -> q30Oracle,

@@ -171,10 +171,20 @@ object Ir {
       resultSet: String = "None", // None | SingleRow | Full
       parameters: List[String] = Nil) extends Task
 
+  /** An edge of a branched dataflow: `from`'s output (optionally a named
+    * ConditionalSplit route or MergeJoin side) feeds `to`. `toInput` is
+    * "left"/"right" for MergeJoin inputs; None elsewhere. */
+  final case class FlowPath(
+      from: String,
+      fromOutput: Option[String],
+      to: String,
+      toInput: Option[String])
+
   final case class DataFlowTask(
       name: String,
       description: Option[String],
-      components: List[DataFlowComponent]) // document order = pipeline order
+      components: List[DataFlowComponent], // document order = pipeline order
+      paths: List[FlowPath] = Nil) // empty → linear (document-order) flow
       extends Task {
     def sources: List[SourceComponent] =
       components.collect { case s: SourceComponent => s }

@@ -228,4 +228,132 @@ object DataFlowCompiler {
 
   /** Union All (J4/W4): n-ary by-name union. */
   def unionAll(dfs: Seq[DataFrame]): DataFrame = dfs.reduce(_ unionByName _)
+
+  final case class CompiledDag(
+      /** terminal (no outgoing edge, non-destination) component → frame. */
+      outputs: Map[String, DataFrame],
+      /** destination component name → (component, frame flowing into it). */
+      destinations: Map[String, (DestinationComponent, DataFrame)],
+      observations: Map[String, Observation],
+      failComponentChecks: Map[String, String],
+      warnings: List[String])
+
+  /** Branched-dataflow compiler: the `<paths>` graph decides wiring, so a
+    * Conditional Split can feed DIFFERENT downstream branches per route,
+    * and Merge Join / Union All are true multi-input nodes — the general
+    * SSIS pipeline topology, beyond [[compile]]'s linear document-order
+    * flow. Still one declarative plan per terminal: branches share the
+    * source scan subtree and Catalyst owns physical strategy.
+    *
+    * Route resolution: an edge leaving a Conditional Split names its
+    * route in `fromOutput` (the SSIS `Outputs[route]` refId form); edges
+    * entering a Merge Join carry "left"/"right" in `toInput`, else the
+    * path order decides. */
+  def compileDag(task: DataFlowTask, resolver: Resolver): CompiledDag = {
+    require(task.paths.nonEmpty, s"dataflow ${task.name} has no paths; use compile()")
+    val warnings = scala.collection.mutable.ListBuffer.empty[String]
+    val observations = scala.collection.mutable.Map.empty[String, Observation]
+    val failChecks = scala.collection.mutable.Map.empty[String, String]
+    val destinations = scala.collection.mutable.Map.empty[String, (DestinationComponent, DataFrame)]
+
+    val byName = task.components.map(c => c.name -> c).toMap
+    val incoming = task.paths.groupBy(_.to)
+    val hasOutgoing = task.paths.map(_.from).toSet
+
+    // Kahn topo order over the path graph (components not on any path are
+    // ignored — they're dead nodes in a branched flow)
+    val onGraph = (task.paths.map(_.from) ++ task.paths.map(_.to)).distinct
+    val indeg = scala.collection.mutable.Map(
+      onGraph.map(n => n -> incoming.getOrElse(n, Nil).length): _*)
+    val order = scala.collection.mutable.ListBuffer.empty[String]
+    val queue = scala.collection.mutable.Queue(
+      onGraph.filter(indeg(_) == 0).sorted: _*)
+    while (queue.nonEmpty) {
+      val n = queue.dequeue()
+      order += n
+      task.paths.filter(_.from == n).map(_.to).distinct.foreach { m =>
+        indeg(m) -= 1
+        if (indeg(m) == 0) queue.enqueue(m)
+      }
+    }
+    require(order.length == onGraph.length,
+      s"dataflow ${task.name} paths contain a cycle")
+
+    // (component, route) → produced frame; non-split components publish
+    // under route None
+    val produced = scala.collection.mutable.Map.empty[(String, Option[String]), DataFrame]
+    def frameFor(p: graft.ir.Ir.FlowPath): DataFrame = {
+      val fromComp = byName(p.from)
+      val key = fromComp match {
+        case _: ConditionalSplitComponent => (p.from, p.fromOutput)
+        case _ => (p.from, None)
+      }
+      produced.getOrElse(key, throw new IllegalArgumentException(
+        s"path ${p.from}→${p.to}: no output ${p.fromOutput.getOrElse("<default>")} produced"))
+    }
+
+    order.foreach { name =>
+      val comp = byName.getOrElse(name, throw new IllegalArgumentException(
+        s"path references unknown component '$name'"))
+      val ins: List[(graft.ir.Ir.FlowPath, DataFrame)] =
+        incoming.getOrElse(name, Nil).map(p => p -> frameFor(p))
+      def single: DataFrame = ins match {
+        case (_, df) :: Nil => df
+        case _ => throw new IllegalArgumentException(
+          s"component '$name' needs exactly one input, got ${ins.length}")
+      }
+      comp match {
+        case s: SourceComponent =>
+          produced((name, None)) = applySourceSchema(resolver.source(s), s)
+        case d: DestinationComponent =>
+          destinations(name) = (d, single)
+        case l: LookupComponent =>
+          val (joined, appendedKey) = applyLookup(single, l, resolver)
+          produced((name, None)) = joined
+          if (l.noMatchBehavior == NoMatchBehavior.FailComponent)
+            appendedKey.foreach(k => failChecks(l.name) = k)
+        case dc: DerivedColumnComponent =>
+          produced((name, None)) = applyDerivedColumns(single, dc)
+        case cs: ConditionalSplitComponent =>
+          val tagged = applySplitTag(single, cs)
+          produced((name, None)) = tagged
+          splitRoutes(tagged, cs).foreach { case (route, df) =>
+            produced((name, Some(route))) = df
+          }
+        case a: AggregateComponent =>
+          produced((name, None)) = applyAggregate(single, a)
+        case s: SortComponent =>
+          produced((name, None)) = single.orderBy(s.sortColumns.map {
+            case (c, asc) => if (asc) col(c).asc else col(c).desc }: _*)
+        case rc: RowCountComponent =>
+          val obs = new Observation(s"${task.name}/$name")
+          produced((name, None)) = single.observe(obs, count(lit(1)).as("row_count"))
+          observations(rc.variableName) = obs
+        case conv: DataConversionComponent =>
+          produced((name, None)) = conv.conversions.foldLeft(single) {
+            case (acc, (src, t)) =>
+              acc.withColumn(s"${src}_conv", col(src).cast(SsisTypes.toSpark(t)))
+          }
+        case mj: MergeJoinComponent =>
+          require(ins.length == 2, s"MergeJoin '$name' needs 2 inputs, got ${ins.length}")
+          val left = ins.find(_._1.toInput.contains("left")).map(_._2)
+            .getOrElse(ins.head._2)
+          val right = ins.find(_._1.toInput.contains("right")).map(_._2)
+            .getOrElse(ins.last._2)
+          produced((name, None)) = mergeJoin(left, right, mj)
+        case u: UnionAllComponent =>
+          require(ins.nonEmpty, s"UnionAll '$name' has no inputs")
+          produced((name, None)) = unionAll(ins.map(_._2))
+        case u: UnparsedComponent =>
+          warnings += s"component '${u.name}' (${u.componentType}) skipped; passing input through"
+          produced((name, None)) = single
+      }
+    }
+
+    val terminals = onGraph.filterNot(hasOutgoing.contains)
+      .filterNot(destinations.contains)
+      .flatMap(n => produced.get((n, None)).map(n -> _)).toMap
+    CompiledDag(terminals, destinations.toMap, observations.toMap,
+      failChecks.toMap, warnings.toList)
+  }
 }

@@ -137,7 +137,9 @@ object DtsxParser {
       case "Microsoft.Pipeline" =>
         val comps = (e \ "ObjectData" \ "pipeline" \ "components" \ "component").toList
           .map(parseComponent(_, warnings))
-        Some(DataFlowTask(name, desc, comps))
+        val paths = (e \ "ObjectData" \ "pipeline" \ "paths" \ "path").toList
+          .flatMap(parsePath)
+        Some(DataFlowTask(name, desc, comps, paths))
       case "Microsoft.ScriptTask" =>
         val script = (e \ "ObjectData" \\ "ScriptProject").headOption
         def vl(a: String) = script.flatMap(attr(_, a)).map(_.split(",").map(_.trim)
@@ -162,6 +164,36 @@ object DtsxParser {
       case other =>
         warnings += s"Task '$name' of type $other requires manual review"
         Some(UnsupportedTask(name, desc, other, s"unsupported executable type $other"))
+    }
+  }
+
+  /** A `<path>` edge. Accepts both SSIS refId spellings
+    * (`Package\Flow\Comp.Outputs[route]` / `...Inputs[Merge Join Left
+    * Input]`) and the bare `Comp` / `Comp.Outputs[route]` forms: the
+    * component name is the last `\`-segment before any `.Outputs[...]` /
+    * `.Inputs[...]` suffix; the bracket text is the output route (split
+    * branch) or input side ("left"/"right" recognized anywhere in a
+    * MergeJoin input name). */
+  private def parsePath(p: Node): Option[FlowPath] = {
+    def split(ref: String): (String, Option[String]) = {
+      val local = ref.split('\\').lastOption.getOrElse(ref)
+      val m = """(.*?)\.(?:Outputs|Inputs)\[(.*)\]""".r
+      local match {
+        case m(comp, port) => (comp, Some(port).filter(_.nonEmpty))
+        case other => (other, None)
+      }
+    }
+    for {
+      start <- attr(p, "startId")
+      end <- attr(p, "endId")
+    } yield {
+      val (from, fromOutput) = split(start)
+      val (to, toPort) = split(end)
+      val toInput = toPort.map(_.toLowerCase).collect {
+        case s if s.contains("left") => "left"
+        case s if s.contains("right") => "right"
+      }
+      FlowPath(from, fromOutput, to, toInput)
     }
   }
 

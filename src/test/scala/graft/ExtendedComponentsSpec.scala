@@ -170,4 +170,65 @@ class ExtendedComponentsSpec extends AnyFunSuite {
     val u = DataFlowCompiler.unionAll(Seq(l, Seq((9, "z")).toDF("k", "lv")))
     assert(u.count() === 3)
   }
+
+  test("dag compiler: split routes feed distinct branches, re-merge, aggregate") {
+    val src = Seq((1L, "R", 10.0), (2L, "N", 20.0), (3L, "R", 30.0))
+      .toDF("id", "flag", "v")
+    val flow = DataFlowTask("branched", None, List(
+      SourceComponent("Src", "OLEDBSource", None, None, None, None, Nil),
+      ConditionalSplitComponent("Split", List("r" -> "[flag] == \"R\""), "other"),
+      DerivedColumnComponent("TagR", List(DerivedColumnDef("lbl", "\"ret\"", None,
+        graft.types.SsisTypes.SsisColumnType("wstr", Some(5))))),
+      DerivedColumnComponent("TagO", List(DerivedColumnDef("lbl", "\"kept\"", None,
+        graft.types.SsisTypes.SsisColumnType("wstr", Some(5))))),
+      UnionAllComponent("Union"),
+      AggregateComponent("Agg", List(
+        AggSpec("lbl", "lbl", AggFunction.GroupBy),
+        AggSpec("v", "total", AggFunction.Sum)))),
+      paths = List(
+        FlowPath("Src", None, "Split", None),
+        FlowPath("Split", Some("r"), "TagR", None),
+        FlowPath("Split", Some("other"), "TagO", None),
+        FlowPath("TagR", None, "Union", None),
+        FlowPath("TagO", None, "Union", None),
+        FlowPath("Union", None, "Agg", None)))
+    val dag = DataFlowCompiler.compileDag(flow,
+      Resolver(_ => src, _ => fail("no lookup")))
+    val out = dag.outputs("Agg").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out === Map("ret" -> 40.0, "kept" -> 20.0))
+  }
+
+  test("dag compiler: merge join honors left/right path annotations") {
+    val a = Seq((1, "a1"), (2, "a2")).toDF("k", "av")
+    val b = Seq((1, "b1")).toDF("k2", "bv")
+    val flow = DataFlowTask("mj", None, List(
+      SourceComponent("A", "OLEDBSource", None, None, None, None, Nil),
+      SourceComponent("B", "OLEDBSource", None, None, None, None, Nil),
+      MergeJoinComponent("Join", "LEFT", List("k"), List("k2"))),
+      paths = List(
+        // declared out of order: the annotations, not the order, decide
+        FlowPath("B", None, "Join", Some("right")),
+        FlowPath("A", None, "Join", Some("left"))))
+    val dag = DataFlowCompiler.compileDag(flow,
+      Resolver(s => if (s.name == "A") a else b, _ => fail("no lookup")))
+    val out = dag.outputs("Join")
+    assert(out.count() === 2) // LEFT join keeps both A rows
+    assert(out.filter(col("k") === 2).head().isNullAt(3))
+  }
+
+  test("dag compiler: rejects cyclic paths") {
+    val flow = DataFlowTask("cyc", None, List(
+      SourceComponent("A", "OLEDBSource", None, None, None, None, Nil),
+      SortComponent("S1", List("x" -> true)),
+      SortComponent("S2", List("x" -> true))),
+      paths = List(
+        FlowPath("S1", None, "S2", None),
+        FlowPath("S2", None, "S1", None)))
+    val e = intercept[IllegalArgumentException] {
+      DataFlowCompiler.compileDag(flow,
+        Resolver(_ => Seq(1).toDF("x"), _ => fail("no lookup")))
+    }
+    assert(e.getMessage.contains("cycle"))
+  }
 }
