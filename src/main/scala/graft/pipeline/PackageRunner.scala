@@ -67,6 +67,20 @@ object PackageRunner {
   def runTask(spark: SparkSession, pkg: SsisPackage, task: Task, env: RuntimeEnv): TaskRun =
     try {
       task match {
+        case df: DataFlowTask if df.paths.nonEmpty =>
+          // branched topology: wiring comes from the <paths> graph
+          val dag = DataFlowCompiler.compileDag(df, env.resolver)
+          dag.destinations.values.foreach { case (d, frame) =>
+            env.write(d.tableName.getOrElse(d.name), frame, SaveMode.Append)
+          }
+          // terminal non-destination branches still execute (count action)
+          val terminalRows = dag.outputs.values.map(_.count()).sum
+          val observed = dag.observations.map { case (v, obs) =>
+            v -> obs.get.get("row_count").asInstanceOf[Long]
+          }
+          TaskRun(task.name, "DataFlowTask", TaskStatus.Succeeded,
+            if (dag.outputs.nonEmpty) Some(terminalRows) else None, observed,
+            notes = dag.warnings)
         case df: DataFlowTask =>
           val compiled = DataFlowCompiler.compile(df, env.resolver)
           val dest = compiled.destination

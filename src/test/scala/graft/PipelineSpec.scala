@@ -211,4 +211,18 @@ class PipelineSpec extends AnyFunSuite {
     val rep = report(pk)
     assert(rep.contains("PASS"))
   }
+
+  test("runner executes a branched (<paths>) package: destination written via DAG") {
+    val in = getClass.getResourceAsStream("/dtsx/DispositionBranchETL.dtsx")
+    val xml = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    val pkg = DtsxParser.parseString(xml)
+    val written = scala.collection.mutable.Map.empty[String, Long]
+    val env = PackageRunner.RuntimeEnv(
+      resolver = graft.sources.Sources.testdataResolver(spark, "/root/testdata/sf0.001"),
+      write = (t, df, _) => written(t) = df.count())
+    val run = PackageRunner.run(spark, pkg, env)
+    assert(!run.failed)
+    assert(written.keySet === Set("[mart].[disposition_rollup]"))
+    assert(written("[mart].[disposition_rollup]") === 2L) // RETURN + KEEP
+  }
 }
