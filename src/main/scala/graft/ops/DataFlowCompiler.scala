@@ -317,6 +317,7 @@ object DataFlowCompiler {
         case cs: ConditionalSplitComponent =>
           val tagged = applySplitTag(single, cs)
           produced((name, None)) = tagged
+          produced((name, Some(SplitInputKey))) = single
           splitRoutes(tagged, cs).foreach { case (route, df) =>
             produced((name, Some(route))) = df
           }
@@ -343,7 +344,9 @@ object DataFlowCompiler {
           produced((name, None)) = mergeJoin(left, right, mj)
         case u: UnionAllComponent =>
           require(ins.nonEmpty, s"UnionAll '$name' has no inputs")
-          produced((name, None)) = unionAll(ins.map(_._2))
+          produced((name, None)) =
+            fuseSplitUnionDiamond(task, byName, incoming, name, produced)
+              .getOrElse(unionAll(ins.map(_._2)))
         case u: UnparsedComponent =>
           warnings += s"component '${u.name}' (${u.componentType}) skipped; passing input through"
           produced((name, None)) = single
@@ -355,5 +358,78 @@ object DataFlowCompiler {
       .flatMap(n => produced.get((n, None)).map(n -> _)).toMap
     CompiledDag(terminals, destinations.toMap, observations.toMap,
       failChecks.toMap, warnings.toList)
+  }
+
+  /** Internal key under which a split's *input* frame is published. */
+  private val SplitInputKey = "__split_input"
+
+  /** Split→branches→union diamond fusion — the 100 TB rewrite: a naive
+    * union of per-route branches scans the shared source subtree once PER
+    * BRANCH (Spark has no automatic CTE reuse across union inputs). When
+    * every union input is a chain of DerivedColumn components hanging off
+    * a distinct route of one Conditional Split — and the diamond is
+    * closed (all routes consumed exactly here, no side taps) — the whole
+    * shape collapses to ONE pass over the split's input: each branch's
+    * derived expression evaluates behind a `CASE WHEN route = r` gate.
+    * Returns None when the pattern doesn't hold (fallback: plain union).
+    */
+  private def fuseSplitUnionDiamond(
+      task: DataFlowTask,
+      byName: Map[String, DataFlowComponent],
+      incoming: Map[String, List[graft.ir.Ir.FlowPath]],
+      unionName: String,
+      produced: scala.collection.Map[(String, Option[String]), DataFrame])
+      : Option[DataFrame] = {
+    val outDegree = task.paths.groupBy(_.from).map { case (k, v) => k -> v.length }
+    // walk each union input back through DerivedColumn-only chains to a
+    // split route; None if anything else is in the way
+    final case class Chain(route: String, defs: List[DerivedColumnDef])
+    def walk(p: graft.ir.Ir.FlowPath, acc: List[DerivedColumnDef])
+        : Option[(String, Chain)] = byName.get(p.from) match {
+      case Some(d: DerivedColumnComponent) if outDegree.getOrElse(d.name, 0) == 1 =>
+        incoming.getOrElse(d.name, Nil) match {
+          case up :: Nil => walk(up, d.columns ++ acc)
+          case _ => None
+        }
+      case Some(s: ConditionalSplitComponent) =>
+        p.fromOutput.map(route => s.name -> Chain(route, acc))
+      case _ => None
+    }
+    val walked = incoming.getOrElse(unionName, Nil).map(walk(_, Nil))
+    if (walked.exists(_.isEmpty)) return None
+    val bySplit = walked.flatten.groupBy(_._1)
+    if (bySplit.size != 1) return None
+    val (splitName, chains0) = bySplit.head
+    val chains = chains0.map(_._2)
+    val cs = byName(splitName).asInstanceOf[ConditionalSplitComponent]
+    val allRoutes = (cs.cases.map(_._1) :+ cs.defaultOutput).toSet
+    // closed diamond: every route consumed exactly once, split feeds only
+    // these chains, and all chains derive the identical (name, type) set
+    if (chains.map(_.route).toSet != allRoutes) return None
+    if (chains.map(_.route).distinct.length != chains.length) return None
+    if (outDegree.getOrElse(splitName, 0) != chains.length) return None
+    val nameTypes = chains.map(_.defs.map(d => d.name -> d.outputType))
+    if (nameTypes.distinct.length != 1) return None
+
+    val splitInput = produced.getOrElse((splitName, Some(SplitInputKey)),
+      return None)
+    val tagged = applySplitTag(splitInput, cs)
+    val byRoute = chains.map(c => c.route -> c.defs).toMap
+    val fused = chains.head.defs.map(_.name).zipWithIndex
+      .foldLeft(tagged) { case (acc, (colName, idx)) =>
+        val types = acc.schema.fields.map(f => f.name -> f.dataType).toMap
+        val env = SsisExprCompiler.Env(col = n => col(n), colType = types.get)
+        val branches = chains.map { c =>
+          val d = c.defs(idx)
+          c.route -> SsisExprCompiler.compile(d.expression, env)
+            .cast(SsisTypes.toSpark(d.outputType))
+        }
+        val gated = branches.tail.foldLeft(
+          when(col(SplitTagColumn) === branches.head._1, branches.head._2)) {
+          case (w, (route, e)) => w.when(col(SplitTagColumn) === route, e)
+        }
+        acc.withColumn(colName, gated)
+      }
+    Some(fused.drop(SplitTagColumn))
   }
 }

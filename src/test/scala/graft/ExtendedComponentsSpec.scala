@@ -199,6 +199,33 @@ class ExtendedComponentsSpec extends AnyFunSuite {
     assert(out === Map("ret" -> 40.0, "kept" -> 20.0))
   }
 
+  test("dag compiler: open diamond (side tap) falls back to plain union, same results") {
+    val src = Seq((1L, "R", 10.0), (2L, "N", 20.0), (3L, "R", 30.0))
+      .toDF("id", "flag", "v")
+    val flow = DataFlowTask("sidetap", None, List(
+      SourceComponent("Src", "OLEDBSource", None, None, None, None, Nil),
+      ConditionalSplitComponent("Split", List("r" -> "[flag] == \"R\""), "other"),
+      DerivedColumnComponent("TagR", List(DerivedColumnDef("lbl", "\"ret\"", None,
+        graft.types.SsisTypes.SsisColumnType("wstr", Some(5))))),
+      DerivedColumnComponent("TagO", List(DerivedColumnDef("lbl", "\"kept\"", None,
+        graft.types.SsisTypes.SsisColumnType("wstr", Some(5))))),
+      UnionAllComponent("Union"),
+      SortComponent("Audit", List("id" -> true))), // side tap off TagR
+      paths = List(
+        FlowPath("Src", None, "Split", None),
+        FlowPath("Split", Some("r"), "TagR", None),
+        FlowPath("Split", Some("other"), "TagO", None),
+        FlowPath("TagR", None, "Union", None),
+        FlowPath("TagR", None, "Audit", None),
+        FlowPath("TagO", None, "Union", None)))
+    val dag = DataFlowCompiler.compileDag(flow,
+      Resolver(_ => src, _ => fail("no lookup")))
+    // side tap sees only the routed branch; union still carries all rows
+    assert(dag.outputs("Audit").count() === 2)
+    assert(dag.outputs("Union").count() === 3)
+    assert(dag.outputs("Union").filter(col("lbl") === "ret").count() === 2)
+  }
+
   test("dag compiler: merge join honors left/right path annotations") {
     val a = Seq((1, "a1"), (2, "a2")).toDF("k", "av")
     val b = Seq((1, "b1")).toDF("k2", "bv")

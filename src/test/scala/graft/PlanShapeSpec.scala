@@ -94,6 +94,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("l_comment"))
   }
 
+  test("q35: split→branches→union diamond fuses to ONE scan (no per-branch rescan)") {
+    val plan = executedPlan("q35_dtsx_branched")
+    assert("Scan parquet".r.findAllIn(plan).length === 1,
+      s"expected single lineitem scan after diamond fusion:\n$plan")
+    assert(!plan.contains("Union"))
+  }
+
   test("x13: LSH join is a bucket equi-join, never a cross product") {
     val plan = SparkEntry.queries("x13_knn_lsh")(spark, sf)
       .queryExecution.optimizedPlan.toString
