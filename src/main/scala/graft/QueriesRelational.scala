@@ -932,7 +932,64 @@ object QueriesRelational {
       |  COUNT(*) AS n_rows
       |FROM routed GROUP BY disposition""".stripMargin
 
+  /** The watermark-incremental EXECUTOR in the gate (not just the filter
+    * shape of q21): the sink's max watermark rides as a broadcast
+    * single-row frame — `WHERE updated_at > (SELECT MAX(updated_at) FROM
+    * {{ this }})` with no driver round-trip ([[graft.patterns.Incremental]]). */
+  def q36_incremental_exec(spark: SparkSession, dir: String): DataFrame = {
+    val watermarkUs = 1705795200000000L // 2024-01-21T00:00:00Z
+    val ev = eventsNs(spark, dir).select("event_id", "event_type", "ts_us")
+    val sink = ev.filter(col("ts_us") < watermarkUs) // the already-loaded rows
+    graft.patterns.Incremental.aboveWatermark(ev, sink, "ts_us")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_new"), min(col("ts_us")).as("first_new_us"))
+  }
+
+  val q36Oracle: String =
+    """SELECT event_type, COUNT(*) AS n_new, MIN(epoch_us(ts)) AS first_new_us
+      |FROM events
+      |WHERE epoch_us(ts) > (SELECT MAX(epoch_us(ts)) FROM events
+      |                      WHERE epoch_us(ts) < 1705795200000000)
+      |GROUP BY event_type""".stripMargin
+
+  /** Execute-SQL rewriter in the gate: a DELETE+INSERT aggregate-refresh
+    * statement (the SalesFactETL.dtsx:293-306 pattern) rewrites to a pure
+    * SELECT + overwrite ([[graft.patterns.SqlPatternRewriter]]); the
+    * SELECT executes through `spark.sql` against a registered view. */
+  def q37_sql_rewrite(spark: SparkSession, dir: String): DataFrame = {
+    lineitem(spark, dir).createOrReplaceTempView("lineitem_sqlr")
+    val task = graft.ir.Ir.ExecuteSqlTask(
+      name = "Refresh Daily Stats", description = None, connectionId = "",
+      sqlStatement =
+        """DELETE FROM agg.DailyStats WHERE ship_date >= @start;
+          |INSERT INTO agg.DailyStats (ship_date, n, total_qty)
+          |SELECT CAST(l_shipdate AS DATE) AS ship_date,
+          |  COUNT(*) AS n,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+          |FROM lineitem_sqlr
+          |WHERE l_shipdate >= @start
+          |GROUP BY CAST(l_shipdate AS DATE)""".stripMargin,
+      resultSet = "None")
+    val outcome = graft.patterns.SqlPatternRewriter
+      .rewrite(spark, task, params = Map("start" -> "TIMESTAMP '1997-06-01'"))
+      .getOrElse(throw new IllegalStateException("statement not rewritten"))
+    require(outcome.target.contains("agg.DailyStats") &&
+      outcome.mode == org.apache.spark.sql.SaveMode.Overwrite,
+      s"unexpected rewrite outcome: $outcome")
+    outcome.df.get
+  }
+
+  val q37Oracle: String =
+    """SELECT CAST(l_shipdate AS DATE) AS ship_date,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+      |GROUP BY CAST(l_shipdate AS DATE)""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_incremental_exec" -> (q36_incremental_exec _),
+    "q37_sql_rewrite" -> (q37_sql_rewrite _),
     "q35_dtsx_branched" -> (q35_dtsx_branched _),
     "q34_scd2_merge" -> (q34_scd2_merge _),
     "q33_dtsx_dataflow" -> (q33_dtsx_dataflow _),
@@ -969,6 +1026,8 @@ object QueriesRelational {
     "q22_date_functions" -> (q22_date_functions _))
 
   val oracle: Map[String, String] = Map(
+    "q36_incremental_exec" -> q36Oracle,
+    "q37_sql_rewrite" -> q37Oracle,
     "q35_dtsx_branched" -> q35Oracle,
     "q34_scd2_merge" -> q34Oracle,
     "q33_dtsx_dataflow" -> q33Oracle,
