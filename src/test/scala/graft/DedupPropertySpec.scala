@@ -1,0 +1,78 @@
+package graft
+
+import graft.dedup.DedupOps
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests for the dedup/similarity signature algebra: Jaccard
+  * bounds/symmetry, MinHash permutation-invariance and containment
+  * monotonicity, SimHash range. One Spark job per property — the samples
+  * ride as rows of a single DataFrame, not per-sample jobs. */
+class DedupPropertySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  private val word: Gen[String] = for {
+    n <- Gen.choose(1, 8)
+    cs <- Gen.listOfN(n, Gen.alphaLowerChar)
+  } yield cs.mkString
+
+  private val doc: Gen[String] = for {
+    n <- Gen.choose(1, 40)
+    ws <- Gen.listOfN(n, word)
+  } yield ws.mkString(" ")
+
+  private def sample[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i =>
+      g.apply(Gen.Parameters.default, org.scalacheck.rng.Seed(7L + i)))
+
+  test("jaccard: bounded, reflexive on non-empty sets, symmetric") {
+    val docs = sample(Gen.zip(doc, doc), 80)
+    val df = docs.toDF("a", "b")
+      .withColumn("sha", DedupOps.shingles(col("a"), 3))
+      .withColumn("shb", DedupOps.shingles(col("b"), 3))
+      .select(
+        DedupOps.jaccard(col("sha"), col("shb")).as("jab"),
+        DedupOps.jaccard(col("shb"), col("sha")).as("jba"),
+        DedupOps.jaccard(col("sha"), col("sha")).as("jaa"))
+    df.collect().foreach { r =>
+      val (jab, jba, jaa) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+      assert(jab >= 0.0 && jab <= 1.0)
+      assert(jab === jba) // exact: same integer intersect/union both ways
+      assert(jaa === 1.0)
+    }
+  }
+
+  test("minhash signature: invariant under shingle order, monotone under containment") {
+    val docs = sample(doc, 60)
+    val df = docs.toDF("text")
+      .withColumn("sh", DedupOps.shingles(col("text"), 3))
+      // reversed shingle array = same SET, must give the same signature
+      .withColumn("sig", DedupOps.minhashSignatureArray(
+        DedupOps.hashedShingles(col("sh"))))
+      .withColumn("sig_rev", DedupOps.minhashSignatureArray(
+        DedupOps.hashedShingles(reverse(col("sh")))))
+      // superset (extra shingle) can only lower or keep each min
+      .withColumn("sig_sup", DedupOps.minhashSignatureArray(
+        DedupOps.hashedShingles(array_union(col("sh"), array(lit("zz qq xx"))))))
+    df.select("sig", "sig_rev", "sig_sup").collect().foreach { r =>
+      val sig = r.getSeq[Long](0)
+      val rev = r.getSeq[Long](1)
+      val sup = r.getSeq[Long](2)
+      assert(sig === rev)
+      sig.zip(sup).foreach { case (s, sp) => assert(sp <= s) }
+    }
+  }
+
+  test("simhash(8) stays in [0, 255] and is deterministic") {
+    val docs = sample(doc, 60)
+    val df = docs.toDF("text")
+      .select(DedupOps.simhash(col("text"), 8).as("h1"),
+        DedupOps.simhash(col("text"), 8).as("h2"))
+    df.collect().foreach { r =>
+      assert(r.getInt(0) >= 0 && r.getInt(0) <= 255)
+      assert(r.getInt(0) === r.getInt(1))
+    }
+  }
+}
