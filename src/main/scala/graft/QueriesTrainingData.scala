@@ -402,7 +402,106 @@ object QueriesTrainingData {
       |  FROM scored)
       |WHERE rank <= 5""".stripMargin
 
+  /** The composed cleaning pipeline — the end-to-end shape a training-data
+    * corpus actually runs: language-ID + quality signals, exact dedup on
+    * the normalized fingerprint (survivor = min id), MinHash+LSH near-dup
+    * removal (drop the higher id of each high-Jaccard pair), then the
+    * quality gate. Every stage is one of the already-gated operators;
+    * this query checks their COMPOSITION end-to-end. */
+  def x14_clean_corpus(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val base = documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), t,
+        TextOps.languageId(t).as("lang_pred"),
+        TextOps.tokenCount(t).as("n_tokens"),
+        TextOps.distinctTokenCount(t).as("n_distinct"),
+        TextOps.fingerprintMd5(t).as("fp"),
+        DedupOps.shingles(t, 3).as("sh"))
+      .withColumn("bands",
+        DedupOps.bandKeysFromSigArray(
+          DedupOps.minhashSignatureArray(DedupOps.hashedShingles(col("sh"))),
+          rowsPerBand = 4, nBands = 2))
+      .cache()
+    val survivors = base.groupBy(col("fp")).agg(min(col("doc_id")).as("sid"))
+    val nearDupDrop = DedupOps
+      .lshCandidatePairs(base.select("doc_id", "bands"), "doc_id", "bands")
+      .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .filter(DedupOps.jaccard(col("sh_a"), col("sh_b")) >= 0.6)
+      .select(col("doc_b").as("drop_id")).distinct()
+    base
+      .join(survivors, base("fp") === survivors("fp") &&
+        base("doc_id") === survivors("sid"), "left_semi")
+      .join(nearDupDrop, col("doc_id") === col("drop_id"), "left_anti")
+      .filter(col("n_tokens") >= 5 &&
+        col("n_distinct").cast(DoubleType) / col("n_tokens").cast(DoubleType) > 0.3)
+      .select(col("doc_id"), col("lang_pred"), col("n_tokens"))
+  }
+
+  val x14Oracle: String = {
+    val sigDefs = DedupOps.DefaultPerms.zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(hs, h -> (h * $a + $b) % 2147483647)) AS sig$i"
+    }.mkString(",\n      ")
+    val bandRows = (0 until 2).map { i =>
+      val cols = (4 * i until 4 * i + 4).map(j => s"sig$j").mkString(" || '|' || ")
+      s"SELECT doc_id, $i AS band_idx, md5($cols) AS band_key FROM sig"
+    }.mkString("\n      UNION ALL ")
+    def score(markers: Seq[String]) =
+      s"len(list_filter(string_split_regex(text,'\\s+'), x -> x IN (${markers.map("'" + _ + "'").mkString(",")})))"
+    val langs = TextOps.languageMarkers.keys.toSeq.sorted
+    val best = s"greatest(${langs.map(l => s"s_$l").mkString(",")})"
+    s"""WITH words AS (
+       |  SELECT doc_id, text, string_split_regex(text, '\\s+') AS ws FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, greatest(len(ws) - 2, 1)),
+       |    i -> array_to_string(ws[i:i+2], ' '))) AS sh
+       |  FROM words),
+       |h AS (
+       |  SELECT doc_id, list_transform(sh,
+       |    s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) AS hs
+       |  FROM sh),
+       |sig AS (
+       |  SELECT doc_id,
+       |      $sigDefs
+       |  FROM h),
+       |bands AS (
+       |      $bandRows),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_key = b.band_key AND a.band_idx = b.band_idx AND a.doc_id < b.doc_id),
+       |neardup AS (
+       |  SELECT DISTINCT p.doc_b AS drop_id
+       |  FROM pairs p
+       |  JOIN sh x ON x.doc_id = p.doc_a
+       |  JOIN sh y ON y.doc_id = p.doc_b
+       |  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+       |        CAST(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) AS DOUBLE) >= 0.6),
+       |feats AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN length(text)=0 THEN 0 ELSE len(string_split_regex(text,'\\s+')) END AS nt,
+       |    CASE WHEN length(text)=0 THEN 0 ELSE len(list_distinct(string_split_regex(text,'\\s+'))) END AS nd,
+       |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp,
+       |    ${langs.map(l => s"${score(TextOps.languageMarkers(l))} AS s_$l").mkString(", ")}
+       |  FROM documents),
+       |lang AS (
+       |  SELECT doc_id, nt, nd, fp,
+       |    CASE ${langs.map(l => s"WHEN $best > 0 AND s_$l = $best THEN '$l'").mkString(" ")}
+       |         ELSE 'und' END AS lang_pred
+       |  FROM feats),
+       |surv AS (SELECT fp, min(doc_id) AS sid FROM lang GROUP BY fp)
+       |SELECT l.doc_id, l.lang_pred, l.nt AS n_tokens
+       |FROM lang l
+       |JOIN surv s ON l.fp = s.fp AND l.doc_id = s.sid
+       |WHERE l.doc_id NOT IN (SELECT drop_id FROM neardup)
+       |  AND l.nt >= 5
+       |  AND CAST(l.nd AS DOUBLE) / CAST(l.nt AS DOUBLE) > 0.3""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x14_clean_corpus" -> (x14_clean_corpus _),
     "x12_ngram_jaccard" -> (x12_ngram_jaccard _),
     "x13_knn_lsh" -> (x13_knn_lsh _),
     "x11_ann_ivf" -> (x11_ann_ivf _),
@@ -430,5 +529,6 @@ object QueriesTrainingData {
     "x10_multimodal_meta" -> x10Oracle,
     "x11_ann_ivf" -> x11Oracle,
     "x12_ngram_jaccard" -> x12Oracle,
-    "x13_knn_lsh" -> x13Oracle)
+    "x13_knn_lsh" -> x13Oracle,
+    "x14_clean_corpus" -> x14Oracle)
 }
