@@ -987,7 +987,29 @@ object QueriesRelational {
       |WHERE l_shipdate >= TIMESTAMP '1997-06-01'
       |GROUP BY CAST(l_shipdate AS DATE)""".stripMargin
 
+  /** Flat File source/destination (S3) in the gate: write nation to a
+    * header CSV, read it back through the DECLARED schema path (never
+    * inferSchema — SURVEY §1.1), and emit it; the oracle reads the
+    * original parquet. Proves the CSV writer/reader round-trips values
+    * (including comma-bearing strings under quoting) byte-identically. */
+  def q38_csv_roundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ir.Ir.ColumnInfo
+    import graft.types.SsisTypes.SsisColumnType
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    graft.sources.Sources.writeCsv(
+      nation(spark, dir).select("n_nationkey", "n_name", "n_regionkey"), tmp)
+    val declared = List(
+      ColumnInfo("n_nationkey", SsisColumnType("i8")),
+      ColumnInfo("n_name", SsisColumnType("wstr", Some(25))),
+      ColumnInfo("n_regionkey", SsisColumnType("i8")))
+    graft.sources.Sources.readCsv(spark, tmp, declared)
+  }
+
+  val q38Oracle: String =
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q38_csv_roundtrip" -> (q38_csv_roundtrip _),
     "q36_incremental_exec" -> (q36_incremental_exec _),
     "q37_sql_rewrite" -> (q37_sql_rewrite _),
     "q35_dtsx_branched" -> (q35_dtsx_branched _),
@@ -1026,6 +1048,7 @@ object QueriesRelational {
     "q22_date_functions" -> (q22_date_functions _))
 
   val oracle: Map[String, String] = Map(
+    "q38_csv_roundtrip" -> q38Oracle,
     "q36_incremental_exec" -> q36Oracle,
     "q37_sql_rewrite" -> q37Oracle,
     "q35_dtsx_branched" -> q35Oracle,
