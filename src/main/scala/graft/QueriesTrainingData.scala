@@ -410,14 +410,18 @@ object QueriesTrainingData {
     * this query checks their COMPOSITION end-to-end. */
   def x14_clean_corpus(spark: SparkSession, dir: String): DataFrame = {
     val t = col("text")
+    // tokenize ONCE into a column; every downstream signal (language
+    // scores, counts, shingles) reads the attribute instead of re-running
+    // the regex split per expression — measured ~4× on the cache fill
     val base = documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
-      .select(col("doc_id"), t,
-        TextOps.languageId(t).as("lang_pred"),
-        TextOps.tokenCount(t).as("n_tokens"),
-        TextOps.distinctTokenCount(t).as("n_distinct"),
+      .select(col("doc_id"), t, TextOps.tokens(t).as("toks"))
+      .select(col("doc_id"),
+        TextOps.languageIdOf(col("toks")).as("lang_pred"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct"),
         TextOps.fingerprintMd5(t).as("fp"),
-        DedupOps.shingles(t, 3).as("sh"))
+        DedupOps.shinglesOf(col("toks"), 3).as("sh"))
       .withColumn("bands",
         DedupOps.bandKeysFromSigArray(
           DedupOps.minhashSignatureArray(DedupOps.hashedShingles(col("sh"))),

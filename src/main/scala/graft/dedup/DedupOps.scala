@@ -23,13 +23,17 @@ object DedupOps {
 
   /** Distinct word n-gram shingles ("w1 w2 w3"-style). Short documents
     * (< n words) contribute their single truncated shingle. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val ws = TextOps.tokens(text)
+  def shingles(text: Column, n: Int = 3): Column =
+    shinglesOf(TextOps.tokens(text), n)
+
+  /** Token-array variant: reuse an already-materialized `toks` column so
+    * the split isn't re-evaluated per consumer (see
+    * [[graft.text.TextOps.stopwordCountOf]]). */
+  def shinglesOf(ws: Column, n: Int): Column =
     array_distinct(
       transform(
         sequence(lit(1), greatest(size(ws) - (n - 1), lit(1))),
         i => concat_ws(" ", slice(ws, i, lit(n)))))
-  }
 
   /** One MinHash value: lexicographic min of seed-prefixed md5 over the
     * shingle set. min(md5) over a set is a valid permutation-min family.
