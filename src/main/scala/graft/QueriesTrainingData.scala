@@ -38,8 +38,10 @@ object QueriesTrainingData {
     * heuristics), ratios in DOUBLE with identical op order both engines. */
   def x02_quality_score(spark: SparkSession, dir: String): DataFrame = {
     val t = col("text")
-    val quality = TextOps.qualityColumns(t).map { case (n, c) => c.as(n) }
-    documents(spark, dir).select(col("doc_id") +: length(t).as("n_chars") +: quality: _*)
+    val quality = TextOps.qualityColumnsOf(t, col("toks")).map { case (n, c) => c.as(n) }
+    documents(spark, dir)
+      .select(col("doc_id"), t, TextOps.tokens(t).as("toks"))
+      .select(col("doc_id") +: length(t).as("n_chars") +: quality: _*)
   }
 
   val x02Oracle: String =

@@ -44,20 +44,38 @@ object TextOps {
     size(filter(toks, t => array_contains(stops, t)))
   }
 
+  /** Empty-text-aware token count over a materialized token array:
+    * `split("", …)` yields `[""]` on both engines, which must count 0
+    * (the DuckDB-oracle `CASE WHEN length(text)=0` contract). */
+  def tokenCountOf(toks: Column): Column =
+    when(size(toks) === 1 && element_at(toks, 1) === "", 0).otherwise(size(toks))
+
+  def distinctTokenCountOf(toks: Column): Column = {
+    val d = array_distinct(toks)
+    when(size(d) === 1 && element_at(d, 1) === "", 0).otherwise(size(d))
+  }
+
   /** Quality signals in the style of Gopher/C4 heuristic filters: length,
     * mean token length, stopword ratio, type-token ratio. All ratios are
     * DOUBLE with an identical operation order on Spark and DuckDB. */
-  def qualityColumns(text: Column): Seq[(String, Column)] = {
-    val nTok = tokenCount(text).cast(DoubleType)
+  def qualityColumns(text: Column): Seq[(String, Column)] =
+    qualityColumnsOf(text, tokens(text))
+
+  /** Tokenize-once variant: every signal reads the `toks` attribute, so
+    * the regex split runs once per row when `toks` is a materialized
+    * column (see [[stopwordCountOf]]). */
+  def qualityColumnsOf(text: Column, toks: Column): Seq[(String, Column)] = {
+    val nTokI = tokenCountOf(toks)
+    val nTok = nTokI.cast(DoubleType)
     val nChar = length(text).cast(DoubleType)
     Seq(
-      "n_tokens" -> tokenCount(text),
-      "n_distinct_tokens" -> distinctTokenCount(text),
-      "mean_token_len" -> when(tokenCount(text) > 0, nChar / nTok).otherwise(0.0),
-      "stopword_ratio" -> when(tokenCount(text) > 0,
-        stopwordCount(text).cast(DoubleType) / nTok).otherwise(0.0),
-      "type_token_ratio" -> when(tokenCount(text) > 0,
-        distinctTokenCount(text).cast(DoubleType) / nTok).otherwise(0.0))
+      "n_tokens" -> nTokI,
+      "n_distinct_tokens" -> distinctTokenCountOf(toks),
+      "mean_token_len" -> when(nTokI > 0, nChar / nTok).otherwise(0.0),
+      "stopword_ratio" -> when(nTokI > 0,
+        stopwordCountOf(toks).cast(DoubleType) / nTok).otherwise(0.0),
+      "type_token_ratio" -> when(nTokI > 0,
+        distinctTokenCountOf(toks).cast(DoubleType) / nTok).otherwise(0.0))
   }
 
   /** Language-marker token lists for the n-gram/stopword language-ID
