@@ -99,4 +99,53 @@ object PackageJson {
     "warnings" -> arr(pkg.warnings.map(q)))
 
   def toJson(pkgs: Seq[SsisPackage]): String = arr(pkgs.map(toJson))
+
+  /** The `parsing_report.md` analog (reference `ssis_parser.py:641-739`):
+    * per-package task/component inventory, conversion disposition
+    * (auto-converted vs manual-review vs skipped), and parse warnings —
+    * credential-redacted like every serialized artifact. */
+  def markdownReport(pkgs: Seq[SsisPackage]): String = {
+    def flat(ts: List[Task]): List[Task] = ts.flatMap {
+      case c: ContainerTask => c :: flat(c.children)
+      case t => List(t)
+    }
+    val sb = new StringBuilder
+    sb ++= "# Parsing report\n\n"
+    sb ++= s"Packages parsed: ${pkgs.length}\n\n"
+    pkgs.foreach { p =>
+      val tasks = flat(p.tasks)
+      val manual = tasks.count {
+        case _: ScriptTask | _: UnsupportedTask => true; case _ => false }
+      val skipped = tasks.count { case _: SendMailTask => true; case _ => false }
+      val auto = tasks.length - manual - skipped
+      sb ++= s"## ${p.name}\n\n"
+      p.description.foreach(d => sb ++= s"$d\n\n")
+      sb ++= s"- connection managers: ${p.connectionManagers.length}"
+      sb ++= p.connectionManagers.map(_.name).mkString(" (", ", ", ")\n")
+      sb ++= s"- variables: ${p.variables.length}\n"
+      sb ++= s"- tasks: ${tasks.length} (auto-convertible $auto, manual review $manual, skipped $skipped)\n"
+      tasks.foreach { t =>
+        val kind = t match {
+          case d: DataFlowTask =>
+            val comps = d.components.map(_.componentType).groupBy(identity)
+              .toSeq.sortBy(_._1).map { case (k, v) => s"$k×${v.length}" }
+            s"DataFlowTask [${comps.mkString(", ")}]" +
+              (if (d.paths.nonEmpty) s" (${d.paths.length} paths)" else "")
+          case e: ExecuteSqlTask => s"ExecuteSQLTask (${e.resultSet})"
+          case s: ScriptTask => "ScriptTask — MANUAL REVIEW"
+          case _: SendMailTask => "SendMailTask — skipped"
+          case c: ContainerTask => s"${c.containerType} container (${c.children.length} children)"
+          case u: UnsupportedTask => s"${u.executableType} — MANUAL REVIEW"
+        }
+        sb ++= s"  - ${t.name}: $kind\n"
+      }
+      sb ++= s"- precedence constraints: ${p.constraints.length}\n"
+      if (p.warnings.nonEmpty) {
+        sb ++= "- warnings:\n"
+        p.warnings.foreach(w => sb ++= s"  - $w\n")
+      }
+      sb ++= "\n"
+    }
+    sb.result()
+  }
 }

@@ -71,4 +71,17 @@ class SqlRewriteAndJsonSpec extends AnyFunSuite {
         "Data Source=S;Password=hunter2;"))))
     assert(!redacted.contains("hunter2"))
   }
+
+  test("parsing report: inventory, dispositions, warnings, no credentials") {
+    val pkgs = Seq("SalesFactETL.dtsx", "InventorySync.dtsx").map(f =>
+      DtsxParser.parseFile(getClass.getResource(s"/dtsx/$f").getPath))
+    val md = PackageJson.markdownReport(pkgs)
+    assert(md.contains("Packages parsed: 2"))
+    assert(md.contains("## SalesFactETL"))
+    assert(md.contains("DataFlowTask"))
+    assert(md.contains("MANUAL REVIEW")) // InventorySync's Script Task
+    assert(md.contains("SendMailTask — skipped"))
+    assert(md.contains("- warnings:"))
+    assert(!md.toLowerCase.contains("password="))
+  }
 }
