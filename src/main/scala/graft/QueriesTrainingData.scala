@@ -412,28 +412,39 @@ object QueriesTrainingData {
     * this query checks their COMPOSITION end-to-end. */
   def x14_clean_corpus(spark: SparkSession, dir: String): DataFrame = {
     val t = col("text")
-    // tokenize ONCE into a column; every downstream signal (language
-    // scores, counts, shingles) reads the attribute instead of re-running
-    // the regex split per expression — measured ~4× on the cache fill
-    val base = documents(spark, dir)
+    val docs = documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), t)
+    // tokenize ONCE into a column (interpreted HOFs get no CSE), and
+    // cache only the SLIM signal frame — columnar cache buffers for the
+    // per-doc shingle arrays cost more to build than the whole signature
+    // pipeline does to run; shingle sets are recomputed later for the few
+    // candidate docs only (the 100 TB shape: never cache what a small
+    // subset can recompute)
+    val base = docs
       .select(col("doc_id"), t, TextOps.tokens(t).as("toks"))
       .select(col("doc_id"),
         TextOps.languageIdOf(col("toks")).as("lang_pred"),
         size(col("toks")).as("n_tokens"),
         size(array_distinct(col("toks"))).as("n_distinct"),
         TextOps.fingerprintMd5(t).as("fp"),
-        DedupOps.shinglesOf(col("toks"), 3).as("sh"))
-      .withColumn("bands",
         DedupOps.bandKeysFromSigArray(
-          DedupOps.minhashSignatureArray(DedupOps.hashedShingles(col("sh"))),
-          rowsPerBand = 4, nBands = 2))
+          DedupOps.minhashSignatureArray(
+            DedupOps.hashedShingles(DedupOps.shinglesOf(col("toks"), 3))),
+          rowsPerBand = 4, nBands = 2).as("bands"))
       .cache()
     val survivors = base.groupBy(col("fp")).agg(min(col("doc_id")).as("sid"))
-    val nearDupDrop = DedupOps
+    val pairs = DedupOps
       .lshCandidatePairs(base.select("doc_id", "bands"), "doc_id", "bands")
-      .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+    // shingles only for candidate docs: join docs to the (small) id set
+    // FIRST, then compute the arrays post-join
+    val candIds = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val candSh = docs.join(broadcast(candIds), Seq("doc_id"))
+      .select(col("doc_id"), DedupOps.shingles(t, 3).as("sh"))
+    val nearDupDrop = pairs
+      .join(candSh.toDF("doc_a", "sh_a"), "doc_a")
+      .join(candSh.toDF("doc_b", "sh_b"), "doc_b")
       .filter(DedupOps.jaccard(col("sh_a"), col("sh_b")) >= 0.6)
       .select(col("doc_b").as("drop_id")).distinct()
     base
