@@ -122,24 +122,29 @@ object QueriesTrainingData {
     * ids only (shingle sets re-join after dedup, never ride the explode). */
   def x06_dedup_minhash_lsh(spark: SparkSession, dir: String): DataFrame = {
     // small single-file scans must still parallelize: spread the signature
-    // pipeline over the cluster before the (md5-heavy) per-row work. ONE
-    // cached frame carries both the shingle set and the band keys (one
-    // small row per doc); three consumers — the candidate explode and both
-    // sides of the verify join — reuse it, and Generate/Filter nodes would
-    // otherwise re-evaluate the md5 pipeline several times over
-    val sh = documents(spark, dir)
+    // pipeline over the cluster before the (md5-heavy) per-row work. The
+    // cached frame is SLIM — ids + band keys only (columnar cache buffers
+    // for per-doc shingle arrays cost more to build than the signature
+    // pipeline costs to run); shingle sets are recomputed post-join for
+    // the candidate docs only, exactly like x14
+    val docs = documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
-      .select(col("doc_id"), DedupOps.shingles(col("text"), 3).as("sh"))
-      .withColumn("bands",
+      .select(col("doc_id"), col("text"))
+    val banded = docs
+      .select(col("doc_id"),
         DedupOps.bandKeysFromSigArray(
-          DedupOps.minhashSignatureArray(DedupOps.hashedShingles(col("sh"))),
-          rowsPerBand = 4, nBands = 2))
+          DedupOps.minhashSignatureArray(
+            DedupOps.hashedShingles(DedupOps.shingles(col("text"), 3))),
+          rowsPerBand = 4, nBands = 2).as("bands"))
       .cache()
-    val pairs = DedupOps.lshCandidatePairs(sh.select("doc_id", "bands"), "doc_id", "bands")
-    val shOnly = sh.select("doc_id", "sh")
+    val pairs = DedupOps.lshCandidatePairs(banded, "doc_id", "bands")
+    val candIds = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val candSh = docs.join(broadcast(candIds), Seq("doc_id"))
+      .select(col("doc_id"), DedupOps.shingles(col("text"), 3).as("sh"))
     pairs
-      .join(shOnly.toDF("doc_a", "sh_a"), "doc_a")
-      .join(shOnly.toDF("doc_b", "sh_b"), "doc_b")
+      .join(candSh.toDF("doc_a", "sh_a"), "doc_a")
+      .join(candSh.toDF("doc_b", "sh_b"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         DedupOps.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
   }
