@@ -1008,7 +1008,58 @@ object QueriesRelational {
   val q38Oracle: String =
     "SELECT n_nationkey, n_name, n_regionkey FROM nation"
 
+  /** Explicit GROUPING SETS with grouping_id disambiguation (beyond q24's
+    * rollup): two chosen aggregation levels, no intermediate level. */
+  def q39_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
+    lineitem(spark, dir).createOrReplaceTempView("lineitem_gs")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus))""".stripMargin)
+  }
+
+  val q39Oracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus))""".stripMargin
+
+  /** Correlated EXISTS / NOT EXISTS — Catalyst decorrelates both to
+    * semi/anti joins (`RewritePredicateSubquery`, SURVEY §4): customers
+    * with an urgent order but no returned lineitem. */
+  def q40_exists_subquery(spark: SparkSession, dir: String): DataFrame = {
+    customer(spark, dir).createOrReplaceTempView("customer_ex")
+    orders(spark, dir).createOrReplaceTempView("orders_ex")
+    lineitem(spark, dir).createOrReplaceTempView("lineitem_ex")
+    spark.sql(
+      """SELECT c.c_custkey AS customer_id, c.c_mktsegment AS segment
+        |FROM customer_ex c
+        |WHERE EXISTS (
+        |    SELECT 1 FROM orders_ex o
+        |    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders_ex o JOIN lineitem_ex l ON l.l_orderkey = o.o_orderkey
+        |    WHERE o.o_custkey = c.c_custkey AND l.l_returnflag = 'R')""".stripMargin)
+  }
+
+  val q40Oracle: String =
+    """SELECT c.c_custkey AS customer_id, c.c_mktsegment AS segment
+      |FROM customer c
+      |WHERE EXISTS (
+      |    SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |    WHERE o.o_custkey = c.c_custkey AND l.l_returnflag = 'R')""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q39_grouping_sets" -> (q39_grouping_sets _),
+    "q40_exists_subquery" -> (q40_exists_subquery _),
     "q38_csv_roundtrip" -> (q38_csv_roundtrip _),
     "q36_incremental_exec" -> (q36_incremental_exec _),
     "q37_sql_rewrite" -> (q37_sql_rewrite _),
@@ -1048,6 +1099,8 @@ object QueriesRelational {
     "q22_date_functions" -> (q22_date_functions _))
 
   val oracle: Map[String, String] = Map(
+    "q39_grouping_sets" -> q39Oracle,
+    "q40_exists_subquery" -> q40Oracle,
     "q38_csv_roundtrip" -> q38Oracle,
     "q36_incremental_exec" -> q36Oracle,
     "q37_sql_rewrite" -> q37Oracle,
