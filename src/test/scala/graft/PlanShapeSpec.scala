@@ -101,6 +101,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Union"))
   }
 
+  test("q40: correlated EXISTS/NOT EXISTS decorrelate to semi/anti joins") {
+    val plan = executedPlan("q40_exists_subquery")
+    assert(plan.contains("LeftSemi"))
+    assert(plan.contains("LeftAnti"))
+  }
+
   test("x13: LSH join is a bucket equi-join, never a cross product") {
     val plan = SparkEntry.queries("x13_knn_lsh")(spark, sf)
       .queryExecution.optimizedPlan.toString
