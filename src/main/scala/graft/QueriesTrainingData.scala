@@ -452,9 +452,14 @@ object QueriesTrainingData {
       .join(candSh.toDF("doc_b", "sh_b"), "doc_b")
       .filter(DedupOps.jaccard(col("sh_a"), col("sh_b")) >= 0.6)
       .select(col("doc_b").as("drop_id")).distinct()
+    // alias the survivor columns: `survivors` derives from `base`, so an
+    // unaliased base("fp") === survivors("fp") resolves BOTH sides to the
+    // same attribute (Spark warns "trivially true equals predicate") and
+    // the written condition is not the executed one
+    val surv = survivors.select(col("fp").as("s_fp"), col("sid"))
     base
-      .join(survivors, base("fp") === survivors("fp") &&
-        base("doc_id") === survivors("sid"), "left_semi")
+      .join(surv, col("fp") === col("s_fp") &&
+        col("doc_id") === col("sid"), "left_semi")
       .join(nearDupDrop, col("doc_id") === col("drop_id"), "left_anti")
       .filter(col("n_tokens") >= 5 &&
         col("n_distinct").cast(DoubleType) / col("n_tokens").cast(DoubleType) > 0.3)

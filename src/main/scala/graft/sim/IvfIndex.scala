@@ -24,15 +24,24 @@ object IvfIndex {
   /** Fit the coarse quantizer and assign every row to a cell. A coarse
     * quantizer needs rough cells, not converged ones: few iterations and
     * random init keep the build cheap (recall comes from nProbe, not from
-    * centroid quality). The fit runs on a bounded single-partition sample
-    * — the classic IVF training recipe: at 100 TB you train the quantizer
-    * on ~10⁵ vectors, never the full table, and only the cell *assignment*
-    * (a narrow map with the broadcast model) touches every row. */
+    * centroid quality). The fit runs on a bounded PARALLEL sample — the
+    * classic IVF training recipe: at 100 TB you train the quantizer on
+    * ~10⁵ vectors, never the full table, and only the cell *assignment*
+    * (a narrow map with the broadcast model) touches every row. The
+    * sample is a seeded Bernoulli draw sized from a count (metadata-cheap
+    * on parquet) and spread over a few partitions — a `limit().coalesce(1)`
+    * would funnel training onto one core. */
   def build(df: DataFrame, idCol: String, vecCol: String, k: Int,
       seed: Long = 42L, maxIter: Int = 2, maxTrainRows: Int = 100000): Model = {
     val withVec = df.withColumn("__v", array_to_vector(
       transform(col(vecCol), x => x.cast(DoubleType))))
-    val train = withVec.select("__v").limit(maxTrainRows).coalesce(1)
+    val n = df.count()
+    val frac = math.min(1.0, maxTrainRows.toDouble / math.max(n, 1L).toDouble)
+    val parts = math.max(2, df.sparkSession.sparkContext.defaultParallelism / 4)
+    val sampled =
+      if (frac < 1.0) withVec.select("__v").sample(withReplacement = false, frac, seed)
+      else withVec.select("__v")
+    val train = sampled.repartition(parts)
     val km = new KMeans().setK(k).setSeed(seed).setFeaturesCol("__v")
       .setMaxIter(maxIter).setInitMode("random")
       .setPredictionCol("cell")

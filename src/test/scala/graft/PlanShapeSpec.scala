@@ -112,4 +112,16 @@ class PlanShapeSpec extends AnyFunSuite {
       .queryExecution.optimizedPlan.toString
     assert(!plan.contains("Cross"))
   }
+
+  test("no gated plan contains a trivially-true self-equality predicate") {
+    // `a#12 = a#12` (same exprId on both sides) means a join condition was
+    // written against two frames that resolve to the SAME attribute — the
+    // written predicate is not the executed one (the x14 bug class)
+    val selfEq = """\(([A-Za-z_]\w*#\d+)L? = \1L?\)""".r
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.optimizedPlan.toString
+      val hits = selfEq.findAllIn(plan).toList
+      assert(hits.isEmpty, s"$name has trivially-true predicate(s): $hits")
+    }
+  }
 }
