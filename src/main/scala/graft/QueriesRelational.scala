@@ -736,19 +736,25 @@ object QueriesRelational {
       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2, 3""".stripMargin
 
-  /** INTERSECT / EXCEPT set operators (SURVEY §2.5 "not present" in the
-    * reference; standard engine surface): customers ordering in both/only
-    * one of two years, tagged and unioned. */
+  /** INTERSECT / EXCEPT set-operator semantics (SURVEY §2.5 "not present"
+    * in the reference; standard engine surface): customers ordering in
+    * both/only one of two years. Computed the 100 TB way — a literal
+    * `intersect`/`except` pair scans the fact four times and shuffles four
+    * distincts; one scan + one groupBy(custkey) with per-year membership
+    * flags is the same set algebra in a single Exchange (the cohorts are
+    * disjoint, so the tagged union is just a CASE over the flags). */
   def q31_set_ops(spark: SparkSession, dir: String): DataFrame = {
-    def custsIn(y: Int): DataFrame =
-      orders(spark, dir)
-        .filter(year(col("o_orderdate")) === y)
-        .select(col("o_custkey")).distinct()
-    custsIn(1995).intersect(custsIn(1996))
-      .select(lit("both_years").as("cohort"), col("o_custkey").as("customer_id"))
-      .unionByName(
-        custsIn(1995).except(custsIn(1996))
-          .select(lit("only_1995").as("cohort"), col("o_custkey").as("customer_id")))
+    val y = year(col("o_orderdate"))
+    orders(spark, dir)
+      .filter(y === 1995 || y === 1996)
+      .groupBy(col("o_custkey"))
+      .agg(max(when(y === 1995, 1).otherwise(0)).as("in95"),
+        max(when(y === 1996, 1).otherwise(0)).as("in96"))
+      .filter(col("in95") === 1)
+      .select(
+        when(col("in96") === 1, lit("both_years")).otherwise(lit("only_1995"))
+          .as("cohort"),
+        col("o_custkey").as("customer_id"))
   }
 
   val q31Oracle: String =

@@ -119,17 +119,20 @@ object ScdType2 {
     val changedKeys = joined
       .filter(col("__cur_hash").isNotNull && col("__cur_hash") =!= col("row_hash"))
       .select(naturalKey.map(col): _*)
+      .distinct()
 
-    val closedOut = current.join(changedKeys, naturalKey, "left_semi")
-      .filter(col("is_current"))
-      .withColumn("is_current", lit(false))
-      .withColumn("valid_to", effectiveTs)
-    val untouched = current
-      .join(changedKeys, naturalKey, "left_anti")
-      .unionByName(current.join(changedKeys, naturalKey, "left_semi").filter(!col("is_current")))
+    // tag `current` ONCE (left join + CASE) instead of three semi/anti
+    // joins — the dimension shuffles a single time; only the current
+    // version of a changed key is closed out, history rows pass through
+    val marked = current.join(
+      changedKeys.withColumn("__chg", lit(1)), naturalKey, "left")
+    val closing = col("__chg").isNotNull && col("is_current")
+    val updated = marked
+      .withColumn("valid_to", when(closing, effectiveTs).otherwise(col("valid_to")))
+      .withColumn("is_current", when(closing, lit(false)).otherwise(col("is_current")))
+      .drop("__chg")
 
-    untouched.unionByName(closedOut)
-      .unionByName(newRows.select(untouched.columns.map(col): _*))
+    updated.unionByName(newRows.select(updated.columns.map(col): _*))
   }
 
   /** Window-based repair/derivation of SCD2 metadata from a version log:

@@ -113,6 +113,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Cross"))
   }
 
+  test("q31: set-op cohorts run as ONE orders scan and one aggregate exchange") {
+    val plan = executedPlan("q31_set_ops")
+    assert("Scan parquet".r.findAllIn(plan).length === 1,
+      s"expected a single orders scan:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1,
+      s"expected a single aggregate exchange:\n$plan")
+  }
+
   test("no gated plan contains a trivially-true self-equality predicate") {
     // `a#12 = a#12` (same exprId on both sides) means a join condition was
     // written against two frames that resolve to the SAME attribute — the
