@@ -1063,7 +1063,38 @@ object QueriesRelational {
       |    SELECT 1 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
       |    WHERE o.o_custkey = c.c_custkey AND l.l_returnflag = 'R')""".stripMargin
 
+  /** The S2 runtime contract end-to-end in the gate: parse an engine-
+    * authored package whose source SQL carries positional `?` placeholders
+    * (reference `samples/ssis_packages/SalesFactETL.dtsx:40-46,79-91`),
+    * evaluate its variables — `User::EndDate` is EXPRESSION-valued
+    * (`DATEADD("day", @WindowDays, @StartDate)`, resolved by fixpoint) —
+    * bind the placeholders, execute the full parameterized SELECT (WHERE
+    * included, filters pushed to the scan), and compile the dataflow with
+    * the variable environment so a derived column can reference
+    * `@[User::StartDate]`. The oracle restates the evaluated window as
+    * literals, so evaluation + binding + the parameterized scan are all
+    * hash-checked. */
+  def q41_param_binding(spark: SparkSession, dir: String): DataFrame = {
+    val in = getClass.getResourceAsStream("/dtsx/ParamWindowETL.dtsx")
+    val xml = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    val pkg = graft.parser.DtsxParser.parseString(xml)
+    val values = graft.pipeline.PackageVariables.evaluate(spark, pkg.variables)
+    val flow = pkg.tasks.collectFirst { case d: graft.ir.Ir.DataFlowTask => d }
+      .getOrElse(throw new IllegalStateException("no dataflow in package"))
+    val bound = graft.pipeline.PackageVariables.bindTaskSql(flow, pkg, values)
+    graft.ops.DataFlowCompiler.compile(
+      bound, graft.sources.Sources.testdataResolver(spark, dir), values).df
+  }
+
+  val q41Oracle: String =
+    """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+      |  datediff('day', DATE '1995-03-01', CAST(o_orderdate AS DATE)) AS days_into_window
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1995-03-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1995-05-31 00:00:00'""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_param_binding" -> (q41_param_binding _),
     "q39_grouping_sets" -> (q39_grouping_sets _),
     "q40_exists_subquery" -> (q40_exists_subquery _),
     "q38_csv_roundtrip" -> (q38_csv_roundtrip _),
@@ -1105,6 +1136,7 @@ object QueriesRelational {
     "q22_date_functions" -> (q22_date_functions _))
 
   val oracle: Map[String, String] = Map(
+    "q41_param_binding" -> q41Oracle,
     "q39_grouping_sets" -> q39Oracle,
     "q40_exists_subquery" -> q40Oracle,
     "q38_csv_roundtrip" -> q38Oracle,

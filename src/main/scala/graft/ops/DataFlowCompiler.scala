@@ -48,7 +48,17 @@ object DataFlowCompiler {
       failComponentChecks: Map[String, String],
       warnings: List[String])
 
-  def compile(task: DataFlowTask, resolver: Resolver): CompiledDataFlow = {
+  /** Literal binding for `@[ns::name]` refs in component expressions from
+    * evaluated package variables (see graft.pipeline.PackageVariables). */
+  def varBinding(vars: Map[String, Any]): (String, String) => Column =
+    (ns, n) => vars.get(s"$ns::$n") match {
+      case Some(null) => lit(null)
+      case Some(v) => lit(v)
+      case None => throw new IllegalArgumentException(s"unbound SSIS variable @[$ns::$n]")
+    }
+
+  def compile(task: DataFlowTask, resolver: Resolver,
+      vars: Map[String, Any] = Map.empty): CompiledDataFlow = {
     val warnings = scala.collection.mutable.ListBuffer.empty[String]
     val observations = scala.collection.mutable.Map.empty[String, Observation]
     val failChecks = scala.collection.mutable.Map.empty[String, String]
@@ -69,9 +79,9 @@ object DataFlowCompiler {
         if (l.noMatchBehavior == NoMatchBehavior.FailComponent)
           appendedKey.foreach(k => failChecks(l.name) = k)
       case dc: DerivedColumnComponent =>
-        df = applyDerivedColumns(df, dc)
+        df = applyDerivedColumns(df, dc, vars)
       case cs: ConditionalSplitComponent =>
-        df = applySplitTag(df, cs)
+        df = applySplitTag(df, cs, vars)
         routes = splitRoutes(df, cs)
       case a: AggregateComponent =>
         df = applyAggregate(df, a)
@@ -169,9 +179,10 @@ object DataFlowCompiler {
     (joined, outputNames.headOption)
   }
 
-  def applyDerivedColumns(df: DataFrame, dc: DerivedColumnComponent): DataFrame = {
+  def applyDerivedColumns(df: DataFrame, dc: DerivedColumnComponent,
+      vars: Map[String, Any] = Map.empty): DataFrame = {
     val types: Map[String, DataType] = df.schema.fields.map(f => f.name -> f.dataType).toMap
-    val env = Env(col = n => col(n), colType = types.get)
+    val env = Env(col = n => col(n), colType = types.get, variable = varBinding(vars))
     dc.columns.foldLeft(df) { (acc, d) =>
       acc.withColumn(d.name,
         SsisExprCompiler.compile(d.expression, env).cast(SsisTypes.toSpark(d.outputType)))
@@ -181,9 +192,10 @@ object DataFlowCompiler {
   val SplitTagColumn = "__route"
 
   /** Ordered first-match-wins CASE tag — one pass, no per-route rescan. */
-  def applySplitTag(df: DataFrame, cs: ConditionalSplitComponent): DataFrame = {
+  def applySplitTag(df: DataFrame, cs: ConditionalSplitComponent,
+      vars: Map[String, Any] = Map.empty): DataFrame = {
     val types: Map[String, DataType] = df.schema.fields.map(f => f.name -> f.dataType).toMap
-    val env = Env(col = n => col(n), colType = types.get)
+    val env = Env(col = n => col(n), colType = types.get, variable = varBinding(vars))
     val tagged = cs.cases.foldLeft(None: Option[Column]) { case (acc, (out, expr)) =>
       val cond = SsisExprCompiler.compile(expr, env)
       Some(acc.fold(when(cond, out))(_.when(cond, out)))
@@ -249,7 +261,8 @@ object DataFlowCompiler {
     * route in `fromOutput` (the SSIS `Outputs[route]` refId form); edges
     * entering a Merge Join carry "left"/"right" in `toInput`, else the
     * path order decides. */
-  def compileDag(task: DataFlowTask, resolver: Resolver): CompiledDag = {
+  def compileDag(task: DataFlowTask, resolver: Resolver,
+      vars: Map[String, Any] = Map.empty): CompiledDag = {
     require(task.paths.nonEmpty, s"dataflow ${task.name} has no paths; use compile()")
     val warnings = scala.collection.mutable.ListBuffer.empty[String]
     val observations = scala.collection.mutable.Map.empty[String, Observation]
@@ -313,9 +326,9 @@ object DataFlowCompiler {
           if (l.noMatchBehavior == NoMatchBehavior.FailComponent)
             appendedKey.foreach(k => failChecks(l.name) = k)
         case dc: DerivedColumnComponent =>
-          produced((name, None)) = applyDerivedColumns(single, dc)
+          produced((name, None)) = applyDerivedColumns(single, dc, vars)
         case cs: ConditionalSplitComponent =>
-          val tagged = applySplitTag(single, cs)
+          val tagged = applySplitTag(single, cs, vars)
           produced((name, None)) = tagged
           produced((name, Some(SplitInputKey))) = single
           splitRoutes(tagged, cs).foreach { case (route, df) =>
@@ -345,7 +358,7 @@ object DataFlowCompiler {
         case u: UnionAllComponent =>
           require(ins.nonEmpty, s"UnionAll '$name' has no inputs")
           produced((name, None)) =
-            fuseSplitUnionDiamond(task, byName, incoming, name, produced)
+            fuseSplitUnionDiamond(task, byName, incoming, name, produced, vars)
               .getOrElse(unionAll(ins.map(_._2)))
         case u: UnparsedComponent =>
           warnings += s"component '${u.name}' (${u.componentType}) skipped; passing input through"
@@ -378,7 +391,8 @@ object DataFlowCompiler {
       byName: Map[String, DataFlowComponent],
       incoming: Map[String, List[graft.ir.Ir.FlowPath]],
       unionName: String,
-      produced: scala.collection.Map[(String, Option[String]), DataFrame])
+      produced: scala.collection.Map[(String, Option[String]), DataFrame],
+      vars: Map[String, Any] = Map.empty)
       : Option[DataFrame] = {
     val outDegree = task.paths.groupBy(_.from).map { case (k, v) => k -> v.length }
     // walk each union input back through DerivedColumn-only chains to a
@@ -413,12 +427,13 @@ object DataFlowCompiler {
 
     val splitInput = produced.getOrElse((splitName, Some(SplitInputKey)),
       return None)
-    val tagged = applySplitTag(splitInput, cs)
+    val tagged = applySplitTag(splitInput, cs, vars)
     val byRoute = chains.map(c => c.route -> c.defs).toMap
     val fused = chains.head.defs.map(_.name).zipWithIndex
       .foldLeft(tagged) { case (acc, (colName, idx)) =>
         val types = acc.schema.fields.map(f => f.name -> f.dataType).toMap
-        val env = SsisExprCompiler.Env(col = n => col(n), colType = types.get)
+        val env = SsisExprCompiler.Env(col = n => col(n), colType = types.get,
+          variable = varBinding(vars))
         val branches = chains.map { c =>
           val d = c.defs(idx)
           c.route -> SsisExprCompiler.compile(d.expression, env)

@@ -32,6 +32,9 @@ object PackageRunner {
     case object SkippedManualReview extends TaskStatus
     case object SkippedNotConverted extends TaskStatus
     final case class Failed(error: String) extends TaskStatus
+    /** Precedence constraints did not fire (e.g. a Success edge from a
+      * failed task, or a false Expression) — the task never executed. */
+    case object NotRun extends TaskStatus
   }
 
   final case class TaskRun(
@@ -47,29 +50,65 @@ object PackageRunner {
     def failed: Boolean = tasks.exists(_.status.isInstanceOf[TaskStatus.Failed])
   }
 
+  /** Execute the package honoring the full precedence-constraint algebra
+    * (reference `src/parser/models.py:158-163`, `src/agents/
+    * analyzer.py:36-67` typed DependencyGraph): a task runs iff EVERY
+    * incoming edge fires — Success needs a non-failed predecessor, Failure
+    * a failed one, Completion either, Expression evaluates its SSIS
+    * expression over the package variables (and still requires the
+    * predecessor to have completed). A task whose constraints don't fire
+    * is recorded [[TaskStatus.NotRun]] and its own Success successors
+    * cascade to NotRun — a failure no longer aborts the whole package, so
+    * OnFailure cleanup/notify paths actually execute. */
   def run(spark: SparkSession, pkg: SsisPackage, env: RuntimeEnv): PackageRun = {
     val ordered = pkg.topoOrder.fold(err => throw new IllegalStateException(err), identity)
+    val values = PackageVariables.evaluate(spark, pkg.variables)
+    val completed = scala.collection.mutable.Map.empty[String, TaskStatus]
     val runs = scala.collection.mutable.ListBuffer.empty[TaskRun]
-    var abort = false
     ordered.foreach { task =>
-      if (!abort) {
-        val run = runTask(spark, pkg, task, env)
-        runs += run
-        run.status match {
-          case TaskStatus.Failed(_) => abort = true // Success-constraint semantics
-          case _ =>
+      val incoming = pkg.constraints.filter(_.toTask == task.name)
+      val fires = incoming.forall { c =>
+        completed.get(c.fromTask) match {
+          case None => false // predecessor never executed → edge can't fire
+          case Some(status) =>
+            val failed = status.isInstanceOf[TaskStatus.Failed]
+            c.kind match {
+              case ConstraintKind.Success => !failed
+              case ConstraintKind.Failure => failed
+              case ConstraintKind.Completion => true
+              case ConstraintKind.Expression(e) =>
+                PackageVariables.evalBoolean(spark, e, values)
+            }
         }
       }
+      if (fires) {
+        val run = runTask(spark, pkg, task, env, values)
+        completed(task.name) = run.status
+        runs += run
+      } else
+        runs += TaskRun(task.name, taskTypeName(task), TaskStatus.NotRun,
+          notes = List("precedence constraints did not fire"))
     }
     PackageRun(pkg.name, runs.toList)
   }
 
-  def runTask(spark: SparkSession, pkg: SsisPackage, task: Task, env: RuntimeEnv): TaskRun =
+  private def taskTypeName(task: Task): String = task match {
+    case _: DataFlowTask => "DataFlowTask"
+    case _: ExecuteSqlTask => "ExecuteSQLTask"
+    case _: ScriptTask => "ScriptTask"
+    case _: SendMailTask => "SendMailTask"
+    case c: ContainerTask => s"Container(${c.containerType})"
+    case u: UnsupportedTask => u.executableType
+  }
+
+  def runTask(spark: SparkSession, pkg: SsisPackage, task: Task, env: RuntimeEnv,
+      values: Map[String, Any] = Map.empty): TaskRun =
     try {
       task match {
-        case df: DataFlowTask if df.paths.nonEmpty =>
+        case df0: DataFlowTask if df0.paths.nonEmpty =>
+          val df = PackageVariables.bindTaskSql(df0, pkg, values)
           // branched topology: wiring comes from the <paths> graph
-          val dag = DataFlowCompiler.compileDag(df, env.resolver)
+          val dag = DataFlowCompiler.compileDag(df, env.resolver, values)
           dag.destinations.values.foreach { case (d, frame) =>
             env.write(d.tableName.getOrElse(d.name), frame, SaveMode.Append)
           }
@@ -81,8 +120,9 @@ object PackageRunner {
           TaskRun(task.name, "DataFlowTask", TaskStatus.Succeeded,
             if (dag.outputs.nonEmpty) Some(terminalRows) else None, observed,
             notes = dag.warnings)
-        case df: DataFlowTask =>
-          val compiled = DataFlowCompiler.compile(df, env.resolver)
+        case df0: DataFlowTask =>
+          val df = PackageVariables.bindTaskSql(df0, pkg, values)
+          val compiled = DataFlowCompiler.compile(df, env.resolver, values)
           val dest = compiled.destination
           val mode = dest.flatMap(_.accessMode) match {
             case Some(3) => SaveMode.Append // fast load = bulk append
@@ -99,7 +139,15 @@ object PackageRunner {
           }
           TaskRun(task.name, "DataFlowTask", TaskStatus.Succeeded, rows, observed,
             notes = compiled.warnings)
-        case sql: ExecuteSqlTask =>
+        case sql0: ExecuteSqlTask =>
+          // bind `?` placeholders from the evaluated package variables
+          // before pattern detection / execution
+          val sql =
+            if (PackageVariables.placeholderCount(sql0.sqlStatement) == 0) sql0
+            else sql0.copy(sqlStatement = PackageVariables.bindSql(
+              sql0.sqlStatement,
+              pkg.variables.map(v => values.getOrElse(v.qualifiedName,
+                PackageVariables.parseValue(v.ssisType, v.value)))))
           val detection = LoadPatterns.detect(sql.sqlStatement, pkg.variables)
           env.sqlExecutor(sql) match {
             case Some(SqlOutcome(Some(out), Some(target), mode)) =>
@@ -121,7 +169,7 @@ object PackageRunner {
           TaskRun(task.name, "SendMailTask", TaskStatus.SkippedNotConverted,
             notes = List(sm.skipReason))
         case c: ContainerTask =>
-          val childRuns = c.children.map(runTask(spark, pkg, _, env))
+          val childRuns = c.children.map(runTask(spark, pkg, _, env, values))
           val failed = childRuns.collectFirst {
             case TaskRun(_, _, TaskStatus.Failed(e), _, _, _, _) => e
           }

@@ -1,0 +1,166 @@
+package graft.pipeline
+
+import graft.expr.SsisExprCompiler
+import graft.ir.Ir._
+import graft.types.SsisTypes
+import graft.types.SsisTypes.SsisColumnType
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Package-variable evaluation and `?` parameter binding — the runtime
+  * half of the S2 source contract: `User::` variables (literal or
+  * expression-valued, reference `src/parser/models.py:53-61` with the
+  * `constants.py:42-51` DT type codes) feed a `SqlCommand`'s positional
+  * `?` placeholders, as in the reference's
+  * `samples/ssis_packages/SalesFactETL.dtsx:40-46,79-91`.
+  *
+  * Expression variables compile through [[SsisExprCompiler]] (same
+  * compiler as Derived Columns — one expression language everywhere) and
+  * evaluate over the already-resolved variables on a one-row local
+  * relation, so evaluation is Catalyst constant folding, not a
+  * distributed job. Dependencies between expression variables resolve by
+  * fixpoint; a cycle or an unbound reference is a deterministic error,
+  * not a silent default.
+  */
+object PackageVariables {
+
+  /** Parse a variable's stored literal per its DT_* type
+    * (constants.py:42-51 code → type mapping lives in DtsxParser). */
+  def parseValue(ssisType: String, raw: String): Any =
+    SsisTypes.canonical(ssisType) match {
+      case "DT_I2" => raw.trim.toShort
+      case "DT_I4" => raw.trim.toInt
+      case "DT_I8" => raw.trim.toLong
+      case "DT_R4" => raw.trim.toFloat
+      case "DT_R8" => raw.trim.toDouble
+      case "DT_BOOL" =>
+        raw.trim == "1" || raw.trim.equalsIgnoreCase("true")
+      case "DT_DATE" | "DT_DBTIMESTAMP" | "DT_DBTIMESTAMP2" =>
+        // dtsx serializes ISO-8601 ("2024-01-01T00:00:00")
+        java.sql.Timestamp.valueOf(raw.trim.replace("T", " "))
+      case _ => raw
+    }
+
+  /** Evaluate every package variable to a typed value. Literals parse
+    * directly; expression variables (`@[User::X]`-referencing) resolve by
+    * fixpoint over however many passes their dependency depth needs. */
+  def evaluate(spark: SparkSession, vars: List[Variable]): Map[String, Any] = {
+    val resolved = scala.collection.mutable.LinkedHashMap[String, Any]()
+    vars.filter(_.expression.isEmpty).foreach { v =>
+      resolved(v.qualifiedName) = parseValue(v.ssisType, v.value)
+    }
+    var pending = vars.filter(_.expression.isDefined)
+    var progress = true
+    while (pending.nonEmpty && progress) {
+      progress = false
+      val stillPending = pending.filterNot { v =>
+        val done = tryEval(spark, v, resolved.toMap)
+        done.foreach(value => { resolved(v.qualifiedName) = value; progress = true })
+        done.isDefined
+      }
+      pending = stillPending
+    }
+    if (pending.nonEmpty)
+      throw new IllegalArgumentException(
+        s"unresolvable variable expression(s): ${pending.map(_.qualifiedName).mkString(", ")}")
+    resolved.toMap
+  }
+
+  private def tryEval(spark: SparkSession, v: Variable,
+      resolved: Map[String, Any]): Option[Any] =
+    try {
+      val compiled = SsisExprCompiler.compile(v.expression.get, exprEnv(resolved))
+      val target = SsisTypes.toSpark(SsisColumnType(v.ssisType))
+      Some(evalLocal(spark, compiled.cast(target)))
+    } catch {
+      // unbound @[ns::name] → dependency not resolved yet; retry next pass
+      case e: IllegalArgumentException if e.getMessage != null &&
+        e.getMessage.contains("unbound SSIS variable") => None
+    }
+
+  /** Env for variable/constraint expressions: no column refs (there is no
+    * row), variables resolve to literals of already-evaluated values. */
+  def exprEnv(values: Map[String, Any]): SsisExprCompiler.Env =
+    SsisExprCompiler.Env(
+      col = n => throw new IllegalArgumentException(
+        s"column reference [$n] is not valid outside a dataflow"),
+      variable = (ns, n) => values.get(s"$ns::$n") match {
+        case Some(null) => lit(null)
+        case Some(value) => lit(value)
+        case None => throw new IllegalArgumentException(
+          s"unbound SSIS variable @[$ns::$n]")
+      })
+
+  /** Evaluate a literal-only Column on a one-row local relation — Catalyst
+    * folds it; `.head` on a LocalRelation never launches a shuffle. */
+  private def evalLocal(spark: SparkSession, c: Column): Any = {
+    val row = spark.range(1).select(c.as("v")).head()
+    if (row.isNullAt(0)) null else row.get(0)
+  }
+
+  /** Evaluate a precedence-constraint expression to a Boolean over the
+    * evaluated package variables (models.py:158-163 Expression kind). */
+  def evalBoolean(spark: SparkSession, expr: String, values: Map[String, Any]): Boolean =
+    evalLocal(spark,
+      SsisExprCompiler.compile(expr, exprEnv(values)).cast(BooleanType)) == true
+
+  /** Render a typed value as a SQL literal for placeholder substitution. */
+  def renderLiteral(v: Any): String = v match {
+    case null => "NULL"
+    case s: String => "'" + s.replace("'", "''") + "'"
+    case t: java.sql.Timestamp => "'" + t.toString + "'"
+    case d: java.sql.Date => "'" + d.toString + "'"
+    case b: Boolean => if (b) "1" else "0"
+    case other => other.toString
+  }
+
+  /** Substitute positional `?` placeholders (quote-aware: a `?` inside a
+    * string literal is text, not a parameter). */
+  def bindSql(sql: String, params: Seq[Any]): String = {
+    val out = new StringBuilder(sql.length + 32)
+    var inStr = false
+    var p = 0
+    sql.foreach {
+      case '\'' => inStr = !inStr; out.append('\'')
+      case '?' if !inStr =>
+        if (p >= params.length)
+          throw new IllegalArgumentException(
+            s"SQL has more `?` placeholders than bound parameters (${params.length})")
+        out.append(renderLiteral(params(p))); p += 1
+      case ch => out.append(ch)
+    }
+    out.toString
+  }
+
+  /** Count unquoted `?` placeholders. */
+  def placeholderCount(sql: String): Int = {
+    var inStr = false; var n = 0
+    sql.foreach {
+      case '\'' => inStr = !inStr
+      case '?' if !inStr => n += 1
+      case _ =>
+    }
+    n
+  }
+
+  /** Bind every `?`-parameterized SqlCommand in a dataflow task from the
+    * evaluated package variables, positionally in variable declaration
+    * order (the sample packages carry no explicit ParameterMapping — the
+    * declaration order IS the mapping, SalesFactETL.dtsx:33-43 vs 79-91). */
+  def bindTaskSql(task: DataFlowTask, pkg: SsisPackage,
+      values: Map[String, Any]): DataFlowTask = {
+    // fall back to the literal parse for callers that skipped evaluate()
+    lazy val ordered = pkg.variables.map(v =>
+      values.getOrElse(v.qualifiedName, parseValue(v.ssisType, v.value)))
+    def bind(sql: Option[String]): Option[String] = sql.map { s =>
+      val n = placeholderCount(s)
+      if (n == 0) s else bindSql(s, ordered.take(n))
+    }
+    task.copy(components = task.components.map {
+      case s: SourceComponent => s.copy(sqlCommand = bind(s.sqlCommand))
+      case l: LookupComponent => l.copy(sqlCommand = bind(l.sqlCommand))
+      case other => other
+    })
+  }
+}

@@ -70,6 +70,7 @@ object Sources {
       : graft.ops.DataFlowCompiler.Resolver = {
     val tableRe = """\[\w+\]\.\[(\w+)\]""".r
     val projRe = """(?is)\s*SELECT\s+(.*?)\s+FROM\s.*""".r
+    val whereRe = """(?is).*\bWHERE\b.*""".r
     def resolve(sql: Option[String], openRowset: Option[String]): DataFrame = {
       val text = openRowset.orElse(sql).getOrElse(
         throw new IllegalArgumentException("component names no table"))
@@ -77,6 +78,12 @@ object Sources {
         throw new IllegalArgumentException(s"no [schema].[table] in: $text"))
       val scan = spark.read.parquet(s"$dir/$table.parquet")
       sql match {
+        case Some(stmt) if whereRe.matches(stmt) =>
+          // full-statement path (post `?`-binding): register the scan as a
+          // temp view and let Catalyst run the whole SELECT — projection
+          // AND predicate both reach the parquet scan as pushed filters
+          scan.createOrReplaceTempView(table)
+          spark.sql(tableRe.replaceAllIn(stmt, table))
         case Some(projRe(cols)) if cols.trim != "*" =>
           scan.select(cols.split(",").map(c => col(c.trim)): _*)
         case _ => scan

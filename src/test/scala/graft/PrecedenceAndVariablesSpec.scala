@@ -1,0 +1,143 @@
+package graft
+
+import graft.ir.Ir._
+import graft.ops.DataFlowCompiler.Resolver
+import graft.pipeline.{PackageRunner, PackageVariables}
+import graft.pipeline.PackageRunner.{RuntimeEnv, TaskStatus}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Precedence-constraint algebra (reference `src/parser/models.py:158-163`,
+  * `src/agents/analyzer.py:36-67`) and package-variable evaluation /
+  * `?`-parameter binding (`constants.py:42-51`,
+  * `samples/ssis_packages/SalesFactETL.dtsx:40-46,79-91`). */
+class PrecedenceAndVariablesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+
+  private def sqlTask(name: String): ExecuteSqlTask =
+    ExecuteSqlTask(name, None, connectionId = "", sqlStatement = s"SELECT 1 -- $name")
+
+  private def pkg(tasks: List[Task], constraints: List[PrecedenceConstraint],
+      vars: List[Variable] = Nil): SsisPackage =
+    SsisPackage("p", None, Nil, vars, tasks, constraints)
+
+  /** Env whose sqlExecutor fails for the named tasks, succeeds otherwise. */
+  private def env(failing: Set[String]): RuntimeEnv = RuntimeEnv(
+    resolver = Resolver(source = _ => sys.error("no source"),
+      lookup = _ => sys.error("no lookup")),
+    write = (_, _, _) => (),
+    sqlExecutor = t =>
+      if (failing.contains(t.name)) throw new RuntimeException(s"${t.name} boom")
+      else Some(PackageRunner.SqlOutcome(None, None)))
+
+  private def statusOf(run: PackageRunner.PackageRun): Map[String, TaskStatus] =
+    run.tasks.map(t => t.taskName -> t.status).toMap
+
+  private val diamond = List(
+    sqlTask("Extract"), sqlTask("Transform"), sqlTask("Cleanup"), sqlTask("Notify"))
+  private val diamondEdges = List(
+    PrecedenceConstraint("Extract", "Transform", ConstraintKind.Success),
+    PrecedenceConstraint("Extract", "Cleanup", ConstraintKind.Failure),
+    PrecedenceConstraint("Extract", "Notify", ConstraintKind.Completion))
+
+  test("OnFailure cleanup runs ONLY after a failed task; Success successor does not") {
+    val run = PackageRunner.run(spark, pkg(diamond, diamondEdges), env(Set("Extract")))
+    val st = statusOf(run)
+    assert(st("Extract").isInstanceOf[TaskStatus.Failed])
+    assert(st("Cleanup") === TaskStatus.Succeeded) // failure edge fired
+    assert(st("Transform") === TaskStatus.NotRun) // success edge did not
+    assert(st("Notify") === TaskStatus.Succeeded) // completion fires either way
+    assert(run.failed) // the failure is still reported at package level
+  }
+
+  test("on success: cleanup does NOT run, success and completion edges fire") {
+    val run = PackageRunner.run(spark, pkg(diamond, diamondEdges), env(Set.empty))
+    val st = statusOf(run)
+    assert(st("Extract") === TaskStatus.Succeeded)
+    assert(st("Cleanup") === TaskStatus.NotRun)
+    assert(st("Transform") === TaskStatus.Succeeded)
+    assert(st("Notify") === TaskStatus.Succeeded)
+    assert(!run.failed)
+  }
+
+  test("NotRun cascades through Success edges (no zombie downstream)") {
+    val tasks = diamond :+ sqlTask("Load")
+    val edges = diamondEdges :+
+      PrecedenceConstraint("Transform", "Load", ConstraintKind.Success)
+    val st = statusOf(PackageRunner.run(spark, pkg(tasks, edges), env(Set("Extract"))))
+    assert(st("Transform") === TaskStatus.NotRun)
+    assert(st("Load") === TaskStatus.NotRun)
+  }
+
+  test("Expression constraints gate on evaluated package variables") {
+    val vars = List(
+      Variable("User", "Threshold", "DT_I4", "5"),
+      Variable("User", "Doubled", "DT_I4", "0",
+        expression = Some("@[User::Threshold] * 2")))
+    val tasks = List(sqlTask("A"), sqlTask("RunsWhenTrue"), sqlTask("RunsWhenFalse"))
+    val edges = List(
+      PrecedenceConstraint("A", "RunsWhenTrue",
+        ConstraintKind.Expression("@[User::Doubled] == 10")),
+      PrecedenceConstraint("A", "RunsWhenFalse",
+        ConstraintKind.Expression("@[User::Doubled] > 100")))
+    val st = statusOf(PackageRunner.run(spark, pkg(tasks, edges, vars), env(Set.empty)))
+    assert(st("RunsWhenTrue") === TaskStatus.Succeeded)
+    assert(st("RunsWhenFalse") === TaskStatus.NotRun)
+  }
+
+  test("parseValue honors the DT type codes") {
+    assert(PackageVariables.parseValue("DT_I4", "42") === 42)
+    assert(PackageVariables.parseValue("DT_I8", "9999999999") === 9999999999L)
+    assert(PackageVariables.parseValue("DT_I2", "7") === 7.toShort)
+    assert(PackageVariables.parseValue("DT_R8", "2.5") === 2.5)
+    assert(PackageVariables.parseValue("DT_BOOL", "1") === true)
+    assert(PackageVariables.parseValue("DT_BOOL", "false") === false)
+    assert(PackageVariables.parseValue("DT_DBTIMESTAMP", "2024-01-01T10:30:00") ===
+      java.sql.Timestamp.valueOf("2024-01-01 10:30:00"))
+    assert(PackageVariables.parseValue("DT_WSTR", "abc") === "abc")
+  }
+
+  test("expression variables resolve by fixpoint regardless of declaration order") {
+    // C depends on B depends on A; declared most-dependent first
+    val vars = List(
+      Variable("User", "C", "DT_I4", "0", expression = Some("@[User::B] + 1")),
+      Variable("User", "B", "DT_I4", "0", expression = Some("@[User::A] * 3")),
+      Variable("User", "A", "DT_I4", "7"))
+    val values = PackageVariables.evaluate(spark, vars)
+    assert(values("User::A") === 7)
+    assert(values("User::B") === 21)
+    assert(values("User::C") === 22)
+  }
+
+  test("unresolvable variable expression is a deterministic error") {
+    val vars = List(
+      Variable("User", "X", "DT_I4", "0", expression = Some("@[User::Missing] + 1")))
+    val e = intercept[IllegalArgumentException] {
+      PackageVariables.evaluate(spark, vars)
+    }
+    assert(e.getMessage.contains("User::X"))
+  }
+
+  test("bindSql is positional and quote-aware; counts match") {
+    val sql = "SELECT '?' AS q, c FROM t WHERE a >= ? AND b < ? AND note = 'is it?'"
+    assert(PackageVariables.placeholderCount(sql) === 2)
+    val bound = PackageVariables.bindSql(sql,
+      Seq(java.sql.Timestamp.valueOf("1995-03-01 00:00:00"), 10))
+    assert(bound.contains("a >= '1995-03-01 00:00:00.0'"))
+    assert(bound.contains("b < 10"))
+    assert(bound.contains("'?' AS q")) // quoted ? untouched
+    assert(bound.contains("'is it?'"))
+    // string params are escaped, not spliced
+    val b2 = PackageVariables.bindSql("WHERE name = ?", Seq("O'Brien"))
+    assert(b2 === "WHERE name = 'O''Brien'")
+  }
+
+  test("DATEADD expression variable produces the bound window end") {
+    val vars = List(
+      Variable("User", "StartDate", "DT_DBTIMESTAMP", "1995-03-01T00:00:00"),
+      Variable("User", "EndDate", "DT_DBTIMESTAMP", "1995-03-01T00:00:00",
+        expression = Some("DATEADD(\"day\", @[User::WindowDays], @[User::StartDate])")),
+      Variable("User", "WindowDays", "DT_I4", "91"))
+    val values = PackageVariables.evaluate(spark, vars)
+    assert(values("User::EndDate") === java.sql.Timestamp.valueOf("1995-05-31 00:00:00"))
+  }
+}
