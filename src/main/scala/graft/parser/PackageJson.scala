@@ -100,6 +100,77 @@ object PackageJson {
 
   def toJson(pkgs: Seq[SsisPackage]): String = arr(pkgs.map(toJson))
 
+  /** `schema_metadata.json` analog (reference `ssis_parser.py:532-580,
+    * 620-639`, models.py:208-233): tables referenced by dataflow sources
+    * (with their declared columns) and destinations, each carrying
+    * `referenced_in` task lineage; containers recurse. With
+    * `includeSqlTables` every `[schema].[table]` mentioned in a source/
+    * lookup SqlCommand also joins the lineage (the reference only indexes
+    * table-mode references; SQL-mode sources would otherwise vanish from
+    * the lineage graph). */
+  def schemaMetadataJson(pkgs: Seq[SsisPackage],
+      includeSqlTables: Boolean = false): String = {
+    val sqlTableRe = """\[(\w+)\]\.\[(\w+)\]""".r
+    // full_name → (schema, table, tasks in first-seen order)
+    val seen = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Option[String], String, scala.collection.mutable.LinkedHashSet[String])]
+    val columns = scala.collection.mutable.ListBuffer.empty[String]
+
+    def add(raw: String, cols: List[ColumnInfo], taskName: String): Unit = {
+      val clean = raw.replace("[", "").replace("]", "").trim
+      if (clean.isEmpty) return
+      val parts = clean.split('.')
+      val (schema, table) =
+        if (parts.length >= 2) (Some(parts(parts.length - 2)), parts.last)
+        else (None, clean)
+      val full = schema.fold(table)(s => s"$s.$table")
+      val entry = seen.getOrElseUpdate(full,
+        (schema, table, scala.collection.mutable.LinkedHashSet.empty[String]))
+      entry._3 += taskName
+      cols.foreach { c =>
+        columns += obj(
+          "table_full_name" -> q(full),
+          "column_name" -> q(c.name),
+          "ssis_type" -> q(SsisTypes.canonical(c.ssisType.name)),
+          "sql_type" -> q(SsisTypes.toSqlServer(c.ssisType)),
+          "length" -> c.ssisType.length.map(_.toString).getOrElse("null"),
+          "precision" -> c.ssisType.precision.map(_.toString).getOrElse("null"),
+          "scale" -> c.ssisType.scale.map(_.toString).getOrElse("null"))
+      }
+    }
+
+    def fromSql(sql: Option[String], taskName: String): Unit =
+      if (includeSqlTables)
+        sql.toList.flatMap(sqlTableRe.findAllMatchIn(_)).foreach { m =>
+          add(s"${m.group(1)}.${m.group(2)}", Nil, taskName)
+        }
+
+    def walk(tasks: List[Task]): Unit = tasks.foreach {
+      case d: DataFlowTask =>
+        d.sources.foreach { s =>
+          s.tableName.foreach(add(_, s.columns, d.name))
+          fromSql(s.sqlCommand, d.name)
+        }
+        d.lookups.foreach(l => fromSql(l.sqlCommand, d.name))
+        d.destinations.foreach(dst => dst.tableName.foreach(add(_, Nil, d.name)))
+      case c: ContainerTask => walk(c.children)
+      case _ =>
+    }
+    pkgs.foreach(p => walk(p.tasks))
+
+    obj(
+      "tables" -> arr(seen.toSeq.map { case (full, (schema, table, tasks)) =>
+        obj(
+          "schema_name" -> schema.map(q).getOrElse("null"),
+          "table_name" -> q(table),
+          "full_name" -> q(full),
+          "source_system" -> "null",
+          "referenced_in" -> arr(tasks.toSeq.map(q)))
+      }),
+      "columns" -> arr(columns.toSeq),
+      "source_systems" -> arr(Nil))
+  }
+
   /** The `parsing_report.md` analog (reference `ssis_parser.py:641-739`):
     * per-package task/component inventory, conversion disposition
     * (auto-converted vs manual-review vs skipped), and parse warnings —

@@ -1,0 +1,122 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.parser.{DtsxParser, PackageJson}
+import graft.validate.{ValidationJson, ValidationSuite}
+import graft.validate.ValidationJson.ModelValidation
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden-shape specs for the exported artifacts: `schema_metadata.json`
+  * (reference `src/parser/ssis_parser.py:532-580,620-639` shape over the
+  * same 3 sample packages) and `validation_log.json` /
+  * `validation_report.md` (`src/validation/validator.py:393-531`). JSON is
+  * validated structurally via Jackson (ships with Spark). */
+class ArtifactsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  private val mapper = new ObjectMapper
+
+  private def fixture(name: String) =
+    DtsxParser.parseFile(getClass.getResource(s"/dtsx/$name").getPath)
+
+  private lazy val samplePkgs = List(
+    fixture("SalesFactETL.dtsx"), fixture("CustomerDataLoad.dtsx"),
+    fixture("InventorySync.dtsx"))
+
+  test("schema_metadata.json: reference-parity tables with referenced_in lineage") {
+    val json = PackageJson.schemaMetadataJson(samplePkgs)
+    val root = mapper.readTree(json)
+    assert(root.has("tables") && root.has("columns") && root.has("source_systems"))
+    val tables = (0 until root.get("tables").size())
+      .map(root.get("tables").get)
+    val byFull = tables.map(t => t.get("full_name").asText() -> t).toMap
+    // the reference's own output/schema_metadata.json carries exactly these
+    // three destination tables for the same packages
+    assert(byFull.contains("fact.Sales"))
+    assert(byFull.contains("fact.InventorySnapshot"))
+    assert(byFull("fact.Sales").get("schema_name").asText() === "fact")
+    assert(byFull("fact.Sales").get("table_name").asText() === "Sales")
+    val refIn = byFull("fact.Sales").get("referenced_in")
+    assert((0 until refIn.size()).map(refIn.get(_).asText())
+      .contains("Load Sales Facts"))
+  }
+
+  test("schema_metadata.json: includeSqlTables adds SQL-mode source lineage") {
+    val json = PackageJson.schemaMetadataJson(samplePkgs, includeSqlTables = true)
+    val root = mapper.readTree(json)
+    val fulls = (0 until root.get("tables").size())
+      .map(root.get("tables").get(_).get("full_name").asText())
+    // SalesFactETL's source is SQL-mode over sales.Transactions — invisible
+    // to the reference's exporter, recovered here
+    val sqlNames = samplePkgs.flatMap(_.tasks).collect {
+      case d: graft.ir.Ir.DataFlowTask => d.sources.flatMap(_.sqlCommand)
+    }.flatten
+    if (sqlNames.exists(_.contains("[")))
+      assert(fulls.size > 3)
+    assert(fulls.distinct.size === fulls.size, "no duplicate table entries")
+  }
+
+  private lazy val actualDf = Seq((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0))
+    .toDF("id", "name", "amount")
+  private lazy val expectedDf = actualDf
+
+  test("validation_log.json matches the reference ValidationReport structure") {
+    val results =
+      ValidationSuite.rowCountMatch(actualDf, expectedDf, "dim.Customer") ::
+        ValidationSuite.pkIntegrity(actualDf, Seq("id"), "dim.Customer") :::
+        ValidationSuite.checksum(actualDf, expectedDf, "amount", "dim.Customer")
+    val model = ModelValidation("dim_customer", "CustomerDataLoad.dtsx",
+      "Merge to Dimension", Some("dim.Customer"), results)
+    val json = ValidationJson.logJson(List(model), "2026-01-01 00:00:00")
+    val root = mapper.readTree(json)
+    assert(root.get("generated_at").asText() === "2026-01-01 00:00:00")
+    assert(root.get("dbt_run").isNull)
+    val mv = root.get("model_validations").get(0)
+    assert(mv.get("model_name").asText() === "dim_customer")
+    assert(mv.get("ssis_package").asText() === "CustomerDataLoad.dtsx")
+    val rc = mv.get("row_count")
+    assert(rc.get("legacy_count").asLong() === 3L)
+    assert(rc.get("dbt_count").asLong() === 3L)
+    assert(rc.get("difference").asLong() === 0L)
+    assert(rc.get("status").asText() === "passed")
+    val pk = mv.get("primary_key")
+    assert(pk.get("pk_column").asText() === "id")
+    assert(pk.get("null_count").asLong() === 0L)
+    assert(pk.get("duplicate_count").asLong() === 0L)
+    val cs = mv.get("checksums").get(0)
+    assert(cs.get("column").asText() === "amount")
+    assert(cs.get("legacy_sum").asDouble() === 60.0)
+    assert(cs.get("status").asText() === "passed")
+    assert(mv.get("overall_status").asText() === "passed")
+    assert(root.get("total_models").asInt() === 1)
+    assert(root.get("models_passed").asInt() === 1)
+    assert(root.get("overall_status").asText() === "passed")
+  }
+
+  test("failed data tests surface as errors and fail the model") {
+    val bad = Seq((1, Option.empty[String]), (2, Some("x"))).toDF("id", "name")
+    val results = List(
+      ValidationSuite.rowCountMatch(bad, bad, "stg.T"),
+      ValidationSuite.notNull(bad, "name", "stg.T"))
+    val model = ModelValidation("stg_t", "P.dtsx", "Load", Some("stg.T"), results)
+    val root = mapper.readTree(ValidationJson.logJson(List(model), "t"))
+    val mv = root.get("model_validations").get(0)
+    assert(mv.get("overall_status").asText() === "failed")
+    assert(mv.get("errors").get(0).asText().contains("not_null(name)"))
+    assert(root.get("models_failed").asInt() === 1)
+    assert(root.get("overall_status").asText() === "failed")
+  }
+
+  test("validation_report.md carries the summary table and per-model sections") {
+    val results = ValidationSuite.rowCountMatch(actualDf, expectedDf, "dim.Customer") :: Nil
+    val md = ValidationJson.markdownReport(List(
+      ModelValidation("dim_customer", "CustomerDataLoad.dtsx", "Merge to Dimension",
+        Some("dim.Customer"), results)), "2026-01-01 00:00:00")
+    assert(md.contains("# Migration Validation Report"))
+    assert(md.contains("| Total Models | 1 |"))
+    assert(md.contains("| Overall Status | **PASSED** |"))
+    assert(md.contains("### dim_customer [PASS]"))
+    assert(md.contains("- **SSIS Package**: CustomerDataLoad.dtsx"))
+  }
+}
