@@ -1093,7 +1093,42 @@ object QueriesRelational {
       |WHERE o_orderdate >= TIMESTAMP '1995-03-01 00:00:00'
       |  AND o_orderdate < TIMESTAMP '1995-05-31 00:00:00'""".stripMargin
 
+  /** CONTAINER nesting in the gate: a Sequence container stages two
+    * tables, a Success edge from the container gates the downstream mart
+    * dataflow, and the whole package runs through [[PackageRunner]] — the
+    * staged destinations feed the mart's source via the resolver, so the
+    * final mart is ONE composed Catalyst plan (no materialization barrier
+    * between tasks). Parser containers: `ir/Ir.scala` ContainerTask;
+    * runner nesting: `pipeline/PackageRunner.scala` Container branch. */
+  def q42_container_pipeline(spark: SparkSession, dir: String): DataFrame = {
+    val in = getClass.getResourceAsStream("/dtsx/SequenceMartETL.dtsx")
+    val xml = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    val pkg = graft.parser.DtsxParser.parseString(xml)
+    val tableRe = """\[\w+\]\.\[(\w+)\]""".r
+    val written = scala.collection.mutable.Map.empty[String, DataFrame]
+    val env = graft.pipeline.PackageRunner.RuntimeEnv(
+      resolver = graft.sources.Sources.testdataResolver(spark, dir, written.get),
+      write = (table, df, _) => {
+        val bare = tableRe.findFirstMatchIn(table).map(_.group(1)).getOrElse(table)
+        written(bare) = df
+      })
+    val run = graft.pipeline.PackageRunner.run(spark, pkg, env)
+    require(!run.failed, s"package failed: ${run.tasks.map(t => t.taskName -> t.status)}")
+    written("segment_orders")
+      .select(col("segment"), col("n_orders"),
+        col("total_value").cast(DoubleType).as("total_value"))
+  }
+
+  val q42Oracle: String =
+    """SELECT c.c_mktsegment AS segment, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS total_value
+      |FROM orders o
+      |LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      |WHERE o.o_orderpriority = '1-URGENT'
+      |GROUP BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q42_container_pipeline" -> (q42_container_pipeline _),
     "q41_param_binding" -> (q41_param_binding _),
     "q39_grouping_sets" -> (q39_grouping_sets _),
     "q40_exists_subquery" -> (q40_exists_subquery _),
@@ -1136,6 +1171,7 @@ object QueriesRelational {
     "q22_date_functions" -> (q22_date_functions _))
 
   val oracle: Map[String, String] = Map(
+    "q42_container_pipeline" -> q42Oracle,
     "q41_param_binding" -> q41Oracle,
     "q39_grouping_sets" -> q39Oracle,
     "q40_exists_subquery" -> q40Oracle,

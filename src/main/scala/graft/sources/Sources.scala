@@ -66,7 +66,8 @@ object Sources {
     * in the SQL is honored (column pruning reaches the scan). This is the
     * S1/S2 runtime binding — swap the body for `spark.read.format("jdbc")`
     * against a live warehouse; the compiled plan is identical. */
-  def testdataResolver(spark: SparkSession, dir: String)
+  def testdataResolver(spark: SparkSession, dir: String,
+      staged: String => Option[DataFrame] = _ => None)
       : graft.ops.DataFlowCompiler.Resolver = {
     val tableRe = """\[\w+\]\.\[(\w+)\]""".r
     val projRe = """(?is)\s*SELECT\s+(.*?)\s+FROM\s.*""".r
@@ -76,7 +77,9 @@ object Sources {
         throw new IllegalArgumentException("component names no table"))
       val table = tableRe.findFirstMatchIn(text).map(_.group(1)).getOrElse(
         throw new IllegalArgumentException(s"no [schema].[table] in: $text"))
-      val scan = spark.read.parquet(s"$dir/$table.parquet")
+      // intra-package tables (a prior task's destination) take precedence
+      // over the external catalog — multi-task pipelines compose plans
+      val scan = staged(table).getOrElse(spark.read.parquet(s"$dir/$table.parquet"))
       sql match {
         case Some(stmt) if whereRe.matches(stmt) =>
           // full-statement path (post `?`-binding): register the scan as a
