@@ -44,7 +44,11 @@ object Bench {
           e.printStackTrace()
           Some(e.getClass.getSimpleName)
       }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // queries may cache intermediates (x06 pairs/candSh, x14 slim frame);
+      // drop them so one query's blocks never pressure the next one's GC
+      spark.sharedState.cacheManager.clearCache()
+      (name, elapsed, err)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

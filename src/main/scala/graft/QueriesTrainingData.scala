@@ -137,11 +137,22 @@ object QueriesTrainingData {
             DedupOps.hashedShingles(DedupOps.shingles(col("text"), 3))),
           rowsPerBand = 4, nBands = 2).as("bands"))
       .cache()
-    val pairs = DedupOps.lshCandidatePairs(banded, "doc_id", "bands")
+    // pairs is REFERENCED three times downstream (final join + both cohort
+    // projections of candIds) — materialize it eagerly (it is tiny: id
+    // pairs only, the survivors of the band buckets), then drop the fat
+    // banded cache before the verification pass. At 100 TB this is the
+    // difference between holding band keys for the whole corpus in memory
+    // through verification and holding only the candidate set.
+    val pairs = DedupOps.lshCandidatePairs(banded, "doc_id", "bands").cache()
+    pairs.count()
+    banded.unpersist()
     val candIds = pairs.select(col("doc_a").as("doc_id"))
       .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    // candSh feeds both sides of the final join — cache so the candidate
+    // shingle sets (md5-heavy) compute once, not once per join side
     val candSh = docs.join(broadcast(candIds), Seq("doc_id"))
       .select(col("doc_id"), DedupOps.shingles(col("text"), 3).as("sh"))
+      .cache()
     pairs
       .join(candSh.toDF("doc_a", "sh_a"), "doc_a")
       .join(candSh.toDF("doc_b", "sh_b"), "doc_b")
