@@ -39,8 +39,10 @@ object Queries {
       |GROUP BY l_returnflag, l_linestatus""".stripMargin
 
   def all: Map[String, (SparkSession, String) => DataFrame] =
-    Map("q01_agg_group" -> (q01_agg_group _)) ++ QueriesRelational.all ++ QueriesTrainingData.all
+    Map("q01_agg_group" -> (q01_agg_group _)) ++ QueriesRelational.all ++
+      QueriesTrainingData.all ++ QueriesStreaming.all
 
   def oracle: Map[String, String] =
-    Map("q01_agg_group" -> q01Oracle) ++ QueriesRelational.oracle ++ QueriesTrainingData.oracle
+    Map("q01_agg_group" -> q01Oracle) ++ QueriesRelational.oracle ++
+      QueriesTrainingData.oracle ++ QueriesStreaming.oracle
 }

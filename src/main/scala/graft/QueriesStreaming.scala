@@ -1,0 +1,138 @@
+package graft
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.{SessionEvent, SessionSummary}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming queries in the correctness gate (SURVEY.md §2.7).
+  *
+  * The reference's incremental semantics (watermark fetch + filter,
+  * processed-flag handshake — InventorySync.dtsx:58-63,107-118) map to
+  * Structured Streaming with `Trigger.AvailableNow`: drain everything the
+  * checkpoint hasn't seen, then stop. These two queries run that REAL
+  * streaming path — FileStreamSource → watermark/state → memory sink —
+  * over the events table and are held to the same DuckDB oracle as their
+  * batch twins, proving stream/batch parity end-to-end:
+  *
+  *  - q43: windowed aggregate (Complete mode) ≡ the batch q30 tumbling
+  *    window — identical oracle SQL;
+  *  - q44: `flatMapGroupsWithState` sessionization. A streaming
+  *    sessionizer only ever EMITS closed sessions (each user's last
+  *    session stays open in the state store waiting for more events), so
+  *    the oracle is the batch q29 sessionization minus each user's final
+  *    session — the honest streaming contract, encoded in SQL.
+  *
+  * Exactness: event-time boundaries are epoch-µs integers; session values
+  * fold in the state as decimal-scaled integers carried in a Double
+  * (exact for |v| < 2⁵³), so the sum is order-independent and the final
+  * divide-by-10⁴ lands on the identical float64 the oracle's
+  * SUM(DECIMAL)::DOUBLE produces.
+  */
+object QueriesStreaming {
+
+  private val runSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** FileStreamSource lists directories; the testdata table is a single
+    * parquet file — stage a copy (driver-local, one file) and stream it.
+    * In production this is just `readStream.parquet(tableDir)`. */
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = java.nio.file.Path.of(s"$dir/events.parquet")
+    val stage = java.nio.file.Files.createTempDirectory("graft-events-stream")
+    java.nio.file.Files.copy(src, stage.resolve("events.parquet"))
+    val schema = spark.read.parquet(src.toString).schema
+    spark.readStream.schema(schema).parquet(stage.toString)
+      .withColumn("ts_us", call_function("div", col("ts"), lit(1000L)))
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+  }
+
+  private def ckpt(): String =
+    java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+
+  /** Streaming tumbling-window aggregate over the drained events stream —
+    * same windows, same exact-decimal sums, same oracle as batch q30. */
+  def q43_stream_windowed_agg(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsStream(spark, dir)
+      .withColumn("value", col("value").cast(DecimalType(18, 4)))
+    val agg = StreamingOps.windowedAgg(ev, "ts_t", "event_type", "1 hour")
+    val name = s"q43_out_${runSeq.incrementAndGet()}"
+    // Complete mode: every window emits at drain end (Append would hold
+    // back windows the final watermark hasn't passed — unobservable here)
+    StreamingOps.drainToMemory(agg, name, ckpt(), OutputMode.Complete)
+      .select(
+        unix_micros(col("window_start")).as("window_start_us"),
+        unix_micros(col("window_end")).as("window_end_us"),
+        col("event_type"),
+        col("n").as("n_events"),
+        col("total_value").cast(DoubleType).as("total_value"))
+  }
+
+  val q43Oracle: String =
+    """SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS window_start_us,
+      |  epoch_us(ts) - epoch_us(ts) % 3600000000 + 3600000000 AS window_end_us,
+      |  event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2, 3""".stripMargin
+
+  /** Streaming sessionization (30-minute inactivity gap) through the
+    * keyed state store. Emitted rows are the CLOSED sessions; the oracle
+    * reproduces the batch session algebra and drops each user's final
+    * (still-open) session. */
+  def q44_stream_sessionization(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val gapUs = 30L * 60 * 1000000
+    val ev = eventsStream(spark, dir)
+      .select(
+        col("user_id").as("userId"),
+        col("ts_us").as("tsMs"), // µs carried through; gap is µs too
+        // decimal(18,4)-scaled integer in a Double: exact, order-free fold
+        (col("value").cast(DecimalType(18, 4)) * 10000)
+          .cast(LongType).cast(DoubleType).as("value"))
+      .as[SessionEvent]
+    // NoTimeout: bounded drain — sessions close via the gap rule only
+    val sessions = StreamingOps.sessionize(ev, gapMs = gapUs,
+      timeout = GroupStateTimeout.NoTimeout)
+    val name = s"q44_out_${runSeq.incrementAndGet()}"
+    StreamingOps.drainToMemory(sessions.toDF(), name, ckpt())
+      .select(
+        col("userId").as("user_id"),
+        col("sessionStartMs").as("session_start_us"),
+        col("sessionEndMs").as("session_end_us"),
+        col("nEvents").as("n_events"),
+        (col("totalValue") / 10000.0).as("total_value"))
+  }
+
+  val q44Oracle: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS t,
+      |    CAST(value AS DECIMAL(18,4)) AS v,
+      |    CASE WHEN LAG(epoch_us(ts), 1) OVER w IS NULL THEN 1
+      |         WHEN epoch_us(ts) - LAG(epoch_us(ts), 1) OVER w > 1800000000 THEN 1
+      |         ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      |sessions AS (
+      |  SELECT user_id, event_id, t, v,
+      |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY t, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM flagged),
+      |rolled AS (
+      |  SELECT user_id, session_id,
+      |    MIN(t) AS session_start_us, MAX(t) AS session_end_us,
+      |    COUNT(*) AS n_events, CAST(SUM(v) AS DOUBLE) AS total_value
+      |  FROM sessions GROUP BY user_id, session_id)
+      |SELECT user_id, session_start_us, session_end_us, n_events, total_value
+      |FROM rolled
+      |QUALIFY session_id < MAX(session_id) OVER (PARTITION BY user_id)""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_stream_windowed_agg" -> (q43_stream_windowed_agg _),
+    "q44_stream_sessionization" -> (q44_stream_sessionization _))
+
+  val oracle: Map[String, String] = Map(
+    "q43_stream_windowed_agg" -> q43Oracle,
+    "q44_stream_sessionization" -> q44Oracle)
+}
