@@ -71,12 +71,22 @@ object DedupOps {
       s"sig$i" -> minhashNumeric(hashedSet, a, b)
     }
 
-  /** All `perms.length` MinHash values in ONE fold over the hashed shingle
+  /** All `perms.length` MinHash values in ONE pass over the hashed shingle
     * set, as an array column. Critical at scale: separate sig columns get
     * their shared input inlined per column by CollapseProject, multiplying
     * the (md5-heavy) shingle hashing by the signature width — the single
-    * aggregate keeps it at one pass. */
+    * pass keeps it at one. Backed by the native codegen'd
+    * [[graft.functions.MinHashSig]] expression (a primitive `long[]` loop
+    * inside whole-stage codegen); [[minhashSignatureArrayHof]] is the
+    * higher-order-function twin kept for parity testing. */
   def minhashSignatureArray(hashedSet: Column,
+      perms: Seq[(Long, Long)] = DefaultPerms): Column =
+    graft.functions.NativeFunctions.minhashSig(hashedSet, perms)
+
+  /** Interpreted `aggregate(transform(...))` fold with identical
+    * semantics — the reference implementation the native expression is
+    * spec-checked against. */
+  def minhashSignatureArrayHof(hashedSet: Column,
       perms: Seq[(Long, Long)] = DefaultPerms): Column = {
     val aArr = array(perms.map(p => lit(p._1)): _*)
     val bArr = array(perms.map(p => lit(p._2)): _*)

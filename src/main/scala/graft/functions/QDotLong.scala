@@ -87,7 +87,11 @@ object NativeFunctions {
     (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_qdot"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[QDotLong].getCanonicalName, "graft_qdot"),
-      (exprs: Seq[Expression]) => QDotLong(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => QDotLong(exprs(0), exprs(1))),
+    (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_minhash_sig"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[MinHashSig].getCanonicalName, "graft_minhash_sig"),
+      (exprs: Seq[Expression]) => MinHashSig(exprs(0), exprs(1), exprs(2))))
 
   def register(spark: SparkSession): Unit =
     if (registered.add(System.identityHashCode(spark).toString)) {
@@ -101,6 +105,14 @@ object NativeFunctions {
   def qdot(a: Column, b: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_qdot", a, b)
+  }
+
+  /** Codegen'd one-pass MinHash signature over a hashed shingle set. */
+  def minhashSig(hashedSet: Column, perms: Seq[(Long, Long)]): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    import org.apache.spark.sql.functions.{array, lit}
+    call_function("graft_minhash_sig", hashedSet,
+      array(perms.map(p => lit(p._1)): _*), array(perms.map(p => lit(p._2)): _*))
   }
 }
 

@@ -65,6 +65,29 @@ class DedupPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("native graft_minhash_sig matches the higher-order-function fold") {
+    val docs = sample(doc, 80) ++ Seq("", "one", "a b", "a b c", "a b c d e")
+    val df = docs.toDF("text")
+      .withColumn("hs", DedupOps.hashedShingles(DedupOps.shingles(col("text"), 3)))
+      .withColumn("native", DedupOps.minhashSignatureArray(col("hs")))
+      .withColumn("hof", DedupOps.minhashSignatureArrayHof(col("hs")))
+    df.select("native", "hof").collect().foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+    }
+    // null array -> null signature, both paths
+    val nulls = spark.sql("SELECT CAST(NULL AS ARRAY<BIGINT>) AS hs")
+      .select(DedupOps.minhashSignatureArray(col("hs")).as("native"),
+        DedupOps.minhashSignatureArrayHof(col("hs")).as("hof"))
+      .collect().head
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+    // null ELEMENTS are skipped like least() skips them
+    val withNull = spark.sql("SELECT array(5L, CAST(NULL AS BIGINT), 9L) AS hs")
+      .select(DedupOps.minhashSignatureArray(col("hs")).as("native"),
+        DedupOps.minhashSignatureArrayHof(col("hs")).as("hof"))
+      .collect().head
+    assert(withNull.getSeq[Long](0) === withNull.getSeq[Long](1))
+  }
+
   test("simhash(8) stays in [0, 255] and is deterministic") {
     val docs = sample(doc, 60)
     val df = docs.toDF("text")
