@@ -160,7 +160,10 @@ object QueriesTrainingData {
         DedupOps.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
   }
 
-  val x06Oracle: String = {
+  /** CTE chain (no leading WITH) ending in `scored(doc_a, doc_b, jaccard)`
+    * — the LSH candidate + verification pipeline in DuckDB SQL, shared by
+    * the x06 and x15 oracles. */
+  private val lshScoredCtes: String = {
     val sigDefs = DedupOps.DefaultPerms.zipWithIndex.map { case ((a, b), i) =>
       s"list_min(list_transform(hs, h -> (h * $a + $b) % 2147483647)) AS sig$i"
     }.mkString(",\n      ")
@@ -168,7 +171,7 @@ object QueriesTrainingData {
       val cols = (4 * i until 4 * i + 4).map(j => s"sig$j").mkString(" || '|' || ")
       s"SELECT doc_id, $i AS band_idx, md5($cols) AS band_key FROM sig"
     }.mkString("\n      UNION ALL ")
-    s"""WITH words AS (
+    s"""words AS (
        |  SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents),
        |sh AS (
        |  SELECT doc_id, list_distinct(list_transform(
@@ -188,14 +191,18 @@ object QueriesTrainingData {
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
-       |    ON a.band_key = b.band_key AND a.band_idx = b.band_idx AND a.doc_id < b.doc_id)
-       |SELECT p.doc_a, p.doc_b,
-       |  CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
-       |  CAST(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) AS DOUBLE) AS jaccard
-       |FROM pairs p
-       |JOIN sh x ON x.doc_id = p.doc_a
-       |JOIN sh y ON y.doc_id = p.doc_b""".stripMargin
+       |    ON a.band_key = b.band_key AND a.band_idx = b.band_idx AND a.doc_id < b.doc_id),
+       |scored AS (
+       |  SELECT p.doc_a, p.doc_b,
+       |    CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+       |    CAST(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) AS DOUBLE) AS jaccard
+       |  FROM pairs p
+       |  JOIN sh x ON x.doc_id = p.doc_a
+       |  JOIN sh y ON y.doc_id = p.doc_b)""".stripMargin
   }
+
+  val x06Oracle: String =
+    s"WITH $lshScoredCtes\nSELECT doc_a, doc_b, jaccard FROM scored"
 
   /** SimHash (8-bit, md5-derived token hashes) per document. */
   def x07_dedup_simhash(spark: SparkSession, dir: String): DataFrame =
@@ -538,7 +545,34 @@ object QueriesTrainingData {
        |  AND CAST(l.nd AS DOUBLE) / CAST(l.nt AS DOUBLE) > 0.3""".stripMargin
   }
 
+  /** Transitive near-dup groups: connected components over the LSH pair
+    * graph (jaccard ≥ 0.5) by min-label propagation — every document maps
+    * to the smallest doc_id reachable through near-duplicate pairs
+    * (isolated docs label themselves). The transitive-closure step real
+    * fuzzy-dedup needs after x06: a near-dup relation is not transitive,
+    * so survivors must be picked per component, not per pair. */
+  def x15_dup_components(spark: SparkSession, dir: String): DataFrame = {
+    val edges = x06_dedup_minhash_lsh(spark, dir)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    DedupOps.connectedComponents(
+      edges, documents(spark, dir).select(col("doc_id")), "doc_id")
+  }
+
+  val x15Oracle: String =
+    s"""WITH RECURSIVE $lshScoredCtes,
+       |edges AS (
+       |  SELECT doc_a AS s, doc_b AS d FROM scored WHERE jaccard >= 0.5
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM scored WHERE jaccard >= 0.5),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT reach.id, edges.d FROM reach JOIN edges ON reach.r = edges.s)
+       |SELECT id AS doc_id, MIN(r) AS component_id FROM reach GROUP BY id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x15_dup_components" -> (x15_dup_components _),
     "x14_clean_corpus" -> (x14_clean_corpus _),
     "x12_ngram_jaccard" -> (x12_ngram_jaccard _),
     "x13_knn_lsh" -> (x13_knn_lsh _),
@@ -568,5 +602,6 @@ object QueriesTrainingData {
     "x11_ann_ivf" -> x11Oracle,
     "x12_ngram_jaccard" -> x12Oracle,
     "x13_knn_lsh" -> x13Oracle,
-    "x14_clean_corpus" -> x14Oracle)
+    "x14_clean_corpus" -> x14Oracle,
+    "x15_dup_components" -> x15Oracle)
 }

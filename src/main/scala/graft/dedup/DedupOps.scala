@@ -176,4 +176,49 @@ object DedupOps {
   def exactDedup(df: DataFrame, idCol: String, key: Column): DataFrame =
     df.groupBy(key.as("dup_key"))
       .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("group_size"))
+
+  /** Connected components over an undirected pair graph by min-label
+    * propagation: every vertex converges to the smallest id reachable from
+    * it — the transitive closure step of near-dedup (a pair graph is not
+    * transitive; keeping one survivor per *component* is what production
+    * fuzzy-dedup does after LSH).
+    *
+    * Scale shape: each round is one shuffle join (labels × symmetrized
+    * edges) + one min-aggregate, i.e. the standard distributed CC loop
+    * (GraphX/GraphFrames run the same shape); rounds are bounded by the
+    * component diameter — near-dup graphs are overwhelmingly tiny cliques,
+    * so 2–3 rounds in practice, with `maxIter` as the pathological-chain
+    * cap. `localCheckpoint` truncates lineage each round so plan size
+    * stays O(1) in rounds; the convergence probe is a `limit(1)` count
+    * (stops at the first changed label, no full scan on late rounds).
+    *
+    * @param edges  two-column frame (src id, dst id), one row per pair
+    * @param vertices single-column frame of all ids (isolated vertices
+    *                 label themselves)
+    * @return (`idCol`, component_id = min reachable id)
+    */
+  def connectedComponents(edges: DataFrame, vertices: DataFrame,
+      idCol: String, maxIter: Int = 20): DataFrame = {
+    val e = edges.toDF("__s", "__d")
+    val sym = e.unionByName(e.select(col("__d").as("__s"), col("__s").as("__d")))
+    var labels = vertices.select(col(idCol).as("__id"))
+      .withColumn("__label", col("__id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val incoming = sym.join(labels, sym("__s") === labels("__id"))
+        .select(col("__d").as("__id"), col("__label"))
+      val next = labels.unionByName(incoming)
+        .groupBy("__id").agg(min("__label").as("__label"))
+        .localCheckpoint(true)
+      val changed = next.join(
+          labels.withColumnRenamed("__label", "__old"), "__id")
+        .filter(col("__label") =!= col("__old")).limit(1).count()
+      converged = changed == 0L
+      labels = next
+      iter += 1
+    }
+    labels.select(col("__id").as(idCol), col("__label").as("component_id"))
+  }
 }

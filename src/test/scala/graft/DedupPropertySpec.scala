@@ -88,6 +88,17 @@ class DedupPropertySpec extends AnyFunSuite {
     assert(withNull.getSeq[Long](0) === withNull.getSeq[Long](1))
   }
 
+  test("connected components: chains close transitively, isolated vertices self-label") {
+    // chain 1-2-3-4 (diameter 3, needs >1 propagation round), pair 10-11,
+    // isolated 20
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L)).toDF("a", "b")
+    val verts = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("id")
+    val got = DedupOps.connectedComponents(edges, verts, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
   test("simhash(8) stays in [0, 255] and is deterministic") {
     val docs = sample(doc, 60)
     val df = docs.toDF("text")
