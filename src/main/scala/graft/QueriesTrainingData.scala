@@ -571,7 +571,77 @@ object QueriesTrainingData {
        |  SELECT reach.id, edges.d FROM reach JOIN edges ON reach.r = edges.s)
        |SELECT id AS doc_id, MIN(r) AS component_id FROM reach GROUP BY id""".stripMargin
 
+  /** TF-IDF top-3 terms per document. Shape at scale: explode → one
+    * map-side-combining count per (doc, term), one per term (the
+    * vocabulary aggregate), corpus size broadcast as a 1-row frame (no
+    * driver action), window top-k per doc. Scoring uses a RATIONAL idf,
+    * (N+1)/(df+1) — a monotone transform of ln-idf, so rankings are
+    * identical — because division/multiply are IEEE-exact-rounded and
+    * thus bit-identical across engines, while Spark's `log`
+    * (StrictMath/fdlibm) differs from DuckDB's `ln` (glibc) in the last
+    * bit. */
+  def x16_tfidf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = documents(spark, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf").cast(DoubleType) *
+          ((col("n_docs").cast(DoubleType) + 1.0) / (col("df").cast(DoubleType) + 1.0)))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"), col("tfidf"))
+  }
+
+  val x16Oracle: String =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term FROM documents),
+      |tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf FROM terms WHERE term <> '' GROUP BY 1, 2),
+      |df AS (
+      |  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |    CAST(tf.tf AS DOUBLE) *
+      |      ((CAST(n.n_docs AS DOUBLE) + 1.0) / (CAST(df.df AS DOUBLE) + 1.0)) AS tfidf
+      |  FROM tf JOIN df USING (term) CROSS JOIN n)
+      |SELECT doc_id,
+      |  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank,
+      |  term, tf, df, tfidf
+      |FROM scored
+      |QUALIFY rank <= 3""".stripMargin
+
+  /** Deterministic hash-based train/val/test split (90/5/5): the split a
+    * training pipeline must reproduce run-over-run and engine-over-engine,
+    * so the bucket is md5-derived from the id — never `rand()`. Narrow,
+    * no shuffle. */
+  def x17_train_test_split(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir).select(
+      col("doc_id"),
+      (TextOps.stableHash64(col("doc_id").cast(StringType)) % 100).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 90, lit("train"))
+          .when(col("bucket") < 95, lit("val"))
+          .otherwise(lit("test")))
+
+  val x17Oracle: String =
+    """SELECT doc_id,
+      |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket,
+      |  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'train'
+      |       WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 95 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x16_tfidf" -> (x16_tfidf _),
+    "x17_train_test_split" -> (x17_train_test_split _),
     "x15_dup_components" -> (x15_dup_components _),
     "x14_clean_corpus" -> (x14_clean_corpus _),
     "x12_ngram_jaccard" -> (x12_ngram_jaccard _),
@@ -603,5 +673,7 @@ object QueriesTrainingData {
     "x12_ngram_jaccard" -> x12Oracle,
     "x13_knn_lsh" -> x13Oracle,
     "x14_clean_corpus" -> x14Oracle,
-    "x15_dup_components" -> x15Oracle)
+    "x15_dup_components" -> x15Oracle,
+    "x16_tfidf" -> x16Oracle,
+    "x17_train_test_split" -> x17Oracle)
 }
