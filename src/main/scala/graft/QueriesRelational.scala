@@ -1127,7 +1127,47 @@ object QueriesRelational {
       |WHERE o.o_orderpriority = '1-URGENT'
       |GROUP BY 1""".stripMargin
 
+  /** CUBE — all 2² grouping sets over (year, priority), completing the
+    * rollup (q24) / grouping-sets (q39) family. One scan, one expand +
+    * partial-combining aggregate. */
+  def q45_cube(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .cube(year(col("o_orderdate")).as("o_year"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(Money)).cast(DoubleType).as("total_price"))
+
+  val q45Oracle: String =
+    """SELECT year(o_orderdate) AS o_year, o_orderpriority,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+      |FROM orders
+      |GROUP BY CUBE(year(o_orderdate), o_orderpriority)""".stripMargin
+
+  /** Salted join in the gate: `Skew.saltedJoin` must be RESULT-PRESERVING
+    * (salting only reshapes the shuffle), so its oracle is the plain
+    * join — the property that makes salting safe to apply to any hot key
+    * at 100 TB. */
+  def q46_salted_join(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir).select(col("l_partkey"), col("l_quantity"))
+    val p = part(spark, dir).select(col("p_partkey"), col("p_brand"))
+    graft.ops.Skew.saltedJoin(li, p, "l_partkey", "p_partkey", saltFactor = 8)
+      .groupBy(col("p_brand"))
+      .agg(
+        sum(col("l_quantity").cast(Money)).cast(DoubleType).as("sum_qty"),
+        count(lit(1)).as("n"))
+  }
+
+  val q46Oracle: String =
+    """SELECT p_brand,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_salted_join" -> (q46_salted_join _),
+    "q45_cube" -> (q45_cube _),
     "q42_container_pipeline" -> (q42_container_pipeline _),
     "q41_param_binding" -> (q41_param_binding _),
     "q39_grouping_sets" -> (q39_grouping_sets _),
@@ -1171,6 +1211,8 @@ object QueriesRelational {
     "q22_date_functions" -> (q22_date_functions _))
 
   val oracle: Map[String, String] = Map(
+    "q46_salted_join" -> q46Oracle,
+    "q45_cube" -> q45Oracle,
     "q42_container_pipeline" -> q42Oracle,
     "q41_param_binding" -> q41Oracle,
     "q39_grouping_sets" -> q39Oracle,
