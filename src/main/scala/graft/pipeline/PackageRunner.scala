@@ -60,34 +60,67 @@ object PackageRunner {
     * is recorded [[TaskStatus.NotRun]] and its own Success successors
     * cascade to NotRun — a failure no longer aborts the whole package, so
     * OnFailure cleanup/notify paths actually execute. */
-  def run(spark: SparkSession, pkg: SsisPackage, env: RuntimeEnv): PackageRun = {
+  def run(spark: SparkSession, pkg: SsisPackage, env: RuntimeEnv): PackageRun =
+    runInternal(spark, pkg, env, prior = Map.empty, statePath = None, maxAttempts = 1)
+
+  /** [[run]] with run-state checkpointing and a bounded retry loop
+    * (reference `src/agents/context.py:154-190` state JSON;
+    * `orchestrator.py:275-289` max_iterations): the state file at
+    * `statePath` is rewritten after every task, and a re-invocation
+    * carries terminally-successful tasks over WITHOUT re-executing them —
+    * only failed / never-run tasks (and their downstream) execute again.
+    * A task that fails is retried in-place up to `maxAttempts` times
+    * before its failure propagates to the constraint algebra. */
+  def runResumable(spark: SparkSession, pkg: SsisPackage, env: RuntimeEnv,
+      statePath: String, maxAttempts: Int = 1): PackageRun =
+    runInternal(spark, pkg, env, RunState.load(statePath), Some(statePath), maxAttempts)
+
+  private def runInternal(spark: SparkSession, pkg: SsisPackage, env: RuntimeEnv,
+      prior: Map[String, TaskStatus], statePath: Option[String],
+      maxAttempts: Int): PackageRun = {
     val ordered = pkg.topoOrder.fold(err => throw new IllegalStateException(err), identity)
     val values = PackageVariables.evaluate(spark, pkg.variables)
     val completed = scala.collection.mutable.Map.empty[String, TaskStatus]
     val runs = scala.collection.mutable.ListBuffer.empty[TaskRun]
     ordered.foreach { task =>
-      val incoming = pkg.constraints.filter(_.toTask == task.name)
-      val fires = incoming.forall { c =>
-        completed.get(c.fromTask) match {
-          case None => false // predecessor never executed → edge can't fire
-          case Some(status) =>
-            val failed = status.isInstanceOf[TaskStatus.Failed]
-            c.kind match {
-              case ConstraintKind.Success => !failed
-              case ConstraintKind.Failure => failed
-              case ConstraintKind.Completion => true
-              case ConstraintKind.Expression(e) =>
-                PackageVariables.evalBoolean(spark, e, values)
+      prior.get(task.name) match {
+        case Some(s) if RunState.isTerminalSuccess(s) =>
+          // checkpoint carry-over: the completed work is not repeated
+          completed(task.name) = s
+          runs += TaskRun(task.name, taskTypeName(task), s,
+            notes = List("resumed from checkpoint: not re-executed"))
+        case _ =>
+          val incoming = pkg.constraints.filter(_.toTask == task.name)
+          val fires = incoming.forall { c =>
+            completed.get(c.fromTask) match {
+              case None => false // predecessor never executed → edge can't fire
+              case Some(status) =>
+                val failed = status.isInstanceOf[TaskStatus.Failed]
+                c.kind match {
+                  case ConstraintKind.Success => !failed
+                  case ConstraintKind.Failure => failed
+                  case ConstraintKind.Completion => true
+                  case ConstraintKind.Expression(e) =>
+                    PackageVariables.evalBoolean(spark, e, values)
+                }
             }
-        }
+          }
+          if (fires) {
+            var attempt = 1
+            var run = runTask(spark, pkg, task, env, values)
+            while (run.status.isInstanceOf[TaskStatus.Failed] && attempt < maxAttempts) {
+              attempt += 1
+              run = runTask(spark, pkg, task, env, values)
+            }
+            if (attempt > 1)
+              run = run.copy(notes = run.notes :+ s"succeeded-or-gave-up on attempt $attempt")
+            completed(task.name) = run.status
+            runs += run
+          } else
+            runs += TaskRun(task.name, taskTypeName(task), TaskStatus.NotRun,
+              notes = List("precedence constraints did not fire"))
       }
-      if (fires) {
-        val run = runTask(spark, pkg, task, env, values)
-        completed(task.name) = run.status
-        runs += run
-      } else
-        runs += TaskRun(task.name, taskTypeName(task), TaskStatus.NotRun,
-          notes = List("precedence constraints did not fire"))
+      statePath.foreach(p => RunState.save(PackageRun(pkg.name, runs.toList), p))
     }
     PackageRun(pkg.name, runs.toList)
   }
