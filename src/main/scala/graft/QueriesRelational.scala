@@ -1165,7 +1165,41 @@ object QueriesRelational {
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY p_brand""".stripMargin
 
+  /** Window FRAMES (rows-between moving sum + running total) — the frame
+    * clause is the one window surface q25's ranking functions don't touch.
+    * Exact decimal sums inside the frames, DOUBLE at the boundary. The
+    * unpartitioned window runs AFTER the date-grain aggregate — its input
+    * is one row per calendar day (bounded by time, not by data volume),
+    * so the single-partition sort is safe at any corpus size; a
+    * per-entity moving window would partition by the entity instead. */
+  def q47_window_frames(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = orders(spark, dir)
+      .groupBy(col("o_orderdate").as("order_date"))
+      .agg(sum(col("o_totalprice").cast(Money)).as("rev"))
+    val byDate = Window.orderBy(col("order_date"))
+    daily.select(
+      col("order_date"),
+      col("rev").cast(DoubleType).as("rev"),
+      sum(col("rev")).over(byDate.rowsBetween(-6, 0)).cast(DoubleType).as("rev_7d"),
+      sum(col("rev")).over(byDate.rowsBetween(Window.unboundedPreceding, 0))
+        .cast(DoubleType).as("rev_running"))
+  }
+
+  val q47Oracle: String =
+    """WITH daily AS (
+      |  SELECT o_orderdate AS order_date,
+      |    SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+      |  FROM orders GROUP BY 1)
+      |SELECT order_date, CAST(rev AS DOUBLE) AS rev,
+      |  CAST(SUM(rev) OVER (ORDER BY order_date
+      |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_7d,
+      |  CAST(SUM(rev) OVER (ORDER BY order_date
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_running
+      |FROM daily""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_window_frames" -> (q47_window_frames _),
     "q46_salted_join" -> (q46_salted_join _),
     "q45_cube" -> (q45_cube _),
     "q42_container_pipeline" -> (q42_container_pipeline _),
@@ -1211,6 +1245,7 @@ object QueriesRelational {
     "q22_date_functions" -> (q22_date_functions _))
 
   val oracle: Map[String, String] = Map(
+    "q47_window_frames" -> q47Oracle,
     "q46_salted_join" -> q46Oracle,
     "q45_cube" -> q45Oracle,
     "q42_container_pipeline" -> q42Oracle,
