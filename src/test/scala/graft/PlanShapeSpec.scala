@@ -121,6 +121,29 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected a single aggregate exchange:\n$plan")
   }
 
+  test("q45: cube is one scan + one expand + partial-combining aggregate") {
+    val plan = executedPlan("q45_cube")
+    assert("Scan parquet".r.findAllIn(plan).length === 1)
+    assert(plan.contains("Expand"))
+    assert(plan.contains("partial_"))
+  }
+
+  test("x16: tf and df aggregates partial-combine; corpus size broadcasts") {
+    val plan = executedPlan("x16_tfidf")
+    assert(plan.contains("partial_count"))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"))
+    assert(!plan.contains("SortMergeJoin") || plan.contains("BroadcastExchange"))
+  }
+
+  test("x15: label-propagation round joins are equi-joins, never cross products") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val verts = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val out = graft.dedup.DedupOps.connectedComponents(pairs, verts, "doc_id")
+    assert(!out.queryExecution.optimizedPlan.toString.contains("Cross"))
+    assert(out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
+  }
+
   test("no gated plan contains a trivially-true self-equality predicate") {
     // `a#12 = a#12` (same exprId on both sides) means a join condition was
     // written against two frames that resolve to the SAME attribute — the

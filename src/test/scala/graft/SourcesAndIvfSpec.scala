@@ -71,5 +71,11 @@ class SourcesAndIvfSpec extends AnyFunSuite {
     val wide = IvfIndex.search(spark, model, queries, "vec_id", "embedding",
       k = 3, nProbe = 8).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(wide === brute) // nProbe = k cells ⇒ exhaustive ⇒ exact
+    // the approximate mode (nProbe < k, the 100 TB path: score 3/8 of the
+    // corpus) must still recover most true neighbors; deterministic given
+    // the seeded quantizer, so the bound is a regression gate
+    val approxSet = approx.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (approxSet intersect brute).size.toDouble / brute.size
+    assert(recall >= 0.6, s"nProbe=3/8 recall@3 regressed: $recall")
   }
 }
