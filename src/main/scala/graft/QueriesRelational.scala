@@ -1198,7 +1198,57 @@ object QueriesRelational {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_running
       |FROM daily""".stripMargin
 
+  /** UNPIVOT (wide→long) — the inverse of q32's pivot. `Dataset.unpivot`
+    * is a narrow Expand (row → 4 rows) with NO shuffle: each measure
+    * column becomes a (measure, value) row in the same task that read
+    * it, so the melt scales linearly with input at any corpus size. */
+  def q48_unpivot(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"))
+      .unpivot(
+        ids = Array(col("l_orderkey"), col("l_linenumber")),
+        values = Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        variableColumnName = "measure",
+        valueColumnName = "value")
+
+  val q48Oracle: String =
+    """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem""".stripMargin
+
+  /** Exact percentiles per group (`percentile` = linear-interpolation
+    * PERCENTILE_CONT ≡ DuckDB quantile_cont). Exact quantiles need the
+    * group's values together — one shuffle on the (low-cardinality) group
+    * key; per-group state is the sorted value multiset. Results rounded
+    * to 4dp on BOTH engines so last-ulp interpolation noise can't flip
+    * the hash. The streaming-scale variant (approx_percentile, bounded
+    * state) is spec-tested with a rank-error bound instead. */
+  def q49_percentiles(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"),
+        count(lit(1)).as("n"))
+
+  val q49Oracle: String =
+    """SELECT l_returnflag,
+      |  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      |  ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+      |  ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_percentiles" -> (q49_percentiles _),
+    "q48_unpivot" -> (q48_unpivot _),
     "q47_window_frames" -> (q47_window_frames _),
     "q46_salted_join" -> (q46_salted_join _),
     "q45_cube" -> (q45_cube _),
@@ -1245,6 +1295,8 @@ object QueriesRelational {
     "q22_date_functions" -> (q22_date_functions _))
 
   val oracle: Map[String, String] = Map(
+    "q49_percentiles" -> q49Oracle,
+    "q48_unpivot" -> q48Oracle,
     "q47_window_frames" -> q47Oracle,
     "q46_salted_join" -> q46Oracle,
     "q45_cube" -> q45Oracle,

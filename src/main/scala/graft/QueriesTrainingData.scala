@@ -639,7 +639,44 @@ object QueriesTrainingData {
       |       ELSE 'test' END AS split
       |FROM documents""".stripMargin
 
+  /** Fuzzy near-dup via blocked edit distance — the SSIS Fuzzy
+    * Grouping idiom re-expressed at scale. Never all-pairs: candidates
+    * are generated inside (lang, length-band) blocks — one equi-join
+    * shuffle on the block key — and the distance is Spark's bounded
+    * 3-arg `levenshtein` (banded DP: O(threshold·len) per pair and
+    * early-exit above the bound, not O(len²)). At 100 TB the block key
+    * would widen (e.g. + simhash prefix) to keep blocks bounded; the
+    * join/filter shape is unchanged. */
+  def x18_fuzzy_levenshtein(spark: SparkSession, dir: String): DataFrame = {
+    val b = documents(spark, dir).select(
+      col("doc_id"), col("lang"),
+      substring(col("text"), 1, 80).as("p"),
+      floor(length(col("text")) / 40).cast(LongType).as("blk"))
+    val left = b.select(col("doc_id").as("doc_a"), col("lang").as("lang_a"),
+      col("p").as("p_a"), col("blk").as("blk_a"))
+    val right = b.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+      col("p").as("p_b"), col("blk").as("blk_b"))
+    left.join(right,
+        col("lang_a") === col("lang_b") && col("blk_a") === col("blk_b") &&
+          col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("p_a"), col("p_b"), 20).cast(LongType).as("lev"))
+      .filter(col("lev") >= 0)
+  }
+
+  val x18Oracle: String =
+    """WITH b AS (
+      |  SELECT doc_id, lang, substr(text, 1, 80) AS p,
+      |    CAST(floor(length(text) / 40) AS BIGINT) AS blk
+      |  FROM documents)
+      |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+      |  CAST(levenshtein(a.p, c.p) AS BIGINT) AS lev
+      |FROM b a JOIN b c
+      |  ON a.lang = c.lang AND a.blk = c.blk AND a.doc_id < c.doc_id
+      |WHERE levenshtein(a.p, c.p) <= 20""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x18_fuzzy_levenshtein" -> (x18_fuzzy_levenshtein _),
     "x16_tfidf" -> (x16_tfidf _),
     "x17_train_test_split" -> (x17_train_test_split _),
     "x15_dup_components" -> (x15_dup_components _),
@@ -675,5 +712,6 @@ object QueriesTrainingData {
     "x14_clean_corpus" -> x14Oracle,
     "x15_dup_components" -> x15Oracle,
     "x16_tfidf" -> x16Oracle,
-    "x17_train_test_split" -> x17Oracle)
+    "x17_train_test_split" -> x17Oracle,
+    "x18_fuzzy_levenshtein" -> x18Oracle)
 }
