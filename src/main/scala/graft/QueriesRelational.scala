@@ -1246,7 +1246,44 @@ object QueriesRelational {
       |  COUNT(*) AS n
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** Bucketed staging + co-located join — the staging-table load pattern
+    * with the 100 TB twist: both sides are bucketed on the join key at
+    * write time, so the fact×orders join itself plans with ZERO Exchange
+    * (each task merges bucket i of both sides; PlanShapeSpec asserts it).
+    * The only shuffle in the whole query is the final low-cardinality
+    * re-aggregation. Oracle = the plain join: bucketing must be invisible
+    * to results, exactly like q46's salting. */
+  def q50_bucketed_join(spark: SparkSession, dir: String): DataFrame = {
+    val stage = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      "graft_bucketed_" + Integer.toHexString(dir.hashCode))
+    val nb = 8
+    graft.ops.Bucketing.stageBucketed(
+      lineitem(spark, dir).select(col("l_orderkey"), col("l_quantity")),
+      "graft_b_lineitem", new java.io.File(stage, "lineitem").getAbsolutePath,
+      nb, "l_orderkey")
+    graft.ops.Bucketing.stageBucketed(
+      orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority")),
+      "graft_b_orders", new java.io.File(stage, "orders").getAbsolutePath,
+      nb, "o_orderkey")
+    graft.ops.Bucketing
+      .bucketedJoin(spark, "graft_b_lineitem", "graft_b_orders",
+        "l_orderkey", "o_orderkey")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(col("l_quantity").cast(Money)).cast(DoubleType).as("sum_qty"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q50Oracle: String =
+    """SELECT o_orderpriority,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_bucketed_join" -> (q50_bucketed_join _),
     "q49_percentiles" -> (q49_percentiles _),
     "q48_unpivot" -> (q48_unpivot _),
     "q47_window_frames" -> (q47_window_frames _),
@@ -1295,6 +1332,7 @@ object QueriesRelational {
     "q22_date_functions" -> (q22_date_functions _))
 
   val oracle: Map[String, String] = Map(
+    "q50_bucketed_join" -> q50Oracle,
     "q49_percentiles" -> q49Oracle,
     "q48_unpivot" -> q48Oracle,
     "q47_window_frames" -> q47Oracle,

@@ -144,6 +144,22 @@ class PlanShapeSpec extends AnyFunSuite {
       Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
   }
 
+  test("q50: bucketed-staged join plans with ZERO exchange (co-located)") {
+    // force the sort-merge path (no broadcast) to prove the bucket layout
+    // alone co-locates the join — the property that removes the per-run
+    // fact shuffle at 100 TB
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      QueriesRelational.q50_bucketed_join(spark, sf).count() // stages tables
+      val join = graft.ops.Bucketing.bucketedJoin(
+        spark, "graft_b_lineitem", "graft_b_orders", "l_orderkey", "o_orderkey")
+      val plan = join.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("no gated plan contains a trivially-true self-equality predicate") {
     // `a#12 = a#12` (same exprId on both sides) means a join condition was
     // written against two frames that resolve to the SAME attribute — the
