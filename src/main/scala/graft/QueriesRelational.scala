@@ -1246,6 +1246,42 @@ object QueriesRelational {
       |  COUNT(*) AS n
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** FOREACH iteration in the gate: an Item enumerator drives three
+    * passes of the child dataflow, each binding `User::Priority` from the
+    * item row — into BOTH the source's `?` parameter and a Derived
+    * Column stamping the loop variable. Destination appends accumulate
+    * across iterations (the env unions), so the mart is the union of the
+    * per-iteration loads. Parser: `DtsxParser` ForEachEnumerator/
+    * VariableMappings; runner: `PackageRunner` ForEachLoop branch. */
+  def q51_foreach_loop(spark: SparkSession, dir: String): DataFrame = {
+    val in = getClass.getResourceAsStream("/dtsx/ForEachPriorityETL.dtsx")
+    val xml = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    val pkg = graft.parser.DtsxParser.parseString(xml)
+    val tableRe = """\[\w+\]\.\[(\w+)\]""".r
+    val written = scala.collection.mutable.Map.empty[String, DataFrame]
+    val env = graft.pipeline.PackageRunner.RuntimeEnv(
+      resolver = graft.sources.Sources.testdataResolver(spark, dir, written.get),
+      write = (table, df, _) => {
+        val bare = tableRe.findFirstMatchIn(table).map(_.group(1)).getOrElse(table)
+        // append semantics: successive iteration writes union
+        written(bare) = written.get(bare).map(_.unionByName(df)).getOrElse(df)
+      })
+    val run = graft.pipeline.PackageRunner.run(spark, pkg, env)
+    require(!run.failed, s"package failed: ${run.tasks.map(t => t.taskName -> t.status)}")
+    written("priority_orders")
+      .groupBy(col("batch_priority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(Money)).cast(DoubleType).as("total_price"))
+  }
+
+  val q51Oracle: String =
+    """SELECT o_orderpriority AS batch_priority, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+      |FROM orders
+      |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+      |GROUP BY 1""".stripMargin
+
   /** Bucketed staging + co-located join — the staging-table load pattern
     * with the 100 TB twist: both sides are bucketed on the join key at
     * write time, so the fact×orders join itself plans with ZERO Exchange
@@ -1283,6 +1319,7 @@ object QueriesRelational {
       |GROUP BY o_orderpriority""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_foreach_loop" -> (q51_foreach_loop _),
     "q50_bucketed_join" -> (q50_bucketed_join _),
     "q49_percentiles" -> (q49_percentiles _),
     "q48_unpivot" -> (q48_unpivot _),
@@ -1332,6 +1369,7 @@ object QueriesRelational {
     "q22_date_functions" -> (q22_date_functions _))
 
   val oracle: Map[String, String] = Map(
+    "q51_foreach_loop" -> q51Oracle,
     "q50_bucketed_join" -> q50Oracle,
     "q49_percentiles" -> q49Oracle,
     "q48_unpivot" -> q48Oracle,

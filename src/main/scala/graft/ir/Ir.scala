@@ -212,12 +212,33 @@ object Ir {
       skipReason: String =
         "Send Mail Tasks are not converted - handle notifications externally") extends Task
 
-  /** ForEach/ForLoop/Sequence containers: children run as a nested DAG. */
+  /** One enumerator item value: DT_* type + raw text (FEIEItemValue
+    * Type/Value attributes; reference `constants.py:42-51` codes). */
+  final case class EnumValue(ssisType: String, raw: String)
+
+  /** ForLoop control expressions (`DTS:InitExpression` /
+    * `DTS:EvalExpression` / `DTS:AssignExpression`): init/assign are
+    * `@[ns::var] = <expr>` assignments, eval is a boolean condition —
+    * all in the SSIS expression language over package variables. */
+  final case class ForLoopSpec(
+      initExpression: Option[String],
+      evalExpression: String,
+      assignExpression: Option[String])
+
+  /** ForEach/ForLoop/Sequence containers: children run as a nested DAG —
+    * once for Sequence, once per enumerator item (with
+    * `variableMappings` binding item values to package variables) for
+    * ForEachLoop, and while `forLoop.evalExpression` holds for ForLoop. */
   final case class ContainerTask(
       name: String,
       description: Option[String],
       containerType: String,
-      children: List[Task]) extends Task
+      children: List[Task],
+      /** Item-enumerator rows (each a list of positional values). */
+      enumItems: List[List[EnumValue]] = Nil,
+      /** Qualified variable name → item value index. */
+      variableMappings: List[(String, Int)] = Nil,
+      forLoop: Option[ForLoopSpec] = None) extends Task
 
   final case class UnsupportedTask(
       name: String,

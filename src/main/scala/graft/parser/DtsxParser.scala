@@ -159,7 +159,28 @@ object DtsxParser {
       case t @ ("Microsoft.ForEachLoop" | "Microsoft.ForLoop" | "Microsoft.Sequence") =>
         val children = (e \ "Executables" \ "Executable").toList
           .flatMap(parseExecutable(_, warnings))
-        Some(ContainerTask(name, desc, t.stripPrefix("Microsoft."), children))
+        // Item-enumerator rows (ForEachEnumerator → FEIEItems): each
+        // FEIEItem is one iteration; its FEIEItemValues are positional.
+        val items = (e \\ "FEIEItem").toList.map { item =>
+          (item \ "FEIEItemValue").toList.map { v =>
+            EnumValue(
+              variableTypeName(attr(v, "Type").getOrElse("8")),
+              attr(v, "Value").getOrElse(""))
+          }
+        }
+        val mappings = (e \\ "ForEachVariableMapping").toList.flatMap { m =>
+          attr(m, "VariableName").map { vn =>
+            vn -> attr(m, "ValueIndex").map(_.trim.toInt).getOrElse(0)
+          }
+        }
+        val forLoop = attr(e, "EvalExpression").map { eval =>
+          ForLoopSpec(
+            initExpression = attr(e, "InitExpression").filter(_.nonEmpty),
+            evalExpression = eval,
+            assignExpression = attr(e, "AssignExpression").filter(_.nonEmpty))
+        }
+        Some(ContainerTask(name, desc, t.stripPrefix("Microsoft."), children,
+          enumItems = items, variableMappings = mappings, forLoop = forLoop))
       case "" => None
       case other =>
         warnings += s"Task '$name' of type $other requires manual review"

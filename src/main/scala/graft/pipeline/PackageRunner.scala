@@ -125,6 +125,9 @@ object PackageRunner {
     PackageRun(pkg.name, runs.toList)
   }
 
+  private def parseEnum(v: EnumValue): Any =
+    PackageVariables.parseValue(v.ssisType, v.raw)
+
   private def taskTypeName(task: Task): String = task match {
     case _: DataFlowTask => "DataFlowTask"
     case _: ExecuteSqlTask => "ExecuteSQLTask"
@@ -202,7 +205,44 @@ object PackageRunner {
           TaskRun(task.name, "SendMailTask", TaskStatus.SkippedNotConverted,
             notes = List(sm.skipReason))
         case c: ContainerTask =>
-          val childRuns = c.children.map(runTask(spark, pkg, _, env, values))
+          val childRuns = c.containerType match {
+            case "ForEachLoop" if c.enumItems.nonEmpty =>
+              // one child-DAG pass per enumerator item, with the item's
+              // values bound to the mapped package variables
+              c.enumItems.zipWithIndex.flatMap { case (item, i) =>
+                val bound = values ++ c.variableMappings.collect {
+                  case (qn, idx) if idx < item.length =>
+                    qn -> parseEnum(item(idx))
+                }
+                c.children.map(ch =>
+                  runTask(spark, pkg, ch, env, bound) match {
+                    case r => r.copy(taskName = s"${r.taskName}#$i")
+                  })
+              }
+            case "ForLoop" if c.forLoop.isDefined =>
+              val fl = c.forLoop.get
+              var cur = fl.initExpression
+                .fold(values)(PackageVariables.applyAssignment(spark, _, values))
+              val buf = scala.collection.mutable.ListBuffer.empty[TaskRun]
+              var i = 0
+              val maxIterations = 10000 // runaway-eval backstop
+              while (i < maxIterations &&
+                  PackageVariables.evalBoolean(spark, fl.evalExpression, cur)) {
+                buf ++= c.children.map(ch =>
+                  runTask(spark, pkg, ch, env, cur) match {
+                    case r => r.copy(taskName = s"${r.taskName}#$i")
+                  })
+                cur = fl.assignExpression
+                  .fold(cur)(PackageVariables.applyAssignment(spark, _, cur))
+                i += 1
+              }
+              if (i == maxIterations)
+                throw new IllegalStateException(
+                  s"ForLoop '${c.name}' exceeded $maxIterations iterations")
+              buf.toList
+            case _ =>
+              c.children.map(runTask(spark, pkg, _, env, values))
+          }
           val failed = childRuns.collectFirst {
             case TaskRun(_, _, TaskStatus.Failed(e), _, _, _, _) => e
           }

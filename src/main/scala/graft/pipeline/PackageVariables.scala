@@ -105,6 +105,27 @@ object PackageVariables {
     evalLocal(spark,
       SsisExprCompiler.compile(expr, exprEnv(values)).cast(BooleanType)) == true
 
+  /** Evaluate an SSIS expression over the evaluated variables to a plain
+    * value (same local constant-fold as variable expressions). */
+  def evalAny(spark: SparkSession, expr: String, values: Map[String, Any]): Any =
+    evalLocal(spark, SsisExprCompiler.compile(expr, exprEnv(values)))
+
+  private val AssignLhs = """^\s*@\[?(?:(\w+)::)?(\w+)\]?\s*=(?!=)([\s\S]*)$""".r
+
+  /** Apply a ForLoop init/assign expression of the form
+    * `@[User::i] = <expr>` (or `@i = <expr>`, namespace defaulting to
+    * User): evaluate the RHS over the current variable values and return
+    * the updated map. */
+  def applyAssignment(spark: SparkSession, assign: String,
+      values: Map[String, Any]): Map[String, Any] = assign match {
+    case AssignLhs(ns, name, rhs) =>
+      val qn = s"${Option(ns).getOrElse("User")}::$name"
+      values + (qn -> evalAny(spark, rhs, values))
+    case other =>
+      throw new IllegalArgumentException(
+        s"unsupported ForLoop assignment (expected `@[ns::var] = expr`): $other")
+  }
+
   /** Render a typed value as a SQL literal for placeholder substitution. */
   def renderLiteral(v: Any): String = v match {
     case null => "NULL"

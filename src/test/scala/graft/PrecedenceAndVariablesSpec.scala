@@ -131,6 +131,46 @@ class PrecedenceAndVariablesSpec extends AnyFunSuite {
     assert(b2 === "WHERE name = 'O''Brien'")
   }
 
+  test("ForLoop container iterates init/eval/assign over the loop variable") {
+    val vars = List(Variable("User", "i", "DT_I4", "99")) // init overrides 99
+    val captured = scala.collection.mutable.ListBuffer.empty[String]
+    val child = ExecuteSqlTask("Step", None, connectionId = "",
+      sqlStatement = "INSERT INTO audit VALUES (?)")
+    val loop = ContainerTask("Loop", None, "ForLoop", List(child),
+      forLoop = Some(ForLoopSpec(
+        initExpression = Some("@[User::i] = 0"),
+        evalExpression = "@[User::i] < 3",
+        assignExpression = Some("@[User::i] = @[User::i] + 1"))))
+    val e = RuntimeEnv(
+      resolver = Resolver(source = _ => sys.error("no source"),
+        lookup = _ => sys.error("no lookup")),
+      write = (_, _, _) => (),
+      sqlExecutor = t => { captured += t.sqlStatement
+        Some(PackageRunner.SqlOutcome(None, None)) })
+    val run = PackageRunner.run(spark, pkg(List(loop), Nil, vars), e)
+    assert(!run.failed)
+    assert(captured.toList === List(
+      "INSERT INTO audit VALUES (0)",
+      "INSERT INTO audit VALUES (1)",
+      "INSERT INTO audit VALUES (2)"))
+    val container = run.tasks.find(_.taskName == "Loop").get
+    assert(container.notes === List("Step#0: Succeeded", "Step#1: Succeeded",
+      "Step#2: Succeeded"))
+  }
+
+  test("ForEach enumerator items + variable mappings parse from dtsx") {
+    val in = getClass.getResourceAsStream("/dtsx/ForEachPriorityETL.dtsx")
+    val xml = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    val parsed = graft.parser.DtsxParser.parseString(xml)
+    val loop = parsed.tasks.collectFirst { case c: ContainerTask => c }.get
+    assert(loop.containerType === "ForEachLoop")
+    assert(loop.enumItems.map(_.head.raw) ===
+      List("1-URGENT", "2-HIGH", "3-MEDIUM"))
+    assert(loop.enumItems.forall(_.head.ssisType == "DT_WSTR"))
+    assert(loop.variableMappings === List("User::Priority" -> 0))
+    assert(loop.children.size === 1)
+  }
+
   test("DATEADD expression variable produces the bound window end") {
     val vars = List(
       Variable("User", "StartDate", "DT_DBTIMESTAMP", "1995-03-01T00:00:00"),
