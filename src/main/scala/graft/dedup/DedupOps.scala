@@ -209,13 +209,23 @@ object DedupOps {
     while (!converged && iter < maxIter) {
       val incoming = sym.join(labels, sym("__s") === labels("__id"))
         .select(col("__d").as("__id"), col("__label"))
-      val next = labels.unionByName(incoming)
-        .groupBy("__id").agg(min("__label").as("__label"))
+      // ONE action per round: the vertex's own row carries its previous
+      // label through the min-aggregate (every __id has exactly one
+      // non-null __old), and an Observation counts label changes inside
+      // the SAME job that eagerly materializes the checkpoint — no
+      // second convergence-probe join/action (per-round fixed action
+      // overhead dominated this loop's cost, not data).
+      val obs = new org.apache.spark.sql.Observation()
+      val next = labels
+        .select(col("__id"), col("__label"), col("__label").as("__old"))
+        .unionByName(incoming.withColumn("__old", lit(null).cast(LongType)))
+        .groupBy("__id")
+        .agg(min("__label").as("__label"), max("__old").as("__old"))
+        .observe(obs, sum(when(col("__label") =!= col("__old"), 1L)
+          .otherwise(0L)).as("changed"))
+        .select(col("__id"), col("__label"))
         .localCheckpoint(true)
-      val changed = next.join(
-          labels.withColumnRenamed("__label", "__old"), "__id")
-        .filter(col("__label") =!= col("__old")).limit(1).count()
-      converged = changed == 0L
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
       labels = next
       iter += 1
     }
