@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Approximate sketches — the bounded-state twins of the exact operators
+  * the gate checks (q28 exact distinct, q49 exact percentiles). At 100 TB
+  * the exact forms need the full value multiset per group; the sketches
+  * hold constant state per partition and MERGE, so they partial-combine
+  * map-side and never concentrate a group's values on one task. The
+  * DuckDB oracle can't reproduce another engine's sketch, so these are
+  * spec-gated with error bounds instead of hash equality.
+  */
+class ApproxSketchSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+
+  private val sf = "/root/testdata/sf0.01"
+  private lazy val li = spark.read.parquet(s"$sf/lineitem.parquet")
+
+  test("approx_count_distinct stays within its rsd bound of exact") {
+    val row = li.agg(
+      countDistinct(col("l_orderkey")).as("exact"),
+      approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx")).head()
+    val exact = row.getLong(0).toDouble
+    val approx = row.getLong(1).toDouble
+    // 0.02 rsd ≈ one-sigma; 4x leaves ~0 flake probability
+    assert(math.abs(approx - exact) / exact < 0.08,
+      s"exact=$exact approx=$approx")
+  }
+
+  test("HLL sketches merge: per-group sketch union equals the global estimate") {
+    // the mergeability contract that makes distinct-count pre-aggregation
+    // legal at scale: sketch per l_returnflag partition, union the
+    // sketches, estimate — must match a direct global sketch exactly
+    // (same binary representation), and the exact count within rsd.
+    val perGroup = li.groupBy(col("l_returnflag"))
+      .agg(hll_sketch_agg(col("l_orderkey")).as("sk"))
+    val merged = perGroup
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .head().getLong(0)
+    val direct = li
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("l_orderkey"))).as("est"))
+      .head().getLong(0)
+    val exact = li.select(countDistinct(col("l_orderkey"))).head().getLong(0)
+    assert(merged === direct) // merge-then-estimate ≡ estimate-over-all
+    assert(math.abs(merged.toDouble - exact) / exact < 0.08,
+      s"exact=$exact merged=$merged")
+  }
+
+  test("approx_percentile lands inside the exact rank-error band") {
+    // accuracy a => rank error <= 1/a; with a=1000 the p50 estimate must
+    // sit between the exact p48 and p52 values (25x slack on 0.1%)
+    val row = li.agg(
+      expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx"),
+      expr("percentile(l_extendedprice, 0.48)").as("lo"),
+      expr("percentile(l_extendedprice, 0.52)").as("hi")).head()
+    val (approx, lo, hi) = (row.getDouble(0), row.getDouble(1), row.getDouble(2))
+    assert(approx >= lo && approx <= hi, s"approx=$approx not in [$lo, $hi]")
+  }
+
+  test("sketch aggregates partial-combine before the exchange") {
+    val plan = li.groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_approx_count_distinct"))
+  }
+}
