@@ -1290,21 +1290,24 @@ object QueriesRelational {
     * re-aggregation. Oracle = the plain join: bucketing must be invisible
     * to results, exactly like q46's salting. */
   def q50_bucketed_join(spark: SparkSession, dir: String): DataFrame = {
+    // staging identity: dataset dir + Spark application id, digested — no
+    // cross-application or cross-dataset staging-table collisions
+    val key = graft.ops.Bucketing.stagingKey(s"$dir#${spark.sparkContext.applicationId}")
     val stage = new java.io.File(
-      System.getProperty("java.io.tmpdir"),
-      "graft_bucketed_" + Integer.toHexString(dir.hashCode))
+      System.getProperty("java.io.tmpdir"), s"graft_bucketed_$key")
     val nb = 8
+    val lTable = s"graft_b_lineitem_$key"
+    val oTable = s"graft_b_orders_$key"
     graft.ops.Bucketing.stageBucketed(
       lineitem(spark, dir).select(col("l_orderkey"), col("l_quantity")),
-      "graft_b_lineitem", new java.io.File(stage, "lineitem").getAbsolutePath,
+      lTable, new java.io.File(stage, "lineitem").getAbsolutePath,
       nb, "l_orderkey")
     graft.ops.Bucketing.stageBucketed(
       orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority")),
-      "graft_b_orders", new java.io.File(stage, "orders").getAbsolutePath,
+      oTable, new java.io.File(stage, "orders").getAbsolutePath,
       nb, "o_orderkey")
     graft.ops.Bucketing
-      .bucketedJoin(spark, "graft_b_lineitem", "graft_b_orders",
-        "l_orderkey", "o_orderkey")
+      .bucketedJoin(spark, lTable, oTable, "l_orderkey", "o_orderkey")
       .groupBy(col("o_orderpriority"))
       .agg(
         sum(col("l_quantity").cast(Money)).cast(DoubleType).as("sum_qty"),

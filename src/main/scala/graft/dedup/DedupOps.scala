@@ -189,8 +189,10 @@ object DedupOps {
     * component diameter — near-dup graphs are overwhelmingly tiny cliques,
     * so 2–3 rounds in practice, with `maxIter` as the pathological-chain
     * cap. `localCheckpoint` truncates lineage each round so plan size
-    * stays O(1) in rounds; the convergence probe is a `limit(1)` count
-    * (stops at the first changed label, no full scan on late rounds).
+    * stays O(1) in rounds; convergence is decided by an `Observation`
+    * metric (count of changed labels) collected inside the same job that
+    * eagerly materializes the checkpoint — one action per round, no
+    * separate convergence-probe job.
     *
     * @param edges  two-column frame (src id, dst id), one row per pair
     * @param vertices single-column frame of all ids (isolated vertices

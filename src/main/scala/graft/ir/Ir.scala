@@ -238,7 +238,12 @@ object Ir {
       enumItems: List[List[EnumValue]] = Nil,
       /** Qualified variable name → item value index. */
       variableMappings: List[(String, Int)] = Nil,
-      forLoop: Option[ForLoopSpec] = None) extends Task
+      forLoop: Option[ForLoopSpec] = None,
+      /** `DTS:ForEachEnumerator/@CreationName` — only the Item enumerator
+        * (`Microsoft.ForEachItemEnumerator`) is convertible; File/ADO/
+        * NodeList enumerators surface as manual-review skips, never as a
+        * silent single unbound pass. */
+      enumeratorKind: Option[String] = None) extends Task
 
   final case class UnsupportedTask(
       name: String,

@@ -29,6 +29,17 @@ object Bucketing {
     spark.table(table)
   }
 
+  /** Collision-resistant suffix for staging table names/paths derived
+    * from a source identity string (e.g. the dataset directory): two
+    * concurrent sessions or two datasets must never overwrite/reuse each
+    * other's staging. SHA-256 prefix, not `hashCode` — 32 bits of a Java
+    * string hash collide in practice. */
+  def stagingKey(sourceId: String): String = {
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(sourceId.getBytes("UTF-8"))
+    digest.take(8).map(b => f"$b%02x").mkString
+  }
+
   /** Inner equi-join of two staged bucketed tables. With equal bucket
     * counts on the join keys Spark plans a sort-merge join with ZERO
     * Exchange (asserted in PlanShapeSpec). */

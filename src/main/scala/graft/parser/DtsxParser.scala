@@ -161,18 +161,28 @@ object DtsxParser {
           .flatMap(parseExecutable(_, warnings))
         // Item-enumerator rows (ForEachEnumerator → FEIEItems): each
         // FEIEItem is one iteration; its FEIEItemValues are positional.
-        val items = (e \\ "FEIEItem").toList.map { item =>
+        // Scoped to THIS container's own enumerator/mappings elements —
+        // a deep `\\` from the Executable would also absorb the items and
+        // mappings of nested ForEach containers under `e \ "Executables"`.
+        val ownEnumerator = (e \ "ForEachEnumerator").headOption
+        val enumKind = ownEnumerator.flatMap(attr(_, "CreationName")).filter(_.nonEmpty)
+        val items = ownEnumerator.toList.flatMap(en => (en \\ "FEIEItem").toList).map { item =>
           (item \ "FEIEItemValue").toList.map { v =>
             EnumValue(
               variableTypeName(attr(v, "Type").getOrElse("8")),
               attr(v, "Value").getOrElse(""))
           }
         }
-        val mappings = (e \\ "ForEachVariableMapping").toList.flatMap { m =>
-          attr(m, "VariableName").map { vn =>
-            vn -> attr(m, "ValueIndex").map(_.trim.toInt).getOrElse(0)
+        val mappings = (e \ "ForEachVariableMappings" \ "ForEachVariableMapping")
+          .toList.flatMap { m =>
+            attr(m, "VariableName").map { vn =>
+              vn -> attr(m, "ValueIndex").map(_.trim.toInt).getOrElse(0)
+            }
           }
-        }
+        if (t == "Microsoft.ForEachLoop" &&
+            enumKind.exists(k => !k.contains("ForEachItemEnumerator")))
+          warnings += s"ForEach container '$name' uses unsupported enumerator " +
+            s"${enumKind.get} - requires manual review"
         val forLoop = attr(e, "EvalExpression").map { eval =>
           ForLoopSpec(
             initExpression = attr(e, "InitExpression").filter(_.nonEmpty),
@@ -180,7 +190,8 @@ object DtsxParser {
             assignExpression = attr(e, "AssignExpression").filter(_.nonEmpty))
         }
         Some(ContainerTask(name, desc, t.stripPrefix("Microsoft."), children,
-          enumItems = items, variableMappings = mappings, forLoop = forLoop))
+          enumItems = items, variableMappings = mappings, forLoop = forLoop,
+          enumeratorKind = enumKind))
       case "" => None
       case other =>
         warnings += s"Task '$name' of type $other requires manual review"

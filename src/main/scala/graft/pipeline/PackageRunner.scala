@@ -204,34 +204,62 @@ object PackageRunner {
         case sm: SendMailTask =>
           TaskRun(task.name, "SendMailTask", TaskStatus.SkippedNotConverted,
             notes = List(sm.skipReason))
+        case c: ContainerTask
+            if c.containerType == "ForEachLoop" &&
+              c.enumeratorKind.exists(k => !k.contains("ForEachItemEnumerator")) =>
+          // File/ADO/NodeList enumerators have no convertible item list —
+          // surfacing them as a manual-review skip beats silently running
+          // the body once with an unbound placeholder variable (SSIS would
+          // iterate over external state we cannot see).
+          TaskRun(task.name, "Container(ForEachLoop)", TaskStatus.SkippedManualReview,
+            notes = List(s"unsupported ForEach enumerator ${c.enumeratorKind.get}; " +
+              "requires manual review"))
         case c: ContainerTask =>
+          // iteration order per SSIS default MaximumErrorCount=1: the
+          // container stops before the NEXT iteration once any child of
+          // the current one has failed — side-effectful destination
+          // appends must not continue past a failed pass.
+          def iterationFailed(rs: List[TaskRun]): Boolean =
+            rs.exists(_.status.isInstanceOf[TaskStatus.Failed])
           val childRuns = c.containerType match {
-            case "ForEachLoop" if c.enumItems.nonEmpty =>
+            case "ForEachLoop" =>
               // one child-DAG pass per enumerator item, with the item's
-              // values bound to the mapped package variables
-              c.enumItems.zipWithIndex.flatMap { case (item, i) =>
+              // values bound to the mapped package variables; zero items
+              // = zero iterations (vacuous success), never a fall-through
+              // to a single Sequence pass
+              val buf = scala.collection.mutable.ListBuffer.empty[TaskRun]
+              val it = c.enumItems.zipWithIndex.iterator
+              var failed = false
+              while (it.hasNext && !failed) {
+                val (item, i) = it.next()
                 val bound = values ++ c.variableMappings.collect {
                   case (qn, idx) if idx < item.length =>
                     qn -> parseEnum(item(idx))
                 }
-                c.children.map(ch =>
+                val rs = c.children.map(ch =>
                   runTask(spark, pkg, ch, env, bound) match {
                     case r => r.copy(taskName = s"${r.taskName}#$i")
                   })
+                buf ++= rs
+                failed = iterationFailed(rs)
               }
+              buf.toList
             case "ForLoop" if c.forLoop.isDefined =>
               val fl = c.forLoop.get
               var cur = fl.initExpression
                 .fold(values)(PackageVariables.applyAssignment(spark, _, values))
               val buf = scala.collection.mutable.ListBuffer.empty[TaskRun]
               var i = 0
+              var failed = false
               val maxIterations = 10000 // runaway-eval backstop
-              while (i < maxIterations &&
+              while (i < maxIterations && !failed &&
                   PackageVariables.evalBoolean(spark, fl.evalExpression, cur)) {
-                buf ++= c.children.map(ch =>
+                val rs = c.children.map(ch =>
                   runTask(spark, pkg, ch, env, cur) match {
                     case r => r.copy(taskName = s"${r.taskName}#$i")
                   })
+                buf ++= rs
+                failed = iterationFailed(rs)
                 cur = fl.assignExpression
                   .fold(cur)(PackageVariables.applyAssignment(spark, _, cur))
                 i += 1

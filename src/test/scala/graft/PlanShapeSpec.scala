@@ -152,8 +152,10 @@ class PlanShapeSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       QueriesRelational.q50_bucketed_join(spark, sf).count() // stages tables
+      val key = graft.ops.Bucketing.stagingKey(s"$sf#${spark.sparkContext.applicationId}")
       val join = graft.ops.Bucketing.bucketedJoin(
-        spark, "graft_b_lineitem", "graft_b_orders", "l_orderkey", "o_orderkey")
+        spark, s"graft_b_lineitem_$key", s"graft_b_orders_$key",
+        "l_orderkey", "o_orderkey")
       val plan = join.queryExecution.executedPlan.toString
       assert(plan.contains("SortMergeJoin"))
       assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")

@@ -171,6 +171,152 @@ class PrecedenceAndVariablesSpec extends AnyFunSuite {
     assert(loop.children.size === 1)
   }
 
+  test("nested ForEach containers keep their OWN enumerator items and mappings") {
+    // outer loop over 2 items, inner loop over 3 — a deep `\\` search from
+    // the outer Executable would absorb the inner loop's items/mappings
+    val xml =
+      """<DTS:Executable xmlns:DTS="www.microsoft.com/SqlServer/Dts"
+        |    DTS:ObjectName="Pkg" DTS:ExecutableType="Microsoft.Package">
+        |  <DTS:Executables>
+        |    <DTS:Executable DTS:ObjectName="Outer" DTS:ExecutableType="Microsoft.ForEachLoop">
+        |      <DTS:ForEachEnumerator DTS:CreationName="Microsoft.ForEachItemEnumerator">
+        |        <DTS:ObjectData><FEIEItems>
+        |          <FEIEItem><FEIEItemValue Type="8" Value="A"/></FEIEItem>
+        |          <FEIEItem><FEIEItemValue Type="8" Value="B"/></FEIEItem>
+        |        </FEIEItems></DTS:ObjectData>
+        |      </DTS:ForEachEnumerator>
+        |      <DTS:ForEachVariableMappings>
+        |        <DTS:ForEachVariableMapping DTS:VariableName="User::Outer" DTS:ValueIndex="0"/>
+        |      </DTS:ForEachVariableMappings>
+        |      <DTS:Executables>
+        |        <DTS:Executable DTS:ObjectName="Inner" DTS:ExecutableType="Microsoft.ForEachLoop">
+        |          <DTS:ForEachEnumerator DTS:CreationName="Microsoft.ForEachItemEnumerator">
+        |            <DTS:ObjectData><FEIEItems>
+        |              <FEIEItem><FEIEItemValue Type="8" Value="x"/></FEIEItem>
+        |              <FEIEItem><FEIEItemValue Type="8" Value="y"/></FEIEItem>
+        |              <FEIEItem><FEIEItemValue Type="8" Value="z"/></FEIEItem>
+        |            </FEIEItems></DTS:ObjectData>
+        |          </DTS:ForEachEnumerator>
+        |          <DTS:ForEachVariableMappings>
+        |            <DTS:ForEachVariableMapping DTS:VariableName="User::Inner" DTS:ValueIndex="0"/>
+        |          </DTS:ForEachVariableMappings>
+        |          <DTS:Executables/>
+        |        </DTS:Executable>
+        |      </DTS:Executables>
+        |    </DTS:Executable>
+        |  </DTS:Executables>
+        |</DTS:Executable>""".stripMargin
+    val parsed = graft.parser.DtsxParser.parseString(xml)
+    val outer = parsed.tasks.collectFirst { case c: ContainerTask => c }.get
+    assert(outer.name === "Outer")
+    assert(outer.enumItems.map(_.head.raw) === List("A", "B"))
+    assert(outer.variableMappings === List("User::Outer" -> 0))
+    val inner = outer.children.collectFirst { case c: ContainerTask => c }.get
+    assert(inner.name === "Inner")
+    assert(inner.enumItems.map(_.head.raw) === List("x", "y", "z"))
+    assert(inner.variableMappings === List("User::Inner" -> 0))
+  }
+
+  test("ForEach loop stops before the next iteration after a failed child") {
+    val captured = scala.collection.mutable.ListBuffer.empty[String]
+    val child = ExecuteSqlTask("Step", None, connectionId = "",
+      sqlStatement = "INSERT INTO t VALUES (?)")
+    val loop = ContainerTask("Loop", None, "ForEachLoop", List(child),
+      enumItems = List("a", "boom", "c").map(v => List(EnumValue("DT_WSTR", v))),
+      variableMappings = List("User::V" -> 0),
+      enumeratorKind = Some("Microsoft.ForEachItemEnumerator"))
+    val vars = List(Variable("User", "V", "DT_WSTR", ""))
+    val e = RuntimeEnv(
+      resolver = Resolver(source = _ => sys.error("no source"),
+        lookup = _ => sys.error("no lookup")),
+      write = (_, _, _) => (),
+      sqlExecutor = t => {
+        captured += t.sqlStatement
+        if (t.sqlStatement.contains("boom")) throw new RuntimeException("boom")
+        Some(PackageRunner.SqlOutcome(None, None))
+      })
+    val run = PackageRunner.run(spark, pkg(List(loop), Nil, vars), e)
+    assert(run.failed)
+    // iteration 2 ('c') never started — SSIS MaximumErrorCount=1 semantics
+    assert(captured.toList ===
+      List("INSERT INTO t VALUES ('a')", "INSERT INTO t VALUES ('boom')"))
+  }
+
+  test("ForLoop stops before the next iteration after a failed child") {
+    val captured = scala.collection.mutable.ListBuffer.empty[String]
+    val child = ExecuteSqlTask("Step", None, connectionId = "",
+      sqlStatement = "INSERT INTO t VALUES (?)")
+    val loop = ContainerTask("Loop", None, "ForLoop", List(child),
+      forLoop = Some(ForLoopSpec(
+        initExpression = Some("@[User::i] = 0"),
+        evalExpression = "@[User::i] < 5",
+        assignExpression = Some("@[User::i] = @[User::i] + 1"))))
+    val vars = List(Variable("User", "i", "DT_I4", "0"))
+    val e = RuntimeEnv(
+      resolver = Resolver(source = _ => sys.error("no source"),
+        lookup = _ => sys.error("no lookup")),
+      write = (_, _, _) => (),
+      sqlExecutor = t => {
+        captured += t.sqlStatement
+        if (t.sqlStatement.contains("(1)")) throw new RuntimeException("boom")
+        Some(PackageRunner.SqlOutcome(None, None))
+      })
+    val run = PackageRunner.run(spark, pkg(List(loop), Nil, vars), e)
+    assert(run.failed)
+    assert(captured.toList ===
+      List("INSERT INTO t VALUES (0)", "INSERT INTO t VALUES (1)"))
+  }
+
+  test("unsupported ForEach enumerator is a manual-review skip, not a silent pass") {
+    val xml =
+      """<DTS:Executable xmlns:DTS="www.microsoft.com/SqlServer/Dts"
+        |    DTS:ObjectName="Pkg" DTS:ExecutableType="Microsoft.Package">
+        |  <DTS:Executables>
+        |    <DTS:Executable DTS:ObjectName="FileLoop" DTS:ExecutableType="Microsoft.ForEachLoop">
+        |      <DTS:ForEachEnumerator DTS:CreationName="Microsoft.ForEachFileEnumerator">
+        |        <DTS:ObjectData/>
+        |      </DTS:ForEachEnumerator>
+        |      <DTS:Executables>
+        |        <DTS:Executable DTS:ObjectName="Child" DTS:ExecutableType="Microsoft.ExecuteSQLTask">
+        |          <DTS:ObjectData><SQLTask:SqlTaskData
+        |            xmlns:SQLTask="www.microsoft.com/sqlserver/dts/tasks/sqltask"
+        |            SQLTask:SqlStatementSource="SELECT 1"/></DTS:ObjectData>
+        |        </DTS:Executable>
+        |      </DTS:Executables>
+        |    </DTS:Executable>
+        |  </DTS:Executables>
+        |</DTS:Executable>""".stripMargin
+    val parsed = graft.parser.DtsxParser.parseString(xml)
+    assert(parsed.warnings.exists(w =>
+      w.contains("FileLoop") && w.contains("ForEachFileEnumerator")))
+    var childRan = false
+    val e = RuntimeEnv(
+      resolver = Resolver(source = _ => sys.error("no source"),
+        lookup = _ => sys.error("no lookup")),
+      write = (_, _, _) => (),
+      sqlExecutor = _ => { childRan = true; Some(PackageRunner.SqlOutcome(None, None)) })
+    val run = PackageRunner.run(spark, parsed, e)
+    val st = statusOf(run)
+    assert(st("FileLoop") === TaskStatus.SkippedManualReview)
+    assert(!childRan, "child of an unsupported enumerator must not execute")
+  }
+
+  test("zero-item ForEach runs zero iterations (vacuous success)") {
+    var childRan = false
+    val child = ExecuteSqlTask("Step", None, connectionId = "", sqlStatement = "SELECT 1")
+    val loop = ContainerTask("Loop", None, "ForEachLoop", List(child),
+      enumItems = Nil, enumeratorKind = Some("Microsoft.ForEachItemEnumerator"))
+    val e = RuntimeEnv(
+      resolver = Resolver(source = _ => sys.error("no source"),
+        lookup = _ => sys.error("no lookup")),
+      write = (_, _, _) => (),
+      sqlExecutor = _ => { childRan = true; Some(PackageRunner.SqlOutcome(None, None)) })
+    val run = PackageRunner.run(spark, pkg(List(loop), Nil), e)
+    assert(!run.failed)
+    assert(!childRan)
+    assert(statusOf(run)("Loop") === TaskStatus.Succeeded)
+  }
+
   test("DATEADD expression variable produces the bound window end") {
     val vars = List(
       Variable("User", "StartDate", "DT_DBTIMESTAMP", "1995-03-01T00:00:00"),
