@@ -1289,20 +1289,29 @@ object QueriesRelational {
     * The only shuffle in the whole query is the final low-cardinality
     * re-aggregation. Oracle = the plain join: bucketing must be invisible
     * to results, exactly like q46's salting. */
-  def q50_bucketed_join(spark: SparkSession, dir: String): DataFrame = {
-    // staging identity: dataset dir + Spark application id, digested — no
-    // cross-application or cross-dataset staging-table collisions
-    val key = graft.ops.Bucketing.stagingKey(s"$dir#${spark.sparkContext.applicationId}")
+  /** Staging identity for q50: the CONTENT of the two input tables
+    * (paths + sizes + mtimes, digested). Unchanged data → same key →
+    * staged files legally reused across applications (a fresh app pays a
+    * metadata-only external CREATE TABLE, not a rewrite); changed data →
+    * new key, and the stale staging for this dataset is deleted. */
+  def q50StagingNames(dir: String): (String, String, java.io.File) = {
+    val key = graft.ops.Bucketing.datasetKey(
+      dir, Seq("lineitem.parquet", "orders.parquet"))
     val stage = new java.io.File(
       System.getProperty("java.io.tmpdir"), s"graft_bucketed_$key")
+    (s"graft_b_lineitem_$key", s"graft_b_orders_$key", stage)
+  }
+
+  def q50_bucketed_join(spark: SparkSession, dir: String): DataFrame = {
+    val (lTable, oTable, stage) = q50StagingNames(dir)
+    graft.ops.Bucketing.cleanupStale(stage.getParentFile, dir, stage.getName)
+    graft.ops.Bucketing.writeSourceMarker(stage, dir)
     val nb = 8
-    val lTable = s"graft_b_lineitem_$key"
-    val oTable = s"graft_b_orders_$key"
-    graft.ops.Bucketing.stageBucketed(
+    graft.ops.Bucketing.ensureStaged(spark,
       lineitem(spark, dir).select(col("l_orderkey"), col("l_quantity")),
       lTable, new java.io.File(stage, "lineitem").getAbsolutePath,
       nb, "l_orderkey")
-    graft.ops.Bucketing.stageBucketed(
+    graft.ops.Bucketing.ensureStaged(spark,
       orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority")),
       oTable, new java.io.File(stage, "orders").getAbsolutePath,
       nb, "o_orderkey")

@@ -28,11 +28,14 @@ class ApproxSketchSpec extends AnyFunSuite {
       s"exact=$exact approx=$approx")
   }
 
-  test("HLL sketches merge: per-group sketch union equals the global estimate") {
+  test("HLL sketches merge: per-group sketch union estimates within the error band") {
     // the mergeability contract that makes distinct-count pre-aggregation
     // legal at scale: sketch per l_returnflag partition, union the
-    // sketches, estimate — must match a direct global sketch exactly
-    // (same binary representation), and the exact count within rsd.
+    // sketches, estimate. Merge-then-estimate is NOT guaranteed to be
+    // bit-identical to a direct global sketch (sparse→dense promotion and
+    // union target type can differ), so the contract tested is that BOTH
+    // estimates land inside the configured error band of the exact count.
+    // Default lgConfigK=12 → rsd ≈ 1.04/sqrt(2^12) ≈ 1.6%; 5x slack ≈ 8%.
     val perGroup = li.groupBy(col("l_returnflag"))
       .agg(hll_sketch_agg(col("l_orderkey")).as("sk"))
     val merged = perGroup
@@ -42,9 +45,10 @@ class ApproxSketchSpec extends AnyFunSuite {
       .agg(hll_sketch_estimate(hll_sketch_agg(col("l_orderkey"))).as("est"))
       .head().getLong(0)
     val exact = li.select(countDistinct(col("l_orderkey"))).head().getLong(0)
-    assert(merged === direct) // merge-then-estimate ≡ estimate-over-all
     assert(math.abs(merged.toDouble - exact) / exact < 0.08,
       s"exact=$exact merged=$merged")
+    assert(math.abs(direct.toDouble - exact) / exact < 0.08,
+      s"exact=$exact direct=$direct")
   }
 
   test("approx_percentile lands inside the exact rank-error band") {

@@ -152,14 +152,50 @@ class PlanShapeSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       QueriesRelational.q50_bucketed_join(spark, sf).count() // stages tables
-      val key = graft.ops.Bucketing.stagingKey(s"$sf#${spark.sparkContext.applicationId}")
+      val (lTable, oTable, _) = QueriesRelational.q50StagingNames(sf)
       val join = graft.ops.Bucketing.bucketedJoin(
-        spark, s"graft_b_lineitem_$key", s"graft_b_orders_$key",
-        "l_orderkey", "o_orderkey")
+        spark, lTable, oTable, "l_orderkey", "o_orderkey")
       val plan = join.queryExecution.executedPlan.toString
       assert(plan.contains("SortMergeJoin"))
       assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q50: staged files survive catalog loss — fresh app reuses them metadata-only") {
+    // simulate a NEW application over unchanged data: same staged files on
+    // disk, empty catalog. ensureStaged must register an external bucketed
+    // table over the existing files (no rewrite) and the join must still
+    // plan with zero Exchange and produce the same rows.
+    val before = QueriesRelational.q50_bucketed_join(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val (lTable, oTable, stage) = QueriesRelational.q50StagingNames(sf)
+    val lMtime = new java.io.File(stage, "lineitem/_SUCCESS").lastModified
+    spark.sql(s"DROP TABLE IF EXISTS `$lTable`")
+    spark.sql(s"DROP TABLE IF EXISTS `$oTable`")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val after = QueriesRelational.q50_bucketed_join(spark, sf)
+      assert(after.collect().map(_.toSeq).toSet === before)
+      // staged data was NOT rewritten (metadata-only re-registration)
+      assert(new java.io.File(stage, "lineitem/_SUCCESS").lastModified === lMtime)
+      val join = graft.ops.Bucketing.bucketedJoin(
+        spark, lTable, oTable, "l_orderkey", "o_orderkey")
+      val plan = join.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange"), s"reused bucketed join shuffles:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q50: staging for a changed dataset replaces the stale staging dir") {
+    // a stale sibling staging for the SAME dataset (different content key)
+    // must be deleted by the next run — tmpdir holds one staging per dataset
+    val (_, _, stage) = QueriesRelational.q50StagingNames(sf)
+    val stale = new java.io.File(stage.getParentFile, "graft_bucketed_deadbeef00000000")
+    graft.ops.Bucketing.writeSourceMarker(stale, sf)
+    QueriesRelational.q50_bucketed_join(spark, sf).count()
+    assert(!stale.exists, "stale staging dir for the same dataset not cleaned up")
+    assert(stage.exists)
   }
 
   test("no gated plan contains a trivially-true self-equality predicate") {
