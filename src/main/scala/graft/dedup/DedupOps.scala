@@ -150,11 +150,13 @@ object DedupOps {
       .dropDuplicates("doc_a", "doc_b")
   }
 
-  /** Jaccard similarity of two pre-distinct shingle arrays, as DOUBLE. */
-  def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast(DoubleType)
-    inter / (size(a) + size(b) - size(array_intersect(a, b))).cast(DoubleType)
-  }
+  /** Jaccard similarity of two pre-distinct shingle arrays, as DOUBLE.
+    * |∩| / |∪| — for distinct arrays |∪| = |a|+|b|−|∩|, so one intersect
+    * plus one union, each evaluated exactly once (no repeated
+    * subexpression for codegen to maybe-dedup). */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast(DoubleType) /
+      size(array_union(a, b)).cast(DoubleType)
 
   /** SimHash over the distinct token set, `bits` wide (bit b of the
     * signature = sign of Σ_tokens (2·bit_b(h(token)) − 1)). md5-derived
@@ -188,7 +190,16 @@ object DedupOps {
     * (GraphX/GraphFrames run the same shape); rounds are bounded by the
     * component diameter — near-dup graphs are overwhelmingly tiny cliques,
     * so 2–3 rounds in practice, with `maxIter` as the pathological-chain
-    * cap. `localCheckpoint` truncates lineage each round so plan size
+    * cap. Two properties keep the loop cheap at scale:
+    *  - the edge frame (often an expensive upstream pipeline — x15 feeds
+    *    the whole LSH + verification flow in here) is eagerly
+    *    `localCheckpoint`ed ONCE; every round re-reads stored blocks, it
+    *    never re-derives the pair flow;
+    *  - the loop runs only over vertices that appear in an edge — isolated
+    *    vertices (the overwhelming majority of a near-dup corpus) can
+    *    never change label, so they join the result self-labeled in one
+    *    final anti-join instead of riding corpus-sized rounds.
+    * `localCheckpoint` truncates label lineage each round so plan size
     * stays O(1) in rounds; convergence is decided by an `Observation`
     * metric (count of changed labels) collected inside the same job that
     * eagerly materializes the checkpoint — one action per round, no
@@ -201,9 +212,13 @@ object DedupOps {
     */
   def connectedComponents(edges: DataFrame, vertices: DataFrame,
       idCol: String, maxIter: Int = 20): DataFrame = {
-    val e = edges.toDF("__s", "__d")
+    // pay the upstream edge pipeline exactly once
+    val e = edges.toDF("__s", "__d").localCheckpoint(true)
     val sym = e.unionByName(e.select(col("__d").as("__s"), col("__s").as("__d")))
-    var labels = vertices.select(col(idCol).as("__id"))
+    // only edge endpoints can ever receive a smaller label
+    val active = e.select(col("__s").as("__id"))
+      .unionByName(e.select(col("__d").as("__id"))).distinct()
+    var labels = active
       .withColumn("__label", col("__id"))
       .localCheckpoint(true)
     var iter = 0
@@ -231,6 +246,11 @@ object DedupOps {
       labels = next
       iter += 1
     }
-    labels.select(col("__id").as(idCol), col("__label").as("component_id"))
+    // isolated vertices (no incident edge) label themselves
+    val isolated = vertices.select(col(idCol).as("__id"))
+      .join(labels.select(col("__id")), Seq("__id"), "left_anti")
+      .withColumn("__label", col("__id"))
+    labels.unionByName(isolated)
+      .select(col("__id").as(idCol), col("__label").as("component_id"))
   }
 }
