@@ -1330,7 +1330,55 @@ object QueriesRelational {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority""".stripMargin
 
+  /** FOREACH FILE iteration in the gate: nation is first split into
+    * multiple CSV part files in a temp folder (fixture prep), then the
+    * `ForEachFileIngest.dtsx` package's File enumerator lists `*.csv`
+    * under `User::SourceFolder` (overridden at run time — the dtexec
+    * `/SET` idiom), binds each fully-qualified path to
+    * `User::CurrentFile`, and the child dataflow's Flat File source reads
+    * that one file through the declared schema, appending into the mart.
+    * The result must hash-match a plain read of the whole table — the
+    * reference recognizes ForEach containers generically
+    * (`src/parser/constants.py:11-19`); this is the dominant real-world
+    * enumerator executed with real semantics. */
+  def q52_foreach_file(spark: SparkSession, dir: String): DataFrame = {
+    // fixture prep: nation as 3 header-CSV part files in a flat folder
+    val staging = java.nio.file.Files.createTempDirectory("graft_fef_stage").toString
+    graft.sources.Sources.writeCsv(
+      nation(spark, dir).select("n_nationkey", "n_name", "n_regionkey")
+        .repartition(3), staging)
+    val enumDir = java.nio.file.Files.createTempDirectory("graft_fef_parts")
+    new java.io.File(staging).listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-") && f.getName.endsWith(".csv"))
+      .zipWithIndex.foreach { case (f, i) =>
+        java.nio.file.Files.move(f.toPath, enumDir.resolve(s"nation_part$i.csv"))
+      }
+    val in = getClass.getResourceAsStream("/dtsx/ForEachFileIngest.dtsx")
+    val xml = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    val parsed = graft.parser.DtsxParser.parseString(xml)
+    // dtexec /SET-style variable override: point the enumerator at the
+    // run-time folder
+    val pkg = parsed.copy(variables = parsed.variables.map(v =>
+      if (v.qualifiedName == "User::SourceFolder") v.copy(value = enumDir.toString)
+      else v))
+    val tableRe = """\[\w+\]\.\[(\w+)\]""".r
+    val written = scala.collection.mutable.Map.empty[String, DataFrame]
+    val env = graft.pipeline.PackageRunner.RuntimeEnv(
+      resolver = graft.sources.Sources.testdataResolver(spark, dir, written.get),
+      write = (table, df, _) => {
+        val bare = tableRe.findFirstMatchIn(table).map(_.group(1)).getOrElse(table)
+        written(bare) = written.get(bare).map(_.unionByName(df)).getOrElse(df)
+      })
+    val run = graft.pipeline.PackageRunner.run(spark, pkg, env)
+    require(!run.failed, s"package failed: ${run.tasks.map(t => t.taskName -> t.status)}")
+    written("nation_ingest")
+  }
+
+  val q52Oracle: String =
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q52_foreach_file" -> (q52_foreach_file _),
     "q51_foreach_loop" -> (q51_foreach_loop _),
     "q50_bucketed_join" -> (q50_bucketed_join _),
     "q49_percentiles" -> (q49_percentiles _),
@@ -1381,6 +1429,7 @@ object QueriesRelational {
     "q22_date_functions" -> (q22_date_functions _))
 
   val oracle: Map[String, String] = Map(
+    "q52_foreach_file" -> q52Oracle,
     "q51_foreach_loop" -> q51Oracle,
     "q50_bucketed_join" -> q50Oracle,
     "q49_percentiles" -> q49Oracle,

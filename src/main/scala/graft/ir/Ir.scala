@@ -225,6 +225,20 @@ object Ir {
       evalExpression: String,
       assignExpression: Option[String])
 
+  /** ForEach File enumerator spec (`ForEachFileEnumeratorProperties` /
+    * `FEFEProperty` in the dtsx): enumerate files matching `fileSpec`
+    * under `folder` (optionally recursing), binding each file name to the
+    * mapped variable per `retrievalType`:
+    * 0 = fully-qualified path, 1 = name + extension, 2 = name only
+    * (the documented FileNameRetrieval values). `folder` may reference
+    * package variables (`@[ns::name]`) — the dtexec `/SET`-style override
+    * point for environment-specific paths. */
+  final case class FileEnumSpec(
+      folder: String,
+      fileSpec: String = "*.*",
+      retrievalType: Int = 0,
+      recurse: Boolean = false)
+
   /** ForEach/ForLoop/Sequence containers: children run as a nested DAG —
     * once for Sequence, once per enumerator item (with
     * `variableMappings` binding item values to package variables) for
@@ -239,11 +253,15 @@ object Ir {
       /** Qualified variable name → item value index. */
       variableMappings: List[(String, Int)] = Nil,
       forLoop: Option[ForLoopSpec] = None,
-      /** `DTS:ForEachEnumerator/@CreationName` — only the Item enumerator
-        * (`Microsoft.ForEachItemEnumerator`) is convertible; File/ADO/
-        * NodeList enumerators surface as manual-review skips, never as a
-        * silent single unbound pass. */
-      enumeratorKind: Option[String] = None) extends Task
+      /** `DTS:ForEachEnumerator/@CreationName` — the Item enumerator
+        * (`Microsoft.ForEachItemEnumerator`) iterates its parsed rows and
+        * the File enumerator (`Microsoft.ForEachFileEnumerator`) iterates
+        * a directory listing at run time; ADO/NodeList/unparsed
+        * enumerators surface as manual-review skips, never as a silent
+        * single unbound pass. */
+      enumeratorKind: Option[String] = None,
+      /** Parsed File-enumerator configuration (File kind only). */
+      fileEnum: Option[FileEnumSpec] = None) extends Task
 
   final case class UnsupportedTask(
       name: String,

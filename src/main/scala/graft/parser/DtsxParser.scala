@@ -179,8 +179,27 @@ object DtsxParser {
               vn -> attr(m, "ValueIndex").map(_.trim.toInt).getOrElse(0)
             }
           }
+        // File enumerator: FEFEProperty elements each carry ONE of the
+        // Folder / FileSpec / FileNameRetrieval / Recurse attributes
+        // (ForEachFileEnumeratorProperties shape)
+        val fileEnum = ownEnumerator
+          .filter(_ => enumKind.exists(_.contains("ForEachFileEnumerator")))
+          .flatMap { en =>
+            val props = (en \\ "FEFEProperty").toList
+            def p(a: String): Option[String] =
+              props.flatMap(n => attr(n, a)).headOption.filter(_.nonEmpty)
+            p("Folder").map { folder =>
+              FileEnumSpec(
+                folder = folder,
+                fileSpec = p("FileSpec").getOrElse("*.*"),
+                retrievalType = p("FileNameRetrieval").map(_.trim.toInt).getOrElse(0),
+                recurse = p("Recurse").exists(r =>
+                  r.trim == "1" || r.trim.equalsIgnoreCase("true")))
+            }
+          }
         if (t == "Microsoft.ForEachLoop" &&
-            enumKind.exists(k => !k.contains("ForEachItemEnumerator")))
+            enumKind.exists(k => !k.contains("ForEachItemEnumerator")) &&
+            fileEnum.isEmpty)
           warnings += s"ForEach container '$name' uses unsupported enumerator " +
             s"${enumKind.get} - requires manual review"
         val forLoop = attr(e, "EvalExpression").map { eval =>
@@ -191,7 +210,7 @@ object DtsxParser {
         }
         Some(ContainerTask(name, desc, t.stripPrefix("Microsoft."), children,
           enumItems = items, variableMappings = mappings, forLoop = forLoop,
-          enumeratorKind = enumKind))
+          enumeratorKind = enumKind, fileEnum = fileEnum))
       case "" => None
       case other =>
         warnings += s"Task '$name' of type $other requires manual review"

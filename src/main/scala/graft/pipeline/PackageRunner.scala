@@ -128,6 +128,44 @@ object PackageRunner {
   private def parseEnum(v: EnumValue): Any =
     PackageVariables.parseValue(v.ssisType, v.raw)
 
+  /** Materialize a File enumerator's item list: list `folder` (variable
+    * references resolved, subdirectories walked when `recurse`), keep
+    * files matching the `fileSpec` wildcard pattern, render each per the
+    * retrieval type. Sorted by full path — SSIS leaves enumeration order
+    * to the file system; a deterministic order makes runs reproducible. */
+  def enumerateFiles(spec: FileEnumSpec,
+      values: Map[String, Any]): List[List[EnumValue]] = {
+    val folder = new java.io.File(
+      if (spec.folder.contains("@[")) PackageVariables.substituteRefs(spec.folder, values)
+      else spec.folder)
+    if (!folder.isDirectory)
+      throw new IllegalArgumentException(
+        s"ForEach File enumerator folder is not a directory: $folder")
+    val nameRe = java.util.regex.Pattern.compile(
+      spec.fileSpec.map {
+        case '*' => ".*"
+        case '?' => "."
+        case ch if "\\.[]{}()+-^$|".indexOf(ch) >= 0 => "\\" + ch
+        case ch => ch.toString
+      }.mkString, java.util.regex.Pattern.CASE_INSENSITIVE)
+    def walk(dir: java.io.File): List[java.io.File] = {
+      val entries = Option(dir.listFiles()).getOrElse(Array.empty).toList
+      entries.filter(_.isFile) :::
+        (if (spec.recurse) entries.filter(_.isDirectory).flatMap(walk) else Nil)
+    }
+    walk(folder)
+      .filter(f => nameRe.matcher(f.getName).matches())
+      .sortBy(_.getAbsolutePath)
+      .map { f =>
+        val rendered = spec.retrievalType match {
+          case 1 => f.getName // name + extension
+          case 2 => f.getName.replaceFirst("""\.[^.]*$""", "") // name only
+          case _ => f.getAbsolutePath // 0 = fully qualified (default)
+        }
+        List(EnumValue("DT_WSTR", rendered))
+      }
+  }
+
   private def taskTypeName(task: Task): String = task match {
     case _: DataFlowTask => "DataFlowTask"
     case _: ExecuteSqlTask => "ExecuteSQLTask"
@@ -206,14 +244,24 @@ object PackageRunner {
             notes = List(sm.skipReason))
         case c: ContainerTask
             if c.containerType == "ForEachLoop" &&
-              c.enumeratorKind.exists(k => !k.contains("ForEachItemEnumerator")) =>
-          // File/ADO/NodeList enumerators have no convertible item list —
+              c.enumeratorKind.exists(k => !k.contains("ForEachItemEnumerator") &&
+                !(k.contains("ForEachFileEnumerator") && c.fileEnum.isDefined)) =>
+          // ADO/NodeList enumerators (and a File enumerator whose
+          // properties failed to parse) have no convertible item list —
           // surfacing them as a manual-review skip beats silently running
           // the body once with an unbound placeholder variable (SSIS would
           // iterate over external state we cannot see).
           TaskRun(task.name, "Container(ForEachLoop)", TaskStatus.SkippedManualReview,
             notes = List(s"unsupported ForEach enumerator ${c.enumeratorKind.get}; " +
               "requires manual review"))
+        case c: ContainerTask
+            if c.containerType == "ForEachLoop" && c.enumeratorKind.isEmpty &&
+              c.enumItems.isEmpty =>
+          // no enumerator element found at all: distinct from a CONFIRMED
+          // Item enumerator with zero items (legal vacuous success) — a
+          // parse miss must not masquerade as a clean empty loop
+          TaskRun(task.name, "Container(ForEachLoop)", TaskStatus.SkippedManualReview,
+            notes = List("ForEach container has no parsed enumerator; requires manual review"))
         case c: ContainerTask =>
           // iteration order per SSIS default MaximumErrorCount=1: the
           // container stops before the NEXT iteration once any child of
@@ -226,9 +274,11 @@ object PackageRunner {
               // one child-DAG pass per enumerator item, with the item's
               // values bound to the mapped package variables; zero items
               // = zero iterations (vacuous success), never a fall-through
-              // to a single Sequence pass
+              // to a single Sequence pass. A File enumerator produces its
+              // item list from the directory listing at run time.
+              val items = c.fileEnum.fold(c.enumItems)(enumerateFiles(_, values))
               val buf = scala.collection.mutable.ListBuffer.empty[TaskRun]
-              val it = c.enumItems.zipWithIndex.iterator
+              val it = items.zipWithIndex.iterator
               var failed = false
               while (it.hasNext && !failed) {
                 val (item, i) = it.next()
@@ -264,7 +314,12 @@ object PackageRunner {
                   .fold(cur)(PackageVariables.applyAssignment(spark, _, cur))
                 i += 1
               }
-              if (i == maxIterations)
+              // runaway backstop fires only when the loop exited BECAUSE
+              // of the bound (condition still true, nothing failed) — a
+              // child failure on the final iteration keeps its recorded
+              // failure instead of being replaced by this error
+              if (i == maxIterations && !failed &&
+                  PackageVariables.evalBoolean(spark, fl.evalExpression, cur))
                 throw new IllegalStateException(
                   s"ForLoop '${c.name}' exceeded $maxIterations iterations")
               buf.toList

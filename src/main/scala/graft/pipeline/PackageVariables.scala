@@ -92,10 +92,18 @@ object PackageVariables {
           s"unbound SSIS variable @[$ns::$n]")
       })
 
-  /** Evaluate a literal-only Column on a one-row local relation — Catalyst
-    * folds it; `.head` on a LocalRelation never launches a shuffle. */
+  /** Evaluate a literal-only Column entirely in-process: project it over a
+    * one-row `LocalRelation`. Catalyst's `ConvertToLocalRelation` folds
+    * the (deterministic, literal-only) projection at optimization time and
+    * `LocalTableScanExec.executeTake` returns the row driver-side, so
+    * control-flow expression evaluation launches ZERO Spark jobs — a
+    * ForLoop of N iterations costs N in-process Catalyst evals, not 2N
+    * one-row cluster jobs (asserted in PrecedenceAndVariablesSpec). */
   private def evalLocal(spark: SparkSession, c: Column): Any = {
-    val row = spark.range(1).select(c.as("v")).head()
+    val oneRow = spark.createDataFrame(
+      java.util.Collections.singletonList(org.apache.spark.sql.Row()),
+      StructType(Nil))
+    val row = oneRow.select(c.as("v")).head()
     if (row.isNullAt(0)) null else row.get(0)
   }
 
@@ -165,21 +173,47 @@ object PackageVariables {
     n
   }
 
+  private val VarRef = """@\[(\w+)::(\w+)\]""".r
+
+  /** Substitute `@[ns::name]` references in a property text with the
+    * evaluated variable values rendered as plain text — the SSIS
+    * property-expression idiom (a Flat File OpenRowset/connection string
+    * built from a ForEach loop variable). An unbound reference is a
+    * deterministic error, never silent empty text. */
+  def substituteRefs(text: String, values: Map[String, Any]): String =
+    VarRef.replaceAllIn(text, m => {
+      val qn = s"${m.group(1)}::${m.group(2)}"
+      values.get(qn) match {
+        case Some(v) =>
+          scala.util.matching.Regex.quoteReplacement(String.valueOf(v))
+        case None => throw new IllegalArgumentException(
+          s"unbound SSIS variable @[$qn] in property text: $text")
+      }
+    })
+
   /** Bind every `?`-parameterized SqlCommand in a dataflow task from the
     * evaluated package variables, positionally in variable declaration
     * order (the sample packages carry no explicit ParameterMapping — the
-    * declaration order IS the mapping, SalesFactETL.dtsx:33-43 vs 79-91). */
+    * declaration order IS the mapping, SalesFactETL.dtsx:33-43 vs 79-91).
+    * Source OpenRowset texts additionally resolve `@[ns::name]`
+    * property-expression references (the ForEach-File → Flat File source
+    * binding). */
   def bindTaskSql(task: DataFlowTask, pkg: SsisPackage,
       values: Map[String, Any]): DataFlowTask = {
     // fall back to the literal parse for callers that skipped evaluate()
     lazy val ordered = pkg.variables.map(v =>
       values.getOrElse(v.qualifiedName, parseValue(v.ssisType, v.value)))
+    lazy val byName = pkg.variables.map(v =>
+      v.qualifiedName -> parseValue(v.ssisType, v.value)).toMap ++ values
     def bind(sql: Option[String]): Option[String] = sql.map { s =>
       val n = placeholderCount(s)
       if (n == 0) s else bindSql(s, ordered.take(n))
     }
+    def refs(text: Option[String]): Option[String] =
+      text.map(t => if (t.contains("@[")) substituteRefs(t, byName) else t)
     task.copy(components = task.components.map {
-      case s: SourceComponent => s.copy(sqlCommand = bind(s.sqlCommand))
+      case s: SourceComponent =>
+        s.copy(sqlCommand = bind(s.sqlCommand), tableName = refs(s.tableName))
       case l: LookupComponent => l.copy(sqlCommand = bind(l.sqlCommand))
       case other => other
     })

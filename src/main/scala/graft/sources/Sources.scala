@@ -93,7 +93,17 @@ object Sources {
       }
     }
     graft.ops.DataFlowCompiler.Resolver(
-      source = s => resolve(s.sqlCommand, s.tableName),
+      source = {
+        // Flat File source: the (already variable-resolved) OpenRowset
+        // text IS the file path; read through the declared columns —
+        // never inferSchema
+        case s if s.componentType == "FlatFileSource" =>
+          val path = s.tableName.orElse(s.sqlCommand).getOrElse(
+            throw new IllegalArgumentException(
+              s"Flat File source '${s.name}' names no file"))
+          readCsv(spark, path, s.columns)
+        case s => resolve(s.sqlCommand, s.tableName)
+      },
       lookup = l => resolve(l.sqlCommand, None))
   }
 

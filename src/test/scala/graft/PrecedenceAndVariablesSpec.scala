@@ -317,6 +317,127 @@ class PrecedenceAndVariablesSpec extends AnyFunSuite {
     assert(statusOf(run)("Loop") === TaskStatus.Succeeded)
   }
 
+  test("ForEach FILE enumerator parses, lists the folder, and binds paths") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fef_spec")
+    java.nio.file.Files.write(dir.resolve("b.csv"), "x\n2".getBytes)
+    java.nio.file.Files.write(dir.resolve("a.csv"), "x\n1".getBytes)
+    java.nio.file.Files.write(dir.resolve("skip.txt"), "no".getBytes)
+    val xml =
+      s"""<DTS:Executable xmlns:DTS="www.microsoft.com/SqlServer/Dts"
+         |    DTS:ObjectName="Pkg" DTS:ExecutableType="Microsoft.Package">
+         |  <DTS:Variables>
+         |    <DTS:Variable DTS:Namespace="User" DTS:ObjectName="F">
+         |      <DTS:VariableValue DTS:DataType="8"></DTS:VariableValue>
+         |    </DTS:Variable>
+         |  </DTS:Variables>
+         |  <DTS:Executables>
+         |    <DTS:Executable DTS:ObjectName="FileLoop" DTS:ExecutableType="Microsoft.ForEachLoop">
+         |      <DTS:ForEachEnumerator DTS:CreationName="Microsoft.ForEachFileEnumerator">
+         |        <DTS:ObjectData>
+         |          <ForEachFileEnumeratorProperties>
+         |            <FEFEProperty Folder="$dir"/>
+         |            <FEFEProperty FileSpec="*.csv"/>
+         |            <FEFEProperty FileNameRetrieval="0"/>
+         |          </ForEachFileEnumeratorProperties>
+         |        </DTS:ObjectData>
+         |      </DTS:ForEachEnumerator>
+         |      <DTS:ForEachVariableMappings>
+         |        <DTS:ForEachVariableMapping DTS:VariableName="User::F" DTS:ValueIndex="0"/>
+         |      </DTS:ForEachVariableMappings>
+         |      <DTS:Executables>
+         |        <DTS:Executable DTS:ObjectName="Child" DTS:ExecutableType="Microsoft.ExecuteSQLTask">
+         |          <DTS:ObjectData><SQLTask:SqlTaskData
+         |            xmlns:SQLTask="www.microsoft.com/sqlserver/dts/tasks/sqltask"
+         |            SQLTask:SqlStatementSource="INSERT INTO t VALUES (?)"/></DTS:ObjectData>
+         |        </DTS:Executable>
+         |      </DTS:Executables>
+         |    </DTS:Executable>
+         |  </DTS:Executables>
+         |</DTS:Executable>""".stripMargin
+    val parsed = graft.parser.DtsxParser.parseString(xml)
+    // a parsed File enumerator is NOT a manual-review warning
+    assert(!parsed.warnings.exists(_.contains("FileLoop")))
+    val loop = parsed.tasks.collectFirst { case c: ContainerTask => c }.get
+    assert(loop.fileEnum === Some(FileEnumSpec(dir.toString, "*.csv", 0, false)))
+    val captured = scala.collection.mutable.ListBuffer.empty[String]
+    val e = RuntimeEnv(
+      resolver = Resolver(source = _ => sys.error("no source"),
+        lookup = _ => sys.error("no lookup")),
+      write = (_, _, _) => (),
+      sqlExecutor = t => { captured += t.sqlStatement
+        Some(PackageRunner.SqlOutcome(None, None)) })
+    val run = PackageRunner.run(spark, parsed, e)
+    assert(!run.failed)
+    assert(statusOf(run)("FileLoop") === TaskStatus.Succeeded)
+    // *.csv only, sorted, fully-qualified, bound through the `?` parameter
+    assert(captured.toList === List(
+      s"INSERT INTO t VALUES ('${dir.resolve("a.csv")}')",
+      s"INSERT INTO t VALUES ('${dir.resolve("b.csv")}')"))
+  }
+
+  test("File enumerator retrieval types render name+ext and bare name") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fef_ret")
+    java.nio.file.Files.write(dir.resolve("data.part1.csv"), "x".getBytes)
+    def items(rt: Int): List[String] =
+      PackageRunner.enumerateFiles(
+        FileEnumSpec(dir.toString, "*.csv", rt), Map.empty).map(_.head.raw)
+    assert(items(0) === List(dir.resolve("data.part1.csv").toString))
+    assert(items(1) === List("data.part1.csv"))
+    assert(items(2) === List("data.part1")) // last extension stripped
+  }
+
+  test("File enumerator recurses into subdirectories only when asked") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fef_rec")
+    val sub = java.nio.file.Files.createDirectory(dir.resolve("sub"))
+    java.nio.file.Files.write(dir.resolve("top.csv"), "x".getBytes)
+    java.nio.file.Files.write(sub.resolve("nested.csv"), "x".getBytes)
+    def names(rec: Boolean): List[String] =
+      PackageRunner.enumerateFiles(
+        FileEnumSpec(dir.toString, "*.csv", 1, recurse = rec), Map.empty)
+        .map(_.head.raw)
+    assert(names(false) === List("top.csv"))
+    assert(names(true).toSet === Set("top.csv", "nested.csv"))
+  }
+
+  test("ForEachLoop with NO parsed enumerator is a manual-review skip, not vacuous success") {
+    val loop = ContainerTask("Loop", None, "ForEachLoop",
+      List(sqlTask("Child")), enumItems = Nil, enumeratorKind = None)
+    val run = PackageRunner.run(spark, pkg(List(loop), Nil), env(Set.empty))
+    assert(statusOf(run)("Loop") === TaskStatus.SkippedManualReview)
+    assert(!run.failed)
+  }
+
+  test("control-flow evaluation launches ZERO Spark jobs") {
+    // a 1000-iteration ForLoop (eval + assign per round) plus expression-
+    // variable evaluation must never touch the cluster: scalar expressions
+    // fold in-process over a one-row LocalRelation
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(): Unit
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val vars = List(
+        Variable("User", "i", "DT_I4", "0"),
+        Variable("User", "Doubled", "DT_I4", "0",
+          expression = Some("@[User::i] + 2")))
+      val loop = ContainerTask("Loop", None, "ForLoop", List(sqlTask("Step")),
+        forLoop = Some(ForLoopSpec(
+          initExpression = Some("@[User::i] = 0"),
+          evalExpression = "@[User::i] < 1000",
+          assignExpression = Some("@[User::i] = @[User::i] + 1"))))
+      val run = PackageRunner.run(spark, pkg(List(loop), Nil, vars), env(Set.empty))
+      assert(!run.failed)
+      val container = run.tasks.find(_.taskName == "Loop").get
+      assert(container.notes.length === 1000)
+      Thread.sleep(1000) // let any stray job events drain to the listener
+      assert(jobs.get() === 0,
+        s"control flow launched ${jobs.get()} Spark job(s); expected none")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("DATEADD expression variable produces the bound window end") {
     val vars = List(
       Variable("User", "StartDate", "DT_DBTIMESTAMP", "1995-03-01T00:00:00"),
