@@ -9,11 +9,13 @@ import org.apache.spark.sql.types._
   * feature-extract run per-partition in batches.
   *
   * The Spark-side plumbing (schema, partitioning, batch iteration,
-  * operator signatures) is real and tested. The actual codec step is a
-  * STUB (`StubDecoder`) — this container has no image/audio libraries —
-  * producing deterministic pseudo-metadata from the payload bytes, so the
-  * pipeline shape can be verified end-to-end and a real decoder (JNI/
-  * javax.imageio/ffmpeg) can be dropped in behind the same trait.
+  * operator signatures) is real and tested. Image decoding is REAL
+  * ([[MultimodalOps.ImageIoDecoder]], JDK `javax.imageio` — PNG/JPEG/GIF/
+  * BMP header decode, no external dependency). Audio/video codecs aren't
+  * available in this container, so [[MultimodalOps.StubDecoder]] remains
+  * the deterministic oracle-checkable stand-in for those (and for the
+  * gate, whose testdata payloads are md5-derived pseudo-media, not real
+  * image bytes); a JNI/ffmpeg decoder drops in behind the same trait.
   */
 object MultimodalOps {
 
@@ -46,6 +48,35 @@ object MultimodalOps {
         height = ub(1) * 16 + 64,
         nFrames = if (mediaType == "video") ub(2) + 1 else 1,
         sampleRate = if (mediaType == "audio") 8000 + ub(3) * 128 else 0)
+    }
+  }
+
+  /** REAL image decoder on the JDK's `javax.imageio` — no external
+    * dependency: an `ImageReader` is bound to the payload header and asked
+    * for dimensions, so only the header is parsed, never the full raster
+    * (cheap even for multi-megabyte frames). Handles every format the JDK
+    * ships readers for (PNG, JPEG, GIF, BMP, WBMP). Still images report
+    * `nFrames = 1` and `sampleRate = 0`; an undecodable payload is a
+    * deterministic error (surface bad rows, never fabricate dimensions).
+    * Audio/video codecs remain out of scope for this container —
+    * [[StubDecoder]] stays as the oracle-checkable stand-in. */
+  object ImageIoDecoder extends MediaDecoder {
+    def decode(payload: Array[Byte], mediaType: String): MediaMeta = {
+      require(payload != null && payload.nonEmpty, "empty media payload")
+      javax.imageio.ImageIO.setUseCache(false) // no executor-disk staging
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        if (!readers.hasNext)
+          throw new IllegalArgumentException(
+            s"no ImageIO codec recognizes payload (mediaType=$mediaType)")
+        val r = readers.next()
+        try {
+          r.setInput(in, true, true)
+          MediaMeta(r.getWidth(0), r.getHeight(0), nFrames = 1, sampleRate = 0)
+        } finally r.dispose()
+      } finally in.close()
     }
   }
 

@@ -102,6 +102,34 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(viaPartitions === viaExprs)
   }
 
+  test("ImageIoDecoder decodes REAL PNG and JPEG bytes distributed through decodeMeta") {
+    // render genuine image fixtures with the JDK (no external deps): the
+    // decoder must report true pixel dimensions, executor-side, through
+    // the same mapPartitions path the stub uses
+    def imageBytes(w: Int, h: Int, format: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y =>
+        img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff)))
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, format, out))
+      out.toByteArray
+    }
+    val rows = Seq(
+      (1L, imageBytes(17, 13, "png"), "image"),
+      (2L, imageBytes(640, 480, "jpg"), "image"),
+      (3L, imageBytes(3, 200, "png"), "image"))
+    val df = rows.toDF("media_id", "payload", "media_type")
+    val metas = MultimodalOps.decodeMeta(
+        df, "media_id", "payload", "media_type", MultimodalOps.ImageIoDecoder)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(2), r.getInt(3)))).toMap
+    assert(metas === Map(1L -> ((17, 13)), 2L -> ((640, 480)), 3L -> ((3, 200))))
+    // an undecodable payload is a deterministic error, not fake dims
+    intercept[Exception] {
+      MultimodalOps.ImageIoDecoder.decode("not an image".getBytes, "image")
+    }
+  }
+
   test("frame sample plan strides over n_frames") {
     val df = Seq(9, 1, 0).toDF("n_frames")
     val plans = df.select(MultimodalOps.frameSamplePlan(col("n_frames"), 4).as("p"))
