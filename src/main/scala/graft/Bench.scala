@@ -34,29 +34,47 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
+    // median-of-3 per query: single-iteration timings swing ±30% with
+    // environment noise (PERF.md), which made the round-over-round 2×
+    // regression gate untrustworthy; the median is the reported figure,
+    // the min is the best-observed floor
+    val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // a failed query must be VISIBLE: full trace to stderr, an "err"
-      // marker in the JSON — never a silently tiny timing
-      val err = try { fn(spark, sfDir).count(); None } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] query $name FAILED")
-          e.printStackTrace()
-          Some(e.getClass.getSimpleName)
+      var err: Option[String] = None
+      val times = (1 to iterations).flatMap { _ =>
+        val t = if (err.isDefined) None else {
+          val t0 = System.nanoTime()
+          // a failed query must be VISIBLE: full trace to stderr, an "err"
+          // marker in the JSON — never a silently tiny timing
+          try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] query $name FAILED")
+              e.printStackTrace()
+              err = Some(e.getClass.getSimpleName)
+              None
+          }
+        }
+        // queries may cache intermediates (x06 pairs/candSh, x14 slim
+        // frame); drop them so one iteration's blocks never pressure the
+        // next one's GC and every iteration measures the same work
+        spark.sharedState.cacheManager.clearCache()
+        t
       }
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      // queries may cache intermediates (x06 pairs/candSh, x14 slim frame);
-      // drop them so one query's blocks never pressure the next one's GC
-      spark.sharedState.cacheManager.clearCache()
-      (name, elapsed, err)
+      val sorted = times.sorted
+      val median = if (sorted.isEmpty) 0.0 else sorted(sorted.length / 2)
+      val min = if (sorted.isEmpty) 0.0 else sorted.head
+      (name, median, min, err)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => s"\"" + k + "\":\"" + e + "\"" }
+    val mins = results.map { case (k, _, v, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, Some(e)) => s"\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val errField = if (errs == "{}") "" else s""","errors":$errs"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$mins$errField,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -108,6 +108,72 @@ class ArtifactsSpec extends AnyFunSuite {
     assert(root.get("overall_status").asText() === "failed")
   }
 
+  test("diagnoser classifies seeded failures with causes, fixes, and retry verdict") {
+    import graft.validate.Diagnoser
+    // seeded defects: the migrated frame drops a row (missing-rows rule),
+    // carries a NULL id and a duplicate id (both PK rules), and perturbs
+    // the amount sum (checksum rule)
+    val legacy = Seq((1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0), (5, 50.0))
+      .toDF("id", "amount")
+    val migratedBase = Seq(
+      (Option(1), 10.0), (Option.empty[Int], 20.0), (Option(3), 31.5), (Option(3), 40.0))
+      .toDF("id", "amount")
+    val results =
+      ValidationSuite.rowCountMatch(migratedBase, legacy, "fact.Sales") ::
+        ValidationSuite.pkIntegrity(migratedBase, Seq("id"), "fact.Sales") :::
+        ValidationSuite.checksum(migratedBase, legacy, "amount", "fact.Sales")
+    val model = ModelValidation("fact_sales", "SalesFactETL.dtsx", "Load Sales Facts",
+      Some("fact.Sales"), results)
+    val report = Diagnoser.diagnose(List(model))
+    assert(report.hasFailures && report.failedCount === 1)
+    val d = report.diagnoses.head
+    assert(d.rootCauses.exists(_.contains("Missing rows")))
+    assert(d.rootCauses.exists(_.startsWith("NULL primary keys: 1")))
+    assert(d.rootCauses.exists(_.startsWith("Duplicate primary keys: 1")))
+    assert(d.rootCauses.exists(_.contains("Numeric mismatch in columns: amount")))
+    assert(d.suggestedFixes.exists(f =>
+      f.description.contains("NOT NULL filter") && f.priority == "high"))
+    assert(d.suggestedFixes.exists(_.description.contains("ROW_NUMBER()")))
+    assert(d.investigationQueries.exists(_.contains("GROUP BY id HAVING COUNT(*) > 1")))
+    // a row-count mismatch is not auto-fixable → no auto-retry
+    assert(!d.canAutoFix && !report.canRetry)
+
+    // JSON export parses and carries the AgentResult.data shape
+    val root = mapper.readTree(Diagnoser.reportJson(report))
+    assert(root.get("has_failures").asBoolean())
+    assert(root.get("failed_count").asInt() === 1)
+    assert(root.get("can_retry").asBoolean() === false)
+    val dj = root.get("diagnoses").get(0)
+    assert(dj.get("model").asText() === "fact_sales")
+    assert(dj.get("suggested_fixes").size() >= 4)
+    // markdown report
+    val md = Diagnoser.markdownReport(report)
+    assert(md.contains("# Validation Failure Diagnosis Report"))
+    assert(md.contains("**Can Auto-Retry:** No"))
+    assert(md.contains("## fact_sales"))
+  }
+
+  test("diagnoser: PK-only failures are auto-fixable and retryable") {
+    import graft.validate.Diagnoser
+    val migrated = Seq((Option(1), 10.0), (Option(1), 20.0), (Option(3), 30.0))
+      .toDF("id", "amount")
+    val results = ValidationSuite.pkIntegrity(migrated, Seq("id"), "dim.C")
+    val model = ModelValidation("dim_c", "P.dtsx", "Load", Some("dim.C"), results)
+    val report = Diagnoser.diagnose(List(model))
+    val d = report.diagnoses.head
+    assert(d.category === "logic_error")
+    assert(d.canAutoFix && !d.requiresManualReview)
+    assert(report.canRetry)
+  }
+
+  test("diagnoser: clean validation reports no failures and no retry") {
+    import graft.validate.Diagnoser
+    val results = ValidationSuite.rowCountMatch(actualDf, expectedDf, "dim.Customer") :: Nil
+    val report = Diagnoser.diagnose(List(
+      ModelValidation("dim_customer", "P.dtsx", "Load", None, results)))
+    assert(!report.hasFailures && report.diagnoses.isEmpty && !report.canRetry)
+  }
+
   test("validation_report.md carries the summary table and per-model sections") {
     val results = ValidationSuite.rowCountMatch(actualDf, expectedDf, "dim.Customer") :: Nil
     val md = ValidationJson.markdownReport(List(
