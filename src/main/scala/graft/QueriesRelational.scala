@@ -17,6 +17,23 @@ import org.apache.spark.sql.types._
 object QueriesRelational {
   import Tables._
 
+  /** Temp dir for query fixtures (q38 CSV round-trip, q52 ForEach-File
+    * parts), deleted on JVM exit: the frames a query returns read these
+    * files LAZILY, so eager deletion would break the caller — but runs
+    * must not accumulate orphan dirs in tmpdir either (the q50 staging
+    * lesson: every on-disk artifact needs a lifecycle). */
+  private[graft] def tempDirCleanedOnExit(prefix: String): java.nio.file.Path = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(dir.toFile)
+    }))
+    dir
+  }
+
   // ---------------------------------------------------------------- P1/P4
   /** Staging projection: select + cast + snake_case rename
     * (ref builder.py:183-206, stg_sales__transactions.sql:38-53). */
@@ -1001,7 +1018,7 @@ object QueriesRelational {
   def q38_csv_roundtrip(spark: SparkSession, dir: String): DataFrame = {
     import graft.ir.Ir.ColumnInfo
     import graft.types.SsisTypes.SsisColumnType
-    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val tmp = tempDirCleanedOnExit("graft_csv").toString
     graft.sources.Sources.writeCsv(
       nation(spark, dir).select("n_nationkey", "n_name", "n_regionkey"), tmp)
     val declared = List(
@@ -1343,11 +1360,11 @@ object QueriesRelational {
     * enumerator executed with real semantics. */
   def q52_foreach_file(spark: SparkSession, dir: String): DataFrame = {
     // fixture prep: nation as 3 header-CSV part files in a flat folder
-    val staging = java.nio.file.Files.createTempDirectory("graft_fef_stage").toString
+    val staging = tempDirCleanedOnExit("graft_fef_stage").toString
     graft.sources.Sources.writeCsv(
       nation(spark, dir).select("n_nationkey", "n_name", "n_regionkey")
         .repartition(3), staging)
-    val enumDir = java.nio.file.Files.createTempDirectory("graft_fef_parts")
+    val enumDir = tempDirCleanedOnExit("graft_fef_parts")
     new java.io.File(staging).listFiles()
       .filter(f => f.isFile && f.getName.startsWith("part-") && f.getName.endsWith(".csv"))
       .zipWithIndex.foreach { case (f, i) =>

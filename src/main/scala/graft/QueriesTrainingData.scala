@@ -652,16 +652,26 @@ object QueriesTrainingData {
       col("doc_id"), col("lang"),
       substring(col("text"), 1, 80).as("p"),
       floor(length(col("text")) / 40).cast(LongType).as("blk"))
-    val left = b.select(col("doc_id").as("doc_a"), col("lang").as("lang_a"),
-      col("p").as("p_a"), col("blk").as("blk_a"))
+    // probe side spread over the cluster: the broadcast join's parallelism
+    // IS the probe side's partitioning, and a small single-file scan is
+    // otherwise 1-2 partitions doing every DP evaluation (same lesson as
+    // x06's signature pipeline)
+    val left = b.repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id").as("doc_a"), col("lang").as("lang_a"),
+        col("p").as("p_a"), col("blk").as("blk_a"))
     val right = b.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
       col("p").as("p_b"), col("blk").as("blk_b"))
+    // equi-join on the block key ONLY; `doc_a < doc_b` leads the filter
+    // conjunction so the pushed-down join condition short-circuits the
+    // (expensive, banded-DP) levenshtein for the unordered half of every
+    // block's pairs — conjunct order survives predicate pushdown, and
+    // putting the ordering test inside the join condition instead would
+    // get it appended AFTER the pushed levenshtein bound
     left.join(right,
-        col("lang_a") === col("lang_b") && col("blk_a") === col("blk_b") &&
-          col("doc_a") < col("doc_b"))
+        col("lang_a") === col("lang_b") && col("blk_a") === col("blk_b"))
       .select(col("doc_a"), col("doc_b"),
         levenshtein(col("p_a"), col("p_b"), 20).cast(LongType).as("lev"))
-      .filter(col("lev") >= 0)
+      .filter(col("doc_a") < col("doc_b") && col("lev") >= 0)
   }
 
   val x18Oracle: String =
