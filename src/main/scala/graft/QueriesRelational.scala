@@ -1394,7 +1394,50 @@ object QueriesRelational {
   val q52Oracle: String =
     "SELECT n_nationkey, n_name, n_regionkey FROM nation"
 
+  /** FOREACH ADO iteration in the gate: an Execute SQL task loads the
+    * region key list with a Full result set bound to an Object variable
+    * (`ResultBinding` → `User::Regions`), and the ADO enumerator iterates
+    * the recordset's rows, binding `r_regionkey` to `User::RegionKey` for
+    * each pass of the child dataflow — into BOTH the source's `?`
+    * parameter and a Derived Column stamp. The reference recognizes
+    * ForEach containers generically (`src/parser/constants.py:11-19`);
+    * this executes the recordset-driven variant with real semantics
+    * (driver-side iteration, exactly as SSIS runs it, with a runaway
+    * backstop — a data-sized iteration belongs in a dataflow). */
+  def q53_foreach_ado(spark: SparkSession, dir: String): DataFrame = {
+    val in = getClass.getResourceAsStream("/dtsx/ForEachAdoRegionETL.dtsx")
+    val xml = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    val pkg = graft.parser.DtsxParser.parseString(xml)
+    val tableRe = """\[\w+\]\.\[(\w+)\]""".r
+    val written = scala.collection.mutable.Map.empty[String, DataFrame]
+    val env = graft.pipeline.PackageRunner.RuntimeEnv(
+      resolver = graft.sources.Sources.testdataResolver(spark, dir, written.get),
+      write = (table, df, _) => {
+        val bare = tableRe.findFirstMatchIn(table).map(_.group(1)).getOrElse(table)
+        written(bare) = written.get(bare).map(_.unionByName(df)).getOrElse(df)
+      },
+      // Execute SQL against the same parquet-backed warehouse the
+      // dataflow sources use — the produced frame feeds the ResultBinding
+      sqlExecutor = t => {
+        val table = tableRe.findFirstMatchIn(t.sqlStatement).map(_.group(1))
+          .getOrElse(throw new IllegalArgumentException(
+            s"no [schema].[table] in: ${t.sqlStatement}"))
+        spark.read.parquet(s"$dir/$table.parquet").createOrReplaceTempView(table)
+        val df = spark.sql(tableRe.replaceAllIn(t.sqlStatement, table))
+        Some(graft.pipeline.PackageRunner.SqlOutcome(Some(df), None))
+      })
+    val run = graft.pipeline.PackageRunner.run(spark, pkg, env)
+    require(!run.failed, s"package failed: ${run.tasks.map(t => t.taskName -> t.status)}")
+    written("nation_by_region")
+  }
+
+  val q53Oracle: String =
+    """SELECT n_nationkey, n_name, n_regionkey,
+      |  n_regionkey AS batch_region
+      |FROM nation""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q53_foreach_ado" -> (q53_foreach_ado _),
     "q52_foreach_file" -> (q52_foreach_file _),
     "q51_foreach_loop" -> (q51_foreach_loop _),
     "q50_bucketed_join" -> (q50_bucketed_join _),
@@ -1446,6 +1489,7 @@ object QueriesRelational {
     "q22_date_functions" -> (q22_date_functions _))
 
   val oracle: Map[String, String] = Map(
+    "q53_foreach_ado" -> q53Oracle,
     "q52_foreach_file" -> q52Oracle,
     "q51_foreach_loop" -> q51Oracle,
     "q50_bucketed_join" -> q50Oracle,

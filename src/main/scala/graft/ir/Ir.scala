@@ -169,7 +169,11 @@ object Ir {
       connectionId: String,
       sqlStatement: String,
       resultSet: String = "None", // None | SingleRow | Full
-      parameters: List[String] = Nil) extends Task
+      parameters: List[String] = Nil,
+      /** `SQLTask:ResultBinding/@DtsVariableName` — the Object variable a
+        * Full/SingleRow result set is stored into (feeds the ForEach ADO
+        * enumerator). */
+      resultVariable: Option[String] = None) extends Task
 
   /** An edge of a branched dataflow: `from`'s output (optionally a named
     * ConditionalSplit route or MergeJoin side) feeds `to`. `toInput` is
@@ -261,7 +265,10 @@ object Ir {
         * single unbound pass. */
       enumeratorKind: Option[String] = None,
       /** Parsed File-enumerator configuration (File kind only). */
-      fileEnum: Option[FileEnumSpec] = None) extends Task
+      fileEnum: Option[FileEnumSpec] = None,
+      /** ADO enumerator (`FEEADO`): the Object variable holding the
+        * recordset whose first table's rows drive the iterations. */
+      adoObjectVar: Option[String] = None) extends Task
 
   final case class UnsupportedTask(
       name: String,

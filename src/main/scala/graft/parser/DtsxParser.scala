@@ -133,7 +133,9 @@ object DtsxParser {
             case Some("ResultSetType_SingleRow") => "SingleRow"
             case Some("ResultSetType_Rowset") => "Full"
             case _ => "None"
-          }))
+          },
+          resultVariable = (e \ "ObjectData" \\ "ResultBinding").headOption
+            .flatMap(attr(_, "DtsVariableName")).filter(_.nonEmpty)))
       case "Microsoft.Pipeline" =>
         val comps = (e \ "ObjectData" \ "pipeline" \ "components" \ "component").toList
           .map(parseComponent(_, warnings))
@@ -197,9 +199,18 @@ object DtsxParser {
                   r.trim == "1" || r.trim.equalsIgnoreCase("true")))
             }
           }
+        // ADO enumerator: FEEADO names the recordset Object variable
+        // (attribute spelling varies across designer versions)
+        val adoVar = ownEnumerator
+          .filter(_ => enumKind.exists(_.contains("ForEachADOEnumerator")))
+          .flatMap { en =>
+            (en \\ "FEEADO").headOption.flatMap(n =>
+              attr(n, "ObjectVar").orElse(attr(n, "VarName"))
+                .orElse(attr(n, "VariableName")))
+          }.filter(_.nonEmpty)
         if (t == "Microsoft.ForEachLoop" &&
             enumKind.exists(k => !k.contains("ForEachItemEnumerator")) &&
-            fileEnum.isEmpty)
+            fileEnum.isEmpty && adoVar.isEmpty)
           warnings += s"ForEach container '$name' uses unsupported enumerator " +
             s"${enumKind.get} - requires manual review"
         val forLoop = attr(e, "EvalExpression").map { eval =>
@@ -210,7 +221,7 @@ object DtsxParser {
         }
         Some(ContainerTask(name, desc, t.stripPrefix("Microsoft."), children,
           enumItems = items, variableMappings = mappings, forLoop = forLoop,
-          enumeratorKind = enumKind, fileEnum = fileEnum))
+          enumeratorKind = enumKind, fileEnum = fileEnum, adoObjectVar = adoVar))
       case "" => None
       case other =>
         warnings += s"Task '$name' of type $other requires manual review"

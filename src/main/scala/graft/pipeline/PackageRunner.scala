@@ -75,11 +75,20 @@ object PackageRunner {
       statePath: String, maxAttempts: Int = 1): PackageRun =
     runInternal(spark, pkg, env, RunState.load(statePath), Some(statePath), maxAttempts)
 
+  /** Mutable variable state threaded through one package run: Execute SQL
+    * result bindings (`ResultBinding` → Object variable) land here so a
+    * later ForEach ADO enumerator can read the recordset. Loop-scoped
+    * bindings stay in the per-call `values` overlay, never in the store. */
+  final class VarStore(initial: Map[String, Any]) {
+    @volatile var values: Map[String, Any] = initial
+  }
+
   private def runInternal(spark: SparkSession, pkg: SsisPackage, env: RuntimeEnv,
       prior: Map[String, TaskStatus], statePath: Option[String],
       maxAttempts: Int): PackageRun = {
     val ordered = pkg.topoOrder.fold(err => throw new IllegalStateException(err), identity)
-    val values = PackageVariables.evaluate(spark, pkg.variables)
+    val store = new VarStore(PackageVariables.evaluate(spark, pkg.variables))
+    def values = store.values
     val completed = scala.collection.mutable.Map.empty[String, TaskStatus]
     val runs = scala.collection.mutable.ListBuffer.empty[TaskRun]
     ordered.foreach { task =>
@@ -107,10 +116,10 @@ object PackageRunner {
           }
           if (fires) {
             var attempt = 1
-            var run = runTask(spark, pkg, task, env, values)
+            var run = runTaskWith(spark, pkg, task, env, values, store)
             while (run.status.isInstanceOf[TaskStatus.Failed] && attempt < maxAttempts) {
               attempt += 1
-              run = runTask(spark, pkg, task, env, values)
+              run = runTaskWith(spark, pkg, task, env, values, store)
             }
             if (attempt > 1)
               run = run.copy(notes = run.notes :+ s"succeeded-or-gave-up on attempt $attempt")
@@ -127,6 +136,37 @@ object PackageRunner {
 
   private def parseEnum(v: EnumValue): Any =
     PackageVariables.parseValue(v.ssisType, v.raw)
+
+  /** Enumerator item → bound variable value: parsed dtsx items carry
+    * typed raw text ([[EnumValue]]); ADO recordset items are already
+    * typed. */
+  private def itemValue(v: Any): Any = v match {
+    case ev: EnumValue => parseEnum(ev)
+    case other => other
+  }
+
+  /** Materialize an ADO enumerator's item list from the recordset
+    * variable: the rows of the bound result-set frame, positionally.
+    * ForEach ADO is driver-side control-flow iteration in SSIS too —
+    * bounded here by a runaway backstop; a data-sized iteration belongs
+    * in a dataflow, not a control-flow loop. */
+  private def adoItems(objectVar: String, bound: Option[Any]): List[List[Any]] = {
+    val maxRows = 10000
+    bound match {
+      case Some(ds: org.apache.spark.sql.Dataset[_]) =>
+        val rows = ds.toDF().limit(maxRows + 1).collect()
+        if (rows.length > maxRows)
+          throw new IllegalStateException(
+            s"ADO recordset in $objectVar exceeds $maxRows rows")
+        rows.toList.map(_.toSeq.toList)
+      case Some(other) => throw new IllegalArgumentException(
+        s"ForEach ADO enumerator variable $objectVar holds " +
+          s"${other.getClass.getSimpleName}, not a result set")
+      case None => throw new IllegalArgumentException(
+        s"ForEach ADO enumerator variable $objectVar is not bound " +
+          "(does a prior Execute SQL task have a ResultBinding?)")
+    }
+  }
 
   /** Materialize a File enumerator's item list: list `folder` (variable
     * references resolved, subdirectories walked when `recurse`), keep
@@ -177,6 +217,10 @@ object PackageRunner {
 
   def runTask(spark: SparkSession, pkg: SsisPackage, task: Task, env: RuntimeEnv,
       values: Map[String, Any] = Map.empty): TaskRun =
+    runTaskWith(spark, pkg, task, env, values, new VarStore(values))
+
+  private def runTaskWith(spark: SparkSession, pkg: SsisPackage, task: Task,
+      env: RuntimeEnv, values: Map[String, Any], store: VarStore): TaskRun =
     try {
       task match {
         case df0: DataFlowTask if df0.paths.nonEmpty =>
@@ -223,14 +267,21 @@ object PackageRunner {
               pkg.variables.map(v => values.getOrElse(v.qualifiedName,
                 PackageVariables.parseValue(v.ssisType, v.value)))))
           val detection = LoadPatterns.detect(sql.sqlStatement, pkg.variables)
+          // ResultBinding: a produced result set lands in the bound Object
+          // variable (the recordset a ForEach ADO enumerator iterates)
+          def bindResult(out: Option[org.apache.spark.sql.DataFrame]): List[String] =
+            (sql0.resultVariable zip out).map { case (v, df) =>
+              store.values = store.values + (v -> df)
+              s"result set bound to $v"
+            }.toList
           env.sqlExecutor(sql) match {
             case Some(SqlOutcome(Some(out), Some(target), mode)) =>
               env.write(target, out, mode)
               TaskRun(task.name, "ExecuteSQLTask", TaskStatus.Succeeded,
-                pattern = Some(detection))
-            case Some(SqlOutcome(_, _, _)) =>
+                pattern = Some(detection), notes = bindResult(Some(out)))
+            case Some(SqlOutcome(out, _, _)) =>
               TaskRun(task.name, "ExecuteSQLTask", TaskStatus.Succeeded,
-                pattern = Some(detection))
+                pattern = Some(detection), notes = bindResult(out))
             case None =>
               TaskRun(task.name, "ExecuteSQLTask", TaskStatus.SkippedNotConverted,
                 pattern = Some(detection),
@@ -245,8 +296,9 @@ object PackageRunner {
         case c: ContainerTask
             if c.containerType == "ForEachLoop" &&
               c.enumeratorKind.exists(k => !k.contains("ForEachItemEnumerator") &&
-                !(k.contains("ForEachFileEnumerator") && c.fileEnum.isDefined)) =>
-          // ADO/NodeList enumerators (and a File enumerator whose
+                !(k.contains("ForEachFileEnumerator") && c.fileEnum.isDefined) &&
+                !(k.contains("ForEachADOEnumerator") && c.adoObjectVar.isDefined)) =>
+          // NodeList enumerators (and a File/ADO enumerator whose
           // properties failed to parse) have no convertible item list —
           // surfacing them as a manual-review skip beats silently running
           // the body once with an unbound placeholder variable (SSIS would
@@ -275,8 +327,17 @@ object PackageRunner {
               // values bound to the mapped package variables; zero items
               // = zero iterations (vacuous success), never a fall-through
               // to a single Sequence pass. A File enumerator produces its
-              // item list from the directory listing at run time.
-              val items = c.fileEnum.fold(c.enumItems)(enumerateFiles(_, values))
+              // item list from the directory listing at run time; an ADO
+              // enumerator from the bound recordset variable (store-first:
+              // a prior task's ResultBinding beats the stale declaration).
+              val items: List[List[Any]] =
+                if (c.fileEnum.isDefined) enumerateFiles(c.fileEnum.get, values)
+                else if (c.adoObjectVar.isDefined &&
+                    c.enumeratorKind.exists(_.contains("ForEachADOEnumerator")))
+                  adoItems(c.adoObjectVar.get,
+                    store.values.get(c.adoObjectVar.get)
+                      .orElse(values.get(c.adoObjectVar.get)))
+                else c.enumItems
               val buf = scala.collection.mutable.ListBuffer.empty[TaskRun]
               val it = items.zipWithIndex.iterator
               var failed = false
@@ -284,10 +345,10 @@ object PackageRunner {
                 val (item, i) = it.next()
                 val bound = values ++ c.variableMappings.collect {
                   case (qn, idx) if idx < item.length =>
-                    qn -> parseEnum(item(idx))
+                    qn -> itemValue(item(idx))
                 }
                 val rs = c.children.map(ch =>
-                  runTask(spark, pkg, ch, env, bound) match {
+                  runTaskWith(spark, pkg, ch, env, bound, store) match {
                     case r => r.copy(taskName = s"${r.taskName}#$i")
                   })
                 buf ++= rs
@@ -305,7 +366,7 @@ object PackageRunner {
               while (i < maxIterations && !failed &&
                   PackageVariables.evalBoolean(spark, fl.evalExpression, cur)) {
                 val rs = c.children.map(ch =>
-                  runTask(spark, pkg, ch, env, cur) match {
+                  runTaskWith(spark, pkg, ch, env, cur, store) match {
                     case r => r.copy(taskName = s"${r.taskName}#$i")
                   })
                 buf ++= rs
@@ -324,7 +385,7 @@ object PackageRunner {
                   s"ForLoop '${c.name}' exceeded $maxIterations iterations")
               buf.toList
             case _ =>
-              c.children.map(runTask(spark, pkg, _, env, values))
+              c.children.map(runTaskWith(spark, pkg, _, env, values, store))
           }
           val failed = childRuns.collectFirst {
             case TaskRun(_, _, TaskStatus.Failed(e), _, _, _, _) => e

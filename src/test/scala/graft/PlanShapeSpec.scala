@@ -198,6 +198,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(stage.exists)
   }
 
+  test("x18: ordering test leads the join condition, ahead of the levenshtein bound") {
+    // the pushed-down join condition must short-circuit `doc_a < doc_b`
+    // BEFORE the banded-DP levenshtein — evaluated the other way round,
+    // every block pays the DP for both orderings of every pair
+    val plan = executedPlan("x18_fuzzy_levenshtein")
+    val cond = plan.linesIterator.find(_.contains("Join")).getOrElse("")
+    val ltPos = cond.indexOf(" < ")
+    val levPos = cond.indexOf("levenshtein")
+    assert(ltPos >= 0 && levPos >= 0, s"unexpected join line: $cond")
+    assert(ltPos < levPos, s"levenshtein evaluated before the ordering test: $cond")
+    // and the probe side must not be a single-partition scan at scale:
+    // the explicit round-robin repartition is present
+    assert(plan.contains("Exchange RoundRobinPartitioning"),
+      "probe side lost its parallelizing repartition")
+  }
+
   test("no gated plan contains a trivially-true self-equality predicate") {
     // `a#12 = a#12` (same exprId on both sides) means a join condition was
     // written against two frames that resolve to the SAME attribute — the

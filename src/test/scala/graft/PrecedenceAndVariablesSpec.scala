@@ -399,6 +399,30 @@ class PrecedenceAndVariablesSpec extends AnyFunSuite {
     assert(names(true).toSet === Set("top.csv", "nested.csv"))
   }
 
+  test("ForEach ADO enumerator parses its recordset variable and result binding") {
+    val in = getClass.getResourceAsStream("/dtsx/ForEachAdoRegionETL.dtsx")
+    val xml = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    val parsed = graft.parser.DtsxParser.parseString(xml)
+    assert(!parsed.warnings.exists(_.contains("Region Loop")))
+    val sqlTask = parsed.tasks.collectFirst { case t: ExecuteSqlTask => t }.get
+    assert(sqlTask.resultSet === "Full")
+    assert(sqlTask.resultVariable === Some("User::Regions"))
+    val loop = parsed.tasks.collectFirst { case c: ContainerTask => c }.get
+    assert(loop.adoObjectVar === Some("User::Regions"))
+    assert(loop.variableMappings === List("User::RegionKey" -> 0))
+  }
+
+  test("ForEach ADO with an UNBOUND recordset variable fails, never a silent pass") {
+    val loop = ContainerTask("Loop", None, "ForEachLoop", List(sqlTask("Child")),
+      variableMappings = List("User::K" -> 0),
+      enumeratorKind = Some("Microsoft.ForEachADOEnumerator"),
+      adoObjectVar = Some("User::Missing"))
+    val run = PackageRunner.run(spark, pkg(List(loop), Nil), env(Set.empty))
+    val st = statusOf(run)
+    assert(st("Loop").isInstanceOf[TaskStatus.Failed])
+    assert(st("Loop").asInstanceOf[TaskStatus.Failed].error.contains("User::Missing"))
+  }
+
   test("ForEachLoop with NO parsed enumerator is a manual-review skip, not vacuous success") {
     val loop = ContainerTask("Loop", None, "ForEachLoop",
       List(sqlTask("Child")), enumItems = Nil, enumeratorKind = None)
