@@ -38,21 +38,24 @@ object Bench {
     // environment noise (PERF.md), which made the round-over-round 2×
     // regression gate untrustworthy; the median is the reported figure,
     // the min is the best-observed floor
-    val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    val iterations =
+      math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       var err: Option[String] = None
       val times = (1 to iterations).flatMap { _ =>
         val t = if (err.isDefined) None else {
           val t0 = System.nanoTime()
           // a failed query must be VISIBLE: full trace to stderr, an "err"
-          // marker in the JSON — never a silently tiny timing
+          // marker in the JSON — and its recorded time is the time spent
+          // until the failure, never a silently tiny 0.0 that would read
+          // as the fleet's fastest query in a round-over-round compare
           try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
           catch {
             case e: Throwable =>
               System.err.println(s"[bench] query $name FAILED")
               e.printStackTrace()
               err = Some(e.getClass.getSimpleName)
-              None
+              Some((System.nanoTime() - t0) / 1e9)
           }
         }
         // queries may cache intermediates (x06 pairs/candSh, x14 slim
@@ -62,8 +65,8 @@ object Bench {
         t
       }
       val sorted = times.sorted
-      val median = if (sorted.isEmpty) 0.0 else sorted(sorted.length / 2)
-      val min = if (sorted.isEmpty) 0.0 else sorted.head
+      val median = sorted(sorted.length / 2)
+      val min = sorted.head
       (name, median, min, err)
     }
     val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }

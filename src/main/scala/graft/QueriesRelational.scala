@@ -17,21 +17,74 @@ import org.apache.spark.sql.types._
 object QueriesRelational {
   import Tables._
 
-  /** Temp dir for query fixtures (q38 CSV round-trip, q52 ForEach-File
+  /** Temp dirs for query fixtures (q38 CSV round-trip, q52 ForEach-File
     * parts), deleted on JVM exit: the frames a query returns read these
     * files LAZILY, so eager deletion would break the caller — but runs
     * must not accumulate orphan dirs in tmpdir either (the q50 staging
-    * lesson: every on-disk artifact needs a lifecycle). */
-  private[graft] def tempDirCleanedOnExit(prefix: String): java.nio.file.Path = {
-    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    * lesson: every on-disk artifact needs a lifecycle). ONE shutdown hook
+    * drains the whole registry — a hook per call would grow the JVM's
+    * hook set with every invocation in a long-lived driver. */
+  private val exitCleanupDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  private lazy val exitCleanupHook: Unit = {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
         f.delete(): Unit
       }
-      rm(dir.toFile)
+      exitCleanupDirs.forEach(p => rm(p.toFile))
     }))
+  }
+  private[graft] def tempDirCleanedOnExit(prefix: String): java.nio.file.Path = {
+    exitCleanupHook
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    exitCleanupDirs.add(dir): Unit
     dir
+  }
+
+  /** Shared scaffold for the dtsx-package gate queries (q51/q52/q53):
+    * parse the resource, optionally override variable literals (the
+    * dtexec `/SET` idiom), run through [[graft.pipeline.PackageRunner]]
+    * against the parquet-backed testdata warehouse, and return the
+    * per-table written frames. `accumulate` = destination appends union
+    * across iterations (the ForEach semantics); q42-style overwrite
+    * callers pass false. */
+  private def runDtsxPackage(spark: SparkSession, dir: String, resource: String,
+      overrideVars: Map[String, String] = Map.empty,
+      withSqlExecutor: Boolean = false,
+      accumulate: Boolean = true): scala.collection.Map[String, DataFrame] = {
+    val in = getClass.getResourceAsStream(s"/dtsx/$resource")
+    val xml = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    val parsed = graft.parser.DtsxParser.parseString(xml)
+    val pkg =
+      if (overrideVars.isEmpty) parsed
+      else parsed.copy(variables = parsed.variables.map(v =>
+        overrideVars.get(v.qualifiedName).fold(v)(nv => v.copy(value = nv))))
+    val tableRe = """\[\w+\]\.\[(\w+)\]""".r
+    val written = scala.collection.mutable.Map.empty[String, DataFrame]
+    val env = graft.pipeline.PackageRunner.RuntimeEnv(
+      resolver = graft.sources.Sources.testdataResolver(spark, dir, written.get),
+      write = (table, df, _) => {
+        val bare = tableRe.findFirstMatchIn(table).map(_.group(1)).getOrElse(table)
+        written(bare) =
+          if (accumulate) written.get(bare).map(_.unionByName(df)).getOrElse(df)
+          else df
+      },
+      sqlExecutor =
+        if (!withSqlExecutor) _ => None
+        else t => {
+          // execute against the same parquet-backed warehouse the
+          // dataflow sources use (feeds ResultBinding recordsets)
+          val table = tableRe.findFirstMatchIn(t.sqlStatement).map(_.group(1))
+            .getOrElse(throw new IllegalArgumentException(
+              s"no [schema].[table] in: ${t.sqlStatement}"))
+          spark.read.parquet(s"$dir/$table.parquet").createOrReplaceTempView(table)
+          val df = spark.sql(tableRe.replaceAllIn(t.sqlStatement, table))
+          Some(graft.pipeline.PackageRunner.SqlOutcome(Some(df), None))
+        })
+    val run = graft.pipeline.PackageRunner.run(spark, pkg, env)
+    require(!run.failed, s"package failed: ${run.tasks.map(t => t.taskName -> t.status)}")
+    written
   }
 
   // ---------------------------------------------------------------- P1/P4
@@ -1270,27 +1323,12 @@ object QueriesRelational {
     * across iterations (the env unions), so the mart is the union of the
     * per-iteration loads. Parser: `DtsxParser` ForEachEnumerator/
     * VariableMappings; runner: `PackageRunner` ForEachLoop branch. */
-  def q51_foreach_loop(spark: SparkSession, dir: String): DataFrame = {
-    val in = getClass.getResourceAsStream("/dtsx/ForEachPriorityETL.dtsx")
-    val xml = scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    val pkg = graft.parser.DtsxParser.parseString(xml)
-    val tableRe = """\[\w+\]\.\[(\w+)\]""".r
-    val written = scala.collection.mutable.Map.empty[String, DataFrame]
-    val env = graft.pipeline.PackageRunner.RuntimeEnv(
-      resolver = graft.sources.Sources.testdataResolver(spark, dir, written.get),
-      write = (table, df, _) => {
-        val bare = tableRe.findFirstMatchIn(table).map(_.group(1)).getOrElse(table)
-        // append semantics: successive iteration writes union
-        written(bare) = written.get(bare).map(_.unionByName(df)).getOrElse(df)
-      })
-    val run = graft.pipeline.PackageRunner.run(spark, pkg, env)
-    require(!run.failed, s"package failed: ${run.tasks.map(t => t.taskName -> t.status)}")
-    written("priority_orders")
+  def q51_foreach_loop(spark: SparkSession, dir: String): DataFrame =
+    runDtsxPackage(spark, dir, "ForEachPriorityETL.dtsx")("priority_orders")
       .groupBy(col("batch_priority"))
       .agg(
         count(lit(1)).as("n_orders"),
         sum(col("o_totalprice").cast(Money)).cast(DoubleType).as("total_price"))
-  }
 
   val q51Oracle: String =
     """SELECT o_orderpriority AS batch_priority, COUNT(*) AS n_orders,
@@ -1370,25 +1408,10 @@ object QueriesRelational {
       .zipWithIndex.foreach { case (f, i) =>
         java.nio.file.Files.move(f.toPath, enumDir.resolve(s"nation_part$i.csv"))
       }
-    val in = getClass.getResourceAsStream("/dtsx/ForEachFileIngest.dtsx")
-    val xml = scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    val parsed = graft.parser.DtsxParser.parseString(xml)
     // dtexec /SET-style variable override: point the enumerator at the
     // run-time folder
-    val pkg = parsed.copy(variables = parsed.variables.map(v =>
-      if (v.qualifiedName == "User::SourceFolder") v.copy(value = enumDir.toString)
-      else v))
-    val tableRe = """\[\w+\]\.\[(\w+)\]""".r
-    val written = scala.collection.mutable.Map.empty[String, DataFrame]
-    val env = graft.pipeline.PackageRunner.RuntimeEnv(
-      resolver = graft.sources.Sources.testdataResolver(spark, dir, written.get),
-      write = (table, df, _) => {
-        val bare = tableRe.findFirstMatchIn(table).map(_.group(1)).getOrElse(table)
-        written(bare) = written.get(bare).map(_.unionByName(df)).getOrElse(df)
-      })
-    val run = graft.pipeline.PackageRunner.run(spark, pkg, env)
-    require(!run.failed, s"package failed: ${run.tasks.map(t => t.taskName -> t.status)}")
-    written("nation_ingest")
+    runDtsxPackage(spark, dir, "ForEachFileIngest.dtsx",
+      overrideVars = Map("User::SourceFolder" -> enumDir.toString))("nation_ingest")
   }
 
   val q52Oracle: String =
@@ -1404,32 +1427,9 @@ object QueriesRelational {
     * this executes the recordset-driven variant with real semantics
     * (driver-side iteration, exactly as SSIS runs it, with a runaway
     * backstop — a data-sized iteration belongs in a dataflow). */
-  def q53_foreach_ado(spark: SparkSession, dir: String): DataFrame = {
-    val in = getClass.getResourceAsStream("/dtsx/ForEachAdoRegionETL.dtsx")
-    val xml = scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    val pkg = graft.parser.DtsxParser.parseString(xml)
-    val tableRe = """\[\w+\]\.\[(\w+)\]""".r
-    val written = scala.collection.mutable.Map.empty[String, DataFrame]
-    val env = graft.pipeline.PackageRunner.RuntimeEnv(
-      resolver = graft.sources.Sources.testdataResolver(spark, dir, written.get),
-      write = (table, df, _) => {
-        val bare = tableRe.findFirstMatchIn(table).map(_.group(1)).getOrElse(table)
-        written(bare) = written.get(bare).map(_.unionByName(df)).getOrElse(df)
-      },
-      // Execute SQL against the same parquet-backed warehouse the
-      // dataflow sources use — the produced frame feeds the ResultBinding
-      sqlExecutor = t => {
-        val table = tableRe.findFirstMatchIn(t.sqlStatement).map(_.group(1))
-          .getOrElse(throw new IllegalArgumentException(
-            s"no [schema].[table] in: ${t.sqlStatement}"))
-        spark.read.parquet(s"$dir/$table.parquet").createOrReplaceTempView(table)
-        val df = spark.sql(tableRe.replaceAllIn(t.sqlStatement, table))
-        Some(graft.pipeline.PackageRunner.SqlOutcome(Some(df), None))
-      })
-    val run = graft.pipeline.PackageRunner.run(spark, pkg, env)
-    require(!run.failed, s"package failed: ${run.tasks.map(t => t.taskName -> t.status)}")
-    written("nation_by_region")
-  }
+  def q53_foreach_ado(spark: SparkSession, dir: String): DataFrame =
+    runDtsxPackage(spark, dir, "ForEachAdoRegionETL.dtsx",
+      withSqlExecutor = true)("nation_by_region")
 
   val q53Oracle: String =
     """SELECT n_nationkey, n_name, n_regionkey,

@@ -41,27 +41,64 @@ object Bucketing {
     spark.table(table)
   }
 
+  private val LayoutMarker = "_graft_layout"
+
+  /** The physical contract staged files were written under: reuse is only
+    * legal when schema, bucket count, AND bucket key all still match —
+    * `_SUCCESS` alone says the write completed, not that it matches the
+    * CURRENT build's expectations. */
+  private def layoutOf(schemaDdl: String, nBuckets: Int, key: String): String =
+    s"$schemaDdl|buckets=$nBuckets|key=$key"
+
   /** Idempotent staging with content-addressed reuse:
     *   1. table already in this session's catalog → reuse as-is (free);
-    *   2. staged files already on disk (complete: `_SUCCESS` present) →
-    *      register a metadata-only external bucketed table over them —
-    *      no data rewrite (this is what a fresh application pays);
-    *   3. otherwise → write + register via [[stageBucketed]].
-    * `build` is by-name: when staging is reusable the source is never
-    * even planned.
+    *   2. staged files on disk, complete (`_SUCCESS`) AND written under
+    *      the same layout (schema + bucket count + key, `_graft_layout`
+    *      marker) → register a metadata-only external bucketed table over
+    *      them — no data rewrite (this is what a fresh application pays);
+    *   3. otherwise → write + register. The write goes to a unique
+    *      scratch path and is PUBLISHED by an atomic directory rename, so
+    *      two applications racing to stage the same dataset converge on
+    *      one complete staging instead of corrupting each other's files
+    *      (the loser discards its scratch and reads the winner's).
+    * `build` is by-name and planned at most once (analysis only on the
+    * reuse path — `.schema` needs no job).
     */
   def ensureStaged(spark: SparkSession, build: => DataFrame, table: String,
       path: String, nBuckets: Int, key: String): DataFrame = {
     if (spark.catalog.tableExists(table)) return spark.table(table)
-    if (new File(path, "_SUCCESS").isFile) {
-      val df = build // analysis only — .schema needs no job
+    val df = build
+    val layout = layoutOf(df.schema.toDDL, nBuckets, key)
+    def registerExternal(): DataFrame = {
       spark.sql(
         s"""CREATE TABLE `$table` (${df.schema.toDDL})
            |USING PARQUET
            |CLUSTERED BY (`$key`) SORTED BY (`$key`) INTO $nBuckets BUCKETS
            |LOCATION '$path'""".stripMargin)
       spark.table(table)
-    } else stageBucketed(build, table, path, nBuckets, key)
+    }
+    val marker = new File(path, LayoutMarker)
+    val reusable = new File(path, "_SUCCESS").isFile && marker.isFile &&
+      new String(Files.readAllBytes(marker.toPath), StandardCharsets.UTF_8) == layout
+    if (reusable) return registerExternal()
+    // stage into a scratch path, publish with an atomic rename
+    val scratch = new File(path + ".tmp-" + java.util.UUID.randomUUID)
+    val scratchTable = table + "_tmp"
+    stageBucketed(df, scratchTable, scratch.getAbsolutePath, nBuckets, key)
+    spark.sql(s"DROP TABLE IF EXISTS `$scratchTable`")
+    Files.write(new File(scratch, LayoutMarker).toPath,
+      layout.getBytes(StandardCharsets.UTF_8))
+    deleteRecursively(new File(path)) // stale layout (no-op when absent)
+    try
+      Files.move(scratch.toPath, new File(path).toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException |
+          _: java.nio.file.DirectoryNotEmptyException =>
+        // lost the publish race — the winner's staging is complete; use it
+        deleteRecursively(scratch)
+    }
+    registerExternal()
   }
 
   /** Collision-resistant suffix for staging table names/paths derived
@@ -76,17 +113,18 @@ object Bucketing {
   }
 
   /** Content fingerprint of the input files backing a staging: path,
-    * length and mtime of every file under each input (file or directory).
+    * length and mtime of every file under each input, walked RECURSIVELY
+    * (a partitioned dataset keeps its data in subdirectories — a
+    * top-level-only listing would miss every partition-file change).
     * Same bytes on disk → same key → staging legally reused across
     * applications; touched/replaced data → new key → restaged. */
   def datasetKey(dir: String, inputs: Seq[String]): String = {
-    val stats = inputs.sorted.flatMap { in =>
-      val root = new File(dir, in)
-      val files =
-        if (root.isDirectory) root.listFiles().filter(_.isFile).sortBy(_.getName)
-        else Array(root)
-      files.map(f => s"${f.getAbsolutePath}:${f.length}:${f.lastModified}")
-    }
+    def walk(f: File): Seq[File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName).toSeq.flatMap(walk)
+      else Seq(f)
+    val stats = inputs.sorted.flatMap(in => walk(new File(dir, in)))
+      .map(f => s"${f.getAbsolutePath}:${f.length}:${f.lastModified}")
     stagingKey(dir + "|" + stats.mkString(","))
   }
 

@@ -328,16 +328,22 @@ object PackageRunner {
               // = zero iterations (vacuous success), never a fall-through
               // to a single Sequence pass. A File enumerator produces its
               // item list from the directory listing at run time; an ADO
-              // enumerator from the bound recordset variable (store-first:
-              // a prior task's ResultBinding beats the stale declaration).
+              // enumerator from the bound recordset variable — resolved to
+              // whichever scope actually HOLDS a result set, innermost
+              // first (an enclosing loop's per-iteration binding beats the
+              // store), because both scopes also carry the variable's
+              // stale scalar declaration and a blind precedence would
+              // shadow the real recordset with it.
               val items: List[List[Any]] =
                 if (c.fileEnum.isDefined) enumerateFiles(c.fileEnum.get, values)
                 else if (c.adoObjectVar.isDefined &&
-                    c.enumeratorKind.exists(_.contains("ForEachADOEnumerator")))
-                  adoItems(c.adoObjectVar.get,
-                    store.values.get(c.adoObjectVar.get)
-                      .orElse(values.get(c.adoObjectVar.get)))
-                else c.enumItems
+                    c.enumeratorKind.exists(_.contains("ForEachADOEnumerator"))) {
+                  val v = c.adoObjectVar.get
+                  val scopes = List(values.get(v), store.values.get(v)).flatten
+                  adoItems(v, scopes.collectFirst {
+                    case ds: org.apache.spark.sql.Dataset[_] => ds
+                  }.orElse(scopes.headOption))
+                } else c.enumItems
               val buf = scala.collection.mutable.ListBuffer.empty[TaskRun]
               val it = items.zipWithIndex.iterator
               var failed = false

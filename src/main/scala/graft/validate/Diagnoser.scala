@@ -38,7 +38,11 @@ object Diagnoser {
   private def failedOf(m: ModelValidation, check: String): Option[CheckResult] =
     m.results.find(r => r.check == check && !r.passed)
 
-  private val sumRe = """checksum_sum\((.+)\)""".r
+  /** Both checksum variants: an avg-only failure (sums equal, averages
+    * skewed — e.g. extra zero-amount rows inside the row-count tolerance)
+    * must reach the numeric-mismatch rule too, not fall through
+    * undiagnosed. */
+  private val sumRe = """checksum_(?:sum|avg)\((.+)\)""".r
 
   /** Diagnose one failed model — the rule table of
     * `diagnoser.py:178-322`, over the engine's CheckResult vocabulary. */
@@ -111,6 +115,7 @@ object Diagnoser {
     val failedSums = m.results.filter(r => sumRe.matches(r.check) && !r.passed)
     if (failedSums.nonEmpty) {
       val cols = failedSums.map(_.check match { case sumRe(c) => c; case _ => "" })
+        .distinct
       causes += s"Numeric mismatch in columns: ${cols.mkString(", ")}"
       if (category == "unknown") category = "data_mismatch"
       confidence = math.max(confidence, 0.75)

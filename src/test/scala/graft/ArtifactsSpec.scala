@@ -166,6 +166,21 @@ class ArtifactsSpec extends AnyFunSuite {
     assert(report.canRetry)
   }
 
+  test("diagnoser: an avg-only checksum failure still gets a numeric-mismatch cause") {
+    import graft.validate.Diagnoser
+    // sums equal, averages skewed: extra zero-amount rows within the
+    // row-count tolerance — must not fall through every rule undiagnosed
+    val results = List(
+      ValidationSuite.CheckResult("checksum_sum(amount)", "fact.S", passed = true, "60.0", "60.0"),
+      ValidationSuite.CheckResult("checksum_avg(amount)", "fact.S", passed = false, "20.0", "15.0"))
+    val report = Diagnoser.diagnose(List(
+      ModelValidation("fact_s", "P.dtsx", "Load", Some("fact.S"), results)))
+    val d = report.diagnoses.head
+    assert(d.rootCauses.exists(_.contains("Numeric mismatch in columns: amount")))
+    assert(d.category === "data_mismatch")
+    assert(d.suggestedFixes.nonEmpty)
+  }
+
   test("diagnoser: clean validation reports no failures and no retry") {
     import graft.validate.Diagnoser
     val results = ValidationSuite.rowCountMatch(actualDf, expectedDf, "dim.Customer") :: Nil

@@ -187,6 +187,24 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q50: staged files under a DIFFERENT layout are restaged, not blindly reused") {
+    // simulate files written by an older build: same dataset key, but the
+    // on-disk layout marker no longer matches the current schema/buckets —
+    // reuse would plan a bucketed read over mismatched files
+    QueriesRelational.q50_bucketed_join(spark, sf).count()
+    val (lTable, oTable, stage) = QueriesRelational.q50StagingNames(sf)
+    val marker = new java.io.File(stage, "lineitem/_graft_layout")
+    assert(marker.isFile, "staging must record its layout")
+    java.nio.file.Files.write(marker.toPath, "stale-layout".getBytes)
+    val dataMtime = new java.io.File(stage, "lineitem/_SUCCESS").lastModified
+    spark.sql(s"DROP TABLE IF EXISTS `$lTable`")
+    spark.sql(s"DROP TABLE IF EXISTS `$oTable`")
+    QueriesRelational.q50_bucketed_join(spark, sf).count()
+    // restaged: fresh files, marker rewritten to the current layout
+    assert(new String(java.nio.file.Files.readAllBytes(marker.toPath)) != "stale-layout")
+    assert(new java.io.File(stage, "lineitem/_SUCCESS").lastModified >= dataMtime)
+  }
+
   test("q50: staging for a changed dataset replaces the stale staging dir") {
     // a stale sibling staging for the SAME dataset (different content key)
     // must be deleted by the next run — tmpdir holds one staging per dataset
