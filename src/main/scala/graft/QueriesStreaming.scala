@@ -41,7 +41,7 @@ object QueriesStreaming {
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = java.nio.file.Path.of(s"$dir/events.parquet")
-    val stage = java.nio.file.Files.createTempDirectory("graft-events-stream")
+    val stage = QueriesRelational.tempDirCleanedOnExit("graft-events-stream")
     java.nio.file.Files.copy(src, stage.resolve("events.parquet"))
     val schema = spark.read.parquet(src.toString).schema
     spark.readStream.schema(schema).parquet(stage.toString)
@@ -50,7 +50,7 @@ object QueriesStreaming {
   }
 
   private def ckpt(): String =
-    java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    QueriesRelational.tempDirCleanedOnExit("graft-ckpt").toString
 
   /** Streaming tumbling-window aggregate over the drained events stream —
     * same windows, same exact-decimal sums, same oracle as batch q30. */
