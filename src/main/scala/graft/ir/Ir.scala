@@ -243,6 +243,17 @@ object Ir {
       retrievalType: Int = 0,
       recurse: Boolean = false)
 
+  /** ForEach NodeList enumerator spec (`FEENODELIST`): evaluate
+    * `outerXPath` over the XML in `sourceDocument` (inline text, a file
+    * path, or an `@[ns::name]` variable reference per `sourceType`) and
+    * iterate the matched nodes' text (`EnumerationType=NodeText`, the
+    * common form; Navigator/ElementCollection stay manual-review). */
+  final case class NodeListSpec(
+      enumerationType: String,
+      sourceType: String, // DirectInput | FileConnection | Variable
+      sourceDocument: String,
+      outerXPath: String)
+
   /** ForEach/ForLoop/Sequence containers: children run as a nested DAG —
     * once for Sequence, once per enumerator item (with
     * `variableMappings` binding item values to package variables) for
@@ -268,7 +279,9 @@ object Ir {
       fileEnum: Option[FileEnumSpec] = None,
       /** ADO enumerator (`FEEADO`): the Object variable holding the
         * recordset whose first table's rows drive the iterations. */
-      adoObjectVar: Option[String] = None) extends Task
+      adoObjectVar: Option[String] = None,
+      /** NodeList enumerator (`FEENODELIST`) configuration. */
+      nodeListEnum: Option[NodeListSpec] = None) extends Task
 
   final case class UnsupportedTask(
       name: String,

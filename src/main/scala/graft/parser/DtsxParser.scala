@@ -208,9 +208,26 @@ object DtsxParser {
               attr(n, "ObjectVar").orElse(attr(n, "VarName"))
                 .orElse(attr(n, "VariableName")))
           }.filter(_.nonEmpty)
+        // NodeList enumerator: FEENODELIST carries the XPath + document
+        // source. Only the NodeText enumeration mode is convertible — a
+        // Navigator/ElementCollection result has no scalar item to bind.
+        val nodeList = ownEnumerator
+          .filter(_ => enumKind.exists(_.contains("ForEachNodeListEnumerator")))
+          .flatMap { en =>
+            (en \\ "FEENODELIST").headOption.flatMap { n =>
+              val et = attr(n, "EnumerationType").getOrElse("NodeText")
+              val xpath = attr(n, "OuterXPathString").getOrElse("")
+              if (et != "NodeText" || xpath.isEmpty) None
+              else Some(NodeListSpec(
+                enumerationType = et,
+                sourceType = attr(n, "SourceType").getOrElse("DirectInput"),
+                sourceDocument = attr(n, "SourceDocument").getOrElse(""),
+                outerXPath = xpath))
+            }
+          }
         if (t == "Microsoft.ForEachLoop" &&
             enumKind.exists(k => !k.contains("ForEachItemEnumerator")) &&
-            fileEnum.isEmpty && adoVar.isEmpty)
+            fileEnum.isEmpty && adoVar.isEmpty && nodeList.isEmpty)
           warnings += s"ForEach container '$name' uses unsupported enumerator " +
             s"${enumKind.get} - requires manual review"
         val forLoop = attr(e, "EvalExpression").map { eval =>
@@ -221,7 +238,8 @@ object DtsxParser {
         }
         Some(ContainerTask(name, desc, t.stripPrefix("Microsoft."), children,
           enumItems = items, variableMappings = mappings, forLoop = forLoop,
-          enumeratorKind = enumKind, fileEnum = fileEnum, adoObjectVar = adoVar))
+          enumeratorKind = enumKind, fileEnum = fileEnum, adoObjectVar = adoVar,
+          nodeListEnum = nodeList))
       case "" => None
       case other =>
         warnings += s"Task '$name' of type $other requires manual review"
