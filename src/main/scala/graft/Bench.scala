@@ -37,9 +37,15 @@ object Bench {
     // median-of-3 per query: single-iteration timings swing ±30% with
     // environment noise (PERF.md), which made the round-over-round 2×
     // regression gate untrustworthy; the median is the reported figure,
-    // the min is the best-observed floor
-    val iterations =
-      math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt)
+    // the min is the best-observed floor. Caveat for queries with
+    // persistent staging (q50): iteration 1 may pay the staging build,
+    // iterations 2+ hit the session-catalog/on-disk reuse path, so the
+    // MEDIAN reports the warm (reuse) cost — the steady-state figure;
+    // the cold build cost shows up only in a fresh application's first
+    // iteration. A malformed env value falls back to 3 rather than
+    // crashing the whole sweep.
+    val iterations = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_ITERS")
+      .flatMap(_.toIntOption).getOrElse(3))
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       var err: Option[String] = None
       val times = (1 to iterations).flatMap { _ =>

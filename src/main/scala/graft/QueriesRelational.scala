@@ -1436,7 +1436,28 @@ object QueriesRelational {
       |  n_regionkey AS batch_region
       |FROM nation""".stripMargin
 
+  /** FOREACH NODELIST iteration in the gate: the enumerator evaluates
+    * `/segments/segment` over an inline XML document (DirectInput,
+    * entity-escaped into the `SourceDocument` attribute exactly as the
+    * SSIS designer stores it), iterates the matched nodes' text
+    * (`EnumerationType=NodeText`) and binds each segment to
+    * `User::Segment` for one pass of the child dataflow — into BOTH the
+    * source's `?` parameter and a Derived Column stamp. The reference
+    * recognizes ForEach containers generically
+    * (`src/parser/constants.py:11-19`); this executes the XML-driven
+    * variant with real semantics (JDK XPath over a DTD-disabled parse —
+    * the document is untrusted input). Parser: `DtsxParser` FEENODELIST;
+    * runner: `PackageRunner.nodeListItems`. */
+  def q54_foreach_nodelist(spark: SparkSession, dir: String): DataFrame =
+    runDtsxPackage(spark, dir, "ForEachNodeListETL.dtsx")("customer_by_segment")
+
+  val q54Oracle: String =
+    """SELECT c_custkey, c_name, c_mktsegment, c_mktsegment AS batch_segment
+      |FROM customer
+      |WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_foreach_nodelist" -> (q54_foreach_nodelist _),
     "q53_foreach_ado" -> (q53_foreach_ado _),
     "q52_foreach_file" -> (q52_foreach_file _),
     "q51_foreach_loop" -> (q51_foreach_loop _),
@@ -1489,6 +1510,7 @@ object QueriesRelational {
     "q22_date_functions" -> (q22_date_functions _))
 
   val oracle: Map[String, String] = Map(
+    "q54_foreach_nodelist" -> q54Oracle,
     "q53_foreach_ado" -> q53Oracle,
     "q52_foreach_file" -> q52Oracle,
     "q51_foreach_loop" -> q51Oracle,

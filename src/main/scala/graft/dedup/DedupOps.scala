@@ -207,8 +207,10 @@ object DedupOps {
     *
     * @param edges  two-column frame (src id, dst id), one row per pair
     * @param vertices single-column frame of all ids (isolated vertices
-    *                 label themselves)
-    * @return (`idCol`, component_id = min reachable id)
+    *                 label themselves). The OUTPUT is exactly this set:
+    *                 an id appearing only in `edges` relays labels during
+    *                 propagation but is not emitted
+    * @return (`idCol`, component_id = min reachable id), one row per vertex
     */
   def connectedComponents(edges: DataFrame, vertices: DataFrame,
       idCol: String, maxIter: Int = 20): DataFrame = {
@@ -246,11 +248,15 @@ object DedupOps {
       labels = next
       iter += 1
     }
-    // isolated vertices (no incident edge) label themselves
-    val isolated = vertices.select(col(idCol).as("__id"))
-      .join(labels.select(col("__id")), Seq("__id"), "left_anti")
-      .withColumn("__label", col("__id"))
-    labels.unionByName(isolated)
-      .select(col("__id").as(idCol), col("__label").as("component_id"))
+    // Output contract: exactly the caller's vertex set, once each —
+    // isolated vertices (no incident edge) label themselves, and ids
+    // appearing ONLY in `edges` participate in propagation (an edge
+    // through them still connects its endpoints) but are NOT emitted.
+    // One left-outer join against the dup-graph-sized labels frame
+    // (broadcast when small) covers both cases without a corpus shuffle.
+    vertices.select(col(idCol).as("__id"))
+      .join(labels, Seq("__id"), "left_outer")
+      .select(col("__id").as(idCol),
+        coalesce(col("__label"), col("__id")).as("component_id"))
   }
 }

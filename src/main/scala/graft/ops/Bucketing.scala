@@ -59,8 +59,19 @@ object Bucketing {
     *   3. otherwise → write + register. The write goes to a unique
     *      scratch path and is PUBLISHED by an atomic directory rename, so
     *      two applications racing to stage the same dataset converge on
-    *      one complete staging instead of corrupting each other's files
-    *      (the loser discards its scratch and reads the winner's).
+    *      one complete staging instead of corrupting each other's files.
+    *      A loser of the publish race re-reads the winner's
+    *      `_graft_layout` marker and only registers over it when the
+    *      layout matches its own expectations — a racer from a DIFFERENT
+    *      build could have published a different schema/bucketing, which
+    *      must trigger a restage, never a blind register (bounded
+    *      retries, then fail loudly).
+    * Replace window caveat: a CHANGED dataset is published by delete +
+    * atomic move. An application already scanning the old files (content
+    * keys normally differ per dataset, but a q50-style caller reuses one
+    * path per dataset identity) can observe FileNotFoundException
+    * mid-scan during that window — the same contract as overwriting any
+    * external table's location while a reader is live.
     * `build` is by-name and planned at most once (analysis only on the
     * reuse path — `.schema` needs no job).
     */
@@ -78,26 +89,43 @@ object Bucketing {
       spark.table(table)
     }
     val marker = new File(path, LayoutMarker)
-    val reusable = new File(path, "_SUCCESS").isFile && marker.isFile &&
-      new String(Files.readAllBytes(marker.toPath), StandardCharsets.UTF_8) == layout
-    if (reusable) return registerExternal()
-    // stage into a scratch path, publish with an atomic rename
-    val scratch = new File(path + ".tmp-" + java.util.UUID.randomUUID)
-    val scratchTable = table + "_tmp"
-    stageBucketed(df, scratchTable, scratch.getAbsolutePath, nBuckets, key)
-    spark.sql(s"DROP TABLE IF EXISTS `$scratchTable`")
-    Files.write(new File(scratch, LayoutMarker).toPath,
-      layout.getBytes(StandardCharsets.UTF_8))
-    deleteRecursively(new File(path)) // stale layout (no-op when absent)
-    try
-      Files.move(scratch.toPath, new File(path).toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException |
-          _: java.nio.file.DirectoryNotEmptyException =>
-        // lost the publish race — the winner's staging is complete; use it
-        deleteRecursively(scratch)
+    def publishedLayoutMatches(): Boolean =
+      new File(path, "_SUCCESS").isFile && marker.isFile &&
+        new String(Files.readAllBytes(marker.toPath), StandardCharsets.UTF_8) == layout
+    if (publishedLayoutMatches()) return registerExternal()
+    // stage into a scratch path, publish with an atomic rename; on a
+    // lost race, reuse the winner's staging ONLY if it was written under
+    // OUR layout — otherwise restage (bounded attempts)
+    val maxAttempts = 3
+    var attempt = 0
+    var published = false
+    while (!published && attempt < maxAttempts) {
+      attempt += 1
+      val scratch = new File(path + ".tmp-" + java.util.UUID.randomUUID)
+      val scratchTable = table + "_tmp"
+      stageBucketed(df, scratchTable, scratch.getAbsolutePath, nBuckets, key)
+      spark.sql(s"DROP TABLE IF EXISTS `$scratchTable`")
+      Files.write(new File(scratch, LayoutMarker).toPath,
+        layout.getBytes(StandardCharsets.UTF_8))
+      deleteRecursively(new File(path)) // stale layout (no-op when absent)
+      try {
+        Files.move(scratch.toPath, new File(path).toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        published = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+            _: java.nio.file.DirectoryNotEmptyException =>
+          // lost the publish race; the winner's staging is complete, but
+          // only a layout-verified match may be registered
+          deleteRecursively(scratch)
+          published = publishedLayoutMatches()
+      }
     }
+    if (!published)
+      throw new IllegalStateException(
+        s"could not publish staging at $path under layout [$layout] after " +
+          s"$maxAttempts attempts — a concurrent application keeps publishing " +
+          "a different layout; use distinct staging paths per build")
     registerExternal()
   }
 
@@ -112,19 +140,46 @@ object Bucketing {
     digest.take(8).map(b => f"$b%02x").mkString
   }
 
+  /** CRC32 of a file's first and last 64 KiB — the cheap content signal
+    * folded into [[datasetKey]]. length+mtime alone miss a same-length
+    * replace landing within the filesystem's mtime granularity (1 s on
+    * many filesystems); the edge blocks catch it without data-sized
+    * reads, and for parquet specifically the tail block covers the
+    * footer (schema + column stats), which virtually any content change
+    * perturbs. */
+  private def edgeBlockCrc(f: File): Long = {
+    val block = 64 * 1024
+    val crc = new java.util.zip.CRC32()
+    val raf = new java.io.RandomAccessFile(f, "r")
+    try {
+      val len = raf.length()
+      val head = new Array[Byte](math.min(block.toLong, len).toInt)
+      raf.readFully(head)
+      crc.update(head)
+      if (len > block) {
+        raf.seek(len - block)
+        val tail = new Array[Byte](block)
+        raf.readFully(tail)
+        crc.update(tail)
+      }
+      crc.getValue
+    } finally raf.close()
+  }
+
   /** Content fingerprint of the input files backing a staging: path,
-    * length and mtime of every file under each input, walked RECURSIVELY
-    * (a partitioned dataset keeps its data in subdirectories — a
-    * top-level-only listing would miss every partition-file change).
-    * Same bytes on disk → same key → staging legally reused across
-    * applications; touched/replaced data → new key → restaged. */
+    * length, mtime AND an edge-block CRC of every file under each input,
+    * walked RECURSIVELY (a partitioned dataset keeps its data in
+    * subdirectories — a top-level-only listing would miss every
+    * partition-file change). Same bytes on disk → same key → staging
+    * legally reused across applications; touched/replaced data → new
+    * key → restaged. */
   def datasetKey(dir: String, inputs: Seq[String]): String = {
     def walk(f: File): Seq[File] =
       if (f.isDirectory)
         Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName).toSeq.flatMap(walk)
       else Seq(f)
     val stats = inputs.sorted.flatMap(in => walk(new File(dir, in)))
-      .map(f => s"${f.getAbsolutePath}:${f.length}:${f.lastModified}")
+      .map(f => s"${f.getAbsolutePath}:${f.length}:${f.lastModified}:${edgeBlockCrc(f)}")
     stagingKey(dir + "|" + stats.mkString(","))
   }
 

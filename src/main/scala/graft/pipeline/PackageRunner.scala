@@ -168,6 +168,58 @@ object PackageRunner {
     }
   }
 
+  /** Materialize a NodeList enumerator's item list: evaluate the
+    * `OuterXPathString` over the source XML document and emit each
+    * matched node's text content — the `EnumerationType=NodeText`
+    * contract (Navigator/ElementCollection results have no scalar item
+    * to bind and stay manual-review at parse time). The document comes
+    * from `sourceDocument` per `sourceType`: inline text (`DirectInput`),
+    * a file path (`FileConnection`, `@[ns::var]` refs resolved), or a
+    * string-typed package variable (`Variable`). DTD processing is
+    * disabled — a dtsx and any document it points at are untrusted
+    * input, and entity expansion (XXE/billion-laughs) must not ride in
+    * through an enumerator. */
+  def nodeListItems(spec: NodeListSpec,
+      values: Map[String, Any]): List[List[EnumValue]] = {
+    val xml = spec.sourceType match {
+      case "DirectInput" => spec.sourceDocument
+      case "FileConnection" =>
+        val p =
+          if (spec.sourceDocument.contains("@["))
+            PackageVariables.substituteRefs(spec.sourceDocument, values)
+          else spec.sourceDocument
+        new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
+          java.nio.charset.StandardCharsets.UTF_8)
+      case "Variable" =>
+        val name = spec.sourceDocument.stripPrefix("@[").stripSuffix("]")
+        values.get(name) match {
+          case Some(s: String) if s.nonEmpty => s
+          case Some(other) => throw new IllegalArgumentException(
+            s"NodeList source variable $name holds " +
+              s"${other.getClass.getSimpleName}, not an XML string")
+          case _ => throw new IllegalArgumentException(
+            s"NodeList source variable $name is not bound to a document")
+        }
+      case other => throw new IllegalArgumentException(
+        s"unsupported NodeList SourceType $other")
+    }
+    val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    dbf.setXIncludeAware(false)
+    dbf.setExpandEntityReferences(false)
+    val doc = dbf.newDocumentBuilder().parse(new org.xml.sax.InputSource(
+      new java.io.StringReader(xml)))
+    val nodes = javax.xml.xpath.XPathFactory.newInstance().newXPath()
+      .evaluate(spec.outerXPath, doc, javax.xml.xpath.XPathConstants.NODESET)
+      .asInstanceOf[org.w3c.dom.NodeList]
+    val maxItems = 10000 // same runaway backstop as the ADO recordset
+    if (nodes.getLength > maxItems)
+      throw new IllegalStateException(
+        s"NodeList enumerator matched ${nodes.getLength} nodes (max $maxItems)")
+    (0 until nodes.getLength).toList.map(i =>
+      List(EnumValue("DT_WSTR", nodes.item(i).getTextContent.trim)))
+  }
+
   /** Materialize a File enumerator's item list: list `folder` (variable
     * references resolved, subdirectories walked when `recurse`), keep
     * files matching the `fileSpec` wildcard pattern, render each per the
@@ -297,9 +349,11 @@ object PackageRunner {
             if c.containerType == "ForEachLoop" &&
               c.enumeratorKind.exists(k => !k.contains("ForEachItemEnumerator") &&
                 !(k.contains("ForEachFileEnumerator") && c.fileEnum.isDefined) &&
-                !(k.contains("ForEachADOEnumerator") && c.adoObjectVar.isDefined)) =>
-          // NodeList enumerators (and a File/ADO enumerator whose
-          // properties failed to parse) have no convertible item list —
+                !(k.contains("ForEachADOEnumerator") && c.adoObjectVar.isDefined) &&
+                !(k.contains("ForEachNodeListEnumerator") && c.nodeListEnum.isDefined)) =>
+          // Enumerators with no convertible item list (a File/ADO/NodeList
+          // enumerator whose properties failed to parse, a NodeList in
+          // Navigator/ElementCollection mode, SMO/schedule enumerators) —
           // surfacing them as a manual-review skip beats silently running
           // the body once with an unbound placeholder variable (SSIS would
           // iterate over external state we cannot see).
@@ -343,7 +397,10 @@ object PackageRunner {
                   adoItems(v, scopes.collectFirst {
                     case ds: org.apache.spark.sql.Dataset[_] => ds
                   }.orElse(scopes.headOption))
-                } else c.enumItems
+                } else if (c.nodeListEnum.isDefined &&
+                    c.enumeratorKind.exists(_.contains("ForEachNodeListEnumerator")))
+                  nodeListItems(c.nodeListEnum.get, values)
+                else c.enumItems
               val buf = scala.collection.mutable.ListBuffer.empty[TaskRun]
               val it = items.zipWithIndex.iterator
               var failed = false

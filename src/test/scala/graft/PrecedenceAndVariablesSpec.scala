@@ -423,6 +423,84 @@ class PrecedenceAndVariablesSpec extends AnyFunSuite {
     assert(st("Loop").asInstanceOf[TaskStatus.Failed].error.contains("User::Missing"))
   }
 
+  test("ForEach NODELIST enumerator parses from the fixture and iterates node text") {
+    val in = getClass.getResourceAsStream("/dtsx/ForEachNodeListETL.dtsx")
+    val xml = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    val parsed = graft.parser.DtsxParser.parseString(xml)
+    // a parsed NodeText enumerator is NOT a manual-review warning
+    assert(!parsed.warnings.exists(_.contains("Segment Loop")))
+    val loop = parsed.tasks.collectFirst { case c: ContainerTask => c }.get
+    val spec = loop.nodeListEnum.get
+    assert(spec.enumerationType === "NodeText")
+    assert(spec.sourceType === "DirectInput")
+    assert(spec.outerXPath === "/segments/segment")
+    assert(PackageRunner.nodeListItems(spec, Map.empty).map(_.head.raw) ===
+      List("BUILDING", "AUTOMOBILE", "MACHINERY"))
+  }
+
+  test("nodeListItems resolves Variable and FileConnection document sources") {
+    val doc = "<ks><k>1</k><k>2</k></ks>"
+    val byVar = NodeListSpec("NodeText", "Variable", "@[User::Doc]", "/ks/k")
+    assert(PackageRunner.nodeListItems(byVar, Map("User::Doc" -> doc))
+      .map(_.head.raw) === List("1", "2"))
+    // unbound / non-string variable fails loudly, never a silent empty loop
+    val e1 = intercept[IllegalArgumentException](
+      PackageRunner.nodeListItems(byVar, Map.empty))
+    assert(e1.getMessage.contains("User::Doc"))
+    val f = java.nio.file.Files.createTempFile("graft_nodelist", ".xml")
+    java.nio.file.Files.write(f, doc.getBytes("UTF-8"))
+    val byFile = NodeListSpec("NodeText", "FileConnection", f.toString, "/ks/k")
+    assert(PackageRunner.nodeListItems(byFile, Map.empty)
+      .map(_.head.raw) === List("1", "2"))
+    java.nio.file.Files.delete(f)
+  }
+
+  test("NodeList document with a DOCTYPE is rejected (XXE hardening)") {
+    val hostile = """<!DOCTYPE x [<!ENTITY e SYSTEM "file:///etc/hostname">]>
+      |<ks><k>&e;</k></ks>""".stripMargin
+    val spec = NodeListSpec("NodeText", "DirectInput", hostile, "/ks/k")
+    intercept[org.xml.sax.SAXParseException](
+      PackageRunner.nodeListItems(spec, Map.empty))
+  }
+
+  test("NodeList Navigator enumeration mode stays manual-review") {
+    val xml =
+      """<DTS:Executable xmlns:DTS="www.microsoft.com/SqlServer/Dts"
+        |    DTS:ObjectName="Pkg" DTS:ExecutableType="Microsoft.Package">
+        |  <DTS:Executables>
+        |    <DTS:Executable DTS:ObjectName="NavLoop" DTS:ExecutableType="Microsoft.ForEachLoop">
+        |      <DTS:ForEachEnumerator DTS:CreationName="Microsoft.ForEachNodeListEnumerator">
+        |        <DTS:ObjectData>
+        |          <FEENODELIST EnumerationType="Navigator" SourceType="DirectInput"
+        |                       SourceDocument="&lt;a/&gt;" OuterXPathString="/a"/>
+        |        </DTS:ObjectData>
+        |      </DTS:ForEachEnumerator>
+        |      <DTS:Executables>
+        |        <DTS:Executable DTS:ObjectName="Child" DTS:ExecutableType="Microsoft.ExecuteSQLTask">
+        |          <DTS:ObjectData><SQLTask:SqlTaskData
+        |            xmlns:SQLTask="www.microsoft.com/sqlserver/dts/tasks/sqltask"
+        |            SQLTask:SqlStatementSource="SELECT 1"/></DTS:ObjectData>
+        |        </DTS:Executable>
+        |      </DTS:Executables>
+        |    </DTS:Executable>
+        |  </DTS:Executables>
+        |</DTS:Executable>""".stripMargin
+    val parsed = graft.parser.DtsxParser.parseString(xml)
+    // Navigator has no scalar item to bind: warned at parse time AND
+    // skipped (not silently run) at execution time
+    assert(parsed.warnings.exists(w =>
+      w.contains("NavLoop") && w.contains("manual review")))
+    var childRan = false
+    val e = RuntimeEnv(
+      resolver = Resolver(source = _ => sys.error("no source"),
+        lookup = _ => sys.error("no lookup")),
+      write = (_, _, _) => (),
+      sqlExecutor = _ => { childRan = true; Some(PackageRunner.SqlOutcome(None, None)) })
+    val run = PackageRunner.run(spark, parsed, e)
+    assert(statusOf(run)("NavLoop") === TaskStatus.SkippedManualReview)
+    assert(!childRan)
+  }
+
   test("ForEachLoop with NO parsed enumerator is a manual-review skip, not vacuous success") {
     val loop = ContainerTask("Loop", None, "ForEachLoop",
       List(sqlTask("Child")), enumItems = Nil, enumeratorKind = None)
