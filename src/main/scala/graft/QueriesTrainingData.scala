@@ -685,7 +685,139 @@ object QueriesTrainingData {
       |  ON a.lang = c.lang AND a.blk = c.blk AND a.doc_id < c.doc_id
       |WHERE levenshtein(a.p, c.p) <= 20""".stripMargin
 
+  /** Stratified sampling — corpus rebalancing by language: the dominant
+    * language is DOWN-sampled (en keeps 25%) while the long tail keeps
+    * 75%, with membership decided by a salted md5 bucket of the doc id
+    * (deterministic, reproducible, skew-free — NOT `sample()`, whose
+    * per-partition RNG changes membership under repartitioning). The
+    * salt decorrelates this draw from x17's train/val/test split: the
+    * same doc must be able to land differently in independent draws.
+    * Shape at 100 TB: a narrow filter over the scan — no shuffle, no
+    * driver state, prunes to (doc_id, lang) via ReadSchema. */
+  def x19_stratified_sample(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(TextOps.stableHash64(
+      concat(col("doc_id").cast(StringType), lit(":strat"))), lit(100))
+    val keepPct = when(col("lang") === "en", lit(25)).otherwise(lit(75))
+    documents(spark, dir)
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+      .filter(col("bucket") < keepPct)
+  }
+
+  val x19Oracle: String =
+    """SELECT doc_id, lang,
+      |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':strat'), 1, 15)) AS BIGINT) % 100 AS bucket
+      |FROM documents
+      |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':strat'), 1, 15)) AS BIGINT) % 100
+      |  < CASE WHEN lang = 'en' THEN 25 ELSE 75 END""".stripMargin
+
+  /** Corpus n-gram statistics — the global top-20 bigrams by document
+    * frequency-weighted count. Bigrams are materialized per document by
+    * a narrow HOF over the token array (no self-join), explode feeds ONE
+    * partial-combining count aggregate, and the top-k is an order+limit
+    * (TakeOrdered at execution: per-partition heaps, never a global
+    * sort of all distinct n-grams). Ties break on the bigram text so
+    * the emitted set is deterministic on both engines. */
+  def x20_ngram_stats(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val bigrams = when(size(col("toks")) >= 2,
+      expr("transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
+      .otherwise(expr("CAST(array() AS array<string>)"))
+    documents(spark, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(explode(bigrams).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ngram"))
+      .limit(20)
+  }
+
+  val x20Oracle: String =
+    """WITH ws AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      |bg AS (
+      |  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+      |    i -> w[i] || ' ' || w[i + 1])) AS ngram
+      |  FROM ws)
+      |SELECT ngram, COUNT(*) AS n FROM bg
+      |GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20""".stripMargin
+
+  /** Benchmark decontamination — drop training documents whose
+    * normalized content fingerprint appears in the held-out set (here:
+    * everything from source `src0` plays the benchmark). The eval-side
+    * fingerprint list is benchmark-sized — tiny next to the corpus — so
+    * the anti-join broadcasts and the corpus never shuffles: the exact
+    * shape a 100 TB decontamination pass needs (fingerprint once, scan
+    * once, no corpus-wide exchange). */
+  def x21_decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val fp = TextOps.fingerprintMd5(col("text"))
+    val docs = documents(spark, dir)
+      .select(col("doc_id"), col("source"), fp.as("fp"))
+    val evalFps = docs.filter(col("source") === "src0")
+      .select(col("fp").as("eval_fp")).distinct()
+    docs.filter(col("source") =!= "src0")
+      .join(broadcast(evalFps), col("fp") === col("eval_fp"), "left_anti")
+      .select(col("doc_id"), col("source"))
+  }
+
+  val x21Oracle: String =
+    """WITH f AS (
+      |  SELECT doc_id, source,
+      |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+      |  FROM documents)
+      |SELECT doc_id, source FROM f
+      |WHERE source <> 'src0'
+      |  AND fp NOT IN (SELECT fp FROM f WHERE source = 'src0')""".stripMargin
+
+  /** Repetition-based quality filtering (Gopher-style): the fraction of
+    * the document owned by its single most frequent token, and the
+    * duplicate-bigram fraction — both computed NARROWLY per row with
+    * array HOFs over the tokenized column (no explode, no per-token
+    * shuffle; at 100 TB the whole signal pass stays embarrassingly
+    * parallel). `keep` applies the gate; signals are emitted so the gate
+    * is auditable. Ratios divide in DOUBLE with identical operand order
+    * on both engines. */
+  def x22_repetition_filter(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val docs = documents(spark, dir)
+      .select(col("doc_id"), TextOps.tokens(t).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        when(size(col("toks")) >= 2,
+          expr("transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
+          .otherwise(expr("CAST(array() AS array<string>)")).as("bg"))
+    docs.select(
+        col("doc_id"),
+        (expr("array_max(transform(array_distinct(toks), t -> size(filter(toks, x -> x = t))))")
+          .cast(DoubleType) / size(col("toks")).cast(DoubleType)).as("top_token_ratio"),
+        when(size(col("bg")) > 0,
+          lit(1.0) - size(array_distinct(col("bg"))).cast(DoubleType) /
+            size(col("bg")).cast(DoubleType)).otherwise(lit(0.0)).as("dup_bigram_ratio"))
+      .withColumn("keep",
+        col("top_token_ratio") <= 0.2 && col("dup_bigram_ratio") <= 0.4)
+  }
+
+  val x22Oracle: String =
+    """WITH b AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS w,
+      |    list_transform(generate_series(1, len(string_split_regex(text, '\s+')) - 1),
+      |      i -> string_split_regex(text, '\s+')[i] || ' ' || string_split_regex(text, '\s+')[i + 1]) AS bg
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id,
+      |    CAST(list_max(list_transform(list_distinct(w), t -> len(list_filter(w, x -> x = t)))) AS DOUBLE)
+      |      / CAST(len(w) AS DOUBLE) AS top_token_ratio,
+      |    CASE WHEN len(bg) > 0
+      |         THEN 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / CAST(len(bg) AS DOUBLE)
+      |         ELSE 0.0 END AS dup_bigram_ratio
+      |  FROM b)
+      |SELECT doc_id, top_token_ratio, dup_bigram_ratio,
+      |  top_token_ratio <= 0.2 AND dup_bigram_ratio <= 0.4 AS keep
+      |FROM r""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x22_repetition_filter" -> (x22_repetition_filter _),
+    "x21_decontaminate" -> (x21_decontaminate _),
+    "x20_ngram_stats" -> (x20_ngram_stats _),
+    "x19_stratified_sample" -> (x19_stratified_sample _),
     "x18_fuzzy_levenshtein" -> (x18_fuzzy_levenshtein _),
     "x16_tfidf" -> (x16_tfidf _),
     "x17_train_test_split" -> (x17_train_test_split _),
@@ -723,5 +855,9 @@ object QueriesTrainingData {
     "x15_dup_components" -> x15Oracle,
     "x16_tfidf" -> x16Oracle,
     "x17_train_test_split" -> x17Oracle,
-    "x18_fuzzy_levenshtein" -> x18Oracle)
+    "x18_fuzzy_levenshtein" -> x18Oracle,
+    "x19_stratified_sample" -> x19Oracle,
+    "x20_ngram_stats" -> x20Oracle,
+    "x21_decontaminate" -> x21Oracle,
+    "x22_repetition_filter" -> x22Oracle)
 }
