@@ -128,11 +128,43 @@ object QueriesStreaming {
       |FROM rolled
       |QUALIFY session_id < MAX(session_id) OVER (PARTITION BY user_id)""".stripMargin
 
+  /** Streaming exactly-once restore over an AT-LEAST-ONCE source: the
+    * staged stream contains every event TWICE (two copies of the file —
+    * the replayed-batch / overlapping-extract shape), and state-store
+    * dedup on the event key must restore exactly-once delivery: the
+    * drained result hash-matches ONE plain read of the table. Gate uses
+    * unbounded `dropDuplicates` state for exactness; the 100 TB
+    * deployment bounds the same state with
+    * `dropDuplicatesWithinWatermark` once duplicates are known to arrive
+    * within the watermark delay (keys then age out of the store). */
+  def q55_stream_dedup(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = java.nio.file.Path.of(s"$dir/events.parquet")
+    val stage = QueriesRelational.tempDirCleanedOnExit("graft-events-dup-stream")
+    java.nio.file.Files.copy(src, stage.resolve("events_a.parquet"))
+    java.nio.file.Files.copy(src, stage.resolve("events_b.parquet"))
+    val schema = spark.read.parquet(src.toString).schema
+    val deduped = spark.readStream.schema(schema).parquet(stage.toString)
+      .dropDuplicates("event_id")
+    val name = s"q55_out_${runSeq.incrementAndGet()}"
+    StreamingOps.drainToMemory(deduped, name, ckpt())
+      .select(
+        col("event_id"), col("user_id"), col("event_type"),
+        call_function("div", col("ts"), lit(1000L)).as("ts_us"),
+        col("value"))
+  }
+
+  val q55Oracle: String =
+    """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value
+      |FROM events""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q43_stream_windowed_agg" -> (q43_stream_windowed_agg _),
-    "q44_stream_sessionization" -> (q44_stream_sessionization _))
+    "q44_stream_sessionization" -> (q44_stream_sessionization _),
+    "q55_stream_dedup" -> (q55_stream_dedup _))
 
   val oracle: Map[String, String] = Map(
     "q43_stream_windowed_agg" -> q43Oracle,
-    "q44_stream_sessionization" -> q44Oracle)
+    "q44_stream_sessionization" -> q44Oracle,
+    "q55_stream_dedup" -> q55Oracle)
 }

@@ -813,7 +813,50 @@ object QueriesTrainingData {
       |  top_token_ratio <= 0.2 AND dup_bigram_ratio <= 0.4 AS keep
       |FROM r""".stripMargin
 
+  /** K-means assignment step over the embedding corpus — the building
+    * block of embedding-based clustering/curation (and of IVF index
+    * training): each vector maps to its nearest per-`label` centroid by
+    * cosine. Centroids are exact integer SUM vectors (cosine is
+    * scale-invariant, so no float averaging anywhere — the x08/x09
+    * bit-reproducibility contract); the k-row centroid frame broadcasts
+    * into the scoring join, so the corpus fans out k ways and never
+    * shuffles. With synthetic label-clustered embeddings most vectors
+    * re-assign to their own label's centroid — the oracle checks the
+    * exact assignment either way. */
+  def x23_centroid_assign(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.centroidAssign(
+      embeddings(spark, dir), "vec_id", "embedding", "label")
+
+  val x23Oracle: String =
+    """WITH q AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, label, qv,
+      |    list_sum(list_transform(generate_series(1, 64), i -> qv[i] * qv[i])) AS qn2
+      |  FROM q),
+      |comp AS (
+      |  SELECT label AS c_label, i.i AS pos, SUM(qv[i.i]) AS s
+      |  FROM q, generate_series(1, 64) i(i)
+      |  GROUP BY 1, 2),
+      |cent AS (
+      |  SELECT c_label, list(s ORDER BY pos) AS cv FROM comp GROUP BY c_label),
+      |cn AS (
+      |  SELECT c_label, cv,
+      |    list_sum(list_transform(generate_series(1, 64), i -> cv[i] * cv[i])) AS cn2
+      |  FROM cent),
+      |scored AS (
+      |  SELECT n.vec_id, n.label, cn.c_label,
+      |    ROUND(CAST(list_sum(list_transform(generate_series(1, 64), i -> n.qv[i] * cn.cv[i])) AS DOUBLE)
+      |      / (sqrt(CAST(n.qn2 AS DOUBLE)) * sqrt(CAST(cn.cn2 AS DOUBLE))), 6) AS cosine
+      |  FROM n CROSS JOIN cn)
+      |SELECT vec_id, label, c_label AS assigned_label, cosine
+      |FROM scored
+      |QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, c_label) = 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x23_centroid_assign" -> (x23_centroid_assign _),
     "x22_repetition_filter" -> (x22_repetition_filter _),
     "x21_decontaminate" -> (x21_decontaminate _),
     "x20_ngram_stats" -> (x20_ngram_stats _),
@@ -859,5 +902,6 @@ object QueriesTrainingData {
     "x19_stratified_sample" -> x19Oracle,
     "x20_ngram_stats" -> x20Oracle,
     "x21_decontaminate" -> x21Oracle,
-    "x22_repetition_filter" -> x22Oracle)
+    "x22_repetition_filter" -> x22Oracle,
+    "x23_centroid_assign" -> x23Oracle)
 }

@@ -96,6 +96,39 @@ object SimilarityOps {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** K-means ASSIGNMENT step: map every vector to its nearest group
+    * centroid by cosine. The centroid direction is the exact INTEGER SUM
+    * vector of each group's quantized members — cosine is
+    * scale-invariant, so sum ≡ mean with no floating-point averaging,
+    * keeping the whole score bit-reproducible across engines (the same
+    * contract as [[qdot]]). Shapes at scale: one partial-combining
+    * per-(group, position) sum builds the k centroids, the k-row
+    * centroid frame BROADCASTS into the scoring cross join (k ≪ n — the
+    * per-row fan-out is k, never n), and the argmax is a per-vector
+    * window with a deterministic (cosine desc, group asc) tiebreak. */
+  def centroidAssign(df: DataFrame, idCol: String, vecCol: String,
+      groupCol: String): DataFrame = {
+    val q = withQuantized(df, vecCol).select(
+      col(idCol), col(groupCol), col("qvec"), col("qn2"))
+    val cent = q
+      .select(col(groupCol).as("c_label"), posexplode(col("qvec")).as(Seq("pos", "v")))
+      .groupBy(col("c_label"), col("pos")).agg(sum(col("v")).as("s"))
+      .groupBy(col("c_label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+        x => x.getField("s")).as("cv"))
+      .withColumn("cn2", qnorm2(col("cv")))
+    val scored = q.join(broadcast(cent))
+      .withColumn("cosine", round(
+        qdot(col("qvec"), col("cv")).cast(DoubleType) /
+          (sqrt(col("qn2").cast(DoubleType)) * sqrt(col("cn2").cast(DoubleType))), 6))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("cosine").desc, col("c_label").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col(idCol), col(groupCol),
+        col("c_label").as("assigned_label"), col("cosine"))
+  }
+
   /** Deterministic md5-derived random hyperplanes for sign-LSH:
     * `h(b)(i) = (int64(md5("b|i")[0:15]) mod 2001) − 1000` ∈ [−1000, 1000].
     * md5-derived (not an RNG) so any engine reproduces the exact planes —

@@ -135,6 +135,33 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin") || plan.contains("BroadcastExchange"))
   }
 
+  test("x19/x22: sampling and repetition signals stay narrow (zero exchanges)") {
+    for (q <- Seq("x19_stratified_sample", "x22_repetition_filter")) {
+      val plan = executedPlan(q)
+      assert(!plan.contains("Exchange"), s"$q must not shuffle:\n$plan")
+    }
+  }
+
+  test("x20: bigram counts partial-combine; top-k is TakeOrdered, not a global sort") {
+    val plan = executedPlan("x20_ngram_stats")
+    assert(plan.contains("partial_count"))
+    assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$plan")
+  }
+
+  test("x21: decontamination anti-join broadcasts; the corpus never shuffles") {
+    val plan = executedPlan("x21_decontaminate")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected broadcast anti-join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("x23: centroid frame broadcasts into the scoring join") {
+    val plan = executedPlan("x23_centroid_assign")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast centroid join:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("x15: label-propagation round joins are equi-joins, never cross products") {
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
     val verts = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
