@@ -1456,7 +1456,36 @@ object QueriesRelational {
       |FROM customer
       |WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')""".stripMargin
 
+  /** Partition pruning end-to-end — THE 100 TB scan discipline: the
+    * orders table is staged as a hive-partitioned dataset (one directory
+    * per order month, the warehouse layout every date-keyed fact uses),
+    * and the month filter must prune at PLANNING time — the executed
+    * plan's `PartitionFilters` keeps every other month's files unopened
+    * (asserted in PlanShapeSpec), so scan cost is proportional to the
+    * month, not the table. The oracle applies the same predicate to the
+    * unpartitioned table: partition layout must be invisible to results. */
+  def q56_partition_pruning(spark: SparkSession, dir: String): DataFrame = {
+    val stage = tempDirCleanedOnExit("graft_part_orders").toString
+    orders(spark, dir)
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .write.mode("overwrite").partitionBy("o_month").parquet(stage)
+    spark.read.parquet(stage)
+      .filter(col("o_month") === "1997-03")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(Money)).cast(DoubleType).as("total_price"))
+  }
+
+  val q56Oracle: String =
+    """SELECT o_orderstatus, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+      |FROM orders
+      |WHERE strftime(o_orderdate, '%Y-%m') = '1997-03'
+      |GROUP BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_partition_pruning" -> (q56_partition_pruning _),
     "q54_foreach_nodelist" -> (q54_foreach_nodelist _),
     "q53_foreach_ado" -> (q53_foreach_ado _),
     "q52_foreach_file" -> (q52_foreach_file _),
@@ -1510,6 +1539,7 @@ object QueriesRelational {
     "q22_date_functions" -> (q22_date_functions _))
 
   val oracle: Map[String, String] = Map(
+    "q56_partition_pruning" -> q56Oracle,
     "q54_foreach_nodelist" -> q54Oracle,
     "q53_foreach_ado" -> q53Oracle,
     "q52_foreach_file" -> q52Oracle,

@@ -11,11 +11,15 @@ import org.apache.spark.sql.types._
   * The Spark-side plumbing (schema, partitioning, batch iteration,
   * operator signatures) is real and tested. Image decoding is REAL
   * ([[MultimodalOps.ImageIoDecoder]], JDK `javax.imageio` — PNG/JPEG/GIF/
-  * BMP header decode, no external dependency). Audio/video codecs aren't
-  * available in this container, so [[MultimodalOps.StubDecoder]] remains
-  * the deterministic oracle-checkable stand-in for those (and for the
-  * gate, whose testdata payloads are md5-derived pseudo-media, not real
-  * image bytes); a JNI/ffmpeg decoder drops in behind the same trait.
+  * BMP header decode, no external dependency), and so is uncompressed
+  * audio ([[MultimodalOps.WavDecoder]], JDK `javax.sound.sampled` —
+  * WAV/AIFF/AU header decode); [[MultimodalOps.ModalityRoutingDecoder]]
+  * routes each payload to its modality's codec. Video and compressed
+  * audio codecs aren't available in this container, so
+  * [[MultimodalOps.StubDecoder]] remains the deterministic
+  * oracle-checkable stand-in for those (and for the gate, whose testdata
+  * payloads are md5-derived pseudo-media, not real media bytes); a
+  * JNI/ffmpeg decoder drops in behind the same trait.
   */
 object MultimodalOps {
 
@@ -78,6 +82,50 @@ object MultimodalOps {
         } finally r.dispose()
       } finally in.close()
     }
+  }
+
+  /** REAL audio decoder on the JDK's `javax.sound.sampled` — no external
+    * dependency: the container format header (WAV/AIFF/AU, every format
+    * the JDK ships SPI readers for) is parsed for sample rate and PCM
+    * frame count; the sample data itself is never read (header-only, same
+    * cheapness contract as [[ImageIoDecoder]]). `nFrames` carries the PCM
+    * frame count (duration = nFrames / sampleRate); an unrecognized
+    * payload is a deterministic error. Compressed codecs (MP3/AAC/Opus)
+    * have no JDK SPI — those stay behind [[StubDecoder]] until an ffmpeg
+    * bridge drops in behind the same trait. */
+  object WavDecoder extends MediaDecoder {
+    def decode(payload: Array[Byte], mediaType: String): MediaMeta = {
+      require(payload != null && payload.nonEmpty, "empty media payload")
+      val in = try
+        javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+      catch {
+        case e: javax.sound.sampled.UnsupportedAudioFileException =>
+          throw new IllegalArgumentException(
+            s"no javax.sound codec recognizes payload (mediaType=$mediaType)", e)
+      }
+      try {
+        val fmt = in.getFormat
+        val frames = in.getFrameLength
+        MediaMeta(width = 0, height = 0,
+          nFrames = if (frames < 0) 0 else math.min(frames, Int.MaxValue).toInt,
+          sampleRate = fmt.getSampleRate.toInt)
+      } finally in.close()
+    }
+  }
+
+  /** Routes each payload to the real codec for its modality — the decoder
+    * the production pipeline binds: images through `javax.imageio`, audio
+    * through `javax.sound.sampled`, anything else (video — no JDK codec)
+    * through the stub. One instance serializes into the `mapPartitions`
+    * batch exactly like any single-codec decoder. */
+  object ModalityRoutingDecoder extends MediaDecoder {
+    def decode(payload: Array[Byte], mediaType: String): MediaMeta =
+      mediaType match {
+        case "image" => ImageIoDecoder.decode(payload, mediaType)
+        case "audio" => WavDecoder.decode(payload, mediaType)
+        case _ => StubDecoder.decode(payload, mediaType)
+      }
   }
 
   /** Wrap a text/blob column as a media payload (for testdata, which has

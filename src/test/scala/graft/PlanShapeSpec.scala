@@ -162,6 +162,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q56: month filter prunes partitions at planning time") {
+    val plan = executedPlan("q56_partition_pruning")
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("(o_month#") && plan.contains("= 1997-03"),
+      s"expected the o_month predicate in PartitionFilters:\n$plan")
+    // the pruned partition predicate must NOT survive as a post-scan filter
+    assert(!plan.contains("PushedFilters: [IsNotNull(o_month"))
+  }
+
   test("x15: label-propagation round joins are equi-joins, never cross products") {
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
     val verts = Seq(1L, 2L, 3L, 4L).toDF("doc_id")

@@ -130,6 +130,50 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("WavDecoder decodes REAL WAV bytes; routing decoder picks the codec per modality") {
+    // genuine PCM WAV fixture via the JDK (no external deps): 1600 frames
+    // of 16-bit mono at 16 kHz = 100 ms
+    def wavBytes(sampleRate: Float, nFrames: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+      val pcm = new Array[Byte](nFrames * 2)
+      pcm.indices.foreach(i => pcm(i) = ((i * 37) & 0xff).toByte)
+      val in = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        in, javax.sound.sampled.AudioFileFormat.Type.WAVE, out): Unit
+      out.toByteArray
+    }
+    val m = MultimodalOps.WavDecoder.decode(wavBytes(16000f, 1600), "audio")
+    assert(m.sampleRate === 16000)
+    assert(m.nFrames === 1600)
+    intercept[IllegalArgumentException] {
+      MultimodalOps.WavDecoder.decode("not audio".getBytes, "audio")
+    }
+    // routing: image payloads hit ImageIO, audio hits javax.sound, video
+    // falls back to the stub — all through the same mapPartitions batch
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", out))
+      out.toByteArray
+    }
+    val rows = Seq(
+      (1L, png(17, 13), "image"),
+      (2L, wavBytes(8000f, 800), "audio"),
+      (3L, Array[Byte](5, 6, 7, 8), "video"))
+    val metas = MultimodalOps.decodeMeta(
+        rows.toDF("media_id", "payload", "media_type"),
+        "media_id", "payload", "media_type", MultimodalOps.ModalityRoutingDecoder)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5))))
+      .toMap
+    assert(metas(1L) === ((17, 13, 1, 0)))
+    assert(metas(2L) === ((0, 0, 800, 8000)))
+    assert(metas(3L) === ((5 * 16 + 64, 6 * 16 + 64, 7 + 1, 0))) // stub path
+  }
+
   test("frame sample plan strides over n_frames") {
     val df = Seq(9, 1, 0).toDF("n_frames")
     val plans = df.select(MultimodalOps.frameSamplePlan(col("n_frames"), 4).as("p"))
