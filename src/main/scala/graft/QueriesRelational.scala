@@ -1484,7 +1484,37 @@ object QueriesRelational {
       |WHERE strftime(o_orderdate, '%Y-%m') = '1997-03'
       |GROUP BY 1""".stripMargin
 
+  /** Bloom-filter semi-join pushdown: a selective orders predicate
+    * (urgent + finished) builds a key bloom in one tiny aggregate job,
+    * and the lineitem side applies a codegen'd `might_contain` BEFORE
+    * any exchange — the fact scan ships only can-match rows into the
+    * join (Spark's runtime bloom filter made explicit and always-on;
+    * `ops/BloomJoin`). False positives die in the exact equi-join that
+    * follows, so the oracle is the PLAIN filtered join — the pruning
+    * must be invisible to results. PlanShapeSpec asserts the probe
+    * filter sits on the scan side of the join. */
+  def q57_bloom_join(spark: SparkSession, dir: String): DataFrame = {
+    val dim = orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "F")
+      .select(col("o_orderkey"))
+    graft.ops.BloomJoin.prefilteredEquiJoin(
+        lineitem(spark, dir).select(col("l_orderkey"), col("l_returnflag"), col("l_quantity")),
+        "l_orderkey", dim, "o_orderkey")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast(Money)).cast(DoubleType).as("sum_qty"))
+  }
+
+  val q57Oracle: String =
+    """SELECT l_returnflag, COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+      |GROUP BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_bloom_join" -> (q57_bloom_join _),
     "q56_partition_pruning" -> (q56_partition_pruning _),
     "q54_foreach_nodelist" -> (q54_foreach_nodelist _),
     "q53_foreach_ado" -> (q53_foreach_ado _),
@@ -1539,6 +1569,7 @@ object QueriesRelational {
     "q22_date_functions" -> (q22_date_functions _))
 
   val oracle: Map[String, String] = Map(
+    "q57_bloom_join" -> q57Oracle,
     "q56_partition_pruning" -> q56Oracle,
     "q54_foreach_nodelist" -> q54Oracle,
     "q53_foreach_ado" -> q53Oracle,

@@ -855,7 +855,56 @@ object QueriesTrainingData {
       |FROM scored
       |QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, c_label) = 1""".stripMargin
 
+  /** N-gram overlap decontamination — the stricter contamination test
+    * x21's whole-document fingerprints miss: a training document is
+    * contaminated if it shares ANY 5-gram with the held-out set (src0 as
+    * the benchmark), even when the documents as wholes differ. Per-doc
+    * distinct 5-grams come from a narrow HOF (no self-join); the
+    * benchmark's gram set is benchmark-sized, so the probe is a
+    * BROADCAST equi-join on the gram and the corpus never shuffles —
+    * only the (small) per-doc overlap counts do, into one aggregate.
+    * Emits every train doc with its overlap count so the gate threshold
+    * is auditable downstream. */
+  def x24_ngram_overlap(spark: SparkSession, dir: String): DataFrame = {
+    val g5 = when(size(col("toks")) >= 5,
+      expr("transform(sequence(0, size(toks) - 5), i -> concat_ws(' ', slice(toks, i + 1, 5)))"))
+      .otherwise(expr("CAST(array() AS array<string>)"))
+    val docs = documents(spark, dir)
+      .select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"), array_distinct(g5).as("g5"))
+    val evalGrams = docs.filter(col("source") === "src0")
+      .select(explode(col("g5")).as("g")).distinct()
+    val overlaps = docs.filter(col("source") =!= "src0")
+      .select(col("doc_id"), explode(col("g5")).as("g"))
+      .join(broadcast(evalGrams), Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+    docs.filter(col("source") =!= "src0").select(col("doc_id"), col("source"))
+      .join(overlaps, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("contaminated", col("n_overlap") > 0)
+  }
+
+  val x24Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, source, string_split_regex(text, '\s+') AS w FROM documents),
+      |g AS (
+      |  SELECT doc_id, source, list_distinct(list_transform(
+      |    generate_series(1, len(w) - 4), i -> array_to_string(w[i:i+4], ' '))) AS g5
+      |  FROM t),
+      |ev AS (SELECT DISTINCT unnest(g5) AS gram FROM g WHERE source = 'src0'),
+      |tr AS (SELECT doc_id, unnest(g5) AS gram FROM g WHERE source <> 'src0'),
+      |ov AS (
+      |  SELECT doc_id, COUNT(*) AS n_overlap
+      |  FROM tr JOIN ev USING (gram) GROUP BY doc_id)
+      |SELECT d.doc_id, d.source,
+      |  COALESCE(ov.n_overlap, 0) AS n_overlap,
+      |  COALESCE(ov.n_overlap, 0) > 0 AS contaminated
+      |FROM (SELECT doc_id, source FROM documents WHERE source <> 'src0') d
+      |LEFT JOIN ov USING (doc_id)""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x24_ngram_overlap" -> (x24_ngram_overlap _),
     "x23_centroid_assign" -> (x23_centroid_assign _),
     "x22_repetition_filter" -> (x22_repetition_filter _),
     "x21_decontaminate" -> (x21_decontaminate _),
@@ -903,5 +952,6 @@ object QueriesTrainingData {
     "x20_ngram_stats" -> x20Oracle,
     "x21_decontaminate" -> x21Oracle,
     "x22_repetition_filter" -> x22Oracle,
-    "x23_centroid_assign" -> x23Oracle)
+    "x23_centroid_assign" -> x23Oracle,
+    "x24_ngram_overlap" -> x24Oracle)
 }

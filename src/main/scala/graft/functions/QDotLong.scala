@@ -91,7 +91,33 @@ object NativeFunctions {
     (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_minhash_sig"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[MinHashSig].getCanonicalName, "graft_minhash_sig"),
-      (exprs: Seq[Expression]) => MinHashSig(exprs(0), exprs(1), exprs(2))))
+      (exprs: Seq[Expression]) => MinHashSig(exprs(0), exprs(1), exprs(2))),
+    // Spark's OWN bloom-filter expressions (the machinery behind its
+    // runtime join filters), surfaced as callable functions — they are
+    // not SQL-registered by default. graft_bloom_agg(xxhash64(k) [, est
+    // items [, bits]]) → binary sketch; graft_might_contain(sketch,
+    // xxhash64(k)) → boolean, codegen'd on the probe side (BloomJoin).
+    (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_bloom_agg"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate]
+          .getCanonicalName, "graft_bloom_agg"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c)
+        case Seq(c, est) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, est)
+        case Seq(c, est, bits) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, est, bits)
+        case _ => throw new IllegalArgumentException(
+          s"graft_bloom_agg takes 1-3 arguments, got ${exprs.length}")
+      }),
+    (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_might_contain"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]
+          .getCanonicalName, "graft_might_contain"),
+      (exprs: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs(0), exprs(1))))
 
   def register(spark: SparkSession): Unit =
     if (registered.add(System.identityHashCode(spark).toString)) {

@@ -1,0 +1,49 @@
+package graft.ops
+
+import graft.functions.NativeFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bloom-filter semi-join pushdown — the shuffle-reduction tool for a
+  * selective dim×fact join (the hand-rolled, always-on form of Spark's
+  * own runtime bloom filter, `spark.sql.optimizer.runtime.bloomFilter.*`,
+  * which only injects under planner heuristics).
+  *
+  * Shape: ONE small aggregate job folds the (filtered) build side's join
+  * keys into a bloom filter — kilobytes, collected to the driver exactly
+  * like Spark's `ScalarSubquery` runtime filter — and the probe side then
+  * applies a codegen'd `might_contain` BEFORE any exchange, so the
+  * shuffle (or broadcast probe) carries only rows that can match. False
+  * positives pass the bloom but die in the exact equi-join that follows;
+  * results are therefore EXACTLY the plain join's (the q57 oracle
+  * contract). At 100 TB this is the difference between shuffling the
+  * whole fact table and shuffling the ~matching fraction.
+  *
+  * The bloom aggregate/probe are Spark's own codegen'd expressions
+  * (`BloomFilterAggregate`, `BloomFilterMightContain`) surfaced through
+  * the session function registry as `graft_bloom_agg` /
+  * `graft_might_contain` (they are not SQL-registered by default).
+  */
+object BloomJoin {
+
+  /** `fact ⋈ dim` on `factKey = dimKey`, with the fact side pre-filtered
+    * by a bloom of the dim keys. Expects `dim` already filtered to its
+    * selective predicate — that selectivity is what the bloom ships to
+    * the fact scan. */
+  def prefilteredEquiJoin(fact: DataFrame, factKey: String,
+      dim: DataFrame, dimKey: String,
+      expectedDimRows: Long = 1000000L): DataFrame = {
+    val spark = fact.sparkSession
+    NativeFunctions.register(spark)
+    // bloom build: one tiny job over the (already filtered) dim side;
+    // the serialized sketch is a few KB — same driver round-trip as
+    // Spark's own runtime-filter scalar subquery
+    val bf = dim
+      .select(call_function("graft_bloom_agg",
+        xxhash64(col(dimKey)), lit(expectedDimRows)).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    fact
+      .filter(call_function("graft_might_contain", lit(bf), xxhash64(col(factKey))))
+      .join(dim, col(factKey) === col(dimKey))
+  }
+}

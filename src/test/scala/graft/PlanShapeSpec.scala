@@ -162,6 +162,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q57: bloom probe filters the fact scan before the join") {
+    val plan = executedPlan("q57_bloom_join")
+    val probe = plan.indexOf("might_contain")
+    assert(probe >= 0, s"expected a bloom might_contain probe:\n$plan")
+    // the probe is a Filter on the scan side, not post-join
+    val joinAt = math.max(plan.indexOf("BroadcastHashJoin"),
+      plan.indexOf("SortMergeJoin"))
+    assert(joinAt >= 0 && probe > joinAt,
+      "probe filter must sit under (after, in tree print order) the join")
+  }
+
+  test("x24: gram probe broadcasts; overlap counts partial-combine") {
+    val plan = executedPlan("x24_ngram_overlap")
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(plan.contains("partial_count"))
+  }
+
   test("q56: month filter prunes partitions at planning time") {
     val plan = executedPlan("q56_partition_pruning")
     assert(plan.contains("PartitionFilters") &&
