@@ -1468,6 +1468,11 @@ object QueriesRelational {
     val stage = tempDirCleanedOnExit("graft_part_orders").toString
     orders(spark, dir)
       .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      // cluster rows by the partition column before the write: without
+      // this every one of the N write tasks emits a file into every
+      // month directory (N×months small files — the classic partitioned-
+      // write mistake); with it each month's rows land in one task
+      .repartition(col("o_month"))
       .write.mode("overwrite").partitionBy("o_month").parquet(stage)
     spark.read.parquet(stage)
       .filter(col("o_month") === "1997-03")
