@@ -1518,7 +1518,34 @@ object QueriesRelational {
       |WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
       |GROUP BY 1""".stripMargin
 
+  /** Schema evolution across ingest batches — the lakehouse reality a
+    * long-lived warehouse dataset accretes: batch 1 was written before
+    * `n_regionkey` existed, batch 2 carries it. `mergeSchema` unifies
+    * the footers at planning time (the batch-1 files are never
+    * rewritten), old rows surface NULL for the new column, and the
+    * partition-discovered `b` column identifies the batch. The oracle is
+    * the explicit union with a NULL column — evolution must behave
+    * exactly like a backfill-free migration. At 100 TB the footer merge
+    * is listing-cost only; no data job touches the historical files. */
+  def q58_schema_evolution(spark: SparkSession, dir: String): DataFrame = {
+    val stage = tempDirCleanedOnExit("graft_evolve").toString
+    val n = nation(spark, dir)
+    n.select(col("n_nationkey"), col("n_name"))
+      .write.mode("overwrite").parquet(s"$stage/b=1")
+    n.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .write.mode("overwrite").parquet(s"$stage/b=2")
+    spark.read.option("mergeSchema", "true").parquet(stage)
+      .select(col("b").cast(IntegerType).as("b"),
+        col("n_nationkey"), col("n_name"), col("n_regionkey"))
+  }
+
+  val q58Oracle: String =
+    """SELECT 1 AS b, n_nationkey, n_name, CAST(NULL AS INTEGER) AS n_regionkey FROM nation
+      |UNION ALL
+      |SELECT 2 AS b, n_nationkey, n_name, n_regionkey FROM nation""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_schema_evolution" -> (q58_schema_evolution _),
     "q57_bloom_join" -> (q57_bloom_join _),
     "q56_partition_pruning" -> (q56_partition_pruning _),
     "q54_foreach_nodelist" -> (q54_foreach_nodelist _),
@@ -1574,6 +1601,7 @@ object QueriesRelational {
     "q22_date_functions" -> (q22_date_functions _))
 
   val oracle: Map[String, String] = Map(
+    "q58_schema_evolution" -> q58Oracle,
     "q57_bloom_join" -> q57Oracle,
     "q56_partition_pruning" -> q56Oracle,
     "q54_foreach_nodelist" -> q54Oracle,

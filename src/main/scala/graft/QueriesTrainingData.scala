@@ -903,7 +903,36 @@ object QueriesTrainingData {
       |FROM (SELECT doc_id, source FROM documents WHERE source <> 'src0') d
       |LEFT JOIN ov USING (doc_id)""".stripMargin
 
+  /** Per-source quota sampling — the data-mixing cap a corpus recipe
+    * applies per provenance bucket ("at most N documents per source"):
+    * a deterministic reservoir, taking each source's N smallest salted
+    * md5 draws. One shuffle on the (low-cardinality) source key; the
+    * rank is a per-group window, and membership is reproducible across
+    * engines and runs (same contract as x17/x19 — never `sample()`).
+    * At 100 TB the window state per group is the N-row heap, not the
+    * group. */
+  def x25_source_quota(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val draw = TextOps.stableHash64(
+      concat(col("doc_id").cast(StringType), lit(":quota")))
+    val w = Window.partitionBy(col("source")).orderBy(col("draw"), col("doc_id"))
+    documents(spark, dir)
+      .select(col("doc_id"), col("source"), draw.as("draw"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("doc_id"), col("source"), col("rk"))
+  }
+
+  val x25Oracle: String =
+    """SELECT doc_id, source,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY source
+      |    ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':quota'), 1, 15)) AS BIGINT),
+      |      doc_id) AS INT) AS rk
+      |FROM documents
+      |QUALIFY rk <= 10""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x25_source_quota" -> (x25_source_quota _),
     "x24_ngram_overlap" -> (x24_ngram_overlap _),
     "x23_centroid_assign" -> (x23_centroid_assign _),
     "x22_repetition_filter" -> (x22_repetition_filter _),
@@ -953,5 +982,6 @@ object QueriesTrainingData {
     "x21_decontaminate" -> x21Oracle,
     "x22_repetition_filter" -> x22Oracle,
     "x23_centroid_assign" -> x23Oracle,
-    "x24_ngram_overlap" -> x24Oracle)
+    "x24_ngram_overlap" -> x24Oracle,
+    "x25_source_quota" -> x25Oracle)
 }
