@@ -37,12 +37,16 @@ object QueriesStreaming {
 
   /** FileStreamSource lists directories; the testdata table is a single
     * parquet file — stage a copy (driver-local, one file) and stream it.
-    * In production this is just `readStream.parquet(tableDir)`. */
-  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    * In production this is just `readStream.parquet(tableDir)`.
+    * `copies > 1` stages the SAME file that many times — a deliberately
+    * duplicated (at-least-once) stream for the dedup gate (q55). */
+  private def eventsStream(spark: SparkSession, dir: String,
+      copies: Int = 1): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = java.nio.file.Path.of(s"$dir/events.parquet")
     val stage = QueriesRelational.tempDirCleanedOnExit("graft-events-stream")
-    java.nio.file.Files.copy(src, stage.resolve("events.parquet"))
+    (1 to copies).foreach(i =>
+      java.nio.file.Files.copy(src, stage.resolve(s"events_$i.parquet")))
     val schema = spark.read.parquet(src.toString).schema
     spark.readStream.schema(schema).parquet(stage.toString)
       .withColumn("ts_us", call_function("div", col("ts"), lit(1000L)))
@@ -138,20 +142,11 @@ object QueriesStreaming {
     * `dropDuplicatesWithinWatermark` once duplicates are known to arrive
     * within the watermark delay (keys then age out of the store). */
   def q55_stream_dedup(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = java.nio.file.Path.of(s"$dir/events.parquet")
-    val stage = QueriesRelational.tempDirCleanedOnExit("graft-events-dup-stream")
-    java.nio.file.Files.copy(src, stage.resolve("events_a.parquet"))
-    java.nio.file.Files.copy(src, stage.resolve("events_b.parquet"))
-    val schema = spark.read.parquet(src.toString).schema
-    val deduped = spark.readStream.schema(schema).parquet(stage.toString)
-      .dropDuplicates("event_id")
+    val deduped = eventsStream(spark, dir, copies = 2).dropDuplicates("event_id")
     val name = s"q55_out_${runSeq.incrementAndGet()}"
     StreamingOps.drainToMemory(deduped, name, ckpt())
-      .select(
-        col("event_id"), col("user_id"), col("event_type"),
-        call_function("div", col("ts"), lit(1000L)).as("ts_us"),
-        col("value"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts_us"), col("value"))
   }
 
   val q55Oracle: String =

@@ -718,13 +718,9 @@ object QueriesTrainingData {
     * sort of all distinct n-grams). Ties break on the bigram text so
     * the emitted set is deterministic on both engines. */
   def x20_ngram_stats(spark: SparkSession, dir: String): DataFrame = {
-    val toks = TextOps.tokens(col("text"))
-    val bigrams = when(size(col("toks")) >= 2,
-      expr("transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
-      .otherwise(expr("CAST(array() AS array<string>)"))
     documents(spark, dir)
-      .select(col("doc_id"), toks.as("toks"))
-      .select(explode(bigrams).as("ngram"))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(explode(TextOps.ngrams(col("toks"), 2)).as("ngram"))
       .groupBy(col("ngram"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("ngram"))
@@ -780,10 +776,7 @@ object QueriesTrainingData {
     val t = col("text")
     val docs = documents(spark, dir)
       .select(col("doc_id"), TextOps.tokens(t).as("toks"))
-      .select(col("doc_id"), col("toks"),
-        when(size(col("toks")) >= 2,
-          expr("transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
-          .otherwise(expr("CAST(array() AS array<string>)")).as("bg"))
+      .select(col("doc_id"), col("toks"), TextOps.ngrams(col("toks"), 2).as("bg"))
     docs.select(
         col("doc_id"),
         (expr("array_max(transform(array_distinct(toks), t -> size(filter(toks, x -> x = t))))")
@@ -866,23 +859,24 @@ object QueriesTrainingData {
     * Emits every train doc with its overlap count so the gate threshold
     * is auditable downstream. */
   def x24_ngram_overlap(spark: SparkSession, dir: String): DataFrame = {
-    val g5 = when(size(col("toks")) >= 5,
-      expr("transform(sequence(0, size(toks) - 5), i -> concat_ws(' ', slice(toks, i + 1, 5)))"))
-      .otherwise(expr("CAST(array() AS array<string>)"))
     val docs = documents(spark, dir)
       .select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("source"), array_distinct(g5).as("g5"))
+      .select(col("doc_id"), col("source"),
+        array_distinct(TextOps.ngrams(col("toks"), 5)).as("g5"))
     val evalGrams = docs.filter(col("source") === "src0")
       .select(explode(col("g5")).as("g")).distinct()
-    val overlaps = docs.filter(col("source") =!= "src0")
-      .select(col("doc_id"), explode(col("g5")).as("g"))
-      .join(broadcast(evalGrams), Seq("g"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
-    docs.filter(col("source") =!= "src0").select(col("doc_id"), col("source"))
-      .join(overlaps, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"), col("source"),
-        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("__hit", lit(1))
+    // ONE train-side scan: explode_outer keeps gram-less docs as a null-
+    // gram row, the broadcast left join marks eval hits, and the
+    // conditional count folds both into the per-doc overlap — no second
+    // tokenization pass to re-attach zero-overlap docs
+    docs.filter(col("source") =!= "src0")
+      .select(col("doc_id"), col("source"), explode_outer(col("g5")).as("g"))
+      .join(broadcast(evalGrams), Seq("g"), "left_outer")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_overlap"))
       .withColumn("contaminated", col("n_overlap") > 0)
+      .select(col("doc_id"), col("source"), col("n_overlap"), col("contaminated"))
   }
 
   val x24Oracle: String =

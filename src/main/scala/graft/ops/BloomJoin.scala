@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
   * own runtime bloom filter, `spark.sql.optimizer.runtime.bloomFilter.*`,
   * which only injects under planner heuristics).
   *
-  * Shape: ONE small aggregate job folds the (filtered) build side's join
-  * keys into a bloom filter — kilobytes, collected to the driver exactly
+  * Shape: one cheap count sizes the sketch, one small aggregate job
+  * folds the (filtered) build side's join keys into it — kilobytes,
+  * collected to the driver exactly
   * like Spark's `ScalarSubquery` runtime filter — and the probe side then
   * applies a codegen'd `might_contain` BEFORE any exchange, so the
   * shuffle (or broadcast probe) carries only rows that can match. False
@@ -31,19 +32,24 @@ object BloomJoin {
     * selective predicate — that selectivity is what the bloom ships to
     * the fact scan. */
   def prefilteredEquiJoin(fact: DataFrame, factKey: String,
-      dim: DataFrame, dimKey: String,
-      expectedDimRows: Long = 1000000L): DataFrame = {
+      dim: DataFrame, dimKey: String): DataFrame = {
     val spark = fact.sparkSession
     NativeFunctions.register(spark)
-    // bloom build: one tiny job over the (already filtered) dim side;
-    // the serialized sketch is a few KB — same driver round-trip as
-    // Spark's own runtime-filter scalar subquery
+    // size the bloom to the ACTUAL key count (one cheap count over the
+    // already-filtered dim — at ~8 bits/key a right-sized sketch is
+    // n_keys bytes, so a 10k-key dim ships a ~10 KB literal; a blind
+    // big default would embed megabytes in the probe-side plan), then
+    // one small aggregate folds the keys into the serialized sketch —
+    // same driver round-trip as Spark's own runtime-filter subquery
+    val estKeys = math.max(dim.count(), 1L)
     val bf = dim
       .select(call_function("graft_bloom_agg",
-        xxhash64(col(dimKey)), lit(expectedDimRows)).as("bf"))
+        xxhash64(col(dimKey)), lit(estKeys)).as("bf"))
       .head.getAs[Array[Byte]](0)
-    fact
-      .filter(call_function("graft_might_contain", lit(bf), xxhash64(col(factKey))))
-      .join(dim, col(factKey) === col(dimKey))
+    // dataset-resolved key columns: with same-named keys on both sides,
+    // unqualified col(...) would be AMBIGUOUS_REFERENCE after the join
+    val pruned = fact
+      .filter(call_function("graft_might_contain", lit(bf), xxhash64(fact.col(factKey))))
+    pruned.join(dim, pruned.col(factKey) === dim.col(dimKey))
   }
 }

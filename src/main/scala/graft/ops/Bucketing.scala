@@ -89,9 +89,14 @@ object Bucketing {
       spark.table(table)
     }
     val marker = new File(path, LayoutMarker)
+    // a concurrent restager can delete the marker between isFile and the
+    // read (TOCTOU) — an IO failure here means "not reusable right now",
+    // which sends the loop around to restage, never an escaped exception
     def publishedLayoutMatches(): Boolean =
-      new File(path, "_SUCCESS").isFile && marker.isFile &&
-        new String(Files.readAllBytes(marker.toPath), StandardCharsets.UTF_8) == layout
+      try
+        new File(path, "_SUCCESS").isFile && marker.isFile &&
+          new String(Files.readAllBytes(marker.toPath), StandardCharsets.UTF_8) == layout
+      catch { case _: java.io.IOException => false }
     if (publishedLayoutMatches()) return registerExternal()
     // stage into a scratch path, publish with an atomic rename; on a
     // lost race, reuse the winner's staging ONLY if it was written under

@@ -23,6 +23,18 @@ object TextOps {
   def distinctTokenCount(text: Column): Column =
     when(length(text) === 0, 0).otherwise(size(array_distinct(tokens(text))))
 
+  /** Word n-grams over a token array as one narrow HOF: element i is the
+    * space-joined window `toks[i..i+n-1]`; fewer than `n` tokens → empty
+    * array (NOT null — callers explode/measure it directly). DuckDB
+    * parity: `list_transform(generate_series(1, len(w)-(n-1)), i ->
+    * array_to_string(w[i:i+(n-1)], ' '))`. */
+  def ngrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType)))
+
   /** A BPE-ish subword proxy: count of alternating letter/digit boundary
     * splits — `\w+`-runs rather than whitespace tokens. */
   def wordishCount(text: Column): Column =

@@ -173,17 +173,24 @@ class PlanShapeSpec extends AnyFunSuite {
       "probe filter must sit under (after, in tree print order) the join")
   }
 
-  test("x24: gram probe broadcasts; overlap counts partial-combine") {
+  test("x24: gram probe broadcasts; overlap counts partial-combine; ONE train scan") {
     val plan = executedPlan("x24_ngram_overlap")
     assert(plan.contains("BroadcastHashJoin"))
-    assert(plan.contains("partial_count"))
+    assert(plan.contains("partial_sum"))
+    // one scan per side (train + eval) — never a third to re-attach
+    // zero-overlap docs
+    assert("Scan parquet".r.findAllIn(plan).length === 2, s"expected 2 scans:\n$plan")
   }
 
   test("q56: month filter prunes partitions at planning time") {
     val plan = executedPlan("q56_partition_pruning")
-    assert(plan.contains("PartitionFilters") &&
-      plan.contains("(o_month#") && plan.contains("= 1997-03"),
-      s"expected the o_month predicate in PartitionFilters:\n$plan")
+    // the month predicate must sit INSIDE the PartitionFilters bracket —
+    // three independent contains() would also pass if it survived only
+    // as a post-scan Filter next to an empty PartitionFilters: [...]
+    assert(
+      """PartitionFilters: \[[^\]]*o_month#[^\]]*= 1997-03[^\]]*\]""".r
+        .findFirstIn(plan).isDefined,
+      s"expected the o_month predicate inside PartitionFilters:\n$plan")
     // the pruned partition predicate must NOT survive as a post-scan filter
     assert(!plan.contains("PushedFilters: [IsNotNull(o_month"))
   }
