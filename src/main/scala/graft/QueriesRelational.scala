@@ -1544,7 +1544,34 @@ object QueriesRelational {
       |UNION ALL
       |SELECT 2 AS b, n_nationkey, n_name, n_regionkey FROM nation""".stripMargin
 
+  /** Semi-structured JSON extraction — the props-bag column every event
+    * table carries: `from_json` with a DECLARED schema (never schema
+    * inference — at 100 TB an inference pass is a full extra scan and a
+    * schema that drifts with the sample) projects the typed field inside
+    * whole-stage codegen, then a standard partial-combining aggregate.
+    * Malformed JSON yields NULL (PERMISSIVE), which the aggregates skip —
+    * the same contract as DuckDB's json_extract_string. */
+  def q59_json_extract(spark: SparkSession, dir: String): DataFrame =
+    eventsNs(spark, dir)
+      .select(col("event_type"),
+        from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+          .getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+
+  val q59Oracle: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q59_json_extract" -> (q59_json_extract _),
     "q58_schema_evolution" -> (q58_schema_evolution _),
     "q57_bloom_join" -> (q57_bloom_join _),
     "q56_partition_pruning" -> (q56_partition_pruning _),
@@ -1601,6 +1628,7 @@ object QueriesRelational {
     "q22_date_functions" -> (q22_date_functions _))
 
   val oracle: Map[String, String] = Map(
+    "q59_json_extract" -> q59Oracle,
     "q58_schema_evolution" -> q58Oracle,
     "q57_bloom_join" -> q57Oracle,
     "q56_partition_pruning" -> q56Oracle,
