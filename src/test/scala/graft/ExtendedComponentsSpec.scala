@@ -258,4 +258,25 @@ class ExtendedComponentsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("cycle"))
   }
+
+  test("compaction rewrites a fragmented dataset to few files, same rows; no-op when already compact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val rows = (1 to 10000).map(i => (i.toLong, s"v$i"))
+    // fragment: 32 writer tasks → 32 small files
+    rows.toDF("id", "v").repartition(32).write.mode("overwrite").parquet(dir)
+    val frag = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(frag > 8)
+    val stats = graft.ops.Compaction.compact(spark, dir, targetFileBytes = 512L * 1024)
+    assert(stats.filesBefore === frag)
+    assert(stats.filesAfter < frag && stats.filesAfter >= 1)
+    // content identical after the rewrite (modulo order)
+    val back = spark.read.parquet(dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    assert(back.toSeq === rows.sortBy(_._1))
+    // second pass: already at/below target count → byte-for-byte no-op
+    val mtimes = new java.io.File(dir).listFiles().map(f => f.getName -> f.lastModified).toMap
+    val again = graft.ops.Compaction.compact(spark, dir, targetFileBytes = 512L * 1024)
+    assert(again.filesBefore === again.filesAfter)
+    assert(new java.io.File(dir).listFiles().map(f => f.getName -> f.lastModified).toMap === mtimes)
+  }
 }
