@@ -101,15 +101,25 @@ object NativeFunctions {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate]
           .getCanonicalName, "graft_bloom_agg"),
-      (exprs: Seq[Expression]) => exprs match {
-        case Seq(c) =>
-          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c)
-        case Seq(c, est) =>
-          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, est)
-        case Seq(c, est, bits) =>
-          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, est, bits)
-        case _ => throw new IllegalArgumentException(
-          s"graft_bloom_agg takes 1-3 arguments, got ${exprs.length}")
+      (exprs: Seq[Expression]) => {
+        // BloomFilterAggregate demands BIGINT sizing args; a SQL literal
+        // (`graft_bloom_agg(x, 10000)`) parses as INT — coerce, don't
+        // bounce the caller with a type-mismatch
+        def asLong(e: Expression): Expression =
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            e, org.apache.spark.sql.types.LongType)
+        exprs match {
+          case Seq(c) =>
+            new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c)
+          case Seq(c, est) =>
+            new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+              c, asLong(est))
+          case Seq(c, est, bits) =>
+            new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+              c, asLong(est), asLong(bits))
+          case _ => throw new IllegalArgumentException(
+            s"graft_bloom_agg takes 1-3 arguments, got ${exprs.length}")
+        }
       }),
     (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_might_contain"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
