@@ -153,13 +153,53 @@ object QueriesStreaming {
     """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value
       |FROM events""".stripMargin
 
+  /** Watermarked STREAM-STREAM inner join — view→click attribution: each
+    * click joins the views of the SAME user in the preceding 10 minutes.
+    * Both sides carry event-time watermarks and the join condition bounds
+    * event-time distance, so each side's state store retains only the
+    * watermark-deep tail — the bounded-state contract that makes a
+    * stream-stream join run forever at 100 TB/day (an unbounded-state
+    * join would be rejected by Spark's unsupported-operation check in
+    * Append mode). Oracle: the identical time-range self-join in batch
+    * SQL — the drained stream must reproduce it exactly. */
+  def q60_stream_stream_join(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsStream(spark, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts_us").as("v_us"), col("ts_t").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts_us").as("c_us"), col("ts_t").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val joined = views.join(clicks,
+      col("v_user") === col("c_user") &&
+        col("c_ts") >= col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr("INTERVAL 10 MINUTES"))
+    val name = s"q60_out_${runSeq.incrementAndGet()}"
+    StreamingOps.drainToMemory(joined.toDF(), name, ckpt())
+      .select(col("view_id"), col("click_id"), col("v_user").as("user_id"),
+        (col("c_us") - col("v_us")).as("gap_us"))
+  }
+
+  val q60Oracle: String =
+    """SELECT v.event_id AS view_id, c.event_id AS click_id,
+      |  v.user_id, epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+      |FROM events v JOIN events c
+      |  ON v.user_id = c.user_id
+      | AND v.event_type = 'view' AND c.event_type = 'click'
+      | AND epoch_us(c.ts) >= epoch_us(v.ts)
+      | AND epoch_us(c.ts) <= epoch_us(v.ts) + 600000000""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q43_stream_windowed_agg" -> (q43_stream_windowed_agg _),
     "q44_stream_sessionization" -> (q44_stream_sessionization _),
-    "q55_stream_dedup" -> (q55_stream_dedup _))
+    "q55_stream_dedup" -> (q55_stream_dedup _),
+    "q60_stream_stream_join" -> (q60_stream_stream_join _))
 
   val oracle: Map[String, String] = Map(
     "q43_stream_windowed_agg" -> q43Oracle,
     "q44_stream_sessionization" -> q44Oracle,
-    "q55_stream_dedup" -> q55Oracle)
+    "q55_stream_dedup" -> q55Oracle,
+    "q60_stream_stream_join" -> q60Oracle)
 }
