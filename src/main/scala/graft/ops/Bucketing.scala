@@ -214,6 +214,10 @@ object Bucketing {
     }.foreach(deleteRecursively)
   }
 
+  /** Shared recursive delete for the ops package ([[Compaction]] reuses
+    * the same generation-swap idiom). */
+  private[ops] def deleteDirRecursively(f: File): Unit = deleteRecursively(f)
+
   private def deleteRecursively(f: File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty)
       .foreach(deleteRecursively)

@@ -5,20 +5,33 @@ import java.io.File
 import org.apache.spark.sql.SparkSession
 
 /** Small-files compaction — the table-maintenance pass every long-lived
-  * ingest dataset needs: streaming micro-batches, per-iteration ForEach
-  * appends, and over-parallel writes each leave a file per task, and at
-  * 100 TB a scan's cost becomes listing/open dominated long before it is
-  * byte dominated. Compaction rewrites a parquet directory into
-  * ~`targetFileBytes` files and atomically swaps it in place.
+  * ingest dataset needs: per-iteration ForEach appends and over-parallel
+  * writes each leave a file per task, and at 100 TB a scan's cost becomes
+  * listing/open dominated long before it is byte dominated. Compaction
+  * rewrites a parquet directory into ~`targetFileBytes` files and
+  * atomically swaps it in place.
+  *
+  * Safety contract (each clause guards a dataset shape this repo itself
+  * produces):
+  *  - reads with `mergeSchema` so a schema-evolved dataset (q58 shape)
+  *    keeps every batch's columns — a single-footer schema would silently
+  *    drop the later columns and the swap would destroy the only copy;
+  *  - REFUSES a streaming-sink directory (`_spark_metadata` present):
+  *    the sink's transaction log defines which files are committed, and a
+  *    rewrite would orphan it — compact streaming output only after it
+  *    graduates out of the sink dir;
+  *  - preserves Hive partition layout: discovered `k=v` directory levels
+  *    are re-written with `partitionBy` on the same columns, so planning-
+  *    time pruning (the q56 contract) and sub-path readers keep working.
   *
   * Shape: size the output file count from the CURRENT on-disk bytes (a
   * directory listing, no data job), `repartition(n)` for even output
   * sizes (a round-robin exchange — coalesce would skip the shuffle but
   * inherits whatever skew the input files carry), write to a scratch
-  * directory, then publish with the same atomic-rename idiom as
-  * [[Bucketing.ensureStaged]] so a concurrent reader sees either the old
-  * files or the new, never a half-written mix. The swap window caveat in
-  * [[Bucketing.ensureStaged]] applies here too.
+  * directory BESIDE the dataset, then publish with the same atomic-rename
+  * idiom as [[Bucketing.ensureStaged]] so a concurrent reader sees either
+  * the old files or the new, never a half-written mix. The swap window
+  * caveat in [[Bucketing.ensureStaged]] applies here too.
   */
 object Compaction {
 
@@ -26,12 +39,36 @@ object Compaction {
       filesBefore: Int, filesAfter: Int,
       bytesBefore: Long, bytesAfter: Long)
 
+  /** Data files only: hidden/underscore names are pruned at EVERY level
+    * (Spark never reads under `_temporary`, `.compact-*` leftovers, etc.
+    * — counting them would inflate sizing and, worse, let the swap delete
+    * rows the rewrite never carried). */
   private def parquetFiles(dir: File): Seq[File] = {
+    def hidden(name: String) = name.startsWith(".") || name.startsWith("_")
     def walk(f: File): Seq[File] =
       if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        Option(f.listFiles()).getOrElse(Array.empty).toSeq
+          .filterNot(c => hidden(c.getName)).flatMap(walk)
       else Seq(f)
-    walk(dir).filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+    walk(dir).filter(_.getName.endsWith(".parquet"))
+  }
+
+  /** Hive partition columns from the directory layout: each nested level
+    * of `k=v`-named directories contributes its key, outermost first. */
+  private def partitionColumns(dir: File): Seq[String] = {
+    val KV = "([^=/]+)=.*".r
+    def level(d: File): Seq[String] =
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.isDirectory).map(_.getName).collectFirst {
+          case KV(k) => k
+        } match {
+        case Some(k) =>
+          val child = Option(d.listFiles()).getOrElse(Array.empty)
+            .find(c => c.isDirectory && c.getName.startsWith(s"$k="))
+          k +: child.map(level).getOrElse(Nil)
+        case None => Nil
+      }
+    level(dir)
   }
 
   /** Compact the parquet dataset at `path` toward `targetFileBytes` per
@@ -41,27 +78,33 @@ object Compaction {
   def compact(spark: SparkSession, path: String,
       targetFileBytes: Long = 128L * 1024 * 1024): CompactionStats = {
     require(targetFileBytes > 0, s"targetFileBytes must be positive: $targetFileBytes")
-    val dir = new File(path)
+    // canonical File: a trailing slash in `path` must not move the
+    // scratch/old siblings INSIDE the dataset (move-into-self EINVAL)
+    val dir = new File(path).getAbsoluteFile
+    require(!new File(dir, "_spark_metadata").exists(),
+      s"$dir is a streaming sink (_spark_metadata): compacting would orphan " +
+        "the sink's transaction log; move the data out of the sink first")
     val before = parquetFiles(dir)
     val bytesBefore = before.map(_.length).sum
     val nOut = math.max(1, math.ceil(bytesBefore.toDouble / targetFileBytes).toInt)
     if (before.length <= nOut)
       return CompactionStats(before.length, before.length, bytesBefore, bytesBefore)
-    val df = spark.read.parquet(path)
-    val scratch = new File(path + ".compact-" + java.util.UUID.randomUUID)
-    df.repartition(nOut).write.parquet(scratch.getAbsolutePath)
+    val partCols = partitionColumns(dir)
+    // mergeSchema: a schema-evolved dataset (q58 shape) must keep every
+    // batch's columns through the rewrite
+    val df = spark.read.option("mergeSchema", "true").parquet(dir.getPath)
+    val scratch = new File(dir.getParentFile, dir.getName + ".compact-" + java.util.UUID.randomUUID)
+    val writer = df.repartition(nOut).write
+    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+      .parquet(scratch.getAbsolutePath)
     // atomic swap: old dir aside, scratch in, old deleted — readers see
     // one complete generation or the other
-    val old = new File(path + ".old-" + java.util.UUID.randomUUID)
+    val old = new File(dir.getParentFile, dir.getName + ".old-" + java.util.UUID.randomUUID)
     java.nio.file.Files.move(dir.toPath, old.toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     java.nio.file.Files.move(scratch.toPath, dir.toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    def rm(f: File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(): Unit
-    }
-    rm(old)
+    Bucketing.deleteDirRecursively(old)
     val after = parquetFiles(dir)
     CompactionStats(before.length, after.length, bytesBefore, after.map(_.length).sum)
   }

@@ -279,4 +279,29 @@ class ExtendedComponentsSpec extends AnyFunSuite {
     assert(again.filesBefore === again.filesAfter)
     assert(new java.io.File(dir).listFiles().map(f => f.getName -> f.lastModified).toMap === mtimes)
   }
+
+  test("compaction preserves evolved schemas, partition layout; refuses a streaming sink") {
+    // schema-evolved dataset (q58 shape): the later column must survive
+    val evolved = java.nio.file.Files.createTempDirectory("graft_compact_ev").toString
+    (1 to 500).map(i => (i.toLong, s"a$i")).toDF("id", "a")
+      .repartition(8).write.parquet(s"$evolved/b=1")
+    (1 to 500).map(i => (i.toLong, s"a$i", i * 2L)).toDF("id", "a", "c")
+      .repartition(8).write.parquet(s"$evolved/b=2")
+    // trailing slash must not nest the scratch dir inside the dataset
+    graft.ops.Compaction.compact(spark, evolved + "/", targetFileBytes = 64L * 1024): Unit
+    val back = spark.read.option("mergeSchema", "true").parquet(evolved)
+    assert(back.columns.toSet === Set("id", "a", "c", "b"))
+    assert(back.count() === 1000)
+    assert(back.filter(col("c").isNotNull).count() === 500)
+    // partition layout survives: still hive directories, pruning still legal
+    val parts = new java.io.File(evolved).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(parts.toSet === Set("b=1", "b=2"))
+    // streaming sink: refuse, never orphan the transaction log
+    val sink = java.nio.file.Files.createTempDirectory("graft_compact_sink")
+    java.nio.file.Files.createDirectory(sink.resolve("_spark_metadata"))
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Compaction.compact(spark, sink.toString)
+    }
+    assert(e.getMessage.contains("_spark_metadata"))
+  }
 }
