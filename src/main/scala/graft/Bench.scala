@@ -64,9 +64,9 @@ object Bench {
               Some((System.nanoTime() - t0) / 1e9)
           }
         }
-        // queries may cache intermediates (x06 pairs/candSh, x14 slim
-        // frame); drop them so one iteration's blocks never pressure the
-        // next one's GC and every iteration measures the same work
+        // operators free their own caches on return (x06/x12/x14
+        // materialize + unpersist internally); this clear is belt-and-
+        // braces so a future cache leak never skews the next iteration
         spark.sharedState.cacheManager.clearCache()
         t
       }

@@ -153,11 +153,18 @@ object QueriesTrainingData {
     val candSh = docs.join(broadcast(candIds), Seq("doc_id"))
       .select(col("doc_id"), DedupOps.shingles(col("text"), 3).as("sh"))
       .cache()
-    pairs
+    // materialize the (small: candidate pairs only) result, then free the
+    // internal caches — a library caller composing this operator must not
+    // inherit its working-set storage
+    val res = pairs
       .join(candSh.toDF("doc_a", "sh_a"), "doc_a")
       .join(candSh.toDF("doc_b", "sh_b"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         DedupOps.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .localCheckpoint(true)
+    pairs.unpersist()
+    candSh.unpersist()
+    res
   }
 
   /** CTE chain (no leading WITH) ending in `scored(doc_a, doc_b, jaccard)`
@@ -348,12 +355,27 @@ object QueriesTrainingData {
     * inside its (lang, id-bucket) block — the standalone n-gram-Jaccard
     * dedup surface (x06 uses Jaccard only to verify LSH candidates).
     * Block-bounded pair generation is the 100 TB shape: the join shuffles
-    * on the block key, never the cross product. */
+    * on the block key, never the cross product.
+    *
+    * The bucket count SCALES with the corpus — `ceil(n / 256)` — so each
+    * (lang, bucket) block stays ~bounded as the corpus grows and total
+    * candidate pairs grow LINEARLY with n (each block is O(targetBlock²)
+    * pairs and there are n/targetBlock blocks). A fixed modulus would let
+    * blocks grow with the corpus and pairs grow quadratically. The count
+    * is one map-side-combining aggregate (a 1-row frame broadcast back),
+    * reproducible in the oracle via COUNT(*). */
   def x12_ngram_jaccard(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d = documents(spark, dir)
+    val targetBlock = 256.0
+    val docsRaw = documents(spark, dir)
+    val nb = docsRaw.agg(
+      greatest(lit(1L),
+        ceil(count(lit(1)).cast(DoubleType) / targetBlock).cast(LongType))
+        .as("nb"))
+    val d = docsRaw
       .repartition(spark.sparkContext.defaultParallelism)
-      .select(col("doc_id"), col("lang"), (col("doc_id") % 16).as("bucket"),
+      .crossJoin(broadcast(nb))
+      .select(col("doc_id"), col("lang"), (col("doc_id") % col("nb")).as("bucket"),
         DedupOps.shingles(col("text"), 2).as("sh"))
       .cache()
     val pairs = d.select(col("doc_id"), col("lang"), col("bucket"), col("sh"))
@@ -364,13 +386,21 @@ object QueriesTrainingData {
       .withColumn("jaccard", DedupOps.jaccard(col("sh"), col("sh2")))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("jaccard").desc, col("partner_id").asc)
-    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val res = pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("doc_id"), col("partner_id").as("best_match"), col("jaccard"))
+      // materialize, then free the shingle cache: a library caller must not
+      // inherit this operator's internal storage (the result's blocks are
+      // its own, lineage-truncated)
+      .localCheckpoint(true)
+    d.unpersist()
+    res
   }
 
   val x12Oracle: String =
-    """WITH d AS (
-      |  SELECT doc_id, lang, doc_id % 16 AS bucket,
+    """WITH nb AS (
+      |  SELECT GREATEST(1, CAST(ceil(COUNT(*) / 256.0) AS BIGINT)) AS nb FROM documents),
+      |d AS (
+      |  SELECT doc_id, lang, doc_id % (SELECT nb FROM nb) AS bucket,
       |    list_distinct(list_transform(
       |      generate_series(1, greatest(len(string_split_regex(text,'\s+')) - 1, 1)),
       |      i -> array_to_string((string_split_regex(text,'\s+'))[i:i+1], ' '))) AS sh
@@ -475,13 +505,19 @@ object QueriesTrainingData {
     // same attribute (Spark warns "trivially true equals predicate") and
     // the written condition is not the executed one
     val surv = survivors.select(col("fp").as("s_fp"), col("sid"))
-    base
+    // materialize the (slim: id + lang + count) result, then free the
+    // signal cache — a library caller composing this operator must not
+    // inherit its working-set storage
+    val res = base
       .join(surv, col("fp") === col("s_fp") &&
         col("doc_id") === col("sid"), "left_semi")
       .join(nearDupDrop, col("doc_id") === col("drop_id"), "left_anti")
       .filter(col("n_tokens") >= 5 &&
         col("n_distinct").cast(DoubleType) / col("n_tokens").cast(DoubleType) > 0.3)
       .select(col("doc_id"), col("lang_pred"), col("n_tokens"))
+      .localCheckpoint(true)
+    base.unpersist()
+    res
   }
 
   val x14Oracle: String = {
@@ -771,7 +807,14 @@ object QueriesTrainingData {
     * shuffle; at 100 TB the whole signal pass stays embarrassingly
     * parallel). `keep` applies the gate; signals are emitted so the gate
     * is auditable. Ratios divide in DOUBLE with identical operand order
-    * on both engines. */
+    * on both engines.
+    *
+    * The top-token count is `array_sort` + ONE run-length fold — O(n log n)
+    * per document, bounded by the sort. (The naive
+    * `transform(array_distinct(toks), t -> size(filter(toks, …)))` form is
+    * O(distinct × tokens) per row: ~10¹² comparisons on one core for a
+    * 1M-token document. Same answer — see the equivalence property test in
+    * TrainingDataSpec.) */
   def x22_repetition_filter(spark: SparkSession, dir: String): DataFrame = {
     val t = col("text")
     val docs = documents(spark, dir)
@@ -779,7 +822,7 @@ object QueriesTrainingData {
       .select(col("doc_id"), col("toks"), TextOps.ngrams(col("toks"), 2).as("bg"))
     docs.select(
         col("doc_id"),
-        (expr("array_max(transform(array_distinct(toks), t -> size(filter(toks, x -> x = t))))")
+        (topTokenCount(col("toks"))
           .cast(DoubleType) / size(col("toks")).cast(DoubleType)).as("top_token_ratio"),
         when(size(col("bg")) > 0,
           lit(1.0) - size(array_distinct(col("bg"))).cast(DoubleType) /
@@ -787,6 +830,25 @@ object QueriesTrainingData {
       .withColumn("keep",
         col("top_token_ratio") <= 0.2 && col("dup_bigram_ratio") <= 0.4)
   }
+
+  /** Count of the single most frequent element of a string array, as a
+    * sort + run-length fold: after `array_sort` equal tokens are adjacent,
+    * so one `aggregate` pass tracking (previous, current-run, best-run)
+    * yields the max multiplicity in O(n log n) — no distinct × tokens
+    * blow-up. NULL for an empty array (matching `array_max` over an empty
+    * transform in the naive form). */
+  private[graft] def topTokenCount(toks: Column): Column =
+    when(size(toks) === 0, lit(null).cast(LongType)).otherwise(
+      aggregate(
+        array_sort(toks),
+        struct(lit(null).cast(StringType).as("prev"),
+          lit(0L).as("run"), lit(0L).as("best")),
+        (acc, x) => {
+          val run = when(acc("prev") <=> x, acc("run") + lit(1L)).otherwise(lit(1L))
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc("best"), run).as("best"))
+        },
+        acc => acc("best")))
 
   val x22Oracle: String =
     """WITH b AS (
@@ -900,20 +962,51 @@ object QueriesTrainingData {
   /** Per-source quota sampling — the data-mixing cap a corpus recipe
     * applies per provenance bucket ("at most N documents per source"):
     * a deterministic reservoir, taking each source's N smallest salted
-    * md5 draws. One shuffle on the (low-cardinality) source key; the
-    * rank is a per-group window, and membership is reproducible across
-    * engines and runs (same contract as x17/x19 — never `sample()`).
-    * At 100 TB the window state per group is the N-row heap, not the
-    * group. */
+    * md5 draws. Membership is reproducible across engines and runs (same
+    * contract as x17/x19 — never `sample()`).
+    *
+    * TWO-PHASE at scale. A bare `Window.partitionBy(source)` would
+    * shuffle the WHOLE corpus on a low-cardinality key and fully sort
+    * each source in one task (Spark's WindowExec sorts the entire
+    * partition — there is no N-row-heap shortcut): at 100 TB with ~10
+    * sources that is 10 tasks sorting ~10 TB each. Instead:
+    *  1. one map-side-combining count per source (a |sources|-row frame);
+    *  2. a draw threshold per source — the draws are uniform md5 values
+    *     in [0, 2^60), so `maxDraw · (overdraw / n)` keeps an expected
+    *     `overdraw = 8 × quota` rows per source; the threshold frame
+    *     broadcasts back and the pre-filter is NARROW (no shuffle of the
+    *     corpus);
+    *  3. the exact rank window runs over the tiny survivor set only.
+    * The pre-filter misses one of a source's true quota rows only if
+    * fewer than `quota` of its n uniform draws land below the
+    * `overdraw/n` quantile — Chernoff: P < exp(−(overdraw−quota)²/
+    * (2·overdraw)) ≈ e⁻³⁰ per source, and deterministic for a given
+    * dataset (the draws are content hashes, not RNG). Sources with
+    * n ≤ overdraw skip the filter (threshold = MAX). Spark 4's rank-limit
+    * pushdown (`WindowGroupLimit`, Partial before the exchange) then
+    * prunes each map partition to its quota rows per source, so the
+    * shuffled survivor set is doubly bounded. */
   def x25_source_quota(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val quota = 10
+    val overdraw = 8L * quota
+    val maxDraw = (1L << 60) - 1 // stableHash64 = 15 hex digits of md5
     val draw = TextOps.stableHash64(
       concat(col("doc_id").cast(StringType), lit(":quota")))
-    val w = Window.partitionBy(col("source")).orderBy(col("draw"), col("doc_id"))
-    documents(spark, dir)
+    val base = documents(spark, dir)
       .select(col("doc_id"), col("source"), draw.as("draw"))
+    val thresholds = base.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("source"),
+        when(col("n") <= overdraw, lit(Long.MaxValue))
+          .otherwise((lit(maxDraw.toDouble) * lit(overdraw.toDouble) /
+            col("n").cast(DoubleType)).cast(LongType)).as("thr"))
+    val survivors = base.join(broadcast(thresholds), Seq("source"))
+      .filter(col("draw") <= col("thr"))
+    val w = Window.partitionBy(col("source")).orderBy(col("draw"), col("doc_id"))
+    survivors
       .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 10)
+      .filter(col("rk") <= quota)
       .select(col("doc_id"), col("source"), col("rk"))
   }
 

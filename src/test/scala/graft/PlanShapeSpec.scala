@@ -142,6 +142,27 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("x25: quota window input is threshold-pre-filtered, never the full corpus") {
+    val plan = executedPlan("x25_source_quota")
+    // the |sources|-row threshold frame broadcasts back onto the corpus …
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected a broadcast threshold join:\n$plan")
+    // … and the draw ≤ thr pre-filter sits BELOW the rank window (Catalyst
+    // fuses it into the join condition), so the per-source sort only ever
+    // sees the ~overdraw-row survivor set
+    val winAt = plan.indexOf("Window")
+    assert(winAt >= 0, s"expected a window:\n$plan")
+    val filterRe = raw"draw#\d+L? <= thr#\d+L?".r
+    val filterAt = filterRe.findFirstMatchIn(plan).map(_.start).getOrElse(-1)
+    assert(filterAt > winAt,
+      s"expected the threshold pre-filter below the window:\n$plan")
+    // Spark 4 additionally inserts a Partial WindowGroupLimit: each map
+    // partition keeps only its quota rows per source before the exchange
+    assert(plan.contains("WindowGroupLimit"), s"expected rank-limit pushdown:\n$plan")
+    // the per-source count aggregate partial-combines before its exchange
+    assert(plan.contains("partial_count"), s"expected partial counts:\n$plan")
+  }
+
   test("x20: bigram counts partial-combine; top-k is TakeOrdered, not a global sort") {
     val plan = executedPlan("x20_ngram_stats")
     assert(plan.contains("partial_count"))

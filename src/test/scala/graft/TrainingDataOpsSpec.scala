@@ -226,4 +226,40 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(pairs((1L, 17L)) === 1.0)
     assert(!pairs.contains((1L, 2L))) // different bucket
   }
+
+  test("x22 run-length fold ≡ naive distinct×filter top-token count (property)") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = Vector("a", "b", "bb", "c", "δ", "tok")
+    val cases: Seq[Seq[String]] =
+      Seq(Seq.empty[String], Seq("a"), Seq("a", "a", "a"), Seq("", "", "a")) ++
+        (1 to 60).map(_ => Seq.fill(rnd.nextInt(30) + 1)(
+          alphabet(rnd.nextInt(alphabet.size))))
+    val df = cases.zipWithIndex.map { case (ts, i) => (i.toLong, ts) }
+      .toDF("doc_id", "toks")
+    val naive = expr(
+      "array_max(transform(array_distinct(toks), t -> size(filter(toks, x -> x = t))))")
+      .cast("long")
+    val out = df.select(col("doc_id"),
+        QueriesTrainingData.topTokenCount(col("toks")).as("fold"),
+        naive.as("naive"))
+      .collect()
+    out.foreach { r =>
+      assert(r.isNullAt(1) === r.isNullAt(2), s"null mismatch on doc ${r.getLong(0)}")
+      if (!r.isNullAt(1))
+        assert(r.getLong(1) === r.getLong(2), s"count mismatch on doc ${r.getLong(0)}")
+    }
+  }
+
+  test("training-data operators free their internal caches on return") {
+    val dir = sf
+    // earlier tests in this (shared) session cache their own fixtures;
+    // start from a clean slate so the assertion isolates each operator
+    spark.sharedState.cacheManager.clearCache()
+    for (q <- Seq("x06_dedup_minhash_lsh", "x12_ngram_jaccard", "x14_clean_corpus")) {
+      val res = SparkEntry.queries(q)(spark, dir)
+      assert(res.count() > 0, s"$q returned no rows")
+      assert(spark.sharedState.cacheManager.isEmpty,
+        s"$q left entries in the SQL cache manager")
+    }
+  }
 }
