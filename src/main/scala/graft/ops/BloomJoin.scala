@@ -3,6 +3,7 @@ package graft.ops
 import graft.functions.NativeFunctions
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
 
 /** Bloom-filter semi-join pushdown — the shuffle-reduction tool for a
   * selective dim×fact join (the hand-rolled, always-on form of Spark's
@@ -35,6 +36,21 @@ object BloomJoin {
       dim: DataFrame, dimKey: String): DataFrame = {
     val spark = fact.sparkSession
     NativeFunctions.register(spark)
+    // xxhash64 is TYPE-sensitive: the same value hashes differently as INT
+    // vs BIGINT. The exact equi-join below coerces mixed numeric keys, so
+    // hashing each side's native type would produce false NEGATIVES (rows
+    // the join would match, silently dropped). Hash both sides through one
+    // common type: integral keys widen to BIGINT; anything else must
+    // already match exactly, or we fail fast rather than drop rows.
+    val integral: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
+    val hashType: DataType =
+      (fact.schema(factKey).dataType, dim.schema(dimKey).dataType) match {
+        case (a, b) if a == b => a
+        case (a, b) if integral(a) && integral(b) => LongType
+        case (a, b) => throw new IllegalArgumentException(
+          s"bloom-prefiltered join keys must have matching (or both integral) " +
+            s"types; got $factKey: $a vs $dimKey: $b — cast one side explicitly")
+      }
     // size the bloom to the ACTUAL key count (one cheap count over the
     // already-filtered dim — at ~8 bits/key a right-sized sketch is
     // n_keys bytes, so a 10k-key dim ships a ~10 KB literal; a blind
@@ -44,12 +60,13 @@ object BloomJoin {
     val estKeys = math.max(dim.count(), 1L)
     val bf = dim
       .select(call_function("graft_bloom_agg",
-        xxhash64(col(dimKey)), lit(estKeys)).as("bf"))
+        xxhash64(col(dimKey).cast(hashType)), lit(estKeys)).as("bf"))
       .head.getAs[Array[Byte]](0)
     // dataset-resolved key columns: with same-named keys on both sides,
     // unqualified col(...) would be AMBIGUOUS_REFERENCE after the join
     val pruned = fact
-      .filter(call_function("graft_might_contain", lit(bf), xxhash64(fact.col(factKey))))
+      .filter(call_function("graft_might_contain", lit(bf),
+        xxhash64(fact.col(factKey).cast(hashType))))
     pruned.join(dim, pruned.col(factKey) === dim.col(dimKey))
   }
 }

@@ -151,24 +151,33 @@ object Bucketing {
     * many filesystems); the edge blocks catch it without data-sized
     * reads, and for parquet specifically the tail block covers the
     * footer (schema + column stats), which virtually any content change
-    * perturbs. */
-  private def edgeBlockCrc(f: File): Long = {
+    * perturbs.
+    *
+    * A file that vanishes or shrinks between the directory walk and the
+    * open/read here (another writer swapping a generation in) yields the
+    * `missing` sentinel instead of throwing: a changed key just restages,
+    * the same TOCTOU posture as `publishedLayoutMatches`. */
+  private def edgeBlockCrc(f: File): String = {
     val block = 64 * 1024
     val crc = new java.util.zip.CRC32()
-    val raf = new java.io.RandomAccessFile(f, "r")
     try {
-      val len = raf.length()
-      val head = new Array[Byte](math.min(block.toLong, len).toInt)
-      raf.readFully(head)
-      crc.update(head)
-      if (len > block) {
-        raf.seek(len - block)
-        val tail = new Array[Byte](block)
-        raf.readFully(tail)
-        crc.update(tail)
-      }
-      crc.getValue
-    } finally raf.close()
+      val raf = new java.io.RandomAccessFile(f, "r")
+      try {
+        val len = raf.length()
+        val head = new Array[Byte](math.min(block.toLong, len).toInt)
+        raf.readFully(head)
+        crc.update(head)
+        if (len > block) {
+          raf.seek(len - block)
+          val tail = new Array[Byte](block)
+          raf.readFully(tail)
+          crc.update(tail)
+        }
+        crc.getValue.toString
+      } finally raf.close()
+    } catch {
+      case _: java.io.IOException => "missing"
+    }
   }
 
   /** Content fingerprint of the input files backing a staging: path,

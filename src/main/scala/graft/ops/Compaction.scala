@@ -2,7 +2,9 @@ package graft.ops
 
 import java.io.File
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** Small-files compaction — the table-maintenance pass every long-lived
   * ingest dataset needs: per-iteration ForEach appends and over-parallel
@@ -25,13 +27,28 @@ import org.apache.spark.sql.SparkSession
   *    time pruning (the q56 contract) and sub-path readers keep working.
   *
   * Shape: size the output file count from the CURRENT on-disk bytes (a
-  * directory listing, no data job), `repartition(n)` for even output
-  * sizes (a round-robin exchange — coalesce would skip the shuffle but
-  * inherits whatever skew the input files carry), write to a scratch
-  * directory BESIDE the dataset, then publish with the same atomic-rename
-  * idiom as [[Bucketing.ensureStaged]] so a concurrent reader sees either
-  * the old files or the new, never a half-written mix. The swap window
-  * caveat in [[Bucketing.ensureStaged]] applies here too.
+  * directory listing, no data job). Unpartitioned data takes a plain
+  * `repartition(n)` for even output sizes (a round-robin exchange —
+  * coalesce would skip the shuffle but inherits whatever skew the input
+  * files carry). Hive-partitioned data must NOT round-robin: a random
+  * shuffle puts rows of every partition value in nearly every output
+  * task, and `partitionBy` then fans out up to n × |partitions| files —
+  * compaction would INCREASE the file count it exists to fix. Instead
+  * rows shuffle on (partition columns + a salt), where each partition
+  * value's salt modulus is sized from ITS on-disk bytes (from the same
+  * listing) — so a 10 GB partition gets ~80 files and a 1 MB partition
+  * exactly one, and total output stays ~bytes/target.
+  *
+  * The rewrite is published with the same atomic-rename idiom as
+  * [[Bucketing.ensureStaged]] so a concurrent reader sees either the old
+  * files or the new, never a half-written mix. Between the two renames
+  * there is a window where the path does not exist (readers get
+  * ENOENT-and-retry, never partial data); if the second rename fails the
+  * original generation is MOVED BACK, so a crash cannot strand the only
+  * copy under the `.old-*` name. Underscore/dot-prefixed sidecar files
+  * (`_SUCCESS`, `_common_metadata`, …) are NOT carried through a rewrite
+  * — Spark never reads them, but external tooling that does should
+  * re-derive them after compaction.
   */
 object Compaction {
 
@@ -94,7 +111,47 @@ object Compaction {
     // batch's columns through the rewrite
     val df = spark.read.option("mergeSchema", "true").parquet(dir.getPath)
     val scratch = new File(dir.getParentFile, dir.getName + ".compact-" + java.util.UUID.randomUUID)
-    val writer = df.repartition(nOut).write
+    val out =
+      if (partCols.isEmpty) df.repartition(nOut)
+      else {
+        // per-partition-value output counts, from the listing only: the
+        // k=v components of each file's relative path, bytes summed per
+        // value tuple. (Values compare via cast-to-string against the
+        // directory names — exotic hive-escaped values would need
+        // unescaping here.)
+        val hiveNull = "__HIVE_DEFAULT_PARTITION__"
+        val perPart: Map[Seq[String], Long] = before.groupBy { f =>
+          val rel = dir.toPath.relativize(f.toPath)
+          partCols.indices.map(i => rel.getName(i).toString.split("=", 2)(1))
+        }.view.mapValues(_.map(_.length).sum).toMap
+        val pvCols = partCols.indices.map(i => s"__graft_pv_$i")
+        val rows = perPart.toSeq.map { case (vals, bytes) =>
+          Row.fromSeq(vals :+
+            math.max(1L, math.ceil(bytes.toDouble / targetFileBytes).toLong))
+        }
+        val schema = StructType(
+          pvCols.map(StructField(_, StringType)) :+ StructField("__graft_nout", LongType))
+        val sizing = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), schema)
+        val joinCond = partCols.zip(pvCols).map { case (k, pv) =>
+          coalesce(df(k).cast(StringType), lit(hiveNull)) === sizing(pv)
+        }.reduce(_ && _)
+        // shuffle on (partition cols, salt): each partition value spreads
+        // over exactly its own salt-modulus worth of tasks, so partitionBy
+        // emits ~ceil(partitionBytes/target) files per value, never
+        // nOut × |partitions|
+        val salted = df.join(broadcast(sizing), joinCond, "left")
+          .withColumn("__graft_salt",
+            pmod(monotonically_increasing_id(), coalesce(col("__graft_nout"), lit(1L))))
+          .drop("__graft_nout").drop(pvCols: _*)
+        val totalOut = math.max(nOut,
+          perPart.valuesIterator.map(b =>
+            math.max(1L, math.ceil(b.toDouble / targetFileBytes).toLong)).sum.toInt)
+        salted
+          .repartition(totalOut, (partCols.map(col) :+ col("__graft_salt")): _*)
+          .drop("__graft_salt")
+      }
+    val writer = out.write
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
       .parquet(scratch.getAbsolutePath)
     // atomic swap: old dir aside, scratch in, old deleted — readers see
@@ -102,8 +159,18 @@ object Compaction {
     val old = new File(dir.getParentFile, dir.getName + ".old-" + java.util.UUID.randomUUID)
     java.nio.file.Files.move(dir.toPath, old.toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    java.nio.file.Files.move(scratch.toPath, dir.toPath,
+    try java.nio.file.Files.move(scratch.toPath, dir.toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case t: Throwable =>
+        // the second rename failed: restore the original generation so a
+        // crash here cannot strand the only copy under the .old-* name
+        try java.nio.file.Files.move(old.toPath, dir.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case r: Throwable => t.addSuppressed(r) }
+        Bucketing.deleteDirRecursively(scratch)
+        throw t
+    }
     Bucketing.deleteDirRecursively(old)
     val after = parquetFiles(dir)
     CompactionStats(before.length, after.length, bytesBefore, after.map(_.length).sum)

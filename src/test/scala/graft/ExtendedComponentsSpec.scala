@@ -304,4 +304,61 @@ class ExtendedComponentsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("_spark_metadata"))
   }
+
+  test("partitioned compaction with nOut > 1 reduces files; skewed partitions size independently") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_part").toString
+    // skew: partition b=1 carries 20k rows, b=2 .. b=4 carry 200 each;
+    // 16 writer tasks fragment every partition value
+    val rows = (1 to 20000).map(i => (i.toLong, 1, s"payload_$i" * 8)) ++
+      (1 to 600).map(i => (i.toLong, 2 + i % 3, s"p$i"))
+    rows.toDF("id", "b", "v").repartition(16)
+      .write.partitionBy("b").mode("overwrite").parquet(dir)
+    def files(sub: String) = Option(new java.io.File(dir, sub).listFiles())
+      .getOrElse(Array.empty[java.io.File]).count(_.getName.endsWith(".parquet"))
+    val fragTotal = (1 to 4).map(b => files(s"b=$b")).sum
+    assert(fragTotal > 20, s"expected heavy fragmentation, got $fragTotal")
+    // target small enough that the big partition still needs >1 file:
+    // a round-robin rewrite would emit ~nOut files in EVERY partition
+    val stats = graft.ops.Compaction.compact(spark, dir, targetFileBytes = 256L * 1024)
+    assert(stats.filesAfter < stats.filesBefore,
+      s"compaction must reduce files: $stats")
+    assert(files("b=1") >= 2, "big partition should split to multiple files")
+    assert((2 to 4).forall(b => files(s"b=$b") === 1),
+      s"small partitions must compact to ONE file each, got ${(2 to 4).map(b => files(s"b=$b"))}")
+    // content survives, partition column included
+    val back = spark.read.parquet(dir)
+    assert(back.count() === rows.length)
+    assert(back.filter(col("b") === 1).count() === 20000)
+  }
+
+  test("datasetKey tolerates an unreadable file (vanished mid-walk) instead of aborting staging") {
+    val d = java.nio.file.Files.createTempDirectory("graft_key")
+    val t = java.nio.file.Files.createDirectory(d.resolve("t"))
+    java.nio.file.Files.write(t.resolve("a.parquet"), "data".getBytes)
+    // a dangling symlink models a file deleted between the walk and the
+    // content-crc open: the open throws, the key must fold a sentinel
+    java.nio.file.Files.createSymbolicLink(t.resolve("ghost.parquet"), t.resolve("gone"))
+    val withGhost = graft.ops.Bucketing.datasetKey(d.toString, Seq("t"))
+    assert(withGhost.nonEmpty)
+    // the vanished file still participates in the key: removing it restages
+    java.nio.file.Files.delete(t.resolve("ghost.parquet"))
+    assert(graft.ops.Bucketing.datasetKey(d.toString, Seq("t")) !== withGhost)
+  }
+
+  test("bloom prefilter with mixed INT/BIGINT keys equals the plain join (no false negatives)") {
+    // xxhash64 is type-sensitive: INT 7 and BIGINT 7 hash differently, so
+    // an un-coerced bloom would drop every row the coercing equi-join keeps
+    val fact = (1 to 1000).map(i => (i % 100, s"f$i")).toDF("k", "payload") // k: INT
+    val dim = Seq((7L, "seven"), (42L, "forty-two")).toDF("dk", "name")     // dk: BIGINT
+    val got = graft.ops.BloomJoin.prefilteredEquiJoin(fact, "k", dim, "dk")
+    val want = fact.join(dim, fact("k") === dim("dk"))
+    assert(got.count() === want.count())
+    assert(got.count() === 20) // 10 each of k=7 and k=42
+    // non-coercible key types fail fast instead of silently dropping rows
+    val sdim = Seq(("7", "seven")).toDF("dk", "name")
+    val err = intercept[IllegalArgumentException] {
+      graft.ops.BloomJoin.prefilteredEquiJoin(fact, "k", sdim, "dk")
+    }
+    assert(err.getMessage.contains("matching"))
+  }
 }
