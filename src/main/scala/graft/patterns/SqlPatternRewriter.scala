@@ -27,9 +27,9 @@ object SqlPatternRewriter {
 
   private val bareSelectRe = "(?is)^\\s*(select\\b.*?)(?:;|\\s*$)".r
 
-  /** Strip `-- comments` and normalize whitespace-only lines. */
-  private def stripComments(sql: String): String =
-    sql.linesIterator.map(l => l.replaceAll("--.*$", "")).mkString("\n").trim
+  /** Strip `-- comments`, surviving XML attribute normalization (a
+    * dtsx-sourced statement arrives newline-free — see [[SqlText]]). */
+  private def stripComments(sql: String): String = SqlText.stripComments(sql)
 
   def rewrite(spark: SparkSession, task: ExecuteSqlTask,
       params: Map[String, String] = Map.empty): Option[SqlOutcome] = {

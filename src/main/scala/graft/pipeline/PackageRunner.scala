@@ -75,6 +75,134 @@ object PackageRunner {
       statePath: String, maxAttempts: Int = 1): PackageRun =
     runInternal(spark, pkg, env, RunState.load(statePath), Some(statePath), maxAttempts)
 
+  // ------------------------------------------------------------ dry run
+
+  /** One task's planned action — what [[run]] WOULD do, decided without
+    * executing anything. */
+  final case class PlannedTask(
+      taskName: String,
+      taskType: String,
+      action: String,
+      sinks: List[String] = Nil,
+      /** Constraint gating that could keep the task from running (a
+        * Failure edge, an Expression edge) — the dry run lists every
+        * task that COULD run, annotated, rather than predicting
+        * runtime outcomes. */
+      gate: Option[String] = None,
+      children: List[PlannedTask] = Nil)
+
+  final case class DryRun(packageName: String, planned: List[PlannedTask]) {
+    private def collectSinks(p: PlannedTask): List[String] =
+      p.sinks ++ p.children.flatMap(collectSinks)
+    /** Every table a full run could write — the list an approval gate
+      * shows before anything executes. */
+    def sinks: List[String] = planned.flatMap(collectSinks).distinct
+    def taskNames: List[String] = planned.map(_.taskName)
+    /** Approval-prompt rendering (reference `src/cli/approval.py`
+      * analog): the planned actions and write targets, for a human to
+      * approve before [[run]]. */
+    def render: String = {
+      val b = new StringBuilder
+      b ++= s"Package: $packageName — planned actions (dry run, nothing executed)\n"
+      def one(p: PlannedTask, indent: String): Unit = {
+        val gate = p.gate.fold("")(g => s" [$g]")
+        b ++= s"$indent- ${p.taskName} (${p.taskType})$gate: ${p.action}\n"
+        p.sinks.foreach(s => b ++= s"$indent    writes → $s\n")
+        p.children.foreach(one(_, indent + "  "))
+      }
+      planned.foreach(one(_, ""))
+      if (sinks.nonEmpty) b ++= s"Write targets: ${sinks.mkString(", ")}\n"
+      else b ++= "Write targets: none\n"
+      b.result()
+    }
+  }
+
+  /** Approval-gate analog of the reference's interactive `approval.py` +
+    * executor dry-run flow: compile the package DAG and report every
+    * planned task, action, and write target WITHOUT executing — no
+    * `env.write`, no `env.sqlExecutor`, no counts. Dataflow tasks are
+    * compiled for real (plan analysis only; compilation failures surface
+    * here instead of mid-run), SQL tasks classify through the same rules
+    * as [[graft.parser.MigrationMapping]], containers recurse with their
+    * enumerator's statically-known item count. */
+  def dryRun(spark: SparkSession, pkg: SsisPackage, env: RuntimeEnv): DryRun = {
+    val ordered = pkg.topoOrder.fold(err => throw new IllegalStateException(err), identity)
+    val values = PackageVariables.evaluate(spark, pkg.variables)
+
+    def gateOf(name: String): Option[String] = {
+      val incoming = pkg.constraints.filter(_.toTask == name)
+      val gates = incoming.flatMap(c => c.kind match {
+        case ConstraintKind.Failure => Some(s"only if ${c.fromTask} fails")
+        case ConstraintKind.Expression(e) => Some(s"gated by expression: $e")
+        case _ => None
+      })
+      if (gates.isEmpty) None else Some(gates.mkString("; "))
+    }
+
+    def plan(task: Task): PlannedTask = task match {
+      case df0: DataFlowTask =>
+        val df = PackageVariables.bindTaskSql(df0, pkg, values)
+        try {
+          val sinks =
+            if (df.paths.nonEmpty)
+              DataFlowCompiler.compileDag(df, env.resolver, values)
+                .destinations.values.map { case (d, _) =>
+                  d.tableName.getOrElse(d.name)
+                }.toList
+            else DataFlowCompiler.compile(df, env.resolver, values)
+              .destination.map(d => d.tableName.getOrElse(d.name)).toList
+          val action =
+            if (sinks.nonEmpty) s"compile DataFrame pipeline, append to ${sinks.size} destination(s)"
+            else "compile DataFrame pipeline (no destination: count action only)"
+          PlannedTask(task.name, "DataFlowTask", action, sinks, gateOf(task.name))
+        } catch {
+          case e: Exception =>
+            PlannedTask(task.name, "DataFlowTask",
+              s"COMPILATION FAILS: ${e.getMessage}", Nil, gateOf(task.name))
+        }
+      case sql: ExecuteSqlTask =>
+        val m = graft.parser.MigrationMapping.mapTask(sql, pkg.variables)
+        val action = m.status match {
+          case "converted" => s"delegate to SQL executor — ${m.strategy.getOrElse("")}"
+          case "converted_to_tests" => s"validation guard — ${m.strategy.getOrElse("")}"
+          case "skipped" => s"skip — ${m.strategy.getOrElse("")}"
+          case _ => "record only (manual review)"
+        }
+        PlannedTask(task.name, "ExecuteSQLTask", action,
+          m.sparkPlan.toList, gateOf(task.name))
+      case st: ScriptTask =>
+        PlannedTask(task.name, "ScriptTask",
+          s"skip (manual review): ${st.reviewReason}", Nil, gateOf(task.name))
+      case sm: SendMailTask =>
+        PlannedTask(task.name, "SendMailTask",
+          s"skip: ${sm.skipReason}", Nil, gateOf(task.name))
+      case c: ContainerTask =>
+        val iteration = c.containerType match {
+          case "ForEachLoop" =>
+            if (c.enumItems.nonEmpty) s"${c.enumItems.size} item(s)"
+            else if (c.fileEnum.isDefined)
+              try s"${enumerateFiles(c.fileEnum.get, values).size} file(s) currently match"
+              catch { case e: Exception => s"file enumerator unavailable at plan time (${e.getMessage})" }
+            else if (c.adoObjectVar.isDefined)
+              s"rows of runtime recordset ${c.adoObjectVar.get}"
+            else if (c.nodeListEnum.isDefined) "XPath node list at run time"
+            else "NO parsed enumerator (manual review)"
+          case "ForLoop" =>
+            c.forLoop.fold("NO parsed loop spec (manual review)")(fl =>
+              s"while ${fl.evalExpression}")
+          case _ => "once, in sequence"
+        }
+        PlannedTask(task.name, s"Container(${c.containerType})",
+          s"iterate children: $iteration", Nil, gateOf(task.name),
+          c.children.map(plan))
+      case u: UnsupportedTask =>
+        PlannedTask(task.name, u.executableType,
+          s"skip (manual review): ${u.reviewReason}", Nil, gateOf(task.name))
+    }
+
+    DryRun(pkg.name, ordered.map(plan))
+  }
+
   /** Mutable variable state threaded through one package run: Execute SQL
     * result bindings (`ResultBinding` → Object variable) land here so a
     * later ForEach ADO enumerator can read the recordset. Loop-scoped

@@ -200,4 +200,63 @@ class ArtifactsSpec extends AnyFunSuite {
     assert(md.contains("### dim_customer [PASS]"))
     assert(md.contains("- **SSIS Package**: CustomerDataLoad.dtsx"))
   }
+
+  test("migration_mapping.json: per-task ledger over the reference sample trio") {
+    import graft.parser.MigrationMapping
+    val json = MigrationMapping.toJson(samplePkgs, "2026-01-01T00:00:00")
+    val root = mapper.readTree(json)
+    // reference top-level key parity
+    for (k <- Seq("version", "generated_at", "packages", "summary", "spark_plans_created"))
+      assert(root.has(k), s"missing key $k")
+    val statusOf = (for {
+      p <- 0 until root.get("packages").size()
+      pkg = root.get("packages").get(p)
+      t <- 0 until pkg.get("tasks").size()
+      task = pkg.get("tasks").get(t)
+    } yield task.get("ssis_task").asText() -> task.get("status").asText()).toMap
+    // golden statuses over the reference's own three sample packages
+    assert(statusOf === Map(
+      "Pre-ETL Validation" -> "converted_to_tests",
+      "Load Sales Facts" -> "converted",
+      "Update Aggregates" -> "converted",
+      "Truncate Staging" -> "skipped",
+      "Load Customer Data" -> "converted",
+      "Merge to Dimension" -> "converted",
+      "Get Last Sync Time" -> "converted",
+      "Call Inventory API" -> "manual_review",
+      "Load Inventory Updates" -> "converted",
+      "Update Sync Log" -> "converted",
+      "Send Completion Email" -> "skipped"))
+    val sum = root.get("summary")
+    assert(sum.get("total_ssis_tasks").asInt() === 11)
+    assert(sum.get("converted").asInt() === 7)
+    assert(sum.get("converted_to_tests").asInt() === 1)
+    assert(sum.get("skipped").asInt() === 2)
+    assert(sum.get("manual_review").asInt() === 1)
+    // (7+1)/11 — same formula as the reference's 63.6% = (6+1)/11; the two
+    // extra conversions are the watermark read and the sync-log append,
+    // which this engine executes rather than skips
+    assert(sum.get("conversion_rate").asText() === "72.7%")
+    // transform mapping carries real compiled expressions for derived cols
+    val lsf = (0 until root.get("packages").size()).map(root.get("packages").get)
+      .flatMap(p => (0 until p.get("tasks").size()).map(p.get("tasks").get))
+      .find(_.get("ssis_task").asText() === "Load Sales Facts").get
+    val tms = (0 until lsf.get("transforms_mapped").size())
+      .map(lsf.get("transforms_mapped").get(_))
+    assert(tms.nonEmpty)
+    assert(tms.exists(_.get("spark_equivalent").asText().contains("join")))
+  }
+
+  test("scaffolding report carries the summary table, per-package tables, review list") {
+    import graft.parser.MigrationMapping
+    val md = MigrationMapping.markdownReport(samplePkgs, "2026-01-01 00:00:00")
+    assert(md.contains("# Spark Migration Scaffolding Report"))
+    assert(md.contains("| SSIS Packages Processed | 3 |"))
+    assert(md.contains("| Total SSIS Tasks | 11 |"))
+    assert(md.contains("| Conversion Rate | 72.7% |"))
+    assert(md.contains("### SalesFactETL.dtsx"))
+    assert(md.contains("**Manual Review Required**"))
+    assert(md.contains("## Manual Review Required"))
+    assert(md.contains("Call Inventory API"))
+  }
 }

@@ -225,4 +225,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(written.keySet === Set("[mart].[disposition_rollup]"))
     assert(written("[mart].[disposition_rollup]") === 2L) // RETURN + KEEP
   }
+
+  test("dry run writes nothing, lists the real run's task set and its write targets") {
+    val in = getClass.getResourceAsStream("/dtsx/DispositionBranchETL.dtsx")
+    val xml = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    val pkg = DtsxParser.parseString(xml)
+    val written = scala.collection.mutable.Map.empty[String, Long]
+    var sqlCalls = 0
+    val env = PackageRunner.RuntimeEnv(
+      resolver = graft.sources.Sources.testdataResolver(spark, "/root/testdata/sf0.001"),
+      write = (t, df, _) => written(t) = df.count(),
+      sqlExecutor = { _ => sqlCalls += 1; None })
+    val dry = PackageRunner.dryRun(spark, pkg, env)
+    // the approval contract: nothing executed, no sink touched
+    assert(written.isEmpty, "dry run must not write")
+    assert(sqlCalls === 0, "dry run must not invoke the SQL executor")
+    // the planned write targets are exactly what a real run writes …
+    assert(dry.sinks === List("[mart].[disposition_rollup]"))
+    // … and the planned task set is exactly the task set the run executes
+    val real = PackageRunner.run(spark, pkg, env)
+    assert(dry.taskNames === real.tasks.map(_.taskName))
+    assert(written.keySet === dry.sinks.toSet)
+    // the rendering is the approval prompt: targets + per-task actions
+    val text = dry.render
+    assert(text.contains("planned actions"))
+    assert(text.contains("[mart].[disposition_rollup]"))
+  }
 }
