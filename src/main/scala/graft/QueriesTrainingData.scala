@@ -1018,7 +1018,148 @@ object QueriesTrainingData {
       |FROM documents
       |QUALIFY rk <= 10""".stripMargin
 
+  /** Token-window chunking — sequence packing's per-document half: split
+    * each document's token stream into fixed windows of `W` tokens with
+    * stride `S` (overlap `W−S`), the shape every pretraining tokenizer
+    * pipeline needs before batching. One narrow HOF builds the chunk
+    * index array and `posexplode` emits (doc, chunk_idx, chunk) — no
+    * shuffle at all: at 100 TB this is an embarrassingly parallel map,
+    * and output rows land in the same partition as their document.
+    * Chunk count is exact integer arithmetic (`1 + max(0, ⌈(n−W)/S⌉)`,
+    * computed with `div` so both engines round identically). */
+  def x26_chunk_windows(spark: SparkSession, dir: String): DataFrame = {
+    val W = 64
+    val S = 48
+    val docs = documents(spark, dir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val nChunks = lit(1) + greatest(lit(0L),
+      expr(s"(size(toks) - $W + ${S - 1}) div $S"))
+    docs
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx").cast(IntegerType).as("chunk_idx"),
+        size(slice(col("toks"), (col("chunk_idx") * S + 1).cast(IntegerType),
+          lit(W))).as("n_tokens"),
+        concat_ws(" ",
+          slice(col("toks"), (col("chunk_idx") * S + 1).cast(IntegerType),
+            lit(W))).as("chunk"))
+  }
+
+  val x26Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      |n AS (
+      |  SELECT doc_id, w,
+      |    1 + GREATEST(0, (len(w) - 64 + 47) // 48) AS nchunks FROM t),
+      |c AS (
+      |  SELECT doc_id, w, unnest(generate_series(1, nchunks)) AS i FROM n)
+      |SELECT doc_id, CAST(i - 1 AS INT) AS chunk_idx,
+      |  CAST(len(w[(i-1)*48+1 : (i-1)*48+64]) AS INT) AS n_tokens,
+      |  array_to_string(w[(i-1)*48+1 : (i-1)*48+64], ' ') AS chunk
+      |FROM c""".stripMargin
+
+  /** PII scrubbing — the redaction pass a compliance-clean corpus needs:
+    * emails, international-format phone numbers, IPv4 addresses, and
+    * 13–16-digit card-like numbers each replace with a typed tag
+    * (`<EMAIL>` …), and the row reports whether anything was redacted.
+    * Pure `regexp_replace` chains (codegen'd, narrow, no shuffle);
+    * patterns are written in the regex intersection both engines'
+    * dialects (Java / RE2) interpret identically, asserted by the
+    * oracle hash on the full corpus and by a seeded-PII spec. Order
+    * matters: emails first (an address contains digit runs a later
+    * rule could half-eat), cards before phones (a 16-digit run must
+    * become `<CARD>`, not a phone prefix match). */
+  def x27_pii_scrub(spark: SparkSession, dir: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+    val card = "\\b[0-9]{13,16}\\b"
+    val phone = "\\+?[0-9][0-9 ()-]{6,18}[0-9]"
+    val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    val scrubbed =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), email, "<EMAIL>"),
+            ip, "<IP>"),
+          card, "<CARD>"),
+        phone, "<PHONE>")
+    documents(spark, dir)
+      .select(col("doc_id"), scrubbed.as("text_scrubbed"),
+        (scrubbed =!= col("text")).as("redacted"))
+  }
+
+  val x27Oracle: String =
+    """SELECT doc_id,
+      |  regexp_replace(
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+      |        '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+      |      '\b[0-9]{13,16}\b', '<CARD>', 'g'),
+      |    '\+?[0-9][0-9 ()-]{6,18}[0-9]', '<PHONE>', 'g') AS text_scrubbed,
+      |  regexp_replace(
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+      |        '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+      |      '\b[0-9]{13,16}\b', '<CARD>', 'g'),
+      |    '\+?[0-9][0-9 ()-]{6,18}[0-9]', '<PHONE>', 'g') <> text AS redacted
+      |FROM documents""".stripMargin
+
+  /** Cross-document exact-substring duplication (the Lee et al.
+    * "Deduplicating Training Data Makes Language Models Better" signal,
+    * at 8-gram granularity): per document, the fraction of its 8-gram
+    * instances that occur anywhere else in the corpus more than once.
+    * Shape at scale: ONE corpus scan — a narrow explode, a (doc, gram)
+    * partial-combining aggregate, then the global gram count as a
+    * gram-partitioned window SUM over that aggregate (a self-join of the
+    * aggregate would re-scan and re-explode the corpus: Spark shares no
+    * common subplan across DataFrame branches) — and a final per-doc
+    * aggregate. Three key-partitioned shuffles of the compacted (doc,
+    * gram) frame, no join, nothing broadcast-sized-by-corpus, and window
+    * groups are per-gram (tiny), so WindowExec's sort never sees a big
+    * partition. PlanShapeSpec pins the single-scan property. */
+  def x28_substring_dup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = documents(spark, dir)
+      .select(col("doc_id"),
+        explode(TextOps.ngrams(TextOps.tokens(col("text")), 8)).as("gram"))
+    val perDocGram = grams.groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+    perDocGram
+      .withColumn("cnt", sum(col("c")).over(Window.partitionBy(col("gram"))))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).cast(LongType).as("n_grams"),
+        sum(when(col("cnt") > 1, col("c")).otherwise(lit(0L)))
+          .cast(LongType).as("n_dup"))
+      .withColumn("dup_frac",
+        col("n_dup").cast(DoubleType) / col("n_grams").cast(DoubleType))
+  }
+
+  val x28Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      |u AS (
+      |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
+      |  FROM t WHERE len(w) >= 8),
+      |g AS (
+      |  SELECT doc_id, array_to_string(w[i:i+7], ' ') AS gram FROM u),
+      |cdg AS (
+      |  SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram),
+      |cg AS (
+      |  SELECT gram, SUM(c) AS cnt FROM cdg GROUP BY gram)
+      |SELECT doc_id,
+      |  CAST(SUM(c) AS BIGINT) AS n_grams,
+      |  CAST(SUM(CASE WHEN cnt > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup,
+      |  CAST(SUM(CASE WHEN cnt > 1 THEN c ELSE 0 END) AS DOUBLE)
+      |    / CAST(SUM(c) AS DOUBLE) AS dup_frac
+      |FROM cdg JOIN cg USING (gram)
+      |GROUP BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x28_substring_dup" -> (x28_substring_dup _),
+    "x27_pii_scrub" -> (x27_pii_scrub _),
+    "x26_chunk_windows" -> (x26_chunk_windows _),
     "x25_source_quota" -> (x25_source_quota _),
     "x24_ngram_overlap" -> (x24_ngram_overlap _),
     "x23_centroid_assign" -> (x23_centroid_assign _),
@@ -1070,5 +1211,8 @@ object QueriesTrainingData {
     "x22_repetition_filter" -> x22Oracle,
     "x23_centroid_assign" -> x23Oracle,
     "x24_ngram_overlap" -> x24Oracle,
-    "x25_source_quota" -> x25Oracle)
+    "x25_source_quota" -> x25Oracle,
+    "x26_chunk_windows" -> x26Oracle,
+    "x27_pii_scrub" -> x27Oracle,
+    "x28_substring_dup" -> x28Oracle)
 }

@@ -142,6 +142,23 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("x26/x27: chunking and PII scrub are embarrassingly parallel (zero exchanges)") {
+    for (q <- Seq("x26_chunk_windows", "x27_pii_scrub")) {
+      val plan = executedPlan(q)
+      assert(!plan.contains("Exchange"), s"$q must not shuffle:\n$plan")
+    }
+  }
+
+  test("x28: substring-dup aggregates partial-combine; gram stats derive from the (doc,gram) agg") {
+    val plan = executedPlan("x28_substring_dup")
+    assert(plan.contains("partial_count"), s"expected partial (doc,gram) counts:\n$plan")
+    // exactly ONE corpus scan: the gram-level aggregate derives from the
+    // (doc, gram) aggregate, never from a second explode of the corpus
+    assert("Scan parquet".r.findAllIn(plan).length === 1,
+      s"expected a single corpus scan:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("x25: quota window input is threshold-pre-filtered, never the full corpus") {
     val plan = executedPlan("x25_source_quota")
     // the |sources|-row threshold frame broadcasts back onto the corpus …
