@@ -372,12 +372,16 @@ object QueriesTrainingData {
       greatest(lit(1L),
         ceil(count(lit(1)).cast(DoubleType) / targetBlock).cast(LongType))
         .as("nb"))
+    // NO cache on the shingle frame: both join sides recompute it — two
+    // narrow scans of the corpus instead of holding corpus-sized shingle
+    // arrays in executor storage (the x06/x14 recompute-over-cache rule;
+    // columnar buffers for per-doc arrays cost more to build than the
+    // split+transform costs to run twice)
     val d = docsRaw
       .repartition(spark.sparkContext.defaultParallelism)
       .crossJoin(broadcast(nb))
       .select(col("doc_id"), col("lang"), (col("doc_id") % col("nb")).as("bucket"),
         DedupOps.shingles(col("text"), 2).as("sh"))
-      .cache()
     val pairs = d.select(col("doc_id"), col("lang"), col("bucket"), col("sh"))
       .join(d.select(col("doc_id").as("partner_id"), col("lang").as("l2"),
           col("bucket").as("b2"), col("sh").as("sh2")),
@@ -386,14 +390,8 @@ object QueriesTrainingData {
       .withColumn("jaccard", DedupOps.jaccard(col("sh"), col("sh2")))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("jaccard").desc, col("partner_id").asc)
-    val res = pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("doc_id"), col("partner_id").as("best_match"), col("jaccard"))
-      // materialize, then free the shingle cache: a library caller must not
-      // inherit this operator's internal storage (the result's blocks are
-      // its own, lineage-truncated)
-      .localCheckpoint(true)
-    d.unpersist()
-    res
   }
 
   val x12Oracle: String =
@@ -1109,24 +1107,31 @@ object QueriesTrainingData {
     * "Deduplicating Training Data Makes Language Models Better" signal,
     * at 8-gram granularity): per document, the fraction of its 8-gram
     * instances that occur anywhere else in the corpus more than once.
-    * Shape at scale: ONE corpus scan — a narrow explode, a (doc, gram)
-    * partial-combining aggregate, then the global gram count as a
-    * gram-partitioned window SUM over that aggregate (a self-join of the
-    * aggregate would re-scan and re-explode the corpus: Spark shares no
-    * common subplan across DataFrame branches) — and a final per-doc
-    * aggregate. Three key-partitioned shuffles of the compacted (doc,
-    * gram) frame, no join, nothing broadcast-sized-by-corpus, and window
-    * groups are per-gram (tiny), so WindowExec's sort never sees a big
-    * partition. PlanShapeSpec pins the single-scan property. */
+    * Shape at scale: a narrow explode, a (doc, gram) partial-combining
+    * aggregate, a gram-level hash aggregate, an equi-join back, a
+    * per-doc aggregate. Two deliberate choices:
+    *  - The gram-level count is a HASH AGGREGATE + join, NOT a
+    *    gram-partitioned window sum: boilerplate grams are the whole
+    *    point of this operator, and at 100 TB a gram occurring in 10⁸
+    *    documents would land 10⁸ rows in ONE WindowExec sort partition,
+    *    while partial aggregation collapses it to one scalar per map
+    *    task and AQE's skew-join splits the heavy key on the join back.
+    *  - The (doc, gram) branch feeds both the gram aggregate and the
+    *    join probe, and Spark shares no subplan across DataFrame
+    *    branches, so the corpus is scanned + exploded twice — chosen
+    *    over caching/checkpointing the (doc, gram) frame, which is
+    *    corpus-token-sized: two narrow scans are cheap, corpus-sized
+    *    executor storage is not (the x06/x14 recompute-over-cache rule).
+    * PlanShapeSpec pins the shape (no window, no cartesian, partial
+    * aggs). */
   def x28_substring_dup(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val grams = documents(spark, dir)
       .select(col("doc_id"),
         explode(TextOps.ngrams(TextOps.tokens(col("text")), 8)).as("gram"))
     val perDocGram = grams.groupBy(col("doc_id"), col("gram"))
       .agg(count(lit(1)).as("c"))
-    perDocGram
-      .withColumn("cnt", sum(col("c")).over(Window.partitionBy(col("gram"))))
+    val perGram = perDocGram.groupBy(col("gram")).agg(sum(col("c")).as("cnt"))
+    perDocGram.join(perGram, "gram")
       .groupBy(col("doc_id"))
       .agg(
         sum(col("c")).cast(LongType).as("n_grams"),

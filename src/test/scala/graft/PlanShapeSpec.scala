@@ -149,14 +149,21 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
-  test("x28: substring-dup aggregates partial-combine; gram stats derive from the (doc,gram) agg") {
+  test("x28: substring-dup aggregates partial-combine; no window over the gram key") {
     val plan = executedPlan("x28_substring_dup")
     assert(plan.contains("partial_count"), s"expected partial (doc,gram) counts:\n$plan")
-    // exactly ONE corpus scan: the gram-level aggregate derives from the
-    // (doc, gram) aggregate, never from a second explode of the corpus
-    assert("Scan parquet".r.findAllIn(plan).length === 1,
-      s"expected a single corpus scan:\n$plan")
+    assert(plan.contains("partial_sum"), s"expected partial gram sums:\n$plan")
+    // the global gram count must be a hash aggregate + equi-join, never a
+    // gram-partitioned window: a boilerplate gram at scale would put its
+    // whole occurrence set into ONE WindowExec sort partition, while the
+    // aggregate partial-combines it to one scalar per map task
+    assert(!plan.contains("WindowExec") && !plan.contains("Window ["),
+      s"gram counting must not use a window:\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    // two corpus scans are DELIBERATE (recompute-over-cache: the shared
+    // (doc,gram) branch is corpus-token-sized and must not be cached)
+    assert("Scan parquet".r.findAllIn(plan).length === 2,
+      s"expected the two-narrow-scan recompute shape:\n$plan")
   }
 
   test("x25: quota window input is threshold-pre-filtered, never the full corpus") {
