@@ -201,6 +201,22 @@ class ArtifactsSpec extends AnyFunSuite {
     assert(md.contains("- **SSIS Package**: CustomerDataLoad.dtsx"))
   }
 
+  test("exportAll writes the reference's full output/ artifact set side by side") {
+    import graft.parser.ArtifactExport
+    val out = java.nio.file.Files.createTempDirectory("graft_artifacts").toString
+    val written = ArtifactExport.exportAll(samplePkgs, out, "2026-01-01T00:00:00")
+    val names = written.map(p => new java.io.File(p).getName).toSet
+    // the reference's output/ directory carries exactly these parse-time
+    // artifacts (validation pair is runtime output, exported after a run)
+    assert(names === Set("parsed_packages.json", "schema_metadata.json",
+      "parsing_report.md", "migration_mapping.json", "scaffolding_report.md"))
+    written.filter(_.endsWith(".json")).foreach { p =>
+      val root = mapper.readTree(new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8"))
+      assert(root !== null, s"$p must parse as JSON")
+    }
+  }
+
   test("migration_mapping.json: per-task ledger over the reference sample trio") {
     import graft.parser.MigrationMapping
     val json = MigrationMapping.toJson(samplePkgs, "2026-01-01T00:00:00")
