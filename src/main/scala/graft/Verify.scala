@@ -30,7 +30,7 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // per-query caches must not accumulate across the 56-query sweep
+      // per-query caches must not accumulate across the full-gate sweep
       spark.sharedState.cacheManager.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
