@@ -75,15 +75,23 @@ object Bench {
       val min = sorted.head
       (name, median, min, err)
     }
-    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
+    // timings rounded to 0.1ms — full-double precision is noise (PERF.md
+    // records 1.3-2x environment drift) and the extra digits pushed the
+    // result line past the driver's tail capture (BENCH_r07 "parsed":
+    // null). The min-per-query map goes on its OWN earlier line; the
+    // FINAL line is the lean driver contract and must stay the last
+    // thing printed.
+    def f(v: Double): String = "%.4f".format(v)
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    val mins = results.map { case (k, _, v, _) => s"\"" + k + "\":" + v }
+    val mins = results.map { case (k, _, v, _) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, _, Some(e)) => s"\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val errField = if (errs == "{}") "" else s""","errors":$errs"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$mins$errField,"sf":"$sfDir"}""")
+    println(s"""{"metric":"queries_min","queries_min":$mins,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -231,28 +231,47 @@ object QueriesTrainingData {
   }
 
   // ---------------------------------------------------------------- similarity
-  /** Embedding near-dup pairs within a coarse block (label ≈ IVF cell),
-    * exact-integer quantized cosine — bit-reproducible across engines. */
+  /** Embedding near-dup pairs blocked on a corpus-scaled sign-LSH bucket —
+    * NOT the semantic `label` column: bounded-cardinality blocks grow
+    * membership O(n) and pair work O(n²) at scale. The bucket is the low
+    * `log2(Blocking.powTwoModulus(ceil(n/256)))` bits of a 16-plane
+    * md5-derived signature, so the oracle reproduces the exact blocks and
+    * total pair work grows linearly with the corpus (see
+    * [[graft.sim.SimilarityOps.nearDupPairsLsh]]). Exact-integer
+    * quantized cosine — bit-reproducible across engines. */
   def x08_embedding_near_dup(spark: SparkSession, dir: String): DataFrame =
-    SimilarityOps.nearDupPairs(
+    SimilarityOps.nearDupPairsLsh(
       embeddings(spark, dir).repartition(spark.sparkContext.defaultParallelism),
-      "vec_id", "embedding", "label", 0.3)
+      "vec_id", "embedding", 0.3)
 
-  val x08Oracle: String =
-    """WITH q AS (
-      |  SELECT vec_id, label,
+  val x08Oracle: String = {
+    val mod = graft.dedup.Blocking.powTwoModulusSql("(SELECT nb FROM nbf)", 16)
+    s"""WITH nbf AS (
+      |  SELECT GREATEST(1, CAST(ceil(COUNT(*) / 256.0) AS BIGINT)) AS nb FROM embeddings),
+      |hp AS (
+      |  SELECT b, list_transform(generate_series(0, 63), i ->
+      |    CAST(('0x' || substr(md5(b || '|' || i), 1, 15)) AS BIGINT) % 2001 - 1000) AS h
+      |  FROM generate_series(0, 15) t(b)),
+      |q AS (
+      |  SELECT vec_id,
       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
       |  FROM embeddings),
       |n AS (
-      |  SELECT vec_id, label, qv,
+      |  SELECT vec_id, qv,
       |    list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])) AS n2
-      |  FROM q)
+      |  FROM q),
+      |bkt AS (
+      |  SELECT vec_id, qv, n2,
+      |    CAST(sum(CASE WHEN list_sum(list_transform(generate_series(1, 64), i -> qv[i] * h[i])) >= 0
+      |             THEN 1 << b ELSE 0 END) AS BIGINT) % ($mod) AS bucket
+      |  FROM n CROSS JOIN hp GROUP BY vec_id, qv, n2)
       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
       |  CAST(list_sum(list_transform(generate_series(1, len(a.qv)), i -> a.qv[i] * b.qv[i])) AS DOUBLE)
       |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cosine
-      |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+      |FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
       |WHERE CAST(list_sum(list_transform(generate_series(1, len(a.qv)), i -> a.qv[i] * b.qv[i])) AS DOUBLE)
       |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) > 0.3""".stripMargin
+  }
 
   /** Brute-force cosine top-k (the ANN correctness baseline): first 10
     * vectors as queries, k=5, deterministic (score desc, id asc) ranking. */
@@ -363,15 +382,13 @@ object QueriesTrainingData {
     * pairs and there are n/targetBlock blocks). A fixed modulus would let
     * blocks grow with the corpus and pairs grow quadratically. The count
     * is one map-side-combining aggregate (a 1-row frame broadcast back),
-    * reproducible in the oracle via COUNT(*). */
+    * reproducible in the oracle via COUNT(*) — the shared
+    * [[graft.dedup.Blocking]] contract (also x18's simhash slice and
+    * x08's LSH bucket). */
   def x12_ngram_jaccard(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val targetBlock = 256.0
     val docsRaw = documents(spark, dir)
-    val nb = docsRaw.agg(
-      greatest(lit(1L),
-        ceil(count(lit(1)).cast(DoubleType) / targetBlock).cast(LongType))
-        .as("nb"))
+    val nb = graft.dedup.Blocking.scaledBucketCount(docsRaw, targetBlock = 256.0)
     // NO cache on the shingle frame: both join sides recompute it — two
     // narrow scans of the corpus instead of holding corpus-sized shingle
     // arrays in executor storage (the x06/x14 recompute-over-cache rule;
@@ -418,19 +435,26 @@ object QueriesTrainingData {
   /** LSH-bucketed ANN (random-hyperplane sign buckets) — the zero-training
     * alternative scale path beside IVF (x11). Hyperplanes are md5-derived,
     * so the oracle reproduces the exact buckets; recall < 1.0 is inherent
-    * (both engines compute the identical approximate answer). */
+    * (both engines compute the identical approximate answer). `bits` is
+    * left to the SELF-TUNING default: derived from the candidate count so
+    * a bucket holds ~256 vectors (`Blocking.scaledBits`) — the oracle
+    * derives the same plane count from COUNT(*). */
   def x13_knn_lsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = embeddings(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
     SimilarityOps.knnLsh(emb.filter(col("vec_id") < 40), emb,
-      "vec_id", "embedding", k = 5, bits = 8, dim = 64)
+      "vec_id", "embedding", k = 5, dim = 64)
   }
 
   val x13Oracle: String =
-    """WITH hp AS (
+    s"""WITH nbits AS (
+      |  SELECT (${graft.dedup.Blocking.scaledBitsSql("nb", 16)}) AS bits
+      |  FROM (SELECT GREATEST(1, CAST(ceil(COUNT(*) / 256.0) AS BIGINT)) AS nb FROM embeddings)),
+      |hp AS (
       |  SELECT b, list_transform(generate_series(0, 63), i ->
       |    CAST(('0x' || substr(md5(b || '|' || i), 1, 15)) AS BIGINT) % 2001 - 1000) AS h
-      |  FROM generate_series(0, 7) t(b)),
+      |  FROM generate_series(0, 15) t(b)
+      |  WHERE b < (SELECT bits FROM nbits)),
       |q AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
       |  FROM embeddings),
@@ -675,26 +699,42 @@ object QueriesTrainingData {
 
   /** Fuzzy near-dup via blocked edit distance — the SSIS Fuzzy
     * Grouping idiom re-expressed at scale. Never all-pairs: candidates
-    * are generated inside (lang, length-band) blocks — one equi-join
-    * shuffle on the block key — and the distance is Spark's bounded
-    * 3-arg `levenshtein` (banded DP: O(threshold·len) per pair and
-    * early-exit above the bound, not O(len²)). At 100 TB the block key
-    * would widen (e.g. + simhash prefix) to keep blocks bounded; the
-    * join/filter shape is unchanged. */
+    * are generated inside (lang, length-band, simhash-slice) blocks —
+    * one equi-join shuffle on the block key — and the distance is
+    * Spark's bounded 3-arg `levenshtein` (banded DP: O(threshold·len)
+    * per pair and early-exit above the bound, not O(len²)).
+    *
+    * The length band alone has NO corpus-size scaling (membership grows
+    * O(n), pairs O(n²)), so the key is widened with a CORPUS-SCALED
+    * simhash slice: `simhash8 % Blocking.powTwoModulus(ceil(n/256))` —
+    * the low-bits modulus of a simhash IS a narrower simhash, so docs
+    * within a small edit distance (few flipped signature bits) still
+    * collide with high probability, and the slice widens as the corpus
+    * grows, keeping block membership ~bounded (recall/cost knob:
+    * Fuzzy Grouping's similarity-threshold analog; recall is measured
+    * in FuzzyBlockingSpec). Count rides a broadcast 1-row frame,
+    * reproducible in the oracle via COUNT(*) — the shared
+    * [[graft.dedup.Blocking]] contract with x12/x08. */
   def x18_fuzzy_levenshtein(spark: SparkSession, dir: String): DataFrame = {
-    val b = documents(spark, dir).select(
-      col("doc_id"), col("lang"),
-      substring(col("text"), 1, 80).as("p"),
-      floor(length(col("text")) / 40).cast(LongType).as("blk"))
+    val docsRaw = documents(spark, dir)
+    val nbf = graft.dedup.Blocking.scaledBucketCount(docsRaw, targetBlock = 256.0)
+    val b = docsRaw
+      .crossJoin(broadcast(nbf))
+      .select(
+        col("doc_id"), col("lang"),
+        substring(col("text"), 1, 80).as("p"),
+        floor(length(col("text")) / 40).cast(LongType).as("blk"),
+        (DedupOps.simhash(col("text"), 8).cast(LongType) %
+          graft.dedup.Blocking.powTwoModulus(col("nb"), 8)).as("shs"))
     // probe side spread over the cluster: the broadcast join's parallelism
     // IS the probe side's partitioning, and a small single-file scan is
     // otherwise 1-2 partitions doing every DP evaluation (same lesson as
     // x06's signature pipeline)
     val left = b.repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id").as("doc_a"), col("lang").as("lang_a"),
-        col("p").as("p_a"), col("blk").as("blk_a"))
+        col("p").as("p_a"), col("blk").as("blk_a"), col("shs").as("shs_a"))
     val right = b.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
-      col("p").as("p_b"), col("blk").as("blk_b"))
+      col("p").as("p_b"), col("blk").as("blk_b"), col("shs").as("shs_b"))
     // equi-join on the block key ONLY; `doc_a < doc_b` leads the filter
     // conjunction so the pushed-down join condition short-circuits the
     // (expensive, banded-DP) levenshtein for the unordered half of every
@@ -702,22 +742,37 @@ object QueriesTrainingData {
     // putting the ordering test inside the join condition instead would
     // get it appended AFTER the pushed levenshtein bound
     left.join(right,
-        col("lang_a") === col("lang_b") && col("blk_a") === col("blk_b"))
+        col("lang_a") === col("lang_b") && col("blk_a") === col("blk_b") &&
+          col("shs_a") === col("shs_b"))
       .select(col("doc_a"), col("doc_b"),
         levenshtein(col("p_a"), col("p_b"), 20).cast(LongType).as("lev"))
       .filter(col("doc_a") < col("doc_b") && col("lev") >= 0)
   }
 
-  val x18Oracle: String =
-    """WITH b AS (
-      |  SELECT doc_id, lang, substr(text, 1, 80) AS p,
-      |    CAST(floor(length(text) / 40) AS BIGINT) AS blk
-      |  FROM documents)
-      |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
-      |  CAST(levenshtein(a.p, c.p) AS BIGINT) AS lev
-      |FROM b a JOIN b c
-      |  ON a.lang = c.lang AND a.blk = c.blk AND a.doc_id < c.doc_id
-      |WHERE levenshtein(a.p, c.p) <= 20""".stripMargin
+  val x18Oracle: String = {
+    val bitSums = (0 until 8).map(b =>
+      s"""list_sum(list_transform(list_distinct(string_split_regex(text,'\\s+')),
+         |    w -> CASE WHEN (CAST(('0x'||substr(md5(w),1,15)) AS BIGINT) >> $b) & 1 = 1
+         |              THEN 1 ELSE -1 END)) AS s$b""".stripMargin).mkString(",\n  ")
+    val sig = (0 until 8).map(b => s"CASE WHEN s$b >= 0 THEN ${1 << b} ELSE 0 END").mkString(" + ")
+    val mod = graft.dedup.Blocking.powTwoModulusSql("(SELECT nb FROM nbf)", 8)
+    s"""WITH nbf AS (
+       |  SELECT GREATEST(1, CAST(ceil(COUNT(*) / 256.0) AS BIGINT)) AS nb FROM documents),
+       |sums AS (
+       |  SELECT doc_id, lang, substr(text, 1, 80) AS p,
+       |    CAST(floor(length(text) / 40) AS BIGINT) AS blk,
+       |  $bitSums
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id, lang, p, blk,
+       |    CAST($sig AS BIGINT) % ($mod) AS shs
+       |  FROM sums)
+       |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+       |  CAST(levenshtein(a.p, c.p) AS BIGINT) AS lev
+       |FROM b a JOIN b c
+       |  ON a.lang = c.lang AND a.blk = c.blk AND a.shs = c.shs AND a.doc_id < c.doc_id
+       |WHERE levenshtein(a.p, c.p) <= 20""".stripMargin
+  }
 
   /** Stratified sampling — corpus rebalancing by language: the dominant
     * language is DOWN-sampled (en keeps 25%) while the long tail keeps

@@ -25,23 +25,46 @@ object SqlText {
       "CREATE|ALTER|DROP|EXEC|EXECUTE|BEGIN|SET|RAISERROR|GRANT|USE)\\b").r
 
   def stripComments(sql: String): String =
-    if (sql.contains('\n'))
-      sql.linesIterator.map(_.replaceAll("--.*$", "")).mkString("\n").trim
-    else {
-      val out = new StringBuilder
-      var rest = sql
-      while (rest.nonEmpty) {
-        val i = rest.indexOf("--")
-        if (i < 0) { out ++= rest; rest = "" }
-        else {
-          out ++= rest.substring(0, i)
-          val after = rest.substring(i + 2)
-          stmtKeyword.findFirstMatchIn(after) match {
-            case Some(m) => rest = after.substring(m.start)
-            case None => rest = ""
-          }
-        }
-      }
-      out.result().trim
+    (if (sql.contains('\n')) stripToEol(sql) else stripNormalized(sql)).trim
+
+  /** Newlines present: strip `--` to end-of-line — but only a `--` OUTSIDE
+    * a single-quoted literal starts a comment (`WHERE note <> '--x'` must
+    * survive intact). Quote state persists across newlines, so a literal
+    * that legally spans lines can't hide a fake comment start either.
+    * A doubled `''` escape reads as close-then-reopen: same net state. */
+  private def stripToEol(sql: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    var inQ = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inQ) { out += c; if (c == '\'') inQ = false; i += 1 }
+      else if (c == '\'') { out += c; inQ = true; i += 1 }
+      else if (c == '-' && i + 1 < sql.length && sql.charAt(i + 1) == '-') {
+        while (i < sql.length && sql.charAt(i) != '\n') i += 1
+      } else { out += c; i += 1 }
     }
+    out.result()
+  }
+
+  /** Normalized (newline-free) case: the keyword heuristic, applied only
+    * to a `--` outside single-quoted literals. */
+  private def stripNormalized(sql: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    var inQ = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inQ) { out += c; if (c == '\'') inQ = false; i += 1 }
+      else if (c == '\'') { out += c; inQ = true; i += 1 }
+      else if (c == '-' && i + 1 < sql.length && sql.charAt(i + 1) == '-') {
+        val after = sql.substring(i + 2)
+        stmtKeyword.findFirstMatchIn(after) match {
+          case Some(m) => i = i + 2 + m.start
+          case None => i = sql.length
+        }
+      } else { out += c; i += 1 }
+    }
+    out.result()
+  }
 }

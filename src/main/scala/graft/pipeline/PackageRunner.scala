@@ -160,7 +160,17 @@ object PackageRunner {
             PlannedTask(task.name, "DataFlowTask",
               s"COMPILATION FAILS: ${e.getMessage}", Nil, gateOf(task.name))
         }
-      case sql: ExecuteSqlTask =>
+      case sql0: ExecuteSqlTask =>
+        // bind `?` placeholders exactly as the real run does before
+        // classification: a statement whose shape depends on bound values
+        // must plan the same action it will execute (approval-gate
+        // contract)
+        val sql =
+          if (PackageVariables.placeholderCount(sql0.sqlStatement) == 0) sql0
+          else sql0.copy(sqlStatement = PackageVariables.bindSql(
+            sql0.sqlStatement,
+            pkg.variables.map(v => values.getOrElse(v.qualifiedName,
+              PackageVariables.parseValue(v.ssisType, v.value)))))
         val m = graft.parser.MigrationMapping.mapTask(sql, pkg.variables)
         val action = m.status match {
           case "converted" => s"delegate to SQL executor — ${m.strategy.getOrElse("")}"

@@ -14,9 +14,11 @@ import org.apache.spark.sql.types._
   * bit-reproducible across engines (the DuckDB oracle contract).
   *
   * Scale design: brute-force top-k is the correctness baseline; the scale
-  * path blocks candidates on a coarse partition (here the `label` column,
-  * standing in for an IVF centroid assignment — see [[knnBlocked]]), which
-  * turns the O(n²) cross join into a per-bucket shuffle join.
+  * path blocks candidates on a coarse partition whose COUNT grows with the
+  * corpus — sign-LSH buckets ([[knnLsh]], [[nearDupPairsLsh]]) or IVF
+  * cells ([[graft.sim.IvfIndex]]) — which turns the O(n²) cross join into
+  * a per-bucket shuffle join with linearly-growing total pair work (the
+  * [[graft.dedup.Blocking]] contract).
   */
 object SimilarityOps {
 
@@ -155,8 +157,18 @@ object SimilarityOps {
     * < 1.0 by construction (raise `bits`↓bucket size, or hash several
     * tables, to trade). */
   def knnLsh(queries: DataFrame, candidates: DataFrame, idCol: String,
-      vecCol: String, k: Int, bits: Int = 8, dim: Int = 64): DataFrame = {
-    val planes = lshHyperplanes(bits, dim)
+      vecCol: String, k: Int, bits: Int = 0, dim: Int = 64,
+      targetBucket: Double = 256.0): DataFrame = {
+    // bits <= 0 → self-tuning default: derive the plane count from the
+    // candidate-corpus count so a bucket holds ~targetBucket vectors
+    // (2^bits ≈ n / targetBucket). Costs one count() action — plane
+    // literals fix the plan structure, so this can't ride the broadcast-
+    // count trick the pure-modulus blockers use. An explicit `bits`
+    // skips the count and is the recall/cost override knob.
+    val nBits =
+      if (bits > 0) bits
+      else graft.dedup.Blocking.scaledBits(candidates.count(), targetBucket, maxBits = 16)
+    val planes = lshHyperplanes(nBits, dim)
     val q = withQuantized(queries, vecCol).select(
       col(idCol).as("query_id"), col("qvec").as("qv"), col("qn2").as("qn"),
       lshBucket(col("qvec"), planes).as("bkt"))
@@ -175,8 +187,49 @@ object SimilarityOps {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
-  /** Near-duplicate pairs by cosine threshold within a coarse block —
-    * embedding-based near-dedup (doc_a < doc_b, deterministic). */
+  /** Embedding near-dup pairs blocked on an embedding-DERIVED sign-LSH
+    * bucket whose count SCALES with the corpus — the 100 TB shape.
+    *
+    * Why not a semantic block column (label/category): its cardinality
+    * is bounded, so block membership grows O(n) and within-block pairs
+    * O(n²). Here the block key is `lshBucket % Blocking.powTwoModulus(
+    * ceil(n/targetBlock))`: the modulus grows with the corpus, membership
+    * stays ~targetBlock, total pairs grow linearly. The low-bits modulus
+    * of the `maxBits`-plane signature is exactly a coarser LSH (the first
+    * log2(modulus) planes), so high-cosine pairs still collide with the
+    * usual sign-LSH probability — recall < 1.0 by construction, like
+    * [[knnLsh]]. Count rides a broadcast 1-row frame (no driver action),
+    * planes are md5-derived → any engine reproduces the exact buckets. */
+  def nearDupPairsLsh(df: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double, targetBlock: Double = 256.0, maxBits: Int = 16,
+      dim: Int = 64): DataFrame = {
+    import graft.dedup.Blocking
+    val planes = lshHyperplanes(maxBits, dim)
+    val nb = Blocking.scaledBucketCount(df, targetBlock)
+    val base = withQuantized(df, vecCol)
+      .crossJoin(broadcast(nb))
+      .select(col(idCol),
+        (lshBucket(col("qvec"), planes).cast(LongType) %
+          Blocking.powTwoModulus(col("nb"), maxBits)).as("lsh_blk"),
+        col("qvec"), col("qn2"))
+    val a = base.select(col(idCol).as("id_a"), col("lsh_blk").as("blk"),
+      col("qvec").as("va"), col("qn2").as("na"))
+    val b = base.select(col(idCol).as("id_b"), col("lsh_blk").as("blk2"),
+      col("qvec").as("vb"), col("qn2").as("nb2"))
+    a.join(b, col("blk") === col("blk2") && col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        qdot(col("va"), col("vb")).cast(DoubleType) /
+          (sqrt(col("na").cast(DoubleType)) * sqrt(col("nb2").cast(DoubleType))))
+      .filter(col("cosine") > minCosine)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** Near-duplicate pairs by cosine threshold within a CALLER-SUPPLIED
+    * block column (doc_a < doc_b, deterministic). Generic primitive for
+    * precomputed assignments that already scale with the corpus (an IVF
+    * cell from [[IvfIndex]], a staged cluster id); for a semantic column
+    * of bounded cardinality prefer [[nearDupPairsLsh]] — fixed-cardinality
+    * blocks grow quadratic pair work with corpus size. */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       blockCol: String, minCosine: Double): DataFrame = {
     val a = withQuantized(df, vecCol).select(

@@ -337,6 +337,28 @@ class PlanShapeSpec extends AnyFunSuite {
       "probe side lost its parallelizing repartition")
   }
 
+  test("x08: pair join keys on the corpus-scaled LSH bucket, never the label column") {
+    // a semantic block column has bounded cardinality → membership grows
+    // O(n), within-block pairs O(n²); the embedding-derived bucket count
+    // scales with COUNT(*) (Blocking contract), so pairs grow linearly
+    val plan = executedPlan("x08_embedding_near_dup")
+    assert(!plan.contains("label"),
+      "x08 references the semantic label column — fixed-cardinality blocking is back")
+    val cond = plan.linesIterator.find(l => l.contains("Join") && l.contains("blk"))
+      .getOrElse("")
+    assert(cond.contains("blk"), s"pair join does not key on the derived bucket: $cond")
+    // the 1-row scaled-count frame rides a broadcast, not a shuffle
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"))
+  }
+
+  test("x18: block key includes the corpus-scaled simhash slice") {
+    val plan = executedPlan("x18_fuzzy_levenshtein")
+    val cond = plan.linesIterator.find(l => l.contains("Join") && l.contains("lang_"))
+      .getOrElse("")
+    assert(cond.contains("shs_"),
+      s"join no longer keys on the simhash slice — length bands alone grow O(n²) pairs: $cond")
+  }
+
   test("no gated plan contains a trivially-true self-equality predicate") {
     // `a#12 = a#12` (same exprId on both sides) means a join condition was
     // written against two frames that resolve to the SAME attribute — the
