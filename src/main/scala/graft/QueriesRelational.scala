@@ -1518,6 +1518,35 @@ object QueriesRelational {
       |WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
       |GROUP BY 1""".stripMargin
 
+  /** The q57 bloom pushdown with MIXED-WIDTH keys: an INT fact key
+    * probing a BIGINT dim key. `xxhash64` is type-sensitive — hashing
+    * each side's NATIVE type turns every probe into a false negative and
+    * silently drops all matching rows (the latent BloomJoin bug the r7
+    * spec fix closed); `prefilteredEquiJoin` widens both sides to one
+    * BIGINT hash type, so the result must equal the plain coercing join,
+    * which is exactly what the oracle computes. Oracle-visible twin of
+    * the BloomJoin mixed-type parity spec. */
+  def q61_bloom_mixed_keys(spark: SparkSession, dir: String): DataFrame = {
+    val dim = orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "F")
+      .select(col("o_orderkey")) // BIGINT
+    val fact = lineitem(spark, dir)
+      .select(col("l_orderkey").cast(IntegerType).as("l_orderkey_i"),
+        col("l_returnflag"), col("l_quantity"))
+    graft.ops.BloomJoin.prefilteredEquiJoin(fact, "l_orderkey_i", dim, "o_orderkey")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast(Money)).cast(DoubleType).as("sum_qty"))
+  }
+
+  val q61Oracle: String =
+    """SELECT l_returnflag, COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN orders ON CAST(l_orderkey AS INT) = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+      |GROUP BY 1""".stripMargin
+
   /** Schema evolution across ingest batches — the lakehouse reality a
     * long-lived warehouse dataset accretes: batch 1 was written before
     * `n_regionkey` existed, batch 2 carries it. `mergeSchema` unifies
@@ -1571,6 +1600,7 @@ object QueriesRelational {
       |FROM events GROUP BY 1""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_bloom_mixed_keys" -> (q61_bloom_mixed_keys _),
     "q59_json_extract" -> (q59_json_extract _),
     "q58_schema_evolution" -> (q58_schema_evolution _),
     "q57_bloom_join" -> (q57_bloom_join _),
@@ -1628,6 +1658,7 @@ object QueriesRelational {
     "q22_date_functions" -> (q22_date_functions _))
 
   val oracle: Map[String, String] = Map(
+    "q61_bloom_mixed_keys" -> q61Oracle,
     "q59_json_extract" -> q59Oracle,
     "q58_schema_evolution" -> q58Oracle,
     "q57_bloom_join" -> q57Oracle,

@@ -726,14 +726,22 @@ object QueriesTrainingData {
         floor(length(col("text")) / 40).cast(LongType).as("blk"),
         (DedupOps.simhash(col("text"), 8).cast(LongType) %
           graft.dedup.Blocking.powTwoModulus(col("nb"), 8)).as("shs"))
-    // probe side spread over the cluster: the broadcast join's parallelism
-    // IS the probe side's partitioning, and a small single-file scan is
-    // otherwise 1-2 partitions doing every DP evaluation (same lesson as
-    // x06's signature pipeline)
-    val left = b.repartition(spark.sparkContext.defaultParallelism)
-      .select(col("doc_id").as("doc_a"), col("lang").as("lang_a"),
-        col("p").as("p_a"), col("blk").as("blk_a"), col("shs").as("shs_a"))
-    val right = b.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+    // ONE hash exchange on the block key materializes the signature
+    // columns; both join sides read the SAME shuffle output
+    // (ReuseExchange — the subtrees canonicalize equal), so the
+    // md5-heavy simhash is computed once per doc, not once per join
+    // side, and the join's pushed `isnotnull(shs)` filter stays below
+    // the single exchange. This also replaces the previous
+    // whole-corpus broadcast build side: shuffling BOTH sides on the
+    // block key is the shape that survives 100× — a corpus doesn't
+    // broadcast. The exchange doubles as the parallelism spreader the
+    // r5 fix added (a small single-file scan is otherwise 1-2
+    // partitions doing every DP evaluation).
+    val sig = b.repartition(spark.sparkContext.defaultParallelism,
+      col("lang"), col("blk"), col("shs"))
+    val left = sig.select(col("doc_id").as("doc_a"), col("lang").as("lang_a"),
+      col("p").as("p_a"), col("blk").as("blk_a"), col("shs").as("shs_a"))
+    val right = sig.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
       col("p").as("p_b"), col("blk").as("blk_b"), col("shs").as("shs_b"))
     // equi-join on the block key ONLY; `doc_a < doc_b` leads the filter
     // conjunction so the pushed-down join condition short-circuits the

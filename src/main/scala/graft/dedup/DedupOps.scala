@@ -160,17 +160,33 @@ object DedupOps {
 
   /** SimHash over the distinct token set, `bits` wide (bit b of the
     * signature = sign of Σ_tokens (2·bit_b(h(token)) − 1)). md5-derived
-    * 60-bit token hash keeps it engine-reproducible. */
+    * 60-bit token hash keeps it engine-reproducible.
+    *
+    * Cost shape: interpreted HOF expressions get no common-subexpression
+    * elimination, so the naive per-bit formulation (one `aggregate` per
+    * bit, each re-deriving `stableHash64`) pays `bits` md5s PER TOKEN —
+    * and a join that references the signature in its key gets the whole
+    * expression re-inlined into the pushed `isnotnull` filter on BOTH
+    * sides, multiplying that again (the x18 probe measured ~4
+    * evaluations per doc). This formulation hashes each token ONCE: one
+    * `transform` to the hash array, one fold carrying all `bits`
+    * accumulators as an array (`shiftright` via `call_function` — the
+    * SQL builtin takes a column shift amount, the Scala wrapper doesn't),
+    * and one positional fold to assemble the signature. Semantics are
+    * bit-identical to the per-bit form (SimHash parity spec). */
   def simhash(text: Column, bits: Int = 8): Column = {
-    val toks = array_distinct(TextOps.tokens(text))
-    val sums = (0 until bits).map { b =>
-      aggregate(toks, lit(0),
-        (acc, w) =>
-          acc + (shiftright(TextOps.stableHash64(w), b).bitwiseAND(lit(1L)) * 2 - 1).cast(IntegerType))
-    }
-    sums.zipWithIndex.map { case (s, b) =>
-      when(s >= 0, lit(1 << b)).otherwise(lit(0))
-    }.reduce(_ + _)
+    val hs = transform(array_distinct(TextOps.tokens(text)),
+      w => TextOps.stableHash64(w))
+    val folded = aggregate(hs, array(Seq.fill(bits)(lit(0)): _*),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(bits - 1)),
+        (a, b) => a +
+          (call_function("shiftright", h, b).bitwiseAND(lit(1L)) * 2 - 1)
+            .cast(IntegerType)))
+    aggregate(folded, struct(lit(1).as("p"), lit(0).as("sig")),
+      (acc, s) => struct(
+        (acc.getField("p") * 2).as("p"),
+        (acc.getField("sig") + when(s >= 0, acc.getField("p")).otherwise(lit(0))).as("sig")),
+      acc => acc.getField("sig"))
   }
 
   /** Exact-duplicate groups on a key expression: one survivor (min id) per

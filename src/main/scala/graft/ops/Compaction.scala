@@ -45,10 +45,12 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * there is a window where the path does not exist (readers get
   * ENOENT-and-retry, never partial data); if the second rename fails the
   * original generation is MOVED BACK, so a crash cannot strand the only
-  * copy under the `.old-*` name. Underscore/dot-prefixed sidecar files
-  * (`_SUCCESS`, `_common_metadata`, …) are NOT carried through a rewrite
-  * — Spark never reads them, but external tooling that does should
-  * re-derive them after compaction.
+  * copy under the `.old-*` name. Root-level underscore sidecar files
+  * (`_SUCCESS`, `_common_metadata`, custom markers) ARE carried into the
+  * new generation — external tooling keys on them — with two deliberate
+  * exceptions: `_metadata` (it indexes the REPLACED files' row groups;
+  * carrying it forward would be a stale lie) and dot-prefixed files
+  * (local-FS `.crc` checksums name specific data files).
   */
 object Compaction {
 
@@ -107,6 +109,23 @@ object Compaction {
     if (before.length <= nOut)
       return CompactionStats(before.length, before.length, bytesBefore, bytesBefore)
     val partCols = partitionColumns(dir)
+    // a mixed/partial layout (data files above the detected partition
+    // depth, or non-`k=v` directory components) must fail with a CLEAR
+    // message before any rewrite, not an opaque index error mid-sizing —
+    // and never a silent fall-back that would re-layout the dataset and
+    // destroy planning-time pruning for its readers
+    if (partCols.nonEmpty) {
+      val offenders = before.filter { f =>
+        val rel = dir.toPath.relativize(f.toPath)
+        rel.getNameCount != partCols.size + 1 ||
+          partCols.indices.exists(i => !rel.getName(i).toString.contains("="))
+      }
+      require(offenders.isEmpty,
+        s"inconsistent partition layout under $dir: detected partition " +
+          s"columns ${partCols.mkString("(", ", ", ")")} but " +
+          s"${offenders.size} data file(s) sit outside that k=v depth, " +
+          s"e.g. ${offenders.take(3).map(f => dir.toPath.relativize(f.toPath).toString).mkString(", ")}")
+    }
     // mergeSchema: a schema-evolved dataset (q58 shape) must keep every
     // batch's columns through the rewrite
     val df = spark.read.option("mergeSchema", "true").parquet(dir.getPath)
@@ -115,14 +134,14 @@ object Compaction {
       if (partCols.isEmpty) df.repartition(nOut)
       else {
         // per-partition-value output counts, from the listing only: the
-        // k=v components of each file's relative path, bytes summed per
-        // value tuple. (Values compare via cast-to-string against the
-        // directory names — exotic hive-escaped values would need
-        // unescaping here.)
+        // k=v components of each file's relative path (hive-unescaped),
+        // bytes summed per value tuple
         val hiveNull = "__HIVE_DEFAULT_PARTITION__"
         val perPart: Map[Seq[String], Long] = before.groupBy { f =>
           val rel = dir.toPath.relativize(f.toPath)
-          partCols.indices.map(i => rel.getName(i).toString.split("=", 2)(1))
+          partCols.indices.map(i =>
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .unescapePathName(rel.getName(i).toString.split("=", 2)(1)))
         }.view.mapValues(_.map(_.length).sum).toMap
         val pvCols = partCols.indices.map(i => s"__graft_pv_$i")
         val rows = perPart.toSeq.map { case (vals, bytes) =>
@@ -133,8 +152,18 @@ object Compaction {
           pvCols.map(StructField(_, StringType)) :+ StructField("__graft_nout", LongType))
         val sizing = spark.createDataFrame(
           spark.sparkContext.parallelize(rows, 1), schema)
+        // canonicalize through the DATASET's own types: the raw directory
+        // text is cast to df's type-INFERRED partition column type before
+        // comparing — `month=07` infers int 7, and raw "07" ≠ "7" would
+        // miss the join, collapse __graft_nout to 1, and push a large
+        // partition through a single reducer. Null-safe `<=>` so the hive
+        // default-partition marker meets the NULL value it stands for. (A
+        // text the cast can't parse but inference somehow could degrades
+        // to nout=1 for that value — correct data, single-file output.)
         val joinCond = partCols.zip(pvCols).map { case (k, pv) =>
-          coalesce(df(k).cast(StringType), lit(hiveNull)) === sizing(pv)
+          val typed = when(sizing(pv) === hiveNull, lit(null))
+            .otherwise(sizing(pv)).cast(df.schema(k).dataType)
+          df(k) <=> typed
         }.reduce(_ && _)
         // shuffle on (partition cols, salt): each partition value spreads
         // over exactly its own salt-modulus worth of tasks, so partitionBy
@@ -154,6 +183,19 @@ object Compaction {
     val writer = out.write
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
       .parquet(scratch.getAbsolutePath)
+    // carry root-level underscore sidecars (`_SUCCESS`, `_common_metadata`,
+    // custom completion markers) into the new generation BEFORE the swap —
+    // external tooling keys on them and the rewrite must not eat them.
+    // Deliberately skipped: `_metadata` (indexes the replaced files' row
+    // groups — stale after the rewrite), dot-files (local-FS `.crc`
+    // checksums name specific data files), and directories (`_temporary`
+    // debris from crashed writers has no place in a fresh generation).
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith("_") && f.getName != "_metadata")
+      .foreach { f =>
+        java.nio.file.Files.copy(f.toPath, new File(scratch, f.getName).toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
     // atomic swap: old dir aside, scratch in, old deleted — readers see
     // one complete generation or the other
     val old = new File(dir.getParentFile, dir.getName + ".old-" + java.util.UUID.randomUUID)

@@ -109,4 +109,26 @@ class DedupPropertySpec extends AnyFunSuite {
       assert(r.getInt(0) === r.getInt(1))
     }
   }
+
+  test("simhash single-pass fold ≡ naive per-bit aggregate (the oracle's form)") {
+    // the production form hashes each token once and folds all bits in
+    // one pass; the x07 DuckDB oracle (and the pre-optimization code)
+    // computes one aggregate per bit — they must agree bit-for-bit
+    def naive(text: org.apache.spark.sql.Column, bits: Int) = {
+      val toks = array_distinct(graft.text.TextOps.tokens(text))
+      val sums = (0 until bits).map { b =>
+        aggregate(toks, lit(0), (acc, w) =>
+          acc + (shiftright(graft.text.TextOps.stableHash64(w), b)
+            .bitwiseAND(lit(1L)) * 2 - 1).cast(org.apache.spark.sql.types.IntegerType))
+      }
+      sums.zipWithIndex.map { case (s, b) =>
+        when(s >= 0, lit(1 << b)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }
+    val docs = sample(doc, 80) :+ "" :+ "one" :+ "a a a a"
+    docs.toDF("text")
+      .select(DedupOps.simhash(col("text"), 8).as("fast"),
+        naive(col("text"), 8).as("slow"))
+      .collect().foreach(r => assert(r.getInt(0) === r.getInt(1)))
+  }
 }

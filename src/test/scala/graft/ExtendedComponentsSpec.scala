@@ -331,6 +331,71 @@ class ExtendedComponentsSpec extends AnyFunSuite {
     assert(back.filter(col("b") === 1).count() === 20000)
   }
 
+  test("compaction carries sidecar files into the new generation; drops stale _metadata") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_sc").toString
+    (1 to 10000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(32).write.mode("overwrite").parquet(dir)
+    val marker = new java.io.File(dir, "_graft_ingest_marker")
+    java.nio.file.Files.write(marker.toPath, "batch-42".getBytes)
+    // a REAL _metadata summary is valid parquet (Spark's mergeSchema read
+    // consults it) — model it with a copy of one data file's bytes
+    val staleMeta = new java.io.File(dir, "_metadata")
+    val aDataFile = new java.io.File(dir).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(aDataFile.toPath, staleMeta.toPath)
+    graft.ops.Compaction.compact(spark, dir, targetFileBytes = 512L * 1024): Unit
+    assert(new java.io.File(dir, "_SUCCESS").isFile, "_SUCCESS must survive the rewrite")
+    assert(marker.isFile, "custom sidecar must survive the rewrite")
+    assert(new String(java.nio.file.Files.readAllBytes(marker.toPath)) === "batch-42")
+    assert(!staleMeta.exists,
+      "_metadata indexes the replaced files and must NOT be carried forward")
+  }
+
+  test("zero-padded partition values size correctly (dir text canonicalized through inferred type)") {
+    // month=07 infers as int 7; the sizing join used to compare "7" ≠ "07",
+    // miss, and push the whole big partition through ONE reducer/file
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_pad").toString
+    val rows = (1 to 20000).map(i => (i.toLong, "07", s"payload_$i" * 8)) ++
+      (1 to 300).map(i => (i.toLong, "08", s"p$i"))
+    rows.toDF("id", "month", "v").repartition(16)
+      .write.partitionBy("month").mode("overwrite").parquet(dir)
+    val stats = graft.ops.Compaction.compact(spark, dir, targetFileBytes = 64L * 1024)
+    assert(stats.filesAfter < stats.filesBefore)
+    // the rewrite normalizes the dir name through the inferred int (07→7)
+    val big = Option(new java.io.File(dir, "month=7").listFiles())
+      .getOrElse(Array.empty[java.io.File]).count(_.getName.endsWith(".parquet"))
+    assert(big >= 2,
+      s"zero-padded big partition compacted to $big file(s) — sizing join missed it")
+    assert(spark.read.parquet(dir).count() === rows.length)
+  }
+
+  test("mixed partition layout fails fast with a clear message, before any rewrite") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_mix").toString
+    (1 to 2000).map(i => (i.toLong, i % 3, s"v$i")).toDF("id", "b", "v").repartition(8)
+      .write.partitionBy("b").mode("overwrite").parquet(dir)
+    // a stray data file ABOVE the partition depth (partial layout)
+    (1 to 10).map(i => (i.toLong, s"x$i")).toDF("id", "v")
+      .coalesce(1).write.parquet(s"$dir/stray")
+    Option(new java.io.File(s"$dir/stray").listFiles()).getOrElse(Array.empty)
+      .find(_.getName.endsWith(".parquet"))
+      .foreach(f => java.nio.file.Files.move(f.toPath,
+        new java.io.File(dir, "stray.parquet").toPath))
+    def rmRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRec)
+      f.delete(): Unit
+    }
+    rmRec(new java.io.File(s"$dir/stray"))
+    val before = new java.io.File(dir).lastModified
+    val e = intercept[IllegalArgumentException] {
+      // target big enough that nOut < current file count — the validation
+      // must fire on the REWRITE path, not be skipped by the no-op return
+      graft.ops.Compaction.compact(spark, dir, targetFileBytes = 1024L * 1024)
+    }
+    assert(e.getMessage.contains("inconsistent partition layout"))
+    assert(e.getMessage.contains("stray.parquet"))
+    assert(new java.io.File(dir).lastModified === before, "dataset must be untouched")
+  }
+
   test("datasetKey tolerates an unreadable file (vanished mid-walk) instead of aborting staging") {
     val d = java.nio.file.Files.createTempDirectory("graft_key")
     val t = java.nio.file.Files.createDirectory(d.resolve("t"))

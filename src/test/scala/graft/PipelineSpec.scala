@@ -251,4 +251,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(text.contains("planned actions"))
     assert(text.contains("[mart].[disposition_rollup]"))
   }
+
+  test("dry run classifies ExecuteSQL on the BOUND statement, like the real run") {
+    // a `?` placeholder must be substituted before classification —
+    // otherwise the approval gate can plan one action and execute another
+    import graft.ir.Ir.{SsisPackage, Variable}
+    def pkgOf(stmt: String, vars: List[Variable]) = SsisPackage("p", None, Nil, vars,
+      List(graft.ir.Ir.ExecuteSqlTask("sql", None, "conn", stmt)), Nil)
+    val env = PackageRunner.RuntimeEnv(
+      resolver = graft.sources.Sources.testdataResolver(spark, "/root/testdata/sf0.001"),
+      write = (_, _, _) => fail("dry run must not write"))
+    val bound = PackageRunner.dryRun(spark,
+      pkgOf("DELETE FROM [stage].[t] WHERE batch_id = ?",
+        List(Variable("User", "Batch", "DT_I4", "42"))), env)
+    val literal = PackageRunner.dryRun(spark,
+      pkgOf("DELETE FROM [stage].[t] WHERE batch_id = 42", Nil), env)
+    assert(bound.planned.head.action === literal.planned.head.action)
+    assert(bound.planned.head.sinks === literal.planned.head.sinks)
+  }
 }

@@ -325,16 +325,23 @@ class PlanShapeSpec extends AnyFunSuite {
     // the pushed-down join condition must short-circuit `doc_a < doc_b`
     // BEFORE the banded-DP levenshtein — evaluated the other way round,
     // every block pays the DP for both orderings of every pair
-    val plan = executedPlan("x18_fuzzy_levenshtein")
+    val q = SparkEntry.queries("x18_fuzzy_levenshtein")(spark, sf)
+    // AQE materializes exchange reuse only in the FINAL adaptive plan, and
+    // only for an action on THIS Dataset (count() wraps a new plan)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
     val cond = plan.linesIterator.find(_.contains("Join")).getOrElse("")
     val ltPos = cond.indexOf(" < ")
     val levPos = cond.indexOf("levenshtein")
     assert(ltPos >= 0 && levPos >= 0, s"unexpected join line: $cond")
     assert(ltPos < levPos, s"levenshtein evaluated before the ordering test: $cond")
-    // and the probe side must not be a single-partition scan at scale:
-    // the explicit round-robin repartition is present
-    assert(plan.contains("Exchange RoundRobinPartitioning"),
-      "probe side lost its parallelizing repartition")
+    // one hash exchange on the block key, REUSED by the other join side:
+    // the md5-heavy signature must be computed once per doc, never once
+    // per side
+    assert(plan.contains("Exchange hashpartitioning"),
+      "signature frame lost its block-key hash exchange")
+    assert(plan.contains("ReusedExchange"),
+      "join sides no longer share the one signature exchange — simhash is recomputed per side")
   }
 
   test("x08: pair join keys on the corpus-scaled LSH bucket, never the label column") {

@@ -13,6 +13,24 @@ class SqlRewriteAndJsonSpec extends AnyFunSuite {
 
   private def task(sql: String) = ExecuteSqlTask("t", None, "conn", sql)
 
+  test("stripComments: '--' inside a string literal never starts a comment") {
+    import graft.patterns.SqlText
+    // multiline branch: the quoted dashes survive, the real comment strips
+    assert(SqlText.stripComments(
+      "SELECT * FROM t WHERE note <> '--x' -- trailing\nAND 1=1")
+      === "SELECT * FROM t WHERE note <> '--x' \nAND 1=1")
+    // normalized (newline-free) branch: the keyword heuristic must not
+    // truncate at the quoted dashes or resume inside the literal
+    assert(SqlText.stripComments("DELETE FROM t WHERE note <> '--DELETE me'")
+      === "DELETE FROM t WHERE note <> '--DELETE me'")
+    // doubled-quote escape stays inside the literal
+    assert(SqlText.stripComments("SELECT 'it''s -- fine' FROM t")
+      === "SELECT 'it''s -- fine' FROM t")
+    // genuine comments still strip in both branches
+    assert(SqlText.stripComments("-- desc\nSELECT 1") === "SELECT 1")
+    assert(SqlText.stripComments("-- Cleanup step DELETE FROM t") === "DELETE FROM t")
+  }
+
   test("DELETE+INSERT aggregate refresh rewrites to SELECT + overwrite") {
     Tables.lineitem(spark, "/root/testdata/sf0.001").createOrReplaceTempView("lineitem_v")
     val sql =
