@@ -1224,7 +1224,83 @@ object QueriesTrainingData {
       |FROM cdg JOIN cg USING (gram)
       |GROUP BY doc_id""".stripMargin
 
+  /** Per-source boilerplate-span signal — the C4/CCNet repeated-line
+    * filter re-expressed for a corpus with no line structure: a 5-gram
+    * span present in more than 20% of a source's DOCUMENTS (document
+    * frequency, not occurrence count) is that source's boilerplate
+    * (headers, navigation, license banners); per doc, report the span
+    * count and boilerplate fraction. Shape at scale:
+    *  - distinct spans per doc via one narrow `array_distinct` HOF
+    *    before the explode — presence drives document frequency, so
+    *    multiplicity is dropped at the map side;
+    *  - (source, span) document counts are a partial-combining hash
+    *    aggregate (NEVER a window over the span key — the x28 rule: a
+    *    boilerplate span hitting 10⁸ docs must collapse map-side, not
+    *    land in one sort partition);
+    *  - per-source doc totals are a broadcast (source cardinality ≪
+    *    corpus), and the join back on (source, span) gets AQE's
+    *    skew-split;
+    *  - the span branch is recomputed on both uses rather than cached
+    *    (recompute-over-cache — the frame is corpus-token-sized). */
+  def x29_boilerplate_spans(spark: SparkSession, dir: String): DataFrame =
+    graft.text.CorpusOps.boilerplateSpans(
+      documents(spark, dir), "doc_id", "source", "text", n = 5, threshold = 0.2)
+
+  val x29Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, source, string_split_regex(text, '\s+') AS w FROM documents),
+      |u AS (
+      |  SELECT doc_id, source, w, unnest(generate_series(1, len(w) - 4)) AS i
+      |  FROM t WHERE len(w) >= 5),
+      |g AS (
+      |  SELECT DISTINCT doc_id, source, array_to_string(w[i:i+4], ' ') AS gram FROM u),
+      |sd AS (
+      |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+      |gb AS (
+      |  SELECT source, gram,
+      |    CAST(COUNT(*) AS DOUBLE) / CAST(ANY_VALUE(n_docs) AS DOUBLE) > 0.2 AS boiler
+      |  FROM g JOIN sd USING (source) GROUP BY source, gram)
+      |SELECT doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_spans,
+      |  CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+      |  CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS boiler_frac
+      |FROM g JOIN gb USING (source, gram)
+      |GROUP BY doc_id""".stripMargin
+
+  /** Greedy in-order sequence packing into ~512-token bins per source —
+    * the step that turns a cleaned corpus into fixed-length training
+    * sequences: docs are taken in deterministic doc_id order within
+    * their source, and a running token total assigns each doc the bin
+    * its FIRST token lands in. A doc straddling a boundary stays in its
+    * starting bin (overflow bounded by that doc's own length) — the
+    * streaming-friendly packing distributed pipelines actually ship;
+    * exact bin packing is inherently sequential. ONE window cumsum per
+    * source partition, integer `div` so both engines bin identically,
+    * no joins. At 100 TB the partition key widens (e.g. (source,
+    * ingest-day)) to bound the window partition; the shape is
+    * unchanged. */
+  def x30_sequence_packing(spark: SparkSession, dir: String): DataFrame =
+    graft.text.CorpusOps.sequencePacking(
+      documents(spark, dir), "doc_id", "source", "text", cap = 512)
+
+  val x30Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM t)
+      |SELECT doc_id, source, n_tokens,
+      |  CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id
+      |FROM c""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x30_sequence_packing" -> (x30_sequence_packing _),
+    "x29_boilerplate_spans" -> (x29_boilerplate_spans _),
     "x28_substring_dup" -> (x28_substring_dup _),
     "x27_pii_scrub" -> (x27_pii_scrub _),
     "x26_chunk_windows" -> (x26_chunk_windows _),
@@ -1282,5 +1358,7 @@ object QueriesTrainingData {
     "x25_source_quota" -> x25Oracle,
     "x26_chunk_windows" -> x26Oracle,
     "x27_pii_scrub" -> x27Oracle,
-    "x28_substring_dup" -> x28Oracle)
+    "x28_substring_dup" -> x28Oracle,
+    "x29_boilerplate_spans" -> x29Oracle,
+    "x30_sequence_packing" -> x30Oracle)
 }

@@ -206,12 +206,18 @@ object SimilarityOps {
     import graft.dedup.Blocking
     val planes = lshHyperplanes(maxBits, dim)
     val nb = Blocking.scaledBucketCount(df, targetBlock)
+    // ONE hash exchange on the bucket materializes the 16-qdot signature;
+    // both self-join sides read the SAME shuffle output (AQE
+    // ReusedExchange — the x18 trick), so the signature is computed once
+    // per vector, not once per side, and neither side is a whole-corpus
+    // broadcast build
     val base = withQuantized(df, vecCol)
       .crossJoin(broadcast(nb))
       .select(col(idCol),
         (lshBucket(col("qvec"), planes).cast(LongType) %
           Blocking.powTwoModulus(col("nb"), maxBits)).as("lsh_blk"),
         col("qvec"), col("qn2"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("lsh_blk"))
     val a = base.select(col(idCol).as("id_a"), col("lsh_blk").as("blk"),
       col("qvec").as("va"), col("qn2").as("na"))
     val b = base.select(col(idCol).as("id_b"), col("lsh_blk").as("blk2"),

@@ -1,0 +1,58 @@
+package graft
+
+import graft.text.CorpusOps
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Planted-input semantics for the corpus-level pipeline steps behind
+  * x29 (boilerplate spans) and x30 (sequence packing). */
+class CorpusOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  test("boilerplate spans: a span shared by most of a source is flagged, per source") {
+    // srcA (10 docs): banner "one two three four five" opens 3 (DF 0.3 >
+    // 0.2 → boilerplate); singleton spans sit at DF 0.1. srcB (10 docs)
+    // carries the SAME span in exactly 2 (DF 0.2, not > 0.2 → clean
+    // there) — per-source thresholds must not leak across sources
+    val banner = "one two three four five"
+    val docs = (
+      (0 until 3).map(i => (i.toLong, "srcA", s"$banner uniqA$i ua${i}b ua${i}c ua${i}d ua${i}e")) ++
+        (3 until 10).map(i => (i.toLong, "srcA", s"freeA$i fa${i}b fa${i}c fa${i}d fa${i}e fa${i}f")) ++
+        (10 until 12).map(i => (i.toLong, "srcB", s"$banner uniqB$i ub${i}b ub${i}c ub${i}d ub${i}e")) ++
+        (12 until 20).map(i => (i.toLong, "srcB", s"freeB$i fb${i}b fb${i}c fb${i}d fb${i}e fb${i}f"))
+      ).toDF("doc_id", "source", "text")
+    val out = CorpusOps.boilerplateSpans(docs, "doc_id", "source", "text",
+      n = 5, threshold = 0.2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // srcA banner docs: exactly the banner span is flagged, nothing else
+    (0 until 3).foreach { i =>
+      assert(out(i.toLong)._2 === 1L, s"doc $i should carry exactly the flagged banner span")
+    }
+    // clean srcA docs and ALL srcB docs (including the banner carriers,
+    // whose source-local DF is exactly the threshold) have none
+    (3 until 10).foreach(i => assert(out(i.toLong)._2 === 0L))
+    (10 until 12).foreach(i => assert(out(i.toLong)._2 === 0L,
+      "threshold is strict: DF == threshold is not boilerplate"))
+    (12 until 20).foreach(i => assert(out(i.toLong)._2 === 0L))
+  }
+
+  test("sequence packing: in-order bins, straddling docs keep their starting bin") {
+    // cap 10; srcA docs of 4/4/4/9/2 tokens in doc_id order:
+    //   cum-before: 0,4,8,12,21 → bins 0,0,0,1,2
+    // (doc 2 straddles tokens 8..11 and stays in bin 0 — bounded overflow)
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, "srcA", words(4)), (2L, "srcA", words(4)), (3L, "srcA", words(4)),
+      (4L, "srcA", words(9)), (5L, "srcA", words(2)),
+      (9L, "srcB", words(25))).toDF("doc_id", "source", "text")
+    val out = CorpusOps.sequencePacking(docs, "doc_id", "source", "text", cap = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) === ((4L, 0L)))
+    assert(out(2L) === ((4L, 0L)))
+    assert(out(3L) === ((4L, 0L))) // starts at token 8 < cap → bin 0
+    assert(out(4L) === ((9L, 1L)))
+    assert(out(5L) === ((2L, 2L)))
+    // sources pack independently
+    assert(out(9L) === ((25L, 0L)))
+  }
+}

@@ -348,7 +348,9 @@ class PlanShapeSpec extends AnyFunSuite {
     // a semantic block column has bounded cardinality → membership grows
     // O(n), within-block pairs O(n²); the embedding-derived bucket count
     // scales with COUNT(*) (Blocking contract), so pairs grow linearly
-    val plan = executedPlan("x08_embedding_near_dup")
+    val q = SparkEntry.queries("x08_embedding_near_dup")(spark, sf)
+    q.collect() // final adaptive plan (exchange reuse), as in the x18 test
+    val plan = q.queryExecution.executedPlan.toString
     assert(!plan.contains("label"),
       "x08 references the semantic label column — fixed-cardinality blocking is back")
     val cond = plan.linesIterator.find(l => l.contains("Join") && l.contains("blk"))
@@ -356,6 +358,10 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(cond.contains("blk"), s"pair join does not key on the derived bucket: $cond")
     // the 1-row scaled-count frame rides a broadcast, not a shuffle
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"))
+    // both self-join sides read ONE bucket-key exchange: the 16-qdot
+    // signature is computed once per vector, never once per side
+    assert(plan.contains("ReusedExchange"),
+      "x08 join sides no longer share the signature exchange")
   }
 
   test("x18: block key includes the corpus-scaled simhash slice") {
@@ -364,6 +370,22 @@ class PlanShapeSpec extends AnyFunSuite {
       .getOrElse("")
     assert(cond.contains("shs_"),
       s"join no longer keys on the simhash slice — length bands alone grow O(n²) pairs: $cond")
+  }
+
+  test("x29: span frequency is a partial-combining aggregate; source totals broadcast; no window") {
+    val plan = executedPlan("x29_boilerplate_spans")
+    assert(!plan.contains("WindowExec") && !plan.contains("Window "),
+      "boilerplate span counting must never window over the span key (x28 rule)")
+    assert(plan.contains("partial_count"), "span document-frequency lost its map-side combine")
+    assert(plan.contains("BroadcastHashJoin"), "per-source doc totals should broadcast")
+  }
+
+  test("x30: packing is ONE window over the source partition, no joins") {
+    val plan = executedPlan("x30_sequence_packing")
+    assert("Window ".r.findAllIn(plan).length === 1, "packing should be exactly one window")
+    assert(!plan.contains("Join"), "packing must not join")
+    // one hash exchange feeds the window partition; nothing else shuffles
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1)
   }
 
   test("no gated plan contains a trivially-true self-equality predicate") {
