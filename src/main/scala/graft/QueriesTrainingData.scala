@@ -1298,7 +1298,54 @@ object QueriesTrainingData {
       |  CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id
       |FROM c""".stripMargin
 
+  /** Multi-table LSH near-dup — the recall dial on x08: two independent
+    * md5-seeded hyperplane draws, each the full corpus-scaled-bucket
+    * shape, pair sets UNIONed (SQL set semantics collapse the overlap —
+    * cosine is deterministic, so duplicate pairs are byte-identical).
+    * Single-table recall r becomes 1−(1−r)² at 2× candidate cost. */
+  def x31_lsh_multi_table(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.nearDupPairsLshMulti(
+      embeddings(spark, dir).repartition(spark.sparkContext.defaultParallelism),
+      "vec_id", "embedding", 0.3, tables = 2)
+
+  val x31Oracle: String = {
+    val mod = graft.dedup.Blocking.powTwoModulusSql("(SELECT nb FROM nbf)", 16)
+    def tableCtes(t: String, seed: String) =
+      s"""hp$t AS (
+         |  SELECT b, list_transform(generate_series(0, 63), i ->
+         |    CAST(('0x' || substr(md5('$seed' || b || '|' || i), 1, 15)) AS BIGINT) % 2001 - 1000) AS h
+         |  FROM generate_series(0, 15) t(b)),
+         |bkt$t AS (
+         |  SELECT vec_id, qv, n2,
+         |    CAST(sum(CASE WHEN list_sum(list_transform(generate_series(1, 64), i -> qv[i] * h[i])) >= 0
+         |             THEN 1 << b ELSE 0 END) AS BIGINT) % ($mod) AS bucket
+         |  FROM n CROSS JOIN hp$t GROUP BY vec_id, qv, n2)""".stripMargin
+    def pairSelect(t: String) =
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  CAST(list_sum(list_transform(generate_series(1, len(a.qv)), i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+         |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cosine
+         |FROM bkt$t a JOIN bkt$t b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE CAST(list_sum(list_transform(generate_series(1, len(a.qv)), i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+         |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) > 0.3""".stripMargin
+    s"""WITH nbf AS (
+       |  SELECT GREATEST(1, CAST(ceil(COUNT(*) / 256.0) AS BIGINT)) AS nb FROM embeddings),
+       |q AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, qv,
+       |    list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])) AS n2
+       |  FROM q),
+       |${tableCtes("0", "")},
+       |${tableCtes("1", "t1|")}
+       |${pairSelect("0")}
+       |UNION
+       |${pairSelect("1")}""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x31_lsh_multi_table" -> (x31_lsh_multi_table _),
     "x30_sequence_packing" -> (x30_sequence_packing _),
     "x29_boilerplate_spans" -> (x29_boilerplate_spans _),
     "x28_substring_dup" -> (x28_substring_dup _),
@@ -1360,5 +1407,6 @@ object QueriesTrainingData {
     "x27_pii_scrub" -> x27Oracle,
     "x28_substring_dup" -> x28Oracle,
     "x29_boilerplate_spans" -> x29Oracle,
-    "x30_sequence_packing" -> x30Oracle)
+    "x30_sequence_packing" -> x30Oracle,
+    "x31_lsh_multi_table" -> x31Oracle)
 }

@@ -132,16 +132,18 @@ object SimilarityOps {
   }
 
   /** Deterministic md5-derived random hyperplanes for sign-LSH:
-    * `h(b)(i) = (int64(md5("b|i")[0:15]) mod 2001) − 1000` ∈ [−1000, 1000].
-    * md5-derived (not an RNG) so any engine reproduces the exact planes —
-    * the DuckDB-oracle contract, same trick as [[graft.text.TextOps.stableHash64]]. */
-  def lshHyperplanes(bits: Int, dim: Int): Seq[Seq[Long]] = {
+    * `h(b)(i) = (int64(md5(seed + "b|i")[0:15]) mod 2001) − 1000` ∈
+    * [−1000, 1000]. md5-derived (not an RNG) so any engine reproduces the
+    * exact planes — the DuckDB-oracle contract, same trick as
+    * [[graft.text.TextOps.stableHash64]]. `seed` ("" for the primary
+    * table, "tN|" for extra tables) decorrelates multi-table LSH draws. */
+  def lshHyperplanes(bits: Int, dim: Int, seed: String = ""): Seq[Seq[Long]] = {
     def h64(s: String): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
       val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
       java.lang.Long.parseLong(hex.take(15), 16)
     }
-    (0 until bits).map(b => (0 until dim).map(i => h64(s"$b|$i") % 2001 - 1000))
+    (0 until bits).map(b => (0 until dim).map(i => h64(s"$seed$b|$i") % 2001 - 1000))
   }
 
   /** Sign-LSH bucket id of a quantized vector: bit b = sign(v · h_b). */
@@ -202,9 +204,9 @@ object SimilarityOps {
     * planes are md5-derived → any engine reproduces the exact buckets. */
   def nearDupPairsLsh(df: DataFrame, idCol: String, vecCol: String,
       minCosine: Double, targetBlock: Double = 256.0, maxBits: Int = 16,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64, seed: String = ""): DataFrame = {
     import graft.dedup.Blocking
-    val planes = lshHyperplanes(maxBits, dim)
+    val planes = lshHyperplanes(maxBits, dim, seed)
     val nb = Blocking.scaledBucketCount(df, targetBlock)
     // ONE hash exchange on the bucket materializes the 16-qdot signature;
     // both self-join sides read the SAME shuffle output (AQE
@@ -229,6 +231,25 @@ object SimilarityOps {
       .filter(col("cosine") > minCosine)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** Multi-table LSH near-dup: union the pair sets of `tables`
+    * independent hyperplane draws. Single-table sign-LSH misses a true
+    * near-dup pair whenever ONE of the sliced planes happens to separate
+    * it; an independent second table catches most of those misses
+    * (recall 1−(1−r)^T for per-table recall r), at T× the candidate
+    * cost — the standard recall/cost dial for LSH blocking at scale.
+    * Each table is the full [[nearDupPairsLsh]] shape (corpus-scaled
+    * modulus, reused signature exchange); identical scored pairs from
+    * different tables collapse in one distinct (cosine is deterministic,
+    * so duplicates are byte-identical rows — SQL UNION semantics). */
+  def nearDupPairsLshMulti(df: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double, tables: Int = 2, targetBlock: Double = 256.0,
+      maxBits: Int = 16, dim: Int = 64): DataFrame =
+    (0 until tables)
+      .map(t => nearDupPairsLsh(df, idCol, vecCol, minCosine, targetBlock,
+        maxBits, dim, seed = if (t == 0) "" else s"t$t|"))
+      .reduce(_ union _)
+      .distinct()
 
   /** Near-duplicate pairs by cosine threshold within a CALLER-SUPPLIED
     * block column (doc_a < doc_b, deterministic). Generic primitive for

@@ -372,6 +372,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"join no longer keys on the simhash slice — length bands alone grow O(n²) pairs: $cond")
   }
 
+  test("q61: mixed-width keys still probe the fact scan; both hash sides widen to BIGINT") {
+    val plan = executedPlan("q61_bloom_mixed_keys")
+    val probe = plan.indexOf("might_contain")
+    assert(probe >= 0, "mixed-key variant lost its bloom probe")
+    val joinAt = math.max(plan.indexOf("BroadcastHashJoin"),
+      plan.indexOf("SortMergeJoin"))
+    assert(joinAt >= 0 && probe > joinAt,
+      "probe filter must sit under the join")
+    // the probe hashes the INT fact key through a cast to BIGINT — the
+    // type-sensitivity fix that keeps xxhash64 from silently dropping rows
+    val probeLine = plan.linesIterator.find(_.contains("might_contain")).getOrElse("")
+    assert(probeLine.contains("as bigint"),
+      s"fact-side bloom hash no longer widens to the common BIGINT type: $probeLine")
+  }
+
   test("x29: span frequency is a partial-combining aggregate; source totals broadcast; no window") {
     val plan = executedPlan("x29_boilerplate_spans")
     assert(!plan.contains("WindowExec") && !plan.contains("Window "),

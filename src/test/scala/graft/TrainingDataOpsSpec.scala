@@ -210,6 +210,21 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(!out.map(_.getAs[Long]("neighbor_id")).contains(2L))
   }
 
+  test("multi-table LSH near-dup pairs are a superset of the single-table set") {
+    val emb = Tables.embeddings(spark, sf)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = pairs(SimilarityOps.nearDupPairsLsh(emb, "vec_id", "embedding", 0.3))
+    val multi = pairs(SimilarityOps.nearDupPairsLshMulti(
+      emb, "vec_id", "embedding", 0.3, tables = 2))
+    assert(single.subsetOf(multi),
+      "table 0 of the multi draw must reproduce the single-table pairs exactly")
+    // and the second draw is genuinely different planes
+    assert(SimilarityOps.lshHyperplanes(4, 8, "t1|") !==
+      SimilarityOps.lshHyperplanes(4, 8))
+  }
+
   test("blocked n-gram jaccard keeps identical docs at 1.0") {
     val df = Seq(
       (1L, "en", "alpha beta gamma delta"),
