@@ -81,7 +81,9 @@ object Bench {
     // null). The min-per-query map goes on its OWN earlier line; the
     // FINAL line is the lean driver contract and must stay the last
     // thing printed.
-    def f(v: Double): String = "%.4f".format(v)
+    // Locale.ROOT: a comma-decimal default locale (de_DE …) would render
+    // "1,2345" and break the driver's JSON parse
+    def f(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val mins = results.map { case (k, _, v, _) => s"\"" + k + "\":" + f(v) }

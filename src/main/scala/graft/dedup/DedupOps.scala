@@ -182,11 +182,17 @@ object DedupOps {
         (a, b) => a +
           (call_function("shiftright", h, b).bitwiseAND(lit(1L)) * 2 - 1)
             .cast(IntegerType)))
-    aggregate(folded, struct(lit(1).as("p"), lit(0).as("sig")),
-      (acc, s) => struct(
-        (acc.getField("p") * 2).as("p"),
-        (acc.getField("sig") + when(s >= 0, acc.getField("p")).otherwise(lit(0))).as("sig")),
-      acc => acc.getField("sig"))
+    // coalesce: NULL text propagates NULL through the HOF folds, but the
+    // per-bit form (and the oracle's CASE arms) yields 0 — a NULL here
+    // would also vanish from any join that keys on the signature (pushed
+    // isnotnull), silently dropping the doc from blocked dedup
+    coalesce(
+      aggregate(folded, struct(lit(1).as("p"), lit(0).as("sig")),
+        (acc, s) => struct(
+          (acc.getField("p") * 2).as("p"),
+          (acc.getField("sig") + when(s >= 0, acc.getField("p")).otherwise(lit(0))).as("sig")),
+        acc => acc.getField("sig")),
+      lit(0))
   }
 
   /** Exact-duplicate groups on a key expression: one survivor (min id) per

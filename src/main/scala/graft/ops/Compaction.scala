@@ -46,11 +46,13 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * ENOENT-and-retry, never partial data); if the second rename fails the
   * original generation is MOVED BACK, so a crash cannot strand the only
   * copy under the `.old-*` name. Root-level underscore sidecar files
-  * (`_SUCCESS`, `_common_metadata`, custom markers) ARE carried into the
-  * new generation — external tooling keys on them — with two deliberate
-  * exceptions: `_metadata` (it indexes the REPLACED files' row groups;
-  * carrying it forward would be a stale lie) and dot-prefixed files
-  * (local-FS `.crc` checksums name specific data files).
+  * (`_SUCCESS`, custom markers) ARE carried into the new generation —
+  * external tooling keys on them — with deliberate exceptions:
+  * `_metadata` and `_common_metadata` (they describe the REPLACED files'
+  * row groups / footer schema; a mergeSchema rewrite can widen the
+  * schema, so carrying either forward would be a stale lie) and
+  * dot-prefixed files (local-FS `.crc` checksums name specific data
+  * files).
   */
 object Compaction {
 
@@ -145,25 +147,39 @@ object Compaction {
         }.view.mapValues(_.map(_.length).sum).toMap
         val pvCols = partCols.indices.map(i => s"__graft_pv_$i")
         val rows = perPart.toSeq.map { case (vals, bytes) =>
-          Row.fromSeq(vals :+
-            math.max(1L, math.ceil(bytes.toDouble / targetFileBytes).toLong))
+          Row.fromSeq(vals :+ bytes)
         }
         val schema = StructType(
-          pvCols.map(StructField(_, StringType)) :+ StructField("__graft_nout", LongType))
-        val sizing = spark.createDataFrame(
+          pvCols.map(StructField(_, StringType)) :+ StructField("__graft_bytes", LongType))
+        val sizingRaw = spark.createDataFrame(
           spark.sparkContext.parallelize(rows, 1), schema)
         // canonicalize through the DATASET's own types: the raw directory
-        // text is cast to df's type-INFERRED partition column type before
-        // comparing — `month=07` infers int 7, and raw "07" ≠ "7" would
-        // miss the join, collapse __graft_nout to 1, and push a large
-        // partition through a single reducer. Null-safe `<=>` so the hive
+        // text is cast to df's type-INFERRED partition column type —
+        // `month=07` infers int 7, and raw "07" ≠ "7" would miss the
+        // join, collapse __graft_nout to 1, and push a large partition
+        // through a single reducer. The cast happens BEFORE a groupBy on
+        // the typed values: two raw spellings of one logical value
+        // (month=07 beside month=7 — Spark reads them as ONE partition)
+        // must collapse to ONE sizing row, or the left join below would
+        // match data rows twice and the rewrite would duplicate them.
+        // Bytes sum across merged spellings. Null-safe `<=>` so the hive
         // default-partition marker meets the NULL value it stands for. (A
         // text the cast can't parse but inference somehow could degrades
         // to nout=1 for that value — correct data, single-file output.)
+        val typedPv = partCols.zip(pvCols).map { case (k, pv) =>
+          when(sizingRaw(pv) === hiveNull, lit(null))
+            .otherwise(sizingRaw(pv)).cast(df.schema(k).dataType).as(pv)
+        }
+        val sizing = sizingRaw
+          .groupBy(typedPv: _*)
+          .agg(sum(col("__graft_bytes")).as("__graft_bytes"))
+          .withColumn("__graft_nout",
+            greatest(lit(1L),
+              ceil(col("__graft_bytes").cast(org.apache.spark.sql.types.DoubleType)
+                / targetFileBytes).cast(LongType)))
+          .drop("__graft_bytes")
         val joinCond = partCols.zip(pvCols).map { case (k, pv) =>
-          val typed = when(sizing(pv) === hiveNull, lit(null))
-            .otherwise(sizing(pv)).cast(df.schema(k).dataType)
-          df(k) <=> typed
+          df(k) <=> sizing(pv)
         }.reduce(_ && _)
         // shuffle on (partition cols, salt): each partition value spreads
         // over exactly its own salt-modulus worth of tasks, so partitionBy
@@ -173,6 +189,10 @@ object Compaction {
           .withColumn("__graft_salt",
             pmod(monotonically_increasing_id(), coalesce(col("__graft_nout"), lit(1L))))
           .drop("__graft_nout").drop(pvCols: _*)
+        // upper bound on the output partition count, from the raw (un-
+        // merged) listing — overestimating when spellings merged just
+        // leaves a few empty reducers; the file count itself is governed
+        // by the per-value salt moduli above
         val totalOut = math.max(nOut,
           perPart.valuesIterator.map(b =>
             math.max(1L, math.ceil(b.toDouble / targetFileBytes).toLong)).sum.toInt)
@@ -183,15 +203,18 @@ object Compaction {
     val writer = out.write
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
       .parquet(scratch.getAbsolutePath)
-    // carry root-level underscore sidecars (`_SUCCESS`, `_common_metadata`,
-    // custom completion markers) into the new generation BEFORE the swap —
-    // external tooling keys on them and the rewrite must not eat them.
-    // Deliberately skipped: `_metadata` (indexes the replaced files' row
-    // groups — stale after the rewrite), dot-files (local-FS `.crc`
+    // carry root-level underscore sidecars (`_SUCCESS`, custom completion
+    // markers) into the new generation BEFORE the swap — external tooling
+    // keys on them and the rewrite must not eat them. Deliberately
+    // skipped: `_metadata` AND `_common_metadata` (both describe the
+    // REPLACED files — row-group index and footer schema respectively; a
+    // mergeSchema rewrite can widen the schema, so carrying either
+    // forward would be a stale lie), dot-files (local-FS `.crc`
     // checksums name specific data files), and directories (`_temporary`
     // debris from crashed writers has no place in a fresh generation).
     Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.startsWith("_") && f.getName != "_metadata")
+      .filter(f => f.isFile && f.getName.startsWith("_") &&
+        f.getName != "_metadata" && f.getName != "_common_metadata")
       .foreach { f =>
         java.nio.file.Files.copy(f.toPath, new File(scratch, f.getName).toPath,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)

@@ -161,25 +161,28 @@ object PackageRunner {
               s"COMPILATION FAILS: ${e.getMessage}", Nil, gateOf(task.name))
         }
       case sql0: ExecuteSqlTask =>
-        // bind `?` placeholders exactly as the real run does before
-        // classification: a statement whose shape depends on bound values
-        // must plan the same action it will execute (approval-gate
-        // contract)
-        val sql =
-          if (PackageVariables.placeholderCount(sql0.sqlStatement) == 0) sql0
-          else sql0.copy(sqlStatement = PackageVariables.bindSql(
-            sql0.sqlStatement,
-            pkg.variables.map(v => values.getOrElse(v.qualifiedName,
-              PackageVariables.parseValue(v.ssisType, v.value)))))
-        val m = graft.parser.MigrationMapping.mapTask(sql, pkg.variables)
-        val action = m.status match {
-          case "converted" => s"delegate to SQL executor — ${m.strategy.getOrElse("")}"
-          case "converted_to_tests" => s"validation guard — ${m.strategy.getOrElse("")}"
-          case "skipped" => s"skip — ${m.strategy.getOrElse("")}"
-          case _ => "record only (manual review)"
+        // bind `?` placeholders exactly as the real run does (shared
+        // helper) before classification: a statement whose shape depends
+        // on bound values must plan the same action it will execute
+        // (approval-gate contract). A bind failure is reported as THIS
+        // task's planned outcome, never an abort of the whole listing —
+        // same per-task containment as the DataFlowTask branch.
+        try {
+          val sql = PackageVariables.bindStatement(sql0, pkg, values)
+          val m = graft.parser.MigrationMapping.mapTask(sql, pkg.variables)
+          val action = m.status match {
+            case "converted" => s"delegate to SQL executor — ${m.strategy.getOrElse("")}"
+            case "converted_to_tests" => s"validation guard — ${m.strategy.getOrElse("")}"
+            case "skipped" => s"skip — ${m.strategy.getOrElse("")}"
+            case _ => "record only (manual review)"
+          }
+          PlannedTask(task.name, "ExecuteSQLTask", action,
+            m.sparkPlan.toList, gateOf(task.name))
+        } catch {
+          case e: Exception =>
+            PlannedTask(task.name, "ExecuteSQLTask",
+              s"PARAMETER BINDING FAILS: ${e.getMessage}", Nil, gateOf(task.name))
         }
-        PlannedTask(task.name, "ExecuteSQLTask", action,
-          m.sparkPlan.toList, gateOf(task.name))
       case st: ScriptTask =>
         PlannedTask(task.name, "ScriptTask",
           s"skip (manual review): ${st.reviewReason}", Nil, gateOf(task.name))
@@ -449,13 +452,9 @@ object PackageRunner {
             notes = compiled.warnings)
         case sql0: ExecuteSqlTask =>
           // bind `?` placeholders from the evaluated package variables
-          // before pattern detection / execution
-          val sql =
-            if (PackageVariables.placeholderCount(sql0.sqlStatement) == 0) sql0
-            else sql0.copy(sqlStatement = PackageVariables.bindSql(
-              sql0.sqlStatement,
-              pkg.variables.map(v => values.getOrElse(v.qualifiedName,
-                PackageVariables.parseValue(v.ssisType, v.value)))))
+          // before pattern detection / execution (same helper as dryRun —
+          // the approval gate must classify exactly this statement)
+          val sql = PackageVariables.bindStatement(sql0, pkg, values)
           val detection = LoadPatterns.detect(sql.sqlStatement, pkg.variables)
           // ResultBinding: a produced result set lands in the bound Object
           // variable (the recordset a ForEach ADO enumerator iterates)

@@ -162,6 +162,20 @@ object PackageVariables {
     out.toString
   }
 
+  /** Bind an Execute SQL task's `?` placeholders from the evaluated
+    * package variables, in declaration order (the SSIS positional
+    * mapping). ONE definition shared by the real run and [[
+    * graft.pipeline.PackageRunner.dryRun]] — the dry run's contract is
+    * "plan exactly what the real run executes", so the two sites must
+    * never bind differently. */
+  def bindStatement(task: ExecuteSqlTask, pkg: SsisPackage,
+      values: Map[String, Any]): ExecuteSqlTask =
+    if (placeholderCount(task.sqlStatement) == 0) task
+    else task.copy(sqlStatement = bindSql(
+      task.sqlStatement,
+      pkg.variables.map(v => values.getOrElse(v.qualifiedName,
+        parseValue(v.ssisType, v.value)))))
+
   /** Count unquoted `?` placeholders. */
   def placeholderCount(sql: String): Int = {
     var inStr = false; var n = 0

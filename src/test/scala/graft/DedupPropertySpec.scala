@@ -125,10 +125,18 @@ class DedupPropertySpec extends AnyFunSuite {
         when(s >= 0, lit(1 << b)).otherwise(lit(0))
       }.reduce(_ + _)
     }
-    val docs = sample(doc, 80) :+ "" :+ "one" :+ "a a a a"
-    docs.toDF("text")
+    // includes NULL text: both forms must yield 0, never NULL — a NULL
+    // signature would vanish from blocked joins via the pushed isnotnull
+    val docs: Seq[Option[String]] =
+      sample(doc, 80).map(Option(_)) ++
+        Seq(None, Some(""), Some("one"), Some("a a a a"))
+    val rows = docs.toDF("text")
       .select(DedupOps.simhash(col("text"), 8).as("fast"),
         naive(col("text"), 8).as("slow"))
-      .collect().foreach(r => assert(r.getInt(0) === r.getInt(1)))
+      .collect()
+    rows.foreach { r =>
+      assert(!r.isNullAt(0), "simhash must never be NULL")
+      assert(r.getInt(0) === r.getInt(1))
+    }
   }
 }

@@ -340,15 +340,19 @@ class ExtendedComponentsSpec extends AnyFunSuite {
     // a REAL _metadata summary is valid parquet (Spark's mergeSchema read
     // consults it) — model it with a copy of one data file's bytes
     val staleMeta = new java.io.File(dir, "_metadata")
+    val staleCommon = new java.io.File(dir, "_common_metadata")
     val aDataFile = new java.io.File(dir).listFiles()
       .find(_.getName.endsWith(".parquet")).get
     java.nio.file.Files.copy(aDataFile.toPath, staleMeta.toPath)
+    java.nio.file.Files.copy(aDataFile.toPath, staleCommon.toPath)
     graft.ops.Compaction.compact(spark, dir, targetFileBytes = 512L * 1024): Unit
     assert(new java.io.File(dir, "_SUCCESS").isFile, "_SUCCESS must survive the rewrite")
     assert(marker.isFile, "custom sidecar must survive the rewrite")
     assert(new String(java.nio.file.Files.readAllBytes(marker.toPath)) === "batch-42")
     assert(!staleMeta.exists,
       "_metadata indexes the replaced files and must NOT be carried forward")
+    assert(!staleCommon.exists,
+      "_common_metadata describes the replaced files' schema and must NOT be carried forward")
   }
 
   test("zero-padded partition values size correctly (dir text canonicalized through inferred type)") {
@@ -367,6 +371,28 @@ class ExtendedComponentsSpec extends AnyFunSuite {
     assert(big >= 2,
       s"zero-padded big partition compacted to $big file(s) — sizing join missed it")
     assert(spark.read.parquet(dir).count() === rows.length)
+  }
+
+  test("two directory spellings of one partition value merge to ONE sizing row (no duplication)") {
+    // month=07 and month=7 side by side: Spark's inference reads BOTH as
+    // int 7 (one logical partition). The typed sizing frame must collapse
+    // the two spellings before the left join, or every row of that
+    // partition matches two sizing rows and the rewrite DOUBLES the data.
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_spell").toString
+    val a = (1 to 8000).map(i => (i.toLong, "07", s"payload_$i" * 8))
+    val b = (8001 to 16000).map(i => (i.toLong, "7", s"payload_$i" * 8))
+    a.toDF("id", "month", "v").repartition(8)
+      .write.partitionBy("month").mode("append").parquet(dir)
+    b.toDF("id", "month", "v").repartition(8)
+      .write.partitionBy("month").mode("append").parquet(dir)
+    assert(new java.io.File(dir, "month=07").isDirectory
+      && new java.io.File(dir, "month=7").isDirectory,
+      "test setup: both spellings must exist on disk")
+    val before = spark.read.parquet(dir).count()
+    assert(before === 16000L)
+    graft.ops.Compaction.compact(spark, dir, targetFileBytes = 64L * 1024): Unit
+    assert(spark.read.parquet(dir).count() === before,
+      "compaction duplicated rows of the double-spelled partition")
   }
 
   test("mixed partition layout fails fast with a clear message, before any rewrite") {

@@ -268,5 +268,17 @@ class PipelineSpec extends AnyFunSuite {
       pkgOf("DELETE FROM [stage].[t] WHERE batch_id = 42", Nil), env)
     assert(bound.planned.head.action === literal.planned.head.action)
     assert(bound.planned.head.sinks === literal.planned.head.sinks)
+    // a bind failure (two placeholders, one variable) is contained to the
+    // failing task — the rest of the approval listing still plans
+    val broken = PackageRunner.dryRun(spark,
+      pkgOf("DELETE FROM [stage].[t] WHERE a = ? AND b = ?",
+        List(Variable("User", "Batch", "DT_I4", "42"))).copy(tasks = List(
+        graft.ir.Ir.ExecuteSqlTask("bad", None, "conn",
+          "DELETE FROM [stage].[t] WHERE a = ? AND b = ?"),
+        graft.ir.Ir.ExecuteSqlTask("good", None, "conn",
+          "DELETE FROM [stage].[t] WHERE a = 1"))), env)
+    assert(broken.planned.map(_.taskName) === List("bad", "good"))
+    assert(broken.planned.head.action.contains("PARAMETER BINDING FAILS"))
+    assert(!broken.planned(1).action.contains("FAILS"))
   }
 }
