@@ -33,24 +33,31 @@ import org.apache.spark.sql.types._
   */
 object QueriesStreaming {
 
-  private val runSeq = new java.util.concurrent.atomic.AtomicLong()
-
   /** FileStreamSource lists directories; the testdata table is a single
     * parquet file — stage a copy (driver-local, one file) and stream it.
     * In production this is just `readStream.parquet(tableDir)`.
     * `copies > 1` stages the SAME file that many times — a deliberately
-    * duplicated (at-least-once) stream for the dedup gate (q55). */
+    * duplicated (at-least-once) stream for the dedup gate (q55).
+    * Staging is cached per (dir, copies): bench iteration loops must not
+    * re-copy the file per call or bill that I/O to the measured run. The
+    * event-time derivation is Tables.withEventTimeCols — the SAME
+    * definition the batch twins read through (parity is the gate). */
+  private val stagedEvents =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), java.nio.file.Path]()
+
   private def eventsStream(spark: SparkSession, dir: String,
       copies: Int = 1): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = java.nio.file.Path.of(s"$dir/events.parquet")
-    val stage = QueriesRelational.tempDirCleanedOnExit("graft-events-stream")
-    (1 to copies).foreach(i =>
-      java.nio.file.Files.copy(src, stage.resolve(s"events_$i.parquet")))
+    val stage = stagedEvents.computeIfAbsent((dir, copies), _ => {
+      val p = QueriesRelational.tempDirCleanedOnExit("graft-events-stream")
+      (1 to copies).foreach(i =>
+        java.nio.file.Files.copy(src, p.resolve(s"events_$i.parquet")))
+      p
+    })
     val schema = spark.read.parquet(src.toString).schema
-    spark.readStream.schema(schema).parquet(stage.toString)
-      .withColumn("ts_us", call_function("div", col("ts"), lit(1000L)))
-      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+    Tables.withEventTimeCols(
+      StreamingOps.fileStream(spark, stage.toString, schema))
   }
 
   private def ckpt(): String =
@@ -62,7 +69,7 @@ object QueriesStreaming {
     val ev = eventsStream(spark, dir)
       .withColumn("value", col("value").cast(DecimalType(18, 4)))
     val agg = StreamingOps.windowedAgg(ev, "ts_t", "event_type", "1 hour")
-    val name = s"q43_out_${runSeq.incrementAndGet()}"
+    val name = "q43_out"
     // Complete mode: every window emits at drain end (Append would hold
     // back windows the final watermark hasn't passed — unobservable here)
     StreamingOps.drainToMemory(agg, name, ckpt(), OutputMode.Complete)
@@ -97,9 +104,9 @@ object QueriesStreaming {
           .cast(LongType).cast(DoubleType).as("value"))
       .as[SessionEvent]
     // NoTimeout: bounded drain — sessions close via the gap rule only
-    val sessions = StreamingOps.sessionize(ev, gapMs = gapUs,
+    val sessions = StreamingOps.sessionize(ev, gap = gapUs,
       timeout = GroupStateTimeout.NoTimeout)
-    val name = s"q44_out_${runSeq.incrementAndGet()}"
+    val name = "q44_out"
     StreamingOps.drainToMemory(sessions.toDF(), name, ckpt())
       .select(
         col("userId").as("user_id"),
@@ -143,7 +150,7 @@ object QueriesStreaming {
     * within the watermark delay (keys then age out of the store). */
   def q55_stream_dedup(spark: SparkSession, dir: String): DataFrame = {
     val deduped = eventsStream(spark, dir, copies = 2).dropDuplicates("event_id")
-    val name = s"q55_out_${runSeq.incrementAndGet()}"
+    val name = "q55_out"
     StreamingOps.drainToMemory(deduped, name, ckpt())
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("ts_us"), col("value"))
@@ -176,7 +183,7 @@ object QueriesStreaming {
       col("v_user") === col("c_user") &&
         col("c_ts") >= col("v_ts") &&
         col("c_ts") <= col("v_ts") + expr("INTERVAL 10 MINUTES"))
-    val name = s"q60_out_${runSeq.incrementAndGet()}"
+    val name = "q60_out"
     StreamingOps.drainToMemory(joined.toDF(), name, ckpt())
       .select(col("view_id"), col("click_id"), col("v_user").as("user_id"),
         (col("c_us") - col("v_us")).as("gap_us"))

@@ -706,7 +706,7 @@ object QueriesTrainingData {
     *
     * The length band alone has NO corpus-size scaling (membership grows
     * O(n), pairs O(n²)), so the key is widened with a CORPUS-SCALED
-    * simhash slice: `simhash8 % Blocking.powTwoModulus(ceil(n/256))` —
+    * simhash slice: `simhash16 % Blocking.powTwoModulus(ceil(n/256))` —
     * the low-bits modulus of a simhash IS a narrower simhash, so docs
     * within a small edit distance (few flipped signature bits) still
     * collide with high probability, and the slice widens as the corpus
@@ -724,8 +724,12 @@ object QueriesTrainingData {
         col("doc_id"), col("lang"),
         substring(col("text"), 1, 80).as("p"),
         floor(length(col("text")) / 40).cast(LongType).as("blk"),
-        (DedupOps.simhash(col("text"), 8).cast(LongType) %
-          graft.dedup.Blocking.powTwoModulus(col("nb"), 8)).as("shs"))
+        // 16-bit signature: the single-pass simhash pays ONE md5 per
+        // token regardless of width, and 8 bits caps the modulus at 256
+        // blocks — a 20× scale probe hit that cap (nb=391 > 256) and the
+        // slice stopped widening; 16 bits keeps headroom to 65k blocks
+        (DedupOps.simhash(col("text"), 16).cast(LongType) %
+          graft.dedup.Blocking.powTwoModulus(col("nb"), 16)).as("shs"))
     // ONE hash exchange on the block key materializes the signature
     // columns; both join sides read the SAME shuffle output
     // (ReuseExchange — the subtrees canonicalize equal), so the
@@ -758,12 +762,12 @@ object QueriesTrainingData {
   }
 
   val x18Oracle: String = {
-    val bitSums = (0 until 8).map(b =>
+    val bitSums = (0 until 16).map(b =>
       s"""list_sum(list_transform(list_distinct(string_split_regex(text,'\\s+')),
          |    w -> CASE WHEN (CAST(('0x'||substr(md5(w),1,15)) AS BIGINT) >> $b) & 1 = 1
          |              THEN 1 ELSE -1 END)) AS s$b""".stripMargin).mkString(",\n  ")
-    val sig = (0 until 8).map(b => s"CASE WHEN s$b >= 0 THEN ${1 << b} ELSE 0 END").mkString(" + ")
-    val mod = graft.dedup.Blocking.powTwoModulusSql("(SELECT nb FROM nbf)", 8)
+    val sig = (0 until 16).map(b => s"CASE WHEN s$b >= 0 THEN ${1 << b} ELSE 0 END").mkString(" + ")
+    val mod = graft.dedup.Blocking.powTwoModulusSql("(SELECT nb FROM nbf)", 16)
     s"""WITH nbf AS (
        |  SELECT GREATEST(1, CAST(ceil(COUNT(*) / 256.0) AS BIGINT)) AS nb FROM documents),
        |sums AS (

@@ -28,11 +28,17 @@ object Tables {
     * truncation on read, so `epoch_us(ts)` is the oracle-side equivalent)
     * plus `ts_t` as a proper TimestampType for window/date logic.
     */
+  /** ns-epoch `ts` → `ts_us` (µs integer) + `ts_t` (TimestampType) — ONE
+    * definition of the ns→µs convention, shared by the batch reader and
+    * the streaming staging reader (stream/batch parity is gated, so the
+    * two sides must never derive event time differently). */
+  def withEventTimeCols(df: DataFrame): DataFrame =
+    df.withColumn("ts_us", call_function("div", col("ts"), lit(1000L)))
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+
   def eventsNs(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts_us", call_function("div", col("ts"), lit(1000L)))
-      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+    withEventTimeCols(load(spark, dir, "events"))
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")

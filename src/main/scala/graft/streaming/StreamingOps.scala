@@ -24,15 +24,15 @@ object StreamingOps {
     spark.readStream.schema(schema).parquet(path)
 
   /** Tumbling/sliding window aggregation with a watermark for late data:
-    * counts + sum(value) per (window, key). */
+    * counts + sum(`valueCol`) per (window, key). */
   def windowedAgg(events: DataFrame, tsCol: String, keyCol: String,
       windowDur: String, slideDur: Option[String] = None,
-      watermarkDelay: String = "10 minutes"): DataFrame = {
+      watermarkDelay: String = "10 minutes", valueCol: String = "value"): DataFrame = {
     val win = slideDur.fold(window(col(tsCol), windowDur))(s => window(col(tsCol), windowDur, s))
     events
       .withWatermark(tsCol, watermarkDelay)
       .groupBy(win.as("w"), col(keyCol))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total_value"))
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col(keyCol), col("n"), col("total_value"))
   }
@@ -43,15 +43,40 @@ object StreamingOps {
       nEvents: Long, totalValue: Double)
 
   /** Custom session windows via flatMapGroupsWithState: a session closes
-    * after `gapMs` of inactivity — either when a later event arrives past
+    * after `gap` of inactivity — either when a later event arrives past
     * the gap, or (with `ProcessingTimeTimeout`, the production setting) via
     * a state timeout between micro-batches. The KeyValueGroupedDataset
-    * path — the state store scales per-key, not per-executor. Pass
-    * `NoTimeout` when draining bounded input (a timeout-driven query never
-    * quiesces under `processAllAvailable`). */
-  def sessionize(events: Dataset[SessionEvent], gapMs: Long,
-      timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout)
-      : Dataset[SessionSummary] = {
+    * path — the state store scales per-key, not per-executor.
+    *
+    * Units: `gap` is in the SAME unit as `SessionEvent.tsMs` (the gated
+    * q44 passes µs). The processing-time timeout is WALL-CLOCK
+    * milliseconds — a different clock entirely — so it has its own
+    * parameter rather than reusing `gap` (reusing a µs gap as a ms
+    * duration would arm a 1000× too-long timeout and closed sessions
+    * would never flush between micro-batches).
+    *
+    * Out-of-order events ACROSS micro-batches: an event inside
+    * `[start − gap, last + gap]` extends the session on BOTH ends
+    * (start := min, last := max — `last` must never regress, which would
+    * emit sessions with end < start); an event past `last + gap` closes
+    * the session and starts a new one; an event older than `start − gap`
+    * is emitted as its own already-closed session (nothing newer can
+    * merge with it). In-batch events are sorted first, so a bounded
+    * in-order drain (q44's gate path) reproduces the batch session
+    * algebra exactly.
+    *
+    * Pass `NoTimeout` when draining bounded input (a timeout-driven query
+    * never quiesces under `processAllAvailable`). `EventTimeTimeout` is
+    * rejected up front: the state API's timeout timestamp is a ms-epoch
+    * value against the stream's watermark, while `tsMs`'s unit is
+    * caller-defined — a silent unit mismatch there loses state forever. */
+  def sessionize(events: Dataset[SessionEvent], gap: Long,
+      timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout,
+      processingTimeoutMs: Long = 60000L): Dataset[SessionSummary] = {
+    require(timeout != GroupStateTimeout.EventTimeTimeout,
+      "EventTimeTimeout is unsupported: the state timeout timestamp is ms-epoch " +
+        "against the stream watermark while tsMs's unit is caller-defined; " +
+        "use ProcessingTimeTimeout (wall-clock flush) or NoTimeout (close by gap)")
     import events.sparkSession.implicits._
     val useTimeout = timeout != GroupStateTimeout.NoTimeout
     events.groupByKey(_.userId)
@@ -68,18 +93,22 @@ object StreamingOps {
             var cur = state.getOption
             sorted.foreach { e =>
               cur match {
-                case Some(s) if e.tsMs - s.last <= gapMs =>
-                  cur = Some(SessionState(s.start, e.tsMs, s.n + 1, s.total + e.value))
-                case Some(s) =>
+                case Some(s) if e.tsMs >= s.start - gap && e.tsMs <= s.last + gap =>
+                  cur = Some(SessionState(
+                    math.min(s.start, e.tsMs), math.max(s.last, e.tsMs),
+                    s.n + 1, s.total + e.value))
+                case Some(s) if e.tsMs > s.last + gap =>
                   closed ::= SessionSummary(userId, s.start, s.last, s.n, s.total)
                   cur = Some(SessionState(e.tsMs, e.tsMs, 1, e.value))
+                case Some(_) => // older than start − gap: late loner, already closed
+                  closed ::= SessionSummary(userId, e.tsMs, e.tsMs, 1, e.value)
                 case None =>
                   cur = Some(SessionState(e.tsMs, e.tsMs, 1, e.value))
               }
             }
             cur.foreach { s =>
               state.update(s)
-              if (useTimeout) state.setTimeoutDuration(gapMs)
+              if (useTimeout) state.setTimeoutDuration(processingTimeoutMs)
             }
             closed.reverseIterator
           }
@@ -91,6 +120,10 @@ object StreamingOps {
     * an in-memory table named `queryName`. */
   def drainToMemory(df: DataFrame, queryName: String, checkpoint: String,
       outputMode: OutputMode = OutputMode.Append): DataFrame = {
+    // re-running under the same name must not accumulate driver memory:
+    // drop the previous drain's memory table (a terminated query has
+    // already freed the query name)
+    df.sparkSession.catalog.dropTempView(queryName): Unit
     val q = df.writeStream
       .outputMode(outputMode)
       .format("memory")

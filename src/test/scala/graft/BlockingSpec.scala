@@ -67,8 +67,8 @@ class BlockingSpec extends AnyFunSuite {
     val topDoc = docs.crossJoin(broadcast(nbf))
       .select(col("lang"),
         floor(length(col("text")) / 40).as("band"),
-        (DedupOps.simhash(col("text"), 8).cast(LongType) %
-          Blocking.powTwoModulus(col("nb"), 8)).as("shs"))
+        (DedupOps.simhash(col("text"), 16).cast(LongType) %
+          Blocking.powTwoModulus(col("nb"), 16)).as("shs"))
       .groupBy("lang", "band", "shs").count()
       .agg(max("count")).head().getLong(0)
     // on THIS corpus the slice is weakly discriminating — the synthetic

@@ -44,7 +44,7 @@ class StreamingOpsSpec extends AnyFunSuite {
   test("sessionize closes sessions on inactivity gap within a batch") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[SessionEvent]
-    val sessions = StreamingOps.sessionize(input.toDS(), gapMs = 60000L,
+    val sessions = StreamingOps.sessionize(input.toDS(), gap = 60000L,
       timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
     val q = sessions.writeStream.outputMode(OutputMode.Append)
       .format("memory").queryName("sess_out")
@@ -60,6 +60,63 @@ class StreamingOpsSpec extends AnyFunSuite {
     q.stop()
     assert(closed.length === 1)
     assert(closed.head === SessionSummary(1L, 1000L, 11000L, 2L, 3.0))
+  }
+
+  test("sessionize: a late cross-batch event extends the session backward, never regresses it") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val sessions = StreamingOps.sessionize(input.toDS(), gap = 60000L,
+      timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+    val q = sessions.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sess_late_out")
+      .option("checkpointLocation", tmp("ckpt-sess-late")).start()
+    // batch 1: session at t=100000..110000
+    input.addData(SessionEvent(7L, 100000L, 1.0), SessionEvent(7L, 110000L, 1.0))
+    q.processAllAvailable()
+    // batch 2: a LATE event inside [start-gap, last+gap] must merge on the
+    // low end (start := min) without regressing `last`
+    input.addData(SessionEvent(7L, 60000L, 1.0))
+    q.processAllAvailable()
+    // batch 3: an event past last+gap closes the (extended) session
+    input.addData(SessionEvent(7L, 500000L, 9.0))
+    q.processAllAvailable()
+    val closed = spark.table("sess_late_out").as[SessionSummary].collect()
+    q.stop()
+    assert(closed.length === 1)
+    assert(closed.head === SessionSummary(7L, 60000L, 110000L, 3L, 3.0),
+      "late event must extend start and keep end — end < start means state regressed")
+  }
+
+  test("sessionize rejects EventTimeTimeout up front (ms-epoch vs caller-unit mismatch)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val e = intercept[IllegalArgumentException] {
+      StreamingOps.sessionize(input.toDS(), gap = 1000L,
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout)
+    }
+    assert(e.getMessage.contains("EventTimeTimeout"))
+  }
+
+  test("toPartitionedParquet writes a date-partitioned streaming sink") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stage = java.nio.file.Path.of(tmp("events-psink"), "events.parquet")
+    java.nio.file.Files.copy(
+      java.nio.file.Path.of("/root/testdata/sf0.001/events.parquet"), stage)
+    val raw = spark.readStream
+      .schema(spark.read.parquet(stage.toString).schema)
+      .parquet(stage.getParent.toString)
+    val withDay = Tables.withEventTimeCols(raw)
+      .withColumn("day", to_date(col("ts_t")))
+      .select("event_id", "user_id", "value", "day")
+    val out = tmp("psink-out")
+    val q = StreamingOps.toPartitionedParquet(withDay, out, tmp("ckpt-psink"), Seq("day"))
+    q.awaitTermination()
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+      .filterNot(_ == "_spark_metadata") // the sink's transaction log
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("day=")),
+      s"expected hive day= partitions, got ${dirs.mkString(",")}")
+    val expected = spark.read.parquet("/root/testdata/sf0.001/events.parquet").count()
+    assert(spark.read.parquet(out).count() === expected)
   }
 
   test("AvailableNow drains the events table as an incremental batch") {
