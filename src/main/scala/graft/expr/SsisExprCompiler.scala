@@ -26,12 +26,16 @@ import org.apache.spark.sql.types._
 object SsisExprCompiler {
   import SsisAst._
 
-  /** Compile-time environment: how column / variable references resolve. */
+  /** Compile-time environment: how column / variable references resolve.
+    * `variableValue` (when the binding site knows the runtime value)
+    * feeds the type-dispatch lattice, so `@[User::A] + @[User::B]` over
+    * string variables compiles to concat, not arithmetic. */
   final case class Env(
       col: String => Column = c => org.apache.spark.sql.functions.col(c),
       colType: String => Option[DataType] = _ => None,
       variable: (String, String) => Column = (ns, n) =>
-        throw new IllegalArgumentException(s"unbound SSIS variable @[$ns::$n]"))
+        throw new IllegalArgumentException(s"unbound SSIS variable @[$ns::$n]"),
+      variableValue: (String, String) => Option[Any] = (_, _) => None)
 
   def compile(input: String, env: Env = Env()): Column =
     SsisExprParser.parse(input).fold(msg => throw new IllegalArgumentException(msg), compileAst(_, env))
@@ -59,7 +63,14 @@ object SsisExprCompiler {
     case BoolLit(_) => TBool
     case NullLit(t) => tyOfDataType(SsisTypes.toSpark(t))
     case ColRef(n) => env.colType(n).map(tyOfDataType).getOrElse(TOther)
-    case VarRef(_, _) => TOther
+    case VarRef(ns, n) => env.variableValue(ns, n) match {
+      case Some(_: String) => TStr
+      case Some(_: Int) | Some(_: Long) | Some(_: Short) | Some(_: Byte) => TInt
+      case Some(_: Double) | Some(_: Float) | Some(_: BigDecimal) |
+          Some(_: java.math.BigDecimal) => TFrac
+      case Some(_: Boolean) => TBool
+      case _ => TOther
+    }
     case Cast(t, _) => tyOfDataType(SsisTypes.toSpark(t))
     case Unary("!", _) => TBool
     case Unary(_, e) => tyOf(e, env)
@@ -86,13 +97,18 @@ object SsisExprCompiler {
             case _ => TInt
           }
       }
-    case Call(name, _) =>
+    case Call(name, cargs) =>
       name match {
         case "LEN" | "FINDSTRING" | "DATEDIFF" | "DATEPART" | "YEAR" | "MONTH" |
             "DAY" | "TOKENCOUNT" => TInt
         case "SUBSTRING" | "TRIM" | "LTRIM" | "RTRIM" | "UPPER" | "LOWER" |
             "LEFT" | "RIGHT" | "REPLACE" | "REPLICATE" | "REVERSE" | "TOKEN" => TStr
-        case "ISNULL" => TBool
+        // 1-arg ISNULL is the boolean null test; 2-arg is coalesce and
+        // carries its FIRST argument's type (ISNULL(qty,0)/10 must stay
+        // integer division; ISNULL(s,'')+x must stay concat)
+        case "ISNULL" if cargs.length == 1 => TBool
+        case "ISNULL" | "REPLACENULL" | "COALESCE" | "NULLIF" =>
+          cargs.headOption.map(tyOf(_, env)).getOrElse(TOther)
         case _ => TOther
       }
   }
@@ -137,6 +153,12 @@ object SsisExprCompiler {
     case Call(name, args) => compileCall(name, args, env)
   }
 
+  /** `[\Q<delim>\E]`: a character class over every delimiter character,
+    * regex-safe for any delimiter content (except a literal `\E`,
+    * documented). */
+  private def tokenDelimRegex(delim: Column): Column =
+    concat(lit("[\\Q"), delim, lit("\\E]"))
+
   private def requireArgs(name: String, args: List[SsisAst], ns: Int*): Unit =
     require(ns.contains(args.length), s"$name expects ${ns.mkString("/")} args, got ${args.length}")
 
@@ -180,14 +202,33 @@ object SsisExprCompiler {
       case "REPLICATE" => requireArgs(name, args, 2); call_function("repeat", c(0), c(1))
       case "REVERSE" => requireArgs(name, args, 1); reverse(c(0))
       case "CONCAT" => concat(args.indices.map(c): _*)
+      // SSIS TOKEN semantics: the delimiter argument is a SET of single-
+      // character delimiters (not a regex, not one multi-char separator),
+      // and empty tokens are skipped (consecutive delimiters collapse).
+      // The split regex is a character class quoting the whole delimiter
+      // string (`[\Q…\E]` — no metacharacter can escape), built at
+      // runtime so variable-driven delimiters work too; empties are
+      // filtered after the split.
       case "TOKEN" =>
         requireArgs(name, args, 3)
-        element_at(split(c(0), c(1)), c(2))
+        val toks = filter(split(c(0), tokenDelimRegex(c(1))), t => t =!= "")
+        // 1-based; out-of-range yields the empty string, as SSIS does —
+        // `get` (0-based, null-safe) rather than ANSI-throwing element_at.
+        // Empty delimiter (illegal as a regex class): whole string = token 1.
+        when(length(c(1)) === 0,
+            when(c(2).cast(IntegerType) === 1 && length(c(0)) > 0, c(0)).otherwise(lit("")))
+          .otherwise(coalesce(get(toks, c(2).cast(IntegerType) - 1), lit("")))
       case "TOKENCOUNT" =>
         requireArgs(name, args, 2)
-        when(length(c(0)) === 0, 0).otherwise(size(split(c(0), c(1))))
+        when(length(c(0)) === 0, 0)
+          .when(length(c(1)) === 0, 1)
+          .otherwise(size(filter(split(c(0), tokenDelimRegex(c(1))), t => t =!= "")))
       // ---- dates ----
-      case "GETDATE" | "GETUTCDATE" => requireArgs(name, args, 0); current_timestamp()
+      case "GETDATE" => requireArgs(name, args, 0); current_timestamp()
+      // UTC wall-clock, whatever the session timezone renders now() as
+      case "GETUTCDATE" =>
+        requireArgs(name, args, 0)
+        to_utc_timestamp(current_timestamp(), call_function("current_timezone"))
       case "DATEADD" =>
         requireArgs(name, args, 3)
         val part = datePart(args.head)

@@ -60,13 +60,33 @@ object SsisExprParser extends RegexParsers {
         }
     }
 
-  // single lexical token: whitespace inside the quotes must survive
+  // single lexical token: whitespace inside the quotes must survive.
+  // ONE left-to-right unescape pass — chained `.replace` calls corrupt
+  // mixed sequences (in "\\n" the backslash-escape's second char would be
+  // re-read as the start of an \n escape, yielding backslash+newline
+  // instead of the literal backslash + 'n')
+  private def unescapeStringLit(raw: String): String = {
+    val sb = new StringBuilder(raw.length)
+    var i = 0
+    while (i < raw.length) {
+      val ch = raw.charAt(i)
+      if (ch == '\\' && i + 1 < raw.length) {
+        raw.charAt(i + 1) match {
+          case 'n' => sb += '\n'
+          case 't' => sb += '\t'
+          case '"' => sb += '"'
+          case '\\' => sb += '\\'
+          case other => sb += '\\' += other // unknown escape: keep verbatim
+        }
+        i += 2
+      } else { sb += ch; i += 1 }
+    }
+    sb.result()
+  }
+
   private def stringLit: Parser[SsisAst] =
     """"(\\.|[^"\\])*"""".r ^^ { quoted =>
-      val raw = quoted.substring(1, quoted.length - 1)
-      StrLit(
-        raw.replace("\\\"", "\"").replace("\\n", "\n").replace("\\t", "\t")
-          .replace("\\\\", "\\"))
+      StrLit(unescapeStringLit(quoted.substring(1, quoted.length - 1)))
     }
 
   private def numberLit: Parser[SsisAst] =

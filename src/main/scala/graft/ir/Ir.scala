@@ -108,6 +108,7 @@ object Ir {
   sealed trait AggFunction
   object AggFunction {
     case object Sum extends AggFunction; case object Count extends AggFunction
+    case object CountAll extends AggFunction
     case object CountDistinct extends AggFunction
     case object Avg extends AggFunction; case object Min extends AggFunction
     case object Max extends AggFunction; case object GroupBy extends AggFunction

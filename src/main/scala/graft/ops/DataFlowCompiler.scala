@@ -17,8 +17,9 @@ import org.apache.spark.sql.types.DataType
   *    output columns become an explicit select+cast (never inferSchema)
   *  - Lookup → hash equi-join; Full cache → `broadcast()` hint (the
   *    full-cache contract IS a broadcast), Partial → shuffled join;
-  *    IgnoreFailure → left join; FailComponent → left join + the appended
-  *    key recorded in [[CompiledDataFlow.failComponentChecks]] for the
+  *    IgnoreFailure → left join; FailComponent → left join + the
+  *    unmatched-rows frame recorded in
+  *    [[CompiledDataFlow.failComponentChecks]], enforced by the
   *    validation suite (SSIS fails the component on no-match — dropping
   *    rows like an inner join would is NOT the semantic)
   *  - Derived Column → SSIS expression compiler → `withColumn` + cast
@@ -43,9 +44,13 @@ object DataFlowCompiler {
       observations: Map[String, Observation],
       /** route name → filtered frame (Conditional Split outputs). */
       routes: Map[String, DataFrame],
-      /** lookup name → appended key column that must be non-null
-        * (NoMatchBehavior=FailComponent). */
-      failComponentChecks: Map[String, String],
+      /** lookup name → frame of probe rows with NO dim match
+        * (NoMatchBehavior=FailComponent). Must be empty for the task to
+        * succeed — the runner enforces it before writing. Built from an
+        * internal dim-side marker, so it is exact even for zero-output
+        * existence checks and lookups whose output columns are
+        * legitimately NULL on matched rows. */
+      failComponentChecks: Map[String, DataFrame],
       warnings: List[String])
 
   /** Literal binding for `@[ns::name]` refs in component expressions from
@@ -61,23 +66,22 @@ object DataFlowCompiler {
       vars: Map[String, Any] = Map.empty): CompiledDataFlow = {
     val warnings = scala.collection.mutable.ListBuffer.empty[String]
     val observations = scala.collection.mutable.Map.empty[String, Observation]
-    val failChecks = scala.collection.mutable.Map.empty[String, String]
+    val failChecks = scala.collection.mutable.Map.empty[String, DataFrame]
     var routes = Map.empty[String, DataFrame]
     var destination: Option[DestinationComponent] = None
 
     val sourceComp = task.components.collectFirst { case s: SourceComponent => s }
       .getOrElse(throw new IllegalArgumentException(s"dataflow ${task.name} has no source"))
 
-    var df = applySourceSchema(resolver.source(sourceComp), sourceComp)
+    var df = applySourceSchema(resolver.source(sourceComp), sourceComp, warnings += _)
 
     task.components.foreach {
       case _: SourceComponent => // consumed above
       case d: DestinationComponent => destination = Some(d)
       case l: LookupComponent =>
-        val (joined, appendedKey) = applyLookup(df, l, resolver)
+        val (joined, unmatched) = applyLookup(df, l, resolver)
         df = joined
-        if (l.noMatchBehavior == NoMatchBehavior.FailComponent)
-          appendedKey.foreach(k => failChecks(l.name) = k)
+        unmatched.foreach(f => failChecks(l.name) = f)
       case dc: DerivedColumnComponent =>
         df = applyDerivedColumns(df, dc, vars)
       case cs: ConditionalSplitComponent =>
@@ -104,20 +108,38 @@ object DataFlowCompiler {
         warnings += s"component '${u.name}' (${u.componentType}) skipped"
     }
 
+    // a LINEAR chain continuing past a ConditionalSplit has no <paths>
+    // wiring to say which route flows on — the tagged union of ALL routes
+    // continues in `df` (q33 deliberately surfaces the tag; per-route
+    // frames are in `routes`). The runner drops the internal tag column
+    // at the destination boundary so it never lands in a written table.
+    if (df.columns.contains(SplitTagColumn) && destination.isDefined)
+      warnings += s"dataflow ${task.name}: linear chain writes past a " +
+        "ConditionalSplit — ALL routes flow to the destination (no <paths> " +
+        "wiring); wire explicit paths or use CompiledDataFlow.routes"
     CompiledDataFlow(df, destination, observations.toMap, routes, failChecks.toMap,
       warnings.toList)
   }
 
   /** Declared output columns → explicit select + cast (P1/P4). An empty
-    * declaration passes the scan through untouched. */
-  def applySourceSchema(scan: DataFrame, src: SourceComponent): DataFrame =
+    * declaration passes the scan through untouched. A declared column the
+    * scan doesn't carry is WARNED about, never silently dropped (schema
+    * drift should surface here, not as an unrelated unresolved-column
+    * error three components later); if nothing matches, fail loud. */
+  def applySourceSchema(scan: DataFrame, src: SourceComponent,
+      warn: String => Unit = _ => ()): DataFrame =
     if (src.columns.isEmpty) scan
     else {
       val available = scan.columns.toSet
-      scan.select(src.columns.collect {
-        case c if available.contains(c.name) =>
-          col(c.name).cast(SsisTypes.toSpark(c.ssisType)).as(c.name)
-      }: _*)
+      val (kept, missing) = src.columns.partition(c => available.contains(c.name))
+      missing.foreach(c => warn(
+        s"source ${src.name}: declared column '${c.name}' absent from the scan " +
+          s"(have: ${scan.columns.mkString(", ")}) — dropped"))
+      require(kept.nonEmpty,
+        s"source ${src.name}: none of the declared output columns " +
+          s"(${src.columns.map(_.name).mkString(", ")}) exist in the scan — schema drift?")
+      scan.select(kept.map(c =>
+        col(c.name).cast(SsisTypes.toSpark(c.ssisType)).as(c.name)): _*)
     }
 
   /** Join-key inference: probe input column ↔ same-named lookup column
@@ -125,7 +147,7 @@ object DataFlowCompiler {
     * output (reproduces the sample packages' Date lookup, where SaleDate
     * probes FullDate). Returns (joined, appended key column). */
   def applyLookup(probe: DataFrame, l: LookupComponent, resolver: Resolver)
-      : (DataFrame, Option[String]) = {
+      : (DataFrame, Option[DataFrame]) = {
     val dim0 = resolver.lookup(l)
     val outputNames = l.outputColumns.map(_.name)
     val dimCols = dim0.columns.toList
@@ -155,9 +177,18 @@ object DataFlowCompiler {
         pairs
       }
     // keep only join + appended columns from the dim side; drop the dim's
-    // copy of same-named join columns after the join
+    // copy of same-named join columns after the join. FailComponent adds
+    // an internal always-true marker on the dim side: its nullness after
+    // the left join is the EXACT no-match signal — an appended output
+    // column is the wrong proxy (zero-output existence-check lookups have
+    // none, and a legitimately-NULL output on a matched row would read as
+    // a false no-match). The marker never reaches the caller's frame.
+    val isFail = l.noMatchBehavior == NoMatchBehavior.FailComponent
+    val marker = "__graft_lookup_matched"
     val needed = (joinPairs.map(_._2) ++ outputNames).distinct
-    val dim = dim0.select(needed.map(col): _*)
+    val dimSelect: List[Column] =
+      if (isFail) needed.map(col) :+ lit(true).as(marker) else needed.map(col)
+    val dim = dim0.select(dimSelect: _*)
     val probeTypes = probe.schema.fields.map(f => f.name -> f.dataType).toMap
     val dimTypes = dim.schema.fields.map(f => f.name -> f.dataType).toMap
     val cond = joinPairs.map { case (p, d) =>
@@ -176,7 +207,8 @@ object DataFlowCompiler {
       case (acc, (p, d)) if p != d => acc.drop(dim(d))
       case (acc, (p, _)) => acc.drop(dim(p))
     }
-    (joined, outputNames.headOption)
+    if (isFail) (joined.drop(marker), Some(joined.filter(col(marker).isNull)))
+    else (joined, None)
   }
 
   def applyDerivedColumns(df: DataFrame, dc: DerivedColumnComponent,
@@ -216,7 +248,11 @@ object DataFlowCompiler {
       val in = col(s.inputColumn)
       (s.fn match {
         case Sum => sum(in)
-        case Count => count(lit(1))
+        // SSIS Aggregate Count counts NON-NULL values of its
+        // AggregationColumn (T-SQL COUNT(col)); COUNT(*) is the separate
+        // CountAll aggregation type
+        case Count => count(in)
+        case CountAll => count(lit(1))
         case CountDistinct => countDistinct(in)
         case Avg => avg(in)
         case Min => min(in)
@@ -247,7 +283,7 @@ object DataFlowCompiler {
       /** destination component name → (component, frame flowing into it). */
       destinations: Map[String, (DestinationComponent, DataFrame)],
       observations: Map[String, Observation],
-      failComponentChecks: Map[String, String],
+      failComponentChecks: Map[String, DataFrame],
       warnings: List[String])
 
   /** Branched-dataflow compiler: the `<paths>` graph decides wiring, so a
@@ -266,7 +302,7 @@ object DataFlowCompiler {
     require(task.paths.nonEmpty, s"dataflow ${task.name} has no paths; use compile()")
     val warnings = scala.collection.mutable.ListBuffer.empty[String]
     val observations = scala.collection.mutable.Map.empty[String, Observation]
-    val failChecks = scala.collection.mutable.Map.empty[String, String]
+    val failChecks = scala.collection.mutable.Map.empty[String, DataFrame]
     val destinations = scala.collection.mutable.Map.empty[String, (DestinationComponent, DataFrame)]
 
     val byName = task.components.map(c => c.name -> c).toMap
@@ -284,9 +320,14 @@ object DataFlowCompiler {
     while (queue.nonEmpty) {
       val n = queue.dequeue()
       order += n
-      task.paths.filter(_.from == n).map(_.to).distinct.foreach { m =>
-        indeg(m) -= 1
-        if (indeg(m) == 0) queue.enqueue(m)
+      // one decrement PER EDGE, not per distinct target: parallel edges
+      // (a split's two routes feeding one UnionAll, a self-join feeding
+      // both MergeJoin inputs) each contributed to the in-degree, so a
+      // distinct here would strand the target at indeg > 0 and falsely
+      // report a cycle on a valid dataflow
+      task.paths.filter(_.from == n).foreach { p =>
+        indeg(p.to) -= 1
+        if (indeg(p.to) == 0) queue.enqueue(p.to)
       }
     }
     require(order.length == onGraph.length,
@@ -317,14 +358,13 @@ object DataFlowCompiler {
       }
       comp match {
         case s: SourceComponent =>
-          produced((name, None)) = applySourceSchema(resolver.source(s), s)
+          produced((name, None)) = applySourceSchema(resolver.source(s), s, warnings += _)
         case d: DestinationComponent =>
           destinations(name) = (d, single)
         case l: LookupComponent =>
-          val (joined, appendedKey) = applyLookup(single, l, resolver)
+          val (joined, unmatched) = applyLookup(single, l, resolver)
           produced((name, None)) = joined
-          if (l.noMatchBehavior == NoMatchBehavior.FailComponent)
-            appendedKey.foreach(k => failChecks(l.name) = k)
+          unmatched.foreach(f => failChecks(l.name) = f)
         case dc: DerivedColumnComponent =>
           produced((name, None)) = applyDerivedColumns(single, dc, vars)
         case cs: ConditionalSplitComponent =>
@@ -350,10 +390,18 @@ object DataFlowCompiler {
           }
         case mj: MergeJoinComponent =>
           require(ins.length == 2, s"MergeJoin '$name' needs 2 inputs, got ${ins.length}")
-          val left = ins.find(_._1.toInput.contains("left")).map(_._2)
-            .getOrElse(ins.head._2)
-          val right = ins.find(_._1.toInput.contains("right")).map(_._2)
-            .getOrElse(ins.last._2)
+          // when only ONE edge carries a left/right label, the other side
+          // must bind to the REMAINING edge — a positional fallback
+          // (head/last) could bind the labeled edge to both sides and
+          // silently join a frame with itself
+          val leftIn = ins.find(_._1.toInput.contains("left"))
+          val rightIn = ins.find(_._1.toInput.contains("right"))
+          val (left, right) = (leftIn, rightIn) match {
+            case (Some(l), Some(r)) => (l._2, r._2)
+            case (Some(l), None) => (l._2, ins.find(_ != l).get._2)
+            case (None, Some(r)) => (ins.find(_ != r).get._2, r._2)
+            case (None, None) => (ins.head._2, ins.last._2)
+          }
           produced((name, None)) = mergeJoin(left, right, mj)
         case u: UnionAllComponent =>
           require(ins.nonEmpty, s"UnionAll '$name' has no inputs")

@@ -361,13 +361,19 @@ object DtsxParser {
           val outName = oc.attribute("name").map(_.text).getOrElse("")
           val fnTxt = (oc \\ "property").find(_.attribute("name").exists(_.text == "AggregationType"))
             .map(_.text.trim.toLowerCase)
-          val inCol = (oc \\ "property").find(_.attribute("name").exists(_.text == "AggregationColumn"))
-            .map(_.text.trim).getOrElse(outName)
+          val inColOpt = (oc \\ "property").find(_.attribute("name").exists(_.text == "AggregationColumn"))
+            .map(_.text.trim)
+          val inCol = inColOpt.getOrElse(outName)
           fnTxt.map { f =>
             val fn = f match {
               case "groupby" | "group by" => AggFunction.GroupBy
               case "sum" => AggFunction.Sum
+              // a count WITHOUT an AggregationColumn is SSIS's count-all
+              // (COUNT(*)); with a column it counts that column's
+              // non-null values (T-SQL COUNT(col))
+              case "count" if inColOpt.isEmpty => AggFunction.CountAll
               case "count" => AggFunction.Count
+              case "countall" | "count all" => AggFunction.CountAll
               case "countdistinct" | "count distinct" => AggFunction.CountDistinct
               case "avg" | "average" => AggFunction.Avg
               case "min" | "minimum" => AggFunction.Min

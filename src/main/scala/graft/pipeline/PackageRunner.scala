@@ -415,11 +415,24 @@ object PackageRunner {
   private def runTaskWith(spark: SparkSession, pkg: SsisPackage, task: Task,
       env: RuntimeEnv, values: Map[String, Any], store: VarStore): TaskRun =
     try {
+      // SSIS fails the component when a FailComponent lookup row has no
+      // match — the compiled frames never drop rows (left joins), so the
+      // semantic is enforced HERE, before any destination write (one
+      // limit-1 existence job per FailComponent lookup)
+      def enforceFailChecks(taskName: String,
+          checks: Map[String, org.apache.spark.sql.DataFrame]): Unit =
+        checks.foreach { case (lookupName, unmatched) =>
+          if (!unmatched.isEmpty)
+            throw new IllegalStateException(
+              s"task $taskName: lookup '$lookupName' has rows with no match " +
+                "(NoMatchBehavior=FailComponent)")
+        }
       task match {
         case df0: DataFlowTask if df0.paths.nonEmpty =>
           val df = PackageVariables.bindTaskSql(df0, pkg, values)
           // branched topology: wiring comes from the <paths> graph
           val dag = DataFlowCompiler.compileDag(df, env.resolver, values)
+          enforceFailChecks(task.name, dag.failComponentChecks)
           dag.destinations.values.foreach { case (d, frame) =>
             env.write(d.tableName.getOrElse(d.name), frame, SaveMode.Append)
           }
@@ -434,6 +447,7 @@ object PackageRunner {
         case df0: DataFlowTask =>
           val df = PackageVariables.bindTaskSql(df0, pkg, values)
           val compiled = DataFlowCompiler.compile(df, env.resolver, values)
+          enforceFailChecks(task.name, compiled.failComponentChecks)
           val dest = compiled.destination
           val mode = dest.flatMap(_.accessMode) match {
             case Some(3) => SaveMode.Append // fast load = bulk append
@@ -441,7 +455,11 @@ object PackageRunner {
           }
           val rows = dest match {
             case Some(d) =>
-              env.write(d.tableName.getOrElse(d.name), compiled.df, mode)
+              // the split's internal route-tag column must never land in
+              // a written table (callers that WANT the tag read
+              // compiled.df / routes directly)
+              env.write(d.tableName.getOrElse(d.name),
+                compiled.df.drop(DataFlowCompiler.SplitTagColumn), mode)
               None // rows come from observations if a RowCount is present
             case None => Some(compiled.df.count())
           }

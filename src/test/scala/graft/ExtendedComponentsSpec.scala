@@ -115,8 +115,9 @@ class ExtendedComponentsSpec extends AnyFunSuite {
     assert(split.defaultOutput === "rest")
     val agg = flow.components.collectFirst { case c: AggregateComponent => c }.get
     assert(agg.groupByCols === List("Cat"))
+    // the fixture's count has no AggregationColumn → SSIS count-all
     assert(agg.aggs.map(_.fn).toSet ===
-      Set(AggFunction.GroupBy, AggFunction.Sum, AggFunction.Count))
+      Set(AggFunction.GroupBy, AggFunction.Sum, AggFunction.CountAll))
     val loop = pkg.tasks.collectFirst { case c: ContainerTask => c }.get
     assert(loop.containerType === "ForEachLoop")
     assert(loop.children.map(_.name) === List("Inner"))
@@ -153,11 +154,20 @@ class ExtendedComponentsSpec extends AnyFunSuite {
       NoMatchBehavior.FailComponent, inputColumns = List("SaleDate"),
       outputColumns = List(ColumnInfo("DateKey",
         graft.types.SsisTypes.SsisColumnType("i4"))))
-    val (joined, key) = DataFlowCompiler.applyLookup(facts, lookup,
+    val (joined, unmatched) = DataFlowCompiler.applyLookup(facts, lookup,
       Resolver(_ => fail("no source"), _ => dimDate))
-    assert(key === Some("DateKey"))
+    // FailComponent: the unmatched-rows frame is recorded and EMPTY here
+    // (every probe date exists in the dim); the marker never leaks
+    assert(unmatched.isDefined && unmatched.get.isEmpty)
+    assert(!joined.columns.contains("__graft_lookup_matched"))
     assert(joined.select("DateKey").collect().map(_.getInt(0)).toSet ===
       Set(20240105, 20240106))
+    // a probe date with NO dim row lands in the unmatched frame
+    val badFacts = facts.union(Seq(
+      (3L, java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))).toDF("SaleID", "SaleDate"))
+    val (_, unmatched2) = DataFlowCompiler.applyLookup(badFacts, lookup,
+      Resolver(_ => fail("no source"), _ => dimDate))
+    assert(unmatched2.get.select("SaleID").collect().map(_.getLong(0)).toSeq === Seq(3L))
   }
 
   test("compiler: mergeJoin and unionAll helpers") {
@@ -224,6 +234,57 @@ class ExtendedComponentsSpec extends AnyFunSuite {
     assert(dag.outputs("Audit").count() === 2)
     assert(dag.outputs("Union").count() === 3)
     assert(dag.outputs("Union").filter(col("lbl") === "ret").count() === 2)
+  }
+
+  test("dag compiler: two split routes feeding ONE union directly are not a false cycle") {
+    // parallel edges (same from/to pair, different route) each count in
+    // the in-degree — per-edge Kahn decrement must drain them
+    val src = Seq((1L, "R", 10.0), (2L, "N", 20.0), (3L, "R", 30.0))
+      .toDF("id", "flag", "v")
+    val flow = DataFlowTask("par", None, List(
+      SourceComponent("Src", "OLEDBSource", None, None, None, None, Nil),
+      ConditionalSplitComponent("Split", List("r" -> "[flag] == \"R\""), "other"),
+      UnionAllComponent("Union")),
+      paths = List(
+        FlowPath("Src", None, "Split", None),
+        FlowPath("Split", Some("r"), "Union", None),
+        FlowPath("Split", Some("other"), "Union", None)))
+    val dag = DataFlowCompiler.compileDag(flow,
+      Resolver(_ => src, _ => fail("no lookup")))
+    assert(dag.outputs("Union").count() === 3)
+  }
+
+  test("dag compiler: merge join with ONE labeled edge binds the other side to the remaining edge") {
+    val a = Seq((1, "a1"), (2, "a2")).toDF("k", "av")
+    val b = Seq((1, "b1")).toDF("k2", "bv")
+    val flow = DataFlowTask("mj1", None, List(
+      SourceComponent("A", "OLEDBSource", None, None, None, None, Nil),
+      SourceComponent("B", "OLEDBSource", None, None, None, None, Nil),
+      MergeJoinComponent("Join", "LEFT", List("k"), List("k2"))),
+      paths = List(
+        // only the RIGHT edge is labeled, and it is ALSO the last edge —
+        // a positional fallback would join B with itself and drop A
+        FlowPath("A", None, "Join", None),
+        FlowPath("B", None, "Join", Some("right"))))
+    val dag = DataFlowCompiler.compileDag(flow,
+      Resolver(s => if (s.name == "A") a else b, _ => fail("no lookup")))
+    val out = dag.outputs("Join").collect()
+    assert(out.length === 2, "left outer join must keep both A rows")
+    assert(out.map(_.getString(1)).toSet === Set("a1", "a2"))
+  }
+
+  test("aggregate Count counts non-null values; CountAll counts rows") {
+    import graft.ir.Ir.{AggSpec, AggregateComponent}
+    val df = Seq(("a", Some("x")), ("a", None), ("a", Some("y")), ("b", None))
+      .toDF("g", "email")
+    val agg = AggregateComponent("Agg", List(
+      AggSpec("g", "g", AggFunction.GroupBy),
+      AggSpec("email", "n_emails", AggFunction.Count),
+      AggSpec("", "n_rows", AggFunction.CountAll)))
+    val out = DataFlowCompiler.applyAggregate(df, agg).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("a") === ((2L, 3L)), "Count must skip NULLs; CountAll must not")
+    assert(out("b") === ((0L, 1L)))
   }
 
   test("dag compiler: merge join honors left/right path annotations") {

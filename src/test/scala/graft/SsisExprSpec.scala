@@ -156,4 +156,67 @@ class SsisExprSpec extends AnyFunSuite {
     val ex = intercept[IllegalArgumentException](evalOn(one, "FROB(1)"))
     assert(ex.getMessage.contains("FROB"))
   }
+
+  test("2-arg ISNULL carries its first argument's type through dispatch") {
+    val df = Seq((Some(25), Option.empty[Int], "a", null.asInstanceOf[String]))
+      .toDF("qty", "qnull", "s1", "snull")
+    val types = Map[String, DataType]("qty" -> IntegerType, "qnull" -> IntegerType,
+      "s1" -> StringType, "snull" -> StringType)
+    // coalesced INT stays integer division (SSIS truncates), not 2.5
+    assert(evalOn(df, "ISNULL(qty, 0) / 10", types) === 2)
+    assert(evalOn(df, "ISNULL(qnull, 25) / 10", types) === 2)
+    // coalesced STRING + stays concat, not arithmetic-on-strings NULL
+    assert(evalOn(df, "ISNULL(snull, \"x\") + s1", types) === "xa")
+    // 1-arg ISNULL is still the boolean test
+    assert(evalOn(df, "ISNULL(qnull)", types) === true)
+  }
+
+  test("string variables concatenate with + (value-informed type dispatch)") {
+    val vars = Map("User::Prefix" -> "pre_", "User::FileName" -> "f.csv",
+      "User::N" -> 7)
+    val env = Env(
+      variable = (ns, n) => lit(vars(s"$ns::$n")),
+      variableValue = (ns, n) => vars.get(s"$ns::$n"))
+    def eval(e: String): Any =
+      one.select(SsisExprCompiler.compile(e, env).as("r")).collect()(0).get(0)
+    assert(eval("@[User::Prefix] + @[User::FileName]") === "pre_f.csv")
+    assert(eval("@[User::N] + 1") === 8)
+  }
+
+  test("TOKEN/TOKENCOUNT: delimiter is a char SET, empty tokens skipped (SSIS semantics)") {
+    // "." is a delimiter character, never a regex any-char
+    assert(evalOn(one, "TOKENCOUNT(\"192.168.1.1\", \".\")") === 4)
+    assert(evalOn(one, "TOKEN(\"192.168.1.1\", \".\", 2)") === "168")
+    // consecutive delimiters collapse — SSIS skips empty tokens
+    assert(evalOn(one, "TOKENCOUNT(\"a,,b\", \",\")") === 2)
+    assert(evalOn(one, "TOKEN(\"a,,b\", \",\", 2)") === "b")
+    // multi-char delimiter string = set of single-char delimiters
+    assert(evalOn(one, "TOKENCOUNT(\"a,b;c\", \",;\")") === 3)
+    // out-of-range occurrence yields the empty string, not an ANSI error
+    assert(evalOn(one, "TOKEN(\"a,b\", \",\", 9)") === "")
+    // regex metachars as delimiters stay literal
+    assert(evalOn(one, "TOKENCOUNT(\"a|b+c(d\", \"|+(\")") === 4)
+  }
+
+  test("GETUTCDATE returns UTC wall-clock regardless of session timezone") {
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val Seq(utc, local) = one.select(
+        SsisExprCompiler.compile("GETUTCDATE()", Env()).cast(LongType).as("u"),
+        SsisExprCompiler.compile("GETDATE()", Env()).cast(LongType).as("l"))
+        .collect()(0).toSeq.map(_.asInstanceOf[Long]).toSeq
+      // NY renders 4-5 hours behind UTC; the UTC wall-clock reading is ahead
+      val diffH = (utc - local) / 3600.0
+      assert(diffH >= 3.9 && diffH <= 5.1,
+        s"GETUTCDATE - GETDATE = $diffH h, expected the NY offset")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
+  test("string literal escapes unescape in one pass (backslash before n survives)") {
+    // "\\n" is backslash + n, NOT a newline
+    assert(evalOn(one, "\"a\\\\nb\"") === "a\\nb")
+    assert(evalOn(one, "\"a\\nb\"") === "a\nb")
+    assert(evalOn(one, "\"a\\tb\\\"c\"") === "a\tb\"c")
+  }
 }
