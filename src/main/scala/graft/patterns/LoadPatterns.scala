@@ -28,13 +28,17 @@ object LoadPatterns {
 
   private val watermarkVarRe =
     "(?i)(last.?sync|last.?modified|last.?run|watermark|high.?water)".r
+  // (?s): a multi-line WHERE (CDATA / &#xA;-preserved statements) must
+  // not hide the predicate from `.` — same flag the rewriter regexes use
   private val incrementalSqlRe =
-    "(?i)where\\s+.{0,80}?(>=|>)\\s*(\\?|@\\w+)".r
+    "(?is)where\\s+.{0,80}?(>=|>)\\s*(\\?|@\\w+)".r
   private val mergeRe = "(?i)\\bmerge\\b\\s+(into\\s+)?\\S+\\s+(as\\s+\\w+\\s+)?using\\b".r
   private val scdColsRe = "(?i)(is_?current|valid_?from|valid_?to|effective_?date|row_?hash)".r
   private val truncateRe = "(?i)\\btruncate\\s+table\\b".r
-  private val deleteAllRe = "(?i)\\bdelete\\s+from\\s+\\S+\\s*;".r
-  private val processedFlagRe = "(?i)where\\s+.{0,40}?processed.?flag\\s*=\\s*0".r
+  // statement end = `;`, newline, or end-of-text (SSMS-authored tasks
+  // often carry no semicolons)
+  private val deleteAllRe = "(?i)\\bdelete\\s+from\\s+\\S+\\s*(;|\\n|$)".r
+  private val processedFlagRe = "(?is)where\\s+.{0,40}?processed.?flag\\s*=\\s*0".r
 
   def detect(sql: String, variables: Seq[Variable] = Nil): Detection = {
     val signals = scala.collection.mutable.ListBuffer.empty[String]
@@ -106,6 +110,15 @@ object ScdType2 {
     val inc = incoming
       .withColumn("surrogate_key", surrogateKey(naturalKey.map(col): _*))
       .withColumn("row_hash", surrogateKey(tracked.map(col): _*))
+    // contract: ONE incoming version per natural key. Two versions in a
+    // batch would BOTH insert as is_current=true (several "current" rows
+    // per key, fanning out every later merge) — and the API carries no
+    // ordering to decide which wins, so fail loud instead of guessing
+    val dup = inc.groupBy(naturalKey.map(col): _*).count().filter(col("count") > 1)
+    require(dup.isEmpty,
+      s"SCD2 merge: incoming batch has multiple rows per natural key " +
+        s"(${naturalKey.mkString(",")}) — e.g. ${dup.limit(3).collect().mkString("; ")}; " +
+        "pre-aggregate to one version per key (latest-wins) before merging")
     val curKeys = current.filter(col("is_current"))
       .select((naturalKey.map(col) :+ col("row_hash").as("__cur_hash")): _*)
 
@@ -152,11 +165,16 @@ object ScdType2 {
   * `WHERE updated_at > (SELECT MAX(updated_at) FROM {{ this }})`). */
 object Incremental {
 
-  /** New rows strictly above the sink's current max watermark. */
+  /** New rows strictly above the sink's current max watermark. A NULL
+    * incoming watermark fails the predicate on EVERY run — including the
+    * first (empty-sink) one: `WHERE wm >= ?` drops NULLs in the SSIS
+    * original too, and keeping them only when the sink happens to be
+    * empty would load or lose the same row depending on arrival batch. */
   def aboveWatermark(incoming: DataFrame, sink: DataFrame, watermarkCol: String): DataFrame = {
     val maxWm = sink.agg(max(col(watermarkCol)).as("__wm"))
     incoming.join(broadcast(maxWm),
-      incoming(watermarkCol) > col("__wm") || col("__wm").isNull, "inner")
+      incoming(watermarkCol) > col("__wm") ||
+        (col("__wm").isNull && incoming(watermarkCol).isNotNull), "inner")
       .drop("__wm")
   }
 

@@ -22,34 +22,69 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object SqlPatternRewriter {
 
+  // target stops at whitespace OR an attached column list's paren:
+  // `INSERT INTO dbo.SyncLog(package_name,...)` must yield `dbo.SyncLog`,
+  // never the parenthesized text
   private val insertSelectRe =
-    "(?is)insert\\s+into\\s+(\\S+)\\s*(?:\\([^)]*\\))?\\s*(select\\b.*?)(?:;|$)".r
+    "(?is)insert\\s+into\\s+([^\\s(]+)\\s*(?:\\([^)]*\\))?\\s*(select\\b.*?)(?:;|$)".r
 
   private val bareSelectRe = "(?is)^\\s*(select\\b.*?)(?:;|\\s*$)".r
+
+  private val deleteTargetRe = "(?is)\\bdelete\\s+from\\s+([^\\s(;]+)".r
+  private val truncateTargetRe = "(?is)\\btruncate\\s+table\\s+([^\\s(;]+)".r
+
+  // a word-boundary UPDATE anywhere (an IF EXISTS … UPDATE … ELSE INSERT
+  // upsert, not just a leading UPDATE) disqualifies the rewrite: executing
+  // only the INSERT branch would silently drop the update half
+  private val updateStmtRe = "(?i)\\bupdate\\b\\s".r
 
   /** Strip `-- comments`, surviving XML attribute normalization (a
     * dtsx-sourced statement arrives newline-free — see [[SqlText]]). */
   private def stripComments(sql: String): String = SqlText.stripComments(sql)
 
+  /** Case/bracket-insensitive table-name comparison: `[dbo].[t]`,
+    * `dbo.t`, `DBO.T` all name the same table. */
+  private def sameTable(a: String, b: String): Boolean = {
+    def norm(t: String) = t.replace("[", "").replace("]", "").toLowerCase
+    norm(a) == norm(b)
+  }
+
   def rewrite(spark: SparkSession, task: ExecuteSqlTask,
       params: Map[String, String] = Map.empty): Option[SqlOutcome] = {
     var sql = stripComments(task.sqlStatement)
-    params.foreach { case (k, v) => sql = sql.replace(s"@$k", v) }
+    // longest names first + a non-word-char guard: @Date must never eat
+    // the prefix of @DateEnd (plain replace did, nondeterministically by
+    // Map order)
+    params.toSeq.sortBy { case (k, _) => -k.length }.foreach { case (k, v) =>
+      sql = ("@" + java.util.regex.Pattern.quote(k) + "(?![A-Za-z0-9_])").r
+        .replaceAllIn(sql, java.util.regex.Matcher.quoteReplacement(v))
+    }
     if (sql.isEmpty) return None
     val upper = sql.toUpperCase
     if (upper.contains("MERGE ") || upper.contains("RAISERROR") ||
-      upper.startsWith("UPDATE")) return None
+      updateStmtRe.findFirstIn(sql).isDefined) return None
 
-    insertSelectRe.findFirstMatchIn(sql) match {
-      case Some(m) =>
+    val inserts = insertSelectRe.findAllMatchIn(sql).toList
+    inserts match {
+      case m :: Nil =>
         val target = m.group(1)
         val select = m.group(2).trim
+        // Overwrite ONLY when the DELETE/TRUNCATE names the SAME table
+        // the INSERT refills — a cleanup of some other table must not
+        // turn this task into an overwrite that destroys the target's
+        // existing rows
+        val cleared =
+          deleteTargetRe.findAllMatchIn(sql).map(_.group(1)).toList ++
+            truncateTargetRe.findAllMatchIn(sql).map(_.group(1)).toList
         val mode =
-          if (upper.contains("DELETE FROM") || upper.contains("TRUNCATE TABLE"))
-            SaveMode.Overwrite
+          if (cleared.exists(sameTable(_, target))) SaveMode.Overwrite
           else SaveMode.Append
         Some(SqlOutcome(Some(spark.sql(select)), Some(target), mode))
-      case None =>
+      case _ :: _ =>
+        // several INSERT…SELECT statements: executing only the first and
+        // silently discarding the rest is worse than manual review
+        None
+      case Nil =>
         bareSelectRe.findFirstMatchIn(sql).map { m =>
           SqlOutcome(Some(spark.sql(m.group(1))), None)
         }

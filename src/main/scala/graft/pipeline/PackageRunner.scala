@@ -161,28 +161,29 @@ object PackageRunner {
               s"COMPILATION FAILS: ${e.getMessage}", Nil, gateOf(task.name))
         }
       case sql0: ExecuteSqlTask =>
-        // bind `?` placeholders exactly as the real run does (shared
-        // helper) before classification: a statement whose shape depends
-        // on bound values must plan the same action it will execute
-        // (approval-gate contract). A bind failure is reported as THIS
-        // task's planned outcome, never an abort of the whole listing —
-        // same per-task containment as the DataFlowTask branch.
-        try {
-          val sql = PackageVariables.bindStatement(sql0, pkg, values)
-          val m = graft.parser.MigrationMapping.mapTask(sql, pkg.variables)
-          val action = m.status match {
-            case "converted" => s"delegate to SQL executor — ${m.strategy.getOrElse("")}"
-            case "converted_to_tests" => s"validation guard — ${m.strategy.getOrElse("")}"
-            case "skipped" => s"skip — ${m.strategy.getOrElse("")}"
-            case _ => "record only (manual review)"
+        // classification reads the RAW authored statement — the same
+        // input the migration-mapping artifact and the real run's
+        // detector see (`?`/`@var` placeholders are themselves
+        // classification signals; binding them away would make the
+        // approval gate classify a DIFFERENT text than the artifact and
+        // the run classify). Binding happens on the EXECUTION path only;
+        // a bind failure therefore surfaces at run time as that task's
+        // failure, and the dry run additionally previews bindability
+        // here, contained to this task.
+        val bindNote =
+          try { PackageVariables.bindStatement(sql0, pkg, values); None }
+          catch {
+            case e: Exception => Some(s" [PARAMETER BINDING FAILS: ${e.getMessage}]")
           }
-          PlannedTask(task.name, "ExecuteSQLTask", action,
-            m.sparkPlan.toList, gateOf(task.name))
-        } catch {
-          case e: Exception =>
-            PlannedTask(task.name, "ExecuteSQLTask",
-              s"PARAMETER BINDING FAILS: ${e.getMessage}", Nil, gateOf(task.name))
-        }
+        val m = graft.parser.MigrationMapping.mapTask(sql0, pkg.variables)
+        val action = (m.status match {
+          case "converted" => s"delegate to SQL executor — ${m.strategy.getOrElse("")}"
+          case "converted_to_tests" => s"validation guard — ${m.strategy.getOrElse("")}"
+          case "skipped" => s"skip — ${m.strategy.getOrElse("")}"
+          case _ => "record only (manual review)"
+        }) + bindNote.getOrElse("")
+        PlannedTask(task.name, "ExecuteSQLTask", action,
+          m.sparkPlan.toList, gateOf(task.name))
       case st: ScriptTask =>
         PlannedTask(task.name, "ScriptTask",
           s"skip (manual review): ${st.reviewReason}", Nil, gateOf(task.name))
@@ -469,11 +470,12 @@ object PackageRunner {
           TaskRun(task.name, "DataFlowTask", TaskStatus.Succeeded, rows, observed,
             notes = compiled.warnings)
         case sql0: ExecuteSqlTask =>
-          // bind `?` placeholders from the evaluated package variables
-          // before pattern detection / execution (same helper as dryRun —
-          // the approval gate must classify exactly this statement)
+          // classification reads the RAW authored statement (a bound
+          // literal erases the `?`-placeholder signal the detector keys
+          // on, and the artifact/dry-run classify the raw text too);
+          // EXECUTION uses the bound statement
+          val detection = LoadPatterns.detect(sql0.sqlStatement, pkg.variables)
           val sql = PackageVariables.bindStatement(sql0, pkg, values)
-          val detection = LoadPatterns.detect(sql.sqlStatement, pkg.variables)
           // ResultBinding: a produced result set lands in the bound Object
           // variable (the recordset a ForEach ADO enumerator iterates)
           def bindResult(out: Option[org.apache.spark.sql.DataFrame]): List[String] =

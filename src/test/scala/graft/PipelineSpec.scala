@@ -252,31 +252,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(text.contains("[mart].[disposition_rollup]"))
   }
 
-  test("dry run classifies ExecuteSQL on the BOUND statement, like the real run") {
-    // a `?` placeholder must be substituted before classification —
-    // otherwise the approval gate can plan one action and execute another
+  test("dry run classifies ExecuteSQL on the RAW statement, like the artifact and the run") {
+    // `?`/`@var` placeholders are classification SIGNALS; the dry run,
+    // the migration-mapping artifact, and the run's detector must all
+    // read the same raw text (binding happens on the execution path)
     import graft.ir.Ir.{SsisPackage, Variable}
     def pkgOf(stmt: String, vars: List[Variable]) = SsisPackage("p", None, Nil, vars,
       List(graft.ir.Ir.ExecuteSqlTask("sql", None, "conn", stmt)), Nil)
     val env = PackageRunner.RuntimeEnv(
       resolver = graft.sources.Sources.testdataResolver(spark, "/root/testdata/sf0.001"),
       write = (_, _, _) => fail("dry run must not write"))
-    val bound = PackageRunner.dryRun(spark,
-      pkgOf("DELETE FROM [stage].[t] WHERE batch_id = ?",
-        List(Variable("User", "Batch", "DT_I4", "42"))), env)
-    val literal = PackageRunner.dryRun(spark,
-      pkgOf("DELETE FROM [stage].[t] WHERE batch_id = 42", Nil), env)
-    assert(bound.planned.head.action === literal.planned.head.action)
-    assert(bound.planned.head.sinks === literal.planned.head.sinks)
-    // a bind failure (two placeholders, one variable) is contained to the
+    val stmt = "SELECT * FROM src WHERE updated_at >= ?"
+    val vars = List(Variable("User", "LastSyncTime", "DT_WSTR", "2024-01-01"))
+    val dry = PackageRunner.dryRun(spark, pkgOf(stmt, vars), env)
+    val artifact = graft.parser.MigrationMapping.mapTask(
+      graft.ir.Ir.ExecuteSqlTask("sql", None, "conn", stmt), vars)
+    // the incremental `?` signal must survive into BOTH classifications
+    val runDetect = graft.patterns.LoadPatterns.detect(stmt, vars)
+    assert(runDetect.signals.contains("incremental WHERE predicate"),
+      "binding before detection would erase the ?-placeholder signal")
+    assert(dry.planned.head.action.nonEmpty)
+    assert(dry.planned.head.sinks === artifact.sparkPlan.toList)
+    // a bind failure (two placeholders, one variable) is PREVIEWED on the
     // failing task — the rest of the approval listing still plans
     val broken = PackageRunner.dryRun(spark,
-      pkgOf("DELETE FROM [stage].[t] WHERE a = ? AND b = ?",
-        List(Variable("User", "Batch", "DT_I4", "42"))).copy(tasks = List(
-        graft.ir.Ir.ExecuteSqlTask("bad", None, "conn",
-          "DELETE FROM [stage].[t] WHERE a = ? AND b = ?"),
-        graft.ir.Ir.ExecuteSqlTask("good", None, "conn",
-          "DELETE FROM [stage].[t] WHERE a = 1"))), env)
+      pkgOf("x", Nil).copy(
+        variables = List(Variable("User", "Batch", "DT_I4", "42")),
+        tasks = List(
+          graft.ir.Ir.ExecuteSqlTask("bad", None, "conn",
+            "DELETE FROM [stage].[t] WHERE a = ? AND b = ?"),
+          graft.ir.Ir.ExecuteSqlTask("good", None, "conn",
+            "DELETE FROM [stage].[t] WHERE a = 1"))), env)
     assert(broken.planned.map(_.taskName) === List("bad", "good"))
     assert(broken.planned.head.action.contains("PARAMETER BINDING FAILS"))
     assert(!broken.planned(1).action.contains("FAILS"))

@@ -13,6 +13,86 @@ class SqlRewriteAndJsonSpec extends AnyFunSuite {
 
   private def task(sql: String) = ExecuteSqlTask("t", None, "conn", sql)
 
+  test("rewriter: DELETE of an UNRELATED table never forces Overwrite of the insert target") {
+    Tables.lineitem(spark, "/root/testdata/sf0.001").createOrReplaceTempView("li_v")
+    val out = SqlPatternRewriter.rewrite(spark, task(
+      "DELETE FROM staging.tmp; INSERT INTO fact.sales SELECT l_orderkey FROM li_v;"))
+    assert(out.get.target === Some("fact.sales"))
+    assert(out.get.mode === SaveMode.Append,
+      "a cleanup of some other table must not overwrite the target's history")
+    // same-table DELETE (bracket/case variants) still overwrites
+    val ow = SqlPatternRewriter.rewrite(spark, task(
+      "DELETE FROM [fact].[sales] WHERE d = 1; INSERT INTO fact.sales SELECT l_orderkey FROM li_v;"))
+    assert(ow.get.mode === SaveMode.Overwrite)
+  }
+
+  test("rewriter: an embedded UPDATE (IF EXISTS upsert) is never half-executed") {
+    val out = SqlPatternRewriter.rewrite(spark, task(
+      "IF EXISTS (SELECT 1 FROM dim.c WHERE id = 1) " +
+        "UPDATE dim.c SET name = 'x' WHERE id = 1 " +
+        "ELSE INSERT INTO dim.c (id, name) SELECT 1, 'x'"))
+    assert(out.isEmpty, "executing only the INSERT branch drops the update half")
+  }
+
+  test("rewriter: multiple INSERT...SELECT statements refuse the rewrite (manual review)") {
+    val out = SqlPatternRewriter.rewrite(spark, task(
+      "INSERT INTO stg.a SELECT 1; INSERT INTO stg.b SELECT 2;"))
+    assert(out.isEmpty, "silently executing only the first INSERT loses the second")
+  }
+
+  test("rewriter: attached column list does not leak into the target name") {
+    val out = SqlPatternRewriter.rewrite(spark, task(
+      "INSERT INTO dbo.SyncLog(package_name,rows_processed) SELECT 'p', 10"))
+    assert(out.get.target === Some("dbo.SyncLog"))
+  }
+
+  test("rewriter: @Date parameter never corrupts @DateEnd (longest-first, word-bounded)") {
+    Tables.lineitem(spark, "/root/testdata/sf0.001").createOrReplaceTempView("li_v2")
+    val out = SqlPatternRewriter.rewrite(spark, task(
+      "INSERT INTO t SELECT l_orderkey FROM li_v2 WHERE l_shipdate >= @Date AND l_shipdate < @DateEnd"),
+      params = Map("Date" -> "'1996-01-01'", "DateEnd" -> "'1997-01-01'"))
+    assert(out.isDefined)
+    assert(out.get.df.get.count() > 0, "both parameters must bind cleanly")
+  }
+
+  test("detection: multi-line WHERE and semicolon-free DELETE keep their signals") {
+    import graft.patterns.LoadPatterns
+    val inc = LoadPatterns.detect(
+      "SELECT * FROM src\nWHERE region = 1\n  AND updated_at >= ?")
+    assert(inc.signals.contains("incremental WHERE predicate"))
+    val full = LoadPatterns.detect(
+      "DELETE FROM stg.t\nINSERT INTO stg.t SELECT * FROM v")
+    assert(full.signals.contains("DELETE+INSERT refresh"))
+  }
+
+  test("SCD2 merge fails loud on multiple incoming versions of one key") {
+    val cur = graft.patterns.ScdType2.rebuild(
+      Seq((1L, "A")).toDF("id", "name"), Seq("id"), Seq("name"))
+    val incoming = Seq((1L, "B"), (1L, "C")).toDF("id", "name")
+    val e = intercept[IllegalArgumentException] {
+      graft.patterns.ScdType2.merge(cur, incoming, Seq("id"), Seq("name"),
+        current_timestamp())
+    }
+    assert(e.getMessage.contains("multiple rows per natural key"))
+  }
+
+  test("watermark filter drops NULL-watermark rows on EVERY run, including the first") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("wm", TimestampType)))
+    def df(rows: Seq[(Long, String)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (i, t) =>
+        org.apache.spark.sql.Row(i, Option(t).map(java.sql.Timestamp.valueOf).orNull) }),
+      schema)
+    val incoming = df(Seq((1L, "2024-01-02 00:00:00"), (2L, null)))
+    val emptySink = df(Nil)
+    val fullSink = df(Seq((0L, "2024-01-01 00:00:00")))
+    assert(graft.patterns.Incremental.aboveWatermark(incoming, emptySink, "wm")
+      .select("id").collect().map(_.getLong(0)).toSeq === Seq(1L))
+    assert(graft.patterns.Incremental.aboveWatermark(incoming, fullSink, "wm")
+      .select("id").collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
   test("stripComments: '--' inside a string literal never starts a comment") {
     import graft.patterns.SqlText
     // multiline branch: the quoted dashes survive, the real comment strips
