@@ -29,18 +29,27 @@ object Sources {
       .schema(schemaOf(columns))
       .csv(path)
 
-  /** Flat File Destination. */
+  /** Flat File Destination. The timestampFormat MUST match [[readCsv]]'s:
+    * Spark's default write format (ISO-8601 with sub-seconds) fails the
+    * reader's pattern under PERMISSIVE mode, silently nulling every
+    * timestamp on a write-then-read round trip. */
   def writeCsv(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite,
       delimiter: String = ",", header: Boolean = true): Unit =
     df.write.mode(mode)
       .option("header", header.toString)
       .option("delimiter", delimiter)
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
       .csv(path)
 
   /** Register an external parquet table in the session catalog
-    * (`CREATE TABLE … USING parquet` — the dbt `source()` analog). */
-  def registerParquetTable(spark: SparkSession, name: String, path: String): Unit =
-    spark.sql(s"CREATE TABLE IF NOT EXISTS $name USING parquet LOCATION '$path'")
+    * (`CREATE TABLE … USING parquet` — the dbt `source()` analog).
+    * Identifier back-quoted, location single-quote-escaped: a path like
+    * `/data/o'brien/` must not break (or inject into) the statement. */
+  def registerParquetTable(spark: SparkSession, name: String, path: String): Unit = {
+    val qName = name.split('.').map(p => "`" + p.replace("`", "``") + "`").mkString(".")
+    val qPath = path.replace("'", "\\'")
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $qName USING parquet LOCATION '$qPath'")
+  }
 
   final case class SchemaMismatch(column: String, expected: String, actual: String)
 
@@ -72,21 +81,36 @@ object Sources {
     val tableRe = """\[\w+\]\.\[(\w+)\]""".r
     val projRe = """(?is)\s*SELECT\s+(.*?)\s+FROM\s.*""".r
     val whereRe = """(?is).*\bWHERE\b.*""".r
+    // a projection list the naive comma-split can't handle (function
+    // calls, aliases, DISTINCT) must route through the full-SQL path
+    val complexProjRe = """(?is)[(]|\bas\b|\bdistinct\b""".r
     def resolve(sql: Option[String], openRowset: Option[String]): DataFrame = {
       val text = openRowset.orElse(sql).getOrElse(
         throw new IllegalArgumentException("component names no table"))
-      val table = tableRe.findFirstMatchIn(text).map(_.group(1)).getOrElse(
+      val tables = tableRe.findAllMatchIn(text).map(_.group(1)).toList.distinct
+      val table = tables.headOption.getOrElse(
         throw new IllegalArgumentException(s"no [schema].[table] in: $text"))
       // intra-package tables (a prior task's destination) take precedence
       // over the external catalog — multi-task pipelines compose plans
-      val scan = staged(table).getOrElse(spark.read.parquet(s"$dir/$table.parquet"))
+      def scanOf(t: String) =
+        staged(t).getOrElse(spark.read.parquet(s"$dir/$t.parquet"))
+      val scan = scanOf(table)
+      def fullSqlNeeded(stmt: String): Boolean =
+        tables.length > 1 || (stmt match {
+          case projRe(cols) => complexProjRe.findFirstIn(cols).isDefined
+          case _ => false
+        })
       sql match {
-        case Some(stmt) if whereRe.matches(stmt) =>
-          // full-statement path (post `?`-binding): register the scan as a
-          // temp view and let Catalyst run the whole SELECT — projection
-          // AND predicate both reach the parquet scan as pushed filters
-          scan.createOrReplaceTempView(table)
-          spark.sql(tableRe.replaceAllIn(stmt, table))
+        case Some(stmt) if whereRe.matches(stmt) || fullSqlNeeded(stmt) =>
+          // full-statement path (post `?`-binding): register EVERY
+          // referenced table as its own temp view and rewrite EACH
+          // [schema].[t] reference to t — a single-capture replaceAllIn
+          // would rewrite every reference to the FIRST table and silently
+          // self-join multi-table statements. Catalyst runs the whole
+          // SELECT; projection AND predicate reach the scans pushed down.
+          tables.foreach(t => scanOf(t).createOrReplaceTempView(t))
+          spark.sql(tableRe.replaceAllIn(stmt,
+            m => scala.util.matching.Regex.quoteReplacement(m.group(1))))
         case Some(projRe(cols)) if cols.trim != "*" =>
           scan.select(cols.split(",").map(c => col(c.trim)): _*)
         case _ => scan

@@ -35,8 +35,15 @@ object Diagnoser {
       canRetry: Boolean,
       requiresManualReview: Boolean)
 
+  /** ValidationJson reports a ≤2×-tolerance row-count miss as a WARNING
+    * ("warn band"), not a failure — the diagnoser must agree, or it
+    * diagnoses "missing rows" and vetoes retry for a condition the
+    * report layer deems acceptable. */
+  private def hardFail(r: CheckResult): Boolean =
+    !r.passed && !r.details.contains("warn band")
+
   private def failedOf(m: ModelValidation, check: String): Option[CheckResult] =
-    m.results.find(r => r.check == check && !r.passed)
+    m.results.find(r => r.check == check && hardFail(r))
 
   /** Both checksum variants: an avg-only failure (sums equal, averages
     * skewed — e.g. extra zero-amount rows inside the row-count tolerance)
@@ -157,7 +164,7 @@ object Diagnoser {
     * every failure is auto-fixable and none needs manual review. */
   def diagnose(models: Seq[ModelValidation]): DiagnosisReport = {
     val failed = models.filter(m =>
-      m.results.exists(!_.passed) || m.errors.nonEmpty)
+      m.results.exists(hardFail) || m.errors.nonEmpty)
     val diagnoses = failed.map(diagnoseModel).toList
     DiagnosisReport(
       hasFailures = failed.nonEmpty,

@@ -41,7 +41,8 @@ object ValidationJson {
   private def arr(items: Seq[String]): String = items.mkString("[", ", ", "]")
 
   private def num(d: Double): String =
-    if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15) d.toLong.toString + ".0"
+    if (d.isNaN || d.isInfinite) "null" // bare NaN/Infinity is not JSON
+    else if (d == d.floor && math.abs(d) < 1e15) d.toLong.toString + ".0"
     else d.toString
 
   private def pctOf(expected: String, actual: String): Option[Double] =

@@ -38,14 +38,18 @@ object ValidationSuite {
         " (warn band)" else ""))
   }
 
-  /** PK nulls + duplicates + row count in ONE aggregation pass. */
+  /** PK nulls + duplicates + row count in ONE aggregation pass. Null-key
+    * rows report under pk_not_null ONLY — SQL PK semantics say
+    * NULL ≠ NULL, so a repeated null key is not a duplicate group (and
+    * double-reporting it would send the Diagnoser down the wrong
+    * "deduplicate" fix for a pure null-key problem). */
   def pkIntegrity(df: DataFrame, keys: Seq[String], target: String): List[CheckResult] = {
     val anyNull = keys.map(col(_).isNull).reduce(_ || _)
     val row = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
       .agg(
         sum(col("n")).as("rows"),
         sum(when(anyNull, col("n")).otherwise(0L)).as("null_keys"),
-        sum(when(col("n") > 1, 1L).otherwise(0L)).as("dup_keys"))
+        sum(when(col("n") > 1 && !anyNull, 1L).otherwise(0L)).as("dup_keys"))
       .head()
     val nulls = Option(row.get(1)).fold(0L)(_.toString.toLong)
     val dups = Option(row.get(2)).fold(0L)(_.toString.toLong)
@@ -85,7 +89,10 @@ object ValidationSuite {
   }
 
   def unique(df: DataFrame, column: String, target: String): CheckResult = {
-    val n = df.groupBy(col(column)).count().filter(col("count") > 1).count()
+    // dbt's generic unique test filters `where column is not null` —
+    // repeated NULLs are not duplicates and must not fail the model
+    val n = df.filter(col(column).isNotNull)
+      .groupBy(col(column)).count().filter(col("count") > 1).count()
     CheckResult(s"unique($column)", target, n == 0, "0", n.toString,
       "duplicated values")
   }
@@ -111,8 +118,14 @@ object ValidationSuite {
     * one anti-join count. */
   def relationships(child: DataFrame, fk: String, parent: DataFrame, pk: String,
       target: String): CheckResult = {
-    val n = child.filter(col(fk).isNotNull)
-      .join(parent.select(col(pk)).distinct(), col(fk) === col(pk), "left_anti")
+    // DataFrame-qualified join columns: with fk and pk sharing a name
+    // (customer_id → customer_id, THE common case) unqualified col()s are
+    // ambiguous across the join — an AnalysisException at best, a
+    // trivially-true predicate (false PASS) at worst
+    val parentKeys = parent.select(col(pk)).distinct()
+    val probe = child.filter(col(fk).isNotNull)
+    val n = probe
+      .join(parentKeys, probe(fk) === parentKeys(pk), "left_anti")
       .count()
     CheckResult(s"relationships($fk->$pk)", target, n == 0, "0", n.toString)
   }

@@ -207,6 +207,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(acceptedValues(a, "o_orderstatus", Seq("F", "O", "P"), "orders").passed)
     assert(valuesBetween(a, "o_totalprice", Some(0.0), None, "orders").passed)
     assert(relationships(a, "o_custkey", c, "c_custkey", "orders->customer").passed)
+    // same-named FK/PK (THE common case): must not be ambiguous or
+    // trivially true — a bad FK value has to FAIL the check
+    val childSame = Seq(1L, 2L, 99L).toDF("customer_id")
+    val parentSame = Seq(1L, 2L, 3L).toDF("customer_id")
+    val rel = relationships(childSame, "customer_id", parentSame, "customer_id", "t")
+    assert(!rel.passed && rel.actual === "1")
+    // NULL-key semantics: repeated nulls are neither duplicates (dbt
+    // unique filters nulls) nor duplicate PK groups (NULL != NULL)
+    val withNulls = Seq(Some(1L), None, None, Some(2L)).toDF("id")
+    assert(unique(withNulls, "id", "t").passed, "repeated NULLs are not duplicates")
+    val pkN = pkIntegrity(withNulls, Seq("id"), "t")
+    assert(!pkN.find(_.check == "pk_not_null").get.passed)
+    assert(pkN.find(_.check == "pk_unique").get.passed,
+      "null keys must not double-report as duplicates")
     assert(nonEmptyGuard(a, "orders").passed)
     val rep = report(pk)
     assert(rep.contains("PASS"))

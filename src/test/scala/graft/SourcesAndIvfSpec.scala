@@ -30,6 +30,46 @@ class SourcesAndIvfSpec extends AnyFunSuite {
       .toPlainString === "10.50")
   }
 
+  test("CSV round-trip preserves timestamps (writer format matches the reader's)") {
+    val dir = java.nio.file.Files.createTempDirectory("csv-ts").toString + "/out"
+    val cols = Seq(
+      ColumnInfo("Id", SsisColumnType("i4")),
+      ColumnInfo("LoadTime", SsisColumnType("DT_DBTIMESTAMP")))
+    val df = Seq((1, java.sql.Timestamp.valueOf("2024-03-01 12:34:56")))
+      .toDF("Id", "LoadTime")
+    Sources.writeCsv(df, dir)
+    val back = Sources.readCsv(spark, dir, cols)
+    val got = back.head()
+    assert(!got.isNullAt(1),
+      "timestamp silently nulled: writer/reader timestampFormat mismatch")
+    assert(got.getTimestamp(1) === java.sql.Timestamp.valueOf("2024-03-01 12:34:56"))
+  }
+
+  test("resolver: a multi-table statement joins DISTINCT tables, never a self-join") {
+    val resolver = Sources.testdataResolver(spark, "/root/testdata/sf0.001")
+    val l = graft.ir.Ir.LookupComponent("L", None, Some(
+      "SELECT o.o_orderkey, c.c_name FROM [dbo].[orders] o " +
+        "JOIN [dbo].[customer] c ON o.o_custkey = c.c_custkey " +
+        "WHERE o.o_orderkey < 100"),
+      graft.ir.Ir.CacheMode.Full, graft.ir.Ir.NoMatchBehavior.IgnoreFailure, Nil, Nil)
+    val out = resolver.lookup(l)
+    assert(out.columns.toSeq === Seq("o_orderkey", "c_name"))
+    // c_name comes from CUSTOMER — a single-capture rewrite would have
+    // replaced both refs with `orders` and failed (or self-joined)
+    assert(out.count() > 0)
+    assert(out.head().getString(1).startsWith("Customer#"))
+  }
+
+  test("resolver: function calls and aliases in a WHERE-less projection compile via full SQL") {
+    val resolver = Sources.testdataResolver(spark, "/root/testdata/sf0.001")
+    val l = graft.ir.Ir.LookupComponent("L2", None, Some(
+      "SELECT c_custkey, COALESCE(c_mktsegment, c_name) AS label FROM [dbo].[customer]"),
+      graft.ir.Ir.CacheMode.Full, graft.ir.Ir.NoMatchBehavior.IgnoreFailure, Nil, Nil)
+    val out = resolver.lookup(l)
+    assert(out.columns.toSeq === Seq("c_custkey", "label"))
+    assert(out.count() === 150)
+  }
+
   test("catalog registration + schema assertion (S6)") {
     Sources.registerParquetTable(spark, "cust_ext", "/root/testdata/sf0.001/customer.parquet")
     val df = spark.table("cust_ext")
