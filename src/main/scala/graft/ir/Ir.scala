@@ -23,9 +23,13 @@ object Ir {
     def server: Option[String] = kv("Data Source")
     def database: Option[String] = kv("Initial Catalog")
     def provider: Option[String] = kv("Provider")
-    /** Credential redaction on serialize — models.py:47-50 contract. */
+    /** Credential redaction on serialize — models.py:47-50 contract.
+      * Brace-wrapped values first: `Password={ab;cd}` is legal OLE DB
+      * quoting, and a bare `[^;]*` would stop at the embedded ';' and
+      * leak the password tail. */
     def redactedConnectionString: String =
-      connectionString.replaceAll("(?i)(Password|Pwd)\\s*=\\s*[^;]*", "$1=***")
+      connectionString.replaceAll(
+        "(?i)(Password|Pwd)\\s*=\\s*(\\{[^}]*\\}|\"[^\"]*\"|[^;]*)", "$1=***")
   }
 
   final case class Variable(
@@ -282,7 +286,12 @@ object Ir {
         * recordset whose first table's rows drive the iterations. */
       adoObjectVar: Option[String] = None,
       /** NodeList enumerator (`FEENODELIST`) configuration. */
-      nodeListEnum: Option[NodeListSpec] = None) extends Task
+      nodeListEnum: Option[NodeListSpec] = None,
+      /** Container-INTERNAL precedence constraints (a Sequence's own
+        * `PrecedenceConstraints` element): they order and gate the
+        * children within each container pass, independent of the
+        * package-level DAG. */
+      constraints: List[PrecedenceConstraint] = Nil) extends Task
 
   final case class UnsupportedTask(
       name: String,
@@ -315,30 +324,41 @@ object Ir {
 
     /** Kahn topological order over the Success/Completion constraint DAG
       * (analyzer.py:36-82 contract); ties broken by declaration order. */
-    def topoOrder: Either[String, List[Task]] = {
-      val names = tasks.map(t => t.name)
-      val idx = names.zipWithIndex.toMap
-      val edges = constraints.filter(c => idx.contains(c.fromTask) && idx.contains(c.toTask))
-      val inDeg = scala.collection.mutable.Map(names.map(_ -> 0): _*)
-      edges.foreach(e => inDeg(e.toTask) += 1)
-      val out = scala.collection.mutable.ListBuffer.empty[String]
-      val ready = scala.collection.mutable.PriorityQueue.empty[String](
-        Ordering.by((n: String) => -idx(n)))
-      names.filter(inDeg(_) == 0).foreach(ready.enqueue(_))
-      while (ready.nonEmpty) {
-        val n = ready.dequeue()
-        out += n
-        edges.filter(_.fromTask == n).foreach { e =>
-          inDeg(e.toTask) -= 1
-          if (inDeg(e.toTask) == 0) ready.enqueue(e.toTask)
-        }
+    def topoOrder: Either[String, List[Task]] = Ir.topoOrderOf(tasks, constraints)
+  }
+
+  /** Kahn topological order over any task list + constraint set — shared
+    * by the package level and container-internal ordering. Duplicate
+    * names are rejected up front with a CLEAR error: the name-keyed maps
+    * would otherwise collapse them and misreport a cycle (or silently
+    * substitute the wrong task object). */
+  def topoOrderOf(tasks: List[Task],
+      constraints: List[PrecedenceConstraint]): Either[String, List[Task]] = {
+    val names = tasks.map(t => t.name)
+    val dups = names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+    if (dups.nonEmpty)
+      return Left(s"duplicate task name(s): ${dups.mkString(", ")}")
+    val idx = names.zipWithIndex.toMap
+    val edges = constraints.filter(c => idx.contains(c.fromTask) && idx.contains(c.toTask))
+    val inDeg = scala.collection.mutable.Map(names.map(_ -> 0): _*)
+    edges.foreach(e => inDeg(e.toTask) += 1)
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    val ready = scala.collection.mutable.PriorityQueue.empty[String](
+      Ordering.by((n: String) => -idx(n)))
+    names.filter(inDeg(_) == 0).foreach(ready.enqueue(_))
+    while (ready.nonEmpty) {
+      val n = ready.dequeue()
+      out += n
+      edges.filter(_.fromTask == n).foreach { e =>
+        inDeg(e.toTask) -= 1
+        if (inDeg(e.toTask) == 0) ready.enqueue(e.toTask)
       }
-      if (out.size != names.size)
-        Left(s"cycle detected among tasks: ${names.diff(out.toList).mkString(", ")}")
-      else {
-        val byName = tasks.map(t => t.name -> t).toMap
-        Right(out.toList.map(byName))
-      }
+    }
+    if (out.size != names.size)
+      Left(s"cycle detected among tasks: ${names.diff(out.toList).mkString(", ")}")
+    else {
+      val byName = tasks.map(t => t.name -> t).toMap
+      Right(out.toList.map(byName))
     }
   }
 }

@@ -86,23 +86,17 @@ object DtsxParser {
         name = attr(v, "ObjectName").getOrElse(""),
         ssisType = variableTypeName(value.flatMap(attr(_, "DataType")).getOrElse("8")),
         value = value.map(_.text).getOrElse(""),
-        expression = attr(v, "Expression").filter(_.nonEmpty))
+        // the Expression text is only ACTIVE when EvaluateAsExpression
+        // is set (or absent, the fixture dialect); a designer-disabled
+        // expression must fall back to the literal value
+        expression = attr(v, "Expression").filter(_.nonEmpty)
+          .filter(_ => attr(v, "EvaluateAsExpression").forall(a =>
+            a.trim == "1" || a.trim.equalsIgnoreCase("true"))))
     }
 
     val tasks = (root \ "Executables" \ "Executable").toList.flatMap(parseExecutable(_, warnings))
 
-    val constraints = (root \ "PrecedenceConstraints" \ "PrecedenceConstraint").toList.map { pc =>
-      val kind = attr(pc, "Value").getOrElse("0") match {
-        case "1" => ConstraintKind.Failure
-        case "2" => ConstraintKind.Completion
-        case "3" => ConstraintKind.Expression(attr(pc, "Expression").getOrElse(""))
-        case _ => ConstraintKind.Success
-      }
-      PrecedenceConstraint(
-        fromTask = taskNameFromRef(attr(pc, "From").getOrElse("")),
-        toTask = taskNameFromRef(attr(pc, "To").getOrElse("")),
-        kind = kind)
-    }
+    val constraints = parseConstraints(root, warnings)
 
     SsisPackage(
       name = attr(root, "ObjectName").getOrElse(""),
@@ -117,6 +111,37 @@ object DtsxParser {
   /** "Package\Load Sales Facts" → "Load Sales Facts". */
   private def taskNameFromRef(ref: String): String =
     ref.split('\\').lastOption.getOrElse(ref)
+
+  /** Precedence constraints of `node` (the package root OR a container —
+    * containers carry their own internal constraint set). Two dialects:
+    * the fixture form signals an expression gate via Value="3"; real SSIS
+    * rides EvalOp (1 = Expression, 3 = ExpressionAndConstraint,
+    * 4 = ExpressionOrConstraint) with Value still 0-2. The And/Or
+    * combinations are approximated as expression-only gates, with a
+    * warning — the engine's gate algebra evaluates one kind per edge. */
+  private def parseConstraints(node: Node,
+      warnings: scala.collection.mutable.ListBuffer[String]): List[PrecedenceConstraint] =
+    (node \ "PrecedenceConstraints" \ "PrecedenceConstraint").toList.map { pc =>
+      val expr = attr(pc, "Expression").filter(_.nonEmpty)
+      val evalOp = attr(pc, "EvalOp").map(_.trim)
+      val kind =
+        if (evalOp.exists(Set("1", "3", "4").contains) && expr.isDefined) {
+          if (evalOp.exists(o => o == "3" || o == "4"))
+            warnings += s"precedence constraint to '${taskNameFromRef(attr(pc, "To").getOrElse(""))}': " +
+              "Expression" + (if (evalOp.contains("3")) "And" else "Or") +
+              "Constraint approximated as an expression-only gate"
+          ConstraintKind.Expression(expr.get)
+        } else attr(pc, "Value").getOrElse("0") match {
+          case "1" => ConstraintKind.Failure
+          case "2" => ConstraintKind.Completion
+          case "3" => ConstraintKind.Expression(expr.getOrElse(""))
+          case _ => ConstraintKind.Success
+        }
+      PrecedenceConstraint(
+        fromTask = taskNameFromRef(attr(pc, "From").getOrElse("")),
+        toTask = taskNameFromRef(attr(pc, "To").getOrElse("")),
+        kind = kind)
+    }
 
   private def parseExecutable(
       e: Node, warnings: scala.collection.mutable.ListBuffer[String]): Option[Task] = {
@@ -158,7 +183,16 @@ object DtsxParser {
           smtpServer = mail.flatMap(attr(_, "SMTPServer")),
           toAddress = mail.flatMap(attr(_, "To")),
           subject = mail.flatMap(attr(_, "Subject"))))
-      case t @ ("Microsoft.ForEachLoop" | "Microsoft.ForLoop" | "Microsoft.Sequence") =>
+      case t @ ("Microsoft.ForEachLoop" | "Microsoft.ForLoop" | "Microsoft.Sequence" |
+          "STOCK:FOREACHLOOP" | "STOCK:FORLOOP" | "STOCK:SEQUENCE") =>
+        // real SSIS designers emit the STOCK: spellings; the fixture
+        // dialect uses Microsoft.* — both normalize to one container type
+        val containerType = t match {
+          case "STOCK:FOREACHLOOP" => "ForEachLoop"
+          case "STOCK:FORLOOP" => "ForLoop"
+          case "STOCK:SEQUENCE" => "Sequence"
+          case m => m.stripPrefix("Microsoft.")
+        }
         val children = (e \ "Executables" \ "Executable").toList
           .flatMap(parseExecutable(_, warnings))
         // Item-enumerator rows (ForEachEnumerator → FEIEItems): each
@@ -178,7 +212,7 @@ object DtsxParser {
         val mappings = (e \ "ForEachVariableMappings" \ "ForEachVariableMapping")
           .toList.flatMap { m =>
             attr(m, "VariableName").map { vn =>
-              vn -> attr(m, "ValueIndex").map(_.trim.toInt).getOrElse(0)
+              vn -> attr(m, "ValueIndex").flatMap(_.trim.toIntOption).getOrElse(0)
             }
           }
         // File enumerator: FEFEProperty elements each carry ONE of the
@@ -194,7 +228,7 @@ object DtsxParser {
               FileEnumSpec(
                 folder = folder,
                 fileSpec = p("FileSpec").getOrElse("*.*"),
-                retrievalType = p("FileNameRetrieval").map(_.trim.toInt).getOrElse(0),
+                retrievalType = p("FileNameRetrieval").flatMap(_.trim.toIntOption).getOrElse(0),
                 recurse = p("Recurse").exists(r =>
                   r.trim == "1" || r.trim.equalsIgnoreCase("true")))
             }
@@ -225,7 +259,7 @@ object DtsxParser {
                 outerXPath = xpath))
             }
           }
-        if (t == "Microsoft.ForEachLoop" &&
+        if (containerType == "ForEachLoop" &&
             enumKind.exists(k => !k.contains("ForEachItemEnumerator")) &&
             fileEnum.isEmpty && adoVar.isEmpty && nodeList.isEmpty)
           warnings += s"ForEach container '$name' uses unsupported enumerator " +
@@ -236,10 +270,11 @@ object DtsxParser {
             evalExpression = eval,
             assignExpression = attr(e, "AssignExpression").filter(_.nonEmpty))
         }
-        Some(ContainerTask(name, desc, t.stripPrefix("Microsoft."), children,
+        Some(ContainerTask(name, desc, containerType, children,
           enumItems = items, variableMappings = mappings, forLoop = forLoop,
           enumeratorKind = enumKind, fileEnum = fileEnum, adoObjectVar = adoVar,
-          nodeListEnum = nodeList))
+          nodeListEnum = nodeList,
+          constraints = parseConstraints(e, warnings)))
       case "" => None
       case other =>
         warnings += s"Task '$name' of type $other requires manual review"
@@ -281,15 +316,28 @@ object DtsxParser {
     (c \\ "property").find(p => p.attribute("name").exists(_.text == prop))
       .map(_.text).filter(_.nonEmpty)
 
+  /** Shared column-type extraction: one definition for source/dest/
+    * lookup/derived columns (was copy-pasted three times), with
+    * `.toIntOption` guards — a hand-edited `length="255 "` must degrade,
+    * never abort the whole package parse with NumberFormatException. */
+  private def parseColumnType(oc: Node): SsisColumnType =
+    SsisColumnType(
+      name = oc.attribute("dataType").map(_.text).getOrElse("wstr"),
+      length = oc.attribute("length").flatMap(_.text.trim.toIntOption),
+      precision = oc.attribute("precision").flatMap(_.text.trim.toIntOption),
+      scale = oc.attribute("scale").flatMap(_.text.trim.toIntOption))
+
+  /** An SSIS error output repeats every column plus ErrorCode/ErrorColumn
+    * — never part of the component's data contract. */
+  private def dataOutputs(c: Node): List[Node] =
+    (c \\ "output").toList.filterNot(
+      _.attribute("isErrorOut").exists(_.text.equalsIgnoreCase("true")))
+
   private def parseOutputColumns(c: Node): List[ColumnInfo] =
-    (c \\ "outputColumn").toList.map { oc =>
+    dataOutputs(c).flatMap(o => (o \\ "outputColumn").toList).map { oc =>
       ColumnInfo(
         name = oc.attribute("name").map(_.text).getOrElse(""),
-        ssisType = SsisColumnType(
-          name = oc.attribute("dataType").map(_.text).getOrElse("wstr"),
-          length = oc.attribute("length").map(_.text.toInt),
-          precision = oc.attribute("precision").map(_.text.toInt),
-          scale = oc.attribute("scale").map(_.text.toInt)))
+        ssisType = parseColumnType(oc))
     }
 
   private def connectionRef(c: Node): Option[String] =
@@ -299,7 +347,7 @@ object DtsxParser {
       c: Node, warnings: scala.collection.mutable.ListBuffer[String]): DataFlowComponent = {
     val name = c.attribute("name").map(_.text).getOrElse("")
     val classId = c.attribute("componentClassID").map(_.text).getOrElse("")
-    val accessMode = propText(c, "AccessMode").map(_.trim.toInt)
+    val accessMode = propText(c, "AccessMode").flatMap(_.trim.toIntOption)
     classId match {
       case "Microsoft.OLEDBSource" | "Microsoft.FlatFileSource" | "Microsoft.ExcelSource" =>
         SourceComponent(name, classId.stripPrefix("Microsoft."),
@@ -320,7 +368,7 @@ object DtsxParser {
             .flatMap(ic => ic.attribute("cachedName").map(_.text)),
           outputColumns = parseOutputColumns(c))
       case "Microsoft.DerivedColumn" =>
-        val cols = (c \\ "outputColumn").toList.flatMap { oc =>
+        val cols = dataOutputs(c).flatMap(o => (o \\ "outputColumn").toList).flatMap { oc =>
           val expr = (oc \\ "property").find(_.attribute("name").exists(_.text == "Expression"))
             .map(_.text)
           expr.map { ex =>
@@ -329,18 +377,14 @@ object DtsxParser {
               expression = ex,
               friendlyExpression = (oc \\ "property")
                 .find(_.attribute("name").exists(_.text == "FriendlyExpression")).map(_.text),
-              outputType = SsisColumnType(
-                name = oc.attribute("dataType").map(_.text).getOrElse("wstr"),
-                length = oc.attribute("length").map(_.text.toInt),
-                precision = oc.attribute("precision").map(_.text.toInt),
-                scale = oc.attribute("scale").map(_.text.toInt)))
+              outputType = parseColumnType(oc))
           }
         }
         DerivedColumnComponent(name, cols)
       case "Microsoft.ConditionalSplit" =>
         // outputs carry a FriendlyExpression/Expression property each;
         // document order defines evaluation priority (SSIS contract)
-        val cases = (c \\ "output").toList.flatMap { o =>
+        val cases = dataOutputs(c).flatMap { o =>
           val oname = o.attribute("name").map(_.text).getOrElse("")
           val isDefault = o.attribute("isDefault").exists(_.text.equalsIgnoreCase("true")) ||
             (o \\ "property").isEmpty
@@ -348,7 +392,7 @@ object DtsxParser {
             .map(_.text)
           if (isDefault || expr.isEmpty) Nil else List(oname -> expr.get)
         }
-        val default = (c \\ "output").toList.find { o =>
+        val default = dataOutputs(c).find { o =>
           o.attribute("isDefault").exists(_.text.equalsIgnoreCase("true")) ||
             (o \\ "property").isEmpty
         }.flatMap(_.attribute("name").map(_.text)).getOrElse("default")
@@ -357,7 +401,7 @@ object DtsxParser {
         // each outputColumn carries an AggregationType property:
         // groupby|sum|count|countdistinct|avg|min|max, and an
         // AggregationColumn property naming the input column
-        val aggs = (c \\ "outputColumn").toList.flatMap { oc =>
+        val aggs = dataOutputs(c).flatMap(o => (o \\ "outputColumn").toList).flatMap { oc =>
           val outName = oc.attribute("name").map(_.text).getOrElse("")
           val fnTxt = (oc \\ "property").find(_.attribute("name").exists(_.text == "AggregationType"))
             .map(_.text.trim.toLowerCase)
@@ -378,10 +422,13 @@ object DtsxParser {
               case "avg" | "average" => AggFunction.Avg
               case "min" | "minimum" => AggFunction.Min
               case "max" | "maximum" => AggFunction.Max
-              case other => sys.error(s"unknown aggregation type $other")
+              case other =>
+                warnings += s"aggregate '$name': unknown aggregation type " +
+                  s"'$other' for column '$outName' - column skipped, manual review"
+                null
             }
-            AggSpec(inCol, outName, fn)
-          }
+            Option(fn).map(AggSpec(inCol, outName, _))
+          }.flatten
         }
         AggregateComponent(name, aggs)
       case "Microsoft.MergeJoin" =>

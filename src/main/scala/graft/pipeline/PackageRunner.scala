@@ -242,20 +242,8 @@ object PackageRunner {
             notes = List("resumed from checkpoint: not re-executed"))
         case _ =>
           val incoming = pkg.constraints.filter(_.toTask == task.name)
-          val fires = incoming.forall { c =>
-            completed.get(c.fromTask) match {
-              case None => false // predecessor never executed → edge can't fire
-              case Some(status) =>
-                val failed = status.isInstanceOf[TaskStatus.Failed]
-                c.kind match {
-                  case ConstraintKind.Success => !failed
-                  case ConstraintKind.Failure => failed
-                  case ConstraintKind.Completion => true
-                  case ConstraintKind.Expression(e) =>
-                    PackageVariables.evalBoolean(spark, e, values)
-                }
-            }
-          }
+          val fires = incoming.forall(c =>
+            edgeFires(spark, c, completed.get(c.fromTask), values))
           if (fires) {
             var attempt = 1
             var run = runTaskWith(spark, pkg, task, env, values, store)
@@ -275,6 +263,49 @@ object PackageRunner {
     }
     PackageRun(pkg.name, runs.toList)
   }
+
+  /** One precedence edge's firing decision — the same algebra at the
+    * package level and inside containers. */
+  private def edgeFires(spark: SparkSession, c: PrecedenceConstraint,
+      predecessor: Option[TaskStatus], values: Map[String, Any]): Boolean =
+    predecessor match {
+      case None => false // predecessor never executed → edge can't fire
+      case Some(status) =>
+        val failed = status.isInstanceOf[TaskStatus.Failed]
+        c.kind match {
+          case ConstraintKind.Success => !failed
+          case ConstraintKind.Failure => failed
+          case ConstraintKind.Completion => true
+          case ConstraintKind.Expression(e) =>
+            PackageVariables.evalBoolean(spark, e, values)
+        }
+    }
+
+  /** One container pass over its children, honoring the container's OWN
+    * precedence constraints (a Sequence's internal A→B ordering/gating —
+    * previously parsed away and run in declaration order). Falls back to
+    * plain declaration order when the container declares none. */
+  private def runChildren(spark: SparkSession, pkg: SsisPackage, c: ContainerTask,
+      env: RuntimeEnv, values: Map[String, Any], store: VarStore): List[TaskRun] =
+    if (c.constraints.isEmpty)
+      c.children.map(runTaskWith(spark, pkg, _, env, values, store))
+    else {
+      val ordered = graft.ir.Ir.topoOrderOf(c.children, c.constraints).fold(
+        err => throw new IllegalStateException(s"container '${c.name}': $err"), identity)
+      val completed = scala.collection.mutable.Map.empty[String, TaskStatus]
+      ordered.map { ch =>
+        val incoming = c.constraints.filter(_.toTask == ch.name)
+        val fires = incoming.forall(k =>
+          edgeFires(spark, k, completed.get(k.fromTask), values))
+        if (fires) {
+          val r = runTaskWith(spark, pkg, ch, env, values, store)
+          completed(ch.name) = r.status
+          r
+        } else
+          TaskRun(ch.name, taskTypeName(ch), TaskStatus.NotRun,
+            notes = List("precedence constraints did not fire"))
+      }
+    }
 
   private def parseEnum(v: EnumValue): Any =
     PackageVariables.parseValue(v.ssisType, v.raw)
@@ -567,10 +598,8 @@ object PackageRunner {
                   case (qn, idx) if idx < item.length =>
                     qn -> itemValue(item(idx))
                 }
-                val rs = c.children.map(ch =>
-                  runTaskWith(spark, pkg, ch, env, bound, store) match {
-                    case r => r.copy(taskName = s"${r.taskName}#$i")
-                  })
+                val rs = runChildren(spark, pkg, c, env, bound, store)
+                  .map(r => r.copy(taskName = s"${r.taskName}#$i"))
                 buf ++= rs
                 failed = iterationFailed(rs)
               }
@@ -585,10 +614,8 @@ object PackageRunner {
               val maxIterations = 10000 // runaway-eval backstop
               while (i < maxIterations && !failed &&
                   PackageVariables.evalBoolean(spark, fl.evalExpression, cur)) {
-                val rs = c.children.map(ch =>
-                  runTaskWith(spark, pkg, ch, env, cur, store) match {
-                    case r => r.copy(taskName = s"${r.taskName}#$i")
-                  })
+                val rs = runChildren(spark, pkg, c, env, cur, store)
+                  .map(r => r.copy(taskName = s"${r.taskName}#$i"))
                 buf ++= rs
                 failed = iterationFailed(rs)
                 cur = fl.assignExpression
@@ -605,7 +632,7 @@ object PackageRunner {
                   s"ForLoop '${c.name}' exceeded $maxIterations iterations")
               buf.toList
             case _ =>
-              c.children.map(runTaskWith(spark, pkg, _, env, values, store))
+              runChildren(spark, pkg, c, env, values, store)
           }
           val failed = childRuns.collectFirst {
             case TaskRun(_, _, TaskStatus.Failed(e), _, _, _, _) => e

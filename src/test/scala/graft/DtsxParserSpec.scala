@@ -102,6 +102,91 @@ class DtsxParserSpec extends AnyFunSuite {
     assert(ex.getMessage.toLowerCase.contains("doctype"))
   }
 
+  test("real-SSIS dialect: STOCK containers, EvalOp expression gates, internal constraints") {
+    val xml =
+      """<?xml version="1.0"?>
+        |<DTS:Executable xmlns:DTS="www.microsoft.com/SqlServer/Dts" DTS:ObjectName="real">
+        |  <DTS:Executables>
+        |    <DTS:Executable DTS:ExecutableType="STOCK:SEQUENCE" DTS:ObjectName="Seq1">
+        |      <DTS:Executables>
+        |        <DTS:Executable DTS:ExecutableType="Microsoft.ExecuteSQLTask" DTS:ObjectName="B">
+        |          <DTS:ObjectData><SQLTask:SqlTaskData SQLTask:Connection="c" SQLTask:SqlStatementSource="SELECT 2" xmlns:SQLTask="x"/></DTS:ObjectData>
+        |        </DTS:Executable>
+        |        <DTS:Executable DTS:ExecutableType="Microsoft.ExecuteSQLTask" DTS:ObjectName="A">
+        |          <DTS:ObjectData><SQLTask:SqlTaskData SQLTask:Connection="c" SQLTask:SqlStatementSource="SELECT 1" xmlns:SQLTask="x"/></DTS:ObjectData>
+        |        </DTS:Executable>
+        |      </DTS:Executables>
+        |      <DTS:PrecedenceConstraints>
+        |        <DTS:PrecedenceConstraint DTS:From="Package\Seq1\A" DTS:To="Package\Seq1\B" DTS:Value="0"/>
+        |      </DTS:PrecedenceConstraints>
+        |    </DTS:Executable>
+        |    <DTS:Executable DTS:ExecutableType="Microsoft.ExecuteSQLTask" DTS:ObjectName="Z">
+        |      <DTS:ObjectData><SQLTask:SqlTaskData SQLTask:Connection="c" SQLTask:SqlStatementSource="SELECT 3" xmlns:SQLTask="x"/></DTS:ObjectData>
+        |    </DTS:Executable>
+        |  </DTS:Executables>
+        |  <DTS:PrecedenceConstraints>
+        |    <DTS:PrecedenceConstraint DTS:From="Package\Seq1" DTS:To="Package\Z"
+        |      DTS:Value="0" DTS:EvalOp="1" DTS:Expression="@[User::RunIt]"/>
+        |  </DTS:PrecedenceConstraints>
+        |</DTS:Executable>""".stripMargin
+    val pkg = DtsxParser.parseString(xml)
+    // STOCK:SEQUENCE is a real container, not UnsupportedTask
+    val seq = pkg.tasks.collectFirst { case c: ContainerTask => c }.get
+    assert(seq.containerType === "Sequence")
+    assert(seq.children.map(_.name) === List("B", "A"))
+    // the container's OWN constraints are captured
+    assert(seq.constraints === List(
+      PrecedenceConstraint("A", "B", ConstraintKind.Success)))
+    // EvalOp=1 + Expression (Value still 0) parses as an expression gate
+    assert(pkg.constraints === List(
+      PrecedenceConstraint("Seq1", "Z", ConstraintKind.Expression("@[User::RunIt]"))))
+  }
+
+  test("error outputs never pollute columns; unknown aggregation degrades to a warning") {
+    val xml =
+      """<?xml version="1.0"?>
+        |<DTS:Executable xmlns:DTS="www.microsoft.com/SqlServer/Dts" DTS:ObjectName="p2">
+        |  <DTS:Executables>
+        |    <DTS:Executable DTS:ExecutableType="Microsoft.Pipeline" DTS:ObjectName="Flow">
+        |      <DTS:ObjectData><pipeline><components>
+        |        <component componentClassID="Microsoft.OLEDBSource" name="Src">
+        |          <outputs>
+        |            <output name="main">
+        |              <outputColumns><outputColumn name="id" dataType="i4"/></outputColumns>
+        |            </output>
+        |            <output name="err" isErrorOut="true">
+        |              <outputColumns>
+        |                <outputColumn name="id" dataType="i4"/>
+        |                <outputColumn name="ErrorCode" dataType="i4"/>
+        |              </outputColumns>
+        |            </output>
+        |          </outputs>
+        |        </component>
+        |        <component componentClassID="Microsoft.Aggregate" name="Agg">
+        |          <outputs><output name="out"><outputColumns>
+        |            <outputColumn name="g"><properties>
+        |              <property name="AggregationType">groupby</property>
+        |            </properties></outputColumn>
+        |            <outputColumn name="weird"><properties>
+        |              <property name="AggregationType">median</property>
+        |            </properties></outputColumn>
+        |          </outputColumns></output></outputs>
+        |        </component>
+        |      </components></pipeline></DTS:ObjectData>
+        |    </DTS:Executable>
+        |  </DTS:Executables>
+        |</DTS:Executable>""".stripMargin
+    val pkg = DtsxParser.parseString(xml)
+    val flow = pkg.tasks.collectFirst { case d: DataFlowTask => d }.get
+    val src = flow.components.collectFirst { case s: SourceComponent => s }.get
+    assert(src.columns.map(_.name) === List("id"),
+      "error-output columns must not duplicate/pollute the contract")
+    val agg = flow.components.collectFirst { case a: AggregateComponent => a }.get
+    assert(agg.aggs.map(_.outputName) === List("g"),
+      "unknown aggregation type must skip the column, not abort the parse")
+    assert(pkg.warnings.exists(_.contains("median")))
+  }
+
   test("cycle in precedence constraints is reported") {
     val pkg = SsisPackage("p", None, Nil, Nil,
       tasks = List(

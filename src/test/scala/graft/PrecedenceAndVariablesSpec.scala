@@ -540,6 +540,41 @@ class PrecedenceAndVariablesSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("container-INTERNAL constraints order and gate children (not declaration order)") {
+    // Sequence declares B before A, internal constraint A→B: A must run
+    // first. C is gated on B's FAILURE and must be NotRun when B succeeds.
+    val seq = ContainerTask("Seq", None, "Sequence",
+      children = List(sqlTask("B"), sqlTask("A"), sqlTask("C")),
+      constraints = List(
+        PrecedenceConstraint("A", "B", ConstraintKind.Success),
+        PrecedenceConstraint("B", "C", ConstraintKind.Failure)))
+    val order = scala.collection.mutable.ListBuffer.empty[String]
+    val e = RuntimeEnv(
+      resolver = Resolver(_ => sys.error("no source"), _ => sys.error("no lookup")),
+      write = (_, _, _) => (),
+      sqlExecutor = t => { order += t.name; Some(PackageRunner.SqlOutcome(None, None)) })
+    val run = PackageRunner.run(spark, pkg(List(seq), Nil), e)
+    assert(order.toList === List("A", "B"), "internal constraint must reorder children")
+    val byName = run.tasks.head.notes.mkString("; ")
+    assert(byName.contains("C: NotRun"), s"failure-gated child must not run: $byName")
+  }
+
+  test("duplicate task names are a clear error, not a phantom cycle") {
+    val p = pkg(List(sqlTask("X"), sqlTask("X")), Nil)
+    val err = p.topoOrder.swap.getOrElse("")
+    assert(err.contains("duplicate task name"), s"got: $err")
+  }
+
+  test("brace-quoted passwords redact fully (no tail leak past the embedded ';')") {
+    val cm = ConnectionManager("r", "db", "id",
+      "Data Source=S;Password={ab;cd};Initial Catalog=C;")
+    val red = cm.redactedConnectionString
+    assert(!red.contains("ab") && !red.contains("cd"),
+      s"password fragments leaked: $red")
+    assert(red.contains("Password=***"))
+    assert(red.contains("Initial Catalog=C"))
+  }
+
   test("DATEADD expression variable produces the bound window end") {
     val vars = List(
       Variable("User", "StartDate", "DT_DBTIMESTAMP", "1995-03-01T00:00:00"),
