@@ -98,26 +98,29 @@ object DedupOps {
   }
 
   /** Band keys from a signature array: md5 of the '|'-joined slice per
-    * band. Same key material as [[bandKeysNumeric]]. */
-  def bandKeysFromSigArray(sigArr: Column, rowsPerBand: Int, nBands: Int): Column =
+    * band. Same key material as [[bandKeysNumeric]]. `nBands×rowsPerBand`
+    * must fit the signature — an out-of-range band would slice an EMPTY
+    * array, md5('') the same constant key for every doc, and form one
+    * corpus-sized bucket that lshCandidatePairs silently drops
+    * (`maxBucket`): a band contributing zero candidates with no error. */
+  def bandKeysFromSigArray(sigArr: Column, rowsPerBand: Int, nBands: Int,
+      sigLen: Int = DefaultPerms.length): Column = {
+    require(rowsPerBand > 0 && nBands > 0 && nBands * rowsPerBand <= sigLen,
+      s"bands ($nBands × $rowsPerBand) exceed the signature length $sigLen")
     transform(sequence(lit(0), lit(nBands - 1)), bi =>
       md5(array_join(
         transform(slice(sigArr, bi * rowsPerBand + 1, lit(rowsPerBand)),
           x => x.cast(org.apache.spark.sql.types.StringType)), "|")))
+  }
 
-  /** Band keys over numeric signatures: md5 of the '|'-joined band. */
+  /** Band keys over numeric signatures: md5 of the '|'-joined band.
+    * ('|'-delimited, ALWAYS: an undelimited concat would collide bands
+    * (1, 23) and (12, 3) into the same key.) */
   def bandKeysNumeric(sigCols: Seq[Column], rowsPerBand: Int): Column = {
     require(sigCols.length % rowsPerBand == 0, "signature length must divide into bands")
     array(sigCols.grouped(rowsPerBand)
       .map(g => md5(concat_ws("|", g.map(_.cast(org.apache.spark.sql.types.StringType)): _*)))
       .toSeq: _*)
-  }
-
-  /** LSH band keys: bands of `rowsPerBand` consecutive signature values,
-    * hashed to one key per band. Docs sharing any band key are candidates. */
-  def bandKeys(sigCols: Seq[Column], rowsPerBand: Int): Column = {
-    require(sigCols.length % rowsPerBand == 0, "signature length must divide into bands")
-    array(sigCols.grouped(rowsPerBand).map(g => md5(concat(g: _*))).toSeq: _*)
   }
 
   /** Candidate pairs via band buckets. Input must carry `idCol` and an
@@ -257,9 +260,15 @@ object DedupOps {
       // second convergence-probe join/action (per-round fixed action
       // overhead dominated this loop's cost, not data).
       val obs = new org.apache.spark.sql.Observation()
+      // __old's null is cast to the LABEL column's own type, not a
+      // hardcoded LongType: the API is generic over id types (BINARY md5
+      // fingerprints are natural here) and a mismatched null would fail
+      // the union's type coercion
+      val labelType = labels.schema("__label").dataType
+      val prev = labels
       val next = labels
         .select(col("__id"), col("__label"), col("__label").as("__old"))
-        .unionByName(incoming.withColumn("__old", lit(null).cast(LongType)))
+        .unionByName(incoming.withColumn("__old", lit(null).cast(labelType)))
         .groupBy("__id")
         .agg(min("__label").as("__label"), max("__old").as("__old"))
         .observe(obs, sum(when(col("__label") =!= col("__old"), 1L)
@@ -268,8 +277,20 @@ object DedupOps {
         .localCheckpoint(true)
       converged = obs.get("changed").asInstanceOf[Long] == 0L
       labels = next
+      // free the superseded generation's blocks NOW — leaving maxIter
+      // label checkpoints pinned in executor storage until driver GC is
+      // the iterative-loop leak GraphFrames' CC also guards against
+      prev.unpersist()
       iter += 1
     }
+    // the edge checkpoint fed the rounds; the final join below reads only
+    // the (checkpointed) labels frame
+    e.unpersist()
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents: NOT converged after $maxIter rounds - labels are " +
+          "partially propagated (a chain longer than maxIter hops); raise maxIter " +
+          "or pre-collapse exact duplicates before fuzzy edges")
     // Output contract: exactly the caller's vertex set, once each —
     // isolated vertices (no incident edge) label themselves, and ids
     // appearing ONLY in `edges` participate in propagation (an edge

@@ -41,11 +41,31 @@ case class MinHashSig(first: Expression, second: Expression, third: Expression)
 
   override def nullable: Boolean = true
 
+  /** The permutation arrays must pair up and carry no NULL slots —
+    * `bs.getLong(j)` past the array's end is an UNCHECKED unsafe read
+    * (silent garbage signatures, not an exception), and a NULL slot reads
+    * as 0, skewing every signature. SQL-registered callers can pass
+    * anything, so this is validated per row — two int compares against a
+    * scan of the shingle set is noise. */
+  private def requireValidPerms(as: ArrayData, bs: ArrayData): Int = {
+    val k = as.numElements()
+    require(bs.numElements() == k,
+      s"$prettyName: permutation arrays must have equal length, " +
+        s"got a=$k b=${bs.numElements()}")
+    var j = 0
+    while (j < k) {
+      require(!as.isNullAt(j) && !bs.isNullAt(j),
+        s"$prettyName: permutation arrays must not contain NULLs (slot $j)")
+      j += 1
+    }
+    k
+  }
+
   override def nullSafeEval(hsAny: Any, aAny: Any, bAny: Any): Any = {
     val hs = hsAny.asInstanceOf[ArrayData]
     val as = aAny.asInstanceOf[ArrayData]
     val bs = bAny.asInstanceOf[ArrayData]
-    val k = as.numElements()
+    val k = requireValidPerms(as, bs)
     val mins = Array.fill(k)(P)
     val n = hs.numElements()
     var i = 0
@@ -75,6 +95,16 @@ case class MinHashSig(first: Expression, second: Expression, third: Expression)
       val n = ctx.freshName("n")
       s"""
          |final int $k = $as.numElements();
+         |if ($bs.numElements() != $k) {
+         |  throw new IllegalArgumentException(
+         |    "graft_minhash_sig: permutation arrays must have equal length");
+         |}
+         |for (int $j = 0; $j < $k; $j++) {
+         |  if ($as.isNullAt($j) || $bs.isNullAt($j)) {
+         |    throw new IllegalArgumentException(
+         |      "graft_minhash_sig: permutation arrays must not contain NULLs");
+         |  }
+         |}
          |final long[] $mins = new long[$k];
          |java.util.Arrays.fill($mins, ${P}L);
          |final int $n = $hs.numElements();

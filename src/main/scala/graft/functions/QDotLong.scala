@@ -15,9 +15,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * interpreted, allocating a lambda frame per element; this compiles to a
   * tight `long` loop inside whole-stage codegen.
   *
-  * Semantics match `aggregate(zip_with(a, b, _*_), 0L, _+_)`: NULL if
-  * either array (or any element) is NULL; lengths are not required to
-  * match (the shorter bound wins, like `zip_with` would after a filter).
+  * Semantics: NULL if either array (or any element) is NULL; equal-length
+  * arrays produce exactly `aggregate(zip_with(a, b, _*_), 0L, _+_)`
+  * (SimilaritySpec pins the parity). Two documented divergences from the
+  * HOF for inputs this codebase never produces: unequal lengths take the
+  * shorter bound (`zip_with` pads with NULLs → whole result NULL), and
+  * long overflow wraps (the HOF under ANSI mode throws).
   */
 case class QDotLong(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -53,14 +56,22 @@ case class QDotLong(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName, NEVER fixed identifiers: with non-nullable children
+      // nullSafeCodeGen emits the body unbraced into the shared method
+      // scope, so two qdot instances in one stage (cosineQ emits three)
+      // would redeclare the same locals — Janino rejects the generated
+      // class and Spark silently falls back to interpreted execution
+      val n = ctx.freshName("qdlN")
+      val s = ctx.freshName("qdlS")
+      val i = ctx.freshName("qdlI")
       s"""
-         |int qdl_n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long qdl_s = 0L;
-         |for (int qdl_i = 0; qdl_i < qdl_n; qdl_i++) {
-         |  if ($a.isNullAt(qdl_i) || $b.isNullAt(qdl_i)) { ${ev.isNull} = true; break; }
-         |  qdl_s += $a.getLong(qdl_i) * $b.getLong(qdl_i);
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $s += $a.getLong($i) * $b.getLong($i);
          |}
-         |${ev.value} = qdl_s;
+         |${ev.value} = $s;
        """.stripMargin
     })
 
@@ -75,8 +86,6 @@ case class QDotLong(left: Expression, right: Expression)
   * construction goes through the function registry (`call_function`), the
   * supported public path in Spark 4. */
 object NativeFunctions {
-  private val registered = java.util.Collections.synchronizedSet(
-    new java.util.HashSet[String]())
 
   /** The native function catalog: one entry per custom Expression, in
     * `SparkSessionExtensions.injectFunction` shape so the same list backs
@@ -87,11 +96,19 @@ object NativeFunctions {
     (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_qdot"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[QDotLong].getCanonicalName, "graft_qdot"),
-      (exprs: Seq[Expression]) => QDotLong(exprs(0), exprs(1))),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(a, b) => QDotLong(a, b)
+        case _ => throw new IllegalArgumentException(
+          s"graft_qdot takes 2 arguments, got ${exprs.length}")
+      }),
     (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_minhash_sig"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[MinHashSig].getCanonicalName, "graft_minhash_sig"),
-      (exprs: Seq[Expression]) => MinHashSig(exprs(0), exprs(1), exprs(2))),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(h, a, b) => MinHashSig(h, a, b)
+        case _ => throw new IllegalArgumentException(
+          s"graft_minhash_sig takes 3 arguments, got ${exprs.length}")
+      }),
     // Spark's OWN bloom-filter expressions (the machinery behind its
     // runtime join filters), surfaced as callable functions — they are
     // not SQL-registered by default. graft_bloom_agg(xxhash64(k) [, est
@@ -125,17 +142,25 @@ object NativeFunctions {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]
           .getCanonicalName, "graft_might_contain"),
-      (exprs: Seq[Expression]) =>
-        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-          exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(bf, h) =>
+          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(bf, h)
+        case _ => throw new IllegalArgumentException(
+          s"graft_might_contain takes 2 arguments, got ${exprs.length}")
+      }))
 
-  def register(spark: SparkSession): Unit =
-    if (registered.add(System.identityHashCode(spark).toString)) {
-      functions.foreach { case (ident, _, builder) =>
-        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-          ident.funcName, builder, "built-in")
-      }
+  /** Idempotent, race-free registration: the guard is the session's OWN
+    * function registry (an identityHashCode set would let a second thread
+    * skip past while the first is mid-registration, and collides across
+    * sessions); createOrReplaceTempFunction is itself idempotent, so the
+    * worst concurrent case is a harmless double-register. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    functions.foreach { case (ident, _, builder) =>
+      if (!reg.functionExists(ident))
+        reg.createOrReplaceTempFunction(ident.funcName, builder, "built-in")
     }
+  }
 
   /** Codegen'd dot product; requires an active session (register on use). */
   def qdot(a: Column, b: Column): Column = {
