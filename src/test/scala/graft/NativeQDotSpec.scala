@@ -23,6 +23,40 @@ class NativeQDotSpec extends AnyFunSuite {
     assert(native === hof)
   }
 
+  test("multiple qdot instances in ONE stage compile under CODEGEN_ONLY (no name collision)") {
+    // non-nullable children skip nullSafeCodeGen's brace wrapping, so all
+    // instances' locals land in one Java method scope — fixed identifiers
+    // would redeclare and Janino would reject the class (Spark then
+    // silently falls back to interpreted). CODEGEN_ONLY turns that
+    // silent fallback into a test failure.
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    try {
+      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      val df = Seq((Seq(1L, 2L, 3L), Seq(4L, 5L, 6L))).toDF("a", "b")
+        .select(col("a"), col("b"))
+      // three instances, as cosineQ emits: dot + both norms
+      val out = df.select(
+        NativeFunctions.qdot(col("a"), col("b")).as("d"),
+        NativeFunctions.qdot(col("a"), col("a")).as("na"),
+        NativeFunctions.qdot(col("b"), col("b")).as("nb")).head()
+      assert(out.getLong(0) === 32L)
+      assert(out.getLong(1) === 14L)
+      assert(out.getLong(2) === 77L)
+    } finally {
+      prev.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
+        spark.conf.set("spark.sql.codegen.factoryMode", _))
+    }
+  }
+
+  test("minhash permutation arrays validate length and null slots (SQL-registered path)") {
+    NativeFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_minhash_sig(array(1L,2L), array(3L,4L), array(5L))").collect()
+    }
+    assert(e.getMessage.contains("equal length") ||
+      Option(e.getCause).exists(_.getMessage.contains("equal length")))
+  }
+
   test("null array and null element both yield NULL (HOF parity)") {
     val df = Seq(
       (Seq[java.lang.Long](1L, 2L), Seq[java.lang.Long](3L, 4L)),
