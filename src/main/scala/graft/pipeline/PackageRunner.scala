@@ -16,8 +16,10 @@ object PackageRunner {
   /** Execution environment: how tables resolve and where writes land. */
   final case class RuntimeEnv(
       resolver: Resolver,
-      /** "[schema].[table]" → write. Mode comes from the task semantics
-        * (fast-load append vs full-load overwrite). */
+      /** "[schema].[table]" → write. Dataflow destinations always APPEND
+        * (SSIS fast load is a bulk append; row-by-row insert is too);
+        * Overwrite arrives only from rewritten SQL tasks
+        * (DELETE+INSERT / TRUNCATE+INSERT refresh → SqlPatternRewriter). */
       write: (String, DataFrame, SaveMode) => Unit,
       /** Execute-SQL delegate for statements the engine rewrites
         * (DELETE+INSERT → overwrite etc.); None → recorded as skipped. */
@@ -70,7 +72,14 @@ object PackageRunner {
     * carries terminally-successful tasks over WITHOUT re-executing them —
     * only failed / never-run tasks (and their downstream) execute again.
     * A task that fails is retried in-place up to `maxAttempts` times
-    * before its failure propagates to the constraint algebra. */
+    * before its failure propagates to the constraint algebra.
+    *
+    * Retry granularity is the WHOLE task while destination writes are
+    * per-write appends: a container or multi-destination dataflow that
+    * failed halfway re-runs from the start, re-appending what the failed
+    * attempt already committed (at-least-once semantics). Use
+    * maxAttempts > 1 only for idempotent/read-only tasks, or point
+    * `env.write` at an idempotent sink (e.g. keyed overwrite/merge). */
   def runResumable(spark: SparkSession, pkg: SsisPackage, env: RuntimeEnv,
       statePath: String, maxAttempts: Int = 1): PackageRun =
     runInternal(spark, pkg, env, RunState.load(statePath), Some(statePath), maxAttempts)
@@ -129,8 +138,11 @@ object PackageRunner {
     val ordered = pkg.topoOrder.fold(err => throw new IllegalStateException(err), identity)
     val values = PackageVariables.evaluate(spark, pkg.variables)
 
-    def gateOf(name: String): Option[String] = {
-      val incoming = pkg.constraints.filter(_.toTask == name)
+    // scope-aware: children of a container are gated by the CONTAINER's
+    // own constraint set, which the runner honors — the approval prompt
+    // must show the same gates the run applies
+    def gateOf(name: String, scope: List[PrecedenceConstraint]): Option[String] = {
+      val incoming = scope.filter(_.toTask == name)
       val gates = incoming.flatMap(c => c.kind match {
         case ConstraintKind.Failure => Some(s"only if ${c.fromTask} fails")
         case ConstraintKind.Expression(e) => Some(s"gated by expression: $e")
@@ -139,7 +151,7 @@ object PackageRunner {
       if (gates.isEmpty) None else Some(gates.mkString("; "))
     }
 
-    def plan(task: Task): PlannedTask = task match {
+    def plan(task: Task, scope: List[PrecedenceConstraint] = pkg.constraints): PlannedTask = task match {
       case df0: DataFlowTask =>
         val df = PackageVariables.bindTaskSql(df0, pkg, values)
         try {
@@ -154,11 +166,11 @@ object PackageRunner {
           val action =
             if (sinks.nonEmpty) s"compile DataFrame pipeline, append to ${sinks.size} destination(s)"
             else "compile DataFrame pipeline (no destination: count action only)"
-          PlannedTask(task.name, "DataFlowTask", action, sinks, gateOf(task.name))
+          PlannedTask(task.name, "DataFlowTask", action, sinks, gateOf(task.name, scope))
         } catch {
           case e: Exception =>
             PlannedTask(task.name, "DataFlowTask",
-              s"COMPILATION FAILS: ${e.getMessage}", Nil, gateOf(task.name))
+              s"COMPILATION FAILS: ${e.getMessage}", Nil, gateOf(task.name, scope))
         }
       case sql0: ExecuteSqlTask =>
         // classification reads the RAW authored statement — the same
@@ -183,17 +195,19 @@ object PackageRunner {
           case _ => "record only (manual review)"
         }) + bindNote.getOrElse("")
         PlannedTask(task.name, "ExecuteSQLTask", action,
-          m.sparkPlan.toList, gateOf(task.name))
+          m.sparkPlan.toList, gateOf(task.name, scope))
       case st: ScriptTask =>
         PlannedTask(task.name, "ScriptTask",
-          s"skip (manual review): ${st.reviewReason}", Nil, gateOf(task.name))
+          s"skip (manual review): ${st.reviewReason}", Nil, gateOf(task.name, scope))
       case sm: SendMailTask =>
         PlannedTask(task.name, "SendMailTask",
-          s"skip: ${sm.skipReason}", Nil, gateOf(task.name))
+          s"skip: ${sm.skipReason}", Nil, gateOf(task.name, scope))
       case c: ContainerTask =>
         val iteration = c.containerType match {
           case "ForEachLoop" =>
-            if (c.enumItems.nonEmpty) s"${c.enumItems.size} item(s)"
+            if (c.enumItems.nonEmpty ||
+                c.enumeratorKind.exists(_.contains("ForEachItemEnumerator")))
+              s"${c.enumItems.size} item(s)"
             else if (c.fileEnum.isDefined)
               try s"${enumerateFiles(c.fileEnum.get, values).size} file(s) currently match"
               catch { case e: Exception => s"file enumerator unavailable at plan time (${e.getMessage})" }
@@ -207,14 +221,14 @@ object PackageRunner {
           case _ => "once, in sequence"
         }
         PlannedTask(task.name, s"Container(${c.containerType})",
-          s"iterate children: $iteration", Nil, gateOf(task.name),
-          c.children.map(plan))
+          s"iterate children: $iteration", Nil, gateOf(task.name, scope),
+          c.children.map(plan(_, c.constraints)))
       case u: UnsupportedTask =>
         PlannedTask(task.name, u.executableType,
-          s"skip (manual review): ${u.reviewReason}", Nil, gateOf(task.name))
+          s"skip (manual review): ${u.reviewReason}", Nil, gateOf(task.name, scope))
     }
 
-    DryRun(pkg.name, ordered.map(plan))
+    DryRun(pkg.name, ordered.map(plan(_)))
   }
 
   /** Mutable variable state threaded through one package run: Execute SQL
@@ -233,9 +247,18 @@ object PackageRunner {
     def values = store.values
     val completed = scala.collection.mutable.Map.empty[String, TaskStatus]
     val runs = scala.collection.mutable.ListBuffer.empty[TaskRun]
+    // a succeeded Execute SQL task whose ResultBinding feeds an Object
+    // variable produced an IN-MEMORY side effect (the recordset a ForEach
+    // ADO enumerator iterates) that a fresh process no longer holds —
+    // carrying it over would leave the variable's stale scalar declaration
+    // and fail every downstream ADO loop on every resume. Re-execute it.
+    def resumable(task: Task): Boolean = task match {
+      case s: ExecuteSqlTask => s.resultVariable.isEmpty
+      case _ => true
+    }
     ordered.foreach { task =>
       prior.get(task.name) match {
-        case Some(s) if RunState.isTerminalSuccess(s) =>
+        case Some(s) if RunState.isTerminalSuccess(s) && resumable(task) =>
           // checkpoint carry-over: the completed work is not repeated
           completed(task.name) = s
           runs += TaskRun(task.name, taskTypeName(task), s,
@@ -470,8 +493,10 @@ object PackageRunner {
           }
           // terminal non-destination branches still execute (count action)
           val terminalRows = dag.outputs.values.map(_.count()).sum
+          // obs.get IS the metric map — Map.get would wrap in Some and the
+          // Long cast would throw ClassCastException, failing a healthy task
           val observed = dag.observations.map { case (v, obs) =>
-            v -> obs.get.get("row_count").asInstanceOf[Long]
+            v -> obs.get("row_count").asInstanceOf[Long]
           }
           TaskRun(task.name, "DataFlowTask", TaskStatus.Succeeded,
             if (dag.outputs.nonEmpty) Some(terminalRows) else None, observed,
@@ -481,10 +506,11 @@ object PackageRunner {
           val compiled = DataFlowCompiler.compile(df, env.resolver, values)
           enforceFailChecks(task.name, compiled.failComponentChecks)
           val dest = compiled.destination
-          val mode = dest.flatMap(_.accessMode) match {
-            case Some(3) => SaveMode.Append // fast load = bulk append
-            case _ => SaveMode.Append
-          }
+          // both OLE DB destination access modes land on Append: fast load
+          // (3) is a bulk APPEND in SSIS too, and the non-fast path inserts
+          // row by row — also an append. Overwrite semantics only ever come
+          // from rewritten SQL tasks (SqlPatternRewriter), never a dataflow.
+          val mode = SaveMode.Append
           val rows = dest match {
             case Some(d) =>
               // the split's internal route-tag column must never land in
@@ -496,7 +522,7 @@ object PackageRunner {
             case None => Some(compiled.df.count())
           }
           val observed = compiled.observations.map { case (v, obs) =>
-            v -> obs.get.get("row_count").asInstanceOf[Long]
+            v -> obs.get("row_count").asInstanceOf[Long]
           }
           TaskRun(task.name, "DataFlowTask", TaskStatus.Succeeded, rows, observed,
             notes = compiled.warnings)
@@ -646,6 +672,8 @@ object PackageRunner {
       }
     } catch {
       case e: Exception =>
-        TaskRun(task.name, task.getClass.getSimpleName, TaskStatus.Failed(e.getMessage))
+        // same labels as the success path — consumers group RunState JSON
+        // by taskType, and failed tasks must not invent a second spelling
+        TaskRun(task.name, taskTypeName(task), TaskStatus.Failed(e.getMessage))
     }
 }

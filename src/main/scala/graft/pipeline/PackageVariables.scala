@@ -141,23 +141,52 @@ object PackageVariables {
     case t: java.sql.Timestamp => "'" + t.toString + "'"
     case d: java.sql.Date => "'" + d.toString + "'"
     case b: Boolean => if (b) "1" else "0"
+    case ds: org.apache.spark.sql.Dataset[_] =>
+      // an Object (recordset) variable can feed a ForEach ADO enumerator,
+      // never SQL text — rendering it would inject plan-dump garbage
+      throw new IllegalArgumentException(
+        "an Object (result set) variable cannot bind into a SQL statement; " +
+          "reorder declarations or use an explicit scalar variable")
     case other => other.toString
   }
 
-  /** Substitute positional `?` placeholders (quote-aware: a `?` inside a
-    * string literal is text, not a parameter). */
+  /** Walk `sql` emitting each character with an "active SQL" flag:
+    * characters inside single-quoted literals, `--` line comments, and
+    * slash-star block comments are INACTIVE — a `?` there is text, never
+    * a positional parameter (a comment `?` would otherwise consume a
+    * parameter and silently shift every later placeholder to the wrong
+    * variable; dtsx attribute normalization makes `--` comments in
+    * extracted SQL especially common). */
+  private def scanSql(sql: String)(emit: (Char, Boolean) => Unit): Unit = {
+    var i = 0; var inStr = false; var inLine = false; var inBlock = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inLine) { emit(c, false); if (c == '\n') inLine = false; i += 1 }
+      else if (inBlock) {
+        if (c == '*' && i + 1 < sql.length && sql.charAt(i + 1) == '/') {
+          emit('*', false); emit('/', false); inBlock = false; i += 2
+        } else { emit(c, false); i += 1 }
+      } else if (inStr) { emit(c, false); if (c == '\'') inStr = false; i += 1 }
+      else if (c == '\'') { emit(c, false); inStr = true; i += 1 }
+      else if (c == '-' && i + 1 < sql.length && sql.charAt(i + 1) == '-') {
+        emit('-', false); emit('-', false); inLine = true; i += 2
+      } else if (c == '/' && i + 1 < sql.length && sql.charAt(i + 1) == '*') {
+        emit('/', false); emit('*', false); inBlock = true; i += 2
+      } else { emit(c, true); i += 1 }
+    }
+  }
+
+  /** Substitute positional `?` placeholders (quote- AND comment-aware). */
   def bindSql(sql: String, params: Seq[Any]): String = {
     val out = new StringBuilder(sql.length + 32)
-    var inStr = false
     var p = 0
-    sql.foreach {
-      case '\'' => inStr = !inStr; out.append('\'')
-      case '?' if !inStr =>
+    scanSql(sql) { (ch, active) =>
+      if (active && ch == '?') {
         if (p >= params.length)
           throw new IllegalArgumentException(
             s"SQL has more `?` placeholders than bound parameters (${params.length})")
         out.append(renderLiteral(params(p))); p += 1
-      case ch => out.append(ch)
+      } else out.append(ch)
     }
     out.toString
   }
@@ -176,14 +205,10 @@ object PackageVariables {
       pkg.variables.map(v => values.getOrElse(v.qualifiedName,
         parseValue(v.ssisType, v.value)))))
 
-  /** Count unquoted `?` placeholders. */
+  /** Count active (unquoted, uncommented) `?` placeholders. */
   def placeholderCount(sql: String): Int = {
-    var inStr = false; var n = 0
-    sql.foreach {
-      case '\'' => inStr = !inStr
-      case '?' if !inStr => n += 1
-      case _ =>
-    }
+    var n = 0
+    scanSql(sql) { (ch, active) => if (active && ch == '?') n += 1 }
     n
   }
 
@@ -217,8 +242,13 @@ object PackageVariables {
     // fall back to the literal parse for callers that skipped evaluate()
     lazy val ordered = pkg.variables.map(v =>
       values.getOrElse(v.qualifiedName, parseValue(v.ssisType, v.value)))
+    // values-first per variable: eagerly re-parsing EVERY design-time
+    // literal would fail the task on one stale unparseable attribute
+    // (e.g. an expression variable whose dtsx value is "") even when its
+    // evaluated value is sitting right there in `values`
     lazy val byName = pkg.variables.map(v =>
-      v.qualifiedName -> parseValue(v.ssisType, v.value)).toMap ++ values
+      v.qualifiedName -> values.getOrElse(v.qualifiedName,
+        parseValue(v.ssisType, v.value))).toMap ++ values
     def bind(sql: Option[String]): Option[String] = sql.map { s =>
       val n = placeholderCount(s)
       if (n == 0) s else bindSql(s, ordered.take(n))

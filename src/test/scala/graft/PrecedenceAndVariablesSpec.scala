@@ -575,6 +575,59 @@ class PrecedenceAndVariablesSpec extends AnyFunSuite {
     assert(red.contains("Initial Catalog=C"))
   }
 
+  test("a RowCount component's observation reaches TaskRun.observedCounts (runner path)") {
+    import org.apache.spark.sql.SparkSession
+    val sparkS: SparkSession = spark
+    import sparkS.implicits._
+    val flow = DataFlowTask("Flow", None, List(
+      SourceComponent("Src", "OLEDBSource", None, None, Some("[dbo].[nums]"), None, Nil),
+      RowCountComponent("Count Rows", "User::N")))
+    val e = RuntimeEnv(
+      resolver = Resolver(_ => Seq(1, 2, 3).toDF("x"), _ => sys.error("no lookup")),
+      write = (_, _, _) => ())
+    val run = PackageRunner.run(spark, pkg(List(flow), Nil), e)
+    val tr = run.tasks.head
+    assert(tr.status === TaskStatus.Succeeded,
+      s"RowCount task failed: ${tr.status} (the Observation map access bug)")
+    assert(tr.observedCounts === Map("User::N" -> 3L))
+  }
+
+  test("a '?' inside a SQL comment or literal never consumes a parameter") {
+    import graft.pipeline.PackageVariables._
+    assert(placeholderCount("-- retry?\nDELETE FROM t WHERE id = ?") === 1)
+    assert(placeholderCount("/* what? */ SELECT ? , '?'") === 1)
+    assert(bindSql("-- retry?\nDELETE FROM t WHERE id = ?", Seq(42)) ===
+      "-- retry?\nDELETE FROM t WHERE id = 42")
+    assert(bindSql("/* eh? */ SELECT ? AS a, '?' AS b", Seq("x")) ===
+      "/* eh? */ SELECT 'x' AS a, '?' AS b")
+  }
+
+  test("resume re-executes a succeeded SQL task whose ResultBinding is in-memory only") {
+    // the recordset a ForEach ADO enumerator iterates lives in the
+    // VarStore, not the checkpoint — carrying the task over would leave
+    // the Object variable's stale scalar and fail every resumed run
+    val statePath = java.nio.file.Files.createTempDirectory("graft-rs")
+      .resolve("state.json").toString
+    var sqlRuns = 0
+    val sqlT = ExecuteSqlTask("Load IDs", None, "conn",
+      "SELECT 1 AS id", resultSet = "Full", resultVariable = Some("User::rs"))
+    val e = RuntimeEnv(
+      resolver = Resolver(_ => sys.error("no source"), _ => sys.error("no lookup")),
+      write = (_, _, _) => (),
+      sqlExecutor = _ => {
+        sqlRuns += 1
+        import spark.implicits._
+        Some(PackageRunner.SqlOutcome(Some(Seq(1L).toDF("id")), None))
+      })
+    val p = pkg(List(sqlT), Nil,
+      vars = List(Variable("User", "rs", "DT_WSTR", "")))
+    assert(!PackageRunner.runResumable(spark, p, e, statePath).failed)
+    assert(sqlRuns === 1)
+    // second invocation: the binding task must RE-RUN, not carry over
+    assert(!PackageRunner.runResumable(spark, p, e, statePath).failed)
+    assert(sqlRuns === 2, "binding task was carried over; its recordset is lost on resume")
+  }
+
   test("DATEADD expression variable produces the bound window end") {
     val vars = List(
       Variable("User", "StartDate", "DT_DBTIMESTAMP", "1995-03-01T00:00:00"),
