@@ -23,7 +23,10 @@ import org.apache.spark.sql.types._
   */
 object MultimodalOps {
 
-  /** Canonical multimodal column bundle. */
+  /** RECOMMENDED staging schema for a media table (payload + typed
+    * nested meta) — an API contract for ingest writers, not the shape
+    * [[decodeMeta]] returns (that emits the meta fields FLAT, the join-
+    * friendly form). */
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("payload", BinaryType, nullable = true),
@@ -65,9 +68,13 @@ object MultimodalOps {
     * Audio/video codecs remain out of scope for this container —
     * [[StubDecoder]] stays as the oracle-checkable stand-in. */
   object ImageIoDecoder extends MediaDecoder {
+    // one-time, not per decode: setUseCache is a JVM-GLOBAL toggle (it
+    // affects every ImageIO user in the executor) and re-setting it per
+    // row is pure overhead on the hot path
+    javax.imageio.ImageIO.setUseCache(false) // no executor-disk staging
+
     def decode(payload: Array[Byte], mediaType: String): MediaMeta = {
       require(payload != null && payload.nonEmpty, "empty media payload")
-      javax.imageio.ImageIO.setUseCache(false) // no executor-disk staging
       val in = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(payload))
       try {
@@ -107,9 +114,13 @@ object MultimodalOps {
       try {
         val fmt = in.getFormat
         val frames = in.getFrameLength
+        // both sentinels normalize: getFrameLength AND getSampleRate can
+        // report AudioSystem.NOT_SPECIFIED (-1), and a -1 sample rate
+        // leaking through breaks the "sampleRate=0 means non-audio"
+        // convention and any duration = frames/rate arithmetic
         MediaMeta(width = 0, height = 0,
           nFrames = if (frames < 0) 0 else math.min(frames, Int.MaxValue).toInt,
-          sampleRate = fmt.getSampleRate.toInt)
+          sampleRate = math.max(0, fmt.getSampleRate.toInt))
       } finally in.close()
     }
   }
@@ -143,8 +154,18 @@ object MultimodalOps {
       .as[(Long, Array[Byte], String)]
       .mapPartitions { rows =>
         rows.map { case (id, payload, mt) =>
-          val m = decoder.decode(if (payload == null) Array.emptyByteArray else payload, mt)
-          (id, mt, m.width, m.height, m.nFrames, m.sampleRate)
+          // a NULL payload is "no media", not "empty media": every decoder
+          // gets the same contract — null meta fields — instead of the
+          // real codecs rejecting the row (context-free stage failure)
+          // while the stub fabricates 64x64 dims for it
+          if (payload == null)
+            (id, mt, Option.empty[Int], Option.empty[Int],
+              Option.empty[Int], Option.empty[Int])
+          else {
+            val m = decoder.decode(payload, mt)
+            (id, mt, Some(m.width), Some(m.height), Some(m.nFrames),
+              Some(m.sampleRate))
+          }
         }
       }
       .toDF("media_id", "media_type", "width", "height", "n_frames", "sample_rate")
@@ -155,8 +176,11 @@ object MultimodalOps {
     * oracle-checkable face of the stub (and the fast path when the "decode"
     * is metadata-only). byte_i(payload) = conv(hex pair i, 16, 10). */
   def stubMetaColumns(payloadHex: Column, mediaType: Column): Seq[(String, Column)] = {
+    // rpad: a payload shorter than 4 bytes must match StubDecoder's
+    // zero-padding (conv("") is NULL in Spark, not 0)
+    val padded = rpad(payloadHex, 8, "0")
     def ub(i: Int): Column =
-      conv(substring(payloadHex, 2 * i + 1, 2), 16, 10).cast(IntegerType)
+      conv(substring(padded, 2 * i + 1, 2), 16, 10).cast(IntegerType)
     Seq(
       "width" -> (ub(0) * 16 + 64),
       "height" -> (ub(1) * 16 + 64),
@@ -166,7 +190,10 @@ object MultimodalOps {
 
   /** Frame sampling plan for video-ish payloads: every `stride`-th frame
     * index as an array column — the shape a real frame extractor consumes. */
-  def frameSamplePlan(nFrames: Column, stride: Int): Column =
+  def frameSamplePlan(nFrames: Column, stride: Int): Column = {
+    require(stride > 0,
+      s"frame-sample stride must be positive, got $stride") // fail at build, not per row
     when(nFrames > 0, sequence(lit(0), nFrames - 1, lit(stride)))
       .otherwise(array().cast(ArrayType(IntegerType)))
+  }
 }

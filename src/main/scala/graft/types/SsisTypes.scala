@@ -99,9 +99,12 @@ object SsisTypes {
     canonical(t.name) match {
       case "DT_WSTR" | "DT_STR" if t.length.isDefined => s"$base(${t.length.get})"
       case "DT_DECIMAL" | "DT_NUMERIC" if t.precision.isDefined =>
+        // keep the computed base: a sized DT_DECIMAL is DECIMAL(p,s), not
+        // NUMERIC(p,s) — PackageJson exports this string as sql_type for
+        // reference parity
         t.scale match {
-          case Some(s) => s"NUMERIC(${t.precision.get},$s)"
-          case None => s"NUMERIC(${t.precision.get})"
+          case Some(s) => s"$base(${t.precision.get},$s)"
+          case None => s"$base(${t.precision.get})"
         }
       case "DT_BYTES" if t.length.isDefined => s"VARBINARY(${t.length.get})"
       case _ => base
@@ -114,8 +117,13 @@ object SsisTypes {
   /** `CustomerID` → `customer_id`; same two-pass regex contract as the
     * reference's `get_snake_case` (type_mappings.py:141-157). */
   def snakeCase(name: String): String = {
-    val s1 = camel1.replaceAllIn(name, m => m.group(1) + "_" + m.group(2))
-    val s2 = camel2.replaceAllIn(s1, m => m.group(1) + "_" + m.group(2))
+    // quoteReplacement: a '$' or '\\' in the captured text (both legal in
+    // SQL Server identifiers) is otherwise a group reference in the
+    // replacement string - IllegalArgumentException at runtime
+    def join(m: scala.util.matching.Regex.Match): String =
+      scala.util.matching.Regex.quoteReplacement(m.group(1) + "_" + m.group(2))
+    val s1 = camel1.replaceAllIn(name, join _)
+    val s2 = camel2.replaceAllIn(s1, join _)
     s2.toLowerCase
   }
 
@@ -130,8 +138,10 @@ object SsisTypes {
   /** Strip characters that are not valid in an identifier (non-strict mode
     * of `get_dbt_cast_expression`, type_mappings.py:122-127). */
   def sanitizeIdentifier(name: String): String = {
-    val cleaned = name.replaceAll("[^A-Za-z0-9_]", "_")
-    if (cleaned.isEmpty || !cleaned.head.isLetter && cleaned.head != '_') "_" + cleaned
+    // cap at 128 so a sanitized name always satisfies isValidIdentifier
+    val cleaned = name.replaceAll("[^A-Za-z0-9_]", "_").take(128)
+    if (cleaned.isEmpty || !cleaned.head.isLetter && cleaned.head != '_')
+      ("_" + cleaned).take(128)
     else cleaned
   }
 }

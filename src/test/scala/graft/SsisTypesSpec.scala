@@ -62,6 +62,25 @@ class SsisTypesSpec extends AnyFunSuite {
     assert(SsisTypes.snakeCase("ProductSKU") === "product_sku")
   }
 
+  test("snakeCase survives '$' and backslash (legal SQL Server identifier chars)") {
+    assert(SsisTypes.snakeCase("Total$Amount") === "total$_amount")
+    assert(SsisTypes.snakeCase("A\\Bcd") === "a\\_bcd")
+  }
+
+  test("sized DT_DECIMAL renders DECIMAL(p,s), not NUMERIC (sql_type parity)") {
+    assert(SsisTypes.toSqlServer(
+      SsisTypes.SsisColumnType("DT_DECIMAL", None, Some(18), Some(2))) === "DECIMAL(18,2)")
+    assert(SsisTypes.toSqlServer(
+      SsisTypes.SsisColumnType("DT_NUMERIC", None, Some(18), Some(2))) === "NUMERIC(18,2)")
+  }
+
+  test("sanitizeIdentifier output always satisfies isValidIdentifier") {
+    val long = "C" * 200
+    val out = SsisTypes.sanitizeIdentifier(long)
+    assert(SsisTypes.isValidIdentifier(out), s"len=${out.length}")
+    assert(SsisTypes.isValidIdentifier(SsisTypes.sanitizeIdentifier("9bad name!")))
+  }
+
   test("identifier validation blocks SQL injection shapes (utils.py contract)") {
     assert(SsisTypes.isValidIdentifier("CustomerID"))
     assert(SsisTypes.isValidIdentifier("_private"))
