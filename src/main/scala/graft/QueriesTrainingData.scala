@@ -1279,11 +1279,16 @@ object QueriesTrainingData {
     * its FIRST token lands in. A doc straddling a boundary stays in its
     * starting bin (overflow bounded by that doc's own length) — the
     * streaming-friendly packing distributed pipelines actually ship;
-    * exact bin packing is inherently sequential. ONE window cumsum per
-    * source partition, integer `div` so both engines bin identically,
-    * no joins. At 100 TB the partition key widens (e.g. (source,
-    * ingest-day)) to bound the window partition; the shape is
-    * unchanged. */
+    * exact bin packing is inherently sequential. The cumsum is a
+    * TWO-PHASE distributed prefix sum ([[graft.text.CorpusOps
+    * .sequencePacking]]): a corpus-scaled monotone bucket key bounds
+    * every row-level sort partition to ~4096 rows, bucket totals get an
+    * exclusive per-source scan on a frame ~4000× smaller than the
+    * corpus, and the offsets broadcast back — so no task ever sorts a
+    * whole source (the x25 scale-killer the old single-window shape
+    * carried). `cum` is exact integer arithmetic, invariant to the
+    * bucketing, so both engines bin identically (`div 512`) and the
+    * oracle stays the plain window form. */
   def x30_sequence_packing(spark: SparkSession, dir: String): DataFrame =
     graft.text.CorpusOps.sequencePacking(
       documents(spark, dir), "doc_id", "source", "text", cap = 512)

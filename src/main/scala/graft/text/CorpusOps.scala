@@ -55,21 +55,67 @@ object CorpusOps {
     * FIRST token lands in. A doc straddling a boundary stays in its
     * starting bin (overflow bounded by that doc's own length) — the
     * streaming-friendly packing distributed pipelines actually ship;
-    * exact bin packing is inherently sequential. ONE window cumsum per
-    * source partition, integer `div` so any engine bins identically, no
-    * joins. At 100 TB the partition key widens (e.g. (source,
-    * ingest-day)) to bound the window partition; the shape is
-    * unchanged. */
+    * exact bin packing is inherently sequential.
+    *
+    * The running total is a TWO-PHASE DISTRIBUTED PREFIX SUM, never a
+    * single window over the source key (that shape sorts a whole
+    * source's slice in ONE task — the x25 scale-killer class):
+    *  1. a monotone bucket key is derived from the numeric id range,
+    *     sized so buckets hold ~`bucketRows` rows (corpus-scaled, the
+    *     x12 rule: bucket count grows with n, membership stays bounded);
+    *  2. the row-level cumsum windows over `(source, bucket)` — each
+    *     sort partition is ~`bucketRows` rows regardless of corpus size;
+    *  3. bucket totals (one partial-combining aggregate, n/bucketRows
+    *     rows) get an EXCLUSIVE per-source scan — the only
+    *     source-partitioned window runs over the totals frame, ~4000×
+    *     smaller than the corpus — and broadcast back onto the bucket
+    *     key. At extreme scale raise `bucketRows` (or hierarchically
+    *     repeat the scan) to keep the totals frame driver-sized.
+    * The final `cum = local + offset` is exact integer arithmetic,
+    * invariant to the bucketing, so any engine bins identically
+    * (`div cap`). Ids clustered into a narrow range degrade bucket
+    * balance (dense or uniformly-spread ids — the ingest-sequence norm —
+    * keep buckets ~`bucketRows`). */
   def sequencePacking(docs: DataFrame, idCol: String, sourceCol: String,
-      textCol: String, cap: Int = 512): DataFrame = {
+      textCol: String, cap: Int = 512, bucketRows: Int = 4096): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(sourceCol)).orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
-      .select(col(idCol), col(sourceCol),
+    // Phase 0 (driver, column-pruned scan of the id column only): the
+    // bucket width that yields ~n/bucketRows monotone buckets.
+    val stats = docs.agg(count(lit(1)).as("n"),
+      min(col(idCol).cast(LongType)).as("lo"),
+      max(col(idCol).cast(LongType)).as("hi")).head()
+    val n = stats.getLong(0)
+    require(n == 0L || !stats.isNullAt(1),
+      s"sequencePacking needs a numeric (castable-to-BIGINT) id column; got `$idCol`")
+    val lo = if (n == 0L) 0L else stats.getLong(1)
+    val hi = if (n == 0L) 0L else stats.getLong(2)
+    val targetBuckets = math.max(1L, (n + bucketRows - 1L) / bucketRows.toLong)
+    val width = math.max(1L, (hi - lo) / targetBuckets + 1L)
+
+    val sized = docs.select(col(idCol), col(sourceCol),
         size(TextOps.tokens(col(textCol))).cast(LongType).as("n_tokens"))
-      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("__graft_bucket",
+        expr(s"(cast(`$idCol` as bigint) - ${lo}L) div ${width}L"))
+    // Phase 1: bounded local cumsum — sort partitions are ~bucketRows rows.
+    val wLocal = Window.partitionBy(col(sourceCol), col("__graft_bucket"))
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = sized.withColumn("__graft_local",
+      sum(col("n_tokens")).over(wLocal))
+    // Phase 2: exclusive scan of bucket totals (n/bucketRows rows — the
+    // ONLY source-alone window, on a frame ~4000× smaller than the
+    // corpus). The sized branch is recomputed, not cached (it is
+    // corpus-token-sized — the x06/x14 recompute-over-cache rule).
+    val wOff = Window.partitionBy(col(sourceCol)).orderBy(col("__graft_bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sized.groupBy(col(sourceCol), col("__graft_bucket"))
+      .agg(sum(col("n_tokens")).as("__graft_tot"))
+      .withColumn("__graft_off",
+        coalesce(sum(col("__graft_tot")).over(wOff), lit(0L)))
+      .select(col(sourceCol), col("__graft_bucket"), col("__graft_off"))
+    // Phase 3: broadcast the tiny offset table back onto the bucket key.
+    local.join(broadcast(offsets), Seq(sourceCol, "__graft_bucket"))
       .select(col(idCol), col(sourceCol), col("n_tokens"),
-        expr(s"(cum - n_tokens) div $cap").as("pack_id"))
+        expr(s"(__graft_local + __graft_off - n_tokens) div $cap").as("pack_id"))
   }
 }

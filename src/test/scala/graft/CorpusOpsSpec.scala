@@ -55,4 +55,47 @@ class CorpusOpsSpec extends AnyFunSuite {
     // sources pack independently
     assert(out(9L) === ((25L, 0L)))
   }
+
+  test("sequence packing: two-phase prefix sum equals the naive per-source window") {
+    // Randomized corpus with sparse, clustered, and interleaved ids —
+    // bucketRows=3 forces many buckets so the bucket-boundary arithmetic
+    // (local cum + exclusive offset) is exercised across every boundary.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(42)
+    val ids = (Seq.tabulate(40)(i => i.toLong) ++ // dense run
+      Seq.tabulate(20)(i => 1000L + i * 97L) ++ // sparse spread
+      Seq.tabulate(20)(i => 5000L + i)) // clustered block
+    val rows = ids.map { id =>
+      val src = s"src${rnd.nextInt(4)}"
+      val nTok = 1 + rnd.nextInt(30)
+      (id, src, (1 to nTok).map(j => s"t$j").mkString(" "))
+    }
+    val docs = rows.toDF("doc_id", "source", "text")
+    val got = CorpusOps.sequencePacking(docs, "doc_id", "source", "text",
+        cap = 17, bucketRows = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = docs
+      .select($"doc_id", $"source",
+        size(split($"text", "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum($"n_tokens").over(w))
+      .select($"doc_id", $"n_tokens",
+        expr("(cum - n_tokens) div 17").as("pack_id"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.size === want.size)
+    want.foreach { case (id, exp) =>
+      assert(got(id) === exp, s"doc $id: two-phase ${got(id)} != naive $exp")
+    }
+  }
+
+  test("sequence packing: degenerate inputs (empty corpus, single doc)") {
+    val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "source", "text")
+    assert(CorpusOps.sequencePacking(empty, "doc_id", "source", "text").count() === 0L)
+    val one = Seq((7L, "s", "a b c")).toDF("doc_id", "source", "text")
+    val r = CorpusOps.sequencePacking(one, "doc_id", "source", "text", cap = 2)
+      .collect().head
+    assert(r.getLong(2) === 3L && r.getLong(3) === 0L)
+  }
 }

@@ -395,12 +395,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), "per-source doc totals should broadcast")
   }
 
-  test("x30: packing is ONE window over the source partition, no joins") {
+  test("x30: two-phase prefix sum — row cumsum windows on (source, bucket), offsets broadcast") {
     val plan = executedPlan("x30_sequence_packing")
-    assert("Window ".r.findAllIn(plan).length === 1, "packing should be exactly one window")
-    assert(!plan.contains("Join"), "packing must not join")
-    // one hash exchange feeds the window partition; nothing else shuffles
-    assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1)
+    // the corpus-sized cumsum must key its window by the derived bucket
+    // (bounded sort partitions) — never by source alone (one task per
+    // source at 100×, the x25 scale-killer class)
+    val rowWin = plan.linesIterator
+      .find(l => l.contains("Window") && l.contains("sum(n_tokens"))
+      .getOrElse(fail("row-level cumsum window not found in plan"))
+    assert(rowWin.contains("__graft_bucket"),
+      s"row cumsum must partition by (source, bucket), got: $rowWin")
+    // the only source-alone window runs over the ~n/bucketRows totals frame
+    val offWin = plan.linesIterator
+      .find(l => l.contains("Window") && l.contains("__graft_tot"))
+      .getOrElse(fail("offset-scan window not found in plan"))
+    assert(!offWin.contains("n_tokens#"),
+      "offset scan must run on the totals frame, not corpus rows")
+    // the tiny offset table broadcasts back onto the bucket key
+    assert(plan.contains("BroadcastHashJoin"),
+      "offsets should join back via broadcast")
+    assert(plan.contains("partial_sum") || plan.contains("partial_"),
+      "bucket totals lost their map-side combine")
   }
 
   test("no gated plan contains a trivially-true self-equality predicate") {
