@@ -1353,7 +1353,125 @@ object QueriesTrainingData {
        |${pairSelect("1")}""".stripMargin
   }
 
+  /** Temperature-based source mixing (the LLaMA/GPT-3 data-mixing step):
+    * a source's sampling weight is count^τ (τ = 0.5), flattening the
+    * source distribution so a dominant crawl stops drowning small
+    * high-quality sources; the overall draw targets half the corpus.
+    * Every rate is INTEGER arithmetic — floor(sqrt) weights (sqrt of an
+    * exact integer is correctly-rounded IEEE on any engine), integer
+    * quotas, per-myriad keep thresholds — so both engines make
+    * bit-identical keep decisions, and the draw itself is the
+    * deterministic md5 bucket (the x17/x19 idiom). Shape at scale:
+    * source weights are one tiny partial-combining aggregate (source
+    * cardinality ≪ corpus), the threshold table broadcasts back, and
+    * the keep decision is one narrow filtered scan — the corpus itself
+    * never shuffles. */
+  def x32_temperature_mix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // corpus totals as a single-partition window over the COUNTS frame
+    // (source-cardinality-sized — the x30 totals-scan idiom), never a
+    // second aggregate branch that would rescan the corpus
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val rates = documents(spark, dir).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_src"))
+      .withColumn("w", floor(sqrt(col("n_src"))).cast(LongType))
+      .withColumn("n_total", sum(col("n_src")).over(wAll))
+      .withColumn("w_total", sum(col("w")).over(wAll))
+      .select(col("source"),
+        least(lit(10000L),
+          expr("((n_total div 2) * w div w_total) * 10000 div n_src"))
+          .as("keep_myriad"))
+    val bucket = pmod(TextOps.stableHash64(
+      concat(col("doc_id").cast(StringType), lit(":mix"))), lit(10000))
+    documents(spark, dir)
+      .select(col("doc_id"), col("source"), bucket.as("bucket"))
+      .join(broadcast(rates), "source")
+      .filter(col("bucket") < col("keep_myriad"))
+      .select(col("doc_id"), col("source"), col("bucket"), col("keep_myriad"))
+  }
+
+  val x32Oracle: String =
+    """WITH c AS (
+      |  SELECT source, COUNT(*) AS n_src,
+      |    CAST(floor(sqrt(COUNT(*))) AS BIGINT) AS w
+      |  FROM documents GROUP BY source),
+      |t AS (SELECT SUM(n_src) AS n_total, SUM(w) AS w_total FROM c),
+      |r AS (
+      |  SELECT source,
+      |    LEAST(10000, ((n_total // 2) * w // w_total) * 10000 // n_src) AS keep_myriad
+      |  FROM c CROSS JOIN t)
+      |SELECT d.doc_id, d.source,
+      |  CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':mix'), 1, 15)) AS BIGINT) % 10000 AS bucket,
+      |  CAST(r.keep_myriad AS BIGINT) AS keep_myriad
+      |FROM documents d JOIN r USING (source)
+      |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':mix'), 1, 15)) AS BIGINT) % 10000
+      |  < r.keep_myriad""".stripMargin
+
+  /** Exact-dup survivorship — x05 keeps the min-id copy; real cleaning
+    * pipelines keep the BEST copy. Survivor per content key = the doc
+    * maximizing (distinct-token count, then smallest id among ties),
+    * computed in ONE map-side-combining `max(struct(...))` aggregate:
+    * the lexicographic struct max carries the argmax through partial
+    * aggregation, so there is no window and no second corpus pass — the
+    * 100 TB survivorship shape (the two-aggregate join form the oracle
+    * uses is the semantic spec, not the plan). */
+  def x33_dedup_survivor(spark: SparkSession, dir: String): DataFrame =
+    x33From(documents(spark, dir))
+
+  private[graft] def x33From(docs: DataFrame): DataFrame = {
+    val key = md5(concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 5)))
+    docs
+      .select(key.as("dup_key"), col("doc_id"),
+        TextOps.distinctTokenCount(col("text")).cast(LongType).as("nd"))
+      .groupBy(col("dup_key"))
+      .agg(max(struct(col("nd"), (-col("doc_id")).as("neg_id"))).as("m"),
+        count(lit(1)).as("group_size"))
+      .select(col("dup_key"), col("m.nd").as("best_distinct"),
+        (-col("m.neg_id")).as("survivor_id"), col("group_size"))
+  }
+
+  val x33Oracle: String =
+    """WITH d AS (
+      |  SELECT md5(array_to_string((string_split_regex(text,'\s+'))[1:5], ' ')) AS dup_key,
+      |    doc_id,
+      |    CAST(CASE WHEN length(text)=0 THEN 0
+      |         ELSE len(list_distinct(string_split_regex(text,'\s+'))) END AS BIGINT) AS nd
+      |  FROM documents),
+      |g AS (
+      |  SELECT dup_key, MAX(nd) AS best_distinct, COUNT(*) AS group_size
+      |  FROM d GROUP BY dup_key)
+      |SELECT g.dup_key, g.best_distinct, MIN(d.doc_id) AS survivor_id, g.group_size
+      |FROM d JOIN g ON d.dup_key = g.dup_key AND d.nd = g.best_distinct
+      |GROUP BY g.dup_key, g.best_distinct, g.group_size""".stripMargin
+
+  /** Deterministic global corpus shuffle + fixed-size shard assignment —
+    * the step between cleaning and training that randomizes document
+    * order (so a shard is never one crawl slice) and cuts the shuffled
+    * order into shards: order by md5(doc_id || salt), pos = 0-based
+    * global rank, shard_id = pos div 64. A global rank is the textbook
+    * single-task window; [[graft.text.CorpusOps.globalShuffleOrder]]
+    * runs it as the same two-phase prefix sum as x30 — hex-prefix
+    * buckets scaled to the corpus (md5 is uniform, so buckets stay
+    * balanced), a bounded local row_number, and an exclusive scan over
+    * the bucket counts. The oracle keeps the plain one-window form. */
+  def x34_global_shuffle(spark: SparkSession, dir: String): DataFrame =
+    graft.text.CorpusOps.globalShuffleOrder(
+      documents(spark, dir), "doc_id", ":shuffle", shardDocs = 64)
+
+  val x34Oracle: String =
+    """WITH h AS (
+      |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':shuffle') AS hx
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, hx,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY hx, doc_id) - 1 AS BIGINT) AS pos
+      |  FROM h)
+      |SELECT doc_id, hx, pos, pos // 64 AS shard_id FROM r""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x34_global_shuffle" -> (x34_global_shuffle _),
+    "x33_dedup_survivor" -> (x33_dedup_survivor _),
+    "x32_temperature_mix" -> (x32_temperature_mix _),
     "x31_lsh_multi_table" -> (x31_lsh_multi_table _),
     "x30_sequence_packing" -> (x30_sequence_packing _),
     "x29_boilerplate_spans" -> (x29_boilerplate_spans _),
@@ -1417,5 +1535,8 @@ object QueriesTrainingData {
     "x28_substring_dup" -> x28Oracle,
     "x29_boilerplate_spans" -> x29Oracle,
     "x30_sequence_packing" -> x30Oracle,
-    "x31_lsh_multi_table" -> x31Oracle)
+    "x31_lsh_multi_table" -> x31Oracle,
+    "x32_temperature_mix" -> x32Oracle,
+    "x33_dedup_survivor" -> x33Oracle,
+    "x34_global_shuffle" -> x34Oracle)
 }

@@ -2,7 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
 
 /** Corpus-level text pipeline steps (multi-row shapes, unlike the
   * narrow per-row signals in [[TextOps]]): boilerplate-span detection
@@ -78,7 +78,6 @@ object CorpusOps {
     * keep buckets ~`bucketRows`). */
   def sequencePacking(docs: DataFrame, idCol: String, sourceCol: String,
       textCol: String, cap: Int = 512, bucketRows: Int = 4096): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // Phase 0 (driver, column-pruned scan of the id column only): the
     // bucket width that yields ~n/bucketRows monotone buckets.
     val stats = docs.agg(count(lit(1)).as("n"),
@@ -96,26 +95,83 @@ object CorpusOps {
         size(TextOps.tokens(col(textCol))).cast(LongType).as("n_tokens"))
       .withColumn("__graft_bucket",
         expr(s"(cast(`$idCol` as bigint) - ${lo}L) div ${width}L"))
-    // Phase 1: bounded local cumsum — sort partitions are ~bucketRows rows.
-    val wLocal = Window.partitionBy(col(sourceCol), col("__graft_bucket"))
-      .orderBy(col(idCol))
+    twoPhasePrefixSum(sized, Seq(sourceCol), "__graft_bucket", Seq(idCol),
+        "n_tokens", "__graft_cum")
+      .select(col(idCol), col(sourceCol), col("n_tokens"),
+        expr(s"(__graft_cum - n_tokens) div $cap").as("pack_id"))
+  }
+
+  /** Deterministic global corpus shuffle + shard assignment — the step
+    * between cleaning and training that randomizes document order (so a
+    * shard is not one crawl slice) and cuts the shuffled order into
+    * fixed-size shards. The order key is `md5(id || salt)` (reshuffles
+    * are a salt change away, and any engine reproduces the permutation);
+    * `position` is the 0-based global rank of `(hash, id)` and
+    * `shard_id = position div shardDocs`.
+    *
+    * A global rank is the textbook single-task window — here it is the
+    * same TWO-PHASE prefix sum as [[sequencePacking]]: a monotone bucket
+    * from the first `k` hex digits of the hash (k grows with the corpus
+    * so buckets stay ~`bucketRows` rows — md5 is uniform, so buckets are
+    * balanced regardless of id distribution), a bounded local
+    * `row_number`, and an exclusive scan over the 16^k bucket counts. */
+  def globalShuffleOrder(docs: DataFrame, idCol: String, salt: String,
+      shardDocs: Int = 64, bucketRows: Int = 4096): DataFrame = {
+    val n = docs.count()
+    // smallest hex-prefix length whose 16^k buckets hold ~bucketRows rows
+    val k = {
+      var kk = 1L
+      while (kk < 8L && n / math.pow(16.0, kk.toDouble) > bucketRows) kk += 1
+      kk.toInt
+    }
+    val hashed = docs.select(col(idCol),
+        md5(concat(col(idCol).cast(StringType), lit(salt))).as("hx"))
+      .withColumn("__graft_bucket",
+        conv(substring(col("hx"), 1, k), 16, 10).cast(LongType))
+      .withColumn("__graft_one", lit(1L))
+    twoPhasePrefixSum(hashed, Seq.empty, "__graft_bucket",
+        Seq("hx", idCol), "__graft_one", "__graft_rank")
+      .select(col(idCol), col("hx"),
+        (col("__graft_rank") - 1L).as("pos"),
+        expr(s"(__graft_rank - 1) div $shardDocs").as("shard_id"))
+  }
+
+  /** Distributed inclusive prefix sum: `cumCol` = running total of
+    * `valueCol` over rows ordered by `orderCols` within `partCols`
+    * (empty = one global sequence), given a caller-derived MONOTONE
+    * `bucketCol` (non-decreasing along the order, ~bounded rows per
+    * bucket — the caller owns the corpus-scaled sizing). Never a single
+    * window over the partition key alone (one task per partition at
+    * 100× — the x25 scale-killer class):
+    *  1. the row-level cumsum windows over `(part, bucket)` — every sort
+    *     partition is bucket-sized regardless of corpus size;
+    *  2. bucket totals (one partial-combining aggregate, one row per
+    *     bucket) get an exclusive per-part scan — the only
+    *     partition-key-alone window runs on the totals frame, orders of
+    *     magnitude smaller than the corpus;
+    *  3. the tiny offset table broadcasts back onto the bucket key.
+    * The result is exact arithmetic, invariant to the bucketing, so an
+    * oracle keeps the plain single-window form. The input branch is
+    * referenced twice and deliberately NOT cached (it is corpus-sized —
+    * the x06/x14 recompute-over-cache rule). */
+  private[graft] def twoPhasePrefixSum(df: DataFrame, partCols: Seq[String],
+      bucketCol: String, orderCols: Seq[String], valueCol: String,
+      cumCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pCols = partCols.map(col)
+    val wLocal = Window.partitionBy(pCols :+ col(bucketCol): _*)
+      .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = sized.withColumn("__graft_local",
-      sum(col("n_tokens")).over(wLocal))
-    // Phase 2: exclusive scan of bucket totals (n/bucketRows rows — the
-    // ONLY source-alone window, on a frame ~4000× smaller than the
-    // corpus). The sized branch is recomputed, not cached (it is
-    // corpus-token-sized — the x06/x14 recompute-over-cache rule).
-    val wOff = Window.partitionBy(col(sourceCol)).orderBy(col("__graft_bucket"))
+    val local = df.withColumn("__graft_local", sum(col(valueCol)).over(wLocal))
+    val wOff = Window.partitionBy(pCols: _*).orderBy(col(bucketCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = sized.groupBy(col(sourceCol), col("__graft_bucket"))
-      .agg(sum(col("n_tokens")).as("__graft_tot"))
+    val offsets = df.groupBy(pCols :+ col(bucketCol): _*)
+      .agg(sum(col(valueCol)).as("__graft_tot"))
       .withColumn("__graft_off",
         coalesce(sum(col("__graft_tot")).over(wOff), lit(0L)))
-      .select(col(sourceCol), col("__graft_bucket"), col("__graft_off"))
-    // Phase 3: broadcast the tiny offset table back onto the bucket key.
-    local.join(broadcast(offsets), Seq(sourceCol, "__graft_bucket"))
-      .select(col(idCol), col(sourceCol), col("n_tokens"),
-        expr(s"(__graft_local + __graft_off - n_tokens) div $cap").as("pack_id"))
+      .select(pCols :+ col(bucketCol) :+ col("__graft_off"): _*)
+    local.join(broadcast(offsets), partCols :+ bucketCol)
+      .withColumn(cumCol, col("__graft_local") + col("__graft_off"))
+      .drop("__graft_local", "__graft_off")
   }
 }

@@ -90,6 +90,29 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("global shuffle: a permutation in md5 order, cut into fixed shards") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // sparse ids so hex-prefix buckets are exercised beyond bucket 0
+    val ids = (0L until 40L) ++ (900L until 930L) ++ Seq(5000L, 123456789L)
+    val docs = ids.map(id => (id, s"body $id")).toDF("doc_id", "text")
+    val got = CorpusOps.globalShuffleOrder(docs, "doc_id", ":t", shardDocs = 10,
+        bucketRows = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // positions are exactly 0..n-1 (a permutation), shards cut every 10
+    assert(got.map(_._3).sorted.toSeq === (0L until ids.size.toLong))
+    got.foreach { case (_, _, pos, shard) => assert(shard === pos / 10) }
+    // order agrees with the naive single-window rank over (md5, id)
+    val w = Window.orderBy($"hx", $"doc_id")
+    val want = docs
+      .select($"doc_id", md5(concat($"doc_id".cast("string"), lit(":t"))).as("hx"))
+      .withColumn("pos", row_number().over(w).cast("long") - 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    got.foreach { case (id, _, pos, _) =>
+      assert(pos === want(id), s"doc $id: two-phase rank $pos != naive ${want(id)}")
+    }
+  }
+
   test("sequence packing: degenerate inputs (empty corpus, single doc)") {
     val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "source", "text")
     assert(CorpusOps.sequencePacking(empty, "doc_id", "source", "text").count() === 0L)

@@ -418,6 +418,42 @@ class PlanShapeSpec extends AnyFunSuite {
       "bucket totals lost their map-side combine")
   }
 
+  test("x32: corpus never shuffles — threshold table broadcasts onto one filtered scan") {
+    val plan = executedPlan("x32_temperature_mix")
+    assert(plan.contains("BroadcastHashJoin"),
+      "per-source keep thresholds must broadcast onto the corpus scan")
+    // the only hash exchange is the tiny per-source counts aggregate; the
+    // corpus branch reaches the broadcast join unshuffled
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1,
+      "corpus side of the mix filter must not shuffle")
+  }
+
+  test("x33: survivorship is ONE partial-combining aggregate — no window, no join") {
+    val plan = executedPlan("x33_dedup_survivor")
+    assert(!plan.contains("Window"), "struct-max argmax must not use a window")
+    assert(!plan.contains("Join"), "struct-max argmax must not self-join")
+    assert(plan.contains("partial_max"),
+      "survivor max(struct) lost its map-side combine")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1)
+  }
+
+  test("x34: global rank is two-phase — row_number on hash buckets, offsets broadcast") {
+    val plan = executedPlan("x34_global_shuffle")
+    // the 1L rank increment constant-folds to sum(1) in the window spec
+    val rowWin = plan.linesIterator
+      .find(l => l.contains("Window") && l.contains("sum(1)"))
+      .getOrElse(fail("row-level rank window not found in plan"))
+    assert(rowWin.contains("__graft_bucket"),
+      s"global rank must window over hash buckets, not one global partition: $rowWin")
+    val offWin = plan.linesIterator
+      .find(l => l.contains("Window") && l.contains("__graft_tot"))
+      .getOrElse(fail("offset-scan window not found in plan"))
+    assert(!offWin.contains("__graft_one#"),
+      "offset scan must run on the bucket-counts frame, not corpus rows")
+    assert(plan.contains("BroadcastHashJoin"),
+      "bucket-count offsets should join back via broadcast")
+  }
+
   test("no gated plan contains a trivially-true self-equality predicate") {
     // `a#12 = a#12` (same exprId on both sides) means a join condition was
     // written against two frames that resolve to the SAME attribute — the

@@ -336,6 +336,27 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(out(3L) === 0L)
   }
 
+  test("x33 survivorship: richest copy wins, min-id breaks distinct-count ties") {
+    // three copies sharing one 5-token prefix key: doc 10 has the most
+    // distinct tokens (wins over the lower-id doc 5); docs 20/21 tie on
+    // distinct count → smaller id 20 survives
+    val docs = Seq(
+      (5L, "a b c d e a a a"), // nd=5
+      (10L, "a b c d e f g h"), // nd=8 → survivor
+      (12L, "a b c d e x y x"), // nd=7
+      (20L, "p q r s t u"), // nd=6, tie
+      (21L, "p q r s t u"), // nd=6, tie → loses on id
+      (30L, "lone doc body here five six")).toDF("doc_id", "text")
+    val spark2 = spark; import spark2.implicits._
+    val out = QueriesTrainingData.x33From(docs)
+      .collect().map(r => r.getLong(2) -> ((r.getLong(1), r.getLong(3)))).toMap
+    // keyed by survivor_id -> (best_distinct, group_size)
+    assert(out(10L) === ((8L, 3L)))
+    assert(out(20L) === ((6L, 2L)))
+    assert(out(30L) === ((6L, 1L)))
+    assert(!out.contains(5L) && !out.contains(21L))
+  }
+
   test("training-data operators free their internal caches on return") {
     val dir = sf
     // earlier tests in this (shared) session cache their own fixtures;
