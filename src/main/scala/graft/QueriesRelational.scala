@@ -1547,6 +1547,31 @@ object QueriesRelational {
       |WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
       |GROUP BY 1""".stripMargin
 
+  /** JSON-Lines round-trip — the flat-file interchange format training
+    * corpora actually ship in (one object per line, splittable): write the
+    * documents table as JSONL, read it back under the DECLARED schema
+    * (never inferSchema — a second full scan at 100 TB), and reproduce
+    * the source exactly, including text with meaningful trailing
+    * whitespace and quote-worthy characters the CSV path would have to
+    * escape. */
+  def q62_jsonl_roundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ir.Ir.ColumnInfo
+    import graft.types.SsisTypes.SsisColumnType
+    val tmp = tempDirCleanedOnExit("graft_jsonl").toString
+    graft.sources.Sources.writeJsonl(
+      documents(spark, dir).select("doc_id", "text", "lang", "source", "n_chars"), tmp)
+    val declared = List(
+      ColumnInfo("doc_id", SsisColumnType("i8")),
+      ColumnInfo("text", SsisColumnType("wstr", Some(4000))),
+      ColumnInfo("lang", SsisColumnType("wstr", Some(8))),
+      ColumnInfo("source", SsisColumnType("wstr", Some(32))),
+      ColumnInfo("n_chars", SsisColumnType("i8")))
+    graft.sources.Sources.readJsonl(spark, tmp, declared)
+  }
+
+  val q62Oracle: String =
+    "SELECT doc_id, text, lang, source, n_chars FROM documents"
+
   /** Schema evolution across ingest batches — the lakehouse reality a
     * long-lived warehouse dataset accretes: batch 1 was written before
     * `n_regionkey` existed, batch 2 carries it. `mergeSchema` unifies
@@ -1600,6 +1625,7 @@ object QueriesRelational {
       |FROM events GROUP BY 1""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q62_jsonl_roundtrip" -> (q62_jsonl_roundtrip _),
     "q61_bloom_mixed_keys" -> (q61_bloom_mixed_keys _),
     "q59_json_extract" -> (q59_json_extract _),
     "q58_schema_evolution" -> (q58_schema_evolution _),
@@ -1658,6 +1684,7 @@ object QueriesRelational {
     "q22_date_functions" -> (q22_date_functions _))
 
   val oracle: Map[String, String] = Map(
+    "q62_jsonl_roundtrip" -> q62Oracle,
     "q61_bloom_mixed_keys" -> q61Oracle,
     "q59_json_extract" -> q59Oracle,
     "q58_schema_evolution" -> q58Oracle,

@@ -1468,7 +1468,161 @@ object QueriesTrainingData {
       |  FROM h)
       |SELECT doc_id, hx, pos, pos // 64 AS shard_id FROM r""".stripMargin
 
+  /** Unigram-LM rarity scoring — the corpus-statistics quality gate: build
+    * the corpus unigram model (term → count), then score each document by
+    * its rare-token mass (`n_rare` = token instances whose corpus count is
+    * ≤ 2 — hapax/dis legomena, the gibberish signal) and its rarest-token
+    * surprisal (`n_corpus / cnt` — the rational inverse-probability form:
+    * one exact-rounded division, and `MAX` is order-independent, so the
+    * score is bit-identical across engines, unlike a sum of `ln p` whose
+    * reduction order differs). `keep` drops documents whose tokens are
+    * ≥ 20 % rare. Shape at scale: explode → one map-side-combining count
+    * per term (the LM), corpus token total from the VOCAB frame (never a
+    * second corpus scan), shuffle-hash join token→LM on term (the vocab
+    * at 100 TB is too big to broadcast), one per-doc aggregate — the
+    * x16 TF-IDF shape with a model join instead of a doc-frequency join. */
+  def x35_rare_token_score(spark: SparkSession, dir: String): DataFrame = {
+    val toks = documents(spark, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+    val lm = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val n = lm.agg(sum(col("cnt")).as("n_corpus"))
+    toks.join(lm, "term").crossJoin(broadcast(n))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("cnt") <= 2, 1L).otherwise(0L)).as("n_rare"),
+        max(col("n_corpus").cast(DoubleType) / col("cnt").cast(DoubleType))
+          .as("max_surprisal"))
+      .withColumn("keep", col("n_rare") * 5 < col("n_tokens"))
+  }
+
+  val x35Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term FROM documents),
+      |tt AS (SELECT doc_id, term FROM t WHERE term <> ''),
+      |lm AS (SELECT term, COUNT(*) AS cnt FROM tt GROUP BY 1),
+      |n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_corpus FROM lm)
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      |  CAST(SUM(CASE WHEN cnt <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+      |  MAX(CAST(n_corpus AS DOUBLE) / CAST(cnt AS DOUBLE)) AS max_surprisal,
+      |  CAST(SUM(CASE WHEN cnt <= 2 THEN 1 ELSE 0 END) AS BIGINT) * 5 < COUNT(*) AS keep
+      |FROM tt JOIN lm USING (term) CROSS JOIN n
+      |GROUP BY doc_id""".stripMargin
+
+  /** Leakage-safe split — x17's deterministic 90/5/5, but keyed on the
+    * duplicate-cluster key (x05/x33's content key) instead of the doc id:
+    * every copy of a duplicated document hashes to the SAME bucket, so
+    * duplicates can never straddle train/test (the contamination x38
+    * measures on the naive split). Fully narrow — the key, the hash, and
+    * the bucket are all per-row expressions; the 100 TB split costs one
+    * scan, zero shuffles, and is reproducible run-over-run and
+    * engine-over-engine. */
+  def x36_leakage_safe_split(spark: SparkSession, dir: String): DataFrame = {
+    val key = md5(concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 5)))
+    documents(spark, dir)
+      .select(col("doc_id"), key.as("dup_key"))
+      .withColumn("bucket",
+        TextOps.stableHash64(concat(col("dup_key"), lit(":split"))) % 100)
+      .withColumn("split",
+        when(col("bucket") < 90, lit("train"))
+          .when(col("bucket") < 95, lit("val"))
+          .otherwise(lit("test")))
+  }
+
+  val x36Oracle: String =
+    """WITH k AS (
+      |  SELECT doc_id,
+      |    md5(array_to_string((string_split_regex(text, '\s+'))[1:5], ' ')) AS dup_key
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, dup_key,
+      |    CAST(('0x' || substr(md5(dup_key || ':split'), 1, 15)) AS BIGINT) % 100 AS bucket
+      |  FROM k)
+      |SELECT doc_id, dup_key, bucket,
+      |  CASE WHEN bucket < 90 THEN 'train'
+      |       WHEN bucket < 95 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM b""".stripMargin
+
+  /** Symmetric int8 embedding quantization — the storage/bandwidth scale
+    * path for ANN: per-vector max-abs scale, `q = floor(v/scale*127 + .5)`
+    * (explicit half-up floor — both engines' `round` differ on ties, the
+    * floor form doesn't), zero-vectors quantize to zeros. Every step is
+    * IEEE-exact: float→double cast, one division, one multiply, `floor`,
+    * and the order-independent `max` for the scale — bit-identical across
+    * engines. The vector is emitted as a canonical CSV string plus an
+    * exact integer norm (`q_norm2`, the value an int8 IVF/PQ index stores
+    * alongside the codes). Fully narrow: one pass, zero shuffles — at
+    * 100 TB this is a map-only rewrite that cuts vector bytes 4×. */
+  def x37_embed_quantize(spark: SparkSession, dir: String): DataFrame = {
+    val qv = transform(col("embedding"), x =>
+      when(col("scale") === 0.0, lit(0))
+        .otherwise(floor(x.cast(DoubleType) / col("scale") * 127.0 + 0.5)
+          .cast(IntegerType)))
+    embeddings(spark, dir)
+      .withColumn("scale",
+        array_max(transform(col("embedding"), x => abs(x.cast(DoubleType)))))
+      .select(col("vec_id"), col("scale"),
+        concat_ws(",", qv).as("q_csv"),
+        aggregate(qv, lit(0L), (acc, v) => acc + v * v).as("q_norm2"))
+  }
+
+  val x37Oracle: String =
+    """WITH s AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id, scale,
+      |    list_transform(embedding, x ->
+      |      CAST(CASE WHEN scale = 0 THEN 0
+      |           ELSE floor(CAST(x AS DOUBLE) / scale * 127.0 + 0.5) END AS INT)) AS qv
+      |  FROM s)
+      |SELECT vec_id, scale, array_to_string(qv, ',') AS q_csv,
+      |  CAST(list_sum(list_transform(qv, v -> CAST(v AS BIGINT) * v)) AS BIGINT) AS q_norm2
+      |FROM q""".stripMargin
+
+  /** Split-leakage audit — measures the contamination x36 exists to
+    * prevent: take the near-dup pairs (x06's LSH pipeline, jaccard ≥ .5)
+    * and classify each endpoint under the NAIVE per-doc split (x17's
+    * formula), counting pairs per (split_a, split_b) cell; `leaky` marks
+    * the off-diagonal cells — near-duplicates straddling train/eval, the
+    * benchmark-contamination number an eval-integrity report leads with.
+    * The split is a pure hash of the id, so each endpoint classifies
+    * NARROWLY from the pair row itself — no join back to the corpus; cost
+    * beyond the LSH pipeline is one tiny aggregate. */
+  def x38_split_leakage_audit(spark: SparkSession, dir: String): DataFrame = {
+    def splitOf(c: Column): Column = {
+      val b = TextOps.stableHash64(c.cast(StringType)) % 100
+      when(b < 90, lit("train")).when(b < 95, lit("val")).otherwise(lit("test"))
+    }
+    x06_dedup_minhash_lsh(spark, dir)
+      .filter(col("jaccard") >= 0.5)
+      .select(splitOf(col("doc_a")).as("split_a"), splitOf(col("doc_b")).as("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("leaky", col("split_a") =!= col("split_b"))
+  }
+
+  val x38Oracle: String = {
+    def splitSql(c: String) =
+      s"""CASE WHEN CAST(('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'train'
+         |       WHEN CAST(('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 95 THEN 'val'
+         |       ELSE 'test' END""".stripMargin
+    s"""WITH $lshScoredCtes,
+       |leak AS (
+       |  SELECT ${splitSql("doc_a")} AS split_a,
+       |    ${splitSql("doc_b")} AS split_b
+       |  FROM scored WHERE jaccard >= 0.5)
+       |SELECT split_a, split_b, COUNT(*) AS n_pairs, split_a <> split_b AS leaky
+       |FROM leak GROUP BY split_a, split_b""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x38_split_leakage_audit" -> (x38_split_leakage_audit _),
+    "x37_embed_quantize" -> (x37_embed_quantize _),
+    "x36_leakage_safe_split" -> (x36_leakage_safe_split _),
+    "x35_rare_token_score" -> (x35_rare_token_score _),
     "x34_global_shuffle" -> (x34_global_shuffle _),
     "x33_dedup_survivor" -> (x33_dedup_survivor _),
     "x32_temperature_mix" -> (x32_temperature_mix _),
@@ -1538,5 +1692,9 @@ object QueriesTrainingData {
     "x31_lsh_multi_table" -> x31Oracle,
     "x32_temperature_mix" -> x32Oracle,
     "x33_dedup_survivor" -> x33Oracle,
-    "x34_global_shuffle" -> x34Oracle)
+    "x34_global_shuffle" -> x34Oracle,
+    "x35_rare_token_score" -> x35Oracle,
+    "x36_leakage_safe_split" -> x36Oracle,
+    "x37_embed_quantize" -> x37Oracle,
+    "x38_split_leakage_audit" -> x38Oracle)
 }

@@ -41,6 +41,25 @@ object Sources {
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
       .csv(path)
 
+  /** JSON-Lines Source: one JSON object per line, declared schema — never
+    * `inferSchema` (an inference pass is a second full scan at 100 TB, and
+    * a type the sampler happened not to see silently widens/nulls). The
+    * timestampFormat matches [[readCsv]]'s so a dataset can round-trip
+    * between the two flat formats without re-declaring the contract. */
+  def readJsonl(spark: SparkSession, path: String, columns: Seq[ColumnInfo]): DataFrame =
+    spark.read
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .schema(schemaOf(columns))
+      .json(path)
+
+  /** JSON-Lines Destination (one object per line — the interchange format
+    * training-data pipelines actually exchange; splittable, so a 100 TB
+    * dataset still parallelizes the read by line ranges). */
+  def writeJsonl(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode)
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .json(path)
+
   /** Register an external parquet table in the session catalog
     * (`CREATE TABLE … USING parquet` — the dbt `source()` analog).
     * Identifier back-quoted, location single-quote-escaped: a path like

@@ -45,6 +45,21 @@ class SourcesAndIvfSpec extends AnyFunSuite {
     assert(got.getTimestamp(1) === java.sql.Timestamp.valueOf("2024-03-01 12:34:56"))
   }
 
+  test("JSONL round-trip with declared schema: exact text incl. trailing spaces") {
+    val dir = java.nio.file.Files.createTempDirectory("jsonl-rt").toString + "/out"
+    // trailing whitespace, embedded quotes, and a tab — the characters a
+    // flat format must escape rather than lose
+    val df = Seq((1L, "ends with spaces   "), (2L, "has \"quotes\" and\ttab"))
+      .toDF("doc_id", "text")
+    Sources.writeJsonl(df, dir)
+    val back = Sources.readJsonl(spark, dir, Seq(
+      ColumnInfo("doc_id", SsisColumnType("i8")),
+      ColumnInfo("text", SsisColumnType("wstr", Some(100)))))
+    assert(back.schema("doc_id").dataType === LongType)
+    assert(back.as[(Long, String)].collect().toSet ===
+      Set((1L, "ends with spaces   "), (2L, "has \"quotes\" and\ttab")))
+  }
+
   test("resolver: a multi-table statement joins DISTINCT tables, never a self-join") {
     val resolver = Sources.testdataResolver(spark, "/root/testdata/sf0.001")
     val l = graft.ir.Ir.LookupComponent("L", None, Some(

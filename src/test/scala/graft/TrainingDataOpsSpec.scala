@@ -357,6 +357,66 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(!out.contains(5L) && !out.contains(21L))
   }
 
+  test("x35 rarity scoring: token accounting closes and keep follows the 20% rule") {
+    val out = QueriesTrainingData.x35_rare_token_score(spark, sf)
+      .select("doc_id", "n_tokens", "n_rare", "max_surprisal", "keep").collect()
+    assert(out.nonEmpty)
+    // every token is at least as probable as the rarest: surprisal >= 1
+    out.foreach { r =>
+      val (nt, nr, ms, keep) = (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))
+      assert(nr <= nt && ms >= 1.0)
+      assert(keep === (nr * 5 < nt))
+    }
+    // per-doc token counts must sum to the corpus total the LM normalizes by
+    val corpusTokens = Tables.documents(spark, sf)
+      .select(explode(TextOps.tokens(col("text"))).as("t"))
+      .filter(col("t") =!= "").count()
+    assert(out.map(_.getLong(1)).sum === corpusTokens)
+  }
+
+  test("x36 leakage-safe split: a dup cluster never straddles splits") {
+    val out = QueriesTrainingData.x36_leakage_safe_split(spark, sf)
+    val perKey = out.groupBy(col("dup_key"))
+      .agg(countDistinct(col("split")).as("nsplits"), count(lit(1)).as("n"))
+      .collect()
+    assert(perKey.exists(_.getLong(2) > 1), "fixture should contain duplicate clusters")
+    perKey.foreach(r => assert(r.getLong(1) === 1L,
+      s"dup cluster ${r} spans multiple splits"))
+    // buckets live in [0, 100) and the split labels follow them
+    assert(out.filter(col("bucket") < 0 || col("bucket") >= 100).count() === 0)
+  }
+
+  test("x37 int8 quantization: codes bounded, norm matches codes, scale is max-abs") {
+    val out = QueriesTrainingData.x37_embed_quantize(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val codes = r.getAs[String]("q_csv").split(",").map(_.toInt)
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      assert(r.getAs[Long]("q_norm2") === codes.map(c => c.toLong * c).sum)
+    }
+    // spot-check one vector's scale and codes against a driver-side recompute
+    val first = Tables.embeddings(spark, sf).orderBy(col("vec_id")).head()
+    val emb = first.getSeq[Float](first.fieldIndex("embedding")).map(_.toDouble)
+    val expScale = emb.map(math.abs).max
+    val expCodes =
+      if (expScale == 0) emb.map(_ => 0)
+      else emb.map(v => math.floor(v / expScale * 127.0 + 0.5).toInt)
+    val got = out.find(_.getAs[Long]("vec_id") == first.getLong(0)).get
+    assert(got.getAs[Double]("scale") === expScale)
+    assert(got.getAs[String]("q_csv") === expCodes.mkString(","))
+  }
+
+  test("x38 leakage audit: cells partition the near-dup pairs, leaky = off-diagonal") {
+    val cells = QueriesTrainingData.x38_split_leakage_audit(spark, sf).collect()
+    assert(cells.nonEmpty)
+    cells.foreach { r =>
+      assert(r.getBoolean(3) === (r.getString(0) != r.getString(1)))
+    }
+    val totalPairs = QueriesTrainingData.x06_dedup_minhash_lsh(spark, sf)
+      .filter(col("jaccard") >= 0.5).count()
+    assert(cells.map(_.getLong(2)).sum === totalPairs)
+  }
+
   test("training-data operators free their internal caches on return") {
     val dir = sf
     // earlier tests in this (shared) session cache their own fixtures;
