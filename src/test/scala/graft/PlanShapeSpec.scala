@@ -454,6 +454,24 @@ class PlanShapeSpec extends AnyFunSuite {
       "bucket-count offsets should join back via broadcast")
   }
 
+  test("x36/x37: split and quantization are map-only — zero exchanges, zero joins") {
+    for (q <- Seq("x36_leakage_safe_split", "x37_embed_quantize")) {
+      val plan = executedPlan(q)
+      assert(!plan.contains("Exchange"), s"$q must not shuffle")
+      assert(!plan.contains("Join"), s"$q must not join")
+    }
+  }
+
+  test("x35: LM join shuffles on term; corpus total derives from the vocab frame") {
+    val plan = executedPlan("x35_rare_token_score")
+    // token->LM join must be a real shuffle join on term (the vocabulary
+    // at 100 TB is not broadcastable), and the single-row corpus total
+    // must reach rows via broadcast, never a third corpus aggregate
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      "1-row corpus total should broadcast")
+    assert(plan.contains("partial_count"), "LM count lost its map-side combine")
+  }
+
   test("no gated plan contains a trivially-true self-equality predicate") {
     // `a#12 = a#12` (same exprId on both sides) means a join condition was
     // written against two frames that resolve to the SAME attribute — the
