@@ -1624,7 +1624,141 @@ object QueriesRelational {
       |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY 1""".stripMargin
 
+  /** Ordered funnel analysis over the event stream — the product-analytics
+    * staple (view → click → purchase, each stage within a 24 h conversion
+    * window of the previous stage's FIRST occurrence, so late events don't
+    * convert). Sequencing makes this
+    * inexpressible as one conditional aggregate — stage k's `min` is
+    * conditioned on stage k−1's result — so the distributed shape is a
+    * CASCADE of per-stage partial-combining `min` aggregates, each stage
+    * scanning ONLY its event type (the `event_type` filter pushes into the
+    * parquet scan, so at 100 TB each stage reads a type-pruned slice, not
+    * the full log) and equi-joining the previous stage's user→ts frame on
+    * `user_id`. Every shuffle in the cascade keys on `user_id`, so the
+    * exchanges align, and each stage's frame only SHRINKS (funnel
+    * monotonicity). The alternative single-scan collect-and-sort-per-user
+    * form materializes every user's full event list — the shape that dies
+    * on power users; this one never holds more than one row per user per
+    * stage. */
+  def q63_funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = eventsNs(spark, dir).select(col("user_id"), col("event_type"), col("ts_us"))
+    val windowUs = 24L * 3600 * 1000000L
+    def stage(tpe: String, prev: DataFrame, prevTs: String, outTs: String) =
+      e.filter(col("event_type") === tpe)
+        .join(prev.select(col("user_id"), col(prevTs)), Seq("user_id"))
+        .filter(col("ts_us") >= col(prevTs) && col("ts_us") < col(prevTs) + windowUs)
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as(outTs))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("view_us"))
+    val c = stage("click", v, "view_us", "click_us")
+    val p = stage("purchase", c, "click_us", "purchase_us")
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("view_us"), col("click_us"), col("purchase_us"),
+        (lit(1) + when(col("click_us").isNotNull, 1).otherwise(0)
+          + when(col("purchase_us").isNotNull, 1).otherwise(0)).as("stage_reached"))
+  }
+
+  val q63Oracle: String =
+    """WITH v AS (
+      |  SELECT user_id, MIN(epoch_us(ts)) AS view_us
+      |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS click_us
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND epoch_us(e.ts) >= v.view_us
+      |    AND epoch_us(e.ts) < v.view_us + 86400000000
+      |  GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS purchase_us
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= c.click_us
+      |    AND epoch_us(e.ts) < c.click_us + 86400000000
+      |  GROUP BY e.user_id)
+      |SELECT v.user_id, v.view_us, c.click_us, p.purchase_us,
+      |  1 + CASE WHEN c.click_us IS NOT NULL THEN 1 ELSE 0 END
+      |    + CASE WHEN p.purchase_us IS NOT NULL THEN 1 ELSE 0 END AS stage_reached
+      |FROM v LEFT JOIN c ON v.user_id = c.user_id
+      |LEFT JOIN p ON v.user_id = p.user_id""".stripMargin
+
+  /** Cohort retention — users grouped by the ISO week of their first event,
+    * retention counted as distinct active users per (cohort, week offset).
+    * Week ids are integer epoch-µs division (never an engine's date_trunc,
+    * whose week-start convention differs): both engines divide the same
+    * exact integers. Shapes at scale: the first-touch frame is ONE
+    * partial-combining `min` per user; joining it back keys on `user_id` —
+    * the same key as the aggregate, so the exchange aligns — and the
+    * (user, week) de-dup partial-aggregates before the final small
+    * (cohort, offset) rollup. Nothing in the plan holds per-user event
+    * lists; the widest frame is one row per (user, active week). */
+  def q64_cohort_retention(spark: SparkSession, dir: String): DataFrame = {
+    val weekUs = 7L * 24 * 3600 * 1000000L
+    val e = eventsNs(spark, dir).select(col("user_id"), col("ts_us"))
+    val first = e.groupBy(col("user_id"))
+      .agg(floor(min(col("ts_us")) / weekUs).cast(LongType).as("cohort_week"))
+    e.join(first, Seq("user_id"))
+      .select(col("user_id"), col("cohort_week"),
+        (floor(col("ts_us") / weekUs).cast(LongType) - col("cohort_week")).as("week_offset"))
+      .distinct()
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  val q64Oracle: String =
+    """WITH f AS (
+      |  SELECT user_id,
+      |    CAST(floor(MIN(epoch_us(ts)) / 604800000000.0) AS BIGINT) AS cohort_week
+      |  FROM events GROUP BY user_id),
+      |act AS (
+      |  SELECT DISTINCT e.user_id, f.cohort_week,
+      |    CAST(floor(epoch_us(e.ts) / 604800000000.0) AS BIGINT) - f.cohort_week AS week_offset
+      |  FROM events e JOIN f ON e.user_id = f.user_id)
+      |SELECT cohort_week, week_offset, COUNT(*) AS n_users
+      |FROM act GROUP BY cohort_week, week_offset""".stripMargin
+
+  /** Point-in-interval (range) join, binned — events attributed to
+    * OVERLAPPING promo windows (10 four-day windows starting every 3 days,
+    * so an event can land in up to two). Without an equi conjunct Spark
+    * plans a nested-loop join; [[graft.ops.RangeJoin.binnedIntervalJoin]]
+    * explodes each interval into its 1-day bins and hash-joins on the bin
+    * id with the raw range predicate residual — the shape that scales when
+    * the interval side is too big to broadcast (see RangeJoin scaladoc; the
+    * equi-keyed join is asserted in PlanShapeSpec). Window frame built from
+    * `spark.range` — deterministic, and the oracle rebuilds it with
+    * `generate_series`. */
+  def q65_interval_join(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 24L * 3600 * 1000000L
+    val baseUs = 1704067200000000L // 2024-01-01T00:00:00Z
+    val promos = spark.range(10).select(
+      col("id").as("promo_id"),
+      (lit(baseUs) + col("id") * (3 * dayUs)).as("start_us"),
+      (lit(baseUs) + col("id") * (3 * dayUs) + 4 * dayUs).as("end_us"))
+    val e = eventsNs(spark, dir)
+      .select(col("event_id"), col("ts_us"),
+        col("value").cast(DecimalType(18, 4)).as("v"))
+    graft.ops.RangeJoin.binnedIntervalJoin(e, "ts_us", promos,
+        "start_us", "end_us", dayUs)
+      .groupBy(col("promo_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("v")).cast(DoubleType).as("total_value"))
+  }
+
+  val q65Oracle: String =
+    """WITH promos AS (
+      |  SELECT i AS promo_id,
+      |    1704067200000000 + i * 259200000000 AS start_us,
+      |    1704067200000000 + i * 259200000000 + 345600000000 AS end_us
+      |  FROM generate_series(0, 9) t(i))
+      |SELECT promo_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM events JOIN promos
+      |  ON epoch_us(ts) >= start_us AND epoch_us(ts) < end_us
+      |GROUP BY promo_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_interval_join" -> (q65_interval_join _),
+    "q64_cohort_retention" -> (q64_cohort_retention _),
+    "q63_funnel" -> (q63_funnel _),
     "q62_jsonl_roundtrip" -> (q62_jsonl_roundtrip _),
     "q61_bloom_mixed_keys" -> (q61_bloom_mixed_keys _),
     "q59_json_extract" -> (q59_json_extract _),
@@ -1684,6 +1818,9 @@ object QueriesRelational {
     "q22_date_functions" -> (q22_date_functions _))
 
   val oracle: Map[String, String] = Map(
+    "q65_interval_join" -> q65Oracle,
+    "q64_cohort_retention" -> q64Oracle,
+    "q63_funnel" -> q63Oracle,
     "q62_jsonl_roundtrip" -> q62Oracle,
     "q61_bloom_mixed_keys" -> q61Oracle,
     "q59_json_extract" -> q59Oracle,

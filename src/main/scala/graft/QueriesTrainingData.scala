@@ -1618,7 +1618,131 @@ object QueriesTrainingData {
        |FROM leak GROUP BY split_a, split_b""".stripMargin
   }
 
+  /** SemDeDup-style semantic dedup (cluster → within-cluster cosine
+    * prune → keep the min-id copy): [[SimilarityOps.semanticDedup]] over
+    * the embedding corpus with label-seeded clusters, pair threshold
+    * 0.4. The block key is (assigned cluster, sign-LSH sub-bucket with a
+    * corpus-scaled modulus) — cluster membership alone grows with the
+    * corpus, the sub-bucket keeps block size ~256 (the x08/x12 Blocking
+    * contract), so pair work grows linearly at 100×. Every vector is
+    * emitted with a `kept` verdict for auditability. */
+  def x39_semantic_dedup(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.semanticDedup(
+      embeddings(spark, dir), "vec_id", "embedding", "label", 0.4)
+
+  val x39Oracle: String = {
+    val mod = graft.dedup.Blocking.powTwoModulusSql("(SELECT nb FROM nbf)", 16)
+    s"""WITH nbf AS (
+      |  SELECT GREATEST(1, CAST(ceil(COUNT(*) / 256.0) AS BIGINT)) AS nb FROM embeddings),
+      |hp AS (
+      |  SELECT b, list_transform(generate_series(0, 63), i ->
+      |    CAST(('0x' || substr(md5(b || '|' || i), 1, 15)) AS BIGINT) % 2001 - 1000) AS h
+      |  FROM generate_series(0, 15) t(b)),
+      |q AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, label, qv,
+      |    list_sum(list_transform(generate_series(1, 64), i -> qv[i] * qv[i])) AS n2
+      |  FROM q),
+      |comp AS (
+      |  SELECT label AS c_label, i.i AS pos, SUM(qv[i.i]) AS s
+      |  FROM q, generate_series(1, 64) i(i)
+      |  GROUP BY 1, 2),
+      |cent AS (
+      |  SELECT c_label, list(s ORDER BY pos) AS cv FROM comp GROUP BY c_label),
+      |cn AS (
+      |  SELECT c_label, cv,
+      |    list_sum(list_transform(generate_series(1, 64), i -> cv[i] * cv[i])) AS cn2
+      |  FROM cent),
+      |asn AS (
+      |  SELECT n.vec_id, cn.c_label AS assigned_label
+      |  FROM n CROSS JOIN cn
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+      |    ROUND(CAST(list_sum(list_transform(generate_series(1, 64), i -> n.qv[i] * cn.cv[i])) AS DOUBLE)
+      |      / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(cn.cn2 AS DOUBLE))), 6) DESC, cn.c_label) = 1),
+      |bkt AS (
+      |  SELECT n.vec_id, asn.assigned_label, n.qv, n.n2,
+      |    CAST(sum(CASE WHEN list_sum(list_transform(generate_series(1, 64), i -> n.qv[i] * h[i])) >= 0
+      |             THEN 1 << b ELSE 0 END) AS BIGINT) % ($mod) AS bucket
+      |  FROM n JOIN asn ON n.vec_id = asn.vec_id CROSS JOIN hp
+      |  GROUP BY n.vec_id, asn.assigned_label, n.qv, n.n2),
+      |dup AS (
+      |  SELECT DISTINCT b.vec_id
+      |  FROM bkt a JOIN bkt b
+      |    ON a.assigned_label = b.assigned_label AND a.bucket = b.bucket
+      |      AND a.vec_id < b.vec_id
+      |  WHERE CAST(list_sum(list_transform(generate_series(1, 64), i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+      |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) > 0.4)
+      |SELECT k.vec_id, k.assigned_label, d.vec_id IS NULL AS kept
+      |FROM bkt k LEFT JOIN dup d ON k.vec_id = d.vec_id""".stripMargin
+  }
+
+  /** Corpus snapshot diff — the incremental-ingest delta
+    * ([[graft.text.CorpusOps.snapshotDiff]]): two deterministic
+    * generations of the documents table (ids ≡7 mod 10 exist only in the
+    * old crawl, ids ≡3 mod 10 only in the new, ids ≡0 mod 5 re-crawled
+    * with revised content), classified added/removed/changed by content
+    * fingerprint over ONE full-outer id join. Only the delta is emitted —
+    * what an incremental pipeline actually reprocesses. */
+  def x40_snapshot_diff(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir)
+    val oldGen = d.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+      .select(col("doc_id"), TextOps.fingerprint64(col("text")).as("fp"))
+    val newGen = d.filter(pmod(col("doc_id"), lit(10)) =!= 3)
+      .select(col("doc_id"), TextOps.fingerprint64(
+        when(pmod(col("doc_id"), lit(5)) === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text"))).as("fp"))
+    graft.text.CorpusOps.snapshotDiff(oldGen, newGen, "doc_id", "fp")
+      .filter(col("status") =!= "unchanged")
+  }
+
+  val x40Oracle: String = {
+    def fp(t: String) =
+      s"CAST(('0x' || substr(md5(trim(regexp_replace(regexp_replace(lower($t), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))), 1, 15)) AS BIGINT)"
+    s"""WITH o AS (
+      |  SELECT doc_id, ${fp("text")} AS fp FROM documents WHERE doc_id % 10 <> 7),
+      |n AS (
+      |  SELECT doc_id, ${fp("CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END")} AS fp
+      |  FROM documents WHERE doc_id % 10 <> 3),
+      |d AS (
+      |  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+      |    o.fp AS fp_old, n.fp AS fp_new,
+      |    CASE WHEN o.doc_id IS NULL THEN 'added'
+      |         WHEN n.doc_id IS NULL THEN 'removed'
+      |         WHEN o.fp <> n.fp THEN 'changed'
+      |         ELSE 'unchanged' END AS status
+      |  FROM o FULL JOIN n ON o.doc_id = n.doc_id)
+      |SELECT doc_id, fp_old, fp_new, status FROM d WHERE status <> 'unchanged'""".stripMargin
+  }
+
+  /** Deterministic global bottom-k corpus sample: order by an md5 draw,
+    * keep the k smallest — "give me a reproducible 100-doc sample of the
+    * corpus" without a full sort. Spark plans `orderBy().limit(k)` as
+    * TakeOrderedAndProject: each task keeps a k-row heap, the driver
+    * merges 32 heaps of 100 — no global sort Exchange ever materializes,
+    * which is why this scales to 100 TB while `ORDER BY` alone would not.
+    * Complements x19 (per-stratum rates) and x25 (per-source quotas):
+    * this is the global fixed-SIZE draw. Salted key, md5-derived so the
+    * oracle reproduces the exact sample. */
+  def x41_bottomk_sample(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        TextOps.stableHash64(concat(lit("x41|"), col("doc_id").cast(StringType))).as("draw"))
+      .orderBy(col("draw"), col("doc_id"))
+      .limit(100)
+
+  val x41Oracle: String =
+    """SELECT doc_id, lang, source,
+      |  CAST(('0x' || substr(md5('x41|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS draw
+      |FROM documents
+      |ORDER BY draw, doc_id LIMIT 100""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x41_bottomk_sample" -> (x41_bottomk_sample _),
+    "x40_snapshot_diff" -> (x40_snapshot_diff _),
+    "x39_semantic_dedup" -> (x39_semantic_dedup _),
     "x38_split_leakage_audit" -> (x38_split_leakage_audit _),
     "x37_embed_quantize" -> (x37_embed_quantize _),
     "x36_leakage_safe_split" -> (x36_leakage_safe_split _),
@@ -1659,6 +1783,9 @@ object QueriesTrainingData {
     "x10_multimodal_meta" -> (x10_multimodal_meta _))
 
   val oracle: Map[String, String] = Map(
+    "x41_bottomk_sample" -> x41Oracle,
+    "x40_snapshot_diff" -> x40Oracle,
+    "x39_semantic_dedup" -> x39Oracle,
     "x01_token_count" -> x01Oracle,
     "x02_quality_score" -> x02Oracle,
     "x03_langid" -> x03Oracle,

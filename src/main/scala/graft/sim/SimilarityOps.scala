@@ -272,4 +272,64 @@ object SimilarityOps {
       .filter(col("cosine") > minCosine)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** SemDeDup-style semantic deduplication: cluster the corpus, prune
+    * high-cosine pairs WITHIN clusters, keep one representative (the
+    * min-id copy of each detected pair). Cluster-then-prune is the
+    * published recipe for semantic dedup at web scale (SemDeDup,
+    * Abbas et al. 2023): the cluster assignment confines the expensive
+    * pairwise search to semantically coherent neighborhoods.
+    *
+    * Scale posture: the cluster id alone is NOT a valid block key — k is
+    * bounded, so cluster membership grows O(n) and within-cluster pairs
+    * O(n²) (the flaw x08 was cured of). The block key here is
+    * (assigned cluster, sign-LSH bucket % corpus-scaled modulus): the
+    * sub-bucket count grows with the corpus via [[graft.dedup.Blocking]],
+    * so block membership stays ~targetBlock and pair work grows linearly.
+    * Recall < 1.0 by construction (a near-dup pair can straddle
+    * sub-buckets) — the standard LSH trade, dialed by `targetBlock`.
+    *
+    * Keep rule: a vector is dropped iff it is the LARGER id of some
+    * over-threshold pair — every detected dup group keeps exactly its
+    * min-id member (transitive closure is deliberately NOT taken; that is
+    * [[graft.dedup.DedupOps.connectedComponents]]'s job when wanted).
+    * Emits every vector with its cluster and a `kept` verdict, so the
+    * caller can audit the drop set rather than just receive survivors. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      groupCol: String, minCosine: Double, targetBlock: Double = 256.0,
+      maxBits: Int = 16, dim: Int = 64, seed: String = ""): DataFrame = {
+    import graft.dedup.Blocking
+    val planes = lshHyperplanes(maxBits, dim, seed)
+    val nb = Blocking.scaledBucketCount(df, targetBlock)
+    val assigned = centroidAssign(df, idCol, vecCol, groupCol)
+      .select(col(idCol), col("assigned_label"))
+    // signature + sub-bucket are narrow over the quantized scan; the join
+    // attaches the cluster id on idCol — both pair-join sides then read
+    // one bucketed exchange (the nearDupPairsLsh shape)
+    val base = withQuantized(df, vecCol)
+      .crossJoin(broadcast(nb))
+      .select(col(idCol),
+        (lshBucket(col("qvec"), planes).cast(LongType) %
+          Blocking.powTwoModulus(col("nb"), maxBits)).as("lsh_blk"),
+        col("qvec"), col("qn2"))
+      .join(assigned, Seq(idCol))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col("assigned_label"), col("lsh_blk"))
+    val a = base.select(col(idCol).as("id_a"), col("assigned_label").as("lab_a"),
+      col("lsh_blk").as("blk_a"), col("qvec").as("va"), col("qn2").as("na"))
+    val b = base.select(col(idCol).as("id_b"), col("assigned_label").as("lab_b"),
+      col("lsh_blk").as("blk_b"), col("qvec").as("vb"), col("qn2").as("nb2"))
+    val dropped = a.join(b,
+        col("lab_a") === col("lab_b") && col("blk_a") === col("blk_b") &&
+          col("id_a") < col("id_b"))
+      .filter(
+        qdot(col("va"), col("vb")).cast(DoubleType) /
+          (sqrt(col("na").cast(DoubleType)) * sqrt(col("nb2").cast(DoubleType)))
+          > minCosine)
+      .select(col("id_b").as(idCol)).distinct()
+    base.select(col(idCol), col("assigned_label"))
+      .join(dropped.withColumn("__graft_dup", lit(1)), Seq(idCol), "left")
+      .select(col(idCol), col("assigned_label"),
+        col("__graft_dup").isNull.as("kept"))
+  }
 }

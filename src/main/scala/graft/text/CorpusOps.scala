@@ -174,4 +174,32 @@ object CorpusOps {
       .withColumn(cumCol, col("__graft_local") + col("__graft_off"))
       .drop("__graft_local", "__graft_off")
   }
+
+  /** Snapshot diff — the incremental-ingest primitive of a long-lived
+    * corpus: given two generations keyed by `idCol` with a content
+    * fingerprint `fpCol` (use [[TextOps.fingerprint64]]), classify every
+    * id as `added` (new only), `removed` (old only), `changed` (both,
+    * fingerprints differ) or `unchanged`. Downstream pipelines reprocess
+    * ONLY the delta — at 100 TB the difference between a nightly full
+    * re-crawl-process and an incremental one.
+    *
+    * Shape at scale: ONE full-outer hash equi-join on the id — both
+    * sides shuffle-partition on the same key (or co-locate for free when
+    * the generations are bucketed by id on disk, the `ops.Bucketing`
+    * path); the classification is a narrow CASE over the join output.
+    * Fingerprints (not full texts) ride the shuffle, so the exchanged
+    * bytes are id+8 per row regardless of document size. */
+  def snapshotDiff(oldGen: DataFrame, newGen: DataFrame,
+      idCol: String, fpCol: String): DataFrame = {
+    val o = oldGen.select(col(idCol).as("__graft_id_o"), col(fpCol).as("fp_old"))
+    val n = newGen.select(col(idCol).as("__graft_id_n"), col(fpCol).as("fp_new"))
+    o.join(n, col("__graft_id_o") === col("__graft_id_n"), "full_outer")
+      .select(
+        coalesce(col("__graft_id_o"), col("__graft_id_n")).as(idCol),
+        col("fp_old"), col("fp_new"),
+        when(col("__graft_id_o").isNull, lit("added"))
+          .when(col("__graft_id_n").isNull, lit("removed"))
+          .when(col("fp_old") =!= col("fp_new"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
 }

@@ -472,6 +472,33 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("partial_count"), "LM count lost its map-side combine")
   }
 
+  test("q65: interval join is equi-keyed on the bin — no nested-loop, no cartesian") {
+    val plan = executedPlan("q65_interval_join")
+    assert(!plan.contains("CartesianProduct"), "interval join degenerated to a cartesian")
+    val joinLine = plan.linesIterator.find(_.contains("Join")).getOrElse("")
+    assert(joinLine.contains("__graft") && joinLine.contains("bin"),
+      s"join is not keyed on the bin column: $joinLine")
+  }
+
+  test("x41: bottom-k sample is TakeOrdered, never a global sort exchange") {
+    val plan = executedPlan("x41_bottomk_sample")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "orderBy().limit() no longer plans as a per-task heap + driver merge")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      "bottom-k sample materialized a global sort exchange")
+  }
+
+  test("x39: semantic-dedup pair join keys on (cluster, corpus-scaled LSH bucket)") {
+    // the cluster id alone is a bounded-cardinality block key (the x08
+    // flaw); the sub-bucket must appear beside it in the join key
+    val plan = executedPlan("x39_semantic_dedup")
+    val cond = plan.linesIterator.find(l => l.contains("Join") && l.contains("blk"))
+      .getOrElse("")
+    assert(cond.contains("lab_") && cond.contains("blk_"),
+      s"pair join does not key on (cluster, LSH sub-bucket): $cond")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("no gated plan contains a trivially-true self-equality predicate") {
     // `a#12 = a#12` (same exprId on both sides) means a join condition was
     // written against two frames that resolve to the SAME attribute — the

@@ -1,0 +1,79 @@
+package graft
+
+import graft.ops.RangeJoin
+import graft.sim.SimilarityOps
+import graft.text.CorpusOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-9 operators: binned interval join, snapshot diff, semantic
+  * dedup. Planted inputs with hand-checked expectations. */
+class RangeJoinAndDiffSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  // ------------------------------------------------------------ RangeJoin
+  test("binnedIntervalJoin matches the naive range join, half-open bounds") {
+    val points = (0L to 100L).map(i => (i, i * 7 % 97)).toDF("pid", "x")
+    val ivs = Seq(
+      (1L, 0L, 10L), (2L, 5L, 25L), (3L, 25L, 25L), // empty: matches nothing
+      (4L, 90L, 97L), (5L, 40L, 41L)).toDF("iv", "s", "e")
+    val binned = RangeJoin.binnedIntervalJoin(points, "x", ivs, "s", "e", 8L)
+      .select("pid", "iv").as[(Long, Long)].collect().toSet
+    val naive = points.join(ivs, col("x") >= col("s") && col("x") < col("e"))
+      .select("pid", "iv").as[(Long, Long)].collect().toSet
+    assert(binned === naive)
+    // exactly-once: no post-join dedup needed even with overlapping intervals
+    val cnt = RangeJoin.binnedIntervalJoin(points, "x", ivs, "s", "e", 8L).count()
+    assert(cnt === binned.size)
+    // boundary: x == s included, x == e excluded
+    assert(binned.contains((0L, 1L)))        // x=0 at start of [0,10)
+    assert(!naive.exists(_._2 === 3L))       // empty interval
+  }
+
+  test("binnedIntervalJoin handles negative domains (floorDiv, not truncate)") {
+    val points = Seq((1L, -5L), (2L, -1L), (3L, 0L), (4L, 3L)).toDF("pid", "x")
+    val ivs = Seq((10L, -6L, 1L)).toDF("iv", "s", "e")
+    val got = RangeJoin.binnedIntervalJoin(points, "x", ivs, "s", "e", 4L)
+      .select("pid").as[Long].collect().toSet
+    assert(got === Set(1L, 2L, 3L)) // -5, -1, 0 ∈ [-6, 1); 3 is not
+  }
+
+  test("binnedIntervalJoin plans an equi hash join on the bin, never BNLJ") {
+    val points = (0L to 100L).map(i => (i, i)).toDF("pid", "x")
+    val ivs = (0L to 20L).map(i => (i, i * 4, i * 4 + 9)).toDF("iv", "s", "e")
+    val plan = RangeJoin.binnedIntervalJoin(points, "x", ivs, "s", "e", 10L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  // ----------------------------------------------------------- snapshotDiff
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    val oldGen = Seq((1L, 11L), (2L, 22L), (3L, 33L)).toDF("id", "fp")
+    val newGen = Seq((2L, 22L), (3L, 99L), (4L, 44L)).toDF("id", "fp")
+    val got = CorpusOps.snapshotDiff(oldGen, newGen, "id", "fp")
+      .select("id", "status").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
+  // --------------------------------------------------------- semanticDedup
+  test("semanticDedup drops the larger id of a planted duplicate pair") {
+    // two tight clusters in 64-dim space; vecs 10/11 identical (dup),
+    // vec 20 unrelated direction
+    def vec(seed: Int): Seq[Float] =
+      (0 until 64).map(i => if (i % 8 == seed % 8) 1.0f else 0.01f * ((i + seed) % 5))
+    val rows = Seq(
+      (10L, vec(0), 0), (11L, vec(0), 0), (12L, vec(0).map(v => v * 0.9f), 0),
+      (20L, vec(3), 1), (21L, vec(4), 1))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = SimilarityOps.semanticDedup(df, "vec_id", "embedding", "label", 0.95)
+      .select("vec_id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(out.size === 5)                  // every vector gets a verdict
+    assert(out(10L))                        // min id of the dup group survives
+    assert(!out(11L))                       // identical copy dropped
+    assert(!out(12L))                       // scaled copy: cosine is scale-invariant
+    assert(out(20L) && out(21L))            // distinct directions survive
+  }
+}
