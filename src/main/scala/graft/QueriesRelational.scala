@@ -1755,7 +1755,59 @@ object QueriesRelational {
       |  ON epoch_us(ts) >= start_us AND epoch_us(ts) < end_us
       |GROUP BY promo_id""".stripMargin
 
+  /** Gaps-and-islands: per-user runs of CONSECUTIVE active days (streaks)
+    * via the classic `day − row_number()` grouping idiom — consecutive
+    * days share a constant difference, so each run collapses to one
+    * group key without any self-join or recursive scan. Day ids are
+    * integer epoch division (the q64 convention). Shapes at scale: the
+    * (user, day) de-dup partial-aggregates MAP-SIDE, so its exchange
+    * carries day-granular rows, never the raw event log (a power user
+    * with 10⁶ events ships ≤ span-days rows); the row_number window's
+    * `user_id` exchange moves the same day-granular frame; and BOTH
+    * streak rollups reuse the window's partitioning — zero further
+    * exchanges (a single raw-row `repartition(user_id)` would halve the
+    * exchange count but ship the unreduced event log, strictly worse at
+    * scale; asserted in PlanShapeSpec). */
+  def q66_activity_streaks(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dayUs = 24L * 3600 * 1000000L
+    val days = eventsNs(spark, dir)
+      .select(col("user_id"), floor(col("ts_us") / dayUs).cast(LongType).as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    days.withColumn("grp", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"), min(col("day")).as("streak_start"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(col("len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("len")).as("longest_streak"),
+        min(col("streak_start")).as("first_active_day"))
+  }
+
+  val q66Oracle: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day
+      |  FROM events),
+      |isl AS (
+      |  SELECT user_id,
+      |    day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp,
+      |    day
+      |  FROM days),
+      |runs AS (
+      |  SELECT user_id, grp, COUNT(*) AS len, MIN(day) AS streak_start
+      |  FROM isl GROUP BY user_id, grp)
+      |SELECT user_id,
+      |  CAST(SUM(len) AS BIGINT) AS n_active_days,
+      |  COUNT(*) AS n_streaks,
+      |  MAX(len) AS longest_streak,
+      |  MIN(streak_start) AS first_active_day
+      |FROM runs GROUP BY user_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_activity_streaks" -> (q66_activity_streaks _),
     "q65_interval_join" -> (q65_interval_join _),
     "q64_cohort_retention" -> (q64_cohort_retention _),
     "q63_funnel" -> (q63_funnel _),
@@ -1818,6 +1870,7 @@ object QueriesRelational {
     "q22_date_functions" -> (q22_date_functions _))
 
   val oracle: Map[String, String] = Map(
+    "q66_activity_streaks" -> q66Oracle,
     "q65_interval_join" -> q65Oracle,
     "q64_cohort_retention" -> q64Oracle,
     "q63_funnel" -> q63Oracle,

@@ -1739,7 +1739,79 @@ object QueriesTrainingData {
       |FROM documents
       |ORDER BY draw, doc_id LIMIT 100""".stripMargin
 
+  /** Incremental delta dedup ([[DedupOps.incrementalDedup]]): the x40
+    * snapshot's ADDED docs (ids ≡7 mod 10) deduped against the standing
+    * corpus (everything else) on the x05 content key — the pipeline a
+    * nightly crawl actually runs: the corpus contributes only its
+    * distinct-key index, work scales with the delta. Verdict mix at
+    * sf0.01: new / dup_in_delta / dup_of_corpus all non-empty. */
+  def x42_incremental_dedup(spark: SparkSession, dir: String): DataFrame = {
+    val key = md5(concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 5)))
+    val d = documents(spark, dir).select(col("doc_id"), key.as("fp"))
+    DedupOps.incrementalDedup(
+      d.filter(pmod(col("doc_id"), lit(10)) =!= 7),
+      d.filter(pmod(col("doc_id"), lit(10)) === 7),
+      "doc_id", "fp")
+  }
+
+  val x42Oracle: String =
+    """WITH k AS (
+      |  SELECT doc_id, md5(array_to_string((string_split_regex(text,'\s+'))[1:5], ' ')) AS fp
+      |  FROM documents),
+      |c AS (SELECT DISTINCT fp FROM k WHERE doc_id % 10 <> 7),
+      |d AS (
+      |  SELECT fp, doc_id,
+      |    MIN(doc_id) OVER (PARTITION BY fp) AS mn,
+      |    fp IN (SELECT fp FROM c) AS seen
+      |  FROM k WHERE doc_id % 10 = 7)
+      |SELECT fp, doc_id,
+      |  CASE WHEN seen THEN 'dup_of_corpus'
+      |       WHEN doc_id <> mn THEN 'dup_in_delta'
+      |       ELSE 'new' END AS verdict
+      |FROM d""".stripMargin
+
+  /** Robust per-language length-outlier filter — median ± 3·MAD (median
+    * absolute deviation) over token counts, the robust-statistics twin of
+    * the fixed Gopher length cut: thresholds ADAPT per language instead
+    * of being hand-tuned. Exact medians of integer counts interpolate to
+    * exact binary fractions (.5 steps), so the verdict is bit-stable
+    * across engines (the q49 percentile parity contract). Shapes: two
+    * per-language exact-percentile aggregates (language cardinality is
+    * bounded, each holds per-group value buffers — the documented exact
+    * path; swap `approx_percentile` for the sketch path at 100 TB), the
+    * k-row threshold frame broadcasts back, and the verdict is a narrow
+    * filter — the corpus never shuffles. */
+  def x43_mad_length_filter(spark: SparkSession, dir: String): DataFrame = {
+    val counted = documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        TextOps.tokenCount(col("text")).cast(LongType).as("n_tokens"))
+    val med = counted.groupBy(col("lang"))
+      .agg(expr("percentile(n_tokens, 0.5)").as("med"))
+    val mad = counted.join(broadcast(med), Seq("lang"))
+      .select(col("lang"), col("med"), abs(col("n_tokens") - col("med")).as("dev"))
+      .groupBy(col("lang"), col("med"))
+      .agg(expr("percentile(dev, 0.5)").as("mad"))
+    counted.join(broadcast(mad), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("med"), col("mad"),
+        (abs(col("n_tokens") - col("med")) <= col("mad") * 3).as("keep"))
+  }
+
+  val x43Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN length(text)=0 THEN 0 ELSE len(string_split_regex(text,'\s+')) END AS n_tokens
+      |  FROM documents),
+      |m AS (SELECT lang, quantile_cont(n_tokens, 0.5) AS med FROM t GROUP BY lang),
+      |md AS (
+      |  SELECT t.lang, m.med, quantile_cont(abs(t.n_tokens - m.med), 0.5) AS mad
+      |  FROM t JOIN m ON t.lang = m.lang GROUP BY t.lang, m.med)
+      |SELECT t.doc_id, t.lang, t.n_tokens, md.med, md.mad,
+      |  abs(t.n_tokens - md.med) <= md.mad * 3 AS keep
+      |FROM t JOIN md ON t.lang = md.lang""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x43_mad_length_filter" -> (x43_mad_length_filter _),
+    "x42_incremental_dedup" -> (x42_incremental_dedup _),
     "x41_bottomk_sample" -> (x41_bottomk_sample _),
     "x40_snapshot_diff" -> (x40_snapshot_diff _),
     "x39_semantic_dedup" -> (x39_semantic_dedup _),
@@ -1783,6 +1855,8 @@ object QueriesTrainingData {
     "x10_multimodal_meta" -> (x10_multimodal_meta _))
 
   val oracle: Map[String, String] = Map(
+    "x43_mad_length_filter" -> x43Oracle,
+    "x42_incremental_dedup" -> x42Oracle,
     "x41_bottomk_sample" -> x41Oracle,
     "x40_snapshot_diff" -> x40Oracle,
     "x39_semantic_dedup" -> x39Oracle,

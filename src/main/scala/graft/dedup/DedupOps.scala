@@ -204,6 +204,38 @@ object DedupOps {
     df.groupBy(key.as("dup_key"))
       .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("group_size"))
 
+  /** Incremental dedup: classify a DELTA of new documents against an
+    * already-deduplicated corpus WITHOUT re-processing the corpus — the
+    * shape a continuously-ingesting training pipeline actually runs (a
+    * nightly crawl dedups its delta against the corpus fingerprint index;
+    * it never re-pairs 100 TB of history).
+    *
+    * Verdicts per delta row: `dup_of_corpus` (key already in the corpus —
+    * every delta copy is a dup, the corpus already holds the survivor),
+    * `dup_in_delta` (key new to the corpus but duplicated inside the
+    * delta — only the min-id copy survives), `new` (the survivor).
+    *
+    * Shapes at scale: the corpus participates ONLY as its distinct-key
+    * index (one narrow column, partial-combining distinct — or, kept
+    * bucketed by key on disk via `ops.Bucketing`, a zero-exchange probe);
+    * the within-delta survivor is one map-side-combining `min` per key;
+    * both joins are equi on the key and scale with |delta|, not
+    * |corpus|. */
+  def incrementalDedup(corpusKeys: DataFrame, delta: DataFrame,
+      idCol: String, keyCol: String): DataFrame = {
+    val seen = corpusKeys.select(col(keyCol).as("__graft_seen")).distinct()
+    val mins = delta.groupBy(col(keyCol))
+      .agg(min(col(idCol)).as("__graft_min_id"))
+    delta
+      .join(seen, col(keyCol) === col("__graft_seen"), "left")
+      .join(mins, Seq(keyCol))
+      .withColumn("verdict",
+        when(col("__graft_seen").isNotNull, lit("dup_of_corpus"))
+          .when(col(idCol) =!= col("__graft_min_id"), lit("dup_in_delta"))
+          .otherwise(lit("new")))
+      .drop("__graft_seen", "__graft_min_id")
+  }
+
   /** Connected components over an undirected pair graph by min-label
     * propagation: every vertex converges to the smallest id reachable from
     * it — the transitive closure step of near-dedup (a pair graph is not

@@ -499,6 +499,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q66: day de-dup partial-combines; streak rollups reuse the window partitioning") {
+    val plan = executedPlan("q66_activity_streaks")
+    // first exchange carries day-granular rows (map-side distinct ran),
+    // and nothing after the window shuffles again
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length === 2,
+      "streak plan shuffles more than (user,day) de-dup + window")
+    val winIdx = plan.indexOf("Window")
+    assert(winIdx > 0 && !plan.substring(0, winIdx).contains("Exchange"),
+      "streak rollups above the window introduced their own exchange")
+  }
+
   test("no gated plan contains a trivially-true self-equality predicate") {
     // `a#12 = a#12` (same exprId on both sides) means a join condition was
     // written against two frames that resolve to the SAME attribute — the

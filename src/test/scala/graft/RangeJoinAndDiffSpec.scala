@@ -58,6 +58,19 @@ class RangeJoinAndDiffSpec extends AnyFunSuite {
       3L -> "changed", 4L -> "added"))
   }
 
+  // ------------------------------------------------------ incrementalDedup
+  test("incrementalDedup classifies delta rows against the corpus index") {
+    val corpus = Seq((1L, "a"), (2L, "b"), (3L, "b")).toDF("id", "fp")
+    val delta = Seq(
+      (10L, "a"),              // key already in corpus
+      (11L, "c"), (12L, "c"),  // new key duplicated within the delta
+      (13L, "d")).toDF("id", "fp")
+    val got = graft.dedup.DedupOps.incrementalDedup(corpus, delta, "id", "fp")
+      .select("id", "verdict").as[(Long, String)].collect().toMap
+    assert(got === Map(10L -> "dup_of_corpus", 11L -> "new",
+      12L -> "dup_in_delta", 13L -> "new"))
+  }
+
   // --------------------------------------------------------- semanticDedup
   test("semanticDedup drops the larger id of a planted duplicate pair") {
     // two tight clusters in 64-dim space; vecs 10/11 identical (dup),
