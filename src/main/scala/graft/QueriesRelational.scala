@@ -1806,7 +1806,36 @@ object QueriesRelational {
       |  MIN(streak_start) AS first_active_day
       |FROM runs GROUP BY user_id""".stripMargin
 
+  /** Z-order (Morton) clustering key — [[graft.ops.ZOrder]]: customer id
+    * and order day interleave into one integer code, so range-clustering
+    * the fact on it gives every file tight min/max stats on BOTH
+    * dimensions (predicates on either prune at planning time — the
+    * Delta/Iceberg `OPTIMIZE ZORDER BY` layout, done with plain Spark).
+    * The gate checks the code itself: pure shift/mask integer
+    * arithmetic, bit-identical in any engine; the layout's locality
+    * property (per-file spans shrink in both dims vs a single-dim sort)
+    * is asserted quantitatively in RangeJoinAndDiffSpec. */
+  def q68_zorder_key(spark: SparkSession, dir: String): DataFrame = {
+    val a = col("o_custkey").bitwiseAND(lit(255L))
+    // o_orderdate arrives TIMESTAMP_NTZ; the UTC-session cast makes
+    // unix_millis read the same wall-clock epoch DuckDB's epoch_ms sees
+    val b = floor(unix_millis(col("o_orderdate").cast(TimestampType)) / 86400000.0)
+      .cast(LongType).bitwiseAND(lit(255L))
+    orders(spark, dir).select(
+      col("o_orderkey"), a.as("a"), b.as("b"),
+      graft.ops.ZOrder.zValue2(a, b, 8).as("z"))
+  }
+
+  val q68Oracle: String = {
+    val a = "(o_custkey & 255)"
+    val b = "(CAST(floor(epoch_ms(o_orderdate) / 86400000.0) AS BIGINT) & 255)"
+    s"""SELECT o_orderkey, $a AS a, $b AS b,
+       |  ${graft.ops.ZOrder.zValue2Sql(a, b, 8)} AS z
+       |FROM orders""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q68_zorder_key" -> (q68_zorder_key _),
     "q66_activity_streaks" -> (q66_activity_streaks _),
     "q65_interval_join" -> (q65_interval_join _),
     "q64_cohort_retention" -> (q64_cohort_retention _),
@@ -1870,6 +1899,7 @@ object QueriesRelational {
     "q22_date_functions" -> (q22_date_functions _))
 
   val oracle: Map[String, String] = Map(
+    "q68_zorder_key" -> q68Oracle,
     "q66_activity_streaks" -> q66Oracle,
     "q65_interval_join" -> q65Oracle,
     "q64_cohort_retention" -> q64Oracle,

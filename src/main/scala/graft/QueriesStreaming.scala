@@ -198,15 +198,70 @@ object QueriesStreaming {
       | AND epoch_us(c.ts) >= epoch_us(v.ts)
       | AND epoch_us(c.ts) <= epoch_us(v.ts) + 600000000""".stripMargin
 
+  /** Streaming incremental-ingest dedup — the STREAM-STATIC join shape
+    * (the one streaming join variant q60's stream-stream coverage
+    * misses): the arriving document delta anti-joins the standing
+    * corpus's fingerprint index (static side, stateless row-at-a-time
+    * probe — no state store grows with the corpus), then a Complete-mode
+    * aggregate keeps the min-id survivor per new fingerprint. This is
+    * x42's incremental-dedup contract run as a continuous ingest
+    * pipeline: at 100 TB the static side is the bucketed corpus index,
+    * the stream is the crawl firehose, and per-microbatch work scales
+    * with the delta only. Output is deterministic regardless of file
+    * arrival order (min/count are order-blind), which is what makes the
+    * streaming run oracle-checkable against batch SQL. */
+  def q67_stream_delta_dedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextOps
+    val key = md5(concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 5)))
+    val corpusIdx = Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(10)) =!= 7)
+      .select(key.as("fp")).distinct()
+    val delta = docsDeltaStream(spark, dir).select(col("doc_id"), key.as("fp"))
+    val survivors = delta
+      .join(corpusIdx, Seq("fp"), "left_anti")
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("survivor_id"), count(lit(1)).as("n_copies"))
+    StreamingOps.drainToMemory(survivors, "q67_out", ckpt(), OutputMode.Complete)
+  }
+
+  /** Staged copy of the x40/x42 document delta (ids ≡7 mod 10) for the
+    * FileStreamSource, cached per testdata dir (same lifecycle as
+    * [[stagedEvents]]). */
+  private val stagedDocsDelta =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  private def docsDeltaStream(spark: SparkSession, dir: String): DataFrame = {
+    val stage = stagedDocsDelta.computeIfAbsent(dir, _ => {
+      val p = QueriesRelational.tempDirCleanedOnExit("graft-docs-delta")
+      Tables.documents(spark, dir)
+        .filter(pmod(col("doc_id"), lit(10)) === 7)
+        .write.mode("overwrite").parquet(p.toString)
+      p
+    })
+    val schema = spark.read.parquet(stage.toString).schema
+    StreamingOps.fileStream(spark, stage.toString, schema)
+  }
+
+  val q67Oracle: String =
+    """WITH k AS (
+      |  SELECT doc_id, md5(array_to_string((string_split_regex(text,'\s+'))[1:5], ' ')) AS fp
+      |  FROM documents),
+      |c AS (SELECT DISTINCT fp FROM k WHERE doc_id % 10 <> 7)
+      |SELECT fp, MIN(doc_id) AS survivor_id, COUNT(*) AS n_copies
+      |FROM k WHERE doc_id % 10 = 7 AND fp NOT IN (SELECT fp FROM c)
+      |GROUP BY fp""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q43_stream_windowed_agg" -> (q43_stream_windowed_agg _),
     "q44_stream_sessionization" -> (q44_stream_sessionization _),
     "q55_stream_dedup" -> (q55_stream_dedup _),
-    "q60_stream_stream_join" -> (q60_stream_stream_join _))
+    "q60_stream_stream_join" -> (q60_stream_stream_join _),
+    "q67_stream_delta_dedup" -> (q67_stream_delta_dedup _))
 
   val oracle: Map[String, String] = Map(
     "q43_stream_windowed_agg" -> q43Oracle,
     "q44_stream_sessionization" -> q44Oracle,
     "q55_stream_dedup" -> q55Oracle,
-    "q60_stream_stream_join" -> q60Oracle)
+    "q60_stream_stream_join" -> q60Oracle,
+    "q67_stream_delta_dedup" -> q67Oracle)
 }

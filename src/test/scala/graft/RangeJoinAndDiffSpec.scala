@@ -58,6 +58,34 @@ class RangeJoinAndDiffSpec extends AnyFunSuite {
       3L -> "changed", 4L -> "added"))
   }
 
+  // ------------------------------------------------------------- ZOrder
+  test("zValue2 interleaves bits (hand-checked Morton codes)") {
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (3L, 5L)).toDF("a", "b")
+    val got = df.select(graft.ops.ZOrder.zValue2(col("a"), col("b"), 4))
+      .as[Long].collect().toSeq
+    // morton(3,5) : a=0011 -> bits 0,2 at even slots = 1+16; b=0101 ->
+    // bits 0,2 at odd slots = 2+32 ... a bit0->1, a bit1->4; b bit0->2, b bit2->32
+    assert(got === Seq(0L, 1L, 2L, 3L, 1L + 4L + 2L + 32L))
+  }
+
+  test("clusterByZ yields per-file locality in BOTH dims; single-dim sort does not") {
+    val grid = (for (a <- 0 until 64; b <- 0 until 64) yield (a.toLong, b.toLong))
+      .toDF("a", "b")
+    def spans(df: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val r = df.withColumn("p", spark_partition_id())
+        .groupBy(col("p"))
+        .agg((max(col("a")) - min(col("a"))).as("sa"), (max(col("b")) - min(col("b"))).as("sb"))
+        .agg(avg(col("sa")), avg(col("sb"))).as[(Double, Double)].collect()(0)
+      r
+    }
+    val (za, zb) = spans(graft.ops.ZOrder.clusterByZ(grid, "a", "b", 6, 16))
+    val (ra, rb) = spans(grid.repartitionByRange(16, col("a")))
+    // single-dim layout: tight on a, FULL range on b
+    assert(ra < 16 && rb > 60, s"single-dim baseline unexpected: $ra / $rb")
+    // z layout: compact in both dims (each of 16 files ≈ a 16×16 z-cell)
+    assert(za < 32 && zb < 32, s"z layout not local in both dims: $za / $zb")
+  }
+
   // ------------------------------------------------------ incrementalDedup
   test("incrementalDedup classifies delta rows against the corpus index") {
     val corpus = Seq((1L, "a"), (2L, "b"), (3L, "b")).toDF("id", "fp")
