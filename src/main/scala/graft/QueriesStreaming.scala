@@ -198,6 +198,29 @@ object QueriesStreaming {
       | AND epoch_us(c.ts) >= epoch_us(v.ts)
       | AND epoch_us(c.ts) <= epoch_us(v.ts) + 600000000""".stripMargin
 
+  /** q55 with BOUNDED dedup state: `dropDuplicatesWithinWatermark` —
+    * plain `dropDuplicates` on a stream keeps every key it has ever
+    * seen in the state store (unbounded growth: the shape that dies on
+    * a 100 TB/day firehose); the watermarked variant expires key state
+    * once the event-time watermark passes, so the store holds only the
+    * watermark-deep tail. The dedup guarantee narrows to duplicates
+    * arriving within the delay — exactly the at-least-once-delivery
+    * window real sources (Kafka redelivery, file-source re-lists)
+    * produce, and what the duplicated staging here replays. Same oracle
+    * as q55: the drained result must be the exact single-copy table. */
+  def q69_stream_dedup_bounded(spark: SparkSession, dir: String): DataFrame = {
+    val deduped = eventsStream(spark, dir, copies = 2)
+      .withWatermark("ts_t", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    StreamingOps.drainToMemory(deduped, "q69_out", ckpt())
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts_us"), col("value"))
+  }
+
+  val q69Oracle: String =
+    """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value
+      |FROM events""".stripMargin
+
   /** Streaming incremental-ingest dedup — the STREAM-STATIC join shape
     * (the one streaming join variant q60's stream-stream coverage
     * misses): the arriving document delta anti-joins the standing
@@ -256,12 +279,14 @@ object QueriesStreaming {
     "q44_stream_sessionization" -> (q44_stream_sessionization _),
     "q55_stream_dedup" -> (q55_stream_dedup _),
     "q60_stream_stream_join" -> (q60_stream_stream_join _),
-    "q67_stream_delta_dedup" -> (q67_stream_delta_dedup _))
+    "q67_stream_delta_dedup" -> (q67_stream_delta_dedup _),
+    "q69_stream_dedup_bounded" -> (q69_stream_dedup_bounded _))
 
   val oracle: Map[String, String] = Map(
     "q43_stream_windowed_agg" -> q43Oracle,
     "q44_stream_sessionization" -> q44Oracle,
     "q55_stream_dedup" -> q55Oracle,
     "q60_stream_stream_join" -> q60Oracle,
-    "q67_stream_delta_dedup" -> q67Oracle)
+    "q67_stream_delta_dedup" -> q67Oracle,
+    "q69_stream_dedup_bounded" -> q69Oracle)
 }
