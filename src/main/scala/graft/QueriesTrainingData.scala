@@ -1809,7 +1809,56 @@ object QueriesTrainingData {
       |  abs(t.n_tokens - md.med) <= md.mad * 3 AS keep
       |FROM t JOIN md ON t.lang = md.lang""".stripMargin
 
+  /** Cross-source overlap matrix — corpus-level Jaccard between every
+    * source pair over distinct 5-gram sets: the "how much does crawl A
+    * duplicate crawl B" question answered BEFORE mixing weights are
+    * chosen (x32's temperature mix assumes sources are distinct; this
+    * measures how true that is). Exact, not sketched.
+    *
+    * Shapes at scale: corpus → distinct (source, gram) is one
+    * partial-combining aggregate; the pair counts come from a self-join
+    * on the GRAM — per-gram fanout is bounded by source CARDINALITY
+    * (≤ k sources per gram → ≤ k² pair rows), never by corpus size, so
+    * the join output grows linearly with distinct grams; the k-row
+    * per-source totals broadcast into the final 190-row matrix. The
+    * union term is |A|+|B|−|A∩B| — no second join. Pairs with zero
+    * shared grams have no row (jaccard 0 by absence). */
+  def x44_source_overlap(spark: SparkSession, dir: String): DataFrame = {
+    val g = documents(spark, dir)
+      .select(col("source"),
+        explode(array_distinct(TextOps.ngrams(TextOps.tokens(col("text")), 5))).as("g"))
+      .distinct()
+    val counts = g.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    g.select(col("source").as("src_a"), col("g"))
+      .join(g.select(col("source").as("src_b"), col("g")), Seq("g"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(counts.select(col("source").as("src_a"), col("n").as("n_a"))), Seq("src_a"))
+      .join(broadcast(counts.select(col("source").as("src_b"), col("n").as("n_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("n_common"),
+        (col("n_common").cast(DoubleType) /
+          (col("n_a") + col("n_b") - col("n_common")).cast(DoubleType)).as("jaccard"))
+  }
+
+  val x44Oracle: String =
+    """WITH t AS (
+      |  SELECT source, string_split_regex(text, '\s+') AS w FROM documents),
+      |g AS (
+      |  SELECT DISTINCT source, unnest(list_distinct(list_transform(
+      |    generate_series(1, len(w) - 4), i -> array_to_string(w[i:i+4], ' ')))) AS g
+      |  FROM t),
+      |c AS (SELECT source, COUNT(*) AS n FROM g GROUP BY source),
+      |p AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+      |  FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT src_a, src_b, ca.n AS n_a, cb.n AS n_b, n_common,
+      |  CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) AS jaccard
+      |FROM p JOIN c ca ON src_a = ca.source JOIN c cb ON src_b = cb.source""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x44_source_overlap" -> (x44_source_overlap _),
     "x43_mad_length_filter" -> (x43_mad_length_filter _),
     "x42_incremental_dedup" -> (x42_incremental_dedup _),
     "x41_bottomk_sample" -> (x41_bottomk_sample _),
@@ -1855,6 +1904,7 @@ object QueriesTrainingData {
     "x10_multimodal_meta" -> (x10_multimodal_meta _))
 
   val oracle: Map[String, String] = Map(
+    "x44_source_overlap" -> x44Oracle,
     "x43_mad_length_filter" -> x43Oracle,
     "x42_incremental_dedup" -> x42Oracle,
     "x41_bottomk_sample" -> x41Oracle,

@@ -510,6 +510,14 @@ class PlanShapeSpec extends AnyFunSuite {
       "streak rollups above the window introduced their own exchange")
   }
 
+  test("x44: source totals broadcast; gram pair counts partial-combine; no cartesian") {
+    val plan = executedPlan("x44_source_overlap")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("partial_count"), "pair counts lost their map-side combine")
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
+      "per-source totals no longer broadcast into the matrix")
+  }
+
   test("no gated plan contains a trivially-true self-equality predicate") {
     // `a#12 = a#12` (same exprId on both sides) means a join condition was
     // written against two frames that resolve to the SAME attribute — the
