@@ -1857,7 +1857,41 @@ object QueriesTrainingData {
       |  CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) AS jaccard
       |FROM p JOIN c ca ON src_a = ca.source JOIN c cb ON src_b = cb.source""".stripMargin
 
+  /** x40's snapshot diff with ZERO exchanges — the nightly-diff shape a
+    * long-lived corpus should actually run: each generation's
+    * fingerprint index is MATERIALIZED bucketed by doc id at ingest
+    * (`ops.Bucketing.ensureStaged` — the q50 lifecycle: content-keyed
+    * staging, catalog-loss recovery, stale cleanup), so the full-outer
+    * diff join co-locates by bucket and the plan contains no Exchange at
+    * all. At 100 TB that converts the diff from a 2×-corpus-fingerprint
+    * shuffle into a per-bucket merge — the write-once/diff-nightly
+    * amortization. Output ≡ x40 (same oracle); the zero-Exchange plan is
+    * asserted in PlanShapeSpec. */
+  def x45_bucketed_snapshot_diff(spark: SparkSession, dir: String): DataFrame = {
+    val key = graft.ops.Bucketing.datasetKey(dir, Seq("documents.parquet"))
+    val stage = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_diffstage_$key")
+    graft.ops.Bucketing.cleanupStale(stage.getParentFile, dir, stage.getName)
+    graft.ops.Bucketing.writeSourceMarker(stage, dir)
+    val (oldT, newT) = (s"graft_b_docs_old_$key", s"graft_b_docs_new_$key")
+    val d = documents(spark, dir)
+    graft.ops.Bucketing.ensureStaged(spark,
+      d.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+        .select(col("doc_id"), TextOps.fingerprint64(col("text")).as("fp")),
+      oldT, new java.io.File(stage, "old").getAbsolutePath, 8, "doc_id")
+    graft.ops.Bucketing.ensureStaged(spark,
+      d.filter(pmod(col("doc_id"), lit(10)) =!= 3)
+        .select(col("doc_id"), TextOps.fingerprint64(
+          when(pmod(col("doc_id"), lit(5)) === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text"))).as("fp")),
+      newT, new java.io.File(stage, "new").getAbsolutePath, 8, "doc_id")
+    graft.text.CorpusOps.snapshotDiff(
+        spark.table(oldT), spark.table(newT), "doc_id", "fp")
+      .filter(col("status") =!= "unchanged")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x45_bucketed_snapshot_diff" -> (x45_bucketed_snapshot_diff _),
     "x44_source_overlap" -> (x44_source_overlap _),
     "x43_mad_length_filter" -> (x43_mad_length_filter _),
     "x42_incremental_dedup" -> (x42_incremental_dedup _),
@@ -1904,6 +1938,7 @@ object QueriesTrainingData {
     "x10_multimodal_meta" -> (x10_multimodal_meta _))
 
   val oracle: Map[String, String] = Map(
+    "x45_bucketed_snapshot_diff" -> x40Oracle,
     "x44_source_overlap" -> x44Oracle,
     "x43_mad_length_filter" -> x43Oracle,
     "x42_incremental_dedup" -> x42Oracle,

@@ -518,6 +518,16 @@ class PlanShapeSpec extends AnyFunSuite {
       "per-source totals no longer broadcast into the matrix")
   }
 
+  test("x45: bucketed snapshot diff plans with ZERO exchange") {
+    val q = SparkEntry.queries("x45_bucketed_snapshot_diff")(spark, sf)
+    q.collect() // staging happens on first use; assert the final plan
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      "bucketed generations no longer co-locate — the diff join shuffles")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"expected a co-located join in: ${plan.take(400)}")
+  }
+
   test("no gated plan contains a trivially-true self-equality predicate") {
     // `a#12 = a#12` (same exprId on both sides) means a join condition was
     // written against two frames that resolve to the SAME attribute — the
