@@ -1834,7 +1834,56 @@ object QueriesRelational {
        |FROM orders""".stripMargin
   }
 
+  /** Time-weighted average (TWAP-style): each event's value holds until
+    * the user's next event (step-function semantics — the telemetry/
+    * finance temporal aggregate `avg()` gets wrong, since sparse samples
+    * must weigh by how LONG they were in force, not how often they were
+    * reported). Duration weights come from one `lead` per user-ordered
+    * row; the weighted sum folds in DECIMAL(38,0) (µs × decimal-scaled
+    * value — exact integers, order-independent, immune to the Long
+    * overflow a 30-day µs span × scaled value would hit), and only the
+    * final division drops to double — the same IEEE expression in both
+    * engines. Single-event users have no interval and no row. One
+    * shuffle on `user_id`, reused by window and aggregate. */
+  def q70_time_weighted_avg(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    eventsNs(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        (col("value").cast(DecimalType(18, 4)) * 10000).cast(LongType).as("scaled"))
+      .withColumn("next_us", lead(col("ts_us"), 1).over(w))
+      .filter(col("next_us").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(
+        sum((col("next_us") - col("ts_us")).cast(DecimalType(38, 0))
+          * col("scaled").cast(DecimalType(38, 0))).as("ws"),
+        sum(col("next_us") - col("ts_us")).as("total_us"),
+        count(lit(1)).as("n_intervals"))
+      .select(col("user_id"),
+        col("ws").cast(StringType).as("weighted_sum"),
+        col("total_us"), col("n_intervals"),
+        (col("ws").cast(DoubleType) / col("total_us").cast(DoubleType) / 10000.0)
+          .as("twap"))
+  }
+
+  val q70Oracle: String =
+    """WITH iv AS (
+      |  SELECT user_id, epoch_us(ts) AS t,
+      |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS scaled,
+      |    LEAD(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS next_t
+      |  FROM events),
+      |agg AS (
+      |  SELECT user_id,
+      |    SUM(CAST(next_t - t AS HUGEINT) * CAST(scaled AS HUGEINT)) AS ws,
+      |    CAST(SUM(next_t - t) AS BIGINT) AS total_us,
+      |    COUNT(*) AS n_intervals
+      |  FROM iv WHERE next_t IS NOT NULL GROUP BY user_id)
+      |SELECT user_id, CAST(ws AS VARCHAR) AS weighted_sum, total_us, n_intervals,
+      |  CAST(ws AS DOUBLE) / CAST(total_us AS DOUBLE) / 10000.0 AS twap
+      |FROM agg""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_time_weighted_avg" -> (q70_time_weighted_avg _),
     "q68_zorder_key" -> (q68_zorder_key _),
     "q66_activity_streaks" -> (q66_activity_streaks _),
     "q65_interval_join" -> (q65_interval_join _),
@@ -1899,6 +1948,7 @@ object QueriesRelational {
     "q22_date_functions" -> (q22_date_functions _))
 
   val oracle: Map[String, String] = Map(
+    "q70_time_weighted_avg" -> q70Oracle,
     "q68_zorder_key" -> q68Oracle,
     "q66_activity_streaks" -> q66Oracle,
     "q65_interval_join" -> q65Oracle,

@@ -1890,7 +1890,41 @@ object QueriesTrainingData {
       .filter(col("status") =!= "unchanged")
   }
 
+  /** Token-budget mixture sampling
+    * ([[graft.text.CorpusOps.tokenBudgetSample]]): 600 tokens per
+    * source, deterministic md5 draw — completes the mixing trio (x25
+    * doc-count quotas, x32 temperature weights, x46 token budgets, which
+    * is what a training recipe actually specifies). The running total is
+    * the x30/x34 two-phase prefix sum, never one window task per
+    * source. */
+  def x46_token_budget_mix(spark: SparkSession, dir: String): DataFrame = {
+    val counted = documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        TextOps.tokenCount(col("text")).cast(LongType).as("n_tokens"))
+    graft.text.CorpusOps.tokenBudgetSample(
+        counted, "doc_id", "source", "n_tokens", 600L, "x46|")
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("cum_tokens"), col("keep"))
+  }
+
+  val x46Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN length(text)=0 THEN 0 ELSE len(string_split_regex(text,'\s+')) END AS n_tokens,
+      |    md5('x46|' || CAST(doc_id AS VARCHAR)) AS hx
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY hx, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      |  FROM t)
+      |SELECT doc_id, source, n_tokens,
+      |  CAST(cum_tokens AS BIGINT) AS cum_tokens,
+      |  cum_tokens <= 600 AS keep
+      |FROM r""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x46_token_budget_mix" -> (x46_token_budget_mix _),
     "x45_bucketed_snapshot_diff" -> (x45_bucketed_snapshot_diff _),
     "x44_source_overlap" -> (x44_source_overlap _),
     "x43_mad_length_filter" -> (x43_mad_length_filter _),
@@ -1938,6 +1972,7 @@ object QueriesTrainingData {
     "x10_multimodal_meta" -> (x10_multimodal_meta _))
 
   val oracle: Map[String, String] = Map(
+    "x46_token_budget_mix" -> x46Oracle,
     "x45_bucketed_snapshot_diff" -> x40Oracle,
     "x44_source_overlap" -> x44Oracle,
     "x43_mad_length_filter" -> x43Oracle,

@@ -175,6 +175,39 @@ object CorpusOps {
       .drop("__graft_local", "__graft_off")
   }
 
+  /** Token-budget sampling: per source, keep documents in deterministic
+    * md5-draw order until the source's TOKEN budget is exhausted — the
+    * mixing primitive when the recipe says "B tokens of source S", not
+    * "N documents" (documents differ 100× in length; a doc-count quota
+    * like x25's over-samples verbose sources). A doc is kept iff its
+    * INCLUSIVE running token total stays ≤ budget, so the kept set is a
+    * deterministic prefix of the draw order and never overshoots.
+    *
+    * Shape at scale: the running total is [[twoPhasePrefixSum]] over
+    * (source, draw-prefix bucket) — the x30/x34 machinery: every sort
+    * partition is bucket-sized, the per-source offset scan runs on the
+    * tiny bucket-totals frame, offsets broadcast back. One `count()`
+    * action sizes the bucket prefix (the documented driver-side cost of
+    * a self-tuning layout). */
+  def tokenBudgetSample(docs: DataFrame, idCol: String, sourceCol: String,
+      tokensCol: String, budget: Long, salt: String,
+      bucketRows: Int = 4096): DataFrame = {
+    val n = docs.count()
+    val k = {
+      var kk = 1L
+      while (kk < 8L && n / math.pow(16.0, kk.toDouble) > bucketRows) kk += 1
+      kk.toInt
+    }
+    val hashed = docs.select(col(idCol), col(sourceCol), col(tokensCol))
+      .withColumn("hx", md5(concat(lit(salt), col(idCol).cast(StringType))))
+      .withColumn("__graft_bucket",
+        conv(substring(col("hx"), 1, k), 16, 10).cast(LongType))
+    twoPhasePrefixSum(hashed, Seq(sourceCol), "__graft_bucket",
+        Seq("hx", idCol), tokensCol, "cum_tokens")
+      .select(col(idCol), col(sourceCol), col(tokensCol), col("cum_tokens"),
+        (col("cum_tokens") <= budget).as("keep"))
+  }
+
   /** Snapshot diff — the incremental-ingest primitive of a long-lived
     * corpus: given two generations keyed by `idCol` with a content
     * fingerprint `fpCol` (use [[TextOps.fingerprint64]]), classify every
