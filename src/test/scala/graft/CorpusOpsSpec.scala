@@ -90,6 +90,31 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("token-budget sample: two-phase prefix equals the naive window; never overshoots") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    val docs = Seq.tabulate(60) { i =>
+      (i.toLong * 13 % 1000, s"src${rnd.nextInt(3)}", 1L + rnd.nextInt(40))
+    }.toDF("doc_id", "source", "n_tokens")
+    val got = CorpusOps.tokenBudgetSample(docs, "doc_id", "source", "n_tokens",
+        budget = 100L, salt = "t|", bucketRows = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getBoolean(4))).toMap
+    val w = Window.partitionBy($"source")
+      .orderBy(md5(concat(lit("t|"), $"doc_id".cast("string"))), $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = docs.withColumn("cum", sum($"n_tokens").over(w))
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(3) <= 100L)).toMap
+    assert(got === want)
+    // never overshoots: per source, the kept token total stays ≤ budget
+    val keptTotals = docs.join(
+        CorpusOps.tokenBudgetSample(docs, "doc_id", "source", "n_tokens",
+          100L, "t|", 3).filter($"keep").select($"doc_id"), Seq("doc_id"))
+      .groupBy($"source").agg(sum($"n_tokens").as("t"))
+      .collect().map(_.getLong(1))
+    assert(keptTotals.forall(_ <= 100L), keptTotals.mkString(","))
+  }
+
   test("global shuffle: a permutation in md5 order, cut into fixed shards") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
