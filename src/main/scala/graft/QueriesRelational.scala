@@ -1882,7 +1882,46 @@ object QueriesRelational {
       |  CAST(ws AS DOUBLE) / CAST(total_us AS DOUBLE) / 10000.0 AS twap
       |FROM agg""".stripMargin
 
+  /** Rolling 7-day distinct active users per day — the engagement metric
+    * whose naive form (`COUNT(DISTINCT) OVER (RANGE 7 days)`) most
+    * engines can't run distributed (and Spark rejects outright). The
+    * scalable identity: a user active on day d contributes to windows
+    * d..d+6, so EXPLODE each distinct (user, day) into its 7 target
+    * windows, de-dup (window, user), and count — two partial-combining
+    * aggregates and one bounded ×7 fan-out, no window function at all.
+    * Windows past the observed range are clipped so every reported day
+    * aggregates a full trailing week of data. */
+  def q71_rolling_active_users(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 24L * 3600 * 1000000L
+    val days = eventsNs(spark, dir)
+      .select(col("user_id"), floor(col("ts_us") / dayUs).cast(LongType).as("day"))
+      .distinct()
+    val maxDay = days.agg(max(col("day")).as("max_day"))
+    days
+      .withColumn("w", explode(sequence(col("day"), col("day") + 6)))
+      .crossJoin(broadcast(maxDay))
+      .filter(col("w") <= col("max_day"))
+      .select(col("w").as("day"), col("user_id"))
+      .distinct()
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("active_users_7d"))
+  }
+
+  val q71Oracle: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day
+      |  FROM events),
+      |m AS (SELECT MAX(day) AS max_day FROM days),
+      |expanded AS (
+      |  SELECT DISTINCT d.user_id, d.day + i.i AS w
+      |  FROM days d, generate_series(0, 6) i(i), m
+      |  WHERE d.day + i.i <= m.max_day)
+      |SELECT w AS day, COUNT(*) AS active_users_7d
+      |FROM expanded GROUP BY w""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q71_rolling_active_users" -> (q71_rolling_active_users _),
     "q70_time_weighted_avg" -> (q70_time_weighted_avg _),
     "q68_zorder_key" -> (q68_zorder_key _),
     "q66_activity_streaks" -> (q66_activity_streaks _),
@@ -1948,6 +1987,7 @@ object QueriesRelational {
     "q22_date_functions" -> (q22_date_functions _))
 
   val oracle: Map[String, String] = Map(
+    "q71_rolling_active_users" -> q71Oracle,
     "q70_time_weighted_avg" -> q70Oracle,
     "q68_zorder_key" -> q68Oracle,
     "q66_activity_streaks" -> q66Oracle,
