@@ -1923,7 +1923,90 @@ object QueriesTrainingData {
       |  cum_tokens <= 600 AS keep
       |FROM r""".stripMargin
 
+  /** Simhash + Hamming-band dedup — the Manku et al. 2007 web-dedup
+    * pipeline: a wide simhash split into 4 bands, candidate pairs from a
+    * band equi-join, verified by `bit_count(xor)` ≤ 3. Pigeonhole gives
+    * EXACT recall at the threshold (3 differing bits cannot touch all 4
+    * bands) — unlike LSH's probabilistic recall (x06/x08). The band
+    * width is corpus-scaled (`max(8, Blocking.scaledBits(n/256))`, a
+    * driver-side count like x13's self-tuned bits): band-block
+    * membership stays ~256 as the corpus grows, so candidate pairs grow
+    * linearly — Manku's "more tables, wider bands" knob wired to the
+    * shared Blocking contract. Emitted per doc (candidate/dup-neighbor
+    * counts) — the synthetic small-vocab corpus makes signatures cluster,
+    * and the rollup keeps the gate output corpus-sized, not pair-sized. */
+  def x47_simhash_hamming(spark: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.Blocking
+    val docs = documents(spark, dir)
+    val bandBits = math.max(8, Blocking.scaledBits(docs.count(), 256.0, 15))
+    val mask = (1L << bandBits) - 1
+    val sigd = docs.select(col("doc_id"),
+      DedupOps.simhashLong(col("text"), 4 * bandBits).as("sig"))
+    val bands = sigd
+      .withColumn("band_idx", explode(sequence(lit(0), lit(3))))
+      .withColumn("band_val",
+        call_function("shiftright", col("sig"), col("band_idx") * bandBits)
+          .bitwiseAND(lit(mask)))
+    val pairs = bands
+      .select(col("doc_id").as("id_a"), col("sig").as("sig_a"),
+        col("band_idx"), col("band_val"))
+      .join(bands.select(col("doc_id").as("id_b"), col("sig").as("sig_b"),
+        col("band_idx"), col("band_val")), Seq("band_idx", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b")).distinct()
+      .withColumn("dup",
+        call_function("bit_count", col("sig_a").bitwiseXOR(col("sig_b"))) <= 3)
+    val perDoc = pairs.select(col("id_a").as("doc_id"), col("dup"))
+      .union(pairs.select(col("id_b").as("doc_id"), col("dup")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_neighbors"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_dup_neighbors"), lit(0L)).as("n_dup_neighbors"))
+  }
+
+  val x47Oracle: String = {
+    val ladder = graft.dedup.Blocking.scaledBitsSql("(SELECT nb FROM nf)", 15)
+    s"""WITH nf AS (
+      |  SELECT GREATEST(1, CAST(ceil(COUNT(*) / 256.0) AS BIGINT)) AS nb FROM documents),
+      |wf AS (SELECT GREATEST(8, $ladder) AS band_bits FROM nf),
+      |sums AS (
+      |  SELECT doc_id, b.i AS b,
+      |    list_sum(list_transform(list_distinct(string_split_regex(text,'\\s+')),
+      |      w -> CASE WHEN (CAST(('0x'||substr(md5(w),1,15)) AS BIGINT) >> b.i) & 1 = 1
+      |           THEN 1 ELSE -1 END)) AS s
+      |  FROM documents, (SELECT i FROM generate_series(0, 59) g(i)) b, wf
+      |  WHERE b.i < 4 * wf.band_bits),
+      |sig AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sig
+      |  FROM sums GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, sig, bi.i AS band_idx,
+      |    (sig >> (bi.i * band_bits)) & ((CAST(1 AS BIGINT) << band_bits) - 1) AS band_val
+      |  FROM sig, generate_series(0, 3) bi(i), wf),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+      |flagged AS (
+      |  SELECT id_a, id_b, bit_count(xor(sig_a, sig_b)) <= 3 AS dup FROM pairs),
+      |per_doc AS (
+      |  SELECT doc_id, COUNT(*) AS n_candidates,
+      |    CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_neighbors
+      |  FROM (SELECT id_a AS doc_id, dup FROM flagged
+      |        UNION ALL SELECT id_b AS doc_id, dup FROM flagged)
+      |  GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  COALESCE(p.n_candidates, 0) AS n_candidates,
+      |  COALESCE(p.n_dup_neighbors, 0) AS n_dup_neighbors
+      |FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x47_simhash_hamming" -> (x47_simhash_hamming _),
     "x46_token_budget_mix" -> (x46_token_budget_mix _),
     "x45_bucketed_snapshot_diff" -> (x45_bucketed_snapshot_diff _),
     "x44_source_overlap" -> (x44_source_overlap _),
@@ -1972,6 +2055,7 @@ object QueriesTrainingData {
     "x10_multimodal_meta" -> (x10_multimodal_meta _))
 
   val oracle: Map[String, String] = Map(
+    "x47_simhash_hamming" -> x47Oracle,
     "x46_token_budget_mix" -> x46Oracle,
     "x45_bucketed_snapshot_diff" -> x40Oracle,
     "x44_source_overlap" -> x44Oracle,

@@ -198,6 +198,28 @@ object DedupOps {
       lit(0))
   }
 
+  /** [[simhash]] with a LONG signature fold — widths up to 62 bits (the
+    * Int-accumulator form overflows its `p` power past bit 31). Same
+    * single-pass per-token hashing; per-bit sums stay Int (they count
+    * tokens), only the signature fold widens. */
+  def simhashLong(text: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 62, s"bits must be in [1,62], got $bits")
+    val hs = transform(array_distinct(TextOps.tokens(text)),
+      w => TextOps.stableHash64(w))
+    val folded = aggregate(hs, array(Seq.fill(bits)(lit(0)): _*),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(bits - 1)),
+        (a, b) => a +
+          (call_function("shiftright", h, b).bitwiseAND(lit(1L)) * 2 - 1)
+            .cast(IntegerType)))
+    coalesce(
+      aggregate(folded, struct(lit(1L).as("p"), lit(0L).as("sig")),
+        (acc, s) => struct(
+          (acc.getField("p") * 2).as("p"),
+          (acc.getField("sig") + when(s >= 0, acc.getField("p")).otherwise(lit(0L))).as("sig")),
+        acc => acc.getField("sig")),
+      lit(0L))
+  }
+
   /** Exact-duplicate groups on a key expression: one survivor (min id) per
     * group plus group size. Hash aggregate → map-side partial combine. */
   def exactDedup(df: DataFrame, idCol: String, key: Column): DataFrame =

@@ -110,6 +110,20 @@ class DedupPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("simhashLong ≡ simhash on shared widths; wide signatures exceed Int range") {
+    val docs = sample(doc, 40)
+    docs.toDF("text")
+      .select(DedupOps.simhash(col("text"), 16).cast(org.apache.spark.sql.types.LongType).as("i"),
+        DedupOps.simhashLong(col("text"), 16).as("l"))
+      .collect().foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // a 48-bit signature needs the Long fold; high bits must be reachable
+    val wide = docs.toDF("text")
+      .select(DedupOps.simhashLong(col("text"), 48).as("w"))
+      .collect().map(_.getLong(0))
+    assert(wide.forall(w => w >= 0 && w < (1L << 48)))
+    assert(wide.exists(_ > Int.MaxValue.toLong), "no signature used bits past 31")
+  }
+
   test("simhash single-pass fold ≡ naive per-bit aggregate (the oracle's form)") {
     // the production form hashes each token once and folds all bits in
     // one pass; the x07 DuckDB oracle (and the pre-optimization code)
