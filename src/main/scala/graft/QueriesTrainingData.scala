@@ -2005,7 +2005,37 @@ object QueriesTrainingData {
       |FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id""".stripMargin
   }
 
+  /** x11's IVF search through a PERSISTED index — the train-once /
+    * probe-nightly amortization: the first run fits the quantizer and
+    * writes (centroids, cell-partitioned assignments) under a
+    * content-keyed staging dir (the q50 lifecycle); every later run —
+    * including bench iterations 2+ and fresh sessions over the same
+    * data — loads and searches with NO KMeans fit, and a sub-full probe
+    * opens only its nProbe cells' files (partition pruning,
+    * spec-asserted). Gate runs the full probe, so the result is exact —
+    * the same brute-force oracle as x11. */
+  def x48_ann_ivf_persisted(spark: SparkSession, dir: String): DataFrame = {
+    val key = graft.ops.Bucketing.datasetKey(dir, Seq("embeddings.parquet"))
+    val stage = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_ivf_$key")
+    graft.ops.Bucketing.cleanupStale(stage.getParentFile, dir, stage.getName)
+    val built = new java.io.File(stage, "_built")
+    if (!built.exists()) {
+      graft.ops.Bucketing.writeSourceMarker(stage, dir)
+      val emb = embeddings(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+      val model = graft.sim.IvfIndex.build(emb, "vec_id", "embedding", k = 16)
+      graft.sim.IvfIndex.save(model, stage.getAbsolutePath)
+      built.createNewFile(): Unit
+    }
+    val model = graft.sim.IvfIndex.load(spark, stage.getAbsolutePath)
+    graft.sim.IvfIndex.search(spark, model,
+      embeddings(spark, dir).filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, nProbe = 16)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x48_ann_ivf_persisted" -> (x48_ann_ivf_persisted _),
     "x47_simhash_hamming" -> (x47_simhash_hamming _),
     "x46_token_budget_mix" -> (x46_token_budget_mix _),
     "x45_bucketed_snapshot_diff" -> (x45_bucketed_snapshot_diff _),
@@ -2055,6 +2085,7 @@ object QueriesTrainingData {
     "x10_multimodal_meta" -> (x10_multimodal_meta _))
 
   val oracle: Map[String, String] = Map(
+    "x48_ann_ivf_persisted" -> x11Oracle,
     "x47_simhash_hamming" -> x47Oracle,
     "x46_token_budget_mix" -> x46Oracle,
     "x45_bucketed_snapshot_diff" -> x40Oracle,

@@ -51,6 +51,32 @@ object IvfIndex {
       assigned)
   }
 
+  /** Persist a built index: the k-row centroid table plus the cell
+    * assignments written PARTITIONED BY cell — so a probe that filters
+    * on its nProbe cells prunes every other cell's files at planning
+    * time (the on-disk analog of the inverted file: a 1%-probe search
+    * opens ~1% of the index bytes). Train once, probe nightly — at
+    * 100 TB the KMeans fit amortizes across every subsequent search. */
+  def save(model: Model, dir: String): Unit = {
+    val spark = model.assigned.sparkSession
+    import spark.implicits._
+    model.centroids.toSeq.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    model.assigned.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/assigned")
+  }
+
+  /** Load a persisted index. The assignment frame keeps its
+    * partition-discovered `cell` column, so filters on it reach
+    * `PartitionFilters` (spec-asserted). */
+  def load(spark: SparkSession, dir: String): Model = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+    Model(cents, spark.read.parquet(s"$dir/assigned")
+      .withColumn("cell", col("cell").cast(IntegerType)))
+  }
+
   /** Top-k within the `nProbe` nearest cells of each query vector.
     * Output: query_id, neighbor_id, rank, cosine. */
   def search(spark: SparkSession, model: Model, queries: DataFrame, idCol: String,

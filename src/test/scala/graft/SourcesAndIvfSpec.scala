@@ -133,4 +133,32 @@ class SourcesAndIvfSpec extends AnyFunSuite {
     val recall = (approxSet intersect brute).size.toDouble / brute.size
     assert(recall >= 0.6, s"nProbe=3/8 recall@3 regressed: $recall")
   }
+
+  test("IVF persistence: save/load roundtrip is exact; cell filters partition-prune") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").repartition(4)
+    val model = IvfIndex.build(emb, "vec_id", "embedding", k = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-spec").toString
+    try {
+      IvfIndex.save(model, dir)
+      val loaded = IvfIndex.load(spark, dir)
+      assert(loaded.centroids.sortBy(_._1).map(_._2.toSeq).toSeq ===
+        model.centroids.sortBy(_._1).map(_._2.toSeq).toSeq)
+      val queries = emb.filter(col("vec_id") < 5)
+      def run(m: IvfIndex.Model) =
+        IvfIndex.search(spark, m, queries, "vec_id", "embedding", k = 3, nProbe = 8)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(run(loaded) === run(model))
+      // the on-disk inverted file: probing a cell subset reads ONLY those
+      // cells' files — the filter must reach PartitionFilters, not scan
+      val plan = spark.read.parquet(s"$dir/assigned")
+        .filter(col("cell") === 3).queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+        s"cell filter did not prune partitions: ${plan.take(300)}")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+  }
 }
