@@ -1871,7 +1871,8 @@ object QueriesTrainingData {
     val key = graft.ops.Bucketing.datasetKey(dir, Seq("documents.parquet"))
     val stage = new java.io.File(
       System.getProperty("java.io.tmpdir"), s"graft_diffstage_$key")
-    graft.ops.Bucketing.cleanupStale(stage.getParentFile, dir, stage.getName)
+    graft.ops.Bucketing.cleanupStale(stage.getParentFile, dir, stage.getName,
+      prefix = "graft_diffstage_")
     graft.ops.Bucketing.writeSourceMarker(stage, dir)
     val (oldT, newT) = (s"graft_b_docs_old_$key", s"graft_b_docs_new_$key")
     val d = documents(spark, dir)
@@ -2018,7 +2019,8 @@ object QueriesTrainingData {
     val key = graft.ops.Bucketing.datasetKey(dir, Seq("embeddings.parquet"))
     val stage = new java.io.File(
       System.getProperty("java.io.tmpdir"), s"graft_ivf_$key")
-    graft.ops.Bucketing.cleanupStale(stage.getParentFile, dir, stage.getName)
+    graft.ops.Bucketing.cleanupStale(stage.getParentFile, dir, stage.getName,
+      prefix = "graft_ivf_")
     val built = new java.io.File(stage, "_built")
     if (!built.exists()) {
       graft.ops.Bucketing.writeSourceMarker(stage, dir)

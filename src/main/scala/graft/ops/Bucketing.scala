@@ -207,14 +207,19 @@ object Bucketing {
       sourceDir.getBytes(StandardCharsets.UTF_8))
   }
 
-  /** Delete sibling `graft_bucketed_*` staging dirs that are (a) built
+  /** Delete sibling staging dirs under `prefix` that are (a) built
     * from `sourceDir` under a different (now stale) content key, or
     * (b) marker-less legacy orphans from before content-keyed staging.
-    * Bounds tmpdir growth to one live staging per dataset. */
-  def cleanupStale(tmpRoot: File, sourceDir: String, currentName: String): Unit = {
+    * Bounds tmpdir growth to one live staging per dataset. The prefix
+    * defaults to the bucketed-join family; other staging families
+    * (x45's `graft_diffstage_`, x48's `graft_ivf_`) pass their own so
+    * each family cleans ONLY its own stale generations — a shared glob
+    * would let one operator delete another's live staging. */
+  def cleanupStale(tmpRoot: File, sourceDir: String, currentName: String,
+      prefix: String = "graft_bucketed_"): Unit = {
     val siblings = Option(tmpRoot.listFiles()).getOrElse(Array.empty)
     siblings.filter { d =>
-      d.isDirectory && d.getName.startsWith("graft_bucketed_") &&
+      d.isDirectory && d.getName.startsWith(prefix) &&
         d.getName != currentName && {
           val m = new File(d, SourceMarker)
           !m.isFile || new String(Files.readAllBytes(m.toPath),
