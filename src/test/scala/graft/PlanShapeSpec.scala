@@ -499,6 +499,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q63: every funnel stage scan is event_type-pruned at the source") {
+    val plan = executedPlan("q63_funnel")
+    // three stages → three scans, each with its type predicate pushed:
+    // at 100 TB each stage reads a type-pruned slice, never the full log
+    val pushed = "PushedFilters: \\[[^\\]]*EqualTo\\(event_type".r.findAllIn(plan).length
+    assert(pushed >= 3, s"funnel stages lost their scan-level type pruning ($pushed)")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("q66: day de-dup partial-combines; streak rollups reuse the window partitioning") {
     val plan = executedPlan("q66_activity_streaks")
     // first exchange carries day-granular rows (map-side distinct ran),
