@@ -1920,7 +1920,116 @@ object QueriesRelational {
       |SELECT w AS day, COUNT(*) AS active_users_7d
       |FROM expanded GROUP BY w""".stripMargin
 
+  /** Event-type transition matrix — first-order Markov statistics over
+    * each user's event sequence (the product-analytics "what happens
+    * after X" question, and the sequence-model sanity check a training
+    * pipeline runs over behavioral logs). One `lead` window per user
+    * ordered by the FULL-resolution event time with `event_id` as the
+    * unique tiebreak (µs truncation can alias distinct ns instants, and
+    * a nondeterministic order would change the matrix run-to-run), then
+    * a partial-combining count per (from, to) and a transition
+    * probability normalized within each source state.
+    *
+    * Scale shape: ONE hash exchange on `user_id` feeds the window (user
+    * partitions are bounded — no giant-partition sort risk); the matrix
+    * itself is ≤ |types|² rows, so the second window over it is free.
+    */
+  def q72_transition_matrix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seq = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val t = eventsNs(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(seq))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val byFrom = Window.partitionBy(col("from_type"))
+    t.withColumn("p",
+      col("n").cast(DoubleType) / sum(col("n")).over(byFrom).cast(DoubleType))
+  }
+
+  val q72Oracle: String =
+    """WITH s AS (
+      |  SELECT event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS to_type
+      |  FROM events),
+      |t AS (
+      |  SELECT event_type AS from_type, to_type, COUNT(*) AS n
+      |  FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  CAST(n AS DOUBLE) /
+      |    CAST(CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS DOUBLE) AS p
+      |FROM t""".stripMargin
+
+  /** Ingest volume-anomaly detection — the data-quality tripwire a
+    * 100 TB pipeline runs on every load: per (event_type, day) row
+    * counts compared against the trailing 7-day average, with a flag
+    * when today's volume swings outside [0.5×, 1.5×] of trend (feed
+    * died / double-delivery). The trailing window is a RANGE frame over
+    * the integer day index, so calendar GAPS are handled identically in
+    * both engines (a rows-frame would silently misalign after a missing
+    * day). Day boundaries come from integer µs arithmetic — no timezone
+    * or calendar functions to disagree cross-engine.
+    *
+    * Scale shape: the windowed trend runs over the AGGREGATED
+    * (type, day) frame — |types|·|days| rows, not raw events — so the
+    * only event-scale work is one partial-combining count.
+    */
+  def q73_volume_anomaly(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dayUs = 86400000000L
+    val daily = eventsNs(spark, dir)
+      .select(col("event_type"), floor(col("ts_us") / dayUs).cast(LongType).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+    val trail = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rangeBetween(-7, -1)
+    daily
+      .withColumn("w_sum", sum(col("n")).over(trail))
+      .withColumn("w_cnt", count(col("n")).over(trail))
+      .withColumn("trail_avg",
+        when(col("w_cnt") > 0,
+          col("w_sum").cast(DoubleType) / col("w_cnt").cast(DoubleType)))
+      .withColumn("ratio",
+        when(col("trail_avg").isNotNull,
+          col("n").cast(DoubleType) / col("trail_avg")))
+      .withColumn("anomaly",
+        when(col("ratio") > 1.5 || col("ratio") < 0.5, 1).otherwise(0))
+      .select(col("event_type"), col("day"), col("n"),
+        col("trail_avg"), col("ratio"), col("anomaly"))
+  }
+
+  val q73Oracle: String =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day,
+      |    COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT event_type, day, n,
+      |    CAST(SUM(n) OVER tr AS BIGINT) AS w_sum,
+      |    COUNT(n) OVER tr AS w_cnt
+      |  FROM daily
+      |  WINDOW tr AS (PARTITION BY event_type ORDER BY day
+      |    RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+      |a AS (
+      |  SELECT event_type, day, n,
+      |    CASE WHEN w_cnt > 0
+      |      THEN CAST(w_sum AS DOUBLE) / CAST(w_cnt AS DOUBLE) END AS trail_avg
+      |  FROM w),
+      |r AS (
+      |  SELECT event_type, day, n, trail_avg,
+      |    CASE WHEN trail_avg IS NOT NULL
+      |      THEN CAST(n AS DOUBLE) / trail_avg END AS ratio
+      |  FROM a)
+      |SELECT event_type, day, n, trail_avg, ratio,
+      |  CASE WHEN ratio > 1.5 OR ratio < 0.5 THEN 1 ELSE 0 END AS anomaly
+      |FROM r""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q73_volume_anomaly" -> (q73_volume_anomaly _),
+    "q72_transition_matrix" -> (q72_transition_matrix _),
     "q71_rolling_active_users" -> (q71_rolling_active_users _),
     "q70_time_weighted_avg" -> (q70_time_weighted_avg _),
     "q68_zorder_key" -> (q68_zorder_key _),
@@ -1987,6 +2096,8 @@ object QueriesRelational {
     "q22_date_functions" -> (q22_date_functions _))
 
   val oracle: Map[String, String] = Map(
+    "q73_volume_anomaly" -> q73Oracle,
+    "q72_transition_matrix" -> q72Oracle,
     "q71_rolling_active_users" -> q71Oracle,
     "q70_time_weighted_avg" -> q70Oracle,
     "q68_zorder_key" -> q68Oracle,

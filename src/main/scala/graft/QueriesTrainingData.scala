@@ -2036,7 +2036,205 @@ object QueriesTrainingData {
       "vec_id", "embedding", k = 5, nProbe = 16)
   }
 
+  /** Approximate distinct counting as a MERGEABLE sketch
+    * ([[graft.sketch.Hll]]): per-event-type register sets over `user_id`,
+    * an 'ALL' row produced by MERGING those registers (bucketwise max —
+    * never re-reading raw data: the roll-up pattern that lets per-day
+    * sketches aggregate to monthly distincts at 100 TB), and a
+    * high-cardinality `event_id` sketch exercising the estimator in its
+    * accurate regime. Everything up to the final division is integer
+    * arithmetic the DuckDB oracle replays bit-for-bit (md5 hash, bitlen
+    * via binary-string length, exact BIGINT harmonic sum); exact
+    * `COUNT(DISTINCT)` rides along so the sketch error is visible in the
+    * gated output itself.
+    *
+    * Scale shape: ONE map-side-combining aggregate reduces any corpus to
+    * ≤ |groups|·512 register rows before the only shuffle; the merge and
+    * estimate act on registers alone. The two register branches off the
+    * same (g, bucket) aggregate canonicalize equal, so ReuseExchange
+    * computes the per-type registers once.
+    */
+  def x49_hll_distinct(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sketch.Hll
+    val ev = eventsNs(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val perType =
+      Hll.registers(ev, col("user_id"), Seq(lit("users"), col("event_type")))
+    val allUsers =
+      Hll.merged(perType, Seq(lit("users").as("g0"), lit("ALL").as("g1")))
+    val evIds = Hll.registers(ev, col("event_id"), Seq(lit("events"), lit("ALL")))
+    val est = Hll.estimate(
+      perType.unionByName(allUsers).unionByName(evIds), Seq("g0", "g1"))
+    val exact = ev
+      .groupBy(col("event_type").as("g1"))
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      .select(lit("users").as("g0"), col("g1"), col("exact_distinct"))
+      .unionByName(ev.agg(countDistinct(col("user_id")).as("exact_distinct"))
+        .select(lit("users").as("g0"), lit("ALL").as("g1"), col("exact_distinct")))
+      .unionByName(ev.agg(countDistinct(col("event_id")).as("exact_distinct"))
+        .select(lit("events").as("g0"), lit("ALL").as("g1"), col("exact_distinct")))
+    est.join(exact, Seq("g0", "g1"))
+      .select(col("g0").as("metric"), col("g1").as("group_key"),
+        col("est_distinct"), col("exact_distinct"), col("empty_buckets"))
+  }
+
+  val x49Oracle: String =
+    """WITH hu AS (
+      |  SELECT event_type,
+      |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      |  FROM events),
+      |he AS (
+      |  SELECT CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      |  FROM events),
+      |rt AS (
+      |  SELECT 'users' AS metric, event_type AS group_key, h % 512 AS bucket,
+      |    MAX(52 - (CASE WHEN h // 512 = 0 THEN 0 ELSE length(bin(h // 512)) END)) AS m_j
+      |  FROM hu GROUP BY 1, 2, 3),
+      |ra AS (
+      |  SELECT 'users' AS metric, 'ALL' AS group_key, bucket, MAX(m_j) AS m_j
+      |  FROM rt GROUP BY 1, 2, 3),
+      |re AS (
+      |  SELECT 'events' AS metric, 'ALL' AS group_key, h % 512 AS bucket,
+      |    MAX(52 - (CASE WHEN h // 512 = 0 THEN 0 ELSE length(bin(h // 512)) END)) AS m_j
+      |  FROM he GROUP BY 1, 2, 3),
+      |regs AS (
+      |  SELECT * FROM rt UNION ALL SELECT * FROM ra UNION ALL SELECT * FROM re),
+      |est AS (
+      |  SELECT metric, group_key,
+      |    CAST(8.497699123215257e20 AS DOUBLE) /
+      |      CAST(CAST(SUM(1::BIGINT << (52 - m_j)) AS BIGINT)
+      |           + (512 - COUNT(*)) * 4503599627370496 AS DOUBLE) AS est_distinct,
+      |    512 - COUNT(*) AS empty_buckets
+      |  FROM regs GROUP BY 1, 2),
+      |ex AS (
+      |  SELECT 'users' AS metric, event_type AS group_key,
+      |    COUNT(DISTINCT user_id) AS exact_distinct FROM events GROUP BY 1, 2
+      |  UNION ALL SELECT 'users', 'ALL', COUNT(DISTINCT user_id) FROM events
+      |  UNION ALL SELECT 'events', 'ALL', COUNT(DISTINCT event_id) FROM events)
+      |SELECT est.metric, est.group_key, est_distinct, exact_distinct, empty_buckets
+      |FROM est JOIN ex ON est.metric = ex.metric AND est.group_key = ex.group_key""".stripMargin
+
+  /** Bigram-novelty scoring — the per-document complement of x24's binary
+    * decontamination flag: against a REFERENCE gram set (here sources
+    * src0–src9; in production the already-ingested corpus), score each
+    * candidate document (src10–src19) by the fraction of its distinct
+    * bigrams the reference has never seen. High-novelty docs carry new
+    * content; near-zero novelty marks paraphrase/boilerplate of existing
+    * data worth down-weighting before training.
+    *
+    * Scale shape: candidate grams dedup PER DOCUMENT with a narrow
+    * `array_distinct` (no shuffle); the reference set dedups with one
+    * partial-combining `distinct`; the probe is a gram-keyed equi-join —
+    * declared, not forced broadcast, because a 100 TB reference gram set
+    * does NOT fit in memory (x24 covers the broadcast-able case); the
+    * per-doc roll-up is a partial-combining count. Join skew is bounded:
+    * the reference side holds each gram ONCE, so a boilerplate gram
+    * multiplies no rows.
+    */
+  def x50_bigram_novelty(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir).select(
+      col("doc_id"),
+      substring(col("source"), 4, 10).cast(IntegerType).as("src_i"),
+      TextOps.tokens(col("text")).as("toks"))
+    val ref = docs.filter(col("src_i") < 10)
+      .select(explode(TextOps.ngrams(col("toks"), 2)).as("g"))
+      .distinct()
+      .withColumn("seen", lit(1))
+    val cand = docs.filter(col("src_i") >= 10)
+      .select(col("doc_id"),
+        explode(array_distinct(TextOps.ngrams(col("toks"), 2))).as("g"))
+    cand.join(ref, Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("seen"), lit(0))).cast(LongType).as("n_seen"))
+      .withColumn("novelty",
+        (col("n_bigrams") - col("n_seen")).cast(DoubleType) /
+          col("n_bigrams").cast(DoubleType))
+  }
+
+  val x50Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, CAST(substr(source, 4, 10) AS INT) AS src_i,
+      |    string_split_regex(text, '\s+') AS w
+      |  FROM documents),
+      |ref AS (
+      |  SELECT DISTINCT unnest(list_transform(generate_series(1, len(w) - 1),
+      |    i -> w[i] || ' ' || w[i + 1])) AS g
+      |  FROM toks WHERE src_i < 10),
+      |cand AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w) - 1),
+      |    i -> w[i] || ' ' || w[i + 1]))) AS g
+      |  FROM toks WHERE src_i >= 10),
+      |j AS (
+      |  SELECT c.doc_id, CASE WHEN r.g IS NULL THEN 0 ELSE 1 END AS seen
+      |  FROM cand c LEFT JOIN ref r ON c.g = r.g)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  CAST(SUM(seen) AS BIGINT) AS n_seen,
+      |  CAST(COUNT(*) - CAST(SUM(seen) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty
+      |FROM j GROUP BY doc_id""".stripMargin
+
+  /** Key-skew profiling — the measurement step BEFORE choosing a join
+    * strategy at scale (ops/Skew.scala consumes exactly these facts:
+    * a max/avg ratio near 1 → plain shuffle join; a hot key → salting or
+    * AQE skew split). Profiles two keyspaces this repo joins on —
+    * `lineitem.l_orderkey` and `events.user_id` — into one row each of
+    * distribution stats: row/key counts, min/max/median/p99 rows per
+    * key, and the skew factor max/avg.
+    *
+    * Scale shape: per-key counts are ONE partial-combining aggregate
+    * each; the single-row roll-up reduces map-side to per-task partials.
+    * Median/p99 use the q49 exact-percentile contract (ROUND(…,4) pins
+    * the interpolation-arithmetic difference between engines).
+    */
+  def x51_skew_profile(spark: SparkSession, dir: String): DataFrame = {
+    def profile(df: DataFrame, key: Column, label: String): DataFrame =
+      df.groupBy(key.as("k")).agg(count(lit(1)).as("cnt"))
+        .agg(
+          sum(col("cnt")).as("n_rows"),
+          count(lit(1)).as("n_keys"),
+          max(col("cnt")).as("max_cnt"),
+          min(col("cnt")).as("min_cnt"),
+          round(expr("percentile(cnt, 0.5)"), 4).as("med_cnt"),
+          round(expr("percentile(cnt, 0.99)"), 4).as("p99_cnt"))
+        .select(
+          lit(label).as("keyspace"),
+          col("n_rows"), col("n_keys"), col("max_cnt"), col("min_cnt"),
+          col("med_cnt"), col("p99_cnt"),
+          (col("max_cnt").cast(DoubleType) /
+            (col("n_rows").cast(DoubleType) / col("n_keys").cast(DoubleType)))
+            .as("skew_factor"))
+    profile(lineitem(spark, dir), col("l_orderkey"), "lineitem.l_orderkey")
+      .unionByName(
+        profile(eventsNs(spark, dir), col("user_id"), "events.user_id"))
+  }
+
+  val x51Oracle: String =
+    """WITH c1 AS (SELECT l_orderkey AS k, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
+      |c2 AS (SELECT user_id AS k, COUNT(*) AS cnt FROM events GROUP BY 1),
+      |p1 AS (
+      |  SELECT 'lineitem.l_orderkey' AS keyspace,
+      |    CAST(SUM(cnt) AS BIGINT) AS n_rows, COUNT(*) AS n_keys,
+      |    MAX(cnt) AS max_cnt, MIN(cnt) AS min_cnt,
+      |    ROUND(quantile_cont(cnt, 0.5), 4) AS med_cnt,
+      |    ROUND(quantile_cont(cnt, 0.99), 4) AS p99_cnt
+      |  FROM c1),
+      |p2 AS (
+      |  SELECT 'events.user_id' AS keyspace,
+      |    CAST(SUM(cnt) AS BIGINT) AS n_rows, COUNT(*) AS n_keys,
+      |    MAX(cnt) AS max_cnt, MIN(cnt) AS min_cnt,
+      |    ROUND(quantile_cont(cnt, 0.5), 4) AS med_cnt,
+      |    ROUND(quantile_cont(cnt, 0.99), 4) AS p99_cnt
+      |  FROM c2),
+      |u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+      |SELECT keyspace, n_rows, n_keys, max_cnt, min_cnt, med_cnt, p99_cnt,
+      |  CAST(max_cnt AS DOUBLE) /
+      |    (CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)) AS skew_factor
+      |FROM u""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x51_skew_profile" -> (x51_skew_profile _),
+    "x50_bigram_novelty" -> (x50_bigram_novelty _),
+    "x49_hll_distinct" -> (x49_hll_distinct _),
     "x48_ann_ivf_persisted" -> (x48_ann_ivf_persisted _),
     "x47_simhash_hamming" -> (x47_simhash_hamming _),
     "x46_token_budget_mix" -> (x46_token_budget_mix _),
@@ -2087,6 +2285,9 @@ object QueriesTrainingData {
     "x10_multimodal_meta" -> (x10_multimodal_meta _))
 
   val oracle: Map[String, String] = Map(
+    "x51_skew_profile" -> x51Oracle,
+    "x50_bigram_novelty" -> x50Oracle,
+    "x49_hll_distinct" -> x49Oracle,
     "x48_ann_ivf_persisted" -> x11Oracle,
     "x47_simhash_hamming" -> x47Oracle,
     "x46_token_budget_mix" -> x46Oracle,
