@@ -68,4 +68,45 @@ class ApproxSketchSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("partial_approx_count_distinct"))
   }
+
+  // ------------------------------------------------- graft.sketch.Hll
+  // The engine-reproducible HLL (x49's operator). Unlike the built-in
+  // sketches above, its registers are DETERMINISTIC integers, so the
+  // merge identity can be asserted EXACTLY, not just within a band.
+  import graft.sketch.Hll
+
+  private def idRange(lo: Int, hi: Int) = {
+    import spark.implicits._
+    spark.range(lo, hi).toDF("id")
+  }
+
+  test("Hll raw estimate within 10% at 100k distincts (accurate regime)") {
+    val est = Hll.estimate(
+      Hll.registers(idRange(0, 100000), col("id"), Seq(lit("g"))), Seq("g0"))
+      .head()
+    val e = est.getAs[Double]("est_distinct")
+    // empirical error at this cardinality is 0.83%; 10% is safely above
+    // the ~3-sigma band for m=512 (rsd 4.6%) without flake risk (the
+    // input is deterministic, so this never actually varies)
+    assert(math.abs(e / 100000.0 - 1.0) < 0.10, s"est=$e")
+    assert(est.getAs[Long]("empty_buckets") === 0L)
+  }
+
+  test("Hll merge identity is EXACT: registers(A ∪ B) == merge(registers(A), registers(B))") {
+    val whole = Hll.registers(idRange(0, 100000), col("id"), Seq(lit("g")))
+      .select(col("bucket"), col("m_j"))
+    val halves = Hll.merged(
+      Hll.registers(idRange(0, 50000), col("id"), Seq(lit("a")))
+        .unionByName(Hll.registers(idRange(50000, 100000), col("id"), Seq(lit("b")))),
+      Seq(lit("m").as("g0")))
+      .select(col("bucket"), col("m_j"))
+    assert(whole.exceptAll(halves).isEmpty && halves.exceptAll(whole).isEmpty)
+  }
+
+  test("Hll registers partial-combine map-side before the shuffle") {
+    val plan = Hll.registers(idRange(0, 1000), col("id"), Seq(lit("g")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_max"))
+    assert(!plan.contains("Window"))
+  }
 }

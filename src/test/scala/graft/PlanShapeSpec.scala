@@ -537,6 +537,48 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected a co-located join in: ${plan.take(400)}")
   }
 
+  test("x49: HLL registers partial-combine; no window; estimate acts on registers only") {
+    val plan = executedPlan("x49_hll_distinct")
+    assert(plan.contains("partial_max"),
+      "register max lost its map-side combine — raw rows reach the shuffle")
+    assert(!plan.contains("Window"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("x50: novelty probe is a gram-keyed join; per-doc dedup stays narrow") {
+    val plan = executedPlan("x50_bigram_novelty")
+    // array_distinct runs inside the projection (narrow), never as a
+    // row-level Aggregate keyed by (doc, gram)
+    assert(plan.contains("array_distinct"))
+    assert(plan.contains("partial_count"), "per-doc roll-up lost its combine")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("x51: per-key counts partial-combine under the single-row rollup") {
+    val plan = executedPlan("x51_skew_profile")
+    assert(plan.contains("partial_count"))
+    assert(!plan.contains("Window"))
+  }
+
+  test("q72: ONE event-scale exchange — the user_id window; matrix window is post-agg") {
+    val plan = executedPlan("q72_transition_matrix")
+    // sequence window shuffles on user_id; the per-from normalization
+    // shuffles only the ≤|types|² matrix — both allowed, nothing more
+    assert(plan.contains("hashpartitioning(user_id"))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 3)
+  }
+
+  test("q73: trend window is RANGE-framed over the aggregated daily frame") {
+    val plan = executedPlan("q73_volume_anomaly")
+    assert(plan.contains("RangeFrame"), "trailing frame degraded to ROWS")
+    assert(plan.contains("partial_count"), "daily counts lost their combine")
+    // the event-scale aggregate sits BELOW the window (plan text prints
+    // root-first, so the aggregate must appear after Window)
+    val winIdx = plan.indexOf("Window")
+    assert(winIdx > 0 && plan.substring(winIdx).contains("HashAggregate"),
+      "trend window no longer runs over the aggregated daily frame")
+  }
+
   test("no gated plan contains a trivially-true self-equality predicate") {
     // `a#12 = a#12` (same exprId on both sides) means a join condition was
     // written against two frames that resolve to the SAME attribute — the
