@@ -2027,7 +2027,57 @@ object QueriesRelational {
       |  CASE WHEN ratio > 1.5 OR ratio < 0.5 THEN 1 ELSE 0 END AS anomaly
       |FROM r""".stripMargin
 
+  /** Iterative hierarchy closure — the recursive-CTE workload (org trees,
+    * bill-of-materials, category taxonomies) Spark has no native operator
+    * for: the ancestor set of every node in a parent-child edge table,
+    * with depth. The edge table derives a synthetic but genuinely
+    * tree-shaped hierarchy from `customer` (parent = custkey div 10 —
+    * ~4 levels over 1500 nodes at sf0.01); the oracle replays it with
+    * DuckDB's real `WITH RECURSIVE`.
+    *
+    * Spark-first shape: a driver-side LOOP of DISTRIBUTED equi-joins —
+    * frontier(depth d) ⋈ edges → frontier(depth d+1) — accumulated by
+    * union, terminating when a frontier is empty. Each iteration
+    * `localCheckpoint`s the frontier: without it, iteration d's plan
+    * embeds d nested joins and Catalyst re-plans the WHOLE lineage every
+    * level (the x15 discipline — exactly how the dup-components
+    * propagation bounds its plans). Depth is logarithmic in key space,
+    * so the loop count stays single-digit at any scale; every join is a
+    * key-partitioned equi-join AQE can broadcast when the edge table is
+    * dimension-sized.
+    */
+  def q74_hierarchy_closure(spark: SparkSession, dir: String): DataFrame = {
+    val edges = customer(spark, dir)
+      .select(col("c_custkey").as("child"),
+        call_function("div", col("c_custkey"), lit(10L)).as("parent"))
+      .filter(col("parent") >= 1)
+    var paths = edges.select(col("child").as("node"), col("parent").as("anc"),
+      lit(1).as("depth"))
+    var frontier = paths.localCheckpoint()
+    while (!frontier.isEmpty) {
+      frontier = frontier.as("f")
+        .join(edges.as("e"), col("f.anc") === col("e.child"))
+        .select(col("f.node").as("node"), col("e.parent").as("anc"),
+          (col("f.depth") + 1).as("depth"))
+        .localCheckpoint()
+      paths = paths.unionByName(frontier)
+    }
+    paths
+  }
+
+  val q74Oracle: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT c_custkey AS child, c_custkey // 10 AS parent
+      |  FROM customer WHERE c_custkey // 10 >= 1),
+      |p AS (
+      |  SELECT child AS node, parent AS anc, 1 AS depth FROM e
+      |  UNION ALL
+      |  SELECT p.node, e.parent, p.depth + 1
+      |  FROM p JOIN e ON p.anc = e.child)
+      |SELECT node, anc, depth FROM p""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q74_hierarchy_closure" -> (q74_hierarchy_closure _),
     "q73_volume_anomaly" -> (q73_volume_anomaly _),
     "q72_transition_matrix" -> (q72_transition_matrix _),
     "q71_rolling_active_users" -> (q71_rolling_active_users _),
@@ -2096,6 +2146,7 @@ object QueriesRelational {
     "q22_date_functions" -> (q22_date_functions _))
 
   val oracle: Map[String, String] = Map(
+    "q74_hierarchy_closure" -> q74Oracle,
     "q73_volume_anomaly" -> q73Oracle,
     "q72_transition_matrix" -> q72Oracle,
     "q71_rolling_active_users" -> q71Oracle,

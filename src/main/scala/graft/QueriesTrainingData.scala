@@ -2231,7 +2231,74 @@ object QueriesTrainingData {
       |    (CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)) AS skew_factor
       |FROM u""".stripMargin
 
+  /** Content-defined chunking (Rabin-style, over token streams) — the
+    * shift-robust complement of x26's fixed windows: a chunk boundary
+    * falls BEFORE token `i` whenever the rolling 2-token hash
+    * `h(w[i-1], w[i]) % 64 == 0` (expected chunk ≈ 64 tokens), so
+    * inserting or deleting a sentence moves only the boundaries inside
+    * the edited region and every other chunk keeps its fingerprint —
+    * fixed windows would re-align the ENTIRE document and defeat
+    * chunk-level dedup of near-identical files. Emits per-chunk
+    * (position, length, md5 fingerprint); grouping the fingerprints is
+    * x05's exact dedup applied at sub-document granularity.
+    *
+    * Scale shape: entirely NARROW — boundary detection, chunk slicing,
+    * and fingerprinting are per-document higher-order functions plus one
+    * explode; zero exchanges at any corpus size. The md5-per-token cost
+    * matches x28's per-gram hashing, the proven floor for this family.
+    */
+  def x52_cdc_chunking(spark: SparkSession, dir: String): DataFrame = {
+    val w = col("toks")
+    // boundary BEFORE token i (1-based, i >= 2) when the 2-token rolling
+    // hash lands in the 1/64 residue class
+    val bounds = filter(
+      when(size(w) >= 2, sequence(lit(2), size(w)))
+        .otherwise(array().cast(ArrayType(IntegerType))),
+      i => TextOps.stableHash64(
+        concat(element_at(w, i - 1), lit(" "), element_at(w, i))) % 64 === 0)
+    val starts = concat(array(lit(1)), col("bounds"))
+    val ends = concat(col("bounds"), array(size(w) + 1))
+    documents(spark, dir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .withColumn("bounds", bounds)
+      .withColumn("starts", starts)
+      .withColumn("ends", ends)
+      .select(col("doc_id"), col("toks"), col("ends"),
+        posexplode(col("starts")).as(Seq("j", "start_tok")))
+      .withColumn("n_tokens",
+        element_at(col("ends"), col("j") + 1) - col("start_tok"))
+      .select(col("doc_id"),
+        (col("j") + 1).cast(LongType).as("chunk_idx"),
+        col("start_tok").cast(LongType).as("start_tok"),
+        col("n_tokens").cast(LongType).as("n_tokens"),
+        md5(concat_ws(" ", slice(col("toks"), col("start_tok"), col("n_tokens"))))
+          .as("chunk_md5"))
+  }
+
+  val x52Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      |b AS (
+      |  SELECT doc_id, w,
+      |    list_filter(generate_series(2, len(w)),
+      |      i -> CAST(('0x' || substr(md5(w[i-1] || ' ' || w[i]), 1, 15)) AS BIGINT) % 64 = 0) AS pos
+      |  FROM t),
+      |s AS (
+      |  SELECT doc_id, w, list_prepend(1, pos) AS starts,
+      |    list_append(pos, len(w) + 1) AS ends
+      |  FROM b),
+      |c AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(starts)),
+      |    j -> {'chunk_idx': j, 'start_tok': starts[j],
+      |          'n_tokens': ends[j] - starts[j],
+      |          'chunk_md5': md5(array_to_string(w[starts[j]:ends[j]-1], ' '))})) AS ch
+      |  FROM s)
+      |SELECT doc_id, ch.chunk_idx AS chunk_idx, ch.start_tok AS start_tok,
+      |  ch.n_tokens AS n_tokens, ch.chunk_md5 AS chunk_md5
+      |FROM c""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x52_cdc_chunking" -> (x52_cdc_chunking _),
     "x51_skew_profile" -> (x51_skew_profile _),
     "x50_bigram_novelty" -> (x50_bigram_novelty _),
     "x49_hll_distinct" -> (x49_hll_distinct _),
@@ -2285,6 +2352,7 @@ object QueriesTrainingData {
     "x10_multimodal_meta" -> (x10_multimodal_meta _))
 
   val oracle: Map[String, String] = Map(
+    "x52_cdc_chunking" -> x52Oracle,
     "x51_skew_profile" -> x51Oracle,
     "x50_bigram_novelty" -> x50Oracle,
     "x49_hll_distinct" -> x49Oracle,

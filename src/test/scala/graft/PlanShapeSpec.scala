@@ -579,6 +579,19 @@ class PlanShapeSpec extends AnyFunSuite {
       "trend window no longer runs over the aggregated daily frame")
   }
 
+  test("x52: content-defined chunking is fully narrow — zero exchanges") {
+    val plan = executedPlan("x52_cdc_chunking")
+    assert(!plan.contains("Exchange"),
+      "per-document chunking must not shuffle at any corpus size")
+    assert(plan.contains("Generate"), "chunk explode disappeared")
+  }
+
+  test("q74: every closure iteration is an equi-join — no cartesian, no nested loop") {
+    val plan = executedPlan("q74_hierarchy_closure")
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("no gated plan contains a trivially-true self-equality predicate") {
     // `a#12 = a#12` (same exprId on both sides) means a join condition was
     // written against two frames that resolve to the SAME attribute — the

@@ -417,6 +417,36 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(cells.map(_.getLong(2)).sum === totalPairs)
   }
 
+  test("x52 CDC chunking is shift-robust: an insertion changes only local chunks") {
+    // two documents: B = A with a phrase spliced into the middle. With
+    // content-defined boundaries, chunks outside the edited region keep
+    // their fingerprints — the property fixed-window chunking lacks.
+    val base = (1 to 400).map(i => s"tok${i * 7 % 131}w$i").mkString(" ")
+    val edited = {
+      val toks = base.split(" ")
+      (toks.take(200) ++ Seq("INSERTED", "PHRASE", "HERE") ++ toks.drop(200)).mkString(" ")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc_test").toString
+    Seq((1L, base, "en", "src0", base.length.toLong),
+        (2L, edited, "en", "src0", edited.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val chunks = QueriesTrainingData.x52_cdc_chunking(spark, dir)
+      .select(col("doc_id"), col("chunk_md5")).collect()
+      .groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getString(1)).toSet }
+    val shared = chunks(1L).intersect(chunks(2L))
+    // every chunk fully before or after the edit survives; only the
+    // chunk(s) spanning the insertion point differ
+    assert(shared.nonEmpty, "no chunk fingerprints survived a local edit")
+    assert((chunks(1L) -- shared).size <= 2,
+      s"edit invalidated ${(chunks(1L) -- shared).size} of ${chunks(1L).size} original chunks")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).getOrElse(Array.empty[java.io.File]).foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(dir))
+  }
+
   test("training-data operators free their internal caches on return") {
     val dir = sf
     // earlier tests in this (shared) session cache their own fixtures;
