@@ -2297,7 +2297,119 @@ object QueriesTrainingData {
       |  ch.n_tokens AS n_tokens, ch.chunk_md5 AS chunk_md5
       |FROM c""".stripMargin
 
+  /** Selective inverted index — posting lists for DISCRIMINATIVE terms
+    * (document frequency in [2, 32]): the search-side artifact of a
+    * corpus store. The df window is the scale contract: df ≥ 2 drops the
+    * long tail of singletons (useless for cross-doc lookup), df ≤ 32
+    * BOUNDS every posting list by construction, so the collect step can
+    * never materialize a stopword's corpus-sized posting — the head
+    * terms that would explode at 100 TB are excluded before any list is
+    * built, not truncated after (the x28 window-rejection reasoning
+    * applied to collection).
+    *
+    * Scale shape: per-doc term dedup is a narrow `array_distinct`; df is
+    * one partial-combining count; the postings join is term-keyed with
+    * ≤ 32 rows per surviving key (skew-free by construction); lists sort
+    * deterministically before serialization (collect order is not).
+    */
+  def x53_inverted_index(spark: SparkSession, dir: String): DataFrame = {
+    // bigram terms: this corpus' unigram vocabulary is ~31 near-ubiquitous
+    // tokens (every df lands in the excluded head), while bigrams spread
+    // across the discriminative band — the same reason real indexes use
+    // phrases/shingles for high-precision lookup
+    val terms = documents(spark, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(
+          TextOps.ngrams(TextOps.tokens(col("text")), 2))).as("term"))
+    val rare = terms.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= 32)
+    terms.join(rare, Seq("term"))
+      .groupBy(col("term"), col("df"))
+      .agg(concat_ws(",",
+        transform(sort_array(collect_list(col("doc_id"))),
+          d => d.cast(StringType))).as("postings"))
+      .select(col("term"), col("df"), col("postings"))
+  }
+
+  val x53Oracle: String =
+    """WITH ws AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      |t AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(generate_series(1, len(w) - 1),
+      |      i -> w[i] || ' ' || w[i + 1])) AS term
+      |  FROM ws),
+      |rare AS (
+      |  SELECT term, COUNT(*) AS df FROM t GROUP BY term
+      |  HAVING COUNT(*) BETWEEN 2 AND 32)
+      |SELECT t.term, rare.df,
+      |  array_to_string(list_sort(list(t.doc_id)), ',') AS postings
+      |FROM t JOIN rare ON t.term = rare.term
+      |GROUP BY t.term, rare.df""".stripMargin
+
+  /** Mergeable histogram-quantile sketch — the bounded-state twin of
+    * q49's exact percentiles, with a DuckDB-replayable construction
+    * (unlike `approx_percentile`'s GK sketch): values land in fixed
+    * 500-wide bins with ONE partial-combining count per (group, bin),
+    * an 'ALL' row merges groups by ADDING bin counts (histograms are
+    * trivially mergeable — the per-day→monthly rollup again), and the
+    * p50/p95 lower-bound estimates read off the cumulative histogram in
+    * PURE INTEGER arithmetic (`2·cum ≥ total`, `20·cum ≥ 19·total` —
+    * no ratio ever hits a float). Accuracy is ± one bin width by
+    * construction, visible against q49's exact values.
+    *
+    * Scale shape: any data volume reduces map-side to ≤ |groups|·|bins|
+    * register rows; the cumulative window runs over that register frame,
+    * never over raw rows.
+    */
+  def x54_histogram_quantiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val binned = lineitem(spark, dir)
+      .select(col("l_returnflag").as("g"),
+        floor(col("l_extendedprice") / 500.0).cast(LongType).as("bin"))
+    val perFlag = binned.groupBy(col("g"), col("bin")).agg(count(lit(1)).as("n"))
+    val merged = perFlag.groupBy(col("bin"))
+      .agg(sum(col("n")).as("n")).select(lit("ALL").as("g"), col("bin"), col("n"))
+    val regs = perFlag.unionByName(merged)
+    val cum = Window.partitionBy(col("g")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("g"))
+    regs
+      .withColumn("cum", sum(col("n")).over(cum))
+      .withColumn("total", sum(col("n")).over(tot))
+      .groupBy(col("g"))
+      .agg(
+        max(col("total")).as("total"),
+        count(lit(1)).as("n_bins"),
+        (min(when(col("cum") * 2 >= col("total"), col("bin"))) * 500)
+          .as("p50_lo"),
+        (min(when(col("cum") * 20 >= col("total") * 19, col("bin"))) * 500)
+          .as("p95_lo"))
+  }
+
+  val x54Oracle: String =
+    """WITH binned AS (
+      |  SELECT l_returnflag AS g,
+      |    CAST(floor(l_extendedprice / 500.0) AS BIGINT) AS bin
+      |  FROM lineitem),
+      |pf AS (SELECT g, bin, COUNT(*) AS n FROM binned GROUP BY g, bin),
+      |m AS (SELECT 'ALL' AS g, bin, CAST(SUM(n) AS BIGINT) AS n FROM pf GROUP BY bin),
+      |regs AS (SELECT * FROM pf UNION ALL SELECT * FROM m),
+      |c AS (
+      |  SELECT g, bin, n,
+      |    CAST(SUM(n) OVER (PARTITION BY g ORDER BY bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |    CAST(SUM(n) OVER (PARTITION BY g) AS BIGINT) AS total
+      |  FROM regs)
+      |SELECT g, MAX(total) AS total, COUNT(*) AS n_bins,
+      |  MIN(CASE WHEN cum * 2 >= total THEN bin END) * 500 AS p50_lo,
+      |  MIN(CASE WHEN cum * 20 >= total * 19 THEN bin END) * 500 AS p95_lo
+      |FROM c GROUP BY g""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x54_histogram_quantiles" -> (x54_histogram_quantiles _),
+    "x53_inverted_index" -> (x53_inverted_index _),
     "x52_cdc_chunking" -> (x52_cdc_chunking _),
     "x51_skew_profile" -> (x51_skew_profile _),
     "x50_bigram_novelty" -> (x50_bigram_novelty _),
@@ -2352,6 +2464,8 @@ object QueriesTrainingData {
     "x10_multimodal_meta" -> (x10_multimodal_meta _))
 
   val oracle: Map[String, String] = Map(
+    "x54_histogram_quantiles" -> x54Oracle,
+    "x53_inverted_index" -> x53Oracle,
     "x52_cdc_chunking" -> x52Oracle,
     "x51_skew_profile" -> x51Oracle,
     "x50_bigram_novelty" -> x50Oracle,

@@ -103,6 +103,20 @@ class ApproxSketchSpec extends AnyFunSuite {
     assert(whole.exceptAll(halves).isEmpty && halves.exceptAll(whole).isEmpty)
   }
 
+  test("x54 histogram quantile lower bounds bracket the exact percentiles") {
+    // the sketch's accuracy contract: p_lo <= exact < p_lo + binWidth
+    val sk = QueriesTrainingData.x54_histogram_quantiles(spark, sf)
+      .filter(col("g") === "ALL").head()
+    val exact = li.agg(
+      expr("percentile(l_extendedprice, 0.5)"),
+      expr("percentile(l_extendedprice, 0.95)")).head()
+    val (p50lo, p95lo) = (sk.getAs[Long]("p50_lo"), sk.getAs[Long]("p95_lo"))
+    assert(p50lo <= exact.getDouble(0) && exact.getDouble(0) < p50lo + 500,
+      s"p50_lo=$p50lo exact=${exact.getDouble(0)}")
+    assert(p95lo <= exact.getDouble(1) && exact.getDouble(1) < p95lo + 500,
+      s"p95_lo=$p95lo exact=${exact.getDouble(1)}")
+  }
+
   test("Hll registers partial-combine map-side before the shuffle") {
     val plan = Hll.registers(idRange(0, 1000), col("id"), Seq(lit("g")))
       .queryExecution.executedPlan.toString

@@ -592,6 +592,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("x53: df gate bounds posting lists BEFORE collection; no window, no cartesian") {
+    val plan = executedPlan("x53_inverted_index")
+    assert(plan.contains("partial_count"), "df computation lost its combine")
+    assert(!plan.contains("Window"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("x54: histogram registers partial-combine; cumulative window runs over registers") {
+    val plan = executedPlan("x54_histogram_quantiles")
+    assert(plan.contains("partial_count"), "bin counts lost their combine")
+    val winIdx = plan.indexOf("Window")
+    assert(winIdx > 0 && plan.substring(winIdx).contains("HashAggregate"),
+      "cumulative window no longer runs over the register frame")
+  }
+
   test("no gated plan contains a trivially-true self-equality predicate") {
     // `a#12 = a#12` (same exprId on both sides) means a join condition was
     // written against two frames that resolve to the SAME attribute — the
