@@ -47,7 +47,6 @@ object QueriesStreaming {
 
   private def eventsStream(spark: SparkSession, dir: String,
       copies: Int = 1): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = java.nio.file.Path.of(s"$dir/events.parquet")
     val stage = stagedEvents.computeIfAbsent((dir, copies), _ => {
       val p = QueriesRelational.tempDirCleanedOnExit("graft-events-stream")

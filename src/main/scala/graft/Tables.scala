@@ -22,24 +22,36 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's µs timestamps
-    * cannot hold ([PARQUET_TYPE_ILLEGAL]). We read it as a raw ns-epoch
-    * Long via the legacy conf and expose `ts_us` (µs, = DuckDB's own
-    * truncation on read, so `epoch_us(ts)` is the oracle-side equivalent)
-    * plus `ts_t` as a proper TimestampType for window/date logic.
+  /** `events.ts` is parquet TIMESTAMP(NANOS). How Spark surfaces that type
+    * is runtime-dependent: Spark ≤4.0 with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` reads it as a raw ns-epoch
+    * Long; Spark 4.1+ ignores that conf and reads it natively as
+    * TIMESTAMP_NTZ (truncated to µs on read — the same truncation DuckDB
+    * applies, so `epoch_us(ts)` stays the oracle-side equivalent).
+    *
+    * ONE definition of the ts→µs convention, shared by the batch reader and
+    * the streaming staging reader (stream/batch parity is gated, so the two
+    * sides must never derive event time differently). Dispatches on the READ
+    * schema, not the runtime version, so both representations — and any
+    * future one that lands as a proper timestamp — produce an identical
+    * `ts_us` (µs integer) + `ts_t` (TimestampType):
+    *  - LongType (ns epoch)      → integer `div 1000`;
+    *  - TIMESTAMP_NTZ / TIMESTAMP → `unix_micros(cast TimestampType)`. The
+    *    session runs in UTC, so NTZ→TZ cast is an identity reinterpretation
+    *    and `unix_micros` is a narrow codegen'd projection (no shuffle, no
+    *    row explosion — scan-adjacent, stays inside WholeStageCodegen).
     */
-  /** ns-epoch `ts` → `ts_us` (µs integer) + `ts_t` (TimestampType) — ONE
-    * definition of the ns→µs convention, shared by the batch reader and
-    * the streaming staging reader (stream/batch parity is gated, so the
-    * two sides must never derive event time differently). */
-  def withEventTimeCols(df: DataFrame): DataFrame =
-    df.withColumn("ts_us", call_function("div", col("ts"), lit(1000L)))
+  def withEventTimeCols(df: DataFrame): DataFrame = {
+    val tsUs = df.schema("ts").dataType match {
+      case LongType => call_function("div", col("ts"), lit(1000L))
+      case _        => unix_micros(col("ts").cast(TimestampType))
+    }
+    df.withColumn("ts_us", tsUs)
       .withColumn("ts_t", timestamp_micros(col("ts_us")))
-
-  def eventsNs(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    withEventTimeCols(load(spark, dir, "events"))
   }
+
+  def eventsNs(spark: SparkSession, dir: String): DataFrame =
+    withEventTimeCols(load(spark, dir, "events"))
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")

@@ -98,7 +98,6 @@ class StreamingOpsSpec extends AnyFunSuite {
   }
 
   test("toPartitionedParquet writes a date-partitioned streaming sink") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stage = java.nio.file.Path.of(tmp("events-psink"), "events.parquet")
     java.nio.file.Files.copy(
       java.nio.file.Path.of("/root/testdata/sf0.001/events.parquet"), stage)
@@ -121,7 +120,6 @@ class StreamingOpsSpec extends AnyFunSuite {
 
   test("AvailableNow drains the events table as an incremental batch") {
     // FileStreamSource needs a directory: stage the events file into one
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stage = java.nio.file.Path.of(tmp("events-stage"), "events.parquet")
     java.nio.file.Files.copy(
       java.nio.file.Path.of("/root/testdata/sf0.001/events.parquet"), stage)
