@@ -76,11 +76,12 @@ object Bench {
       (name, median, min, err)
     }
     // timings rounded to 0.1ms — full-double precision is noise (PERF.md
-    // records 1.3-2x environment drift) and the extra digits pushed the
-    // result line past the driver's tail capture (BENCH_r07 "parsed":
-    // null). The min-per-query map goes on its OWN earlier line; the
-    // FINAL line is the lean driver contract and must stay the last
-    // thing printed.
+    // records 1.3-2x environment drift). The FINAL stdout line is the lean
+    // driver contract (~200 B: total + errors only — it must survive ANY
+    // tail truncation; the 128-entry per-query map pushed it past the
+    // driver's capture in BENCH_r07 AND r08). Per-query medians and mins
+    // go on their OWN earlier lines and into /tmp/bench_queries.json for
+    // the builder to copy into PERF.md.
     // Locale.ROOT: a comma-decimal default locale (de_DE …) would render
     // "1,2345" and break the driver's JSON parse
     def f(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
@@ -92,8 +93,14 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val errField = if (errs == "{}") "" else s""","errors":$errs"""
-    println(s"""{"metric":"queries_min","queries_min":$mins,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}""")
+    val detail =
+      s"""{"metric":"queries_detail","queries":$qs,"queries_min":$mins,"n":${results.size}$errField,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Path.of("/tmp/bench_queries.json"),
+      detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => } // detail dump is best-effort, never fatal
+    println(detail)
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size}$errField,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
