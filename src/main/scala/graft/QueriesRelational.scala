@@ -2051,16 +2051,36 @@ object QueriesRelational {
       .select(col("c_custkey").as("child"),
         call_function("div", col("c_custkey"), lit(10L)).as("parent"))
       .filter(col("parent") >= 1)
+    hierarchyClosure(edges)
+  }
+
+  /** The reusable closure loop behind q74. `maxDepth` bounds the
+    * iteration: a parent-child table with a cycle (A→B→A) would otherwise
+    * produce a frontier that NEVER empties and loop the driver forever.
+    * Depth grows logarithmically in key space for genuine trees (64
+    * levels covers any real hierarchy — 2⁶⁴ nodes at branching factor 2),
+    * so hitting the bound is a data-quality signal, not a tuning knob:
+    * fail loudly instead of returning a silently-truncated closure.
+    */
+  def hierarchyClosure(edges: DataFrame, maxDepth: Int = 64): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
     var paths = edges.select(col("child").as("node"), col("parent").as("anc"),
       lit(1).as("depth"))
     var frontier = paths.localCheckpoint()
+    var depth = 1
     while (!frontier.isEmpty) {
+      if (depth >= maxDepth)
+        throw new IllegalStateException(
+          s"hierarchyClosure: frontier still non-empty at depth $maxDepth — " +
+            "the edge table contains a cycle or a hierarchy deeper than " +
+            s"maxDepth ($maxDepth); verify acyclicity or raise maxDepth")
       frontier = frontier.as("f")
         .join(edges.as("e"), col("f.anc") === col("e.child"))
         .select(col("f.node").as("node"), col("e.parent").as("anc"),
           (col("f.depth") + 1).as("depth"))
         .localCheckpoint()
       paths = paths.unionByName(frontier)
+      depth += 1
     }
     paths
   }

@@ -513,4 +513,23 @@ class ExtendedComponentsSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("matching"))
   }
+
+  test("hierarchyClosure: a cyclic edge table raises the depth guard instead of looping forever") {
+    // A→B→A: the frontier never empties; without the guard the driver
+    // loop would spin until OOM. maxDepth=8 keeps the failing run fast.
+    val cyclic = Seq((1L, 2L), (2L, 1L)).toDF("child", "parent")
+    val e = intercept[IllegalStateException] {
+      QueriesRelational.hierarchyClosure(cyclic, maxDepth = 8).count()
+    }
+    assert(e.getMessage.contains("cycle"))
+  }
+
+  test("hierarchyClosure: an acyclic chain closes with full ancestor paths under the guard") {
+    // 1←2←3←4 chain: node 4 has ancestors 3 (d1), 2 (d2), 1 (d3)
+    val chain = Seq((2L, 1L), (3L, 2L), (4L, 3L)).toDF("child", "parent")
+    val paths = QueriesRelational.hierarchyClosure(chain, maxDepth = 8)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(paths === Set((2L, 1L, 1), (3L, 2L, 1), (4L, 3L, 1),
+      (3L, 1L, 2), (4L, 2L, 2), (4L, 1L, 3)))
+  }
 }
