@@ -1582,21 +1582,49 @@ object QueriesTrainingData {
       |  CAST(list_sum(list_transform(qv, v -> CAST(v AS BIGINT) * v)) AS BIGINT) AS q_norm2
       |FROM q""".stripMargin
 
+  /** x06's scored near-dup pairs behind content-keyed staging — the
+    * production shape for every AUDIT over the near-dup relation: the
+    * minhash+LSH+verify pipeline runs once per (dataset content, LSH
+    * params) and lands as a bucketed parquet staging (the q50/x45
+    * `ops.Bucketing.ensureStaged` lifecycle: atomic publish, catalog-loss
+    * recovery, stale-generation cleanup); each downstream audit is then
+    * one scan + aggregate over id-pair rows. At 100 TB this converts
+    * every additional integrity report from a full corpus re-shingle
+    * into a read of the (tiny: candidate survivors only) pair frame.
+    * Bucketed by `doc_a` so pair-graph joins back to per-doc frames can
+    * co-locate without an exchange on the staged side. */
+  def stagedLshScoredPairs(spark: SparkSession, dir: String): DataFrame = {
+    // key = dataset content + LSH params: changed data OR changed
+    // signature geometry must restage, never silently reuse
+    val key = "b2r4s3_" + graft.ops.Bucketing.datasetKey(dir, Seq("documents.parquet"))
+    val stage = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_lshpairs_$key")
+    graft.ops.Bucketing.cleanupStale(stage.getParentFile, dir, stage.getName,
+      prefix = "graft_lshpairs_")
+    graft.ops.Bucketing.writeSourceMarker(stage, dir)
+    graft.ops.Bucketing.ensureStaged(spark,
+      x06_dedup_minhash_lsh(spark, dir),
+      s"graft_lsh_pairs_$key", new java.io.File(stage, "pairs").getAbsolutePath,
+      8, "doc_a")
+  }
+
   /** Split-leakage audit — measures the contamination x36 exists to
-    * prevent: take the near-dup pairs (x06's LSH pipeline, jaccard ≥ .5)
-    * and classify each endpoint under the NAIVE per-doc split (x17's
-    * formula), counting pairs per (split_a, split_b) cell; `leaky` marks
-    * the off-diagonal cells — near-duplicates straddling train/eval, the
-    * benchmark-contamination number an eval-integrity report leads with.
-    * The split is a pure hash of the id, so each endpoint classifies
-    * NARROWLY from the pair row itself — no join back to the corpus; cost
-    * beyond the LSH pipeline is one tiny aggregate. */
+    * prevent: take the near-dup pairs ([[stagedLshScoredPairs]],
+    * jaccard ≥ .5) and classify each endpoint under the NAIVE per-doc
+    * split (x17's formula), counting pairs per (split_a, split_b) cell;
+    * `leaky` marks the off-diagonal cells — near-duplicates straddling
+    * train/eval, the benchmark-contamination number an eval-integrity
+    * report leads with. The split is a pure hash of the id, so each
+    * endpoint classifies NARROWLY from the pair row itself — no join
+    * back to the corpus; the audit itself is ONE aggregate over the
+    * staged pair frame (no minhash recompute — pinned in
+    * PlanShapeSpec). */
   def x38_split_leakage_audit(spark: SparkSession, dir: String): DataFrame = {
     def splitOf(c: Column): Column = {
       val b = TextOps.stableHash64(c.cast(StringType)) % 100
       when(b < 90, lit("train")).when(b < 95, lit("val")).otherwise(lit("test"))
     }
-    x06_dedup_minhash_lsh(spark, dir)
+    stagedLshScoredPairs(spark, dir)
       .filter(col("jaccard") >= 0.5)
       .select(splitOf(col("doc_a")).as("split_a"), splitOf(col("doc_b")).as("split_b"))
       .groupBy(col("split_a"), col("split_b"))

@@ -607,6 +607,19 @@ class PlanShapeSpec extends AnyFunSuite {
       "cumulative window no longer runs over the register frame")
   }
 
+  test("x38: the leakage audit aggregates the STAGED pair frame — no minhash recompute") {
+    val plan = executedPlan("x38_split_leakage_audit")
+    // the audit must scan the content-keyed staging, not re-run the LSH
+    // pipeline: no signature expression, no shingle explode, no LSH
+    // bucket self-join anywhere in its executed plan
+    assert(plan.contains("graft_lsh_pairs_") || plan.contains("graft_lshpairs_"),
+      s"expected a scan of the staged pair table:\n$plan")
+    assert(!plan.contains("graft_minhash_sig"), s"minhash recomputed:\n$plan")
+    assert(!plan.contains("explode"), s"shingle explode in audit plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"audit must be join-free (one aggregate over pair rows):\n$plan")
+  }
+
   test("no gated plan contains a trivially-true self-equality predicate") {
     // `a#12 = a#12` (same exprId on both sides) means a join condition was
     // written against two frames that resolve to the SAME attribute — the
