@@ -287,6 +287,14 @@ class PipelineSpec extends AnyFunSuite {
       "binding before detection would erase the ?-placeholder signal")
     assert(dry.planned.head.action.nonEmpty)
     assert(dry.planned.head.sinks === artifact.sparkPlan.toList)
+    // the REAL run's recorded detection must agree with what the dry run
+    // previewed — same raw text into the same detector on both paths
+    val real = PackageRunner.run(spark, pkgOf(stmt, vars), env)
+    val recorded = real.tasks.head.pattern.getOrElse(
+      fail("run did not record a detection for the ExecuteSQL task"))
+    assert(recorded.signals === runDetect.signals,
+      "dry-run preview and runInternal classified different texts")
+    assert(recorded.pattern === runDetect.pattern)
     // a bind failure (two placeholders, one variable) is PREVIEWED on the
     // failing task — the rest of the approval listing still plans
     val broken = PackageRunner.dryRun(spark,
