@@ -2096,7 +2096,100 @@ object QueriesRelational {
       |  FROM p JOIN e ON p.anc = e.child)
       |SELECT node, anc, depth FROM p""".stripMargin
 
+  /** W2 — Sort component with OBSERVABLE ordering (upgrades the
+    * spec-only row: the driver's compare hashes sorted rows, so a bare
+    * sorted frame proves nothing about order — the emitted `pos` column
+    * encodes the total order and IS hash-checked). The sort itself runs
+    * through the REAL component path: an inline IR `DataFlowTask`
+    * (source → Sort) compiled by [[graft.ops.DataFlowCompiler]] — the
+    * same code the dtsx frontend drives. SSIS Sort is a FULL sort, so
+    * the single-partition rank window is the operator's honest cost, not
+    * an accident; production emits sorted runs per partition
+    * (`sortWithinPartitions`) and reserves the total order for
+    * dimension-sized frames like this one. */
+  def q75_sort_component(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ir.Ir._
+    val flow = DataFlowTask("sort_flow", None, List(
+      SourceComponent("Cust", "OLEDBSource", None, None,
+        Some("[dbo].[customer]"), None, Nil),
+      SortComponent("SortByBal", List("c_acctbal" -> false, "c_custkey" -> true))))
+    val sorted = graft.ops.DataFlowCompiler.compile(
+      flow, graft.sources.Sources.testdataResolver(spark, dir)).df
+    sorted
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("c_acctbal").desc, col("c_custkey").asc)))
+      .select(col("c_custkey"), col("c_name"),
+        col("c_acctbal").cast(DoubleType).as("c_acctbal"), col("pos"))
+  }
+
+  val q75Oracle: String =
+    """SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+      |  CAST(row_number() OVER (ORDER BY c_acctbal DESC, c_custkey) AS INT) AS pos
+      |FROM customer""".stripMargin
+
+  /** §2.7 — processed-flag handshake (upgrades the spec-only row): the
+    * InventorySync shape — a staging table where rows carry a processed
+    * flag, the extract takes ONLY unprocessed rows (flag 0 OR NULL — a
+    * freshly inserted row with no flag yet must not be skipped), through
+    * the real [[graft.patterns.Incremental.unprocessed]] filter. The
+    * flag derives deterministically from the order key so the oracle
+    * can replay it. Narrow filter on the scan — pushdown-eligible,
+    * zero shuffles. */
+  def q76_processed_flag(spark: SparkSession, dir: String): DataFrame = {
+    val staged = orders(spark, dir).withColumn("processed_flag",
+      when(pmod(col("o_orderkey"), lit(5)) === 0, lit(null).cast(IntegerType))
+        .when(pmod(col("o_orderkey"), lit(3)) === 0, lit(1))
+        .otherwise(lit(0)))
+    graft.patterns.Incremental.unprocessed(staged, "processed_flag")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast(DoubleType).as("o_totalprice"))
+  }
+
+  val q76Oracle: String =
+    """WITH staged AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice,
+      |    CASE WHEN o_orderkey % 5 = 0 THEN NULL
+      |         WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END AS processed_flag
+      |  FROM orders)
+      |SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      |FROM staged WHERE processed_flag = 0 OR processed_flag IS NULL""".stripMargin
+
+  /** §2.7 — sync-log append (upgrades the spec-only row): after an
+    * incremental run, append one log row (package, rows processed, high
+    * watermark) through the real
+    * [[graft.patterns.Incremental.syncLogEntry]]. The one-row aggregate
+    * collect is the operator's production shape — a log entry is a
+    * DRIVER-side fact about the finished run (the runner's row-count
+    * observations land the same way); `logged_at` (current_timestamp) is
+    * dropped from the gated output because wall-clock can never
+    * hash-match an oracle. */
+  def q77_sync_log(spark: SparkSession, dir: String): DataFrame = {
+    val batch = eventsNs(spark, dir).filter(col("event_type") === "purchase")
+    val (n, wmUs) = batch
+      .agg(count(lit(1)), max(col("ts_us")))
+      .collect().headOption
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .getOrElse((0L, 0L))
+    graft.patterns.Incremental
+      .syncLogEntry(spark, "InventorySync", n, new java.sql.Timestamp(wmUs / 1000L))
+      .select(col("package_name"), col("rows_processed"),
+        // the Timestamp constructor above is ms-precision; re-attach the
+        // µs watermark for the parity check (the LOG stores the scalar,
+        // the gate checks the derivation)
+        lit(wmUs).as("last_sync_us"))
+  }
+
+  val q77Oracle: String =
+    """SELECT 'InventorySync' AS package_name,
+      |  COUNT(*) AS rows_processed,
+      |  max(epoch_us(ts)) AS last_sync_us
+      |FROM events WHERE event_type = 'purchase'""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q77_sync_log" -> (q77_sync_log _),
+    "q76_processed_flag" -> (q76_processed_flag _),
+    "q75_sort_component" -> (q75_sort_component _),
     "q74_hierarchy_closure" -> (q74_hierarchy_closure _),
     "q73_volume_anomaly" -> (q73_volume_anomaly _),
     "q72_transition_matrix" -> (q72_transition_matrix _),
@@ -2166,6 +2259,9 @@ object QueriesRelational {
     "q22_date_functions" -> (q22_date_functions _))
 
   val oracle: Map[String, String] = Map(
+    "q77_sync_log" -> q77Oracle,
+    "q76_processed_flag" -> q76Oracle,
+    "q75_sort_component" -> q75Oracle,
     "q74_hierarchy_closure" -> q74Oracle,
     "q73_volume_anomaly" -> q73Oracle,
     "q72_transition_matrix" -> q72Oracle,

@@ -2435,7 +2435,88 @@ object QueriesTrainingData {
       |  MIN(CASE WHEN cum * 20 >= total * 19 THEN bin END) * 500 AS p95_lo
       |FROM c GROUP BY g""".stripMargin
 
+  /** BPE merge-pair counts — the first iteration of byte-pair-encoding
+    * vocabulary induction, the tokenizer-training primitive a data engine
+    * feeds: count adjacent CHARACTER pairs across the corpus, weighted by
+    * word frequency (distinct from x20/x50, which count word-level
+    * n-grams). Scale shape: the corpus collapses to its word-frequency
+    * table FIRST (map-side-combining count on a key whose cardinality is
+    * the vocabulary, not the token stream), then pair explosion runs over
+    * DISTINCT WORDS ONLY — at 100 TB the explode is |vocab| × avg_len,
+    * millions of rows, not the trillions a per-token explode would cost.
+    * One shuffle for the word count, one for the pair sum; threshold
+    * prunes the tail before the result materializes. */
+  def x55_bpe_merge_pairs(spark: SparkSession, dir: String): DataFrame = {
+    val words = documents(spark, dir)
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("wf"))
+    words
+      .select(col("wf"), explode(expr(
+        "transform(sequence(1, char_length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wf")).cast(LongType).as("n"))
+      .filter(col("n") >= 50)
+  }
+
+  val x55Oracle: String =
+    """WITH toks AS (
+      |  SELECT unnest(string_split_regex(text, '\s+')) AS w FROM documents),
+      |wf AS (
+      |  SELECT w, COUNT(*) AS wf FROM toks WHERE length(w) >= 2 GROUP BY w),
+      |p AS (
+      |  SELECT wf, unnest(list_transform(
+      |    generate_series(1, length(w) - 1), i -> w[i:i+1])) AS pair
+      |  FROM wf)
+      |SELECT pair, CAST(SUM(wf) AS BIGINT) AS n
+      |FROM p GROUP BY pair HAVING SUM(wf) >= 50""".stripMargin
+
+  /** Directional containment audit over the STAGED near-dup pairs — the
+    * quote/subset detector Jaccard hides: a short document fully
+    * contained in a long one scores low Jaccard but containment ≈ 1 on
+    * the short side (the signal used to catch excerpt-duplicates and
+    * train/eval quote contamination). Second consumer of
+    * [[stagedLshScoredPairs]]: the LSH pipeline ran once at staging; this
+    * audit re-joins shingle sets for the CANDIDATE ids only (broadcast —
+    * the candidate set is the tiny survivor of band bucketing) and adds
+    * two integer-ratio columns. At 100 TB each new audit over the pair
+    * frame stays candidate-sized, never corpus-sized. */
+  def x56_containment_audit(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = stagedLshScoredPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    val ids = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val sh = documents(spark, dir).join(broadcast(ids), Seq("doc_id"))
+      .select(col("doc_id"), DedupOps.shingles(col("text"), 3).as("sh"))
+    pairs
+      .join(sh.toDF("doc_a", "sh_a"), "doc_a")
+      .join(sh.toDF("doc_b", "sh_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("n_common"),
+        size(col("sh_a")).as("n_a"), size(col("sh_b")).as("n_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_common").cast(DoubleType) / col("n_a").cast(DoubleType))
+          .as("containment_a"),
+        (col("n_common").cast(DoubleType) / col("n_b").cast(DoubleType))
+          .as("containment_b"))
+  }
+
+  val x56Oracle: String =
+    s"""WITH $lshScoredCtes,
+       |cont AS (
+       |  SELECT s.doc_a, s.doc_b,
+       |    len(list_intersect(x.sh, y.sh)) AS n_common,
+       |    len(x.sh) AS n_a, len(y.sh) AS n_b
+       |  FROM scored s
+       |  JOIN sh x ON x.doc_id = s.doc_a
+       |  JOIN sh y ON y.doc_id = s.doc_b)
+       |SELECT doc_a, doc_b,
+       |  CAST(n_common AS DOUBLE) / CAST(n_a AS DOUBLE) AS containment_a,
+       |  CAST(n_common AS DOUBLE) / CAST(n_b AS DOUBLE) AS containment_b
+       |FROM cont""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x56_containment_audit" -> (x56_containment_audit _),
+    "x55_bpe_merge_pairs" -> (x55_bpe_merge_pairs _),
     "x54_histogram_quantiles" -> (x54_histogram_quantiles _),
     "x53_inverted_index" -> (x53_inverted_index _),
     "x52_cdc_chunking" -> (x52_cdc_chunking _),
@@ -2492,6 +2573,8 @@ object QueriesTrainingData {
     "x10_multimodal_meta" -> (x10_multimodal_meta _))
 
   val oracle: Map[String, String] = Map(
+    "x56_containment_audit" -> x56Oracle,
+    "x55_bpe_merge_pairs" -> x55Oracle,
     "x54_histogram_quantiles" -> x54Oracle,
     "x53_inverted_index" -> x53Oracle,
     "x52_cdc_chunking" -> x52Oracle,
