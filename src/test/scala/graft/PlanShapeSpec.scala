@@ -620,6 +620,24 @@ class PlanShapeSpec extends AnyFunSuite {
       s"audit must be join-free (one aggregate over pair rows):\n$plan")
   }
 
+  test("x55: BPE pair counts are two partial-combining aggregates, no window") {
+    val plan = executedPlan("x55_bpe_merge_pairs")
+    assert(plan.contains("partial_count"), s"word-frequency agg must partial-combine:\n$plan")
+    assert(plan.contains("partial_sum"), s"pair-count agg must partial-combine:\n$plan")
+    assert(!plan.contains("WindowExec") && !plan.contains("Window ["),
+      s"no window belongs in a pair-count plan:\n$plan")
+    // one shuffle per aggregate (word table, then pair table) — a third
+    // would mean the explode stopped running map-side over distinct words
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length === 2, plan)
+  }
+
+  test("x56: containment audit reads the STAGED pair frame — no minhash recompute") {
+    val plan = executedPlan("x56_containment_audit")
+    assert(plan.contains("graft_lsh_pairs_") || plan.contains("graft_lshpairs_"),
+      s"expected a scan of the staged pair table:\n$plan")
+    assert(!plan.contains("graft_minhash_sig"), s"minhash recomputed:\n$plan")
+  }
+
   test("no gated plan contains a trivially-true self-equality predicate") {
     // `a#12 = a#12` (same exprId on both sides) means a join condition was
     // written against two frames that resolve to the SAME attribute — the
