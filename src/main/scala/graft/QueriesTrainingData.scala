@@ -2514,7 +2514,68 @@ object QueriesTrainingData {
        |  CAST(n_common AS DOUBLE) / CAST(n_b AS DOUBLE) AS containment_b
        |FROM cont""".stripMargin
 
+  /** Count-min sketch heavy hitters — completes the mergeable-sketch
+    * family (x49 HLL distinct, x54 histogram quantiles, x57 CMS
+    * frequency): d=4 md5-derived hash rows × w=1024 counters over the
+    * token stream, then the true top-10 tokens' frequencies estimated
+    * by the min-over-rows read. The output carries BOTH the exact count
+    * and the estimate, so the gate checks the CMS guarantee numerically
+    * (est ≥ true always; the spec pins the inequality, the oracle pins
+    * the exact registers). Scale shape: the sketch is a map-side-
+    * combining count to ≤ d×w registers per task — merge of two corpus
+    * shards is element-wise ADD, so 100 TB builds it in one pass and
+    * the estimate read touches 4 registers per probe token, never the
+    * corpus. */
+  def x57_countmin_heavy_hitters(spark: SparkSession, dir: String): DataFrame = {
+    val d = 4
+    val w = 1024
+    val toks = documents(spark, dir)
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+    val rows = array((0 until d).map(lit): _*)
+    // sketch registers: one shuffle, partial-combined to ≤ d·w per task
+    val sketch = toks
+      .select(explode(rows).as("r"), col("tok"))
+      .select(col("r"),
+        pmod(TextOps.stableHash64(concat_ws("|", col("r"), col("tok"))), lit(w))
+          .as("bucket"))
+      .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("n"))
+    val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("true_n"))
+      .orderBy(col("true_n").desc, col("tok")).limit(10)
+    // probe: 10 tokens × d rows against the ≤4096-row register table —
+    // both sides broadcast-sized at ANY corpus scale
+    top
+      .select(col("tok"), col("true_n"), explode(rows).as("r"))
+      .withColumn("bucket",
+        pmod(TextOps.stableHash64(concat_ws("|", col("r"), col("tok"))), lit(w)))
+      .join(broadcast(sketch), Seq("r", "bucket"))
+      .groupBy(col("tok"))
+      .agg(max(col("true_n")).as("true_n"), min(col("n")).as("est_n"))
+  }
+
+  val x57Oracle: String =
+    """WITH toks AS (
+      |  SELECT unnest(string_split_regex(text, '\s+')) AS tok
+      |  FROM documents),
+      |t AS (SELECT tok FROM toks WHERE tok <> ''),
+      |sk AS (
+      |  SELECT s.r,
+      |    CAST(('0x' || substr(md5(s.r || '|' || tok), 1, 15)) AS BIGINT) % 1024 AS bucket,
+      |    COUNT(*) AS n
+      |  FROM t, generate_series(0, 3) s(r) GROUP BY 1, 2),
+      |top AS (
+      |  SELECT tok, COUNT(*) AS true_n FROM t GROUP BY tok
+      |  ORDER BY true_n DESC, tok LIMIT 10),
+      |probe AS (
+      |  SELECT top.tok, top.true_n, s.r,
+      |    CAST(('0x' || substr(md5(s.r || '|' || top.tok), 1, 15)) AS BIGINT) % 1024 AS bucket
+      |  FROM top, generate_series(0, 3) s(r))
+      |SELECT p.tok, MAX(p.true_n) AS true_n, MIN(sk.n) AS est_n
+      |FROM probe p JOIN sk ON sk.r = p.r AND sk.bucket = p.bucket
+      |GROUP BY p.tok""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x57_countmin_heavy_hitters" -> (x57_countmin_heavy_hitters _),
     "x56_containment_audit" -> (x56_containment_audit _),
     "x55_bpe_merge_pairs" -> (x55_bpe_merge_pairs _),
     "x54_histogram_quantiles" -> (x54_histogram_quantiles _),
@@ -2573,6 +2634,7 @@ object QueriesTrainingData {
     "x10_multimodal_meta" -> (x10_multimodal_meta _))
 
   val oracle: Map[String, String] = Map(
+    "x57_countmin_heavy_hitters" -> x57Oracle,
     "x56_containment_audit" -> x56Oracle,
     "x55_bpe_merge_pairs" -> x55Oracle,
     "x54_histogram_quantiles" -> x54Oracle,

@@ -123,4 +123,43 @@ class ApproxSketchSpec extends AnyFunSuite {
     assert(plan.contains("partial_max"))
     assert(!plan.contains("Window"))
   }
+
+  test("count-min estimates dominate exact counts (one-sided CMS guarantee)") {
+    val rows = QueriesTrainingData
+      .x57_countmin_heavy_hitters(spark, sf)
+      .select(col("true_n"), col("est_n")).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(0),
+        s"CMS under-counted: est=${r.getLong(1)} < true=${r.getLong(0)} — " +
+          "min-over-rows can only ever OVER-count (collisions add)")
+    }
+  }
+
+  test("count-min sketch merge across shards = element-wise register add") {
+    // the mergeability contract that makes the sketch a 100 TB operator:
+    // registers built per shard then ADDED must equal registers built
+    // over the union (counts are linear) — verified on a split corpus
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), explode(graft.text.TextOps.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+    def registers(df: org.apache.spark.sql.DataFrame) = df
+      .select(explode(array((0 until 4).map(lit): _*)).as("r"), col("tok"))
+      .select(col("r"),
+        pmod(graft.text.TextOps.stableHash64(concat_ws("|", col("r"), col("tok"))), lit(1024))
+          .as("bucket"))
+      .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("n"))
+    val whole = registers(docs).as[(Int, Long, Long)].collect().toMap2
+    val shardA = registers(docs.filter(col("doc_id") % 2 === 0))
+    val shardB = registers(docs.filter(col("doc_id") % 2 === 1))
+    val merged = shardA.unionByName(shardB)
+      .groupBy(col("r"), col("bucket")).agg(sum(col("n")).as("n"))
+      .as[(Int, Long, Long)].collect().toMap2
+    assert(merged === whole, "shard-merged registers must equal whole-corpus registers")
+  }
+
+  private implicit class TupleMap(rows: Array[(Int, Long, Long)]) {
+    def toMap2: Map[(Int, Long), Long] = rows.map(t => (t._1, t._2) -> t._3).toMap
+  }
 }
