@@ -2574,7 +2574,59 @@ object QueriesTrainingData {
       |FROM probe p JOIN sk ON sk.r = p.r AND sk.bucket = p.bucket
       |GROUP BY p.tok""".stripMargin
 
+  /** Sketch-pruned per-group top-k — the 100 TB shape for "best k
+    * documents per source": a naive rank window sorts EVERY source's
+    * full document set; here a histogram sketch (the x54 register
+    * family: one map-side-combining count per (source, length-bin))
+    * first finds, per source, the lowest bin whose from-the-top
+    * cumulative count still holds k documents, and the rank window runs
+    * only over the survivors of that cutoff — bin-width-bounded, ~k per
+    * source instead of the whole corpus. The prune is EXACT by
+    * construction (everything above the cutoff bin is kept, and the
+    * cutoff bin still contains the k-th document), so the output equals
+    * the unpruned top-k and the oracle replays the naive form. Plan
+    * shape: two partial-combining aggregates + one broadcast of the
+    * per-source cutoffs + one window over the pruned frame (pinned). */
+  def x58_topk_per_source(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 10
+    val binW = 50L
+    val docs = documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val cutoffs = docs
+      .select(col("source"),
+        (call_function("div", col("n_chars").cast(LongType), lit(binW)) * binW)
+          .as("bin_lo"))
+      .groupBy(col("source"), col("bin_lo")).agg(count(lit(1)).as("n"))
+      .withColumn("cum_from_top",
+        sum(col("n")).over(Window.partitionBy(col("source"))
+          .orderBy(col("bin_lo").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // a source with < k docs never reaches cum >= k: fall back to its
+      // lowest bin (prune nothing for that source, exactness over savings)
+      .groupBy(col("source"))
+      .agg(coalesce(
+        max(when(col("cum_from_top") >= k, col("bin_lo"))),
+        min(col("bin_lo"))).as("cutoff"))
+    docs
+      .join(broadcast(cutoffs), Seq("source"))
+      .filter(col("n_chars") >= col("cutoff"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id"))))
+      .filter(col("rk") <= k)
+      .select(col("source"), col("doc_id"), col("n_chars"), col("rk"))
+  }
+
+  val x58Oracle: String =
+    """WITH r AS (
+      |  SELECT source, doc_id, n_chars,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY n_chars DESC, doc_id) AS INT) AS rk
+      |  FROM documents)
+      |SELECT source, doc_id, n_chars, rk FROM r WHERE rk <= 10""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x58_topk_per_source" -> (x58_topk_per_source _),
     "x57_countmin_heavy_hitters" -> (x57_countmin_heavy_hitters _),
     "x56_containment_audit" -> (x56_containment_audit _),
     "x55_bpe_merge_pairs" -> (x55_bpe_merge_pairs _),
@@ -2634,6 +2686,7 @@ object QueriesTrainingData {
     "x10_multimodal_meta" -> (x10_multimodal_meta _))
 
   val oracle: Map[String, String] = Map(
+    "x58_topk_per_source" -> x58Oracle,
     "x57_countmin_heavy_hitters" -> x57Oracle,
     "x56_containment_audit" -> x56Oracle,
     "x55_bpe_merge_pairs" -> x55Oracle,

@@ -638,6 +638,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("graft_minhash_sig"), s"minhash recomputed:\n$plan")
   }
 
+  test("x58: the rank window runs over the sketch-pruned frame, not the corpus") {
+    val plan = executedPlan("x58_topk_per_source")
+    // the cutoff filter must sit on the doc scan side feeding the rank
+    // window — without it the window sorts every source's full doc set
+    assert("""n_chars#\d+L? >= cutoff""".r.findFirstIn(plan).isDefined,
+      s"cutoff prune missing from the rank window's input:\n$plan")
+    // cutoffs broadcast (per-source scalars); histograms partial-combine
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("partial_count"), plan)
+  }
+
   test("no gated plan contains a trivially-true self-equality predicate") {
     // `a#12 = a#12` (same exprId on both sides) means a join condition was
     // written against two frames that resolve to the SAME attribute — the
