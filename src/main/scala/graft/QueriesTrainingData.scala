@@ -2532,25 +2532,35 @@ object QueriesTrainingData {
     val toks = documents(spark, dir)
       .select(explode(TextOps.tokens(col("text"))).as("tok"))
       .filter(col("tok") =!= "")
+    // collapse the token STREAM to its frequency table first (the x55
+    // discipline): the d-way register explode then runs over the
+    // vocabulary, not the corpus — counts are linear, so summing wf per
+    // register equals counting raw occurrences. Cached: the frequency
+    // table feeds both the register build and the top-k probe.
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("wf")).cache()
     val rows = array((0 until d).map(lit): _*)
-    // sketch registers: one shuffle, partial-combined to ≤ d·w per task
-    val sketch = toks
-      .select(explode(rows).as("r"), col("tok"))
-      .select(col("r"),
+    val sketch = freq
+      .select(col("wf"), explode(rows).as("r"), col("tok"))
+      .select(col("wf"), col("r"),
         pmod(TextOps.stableHash64(concat_ws("|", col("r"), col("tok"))), lit(w))
           .as("bucket"))
-      .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("n"))
-    val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("true_n"))
+      .groupBy(col("r"), col("bucket")).agg(sum(col("wf")).as("n"))
+    val top = freq.select(col("tok"), col("wf").as("true_n"))
       .orderBy(col("true_n").desc, col("tok")).limit(10)
     // probe: 10 tokens × d rows against the ≤4096-row register table —
-    // both sides broadcast-sized at ANY corpus scale
-    top
+    // both sides broadcast-sized at ANY corpus scale. The tiny result is
+    // materialized so the vocabulary cache can be freed before return
+    // (the x06 rule: callers must not inherit an operator's working set).
+    val res = top
       .select(col("tok"), col("true_n"), explode(rows).as("r"))
       .withColumn("bucket",
         pmod(TextOps.stableHash64(concat_ws("|", col("r"), col("tok"))), lit(w)))
       .join(broadcast(sketch), Seq("r", "bucket"))
       .groupBy(col("tok"))
       .agg(max(col("true_n")).as("true_n"), min(col("n")).as("est_n"))
+      .localCheckpoint(true)
+    freq.unpersist()
+    res
   }
 
   val x57Oracle: String =
