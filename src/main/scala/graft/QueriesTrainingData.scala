@@ -2635,7 +2635,52 @@ object QueriesTrainingData {
       |  FROM documents)
       |SELECT source, doc_id, n_chars, rk FROM r WHERE rk <= 10""".stripMargin
 
+  /** Balanced shard assignment — the output-sharding step that turns a
+    * curated corpus into N training shards of near-equal token mass
+    * (webdataset/tfrecord writers want balanced files, not balanced row
+    * counts): serpentine round-robin over the size-descending order —
+    * batch 0 deals shards 0..S-1, batch 1 deals S-1..0, so each shard
+    * receives one document per batch and the big-vs-small skew
+    * alternates sides. Deterministic (ties broken by doc_id), exactly
+    * reproducible in SQL, and the balance guarantee is spec-pinned
+    * (max/min shard mass ratio). Scale shape: ONE range-partitioned
+    * global sort (Exchange rangepartitioning — the distributed sort
+    * Spark already does for any ORDER BY) carrying only (id, size);
+    * the serpentine arithmetic is a narrow projection on the rank. */
+  def x59_balanced_shards(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = 16
+    val sized = documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        TextOps.tokenCount(col("text")).cast(LongType).as("n_tokens"))
+    sized
+      .withColumn("rn", (row_number().over(
+        Window.orderBy(col("n_tokens").desc, col("doc_id"))) - 1).cast(LongType))
+      .withColumn("shard",
+        when(pmod(call_function("div", col("rn"), lit(s.toLong)), lit(2L)) === 0,
+          pmod(col("rn"), lit(s.toLong)))
+          .otherwise(lit(s.toLong - 1) - pmod(col("rn"), lit(s.toLong))))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("shard").cast(IntegerType).as("shard"))
+  }
+
+  val x59Oracle: String =
+    """WITH sized AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN length(text) = 0 THEN 0
+      |         ELSE len(string_split_regex(text, '\s+')) END AS n_tokens
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |    row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS rn
+      |  FROM sized)
+      |SELECT doc_id, source, n_tokens,
+      |  CAST(CASE WHEN (rn // 16) % 2 = 0 THEN rn % 16
+      |       ELSE 15 - rn % 16 END AS INT) AS shard
+      |FROM r""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x59_balanced_shards" -> (x59_balanced_shards _),
     "x58_topk_per_source" -> (x58_topk_per_source _),
     "x57_countmin_heavy_hitters" -> (x57_countmin_heavy_hitters _),
     "x56_containment_audit" -> (x56_containment_audit _),
@@ -2696,6 +2741,7 @@ object QueriesTrainingData {
     "x10_multimodal_meta" -> (x10_multimodal_meta _))
 
   val oracle: Map[String, String] = Map(
+    "x59_balanced_shards" -> x59Oracle,
     "x58_topk_per_source" -> x58Oracle,
     "x57_countmin_heavy_hitters" -> x57Oracle,
     "x56_containment_audit" -> x56Oracle,

@@ -459,4 +459,22 @@ class TrainingDataOpsSpec extends AnyFunSuite {
         s"$q left entries in the SQL cache manager")
     }
   }
+
+  test("x59: serpentine sharding balances token mass and spreads every shard") {
+    val shards = QueriesTrainingData
+      .x59_balanced_shards(spark, "/root/testdata/sf0.01")
+      .groupBy(col("shard"))
+      .agg(sum(col("n_tokens")).as("mass"), count(lit(1)).as("n"))
+      .collect()
+    assert(shards.length === 16, "every shard must receive documents")
+    val masses = shards.map(_.getAs[Long]("mass").toDouble)
+    // serpentine dealing over the size-sorted order bounds per-batch skew
+    // to one document's difference per pair of batches; on a real corpus
+    // the totals land within a few percent of each other
+    assert(masses.max / masses.min < 1.05,
+      s"shard token mass unbalanced: min=${masses.min} max=${masses.max}")
+    val counts = shards.map(_.getAs[Long]("n"))
+    assert(counts.max - counts.min <= 1,
+      "round-robin must spread row counts within 1")
+  }
 }
