@@ -2186,7 +2186,111 @@ object QueriesRelational {
       |  max(epoch_us(ts)) AS last_sync_us
       |FROM events WHERE event_type = 'purchase'""".stripMargin
 
+  /** CDC change-feed apply — the general upsert+delete a warehouse sync
+    * runs when the source ships I/U/D rows instead of full snapshots
+    * (the SSIS analog is the staged-MERGE pattern J5 gates; this is the
+    * three-verb form). The change set derives deterministically from the
+    * customer table itself: ids ≡7 (mod 10) are INSERTs (absent from the
+    * base), base ids ≡0 (mod 13) are DELETEs, base ids ≡0 (mod 11) and
+    * not ≡0 (mod 13) are UPDATEs (+10 on the balance). Apply =
+    * anti-join the base on ALL change keys, union the I/U images — one
+    * hash-partitioned anti-join plus a union, the minimal-shuffle apply;
+    * at scale the change set is delta-sized and broadcasts. */
+  def q78_cdc_apply(spark: SparkSession, dir: String): DataFrame = {
+    val cust = customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"),
+        col("c_acctbal").cast(Money).as("c_acctbal"))
+    val base = cust.filter(pmod(col("c_custkey"), lit(10)) =!= 7)
+    val changes = cust.filter(pmod(col("c_custkey"), lit(10)) === 7)
+      .withColumn("op", lit("I"))
+      .unionByName(base.filter(pmod(col("c_custkey"), lit(13)) === 0)
+        .withColumn("op", lit("D")))
+      .unionByName(base
+        .filter(pmod(col("c_custkey"), lit(11)) === 0 &&
+          pmod(col("c_custkey"), lit(13)) =!= 0)
+        .withColumn("c_acctbal", (col("c_acctbal") + lit(10)).cast(Money))
+        .withColumn("op", lit("U")))
+    base
+      .join(broadcast(changes.select(col("c_custkey"))), Seq("c_custkey"), "left_anti")
+      .unionByName(changes.filter(col("op") =!= "D").drop("op"))
+      .select(col("c_custkey"), col("c_name"),
+        col("c_acctbal").cast(DoubleType).as("c_acctbal"))
+  }
+
+  val q78Oracle: String =
+    """WITH cust AS (
+      |  SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(12,2)) AS c_acctbal
+      |  FROM customer),
+      |base AS (SELECT * FROM cust WHERE c_custkey % 10 <> 7),
+      |changes AS (
+      |  SELECT c_custkey, c_name, c_acctbal, 'I' AS op FROM cust WHERE c_custkey % 10 = 7
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, c_acctbal, 'D' FROM base WHERE c_custkey % 13 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, c_name,
+      |    CAST(c_acctbal + 10 AS DECIMAL(12,2)), 'U'
+      |  FROM base WHERE c_custkey % 11 = 0 AND c_custkey % 13 <> 0)
+      |SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+      |FROM base WHERE c_custkey NOT IN (SELECT c_custkey FROM changes)
+      |UNION ALL
+      |SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE)
+      |FROM changes WHERE op <> 'D'""".stripMargin
+
+  /** Deletion-cascade propagation — the right-to-be-forgotten sweep a
+    * 100 TB store must run as a batch job: a deterministic 5% of
+    * customers (md5 draw) is purged, the purge cascades through the
+    * foreign-key chain (orders by custkey, lineitem by purged orderkey),
+    * and the output is the per-table audit row a compliance job files.
+    * Scale shape: the deletion KEY SETS ride broadcasts into semi/anti
+    * probes — three narrow scans, no fact-to-fact shuffle; counts
+    * partial-combine. */
+  def q79_delete_cascade(spark: SparkSession, dir: String): DataFrame = {
+    val delCust = customer(spark, dir).select(col("c_custkey"))
+      .filter(pmod(graft.text.TextOps.stableHash64(
+        concat(lit("gdpr|"), col("c_custkey").cast(StringType))), lit(100)) < 5)
+    val ord = orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val delOrd = ord.join(broadcast(delCust),
+      ord("o_custkey") === delCust("c_custkey"), "left_semi")
+      .select(col("o_orderkey"))
+    val li = lineitem(spark, dir).select(col("l_orderkey"))
+    val delLi = li.join(broadcast(delOrd),
+      li("l_orderkey") === delOrd("o_orderkey"), "left_semi")
+    val counts = Seq(
+      ("customer", customer(spark, dir).select(col("c_custkey")), delCust.toDF("k")),
+      ("orders", ord.select(col("o_orderkey")), delOrd.toDF("k")),
+      ("lineitem", li, delLi.toDF("k")))
+    counts.map { case (name, all, purged) =>
+      all.agg(count(lit(1)).as("n_total")).crossJoin(
+        purged.agg(count(lit(1)).as("n_purged")))
+        .select(lit(name).as("table_name"), col("n_total"), col("n_purged"),
+          (col("n_total") - col("n_purged")).as("n_kept"))
+    }.reduce(_ unionByName _)
+  }
+
+  val q79Oracle: String =
+    """WITH dc AS (
+      |  SELECT c_custkey FROM customer
+      |  WHERE CAST(('0x' || substr(md5('gdpr|' || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 5),
+      |do_ AS (SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM dc)),
+      |dl AS (SELECT l_orderkey FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM do_))
+      |SELECT 'customer' AS table_name,
+      |  (SELECT COUNT(*) FROM customer) AS n_total,
+      |  (SELECT COUNT(*) FROM dc) AS n_purged,
+      |  (SELECT COUNT(*) FROM customer) - (SELECT COUNT(*) FROM dc) AS n_kept
+      |UNION ALL
+      |SELECT 'orders',
+      |  (SELECT COUNT(*) FROM orders),
+      |  (SELECT COUNT(*) FROM do_),
+      |  (SELECT COUNT(*) FROM orders) - (SELECT COUNT(*) FROM do_)
+      |UNION ALL
+      |SELECT 'lineitem',
+      |  (SELECT COUNT(*) FROM lineitem),
+      |  (SELECT COUNT(*) FROM dl),
+      |  (SELECT COUNT(*) FROM lineitem) - (SELECT COUNT(*) FROM dl)""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q79_delete_cascade" -> (q79_delete_cascade _),
+    "q78_cdc_apply" -> (q78_cdc_apply _),
     "q77_sync_log" -> (q77_sync_log _),
     "q76_processed_flag" -> (q76_processed_flag _),
     "q75_sort_component" -> (q75_sort_component _),
@@ -2259,6 +2363,8 @@ object QueriesRelational {
     "q22_date_functions" -> (q22_date_functions _))
 
   val oracle: Map[String, String] = Map(
+    "q79_delete_cascade" -> q79Oracle,
+    "q78_cdc_apply" -> q78Oracle,
     "q77_sync_log" -> q77Oracle,
     "q76_processed_flag" -> q76Oracle,
     "q75_sort_component" -> q75Oracle,

@@ -649,6 +649,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("partial_count"), plan)
   }
 
+  test("q79: deletion keys ride broadcasts into semi probes — no fact-to-fact shuffle join") {
+    val plan = executedPlan("q79_delete_cascade")
+    assert("BroadcastHashJoin .*LeftSemi".r.findAllIn(plan).length >= 2,
+      s"cascade probes must be broadcast semi joins:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"fact-to-fact shuffle crept in:\n$plan")
+  }
+
   test("no gated plan contains a trivially-true self-equality predicate") {
     // `a#12 = a#12` (same exprId on both sides) means a join condition was
     // written against two frames that resolve to the SAME attribute — the
