@@ -2069,18 +2069,22 @@ object QueriesRelational {
     var frontier = paths.localCheckpoint()
     var depth = 1
     while (!frontier.isEmpty) {
-      if (depth >= maxDepth)
-        throw new IllegalStateException(
-          s"hierarchyClosure: frontier still non-empty at depth $maxDepth — " +
-            "the edge table contains a cycle or a hierarchy deeper than " +
-            s"maxDepth ($maxDepth); verify acyclicity or raise maxDepth")
+      // the join PROVES whether paths beyond `depth` exist, so a clean
+      // hierarchy of depth exactly maxDepth completes (its last join
+      // yields an empty frontier); only a frontier that is still
+      // non-empty BEYOND maxDepth — a cycle, or a deeper tree — throws
       frontier = frontier.as("f")
         .join(edges.as("e"), col("f.anc") === col("e.child"))
         .select(col("f.node").as("node"), col("e.parent").as("anc"),
           (col("f.depth") + 1).as("depth"))
         .localCheckpoint()
-      paths = paths.unionByName(frontier)
       depth += 1
+      if (depth > maxDepth && !frontier.isEmpty)
+        throw new IllegalStateException(
+          s"hierarchyClosure: paths deeper than maxDepth ($maxDepth) exist — " +
+            "the edge table contains a cycle or a hierarchy deeper than " +
+            s"maxDepth; verify acyclicity or raise maxDepth")
+      paths = paths.unionByName(frontier)
     }
     paths
   }
@@ -2169,15 +2173,19 @@ object QueriesRelational {
     val (n, wmUs) = batch
       .agg(count(lit(1)), max(col("ts_us")))
       .collect().headOption
-      .map(r => (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
-      .getOrElse((0L, 0L))
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .getOrElse((0L, None))
     graft.patterns.Incremental
-      .syncLogEntry(spark, "InventorySync", n, new java.sql.Timestamp(wmUs / 1000L))
+      .syncLogEntry(spark, "InventorySync", n,
+        new java.sql.Timestamp(wmUs.getOrElse(0L) / 1000L))
       .select(col("package_name"), col("rows_processed"),
         // the Timestamp constructor above is ms-precision; re-attach the
         // µs watermark for the parity check (the LOG stores the scalar,
-        // the gate checks the derivation)
-        lit(wmUs).as("last_sync_us"))
+        // the gate checks the derivation). An EMPTY batch carries a NULL
+        // watermark — the same convention as the oracle's max() over zero
+        // rows (0 would claim a sync at the epoch)
+        wmUs.map(lit).getOrElse(lit(null).cast(LongType)).as("last_sync_us"))
   }
 
   val q77Oracle: String =
@@ -2245,13 +2253,31 @@ object QueriesRelational {
     * probes — three narrow scans, no fact-to-fact shuffle; counts
     * partial-combine. */
   def q79_delete_cascade(spark: SparkSession, dir: String): DataFrame = {
+    val (audit, keySets) = deleteCascadeAudit(spark, dir)
+    // materialize the 3-row audit, then free the cascade's key-set caches
+    // (the x06 lifecycle rule — callers inherit no working-set storage)
+    val res = audit.localCheckpoint(true)
+    keySets.foreach(_.unpersist())
+    res
+  }
+
+  /** The un-checkpointed cascade (audit frame + the cached key sets it
+    * holds), exposed so PlanShapeSpec can pin the probe shape that
+    * `localCheckpoint` erases from the public query's plan. */
+  private[graft] def deleteCascadeAudit(spark: SparkSession,
+      dir: String): (DataFrame, Seq[DataFrame]) = {
+    // the deletion KEY SETS feed two consumers each (the next cascade
+    // level's probe and their own audit count) — cache so the md5 scan
+    // and the semi joins run once per level, not once per consumer
     val delCust = customer(spark, dir).select(col("c_custkey"))
       .filter(pmod(graft.text.TextOps.stableHash64(
         concat(lit("gdpr|"), col("c_custkey").cast(StringType))), lit(100)) < 5)
+      .cache()
     val ord = orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
     val delOrd = ord.join(broadcast(delCust),
       ord("o_custkey") === delCust("c_custkey"), "left_semi")
       .select(col("o_orderkey"))
+      .cache()
     val li = lineitem(spark, dir).select(col("l_orderkey"))
     val delLi = li.join(broadcast(delOrd),
       li("l_orderkey") === delOrd("o_orderkey"), "left_semi")
@@ -2259,12 +2285,13 @@ object QueriesRelational {
       ("customer", customer(spark, dir).select(col("c_custkey")), delCust.toDF("k")),
       ("orders", ord.select(col("o_orderkey")), delOrd.toDF("k")),
       ("lineitem", li, delLi.toDF("k")))
-    counts.map { case (name, all, purged) =>
+    val audit = counts.map { case (name, all, purged) =>
       all.agg(count(lit(1)).as("n_total")).crossJoin(
         purged.agg(count(lit(1)).as("n_purged")))
         .select(lit(name).as("table_name"), col("n_total"), col("n_purged"),
           (col("n_total") - col("n_purged")).as("n_kept"))
     }.reduce(_ unionByName _)
+    (audit, Seq(delCust, delOrd))
   }
 
   val q79Oracle: String =

@@ -47,6 +47,10 @@ object QueriesStreaming {
 
   private def eventsStream(spark: SparkSession, dir: String,
       copies: Int = 1): DataFrame = {
+    // same best-effort legacy enablement as Tables.eventsNs: ≤4.0 needs it
+    // to read TIMESTAMP(NANOS) at all; 4.1+ ignores it (schema dispatch in
+    // withEventTimeCols handles both read shapes)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = java.nio.file.Path.of(s"$dir/events.parquet")
     val stage = stagedEvents.computeIfAbsent((dir, copies), _ => {
       val p = QueriesRelational.tempDirCleanedOnExit("graft-events-stream")

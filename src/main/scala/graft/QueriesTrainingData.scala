@@ -2485,9 +2485,13 @@ object QueriesTrainingData {
     val pairs = stagedLshScoredPairs(spark, dir).select(col("doc_a"), col("doc_b"))
     val ids = pairs.select(col("doc_a").as("doc_id"))
       .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    // sh feeds BOTH join sides — cache so the candidate shingle sets
+    // (md5-heavy) compute once, not once per side (the x06 candSh rule);
+    // the tiny result is materialized so the cache frees before return
     val sh = documents(spark, dir).join(broadcast(ids), Seq("doc_id"))
       .select(col("doc_id"), DedupOps.shingles(col("text"), 3).as("sh"))
-    pairs
+      .cache()
+    val res = pairs
       .join(sh.toDF("doc_a", "sh_a"), "doc_a")
       .join(sh.toDF("doc_b", "sh_b"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
@@ -2498,6 +2502,9 @@ object QueriesTrainingData {
           .as("containment_a"),
         (col("n_common").cast(DoubleType) / col("n_b").cast(DoubleType))
           .as("containment_b"))
+      .localCheckpoint(true)
+    sh.unpersist()
+    res
   }
 
   val x56Oracle: String =
@@ -2643,19 +2650,33 @@ object QueriesTrainingData {
     * receives one document per batch and the big-vs-small skew
     * alternates sides. Deterministic (ties broken by doc_id), exactly
     * reproducible in SQL, and the balance guarantee is spec-pinned
-    * (max/min shard mass ratio). Scale shape: ONE range-partitioned
-    * global sort (Exchange rangepartitioning — the distributed sort
-    * Spark already does for any ORDER BY) carrying only (id, size);
-    * the serpentine arithmetic is a narrow projection on the rank. */
+    * (max/min shard mass ratio). Scale shape: the global rank is the
+    * x34 TWO-PHASE machinery, never one partition-less window (which
+    * would single-task the corpus — the x25 killer): rows window over a
+    * bounded bucket key, bucket totals get the only partition-less scan,
+    * offsets broadcast back. The bucket is (inverted token count, doc-id
+    * chunk) — monotone along the (n_tokens DESC, doc_id) order, each
+    * bucket ≤ 4096 rows, and the totals frame is bounded by
+    * max-document-length + corpus/4096 rows, orders of magnitude under
+    * the corpus. The serpentine arithmetic is a narrow projection. */
   def x59_balanced_shards(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val s = 16
     val sized = documents(spark, dir)
       .select(col("doc_id"), col("source"),
         TextOps.tokenCount(col("text")).cast(LongType).as("n_tokens"))
-    sized
-      .withColumn("rn", (row_number().over(
-        Window.orderBy(col("n_tokens").desc, col("doc_id"))) - 1).cast(LongType))
+    // fixed-width string key: (1e9 − n_tokens) ‖ doc_id/4096 sorts
+    // lexicographically as (n_tokens desc, doc_id asc); within a bucket
+    // n_tokens is constant, so doc_id alone orders the rows
+    val keyed = sized
+      .withColumn("__graft_negtok", lit(1000000000L) - col("n_tokens"))
+      .withColumn("__graft_bucket",
+        concat(lpad(col("__graft_negtok").cast(StringType), 10, "0"), lit("|"),
+          lpad(call_function("div", col("doc_id"), lit(4096L)).cast(StringType),
+            13, "0")))
+      .withColumn("__graft_one", lit(1L))
+    graft.text.CorpusOps.twoPhasePrefixSum(keyed, Seq.empty, "__graft_bucket",
+        Seq("__graft_negtok", "doc_id"), "__graft_one", "__graft_rank")
+      .withColumn("rn", col("__graft_rank") - 1L)
       .withColumn("shard",
         when(pmod(call_function("div", col("rn"), lit(s.toLong)), lit(2L)) === 0,
           pmod(col("rn"), lit(s.toLong)))

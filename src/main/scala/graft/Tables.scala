@@ -50,8 +50,15 @@ object Tables {
       .withColumn("ts_t", timestamp_micros(col("ts_us")))
   }
 
-  def eventsNs(spark: SparkSession, dir: String): DataFrame =
+  def eventsNs(spark: SparkSession, dir: String): DataFrame = {
+    // best-effort legacy enablement: Spark ≤4.0 REFUSES a TIMESTAMP(NANOS)
+    // parquet read outright ([PARQUET_TYPE_ILLEGAL]) unless this conf maps
+    // it to a ns-epoch Long; Spark 4.1+ ignores the conf and reads NTZ.
+    // Setting it unconditionally keeps the LongType dispatch branch above
+    // REACHABLE on old runtimes instead of dead code behind a read error.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     withEventTimeCols(load(spark, dir, "events"))
+  }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")

@@ -532,4 +532,13 @@ class ExtendedComponentsSpec extends AnyFunSuite {
     assert(paths === Set((2L, 1L, 1), (3L, 2L, 1), (4L, 3L, 1),
       (3L, 1L, 2), (4L, 2L, 2), (4L, 1L, 3)))
   }
+
+  test("hierarchyClosure: a hierarchy of depth EXACTLY maxDepth completes (no off-by-one)") {
+    // deepest path is (4,1,3): with maxDepth=3 the final join proves the
+    // frontier empty instead of spuriously reporting a cycle
+    val chain = Seq((2L, 1L), (3L, 2L), (4L, 3L)).toDF("child", "parent")
+    val paths = QueriesRelational.hierarchyClosure(chain, maxDepth = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(paths.size === 6 && paths.contains((4L, 1L, 3)))
+  }
 }

@@ -631,11 +631,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(plan).length === 2, plan)
   }
 
-  test("x56: containment audit reads the STAGED pair frame — no minhash recompute") {
-    val plan = executedPlan("x56_containment_audit")
+  test("x56: the staged pair frame the audit consumes carries no minhash recompute") {
+    // x56's returned frame is checkpoint-materialized (cache-lifecycle
+    // rule), so pin the INPUT it consumes: the staged pairs must be a
+    // plain scan of the published staging, not a pipeline re-run
+    val plan = QueriesTrainingData.stagedLshScoredPairs(spark, sf)
+      .queryExecution.executedPlan.toString
     assert(plan.contains("graft_lsh_pairs_") || plan.contains("graft_lshpairs_"),
       s"expected a scan of the staged pair table:\n$plan")
     assert(!plan.contains("graft_minhash_sig"), s"minhash recomputed:\n$plan")
+    assert(!plan.contains("explode"), s"shingle explode in staged read:\n$plan")
   }
 
   test("x58: the rank window runs over the sketch-pruned frame, not the corpus") {
@@ -650,10 +655,33 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("q79: deletion keys ride broadcasts into semi probes — no fact-to-fact shuffle join") {
-    val plan = executedPlan("q79_delete_cascade")
-    assert("BroadcastHashJoin .*LeftSemi".r.findAllIn(plan).length >= 2,
-      s"cascade probes must be broadcast semi joins:\n$plan")
-    assert(!plan.contains("SortMergeJoin"), s"fact-to-fact shuffle crept in:\n$plan")
+    // the public query checkpoint-materializes (cache lifecycle), so pin
+    // the un-checkpointed cascade it is built from
+    val (audit, keySets) = QueriesRelational.deleteCascadeAudit(spark, sf)
+    try {
+      val plan = audit.queryExecution.executedPlan.toString
+      assert("BroadcastHashJoin .*LeftSemi".r.findAllIn(plan).length >= 2,
+        s"cascade probes must be broadcast semi joins:\n$plan")
+      assert(!plan.contains("SortMergeJoin"), s"fact-to-fact shuffle crept in:\n$plan")
+    } finally keySets.foreach(_.unpersist())
+  }
+
+  test("x59: the global serpentine rank is two-phase — no partition-less corpus window") {
+    val plan = executedPlan("x59_balanced_shards")
+    // the corpus-level rank window must key by the derived bucket; the
+    // only partition-less window runs over the bucket-totals frame
+    val rowWin = plan.linesIterator
+      .find(l => l.contains("Window") && l.contains("sum(1)"))
+      .getOrElse(fail("row-level rank window not found in plan"))
+    assert(rowWin.contains("__graft_bucket"),
+      s"rank must window over buckets, not one global partition: $rowWin")
+    val offWin = plan.linesIterator
+      .find(l => l.contains("Window") && l.contains("__graft_tot"))
+      .getOrElse(fail("offset-scan window not found in plan"))
+    assert(!offWin.contains("__graft_one#"),
+      "offset scan must run on the bucket-totals frame, not corpus rows")
+    assert(plan.contains("BroadcastHashJoin"),
+      "bucket offsets should join back via broadcast")
   }
 
   test("no gated plan contains a trivially-true self-equality predicate") {

@@ -85,5 +85,13 @@ class RuntimePortabilitySpec extends AnyFunSuite {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracle entries without a query: ${(o -- q).toSeq.sorted}")
+    // the realistic mistake is the OTHER direction: a query registered
+    // without its oracle silently drops out of the hash gate. Every query
+    // in this engine is oracle-gated; a future genuinely non-SQL-
+    // expressible operator must be added to this explicit allowlist, not
+    // slip through silently.
+    val oracleExempt = Set.empty[String]
+    assert((q -- o -- oracleExempt).isEmpty,
+      s"queries without an oracle entry: ${(q -- o -- oracleExempt).toSeq.sorted}")
   }
 }
