@@ -2700,7 +2700,55 @@ object QueriesTrainingData {
       |       ELSE 15 - rn % 16 END AS INT) AS shard
       |FROM r""".stripMargin
 
+  /** Per-source quality-percentile calibration — the cross-source score
+    * normalization a mixed-corpus filter needs: raw quality proxies
+    * (here the n_chars length signal) are NOT comparable across sources
+    * with different length distributions, so each document's score maps
+    * to its percentile WITHIN its source before any global threshold.
+    * Scale shape: the per-source rank is the x34/x59 two-phase machinery
+    * partitioned by source — rank windows key on (source, score-band ×
+    * id-chunk) buckets, never on the source alone (one task per source
+    * at 100× — the x25 killer); per-source totals broadcast back for
+    * the percentile division. `keep` previews the calibrated filter
+    * (top half per source), which a raw global length cut would bias
+    * toward the verbose sources. */
+  def x60_quality_calibration(spark: SparkSession, dir: String): DataFrame = {
+    val sized = documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        col("n_chars").cast(LongType).as("n_chars"))
+    // bucket = score-band × id-chunk, monotone along (n_chars, doc_id)
+    // within each source; a band is one exact value so the id-chunk
+    // sub-bucket stays monotone (the x59 key construction, ascending)
+    val keyed = sized
+      .withColumn("__graft_bucket",
+        concat(lpad(col("n_chars").cast(StringType), 10, "0"), lit("|"),
+          lpad(call_function("div", col("doc_id"), lit(4096L)).cast(StringType),
+            13, "0")))
+      .withColumn("__graft_one", lit(1L))
+    val ranked = graft.text.CorpusOps.twoPhasePrefixSum(keyed, Seq("source"),
+      "__graft_bucket", Seq("n_chars", "doc_id"), "__graft_one", "__graft_rank")
+    val totals = sized.groupBy(col("source")).agg(count(lit(1)).as("__graft_n"))
+    ranked
+      .join(broadcast(totals), Seq("source"))
+      .withColumn("pct",
+        col("__graft_rank").cast(DoubleType) / col("__graft_n").cast(DoubleType))
+      .withColumn("keep", col("pct") > 0.5)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("pct"), col("keep"))
+  }
+
+  val x60Oracle: String =
+    """WITH r AS (
+      |  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+      |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rk,
+      |    COUNT(*) OVER (PARTITION BY source) AS n
+      |  FROM documents)
+      |SELECT doc_id, source, n_chars,
+      |  CAST(rk AS DOUBLE) / CAST(n AS DOUBLE) AS pct,
+      |  CAST(rk AS DOUBLE) / CAST(n AS DOUBLE) > 0.5 AS keep
+      |FROM r""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x60_quality_calibration" -> (x60_quality_calibration _),
     "x59_balanced_shards" -> (x59_balanced_shards _),
     "x58_topk_per_source" -> (x58_topk_per_source _),
     "x57_countmin_heavy_hitters" -> (x57_countmin_heavy_hitters _),
@@ -2762,6 +2810,7 @@ object QueriesTrainingData {
     "x10_multimodal_meta" -> (x10_multimodal_meta _))
 
   val oracle: Map[String, String] = Map(
+    "x60_quality_calibration" -> x60Oracle,
     "x59_balanced_shards" -> x59Oracle,
     "x58_topk_per_source" -> x58Oracle,
     "x57_countmin_heavy_hitters" -> x57Oracle,

@@ -684,6 +684,22 @@ class PlanShapeSpec extends AnyFunSuite {
       "bucket offsets should join back via broadcast")
   }
 
+  test("x60: per-source percentile rank is two-phase — no source-alone corpus window") {
+    val plan = executedPlan("x60_quality_calibration")
+    val rowWin = plan.linesIterator
+      .find(l => l.contains("Window") && l.contains("sum(1)"))
+      .getOrElse(fail("row-level rank window not found in plan"))
+    assert(rowWin.contains("__graft_bucket"),
+      s"per-source rank must window over (source, bucket), got: $rowWin")
+    val offWin = plan.linesIterator
+      .find(l => l.contains("Window") && l.contains("__graft_tot"))
+      .getOrElse(fail("offset-scan window not found in plan"))
+    assert(!offWin.contains("__graft_one#"),
+      "offset scan must run on the bucket-totals frame, not corpus rows")
+    assert(plan.contains("BroadcastHashJoin"),
+      "offsets and per-source totals should broadcast back")
+  }
+
   test("no gated plan contains a trivially-true self-equality predicate") {
     // `a#12 = a#12` (same exprId on both sides) means a join condition was
     // written against two frames that resolve to the SAME attribute — the
