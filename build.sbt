@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Keep Bench's final JSON line the genuinely-last stdout line: suppress
+// sbt's "[success] Total time: ..." epilogue that otherwise prints after
+// the forked main exits (the driver tail-parses stdout).
+ThisBuild / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
