@@ -98,7 +98,10 @@ object Bench {
     try java.nio.file.Files.write(
       java.nio.file.Path.of("/tmp/bench_queries.json"),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case _: Throwable => } // detail dump is best-effort, never fatal
+    // best-effort, never fatal — but NonFatal only: swallowing an OOM /
+    // VirtualMachineError here would mask a dying JVM right before the
+    // final driver-contract line prints
+    catch { case scala.util.control.NonFatal(_) => }
     println(detail)
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size}$errField,"sf":"$sfDir"}""")
     spark.stop()

@@ -2178,7 +2178,7 @@ object QueriesRelational {
       .getOrElse((0L, None))
     graft.patterns.Incremental
       .syncLogEntry(spark, "InventorySync", n,
-        new java.sql.Timestamp(wmUs.getOrElse(0L) / 1000L))
+        wmUs.map(us => new java.sql.Timestamp(us / 1000L)))
       .select(col("package_name"), col("rows_processed"),
         // the Timestamp constructor above is ms-precision; re-attach the
         // µs watermark for the parity check (the LOG stores the scalar,

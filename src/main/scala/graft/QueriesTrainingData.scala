@@ -2666,9 +2666,17 @@ object QueriesTrainingData {
         TextOps.tokenCount(col("text")).cast(LongType).as("n_tokens"))
     // fixed-width string key: (1e9 − n_tokens) ‖ doc_id/4096 sorts
     // lexicographically as (n_tokens desc, doc_id asc); within a bucket
-    // n_tokens is constant, so doc_id alone orders the rows
+    // n_tokens is constant, so doc_id alone orders the rows. A document
+    // past the 1e9-token key width would flip negtok negative and break
+    // the lexicographic invariant SILENTLY — fail loudly instead (the
+    // hierarchyClosure convention; 1e9 subword tokens ≈ 4 GB of text in
+    // one row, a data-quality signal, not a tuning knob).
     val keyed = sized
-      .withColumn("__graft_negtok", lit(1000000000L) - col("n_tokens"))
+      .withColumn("__graft_negtok",
+        when(col("n_tokens") > lit(1000000000L), raise_error(concat(
+          lit("x59: n_tokens exceeds the 1e9 shard-key width: "),
+          col("n_tokens").cast(StringType))).cast(LongType))
+          .otherwise(lit(1000000000L) - col("n_tokens")))
       .withColumn("__graft_bucket",
         concat(lpad(col("__graft_negtok").cast(StringType), 10, "0"), lit("|"),
           lpad(call_function("div", col("doc_id"), lit(4096L)).cast(StringType),
@@ -2718,10 +2726,16 @@ object QueriesTrainingData {
         col("n_chars").cast(LongType).as("n_chars"))
     // bucket = score-band × id-chunk, monotone along (n_chars, doc_id)
     // within each source; a band is one exact value so the id-chunk
-    // sub-bucket stays monotone (the x59 key construction, ascending)
+    // sub-bucket stays monotone (the x59 key construction, ascending).
+    // Same fail-loudly width guard as x59: a score past the 10-digit
+    // lpad would sort lexicographically wrong with no error.
+    val guarded = when(col("n_chars") > lit(9999999999L), raise_error(concat(
+        lit("x60: n_chars exceeds the 10-digit band-key width: "),
+        col("n_chars").cast(StringType))).cast(LongType))
+      .otherwise(col("n_chars"))
     val keyed = sized
       .withColumn("__graft_bucket",
-        concat(lpad(col("n_chars").cast(StringType), 10, "0"), lit("|"),
+        concat(lpad(guarded.cast(StringType), 10, "0"), lit("|"),
           lpad(call_function("div", col("doc_id"), lit(4096L)).cast(StringType),
             13, "0")))
       .withColumn("__graft_one", lit(1L))

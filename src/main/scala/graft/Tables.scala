@@ -36,15 +36,27 @@ object Tables {
     * future one that lands as a proper timestamp — produce an identical
     * `ts_us` (µs integer) + `ts_t` (TimestampType):
     *  - LongType (ns epoch)      → integer `div 1000`;
-    *  - TIMESTAMP_NTZ / TIMESTAMP → `unix_micros(cast TimestampType)`. The
-    *    session runs in UTC, so NTZ→TZ cast is an identity reinterpretation
-    *    and `unix_micros` is a narrow codegen'd projection (no shuffle, no
-    *    row explosion — scan-adjacent, stays inside WholeStageCodegen).
+    *  - TIMESTAMP (LTZ)          → `unix_micros` directly (an instant is
+    *    already timezone-independent);
+    *  - TIMESTAMP_NTZ            → wall-clock-as-UTC via pure date/time
+    *    component arithmetic (`unix_date`, `hour`, `minute`,
+    *    `date_part('SECOND')` — all wall-clock-valued on NTZ), NOT via a
+    *    `cast(TimestampType)`: the cast interprets the wall clock in the
+    *    SESSION timezone, so a non-UTC library caller would silently
+    *    derive shifted `ts_us`. The component form is identical in every
+    *    session timezone (and to the ns-Long branch). All three are narrow
+    *    codegen'd projections — no shuffle, no row explosion,
+    *    scan-adjacent, inside WholeStageCodegen.
     */
   def withEventTimeCols(df: DataFrame): DataFrame = {
     val tsUs = df.schema("ts").dataType match {
-      case LongType => call_function("div", col("ts"), lit(1000L))
-      case _        => unix_micros(col("ts").cast(TimestampType))
+      case LongType      => call_function("div", col("ts"), lit(1000L))
+      case TimestampType => unix_micros(col("ts"))
+      case _ /* TIMESTAMP_NTZ */ =>
+        unix_date(col("ts").cast(DateType)).cast(LongType) * lit(86400000000L) +
+          hour(col("ts")).cast(LongType) * lit(3600000000L) +
+          minute(col("ts")).cast(LongType) * lit(60000000L) +
+          (date_part(lit("SECOND"), col("ts")) * lit(1000000)).cast(LongType)
     }
     df.withColumn("ts_us", tsUs)
       .withColumn("ts_t", timestamp_micros(col("ts_us")))

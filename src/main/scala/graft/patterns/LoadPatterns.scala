@@ -183,12 +183,20 @@ object Incremental {
     df.filter(col(flagCol) === 0 || col(flagCol).isNull)
 
   /** Append a sync-log row (InventorySync.dtsx:266-267 shape) — returned
-    * as a single-row frame for the caller to write. */
+    * as a single-row frame for the caller to write. An EMPTY batch has no
+    * high watermark: pass None and the log row carries a NULL
+    * `last_sync_time` (substituting epoch 0 would persist a claim that a
+    * sync happened at 1970-01-01). */
   def syncLogEntry(spark: org.apache.spark.sql.SparkSession, packageName: String,
-      rowsProcessed: Long, watermark: java.sql.Timestamp): DataFrame = {
+      rowsProcessed: Long, watermark: Option[java.sql.Timestamp]): DataFrame = {
     import spark.implicits._
     Seq((packageName, rowsProcessed, watermark))
       .toDF("package_name", "rows_processed", "last_sync_time")
       .withColumn("logged_at", current_timestamp())
   }
+
+  /** Non-empty-batch convenience overload. */
+  def syncLogEntry(spark: org.apache.spark.sql.SparkSession, packageName: String,
+      rowsProcessed: Long, watermark: java.sql.Timestamp): DataFrame =
+    syncLogEntry(spark, packageName, rowsProcessed, Option(watermark))
 }

@@ -50,6 +50,28 @@ class RuntimePortabilitySpec extends AnyFunSuite {
     fromLong.foreach { case (us, t) => assert(us === t) }
   }
 
+  test("withEventTimeCols: NTZ ts_us derivation is session-timezone-independent") {
+    import spark.implicits._
+    val micros = Seq(1704067207179575L, 1706659032194062L, 0L)
+    val asNtz = micros
+      .map(us => java.time.LocalDateTime.ofEpochSecond(
+        us / 1000000L, (us % 1000000L).toInt * 1000, java.time.ZoneOffset.UTC))
+      .toDF("ts")
+    def derive(): Seq[Long] =
+      Tables.withEventTimeCols(asNtz).select("ts_us").as[Long].collect().toSeq.sorted
+    val tzKey = "spark.sql.session.timeZone"
+    val saved = spark.conf.get(tzKey)
+    try {
+      val perTz = Seq("UTC", "America/New_York", "Asia/Kolkata").map { tz =>
+        spark.conf.set(tzKey, tz); tz -> derive()
+      }
+      perTz.foreach { case (tz, got) =>
+        assert(got === micros.sorted,
+          s"NTZ-as-UTC ts_us must not shift under session tz $tz")
+      }
+    } finally spark.conf.set(tzKey, saved)
+  }
+
   test("withEventTimeCols: ns-Long branch floors sub-microsecond precision") {
     import spark.implicits._
     val df = Seq(1500L, 999L, 1000L).toDF("ts")
