@@ -2750,6 +2750,88 @@ object QueriesTrainingData {
       .select(col("doc_id"), col("source"), col("n_chars"), col("pct"), col("keep"))
   }
 
+  /** The corpus word-frequency table as a content-keyed bucketed staging
+    * — the TOKENIZER-ARTIFACT lifecycle: the corpus is tokenized once per
+    * (dataset content), and every consumer after that (merge learning,
+    * vocabulary encoding, per-doc subword counting) reads the staged
+    * vocabulary instead of re-exploding the token stream. Bucketed and
+    * bucket-sorted on `w` so corpus-token → vocabulary joins co-locate
+    * without an exchange on the staged side (the q50/x45 machinery). */
+  def stagedWordFreq(spark: SparkSession, dir: String): DataFrame = {
+    val key = "wf8w_" + graft.ops.Bucketing.datasetKey(dir, Seq("documents.parquet"))
+    val stage = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_wordfreq_$key")
+    graft.ops.Bucketing.cleanupStale(stage.getParentFile, dir, stage.getName,
+      prefix = "graft_wordfreq_")
+    graft.ops.Bucketing.writeSourceMarker(stage, dir)
+    graft.ops.Bucketing.ensureStaged(spark,
+      graft.text.Bpe.wordFrequency(documents(spark, dir)),
+      s"graft_wordfreq_$key", new java.io.File(stage, "wf").getAbsolutePath,
+      8, "w")
+  }
+
+  /** BPE merge APPLY — closes the tokenization loop x55 opened: learn the
+    * top-24 merge ranks from the staged vocabulary's pair statistics
+    * (x55's definition) and ENCODE every distinct word into its subword
+    * sequence ([[graft.text.Bpe]] — greedy rank-order left-to-right
+    * apply, Sennrich et al. 2016). Output is the encoded vocabulary:
+    * word, corpus frequency, and the subword segmentation whose counts
+    * are what packing (x30), token-budget mixing (x46) and shard
+    * balancing (x59) should budget on instead of whitespace tokens.
+    *
+    * Scale shape: the corpus is tokenized ZERO times here — both the
+    * learning aggregate and the encode projection read
+    * [[stagedWordFreq]] (vocabulary-sized, staged once per dataset
+    * content); the merge table is a bounded driver-side collect (24
+    * rows, the IVF-centroid convention) that becomes 24 chained literal
+    * codegen'd `replace` calls — ONE map-only projection, zero
+    * exchanges (PlanShapeSpec-pinned). DuckDB replays the exact encode
+    * as a recursive CTE applying merge rank r at round r. */
+  def x61_bpe_encode(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Bpe
+    val wf = stagedWordFreq(spark, dir)
+    val merges = Bpe.learnMerges(wf, 24)
+    wf.select(col("w"), col("wf"),
+        Bpe.subwords(Bpe.applyMerges(Bpe.wrap(col("w")), merges)).as("sub"))
+      .select(col("w"), col("wf").cast(LongType).as("wf"),
+        length(col("w")).as("n_chars"),
+        size(col("sub")).as("n_subwords"),
+        concat_ws(" ", col("sub")).as("subwords"))
+  }
+
+  val x61Oracle: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT unnest(string_split_regex(text, '\s+')) AS w FROM documents),
+      |wf AS (
+      |  SELECT w, COUNT(*) AS wf FROM toks
+      |  WHERE w <> '' AND NOT contains(w, chr(31)) GROUP BY w),
+      |p AS (
+      |  SELECT wf, unnest(list_transform(
+      |    generate_series(1, length(w) - 1), i -> w[i:i+1])) AS pair
+      |  FROM wf WHERE length(w) >= 2),
+      |ps AS (SELECT pair, SUM(wf) AS n FROM p GROUP BY pair),
+      |merges AS (
+      |  SELECT pair, CAST(row_number() OVER (ORDER BY n DESC, pair) AS INT) AS rk
+      |  FROM ps ORDER BY n DESC, pair LIMIT 24),
+      |enc AS (
+      |  SELECT w, wf,
+      |    chr(31) || regexp_replace(w, '(.)', '\1' || chr(31) || chr(31), 'g') AS s,
+      |    0 AS r
+      |  FROM wf
+      |  UNION ALL
+      |  SELECT e.w, e.wf,
+      |    replace(e.s,
+      |      chr(31) || m.pair[1] || chr(31) || chr(31) || m.pair[2] || chr(31),
+      |      chr(31) || m.pair || chr(31)),
+      |    e.r + 1
+      |  FROM enc e JOIN merges m ON m.rk = e.r + 1),
+      |fin AS (
+      |  SELECT w, wf, list_filter(string_split(s, chr(31)), x -> x <> '') AS sub
+      |  FROM enc WHERE r = (SELECT COUNT(*) FROM merges))
+      |SELECT w, CAST(wf AS BIGINT) AS wf, length(w) AS n_chars,
+      |  len(sub) AS n_subwords, array_to_string(sub, ' ') AS subwords
+      |FROM fin""".stripMargin
+
   val x60Oracle: String =
     """WITH r AS (
       |  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
@@ -2762,6 +2844,7 @@ object QueriesTrainingData {
       |FROM r""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x61_bpe_encode" -> (x61_bpe_encode _),
     "x60_quality_calibration" -> (x60_quality_calibration _),
     "x59_balanced_shards" -> (x59_balanced_shards _),
     "x58_topk_per_source" -> (x58_topk_per_source _),
@@ -2824,6 +2907,7 @@ object QueriesTrainingData {
     "x10_multimodal_meta" -> (x10_multimodal_meta _))
 
   val oracle: Map[String, String] = Map(
+    "x61_bpe_encode" -> x61Oracle,
     "x60_quality_calibration" -> x60Oracle,
     "x59_balanced_shards" -> x59Oracle,
     "x58_topk_per_source" -> x58Oracle,

@@ -631,6 +631,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(plan).length === 2, plan)
   }
 
+  test("x61: encode reads the STAGED vocabulary — zero corpus tokenize, zero exchanges") {
+    val plan = executedPlan("x61_bpe_encode")
+    // the pair-stat reuse pin: the registered query's executed plan must
+    // be ONE map-only projection over the staged word-frequency table —
+    // the corpus (documents.parquet) is never scanned and the token
+    // stream is never re-exploded at encode time; merge learning ran as
+    // a separate bounded job over the same staging
+    assert(plan.contains("graft_wordfreq_"),
+      s"expected a scan of the staged word-frequency table:\n$plan")
+    assert(!plan.contains("documents.parquet"),
+      s"encode must not rescan the corpus:\n$plan")
+    assert(!plan.contains("explode"),
+      s"token stream re-exploded at encode time:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"encode must be map-only over the staged vocabulary:\n$plan")
+    assert(plan.contains("replace"),
+      s"learned merges should appear as literal replace calls:\n$plan")
+  }
+
   test("x56: the staged pair frame the audit consumes carries no minhash recompute") {
     // x56's returned frame is checkpoint-materialized (cache-lifecycle
     // rule), so pin the INPUT it consumes: the staged pairs must be a
