@@ -530,13 +530,21 @@ object QueriesTrainingData {
     // materialize the (slim: id + lang + count) result, then free the
     // signal cache — a library caller composing this operator must not
     // inherit its working-set storage
+    // substring-removal step (x62's machinery, counts only): surviving
+    // docs carry their POST-CLEAN token count, the number packing /
+    // budget operators should consume — detection without removal is
+    // half the Lee et al. pipeline
+    val covN = graft.text.CorpusOps.dupCoveredCounts(docs, "doc_id", "text", n = 8)
     val res = base
       .join(surv, col("fp") === col("s_fp") &&
         col("doc_id") === col("sid"), "left_semi")
       .join(nearDupDrop, col("doc_id") === col("drop_id"), "left_anti")
       .filter(col("n_tokens") >= 5 &&
         col("n_distinct").cast(DoubleType) / col("n_tokens").cast(DoubleType) > 0.3)
-      .select(col("doc_id"), col("lang_pred"), col("n_tokens"))
+      .join(covN, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang_pred"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_removed"), lit(0)))
+          .as("n_tokens_clean"))
       .localCheckpoint(true)
     base.unpersist()
     res
@@ -594,9 +602,20 @@ object QueriesTrainingData {
        |    CASE ${langs.map(l => s"WHEN $best > 0 AND s_$l = $best THEN '$l'").mkString(" ")}
        |         ELSE 'und' END AS lang_pred
        |  FROM feats),
-       |surv AS (SELECT fp, min(doc_id) AS sid FROM lang GROUP BY fp)
-       |SELECT l.doc_id, l.lang_pred, l.nt AS n_tokens
+       |surv AS (SELECT fp, min(doc_id) AS sid FROM lang GROUP BY fp),
+       |u8 AS (
+       |  SELECT doc_id, ws AS w, unnest(generate_series(1, len(ws) - 7)) AS i
+       |  FROM words WHERE len(ws) >= 8),
+       |g8 AS (SELECT doc_id, i, array_to_string(w[i:i+7], ' ') AS gram FROM u8),
+       |cg8 AS (SELECT gram, COUNT(*) AS cnt FROM g8 GROUP BY gram),
+       |ds8 AS (SELECT g8.doc_id, g8.i FROM g8 JOIN cg8 USING (gram) WHERE cnt > 1),
+       |cov8 AS (
+       |  SELECT DISTINCT doc_id, i + d AS pos FROM ds8 CROSS JOIN range(0, 8) s(d)),
+       |cn8 AS (SELECT doc_id, COUNT(*) AS n_removed FROM cov8 GROUP BY doc_id)
+       |SELECT l.doc_id, l.lang_pred, l.nt AS n_tokens,
+       |  CAST(l.nt - coalesce(c.n_removed, 0) AS BIGINT) AS n_tokens_clean
        |FROM lang l
+       |LEFT JOIN cn8 c ON c.doc_id = l.doc_id
        |JOIN surv s ON l.fp = s.fp AND l.doc_id = s.sid
        |WHERE l.doc_id NOT IN (SELECT drop_id FROM neardup)
        |  AND l.nt >= 5
@@ -2832,6 +2851,65 @@ object QueriesTrainingData {
       |  len(sub) AS n_subwords, array_to_string(sub, ' ') AS subwords
       |FROM fin""".stripMargin
 
+  /** Exact-substring dedup with REMOVAL — the other half of the Lee et
+    * al. pipeline x28 started: x28 reports which documents carry
+    * duplicated 8-gram runs; this emits the CLEANED TEXT with every
+    * covered token excised ([[graft.text.CorpusOps.dupSpanRemoval]]),
+    * the artifact a curation pipeline actually ships. A position is
+    * covered when any 8-gram instance through it occurs >1× in the
+    * corpus (x28's duplication signal at instance granularity).
+    * Scale shape: gram totals partial-combine in a hash aggregate
+    * (never a gram window), the per-doc covered set is bounded by the
+    * document's own length, and reconstruction is a LINEAR
+    * complement-gap slice HOF — no per-token membership scan. The
+    * oracle replays the same span subtraction positionally. */
+  def x62_substring_clean(spark: SparkSession, dir: String): DataFrame =
+    graft.text.CorpusOps.dupSpanRemoval(documents(spark, dir), "doc_id", "text", n = 8)
+      .withColumn("removed_frac",
+        when(col("n_tokens") > 0,
+          col("n_removed").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+          .otherwise(lit(0.0)))
+
+  val x62Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, text, string_split_regex(text, '\s+') AS w FROM documents),
+      |u AS (
+      |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
+      |  FROM t WHERE len(w) >= 8),
+      |g AS (
+      |  SELECT doc_id, i, array_to_string(w[i:i+7], ' ') AS gram FROM u),
+      |cg AS (SELECT gram, COUNT(*) AS cnt FROM g GROUP BY gram),
+      |ds AS (SELECT g.doc_id, g.i FROM g JOIN cg USING (gram) WHERE cnt > 1),
+      |cov AS (
+      |  SELECT DISTINCT doc_id, i + d AS pos
+      |  FROM ds CROSS JOIN range(0, 8) s(d)),
+      |cn AS (SELECT doc_id, COUNT(*) AS n_removed FROM cov GROUP BY doc_id),
+      |tok AS (
+      |  SELECT doc_id, unnest(w) AS tok,
+      |    unnest(generate_series(1, len(w))) AS pos
+      |  FROM t),
+      |kept AS (
+      |  SELECT k.doc_id, k.pos, k.tok
+      |  FROM tok k LEFT JOIN cov c ON k.doc_id = c.doc_id AND k.pos = c.pos
+      |  WHERE c.pos IS NULL),
+      |agg AS (
+      |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean
+      |  FROM kept GROUP BY doc_id),
+      |base AS (
+      |  SELECT d.doc_id,
+      |    CAST(CASE WHEN length(d.text) = 0 THEN 0
+      |         ELSE len(string_split_regex(d.text, '\s+')) END AS BIGINT) AS n_tokens,
+      |    CAST(coalesce(cn.n_removed, 0) AS BIGINT) AS n_removed,
+      |    coalesce(a.text_clean, '') AS text_clean
+      |  FROM documents d
+      |  LEFT JOIN cn ON cn.doc_id = d.doc_id
+      |  LEFT JOIN agg a ON a.doc_id = d.doc_id)
+      |SELECT doc_id, n_tokens, n_removed, text_clean,
+      |  CASE WHEN n_tokens > 0
+      |       THEN CAST(n_removed AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+      |       ELSE 0.0 END AS removed_frac
+      |FROM base""".stripMargin
+
   val x60Oracle: String =
     """WITH r AS (
       |  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
@@ -2844,6 +2922,7 @@ object QueriesTrainingData {
       |FROM r""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x62_substring_clean" -> (x62_substring_clean _),
     "x61_bpe_encode" -> (x61_bpe_encode _),
     "x60_quality_calibration" -> (x60_quality_calibration _),
     "x59_balanced_shards" -> (x59_balanced_shards _),
@@ -2907,6 +2986,7 @@ object QueriesTrainingData {
     "x10_multimodal_meta" -> (x10_multimodal_meta _))
 
   val oracle: Map[String, String] = Map(
+    "x62_substring_clean" -> x62Oracle,
     "x61_bpe_encode" -> x61Oracle,
     "x60_quality_calibration" -> x60Oracle,
     "x59_balanced_shards" -> x59Oracle,

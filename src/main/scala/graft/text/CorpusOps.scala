@@ -222,6 +222,81 @@ object CorpusOps {
     * path); the classification is a narrow CASE over the join output.
     * Fingerprints (not full texts) ride the shuffle, so the exchanged
     * bytes are id+8 per row regardless of document size. */
+  /** Covered-position sets for exact-substring dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better", at
+    * `n`-gram token granularity): a token position is covered when ANY
+    * `n`-gram instance through it occurs more than once in the corpus
+    * (the x28 duplication signal, kept at instance granularity so the
+    * spans are addressable). Returns one row per doc THAT HAS covered
+    * positions: (idCol, cov = sorted distinct 1-based positions).
+    *
+    * Shape at scale (the x28 discipline, extended):
+    *  - gram totals are a partial-combining HASH aggregate, never a
+    *    window over the gram key (a boilerplate gram in 10⁸ docs must
+    *    collapse map-side, not land in one sort partition);
+    *  - the (doc, start, gram) branch feeds the aggregate and the join
+    *    probe and is RECOMPUTED on both uses (recompute-over-cache: the
+    *    frame is corpus-token-sized), with AQE skew-split on the join
+    *    back;
+    *  - the per-doc covered set is one `collect_set` aggregate — group
+    *    size is bounded by the DOCUMENT's own length, the same per-doc
+    *    bound every reconstruction shape carries. */
+  private[graft] def dupCovered(docs: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    def grams = docs.select(col(idCol),
+      posexplode(TextOps.ngrams(TextOps.tokens(col(textCol)), n))
+        .as(Seq("i0", "gram")))
+      .select(col(idCol), (col("i0") + 1).as("start"), col("gram"))
+    val perGram = grams.groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+    grams.join(perGram.filter(col("cnt") > 1), "gram")
+      .select(col(idCol),
+        explode(sequence(col("start"), col("start") + (n - 1))).as("pos"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("pos"))).as("cov"))
+  }
+
+  /** Per-doc removed-token counts only (for compositions that budget on
+    * post-clean counts without reconstructing text, e.g. x14). */
+  def dupCoveredCounts(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame =
+    dupCovered(docs, idCol, textCol, n)
+      .select(col(idCol), size(col("cov")).as("n_removed"))
+
+  /** Exact-substring dedup WITH REMOVAL — emits the cleaned text a
+    * curation pipeline actually ships (x28 detects; this excises):
+    * every covered token position is dropped and the survivors re-join
+    * with single spaces (whitespace-normalized on BOTH engines — the
+    * no-dup doc is `concat_ws(' ', tokens)`, not the raw text, so the
+    * output convention is uniform). Returns (idCol, n_tokens,
+    * n_removed, text_clean).
+    *
+    * Reconstruction is LINEAR, not positions × tokens: the sorted
+    * covered set and the token array zip into complement gap slices —
+    * `flatten(zip_with(0 ++ cov, cov ++ [len+1], (a,b) -> slice(toks,
+    * a+1, b-a-1)))` — one narrow HOF projection per doc, no per-token
+    * membership scan (which would go quadratic on a fully-duplicated
+    * doc). Docs with no covered positions keep their token array
+    * untouched via the left join's null branch. */
+  def dupSpanRemoval(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    val covered = dupCovered(docs, idCol, textCol, n)
+    val toks = TextOps.tokens(col(textCol))
+    val nRaw = size(toks)
+    val lo = concat(array(lit(0)), col("cov"))
+    val hi = concat(col("cov"), array(nRaw + 1))
+    val kept = when(col("cov").isNull, toks)
+      .otherwise(flatten(zip_with(lo, hi,
+        (a, b) => slice(toks, a + 1, b - a - 1))))
+    docs.join(covered, Seq(idCol), "left")
+      .select(col(idCol),
+        TextOps.tokenCountOf(toks).cast(LongType).as("n_tokens"),
+        // explicit null branch (not coalesce(size(...))): legacy
+        // non-ANSI sessions make size(null) = -1, not null
+        when(col("cov").isNull, lit(0)).otherwise(size(col("cov")))
+          .cast(LongType).as("n_removed"),
+        concat_ws(" ", kept).as("text_clean"))
+  }
+
   def snapshotDiff(oldGen: DataFrame, newGen: DataFrame,
       idCol: String, fpCol: String): DataFrame = {
     val o = oldGen.select(col(idCol).as("__graft_id_o"), col(fpCol).as("fp_old"))

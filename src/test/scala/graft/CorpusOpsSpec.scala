@@ -146,4 +146,43 @@ class CorpusOpsSpec extends AnyFunSuite {
       .collect().head
     assert(r.getLong(2) === 3L && r.getLong(3) === 0L)
   }
+
+  test("substring removal: cross-doc and within-doc duplicated runs are excised") {
+    val docs = Seq(
+      (1L, "a b c d e f g h X Y"),   // shares the 8-gram a..h with doc 2
+      (2L, "a b c d e f g h P Q"),
+      (3L, "r r r r r r r r r"),     // within-doc dup: gram rrrrrrrr at i=1,2
+      (4L, "u v w x y z"),           // too short to carry an 8-gram
+      (5L, "m n o p q r s t")        // unique 8-gram, occurs once
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.dupSpanRemoval(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got(1L) === ((10L, 8L, "X Y")))
+    assert(got(2L) === ((10L, 8L, "P Q")))
+    // every position of doc 3 is covered by one of the two dup instances
+    assert(got(3L) === ((9L, 9L, "")))
+    assert(got(4L) === ((6L, 0L, "u v w x y z")))
+    assert(got(5L) === ((8L, 0L, "m n o p q r s t")))
+    // the counts-only view agrees and only lists affected docs
+    val counts = CorpusOps.dupCoveredCounts(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(counts === Map(1L -> 8, 2L -> 8, 3L -> 9))
+  }
+
+  test("substring removal: interior gap survives between two covered runs") {
+    // docs share PREFIX (1-8) and SUFFIX (11-18) 8-grams; the middle two
+    // tokens differ per doc and must survive as the only kept text
+    val pre = "a b c d e f g h"
+    val suf = "s t u v w x y z"
+    val docs = Seq(
+      (1L, s"$pre M1 N1 $suf"),
+      (2L, s"$pre M2 N2 $suf")
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.dupSpanRemoval(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got(1L) === ((18L, 16L, "M1 N1")))
+    assert(got(2L) === ((18L, 16L, "M2 N2")))
+  }
 }

@@ -631,6 +631,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(plan).length === 2, plan)
   }
 
+  test("x62: span removal — gram totals hash-aggregate (no window), linear reconstruction") {
+    val plan = executedPlan("x62_substring_clean")
+    // the x28 discipline carried into the removal: the gram count must
+    // partial-combine map-side, never window over the gram key (a
+    // boilerplate gram in 10^8 docs would single-sort otherwise), and
+    // the rebuild must be the complement-slice HOF, not a per-position
+    // join back onto exploded corpus tokens
+    assert(plan.contains("partial_count"), s"gram totals lost map-side combine:\n$plan")
+    assert(!plan.contains("WindowExec") && !plan.contains("Window ["),
+      s"no window belongs in the span-removal plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("zip_with"),
+      s"reconstruction should be the complement-gap slice HOF:\n$plan")
+    assert(plan.contains("collect_set"),
+      s"covered positions should aggregate per doc (bounded by doc length):\n$plan")
+  }
+
   test("x61: encode reads the STAGED vocabulary — zero corpus tokenize, zero exchanges") {
     val plan = executedPlan("x61_bpe_encode")
     // the pair-stat reuse pin: the registered query's executed plan must
