@@ -2910,6 +2910,101 @@ object QueriesTrainingData {
       |       ELSE 0.0 END AS removed_frac
       |FROM base""".stripMargin
 
+  /** URL/host canonicalization + domain-level dedup — standard web-corpus
+    * curation: normalize scheme/host case, default ports, `www.`,
+    * trailing slashes and query-parameter order ([[graft.text.UrlOps]],
+    * all codegen'd built-ins), dedup at the canonical-URL key (keep the
+    * lowest doc_id), then cap each registered domain at 12 canonical
+    * URLs. The testdata carries no URL column, so a deterministic messy
+    * raw URL is derived per document (scheme case / port / slash / param
+    * order all vary by doc_id; the oracle derives the identical string)
+    * — documents of one (source, lang) collapse to the SAME canonical
+    * URL, so the dedup key has real fan-in.
+    * Scale shape: canonicalization is narrow per-row work fused into the
+    * scan; URL dedup is one hash aggregate (map-side-combined min); the
+    * per-domain rank is the banded two-phase prefix sum — never a bare
+    * domain window, because one giant domain (the web has those) would
+    * otherwise serialize into a single task at 100×. */
+  def x63_url_domain_dedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.UrlOps
+    val raw = documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"))
+      .withColumn("url_raw", concat(
+        when(pmod(col("doc_id"), lit(3L)) === 0, lit("HTTPS"))
+          .otherwise(lit("https")),
+        lit("://"),
+        when(pmod(col("doc_id"), lit(2L)) === 0, lit("WWW.")).otherwise(lit("")),
+        col("source"), lit("."), col("lang"), lit("-corpus.ORG"),
+        when(pmod(col("doc_id"), lit(5L)) === 0, lit(":443")).otherwise(lit("")),
+        lit("/docs/"), col("lang"),
+        when(pmod(col("doc_id"), lit(4L)) === 0, lit("/")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(2L)) === 0, lit("?b=2&a=1"))
+          .otherwise(lit("?a=1&b=2"))))
+    val canon = raw.select(col("doc_id"),
+      UrlOps.canonicalize(col("url_raw")).as("url_canon"),
+      UrlOps.registeredDomain(col("url_raw")).as("domain"))
+    val keepers = canon.groupBy(col("url_canon"))
+      .agg(min(col("doc_id")).as("__graft_keeper"))
+    val flagged = canon.join(keepers, Seq("url_canon"))
+      .withColumn("url_keep", col("doc_id") === col("__graft_keeper"))
+    val keyed = flagged.filter(col("url_keep"))
+      .withColumn("__graft_bucket",
+        lpad(call_function("div", col("doc_id"), lit(4096L)).cast(StringType),
+          13, "0"))
+      .withColumn("__graft_one", lit(1L))
+    val ranked = graft.text.CorpusOps.twoPhasePrefixSum(keyed, Seq("domain"),
+        "__graft_bucket", Seq("doc_id"), "__graft_one", "__graft_rank")
+      .select(col("doc_id").as("__graft_kid"),
+        (col("__graft_rank") <= 12L).as("__graft_dk"))
+    flagged.join(ranked, flagged("doc_id") === ranked("__graft_kid"), "left")
+      .select(col("doc_id"), col("url_canon"), col("domain"), col("url_keep"),
+        coalesce(col("__graft_dk"), lit(false)).as("domain_keep"))
+  }
+
+  val x63Oracle: String =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END) ||
+      |    source || '.' || lang || '-corpus.ORG' ||
+      |    (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) ||
+      |    '/docs/' || lang ||
+      |    (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=1' ELSE '?a=1&b=2' END) AS url_raw
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id,
+      |    lower(regexp_extract(url_raw, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+      |    lower(regexp_extract(url_raw, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hp,
+      |    regexp_extract(url_raw, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS pth,
+      |    regexp_extract(url_raw, '\?([^#]*)', 1) AS qry
+      |  FROM u),
+      |c AS (
+      |  SELECT doc_id, sch,
+      |    regexp_replace(
+      |      CASE WHEN sch = 'https' THEN regexp_replace(hp, ':443$', '')
+      |           WHEN sch = 'http' THEN regexp_replace(hp, ':80$', '')
+      |           ELSE hp END, '^www\.', '') AS host,
+      |    CASE WHEN regexp_replace(pth, '/+$', '') = '' THEN '/'
+      |         ELSE regexp_replace(pth, '/+$', '') END AS cpath,
+      |    CASE WHEN qry = '' THEN ''
+      |         ELSE '?' || array_to_string(list_sort(string_split(qry, '&')), '&') END AS cq
+      |  FROM p),
+      |canon AS (
+      |  SELECT doc_id, sch || '://' || host || cpath || cq AS url_canon,
+      |    regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain
+      |  FROM c),
+      |k AS (SELECT url_canon, min(doc_id) AS keeper FROM canon GROUP BY url_canon),
+      |f AS (
+      |  SELECT c2.doc_id, c2.url_canon, c2.domain, c2.doc_id = k.keeper AS url_keep
+      |  FROM canon c2 JOIN k ON c2.url_canon = k.url_canon),
+      |r AS (
+      |  SELECT doc_id, row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rk
+      |  FROM f WHERE url_keep)
+      |SELECT f.doc_id, f.url_canon, f.domain, f.url_keep,
+      |  coalesce(r.rk <= 12, FALSE) AS domain_keep
+      |FROM f LEFT JOIN r ON f.doc_id = r.doc_id""".stripMargin
+
   val x60Oracle: String =
     """WITH r AS (
       |  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
@@ -2922,6 +3017,7 @@ object QueriesTrainingData {
       |FROM r""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x63_url_domain_dedup" -> (x63_url_domain_dedup _),
     "x62_substring_clean" -> (x62_substring_clean _),
     "x61_bpe_encode" -> (x61_bpe_encode _),
     "x60_quality_calibration" -> (x60_quality_calibration _),
@@ -2986,6 +3082,7 @@ object QueriesTrainingData {
     "x10_multimodal_meta" -> (x10_multimodal_meta _))
 
   val oracle: Map[String, String] = Map(
+    "x63_url_domain_dedup" -> x63Oracle,
     "x62_substring_clean" -> x62Oracle,
     "x61_bpe_encode" -> x61Oracle,
     "x60_quality_calibration" -> x60Oracle,

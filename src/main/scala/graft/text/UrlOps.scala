@@ -1,0 +1,66 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization for web-corpus curation — the normalization a
+  * domain-level dedup/cap pass needs before any grouping: raw crawl URLs
+  * differ in scheme/host case, default ports, `www.` prefixes, trailing
+  * slashes and query-parameter order while naming the same resource.
+  *
+  * Every function is a composition of codegen'd built-ins
+  * (`regexp_extract` / `regexp_replace` / `array_sort`) — no UDFs — so
+  * canonicalization runs inside whole-stage codegen on the scan, and the
+  * canonical key is available to push into the dedup shuffle directly.
+  * Mirrors the RFC 3986 §6.2.2 "syntax-based normalization" steps that
+  * are safe without fetching (case, default port, empty path) plus the
+  * crawl-pipeline conventions (strip `www.`, sort query params).
+  */
+object UrlOps {
+
+  private val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+  private val HostRe = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
+  private val PathRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)"
+  private val QueryRe = "\\?([^#]*)"
+
+  /** Lower-cased scheme; `""` when the value is not a URL. */
+  def scheme(url: Column): Column = lower(regexp_extract(url, SchemeRe, 1))
+
+  /** Canonical host: lower-cased, default port for the scheme stripped
+    * (`:443` for https, `:80` for http), leading `www.` removed. */
+  def canonicalHost(url: Column): Column = {
+    val sch = scheme(url)
+    val hp = lower(regexp_extract(url, HostRe, 1))
+    val dePorted = when(sch === "https", regexp_replace(hp, ":443$", ""))
+      .when(sch === "http", regexp_replace(hp, ":80$", ""))
+      .otherwise(hp)
+    regexp_replace(dePorted, "^www\\.", "")
+  }
+
+  /** Canonical path: trailing slashes dropped, empty path → `/`. */
+  def canonicalPath(url: Column): Column = {
+    val trimmed =
+      regexp_replace(regexp_extract(url, PathRe, 1), "/+$", "")
+    when(trimmed === "", lit("/")).otherwise(trimmed)
+  }
+
+  /** Canonical query: `&`-separated params sorted lexicographically;
+    * `""` when the URL has no query. */
+  def canonicalQuery(url: Column): Column = {
+    val q = regexp_extract(url, QueryRe, 1)
+    when(q === "", lit(""))
+      .otherwise(concat(lit("?"), array_join(array_sort(split(q, "&")), "&")))
+  }
+
+  /** Full canonical form: scheme://host/path?sorted-query. */
+  def canonicalize(url: Column): Column =
+    concat(scheme(url), lit("://"), canonicalHost(url), canonicalPath(url),
+      canonicalQuery(url))
+
+  /** Registered domain = last two dot-labels of the canonical host (the
+    * public-suffix list is an external artifact; two labels is the
+    * suffix-free approximation that groups `a.example.org` and
+    * `b.example.org` without it). */
+  def registeredDomain(url: Column): Column =
+    regexp_extract(canonicalHost(url), "([^.]+\\.[^.]+)$", 1)
+}

@@ -736,6 +736,25 @@ class PlanShapeSpec extends AnyFunSuite {
       "offsets and per-source totals should broadcast back")
   }
 
+  test("x63: URL dedup is ONE hash shuffle on the canonical key, no UDFs") {
+    val plan = executedPlan("x63_url_domain_dedup")
+    // canonicalization (regexp_extract/replace + array_sort) fuses into
+    // the scan-side codegen; the dedup min partial-combines before the
+    // single url_canon exchange
+    assert(plan.contains("partial_min"),
+      "URL-dedup min must map-side combine")
+    assert("Exchange hashpartitioning\\(url_canon".r.findAllIn(plan).nonEmpty,
+      "dedup aggregate must shuffle on the canonical-URL key")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      "canonicalization must stay codegen'd built-ins")
+    // per-domain cap ranks over (domain, bucket), never the bare domain
+    val rowWin = plan.linesIterator
+      .find(l => l.contains("Window") && l.contains("sum(1)"))
+      .getOrElse(fail("domain-cap rank window not found in plan"))
+    assert(rowWin.contains("__graft_bucket"),
+      s"domain cap must window over (domain, bucket), got: $rowWin")
+  }
+
   test("no gated plan contains a trivially-true self-equality predicate") {
     // `a#12 = a#12` (same exprId on both sides) means a join condition was
     // written against two frames that resolve to the SAME attribute — the

@@ -1,0 +1,60 @@
+package graft
+
+import graft.text.UrlOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** RFC 3986 §6.2.2 syntax-based normalization cases for [[UrlOps]]. */
+class UrlOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[(String, String)] =
+    urls.toDF("u")
+      .select(col("u"), UrlOps.canonicalize(col("u")).as("c"))
+      .as[(String, String)].collect().toSeq
+
+  test("scheme/host case, default port, www, slash, param order normalize") {
+    val got = canon(
+      "HTTPS://WWW.Example.COM:443/a/b/?b=2&a=1",
+      "https://example.com/a/b?a=1&b=2",
+      "HTTP://Sub.Example.org:80",
+      "http://sub.example.org/",
+      "https://example.com:8443/x",
+      "https://news.example.co/path///")
+    assert(got(0)._2 === "https://example.com/a/b?a=1&b=2")
+    assert(got(1)._2 === got(0)._2)
+    assert(got(2)._2 === "http://sub.example.org/")
+    assert(got(3)._2 === got(2)._2)
+    // non-default port survives
+    assert(got(4)._2 === "https://example.com:8443/x")
+    assert(got(5)._2 === "https://news.example.co/path")
+  }
+
+  test("registered domain is the last two labels of the canonical host") {
+    val got = Seq("https://WWW.a.b.Example.COM/x", "http://example.org")
+      .toDF("u").select(UrlOps.registeredDomain(col("u")))
+      .as[String].collect().toSeq
+    assert(got === Seq("example.com", "example.org"))
+  }
+
+  test("x63 end-to-end: URL dedup collapses (source, lang); cap is 12") {
+    val out = SparkEntry.queries("x63_url_domain_dedup")(
+      spark, "/root/testdata/sf0.001").cache()
+    try {
+      val n = out.count()
+      val keepers = out.filter(col("url_keep")).count()
+      // one keeper per distinct canonical URL = per (source, lang) pair
+      val pairs = Tables.documents(spark, "/root/testdata/sf0.001")
+        .select(col("source"), col("lang")).distinct().count()
+      assert(n === 500L && keepers === pairs)
+      // the per-domain cap binds: no domain keeps more than 12
+      val maxKept = out.filter(col("domain_keep"))
+        .groupBy(col("domain")).count()
+        .agg(max(col("count"))).as[Long].head()
+      assert(maxKept <= 12L)
+      // and it really filters (20 sources per domain > 12)
+      assert(out.filter(col("url_keep") && !col("domain_keep")).count() > 0)
+    } finally out.unpersist()
+  }
+}
