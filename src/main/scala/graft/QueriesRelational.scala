@@ -2315,7 +2315,89 @@ object QueriesRelational {
       |  (SELECT COUNT(*) FROM dl),
       |  (SELECT COUNT(*) FROM lineitem) - (SELECT COUNT(*) FROM dl)""".stripMargin
 
+  /** Three-verb CDC MERGE driven through the dtsx FRONTEND — q78's apply
+    * semantics, but arriving as package SQL: `CdcCustomerMergeETL.dtsx`
+    * stages the dimension base state and an I/U/D change feed with two
+    * rewritten INSERT…SELECT tasks, then its third Execute SQL task
+    * carries a three-verb `MERGE` that [[graft.patterns.LoadPatterns]]
+    * classifies as merge_scd (the reference analyzer.py:147-156 text
+    * surface) and [[graft.patterns.MergeSqlCompiler]] executes as a
+    * state replacement. The gated output is the post-merge dimension.
+    * Scale shape: one shuffle on the merge key for the anti/inner legs
+    * (AQE broadcasts the feed when it is small); staging tasks stay
+    * lazy Catalyst plans — no materialization barrier between tasks. */
+  def q80_dtsx_cdc_merge(spark: SparkSession, dir: String): DataFrame = {
+    val in = getClass.getResourceAsStream("/dtsx/CdcCustomerMergeETL.dtsx")
+    val xml = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    val pkg = graft.parser.DtsxParser.parseString(xml)
+    val tableRe = """\[\w+\]\.\[(\w+)\]""".r
+    val written = scala.collection.mutable.Map.empty[String, DataFrame]
+    // register a temp view per referenced warehouse table — runner state
+    // first, parquet testdata second; an INSERT's not-yet-created target
+    // resolves to neither and needs no view
+    def bind(sql: String): String = {
+      tableRe.findAllMatchIn(sql).map(_.group(1)).toSet[String].foreach { t =>
+        written.get(t).orElse {
+          val f = new java.io.File(s"$dir/$t.parquet")
+          if (f.exists) Some(spark.read.parquet(f.getAbsolutePath)) else None
+        }.foreach(_.createOrReplaceTempView(t))
+      }
+      tableRe.replaceAllIn(sql, m => m.group(1))
+    }
+    val env = graft.pipeline.PackageRunner.RuntimeEnv(
+      resolver = graft.sources.Sources.testdataResolver(spark, dir, written.get),
+      write = (table, df, mode) => {
+        val bare = tableRe.findFirstMatchIn(table).map(_.group(1)).getOrElse(table)
+        written(bare) = mode match {
+          case org.apache.spark.sql.SaveMode.Append =>
+            written.get(bare).map(_.unionByName(df)).getOrElse(df)
+          case _ => df
+        }
+      },
+      sqlExecutor = t => {
+        val bound = t.copy(sqlStatement = bind(t.sqlStatement))
+        graft.patterns.MergeSqlCompiler.rewrite(spark, bound,
+            name => written.getOrElse(name, spark.table(name)))
+          .orElse(graft.patterns.SqlPatternRewriter.rewrite(spark, bound))
+      })
+    val run = graft.pipeline.PackageRunner.run(spark, pkg, env)
+    require(!run.failed,
+      s"package failed: ${run.tasks.map(t => t.taskName -> t.status)}")
+    // the frontend really classified the MERGE text as merge_scd
+    val det = run.tasks.find(_.taskName == "Apply CDC Merge").flatMap(_.pattern)
+    require(det.exists(
+        _.pattern == graft.patterns.LoadPatterns.LoadPattern.MergeScd),
+      s"MERGE task not classified merge_scd: $det")
+    written("dim_customer").select(col("c_custkey"), col("c_name"),
+      col("c_acctbal").cast(DoubleType).as("c_acctbal"))
+  }
+
+  val q80Oracle: String =
+    """WITH base AS (
+      |  SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(12,2)) AS c_acctbal
+      |  FROM customer WHERE c_custkey % 10 <> 7),
+      |changes AS (
+      |  SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(12,2)) AS c_acctbal,
+      |    'I' AS op
+      |  FROM customer WHERE c_custkey % 10 = 7
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(12,2)), 'D'
+      |  FROM customer WHERE c_custkey % 10 <> 7 AND c_custkey % 13 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, CAST(c_acctbal + 10 AS DECIMAL(12,2)), 'U'
+      |  FROM customer
+      |  WHERE c_custkey % 10 <> 7 AND c_custkey % 11 = 0 AND c_custkey % 13 <> 0)
+      |SELECT b.c_custkey, b.c_name, CAST(b.c_acctbal AS DOUBLE) AS c_acctbal
+      |FROM base b WHERE b.c_custkey NOT IN (SELECT c_custkey FROM changes)
+      |UNION ALL
+      |SELECT b.c_custkey, c.c_name, CAST(c.c_acctbal AS DOUBLE)
+      |FROM base b JOIN changes c ON b.c_custkey = c.c_custkey WHERE c.op <> 'D'
+      |UNION ALL
+      |SELECT c.c_custkey, c.c_name, CAST(c.c_acctbal AS DOUBLE)
+      |FROM changes c WHERE c.c_custkey NOT IN (SELECT c_custkey FROM base)""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q80_dtsx_cdc_merge" -> (q80_dtsx_cdc_merge _),
     "q79_delete_cascade" -> (q79_delete_cascade _),
     "q78_cdc_apply" -> (q78_cdc_apply _),
     "q77_sync_log" -> (q77_sync_log _),
@@ -2390,6 +2472,7 @@ object QueriesRelational {
     "q22_date_functions" -> (q22_date_functions _))
 
   val oracle: Map[String, String] = Map(
+    "q80_dtsx_cdc_merge" -> q80Oracle,
     "q79_delete_cascade" -> q79Oracle,
     "q78_cdc_apply" -> q78Oracle,
     "q77_sync_log" -> q77Oracle,

@@ -1,0 +1,106 @@
+package graft.patterns
+
+import graft.ir.Ir.ExecuteSqlTask
+import graft.pipeline.PackageRunner.SqlOutcome
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Three-verb MERGE → Spark compile. The reference DETECTS the J5 MERGE
+  * surface from package SQL text (ssis-to-dbt `src/agents/analyzer.py:
+  * 147-156`) and hands it to manual review; here the canonical CDC shape
+  * also EXECUTES, so a package-authored change-feed apply runs end-to-end
+  * through parse → IR → runner (q80) exactly like dataflows do (q33):
+  *
+  * {{{
+  * MERGE INTO <target> AS t USING <source> AS s ON t.k = s.k [AND ...]
+  * WHEN MATCHED AND <delete-pred> THEN DELETE
+  * WHEN MATCHED THEN UPDATE SET col = expr, ...
+  * WHEN NOT MATCHED THEN INSERT (cols) VALUES (exprs)
+  * }}}
+  *
+  * Compiled to a state replacement — vanilla Spark has no mutable table,
+  * so the post-merge target state is built as
+  * `untouched (target anti-join on key) ∪ matched-and-updated ∪
+  * inserted` and written back with Overwrite: ONE shuffle on the merge
+  * key, the DELETE verb is the row's absence from both legs. Aliases are
+  * required and clause order is fixed (the canonical CDC authoring);
+  * any other MERGE returns None and stays a manual-review skip —
+  * executing half a MERGE is worse than not converting it.
+  */
+object MergeSqlCompiler {
+
+  private val mergeRe =
+    ("(?is)^\\s*merge\\s+into\\s+(\\S+)\\s+(?:as\\s+)?(\\w+)\\s+" +
+      "using\\s+(\\S+)\\s+(?:as\\s+)?(\\w+)\\s+on\\s+(.+?)\\s+" +
+      "when\\s+matched\\s+and\\s+(.+?)\\s+then\\s+delete\\s+" +
+      "when\\s+matched\\s+then\\s+update\\s+set\\s+(.+?)\\s+" +
+      "when\\s+not\\s+matched\\s+then\\s+insert\\s*\\(([^)]*)\\)\\s*" +
+      "values\\s*\\(([^)]*)\\)\\s*;?\\s*$").r
+
+  private val SrcPrefix = "__src_"
+
+  /** Translate alias-qualified references: `s.col` → `__src_col` (the
+    * renamed source frame), `t.col` → `col` (the target frame). */
+  private def xlate(e: String, tgtAlias: String, srcAlias: String): String = {
+    val q = java.util.regex.Pattern.quote _
+    e.replaceAll("(?i)\\b" + q(srcAlias) + "\\.", SrcPrefix)
+      .replaceAll("(?i)\\b" + q(tgtAlias) + "\\.", "")
+  }
+
+  /** Split on top-level commas only (a SET/VALUES expr may carry
+    * function-call commas inside parens). */
+  private def splitTop(s: String): List[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var depth = 0
+    val cur = new StringBuilder
+    s.foreach {
+      case '(' => depth += 1; cur.append('('): Unit
+      case ')' => depth -= 1; cur.append(')'): Unit
+      case ',' if depth == 0 => out += cur.toString.trim; cur.clear()
+      case c => cur.append(c): Unit
+    }
+    if (cur.nonEmpty) out += cur.toString.trim
+    out.toList.filter(_.nonEmpty)
+  }
+
+  /** Compile the statement if it is the canonical three-verb shape.
+    * `resolve` maps a statement-level table name to its current frame
+    * (the runner's written-state map backed by the warehouse). */
+  def rewrite(spark: SparkSession, task: ExecuteSqlTask,
+      resolve: String => DataFrame): Option[SqlOutcome] = {
+    val sql = SqlText.stripComments(task.sqlStatement)
+    mergeRe.findFirstMatchIn(sql).map { m =>
+      val (tgtName, tA) = (m.group(1), m.group(2))
+      val (srcName, sA) = (m.group(3), m.group(4))
+      val tgt = resolve(tgtName)
+      val srcP = resolve(srcName).columns
+        .foldLeft(resolve(srcName))((d, c) => d.withColumnRenamed(c, SrcPrefix + c))
+      val joinCond = expr(xlate(m.group(5), tA, sA))
+      val deletePred = expr(xlate(m.group(6), tA, sA))
+      val setMap = splitTop(m.group(7)).map { a =>
+        val i = a.indexOf('=')
+        require(i > 0, s"MERGE SET assignment has no '=': $a")
+        xlate(a.take(i).trim, tA, sA) -> expr(xlate(a.drop(i + 1).trim, tA, sA))
+      }.toMap
+      val insertCols = splitTop(m.group(8)).map(c => xlate(c, tA, sA))
+      val insertVals = splitTop(m.group(9)).map(v => expr(xlate(v, tA, sA)))
+      require(insertCols.length == insertVals.length,
+        s"MERGE INSERT arity mismatch: ${insertCols.length} cols, " +
+          s"${insertVals.length} values")
+      val insertMap = insertCols.zip(insertVals).toMap
+
+      val untouched = tgt.join(srcP, joinCond, "left_anti")
+      val updated = tgt.join(srcP, joinCond, "inner")
+        .filter(!deletePred)
+        .select(tgt.columns.toSeq.map(c => setMap.getOrElse(c, col(c)).as(c)): _*)
+      // WHEN NOT MATCHED inserts EVERY unmatched source row (SQL Server
+      // semantics — the op column does not gate inserts); absent target
+      // columns become typed NULLs
+      val inserted = srcP.join(tgt, joinCond, "left_anti")
+        .select(tgt.schema.fields.toSeq.map(f =>
+          insertMap.getOrElse(f.name, lit(null).cast(f.dataType)).as(f.name)): _*)
+      SqlOutcome(Some(untouched.unionByName(updated).unionByName(inserted)),
+        Some(tgtName), SaveMode.Overwrite)
+    }
+  }
+}

@@ -309,4 +309,54 @@ class PipelineSpec extends AnyFunSuite {
     assert(broken.planned.head.action.contains("PARAMETER BINDING FAILS"))
     assert(!broken.planned(1).action.contains("FAILS"))
   }
+
+  test("MergeSqlCompiler: three-verb MERGE executes; non-canonical stays None") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tgt = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "bal")
+    val feed = Seq((2L, "b2", 25.0, "U"), (3L, "c", 0.0, "D"), (9L, "z", 5.0, "I"))
+      .toDF("id", "name", "bal", "op")
+    val frames = Map("dim" -> tgt, "feed" -> feed)
+    val merge = graft.ir.Ir.ExecuteSqlTask("m", None, "conn",
+      "MERGE INTO dim AS t USING feed AS s ON t.id = s.id " +
+        "WHEN MATCHED AND s.op = 'D' THEN DELETE " +
+        "WHEN MATCHED THEN UPDATE SET name = s.name, bal = s.bal " +
+        "WHEN NOT MATCHED THEN INSERT (id, name, bal) VALUES (s.id, s.name, s.bal)")
+    val out = graft.patterns.MergeSqlCompiler.rewrite(spark, merge, frames)
+      .getOrElse(fail("canonical MERGE did not compile"))
+    assert(out.target.contains("dim"))
+    val rows = out.df.get.orderBy(col("id"))
+      .as[(Long, String, Double)].collect().toList
+    // 1 untouched, 2 updated, 3 deleted, 9 inserted
+    assert(rows === List((1L, "a", 10.0), (2L, "b2", 25.0), (9L, "z", 5.0)))
+    // missing clause (no DELETE verb) must NOT half-execute
+    val partial = merge.copy(sqlStatement =
+      "MERGE INTO dim AS t USING feed AS s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET name = s.name")
+    assert(graft.patterns.MergeSqlCompiler.rewrite(spark, partial, frames).isEmpty)
+    // insert-column subset: absent target columns become typed NULLs
+    val subset = merge.copy(sqlStatement =
+      "MERGE INTO dim AS t USING feed AS s ON t.id = s.id " +
+        "WHEN MATCHED AND s.op = 'D' THEN DELETE " +
+        "WHEN MATCHED THEN UPDATE SET bal = s.bal " +
+        "WHEN NOT MATCHED THEN INSERT (id, bal) VALUES (s.id, s.bal)")
+    val sub = graft.patterns.MergeSqlCompiler.rewrite(spark, subset, frames).get
+    val ins = sub.df.get.filter(col("id") === 9L).collect().head
+    assert(ins.isNullAt(1) && ins.getDouble(2) === 5.0)
+  }
+
+  test("CdcCustomerMergeETL: runner classifies MERGE task merge_scd end-to-end") {
+    val q80 = QueriesRelational.q80_dtsx_cdc_merge(spark, "/root/testdata/sf0.001")
+    // semantics replayed in-memory: base anti changes ∪ upserts
+    val n = q80.count()
+    assert(n > 0)
+    import org.apache.spark.sql.functions._
+    val cust = Tables.customer(spark, "/root/testdata/sf0.001")
+    val nBase = cust.filter(pmod(col("c_custkey"), lit(10)) =!= 7).count()
+    val nIns = cust.filter(pmod(col("c_custkey"), lit(10)) === 7).count()
+    val nDel = cust.filter(pmod(col("c_custkey"), lit(10)) =!= 7 &&
+      pmod(col("c_custkey"), lit(13)) === 0).count()
+    assert(n === nBase + nIns - nDel)
+  }
 }
