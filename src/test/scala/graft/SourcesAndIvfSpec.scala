@@ -161,4 +161,26 @@ class SourcesAndIvfSpec extends AnyFunSuite {
       rm(new java.io.File(dir))
     }
   }
+
+  test("x48: persisted IVF staging reuses — second call never rebuilds (no KMeans)") {
+    val sf = "/root/testdata/sf0.001"
+    SparkEntry.queries("x48_ann_ivf_persisted")(spark, sf).count(): Unit
+    val key = graft.ops.Bucketing.datasetKey(sf, Seq("embeddings.parquet"))
+    val stage = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_ivf_$key")
+    val built = new java.io.File(stage, "_built")
+    assert(built.exists(), "first call must leave the _built marker")
+    def mtimes() = {
+      def walk(f: java.io.File): Seq[(String, Long)] =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f.getAbsolutePath -> f.lastModified())
+      walk(stage).sortBy(_._1)
+    }
+    val before = mtimes()
+    SparkEntry.queries("x48_ann_ivf_persisted")(spark, sf).count(): Unit
+    assert(mtimes() === before,
+      "second call touched the staging dir — the KMeans build ran again " +
+        "instead of the metadata-only reuse path")
+  }
 }
