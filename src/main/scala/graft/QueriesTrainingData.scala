@@ -3005,6 +3005,136 @@ object QueriesTrainingData {
       |  coalesce(r.rk <= 12, FALSE) AS domain_keep
       |FROM f LEFT JOIN r ON f.doc_id = r.doc_id""".stripMargin
 
+  /** Epoch-mix repeat plan — the data-mixing step that turns per-source
+    * target weights into per-document replication factors (epoch factors:
+    * a 2.75-weight source repeats every doc twice and a deterministic
+    * three-quarters of them a third time). The fractional part is a
+    * per-doc md5 draw against an integer threshold — integer-exact,
+    * engine-reproducible, oracle-replayable; weights derive here from
+    * the source id in exact quarters (0.5 / 1.25 / 2.0 / 2.75).
+    * Scale shape: FULLY NARROW — a real pipeline broadcasts the weight
+    * table, the draw is a scan-fused expression, zero exchanges at any
+    * corpus size; downstream the expected repeat mass per source audits
+    * with one partial-combining aggregate. */
+  def x64_epoch_mix_plan(spark: SparkSession, dir: String): DataFrame = {
+    val srcI = substring(col("source"), 4, 10).cast(IntegerType)
+    // weight in quarters: 2,5,8,11 → 0.5, 1.25, 2.0, 2.75 epochs
+    val wNum = lit(2) + pmod(srcI, lit(4)) * lit(3)
+    val draw = pmod(graft.text.TextOps.stableHash64(
+      concat(lit("x64|"), col("doc_id").cast(StringType))), lit(4L))
+    documents(spark, dir).select(
+      col("doc_id"), col("source"),
+      (wNum.cast(DoubleType) / lit(4.0)).as("weight"),
+      (call_function("div", wNum, lit(4)).cast(LongType) +
+        when(draw < pmod(wNum, lit(4)).cast(LongType), 1L).otherwise(0L))
+        .as("n_repeats"))
+  }
+
+  val x64Oracle: String =
+    """SELECT doc_id, source,
+      |  CAST(2 + (CAST(substr(source, 4) AS INT) % 4) * 3 AS DOUBLE) / 4.0 AS weight,
+      |  CAST((2 + (CAST(substr(source, 4) AS INT) % 4) * 3) // 4 AS BIGINT)
+      |    + CASE WHEN CAST(('0x' || substr(md5('x64|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 4
+      |             < (2 + (CAST(substr(source, 4) AS INT) % 4) * 3) % 4
+      |      THEN 1 ELSE 0 END AS n_repeats
+      |FROM documents""".stripMargin
+
+  /** OOV-rate against the LEARNED vocabulary — the coverage audit run
+    * before committing to a tokenizer: the share of each document's
+    * tokens outside the top-24 staged word-frequency vocabulary (the
+    * x55/x61 artifact, deterministic (wf DESC, w) tie-break). Third
+    * consumer of [[stagedWordFreq]]: the corpus is tokenized once per
+    * dataset content, never re-exploded per consumer.
+    * Scale shape: the top-k runs over the VOCABULARY (TakeOrdered on
+    * |vocab| rows, never a corpus sort) and broadcasts into the token
+    * join; per-doc counts partial-combine before the one doc_id
+    * exchange. */
+  def x65_oov_rate(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = stagedWordFreq(spark, dir)
+      .orderBy(col("wf").desc, col("w")).limit(24)
+      .select(col("w"), lit(1).as("__graft_iv"))
+    val toks = documents(spark, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+    toks.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__graft_iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+  }
+
+  val x65Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w FROM documents),
+      |tt AS (SELECT doc_id, w FROM toks WHERE w <> ''),
+      |wf AS (
+      |  SELECT w, COUNT(*) AS wf FROM tt
+      |  WHERE NOT contains(w, chr(31)) GROUP BY w),
+      |vocab AS (SELECT w FROM wf ORDER BY wf DESC, w LIMIT 24)
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      |  CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |  CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*) AS oov_rate
+      |FROM tt LEFT JOIN vocab v ON tt.w = v.w
+      |GROUP BY doc_id""".stripMargin
+
+  /** Intra-document language-consistency audit (code-switch detection):
+    * the x03 marker-scoring language ID applied independently to the
+    * first and second halves of each document's token stream; a document
+    * whose halves disagree (both determinate) is flagged — the curation
+    * signal for spliced/concatenated crawl documents that a whole-doc
+    * language ID averages away.
+    * Scale shape: fully narrow — both half-scores are array HOFs fused
+    * into the scan (no explode, no shuffle); the argmax is the same
+    * deterministic alphabetical tie-break x03 pins. */
+  def x66_code_switch(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir)
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        TextOps.tokens(col("text")).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .withColumn("__h",
+        call_function("div", col("__n").cast(LongType), lit(2L))
+          .cast(IntegerType))
+    d.select(col("doc_id"), col("labeled_lang"),
+        TextOps.languageIdOf(slice(col("__toks"), lit(1), col("__h")))
+          .as("lang_head"),
+        TextOps.languageIdOf(
+          slice(col("__toks"), col("__h") + 1, col("__n") - col("__h")))
+          .as("lang_tail"))
+      .withColumn("code_switch",
+        col("lang_head") =!= col("lang_tail") &&
+          col("lang_head") =!= "und" && col("lang_tail") =!= "und")
+  }
+
+  val x66Oracle: String = {
+    def score(alias: String, markers: Seq[String]) =
+      s"len(list_filter($alias, x -> x IN (${markers.map("'" + _ + "'").mkString(",")})))"
+    val langs = TextOps.languageMarkers.keys.toSeq.sorted // de,en,es,fr,zh
+    def argmax(prefix: String) = {
+      val best = s"greatest(${langs.map(l => s"${prefix}_$l").mkString(",")})"
+      s"CASE ${langs.map(l => s"WHEN $best > 0 AND ${prefix}_$l = $best THEN '$l'").mkString(" ")} ELSE 'und' END"
+    }
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, string_split_regex(text, '\\s+') AS w FROM documents),
+       |h AS (
+       |  SELECT doc_id, lang, w[1:len(w)//2] AS wh,
+       |    w[len(w)//2+1:len(w)] AS wt
+       |  FROM t),
+       |scored AS (
+       |  SELECT doc_id, lang,
+       |    ${langs.map(l => s"${score("wh", TextOps.languageMarkers(l))} AS h_$l").mkString(", ")},
+       |    ${langs.map(l => s"${score("wt", TextOps.languageMarkers(l))} AS t_$l").mkString(", ")}
+       |  FROM h),
+       |pred AS (
+       |  SELECT doc_id, lang AS labeled_lang,
+       |    ${argmax("h")} AS lang_head, ${argmax("t")} AS lang_tail
+       |  FROM scored)
+       |SELECT doc_id, labeled_lang, lang_head, lang_tail,
+       |  lang_head <> lang_tail AND lang_head <> 'und' AND lang_tail <> 'und' AS code_switch
+       |FROM pred""".stripMargin
+  }
+
   val x60Oracle: String =
     """WITH r AS (
       |  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
@@ -3017,6 +3147,9 @@ object QueriesTrainingData {
       |FROM r""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x66_code_switch" -> (x66_code_switch _),
+    "x65_oov_rate" -> (x65_oov_rate _),
+    "x64_epoch_mix_plan" -> (x64_epoch_mix_plan _),
     "x63_url_domain_dedup" -> (x63_url_domain_dedup _),
     "x62_substring_clean" -> (x62_substring_clean _),
     "x61_bpe_encode" -> (x61_bpe_encode _),
@@ -3082,6 +3215,9 @@ object QueriesTrainingData {
     "x10_multimodal_meta" -> (x10_multimodal_meta _))
 
   val oracle: Map[String, String] = Map(
+    "x66_code_switch" -> x66Oracle,
+    "x65_oov_rate" -> x65Oracle,
+    "x64_epoch_mix_plan" -> x64Oracle,
     "x63_url_domain_dedup" -> x63Oracle,
     "x62_substring_clean" -> x62Oracle,
     "x61_bpe_encode" -> x61Oracle,

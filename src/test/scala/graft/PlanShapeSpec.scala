@@ -736,6 +736,23 @@ class PlanShapeSpec extends AnyFunSuite {
       "offsets and per-source totals should broadcast back")
   }
 
+  test("x64/x66: epoch-mix plan and code-switch audit stay narrow (zero exchanges)") {
+    for (q <- Seq("x64_epoch_mix_plan", "x66_code_switch")) {
+      val plan = executedPlan(q)
+      assert(!plan.contains("Exchange"), s"$q must not shuffle:\n$plan")
+    }
+  }
+
+  test("x65: vocab top-k is TakeOrdered and broadcasts; doc counts partial-combine") {
+    val plan = executedPlan("x65_oov_rate")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-24 vocab must be a TakeOrdered over the vocabulary, not a global sort")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the 24-word vocab must broadcast into the token join")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      "per-doc counts must map-side combine")
+  }
+
   test("x63: URL dedup is ONE hash shuffle on the canonical key, no UDFs") {
     val plan = executedPlan("x63_url_domain_dedup")
     // canonicalization (regexp_extract/replace + array_sort) fuses into
