@@ -277,7 +277,88 @@ object QueriesStreaming {
       |FROM k WHERE doc_id % 10 = 7 AND fp NOT IN (SELECT fp FROM c)
       |GROUP BY fp""".stripMargin
 
+  /** Streaming CDC COMPACTION — the state-store half of the q80 story:
+    * a two-wave I/U/D change feed (wave 1 = the q78 feed, wave 2 = a
+    * later +5 balance correction for every key ≡0 mod 7, overlapping
+    * wave-1 keys) streams through a Complete-mode latest-op-wins
+    * aggregate: `max(struct(seq, …))` per key is the Kafka-compaction /
+    * CDC-materialization semantics, and because max is order-blind the
+    * drained table is deterministic regardless of how the file source
+    * batches arrivals — which is what makes it oracle-checkable.
+    * Scale shape: state is ONE struct row per changed key (never the
+    * feed), the aggregate partial-combines per microbatch, and the
+    * compacted current-state table is exactly what a downstream q80-style
+    * apply joins against. */
+  def q81_stream_cdc_compaction(spark: SparkSession, dir: String): DataFrame = {
+    val stage = stagedCdcFeed(spark, dir)
+    val schema = spark.read.parquet(stage).schema
+    val compacted = StreamingOps.fileStream(spark, stage, schema)
+      .groupBy(col("c_custkey"))
+      .agg(max(struct(col("seq"), col("op"), col("c_name"), col("c_acctbal")))
+        .as("last"))
+      .select(col("c_custkey"), col("last.op").as("op"),
+        col("last.c_name").as("c_name"),
+        col("last.c_acctbal").cast(DoubleType).as("c_acctbal"))
+    StreamingOps.drainToMemory(compacted, "q81_out", ckpt(), OutputMode.Complete)
+  }
+
+  /** Staged two-wave CDC feed parquet for the FileStreamSource, cached
+    * per testdata dir (same lifecycle as [[stagedEvents]]). seq is the
+    * change-log order; keys may appear in both waves. */
+  private val stagedCdcFeedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  private def stagedCdcFeed(spark: SparkSession, dir: String): String = {
+    val money = DecimalType(12, 2)
+    stagedCdcFeedDirs.computeIfAbsent(dir, _ => {
+      val p = QueriesRelational.tempDirCleanedOnExit("graft-cdc-feed")
+      val cust = Tables.customer(spark, dir).select(col("c_custkey"),
+        col("c_name"), col("c_acctbal").cast(money).as("c_acctbal"))
+      val base = cust.filter(pmod(col("c_custkey"), lit(10)) =!= 7)
+      val w1 = cust.filter(pmod(col("c_custkey"), lit(10)) === 7)
+        .withColumn("op", lit("I"))
+        .unionByName(base.filter(pmod(col("c_custkey"), lit(13)) === 0)
+          .withColumn("op", lit("D")))
+        .unionByName(base
+          .filter(pmod(col("c_custkey"), lit(11)) === 0 &&
+            pmod(col("c_custkey"), lit(13)) =!= 0)
+          .withColumn("c_acctbal", (col("c_acctbal") + lit(10)).cast(money))
+          .withColumn("op", lit("U")))
+        .withColumn("seq", lit(1))
+      val w2 = cust.filter(pmod(col("c_custkey"), lit(7)) === 0)
+        .withColumn("c_acctbal", (col("c_acctbal") + lit(5)).cast(money))
+        .withColumn("op", lit("U"))
+        .withColumn("seq", lit(2))
+      w1.unionByName(w2).write.mode("overwrite").parquet(p.toString)
+      p
+    }).toString
+  }
+
+  val q81Oracle: String =
+    """WITH cust AS (
+      |  SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(12,2)) AS c_acctbal
+      |  FROM customer),
+      |base AS (SELECT * FROM cust WHERE c_custkey % 10 <> 7),
+      |feed AS (
+      |  SELECT c_custkey, c_name, c_acctbal, 'I' AS op, 1 AS seq
+      |  FROM cust WHERE c_custkey % 10 = 7
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, c_acctbal, 'D', 1 FROM base WHERE c_custkey % 13 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, CAST(c_acctbal + 10 AS DECIMAL(12,2)), 'U', 1
+      |  FROM base WHERE c_custkey % 11 = 0 AND c_custkey % 13 <> 0
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, CAST(c_acctbal + 5 AS DECIMAL(12,2)), 'U', 2
+      |  FROM cust WHERE c_custkey % 7 = 0),
+      |last AS (
+      |  SELECT c_custkey, op, c_name, c_acctbal,
+      |    row_number() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rn
+      |  FROM feed)
+      |SELECT c_custkey, op, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+      |FROM last WHERE rn = 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q81_stream_cdc_compaction" -> (q81_stream_cdc_compaction _),
     "q43_stream_windowed_agg" -> (q43_stream_windowed_agg _),
     "q44_stream_sessionization" -> (q44_stream_sessionization _),
     "q55_stream_dedup" -> (q55_stream_dedup _),
@@ -286,6 +367,7 @@ object QueriesStreaming {
     "q69_stream_dedup_bounded" -> (q69_stream_dedup_bounded _))
 
   val oracle: Map[String, String] = Map(
+    "q81_stream_cdc_compaction" -> q81Oracle,
     "q43_stream_windowed_agg" -> q43Oracle,
     "q44_stream_sessionization" -> q44Oracle,
     "q55_stream_dedup" -> q55Oracle,

@@ -3005,6 +3005,69 @@ object QueriesTrainingData {
       |  coalesce(r.rk <= 12, FALSE) AS domain_keep
       |FROM f LEFT JOIN r ON f.doc_id = r.doc_id""".stripMargin
 
+  /** Per-document SUBWORD budget — the unit a real pipeline packs and
+    * mixes on: each document's token stream priced in x61's learned BPE
+    * segmentation (n_bpe_tokens) next to the whitespace count the older
+    * budgeters used, plus the expansion ratio between them. Closes the
+    * loop the round-9 brief opened: x30 packing / x46 budget mixing /
+    * x59 shard balancing can now take `n_bpe_tokens` as their size
+    * column with no further machinery ([[graft.text.Bpe.docSubwordCounts]]).
+    * Scale shape: the encode runs over the staged VOCABULARY (x61 —
+    * vocabulary-sized, never corpus-sized) and the per-word subword
+    * count broadcasts into the corpus token join; per-doc sums
+    * partial-combine before the one doc_id exchange. */
+  def x67_subword_budget(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Bpe
+    val wf = stagedWordFreq(spark, dir)
+    val merges = Bpe.learnMerges(wf, 24)
+    val enc = wf.select(col("w"),
+        Bpe.subwords(Bpe.applyMerges(Bpe.wrap(col("w")), merges)).as("sub"))
+      .select(col("w"), size(col("sub")).as("n_subwords"))
+    Bpe.docSubwordCounts(documents(spark, dir), broadcast(enc))
+      .select(col("doc_id"), col("n_ws_tokens"),
+        col("n_bpe_tokens").cast(LongType).as("n_bpe_tokens"))
+      .withColumn("expansion",
+        col("n_bpe_tokens").cast(DoubleType) / col("n_ws_tokens").cast(DoubleType))
+  }
+
+  val x67Oracle: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT unnest(string_split_regex(text, '\s+')) AS w FROM documents),
+      |wf AS (
+      |  SELECT w, COUNT(*) AS wf FROM toks
+      |  WHERE w <> '' AND NOT contains(w, chr(31)) GROUP BY w),
+      |p AS (
+      |  SELECT wf, unnest(list_transform(
+      |    generate_series(1, length(w) - 1), i -> w[i:i+1])) AS pair
+      |  FROM wf WHERE length(w) >= 2),
+      |ps AS (SELECT pair, SUM(wf) AS n FROM p GROUP BY pair),
+      |merges AS (
+      |  SELECT pair, CAST(row_number() OVER (ORDER BY n DESC, pair) AS INT) AS rk
+      |  FROM ps ORDER BY n DESC, pair LIMIT 24),
+      |enc AS (
+      |  SELECT w, wf,
+      |    chr(31) || regexp_replace(w, '(.)', '\1' || chr(31) || chr(31), 'g') AS s,
+      |    0 AS r
+      |  FROM wf
+      |  UNION ALL
+      |  SELECT e.w, e.wf,
+      |    replace(e.s,
+      |      chr(31) || m.pair[1] || chr(31) || chr(31) || m.pair[2] || chr(31),
+      |      chr(31) || m.pair || chr(31)),
+      |    e.r + 1
+      |  FROM enc e JOIN merges m ON m.rk = e.r + 1),
+      |fin AS (
+      |  SELECT w, len(list_filter(string_split(s, chr(31)), x -> x <> '')) AS n_subwords
+      |  FROM enc WHERE r = (SELECT COUNT(*) FROM merges)),
+      |tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w FROM documents),
+      |tt AS (SELECT doc_id, w FROM tok WHERE w <> '' AND NOT contains(w, chr(31)))
+      |SELECT doc_id, COUNT(*) AS n_ws_tokens,
+      |  CAST(SUM(f.n_subwords) AS BIGINT) AS n_bpe_tokens,
+      |  CAST(SUM(f.n_subwords) AS DOUBLE) / COUNT(*) AS expansion
+      |FROM tt JOIN fin f ON tt.w = f.w
+      |GROUP BY doc_id""".stripMargin
+
   /** Epoch-mix repeat plan — the data-mixing step that turns per-source
     * target weights into per-document replication factors (epoch factors:
     * a 2.75-weight source repeats every doc twice and a deterministic
@@ -3147,6 +3210,7 @@ object QueriesTrainingData {
       |FROM r""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x67_subword_budget" -> (x67_subword_budget _),
     "x66_code_switch" -> (x66_code_switch _),
     "x65_oov_rate" -> (x65_oov_rate _),
     "x64_epoch_mix_plan" -> (x64_epoch_mix_plan _),
@@ -3215,6 +3279,7 @@ object QueriesTrainingData {
     "x10_multimodal_meta" -> (x10_multimodal_meta _))
 
   val oracle: Map[String, String] = Map(
+    "x67_subword_budget" -> x67Oracle,
     "x66_code_switch" -> x66Oracle,
     "x65_oov_rate" -> x65Oracle,
     "x64_epoch_mix_plan" -> x64Oracle,

@@ -753,6 +753,14 @@ class PlanShapeSpec extends AnyFunSuite {
       "per-doc counts must map-side combine")
   }
 
+  test("x67: subword budget broadcasts the encoded vocab; doc sums partial-combine") {
+    val plan = executedPlan("x67_subword_budget")
+    assert(plan.contains("BroadcastHashJoin"),
+      "per-word subword counts must broadcast into the corpus token join")
+    assert(plan.contains("partial_sum"),
+      "per-doc subword sums must map-side combine")
+  }
+
   test("x63: URL dedup is ONE hash shuffle on the canonical key, no UDFs") {
     val plan = executedPlan("x63_url_domain_dedup")
     // canonicalization (regexp_extract/replace + array_sort) fuses into
