@@ -3068,6 +3068,72 @@ object QueriesTrainingData {
       |FROM tt JOIN fin f ON tt.w = f.w
       |GROUP BY doc_id""".stripMargin
 
+  /** Sequence packing on the SUBWORD budget — x30's greedy per-source
+    * packing re-run with x67's learned-BPE document sizes as the budget
+    * column ([[graft.text.CorpusOps.sequencePackingBySize]]): the pack
+    * boundaries a trainer actually needs, since context windows are
+    * measured in model tokens, not whitespace words. Demonstrates the
+    * size-column generalization: any per-doc budget (bytes, subwords,
+    * chars) packs through the identical two-phase prefix-sum shape.
+    * Scale shape: inherits x67's vocabulary-sized encode + broadcast
+    * join, then the x30 machinery — row cumsum windows on (source,
+    * bucket), offsets broadcast; never a bare source window. */
+  def x68_subword_packing(spark: SparkSession, dir: String): DataFrame = {
+    val sized = x67_subword_budget(spark, dir)
+      .select(col("doc_id"), col("n_bpe_tokens"))
+    val docs = documents(spark, dir).select(col("doc_id"), col("source"))
+      .join(sized, Seq("doc_id"))
+    graft.text.CorpusOps.sequencePackingBySize(docs, "doc_id", "source",
+      col("n_bpe_tokens"), "n_bpe_tokens", cap = 512)
+  }
+
+  val x68Oracle: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT unnest(string_split_regex(text, '\s+')) AS w FROM documents),
+      |wf AS (
+      |  SELECT w, COUNT(*) AS wf FROM toks
+      |  WHERE w <> '' AND NOT contains(w, chr(31)) GROUP BY w),
+      |p AS (
+      |  SELECT wf, unnest(list_transform(
+      |    generate_series(1, length(w) - 1), i -> w[i:i+1])) AS pair
+      |  FROM wf WHERE length(w) >= 2),
+      |ps AS (SELECT pair, SUM(wf) AS n FROM p GROUP BY pair),
+      |merges AS (
+      |  SELECT pair, CAST(row_number() OVER (ORDER BY n DESC, pair) AS INT) AS rk
+      |  FROM ps ORDER BY n DESC, pair LIMIT 24),
+      |enc AS (
+      |  SELECT w, wf,
+      |    chr(31) || regexp_replace(w, '(.)', '\1' || chr(31) || chr(31), 'g') AS s,
+      |    0 AS r
+      |  FROM wf
+      |  UNION ALL
+      |  SELECT e.w, e.wf,
+      |    replace(e.s,
+      |      chr(31) || m.pair[1] || chr(31) || chr(31) || m.pair[2] || chr(31),
+      |      chr(31) || m.pair || chr(31)),
+      |    e.r + 1
+      |  FROM enc e JOIN merges m ON m.rk = e.r + 1),
+      |fin AS (
+      |  SELECT w, len(list_filter(string_split(s, chr(31)), x -> x <> '')) AS n_subwords
+      |  FROM enc WHERE r = (SELECT COUNT(*) FROM merges)),
+      |tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w FROM documents),
+      |tt AS (SELECT doc_id, w FROM tok WHERE w <> '' AND NOT contains(w, chr(31))),
+      |per AS (
+      |  SELECT doc_id, CAST(SUM(f.n_subwords) AS BIGINT) AS n_bpe_tokens
+      |  FROM tt JOIN fin f ON tt.w = f.w GROUP BY doc_id),
+      |d AS (
+      |  SELECT d.doc_id, d.source, p.n_bpe_tokens
+      |  FROM documents d JOIN per p ON d.doc_id = p.doc_id),
+      |c AS (
+      |  SELECT doc_id, source, n_bpe_tokens,
+      |    SUM(n_bpe_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM d)
+      |SELECT doc_id, source, n_bpe_tokens,
+      |  CAST((cum - n_bpe_tokens) // 512 AS BIGINT) AS pack_id
+      |FROM c""".stripMargin
+
   /** Epoch-mix repeat plan — the data-mixing step that turns per-source
     * target weights into per-document replication factors (epoch factors:
     * a 2.75-weight source repeats every doc twice and a deterministic
@@ -3210,6 +3276,7 @@ object QueriesTrainingData {
       |FROM r""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x68_subword_packing" -> (x68_subword_packing _),
     "x67_subword_budget" -> (x67_subword_budget _),
     "x66_code_switch" -> (x66_code_switch _),
     "x65_oov_rate" -> (x65_oov_rate _),
@@ -3279,6 +3346,7 @@ object QueriesTrainingData {
     "x10_multimodal_meta" -> (x10_multimodal_meta _))
 
   val oracle: Map[String, String] = Map(
+    "x68_subword_packing" -> x68Oracle,
     "x67_subword_budget" -> x67Oracle,
     "x66_code_switch" -> x66Oracle,
     "x65_oov_rate" -> x65Oracle,

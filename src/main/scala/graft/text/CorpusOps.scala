@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
 
@@ -77,7 +77,16 @@ object CorpusOps {
     * balance (dense or uniformly-spread ids — the ingest-sequence norm —
     * keep buckets ~`bucketRows`). */
   def sequencePacking(docs: DataFrame, idCol: String, sourceCol: String,
-      textCol: String, cap: Int = 512, bucketRows: Int = 4096): DataFrame = {
+      textCol: String, cap: Int = 512, bucketRows: Int = 4096): DataFrame =
+    sequencePackingBySize(docs, idCol, sourceCol,
+      size(TextOps.tokens(col(textCol))), "n_tokens", cap, bucketRows)
+
+  /** [[sequencePacking]] generalized over the size column: pack on ANY
+    * per-document budget — whitespace tokens (x30), learned subword
+    * counts (x68), bytes — with the same two-phase prefix-sum shape. */
+  def sequencePackingBySize(docs: DataFrame, idCol: String, sourceCol: String,
+      sizeExpr: Column, sizeName: String, cap: Int = 512,
+      bucketRows: Int = 4096): DataFrame = {
     // Phase 0 (driver, column-pruned scan of the id column only): the
     // bucket width that yields ~n/bucketRows monotone buckets.
     val stats = docs.agg(count(lit(1)).as("n"),
@@ -92,13 +101,13 @@ object CorpusOps {
     val width = math.max(1L, (hi - lo) / targetBuckets + 1L)
 
     val sized = docs.select(col(idCol), col(sourceCol),
-        size(TextOps.tokens(col(textCol))).cast(LongType).as("n_tokens"))
+        sizeExpr.cast(LongType).as(sizeName))
       .withColumn("__graft_bucket",
         expr(s"(cast(`$idCol` as bigint) - ${lo}L) div ${width}L"))
     twoPhasePrefixSum(sized, Seq(sourceCol), "__graft_bucket", Seq(idCol),
-        "n_tokens", "__graft_cum")
-      .select(col(idCol), col(sourceCol), col("n_tokens"),
-        expr(s"(__graft_cum - n_tokens) div $cap").as("pack_id"))
+        sizeName, "__graft_cum")
+      .select(col(idCol), col(sourceCol), col(sizeName),
+        expr(s"(__graft_cum - `$sizeName`) div $cap").as("pack_id"))
   }
 
   /** Deterministic global corpus shuffle + shard assignment — the step
