@@ -3068,6 +3068,41 @@ object QueriesTrainingData {
       |FROM tt JOIN fin f ON tt.w = f.w
       |GROUP BY doc_id""".stripMargin
 
+  /** Chunk→document embedding MEAN-POOLING — the aggregation step after
+    * chunk-level embedding (x26 windows → encoder → one vector per
+    * chunk): consecutive chunks (vec_id div 10) pool element-wise into a
+    * document vector. Elements are fixed-point-quantized (×10⁶,
+    * floor(x+0.5) — the x37 rounding convention that sidesteps HALF_UP
+    * vs HALF_EVEN divergence) so the pooled mean is an exact integer sum
+    * divided once at the end — bit-identical in any engine and
+    * order-blind, which is what makes a float aggregation
+    * oracle-checkable at all.
+    * Scale shape: the explode fan-out is the FIXED embedding dim (×64,
+    * not data-dependent) and the (group, pos) aggregate partial-combines
+    * before its one exchange; output is |groups|×dim, corpus-independent
+    * per group. */
+  def x69_chunk_mean_pool(spark: SparkSession, dir: String): DataFrame =
+    embeddings(spark, dir)
+      .select(call_function("div", col("vec_id"), lit(10L)).as("group_id"),
+        posexplode(col("embedding")))
+      .select(col("group_id"), col("pos"),
+        floor(col("col").cast(DoubleType) * lit(1000000.0) + lit(0.5))
+          .cast(LongType).as("q"))
+      .groupBy(col("group_id"), col("pos"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("q")).as("qsum"))
+      .select(col("group_id"), col("pos"), col("n_chunks"),
+        (col("qsum").cast(DoubleType) /
+          (col("n_chunks").cast(DoubleType) * lit(1000000.0))).as("pooled"))
+
+  val x69Oracle: String =
+    """WITH e AS (
+      |  SELECT vec_id // 10 AS group_id, CAST(i - 1 AS INT) AS pos,
+      |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS q
+      |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(i))
+      |SELECT group_id, pos, COUNT(*) AS n_chunks,
+      |  CAST(SUM(q) AS DOUBLE) / (COUNT(*) * 1000000.0) AS pooled
+      |FROM e GROUP BY group_id, pos""".stripMargin
+
   /** Sequence packing on the SUBWORD budget — x30's greedy per-source
     * packing re-run with x67's learned-BPE document sizes as the budget
     * column ([[graft.text.CorpusOps.sequencePackingBySize]]): the pack
@@ -3276,6 +3311,7 @@ object QueriesTrainingData {
       |FROM r""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x69_chunk_mean_pool" -> (x69_chunk_mean_pool _),
     "x68_subword_packing" -> (x68_subword_packing _),
     "x67_subword_budget" -> (x67_subword_budget _),
     "x66_code_switch" -> (x66_code_switch _),
@@ -3346,6 +3382,7 @@ object QueriesTrainingData {
     "x10_multimodal_meta" -> (x10_multimodal_meta _))
 
   val oracle: Map[String, String] = Map(
+    "x69_chunk_mean_pool" -> x69Oracle,
     "x68_subword_packing" -> x68Oracle,
     "x67_subword_budget" -> x67Oracle,
     "x66_code_switch" -> x66Oracle,
