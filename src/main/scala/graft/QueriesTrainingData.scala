@@ -3103,6 +3103,44 @@ object QueriesTrainingData {
       |  CAST(SUM(q) AS DOUBLE) / (COUNT(*) * 1000000.0) AS pooled
       |FROM e GROUP BY group_id, pos""".stripMargin
 
+  /** Near-dup graph DEGREE audit — the duplication-pressure profile a
+    * curation run reports before deciding thresholds: per document, how
+    * many near-dup partners (staged LSH pairs, jaccard ≥ .5) it has and
+    * the strongest of them; isolated documents appear with degree 0 so
+    * the distribution is over the WHOLE corpus. Third consumer of
+    * [[stagedLshScoredPairs]] — the minhash/LSH/verify pipeline runs
+    * once per dataset content, every audit after that is candidate-sized.
+    * Scale shape: endpoint explode is 2×|pairs| (candidate-sized, never
+    * corpus²); the degree rollup partial-combines; the corpus join is a
+    * key-to-key hash join. max(jaccard) is order-blind, so the double
+    * column is oracle-stable. */
+  def x70_neardup_degree(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = stagedLshScoredPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val ends = pairs.select(col("doc_a").as("doc_id"), col("jaccard"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id"), col("jaccard")))
+    val deg = ends.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("degree"), max(col("jaccard")).as("max_jaccard"))
+    documents(spark, dir).select(col("doc_id"))
+      .join(deg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("degree"), lit(0L)).as("degree"),
+        col("max_jaccard"))
+  }
+
+  val x70Oracle: String =
+    s"""WITH $lshScoredCtes,
+       |ends AS (
+       |  SELECT doc_a AS doc_id, jaccard FROM scored
+       |  UNION ALL
+       |  SELECT doc_b, jaccard FROM scored),
+       |deg AS (
+       |  SELECT doc_id, COUNT(*) AS degree, MAX(jaccard) AS max_jaccard
+       |  FROM ends GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(coalesce(g.degree, 0) AS BIGINT) AS degree,
+       |  g.max_jaccard
+       |FROM documents d LEFT JOIN deg g ON d.doc_id = g.doc_id""".stripMargin
+
   /** Sequence packing on the SUBWORD budget — x30's greedy per-source
     * packing re-run with x67's learned-BPE document sizes as the budget
     * column ([[graft.text.CorpusOps.sequencePackingBySize]]): the pack
@@ -3311,6 +3349,7 @@ object QueriesTrainingData {
       |FROM r""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x70_neardup_degree" -> (x70_neardup_degree _),
     "x69_chunk_mean_pool" -> (x69_chunk_mean_pool _),
     "x68_subword_packing" -> (x68_subword_packing _),
     "x67_subword_budget" -> (x67_subword_budget _),
@@ -3382,6 +3421,7 @@ object QueriesTrainingData {
     "x10_multimodal_meta" -> (x10_multimodal_meta _))
 
   val oracle: Map[String, String] = Map(
+    "x70_neardup_degree" -> x70Oracle,
     "x69_chunk_mean_pool" -> x69Oracle,
     "x68_subword_packing" -> x68Oracle,
     "x67_subword_budget" -> x67Oracle,
