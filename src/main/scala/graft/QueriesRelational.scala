@@ -1084,6 +1084,46 @@ object QueriesRelational {
   val q38Oracle: String =
     "SELECT n_nationkey, n_name, n_regionkey FROM nation"
 
+  /** ORC round-trip (S3's columnar sibling): orders — bigints, a
+    * TIMESTAMP, a DECIMAL(12,2) and a bounded string — written with
+    * [[graft.sources.Sources.writeOrc]] and read back under the declared
+    * schema, gated against the plain parquet read. Proves the second
+    * columnar interchange format preserves exactly the types the CSV/
+    * JSONL round-trips (q38/q62) prove for the flat formats.
+    * Scale shape: columnar write + schema-declared columnar read — both
+    * splittable, no inference scan. */
+  def q82_orc_roundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ir.Ir.ColumnInfo
+    import graft.types.SsisTypes.SsisColumnType
+    val tmp = tempDirCleanedOnExit("graft_orc").toString
+    graft.sources.Sources.writeOrc(
+      orders(spark, dir).select(col("o_orderkey"), col("o_custkey"),
+        // parquet testdata reads as TIMESTAMP_NTZ on this runtime; the
+        // declared DT_DBTIMESTAMP contract is the session-tz TIMESTAMP,
+        // and ORC will not coerce NTZ→LTZ at read — cast at write (an
+        // identity under the UTC session convention)
+        col("o_orderdate").cast(TimestampType).as("o_orderdate"),
+        col("o_totalprice").cast(DecimalType(12, 2)).as("o_totalprice"),
+        col("o_orderpriority")), tmp)
+    val declared = List(
+      ColumnInfo("o_orderkey", SsisColumnType("i8")),
+      ColumnInfo("o_custkey", SsisColumnType("i8")),
+      ColumnInfo("o_orderdate", SsisColumnType("dbTimeStamp")),
+      ColumnInfo("o_totalprice",
+        SsisColumnType("numeric", precision = Some(12), scale = Some(2))),
+      ColumnInfo("o_orderpriority", SsisColumnType("wstr", Some(15))))
+    graft.sources.Sources.readOrc(spark, tmp, declared)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice").cast(DoubleType).as("o_totalprice"),
+        col("o_orderpriority"))
+  }
+
+  val q82Oracle: String =
+    """SELECT o_orderkey, o_custkey, o_orderdate,
+      |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice,
+      |  o_orderpriority
+      |FROM orders""".stripMargin
+
   /** Explicit GROUPING SETS with grouping_id disambiguation (beyond q24's
     * rollup): two chosen aggregation levels, no intermediate level. */
   def q39_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
@@ -2397,6 +2437,7 @@ object QueriesRelational {
       |FROM changes c WHERE c.c_custkey NOT IN (SELECT c_custkey FROM base)""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q82_orc_roundtrip" -> (q82_orc_roundtrip _),
     "q80_dtsx_cdc_merge" -> (q80_dtsx_cdc_merge _),
     "q79_delete_cascade" -> (q79_delete_cascade _),
     "q78_cdc_apply" -> (q78_cdc_apply _),
@@ -2472,6 +2513,7 @@ object QueriesRelational {
     "q22_date_functions" -> (q22_date_functions _))
 
   val oracle: Map[String, String] = Map(
+    "q82_orc_roundtrip" -> q82Oracle,
     "q80_dtsx_cdc_merge" -> q80Oracle,
     "q79_delete_cascade" -> q79Oracle,
     "q78_cdc_apply" -> q78Oracle,

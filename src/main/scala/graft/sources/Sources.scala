@@ -41,6 +41,18 @@ object Sources {
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
       .csv(path)
 
+  /** ORC Source — the second columnar interchange format beside parquet
+    * (warehouses hand off ORC exactly as often as parquet at migration
+    * time). Declared schema, never inference; predicate pushdown and
+    * column pruning work through the same DataSource V1 scan contract as
+    * the parquet reads PlanShapeSpec pins. */
+  def readOrc(spark: SparkSession, path: String, columns: Seq[ColumnInfo]): DataFrame =
+    spark.read.schema(schemaOf(columns)).orc(path)
+
+  /** ORC Destination. */
+  def writeOrc(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).orc(path)
+
   /** JSON-Lines Source: one JSON object per line, declared schema — never
     * `inferSchema` (an inference pass is a second full scan at 100 TB, and
     * a type the sampler happened not to see silently widens/nulls). The

@@ -162,6 +162,42 @@ class SourcesAndIvfSpec extends AnyFunSuite {
     }
   }
 
+  test("ORC round-trip: declared schema honored; filters push to the ORC scan") {
+    import graft.ir.Ir.ColumnInfo
+    import graft.types.SsisTypes.SsisColumnType
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc-spec").toString
+    try {
+      val src = Tables.orders(spark, "/root/testdata/sf0.001")
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast(DecimalType(12, 2)).as("o_totalprice"),
+          col("o_orderpriority"))
+      graft.sources.Sources.writeOrc(src, dir)
+      val declared = List(
+        ColumnInfo("o_orderkey", SsisColumnType("i8")),
+        ColumnInfo("o_totalprice",
+          SsisColumnType("numeric", precision = Some(12), scale = Some(2))),
+        ColumnInfo("o_orderpriority", SsisColumnType("wstr", Some(15))))
+      val back = graft.sources.Sources.readOrc(spark, dir, declared)
+      assert(back.schema.map(f => f.name -> f.dataType) ===
+        Seq("o_orderkey" -> LongType,
+          "o_totalprice" -> DecimalType(12, 2),
+          "o_orderpriority" -> StringType))
+      assert(back.count() === src.count())
+      // plan discipline carries over to the second columnar format
+      val plan = back.filter(col("o_orderkey") > 100L)
+        .select(col("o_orderkey")).queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters: [IsNotNull(o_orderkey), GreaterThan(o_orderkey,100)]"),
+        s"ORC scan did not receive the pushed filter:\n${plan.take(500)}")
+      assert(!plan.contains("o_orderpriority"), "ORC scan must prune unused columns")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("x48: persisted IVF staging reuses — second call never rebuilds (no KMeans)") {
     val sf = "/root/testdata/sf0.001"
     SparkEntry.queries("x48_ann_ivf_persisted")(spark, sf).count(): Unit
