@@ -3103,6 +3103,45 @@ object QueriesTrainingData {
       |  CAST(SUM(q) AS DOUBLE) / (COUNT(*) * 1000000.0) AS pooled
       |FROM e GROUP BY group_id, pos""".stripMargin
 
+  /** Hard-negative mining ([[SimilarityOps.hardNegatives]]) — the
+    * retrieval/contrastive-training sampler: per query vector, the 3
+    * most-similar OTHER-label vectors under a 0.95 cosine ceiling (the
+    * informative band: similar, but not the same content). Brute-force
+    * here so the oracle is exact; the band+label rule is a per-pair
+    * filter, so at scale it rides any candidate generator (x13's LSH
+    * buckets, x11/x48's IVF cells) unchanged.
+    * Scale shape: queries are a bounded slice; quantization + norms
+    * compute once per row BEFORE the join fan-out; the rank window
+    * partitions on query_id (bounded by |queries|·|band survivors|). */
+  def x71_hard_negatives(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    SimilarityOps.hardNegatives(
+      emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", "label",
+      k = 3, maxCosine = 0.95)
+  }
+
+  val x71Oracle: String =
+    """WITH q AS (
+      |  SELECT vec_id, label, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, label, qv,
+      |    list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])) AS n2
+      |  FROM q),
+      |scored AS (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |    b.label AS neighbor_label,
+      |    CAST(list_sum(list_transform(generate_series(1, len(a.qv)), i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+      |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cosine
+      |  FROM n a JOIN n b
+      |    ON a.vec_id < 20 AND a.vec_id <> b.vec_id AND a.label <> b.label)
+      |SELECT query_id, neighbor_id, neighbor_label, rank, cosine FROM (
+      |  SELECT query_id, neighbor_id, neighbor_label, cosine,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+      |  FROM scored WHERE cosine < 0.95)
+      |WHERE rank <= 3""".stripMargin
+
   /** Near-dup graph DEGREE audit — the duplication-pressure profile a
     * curation run reports before deciding thresholds: per document, how
     * many near-dup partners (staged LSH pairs, jaccard ≥ .5) it has and
@@ -3349,6 +3388,7 @@ object QueriesTrainingData {
       |FROM r""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x71_hard_negatives" -> (x71_hard_negatives _),
     "x70_neardup_degree" -> (x70_neardup_degree _),
     "x69_chunk_mean_pool" -> (x69_chunk_mean_pool _),
     "x68_subword_packing" -> (x68_subword_packing _),
@@ -3421,6 +3461,7 @@ object QueriesTrainingData {
     "x10_multimodal_meta" -> (x10_multimodal_meta _))
 
   val oracle: Map[String, String] = Map(
+    "x71_hard_negatives" -> x71Oracle,
     "x70_neardup_degree" -> x70Oracle,
     "x69_chunk_mean_pool" -> x69Oracle,
     "x68_subword_packing" -> x68Oracle,

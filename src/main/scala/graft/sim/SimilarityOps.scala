@@ -54,6 +54,37 @@ object SimilarityOps {
     df.withColumn("qvec", quantize(col(vecCol)))
       .withColumn("qn2", qnorm2(col("qvec")))
 
+  /** Hard-negative mining for contrastive training: per query, the
+    * top-k most-similar candidates that carry a DIFFERENT label, with a
+    * cosine ceiling excluding near-duplicates/mislabeled positives (the
+    * "hard" band — similar enough to be informative, not so similar it
+    * is the same content). Brute-force scoring here (the exact oracle
+    * baseline, like [[knnBruteForce]]); at scale the identical band+label
+    * rule composes with any candidate generator — the LSH buckets
+    * ([[knnLsh]]) or the IVF cells ([[graft.sim.IvfIndex]]) — because it
+    * is a per-pair filter, independent of how pairs were proposed. */
+  def hardNegatives(queries: DataFrame, candidates: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int, maxCosine: Double): DataFrame = {
+    val q = withQuantized(queries, vecCol).select(
+      col(idCol).as("query_id"), col(labelCol).as("qlabel"),
+      col("qvec").as("qv"), col("qn2").as("qn"))
+    val c = withQuantized(candidates, vecCol).select(
+      col(idCol).as("neighbor_id"), col(labelCol).as("neighbor_label"),
+      col("qvec").as("cv"), col("qn2").as("cn"))
+    val scored = q.join(c,
+        col("query_id") =!= col("neighbor_id") &&
+          col("qlabel") =!= col("neighbor_label"))
+      .withColumn("cosine",
+        qdot(col("qv"), col("cv")).cast(DoubleType) /
+          (sqrt(col("qn").cast(DoubleType)) * sqrt(col("cn").cast(DoubleType))))
+      .filter(col("cosine") < maxCosine)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "neighbor_label", "rank", "cosine")
+  }
+
   /** Brute-force cosine top-k: every query row against every candidate row
     * (minus self), ranked per query with a deterministic (score desc, id
     * asc) tiebreak. The correctness baseline — O(|q|·|c|). */
