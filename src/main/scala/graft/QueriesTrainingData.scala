@@ -3103,6 +3103,84 @@ object QueriesTrainingData {
       |  CAST(SUM(q) AS DOUBLE) / (COUNT(*) * 1000000.0) AS pooled
       |FROM e GROUP BY group_id, pos""".stripMargin
 
+  /** Incremental NEAR-dup dedup — x42's nightly-crawl contract at
+    * near-duplicate (not exact-key) granularity: the arriving delta
+    * (ids ≡7 mod 10) probes the STANDING CORPUS's minhash band index,
+    * candidate (delta × corpus) pairs verify with exact shingle jaccard,
+    * and every delta document gets a verdict row (candidates found,
+    * near-dups ≥ .5, best score). The asymmetric join is the point: the
+    * corpus contributes its band index once (in production the staged/
+    * bucketed artifact, the x45/x48 lifecycle), per-batch work scales
+    * with the DELTA — never a corpus self-join per batch.
+    * Scale shape: band-bucket equi-join (delta-sided), shingle
+    * verification only for candidate endpoints (the x06 candSh rule,
+    * cache freed before return), rollup partial-combines. Oracle = the
+    * shared full-corpus LSH CTEs restricted to cross pairs — identical
+    * signatures, so the asymmetric probe provably finds exactly the
+    * cross subset of x06's pair set. */
+  def x72_incremental_near_dedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("text"))
+    val isDelta = pmod(col("doc_id"), lit(10)) === 7
+    def bandsOf(d: DataFrame) = d.select(col("doc_id"),
+      posexplode(DedupOps.bandKeysFromSigArray(
+        DedupOps.minhashSignatureArray(
+          DedupOps.hashedShingles(DedupOps.shingles(col("text"), 3))),
+        rowsPerBand = 4, nBands = 2)).as(Seq("band_idx", "band_key")))
+    val corpusBands = bandsOf(docs.filter(!isDelta))
+      .toDF("corpus_id", "band_idx", "band_key")
+    val deltaBands = bandsOf(docs.filter(isDelta))
+      .toDF("delta_id", "band_idx", "band_key")
+    val cand = deltaBands.join(corpusBands, Seq("band_idx", "band_key"))
+      .select(col("delta_id"), col("corpus_id"))
+      .dropDuplicates("delta_id", "corpus_id")
+    val ids = cand.select(col("delta_id").as("doc_id"))
+      .unionByName(cand.select(col("corpus_id").as("doc_id"))).distinct()
+    val candSh = docs.join(broadcast(ids), Seq("doc_id"))
+      .select(col("doc_id"), DedupOps.shingles(col("text"), 3).as("sh"))
+      .cache()
+    val scored = cand
+      .join(candSh.toDF("delta_id", "sh_a"), "delta_id")
+      .join(candSh.toDF("corpus_id", "sh_b"), "corpus_id")
+      .select(col("delta_id"),
+        DedupOps.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+    val roll = scored.groupBy(col("delta_id"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("jaccard") >= 0.5, 1L).otherwise(0L)).as("n_near_dups"),
+        max(col("jaccard")).as("max_jaccard"))
+    val res = docs.filter(isDelta).select(col("doc_id"))
+      .join(roll.withColumnRenamed("delta_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
+        col("max_jaccard"),
+        (coalesce(col("n_near_dups"), lit(0L)) > 0).as("is_near_dup"))
+      .localCheckpoint(true)
+    candSh.unpersist()
+    res
+  }
+
+  val x72Oracle: String =
+    s"""WITH $lshScoredCtes,
+       |cross_ AS (
+       |  SELECT CASE WHEN doc_a % 10 = 7 THEN doc_a ELSE doc_b END AS delta_id,
+       |    jaccard
+       |  FROM scored
+       |  WHERE (doc_a % 10 = 7) <> (doc_b % 10 = 7)),
+       |roll AS (
+       |  SELECT delta_id, COUNT(*) AS n_candidates,
+       |    CAST(SUM(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dups,
+       |    MAX(jaccard) AS max_jaccard
+       |  FROM cross_ GROUP BY delta_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(r.n_candidates, 0) AS BIGINT) AS n_candidates,
+       |  CAST(coalesce(r.n_near_dups, 0) AS BIGINT) AS n_near_dups,
+       |  r.max_jaccard,
+       |  coalesce(r.n_near_dups, 0) > 0 AS is_near_dup
+       |FROM documents d LEFT JOIN roll r ON d.doc_id = r.delta_id
+       |WHERE d.doc_id % 10 = 7""".stripMargin
+
   /** Hard-negative mining ([[SimilarityOps.hardNegatives]]) — the
     * retrieval/contrastive-training sampler: per query vector, the 3
     * most-similar OTHER-label vectors under a 0.95 cosine ceiling (the
@@ -3388,6 +3466,7 @@ object QueriesTrainingData {
       |FROM r""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x72_incremental_near_dedup" -> (x72_incremental_near_dedup _),
     "x71_hard_negatives" -> (x71_hard_negatives _),
     "x70_neardup_degree" -> (x70_neardup_degree _),
     "x69_chunk_mean_pool" -> (x69_chunk_mean_pool _),
@@ -3461,6 +3540,7 @@ object QueriesTrainingData {
     "x10_multimodal_meta" -> (x10_multimodal_meta _))
 
   val oracle: Map[String, String] = Map(
+    "x72_incremental_near_dedup" -> x72Oracle,
     "x71_hard_negatives" -> x71Oracle,
     "x70_neardup_degree" -> x70Oracle,
     "x69_chunk_mean_pool" -> x69Oracle,
