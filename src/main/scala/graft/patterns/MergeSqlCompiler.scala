@@ -90,8 +90,10 @@ object MergeSqlCompiler {
       val insertMap = insertCols.zip(insertVals).toMap
 
       val untouched = tgt.join(srcP, joinCond, "left_anti")
+      // NULL delete-predicate (e.g. a NULL op column) must mean "not a
+      // delete" — a bare !pred filter would drop the row from BOTH legs
       val updated = tgt.join(srcP, joinCond, "inner")
-        .filter(!deletePred)
+        .filter(!coalesce(deletePred, lit(false)))
         .select(tgt.columns.toSeq.map(c => setMap.getOrElse(c, col(c)).as(c)): _*)
       // WHEN NOT MATCHED inserts EVERY unmatched source row (SQL Server
       // semantics — the op column does not gate inserts); absent target
