@@ -3119,6 +3119,18 @@ object QueriesTrainingData {
     * signatures, so the asymmetric probe provably finds exactly the
     * cross subset of x06's pair set. */
   def x72_incremental_near_dedup(spark: SparkSession, dir: String): DataFrame = {
+    val (audit, caches) = incrementalNearDedupAudit(spark, dir)
+    val res = audit.localCheckpoint(true)
+    caches.foreach(_.unpersist())
+    res
+  }
+
+  /** The un-checkpointed x72 (verdict frame + the caches it holds),
+    * exposed so PlanShapeSpec can pin the band-probe shape that
+    * `localCheckpoint` erases from the public query's plan (the q79
+    * pattern). */
+  private[graft] def incrementalNearDedupAudit(spark: SparkSession,
+      dir: String): (DataFrame, Seq[DataFrame]) = {
     val docs = documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("text"))
@@ -3149,16 +3161,14 @@ object QueriesTrainingData {
       .agg(count(lit(1)).as("n_candidates"),
         sum(when(col("jaccard") >= 0.5, 1L).otherwise(0L)).as("n_near_dups"),
         max(col("jaccard")).as("max_jaccard"))
-    val res = docs.filter(isDelta).select(col("doc_id"))
+    val audit = docs.filter(isDelta).select(col("doc_id"))
       .join(roll.withColumnRenamed("delta_id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
         coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
         col("max_jaccard"),
         (coalesce(col("n_near_dups"), lit(0L)) > 0).as("is_near_dup"))
-      .localCheckpoint(true)
-    candSh.unpersist()
-    res
+    (audit, Seq(candSh))
   }
 
   val x72Oracle: String =

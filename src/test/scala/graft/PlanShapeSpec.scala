@@ -780,6 +780,32 @@ class PlanShapeSpec extends AnyFunSuite {
       s"domain cap must window over (domain, bucket), got: $rowWin")
   }
 
+  test("x72: delta probes the corpus bands as an EQUI-join; no cartesian") {
+    // pin the un-checkpointed audit frame — localCheckpoint erases the
+    // probe shape from the public query's plan (the q79 pattern)
+    val (audit, caches) = QueriesTrainingData
+      .incrementalNearDedupAudit(spark, sf)
+    val plan = audit.queryExecution.executedPlan.toString
+    caches.foreach(_.unpersist())
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "band candidate generation must stay an equi-join")
+    assert(plan.contains("band_key"),
+      "candidate join must key on the minhash band")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      "the per-delta verdict rollup must map-side combine")
+  }
+
+  test("x71: quantization happens once per row, before the pair fan-out") {
+    val plan = SparkEntry.queries("x71_hard_negatives")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    // the quantize transform must not appear inside the join condition
+    // or above the join — each side carries qvec/qn2 computed pre-join
+    val joinLine = plan.linesIterator.find(_.contains("Join")).getOrElse("")
+    assert(!joinLine.contains("transform("),
+      s"quantization leaked into the join: $joinLine")
+  }
+
   test("no gated plan contains a trivially-true self-equality predicate") {
     // `a#12 = a#12` (same exprId on both sides) means a join condition was
     // written against two frames that resolve to the SAME attribute — the
