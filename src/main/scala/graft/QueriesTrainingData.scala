@@ -3103,6 +3103,61 @@ object QueriesTrainingData {
       |  CAST(SUM(q) AS DOUBLE) / (COUNT(*) * 1000000.0) AS pooled
       |FROM e GROUP BY group_id, pos""".stripMargin
 
+  /** Dataset-card summary — the one-row audit a curation run publishes
+    * with the shipped corpus (the numbers a dataset card opens with):
+    * document/source/language cardinalities, token and character mass,
+    * exact-duplicate pressure on the x05 content key (docs in dup
+    * groups, distinct groups), and the duplicate fraction. Everything is
+    * exact integers plus single divisions, so the card is
+    * engine-reproducible.
+    * Scale shape: two partial-combining aggregates (corpus rollup +
+    * key-group rollup) and a broadcast-sized single-row join — no
+    * corpus-sized shuffle beyond the dup-key aggregate; distinct
+    * source/lang counts ride the same hash aggregate machinery. */
+  def x73_dataset_card(spark: SparkSession, dir: String): DataFrame = {
+    val key = md5(concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 5)))
+    val d = documents(spark, dir).select(col("doc_id"), col("source"),
+      col("lang"), col("n_chars"), TextOps.tokenCount(col("text")).as("nt"),
+      key.as("dup_key"))
+    val base = d.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(col("nt").cast(LongType)).as("n_tokens"),
+      sum(col("n_chars").cast(LongType)).as("n_chars"))
+    val dups = d.groupBy(col("dup_key")).agg(count(lit(1)).as("gs"))
+      .agg(
+        sum(when(col("gs") > 1, col("gs")).otherwise(0L)).as("n_dup_docs"),
+        sum(when(col("gs") > 1, 1L).otherwise(0L)).as("n_dup_groups"))
+    base.crossJoin(dups)
+      .withColumn("dup_frac",
+        col("n_dup_docs").cast(DoubleType) / col("n_docs").cast(DoubleType))
+  }
+
+  val x73Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, lang, n_chars,
+      |    CASE WHEN length(text) = 0 THEN 0
+      |         ELSE len(string_split_regex(text, '\s+')) END AS nt,
+      |    md5(array_to_string((string_split_regex(text, '\s+'))[1:5], ' ')) AS dup_key
+      |  FROM documents),
+      |base AS (
+      |  SELECT COUNT(*) AS n_docs,
+      |    COUNT(DISTINCT source) AS n_sources,
+      |    COUNT(DISTINCT lang) AS n_langs,
+      |    CAST(SUM(nt) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      |  FROM d),
+      |g AS (SELECT dup_key, COUNT(*) AS gs FROM d GROUP BY dup_key),
+      |dups AS (
+      |  SELECT CAST(SUM(CASE WHEN gs > 1 THEN gs ELSE 0 END) AS BIGINT) AS n_dup_docs,
+      |    CAST(SUM(CASE WHEN gs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups
+      |  FROM g)
+      |SELECT n_docs, n_sources, n_langs, n_tokens, n_chars,
+      |  n_dup_docs, n_dup_groups,
+      |  CAST(n_dup_docs AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_frac
+      |FROM base CROSS JOIN dups""".stripMargin
+
   /** Incremental NEAR-dup dedup — x42's nightly-crawl contract at
     * near-duplicate (not exact-key) granularity: the arriving delta
     * (ids ≡7 mod 10) probes the STANDING CORPUS's minhash band index,
@@ -3476,6 +3531,7 @@ object QueriesTrainingData {
       |FROM r""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x73_dataset_card" -> (x73_dataset_card _),
     "x72_incremental_near_dedup" -> (x72_incremental_near_dedup _),
     "x71_hard_negatives" -> (x71_hard_negatives _),
     "x70_neardup_degree" -> (x70_neardup_degree _),
@@ -3550,6 +3606,7 @@ object QueriesTrainingData {
     "x10_multimodal_meta" -> (x10_multimodal_meta _))
 
   val oracle: Map[String, String] = Map(
+    "x73_dataset_card" -> x73Oracle,
     "x72_incremental_near_dedup" -> x72Oracle,
     "x71_hard_negatives" -> x71Oracle,
     "x70_neardup_degree" -> x70Oracle,
