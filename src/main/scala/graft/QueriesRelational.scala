@@ -1124,6 +1124,28 @@ object QueriesRelational {
       |  o_orderpriority
       |FROM orders""".stripMargin
 
+  /** Analytic SQL through the dtsx frontend — `WindowRankETL.dtsx`'s
+    * Execute SQL task carries a ROW_NUMBER window INSERT (the T-SQL
+    * reporting-refresh idiom); [[graft.patterns.SqlPatternRewriter]]
+    * converts it to a pure select + append and the window runs through
+    * `spark.sql` against the registered warehouse views — the same
+    * runner scaffold as q52/q53, one more statement class the frontend
+    * executes rather than records. Deterministic rank via the
+    * (balance DESC, key) tiebreak. */
+  def q83_dtsx_window_sql(spark: SparkSession, dir: String): DataFrame =
+    runDtsxWarehousePackage(spark, dir, "WindowRankETL.dtsx")
+      ._1.apply("cust_segment_rank")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        col("c_acctbal").cast(DoubleType).as("c_acctbal"),
+        col("seg_rank").cast(IntegerType).as("seg_rank"))
+
+  val q83Oracle: String =
+    """SELECT c_custkey, c_mktsegment,
+      |  CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS c_acctbal,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+      |    ORDER BY CAST(c_acctbal AS DECIMAL(12,2)) DESC, c_custkey) AS INT) AS seg_rank
+      |FROM customer""".stripMargin
+
   /** Explicit GROUPING SETS with grouping_id disambiguation (beyond q24's
     * rollup): two chosen aggregation levels, no intermediate level. */
   def q39_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
@@ -2367,14 +2389,33 @@ object QueriesRelational {
     * (AQE broadcasts the feed when it is small); staging tasks stay
     * lazy Catalyst plans — no materialization barrier between tasks. */
   def q80_dtsx_cdc_merge(spark: SparkSession, dir: String): DataFrame = {
-    val in = getClass.getResourceAsStream("/dtsx/CdcCustomerMergeETL.dtsx")
+    val (written, run) =
+      runDtsxWarehousePackage(spark, dir, "CdcCustomerMergeETL.dtsx")
+    // the frontend really classified the MERGE text as merge_scd
+    val det = run.tasks.find(_.taskName == "Apply CDC Merge").flatMap(_.pattern)
+    require(det.exists(
+        _.pattern == graft.patterns.LoadPatterns.LoadPattern.MergeScd),
+      s"MERGE task not classified merge_scd: $det")
+    written("dim_customer").select(col("c_custkey"), col("c_name"),
+      col("c_acctbal").cast(DoubleType).as("c_acctbal"))
+  }
+
+  /** The full-rewrite package scaffold (q80/q83): like [[runDtsxPackage]]
+    * but the SQL executor routes every Execute-SQL statement through the
+    * compile-time rewriters — [[graft.patterns.MergeSqlCompiler]] first
+    * (three-verb MERGE), then [[graft.patterns.SqlPatternRewriter]]
+    * (INSERT…SELECT / DELETE+INSERT / bare SELECT) — against temp views
+    * registered per referenced warehouse table: runner write-state first,
+    * parquet testdata second; an INSERT's not-yet-created target resolves
+    * to neither and needs no view. */
+  private def runDtsxWarehousePackage(spark: SparkSession, dir: String,
+      resource: String): (scala.collection.Map[String, DataFrame],
+        graft.pipeline.PackageRunner.PackageRun) = {
+    val in = getClass.getResourceAsStream(s"/dtsx/$resource")
     val xml = scala.io.Source.fromInputStream(in, "UTF-8").mkString
     val pkg = graft.parser.DtsxParser.parseString(xml)
     val tableRe = """\[\w+\]\.\[(\w+)\]""".r
     val written = scala.collection.mutable.Map.empty[String, DataFrame]
-    // register a temp view per referenced warehouse table — runner state
-    // first, parquet testdata second; an INSERT's not-yet-created target
-    // resolves to neither and needs no view
     def bind(sql: String): String = {
       tableRe.findAllMatchIn(sql).map(_.group(1)).toSet[String].foreach { t =>
         written.get(t).orElse {
@@ -2403,13 +2444,7 @@ object QueriesRelational {
     val run = graft.pipeline.PackageRunner.run(spark, pkg, env)
     require(!run.failed,
       s"package failed: ${run.tasks.map(t => t.taskName -> t.status)}")
-    // the frontend really classified the MERGE text as merge_scd
-    val det = run.tasks.find(_.taskName == "Apply CDC Merge").flatMap(_.pattern)
-    require(det.exists(
-        _.pattern == graft.patterns.LoadPatterns.LoadPattern.MergeScd),
-      s"MERGE task not classified merge_scd: $det")
-    written("dim_customer").select(col("c_custkey"), col("c_name"),
-      col("c_acctbal").cast(DoubleType).as("c_acctbal"))
+    (written, run)
   }
 
   val q80Oracle: String =
@@ -2437,6 +2472,7 @@ object QueriesRelational {
       |FROM changes c WHERE c.c_custkey NOT IN (SELECT c_custkey FROM base)""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q83_dtsx_window_sql" -> (q83_dtsx_window_sql _),
     "q82_orc_roundtrip" -> (q82_orc_roundtrip _),
     "q80_dtsx_cdc_merge" -> (q80_dtsx_cdc_merge _),
     "q79_delete_cascade" -> (q79_delete_cascade _),
@@ -2513,6 +2549,7 @@ object QueriesRelational {
     "q22_date_functions" -> (q22_date_functions _))
 
   val oracle: Map[String, String] = Map(
+    "q83_dtsx_window_sql" -> q83Oracle,
     "q82_orc_roundtrip" -> q82Oracle,
     "q80_dtsx_cdc_merge" -> q80Oracle,
     "q79_delete_cascade" -> q79Oracle,
