@@ -3103,6 +3103,81 @@ object QueriesTrainingData {
       |  CAST(SUM(q) AS DOUBLE) / (COUNT(*) * 1000000.0) AS pooled
       |FROM e GROUP BY group_id, pos""".stripMargin
 
+  /** Effective token mass per source AFTER mixing — the budget number a
+    * training plan is actually costed on: each document's subword count
+    * (x67) weighted by its epoch-mix replication factor (x64), rolled up
+    * per source next to the raw mass, with the realized epoch multiple
+    * (effective/raw) exposed so the plan can be audited against the
+    * target weights (0.5/1.25/2.0/2.75 in quarters). Pure composition of
+    * two gated operators — the point is that the plan columns JOIN.
+    * Scale shape: both inputs are per-doc frames (x64 fully narrow, x67
+    * broadcast-encoded); the doc_id join co-partitions; the per-source
+    * rollup partial-combines. */
+  def x74_effective_tokens(spark: SparkSession, dir: String): DataFrame = {
+    val plan = x64_epoch_mix_plan(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_repeats"))
+    val budget = x67_subword_budget(spark, dir)
+      .select(col("doc_id"), col("n_bpe_tokens"))
+    plan.join(budget, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bpe_tokens")).as("raw_tokens"),
+        sum(col("n_bpe_tokens") * col("n_repeats")).as("effective_tokens"))
+      .withColumn("epoch_multiple",
+        col("effective_tokens").cast(DoubleType) /
+          col("raw_tokens").cast(DoubleType))
+  }
+
+  val x74Oracle: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT unnest(string_split_regex(text, '\s+')) AS w FROM documents),
+      |wf AS (
+      |  SELECT w, COUNT(*) AS wf FROM toks
+      |  WHERE w <> '' AND NOT contains(w, chr(31)) GROUP BY w),
+      |p AS (
+      |  SELECT wf, unnest(list_transform(
+      |    generate_series(1, length(w) - 1), i -> w[i:i+1])) AS pair
+      |  FROM wf WHERE length(w) >= 2),
+      |ps AS (SELECT pair, SUM(wf) AS n FROM p GROUP BY pair),
+      |merges AS (
+      |  SELECT pair, CAST(row_number() OVER (ORDER BY n DESC, pair) AS INT) AS rk
+      |  FROM ps ORDER BY n DESC, pair LIMIT 24),
+      |enc AS (
+      |  SELECT w, wf,
+      |    chr(31) || regexp_replace(w, '(.)', '\1' || chr(31) || chr(31), 'g') AS s,
+      |    0 AS r
+      |  FROM wf
+      |  UNION ALL
+      |  SELECT e.w, e.wf,
+      |    replace(e.s,
+      |      chr(31) || m.pair[1] || chr(31) || chr(31) || m.pair[2] || chr(31),
+      |      chr(31) || m.pair || chr(31)),
+      |    e.r + 1
+      |  FROM enc e JOIN merges m ON m.rk = e.r + 1),
+      |fin AS (
+      |  SELECT w, len(list_filter(string_split(s, chr(31)), x -> x <> '')) AS n_subwords
+      |  FROM enc WHERE r = (SELECT COUNT(*) FROM merges)),
+      |tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w FROM documents),
+      |tt AS (SELECT doc_id, w FROM tok WHERE w <> '' AND NOT contains(w, chr(31))),
+      |per AS (
+      |  SELECT doc_id, CAST(SUM(f.n_subwords) AS BIGINT) AS n_bpe_tokens
+      |  FROM tt JOIN fin f ON tt.w = f.w GROUP BY doc_id),
+      |mixplan AS (
+      |  SELECT doc_id, source,
+      |    CAST((2 + (CAST(substr(source, 4) AS INT) % 4) * 3) // 4 AS BIGINT)
+      |      + CASE WHEN CAST(('0x' || substr(md5('x64|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 4
+      |               < (2 + (CAST(substr(source, 4) AS INT) % 4) * 3) % 4
+      |        THEN 1 ELSE 0 END AS n_repeats
+      |  FROM documents)
+      |SELECT p.source, COUNT(*) AS n_docs,
+      |  CAST(SUM(b.n_bpe_tokens) AS BIGINT) AS raw_tokens,
+      |  CAST(SUM(b.n_bpe_tokens * p.n_repeats) AS BIGINT) AS effective_tokens,
+      |  CAST(SUM(b.n_bpe_tokens * p.n_repeats) AS DOUBLE)
+      |    / CAST(SUM(b.n_bpe_tokens) AS DOUBLE) AS epoch_multiple
+      |FROM mixplan p JOIN per b ON p.doc_id = b.doc_id
+      |GROUP BY p.source""".stripMargin
+
   /** Dataset-card summary — the one-row audit a curation run publishes
     * with the shipped corpus (the numbers a dataset card opens with):
     * document/source/language cardinalities, token and character mass,
@@ -3531,6 +3606,7 @@ object QueriesTrainingData {
       |FROM r""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x74_effective_tokens" -> (x74_effective_tokens _),
     "x73_dataset_card" -> (x73_dataset_card _),
     "x72_incremental_near_dedup" -> (x72_incremental_near_dedup _),
     "x71_hard_negatives" -> (x71_hard_negatives _),
@@ -3606,6 +3682,7 @@ object QueriesTrainingData {
     "x10_multimodal_meta" -> (x10_multimodal_meta _))
 
   val oracle: Map[String, String] = Map(
+    "x74_effective_tokens" -> x74Oracle,
     "x73_dataset_card" -> x73Oracle,
     "x72_incremental_near_dedup" -> x72Oracle,
     "x71_hard_negatives" -> x71Oracle,
