@@ -3103,6 +3103,76 @@ object QueriesTrainingData {
       |  CAST(SUM(q) AS DOUBLE) / (COUNT(*) * 1000000.0) AS pooled
       |FROM e GROUP BY group_id, pos""".stripMargin
 
+  /** Pack-efficiency audit — the padding-waste number a trainer pays
+    * for: per (source, pack) bin from the subword packing (x68), the
+    * document count, token mass, and utilization against the 512 cap.
+    * Under-filled tail packs and cap-straddling docs both surface here;
+    * aggregate utilization is the compute-efficiency metric a packing
+    * strategy is judged on.
+    * Scale shape: one partial-combining rollup over x68's output — the
+    * expensive part (the two-phase prefix sum) is the gated x68 itself;
+    * packs are corpus/cap-sized, the rollup adds one exchange on
+    * (source, pack_id). */
+  def x75_pack_efficiency(spark: SparkSession, dir: String): DataFrame =
+    x68_subword_packing(spark, dir)
+      .groupBy(col("source"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bpe_tokens")).as("pack_tokens"))
+      .withColumn("utilization",
+        col("pack_tokens").cast(DoubleType) / lit(512.0))
+
+  val x75Oracle: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT unnest(string_split_regex(text, '\s+')) AS w FROM documents),
+      |wf AS (
+      |  SELECT w, COUNT(*) AS wf FROM toks
+      |  WHERE w <> '' AND NOT contains(w, chr(31)) GROUP BY w),
+      |p AS (
+      |  SELECT wf, unnest(list_transform(
+      |    generate_series(1, length(w) - 1), i -> w[i:i+1])) AS pair
+      |  FROM wf WHERE length(w) >= 2),
+      |ps AS (SELECT pair, SUM(wf) AS n FROM p GROUP BY pair),
+      |merges AS (
+      |  SELECT pair, CAST(row_number() OVER (ORDER BY n DESC, pair) AS INT) AS rk
+      |  FROM ps ORDER BY n DESC, pair LIMIT 24),
+      |enc AS (
+      |  SELECT w, wf,
+      |    chr(31) || regexp_replace(w, '(.)', '\1' || chr(31) || chr(31), 'g') AS s,
+      |    0 AS r
+      |  FROM wf
+      |  UNION ALL
+      |  SELECT e.w, e.wf,
+      |    replace(e.s,
+      |      chr(31) || m.pair[1] || chr(31) || chr(31) || m.pair[2] || chr(31),
+      |      chr(31) || m.pair || chr(31)),
+      |    e.r + 1
+      |  FROM enc e JOIN merges m ON m.rk = e.r + 1),
+      |fin AS (
+      |  SELECT w, len(list_filter(string_split(s, chr(31)), x -> x <> '')) AS n_subwords
+      |  FROM enc WHERE r = (SELECT COUNT(*) FROM merges)),
+      |tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w FROM documents),
+      |tt AS (SELECT doc_id, w FROM tok WHERE w <> '' AND NOT contains(w, chr(31))),
+      |per AS (
+      |  SELECT doc_id, CAST(SUM(f.n_subwords) AS BIGINT) AS n_bpe_tokens
+      |  FROM tt JOIN fin f ON tt.w = f.w GROUP BY doc_id),
+      |d AS (
+      |  SELECT d.doc_id, d.source, p.n_bpe_tokens
+      |  FROM documents d JOIN per p ON d.doc_id = p.doc_id),
+      |c AS (
+      |  SELECT doc_id, source, n_bpe_tokens,
+      |    SUM(n_bpe_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM d),
+      |packs AS (
+      |  SELECT doc_id, source, n_bpe_tokens,
+      |    CAST((cum - n_bpe_tokens) // 512 AS BIGINT) AS pack_id
+      |  FROM c)
+      |SELECT source, pack_id, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_bpe_tokens) AS BIGINT) AS pack_tokens,
+      |  CAST(SUM(n_bpe_tokens) AS DOUBLE) / 512.0 AS utilization
+      |FROM packs GROUP BY source, pack_id""".stripMargin
+
   /** Effective token mass per source AFTER mixing — the budget number a
     * training plan is actually costed on: each document's subword count
     * (x67) weighted by its epoch-mix replication factor (x64), rolled up
@@ -3606,6 +3676,7 @@ object QueriesTrainingData {
       |FROM r""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x75_pack_efficiency" -> (x75_pack_efficiency _),
     "x74_effective_tokens" -> (x74_effective_tokens _),
     "x73_dataset_card" -> (x73_dataset_card _),
     "x72_incremental_near_dedup" -> (x72_incremental_near_dedup _),
@@ -3682,6 +3753,7 @@ object QueriesTrainingData {
     "x10_multimodal_meta" -> (x10_multimodal_meta _))
 
   val oracle: Map[String, String] = Map(
+    "x75_pack_efficiency" -> x75Oracle,
     "x74_effective_tokens" -> x74Oracle,
     "x73_dataset_card" -> x73Oracle,
     "x72_incremental_near_dedup" -> x72Oracle,

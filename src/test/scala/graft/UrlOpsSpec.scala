@@ -31,6 +31,27 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(got(5)._2 === "https://news.example.co/path")
   }
 
+  test("canonicalize is idempotent over generated URL shapes") {
+    // a canonical form must be a fixed point — if re-canonicalizing ever
+    // changes the value, two pipelines disagree on the dedup key
+    val schemes = Seq("http", "HTTP", "https", "HTTPS")
+    val hosts = Seq("Example.COM", "www.example.com", "WWW.a.b.ORG",
+      "sub.example.co:443", "example.com:8080", "x.io:80")
+    val paths = Seq("", "/", "/a", "/a/b/", "/a//", "/a/b///")
+    val queries = Seq("", "?a=1", "?b=2&a=1", "?z=9&a=1&m=5")
+    val urls = for {
+      s <- schemes; h <- hosts; p <- paths; q <- queries
+    } yield s"$s://$h$p$q"
+    val got = urls.toDF("u")
+      .select(UrlOps.canonicalize(col("u")).as("c1"))
+      .select(col("c1"), UrlOps.canonicalize(col("c1")).as("c2"))
+      .as[(String, String)].collect()
+    got.foreach { case (c1, c2) =>
+      assert(c1 === c2, s"canonical form not a fixed point: $c1 -> $c2")
+    }
+    assert(got.length === schemes.size * hosts.size * paths.size * queries.size)
+  }
+
   test("registered domain is the last two labels of the canonical host") {
     val got = Seq("https://WWW.a.b.Example.COM/x", "http://example.org")
       .toDF("u").select(UrlOps.registeredDomain(col("u")))
