@@ -75,7 +75,8 @@ object QueriesStreaming {
     val name = "q43_out"
     // Complete mode: every window emits at drain end (Append would hold
     // back windows the final watermark hasn't passed — unobservable here)
-    StreamingOps.drainToMemory(agg, name, ckpt(), OutputMode.Complete)
+    StreamingOps.withStatePartitions(spark, 8)(
+      StreamingOps.drainToMemory(agg, name, ckpt(), OutputMode.Complete))
       .select(
         unix_micros(col("window_start")).as("window_start_us"),
         unix_micros(col("window_end")).as("window_end_us"),
@@ -110,7 +111,8 @@ object QueriesStreaming {
     val sessions = StreamingOps.sessionize(ev, gap = gapUs,
       timeout = GroupStateTimeout.NoTimeout)
     val name = "q44_out"
-    StreamingOps.drainToMemory(sessions.toDF(), name, ckpt())
+    StreamingOps.withStatePartitions(spark, 8)(
+      StreamingOps.drainToMemory(sessions.toDF(), name, ckpt()))
       .select(
         col("userId").as("user_id"),
         col("sessionStartMs").as("session_start_us"),
@@ -154,7 +156,8 @@ object QueriesStreaming {
   def q55_stream_dedup(spark: SparkSession, dir: String): DataFrame = {
     val deduped = eventsStream(spark, dir, copies = 2).dropDuplicates("event_id")
     val name = "q55_out"
-    StreamingOps.drainToMemory(deduped, name, ckpt())
+    StreamingOps.withStatePartitions(spark, 8)(
+      StreamingOps.drainToMemory(deduped, name, ckpt()))
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("ts_us"), col("value"))
   }
@@ -187,7 +190,8 @@ object QueriesStreaming {
         col("c_ts") >= col("v_ts") &&
         col("c_ts") <= col("v_ts") + expr("INTERVAL 10 MINUTES"))
     val name = "q60_out"
-    StreamingOps.drainToMemory(joined.toDF(), name, ckpt())
+    StreamingOps.withStatePartitions(spark, 8)(
+      StreamingOps.drainToMemory(joined.toDF(), name, ckpt()))
       .select(col("view_id"), col("click_id"), col("v_user").as("user_id"),
         (col("c_us") - col("v_us")).as("gap_us"))
   }
@@ -215,7 +219,8 @@ object QueriesStreaming {
     val deduped = eventsStream(spark, dir, copies = 2)
       .withWatermark("ts_t", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
-    StreamingOps.drainToMemory(deduped, "q69_out", ckpt())
+    StreamingOps.withStatePartitions(spark, 8)(
+      StreamingOps.drainToMemory(deduped, "q69_out", ckpt()))
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("ts_us"), col("value"))
   }
@@ -247,7 +252,8 @@ object QueriesStreaming {
       .join(corpusIdx, Seq("fp"), "left_anti")
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("survivor_id"), count(lit(1)).as("n_copies"))
-    StreamingOps.drainToMemory(survivors, "q67_out", ckpt(), OutputMode.Complete)
+    StreamingOps.withStatePartitions(spark, 8)(
+      StreamingOps.drainToMemory(survivors, "q67_out", ckpt(), OutputMode.Complete))
   }
 
   /** Staged copy of the x40/x42 document delta (ids ≡7 mod 10) for the
@@ -299,7 +305,8 @@ object QueriesStreaming {
       .select(col("c_custkey"), col("last.op").as("op"),
         col("last.c_name").as("c_name"),
         col("last.c_acctbal").cast(DoubleType).as("c_acctbal"))
-    StreamingOps.drainToMemory(compacted, "q81_out", ckpt(), OutputMode.Complete)
+    StreamingOps.withStatePartitions(spark, 8)(
+      StreamingOps.drainToMemory(compacted, "q81_out", ckpt(), OutputMode.Complete))
   }
 
   /** Staged two-wave CDC feed parquet for the FileStreamSource, cached

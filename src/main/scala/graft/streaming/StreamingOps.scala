@@ -118,6 +118,24 @@ object StreamingOps {
   /** Run a streaming frame to completion over existing data and stop —
     * incremental-batch semantics (`Trigger.AvailableNow`). Results land in
     * an in-memory table named `queryName`. */
+  /** Runs `body` (which must START its streaming query inside) with
+    * `spark.sql.shuffle.partitions` = `n`, restoring the previous value
+    * after. Streaming state-store cardinality — shuffle partitions at
+    * query start — is a VOLUME knob, not a semantics knob: a
+    * stream-stream join materializes FOUR state stores per partition,
+    * so per-partition provider setup dominates wall time whenever the
+    * drained volume is small (measured on q60: 12.4 s at 32 partitions
+    * → 3.2 s at 8, identical output). Size to stream volume: thousands
+    * of partitions for a firehose, single digits for a bounded drain.
+    * NOT thread-safe — the session conf is global; callers are the
+    * serial gate/bench paths. */
+  def withStatePartitions[A](spark: org.apache.spark.sql.SparkSession, n: Int)(
+      body: => A): A = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   def drainToMemory(df: DataFrame, queryName: String, checkpoint: String,
       outputMode: OutputMode = OutputMode.Append): DataFrame = {
     // re-running under the same name must not accumulate driver memory:
