@@ -364,7 +364,40 @@ object QueriesStreaming {
       |SELECT c_custkey, op, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal
       |FROM last WHERE rn = 1""".stripMargin
 
+  /** The production streaming WRITE path in the gate — q55/q69 drain to
+    * a memory sink; this drains the events stream through
+    * [[StreamingOps.toPartitionedParquet]] into a day-partitioned
+    * parquet sink (exactly-once via the sink's `_spark_metadata`
+    * transaction log) and gates the READ-BACK of the sink against the
+    * plain-table oracle: files, partitions and the commit protocol are
+    * all on the hash path, not just the in-memory rows. Fresh sink +
+    * checkpoint per call — the write cost IS the measured surface.
+    * Scale shape: a date-partitioned sink is the 100 TB posture (readers
+    * prune by day for free); the drain itself is stateless (no
+    * aggregation state), so partitions size to the write parallelism. */
+  def q84_stream_partitioned_sink(spark: SparkSession, dir: String): DataFrame = {
+    val out = QueriesRelational.tempDirCleanedOnExit("graft-psink").toString
+    val src = eventsStream(spark, dir)
+      .withColumn("day", to_date(col("ts_t")))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts_us"), col("value").cast(DoubleType).as("value"), col("day"))
+    val q = StreamingOps.withStatePartitions(spark, 8)(
+      StreamingOps.toPartitionedParquet(src, out, ckpt(), Seq("day")))
+    q.awaitTermination()
+    spark.read.parquet(out)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts_us"), col("value"),
+        col("day").cast(StringType).as("day"))
+  }
+
+  val q84Oracle: String =
+    """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+      |  CAST(value AS DOUBLE) AS value,
+      |  CAST(CAST(ts AS DATE) AS VARCHAR) AS day
+      |FROM events""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q84_stream_partitioned_sink" -> (q84_stream_partitioned_sink _),
     "q81_stream_cdc_compaction" -> (q81_stream_cdc_compaction _),
     "q43_stream_windowed_agg" -> (q43_stream_windowed_agg _),
     "q44_stream_sessionization" -> (q44_stream_sessionization _),
@@ -374,6 +407,7 @@ object QueriesStreaming {
     "q69_stream_dedup_bounded" -> (q69_stream_dedup_bounded _))
 
   val oracle: Map[String, String] = Map(
+    "q84_stream_partitioned_sink" -> q84Oracle,
     "q81_stream_cdc_compaction" -> q81Oracle,
     "q43_stream_windowed_agg" -> q43Oracle,
     "q44_stream_sessionization" -> q44Oracle,
