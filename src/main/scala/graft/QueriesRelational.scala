@@ -74,12 +74,18 @@ object QueriesRelational {
         if (!withSqlExecutor) _ => None
         else t => {
           // execute against the same parquet-backed warehouse the
-          // dataflow sources use (feeds ResultBinding recordsets)
-          val table = tableRe.findFirstMatchIn(t.sqlStatement).map(_.group(1))
-            .getOrElse(throw new IllegalArgumentException(
-              s"no [schema].[table] in: ${t.sqlStatement}"))
-          spark.read.parquet(s"$dir/$table.parquet").createOrReplaceTempView(table)
-          val df = spark.sql(tableRe.replaceAllIn(t.sqlStatement, table))
+          // dataflow sources use (feeds ResultBinding recordsets).
+          // Register EVERY referenced table and rewrite each [x].[y]
+          // to its OWN bare name — replacing all occurrences with the
+          // first match silently corrupted multi-table statements.
+          val tables = tableRe.findAllMatchIn(t.sqlStatement)
+            .map(_.group(1)).toSet
+          require(tables.nonEmpty,
+            s"no [schema].[table] in: ${t.sqlStatement}")
+          tables.foreach(tbl => spark.read.parquet(s"$dir/$tbl.parquet")
+            .createOrReplaceTempView(tbl))
+          val df = spark.sql(tableRe.replaceAllIn(t.sqlStatement,
+            m => m.group(1)))
           Some(graft.pipeline.PackageRunner.SqlOutcome(Some(df), None))
         })
     val run = graft.pipeline.PackageRunner.run(spark, pkg, env)

@@ -381,9 +381,10 @@ object QueriesStreaming {
       .withColumn("day", to_date(col("ts_t")))
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("ts_us"), col("value").cast(DoubleType).as("value"), col("day"))
-    val q = StreamingOps.withStatePartitions(spark, 8)(
-      StreamingOps.toPartitionedParquet(src, out, ckpt(), Seq("day")))
-    q.awaitTermination()
+    StreamingOps.withStatePartitions(spark, 8) {
+      val q = StreamingOps.toPartitionedParquet(src, out, ckpt(), Seq("day"))
+      q.awaitTermination()
+    }
     spark.read.parquet(out)
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("ts_us"), col("value"),

@@ -3484,7 +3484,10 @@ object QueriesTrainingData {
     val docs = documents(spark, dir).select(col("doc_id"), col("source"))
       .join(sized, Seq("doc_id"))
     graft.text.CorpusOps.sequencePackingBySize(docs, "doc_id", "source",
-      col("n_bpe_tokens"), "n_bpe_tokens", cap = 512)
+      col("n_bpe_tokens"), "n_bpe_tokens", cap = 512,
+      // id stats from the cheap documents scan (a superset of the joined
+      // ids — valid bucket width, no second run of the encode pipeline)
+      idStatsSource = Some(documents(spark, dir).select(col("doc_id"))))
   }
 
   val x68Oracle: String =

@@ -39,25 +39,61 @@ object MergeSqlCompiler {
 
   private val SrcPrefix = "__src_"
 
-  /** Translate alias-qualified references: `s.col` → `__src_col` (the
-    * renamed source frame), `t.col` → `col` (the target frame). */
-  private def xlate(e: String, tgtAlias: String, srcAlias: String): String = {
-    val q = java.util.regex.Pattern.quote _
-    e.replaceAll("(?i)\\b" + q(srcAlias) + "\\.", SrcPrefix)
-      .replaceAll("(?i)\\b" + q(tgtAlias) + "\\.", "")
+  /** Split `s` into alternating unquoted/quoted segments ('' escapes a
+    * quote inside a literal, SQL-style); quoted segments INCLUDE their
+    * delimiters. Both [[xlate]] and [[splitTop]] must never look inside
+    * a string literal — `'see s.op docs'` is text, not a reference. */
+  private def segments(s: String): List[(String, Boolean)] = {
+    val out = scala.collection.mutable.ListBuffer.empty[(String, Boolean)]
+    val cur = new StringBuilder
+    var inQ = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (!inQ && c == '\'') {
+        if (cur.nonEmpty) out += ((cur.toString, false)); cur.clear()
+        inQ = true; cur.append(c): Unit
+      } else if (inQ && c == '\'') {
+        if (i + 1 < s.length && s.charAt(i + 1) == '\'') {
+          cur.append("''"): Unit; i += 1
+        } else {
+          cur.append(c): Unit; out += ((cur.toString, true)); cur.clear()
+          inQ = false
+        }
+      } else cur.append(c): Unit
+      i += 1
+    }
+    if (cur.nonEmpty) out += ((cur.toString, inQ))
+    out.toList
   }
 
-  /** Split on top-level commas only (a SET/VALUES expr may carry
-    * function-call commas inside parens). */
+  /** Translate alias-qualified references: `s.col` → `__src_col` (the
+    * renamed source frame), `t.col` → `col` (the target frame). String
+    * literals pass through untouched. */
+  private def xlate(e: String, tgtAlias: String, srcAlias: String): String = {
+    val q = java.util.regex.Pattern.quote _
+    segments(e).map {
+      case (seg, true) => seg
+      case (seg, false) =>
+        seg.replaceAll("(?i)\\b" + q(srcAlias) + "\\.", SrcPrefix)
+          .replaceAll("(?i)\\b" + q(tgtAlias) + "\\.", "")
+    }.mkString
+  }
+
+  /** Split on top-level commas only — commas inside parens (function
+    * calls) or inside string literals do not split. */
   private def splitTop(s: String): List[String] = {
     val out = scala.collection.mutable.ListBuffer.empty[String]
     var depth = 0
     val cur = new StringBuilder
-    s.foreach {
-      case '(' => depth += 1; cur.append('('): Unit
-      case ')' => depth -= 1; cur.append(')'): Unit
-      case ',' if depth == 0 => out += cur.toString.trim; cur.clear()
-      case c => cur.append(c): Unit
+    segments(s).foreach {
+      case (seg, true) => cur.append(seg): Unit
+      case (seg, false) => seg.foreach {
+        case '(' => depth += 1; cur.append('('): Unit
+        case ')' => depth -= 1; cur.append(')'): Unit
+        case ',' if depth == 0 => out += cur.toString.trim; cur.clear()
+        case c => cur.append(c): Unit
+      }
     }
     if (cur.nonEmpty) out += cur.toString.trim
     out.toList.filter(_.nonEmpty)
@@ -88,19 +124,50 @@ object MergeSqlCompiler {
         s"MERGE INSERT arity mismatch: ${insertCols.length} cols, " +
           s"${insertVals.length} values")
       val insertMap = insertCols.zip(insertVals).toMap
+      // a misspelled SET target or INSERT column would otherwise be
+      // silently ignored (the value dropped, the column NULLed) — half a
+      // MERGE, the exact failure the canonical-shape contract forbids
+      val tgtCols = tgt.columns.map(_.toLowerCase).toSet
+      val badSet = setMap.keys.filterNot(c => tgtCols(c.toLowerCase))
+      require(badSet.isEmpty,
+        s"MERGE SET names column(s) absent from target ${tgtName}: " +
+          badSet.mkString(", "))
+      val badIns = insertCols.filterNot(c => tgtCols(c.toLowerCase))
+      require(badIns.isEmpty,
+        s"MERGE INSERT names column(s) absent from target ${tgtName}: " +
+          badIns.mkString(", "))
+
+      // T-SQL MERGE aborts (error 8672) when one target row matches
+      // several source rows — the state replacement below would instead
+      // silently DUPLICATE the row. Fail loud, eagerly, like SQL Server.
+      val tgtWithId = tgt.withColumn("__graft_tid",
+        monotonically_increasing_id())
+      val matched = tgtWithId.join(srcP, joinCond, "inner")
+      val multi = matched.groupBy(col("__graft_tid")).count()
+        .filter(col("count") > 1)
+      require(multi.isEmpty,
+        s"MERGE into ${tgtName}: a target row is matched by multiple " +
+          "source rows (T-SQL error 8672) — compact the source feed " +
+          "to one row per merge key first")
 
       val untouched = tgt.join(srcP, joinCond, "left_anti")
       // NULL delete-predicate (e.g. a NULL op column) must mean "not a
       // delete" — a bare !pred filter would drop the row from BOTH legs
-      val updated = tgt.join(srcP, joinCond, "inner")
+      // lookups are case-insensitive like the validation above (T-SQL
+      // identifiers): key both maps by lower-cased name
+      val setMapLc = setMap.map { case (k, v) => k.toLowerCase -> v }
+      val insertMapLc = insertMap.map { case (k, v) => k.toLowerCase -> v }
+      val updated = matched
         .filter(!coalesce(deletePred, lit(false)))
-        .select(tgt.columns.toSeq.map(c => setMap.getOrElse(c, col(c)).as(c)): _*)
+        .select(tgt.columns.toSeq.map(c =>
+          setMapLc.getOrElse(c.toLowerCase, col(c)).as(c)): _*)
       // WHEN NOT MATCHED inserts EVERY unmatched source row (SQL Server
       // semantics — the op column does not gate inserts); absent target
       // columns become typed NULLs
       val inserted = srcP.join(tgt, joinCond, "left_anti")
         .select(tgt.schema.fields.toSeq.map(f =>
-          insertMap.getOrElse(f.name, lit(null).cast(f.dataType)).as(f.name)): _*)
+          insertMapLc.getOrElse(f.name.toLowerCase,
+            lit(null).cast(f.dataType)).as(f.name)): _*)
       SqlOutcome(Some(untouched.unionByName(updated).unionByName(inserted)),
         Some(tgtName), SaveMode.Overwrite)
     }

@@ -115,10 +115,9 @@ object StreamingOps {
       }
   }
 
-  /** Run a streaming frame to completion over existing data and stop —
-    * incremental-batch semantics (`Trigger.AvailableNow`). Results land in
-    * an in-memory table named `queryName`. */
-  /** Runs `body` (which must START its streaming query inside) with
+  /** Runs `body` (which must both START its streaming query AND await
+    * its termination inside — restoring the conf while microbatch
+    * planning is still in flight would race the override) with
     * `spark.sql.shuffle.partitions` = `n`, restoring the previous value
     * after. Streaming state-store cardinality — shuffle partitions at
     * query start — is a VOLUME knob, not a semantics knob: a
@@ -136,6 +135,9 @@ object StreamingOps {
     try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Run a streaming frame to completion over existing data and stop —
+    * incremental-batch semantics (`Trigger.AvailableNow`). Results land in
+    * an in-memory table named `queryName`. */
   def drainToMemory(df: DataFrame, queryName: String, checkpoint: String,
       outputMode: OutputMode = OutputMode.Append): DataFrame = {
     // re-running under the same name must not accumulate driver memory:

@@ -86,10 +86,16 @@ object CorpusOps {
     * counts (x68), bytes — with the same two-phase prefix-sum shape. */
   def sequencePackingBySize(docs: DataFrame, idCol: String, sourceCol: String,
       sizeExpr: Column, sizeName: String, cap: Int = 512,
-      bucketRows: Int = 4096): DataFrame = {
+      bucketRows: Int = 4096, idStatsSource: Option[DataFrame] = None): DataFrame = {
     // Phase 0 (driver, column-pruned scan of the id column only): the
-    // bucket width that yields ~n/bucketRows monotone buckets.
-    val stats = docs.agg(count(lit(1)).as("n"),
+    // bucket width that yields ~n/bucketRows monotone buckets. When
+    // `docs` embeds an expensive pipeline (x68: the whole subword
+    // encode), pass the CHEAP id superset as `idStatsSource` — any
+    // superset of the ids gives a valid (merely coarser) bucket width,
+    // and the stats row then costs one pruned scan instead of a second
+    // full pipeline execution.
+    val statsDf = idStatsSource.getOrElse(docs)
+    val stats = statsDf.agg(count(lit(1)).as("n"),
       min(col(idCol).cast(LongType)).as("lo"),
       max(col(idCol).cast(LongType)).as("hi")).head()
     val n = stats.getLong(0)

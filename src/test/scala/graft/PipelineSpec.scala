@@ -344,6 +344,36 @@ class PipelineSpec extends AnyFunSuite {
     val sub = graft.patterns.MergeSqlCompiler.rewrite(spark, subset, frames).get
     val ins = sub.df.get.filter(col("id") === 9L).collect().head
     assert(ins.isNullAt(1) && ins.getDouble(2) === 5.0)
+    // duplicate source rows per merge key must abort (T-SQL error 8672),
+    // never silently duplicate the target row
+    val dupFeed = Seq((2L, "b2", 25.0, "U"), (2L, "b3", 26.0, "U"))
+      .toDF("id", "name", "bal", "op")
+    val dupErr = intercept[IllegalArgumentException] {
+      graft.patterns.MergeSqlCompiler.rewrite(spark, merge,
+        Map("dim" -> tgt, "feed" -> dupFeed))
+    }
+    assert(dupErr.getMessage.contains("8672"))
+    // a misspelled SET / INSERT column must abort, not silently NULL
+    val typo = merge.copy(sqlStatement =
+      "MERGE INTO dim AS t USING feed AS s ON t.id = s.id " +
+        "WHEN MATCHED AND s.op = 'D' THEN DELETE " +
+        "WHEN MATCHED THEN UPDATE SET nam = s.name " +
+        "WHEN NOT MATCHED THEN INSERT (id, name, bal) VALUES (s.id, s.name, s.bal)")
+    val typoErr = intercept[IllegalArgumentException] {
+      graft.patterns.MergeSqlCompiler.rewrite(spark, typo, frames)
+    }
+    assert(typoErr.getMessage.contains("nam"))
+    // alias text inside a string literal is DATA, not a reference
+    val quoted = merge.copy(sqlStatement =
+      "MERGE INTO dim AS t USING feed AS s ON t.id = s.id " +
+        "WHEN MATCHED AND s.op = 'D' THEN DELETE " +
+        "WHEN MATCHED THEN UPDATE SET name = concat(s.name, ' (s. updated)') " +
+        "WHEN NOT MATCHED THEN INSERT (id, name, bal) VALUES (s.id, s.name, s.bal)")
+    val qOut = graft.patterns.MergeSqlCompiler.rewrite(spark, quoted, frames).get
+    val updName = qOut.df.get.filter(col("id") === 2L)
+      .select(col("name")).as[String].head()
+    assert(updName === "b2 (s. updated)",
+      s"literal containing the alias was rewritten: $updName")
   }
 
   test("CdcCustomerMergeETL: runner classifies MERGE task merge_scd end-to-end") {
