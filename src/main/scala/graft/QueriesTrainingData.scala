@@ -3248,6 +3248,39 @@ object QueriesTrainingData {
       |FROM mixplan p JOIN per b ON p.doc_id = b.doc_id
       |GROUP BY p.source""".stripMargin
 
+  /** Johnson–Lindenstrauss random projection — 64-dim embeddings reduced
+    * to 16 signed-integer coordinates against the md5-derived projection
+    * matrix ([[SimilarityOps.lshHyperplanes]], seed-decorrelated from the
+    * LSH draws): the standard preprocessing that makes downstream ANN /
+    * clustering 4× cheaper while preserving pairwise distances within
+    * the JL (1±ε) band. Projections are exact integer dot products of
+    * the quantized vectors — any engine reproduces them bit-for-bit.
+    * Scale shape: map-only (zero exchanges) — the 16×64 matrix is a
+    * compile-time literal in the plan, quantization runs once per row,
+    * and the output is 16 rows per vector regardless of corpus size. */
+  def x76_jl_projection(spark: SparkSession, dir: String): DataFrame = {
+    val planes = SimilarityOps.lshHyperplanes(bits = 16, dim = 64, seed = "jl|")
+    SimilarityOps.withQuantized(
+        embeddings(spark, dir)
+          .repartition(spark.sparkContext.defaultParallelism), "embedding")
+      .select(col("vec_id"),
+        posexplode(array(planes.map(p =>
+          SimilarityOps.qdot(col("qvec"), array(p.map(lit): _*))): _*))
+          .as(Seq("k", "proj")))
+  }
+
+  val x76Oracle: String =
+    """WITH q AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |hp AS (
+      |  SELECT b, list_transform(generate_series(0, 63), i ->
+      |    CAST(('0x' || substr(md5('jl|' || b || '|' || i), 1, 15)) AS BIGINT) % 2001 - 1000) AS h
+      |  FROM generate_series(0, 15) t(b))
+      |SELECT vec_id, CAST(b AS INT) AS k,
+      |  CAST(list_sum(list_transform(generate_series(1, 64), i -> qv[i] * h[i])) AS BIGINT) AS proj
+      |FROM q CROSS JOIN hp""".stripMargin
+
   /** Dataset-card summary — the one-row audit a curation run publishes
     * with the shipped corpus (the numbers a dataset card opens with):
     * document/source/language cardinalities, token and character mass,
@@ -3679,6 +3712,7 @@ object QueriesTrainingData {
       |FROM r""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x76_jl_projection" -> (x76_jl_projection _),
     "x75_pack_efficiency" -> (x75_pack_efficiency _),
     "x74_effective_tokens" -> (x74_effective_tokens _),
     "x73_dataset_card" -> (x73_dataset_card _),
@@ -3756,6 +3790,7 @@ object QueriesTrainingData {
     "x10_multimodal_meta" -> (x10_multimodal_meta _))
 
   val oracle: Map[String, String] = Map(
+    "x76_jl_projection" -> x76Oracle,
     "x75_pack_efficiency" -> x75Oracle,
     "x74_effective_tokens" -> x74Oracle,
     "x73_dataset_card" -> x73Oracle,
