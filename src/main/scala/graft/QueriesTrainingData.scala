@@ -3375,6 +3375,71 @@ object QueriesTrainingData {
       |LEFT JOIN ptop p ON f.query_id = p.query_id AND f.neighbor_id = p.neighbor_id
       |GROUP BY f.query_id""".stripMargin
 
+  /** Per-language tokenizer FERTILITY — the standard multilingual
+    * tokenizer-equity metric: subwords-per-word by language (a
+    * vocabulary learned on one language's statistics fragments the
+    * others; fertility quantifies who pays). Rolls x67's per-doc subword
+    * budget up by the document's language label, with token-weighted
+    * fertility = Σ subwords / Σ words per language.
+    * Scale shape: x67's broadcast-encoded join, then ONE
+    * partial-combining (lang) aggregate — no new corpus pass. */
+  def x78_tokenizer_fertility(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = x67_subword_budget(spark, dir)
+      .select(col("doc_id"), col("n_ws_tokens"), col("n_bpe_tokens"))
+    documents(spark, dir).select(col("doc_id"), col("lang"))
+      .join(perDoc, Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_ws_tokens")).as("n_words"),
+        sum(col("n_bpe_tokens")).as("n_subwords"))
+      .withColumn("fertility",
+        col("n_subwords").cast(DoubleType) / col("n_words").cast(DoubleType))
+  }
+
+  val x78Oracle: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT unnest(string_split_regex(text, '\s+')) AS w FROM documents),
+      |wf AS (
+      |  SELECT w, COUNT(*) AS wf FROM toks
+      |  WHERE w <> '' AND NOT contains(w, chr(31)) GROUP BY w),
+      |p AS (
+      |  SELECT wf, unnest(list_transform(
+      |    generate_series(1, length(w) - 1), i -> w[i:i+1])) AS pair
+      |  FROM wf WHERE length(w) >= 2),
+      |ps AS (SELECT pair, SUM(wf) AS n FROM p GROUP BY pair),
+      |merges AS (
+      |  SELECT pair, CAST(row_number() OVER (ORDER BY n DESC, pair) AS INT) AS rk
+      |  FROM ps ORDER BY n DESC, pair LIMIT 24),
+      |enc AS (
+      |  SELECT w, wf,
+      |    chr(31) || regexp_replace(w, '(.)', '\1' || chr(31) || chr(31), 'g') AS s,
+      |    0 AS r
+      |  FROM wf
+      |  UNION ALL
+      |  SELECT e.w, e.wf,
+      |    replace(e.s,
+      |      chr(31) || m.pair[1] || chr(31) || chr(31) || m.pair[2] || chr(31),
+      |      chr(31) || m.pair || chr(31)),
+      |    e.r + 1
+      |  FROM enc e JOIN merges m ON m.rk = e.r + 1),
+      |fin AS (
+      |  SELECT w, len(list_filter(string_split(s, chr(31)), x -> x <> '')) AS n_subwords
+      |  FROM enc WHERE r = (SELECT COUNT(*) FROM merges)),
+      |tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w FROM documents),
+      |tt AS (SELECT doc_id, w FROM tok WHERE w <> '' AND NOT contains(w, chr(31))),
+      |per AS (
+      |  SELECT doc_id, COUNT(*) AS n_ws_tokens,
+      |    CAST(SUM(f.n_subwords) AS BIGINT) AS n_bpe_tokens
+      |  FROM tt JOIN fin f ON tt.w = f.w GROUP BY doc_id)
+      |SELECT d.lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(p2.n_ws_tokens) AS BIGINT) AS n_words,
+      |  CAST(SUM(p2.n_bpe_tokens) AS BIGINT) AS n_subwords,
+      |  CAST(SUM(p2.n_bpe_tokens) AS DOUBLE)
+      |    / CAST(SUM(p2.n_ws_tokens) AS DOUBLE) AS fertility
+      |FROM documents d JOIN per p2 ON d.doc_id = p2.doc_id
+      |GROUP BY d.lang""".stripMargin
+
   /** Dataset-card summary — the one-row audit a curation run publishes
     * with the shipped corpus (the numbers a dataset card opens with):
     * document/source/language cardinalities, token and character mass,
@@ -3806,6 +3871,7 @@ object QueriesTrainingData {
       |FROM r""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x78_tokenizer_fertility" -> (x78_tokenizer_fertility _),
     "x77_jl_recall" -> (x77_jl_recall _),
     "x76_jl_projection" -> (x76_jl_projection _),
     "x75_pack_efficiency" -> (x75_pack_efficiency _),
@@ -3885,6 +3951,7 @@ object QueriesTrainingData {
     "x10_multimodal_meta" -> (x10_multimodal_meta _))
 
   val oracle: Map[String, String] = Map(
+    "x78_tokenizer_fertility" -> x78Oracle,
     "x77_jl_recall" -> x77Oracle,
     "x76_jl_projection" -> x76Oracle,
     "x75_pack_efficiency" -> x75Oracle,
