@@ -3729,6 +3729,90 @@ object QueriesTrainingData {
       |  CAST((cum - n_bpe_tokens) // 512 AS BIGINT) AS pack_id
       |FROM c""".stripMargin
 
+  /** URL takedown sweep — corpus governance at the canonical-URL key
+    * (the DMCA/robots-retroactive case): a takedown list of canonical
+    * URLs (here: every URL whose source id ≡ 0 mod 7 — a deterministic
+    * stand-in for the externally-supplied list) is applied to the
+    * corpus, and the audit a compliance job files is emitted per
+    * registered domain: total documents, removed, kept. The q79
+    * deletion-cascade shape on the curation plane: the takedown KEY SET
+    * rides a broadcast into a semi probe — the corpus never shuffles.
+    * Canonicalization (x63 / [[graft.text.UrlOps]]) is what makes the
+    * list effective: raw-URL matching would miss every case/port/slash/
+    * param variant of a listed page. */
+  def x79_url_takedown(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.UrlOps
+    val raw = documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"))
+      .withColumn("url_raw", concat(
+        when(pmod(col("doc_id"), lit(3L)) === 0, lit("HTTPS"))
+          .otherwise(lit("https")),
+        lit("://"),
+        when(pmod(col("doc_id"), lit(2L)) === 0, lit("WWW.")).otherwise(lit("")),
+        col("source"), lit("."), col("lang"), lit("-corpus.ORG"),
+        when(pmod(col("doc_id"), lit(5L)) === 0, lit(":443")).otherwise(lit("")),
+        lit("/docs/"), col("lang"),
+        when(pmod(col("doc_id"), lit(4L)) === 0, lit("/")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(2L)) === 0, lit("?b=2&a=1"))
+          .otherwise(lit("?a=1&b=2"))))
+    val canon = raw.select(col("doc_id"), col("source"),
+      UrlOps.canonicalize(col("url_raw")).as("url_canon"),
+      UrlOps.registeredDomain(col("url_raw")).as("domain"))
+    val takedown = canon
+      .filter(pmod(substring(col("source"), 4, 10).cast(IntegerType),
+        lit(7)) === 0)
+      .select(col("url_canon")).distinct()
+    val flagged = canon.join(broadcast(takedown.withColumn("__graft_td", lit(1))),
+        Seq("url_canon"), "left")
+      .withColumn("removed", col("__graft_td").isNotNull)
+    flagged.groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("removed"), 1L).otherwise(0L)).as("n_removed"))
+      .withColumn("n_kept", col("n_total") - col("n_removed"))
+  }
+
+  val x79Oracle: String =
+    """WITH u AS (
+      |  SELECT doc_id, source,
+      |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END) ||
+      |    source || '.' || lang || '-corpus.ORG' ||
+      |    (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) ||
+      |    '/docs/' || lang ||
+      |    (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=1' ELSE '?a=1&b=2' END) AS url_raw
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, source,
+      |    lower(regexp_extract(url_raw, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+      |    lower(regexp_extract(url_raw, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hp,
+      |    regexp_extract(url_raw, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS pth,
+      |    regexp_extract(url_raw, '\?([^#]*)', 1) AS qry
+      |  FROM u),
+      |c AS (
+      |  SELECT doc_id, source, sch,
+      |    regexp_replace(
+      |      CASE WHEN sch = 'https' THEN regexp_replace(hp, ':443$', '')
+      |           WHEN sch = 'http' THEN regexp_replace(hp, ':80$', '')
+      |           ELSE hp END, '^www\.', '') AS host,
+      |    CASE WHEN regexp_replace(pth, '/+$', '') = '' THEN '/'
+      |         ELSE regexp_replace(pth, '/+$', '') END AS cpath,
+      |    CASE WHEN qry = '' THEN ''
+      |         ELSE '?' || array_to_string(list_sort(string_split(qry, '&')), '&') END AS cq
+      |  FROM p),
+      |canon AS (
+      |  SELECT doc_id, source, sch || '://' || host || cpath || cq AS url_canon,
+      |    regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain
+      |  FROM c),
+      |takedown AS (
+      |  SELECT DISTINCT url_canon FROM canon
+      |  WHERE CAST(substr(source, 4) AS INT) % 7 = 0)
+      |SELECT domain, COUNT(*) AS n_total,
+      |  CAST(SUM(CASE WHEN t.url_canon IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      |  COUNT(*) - CAST(SUM(CASE WHEN t.url_canon IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |FROM canon c2 LEFT JOIN takedown t ON c2.url_canon = t.url_canon
+      |GROUP BY domain""".stripMargin
+
   /** Epoch-mix repeat plan — the data-mixing step that turns per-source
     * target weights into per-document replication factors (epoch factors:
     * a 2.75-weight source repeats every doc twice and a deterministic
@@ -3871,6 +3955,7 @@ object QueriesTrainingData {
       |FROM r""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x79_url_takedown" -> (x79_url_takedown _),
     "x78_tokenizer_fertility" -> (x78_tokenizer_fertility _),
     "x77_jl_recall" -> (x77_jl_recall _),
     "x76_jl_projection" -> (x76_jl_projection _),
@@ -3951,6 +4036,7 @@ object QueriesTrainingData {
     "x10_multimodal_meta" -> (x10_multimodal_meta _))
 
   val oracle: Map[String, String] = Map(
+    "x79_url_takedown" -> x79Oracle,
     "x78_tokenizer_fertility" -> x78Oracle,
     "x77_jl_recall" -> x77Oracle,
     "x76_jl_projection" -> x76Oracle,
