@@ -75,8 +75,7 @@ object QueriesStreaming {
     val name = "q43_out"
     // Complete mode: every window emits at drain end (Append would hold
     // back windows the final watermark hasn't passed — unobservable here)
-    StreamingOps.withStatePartitions(spark, 8)(
-      StreamingOps.drainToMemory(agg, name, ckpt(), OutputMode.Complete))
+    StreamingOps.drainToMemory(agg, name, ckpt(), OutputMode.Complete)
       .select(
         unix_micros(col("window_start")).as("window_start_us"),
         unix_micros(col("window_end")).as("window_end_us"),
@@ -111,8 +110,7 @@ object QueriesStreaming {
     val sessions = StreamingOps.sessionize(ev, gap = gapUs,
       timeout = GroupStateTimeout.NoTimeout)
     val name = "q44_out"
-    StreamingOps.withStatePartitions(spark, 8)(
-      StreamingOps.drainToMemory(sessions.toDF(), name, ckpt()))
+    StreamingOps.drainToMemory(sessions.toDF(), name, ckpt())
       .select(
         col("userId").as("user_id"),
         col("sessionStartMs").as("session_start_us"),
@@ -156,8 +154,7 @@ object QueriesStreaming {
   def q55_stream_dedup(spark: SparkSession, dir: String): DataFrame = {
     val deduped = eventsStream(spark, dir, copies = 2).dropDuplicates("event_id")
     val name = "q55_out"
-    StreamingOps.withStatePartitions(spark, 8)(
-      StreamingOps.drainToMemory(deduped, name, ckpt()))
+    StreamingOps.drainToMemory(deduped, name, ckpt())
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("ts_us"), col("value"))
   }
@@ -190,8 +187,7 @@ object QueriesStreaming {
         col("c_ts") >= col("v_ts") &&
         col("c_ts") <= col("v_ts") + expr("INTERVAL 10 MINUTES"))
     val name = "q60_out"
-    StreamingOps.withStatePartitions(spark, 8)(
-      StreamingOps.drainToMemory(joined.toDF(), name, ckpt()))
+    StreamingOps.drainToMemory(joined.toDF(), name, ckpt())
       .select(col("view_id"), col("click_id"), col("v_user").as("user_id"),
         (col("c_us") - col("v_us")).as("gap_us"))
   }
@@ -219,8 +215,7 @@ object QueriesStreaming {
     val deduped = eventsStream(spark, dir, copies = 2)
       .withWatermark("ts_t", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
-    StreamingOps.withStatePartitions(spark, 8)(
-      StreamingOps.drainToMemory(deduped, "q69_out", ckpt()))
+    StreamingOps.drainToMemory(deduped, "q69_out", ckpt())
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("ts_us"), col("value"))
   }
@@ -252,8 +247,7 @@ object QueriesStreaming {
       .join(corpusIdx, Seq("fp"), "left_anti")
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("survivor_id"), count(lit(1)).as("n_copies"))
-    StreamingOps.withStatePartitions(spark, 8)(
-      StreamingOps.drainToMemory(survivors, "q67_out", ckpt(), OutputMode.Complete))
+    StreamingOps.drainToMemory(survivors, "q67_out", ckpt(), OutputMode.Complete)
   }
 
   /** Staged copy of the x40/x42 document delta (ids ≡7 mod 10) for the
@@ -305,8 +299,7 @@ object QueriesStreaming {
       .select(col("c_custkey"), col("last.op").as("op"),
         col("last.c_name").as("c_name"),
         col("last.c_acctbal").cast(DoubleType).as("c_acctbal"))
-    StreamingOps.withStatePartitions(spark, 8)(
-      StreamingOps.drainToMemory(compacted, "q81_out", ckpt(), OutputMode.Complete))
+    StreamingOps.drainToMemory(compacted, "q81_out", ckpt(), OutputMode.Complete)
   }
 
   /** Staged two-wave CDC feed parquet for the FileStreamSource, cached
@@ -378,7 +371,11 @@ object QueriesStreaming {
   def q84_stream_partitioned_sink(spark: SparkSession, dir: String): DataFrame = {
     val out = QueriesRelational.tempDirCleanedOnExit("graft-psink").toString
     val src = eventsStream(spark, dir)
-      .withColumn("day", to_date(col("ts_t")))
+      // tz-INDEPENDENT partition day (the 816a44c convention): integer
+      // epoch-day arithmetic on ts_us, never to_date(ts_t) — which would
+      // shift by the session timezone and diverge from the naive oracle
+      .withColumn("day", date_from_unix_date(
+        call_function("div", col("ts_us"), lit(86400000000L)).cast(IntegerType)))
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("ts_us"), col("value").cast(DoubleType).as("value"), col("day"))
     StreamingOps.withStatePartitions(spark, 8) {

@@ -3255,14 +3255,18 @@ object QueriesTrainingData {
     * clustering 4× cheaper while preserving pairwise distances within
     * the JL (1±ε) band. Projections are exact integer dot products of
     * the quantized vectors — any engine reproduces them bit-for-bit.
-    * Scale shape: map-only (zero exchanges) — the 16×64 matrix is a
-    * compile-time literal in the plan, quantization runs once per row,
-    * and the output is 16 rows per vector regardless of corpus size. */
+    * Scale shape: one round-robin spread of the single-file scan, then
+    * pure per-row work — the 16×64 matrix is a compile-time literal in
+    * the plan, quantization runs once per row, and the output is 16
+    * rows per vector regardless of corpus size. */
   def x76_jl_projection(spark: SparkSession, dir: String): DataFrame = {
     val planes = SimilarityOps.lshHyperplanes(bits = 16, dim = 64, seed = "jl|")
-    SimilarityOps.withQuantized(
-        embeddings(spark, dir)
-          .repartition(spark.sparkContext.defaultParallelism), "embedding")
+    embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      // quantize directly — withQuantized would also build qn2, a full
+      // 64-element fold this operator never reads
+      .select(col("vec_id"),
+        SimilarityOps.quantize(col("embedding")).as("qvec"))
       .select(col("vec_id"),
         posexplode(array(planes.map(p =>
           SimilarityOps.qdot(col("qvec"), array(p.map(lit): _*))): _*))

@@ -136,6 +136,17 @@ object MergeSqlCompiler {
       require(badIns.isEmpty,
         s"MERGE INSERT names column(s) absent from target ${tgtName}: " +
           badIns.mkString(", "))
+      // T-SQL also aborts on a column assigned twice ("specified more
+      // than once") — after case-folding, a duplicate would silently
+      // collapse to one assignment here
+      val dupSet = setMap.keys.groupBy(_.toLowerCase).filter(_._2.size > 1)
+      require(dupSet.isEmpty,
+        s"MERGE SET assigns column(s) more than once: " +
+          dupSet.keys.mkString(", "))
+      val dupIns = insertCols.groupBy(_.toLowerCase).filter(_._2.size > 1)
+      require(dupIns.isEmpty,
+        s"MERGE INSERT names column(s) more than once: " +
+          dupIns.keys.mkString(", "))
 
       // T-SQL MERGE aborts (error 8672) when one target row matches
       // several source rows — the state replacement below would instead

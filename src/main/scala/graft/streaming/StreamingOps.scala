@@ -137,23 +137,28 @@ object StreamingOps {
 
   /** Run a streaming frame to completion over existing data and stop —
     * incremental-batch semantics (`Trigger.AvailableNow`). Results land in
-    * an in-memory table named `queryName`. */
+    * an in-memory table named `queryName`. The whole start-and-await runs
+    * under [[withStatePartitions]] sized by `statePartitions` (default 8:
+    * a bounded drain, not a firehose — a forgotten override must not
+    * silently pay 4× state-store setup per partition). */
   def drainToMemory(df: DataFrame, queryName: String, checkpoint: String,
-      outputMode: OutputMode = OutputMode.Append): DataFrame = {
-    // re-running under the same name must not accumulate driver memory:
-    // drop the previous drain's memory table (a terminated query has
-    // already freed the query name)
-    df.sparkSession.catalog.dropTempView(queryName): Unit
-    val q = df.writeStream
-      .outputMode(outputMode)
-      .format("memory")
-      .queryName(queryName)
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    df.sparkSession.table(queryName)
-  }
+      outputMode: OutputMode = OutputMode.Append,
+      statePartitions: Int = 8): DataFrame =
+    withStatePartitions(df.sparkSession, statePartitions) {
+      // re-running under the same name must not accumulate driver memory:
+      // drop the previous drain's memory table (a terminated query has
+      // already freed the query name)
+      df.sparkSession.catalog.dropTempView(queryName): Unit
+      val q = df.writeStream
+        .outputMode(outputMode)
+        .format("memory")
+        .queryName(queryName)
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      df.sparkSession.table(queryName)
+    }
 
   /** Streaming sink to partitioned parquet — the production write path
     * (date-partitioned sinks are the 100 TB posture; partition pruning on
