@@ -336,6 +336,50 @@ object QueriesTrainingData {
       |  CAST(len(range(0, n_frames, 4)) AS INT) AS n_sampled_frames
       |FROM meta""".stripMargin
 
+  /** Vision-token budget — the multimodal sibling of x67's text budget:
+    * per visual media item, the ViT patch count (ceil(w/14)·ceil(h/14),
+    * the standard 14-px patch grid) times the sampled frame count from
+    * x10's stride-4 frame plan = the "vision tokens" a multimodal
+    * training batch is actually costed on. Audio is excluded (costed in
+    * samples, not patches). Pure integer arithmetic over the x10
+    * metadata — composition, no new decode.
+    * Scale shape: narrow row-wise arithmetic on x10's map-only frame —
+    * zero additional exchanges at any corpus size. */
+  def x80_vision_token_budget(spark: SparkSession, dir: String): DataFrame = {
+    val patches =
+      call_function("div", col("width").cast(LongType) + 13L, lit(14L)) *
+        call_function("div", col("height").cast(LongType) + 13L, lit(14L))
+    x10_multimodal_meta(spark, dir)
+      .filter(col("media_type") =!= "audio")
+      .withColumn("patches", patches)
+      .withColumn("vision_tokens",
+        col("patches") * col("n_sampled_frames").cast(LongType))
+      .select(col("media_id"), col("media_type"), col("width"), col("height"),
+        col("n_sampled_frames"), col("patches"), col("vision_tokens"))
+  }
+
+  val x80Oracle: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+      |    md5(text) AS h
+      |  FROM documents),
+      |meta AS (
+      |  SELECT media_id, media_type,
+      |    CAST(('0x'||substr(h,1,2)) AS INT) * 16 + 64 AS width,
+      |    CAST(('0x'||substr(h,3,2)) AS INT) * 16 + 64 AS height,
+      |    CASE WHEN media_type = 'video' THEN CAST(('0x'||substr(h,5,2)) AS INT) + 1 ELSE 1 END AS n_frames
+      |  FROM m),
+      |sel AS (
+      |  SELECT media_id, media_type, width, height,
+      |    CAST(len(range(0, n_frames, 4)) AS INT) AS n_sampled_frames
+      |  FROM meta WHERE media_type <> 'audio')
+      |SELECT media_id, media_type, width, height, n_sampled_frames,
+      |  CAST(((width + 13) // 14) * ((height + 13) // 14) AS BIGINT) AS patches,
+      |  CAST(((width + 13) // 14) * ((height + 13) // 14) * n_sampled_frames AS BIGINT) AS vision_tokens
+      |FROM sel""".stripMargin
+
   /** IVF (k-means coarse quantizer) ANN search — the scale path past
     * x09's brute force. Probing ALL cells makes IVF exact (every vector
     * lives in exactly one cell), so the full machinery — quantizer build,
@@ -3959,6 +4003,7 @@ object QueriesTrainingData {
       |FROM r""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x80_vision_token_budget" -> (x80_vision_token_budget _),
     "x79_url_takedown" -> (x79_url_takedown _),
     "x78_tokenizer_fertility" -> (x78_tokenizer_fertility _),
     "x77_jl_recall" -> (x77_jl_recall _),
@@ -4040,6 +4085,7 @@ object QueriesTrainingData {
     "x10_multimodal_meta" -> (x10_multimodal_meta _))
 
   val oracle: Map[String, String] = Map(
+    "x80_vision_token_budget" -> x80Oracle,
     "x79_url_takedown" -> x79Oracle,
     "x78_tokenizer_fertility" -> x78Oracle,
     "x77_jl_recall" -> x77Oracle,
