@@ -336,6 +336,36 @@ object QueriesTrainingData {
       |  CAST(len(range(0, n_frames, 4)) AS INT) AS n_sampled_frames
       |FROM meta""".stripMargin
 
+  /** Soft-dedup sampling weights — the gentler alternative to x05's hard
+    * dedup when near-identical documents still carry signal: every copy
+    * survives, but each is weighted 1/|dup group| on the x05 content key
+    * so a 40-copy boilerplate page contributes ONE document's worth of
+    * gradient mass, not forty. The weight a sampler multiplies into its
+    * draw probability (or a loss scaler applies per example).
+    * Scale shape: one partial-combining count per content key, joined
+    * back key-to-key; weight mass per group sums to exactly 1 by
+    * construction, so total corpus mass = |groups| — auditable
+    * downstream with one aggregate. */
+  def x81_softdedup_weights(spark: SparkSession, dir: String): DataFrame = {
+    val key = md5(concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 5)))
+    val d = documents(spark, dir).select(col("doc_id"), key.as("dup_key"))
+    val groups = d.groupBy(col("dup_key")).agg(count(lit(1)).as("group_size"))
+    d.join(groups, Seq("dup_key"))
+      .select(col("doc_id"), col("dup_key"),
+        col("group_size"),
+        (lit(1.0) / col("group_size").cast(DoubleType)).as("weight"))
+  }
+
+  val x81Oracle: String =
+    """WITH k AS (
+      |  SELECT doc_id,
+      |    md5(array_to_string((string_split_regex(text, '\s+'))[1:5], ' ')) AS dup_key
+      |  FROM documents),
+      |g AS (SELECT dup_key, COUNT(*) AS group_size FROM k GROUP BY dup_key)
+      |SELECT k.doc_id, k.dup_key, g.group_size,
+      |  1.0 / CAST(g.group_size AS DOUBLE) AS weight
+      |FROM k JOIN g ON k.dup_key = g.dup_key""".stripMargin
+
   /** Vision-token budget — the multimodal sibling of x67's text budget:
     * per visual media item, the ViT patch count (ceil(w/14)·ceil(h/14),
     * the standard 14-px patch grid) times the sampled frame count from
@@ -4003,6 +4033,7 @@ object QueriesTrainingData {
       |FROM r""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x81_softdedup_weights" -> (x81_softdedup_weights _),
     "x80_vision_token_budget" -> (x80_vision_token_budget _),
     "x79_url_takedown" -> (x79_url_takedown _),
     "x78_tokenizer_fertility" -> (x78_tokenizer_fertility _),
@@ -4085,6 +4116,7 @@ object QueriesTrainingData {
     "x10_multimodal_meta" -> (x10_multimodal_meta _))
 
   val oracle: Map[String, String] = Map(
+    "x81_softdedup_weights" -> x81Oracle,
     "x80_vision_token_budget" -> x80Oracle,
     "x79_url_takedown" -> x79Oracle,
     "x78_tokenizer_fertility" -> x78Oracle,
