@@ -806,6 +806,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"quantization leaked into the join: $joinLine")
   }
 
+  test("x80/x81: budget ledger queries stay cheap — no cartesian, partial-combined") {
+    val p80 = executedPlan("x80_vision_token_budget")
+    assert(!p80.contains("Exchange"),
+      s"vision-token arithmetic must stay narrow over x10's frame:\n$p80")
+    val p81 = executedPlan("x81_softdedup_weights")
+    assert(p81.contains("partial_count"),
+      "dup-group sizes must map-side combine")
+    assert(!p81.contains("CartesianProduct") &&
+      !p81.contains("BroadcastNestedLoopJoin"),
+      "group-size join must stay an equi-join on the content key")
+  }
+
   test("no gated plan contains a trivially-true self-equality predicate") {
     // `a#12 = a#12` (same exprId on both sides) means a join condition was
     // written against two frames that resolve to the SAME attribute — the
