@@ -16,6 +16,12 @@ run / fork := true
 // the forked main exits (the driver tail-parses stdout).
 ThisBuild / showSuccess := false
 Global / excludeLintKeys += showSuccess
+// Route the forked child JVM's stdout straight through instead of via
+// sbt's logger: the logger wraps every forked-run line with "[info] ",
+// which defeated the driver's JSON tail-parse of Bench's final line for
+// five rounds even once showSuccess made it the last line. Set at the
+// project level so run, runMain, and forked Test all delegate to it.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
