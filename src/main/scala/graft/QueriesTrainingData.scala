@@ -2984,16 +2984,69 @@ object QueriesTrainingData {
       |       ELSE 0.0 END AS removed_frac
       |FROM base""".stripMargin
 
+  /** Deterministic messy crawl URL for x63/x79 — the testdata carries no
+    * URL column, so one is derived per document: scheme case, `www.`,
+    * default port, trailing slash and query-param order all vary by
+    * doc_id, and the HOST SUFFIX varies by source id mod 4 so every
+    * branch of [[graft.text.UrlOps.registeredDomain]]'s public-suffix
+    * lookup is exercised end-to-end: `.ORG` (no PSL rule — last-2-label
+    * fallback), `.CO.UK` (2-label ICANN rule), `.GitHub.IO` (2-label
+    * private-section rule), `.NSW.edu.AU` (3-label rule). Documents of
+    * one (source, lang) still collapse to a single canonical URL;
+    * sources of one suffix class sharing a lang share one registered
+    * domain, so the domain key has real cross-source fan-in. */
+  private def messyCrawlUrl: Column = {
+    val srcNum = substring(col("source"), 4, 10).cast(LongType)
+    concat(
+      when(pmod(col("doc_id"), lit(3L)) === 0, lit("HTTPS"))
+        .otherwise(lit("https")),
+      lit("://"),
+      when(pmod(col("doc_id"), lit(2L)) === 0, lit("WWW.")).otherwise(lit("")),
+      col("source"), lit("."), col("lang"), lit("-corpus"),
+      when(pmod(srcNum, lit(4L)) === 0, lit(".ORG"))
+        .when(pmod(srcNum, lit(4L)) === 1, lit(".CO.UK"))
+        .when(pmod(srcNum, lit(4L)) === 2, lit(".GitHub.IO"))
+        .otherwise(lit(".NSW.edu.AU")),
+      when(pmod(col("doc_id"), lit(5L)) === 0, lit(":443")).otherwise(lit("")),
+      lit("/docs/"), col("lang"),
+      when(pmod(col("doc_id"), lit(4L)) === 0, lit("/")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(2L)) === 0, lit("?b=2&a=1"))
+        .otherwise(lit("?a=1&b=2")))
+  }
+
+  /** Oracle twin of [[messyCrawlUrl]] (spliced into x63/x79 SQL). */
+  private val messyCrawlUrlSql: String =
+    """(CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END) ||
+      |    source || '.' || lang || '-corpus' ||
+      |    (CASE CAST(substr(source, 4) AS INT) % 4
+      |       WHEN 0 THEN '.ORG' WHEN 1 THEN '.CO.UK'
+      |       WHEN 2 THEN '.GitHub.IO' ELSE '.NSW.edu.AU' END) ||
+      |    (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) ||
+      |    '/docs/' || lang ||
+      |    (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=1' ELSE '?a=1&b=2' END)""".stripMargin
+
+  /** Public-suffix rules CTEs shared by the x63/x79 oracles — the SQL
+    * twin of the engine's `InSet` lookup, joined so the oracle replays
+    * the IDENTICAL bundled rule table ([[graft.text.PublicSuffix]]). */
+  private val pslCtesSql: String =
+    "psl2(r) AS (VALUES " +
+      graft.text.PublicSuffix.sqlValues(graft.text.PublicSuffix.rules2) +
+      "),\npsl3(r) AS (VALUES " +
+      graft.text.PublicSuffix.sqlValues(graft.text.PublicSuffix.rules3) + ")"
+
   /** URL/host canonicalization + domain-level dedup — standard web-corpus
     * curation: normalize scheme/host case, default ports, `www.`,
     * trailing slashes and query-parameter order ([[graft.text.UrlOps]],
     * all codegen'd built-ins), dedup at the canonical-URL key (keep the
-    * lowest doc_id), then cap each registered domain at 12 canonical
-    * URLs. The testdata carries no URL column, so a deterministic messy
-    * raw URL is derived per document (scheme case / port / slash / param
-    * order all vary by doc_id; the oracle derives the identical string)
-    * — documents of one (source, lang) collapse to the SAME canonical
-    * URL, so the dedup key has real fan-in.
+    * lowest doc_id), then cap each registered domain at 4 canonical
+    * URLs. The domain key is public-suffix-aware
+    * ([[graft.text.PublicSuffix]]): `a.co.uk` and `b.co.uk` are
+    * DIFFERENT domains while `x.en-corpus.co.uk` pages share one — the
+    * distinction a last-2-label key gets wrong. Raw URLs come from
+    * [[messyCrawlUrl]]; the oracle derives the identical strings and
+    * joins the identical rule table.
     * Scale shape: canonicalization is narrow per-row work fused into the
     * scan; URL dedup is one hash aggregate (map-side-combined min); the
     * per-domain rank is the banded two-phase prefix sum — never a bare
@@ -3003,17 +3056,7 @@ object QueriesTrainingData {
     import graft.text.UrlOps
     val raw = documents(spark, dir)
       .select(col("doc_id"), col("source"), col("lang"))
-      .withColumn("url_raw", concat(
-        when(pmod(col("doc_id"), lit(3L)) === 0, lit("HTTPS"))
-          .otherwise(lit("https")),
-        lit("://"),
-        when(pmod(col("doc_id"), lit(2L)) === 0, lit("WWW.")).otherwise(lit("")),
-        col("source"), lit("."), col("lang"), lit("-corpus.ORG"),
-        when(pmod(col("doc_id"), lit(5L)) === 0, lit(":443")).otherwise(lit("")),
-        lit("/docs/"), col("lang"),
-        when(pmod(col("doc_id"), lit(4L)) === 0, lit("/")).otherwise(lit("")),
-        when(pmod(col("doc_id"), lit(2L)) === 0, lit("?b=2&a=1"))
-          .otherwise(lit("?a=1&b=2"))))
+      .withColumn("url_raw", messyCrawlUrl)
     val canon = raw.select(col("doc_id"),
       UrlOps.canonicalize(col("url_raw")).as("url_canon"),
       UrlOps.registeredDomain(col("url_raw")).as("domain"))
@@ -3029,23 +3072,18 @@ object QueriesTrainingData {
     val ranked = graft.text.CorpusOps.twoPhasePrefixSum(keyed, Seq("domain"),
         "__graft_bucket", Seq("doc_id"), "__graft_one", "__graft_rank")
       .select(col("doc_id").as("__graft_kid"),
-        (col("__graft_rank") <= 12L).as("__graft_dk"))
+        (col("__graft_rank") <= 4L).as("__graft_dk"))
     flagged.join(ranked, flagged("doc_id") === ranked("__graft_kid"), "left")
       .select(col("doc_id"), col("url_canon"), col("domain"), col("url_keep"),
         coalesce(col("__graft_dk"), lit(false)).as("domain_keep"))
   }
 
   val x63Oracle: String =
-    """WITH u AS (
+    "WITH " + pslCtesSql + ",\n" +
+    """u AS (
       |  SELECT doc_id,
-      |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
-      |    (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END) ||
-      |    source || '.' || lang || '-corpus.ORG' ||
-      |    (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) ||
-      |    '/docs/' || lang ||
-      |    (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
-      |    (CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=1' ELSE '?a=1&b=2' END) AS url_raw
-      |  FROM documents),
+      |    """.stripMargin + messyCrawlUrlSql + " AS url_raw\n" +
+    """  FROM documents),
       |p AS (
       |  SELECT doc_id,
       |    lower(regexp_extract(url_raw, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
@@ -3066,8 +3104,9 @@ object QueriesTrainingData {
       |  FROM p),
       |canon AS (
       |  SELECT doc_id, sch || '://' || host || cpath || cq AS url_canon,
-      |    regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain
-      |  FROM c),
+      |    """.stripMargin +
+    graft.text.PublicSuffix.sqlRegisteredDomain("host") + " AS domain\n" +
+    """  FROM c),
       |k AS (SELECT url_canon, min(doc_id) AS keeper FROM canon GROUP BY url_canon),
       |f AS (
       |  SELECT c2.doc_id, c2.url_canon, c2.domain, c2.doc_id = k.keeper AS url_keep
@@ -3076,7 +3115,7 @@ object QueriesTrainingData {
       |  SELECT doc_id, row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rk
       |  FROM f WHERE url_keep)
       |SELECT f.doc_id, f.url_canon, f.domain, f.url_keep,
-      |  coalesce(r.rk <= 12, FALSE) AS domain_keep
+      |  coalesce(r.rk <= 4, FALSE) AS domain_keep
       |FROM f LEFT JOIN r ON f.doc_id = r.doc_id""".stripMargin
 
   /** Per-document SUBWORD budget — the unit a real pipeline packs and
@@ -3822,17 +3861,7 @@ object QueriesTrainingData {
     import graft.text.UrlOps
     val raw = documents(spark, dir)
       .select(col("doc_id"), col("source"), col("lang"))
-      .withColumn("url_raw", concat(
-        when(pmod(col("doc_id"), lit(3L)) === 0, lit("HTTPS"))
-          .otherwise(lit("https")),
-        lit("://"),
-        when(pmod(col("doc_id"), lit(2L)) === 0, lit("WWW.")).otherwise(lit("")),
-        col("source"), lit("."), col("lang"), lit("-corpus.ORG"),
-        when(pmod(col("doc_id"), lit(5L)) === 0, lit(":443")).otherwise(lit("")),
-        lit("/docs/"), col("lang"),
-        when(pmod(col("doc_id"), lit(4L)) === 0, lit("/")).otherwise(lit("")),
-        when(pmod(col("doc_id"), lit(2L)) === 0, lit("?b=2&a=1"))
-          .otherwise(lit("?a=1&b=2"))))
+      .withColumn("url_raw", messyCrawlUrl)
     val canon = raw.select(col("doc_id"), col("source"),
       UrlOps.canonicalize(col("url_raw")).as("url_canon"),
       UrlOps.registeredDomain(col("url_raw")).as("domain"))
@@ -3850,16 +3879,11 @@ object QueriesTrainingData {
   }
 
   val x79Oracle: String =
-    """WITH u AS (
+    "WITH " + pslCtesSql + ",\n" +
+    """u AS (
       |  SELECT doc_id, source,
-      |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
-      |    (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END) ||
-      |    source || '.' || lang || '-corpus.ORG' ||
-      |    (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) ||
-      |    '/docs/' || lang ||
-      |    (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
-      |    (CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=1' ELSE '?a=1&b=2' END) AS url_raw
-      |  FROM documents),
+      |    """.stripMargin + messyCrawlUrlSql + " AS url_raw\n" +
+    """  FROM documents),
       |p AS (
       |  SELECT doc_id, source,
       |    lower(regexp_extract(url_raw, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
@@ -3880,8 +3904,9 @@ object QueriesTrainingData {
       |  FROM p),
       |canon AS (
       |  SELECT doc_id, source, sch || '://' || host || cpath || cq AS url_canon,
-      |    regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain
-      |  FROM c),
+      |    """.stripMargin +
+    graft.text.PublicSuffix.sqlRegisteredDomain("host") + " AS domain\n" +
+    """  FROM c),
       |takedown AS (
       |  SELECT DISTINCT url_canon FROM canon
       |  WHERE CAST(substr(source, 4) AS INT) % 7 = 0)

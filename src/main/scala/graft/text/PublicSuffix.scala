@@ -1,0 +1,267 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Static snapshot of the public-suffix list (publicsuffix.org) for
+  * registered-domain extraction without network access.
+  *
+  * Why it exists: "last two labels" — the PSL-free approximation this
+  * engine shipped through round 10 — collapses every `*.co.uk`
+  * registrant into one "domain", so a per-domain crawl cap or a takedown
+  * audit crosses registrant boundaries on any real web corpus. The PSL
+  * is the public, de-facto-standard rule set browsers and crawlers use
+  * to find the registrable boundary.
+  *
+  * Scope of the snapshot: the plain (non-wildcard, non-exception)
+  * multi-label rules for the high-traffic ccTLD second-level registries
+  * plus the common shared-hosting private-section suffixes (github.io,
+  * blogspot.com, …). Wildcard (`*.ck`) and exception (`!www.ck`) rules
+  * are intentionally out of scope — they are rare, and keeping the rule
+  * set to plain literals keeps the lookup a single hash-set membership
+  * test (Catalyst `InSet` after the >10-literal `In` conversion, O(1)
+  * per row inside whole-stage codegen) AND keeps the rule table
+  * oracle-expressible as a plain `VALUES` join in DuckDB. Hosts under a
+  * TLD with no matching rule fall back to the PSL default rule `*`:
+  * suffix = last label, registered domain = last two labels — exactly
+  * the round-10 behavior, so unlisted TLDs are unchanged.
+  *
+  * At full-PSL scale (~9k rules) the same candidate-suffix columns
+  * ([[registeredDomainOfHost]] extracts the last-2/3/4-label tails)
+  * would feed a broadcast join against a rules table instead of the
+  * literal `InSet`; the extraction side of the plan is identical.
+  */
+object PublicSuffix {
+
+  /** Two-label public suffixes: `host = x.y.<rule>` registers `y.<rule>`.
+    * ICANN section (ccTLD second-level registries) first, then the
+    * private section (shared-hosting platforms, one site per subdomain). */
+  val rules2: Seq[String] = Seq(
+    // United Kingdom
+    "ac.uk", "co.uk", "gov.uk", "ltd.uk", "me.uk", "net.uk", "nhs.uk",
+    "org.uk", "plc.uk", "police.uk", "sch.uk",
+    // Australia
+    "asn.au", "com.au", "edu.au", "gov.au", "id.au", "net.au", "org.au",
+    // New Zealand
+    "ac.nz", "co.nz", "geek.nz", "gen.nz", "govt.nz", "kiwi.nz",
+    "maori.nz", "net.nz", "org.nz", "school.nz",
+    // Japan
+    "ac.jp", "ad.jp", "co.jp", "ed.jp", "go.jp", "gr.jp", "lg.jp",
+    "ne.jp", "or.jp",
+    // Brazil
+    "art.br", "blog.br", "com.br", "eco.br", "edu.br", "gov.br",
+    "net.br", "org.br",
+    // China
+    "ac.cn", "com.cn", "edu.cn", "gov.cn", "mil.cn", "net.cn", "org.cn",
+    // India
+    "ac.in", "co.in", "edu.in", "firm.in", "gen.in", "gov.in", "ind.in",
+    "mil.in", "net.in", "nic.in", "org.in", "res.in",
+    // South Africa
+    "ac.za", "co.za", "edu.za", "gov.za", "mil.za", "net.za", "org.za",
+    "web.za",
+    // South Korea
+    "ac.kr", "co.kr", "es.kr", "go.kr", "hs.kr", "kg.kr", "mil.kr",
+    "ms.kr", "ne.kr", "or.kr", "pe.kr", "re.kr", "sc.kr",
+    // Mexico
+    "com.mx", "edu.mx", "gob.mx", "net.mx", "org.mx",
+    // Argentina
+    "com.ar", "edu.ar", "gob.ar", "int.ar", "mil.ar", "net.ar",
+    "org.ar", "tur.ar",
+    // Turkey
+    "av.tr", "bbs.tr", "bel.tr", "biz.tr", "com.tr", "dr.tr", "edu.tr",
+    "gen.tr", "gov.tr", "info.tr", "k12.tr", "name.tr", "net.tr",
+    "org.tr", "pol.tr", "tel.tr", "web.tr",
+    // Singapore
+    "com.sg", "edu.sg", "gov.sg", "net.sg", "org.sg",
+    // Hong Kong
+    "com.hk", "edu.hk", "gov.hk", "idv.hk", "net.hk", "org.hk",
+    // Taiwan
+    "club.tw", "com.tw", "ebiz.tw", "edu.tw", "game.tw", "gov.tw",
+    "idv.tw", "mil.tw", "net.tw", "org.tw",
+    // Israel
+    "ac.il", "co.il", "gov.il", "idf.il", "k12.il", "muni.il", "net.il",
+    "org.il",
+    // Thailand
+    "ac.th", "co.th", "go.th", "in.th", "mi.th", "net.th", "or.th",
+    // Malaysia
+    "com.my", "edu.my", "gov.my", "mil.my", "name.my", "net.my",
+    "org.my",
+    // Indonesia
+    "ac.id", "biz.id", "co.id", "desa.id", "go.id", "mil.id", "my.id",
+    "net.id", "or.id", "ponpes.id", "sch.id", "web.id",
+    // Philippines
+    "com.ph", "edu.ph", "gov.ph", "i.ph", "mil.ph", "net.ph", "ngo.ph",
+    "org.ph",
+    // Vietnam
+    "ac.vn", "biz.vn", "com.vn", "edu.vn", "gov.vn", "health.vn",
+    "info.vn", "int.vn", "name.vn", "net.vn", "org.vn", "pro.vn",
+    // Saudi Arabia
+    "com.sa", "edu.sa", "gov.sa", "med.sa", "net.sa", "org.sa",
+    "pub.sa", "sch.sa",
+    // Ukraine
+    "com.ua", "edu.ua", "gov.ua", "in.ua", "net.ua", "org.ua",
+    // Poland
+    "biz.pl", "com.pl", "edu.pl", "info.pl", "net.pl", "org.pl",
+    "waw.pl", "wroc.pl",
+    // Egypt
+    "com.eg", "edu.eg", "eun.eg", "gov.eg", "name.eg", "net.eg",
+    "org.eg", "sci.eg",
+    // Nigeria
+    "com.ng", "edu.ng", "gov.ng", "i.ng", "mobi.ng", "name.ng",
+    "net.ng", "org.ng", "sch.ng",
+    // Kenya
+    "ac.ke", "co.ke", "go.ke", "info.ke", "me.ke", "mobi.ke", "ne.ke",
+    "or.ke", "sc.ke",
+    // Greece
+    "com.gr", "edu.gr", "gov.gr", "net.gr", "org.gr",
+    // Portugal
+    "com.pt", "edu.pt", "gov.pt", "int.pt", "net.pt", "nome.pt",
+    "org.pt", "publ.pt",
+    // Romania
+    "arts.ro", "com.ro", "firm.ro", "info.ro", "nom.ro", "nt.ro",
+    "org.ro", "rec.ro", "store.ro", "tm.ro",
+    // Hungary
+    "co.hu", "info.hu", "org.hu", "priv.hu", "sport.hu", "tm.hu",
+    // Spain
+    "com.es", "edu.es", "gob.es", "nom.es", "org.es",
+    // Italy
+    "edu.it", "gov.it",
+    // France
+    "aeroport.fr", "asso.fr", "avocat.fr", "com.fr", "gouv.fr",
+    "nom.fr", "prd.fr", "tm.fr",
+    // Canada (provincial + federal registries)
+    "ab.ca", "bc.ca", "gc.ca", "mb.ca", "nb.ca", "nf.ca", "nl.ca",
+    "ns.ca", "nt.ca", "nu.ca", "on.ca", "pe.ca", "qc.ca", "sk.ca",
+    "yk.ca",
+    // Austria
+    "ac.at", "co.at", "gv.at", "or.at",
+    // Sweden
+    "ac.se", "org.se", "pp.se", "tm.se",
+    // Pakistan
+    "biz.pk", "com.pk", "edu.pk", "fam.pk", "gob.pk", "gok.pk",
+    "gon.pk", "gop.pk", "gos.pk", "gov.pk", "net.pk", "org.pk",
+    "web.pk",
+    // Sri Lanka
+    "ac.lk", "assn.lk", "com.lk", "edu.lk", "gov.lk", "grp.lk",
+    "hotel.lk", "int.lk", "ltd.lk", "net.lk", "ngo.lk", "org.lk",
+    "sch.lk", "soc.lk", "web.lk",
+    // Iran
+    "ac.ir", "co.ir", "gov.ir", "id.ir", "net.ir", "org.ir", "sch.ir",
+    // United Arab Emirates
+    "ac.ae", "co.ae", "gov.ae", "mil.ae", "net.ae", "org.ae", "sch.ae",
+    // Qatar
+    "com.qa", "edu.qa", "gov.qa", "mil.qa", "name.qa", "net.qa",
+    "org.qa", "sch.qa",
+    // Kuwait
+    "com.kw", "edu.kw", "emb.kw", "gov.kw", "ind.kw", "net.kw",
+    "org.kw",
+    // Chile
+    "gob.cl", "gov.cl", "mil.cl",
+    // Colombia
+    "com.co", "edu.co", "gov.co", "mil.co", "net.co", "nom.co",
+    "org.co",
+    // Peru
+    "com.pe", "edu.pe", "gob.pe", "mil.pe", "net.pe", "nom.pe",
+    "org.pe",
+    // Venezuela
+    "co.ve", "com.ve", "edu.ve", "gob.ve", "info.ve", "mil.ve",
+    "net.ve", "org.ve", "web.ve",
+    // Ecuador
+    "com.ec", "edu.ec", "fin.ec", "gob.ec", "gov.ec", "info.ec",
+    "k12.ec", "med.ec", "mil.ec", "net.ec", "org.ec", "pro.ec",
+    // Uruguay
+    "com.uy", "edu.uy", "gub.uy", "mil.uy", "net.uy", "org.uy",
+    // Paraguay
+    "com.py", "coop.py", "edu.py", "gov.py", "mil.py", "net.py",
+    "org.py",
+    // Bolivia
+    "com.bo", "edu.bo", "gob.bo", "int.bo", "mil.bo", "net.bo",
+    "org.bo", "tv.bo", "web.bo",
+    // Costa Rica
+    "ac.cr", "co.cr", "ed.cr", "fi.cr", "go.cr", "or.cr", "sa.cr",
+    // Guatemala
+    "com.gt", "edu.gt", "gob.gt", "ind.gt", "mil.gt", "net.gt",
+    "org.gt",
+    // Dominican Republic
+    "art.do", "com.do", "edu.do", "gob.do", "gov.do", "mil.do",
+    "net.do", "org.do", "sld.do", "web.do",
+    // Serbia
+    "ac.rs", "co.rs", "edu.rs", "gov.rs", "in.rs", "org.rs",
+    // Bosnia and Herzegovina
+    "com.ba", "edu.ba", "gov.ba", "mil.ba", "net.ba", "org.ba",
+    // Croatia
+    "com.hr", "from.hr", "iz.hr", "name.hr",
+    // Latvia
+    "asn.lv", "com.lv", "conf.lv", "edu.lv", "gov.lv", "id.lv",
+    "mil.lv", "net.lv", "org.lv",
+    // Estonia
+    "aip.ee", "com.ee", "edu.ee", "fie.ee", "gov.ee", "lib.ee",
+    "med.ee", "org.ee", "pri.ee", "riik.ee",
+    // Iceland
+    "com.is", "edu.is", "gov.is", "int.is", "net.is", "org.is",
+    // Malta
+    "com.mt", "edu.mt", "net.mt", "org.mt",
+    // Cyprus
+    "ac.cy", "com.cy", "gov.cy", "net.cy", "org.cy",
+    // Lithuania / Ireland (single-rule registries)
+    "gov.lt", "gov.ie",
+    // ---- private section: shared-hosting platforms ----
+    "appspot.com", "azurewebsites.net", "blogspot.com", "cloudfront.net",
+    "deno.dev", "firebaseapp.com", "fly.dev", "github.io",
+    "githubusercontent.com", "gitlab.io", "glitch.me", "herokuapp.com",
+    "netlify.app", "ngrok.io", "onrender.com", "pages.dev", "repl.co",
+    "readthedocs.io", "surge.sh", "vercel.app", "web.app", "weebly.com",
+    "wixsite.com", "wordpress.com", "workers.dev",
+  )
+
+  /** Three-label public suffixes: `host = x.y.<rule>` registers
+    * `y.<rule>`. Australian state education/government registries plus
+    * the S3 website-hosting suffix. */
+  val rules3: Seq[String] = Seq(
+    "act.edu.au", "nsw.edu.au", "nt.edu.au", "qld.edu.au", "sa.edu.au",
+    "tas.edu.au", "vic.edu.au", "wa.edu.au",
+    "act.gov.au", "nsw.gov.au", "nt.gov.au", "qld.gov.au", "sa.gov.au",
+    "tas.gov.au", "vic.gov.au", "wa.gov.au",
+    "s3.amazonaws.com",
+  )
+
+  /** DuckDB `VALUES` body for a rules CTE — the oracle-side twin of the
+    * `InSet` lookup, so correctness gates join against the IDENTICAL
+    * rule table the engine compiles in. */
+  def sqlValues(rules: Seq[String]): String =
+    rules.map(r => s"('$r')").mkString(", ")
+
+  /** Registered (registrable) domain of an already-canonical host:
+    * longest matching public suffix plus one label. A literal port is
+    * stripped first so `example.com:8080` and `example.com` agree.
+    * Candidate tails are plain `regexp_extract`s and the rule lookups
+    * compile to `InSet` hash probes — all codegen'd, no UDF. A host
+    * with no label above its suffix (the suffix itself, or a bare TLD)
+    * falls through to the last-2-label tail, matching round-10 output
+    * for such degenerate keys. */
+  def registeredDomainOfHost(host: Column): Column = {
+    val h = regexp_replace(host, ":\\d+$", "")
+    def lastK(k: Int): Column =
+      regexp_extract(h, s"((?:[^.]+\\.){${k - 1}}[^.]+)$$", 1)
+    val l2 = lastK(2)
+    val l3 = lastK(3)
+    val l4 = lastK(4)
+    when(l4 =!= "" && l3.isin(rules3: _*), l4)
+      .when(l3 =!= "" && l2.isin(rules2: _*), l3)
+      .otherwise(l2)
+  }
+
+  /** Oracle-side registered-domain CASE over a host expression, joined
+    * against [[rules2]]/[[rules3]] CTEs named `psl2(r)`/`psl3(r)`.
+    * Callers splice `WITH psl2(r) AS (VALUES ...), psl3(r) AS (...)`
+    * from [[sqlValues]] and then use this expression. */
+  def sqlRegisteredDomain(hostExpr: String): String = {
+    val h = s"regexp_replace($hostExpr, ':\\d+$$', '')"
+    val l2 = s"regexp_extract($h, '((?:[^.]+\\.){1}[^.]+)$$', 1)"
+    val l3 = s"regexp_extract($h, '((?:[^.]+\\.){2}[^.]+)$$', 1)"
+    val l4 = s"regexp_extract($h, '((?:[^.]+\\.){3}[^.]+)$$', 1)"
+    s"""CASE WHEN $l4 <> '' AND $l3 IN (SELECT r FROM psl3) THEN $l4
+       |     WHEN $l3 <> '' AND $l2 IN (SELECT r FROM psl2) THEN $l3
+       |     ELSE $l2 END""".stripMargin
+  }
+}

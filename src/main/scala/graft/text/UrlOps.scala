@@ -57,10 +57,14 @@ object UrlOps {
     concat(scheme(url), lit("://"), canonicalHost(url), canonicalPath(url),
       canonicalQuery(url))
 
-  /** Registered domain = last two dot-labels of the canonical host (the
-    * public-suffix list is an external artifact; two labels is the
-    * suffix-free approximation that groups `a.example.org` and
-    * `b.example.org` without it). */
+  /** Registered (registrable) domain of the URL's canonical host:
+    * longest matching rule in the bundled public-suffix snapshot
+    * ([[PublicSuffix]]) plus one label, falling back to the last two
+    * dot-labels for TLDs with no bundled rule. A non-default port is
+    * stripped before label extraction so `example.com:8080` and
+    * `example.com` agree at the domain key (canonicalHost keeps the
+    * port — it is part of URL identity — but a domain-level cap or
+    * takedown audit must not treat ports as registrants). */
   def registeredDomain(url: Column): Column =
-    regexp_extract(canonicalHost(url), "([^.]+\\.[^.]+)$", 1)
+    PublicSuffix.registeredDomainOfHost(canonicalHost(url))
 }

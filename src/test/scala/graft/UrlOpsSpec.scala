@@ -52,14 +52,30 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(got.length === schemes.size * hosts.size * paths.size * queries.size)
   }
 
-  test("registered domain is the last two labels of the canonical host") {
-    val got = Seq("https://WWW.a.b.Example.COM/x", "http://example.org")
-      .toDF("u").select(UrlOps.registeredDomain(col("u")))
+  test("registered domain honors the bundled public-suffix snapshot") {
+    val cases = Seq(
+      // no matching rule -> last-2-label fallback (round-10 behavior)
+      "https://WWW.a.b.Example.COM/x" -> "example.com",
+      "http://example.org" -> "example.org",
+      // 2-label ICANN rules: each registrant is its own domain
+      "https://shop.Example.CO.UK/x" -> "example.co.uk",
+      "https://www.news.example.com.au" -> "example.com.au",
+      // private-section rule: one site per subdomain
+      "https://project.user.GitHub.IO/docs" -> "user.github.io",
+      // 3-label rule wins over the embedded 2-label edu.au rule
+      "https://x.school.NSW.edu.au" -> "school.nsw.edu.au",
+      // non-default port is not a registrant boundary
+      "https://example.com:8080/x" -> "example.com",
+      "http://sub.example.com:80/x" -> "example.com",
+      // host IS a public suffix: degenerate, falls through to last-2
+      "https://co.uk/" -> "co.uk")
+    val got = cases.map(_._1).toDF("u")
+      .select(UrlOps.registeredDomain(col("u")))
       .as[String].collect().toSeq
-    assert(got === Seq("example.com", "example.org"))
+    assert(got === cases.map(_._2))
   }
 
-  test("x63 end-to-end: URL dedup collapses (source, lang); cap is 12") {
+  test("x63 end-to-end: URL dedup collapses (source, lang); PSL domains; cap 4") {
     val out = SparkEntry.queries("x63_url_domain_dedup")(
       spark, "/root/testdata/sf0.001").cache()
     try {
@@ -69,12 +85,20 @@ class UrlOpsSpec extends AnyFunSuite {
       val pairs = Tables.documents(spark, "/root/testdata/sf0.001")
         .select(col("source"), col("lang")).distinct().count()
       assert(n === 500L && keepers === pairs)
-      // the per-domain cap binds: no domain keeps more than 12
+      // domains are public-suffix-aware: 5 langs x 4 suffix classes, and
+      // the co.uk registrant is `{lang}-corpus.co.uk`, NOT `co.uk`
+      val domains = out.select(col("domain")).distinct()
+        .as[String].collect().toSet
+      assert(domains.size === 20)
+      assert(domains.contains("en-corpus.co.uk") && !domains.contains("co.uk"))
+      assert(domains.contains("en-corpus.github.io"))
+      assert(domains.exists(_.endsWith(".nsw.edu.au")))
+      // the per-domain cap binds: no domain keeps more than 4
       val maxKept = out.filter(col("domain_keep"))
         .groupBy(col("domain")).count()
         .agg(max(col("count"))).as[Long].head()
-      assert(maxKept <= 12L)
-      // and it really filters (20 sources per domain > 12)
+      assert(maxKept <= 4L)
+      // and it really filters (5 sources per suffix class x ~5 langs > 4)
       assert(out.filter(col("url_keep") && !col("domain_keep")).count() > 0)
     } finally out.unpersist()
   }
