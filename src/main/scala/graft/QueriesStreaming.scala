@@ -373,9 +373,15 @@ object QueriesStreaming {
     val src = eventsStream(spark, dir)
       // tz-INDEPENDENT partition day (the 816a44c convention): integer
       // epoch-day arithmetic on ts_us, never to_date(ts_t) — which would
-      // shift by the session timezone and diverge from the naive oracle
+      // shift by the session timezone and diverge from the naive oracle.
+      // FLOOR division, not `div` (truncation toward zero): for a
+      // pre-1970 microsecond timestamp the date cast floors while div
+      // truncates, so the two diverge by a day. pmod's nonnegative
+      // remainder makes the subtraction an exact integer floor-multiple.
       .withColumn("day", date_from_unix_date(
-        call_function("div", col("ts_us"), lit(86400000000L)).cast(IntegerType)))
+        call_function("div",
+          col("ts_us") - pmod(col("ts_us"), lit(86400000000L)),
+          lit(86400000000L)).cast(IntegerType)))
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("ts_us"), col("value").cast(DoubleType).as("value"), col("day"))
     StreamingOps.withStatePartitions(spark, 8) {

@@ -29,15 +29,62 @@ import org.apache.spark.sql.functions._
   */
 object MergeSqlCompiler {
 
-  private val mergeRe =
+  /** Everything through `INSERT (` — the column and VALUES lists are
+    * scanned by [[balanced]] (depth-tracking, quote-aware) instead of a
+    * `[^)]*` regex so a VALUES list containing function calls
+    * (`VALUES (UPPER(s.name), ...)`) still parses. */
+  private val mergePrefixRe =
     ("(?is)^\\s*merge\\s+into\\s+(\\S+)\\s+(?:as\\s+)?(\\w+)\\s+" +
       "using\\s+(\\S+)\\s+(?:as\\s+)?(\\w+)\\s+on\\s+(.+?)\\s+" +
       "when\\s+matched\\s+and\\s+(.+?)\\s+then\\s+delete\\s+" +
       "when\\s+matched\\s+then\\s+update\\s+set\\s+(.+?)\\s+" +
-      "when\\s+not\\s+matched\\s+then\\s+insert\\s*\\(([^)]*)\\)\\s*" +
-      "values\\s*\\(([^)]*)\\)\\s*;?\\s*$").r
+      "when\\s+not\\s+matched\\s+then\\s+insert\\s*\\(").r
+
+  private val valuesOpenRe = "(?is)\\s*values\\s*\\(".r
 
   private val SrcPrefix = "__src_"
+
+  /** Scan from `from` (just past an opening paren) to the MATCHING close
+    * paren, skipping parens inside single-quoted literals; returns the
+    * enclosed content and the index just past the close, or None when
+    * unbalanced. */
+  private def balanced(s: String, from: Int): Option[(String, Int)] = {
+    var depth = 1
+    var inQ = false
+    var i = from
+    val sb = new StringBuilder
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQ) {
+        if (c == '\'' && i + 1 < s.length && s.charAt(i + 1) == '\'') {
+          sb.append("''"): Unit; i += 1
+        } else {
+          if (c == '\'') inQ = false
+          sb.append(c): Unit
+        }
+      } else c match {
+        case '\'' => inQ = true; sb.append(c): Unit
+        case '(' => depth += 1; sb.append(c): Unit
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return Some((sb.toString, i + 1))
+          sb.append(c): Unit
+        case other => sb.append(other): Unit
+      }
+      i += 1
+    }
+    None
+  }
+
+  /** T-SQL QUOTED_IDENTIFIER forms (`[s].[name]`, `"s.name"`) are
+    * opaque to [[xlate]] — an alias occurrence inside one would be
+    * rewritten (or left untranslated) into a confusing `expr()` failure.
+    * A clause body containing one outside a string literal makes the
+    * whole statement a clean manual-review skip instead. */
+  private def hasQuotedIdentifier(e: String): Boolean =
+    segments(e).exists { case (seg, quoted) =>
+      !quoted && (seg.contains('[') || seg.contains('"'))
+    }
 
   /** Split `s` into alternating unquoted/quoted segments ('' escapes a
     * quote inside a literal, SQL-style); quoted segments INCLUDE their
@@ -105,7 +152,19 @@ object MergeSqlCompiler {
   def rewrite(spark: SparkSession, task: ExecuteSqlTask,
       resolve: String => DataFrame): Option[SqlOutcome] = {
     val sql = SqlText.stripComments(task.sqlStatement)
-    mergeRe.findFirstMatchIn(sql).map { m =>
+    val parsed = for {
+      m <- mergePrefixRe.findFirstMatchIn(sql)
+      (colsStr, afterCols) <- balanced(sql, m.end)
+      vm <- valuesOpenRe.findPrefixMatchOf(sql.substring(afterCols))
+      (valsStr, afterVals) <- balanced(sql, afterCols + vm.end)
+      // nothing but an optional semicolon may follow the VALUES list
+      if sql.substring(afterVals).matches("(?s)\\s*;?\\s*")
+      // clause bodies with bracketed/double-quoted identifiers are
+      // outside the canonical contract: skip, never half-translate
+      if !Seq(m.group(5), m.group(6), m.group(7), colsStr, valsStr)
+        .exists(hasQuotedIdentifier)
+    } yield (m, colsStr, valsStr)
+    parsed.map { case (m, colsStr, valsStr) =>
       val (tgtName, tA) = (m.group(1), m.group(2))
       val (srcName, sA) = (m.group(3), m.group(4))
       val tgt = resolve(tgtName)
@@ -118,8 +177,8 @@ object MergeSqlCompiler {
         require(i > 0, s"MERGE SET assignment has no '=': $a")
         xlate(a.take(i).trim, tA, sA) -> expr(xlate(a.drop(i + 1).trim, tA, sA))
       }.toMap
-      val insertCols = splitTop(m.group(8)).map(c => xlate(c, tA, sA))
-      val insertVals = splitTop(m.group(9)).map(v => expr(xlate(v, tA, sA)))
+      val insertCols = splitTop(colsStr).map(c => xlate(c, tA, sA))
+      val insertVals = splitTop(valsStr).map(v => expr(xlate(v, tA, sA)))
       require(insertCols.length == insertVals.length,
         s"MERGE INSERT arity mismatch: ${insertCols.length} cols, " +
           s"${insertVals.length} values")

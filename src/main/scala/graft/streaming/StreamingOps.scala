@@ -130,9 +130,18 @@ object StreamingOps {
     * serial gate/bench paths. */
   def withStatePartitions[A](spark: org.apache.spark.sql.SparkSession, n: Int)(
       body: => A): A = {
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val key = "spark.sql.shuffle.partitions"
+    // getAll carries only EXPLICIT settings — conf.get would materialize
+    // the registered default (200) and the restore would then pin a value
+    // for a key the caller never set, subtly changing later conf
+    // resolution; an unset key must be restored by unsetting it
+    val prev = spark.conf.getAll.get(key)
+    spark.conf.set(key, n.toString)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
   }
 
   /** Run a streaming frame to completion over existing data and stop —

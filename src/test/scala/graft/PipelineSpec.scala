@@ -374,6 +374,33 @@ class PipelineSpec extends AnyFunSuite {
       .select(col("name")).as[String].head()
     assert(updName === "b2 (s. updated)",
       s"literal containing the alias was rewritten: $updName")
+    // function calls in the INSERT VALUES list parse (depth-tracked
+    // scan, not [^)]*) — including nested parens and a ')' in a literal
+    val fnVals = merge.copy(sqlStatement =
+      "MERGE INTO dim AS t USING feed AS s ON t.id = s.id " +
+        "WHEN MATCHED AND s.op = 'D' THEN DELETE " +
+        "WHEN MATCHED THEN UPDATE SET name = s.name, bal = s.bal " +
+        "WHEN NOT MATCHED THEN INSERT (id, name, bal) " +
+        "VALUES (s.id, upper(concat(s.name, ':)')), round(abs(s.bal), 1))")
+    val fnOut = graft.patterns.MergeSqlCompiler.rewrite(spark, fnVals, frames)
+      .getOrElse(fail("MERGE with function-call VALUES did not compile"))
+    val fnIns = fnOut.df.get.filter(col("id") === 9L)
+      .as[(Long, String, Double)].head()
+    assert(fnIns === ((9L, "Z:)", 5.0)))
+    // bracketed / double-quoted identifiers in clause bodies are outside
+    // the canonical contract: a clean None skip, never a half-translate
+    val bracketed = merge.copy(sqlStatement =
+      "MERGE INTO dim AS t USING feed AS s ON t.id = [s].[id] " +
+        "WHEN MATCHED AND s.op = 'D' THEN DELETE " +
+        "WHEN MATCHED THEN UPDATE SET name = s.name, bal = s.bal " +
+        "WHEN NOT MATCHED THEN INSERT (id, name, bal) VALUES (s.id, s.name, s.bal)")
+    assert(graft.patterns.MergeSqlCompiler.rewrite(spark, bracketed, frames).isEmpty)
+    val dquoted = merge.copy(sqlStatement =
+      "MERGE INTO dim AS t USING feed AS s ON t.id = s.id " +
+        "WHEN MATCHED AND s.op = 'D' THEN DELETE " +
+        "WHEN MATCHED THEN UPDATE SET \"name\" = s.name " +
+        "WHEN NOT MATCHED THEN INSERT (id, name, bal) VALUES (s.id, s.name, s.bal)")
+    assert(graft.patterns.MergeSqlCompiler.rewrite(spark, dquoted, frames).isEmpty)
   }
 
   test("CdcCustomerMergeETL: runner classifies MERGE task merge_scd end-to-end") {

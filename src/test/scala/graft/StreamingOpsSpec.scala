@@ -14,6 +14,30 @@ class StreamingOpsSpec extends AnyFunSuite {
   private def tmp(name: String): String =
     java.nio.file.Files.createTempDirectory(name).toString
 
+  test("withStatePartitions restores explicit values and UNSETS unset keys") {
+    val key = "spark.sql.shuffle.partitions"
+    val original = spark.conf.getAll.get(key)
+    try {
+      // explicitly-set before: restored to that exact explicit value
+      spark.conf.set(key, "13")
+      StreamingOps.withStatePartitions(spark, 5) {
+        assert(spark.conf.get(key) === "5")
+      }
+      assert(spark.conf.getAll.get(key) === Some("13"))
+      // unset before: must come back UNSET (resolving to the session
+      // default), never pinned to a materialized default value
+      spark.conf.unset(key)
+      StreamingOps.withStatePartitions(spark, 5) {
+        assert(spark.conf.get(key) === "5")
+      }
+      assert(spark.conf.getAll.get(key) === None,
+        "an unset key must not be pinned by the restore")
+    } finally original match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("windowed aggregation with watermark over a memory stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String, Double)]
