@@ -2174,11 +2174,10 @@ object QueriesRelational {
     * encodes the total order and IS hash-checked). The sort itself runs
     * through the REAL component path: an inline IR `DataFlowTask`
     * (source → Sort) compiled by [[graft.ops.DataFlowCompiler]] — the
-    * same code the dtsx frontend drives. SSIS Sort is a FULL sort, so
-    * the single-partition rank window is the operator's honest cost, not
-    * an accident; production emits sorted runs per partition
-    * (`sortWithinPartitions`) and reserves the total order for
-    * dimension-sized frames like this one. */
+    * same code the dtsx frontend drives. SSIS Sort is a FULL sort; the
+    * `pos` column comes from [[graft.ops.RankLowering]]'s two-phase
+    * range-bucketed rank rather than a bare global window, so the total
+    * order is produced with bucket-bounded tasks even at fact scale. */
   def q75_sort_component(spark: SparkSession, dir: String): DataFrame = {
     import graft.ir.Ir._
     val flow = DataFlowTask("sort_flow", None, List(
@@ -2187,10 +2186,13 @@ object QueriesRelational {
       SortComponent("SortByBal", List("c_acctbal" -> false, "c_custkey" -> true))))
     val sorted = graft.ops.DataFlowCompiler.compile(
       flow, graft.sources.Sources.testdataResolver(spark, dir)).df
-    sorted
-      .withColumn("pos", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("c_acctbal").desc, col("c_custkey").asc)))
+    // global position via the two-phase rank (RankLowering): a bare
+    // Window.orderBy serializes the whole frame into ONE task — honest
+    // for a dimension, a wall at fact scale; the range-bucketed shape
+    // keeps every task bucket-sized while producing the identical rank
+    graft.ops.RankLowering
+      .rowNumber(sorted, Nil,
+        Seq(col("c_acctbal").desc, col("c_custkey").asc), "pos")
       .select(col("c_custkey"), col("c_name"),
         col("c_acctbal").cast(DoubleType).as("c_acctbal"), col("pos"))
   }

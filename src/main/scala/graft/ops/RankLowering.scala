@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** Scale-safe ROW_NUMBER — the two-phase distributed rank.
+  *
+  * A raw `row_number() OVER (PARTITION BY p ORDER BY o)` hash-exchanges
+  * on `p` and sorts each partition in ONE task; when `p` has tiny
+  * cardinality relative to the input (a 5-value market segment over a
+  * fact table, or no partition at all), that task sorts ~N/|p| rows —
+  * the classic single-task serialization the x34/x59/x60 queries avoid
+  * with order-aligned buckets. This generalizes their shape to an
+  * ARBITRARY sort order:
+  *
+  *  1. `repartitionByRange(buckets, p ++ o)` gives every row an
+  *     order-ALIGNED bucket (the physical range-partition id): all rows
+  *     of bucket b sort entirely before bucket b+1 within a partition
+  *     key. Each bucket is ~N/buckets rows regardless of |p|.
+  *  2. A window over (p, bucket) ranks locally — tasks bounded by
+  *     bucket size, never by N/|p|.
+  *  3. Bucket COUNTS (a partial-combining aggregate, ≤ buckets rows per
+  *     partition key) prefix-scan into per-bucket offsets; the scan
+  *     window holds ≤ `buckets` rows per key.
+  *  4. local rank + offset joined back on (p, bucket) — AQE picks a
+  *     broadcast when the offsets frame is small (low-|p| case) and a
+  *     shuffle join when it is not (high-|p| case, where the offsets
+  *     frame approaches the row count and a broadcast would be the
+  *     scale hazard instead).
+  *
+  * The two consumers of the range exchange (the local-rank window and
+  * the bucket-count aggregate) share one identical exchange subplan, so
+  * Spark's ReuseExchange evaluates it once; the range partitioner's
+  * boundary sampling is deterministic for a given input, and a tie
+  * split across a bucket boundary still numbers every row exactly once
+  * (ties make row_number order-arbitrary under ANY evaluation — gated
+  * callers order by a total key).
+  *
+  * Cost vs the raw window: two extra small shuffles (bucket counts +
+  * the offsets join). Worth it whenever |p| ≪ cores; harmless when not.
+  */
+object RankLowering {
+
+  /** `row_number()` over (`partCols`, ordered by `orderCols` — pass
+    * direction via `.desc`/`.asc`) as an IntegerType column `outCol`,
+    * computed with bounded tasks (no partition-sized sort). Pass
+    * `partCols = Nil` for a global row number (the q75 full-sort case). */
+  def rowNumber(df: DataFrame, partCols: Seq[Column], orderCols: Seq[Column],
+      outCol: String, buckets: Int = 64): DataFrame = {
+    require(orderCols.nonEmpty, "row_number requires an ORDER BY")
+    // materialize partition EXPRESSIONS once so the window, the count
+    // aggregate and the offsets join all key on identical attributes
+    val pNames = partCols.indices.map(i => s"__graft_rk_p$i")
+    val withP = partCols.zip(pNames).foldLeft(df) {
+      case (d, (c, n)) => d.withColumn(n, c)
+    }
+    val ranged = withP
+      .repartitionByRange(buckets, pNames.map(col) ++ orderCols: _*)
+      .withColumn("__graft_rk_b", spark_partition_id())
+    val wLocal = Window
+      .partitionBy((pNames :+ "__graft_rk_b").map(col): _*)
+      .orderBy(orderCols: _*)
+    val local = ranged.withColumn("__graft_rk_l", row_number().over(wLocal))
+    val wOff = Window.partitionBy(pNames.map(col): _*)
+      .orderBy(col("__graft_rk_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged
+      .groupBy((pNames :+ "__graft_rk_b").map(col): _*)
+      .agg(count(lit(1)).as("__graft_rk_n"))
+      .withColumn("__graft_rk_off",
+        coalesce(sum(col("__graft_rk_n")).over(wOff), lit(0L)))
+      .select((pNames :+ "__graft_rk_b").map(col) :+ col("__graft_rk_off"): _*)
+    local.join(offsets, (pNames :+ "__graft_rk_b").toSeq)
+      .withColumn(outCol,
+        (col("__graft_rk_l").cast(LongType) + col("__graft_rk_off"))
+          .cast(IntegerType))
+      .drop(pNames ++ Seq("__graft_rk_b", "__graft_rk_l", "__graft_rk_off"): _*)
+  }
+}

@@ -49,6 +49,12 @@ object SqlPatternRewriter {
     norm(a) == norm(b)
   }
 
+  /** Execute a rewritten SELECT — through the scale-safe rank lowering
+    * when it is the single-ROW_NUMBER analytic shape
+    * ([[WindowSqlLowering]]), raw `spark.sql` otherwise. */
+  private def runSelect(spark: SparkSession, select: String): DataFrame =
+    WindowSqlLowering.lower(spark, select).getOrElse(spark.sql(select))
+
   def rewrite(spark: SparkSession, task: ExecuteSqlTask,
       params: Map[String, String] = Map.empty): Option[SqlOutcome] = {
     var sql = stripComments(task.sqlStatement)
@@ -79,14 +85,14 @@ object SqlPatternRewriter {
         val mode =
           if (cleared.exists(sameTable(_, target))) SaveMode.Overwrite
           else SaveMode.Append
-        Some(SqlOutcome(Some(spark.sql(select)), Some(target), mode))
+        Some(SqlOutcome(Some(runSelect(spark, select)), Some(target), mode))
       case _ :: _ =>
         // several INSERT…SELECT statements: executing only the first and
         // silently discarding the rest is worse than manual review
         None
       case Nil =>
         bareSelectRe.findFirstMatchIn(sql).map { m =>
-          SqlOutcome(Some(spark.sql(m.group(1))), None)
+          SqlOutcome(Some(runSelect(spark, m.group(1))), None)
         }
     }
   }

@@ -780,6 +780,29 @@ class PlanShapeSpec extends AnyFunSuite {
       s"domain cap must window over (domain, bucket), got: $rowWin")
   }
 
+  test("q83: frontend ROW_NUMBER lowers to bucket-keyed windows") {
+    // the executed package SQL carries PARTITION BY c_mktsegment
+    // (cardinality 5) — the raw window would sort ~N/5 rows per task;
+    // the lowering must rank over (segment, range-bucket) instead
+    val plan = executedPlan("q83_dtsx_window_sql")
+    assert(plan.contains("__graft_rk_b"),
+      "frontend rank window must be bucket-keyed (RankLowering)")
+    val rankWin = plan.linesIterator
+      .filter(l => l.contains("Window") && l.contains("row_number"))
+      .toList
+    assert(rankWin.nonEmpty, "rank window not found in plan")
+    rankWin.foreach { l =>
+      assert(l.contains("__graft_rk_b"),
+        s"raw low-cardinality rank window survived the lowering: $l")
+    }
+  }
+
+  test("q75: sort-component position rank is bucket-keyed, not one task") {
+    val plan = executedPlan("q75_sort_component")
+    assert(plan.contains("__graft_rk_b"),
+      "global position rank must route through RankLowering")
+  }
+
   test("x72: delta probes the corpus bands as an EQUI-join; no cartesian") {
     // pin the un-checkpointed audit frame — localCheckpoint erases the
     // probe shape from the public query's plan (the q79 pattern)

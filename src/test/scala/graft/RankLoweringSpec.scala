@@ -1,0 +1,90 @@
+package graft
+
+import graft.ops.RankLowering
+import graft.patterns.WindowSqlLowering
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The two-phase distributed rank must be indistinguishable from the raw
+  * window in RESULT while never scheduling a partition-sized sort task. */
+class RankLoweringSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  private lazy val df = (1 to 500)
+    .map(i => (i.toLong, s"k${i % 3}", (i * 37 % 101).toDouble))
+    .toDF("id", "k", "v")
+
+  test("two-phase row_number equals the raw window (partitioned)") {
+    val raw = df.withColumn("rn",
+      row_number().over(Window.partitionBy($"k").orderBy($"v".desc, $"id")))
+    val low = RankLowering.rowNumber(df, Seq(col("k")),
+      Seq(col("v").desc, col("id").asc), "rn", buckets = 7)
+    assert(low.schema("rn").dataType === IntegerType)
+    val a = raw.select("id", "k", "v", "rn")
+      .as[(Long, String, Double, Int)].collect().toSeq.sorted
+    val b = low.select("id", "k", "v", "rn")
+      .as[(Long, String, Double, Int)].collect().toSeq.sorted
+    assert(a === b)
+  }
+
+  test("two-phase row_number equals the raw window (global, q75 shape)") {
+    val raw = df.withColumn("rn",
+      row_number().over(Window.orderBy($"v".desc, $"id")))
+    val low = RankLowering.rowNumber(df, Nil,
+      Seq(col("v").desc, col("id").asc), "rn", buckets = 7)
+    val a = raw.select("id", "rn").as[(Long, Int)].collect().toSeq.sorted
+    val b = low.select("id", "rn").as[(Long, Int)].collect().toSeq.sorted
+    assert(a === b)
+    // every local-rank window task is bucket-keyed, never the bare frame
+    val plan = low.queryExecution.executedPlan.toString
+    assert(plan.contains("__graft_rk_b"),
+      "local rank must window over the range bucket")
+  }
+
+  test("WindowSqlLowering lowers the single-ROW_NUMBER analytic select") {
+    df.createOrReplaceTempView("rk_t")
+    val sql = "SELECT id, k, v, ROW_NUMBER() OVER (PARTITION BY k " +
+      "ORDER BY v DESC, id) AS rn FROM rk_t"
+    val low = WindowSqlLowering.lower(spark, sql)
+      .getOrElse(fail("canonical analytic select did not lower"))
+    assert(low.columns.toSeq === Seq("id", "k", "v", "rn"))
+    val a = spark.sql(sql).as[(Long, String, Double, Int)]
+      .collect().toSeq.sorted
+    val b = low.as[(Long, String, Double, Int)].collect().toSeq.sorted
+    assert(a === b)
+    assert(low.queryExecution.executedPlan.toString.contains("__graft_rk_b"))
+    // window item FIRST in the list: removed comma + column order survive
+    val first = "SELECT ROW_NUMBER() OVER (ORDER BY v, id) AS rn, id, v FROM rk_t"
+    val lowF = WindowSqlLowering.lower(spark, first)
+      .getOrElse(fail("leading window item did not lower"))
+    assert(lowF.columns.toSeq === Seq("rn", "id", "v"))
+    val af = spark.sql(first).as[(Int, Long, Double)].collect().toSeq.sorted
+    val bf = lowF.as[(Int, Long, Double)].collect().toSeq.sorted
+    assert(af === bf)
+  }
+
+  test("off-shape selects fall back to raw SQL (None)") {
+    df.createOrReplaceTempView("rk_t")
+    // two windows
+    assert(WindowSqlLowering.lower(spark,
+      "SELECT ROW_NUMBER() OVER (ORDER BY id) AS a, " +
+        "ROW_NUMBER() OVER (ORDER BY v) AS b FROM rk_t").isEmpty)
+    // window inside a subquery, not the top-level list
+    assert(WindowSqlLowering.lower(spark,
+      "SELECT * FROM (SELECT id, ROW_NUMBER() OVER (ORDER BY id) AS rn " +
+        "FROM rk_t) s WHERE rn <= 3").isEmpty)
+    // no alias
+    assert(WindowSqlLowering.lower(spark,
+      "SELECT id, ROW_NUMBER() OVER (ORDER BY id) FROM rk_t").isEmpty)
+    // OVER references a column the window-free select does not carry:
+    // must decline (raw SQL computes it; a lowering could not)
+    assert(WindowSqlLowering.lower(spark,
+      "SELECT k, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM rk_t").isEmpty)
+    // window embedded in an arithmetic item is not a whole-item window
+    assert(WindowSqlLowering.lower(spark,
+      "SELECT id, 1 + ROW_NUMBER() OVER (ORDER BY id) AS rn FROM rk_t").isEmpty)
+  }
+}
