@@ -2753,21 +2753,30 @@ object QueriesTrainingData {
     * max-document-length + corpus/4096 rows, orders of magnitude under
     * the corpus. The serpentine arithmetic is a narrow projection. */
   def x59_balanced_shards(spark: SparkSession, dir: String): DataFrame = {
-    val s = 16
     val sized = documents(spark, dir)
       .select(col("doc_id"), col("source"),
         TextOps.tokenCount(col("text")).cast(LongType).as("n_tokens"))
-    // fixed-width string key: (1e9 − n_tokens) ‖ doc_id/4096 sorts
-    // lexicographically as (n_tokens desc, doc_id asc); within a bucket
-    // n_tokens is constant, so doc_id alone orders the rows. A document
-    // past the 1e9-token key width would flip negtok negative and break
-    // the lexicographic invariant SILENTLY — fail loudly instead (the
-    // hierarchyClosure convention; 1e9 subword tokens ≈ 4 GB of text in
-    // one row, a data-quality signal, not a tuning knob).
+    serpentineShards(sized, 16, "x59")
+  }
+
+  /** The x59 serpentine machinery with a pluggable SIZE column (`sized`
+    * carries doc_id, source, n_tokens): whitespace words for x59,
+    * learned-BPE subwords for x83 — the budget denomination changes,
+    * the balanced-sharding shape does not.
+    *
+    * Fixed-width string key: (1e9 − n_tokens) ‖ doc_id/4096 sorts
+    * lexicographically as (n_tokens desc, doc_id asc); within a bucket
+    * n_tokens is constant, so doc_id alone orders the rows. A document
+    * past the 1e9-token key width would flip negtok negative and break
+    * the lexicographic invariant SILENTLY — fail loudly instead (the
+    * hierarchyClosure convention; 1e9 subword tokens ≈ 4 GB of text in
+    * one row, a data-quality signal, not a tuning knob). */
+  private def serpentineShards(sized: DataFrame, s: Int,
+      qname: String): DataFrame = {
     val keyed = sized
       .withColumn("__graft_negtok",
         when(col("n_tokens") > lit(1000000000L), raise_error(concat(
-          lit("x59: n_tokens exceeds the 1e9 shard-key width: "),
+          lit(s"$qname: n_tokens exceeds the 1e9 shard-key width: "),
           col("n_tokens").cast(StringType))).cast(LongType))
           .otherwise(lit(1000000000L) - col("n_tokens")))
       .withColumn("__graft_bucket",
@@ -3143,8 +3152,12 @@ object QueriesTrainingData {
         col("n_bpe_tokens").cast(DoubleType) / col("n_ws_tokens").cast(DoubleType))
   }
 
-  val x67Oracle: String =
-    """WITH RECURSIVE toks AS (
+  /** Shared oracle CTE chain ending in `per(doc_id, n_ws_tokens,
+    * n_bpe_tokens, expansion)` — the per-document learned-BPE subword
+    * budget (x67's pipeline), reused by every subword-denominated
+    * oracle (x67/x68/x82/x83). Callers prepend `WITH RECURSIVE `. */
+  private val subwordPerDocCtes: String =
+    """toks AS (
       |  SELECT unnest(string_split_regex(text, '\s+')) AS w FROM documents),
       |wf AS (
       |  SELECT w, COUNT(*) AS wf FROM toks
@@ -3174,12 +3187,17 @@ object QueriesTrainingData {
       |  FROM enc WHERE r = (SELECT COUNT(*) FROM merges)),
       |tok AS (
       |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w FROM documents),
-      |tt AS (SELECT doc_id, w FROM tok WHERE w <> '' AND NOT contains(w, chr(31)))
-      |SELECT doc_id, COUNT(*) AS n_ws_tokens,
-      |  CAST(SUM(f.n_subwords) AS BIGINT) AS n_bpe_tokens,
-      |  CAST(SUM(f.n_subwords) AS DOUBLE) / COUNT(*) AS expansion
-      |FROM tt JOIN fin f ON tt.w = f.w
-      |GROUP BY doc_id""".stripMargin
+      |tt AS (SELECT doc_id, w FROM tok WHERE w <> '' AND NOT contains(w, chr(31))),
+      |per AS (
+      |  SELECT doc_id, COUNT(*) AS n_ws_tokens,
+      |    CAST(SUM(f.n_subwords) AS BIGINT) AS n_bpe_tokens,
+      |    CAST(SUM(f.n_subwords) AS DOUBLE) / COUNT(*) AS expansion
+      |  FROM tt JOIN fin f ON tt.w = f.w
+      |  GROUP BY doc_id)""".stripMargin
+
+  val x67Oracle: String =
+    "WITH RECURSIVE " + subwordPerDocCtes + "\n" +
+      "SELECT doc_id, n_ws_tokens, n_bpe_tokens, expansion FROM per"
 
   /** Chunk→document embedding MEAN-POOLING — the aggregation step after
     * chunk-level embedding (x26 windows → encoder → one vector per
@@ -3800,41 +3818,8 @@ object QueriesTrainingData {
   }
 
   val x68Oracle: String =
-    """WITH RECURSIVE toks AS (
-      |  SELECT unnest(string_split_regex(text, '\s+')) AS w FROM documents),
-      |wf AS (
-      |  SELECT w, COUNT(*) AS wf FROM toks
-      |  WHERE w <> '' AND NOT contains(w, chr(31)) GROUP BY w),
-      |p AS (
-      |  SELECT wf, unnest(list_transform(
-      |    generate_series(1, length(w) - 1), i -> w[i:i+1])) AS pair
-      |  FROM wf WHERE length(w) >= 2),
-      |ps AS (SELECT pair, SUM(wf) AS n FROM p GROUP BY pair),
-      |merges AS (
-      |  SELECT pair, CAST(row_number() OVER (ORDER BY n DESC, pair) AS INT) AS rk
-      |  FROM ps ORDER BY n DESC, pair LIMIT 24),
-      |enc AS (
-      |  SELECT w, wf,
-      |    chr(31) || regexp_replace(w, '(.)', '\1' || chr(31) || chr(31), 'g') AS s,
-      |    0 AS r
-      |  FROM wf
-      |  UNION ALL
-      |  SELECT e.w, e.wf,
-      |    replace(e.s,
-      |      chr(31) || m.pair[1] || chr(31) || chr(31) || m.pair[2] || chr(31),
-      |      chr(31) || m.pair || chr(31)),
-      |    e.r + 1
-      |  FROM enc e JOIN merges m ON m.rk = e.r + 1),
-      |fin AS (
-      |  SELECT w, len(list_filter(string_split(s, chr(31)), x -> x <> '')) AS n_subwords
-      |  FROM enc WHERE r = (SELECT COUNT(*) FROM merges)),
-      |tok AS (
-      |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w FROM documents),
-      |tt AS (SELECT doc_id, w FROM tok WHERE w <> '' AND NOT contains(w, chr(31))),
-      |per AS (
-      |  SELECT doc_id, CAST(SUM(f.n_subwords) AS BIGINT) AS n_bpe_tokens
-      |  FROM tt JOIN fin f ON tt.w = f.w GROUP BY doc_id),
-      |d AS (
+    "WITH RECURSIVE " + subwordPerDocCtes + ",\n" +
+    """d AS (
       |  SELECT d.doc_id, d.source, p.n_bpe_tokens
       |  FROM documents d JOIN per p ON d.doc_id = p.doc_id),
       |c AS (
@@ -3845,6 +3830,77 @@ object QueriesTrainingData {
       |SELECT doc_id, source, n_bpe_tokens,
       |  CAST((cum - n_bpe_tokens) // 512 AS BIGINT) AS pack_id
       |FROM c""".stripMargin
+
+  /** Token-budget mixture sampling on the SUBWORD budget — x46's
+    * 600-whitespace-token recipe re-denominated in x67's learned-BPE
+    * sizes (6000 subwords per source): the unit a training recipe
+    * actually specifies, since context windows and compute are priced
+    * in model tokens, not whitespace words (the r9 stopgap). Same
+    * deterministic md5 draw, same two-phase running total; only the
+    * size column changes.
+    * Scale shape: inherits x67's vocabulary-sized encode + broadcast
+    * corpus join (ONE corpus tokenize, spec-pinned), then
+    * [[graft.text.CorpusOps.tokenBudgetSample]] unchanged. */
+  def x82_subword_budget_mix(spark: SparkSession, dir: String): DataFrame = {
+    val sub = x67_subword_budget(spark, dir)
+      .select(col("doc_id"), col("n_bpe_tokens"))
+    val counted = documents(spark, dir).select(col("doc_id"), col("source"))
+      .join(sub, Seq("doc_id"))
+    graft.text.CorpusOps.tokenBudgetSample(
+        counted, "doc_id", "source", "n_bpe_tokens", 6000L, "x82|")
+      .select(col("doc_id"), col("source"), col("n_bpe_tokens"),
+        col("cum_tokens"), col("keep"))
+  }
+
+  val x82Oracle: String =
+    "WITH RECURSIVE " + subwordPerDocCtes + ",\n" +
+    """t AS (
+      |  SELECT d.doc_id, d.source, p.n_bpe_tokens,
+      |    md5('x82|' || CAST(d.doc_id AS VARCHAR)) AS hx
+      |  FROM documents d JOIN per p ON d.doc_id = p.doc_id),
+      |r AS (
+      |  SELECT doc_id, source, n_bpe_tokens,
+      |    SUM(n_bpe_tokens) OVER (PARTITION BY source ORDER BY hx, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      |  FROM t)
+      |SELECT doc_id, source, n_bpe_tokens,
+      |  CAST(cum_tokens AS BIGINT) AS cum_tokens,
+      |  cum_tokens <= 6000 AS keep
+      |FROM r""".stripMargin
+
+  /** Size-balanced shards on the SUBWORD budget — x59's serpentine deal
+    * over x67's learned-BPE document sizes: webdataset/tfrecord writers
+    * balance MODEL-token mass per file, and a shard plan balanced on
+    * whitespace words drifts wherever tokenizer fertility varies across
+    * sources/languages (exactly what x78 measures). Identical machinery
+    * ([[serpentineShards]]), subword size column.
+    * Scale shape: x67's broadcast encode join feeds the x59 two-phase
+    * rank — no second corpus tokenize, no partition-less corpus
+    * window (both spec-pinned). */
+  def x83_subword_shards(spark: SparkSession, dir: String): DataFrame = {
+    val sub = x67_subword_budget(spark, dir)
+      .select(col("doc_id"), col("n_bpe_tokens").as("n_tokens"))
+    val sized = documents(spark, dir).select(col("doc_id"), col("source"))
+      .join(sub, Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+    serpentineShards(sized, 16, "x83")
+      .select(col("doc_id"), col("source"),
+        col("n_tokens").as("n_bpe_tokens"), col("shard"))
+  }
+
+  val x83Oracle: String =
+    "WITH RECURSIVE " + subwordPerDocCtes + ",\n" +
+    """sized AS (
+      |  SELECT d.doc_id, d.source, p.n_bpe_tokens AS n_tokens
+      |  FROM documents d JOIN per p ON d.doc_id = p.doc_id),
+      |r AS (
+      |  SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |    row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS rn
+      |  FROM sized)
+      |SELECT doc_id, source, n_tokens AS n_bpe_tokens,
+      |  CAST(CASE WHEN (rn // 16) % 2 = 0 THEN rn % 16
+      |       ELSE 15 - rn % 16 END AS INT) AS shard
+      |FROM r""".stripMargin
 
   /** URL takedown sweep — corpus governance at the canonical-URL key
     * (the DMCA/robots-retroactive case): a takedown list of canonical
@@ -4059,6 +4115,8 @@ object QueriesTrainingData {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x81_softdedup_weights" -> (x81_softdedup_weights _),
+    "x82_subword_budget_mix" -> (x82_subword_budget_mix _),
+    "x83_subword_shards" -> (x83_subword_shards _),
     "x80_vision_token_budget" -> (x80_vision_token_budget _),
     "x79_url_takedown" -> (x79_url_takedown _),
     "x78_tokenizer_fertility" -> (x78_tokenizer_fertility _),
@@ -4142,6 +4200,8 @@ object QueriesTrainingData {
 
   val oracle: Map[String, String] = Map(
     "x81_softdedup_weights" -> x81Oracle,
+    "x82_subword_budget_mix" -> x82Oracle,
+    "x83_subword_shards" -> x83Oracle,
     "x80_vision_token_budget" -> x80Oracle,
     "x79_url_takedown" -> x79Oracle,
     "x78_tokenizer_fertility" -> x78Oracle,

@@ -780,6 +780,28 @@ class PlanShapeSpec extends AnyFunSuite {
       s"domain cap must window over (domain, bucket), got: $rowWin")
   }
 
+  test("x82/x83: subword budgets reuse ONE corpus tokenize + broadcast vocab") {
+    // the subword-denominated budget/shard gates must ride x67's staged
+    // vocabulary encode ONCE: the two-phase machinery's local/offsets
+    // branches both reference the x67 subtree, so the dedup happens at
+    // runtime via exchange reuse — pin the FINAL adaptive plan (one
+    // corpus token explode executing, the sibling branch on a
+    // ReusedExchange), not the pre-reuse initial plan
+    Seq("x82_subword_budget_mix", "x83_subword_shards").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      val explodes = "Generate explode".r.findAllIn(plan).length
+      assert(explodes === 1,
+        s"$q: expected exactly one executed corpus token explode, got $explodes")
+      assert(plan.contains("ReusedExchange"),
+        s"$q: the second two-phase branch must reuse the tokenize exchange")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q: encoded vocabulary must broadcast into the token join")
+    }
+  }
+
   test("q83: frontend ROW_NUMBER lowers to bucket-keyed windows") {
     // the executed package SQL carries PARTITION BY c_mktsegment
     // (cardinality 5) — the raw window would sort ~N/5 rows per task;
