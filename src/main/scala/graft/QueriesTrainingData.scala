@@ -3902,6 +3902,95 @@ object QueriesTrainingData {
       |       ELSE 15 - rn % 16 END AS INT) AS shard
       |FROM r""".stripMargin
 
+  /** Second-iteration BPE — the re-count loop x55/x61 deferred: round-1
+    * merges are character pairs by construction (single-pass statistics);
+    * round 2 RE-COUNTS adjacent-pair statistics over the partially-merged
+    * vocabulary ([[graft.text.Bpe.tokenPairStats]]) and takes the next 8
+    * merges, so merge sides can be multi-character tokens — what real
+    * vocabularies contain (BpeSpec pins that this corpus learns at least
+    * one such merge). Emits per vocab word the round-1/round-2 subword
+    * counts and the final segmentation, so the hash gate certifies the
+    * exact token boundaries, not just counts.
+    * Scale shape: both learning rounds are vocabulary-sized aggregates
+    * plus bounded tokenizer-model collects; both applies are chained
+    * literal codegen'd replaces over DISTINCT words; the corpus is
+    * tokenized zero extra times (stagedWordFreq is the staged artifact).
+    * The oracle replays both rounds as two recursive-CTE levels. */
+  def x84_bpe_iter2(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Bpe
+    val wf = stagedWordFreq(spark, dir)
+    val m1 = Bpe.learnMerges(wf, 16)
+    val enc1 = wf.select(col("w"), col("wf"),
+      Bpe.applyMerges(Bpe.wrap(col("w")), m1).as("s1"))
+    val m2 = Bpe.learnTokenMerges(enc1, "s1", "wf", 8)
+    enc1
+      .withColumn("s2", Bpe.applyTokenMerges(col("s1"), m2))
+      .select(col("w"), col("wf").cast(LongType).as("wf"),
+        size(Bpe.subwords(col("s1"))).cast(LongType).as("n_sub_r1"),
+        size(Bpe.subwords(col("s2"))).cast(LongType).as("n_sub_r2"),
+        array_join(Bpe.subwords(col("s2")), "|").as("seg2"))
+  }
+
+  val x84Oracle: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT unnest(string_split_regex(text, '\s+')) AS w FROM documents),
+      |wf AS (
+      |  SELECT w, COUNT(*) AS wf FROM toks
+      |  WHERE w <> '' AND NOT contains(w, chr(31)) GROUP BY w),
+      |p AS (
+      |  SELECT wf, unnest(list_transform(
+      |    generate_series(1, length(w) - 1), i -> w[i:i+1])) AS pair
+      |  FROM wf WHERE length(w) >= 2),
+      |ps AS (SELECT pair, SUM(wf) AS n FROM p GROUP BY pair),
+      |m1 AS (
+      |  SELECT pair, CAST(row_number() OVER (ORDER BY n DESC, pair) AS INT) AS rk
+      |  FROM ps ORDER BY n DESC, pair LIMIT 16),
+      |enc1 AS (
+      |  SELECT w, wf,
+      |    chr(31) || regexp_replace(w, '(.)', '\1' || chr(31) || chr(31), 'g') AS s,
+      |    0 AS r
+      |  FROM wf
+      |  UNION ALL
+      |  SELECT e.w, e.wf,
+      |    replace(e.s,
+      |      chr(31) || m.pair[1] || chr(31) || chr(31) || m.pair[2] || chr(31),
+      |      chr(31) || m.pair || chr(31)),
+      |    e.r + 1
+      |  FROM enc1 e JOIN m1 m ON m.rk = e.r + 1),
+      |fin1 AS (
+      |  SELECT w, wf, s FROM enc1 WHERE r = (SELECT COUNT(*) FROM m1)),
+      |tl AS (
+      |  SELECT w, wf, s,
+      |    list_filter(string_split(s, chr(31)), x -> x <> '') AS tl
+      |  FROM fin1),
+      |tp AS (
+      |  SELECT wf, unnest(list_transform(generate_series(1, len(tl) - 1),
+      |    i -> struct_pack(a := tl[i], b := tl[i+1]))) AS pr
+      |  FROM tl WHERE len(tl) >= 2),
+      |tps AS (SELECT pr.a AS a, pr.b AS b, SUM(wf) AS n FROM tp GROUP BY 1, 2),
+      |m2 AS (
+      |  SELECT a, b, CAST(row_number() OVER (ORDER BY n DESC, a, b) AS INT) AS rk
+      |  FROM tps ORDER BY n DESC, a, b LIMIT 8),
+      |enc2 AS (
+      |  SELECT w, wf, s, 0 AS r FROM fin1
+      |  UNION ALL
+      |  SELECT e.w, e.wf,
+      |    replace(e.s,
+      |      chr(31) || m.a || chr(31) || chr(31) || m.b || chr(31),
+      |      chr(31) || m.a || m.b || chr(31)),
+      |    e.r + 1
+      |  FROM enc2 e JOIN m2 m ON m.rk = e.r + 1),
+      |fin2 AS (
+      |  SELECT w, wf, s FROM enc2 WHERE r = (SELECT COUNT(*) FROM m2)),
+      |o1 AS (
+      |  SELECT w, len(list_filter(string_split(s, chr(31)), x -> x <> '')) AS n_sub_r1
+      |  FROM fin1)
+      |SELECT f2.w, CAST(f2.wf AS BIGINT) AS wf,
+      |  CAST(o1.n_sub_r1 AS BIGINT) AS n_sub_r1,
+      |  CAST(len(list_filter(string_split(f2.s, chr(31)), x -> x <> '')) AS BIGINT) AS n_sub_r2,
+      |  array_to_string(list_filter(string_split(f2.s, chr(31)), x -> x <> ''), '|') AS seg2
+      |FROM fin2 f2 JOIN o1 ON f2.w = o1.w""".stripMargin
+
   /** URL takedown sweep — corpus governance at the canonical-URL key
     * (the DMCA/robots-retroactive case): a takedown list of canonical
     * URLs (here: every URL whose source id ≡ 0 mod 7 — a deterministic
@@ -4117,6 +4206,7 @@ object QueriesTrainingData {
     "x81_softdedup_weights" -> (x81_softdedup_weights _),
     "x82_subword_budget_mix" -> (x82_subword_budget_mix _),
     "x83_subword_shards" -> (x83_subword_shards _),
+    "x84_bpe_iter2" -> (x84_bpe_iter2 _),
     "x80_vision_token_budget" -> (x80_vision_token_budget _),
     "x79_url_takedown" -> (x79_url_takedown _),
     "x78_tokenizer_fertility" -> (x78_tokenizer_fertility _),
@@ -4202,6 +4292,7 @@ object QueriesTrainingData {
     "x81_softdedup_weights" -> x81Oracle,
     "x82_subword_budget_mix" -> x82Oracle,
     "x83_subword_shards" -> x83Oracle,
+    "x84_bpe_iter2" -> x84Oracle,
     "x80_vision_token_budget" -> x80Oracle,
     "x79_url_takedown" -> x79Oracle,
     "x78_tokenizer_fertility" -> x78Oracle,

@@ -21,13 +21,16 @@ import org.apache.spark.sql.functions._
   * one equi-join of the exploded corpus against the (bucketed) encoded
   * vocabulary.
   *
-  * Merge ranks come from SINGLE-ITERATION pair statistics (rank = corpus
-  * frequency of the adjacent character pair, x55's output) rather than
-  * the classic iterative re-count — every merge is therefore a character
-  * pair. That keeps learning one aggregate and, critically, makes the
-  * whole apply DuckDB-replayable (a recursive CTE applying rank r at
-  * round r), which is what puts this operator under the hash gate
-  * instead of a rows-only check.
+  * Merge ranks come from BOUNDED-ROUND pair statistics rather than the
+  * classic per-merge re-count: round 1 ranks adjacent CHARACTER pairs
+  * (x55's output, every merge a character pair); round 2
+  * ([[tokenPairStats]]/[[learnTokenMerges]], x84) re-counts over the
+  * partially-merged vocabulary so merges can have multi-character
+  * sides — the tokens real vocabularies contain. Each round is one
+  * aggregate + one bounded collect, and the whole apply stays
+  * DuckDB-replayable (one recursive CTE level per round, applying rank
+  * r at step r), which is what puts these operators under the hash
+  * gate instead of a rows-only check.
   *
   * Reference has no tokenizer at all (SURVEY §2 — this is the
   * training-data plane, not reference parity); the BPE scheme follows
@@ -90,15 +93,48 @@ object Bpe {
     * calls (codegen'd StringReplace, no regex at apply time) — one
     * projection, zero shuffles. */
   def applyMerges(s: Column, merges: Seq[String]): Column =
-    merges.foldLeft(s) { (c, pair) =>
+    applyTokenMerges(s, merges.map { pair =>
       // split the 2-codepoint pair BY CODEPOINT (String.substring would
       // shear a surrogate pair; Spark-side substring was codepoint-based)
       val cps = pair.codePoints().toArray
       require(cps.length == 2, s"merge pair must be 2 codepoints: '$pair'")
-      val a = new String(cps, 0, 1)
-      val b = new String(cps, 1, 1)
+      (new String(cps, 0, 1), new String(cps, 1, 1))
+    })
+
+  /** Apply TOKEN-level merges — the round-2 generalization where each
+    * side may be a multi-character token produced by earlier merges.
+    * Same both-side-wrapper correctness argument as [[wrap]]; same
+    * codegen'd chained-replace shape. */
+  def applyTokenMerges(s: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(s) { case (c, (a, b)) =>
       replace(c, lit(Sep + a + Sep2 + b + Sep), lit(Sep + a + b + Sep))
     }
+
+  /** Adjacent TOKEN-pair statistics over partially-merged working
+    * strings — the round-2 learning input: after round-1 merges, tokens
+    * may be multi-character, so a candidate is an (a, b) token tuple
+    * rather than a 2-codepoint string. Still vocabulary-sized (the
+    * explode runs over distinct words, weighted by word frequency). */
+  def tokenPairStats(encoded: DataFrame, sCol: String,
+      wfCol: String): DataFrame =
+    encoded
+      .select(col(wfCol).as("wf"), subwords(col(sCol)).as("tl"))
+      .filter(size(col("tl")) >= 2)
+      .select(col("wf"), explode(expr(
+        "transform(sequence(1, size(tl) - 1), " +
+          "i -> struct(tl[i-1] AS a, tl[i] AS b))")).as("pr"))
+      .select(col("wf"), col("pr.a").as("a"), col("pr.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(sum(col("wf")).as("n"))
+
+  /** Top-k round-2 merges by (count desc, a asc, b asc — deterministic
+    * tie-break), collected under the same bounded tokenizer-model
+    * convention as [[learnMerges]]. */
+  def learnTokenMerges(encoded: DataFrame, sCol: String, wfCol: String,
+      k: Int): Seq[(String, String)] =
+    tokenPairStats(encoded, sCol, wfCol)
+      .orderBy(col("n").desc, col("a").asc, col("b").asc)
+      .limit(k).select(col("a"), col("b")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
 
   /** Working string → subword array (drop the separator artifacts). */
   def subwords(s: Column): Column =

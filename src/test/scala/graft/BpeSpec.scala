@@ -92,4 +92,47 @@ class BpeSpec extends AnyFunSuite {
     assert(enc.map(_._3.toLong).sum < enc.map(_._2.toLong).sum,
       "no merge applied anywhere — learned ranks are not reaching the encode")
   }
+
+  test("round-2 merges have multi-character sides (hand-computed)") {
+    // vocab {ababab×10}: round 1 (k=1) learns the char pair "ab"
+    // (freq 30 > "ba" 20); the partially-merged string is [ab,ab,ab],
+    // so round 2's only candidate is (ab, ab) — both sides multi-char —
+    // and the greedy left-to-right apply pairs non-overlapping:
+    // [abab, ab], never [ab, abab] or a triple merge
+    val wf = Seq(("ababab", 10L)).toDF("w", "wf")
+    val m1 = Bpe.learnMerges(wf, 1)
+    assert(m1 === Seq("ab"))
+    val enc1 = wf.select(col("w"), col("wf"),
+      Bpe.applyMerges(Bpe.wrap(col("w")), m1).as("s1"))
+    val m2 = Bpe.learnTokenMerges(enc1, "s1", "wf", 1)
+    assert(m2 === Seq(("ab", "ab")))
+    val seg = enc1
+      .select(Bpe.subwords(Bpe.applyTokenMerges(col("s1"), m2)).as("sub"))
+      .as[Seq[String]].head()
+    assert(seg === Seq("abab", "ab"))
+  }
+
+  test("x84 end-to-end: second iteration learns multi-char merges on real data") {
+    import graft.text.Bpe
+    val wf = QueriesTrainingData.stagedWordFreq(spark, "/root/testdata/sf0.001")
+    val m1 = Bpe.learnMerges(wf, 16)
+    val enc1 = wf.select(col("w"), col("wf"),
+      Bpe.applyMerges(Bpe.wrap(col("w")), m1).as("s1"))
+    val m2 = Bpe.learnTokenMerges(enc1, "s1", "wf", 8)
+    assert(m2.exists { case (a, b) => a.length > 1 || b.length > 1 },
+      s"round 2 learned only character pairs: $m2 — the re-count is not " +
+        "seeing round-1 tokens")
+    // the gate query's invariants: round 2 never lengthens a
+    // segmentation, shortens at least one, and seg2 rebuilds the word
+    val out = QueriesTrainingData.x84_bpe_iter2(spark, "/root/testdata/sf0.001")
+      .select(col("w"), col("n_sub_r1"), col("n_sub_r2"), col("seg2"))
+      .as[(String, Long, Long, String)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (w, r1, r2, seg2) =>
+      assert(r2 <= r1, s"$w: round 2 grew the segmentation ($r1 -> $r2)")
+      assert(seg2.replace("|", "") === w, s"$w segmented as '$seg2'")
+    }
+    assert(out.exists(o => o._3 < o._2),
+      "round 2 merged nothing anywhere — the second iteration is inert")
+  }
 }
