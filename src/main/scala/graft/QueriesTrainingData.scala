@@ -2157,6 +2157,70 @@ object QueriesTrainingData {
       "vec_id", "embedding", k = 5, nProbe = 16)
   }
 
+  /** Incremental IVF delta-APPEND — the x72/x42 incremental contract on
+    * the ANN plane: the base index is trained and persisted over the
+    * stable corpus slice (vec_id ≢ 7 mod 10) ONCE; a delta batch
+    * (vec_id ≡ 7) is assigned to the EXISTING centroids with a narrow
+    * broadcast-literal argmin ([[graft.sim.IvfIndex.assign]] — no KMeans
+    * re-fit, the nightly-embedding-batch path at 100 TB) and unioned
+    * into the cell lists. The full-probe search over the MERGED index is
+    * exact, so the brute-force oracle certifies the append loses
+    * nothing; `from_delta` proves delta vectors actually serve as
+    * neighbors. In production the append writes into the cell-partitioned
+    * parquet ([[graft.sim.IvfIndex.save]]'s layout) instead of a union.
+    * Scale shape: delta work is delta-sized (assign is one codegen'd
+    * projection); the search join shuffles on `cell`, never the cross
+    * product; re-clustering cost is amortized to zero per batch. */
+  def x85_ivf_delta_append(spark: SparkSession, dir: String): DataFrame = {
+    val key = graft.ops.Bucketing.datasetKey(dir, Seq("embeddings.parquet"))
+    val stage = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_ivfd_$key")
+    graft.ops.Bucketing.cleanupStale(stage.getParentFile, dir, stage.getName,
+      prefix = "graft_ivfd_")
+    val built = new java.io.File(stage, "_built")
+    if (!built.exists()) {
+      graft.ops.Bucketing.writeSourceMarker(stage, dir)
+      val base = embeddings(spark, dir)
+        .filter(pmod(col("vec_id"), lit(10L)) =!= 7)
+        .repartition(spark.sparkContext.defaultParallelism)
+      val model = graft.sim.IvfIndex.build(base, "vec_id", "embedding", k = 16)
+      graft.sim.IvfIndex.save(model, stage.getAbsolutePath)
+      built.createNewFile(): Unit
+    }
+    val model = graft.sim.IvfIndex.load(spark, stage.getAbsolutePath)
+    val delta = embeddings(spark, dir)
+      .filter(pmod(col("vec_id"), lit(10L)) === 7)
+    val appended = graft.sim.IvfIndex.assign(delta, "embedding", model)
+    val merged = graft.sim.IvfIndex.Model(model.centroids,
+      model.assigned.unionByName(
+        appended.select(model.assigned.columns.map(col).toSeq: _*)))
+    graft.sim.IvfIndex.search(spark, merged,
+        embeddings(spark, dir).filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nProbe = 16)
+      .withColumn("from_delta", pmod(col("neighbor_id"), lit(10L)) === 7)
+  }
+
+  val x85Oracle: String =
+    """WITH q AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, qv,
+      |    list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])) AS n2
+      |  FROM q),
+      |scored AS (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |    CAST(list_sum(list_transform(generate_series(1, len(a.qv)), i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+      |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cosine
+      |  FROM n a JOIN n b ON a.vec_id < 10 AND a.vec_id <> b.vec_id)
+      |SELECT query_id, neighbor_id, rank, cosine,
+      |  neighbor_id % 10 = 7 AS from_delta
+      |FROM (
+      |  SELECT query_id, neighbor_id, cosine,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+      |  FROM scored)
+      |WHERE rank <= 5""".stripMargin
+
   /** Approximate distinct counting as a MERGEABLE sketch
     * ([[graft.sketch.Hll]]): per-event-type register sets over `user_id`,
     * an 'ALL' row produced by MERGING those registers (bucketwise max —
@@ -4207,6 +4271,7 @@ object QueriesTrainingData {
     "x82_subword_budget_mix" -> (x82_subword_budget_mix _),
     "x83_subword_shards" -> (x83_subword_shards _),
     "x84_bpe_iter2" -> (x84_bpe_iter2 _),
+    "x85_ivf_delta_append" -> (x85_ivf_delta_append _),
     "x80_vision_token_budget" -> (x80_vision_token_budget _),
     "x79_url_takedown" -> (x79_url_takedown _),
     "x78_tokenizer_fertility" -> (x78_tokenizer_fertility _),
@@ -4293,6 +4358,7 @@ object QueriesTrainingData {
     "x82_subword_budget_mix" -> x82Oracle,
     "x83_subword_shards" -> x83Oracle,
     "x84_bpe_iter2" -> x84Oracle,
+    "x85_ivf_delta_append" -> x85Oracle,
     "x80_vision_token_budget" -> x80Oracle,
     "x79_url_takedown" -> x79Oracle,
     "x78_tokenizer_fertility" -> x78Oracle,

@@ -77,6 +77,28 @@ object IvfIndex {
       .withColumn("cell", col("cell").cast(IntegerType)))
   }
 
+  /** Assign NEW vectors to an existing quantizer's nearest cell (min L2,
+    * the KMeans assignment rule) — the incremental-append path: no
+    * re-fit, one narrow codegen'd map over the delta with the k-row
+    * centroid table unrolled as plan literals (distance per centroid via
+    * `zip_with`+`aggregate`, argmin via `array_min` over (dist, cell)
+    * structs — deterministic cell tie-break). At 100 TB the nightly
+    * embedding delta joins a quantizer trained ONCE; re-clustering the
+    * corpus per batch is the anti-pattern this avoids. */
+  def assign(delta: DataFrame, vecCol: String, model: Model): DataFrame = {
+    val cands = array(model.centroids.sortBy(_._1).map { case (i, arr) =>
+      struct(
+        aggregate(
+          zip_with(col(vecCol), typedlit(arr.toSeq), (a, c) => {
+            val d = a.cast(DoubleType) - c
+            d * d
+          }),
+          lit(0.0), (acc, x) => acc + x).as("dist"),
+        lit(i).as("cell"))
+    }: _*)
+    delta.withColumn("cell", array_min(cands).getField("cell"))
+  }
+
   /** Top-k within the `nProbe` nearest cells of each query vector.
     * Output: query_id, neighbor_id, rank, cosine. */
   def search(spark: SparkSession, model: Model, queries: DataFrame, idCol: String,

@@ -219,4 +219,38 @@ class SourcesAndIvfSpec extends AnyFunSuite {
       "second call touched the staging dir — the KMeans build ran again " +
         "instead of the metadata-only reuse path")
   }
+
+  test("x85: IVF delta append serves delta neighbors without re-training") {
+    val sf = "/root/testdata/sf0.001"
+    import spark.implicits._
+    val out = SparkEntry.queries("x85_ivf_delta_append")(spark, sf)
+      .select(col("query_id"), col("neighbor_id"), col("from_delta")).cache()
+    try {
+      // delta vectors (vec_id % 10 == 7) actually serve as neighbors —
+      // an append that never surfaces delta rows would pass a weaker test
+      assert(out.filter(col("from_delta")).count() > 0,
+        "no delta vector appeared in any top-5 — the append is inert")
+      assert(out.filter(col("from_delta") &&
+        pmod(col("neighbor_id"), lit(10L)) =!= 7).count() === 0)
+      // the assign path is the KMeans L2 rule: every delta vector lands
+      // in the cell of its nearest centroid
+      val key = graft.ops.Bucketing.datasetKey(sf, Seq("embeddings.parquet"))
+      val stage = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft_ivfd_$key")
+      val model = graft.sim.IvfIndex.load(spark, stage.getAbsolutePath)
+      val delta = Tables.embeddings(spark, sf)
+        .filter(pmod(col("vec_id"), lit(10L)) === 7)
+      val got = graft.sim.IvfIndex.assign(delta, "embedding", model)
+        .select(col("vec_id"), col("cell")).as[(Long, Int)].collect().toMap
+      val cents = model.centroids.toMap
+      val vecs = delta.select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])].collect()
+      vecs.foreach { case (id, v) =>
+        val expect = cents.map { case (c, arr) =>
+          c -> v.zip(arr).map { case (a, b) => val d = a.toDouble - b; d * d }.sum
+        }.toSeq.minBy { case (c, d) => (d, c) }._1
+        assert(got(id) === expect, s"vec $id assigned to ${got(id)}, nearest is $expect")
+      }
+    } finally out.unpersist(): Unit
+  }
 }
