@@ -91,7 +91,17 @@ object WindowSqlLowering {
     out.toList.filter(_.nonEmpty)
   }
 
+  /** Statement shapes where rank-after-removal diverges from the raw
+    * evaluation order: DISTINCT dedups AFTER the window in SQL but would
+    * run BEFORE a post-hoc rank; LIMIT bounds the ranked output, not the
+    * rank's input. Both decline (fallback raw SQL keeps semantics). */
+  private val distinctRe = "(?is)^\\s*select\\s+distinct\\b".r
+  private val limitRe = "(?i)\\blimit\\b".r
+
   def lower(spark: SparkSession, select: String): Option[DataFrame] = {
+    if (distinctRe.findFirstIn(select).isDefined ||
+      limitRe.findAllMatchIn(select).exists(m => depthAt(select, m.start) == 0))
+      return None
     val matches = rowNumberOpenRe.findAllMatchIn(select).toList
     matches match {
       case m :: Nil if depthAt(select, m.start) == 0 =>

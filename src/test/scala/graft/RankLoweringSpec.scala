@@ -86,5 +86,11 @@ class RankLoweringSpec extends AnyFunSuite {
     // window embedded in an arithmetic item is not a whole-item window
     assert(WindowSqlLowering.lower(spark,
       "SELECT id, 1 + ROW_NUMBER() OVER (ORDER BY id) AS rn FROM rk_t").isEmpty)
+    // DISTINCT dedups AFTER the window in SQL — rank-after-removal would
+    // dedup first; LIMIT bounds the ranked output, not the rank's input
+    assert(WindowSqlLowering.lower(spark,
+      "SELECT DISTINCT k, ROW_NUMBER() OVER (ORDER BY k) AS rn FROM rk_t").isEmpty)
+    assert(WindowSqlLowering.lower(spark,
+      "SELECT id, ROW_NUMBER() OVER (ORDER BY id) AS rn FROM rk_t LIMIT 5").isEmpty)
   }
 }
