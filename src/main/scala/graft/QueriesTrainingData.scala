@@ -410,6 +410,50 @@ object QueriesTrainingData {
       |  CAST(((width + 13) // 14) * ((height + 13) // 14) * n_sampled_frames AS BIGINT) AS vision_tokens
       |FROM sel""".stripMargin
 
+  /** Audio-token budget — x80's sibling on the audio plane: per audio
+    * item, the encoder-token count a Whisper-style pipeline pays
+    * (Radford et al. 2022, public): 10 ms-hop mel frames over the clip
+    * duration, halved by the 2× convolutional downsampling. Duration
+    * derives deterministically from payload bytes 4–5 (the x10/x80
+    * stub-metadata convention — the decode itself is the documented
+    * environment-blocked stub; the ACCOUNTING is the real operator).
+    * Everything is integer arithmetic (ceil via (n+d−1)/d), so the
+    * oracle replays bit-for-bit. Scale shape: one narrow codegen'd
+    * projection over the metadata scan, zero exchanges. */
+  def x86_audio_token_budget(spark: SparkSession, dir: String): DataFrame = {
+    val h = md5(col("text"))
+    val padded = rpad(h, 12, "0")
+    def ub(i: Int) =
+      conv(substring(padded, 2 * i + 1, 2), 16, 10).cast(LongType)
+    documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(3L)) === 1)
+      .select(col("doc_id").as("media_id"),
+        (lit(8000L) + ub(3) * 128L).as("sample_rate"),
+        (ub(4) * 256L + ub(5) + 200L).as("duration_ms"))
+      .withColumn("n_samples",
+        call_function("div", col("duration_ms") * col("sample_rate"), lit(1000L)))
+      .withColumn("n_mel_frames",
+        call_function("div", col("duration_ms") + 9L, lit(10L)))
+      .withColumn("audio_tokens",
+        call_function("div", col("n_mel_frames") + 1L, lit(2L)))
+  }
+
+  val x86Oracle: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id, md5(text) AS h
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |meta AS (
+      |  SELECT media_id,
+      |    8000 + CAST(('0x'||substr(h,7,2)) AS BIGINT) * 128 AS sample_rate,
+      |    CAST(('0x'||substr(h,9,2)) AS BIGINT) * 256
+      |      + CAST(('0x'||substr(h,11,2)) AS BIGINT) + 200 AS duration_ms
+      |  FROM m)
+      |SELECT media_id, sample_rate, duration_ms,
+      |  CAST(duration_ms * sample_rate // 1000 AS BIGINT) AS n_samples,
+      |  CAST((duration_ms + 9) // 10 AS BIGINT) AS n_mel_frames,
+      |  CAST(((duration_ms + 9) // 10 + 1) // 2 AS BIGINT) AS audio_tokens
+      |FROM meta""".stripMargin
+
   /** IVF (k-means coarse quantizer) ANN search — the scale path past
     * x09's brute force. Probing ALL cells makes IVF exact (every vector
     * lives in exactly one cell), so the full machinery — quantizer build,
@@ -4272,6 +4316,7 @@ object QueriesTrainingData {
     "x83_subword_shards" -> (x83_subword_shards _),
     "x84_bpe_iter2" -> (x84_bpe_iter2 _),
     "x85_ivf_delta_append" -> (x85_ivf_delta_append _),
+    "x86_audio_token_budget" -> (x86_audio_token_budget _),
     "x80_vision_token_budget" -> (x80_vision_token_budget _),
     "x79_url_takedown" -> (x79_url_takedown _),
     "x78_tokenizer_fertility" -> (x78_tokenizer_fertility _),
@@ -4359,6 +4404,7 @@ object QueriesTrainingData {
     "x83_subword_shards" -> x83Oracle,
     "x84_bpe_iter2" -> x84Oracle,
     "x85_ivf_delta_append" -> x85Oracle,
+    "x86_audio_token_budget" -> x86Oracle,
     "x80_vision_token_budget" -> x80Oracle,
     "x79_url_takedown" -> x79Oracle,
     "x78_tokenizer_fertility" -> x78Oracle,
