@@ -1152,6 +1152,35 @@ object QueriesRelational {
       |    ORDER BY CAST(c_acctbal AS DECIMAL(12,2)) DESC, c_custkey) AS INT) AS seg_rank
       |FROM customer""".stripMargin
 
+  /** Canonical single-table UPDATE through the dtsx frontend —
+    * `UpdateCustomerETL.dtsx`'s second Execute SQL task carries a
+    * multi-column SET with a WHERE predicate;
+    * [[graft.patterns.UpdateSqlCompiler]] executes it as a state
+    * replacement (one narrow CASE projection, pre-update-row SET
+    * semantics, Overwrite) — the q80 MERGE treatment for the other
+    * mutable-table verb. Non-canonical UPDATEs (FROM legs, subqueries)
+    * still fall to manual review via SqlPatternRewriter's disqualifier. */
+  def q85_dtsx_update(spark: SparkSession, dir: String): DataFrame =
+    runDtsxWarehousePackage(spark, dir, "UpdateCustomerETL.dtsx")
+      ._1.apply("cust_balance")
+      .select(col("c_custkey"), col("c_name"),
+        col("c_acctbal").cast(DoubleType).as("c_acctbal"),
+        col("c_mktsegment"))
+
+  val q85Oracle: String =
+    """WITH staged AS (
+      |  SELECT c_custkey, c_name,
+      |    CAST(c_acctbal AS DECIMAL(12,2)) AS c_acctbal, c_mktsegment
+      |  FROM customer)
+      |SELECT c_custkey,
+      |  CASE WHEN c_mktsegment = 'BUILDING' AND c_acctbal > 0
+      |       THEN upper(c_name) ELSE c_name END AS c_name,
+      |  CAST(CASE WHEN c_mktsegment = 'BUILDING' AND c_acctbal > 0
+      |       THEN CAST(c_acctbal + 25.50 AS DECIMAL(12,2))
+      |       ELSE c_acctbal END AS DOUBLE) AS c_acctbal,
+      |  c_mktsegment
+      |FROM staged""".stripMargin
+
   /** Explicit GROUPING SETS with grouping_id disambiguation (beyond q24's
     * rollup): two chosen aggregation levels, no intermediate level. */
   def q39_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
@@ -2445,8 +2474,11 @@ object QueriesRelational {
       },
       sqlExecutor = t => {
         val bound = t.copy(sqlStatement = bind(t.sqlStatement))
-        graft.patterns.MergeSqlCompiler.rewrite(spark, bound,
-            name => written.getOrElse(name, spark.table(name)))
+        val resolveFrame =
+          (name: String) => written.getOrElse(name, spark.table(name))
+        graft.patterns.MergeSqlCompiler.rewrite(spark, bound, resolveFrame)
+          .orElse(graft.patterns.UpdateSqlCompiler
+            .rewrite(spark, bound, resolveFrame))
           .orElse(graft.patterns.SqlPatternRewriter.rewrite(spark, bound))
       })
     val run = graft.pipeline.PackageRunner.run(spark, pkg, env)
@@ -2481,6 +2513,7 @@ object QueriesRelational {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q83_dtsx_window_sql" -> (q83_dtsx_window_sql _),
+    "q85_dtsx_update" -> (q85_dtsx_update _),
     "q82_orc_roundtrip" -> (q82_orc_roundtrip _),
     "q80_dtsx_cdc_merge" -> (q80_dtsx_cdc_merge _),
     "q79_delete_cascade" -> (q79_delete_cascade _),
@@ -2558,6 +2591,7 @@ object QueriesRelational {
 
   val oracle: Map[String, String] = Map(
     "q83_dtsx_window_sql" -> q83Oracle,
+    "q85_dtsx_update" -> q85Oracle,
     "q82_orc_roundtrip" -> q82Oracle,
     "q80_dtsx_cdc_merge" -> q80Oracle,
     "q79_delete_cascade" -> q79Oracle,

@@ -81,7 +81,7 @@ object MergeSqlCompiler {
     * rewritten (or left untranslated) into a confusing `expr()` failure.
     * A clause body containing one outside a string literal makes the
     * whole statement a clean manual-review skip instead. */
-  private def hasQuotedIdentifier(e: String): Boolean =
+  private[patterns] def hasQuotedIdentifier(e: String): Boolean =
     segments(e).exists { case (seg, quoted) =>
       !quoted && (seg.contains('[') || seg.contains('"'))
     }
@@ -90,7 +90,7 @@ object MergeSqlCompiler {
     * quote inside a literal, SQL-style); quoted segments INCLUDE their
     * delimiters. Both [[xlate]] and [[splitTop]] must never look inside
     * a string literal — `'see s.op docs'` is text, not a reference. */
-  private def segments(s: String): List[(String, Boolean)] = {
+  private[patterns] def segments(s: String): List[(String, Boolean)] = {
     val out = scala.collection.mutable.ListBuffer.empty[(String, Boolean)]
     val cur = new StringBuilder
     var inQ = false
@@ -129,7 +129,7 @@ object MergeSqlCompiler {
 
   /** Split on top-level commas only — commas inside parens (function
     * calls) or inside string literals do not split. */
-  private def splitTop(s: String): List[String] = {
+  private[patterns] def splitTop(s: String): List[String] = {
     val out = scala.collection.mutable.ListBuffer.empty[String]
     var depth = 0
     val cur = new StringBuilder

@@ -403,6 +403,54 @@ class PipelineSpec extends AnyFunSuite {
     assert(graft.patterns.MergeSqlCompiler.rewrite(spark, dquoted, frames).isEmpty)
   }
 
+  test("UpdateSqlCompiler: canonical single-table UPDATE; off-shape stays None") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tgt = Seq((1L, 10.0, 100.0), (2L, 20.0, 200.0), (3L, -5.0, 300.0))
+      .toDF("id", "bal", "lim")
+    val frames = Map("acct" -> tgt)
+    def task(sql: String) = graft.ir.Ir.ExecuteSqlTask("u", None, "conn", sql)
+    // all SET expressions see the PRE-update row: a swap really swaps
+    val swap = graft.patterns.UpdateSqlCompiler.rewrite(spark,
+      task("UPDATE acct SET bal = lim, lim = bal WHERE bal > 0"), frames)
+      .getOrElse(fail("canonical UPDATE did not compile"))
+    assert(swap.target.contains("acct"))
+    val rows = swap.df.get.orderBy(col("id"))
+      .as[(Long, Double, Double)].collect().toList
+    assert(rows === List((1L, 100.0, 10.0), (2L, 200.0, 20.0), (3L, -5.0, 300.0)))
+    // no WHERE updates every row; function calls in SET parse
+    val all = graft.patterns.UpdateSqlCompiler.rewrite(spark,
+      task("UPDATE acct SET bal = round(bal * 2, 1)"), frames).get
+    assert(all.df.get.select(sum(col("bal"))).as[Double].head() === 50.0)
+    // a NULL predicate means NOT updated (SQL's WHERE-is-TRUE rule)
+    val nullPred = graft.patterns.UpdateSqlCompiler.rewrite(spark,
+      task("UPDATE acct SET bal = 0 WHERE CASE WHEN id = 1 THEN NULL ELSE true END"),
+      frames).get
+    assert(nullPred.df.get.filter(col("id") === 1L)
+      .select(col("bal")).as[Double].head() === 10.0)
+    // off-shape: FROM leg, subquery, bracketed identifier -> None
+    assert(graft.patterns.UpdateSqlCompiler.rewrite(spark,
+      task("UPDATE acct SET bal = s.b FROM src s WHERE s.id = acct.id"),
+      frames).isEmpty)
+    assert(graft.patterns.UpdateSqlCompiler.rewrite(spark,
+      task("UPDATE acct SET bal = (SELECT max(b) FROM src)"), frames).isEmpty)
+    assert(graft.patterns.UpdateSqlCompiler.rewrite(spark,
+      task("UPDATE acct SET [bal] = 0"), frames).isEmpty)
+    // a FROM inside a string literal is data, not a clause
+    assert(graft.patterns.UpdateSqlCompiler.rewrite(spark,
+      task("UPDATE acct SET bal = 0 WHERE id = 1 AND 'from x' <> ''"),
+      frames).nonEmpty)
+    // misspelled / duplicated SET columns abort, never silently no-op
+    assert(intercept[IllegalArgumentException] {
+      graft.patterns.UpdateSqlCompiler.rewrite(spark,
+        task("UPDATE acct SET ball = 0"), frames)
+    }.getMessage.contains("ball"))
+    assert(intercept[IllegalArgumentException] {
+      graft.patterns.UpdateSqlCompiler.rewrite(spark,
+        task("UPDATE acct SET bal = 0, BAL = 1"), frames)
+    }.getMessage.contains("more than once"))
+  }
+
   test("CdcCustomerMergeETL: runner classifies MERGE task merge_scd end-to-end") {
     val q80 = QueriesRelational.q80_dtsx_cdc_merge(spark, "/root/testdata/sf0.001")
     // semantics replayed in-memory: base anti changes ∪ upserts
