@@ -1181,6 +1181,31 @@ object QueriesRelational {
       |  c_mktsegment
       |FROM staged""".stripMargin
 
+  /** Canonical standalone DELETE through the dtsx frontend —
+    * `DeleteInactiveETL.dtsx`'s second Execute SQL task purges by
+    * predicate; [[graft.patterns.DeleteSqlCompiler]] keeps the
+    * NOT-TRUE rows and overwrites, completing the executed DML verb
+    * family (INSERT/UPDATE/DELETE/MERGE all run through the runner).
+    * The DELETE+INSERT refresh class (q17/q37) still routes to
+    * SqlPatternRewriter — spec-pinned in PipelineSpec. */
+  def q86_dtsx_delete(spark: SparkSession, dir: String): DataFrame =
+    runDtsxWarehousePackage(spark, dir, "DeleteInactiveETL.dtsx")
+      ._1.apply("orders_active")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice").cast(DoubleType).as("o_totalprice"),
+        col("o_orderpriority"))
+
+  val q86Oracle: String =
+    """WITH staged AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus,
+      |    CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice,
+      |    o_orderpriority
+      |  FROM orders)
+      |SELECT o_orderkey, o_custkey, o_orderstatus,
+      |  CAST(o_totalprice AS DOUBLE) AS o_totalprice, o_orderpriority
+      |FROM staged
+      |WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 50000)""".stripMargin
+
   /** Explicit GROUPING SETS with grouping_id disambiguation (beyond q24's
     * rollup): two chosen aggregation levels, no intermediate level. */
   def q39_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
@@ -2479,6 +2504,8 @@ object QueriesRelational {
         graft.patterns.MergeSqlCompiler.rewrite(spark, bound, resolveFrame)
           .orElse(graft.patterns.UpdateSqlCompiler
             .rewrite(spark, bound, resolveFrame))
+          .orElse(graft.patterns.DeleteSqlCompiler
+            .rewrite(spark, bound, resolveFrame))
           .orElse(graft.patterns.SqlPatternRewriter.rewrite(spark, bound))
       })
     val run = graft.pipeline.PackageRunner.run(spark, pkg, env)
@@ -2514,6 +2541,7 @@ object QueriesRelational {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q83_dtsx_window_sql" -> (q83_dtsx_window_sql _),
     "q85_dtsx_update" -> (q85_dtsx_update _),
+    "q86_dtsx_delete" -> (q86_dtsx_delete _),
     "q82_orc_roundtrip" -> (q82_orc_roundtrip _),
     "q80_dtsx_cdc_merge" -> (q80_dtsx_cdc_merge _),
     "q79_delete_cascade" -> (q79_delete_cascade _),
@@ -2592,6 +2620,7 @@ object QueriesRelational {
   val oracle: Map[String, String] = Map(
     "q83_dtsx_window_sql" -> q83Oracle,
     "q85_dtsx_update" -> q85Oracle,
+    "q86_dtsx_delete" -> q86Oracle,
     "q82_orc_roundtrip" -> q82Oracle,
     "q80_dtsx_cdc_merge" -> q80Oracle,
     "q79_delete_cascade" -> q79Oracle,

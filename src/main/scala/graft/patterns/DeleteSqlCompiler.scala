@@ -1,0 +1,55 @@
+package graft.patterns
+
+import graft.ir.Ir.ExecuteSqlTask
+import graft.pipeline.PackageRunner.SqlOutcome
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Canonical standalone DELETE → Spark compile, completing the executed
+  * DML verb family (INSERT via [[SqlPatternRewriter]], MERGE via
+  * [[MergeSqlCompiler]], UPDATE via [[UpdateSqlCompiler]]):
+  *
+  * {{{
+  * DELETE FROM <target> [WHERE <pred>]
+  * }}}
+  *
+  * Compiled as a state replacement: keep the rows where the predicate
+  * is NOT TRUE (`!coalesce(pred, false)` — a NULL predicate keeps the
+  * row, SQL's WHERE-is-TRUE rule), Overwrite. A bare DELETE empties the
+  * table but keeps its schema. One narrow filter, zero shuffles.
+  *
+  * The DELETE+INSERT refresh statement stays with
+  * [[SqlPatternRewriter]]: a statement whose WHERE body carries a
+  * second statement (`;`, INSERT/SELECT/JOIN keywords) or quoted
+  * identifiers declines here and falls through the executor chain —
+  * the refresh rewrite (or manual review) still owns it. */
+object DeleteSqlCompiler {
+
+  private val deleteRe =
+    "(?is)^\\s*delete\\s+from\\s+(\\S+)(?:\\s+where\\s+(.+?))?\\s*;?\\s*$".r
+
+  private def disqualified(body: String): Boolean =
+    MergeSqlCompiler.hasQuotedIdentifier(body) ||
+      MergeSqlCompiler.segments(body).exists { case (seg, quoted) =>
+        !quoted && (seg.contains(';') ||
+          "(?i)\\b(insert|select|from|join)\\b".r.findFirstIn(seg).isDefined)
+      }
+
+  def rewrite(spark: SparkSession, task: ExecuteSqlTask,
+      resolve: String => DataFrame): Option[SqlOutcome] = {
+    val sql = SqlText.stripComments(task.sqlStatement)
+    deleteRe.findFirstMatchIn(sql).flatMap { m =>
+      val tgtName = m.group(1)
+      val whereOpt = Option(m.group(2))
+      if (whereOpt.exists(disqualified)) None
+      else Some {
+        val tgt = resolve(tgtName)
+        val kept = whereOpt match {
+          case Some(w) => tgt.filter(!coalesce(expr(w), lit(false)))
+          case None => tgt.filter(lit(false))
+        }
+        SqlOutcome(Some(kept), Some(tgtName), SaveMode.Overwrite)
+      }
+    }
+  }
+}

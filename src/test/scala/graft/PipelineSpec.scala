@@ -451,6 +451,39 @@ class PipelineSpec extends AnyFunSuite {
     }.getMessage.contains("more than once"))
   }
 
+  test("DeleteSqlCompiler: canonical DELETE; refresh statements stay None") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tgt = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val frames = Map("t" -> tgt)
+    def task(sql: String) = graft.ir.Ir.ExecuteSqlTask("d", None, "conn", sql)
+    val del = graft.patterns.DeleteSqlCompiler.rewrite(spark,
+      task("DELETE FROM t WHERE id >= 2"), frames)
+      .getOrElse(fail("canonical DELETE did not compile"))
+    assert(del.target.contains("t"))
+    assert(del.df.get.as[(Long, String)].collect().toList === List((1L, "a")))
+    // NULL predicate keeps the row (WHERE-is-TRUE deletes)
+    val np = graft.patterns.DeleteSqlCompiler.rewrite(spark,
+      task("DELETE FROM t WHERE CASE WHEN id = 1 THEN NULL ELSE true END"),
+      frames).get
+    assert(np.df.get.select(col("id")).as[Long].collect().toList === List(1L))
+    // bare DELETE empties but keeps schema
+    val bare = graft.patterns.DeleteSqlCompiler.rewrite(spark,
+      task("DELETE FROM t"), frames).get
+    assert(bare.df.get.count() === 0 &&
+      bare.df.get.columns.toSeq === Seq("id", "v"))
+    // the DELETE+INSERT refresh statement must NOT half-execute here —
+    // it belongs to SqlPatternRewriter's overwrite rewrite
+    assert(graft.patterns.DeleteSqlCompiler.rewrite(spark,
+      task("DELETE FROM t WHERE id > 0; INSERT INTO t SELECT * FROM s"),
+      frames).isEmpty)
+    assert(graft.patterns.DeleteSqlCompiler.rewrite(spark,
+      task("DELETE FROM t; INSERT INTO t SELECT * FROM s"), frames).isEmpty)
+    // subquery predicates stay manual review
+    assert(graft.patterns.DeleteSqlCompiler.rewrite(spark,
+      task("DELETE FROM t WHERE id IN (SELECT id FROM s)"), frames).isEmpty)
+  }
+
   test("CdcCustomerMergeETL: runner classifies MERGE task merge_scd end-to-end") {
     val q80 = QueriesRelational.q80_dtsx_cdc_merge(spark, "/root/testdata/sf0.001")
     // semantics replayed in-memory: base anti changes ∪ upserts
