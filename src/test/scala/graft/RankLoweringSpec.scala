@@ -66,6 +66,25 @@ class RankLoweringSpec extends AnyFunSuite {
     assert(af === bf)
   }
 
+  test("property: two-phase equals raw window across shapes and bucket counts") {
+    // heavy ties, skewed partitions, tiny/huge bucket counts — the
+    // decomposition must be exact everywhere the order is total
+    val rnd = new scala.util.Random(7)
+    val data = (1 to 400).map { i =>
+      (i.toLong, s"p${rnd.nextInt(2) * rnd.nextInt(3)}", rnd.nextInt(5).toDouble)
+    }
+    val df2 = data.toDF("id", "k", "v")
+    for (buckets <- Seq(1, 3, 64, 200)) {
+      val raw = df2.withColumn("rn", row_number().over(
+        Window.partitionBy($"k").orderBy($"v", $"id".desc)))
+        .select("id", "rn").as[(Long, Int)].collect().toSeq.sorted
+      val low = RankLowering.rowNumber(df2, Seq(col("k")),
+          Seq(col("v").asc, col("id").desc), "rn", buckets)
+        .select("id", "rn").as[(Long, Int)].collect().toSeq.sorted
+      assert(low === raw, s"mismatch at buckets=$buckets")
+    }
+  }
+
   test("off-shape selects fall back to raw SQL (None)") {
     df.createOrReplaceTempView("rk_t")
     // two windows

@@ -75,6 +75,38 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(got === cases.map(_._2))
   }
 
+  test("property: registered domain is a dot-suffix of the de-ported host") {
+    import graft.text.PublicSuffix
+    // generated hosts across rule/fallback/port shapes: the domain must
+    // always be a label-aligned suffix of the canonical host minus any
+    // port, and carry exactly one label above a matched rule
+    val labels = Seq("a", "bb", "shop", "x9")
+    val suffixes = Seq("com", "co.uk", "github.io", "nsw.edu.au", "unlisted")
+    val ports = Seq("", ":443", ":8080")
+    val urls = for {
+      l1 <- labels; l2 <- Seq("", "sub."); sfx <- suffixes; p <- ports
+    } yield s"https://$l2$l1.$sfx$p/x"
+    val got = urls.toDF("u")
+      .select(col("u"), UrlOps.canonicalHost(col("u")).as("h"),
+        UrlOps.registeredDomain(col("u")).as("d"))
+      .as[(String, String, String)].collect()
+    val rules = (PublicSuffix.rules2 ++ PublicSuffix.rules3).toSet
+    got.foreach { case (u, host, d) =>
+      val h = host.replaceAll(":\\d+$", "")
+      assert(h == d || h.endsWith("." + d), s"$u: domain $d not a suffix of $h")
+      val above = h.stripSuffix(d).stripSuffix(".")
+      val matchedRule = d.split('.').drop(1).mkString(".")
+      if (rules.contains(matchedRule))
+        // rule matched: d = one label + rule, the rest of the host is
+        // subdomain labels
+        assert(d.split('.').length == matchedRule.split('.').length + 1)
+      else
+        // fallback: exactly the last two labels
+        assert(d.split('.').length == 2, s"$u: fallback domain $d")
+      assert(above.isEmpty || above.split('.').forall(_.nonEmpty))
+    }
+  }
+
   test("x63 end-to-end: URL dedup collapses (source, lang); PSL domains; cap 4") {
     val out = SparkEntry.queries("x63_url_domain_dedup")(
       spark, "/root/testdata/sf0.001").cache()
