@@ -28,6 +28,12 @@ object DeleteSqlCompiler {
   private val deleteRe =
     "(?is)^\\s*delete\\s+from\\s+(\\S+)(?:\\s+where\\s+(.+?))?\\s*;?\\s*$".r
 
+  /** Standalone `TRUNCATE TABLE t` — same compile as a bare DELETE
+    * (empty overwrite, schema kept); TRUNCATE+INSERT reload statements
+    * do not match the end anchor and stay with [[SqlPatternRewriter]]. */
+  private val truncateRe =
+    "(?is)^\\s*truncate\\s+table\\s+(\\S+)\\s*;?\\s*$".r
+
   private def disqualified(body: String): Boolean =
     MergeSqlCompiler.hasQuotedIdentifier(body) ||
       MergeSqlCompiler.segments(body).exists { case (seg, quoted) =>
@@ -38,6 +44,11 @@ object DeleteSqlCompiler {
   def rewrite(spark: SparkSession, task: ExecuteSqlTask,
       resolve: String => DataFrame): Option[SqlOutcome] = {
     val sql = SqlText.stripComments(task.sqlStatement)
+    truncateRe.findFirstMatchIn(sql).foreach { t =>
+      val tgt = resolve(t.group(1))
+      return Some(SqlOutcome(Some(tgt.filter(lit(false))), Some(t.group(1)),
+        SaveMode.Overwrite))
+    }
     deleteRe.findFirstMatchIn(sql).flatMap { m =>
       val tgtName = m.group(1)
       val whereOpt = Option(m.group(2))

@@ -482,6 +482,13 @@ class PipelineSpec extends AnyFunSuite {
     // subquery predicates stay manual review
     assert(graft.patterns.DeleteSqlCompiler.rewrite(spark,
       task("DELETE FROM t WHERE id IN (SELECT id FROM s)"), frames).isEmpty)
+    // standalone TRUNCATE compiles to the empty overwrite; the
+    // TRUNCATE+INSERT reload stays with SqlPatternRewriter
+    val tr = graft.patterns.DeleteSqlCompiler.rewrite(spark,
+      task("TRUNCATE TABLE t"), frames).get
+    assert(tr.df.get.count() === 0 && tr.target.contains("t"))
+    assert(graft.patterns.DeleteSqlCompiler.rewrite(spark,
+      task("TRUNCATE TABLE t; INSERT INTO t SELECT * FROM s"), frames).isEmpty)
   }
 
   test("CdcCustomerMergeETL: runner classifies MERGE task merge_scd end-to-end") {
