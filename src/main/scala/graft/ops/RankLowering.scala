@@ -66,16 +66,25 @@ object RankLowering {
     val wOff = Window.partitionBy(pNames.map(col): _*)
       .orderBy(col("__graft_rk_b"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    val offNames = pNames.map(n => n + "_o")
     val offsets = ranged
       .groupBy((pNames :+ "__graft_rk_b").map(col): _*)
       .agg(count(lit(1)).as("__graft_rk_n"))
       .withColumn("__graft_rk_off",
         coalesce(sum(col("__graft_rk_n")).over(wOff), lit(0L)))
-      .select((pNames :+ "__graft_rk_b").map(col) :+ col("__graft_rk_off"): _*)
-    local.join(offsets, (pNames :+ "__graft_rk_b").toSeq)
+      .select(pNames.zip(offNames).map { case (n, o) => col(n).as(o) } ++
+        Seq(col("__graft_rk_b").as("__graft_rk_bo"), col("__graft_rk_off")): _*)
+    // NULL is a legal partition-key VALUE (a raw window ranks the NULL
+    // group like any other), so the offsets join must be null-safe —
+    // a plain equality join would silently drop every NULL-keyed row
+    val joinCond = pNames.zip(offNames)
+      .map { case (n, o) => local(n) <=> offsets(o) }
+      .foldLeft(local("__graft_rk_b") === offsets("__graft_rk_bo"))(_ && _)
+    local.join(offsets, joinCond)
       .withColumn(outCol,
         (col("__graft_rk_l").cast(LongType) + col("__graft_rk_off"))
           .cast(IntegerType))
-      .drop(pNames ++ Seq("__graft_rk_b", "__graft_rk_l", "__graft_rk_off"): _*)
+      .drop(pNames ++ offNames ++
+        Seq("__graft_rk_b", "__graft_rk_bo", "__graft_rk_l", "__graft_rk_off"): _*)
   }
 }

@@ -26,13 +26,13 @@ import org.apache.spark.sql.functions._
 object DeleteSqlCompiler {
 
   private val deleteRe =
-    "(?is)^\\s*delete\\s+from\\s+(\\S+)(?:\\s+where\\s+(.+?))?\\s*;?\\s*$".r
+    "(?is)^\\s*delete\\s+from\\s+([^\\s;]+)(?:\\s+where\\s+(.+?))?\\s*;?\\s*$".r
 
   /** Standalone `TRUNCATE TABLE t` — same compile as a bare DELETE
     * (empty overwrite, schema kept); TRUNCATE+INSERT reload statements
     * do not match the end anchor and stay with [[SqlPatternRewriter]]. */
   private val truncateRe =
-    "(?is)^\\s*truncate\\s+table\\s+(\\S+)\\s*;?\\s*$".r
+    "(?is)^\\s*truncate\\s+table\\s+([^\\s;]+)\\s*;?\\s*$".r
 
   private def disqualified(body: String): Boolean =
     MergeSqlCompiler.hasQuotedIdentifier(body) ||

@@ -48,7 +48,7 @@ object MergeSqlCompiler {
     * paren, skipping parens inside single-quoted literals; returns the
     * enclosed content and the index just past the close, or None when
     * unbalanced. */
-  private def balanced(s: String, from: Int): Option[(String, Int)] = {
+  private[patterns] def balanced(s: String, from: Int): Option[(String, Int)] = {
     var depth = 1
     var inQ = false
     var i = from

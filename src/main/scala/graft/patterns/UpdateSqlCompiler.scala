@@ -27,8 +27,19 @@ import org.apache.spark.sql.functions._
 object UpdateSqlCompiler {
 
   private val updateRe =
-    ("(?is)^\\s*update\\s+(\\S+)\\s+set\\s+(.+?)" +
+    ("(?is)^\\s*update\\s+([^\\s;]+)\\s+set\\s+(.+?)" +
       "(?:\\s+where\\s+(.+?))?\\s*;?\\s*$").r
+
+  /** `sql` with every single-quoted literal's content replaced by `x`s
+    * of the same length: keyword scans on the masked text can never
+    * match inside a literal (`SET note = 'applies where stated'` must
+    * not split at the literal's "where"), while every match span maps
+    * 1:1 onto the original string for slicing. */
+  private[patterns] def masked(sql: String): String =
+    MergeSqlCompiler.segments(sql).map {
+      case (seg, true) => "'" + "x" * math.max(0, seg.length - 2) + "'"
+      case (seg, false) => seg
+    }.mkString
 
   /** A clause body that leaves the canonical contract: a FROM/JOIN leg
     * (the T-SQL correlated-update form), a subquery, or a
@@ -42,10 +53,13 @@ object UpdateSqlCompiler {
   def rewrite(spark: SparkSession, task: ExecuteSqlTask,
       resolve: String => DataFrame): Option[SqlOutcome] = {
     val sql = SqlText.stripComments(task.sqlStatement)
-    updateRe.findFirstMatchIn(sql).flatMap { m =>
-      val tgtName = m.group(1)
-      val setList = m.group(2)
-      val whereOpt = Option(m.group(3))
+    // match on the masked text, slice the ORIGINAL by group spans
+    updateRe.findFirstMatchIn(masked(sql)).flatMap { m =>
+      val tgtName = sql.substring(m.start(1), m.end(1))
+      val setList = sql.substring(m.start(2), m.end(2))
+      val whereOpt =
+        if (m.group(3) == null) None
+        else Some(sql.substring(m.start(3), m.end(3)))
       if ((setList :: whereOpt.toList).exists(disqualified)) None
       else Some {
         val tgt = resolve(tgtName)

@@ -1,6 +1,6 @@
 package graft.patterns
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr}
 
 /** Scale-safe lowering for rank windows in frontend-EXECUTED SQL.
@@ -15,12 +15,21 @@ import org.apache.spark.sql.functions.{col, expr}
   * [[graft.ops.RankLowering]] (order-aligned range buckets + two-phase
   * offsets — bounded tasks at ANY partition-key cardinality).
   *
-  * Anything off-shape — several windows, a window inside a subquery or
-  * expression, no alias, OVER references that do not resolve against
-  * the window-free remainder of the select — returns None and the
-  * caller executes the original SQL unchanged: the lowering must never
-  * change WHAT is computed, only how it is scheduled.
-  */
+  * Anything off-shape returns None and the caller executes the
+  * original SQL unchanged — the lowering must never change WHAT is
+  * computed, only how it is scheduled. Declined shapes: several
+  * windows; a window inside a subquery or expression; no alias;
+  * DISTINCT (dedups AFTER the window in SQL); a top-level LIMIT
+  * (bounds the ranked output, not the rank's input) or ORDER BY (the
+  * two-phase join destroys row order); `*` select items (column
+  * expansion breaks item-position accounting); OVER references that
+  * either do not resolve against the window-free remainder or are
+  * SHADOWED by a select alias bound to a different expression (SQL
+  * resolves window references against the select's INPUT — re-reading
+  * the alias would silently change the rank order). When an OVER item
+  * is textually the same expression as an aliased select item, the
+  * lowering reuses that output column directly — same expression over
+  * the same input rows, the exact value the raw window ordered by. */
 object WindowSqlLowering {
 
   private val rowNumberOpenRe = "(?i)row_number\\s*\\(\\s*\\)\\s+over\\s*\\(".r
@@ -28,6 +37,10 @@ object WindowSqlLowering {
   private val overBodyRe =
     "(?is)^\\s*(?:partition\\s+by\\s+(.+?))?\\s*order\\s+by\\s+(.+)$".r
   private val dirSuffixRe = "(?is)\\s+(asc|desc)\\s*$".r
+  private val distinctRe = "(?is)^\\s*select\\s+distinct\\b".r
+  private val limitOrOrderRe = "(?i)\\b(limit|order\\s+by)\\b".r
+  private val itemAliasRe = "(?is)^(.+?)\\s+as\\s+([A-Za-z_][A-Za-z0-9_]*)$".r
+  private val identRe = "[A-Za-z_][A-Za-z0-9_]*".r
 
   /** Depth of nesting parens at `pos`, counting only parens outside
     * single-quoted literals; 0 = the top-level select list. */
@@ -49,64 +62,22 @@ object WindowSqlLowering {
     depth
   }
 
-  /** Quote-aware scan from just past an opening paren to its matching
-    * close; (content, indexAfterClose). */
-  private def balanced(s: String, from: Int): Option[(String, Int)] = {
-    var depth = 1
-    var inQ = false
-    var i = from
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (inQ) { if (c == '\'') inQ = false }
-      else c match {
-        case '\'' => inQ = true
-        case '(' => depth += 1
-        case ')' =>
-          depth -= 1
-          if (depth == 0) return Some((s.substring(from, i), i + 1))
-        case _ =>
-      }
-      i += 1
-    }
-    None
-  }
-
-  /** Top-level comma split (commas inside parens/literals don't split). */
-  private def splitTop(s: String): List[String] = {
-    val out = scala.collection.mutable.ListBuffer.empty[String]
-    var depth = 0
-    var inQ = false
-    val cur = new StringBuilder
-    s.foreach { c =>
-      if (inQ) { cur.append(c): Unit; if (c == '\'') inQ = false }
-      else c match {
-        case '\'' => inQ = true; cur.append(c): Unit
-        case '(' => depth += 1; cur.append(c): Unit
-        case ')' => depth -= 1; cur.append(c): Unit
-        case ',' if depth == 0 => out += cur.toString.trim; cur.clear()
-        case other => cur.append(other): Unit
-      }
-    }
-    if (cur.nonEmpty) out += cur.toString.trim
-    out.toList.filter(_.nonEmpty)
-  }
-
-  /** Statement shapes where rank-after-removal diverges from the raw
-    * evaluation order: DISTINCT dedups AFTER the window in SQL but would
-    * run BEFORE a post-hoc rank; LIMIT bounds the ranked output, not the
-    * rank's input. Both decline (fallback raw SQL keeps semantics). */
-  private val distinctRe = "(?is)^\\s*select\\s+distinct\\b".r
-  private val limitRe = "(?i)\\blimit\\b".r
+  private def norm(s: String): String =
+    s.trim.toLowerCase.replaceAll("\\s+", " ")
 
   def lower(spark: SparkSession, select: String): Option[DataFrame] = {
-    if (distinctRe.findFirstIn(select).isDefined ||
-      limitRe.findAllMatchIn(select).exists(m => depthAt(select, m.start) == 0))
-      return None
+    if (distinctRe.findFirstIn(select).isDefined) return None
+    // LIMIT bounds the ranked output, not the rank's input; a top-level
+    // ORDER BY's row order would be destroyed by the offsets join. The
+    // OVER clause's own ORDER BY sits inside parens (depth >= 1), so a
+    // depth-0 hit is always the outer statement's.
+    if (limitOrOrderRe.findAllMatchIn(select)
+        .exists(m => depthAt(select, m.start) == 0)) return None
     val matches = rowNumberOpenRe.findAllMatchIn(select).toList
     matches match {
       case m :: Nil if depthAt(select, m.start) == 0 =>
         for {
-          (overBody, afterOver) <- balanced(select, m.end)
+          (overBody, afterOver) <- MergeSqlCompiler.balanced(select, m.end)
           am <- asAliasRe.findPrefixMatchOf(select.substring(afterOver))
           alias = am.group(1)
           itemEnd = afterOver + am.end
@@ -127,6 +98,14 @@ object WindowSqlLowering {
     }
   }
 
+  /** Select-list items of `baseText` (between SELECT and the top-level
+    * FROM), or None when the list can't be delimited. */
+  private def selectItems(baseText: String): Option[List[String]] = for {
+    sel <- "(?is)^\\s*select\\s+".r.findFirstMatchIn(baseText)
+    from <- "(?i)\\bfrom\\b".r.findAllMatchIn(baseText)
+      .find(m => m.start >= sel.end && depthAt(baseText, m.start) == 0)
+  } yield MergeSqlCompiler.splitTop(baseText.substring(sel.end, from.start))
+
   private def lowerParsed(spark: SparkSession, before: String,
       after: String, alias: String, partList: Option[String],
       orderList: String): Option[DataFrame] = {
@@ -135,51 +114,64 @@ object WindowSqlLowering {
     val (baseText, itemIdx) =
       if (before.trim.toLowerCase.endsWith(",")) {
         val b = before.substring(0, before.lastIndexOf(','))
-        (b + after, splitTopCountItems(b))
+        (b + after, selectItems(b + " FROM x").map(_.length).getOrElse(-1))
       } else {
         // item is first: drop the comma that FOLLOWS it
-        val a = after.replaceFirst("^\\s*,", " ")
-        (before + a, 0)
+        (before + after.replaceFirst("^\\s*,", " "), 0)
       }
-    val partExprs = partList.toList.flatMap(splitTop).map(_.trim)
-    val orderItems = splitTop(orderList).map(_.trim)
+    if (itemIdx < 0) return None
+    val items = selectItems(baseText).getOrElse(return None)
+    // `*` / `t.*` expand to several columns and break item-position
+    // accounting — decline
+    if (items.exists(it => it == "*" || it.endsWith(".*"))) return None
+    // alias map of the window-free select: OVER references resolve
+    // against the select's INPUT in SQL, so an alias shadowing an input
+    // name must either be reused verbatim (same expression text — same
+    // value) or force a decline
+    val aliased = items.flatMap {
+      case itemAliasRe(e, a) => Some(norm(e) -> a)
+      case _ => None
+    }
+    val exprToAlias = aliased.toMap
+    val aliasOf = aliased.map { case (e, a) => a.toLowerCase -> e }.toMap
+    def compileItem(t: String): Option[Column] =
+      exprToAlias.get(norm(t)) match {
+        case Some(a) => Some(col(a))
+        case None =>
+          val shadowed = identRe.findAllIn(t).exists { tok =>
+            aliasOf.get(tok.toLowerCase).exists(_ != tok.toLowerCase)
+          }
+          if (shadowed) None else Some(expr(t))
+      }
+    val partItems = partList.toList.flatMap(MergeSqlCompiler.splitTop)
+    val orderItems = MergeSqlCompiler.splitTop(orderList)
+    def split(it: String): (String, Boolean) =
+      dirSuffixRe.findFirstMatchIn(it) match {
+        case Some(dm) =>
+          (it.substring(0, dm.start), dm.group(1).equalsIgnoreCase("desc"))
+        case None => (it, false)
+      }
+    val pCols = partItems.map(t => compileItem(t.trim))
+    val oCols = orderItems.map { it =>
+      val (t, desc) = split(it.trim)
+      compileItem(t.trim).map(c => if (desc) c.desc else c.asc)
+    }
+    val oPlain = orderItems.map(it => compileItem(split(it.trim)._1.trim))
+    if ((pCols ++ oCols ++ oPlain).exists(_.isEmpty)) return None
     scala.util.Try {
       val base = spark.sql(baseText)
       if (base.columns.map(_.toLowerCase).contains(alias.toLowerCase))
         throw new IllegalArgumentException(s"alias $alias collides")
-      val pCols = partExprs.map(expr)
-      val oCols = orderItems.map { it =>
-        dirSuffixRe.findFirstMatchIn(it) match {
-          case Some(dm) =>
-            val e = expr(it.substring(0, dm.start))
-            if (dm.group(1).equalsIgnoreCase("desc")) e.desc else e.asc
-          case None => expr(it).asc
-        }
-      }
       // resolution check: every OVER reference must bind against the
       // window-free output — analysis failure falls back to raw SQL
-      base.select(pCols ++ orderItems.map { it =>
-        dirSuffixRe.findFirstMatchIn(it) match {
-          case Some(dm) => expr(it.substring(0, dm.start))
-          case None => expr(it)
-        }
-      }: _*).queryExecution.analyzed
-      val ranked =
-        graft.ops.RankLowering.rowNumber(base, pCols, oCols, alias)
+      base.select((pCols ++ oPlain).flatten: _*).queryExecution.analyzed
+      val ranked = graft.ops.RankLowering.rowNumber(base,
+        pCols.flatten, oCols.flatten, alias)
       val ordered = {
         val bs = base.columns.toSeq
         (bs.take(itemIdx) :+ alias) ++ bs.drop(itemIdx)
       }
       ranked.select(ordered.map(col): _*)
     }.toOption
-  }
-
-  /** How many select-list items precede the removed window item = count
-    * of top-level items in `SELECT item, item, …,` up to the trailing
-    * comma the caller stripped. */
-  private def splitTopCountItems(beforeWithoutComma: String): Int = {
-    val m = "(?is)^\\s*select\\s+".r.findFirstMatchIn(beforeWithoutComma)
-    m.map(mm => splitTop(beforeWithoutComma.substring(mm.end)).length)
-      .getOrElse(0)
   }
 }

@@ -449,6 +449,14 @@ class PipelineSpec extends AnyFunSuite {
       graft.patterns.UpdateSqlCompiler.rewrite(spark,
         task("UPDATE acct SET bal = 0, BAL = 1"), frames)
     }.getMessage.contains("more than once"))
+    // ' where ' inside a string literal is DATA — the statement is a
+    // no-WHERE update, not a truncated SET list (quote-masked scan)
+    val lit = Seq((1L, "x")).toDF("id", "note")
+    val litOut = graft.patterns.UpdateSqlCompiler.rewrite(spark,
+      task("UPDATE n SET note = 'applies where stated'"),
+      Map("n" -> lit)).getOrElse(fail("literal-where UPDATE did not compile"))
+    assert(litOut.df.get.select(col("note")).as[String].head()
+      === "applies where stated")
   }
 
   test("DeleteSqlCompiler: canonical DELETE; refresh statements stay None") {
@@ -489,6 +497,13 @@ class PipelineSpec extends AnyFunSuite {
     assert(tr.df.get.count() === 0 && tr.target.contains("t"))
     assert(graft.patterns.DeleteSqlCompiler.rewrite(spark,
       task("TRUNCATE TABLE t; INSERT INTO t SELECT * FROM s"), frames).isEmpty)
+    // a semicolon glued to the table name (the common SSIS form) must
+    // not be eaten into the target token
+    val glued = graft.patterns.DeleteSqlCompiler.rewrite(spark,
+      task("DELETE FROM t;"), frames).get
+    assert(glued.target.contains("t") && glued.df.get.count() === 0)
+    assert(graft.patterns.DeleteSqlCompiler.rewrite(spark,
+      task("TRUNCATE TABLE t;"), frames).get.target.contains("t"))
   }
 
   test("CdcCustomerMergeETL: runner classifies MERGE task merge_scd end-to-end") {

@@ -66,6 +66,49 @@ class RankLoweringSpec extends AnyFunSuite {
     assert(af === bf)
   }
 
+  test("NULL partition keys rank as a group, never dropped") {
+    // a raw window treats NULL as one partition value; the offsets join
+    // must be null-safe or every NULL-keyed row silently vanishes
+    val dfN = Seq((1L, Some("a")), (2L, None), (3L, None), (4L, Some("a")))
+      .toDF("id", "k")
+    val raw = dfN.withColumn("rn",
+        row_number().over(Window.partitionBy($"k").orderBy($"id")))
+      .select("id", "rn").as[(Long, Int)].collect().toSeq.sorted
+    val low = RankLowering.rowNumber(dfN, Seq(col("k")),
+        Seq(col("id").asc), "rn", buckets = 3)
+      .select("id", "rn").as[(Long, Int)].collect().toSeq.sorted
+    assert(low === raw)
+    assert(low.size === 4, "NULL-keyed rows were dropped by the offsets join")
+  }
+
+  test("alias shadowing, star items, and outer ORDER BY decline or stay exact") {
+    df.createOrReplaceTempView("rk_t")
+    // alias shadows an input column with a DIFFERENT expression: the raw
+    // window orders by INPUT v, re-reading the alias would reverse the
+    // rank — must decline
+    assert(WindowSqlLowering.lower(spark,
+      "SELECT k, 0 - v AS v, ROW_NUMBER() OVER (ORDER BY v, id) AS rn FROM rk_t")
+      .isEmpty)
+    // the q83 idiom: the OVER item is textually the aliased expression —
+    // reusing the output column is exact, the lowering must fire
+    val cast = "SELECT id, k, CAST(v AS DECIMAL(10,1)) AS v, ROW_NUMBER() " +
+      "OVER (ORDER BY CAST(v AS DECIMAL(10,1)) DESC, id) AS rn FROM rk_t"
+    val low = WindowSqlLowering.lower(spark, cast)
+      .getOrElse(fail("aliased-expression reuse did not lower"))
+    val a = spark.sql(cast).select("id", "rn").as[(Long, Int)]
+      .collect().toSeq.sorted
+    val b = low.select("id", "rn").as[(Long, Int)].collect().toSeq.sorted
+    assert(a === b)
+    // star items expand to several columns — item-position accounting
+    // cannot hold, must decline
+    assert(WindowSqlLowering.lower(spark,
+      "SELECT *, ROW_NUMBER() OVER (ORDER BY id) AS rn FROM rk_t").isEmpty)
+    // a top-level ORDER BY's row order would be destroyed — decline
+    assert(WindowSqlLowering.lower(spark,
+      "SELECT id, ROW_NUMBER() OVER (ORDER BY id) AS rn FROM rk_t ORDER BY id")
+      .isEmpty)
+  }
+
   test("property: two-phase equals raw window across shapes and bucket counts") {
     // heavy ties, skewed partitions, tiny/huge bucket counts — the
     // decomposition must be exact everywhere the order is total
