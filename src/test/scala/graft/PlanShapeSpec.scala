@@ -802,6 +802,35 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("x85: delta assign is narrow; merged search joins on cell, no cartesian") {
+    val plan = executedPlan("x85_ivf_delta_append")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin") ||
+      // the query->cell probe crossJoins the broadcast 16-row centroid
+      // table by design — only a candidate-side nested loop is banned
+      !plan.contains("SortMergeJoin"),
+      "candidate scoring must stay a cell equi-join")
+    assert(plan.contains("cell"), "merged search must key on the IVF cell")
+    val delta = graft.sim.IvfIndex.assign(
+      Tables.embeddings(spark, sf).filter(col("vec_id") % 10 === 7),
+      "embedding",
+      graft.sim.IvfIndex.Model(
+        Array(0 -> Array.fill(8)(0.0), 1 -> Array.fill(8)(1.0)),
+        Tables.embeddings(spark, sf)))
+    val dPlan = delta.queryExecution.executedPlan.toString
+    assert(!dPlan.contains("Exchange"),
+      "centroid assignment must be a narrow map — plan literals, no shuffle")
+  }
+
+  test("q86: the compiled DELETE is a narrow filter over the staged frame") {
+    // the state replacement is filter + overwrite: the returned frame's
+    // plan must carry the NOT-TRUE predicate and no join
+    val plan = executedPlan("q86_dtsx_delete")
+    assert(!plan.contains("Join"), s"DELETE compile grew a join:\n$plan")
+    assert(plan.toLowerCase.contains("o_orderstatus"),
+      "purge predicate missing from the kept-rows filter")
+  }
+
   test("q83: frontend ROW_NUMBER lowers to bucket-keyed windows") {
     // the executed package SQL carries PARTITION BY c_mktsegment
     // (cardinality 5) — the raw window would sort ~N/5 rows per task;
