@@ -1206,6 +1206,48 @@ object QueriesRelational {
       |FROM staged
       |WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 50000)""".stripMargin
 
+  /** Table-maintenance COMPACTION on the hash path (upgrades the
+    * spec-only [[graft.ops.Compaction]] surface): the events table is
+    * written day-partitioned with deliberate small-files pressure (16
+    * writer tasks fan a file per task per day), compacted IN PLACE
+    * (listing-driven per-partition-value file sizing, atomic swap), and
+    * the READ-BACK is hash-checked against the plain-table oracle —
+    * the maintenance pass must rewrite layout without losing,
+    * duplicating, or altering one row while the Hive partition columns
+    * keep planning-time pruning. The file-count shrink is asserted here
+    * (a compaction that didn't compact must fail the gate, not pass it
+    * vacuously) and in ExtendedComponentsSpec.
+    * Scale shape: output sizing comes from a directory LISTING (no data
+    * job); the rewrite is one shuffle on (day, salt) sized per
+    * partition value's bytes — a 10 GB day gets many files, a 1 MB day
+    * exactly one. */
+  def q87_compaction_maintenance(spark: SparkSession, dir: String): DataFrame = {
+    val out = tempDirCleanedOnExit("graft-compact").toString
+    eventsNs(spark, dir)
+      .withColumn("day", date_from_unix_date(
+        call_function("div",
+          col("ts_us") - pmod(col("ts_us"), lit(86400000000L)),
+          lit(86400000000L)).cast(IntegerType)))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts_us"), col("value").cast(DoubleType).as("value"), col("day"))
+      .repartition(16)
+      .write.mode("overwrite").partitionBy("day").parquet(out)
+    val stats = graft.ops.Compaction.compact(spark, out,
+      targetFileBytes = 64L * 1024 * 1024)
+    require(stats.filesAfter < stats.filesBefore,
+      s"compaction did not reduce the file count: $stats")
+    spark.read.parquet(out)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts_us"), col("value"),
+        col("day").cast(StringType).as("day"))
+  }
+
+  val q87Oracle: String =
+    """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+      |  CAST(value AS DOUBLE) AS value,
+      |  CAST(CAST(ts AS DATE) AS VARCHAR) AS day
+      |FROM events""".stripMargin
+
   /** Explicit GROUPING SETS with grouping_id disambiguation (beyond q24's
     * rollup): two chosen aggregation levels, no intermediate level. */
   def q39_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
@@ -2542,6 +2584,7 @@ object QueriesRelational {
     "q83_dtsx_window_sql" -> (q83_dtsx_window_sql _),
     "q85_dtsx_update" -> (q85_dtsx_update _),
     "q86_dtsx_delete" -> (q86_dtsx_delete _),
+    "q87_compaction_maintenance" -> (q87_compaction_maintenance _),
     "q82_orc_roundtrip" -> (q82_orc_roundtrip _),
     "q80_dtsx_cdc_merge" -> (q80_dtsx_cdc_merge _),
     "q79_delete_cascade" -> (q79_delete_cascade _),
@@ -2621,6 +2664,7 @@ object QueriesRelational {
     "q83_dtsx_window_sql" -> q83Oracle,
     "q85_dtsx_update" -> q85Oracle,
     "q86_dtsx_delete" -> q86Oracle,
+    "q87_compaction_maintenance" -> q87Oracle,
     "q82_orc_roundtrip" -> q82Oracle,
     "q80_dtsx_cdc_merge" -> q80Oracle,
     "q79_delete_cascade" -> q79Oracle,
