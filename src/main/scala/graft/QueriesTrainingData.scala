@@ -454,6 +454,83 @@ object QueriesTrainingData {
       |  CAST(((duration_ms + 9) // 10 + 1) // 2 AS BIGINT) AS audio_tokens
       |FROM meta""".stripMargin
 
+  /** PII incidence per registered domain — the governance audit a
+    * compliance team actually files: x27's PII detectors (email / IP /
+    * card / phone) rolled up at the PUBLIC-SUFFIX-AWARE domain key
+    * (x63's [[graft.text.UrlOps.registeredDomain]]), so `a.co.uk` and
+    * `b.co.uk` report separately and one hosting platform's subdomains
+    * ride their private-section rule. The per-domain rate is what
+    * drives crawl-policy decisions (drop, scrub-only, allow).
+    * Scale shape: the detectors are codegen'd `rlike` flags fused into
+    * the scan (narrow — the scrub itself is x27's job); one
+    * partial-combining aggregate on the domain key; no joins. */
+  def x87_pii_domain_audit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.UrlOps
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+    val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    val card = "\\b[0-9]{13,16}\\b"
+    val phone = "\\+?[0-9][0-9 ()-]{6,18}[0-9]"
+    val flagged = documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      .withColumn("url_raw", messyCrawlUrl)
+      .withColumn("domain", UrlOps.registeredDomain(col("url_raw")))
+      .withColumn("he", col("text").rlike(email))
+      .withColumn("hi", col("text").rlike(ip))
+      .withColumn("hc", col("text").rlike(card))
+      .withColumn("hp", col("text").rlike(phone))
+    flagged.groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("he"), 1L).otherwise(0L)).as("n_email"),
+        sum(when(col("hi"), 1L).otherwise(0L)).as("n_ip"),
+        sum(when(col("hc"), 1L).otherwise(0L)).as("n_card"),
+        sum(when(col("hp"), 1L).otherwise(0L)).as("n_phone"),
+        sum(when(col("he") || col("hi") || col("hc") || col("hp"), 1L)
+          .otherwise(0L)).as("n_any"))
+      .withColumn("pii_rate",
+        col("n_any").cast(DoubleType) / col("n_docs").cast(DoubleType))
+  }
+
+  val x87Oracle: String =
+    "WITH " + pslCtesSql + ",\n" +
+    """u AS (
+      |  SELECT doc_id, text,
+      |    """.stripMargin + messyCrawlUrlSql + " AS url_raw\n" +
+    """  FROM documents),
+      |p AS (
+      |  SELECT doc_id, text,
+      |    lower(regexp_extract(url_raw, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+      |    lower(regexp_extract(url_raw, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hp
+      |  FROM u),
+      |c AS (
+      |  SELECT doc_id, text,
+      |    regexp_replace(
+      |      CASE WHEN sch = 'https' THEN regexp_replace(hp, ':443$', '')
+      |           WHEN sch = 'http' THEN regexp_replace(hp, ':80$', '')
+      |           ELSE hp END, '^www\.', '') AS host
+      |  FROM p),
+      |dom AS (
+      |  SELECT doc_id, text,
+      |    """.stripMargin +
+    graft.text.PublicSuffix.sqlRegisteredDomain("host") + " AS domain\n" +
+    """  FROM c),
+      |f AS (
+      |  SELECT domain,
+      |    regexp_matches(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+') AS he,
+      |    regexp_matches(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b') AS hi,
+      |    regexp_matches(text, '\b[0-9]{13,16}\b') AS hc,
+      |    regexp_matches(text, '\+?[0-9][0-9 ()-]{6,18}[0-9]') AS hp
+      |  FROM dom)
+      |SELECT domain, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN he THEN 1 ELSE 0 END) AS BIGINT) AS n_email,
+      |  CAST(SUM(CASE WHEN hi THEN 1 ELSE 0 END) AS BIGINT) AS n_ip,
+      |  CAST(SUM(CASE WHEN hc THEN 1 ELSE 0 END) AS BIGINT) AS n_card,
+      |  CAST(SUM(CASE WHEN hp THEN 1 ELSE 0 END) AS BIGINT) AS n_phone,
+      |  CAST(SUM(CASE WHEN he OR hi OR hc OR hp THEN 1 ELSE 0 END) AS BIGINT) AS n_any,
+      |  CAST(SUM(CASE WHEN he OR hi OR hc OR hp THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*) AS pii_rate
+      |FROM f
+      |GROUP BY domain""".stripMargin
+
   /** IVF (k-means coarse quantizer) ANN search — the scale path past
     * x09's brute force. Probing ALL cells makes IVF exact (every vector
     * lives in exactly one cell), so the full machinery — quantizer build,
@@ -3132,7 +3209,7 @@ object QueriesTrainingData {
   }
 
   /** Oracle twin of [[messyCrawlUrl]] (spliced into x63/x79 SQL). */
-  private val messyCrawlUrlSql: String =
+  private lazy val messyCrawlUrlSql: String =
     """(CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
       |    (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END) ||
       |    source || '.' || lang || '-corpus' ||
@@ -3147,7 +3224,7 @@ object QueriesTrainingData {
   /** Public-suffix rules CTEs shared by the x63/x79 oracles — the SQL
     * twin of the engine's `InSet` lookup, joined so the oracle replays
     * the IDENTICAL bundled rule table ([[graft.text.PublicSuffix]]). */
-  private val pslCtesSql: String =
+  private lazy val pslCtesSql: String =
     "psl2(r) AS (VALUES " +
       graft.text.PublicSuffix.sqlValues(graft.text.PublicSuffix.rules2) +
       "),\npsl3(r) AS (VALUES " +
@@ -3264,7 +3341,7 @@ object QueriesTrainingData {
     * n_bpe_tokens, expansion)` — the per-document learned-BPE subword
     * budget (x67's pipeline), reused by every subword-denominated
     * oracle (x67/x68/x82/x83). Callers prepend `WITH RECURSIVE `. */
-  private val subwordPerDocCtes: String =
+  private lazy val subwordPerDocCtes: String =
     """toks AS (
       |  SELECT unnest(string_split_regex(text, '\s+')) AS w FROM documents),
       |wf AS (
@@ -4317,6 +4394,7 @@ object QueriesTrainingData {
     "x84_bpe_iter2" -> (x84_bpe_iter2 _),
     "x85_ivf_delta_append" -> (x85_ivf_delta_append _),
     "x86_audio_token_budget" -> (x86_audio_token_budget _),
+    "x87_pii_domain_audit" -> (x87_pii_domain_audit _),
     "x80_vision_token_budget" -> (x80_vision_token_budget _),
     "x79_url_takedown" -> (x79_url_takedown _),
     "x78_tokenizer_fertility" -> (x78_tokenizer_fertility _),
@@ -4405,6 +4483,7 @@ object QueriesTrainingData {
     "x84_bpe_iter2" -> x84Oracle,
     "x85_ivf_delta_append" -> x85Oracle,
     "x86_audio_token_budget" -> x86Oracle,
+    "x87_pii_domain_audit" -> x87Oracle,
     "x80_vision_token_budget" -> x80Oracle,
     "x79_url_takedown" -> x79Oracle,
     "x78_tokenizer_fertility" -> x78Oracle,
