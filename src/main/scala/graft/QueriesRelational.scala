@@ -1248,6 +1248,36 @@ object QueriesRelational {
       |  CAST(CAST(ts AS DATE) AS VARCHAR) AS day
       |FROM events""".stripMargin
 
+  /** Multi-statement Execute SQL SCRIPT through the dtsx frontend —
+    * `ScriptedMartETL.dtsx`'s single task batches INSERT; UPDATE;
+    * DELETE (the T-SQL scripting idiom). The warehouse executor splits
+    * on quote-aware semicolons and compiles each statement through the
+    * single-statement chain against a SHADOW overlay (the UPDATE sees
+    * the INSERT's frame, the DELETE sees post-UPDATE prices — the
+    * oracle replays exactly that sequencing), committing only when the
+    * whole script compiles. The DELETE+INSERT refresh class is
+    * unaffected: the whole-statement chain runs first, so
+    * SqlPatternRewriter's overwrite semantics keep owning it. */
+  def q88_dtsx_script(spark: SparkSession, dir: String): DataFrame =
+    runDtsxWarehousePackage(spark, dir, "ScriptedMartETL.dtsx")
+      ._1.apply("mart_orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice").cast(DoubleType).as("o_totalprice"))
+
+  val q88Oracle: String =
+    """WITH staged AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus,
+      |    CAST(o_totalprice AS DECIMAL(12,2)) AS p
+      |  FROM orders),
+      |upd AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus,
+      |    CASE WHEN o_orderstatus = 'O'
+      |         THEN CAST(p - 10.00 AS DECIMAL(12,2)) ELSE p END AS p
+      |  FROM staged)
+      |SELECT o_orderkey, o_custkey, o_orderstatus,
+      |  CAST(p AS DOUBLE) AS o_totalprice
+      |FROM upd WHERE NOT (p < 60000)""".stripMargin
+
   /** Explicit GROUPING SETS with grouping_id disambiguation (beyond q24's
     * rollup): two chosen aggregation levels, no intermediate level. */
   def q39_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
@@ -2543,12 +2573,61 @@ object QueriesRelational {
         val bound = t.copy(sqlStatement = bind(t.sqlStatement))
         val resolveFrame =
           (name: String) => written.getOrElse(name, spark.table(name))
-        graft.patterns.MergeSqlCompiler.rewrite(spark, bound, resolveFrame)
-          .orElse(graft.patterns.UpdateSqlCompiler
-            .rewrite(spark, bound, resolveFrame))
-          .orElse(graft.patterns.DeleteSqlCompiler
-            .rewrite(spark, bound, resolveFrame))
-          .orElse(graft.patterns.SqlPatternRewriter.rewrite(spark, bound))
+        def chain(stmt: graft.ir.Ir.ExecuteSqlTask,
+            resolve: String => DataFrame) =
+          graft.patterns.MergeSqlCompiler.rewrite(spark, stmt, resolve)
+            .orElse(graft.patterns.UpdateSqlCompiler
+              .rewrite(spark, stmt, resolve))
+            .orElse(graft.patterns.DeleteSqlCompiler
+              .rewrite(spark, stmt, resolve))
+            .orElse(graft.patterns.SqlPatternRewriter.rewrite(spark, stmt))
+        // whole-statement compile first: the DELETE+INSERT /
+        // TRUNCATE+INSERT refresh classes keep SqlPatternRewriter's
+        // established overwrite semantics. Only an UNMATCHED
+        // multi-statement script falls to the sequential path.
+        chain(bound, resolveFrame).orElse {
+          val stmts = graft.patterns.SqlText.splitStatements(bound.sqlStatement)
+          if (stmts.length <= 1) None
+          else {
+            // compile-and-stage sequentially against a SHADOW overlay so
+            // later statements see earlier writes; commit to the real
+            // written-state only when EVERY statement compiles — a
+            // script must never half-execute
+            val overlay = scala.collection.mutable.Map.empty[String, DataFrame]
+            def res(name: String): DataFrame =
+              overlay.getOrElse(name, resolveFrame(name))
+            def stage(o: graft.pipeline.PackageRunner.SqlOutcome): Unit =
+              for { tgt <- o.target; df <- o.df } {
+                val bare = tableRe.findFirstMatchIn(tgt)
+                  .map(_.group(1)).getOrElse(tgt)
+                overlay(bare) = o.mode match {
+                  case org.apache.spark.sql.SaveMode.Append =>
+                    scala.util.Try(res(bare)).toOption
+                      .map(_.unionByName(df)).getOrElse(df)
+                  case _ => df
+                }
+              }
+            val outcomes = scala.collection.mutable.ListBuffer
+              .empty[graft.pipeline.PackageRunner.SqlOutcome]
+            // short-circuit on the first unconvertible statement: a
+            // later statement may reference a table an earlier one
+            // creates, so compiling past a failure is meaningless
+            val allOk = stmts.forall { s =>
+              chain(bound.copy(sqlStatement = s), res) match {
+                case Some(o) => stage(o); outcomes += o; true
+                case None => false
+              }
+            }
+            if (!allOk) None
+            else {
+              overlay.foreach { case (k, v) => written(k) = v }
+              // writes are already committed; hand the runner a
+              // write-free outcome carrying the final statement's frame
+              Some(graft.pipeline.PackageRunner.SqlOutcome(
+                outcomes.last.df, None))
+            }
+          }
+        }
       })
     val run = graft.pipeline.PackageRunner.run(spark, pkg, env)
     require(!run.failed,
@@ -2585,6 +2664,7 @@ object QueriesRelational {
     "q85_dtsx_update" -> (q85_dtsx_update _),
     "q86_dtsx_delete" -> (q86_dtsx_delete _),
     "q87_compaction_maintenance" -> (q87_compaction_maintenance _),
+    "q88_dtsx_script" -> (q88_dtsx_script _),
     "q82_orc_roundtrip" -> (q82_orc_roundtrip _),
     "q80_dtsx_cdc_merge" -> (q80_dtsx_cdc_merge _),
     "q79_delete_cascade" -> (q79_delete_cascade _),
@@ -2665,6 +2745,7 @@ object QueriesRelational {
     "q85_dtsx_update" -> q85Oracle,
     "q86_dtsx_delete" -> q86Oracle,
     "q87_compaction_maintenance" -> q87Oracle,
+    "q88_dtsx_script" -> q88Oracle,
     "q82_orc_roundtrip" -> q82Oracle,
     "q80_dtsx_cdc_merge" -> q80Oracle,
     "q79_delete_cascade" -> q79Oracle,

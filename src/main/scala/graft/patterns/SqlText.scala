@@ -27,6 +27,32 @@ object SqlText {
   def stripComments(sql: String): String =
     (if (sql.contains('\n')) stripToEol(sql) else stripNormalized(sql)).trim
 
+  /** Split a script into its `;`-separated statements, quote-aware (a
+    * `;` inside a string literal never splits; `''` escapes survive).
+    * Empty fragments (trailing `;`, `;;`) are dropped. */
+  def splitStatements(sql: String): List[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQ = false
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inQ) {
+        if (c == '\'' && i + 1 < sql.length && sql.charAt(i + 1) == '\'') {
+          cur.append("''"): Unit; i += 1
+        } else {
+          if (c == '\'') inQ = false
+          cur.append(c): Unit
+        }
+      } else if (c == '\'') { inQ = true; cur.append(c): Unit }
+      else if (c == ';') { out += cur.toString; cur.clear() }
+      else cur.append(c): Unit
+      i += 1
+    }
+    out += cur.toString
+    out.toList.map(_.trim).filter(_.nonEmpty)
+  }
+
   /** Newlines present: strip `--` to end-of-line — but only a `--` OUTSIDE
     * a single-quoted literal starts a comment (`WHERE note <> '--x'` must
     * survive intact). Quote state persists across newlines, so a literal

@@ -13,6 +13,17 @@ class SqlRewriteAndJsonSpec extends AnyFunSuite {
 
   private def task(sql: String) = ExecuteSqlTask("t", None, "conn", sql)
 
+  test("splitStatements: quote-aware semicolon split") {
+    import graft.patterns.SqlText
+    assert(SqlText.splitStatements("SELECT 1") === List("SELECT 1"))
+    assert(SqlText.splitStatements("a; b ;; c;") === List("a", "b", "c"))
+    // a ';' inside a literal never splits; '' escapes survive intact
+    assert(SqlText.splitStatements(
+      "INSERT INTO t VALUES ('a;b'); UPDATE t SET v = 'it''s; fine'")
+      === List("INSERT INTO t VALUES ('a;b')",
+        "UPDATE t SET v = 'it''s; fine'"))
+  }
+
   test("rewriter: DELETE of an UNRELATED table never forces Overwrite of the insert target") {
     Tables.lineitem(spark, "/root/testdata/sf0.001").createOrReplaceTempView("li_v")
     val out = SqlPatternRewriter.rewrite(spark, task(
