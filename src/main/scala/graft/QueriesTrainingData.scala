@@ -454,6 +454,53 @@ object QueriesTrainingData {
       |  CAST(((duration_ms + 9) // 10 + 1) // 2 AS BIGINT) AS audio_tokens
       |FROM meta""".stripMargin
 
+  /** Shard MANIFEST with content fingerprints — the reproducibility
+    * artifact a trainer validates before a run: per x83 subword shard,
+    * its document count, token mass, id range, and an ORDER-BLIND
+    * membership fingerprint (bit_xor of per-doc md5-derived 60-bit
+    * hashes). XOR is commutative/associative with constant state, so
+    * the fingerprint partial-combines map-side and two manifests can be
+    * diffed shard-by-shard without touching data — at 100 TB the
+    * "did anything change since the last run" check is 16 rows, not a
+    * corpus scan. (A sorted string_agg fingerprint would need the whole
+    * shard's ids in one task — the x59-class trap this avoids.)
+    * Scale shape: rides x83 (one corpus tokenize via x67's staged
+    * encode), then ONE partial-combining aggregate on the 16-value
+    * shard key. */
+  def x88_shard_manifest(spark: SparkSession, dir: String): DataFrame = {
+    val shards = x83_subword_shards(spark, dir)
+      .withColumn("fp", conv(substring(
+        md5(col("doc_id").cast(StringType)), 1, 15), 16, 10).cast(LongType))
+    shards.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bpe_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"),
+        expr("bit_xor(fp)").as("fingerprint"))
+  }
+
+  val x88Oracle: String =
+    "WITH RECURSIVE " + subwordPerDocCtes + ",\n" +
+    """sized AS (
+      |  SELECT d.doc_id, p.n_bpe_tokens AS n_tokens
+      |  FROM documents d JOIN per p ON d.doc_id = p.doc_id),
+      |r AS (
+      |  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |    row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS rn
+      |  FROM sized),
+      |sh AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(CASE WHEN (rn // 16) % 2 = 0 THEN rn % 16
+      |         ELSE 15 - rn % 16 END AS INT) AS shard,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS fp
+      |  FROM r)
+      |SELECT shard, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      |  MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id,
+      |  bit_xor(fp) AS fingerprint
+      |FROM sh
+      |GROUP BY shard""".stripMargin
+
   /** PII incidence per registered domain — the governance audit a
     * compliance team actually files: x27's PII detectors (email / IP /
     * card / phone) rolled up at the PUBLIC-SUFFIX-AWARE domain key
@@ -4395,6 +4442,7 @@ object QueriesTrainingData {
     "x85_ivf_delta_append" -> (x85_ivf_delta_append _),
     "x86_audio_token_budget" -> (x86_audio_token_budget _),
     "x87_pii_domain_audit" -> (x87_pii_domain_audit _),
+    "x88_shard_manifest" -> (x88_shard_manifest _),
     "x80_vision_token_budget" -> (x80_vision_token_budget _),
     "x79_url_takedown" -> (x79_url_takedown _),
     "x78_tokenizer_fertility" -> (x78_tokenizer_fertility _),
@@ -4484,6 +4532,7 @@ object QueriesTrainingData {
     "x85_ivf_delta_append" -> x85Oracle,
     "x86_audio_token_budget" -> x86Oracle,
     "x87_pii_domain_audit" -> x87Oracle,
+    "x88_shard_manifest" -> x88Oracle,
     "x80_vision_token_budget" -> x80Oracle,
     "x79_url_takedown" -> x79Oracle,
     "x78_tokenizer_fertility" -> x78Oracle,
