@@ -1278,6 +1278,29 @@ object QueriesRelational {
       |  CAST(p AS DOUBLE) AS o_totalprice
       |FROM upd WHERE NOT (p < 60000)""".stripMargin
 
+  /** The reference's sync-log idiom END-TO-END — `SyncLogETL.dtsx`
+    * replays InventorySync's "Update Sync Log" statement class: a
+    * literal multi-row `INSERT … VALUES` bootstraps the audit table
+    * inside a VALUES+UPDATE script ([[graft.patterns
+    * .InsertValuesSqlCompiler]] + the q88 script executor), then a
+    * second task appends a partial-column row whose absent column lands
+    * as a typed NULL. Literals only — a GETDATE() column could never
+    * hash-match an oracle (the GETDATE→current_timestamp translation is
+    * spec-tested instead). */
+  def q89_dtsx_values_log(spark: SparkSession, dir: String): DataFrame =
+    runDtsxWarehousePackage(spark, dir, "SyncLogETL.dtsx")
+      ._1.apply("sync_audit")
+      .select(col("package_name"),
+        col("rows_processed").cast(LongType).as("rows_processed"),
+        col("status"))
+
+  val q89Oracle: String =
+    """SELECT * FROM (VALUES
+      |  ('OrdersSync', CAST(15000 AS BIGINT), 'success'),
+      |  ('CustomerSync', CAST(0 AS BIGINT), 'NOOP'),
+      |  ('InventorySync', CAST(777 AS BIGINT), NULL))
+      |  t(package_name, rows_processed, status)""".stripMargin
+
   /** Explicit GROUPING SETS with grouping_id disambiguation (beyond q24's
     * rollup): two chosen aggregation levels, no intermediate level. */
   def q39_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
@@ -2580,6 +2603,8 @@ object QueriesRelational {
               .rewrite(spark, stmt, resolve))
             .orElse(graft.patterns.DeleteSqlCompiler
               .rewrite(spark, stmt, resolve))
+            .orElse(graft.patterns.InsertValuesSqlCompiler
+              .rewrite(spark, stmt, resolve))
             .orElse(graft.patterns.SqlPatternRewriter.rewrite(spark, stmt))
         // whole-statement compile first: the DELETE+INSERT /
         // TRUNCATE+INSERT refresh classes keep SqlPatternRewriter's
@@ -2665,6 +2690,7 @@ object QueriesRelational {
     "q86_dtsx_delete" -> (q86_dtsx_delete _),
     "q87_compaction_maintenance" -> (q87_compaction_maintenance _),
     "q88_dtsx_script" -> (q88_dtsx_script _),
+    "q89_dtsx_values_log" -> (q89_dtsx_values_log _),
     "q82_orc_roundtrip" -> (q82_orc_roundtrip _),
     "q80_dtsx_cdc_merge" -> (q80_dtsx_cdc_merge _),
     "q79_delete_cascade" -> (q79_delete_cascade _),
@@ -2746,6 +2772,7 @@ object QueriesRelational {
     "q86_dtsx_delete" -> q86Oracle,
     "q87_compaction_maintenance" -> q87Oracle,
     "q88_dtsx_script" -> q88Oracle,
+    "q89_dtsx_values_log" -> q89Oracle,
     "q82_orc_roundtrip" -> q82Oracle,
     "q80_dtsx_cdc_merge" -> q80Oracle,
     "q79_delete_cascade" -> q79Oracle,

@@ -506,6 +506,60 @@ class PipelineSpec extends AnyFunSuite {
       task("TRUNCATE TABLE t;"), frames).get.target.contains("t"))
   }
 
+  test("InsertValuesSqlCompiler: literal VALUES inserts; off-shape stays None") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tgt = Seq(("a", 1L, 0.5)).toDF("name", "n", "score")
+    val frames = Map("log" -> tgt)
+    def task(sql: String) = graft.ir.Ir.ExecuteSqlTask("v", None, "conn", sql)
+    // named columns: casts to target types, absent column -> typed NULL,
+    // function calls and a paren/comma inside a literal all parse
+    val out = graft.patterns.InsertValuesSqlCompiler.rewrite(spark,
+      task("INSERT INTO log (name, n) VALUES (upper('x(,)y'), 2), ('z', 3)"),
+      frames).getOrElse(fail("canonical VALUES insert did not compile"))
+    assert(out.target.contains("log") &&
+      out.mode === org.apache.spark.sql.SaveMode.Append)
+    val rows = out.df.get.orderBy(col("n"))
+      .as[(String, Long, Option[Double])].collect().toList
+    assert(rows === List(("X(,)Y", 2L, None), ("z", 3L, None)))
+    // names + types align to the target (nullability may tighten/loosen;
+    // unionByName reconciles that on append)
+    assert(out.df.get.schema.map(f => (f.name, f.dataType)) ===
+      tgt.schema.map(f => (f.name, f.dataType)))
+    // no column list: positional alignment + casts
+    val pos = graft.patterns.InsertValuesSqlCompiler.rewrite(spark,
+      task("INSERT INTO log VALUES ('w', 9, 1.5)"), frames).get
+    assert(pos.df.get.as[(String, Long, Double)].head() === (("w", 9L, 1.5)))
+    // GETDATE() translates to current_timestamp (the T-SQL surface)
+    val gd = graft.patterns.InsertValuesSqlCompiler.rewrite(spark,
+      task("INSERT INTO gdlog (at) VALUES (GETDATE())"), Map.empty)
+    assert(gd.nonEmpty && !gd.get.df.get.head().isNullAt(0))
+    // bootstrap without a column list aborts; with one it creates
+    assert(intercept[IllegalArgumentException] {
+      graft.patterns.InsertValuesSqlCompiler.rewrite(spark,
+        task("INSERT INTO fresh VALUES (1)"), Map.empty)
+    }.getMessage.contains("column list"))
+    // INSERT...SELECT stays with the rewriter; subqueries decline
+    assert(graft.patterns.InsertValuesSqlCompiler.rewrite(spark,
+      task("INSERT INTO log SELECT * FROM src"), frames).isEmpty)
+    assert(graft.patterns.InsertValuesSqlCompiler.rewrite(spark,
+      task("INSERT INTO log (name, n) VALUES ((SELECT max(n) FROM log), 1)"),
+      frames).isEmpty)
+    // unknown / duplicated columns and arity mismatches abort loudly
+    assert(intercept[IllegalArgumentException] {
+      graft.patterns.InsertValuesSqlCompiler.rewrite(spark,
+        task("INSERT INTO log (nam) VALUES ('x')"), frames)
+    }.getMessage.contains("nam"))
+    assert(intercept[IllegalArgumentException] {
+      graft.patterns.InsertValuesSqlCompiler.rewrite(spark,
+        task("INSERT INTO log (name, NAME) VALUES ('x', 'y')"), frames)
+    }.getMessage.contains("more than once"))
+    assert(intercept[IllegalArgumentException] {
+      graft.patterns.InsertValuesSqlCompiler.rewrite(spark,
+        task("INSERT INTO log (name, n) VALUES ('x')"), frames)
+    }.getMessage.contains("arity"))
+  }
+
   test("CdcCustomerMergeETL: runner classifies MERGE task merge_scd end-to-end") {
     val q80 = QueriesRelational.q80_dtsx_cdc_merge(spark, "/root/testdata/sf0.001")
     // semantics replayed in-memory: base anti changes ∪ upserts
