@@ -501,6 +501,48 @@ object QueriesTrainingData {
       |FROM sh
       |GROUP BY shard""".stripMargin
 
+  /** Unicode NFC normalization ([[graft.functions.NfcNormalize]], a
+    * codegen'd native expression — Spark has no normalizer built-in and
+    * a UDF would leave whole-stage codegen) — the canonicalization a
+    * text pipeline runs BEFORE any content key: composed `é` (U+00E9)
+    * and decomposed `e`+U+0301 render identically but hash differently,
+    * so un-normalized corpora under-deduplicate and split vocabulary
+    * statistics across byte-variant spellings. The testdata is ASCII,
+    * so a deterministic suffix routes each doc through the
+    * already-normalized fast path, the decomposed-fix path, or the
+    * untouched path; the DuckDB oracle replays via `nfc_normalize`.
+    * Scale shape: one narrow codegen'd projection, zero exchanges. */
+  def x89_unicode_normalize(spark: SparkSession, dir: String): DataFrame = {
+    // %3==0: COMPOSED e-acute U+00E9 (already NFC — the no-copy fast
+    // path); %3==1: DECOMPOSED e + combining acute U+0301 (recomposed)
+    val suffix = when(pmod(col("doc_id"), lit(3L)) === 0, lit(" café"))
+      .when(pmod(col("doc_id"), lit(3L)) === 1, lit(" café"))
+      .otherwise(lit(""))
+    val messy = concat(col("text"), suffix)
+    documents(spark, dir)
+      .select(col("doc_id"), messy.as("raw"),
+        graft.functions.NativeFunctions.nfc(messy).as("norm"))
+      .select(col("doc_id"),
+        (col("raw") =!= col("norm")).as("changed"),
+        length(col("raw")).cast(LongType).as("n_chars_raw"),
+        length(col("norm")).cast(LongType).as("n_chars_norm"),
+        col("norm").as("text_norm"))
+  }
+
+  val x89Oracle: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    text || CASE WHEN doc_id % 3 = 0 THEN ' café'
+      |                 WHEN doc_id % 3 = 1 THEN ' café'
+      |                 ELSE '' END AS raw
+      |  FROM documents)
+      |SELECT doc_id,
+      |  nfc_normalize(raw) <> raw AS changed,
+      |  CAST(length(raw) AS BIGINT) AS n_chars_raw,
+      |  CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_chars_norm,
+      |  nfc_normalize(raw) AS text_norm
+      |FROM m""".stripMargin
+
   /** PII incidence per registered domain — the governance audit a
     * compliance team actually files: x27's PII detectors (email / IP /
     * card / phone) rolled up at the PUBLIC-SUFFIX-AWARE domain key
@@ -4443,6 +4485,7 @@ object QueriesTrainingData {
     "x86_audio_token_budget" -> (x86_audio_token_budget _),
     "x87_pii_domain_audit" -> (x87_pii_domain_audit _),
     "x88_shard_manifest" -> (x88_shard_manifest _),
+    "x89_unicode_normalize" -> (x89_unicode_normalize _),
     "x80_vision_token_budget" -> (x80_vision_token_budget _),
     "x79_url_takedown" -> (x79_url_takedown _),
     "x78_tokenizer_fertility" -> (x78_tokenizer_fertility _),
@@ -4533,6 +4576,7 @@ object QueriesTrainingData {
     "x86_audio_token_budget" -> x86Oracle,
     "x87_pii_domain_audit" -> x87Oracle,
     "x88_shard_manifest" -> x88Oracle,
+    "x89_unicode_normalize" -> x89Oracle,
     "x80_vision_token_budget" -> x80Oracle,
     "x79_url_takedown" -> x79Oracle,
     "x78_tokenizer_fertility" -> x78Oracle,

@@ -147,6 +147,14 @@ object NativeFunctions {
           org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(bf, h)
         case _ => throw new IllegalArgumentException(
           s"graft_might_contain takes 2 arguments, got ${exprs.length}")
+      }),
+    (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_nfc"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[NfcNormalize].getCanonicalName, "graft_nfc"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(s) => NfcNormalize(s)
+        case _ => throw new IllegalArgumentException(
+          s"graft_nfc takes 1 argument, got ${exprs.length}")
       }))
 
   /** Idempotent, race-free registration: the guard is the session's OWN
@@ -166,6 +174,12 @@ object NativeFunctions {
   def qdot(a: Column, b: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_qdot", a, b)
+  }
+
+  /** Codegen'd Unicode NFC normalization ([[NfcNormalize]]). */
+  def nfc(s: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_nfc", s)
   }
 
   /** Codegen'd one-pass MinHash signature over a hashed shingle set. */

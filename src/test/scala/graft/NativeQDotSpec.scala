@@ -99,4 +99,35 @@ class NativeQDotSpec extends AnyFunSuite {
       SparkSession.setActiveSession(prev)
     }
   }
+
+  test("graft_nfc: codegen parity with java.text.Normalizer; null; astral-safe") {
+    // composed stays byte-identical (the no-copy fast path), decomposed
+    // recomposes, ASCII untouched, NULL propagates, and a string with an
+    // astral (non-BMP) codepoint survives the round trip
+    val composed = "caf\u00e9"
+    val decomposed = "cafe\u0301"
+    val astral = "a\ud83d\ude00b" + "e\u0301"
+    val rows = Seq(Some(composed), Some(decomposed), Some("plain"),
+      Some(astral), None)
+    val got = rows.toDF("s")
+      .select(NativeFunctions.nfc(col("s")).as("n"))
+      .as[Option[String]].collect().toSeq
+    val expect = rows.map(_.map(
+      java.text.Normalizer.normalize(_, java.text.Normalizer.Form.NFC)))
+    assert(got === expect)
+    assert(got(0).get === composed && got(1).get === composed)
+    // the expression stays codegen'd: force CODEGEN_ONLY and re-run
+    val conf = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.getAll.get(conf)
+    spark.conf.set(conf, "CODEGEN_ONLY")
+    try {
+      val again = rows.toDF("s")
+        .select(NativeFunctions.nfc(col("s")).as("n"))
+        .as[Option[String]].collect().toSeq
+      assert(again === expect)
+    } finally prev match {
+      case Some(v) => spark.conf.set(conf, v)
+      case None => spark.conf.unset(conf)
+    }
+  }
 }
