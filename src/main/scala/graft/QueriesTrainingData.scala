@@ -501,6 +501,71 @@ object QueriesTrainingData {
       |FROM sh
       |GROUP BY shard""".stripMargin
 
+  /** Dedup THRESHOLD sensitivity sweep — the tuning artifact a curation
+    * run files before committing to a jaccard cutoff: per candidate
+    * threshold, how many near-dup pairs fire, how many documents the
+    * keep-lowest-id rule removes (doc removed iff some smaller-id
+    * partner ties it at ≥ t — x33's survivor convention without the
+    * component closure, exact for the greedy rule and oracle-replayable
+    * without iteration), and how much token mass goes with them.
+    * Fourth consumer of [[stagedLshScoredPairs]]: candidate-sized ×
+    * |thresholds| work, never a corpus rescan; a threshold that fires
+    * nothing still reports zeros (anchored on the threshold list).
+    * Scale shape: pair × threshold explode (candidate-sized), a
+    * distinct (t, doc) projection, one join to per-doc token counts,
+    * partial-combining rollups. */
+  def x90_dedup_threshold_sweep(spark: SparkSession, dir: String): DataFrame = {
+    val ts = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+    val fired = stagedLshScoredPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        explode(array(ts.map(lit): _*)).as("threshold"))
+      .filter(col("jaccard") >= col("threshold"))
+    val nPairs = fired.groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val toks = documents(spark, dir).select(col("doc_id"),
+      TextOps.tokenCount(col("text")).cast(LongType).as("n_tokens"))
+    val removedStats = fired
+      .select(col("threshold"), col("doc_b").as("doc_id")).distinct()
+      .join(toks, Seq("doc_id"))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_removed"),
+        sum(col("n_tokens")).as("tokens_removed"))
+    val anchor = spark.range(1)
+      .select(explode(array(ts.map(lit): _*)).as("threshold"))
+    anchor
+      .join(nPairs, Seq("threshold"), "left")
+      .join(removedStats, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("tokens_removed"), lit(0L)).as("tokens_removed"))
+  }
+
+  val x90Oracle: String =
+    s"""WITH $lshScoredCtes,
+       |th(threshold) AS (SELECT * FROM (VALUES (0.5), (0.6), (0.7), (0.8), (0.9)) v(t)),
+       |fired AS (
+       |  SELECT t.threshold, s.doc_a, s.doc_b
+       |  FROM scored s JOIN th t ON s.jaccard >= t.threshold),
+       |np AS (SELECT threshold, COUNT(*) AS n_pairs FROM fired GROUP BY threshold),
+       |rem AS (SELECT DISTINCT threshold, doc_b AS doc_id FROM fired),
+       |tok AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(text) = 0 THEN 0
+       |         ELSE len(string_split_regex(text, '\\s+')) END AS n_tokens
+       |  FROM documents),
+       |rs AS (
+       |  SELECT r.threshold, COUNT(*) AS n_removed,
+       |    SUM(t.n_tokens) AS tokens_removed
+       |  FROM rem r JOIN tok t ON r.doc_id = t.doc_id GROUP BY r.threshold)
+       |SELECT th.threshold,
+       |  CAST(coalesce(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+       |  CAST(coalesce(rs.n_removed, 0) AS BIGINT) AS n_removed,
+       |  CAST(coalesce(rs.tokens_removed, 0) AS BIGINT) AS tokens_removed
+       |FROM th
+       |LEFT JOIN np ON th.threshold = np.threshold
+       |LEFT JOIN rs ON th.threshold = rs.threshold""".stripMargin
+
   /** Unicode NFC normalization ([[graft.functions.NfcNormalize]], a
     * codegen'd native expression — Spark has no normalizer built-in and
     * a UDF would leave whole-stage codegen) — the canonicalization a
@@ -4486,6 +4551,7 @@ object QueriesTrainingData {
     "x87_pii_domain_audit" -> (x87_pii_domain_audit _),
     "x88_shard_manifest" -> (x88_shard_manifest _),
     "x89_unicode_normalize" -> (x89_unicode_normalize _),
+    "x90_dedup_threshold_sweep" -> (x90_dedup_threshold_sweep _),
     "x80_vision_token_budget" -> (x80_vision_token_budget _),
     "x79_url_takedown" -> (x79_url_takedown _),
     "x78_tokenizer_fertility" -> (x78_tokenizer_fertility _),
@@ -4577,6 +4643,7 @@ object QueriesTrainingData {
     "x87_pii_domain_audit" -> x87Oracle,
     "x88_shard_manifest" -> x88Oracle,
     "x89_unicode_normalize" -> x89Oracle,
+    "x90_dedup_threshold_sweep" -> x90Oracle,
     "x80_vision_token_budget" -> x80Oracle,
     "x79_url_takedown" -> x79Oracle,
     "x78_tokenizer_fertility" -> x78Oracle,

@@ -29,7 +29,17 @@ import org.apache.spark.sql.functions.{col, expr}
   * the alias would silently change the rank order). When an OVER item
   * is textually the same expression as an aliased select item, the
   * lowering reuses that output column directly — same expression over
-  * the same input rows, the exact value the raw window ordered by. */
+  * the same input rows, the exact value the raw window ordered by.
+  *
+  * RANK()/DENSE_RANK() are deliberately NOT lowered: the two-phase
+  * decomposition is exact for ROW_NUMBER because every row counts once
+  * regardless of ties, but a tie GROUP split across a range-bucket
+  * boundary would take two different rank values (the second bucket's
+  * local rank restarts at 1 while true rank repeats the first bucket's
+  * value) — repairing that needs a boundary-value join we judged not
+  * worth the plan complexity. Those functions keep the raw window: the
+  * honest single-task-per-partition cost, documented here rather than
+  * silently wrong. */
 object WindowSqlLowering {
 
   private val rowNumberOpenRe = "(?i)row_number\\s*\\(\\s*\\)\\s+over\\s*\\(".r
