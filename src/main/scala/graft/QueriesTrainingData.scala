@@ -501,6 +501,68 @@ object QueriesTrainingData {
       |FROM sh
       |GROUP BY shard""".stripMargin
 
+  /** Vocabulary DRIFT between corpus snapshots — the tokenizer-
+    * maintenance signal: when enough token mass moves (new tokens
+    * appear, old ones vanish, frequencies shift), the learned BPE
+    * (x55/x84) is stale and fertility (x78) degrades silently. Uses
+    * x40's generation convention (old = ids ≢7 mod 10; new = ids ≢3
+    * with the " rev2" revision suffix on ids ≡0 mod 5) so the drift is
+    * deterministic and oracle-replayable. Emits the per-word ledger
+    * (added / dropped / shifted / stable + frequency ratio).
+    * Scale shape: two map-side-combining vocabulary aggregates and ONE
+    * vocabulary-sized full-outer join on the word — the corpus is read
+    * twice narrowly, never shuffled at token granularity. */
+  def x91_vocab_drift(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Bpe
+    val d = documents(spark, dir)
+    val oldDocs = d.filter(pmod(col("doc_id"), lit(10L)) =!= 7)
+      .select(col("text"))
+    val newDocs = d.filter(pmod(col("doc_id"), lit(10L)) =!= 3)
+      .select(when(pmod(col("doc_id"), lit(5L)) === 0,
+        concat(col("text"), lit(" rev2"))).otherwise(col("text")).as("text"))
+    val wfOld = Bpe.wordFrequency(oldDocs).withColumnRenamed("wf", "wf_old")
+    val wfNew = Bpe.wordFrequency(newDocs).withColumnRenamed("wf", "wf_new")
+    wfOld.join(wfNew, Seq("w"), "full_outer")
+      .select(col("w"),
+        coalesce(col("wf_old"), lit(0L)).as("wf_old"),
+        coalesce(col("wf_new"), lit(0L)).as("wf_new"))
+      .withColumn("status",
+        when(col("wf_old") === 0, lit("added"))
+          .when(col("wf_new") === 0, lit("dropped"))
+          .when(col("wf_old") =!= col("wf_new"), lit("shifted"))
+          .otherwise(lit("stable")))
+      .withColumn("ratio",
+        when(col("wf_old") === 0, lit(null).cast(DoubleType))
+          .otherwise(col("wf_new").cast(DoubleType) /
+            col("wf_old").cast(DoubleType)))
+  }
+
+  val x91Oracle: String =
+    """WITH oldd AS (
+      |  SELECT text FROM documents WHERE doc_id % 10 <> 7),
+      |newd AS (
+      |  SELECT CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 10 <> 3),
+      |wo AS (
+      |  SELECT w, COUNT(*) AS wf_old FROM (
+      |    SELECT unnest(string_split_regex(text, '\s+')) AS w FROM oldd)
+      |  WHERE w <> '' AND NOT contains(w, chr(31)) GROUP BY w),
+      |wn AS (
+      |  SELECT w, COUNT(*) AS wf_new FROM (
+      |    SELECT unnest(string_split_regex(text, '\s+')) AS w FROM newd)
+      |  WHERE w <> '' AND NOT contains(w, chr(31)) GROUP BY w),
+      |j AS (
+      |  SELECT coalesce(wo.w, wn.w) AS w,
+      |    coalesce(wf_old, 0) AS wf_old, coalesce(wf_new, 0) AS wf_new
+      |  FROM wo FULL OUTER JOIN wn ON wo.w = wn.w)
+      |SELECT w, CAST(wf_old AS BIGINT) AS wf_old,
+      |  CAST(wf_new AS BIGINT) AS wf_new,
+      |  CASE WHEN wf_old = 0 THEN 'added' WHEN wf_new = 0 THEN 'dropped'
+      |       WHEN wf_old <> wf_new THEN 'shifted' ELSE 'stable' END AS status,
+      |  CASE WHEN wf_old = 0 THEN NULL
+      |       ELSE CAST(wf_new AS DOUBLE) / wf_old END AS ratio
+      |FROM j""".stripMargin
+
   /** Dedup THRESHOLD sensitivity sweep — the tuning artifact a curation
     * run files before committing to a jaccard cutoff: per candidate
     * threshold, how many near-dup pairs fire, how many documents the
@@ -4552,6 +4614,7 @@ object QueriesTrainingData {
     "x88_shard_manifest" -> (x88_shard_manifest _),
     "x89_unicode_normalize" -> (x89_unicode_normalize _),
     "x90_dedup_threshold_sweep" -> (x90_dedup_threshold_sweep _),
+    "x91_vocab_drift" -> (x91_vocab_drift _),
     "x80_vision_token_budget" -> (x80_vision_token_budget _),
     "x79_url_takedown" -> (x79_url_takedown _),
     "x78_tokenizer_fertility" -> (x78_tokenizer_fertility _),
@@ -4644,6 +4707,7 @@ object QueriesTrainingData {
     "x88_shard_manifest" -> x88Oracle,
     "x89_unicode_normalize" -> x89Oracle,
     "x90_dedup_threshold_sweep" -> x90Oracle,
+    "x91_vocab_drift" -> x91Oracle,
     "x80_vision_token_budget" -> x80Oracle,
     "x79_url_takedown" -> x79Oracle,
     "x78_tokenizer_fertility" -> x78Oracle,
