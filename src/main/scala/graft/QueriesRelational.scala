@@ -1301,6 +1301,35 @@ object QueriesRelational {
       |  ('InventorySync', CAST(777 AS BIGINT), NULL))
       |  t(package_name, rows_processed, status)""".stripMargin
 
+  /** CROSS-STATEMENT read inside a script — the q88 package's final
+    * statement is an `INSERT … SELECT … FROM [mart_orders]` over the
+    * table the SAME script built and mutated two statements earlier:
+    * the SELECT compiles through SqlPatternRewriter's `spark.sql`, so
+    * the overlay's temp-view registration is what it reads — gating the
+    * exact mechanism that keeps "later statements see earlier writes"
+    * true for the rewriter path, not just the resolver-based compilers.
+    * The oracle replays the full INSERT→UPDATE→DELETE pipeline before
+    * the rollup. */
+  def q90_dtsx_script_select(spark: SparkSession, dir: String): DataFrame =
+    runDtsxWarehousePackage(spark, dir, "ScriptedMartETL.dtsx")
+      ._1.apply("mart_summary")
+      .select(col("o_orderstatus"),
+        col("n_orders").cast(LongType).as("n_orders"))
+
+  val q90Oracle: String =
+    """WITH staged AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(o_totalprice AS DECIMAL(12,2)) AS p
+      |  FROM orders),
+      |upd AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CASE WHEN o_orderstatus = 'O'
+      |         THEN CAST(p - 10.00 AS DECIMAL(12,2)) ELSE p END AS p
+      |  FROM staged)
+      |SELECT o_orderstatus, COUNT(*) AS n_orders
+      |FROM upd WHERE NOT (p < 60000)
+      |GROUP BY o_orderstatus""".stripMargin
+
   /** Explicit GROUPING SETS with grouping_id disambiguation (beyond q24's
     * rollup): two chosen aggregation levels, no intermediate level. */
   def q39_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
@@ -2588,7 +2617,14 @@ object QueriesRelational {
         val bare = tableRe.findFirstMatchIn(table).map(_.group(1)).getOrElse(table)
         written(bare) = mode match {
           case org.apache.spark.sql.SaveMode.Append =>
-            written.get(bare).map(_.unionByName(df)).getOrElse(df)
+            // an Append to a parquet-backed table not yet in `written`
+            // must keep the warehouse base rows, not silently replace
+            // them with only the appended frame
+            written.get(bare).orElse {
+              val f = new java.io.File(s"$dir/$bare.parquet")
+              if (f.exists) Some(spark.read.parquet(f.getAbsolutePath))
+              else None
+            }.map(_.unionByName(df)).getOrElse(df)
           case _ => df
         }
       },
@@ -2611,7 +2647,10 @@ object QueriesRelational {
         // established overwrite semantics. Only an UNMATCHED
         // multi-statement script falls to the sequential path.
         chain(bound, resolveFrame).orElse {
-          val stmts = graft.patterns.SqlText.splitStatements(bound.sqlStatement)
+          // split COMMENT-STRIPPED text: a ';' inside a -- comment must
+          // not shear the script into garbage fragments
+          val stmts = graft.patterns.SqlText.splitStatements(
+            graft.patterns.SqlText.stripComments(bound.sqlStatement))
           if (stmts.length <= 1) None
           else {
             // compile-and-stage sequentially against a SHADOW overlay so
@@ -2631,6 +2670,11 @@ object QueriesRelational {
                       .map(_.unionByName(df)).getOrElse(df)
                   case _ => df
                 }
+                // statements that compile through SqlPatternRewriter run
+                // spark.sql against TEMP VIEWS — register the staged
+                // frame so a later SELECT in this script sees the
+                // overlay, not the pre-task state
+                overlay(bare).createOrReplaceTempView(bare)
               }
             val outcomes = scala.collection.mutable.ListBuffer
               .empty[graft.pipeline.PackageRunner.SqlOutcome]
@@ -2643,9 +2687,18 @@ object QueriesRelational {
                 case None => false
               }
             }
-            if (!allOk) None
+            // the overlay's temp views exist ONLY for this script's
+            // later statements; drop them either way — session temp
+            // views outlive this package run, and a stale one would
+            // leak into the NEXT run's spark.table fallback (observed:
+            // a second q88-family gate doubled its append against the
+            // previous run's view). Later tasks re-bind from `written`.
+            def dropOverlayViews(): Unit =
+              overlay.keys.foreach(k => spark.catalog.dropTempView(k): Unit)
+            if (!allOk) { dropOverlayViews(); None }
             else {
               overlay.foreach { case (k, v) => written(k) = v }
+              dropOverlayViews()
               // writes are already committed; hand the runner a
               // write-free outcome carrying the final statement's frame
               Some(graft.pipeline.PackageRunner.SqlOutcome(
@@ -2691,6 +2744,7 @@ object QueriesRelational {
     "q87_compaction_maintenance" -> (q87_compaction_maintenance _),
     "q88_dtsx_script" -> (q88_dtsx_script _),
     "q89_dtsx_values_log" -> (q89_dtsx_values_log _),
+    "q90_dtsx_script_select" -> (q90_dtsx_script_select _),
     "q82_orc_roundtrip" -> (q82_orc_roundtrip _),
     "q80_dtsx_cdc_merge" -> (q80_dtsx_cdc_merge _),
     "q79_delete_cascade" -> (q79_delete_cascade _),
@@ -2773,6 +2827,7 @@ object QueriesRelational {
     "q87_compaction_maintenance" -> q87Oracle,
     "q88_dtsx_script" -> q88Oracle,
     "q89_dtsx_values_log" -> q89Oracle,
+    "q90_dtsx_script_select" -> q90Oracle,
     "q82_orc_roundtrip" -> q82Oracle,
     "q80_dtsx_cdc_merge" -> q80Oracle,
     "q79_delete_cascade" -> q79Oracle,

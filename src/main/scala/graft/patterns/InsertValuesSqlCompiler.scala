@@ -45,8 +45,14 @@ object InsertValuesSqlCompiler {
 
   def rewrite(spark: SparkSession, task: ExecuteSqlTask,
       resolve: String => DataFrame): Option[SqlOutcome] = {
-    val sql = getDateRe.replaceAllIn(
-      SqlText.stripComments(task.sqlStatement), "current_timestamp()")
+    // translate GETDATE() in UNQUOTED segments only — the text
+    // 'via GETDATE() nightly' inside a literal is data, not a call
+    val sql = MergeSqlCompiler
+      .segments(SqlText.stripComments(task.sqlStatement)).map {
+        case (seg, true) => seg
+        case (seg, false) =>
+          getDateRe.replaceAllIn(seg, "current_timestamp()")
+      }.mkString
     prefixRe.findFirstMatchIn(sql).flatMap { m =>
       // collect every balanced (row) group: (a, b), (c, d), ... ;?
       val rows = scala.collection.mutable.ListBuffer.empty[String]

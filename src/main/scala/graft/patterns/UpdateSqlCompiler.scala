@@ -42,12 +42,16 @@ object UpdateSqlCompiler {
     }.mkString
 
   /** A clause body that leaves the canonical contract: a FROM/JOIN leg
-    * (the T-SQL correlated-update form), a subquery, or a
-    * bracketed/double-quoted identifier — all outside a string literal. */
+    * (the T-SQL correlated-update form), a subquery, a trailing script
+    * statement (a `;` or INSERT keyword — the q88 script executor owns
+    * multi-statement text, this compiler must DECLINE it rather than
+    * swallow the tail into the SET list), or a bracketed/double-quoted
+    * identifier — all outside a string literal. */
   private def disqualified(body: String): Boolean =
     MergeSqlCompiler.hasQuotedIdentifier(body) ||
       MergeSqlCompiler.segments(body).exists { case (seg, quoted) =>
-        !quoted && "(?i)\\b(from|join|select)\\b".r.findFirstIn(seg).isDefined
+        !quoted && (seg.contains(';') ||
+          "(?i)\\b(from|join|select|insert)\\b".r.findFirstIn(seg).isDefined)
       }
 
   def rewrite(spark: SparkSession, task: ExecuteSqlTask,

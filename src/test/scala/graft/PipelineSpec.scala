@@ -457,6 +457,17 @@ class PipelineSpec extends AnyFunSuite {
       Map("n" -> lit)).getOrElse(fail("literal-where UPDATE did not compile"))
     assert(litOut.df.get.select(col("note")).as[String].head()
       === "applies where stated")
+    // a trailing script statement must DECLINE (the script executor
+    // owns multi-statement text), never be swallowed into the SET list
+    assert(graft.patterns.UpdateSqlCompiler.rewrite(spark,
+      task("UPDATE acct SET bal = 1; INSERT INTO acct (id) VALUES (9)"),
+      frames).isEmpty)
+    assert(graft.patterns.UpdateSqlCompiler.rewrite(spark,
+      task("UPDATE acct SET bal = 1; UPDATE acct SET lim = 2"),
+      frames).isEmpty)
+    // but a ';' inside a literal is still just data
+    assert(graft.patterns.UpdateSqlCompiler.rewrite(spark,
+      task("UPDATE n SET note = 'a;b'"), Map("n" -> lit)).nonEmpty)
   }
 
   test("DeleteSqlCompiler: canonical DELETE; refresh statements stay None") {
@@ -530,10 +541,15 @@ class PipelineSpec extends AnyFunSuite {
     val pos = graft.patterns.InsertValuesSqlCompiler.rewrite(spark,
       task("INSERT INTO log VALUES ('w', 9, 1.5)"), frames).get
     assert(pos.df.get.as[(String, Long, Double)].head() === (("w", 9L, 1.5)))
-    // GETDATE() translates to current_timestamp (the T-SQL surface)
+    // GETDATE() translates to current_timestamp (the T-SQL surface) —
+    // but NOT inside a string literal, where it is data
     val gd = graft.patterns.InsertValuesSqlCompiler.rewrite(spark,
       task("INSERT INTO gdlog (at) VALUES (GETDATE())"), Map.empty)
     assert(gd.nonEmpty && !gd.get.df.get.head().isNullAt(0))
+    val gdLit = graft.patterns.InsertValuesSqlCompiler.rewrite(spark,
+      task("INSERT INTO gdlog (note) VALUES ('refresh via GETDATE() nightly')"),
+      Map.empty).get
+    assert(gdLit.df.get.as[String].head() === "refresh via GETDATE() nightly")
     // bootstrap without a column list aborts; with one it creates
     assert(intercept[IllegalArgumentException] {
       graft.patterns.InsertValuesSqlCompiler.rewrite(spark,

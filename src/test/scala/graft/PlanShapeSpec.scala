@@ -804,13 +804,22 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("x85: delta assign is narrow; merged search joins on cell, no cartesian") {
     val plan = executedPlan("x85_ivf_delta_append")
-    assert(!plan.contains("CartesianProduct") &&
-      !plan.contains("BroadcastNestedLoopJoin") ||
-      // the query->cell probe crossJoins the broadcast 16-row centroid
-      // table by design — only a candidate-side nested loop is banned
-      !plan.contains("SortMergeJoin"),
-      "candidate scoring must stay a cell equi-join")
-    assert(plan.contains("cell"), "merged search must key on the IVF cell")
+    assert(!plan.contains("CartesianProduct"),
+      "candidate scoring must never cartesian")
+    // the query->cell probe crossJoins the broadcast 16-row CENTROID
+    // table by design (the subtree prints under several branches) —
+    // every nested-loop line must be that broadcast Cross shape; an
+    // Inner/conditioned BNLJ would mean a data-side join regressed off
+    // its equi-join
+    plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+      .foreach { l =>
+        assert(l.contains("BuildRight, Cross"),
+          s"non-centroid nested-loop join crept in: $l")
+      }
+    val cellJoin = plan.linesIterator.exists(l =>
+      (l.contains("SortMergeJoin") || l.contains("HashJoin")) &&
+        l.contains("cell"))
+    assert(cellJoin, "candidate scoring must be an equi-join keyed on cell")
     val delta = graft.sim.IvfIndex.assign(
       Tables.embeddings(spark, sf).filter(col("vec_id") % 10 === 7),
       "embedding",
