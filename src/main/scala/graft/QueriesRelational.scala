@@ -2602,12 +2602,17 @@ object QueriesRelational {
     val pkg = graft.parser.DtsxParser.parseString(xml)
     val tableRe = """\[\w+\]\.\[(\w+)\]""".r
     val written = scala.collection.mutable.Map.empty[String, DataFrame]
+    // every temp view this run registers is dropped when the run ends:
+    // a view outliving the run leaks into the NEXT package run's
+    // spark.table fallback (a bootstrap INSERT would silently turn into
+    // an append onto the previous run's rows)
+    val boundViews = scala.collection.mutable.Set.empty[String]
     def bind(sql: String): String = {
       tableRe.findAllMatchIn(sql).map(_.group(1)).toSet[String].foreach { t =>
         written.get(t).orElse {
           val f = new java.io.File(s"$dir/$t.parquet")
           if (f.exists) Some(spark.read.parquet(f.getAbsolutePath)) else None
-        }.foreach(_.createOrReplaceTempView(t))
+        }.foreach { df => df.createOrReplaceTempView(t); boundViews += t }
       }
       tableRe.replaceAllIn(sql, m => m.group(1))
     }
@@ -2630,84 +2635,15 @@ object QueriesRelational {
       },
       sqlExecutor = t => {
         val bound = t.copy(sqlStatement = bind(t.sqlStatement))
-        val resolveFrame =
-          (name: String) => written.getOrElse(name, spark.table(name))
-        def chain(stmt: graft.ir.Ir.ExecuteSqlTask,
-            resolve: String => DataFrame) =
-          graft.patterns.MergeSqlCompiler.rewrite(spark, stmt, resolve)
-            .orElse(graft.patterns.UpdateSqlCompiler
-              .rewrite(spark, stmt, resolve))
-            .orElse(graft.patterns.DeleteSqlCompiler
-              .rewrite(spark, stmt, resolve))
-            .orElse(graft.patterns.InsertValuesSqlCompiler
-              .rewrite(spark, stmt, resolve))
-            .orElse(graft.patterns.SqlPatternRewriter.rewrite(spark, stmt))
-        // whole-statement compile first: the DELETE+INSERT /
-        // TRUNCATE+INSERT refresh classes keep SqlPatternRewriter's
-        // established overwrite semantics. Only an UNMATCHED
-        // multi-statement script falls to the sequential path.
-        chain(bound, resolveFrame).orElse {
-          // split COMMENT-STRIPPED text: a ';' inside a -- comment must
-          // not shear the script into garbage fragments
-          val stmts = graft.patterns.SqlText.splitStatements(
-            graft.patterns.SqlText.stripComments(bound.sqlStatement))
-          if (stmts.length <= 1) None
-          else {
-            // compile-and-stage sequentially against a SHADOW overlay so
-            // later statements see earlier writes; commit to the real
-            // written-state only when EVERY statement compiles — a
-            // script must never half-execute
-            val overlay = scala.collection.mutable.Map.empty[String, DataFrame]
-            def res(name: String): DataFrame =
-              overlay.getOrElse(name, resolveFrame(name))
-            def stage(o: graft.pipeline.PackageRunner.SqlOutcome): Unit =
-              for { tgt <- o.target; df <- o.df } {
-                val bare = tableRe.findFirstMatchIn(tgt)
-                  .map(_.group(1)).getOrElse(tgt)
-                overlay(bare) = o.mode match {
-                  case org.apache.spark.sql.SaveMode.Append =>
-                    scala.util.Try(res(bare)).toOption
-                      .map(_.unionByName(df)).getOrElse(df)
-                  case _ => df
-                }
-                // statements that compile through SqlPatternRewriter run
-                // spark.sql against TEMP VIEWS — register the staged
-                // frame so a later SELECT in this script sees the
-                // overlay, not the pre-task state
-                overlay(bare).createOrReplaceTempView(bare)
-              }
-            val outcomes = scala.collection.mutable.ListBuffer
-              .empty[graft.pipeline.PackageRunner.SqlOutcome]
-            // short-circuit on the first unconvertible statement: a
-            // later statement may reference a table an earlier one
-            // creates, so compiling past a failure is meaningless
-            val allOk = stmts.forall { s =>
-              chain(bound.copy(sqlStatement = s), res) match {
-                case Some(o) => stage(o); outcomes += o; true
-                case None => false
-              }
-            }
-            // the overlay's temp views exist ONLY for this script's
-            // later statements; drop them either way — session temp
-            // views outlive this package run, and a stale one would
-            // leak into the NEXT run's spark.table fallback (observed:
-            // a second q88-family gate doubled its append against the
-            // previous run's view). Later tasks re-bind from `written`.
-            def dropOverlayViews(): Unit =
-              overlay.keys.foreach(k => spark.catalog.dropTempView(k): Unit)
-            if (!allOk) { dropOverlayViews(); None }
-            else {
-              overlay.foreach { case (k, v) => written(k) = v }
-              dropOverlayViews()
-              // writes are already committed; hand the runner a
-              // write-free outcome carrying the final statement's frame
-              Some(graft.pipeline.PackageRunner.SqlOutcome(
-                outcomes.last.df, None))
-            }
-          }
-        }
+        graft.patterns.ScriptedSqlExecutor.executor(
+          spark,
+          resolveFrame = name => written.getOrElse(name, spark.table(name)),
+          bareName = name => tableRe.findFirstMatchIn(name)
+            .map(_.group(1)).getOrElse(name),
+          commit = (k, v) => written(k) = v)(bound)
       })
     val run = graft.pipeline.PackageRunner.run(spark, pkg, env)
+    boundViews.foreach(v => spark.catalog.dropTempView(v): Unit)
     require(!run.failed,
       s"package failed: ${run.tasks.map(t => t.taskName -> t.status)}")
     (written, run)

@@ -34,12 +34,9 @@ object DeleteSqlCompiler {
   private val truncateRe =
     "(?is)^\\s*truncate\\s+table\\s+([^\\s;]+)\\s*;?\\s*$".r
 
+  private val deleteKeywordRe = "(?i)\\b(insert|select|from|join)\\b".r
   private def disqualified(body: String): Boolean =
-    MergeSqlCompiler.hasQuotedIdentifier(body) ||
-      MergeSqlCompiler.segments(body).exists { case (seg, quoted) =>
-        !quoted && (seg.contains(';') ||
-          "(?i)\\b(insert|select|from|join)\\b".r.findFirstIn(seg).isDefined)
-      }
+    MergeSqlCompiler.bodyDisqualified(body, deleteKeywordRe)
 
   def rewrite(spark: SparkSession, task: ExecuteSqlTask,
       resolve: String => DataFrame): Option[SqlOutcome] = {

@@ -37,11 +37,9 @@ object InsertValuesSqlCompiler {
 
   private val getDateRe = "(?i)\\bgetdate\\s*\\(\\s*\\)".r
 
+  private val valuesKeywordRe = "(?i)\\bselect\\b".r
   private def disqualified(body: String): Boolean =
-    MergeSqlCompiler.hasQuotedIdentifier(body) ||
-      MergeSqlCompiler.segments(body).exists { case (seg, quoted) =>
-        !quoted && "(?i)\\bselect\\b".r.findFirstIn(seg).isDefined
-      }
+    MergeSqlCompiler.bodyDisqualified(body, valuesKeywordRe)
 
   def rewrite(spark: SparkSession, task: ExecuteSqlTask,
       resolve: String => DataFrame): Option[SqlOutcome] = {

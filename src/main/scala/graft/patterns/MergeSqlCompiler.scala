@@ -86,6 +86,19 @@ object MergeSqlCompiler {
       !quoted && (seg.contains('[') || seg.contains('"'))
     }
 
+  /** Shared clause-body disqualifier for the sibling DML compilers: a
+    * bracketed/double-quoted identifier, a top-level `;` (a trailing
+    * script statement — the script executor owns multi-statement text),
+    * or any keyword from `keywordRe` — all matched OUTSIDE string
+    * literals only. One implementation so quote/segment fixes never
+    * have to land three times. */
+  private[patterns] def bodyDisqualified(body: String,
+      keywordRe: scala.util.matching.Regex): Boolean =
+    hasQuotedIdentifier(body) ||
+      segments(body).exists { case (seg, quoted) =>
+        !quoted && (seg.contains(';') || keywordRe.findFirstIn(seg).isDefined)
+      }
+
   /** Split `s` into alternating unquoted/quoted segments ('' escapes a
     * quote inside a literal, SQL-style); quoted segments INCLUDE their
     * delimiters. Both [[xlate]] and [[splitTop]] must never look inside

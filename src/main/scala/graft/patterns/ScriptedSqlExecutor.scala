@@ -1,0 +1,122 @@
+package graft.patterns
+
+import graft.ir.Ir.ExecuteSqlTask
+import graft.pipeline.PackageRunner.SqlOutcome
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** The warehouse Execute SQL compile chain + multi-statement SCRIPT
+  * executor — pattern machinery shared by any scaffold that drives
+  * package SQL, extracted from the q80–q90 gate scaffold so the
+  * compilers it orchestrates live beside it.
+  *
+  * Single statements route through the compiler chain (MERGE → UPDATE →
+  * DELETE/TRUNCATE → literal VALUES → SqlPatternRewriter). Scripts are
+  * split on quote-aware semicolons of the comment-stripped text and
+  * routed by SHAPE:
+  *
+  *  - the canonical REFRESH script (clears followed by one
+  *    INSERT…SELECT, a clear naming the insert target) keeps
+  *    [[SqlPatternRewriter]]'s whole-table-overwrite semantics — the
+  *    reference's `_clean_sql_for_dbt` contract (q17/q37 class);
+  *  - every other script executes SEQUENTIALLY against a shadow
+  *    overlay: later statements see earlier writes (the overlay is also
+  *    registered as temp views so rewriter-path `spark.sql` statements
+  *    read it — gated by q90), and the overlay commits only when EVERY
+  *    statement compiles — a script never half-executes. The overlay
+  *    views drop at script end either way: a session temp view
+  *    outliving the task would leak into the NEXT package run's
+  *    `spark.table` fallback (observed as a doubled append).
+  *    Crucially, a non-refresh script never falls back to the
+  *    whole-statement chain: SqlPatternRewriter's order-blind matchers
+  *    would execute the first INSERT…SELECT and silently drop the
+  *    trailing statements — manual review beats a mangled half-run. */
+object ScriptedSqlExecutor {
+
+  private val clearStmtRe =
+    "(?is)^\\s*(?:delete\\s+from|truncate\\s+table)\\s+([^\\s(;]+)".r
+  private val insertSelectStmtRe =
+    "(?is)^\\s*insert\\s+into\\s+([^\\s(;]+)\\s*(?:\\([^)]*\\))?\\s*select\\b".r
+
+  private def norm(t: String): String =
+    t.replace("[", "").replace("]", "").toLowerCase
+
+  /** Clears (DELETE/TRUNCATE) followed by one INSERT…SELECT, with a
+    * clear naming the insert target — SqlPatternRewriter's overwrite
+    * class, the only script shape the whole-statement chain may own. */
+  private[patterns] def isRefreshShape(stmts: List[String]): Boolean =
+    stmts.length >= 2 && {
+      val clears = stmts.init
+        .map(clearStmtRe.findFirstMatchIn(_).map(_.group(1)))
+      val ins = insertSelectStmtRe.findFirstMatchIn(stmts.last)
+        .map(_.group(1))
+      clears.forall(_.isDefined) && ins.isDefined &&
+        clears.flatten.exists(c => norm(c) == norm(ins.get))
+    }
+
+  /** Build a task executor over the caller's written-state:
+    * `resolveFrame` maps a table name to its current frame (throwing
+    * for unknown names), `bareName` strips schema/bracket decoration,
+    * `commit` lands a frame into the written state. Statement text must
+    * already be parameter-bound and bracket-translated by the caller. */
+  def executor(spark: SparkSession,
+      resolveFrame: String => DataFrame,
+      bareName: String => String,
+      commit: (String, DataFrame) => Unit)
+      : ExecuteSqlTask => Option[SqlOutcome] = {
+
+    def chain(stmt: ExecuteSqlTask,
+        resolve: String => DataFrame): Option[SqlOutcome] =
+      MergeSqlCompiler.rewrite(spark, stmt, resolve)
+        .orElse(UpdateSqlCompiler.rewrite(spark, stmt, resolve))
+        .orElse(DeleteSqlCompiler.rewrite(spark, stmt, resolve))
+        .orElse(InsertValuesSqlCompiler.rewrite(spark, stmt, resolve))
+        .orElse(SqlPatternRewriter.rewrite(spark, stmt))
+
+    def script(bound: ExecuteSqlTask,
+        stmts: List[String]): Option[SqlOutcome] = {
+      val overlay = scala.collection.mutable.Map.empty[String, DataFrame]
+      def res(name: String): DataFrame =
+        overlay.getOrElse(name, resolveFrame(name))
+      def stage(o: SqlOutcome): Unit =
+        for { tgt <- o.target; df <- o.df } {
+          val bare = bareName(tgt)
+          overlay(bare) = o.mode match {
+            case SaveMode.Append =>
+              scala.util.Try(res(bare)).toOption
+                .map(_.unionByName(df)).getOrElse(df)
+            case _ => df
+          }
+          overlay(bare).createOrReplaceTempView(bare)
+        }
+      val outcomes = scala.collection.mutable.ListBuffer.empty[SqlOutcome]
+      // short-circuit on the first unconvertible statement: a later
+      // statement may reference a table an earlier one creates, so
+      // compiling past a failure is meaningless
+      val allOk = stmts.forall { s =>
+        chain(bound.copy(sqlStatement = s), res) match {
+          case Some(o) => stage(o); outcomes += o; true
+          case None => false
+        }
+      }
+      def dropOverlayViews(): Unit =
+        overlay.keys.foreach(k => spark.catalog.dropTempView(k): Unit)
+      if (!allOk) { dropOverlayViews(); None }
+      else {
+        overlay.foreach { case (k, v) => commit(k, v) }
+        dropOverlayViews()
+        // writes are committed; hand the runner a write-free outcome
+        // carrying the final statement's frame (result-set binding)
+        Some(SqlOutcome(outcomes.last.df, None))
+      }
+    }
+
+    bound => {
+      val stmts = SqlText.splitStatements(
+        SqlText.stripComments(bound.sqlStatement))
+      if (stmts.length <= 1) chain(bound, resolveFrame)
+      else if (isRefreshShape(stmts))
+        chain(bound, resolveFrame).orElse(script(bound, stmts))
+      else script(bound, stmts)
+    }
+  }
+}

@@ -43,16 +43,10 @@ object UpdateSqlCompiler {
 
   /** A clause body that leaves the canonical contract: a FROM/JOIN leg
     * (the T-SQL correlated-update form), a subquery, a trailing script
-    * statement (a `;` or INSERT keyword — the q88 script executor owns
-    * multi-statement text, this compiler must DECLINE it rather than
-    * swallow the tail into the SET list), or a bracketed/double-quoted
-    * identifier — all outside a string literal. */
+    * statement, or a quoted identifier ([[MergeSqlCompiler.bodyDisqualified]]). */
+  private val updateKeywordRe = "(?i)\\b(from|join|select|insert)\\b".r
   private def disqualified(body: String): Boolean =
-    MergeSqlCompiler.hasQuotedIdentifier(body) ||
-      MergeSqlCompiler.segments(body).exists { case (seg, quoted) =>
-        !quoted && (seg.contains(';') ||
-          "(?i)\\b(from|join|select|insert)\\b".r.findFirstIn(seg).isDefined)
-      }
+    MergeSqlCompiler.bodyDisqualified(body, updateKeywordRe)
 
   def rewrite(spark: SparkSession, task: ExecuteSqlTask,
       resolve: String => DataFrame): Option[SqlOutcome] = {

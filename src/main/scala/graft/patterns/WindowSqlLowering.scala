@@ -76,45 +76,60 @@ object WindowSqlLowering {
     s.trim.toLowerCase.replaceAll("\\s+", " ")
 
   def lower(spark: SparkSession, select: String): Option[DataFrame] = {
-    if (distinctRe.findFirstIn(select).isDefined) return None
+    // ALL keyword/position scans run on a literal-MASKED twin of the
+    // statement (same length, every quoted literal's content x'd out):
+    // a ' from ' or ';' or 'order by' INSIDE a string literal must
+    // never count as structure. Content is always sliced from the
+    // ORIGINAL text by the masked match's span.
+    val msk = UpdateSqlCompiler.masked(select)
+    if (distinctRe.findFirstIn(msk).isDefined) return None
     // LIMIT bounds the ranked output, not the rank's input; a top-level
     // ORDER BY's row order would be destroyed by the offsets join. The
     // OVER clause's own ORDER BY sits inside parens (depth >= 1), so a
     // depth-0 hit is always the outer statement's.
-    if (limitOrOrderRe.findAllMatchIn(select)
-        .exists(m => depthAt(select, m.start) == 0)) return None
-    val matches = rowNumberOpenRe.findAllMatchIn(select).toList
+    if (limitOrOrderRe.findAllMatchIn(msk)
+        .exists(m => depthAt(msk, m.start) == 0)) return None
+    val matches = rowNumberOpenRe.findAllMatchIn(msk).toList
     matches match {
-      case m :: Nil if depthAt(select, m.start) == 0 =>
+      case m :: Nil if depthAt(msk, m.start) == 0 =>
         for {
           (overBody, afterOver) <- MergeSqlCompiler.balanced(select, m.end)
-          am <- asAliasRe.findPrefixMatchOf(select.substring(afterOver))
+          am <- asAliasRe.findPrefixMatchOf(msk.substring(afterOver))
           alias = am.group(1)
           itemEnd = afterOver + am.end
-          ob <- overBodyRe.findFirstMatchIn(overBody)
+          ob <- overBodyRe.findFirstMatchIn(
+            UpdateSqlCompiler.masked(overBody))
           // the window expr must be a WHOLE select-list item: preceded by
           // a top-level comma (or the SELECT keyword), followed by one
           // (or the FROM clause)
           before = select.substring(0, m.start)
           after = select.substring(itemEnd)
-          if before.trim.toLowerCase.endsWith(",") ||
-            "(?is)^\\s*select\\s*$".r.findFirstIn(before).isDefined
-          if "(?is)^\\s*,".r.findFirstIn(after).isDefined ||
-            "(?is)^\\s*from\\b".r.findFirstIn(after).isDefined
-          df <- lowerParsed(spark, before, after, alias,
-            Option(ob.group(1)), ob.group(2))
+          if msk.substring(0, m.start).trim.toLowerCase.endsWith(",") ||
+            "(?is)^\\s*select\\s*$".r
+              .findFirstIn(msk.substring(0, m.start)).isDefined
+          if "(?is)^\\s*,".r.findFirstIn(msk.substring(itemEnd)).isDefined ||
+            "(?is)^\\s*from\\b".r.findFirstIn(msk.substring(itemEnd)).isDefined
+          // group SPANS come from the masked body; CONTENT from original
+          partList = Option(ob.group(1))
+            .map(_ => overBody.substring(ob.start(1), ob.end(1)))
+          orderList = overBody.substring(ob.start(2), ob.end(2))
+          df <- lowerParsed(spark, before, after, alias, partList, orderList)
         } yield df
       case _ => None
     }
   }
 
   /** Select-list items of `baseText` (between SELECT and the top-level
-    * FROM), or None when the list can't be delimited. */
-  private def selectItems(baseText: String): Option[List[String]] = for {
-    sel <- "(?is)^\\s*select\\s+".r.findFirstMatchIn(baseText)
-    from <- "(?i)\\bfrom\\b".r.findAllMatchIn(baseText)
-      .find(m => m.start >= sel.end && depthAt(baseText, m.start) == 0)
-  } yield MergeSqlCompiler.splitTop(baseText.substring(sel.end, from.start))
+    * FROM), or None when the list can't be delimited. Keyword positions
+    * are found on the masked twin; items slice the original. */
+  private def selectItems(baseText: String): Option[List[String]] = {
+    val msk = UpdateSqlCompiler.masked(baseText)
+    for {
+      sel <- "(?is)^\\s*select\\s+".r.findFirstMatchIn(msk)
+      from <- "(?i)\\bfrom\\b".r.findAllMatchIn(msk)
+        .find(m => m.start >= sel.end && depthAt(msk, m.start) == 0)
+    } yield MergeSqlCompiler.splitTop(baseText.substring(sel.end, from.start))
+  }
 
   private def lowerParsed(spark: SparkSession, before: String,
       after: String, alias: String, partList: Option[String],
@@ -162,12 +177,17 @@ object WindowSqlLowering {
         case None => (it, false)
       }
     val pCols = partItems.map(t => compileItem(t.trim))
-    val oCols = orderItems.map { it =>
+    // compile each order item ONCE; direction applies to the compiled
+    // column afterwards (the plain form feeds the resolution check)
+    val oCompiled = orderItems.map { it =>
       val (t, desc) = split(it.trim)
-      compileItem(t.trim).map(c => if (desc) c.desc else c.asc)
+      (compileItem(t.trim), desc)
     }
-    val oPlain = orderItems.map(it => compileItem(split(it.trim)._1.trim))
-    if ((pCols ++ oCols ++ oPlain).exists(_.isEmpty)) return None
+    val oPlain = oCompiled.map(_._1)
+    val oCols = oCompiled.map { case (c, desc) =>
+      c.map(cc => if (desc) cc.desc else cc.asc)
+    }
+    if ((pCols ++ oPlain).exists(_.isEmpty)) return None
     scala.util.Try {
       val base = spark.sql(baseText)
       if (base.columns.map(_.toLowerCase).contains(alias.toLowerCase))

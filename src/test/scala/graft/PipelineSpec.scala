@@ -576,6 +576,54 @@ class PipelineSpec extends AnyFunSuite {
     }.getMessage.contains("arity"))
   }
 
+  test("ScriptedSqlExecutor: shape routing, sequencing, and no half-runs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def mkExec(written: scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]) =
+      graft.patterns.ScriptedSqlExecutor.executor(spark,
+        resolveFrame = n => written.getOrElse(n, spark.table(n)),
+        bareName = identity,
+        commit = (k, v) => written(k) = v)
+    def task(sql: String) = graft.ir.Ir.ExecuteSqlTask("s", None, "conn", sql)
+    // refresh shape keeps the rewriter's whole-table-OVERWRITE contract:
+    // the delete predicate does NOT filter the recomputed rows
+    val w1 = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame](
+      "t" -> Seq((1L, 5.0), (2L, 50.0)).toDF("id", "v"))
+    Seq((1L, 7.0), (2L, 70.0)).toDF("id", "v").createOrReplaceTempView("src_r")
+    val refresh = mkExec(w1)(task(
+      "DELETE FROM t WHERE v < 10; INSERT INTO t SELECT id, v FROM src_r"))
+      .getOrElse(fail("refresh script did not compile"))
+    assert(refresh.target.contains("t"))
+    assert(refresh.df.get.as[(Long, Double)].collect().toSet
+      === Set((1L, 7.0), (2L, 70.0)))
+    // a NON-refresh script (DELETE AFTER the insert) runs SEQUENTIALLY:
+    // the delete applies to post-insert state — the class the order-blind
+    // whole-statement rewriter used to mangle into a bare overwrite
+    val w2 = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]()
+    Seq((1L, 5.0), (2L, 50.0)).toDF("id", "v").createOrReplaceTempView("src_s")
+    val seqOut = mkExec(w2)(task(
+      "INSERT INTO m SELECT id, v FROM src_s; DELETE FROM m WHERE v < 10"))
+    assert(seqOut.nonEmpty, "sequential script did not compile")
+    assert(w2("m").as[(Long, Double)].collect().toList === List((2L, 50.0)))
+    // a script with an unconvertible tail must NOT half-execute: no
+    // commit, no outcome — manual review owns it
+    val w3 = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]()
+    assert(mkExec(w3)(task(
+      "INSERT INTO m2 SELECT id, v FROM src_s; EXEC sp_refresh")).isEmpty)
+    assert(w3.isEmpty, "half-executed script committed state")
+  }
+
+  test("q89 rerun purity: a second run in the same session rebuilds from scratch") {
+    // run-1's temp views must not leak into run-2's spark.table fallback
+    // (a bootstrap INSERT would silently become an append onto run-1's
+    // rows — observed before the bind/overlay view cleanup)
+    val a = QueriesRelational.q89_dtsx_values_log(spark, "/root/testdata/sf0.001")
+      .count()
+    val b = QueriesRelational.q89_dtsx_values_log(spark, "/root/testdata/sf0.001")
+      .count()
+    assert(a === 3L && b === 3L, s"rerun drifted: $a then $b rows")
+  }
+
   test("CdcCustomerMergeETL: runner classifies MERGE task merge_scd end-to-end") {
     val q80 = QueriesRelational.q80_dtsx_cdc_merge(spark, "/root/testdata/sf0.001")
     // semantics replayed in-memory: base anti changes ∪ upserts

@@ -107,6 +107,21 @@ class RankLoweringSpec extends AnyFunSuite {
     assert(WindowSqlLowering.lower(spark,
       "SELECT id, ROW_NUMBER() OVER (ORDER BY id) AS rn FROM rk_t ORDER BY id")
       .isEmpty)
+    // a ' from ' INSIDE a string literal must not truncate the select
+    // list — the shadowing alias after the literal is still seen and
+    // the statement declines (the masked-scan contract)
+    assert(WindowSqlLowering.lower(spark,
+      "SELECT id, ROW_NUMBER() OVER (ORDER BY v) AS rn, " +
+        "'x from y' AS note, 0 - v AS v FROM rk_t").isEmpty)
+    // and a benign literal containing ' from '/' limit ' still lowers
+    val benign = "SELECT id, v, 'from a limit b' AS note, " +
+      "ROW_NUMBER() OVER (ORDER BY v, id) AS rn FROM rk_t"
+    val lowB = WindowSqlLowering.lower(spark, benign)
+      .getOrElse(fail("benign literal blocked the lowering"))
+    val ab = spark.sql(benign).select("id", "rn").as[(Long, Int)]
+      .collect().toSeq.sorted
+    val bb = lowB.select("id", "rn").as[(Long, Int)].collect().toSeq.sorted
+    assert(ab === bb)
   }
 
   test("property: two-phase equals raw window across shapes and bucket counts") {
