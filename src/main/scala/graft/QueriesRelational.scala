@@ -2633,17 +2633,22 @@ object QueriesRelational {
           case _ => df
         }
       },
-      sqlExecutor = t => {
-        val bound = t.copy(sqlStatement = bind(t.sqlStatement))
-        graft.patterns.ScriptedSqlExecutor.executor(
+      sqlExecutor = {
+        // stateless across tasks — build once, bind per task
+        val exec = graft.patterns.ScriptedSqlExecutor.executor(
           spark,
           resolveFrame = name => written.getOrElse(name, spark.table(name)),
           bareName = name => tableRe.findFirstMatchIn(name)
             .map(_.group(1)).getOrElse(name),
-          commit = (k, v) => written(k) = v)(bound)
+          commit = (k, v) => written(k) = v)
+        t => exec(t.copy(sqlStatement = bind(t.sqlStatement)))
       })
-    val run = graft.pipeline.PackageRunner.run(spark, pkg, env)
-    boundViews.foreach(v => spark.catalog.dropTempView(v): Unit)
+    // the view drop must survive a run that THROWS outside the per-task
+    // catch (e.g. a precedence-constraint evaluation failure): leaked
+    // views would feed the next run's spark.table fallback
+    val run =
+      try graft.pipeline.PackageRunner.run(spark, pkg, env)
+      finally boundViews.foreach(v => spark.catalog.dropTempView(v): Unit)
     require(!run.failed,
       s"package failed: ${run.tasks.map(t => t.taskName -> t.status)}")
     (written, run)

@@ -32,13 +32,17 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *    trailing statements — manual review beats a mangled half-run. */
 object ScriptedSqlExecutor {
 
+  // ANCHORED per-statement twins of SqlPatternRewriter's order-blind
+  // matchers (deleteTargetRe / truncateTargetRe / insertSelectRe): the
+  // routing predicate below must classify exactly the scripts that
+  // rewriter compiles to its overwrite, so these regex pairs track each
+  // other — RefreshRoutingSpec-style coverage lives in PipelineSpec's
+  // ScriptedSqlExecutor test; table-name normalization is the
+  // rewriter's own sameTable.
   private val clearStmtRe =
     "(?is)^\\s*(?:delete\\s+from|truncate\\s+table)\\s+([^\\s(;]+)".r
   private val insertSelectStmtRe =
     "(?is)^\\s*insert\\s+into\\s+([^\\s(;]+)\\s*(?:\\([^)]*\\))?\\s*select\\b".r
-
-  private def norm(t: String): String =
-    t.replace("[", "").replace("]", "").toLowerCase
 
   /** Clears (DELETE/TRUNCATE) followed by one INSERT…SELECT, with a
     * clear naming the insert target — SqlPatternRewriter's overwrite
@@ -50,7 +54,7 @@ object ScriptedSqlExecutor {
       val ins = insertSelectStmtRe.findFirstMatchIn(stmts.last)
         .map(_.group(1))
       clears.forall(_.isDefined) && ins.isDefined &&
-        clears.flatten.exists(c => norm(c) == norm(ins.get))
+        clears.flatten.exists(c => SqlPatternRewriter.sameTable(c, ins.get))
     }
 
   /** Build a task executor over the caller's written-state:
@@ -89,25 +93,30 @@ object ScriptedSqlExecutor {
           overlay(bare).createOrReplaceTempView(bare)
         }
       val outcomes = scala.collection.mutable.ListBuffer.empty[SqlOutcome]
-      // short-circuit on the first unconvertible statement: a later
-      // statement may reference a table an earlier one creates, so
-      // compiling past a failure is meaningless
-      val allOk = stmts.forall { s =>
-        chain(bound.copy(sqlStatement = s), res) match {
-          case Some(o) => stage(o); outcomes += o; true
-          case None => false
+      // the view drop must survive EXCEPTIONS, not just declines: a
+      // compiler `require` or a unionByName schema mismatch thrown
+      // mid-script becomes TaskStatus.Failed upstream, and a leaked
+      // overlay view would feed the next run's spark.table fallback
+      // with never-committed rows — try/finally, not happy-path cleanup
+      try {
+        // short-circuit on the first unconvertible statement: a later
+        // statement may reference a table an earlier one creates, so
+        // compiling past a failure is meaningless
+        val allOk = stmts.forall { s =>
+          chain(bound.copy(sqlStatement = s), res) match {
+            case Some(o) => stage(o); outcomes += o; true
+            case None => false
+          }
         }
-      }
-      def dropOverlayViews(): Unit =
+        if (!allOk) None
+        else {
+          overlay.foreach { case (k, v) => commit(k, v) }
+          // writes are committed; hand the runner a write-free outcome
+          // carrying the final statement's frame (result-set binding)
+          Some(SqlOutcome(outcomes.last.df, None))
+        }
+      } finally
         overlay.keys.foreach(k => spark.catalog.dropTempView(k): Unit)
-      if (!allOk) { dropOverlayViews(); None }
-      else {
-        overlay.foreach { case (k, v) => commit(k, v) }
-        dropOverlayViews()
-        // writes are committed; hand the runner a write-free outcome
-        // carrying the final statement's frame (result-set binding)
-        Some(SqlOutcome(outcomes.last.df, None))
-      }
     }
 
     bound => {

@@ -44,7 +44,7 @@ object SqlPatternRewriter {
 
   /** Case/bracket-insensitive table-name comparison: `[dbo].[t]`,
     * `dbo.t`, `DBO.T` all name the same table. */
-  private def sameTable(a: String, b: String): Boolean = {
+  private[patterns] def sameTable(a: String, b: String): Boolean = {
     def norm(t: String) = t.replace("[", "").replace("]", "").toLowerCase
     norm(a) == norm(b)
   }
