@@ -1330,6 +1330,34 @@ object QueriesRelational {
       |FROM upd WHERE NOT (p < 60000)
       |GROUP BY o_orderstatus""".stripMargin
 
+  /** The reference InventorySync "Update Sync Log" task shape, nearly
+    * VERBATIM — `VarSyncLogETL.dtsx`: one Execute SQL script whose
+    * literal VALUES insert carries a `?` parameter (bound by the runner
+    * from the package variable, the SSIS OLE DB convention) and two
+    * GETDATE() timestamps, followed by the processed-flag UPDATE. The
+    * gate reads the deterministic log columns (timestamps stay in the
+    * frame but out of the hash — wall-clock can never match an oracle)
+    * joined with the post-flip staging rollup, so parameter binding,
+    * the VALUES compile, GETDATE translation, AND the script's second
+    * statement are all certified in one row. */
+  def q91_dtsx_param_synclog(spark: SparkSession, dir: String): DataFrame = {
+    val (w, _) = runDtsxWarehousePackage(spark, dir, "VarSyncLogETL.dtsx")
+    val log = w("etl_sync_log").select(col("sync_type"),
+      col("records_processed").cast(LongType).as("records_processed"),
+      col("status"))
+    val flagged = w("inv_staging").agg(
+      sum(when(col("processed_flag") === 1, 1L).otherwise(0L)).as("n_flagged"),
+      count(lit(1)).cast(LongType).as("n_items"))
+    log.crossJoin(flagged)
+  }
+
+  val q91Oracle: String =
+    """SELECT 'Inventory' AS sync_type,
+      |  CAST(4242 AS BIGINT) AS records_processed,
+      |  'Success' AS status,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_flagged,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_items""".stripMargin
+
   /** Explicit GROUPING SETS with grouping_id disambiguation (beyond q24's
     * rollup): two chosen aggregation levels, no intermediate level. */
   def q39_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
@@ -2686,6 +2714,7 @@ object QueriesRelational {
     "q88_dtsx_script" -> (q88_dtsx_script _),
     "q89_dtsx_values_log" -> (q89_dtsx_values_log _),
     "q90_dtsx_script_select" -> (q90_dtsx_script_select _),
+    "q91_dtsx_param_synclog" -> (q91_dtsx_param_synclog _),
     "q82_orc_roundtrip" -> (q82_orc_roundtrip _),
     "q80_dtsx_cdc_merge" -> (q80_dtsx_cdc_merge _),
     "q79_delete_cascade" -> (q79_delete_cascade _),
@@ -2769,6 +2798,7 @@ object QueriesRelational {
     "q88_dtsx_script" -> q88Oracle,
     "q89_dtsx_values_log" -> q89Oracle,
     "q90_dtsx_script_select" -> q90Oracle,
+    "q91_dtsx_param_synclog" -> q91Oracle,
     "q82_orc_roundtrip" -> q82Oracle,
     "q80_dtsx_cdc_merge" -> q80Oracle,
     "q79_delete_cascade" -> q79Oracle,
