@@ -501,6 +501,56 @@ object QueriesTrainingData {
       |FROM sh
       |GROUP BY shard""".stripMargin
 
+  /** Training CURRICULUM schedule — the global data-loading order a
+    * curriculum run feeds the loader: documents grouped into 4 quality
+    * stages (x60's per-source percentile, so no source dominates a
+    * stage), highest-quality stage first, DETERMINISTICALLY shuffled
+    * within each stage (the x34 md5-draw convention), and assigned one
+    * global `train_pos`. Composes three pinned primitives into the
+    * artifact trainers actually consume.
+    * Scale shape: the per-source percentile is x60's banded two-phase
+    * rank; the global position is the x34 machinery over an
+    * order-ALIGNED bucket (stage ‖ hash prefix — a prefix of the sort
+    * key itself, so buckets are monotone): every sort task is
+    * bucket-sized, offsets broadcast, never a partition-less corpus
+    * window. */
+  def x92_curriculum_schedule(spark: SparkSession, dir: String): DataFrame = {
+    val pct = x60_quality_calibration(spark, dir)
+      .select(col("doc_id"), col("source"), col("pct"))
+    val staged = pct
+      .withColumn("stage",
+        (lit(3L) - least(lit(3L), floor(col("pct") * 4)))
+          .cast(IntegerType))
+      .withColumn("hx",
+        md5(concat(lit("x92|"), col("doc_id").cast(StringType))))
+      .withColumn("__graft_bucket",
+        concat(col("stage").cast(StringType), lit("|"),
+          substring(col("hx"), 1, 2)))
+      .withColumn("__graft_one", lit(1L))
+    graft.text.CorpusOps.twoPhasePrefixSum(staged, Seq.empty,
+        "__graft_bucket", Seq("hx", "doc_id"), "__graft_one", "__graft_rank")
+      .select(col("doc_id"), col("source"), col("pct"),
+        col("stage"), (col("__graft_rank") - 1L).as("train_pos"))
+  }
+
+  val x92Oracle: String =
+    """WITH r AS (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rk,
+      |    COUNT(*) OVER (PARTITION BY source) AS n
+      |  FROM documents),
+      |st AS (
+      |  SELECT doc_id, source,
+      |    CAST(rk AS DOUBLE) / CAST(n AS DOUBLE) AS pct,
+      |    CAST(3 - least(3, floor(CAST(rk AS DOUBLE) / CAST(n AS DOUBLE) * 4))
+      |      AS INT) AS stage,
+      |    md5('x92|' || CAST(doc_id AS VARCHAR)) AS hx
+      |  FROM r)
+      |SELECT doc_id, source, pct, stage,
+      |  CAST(row_number() OVER (ORDER BY stage, hx, doc_id) - 1 AS BIGINT)
+      |    AS train_pos
+      |FROM st""".stripMargin
+
   /** Vocabulary DRIFT between corpus snapshots — the tokenizer-
     * maintenance signal: when enough token mass moves (new tokens
     * appear, old ones vanish, frequencies shift), the learned BPE
@@ -4615,6 +4665,7 @@ object QueriesTrainingData {
     "x89_unicode_normalize" -> (x89_unicode_normalize _),
     "x90_dedup_threshold_sweep" -> (x90_dedup_threshold_sweep _),
     "x91_vocab_drift" -> (x91_vocab_drift _),
+    "x92_curriculum_schedule" -> (x92_curriculum_schedule _),
     "x80_vision_token_budget" -> (x80_vision_token_budget _),
     "x79_url_takedown" -> (x79_url_takedown _),
     "x78_tokenizer_fertility" -> (x78_tokenizer_fertility _),
@@ -4708,6 +4759,7 @@ object QueriesTrainingData {
     "x89_unicode_normalize" -> x89Oracle,
     "x90_dedup_threshold_sweep" -> x90Oracle,
     "x91_vocab_drift" -> x91Oracle,
+    "x92_curriculum_schedule" -> x92Oracle,
     "x80_vision_token_budget" -> x80Oracle,
     "x79_url_takedown" -> x79Oracle,
     "x78_tokenizer_fertility" -> x78Oracle,
