@@ -12,11 +12,17 @@ import org.apache.spark.sql.functions._
   * through parse → IR → runner (q80) exactly like dataflows do (q33):
   *
   * {{{
-  * MERGE INTO <target> AS t USING <source> AS s ON t.k = s.k [AND ...]
-  * WHEN MATCHED AND <delete-pred> THEN DELETE
-  * WHEN MATCHED THEN UPDATE SET col = expr, ...
-  * WHEN NOT MATCHED THEN INSERT (cols) VALUES (exprs)
+  * MERGE [INTO] <target> [AS] t USING <source> [AS] s ON t.k = s.k [...]
+  * [WHEN MATCHED AND <delete-pred> THEN DELETE]
+  * WHEN MATCHED [AND <update-pred>] THEN UPDATE SET col = expr, ...
+  * WHEN NOT MATCHED [BY TARGET] THEN INSERT (cols) VALUES (exprs)
   * }}}
+  *
+  * The optional pieces admit the reference's OWN CustomerDataLoad merge
+  * shape — the two-verb hash-guarded upsert (`MERGE dim.Customer AS
+  * target … WHEN MATCHED AND <hash differs> THEN UPDATE … WHEN NOT
+  * MATCHED BY TARGET THEN INSERT …`): a matched row failing the update
+  * condition is kept untouched.
   *
   * Compiled to a state replacement — vanilla Spark has no mutable table,
   * so the post-merge target state is built as
@@ -32,13 +38,25 @@ object MergeSqlCompiler {
   /** Everything through `INSERT (` — the column and VALUES lists are
     * scanned by [[balanced]] (depth-tracking, quote-aware) instead of a
     * `[^)]*` regex so a VALUES list containing function calls
-    * (`VALUES (UPPER(s.name), ...)`) still parses. */
+    * (`VALUES (UPPER(s.name), ...)`) still parses.
+    *
+    * Generalized grammar (the reference CustomerDataLoad merge is the
+    * TWO-verb upsert form — `MERGE` without INTO, a CONDITIONED update,
+    * `NOT MATCHED BY TARGET`):
+    * {{{
+    * MERGE [INTO] t [AS] ta USING s [AS] sa ON cond
+    * [WHEN MATCHED AND del-pred THEN DELETE]
+    * WHEN MATCHED [AND upd-pred] THEN UPDATE SET ...
+    * WHEN NOT MATCHED [BY TARGET] THEN INSERT (cols) VALUES (vals)
+    * }}}
+    * groups: 1 target, 2 tAlias, 3 source, 4 sAlias, 5 on,
+    * 6 delete-pred (opt), 7 update-pred (opt), 8 SET list. */
   private val mergePrefixRe =
-    ("(?is)^\\s*merge\\s+into\\s+(\\S+)\\s+(?:as\\s+)?(\\w+)\\s+" +
+    ("(?is)^\\s*merge\\s+(?:into\\s+)?(\\S+)\\s+(?:as\\s+)?(\\w+)\\s+" +
       "using\\s+(\\S+)\\s+(?:as\\s+)?(\\w+)\\s+on\\s+(.+?)\\s+" +
-      "when\\s+matched\\s+and\\s+(.+?)\\s+then\\s+delete\\s+" +
-      "when\\s+matched\\s+then\\s+update\\s+set\\s+(.+?)\\s+" +
-      "when\\s+not\\s+matched\\s+then\\s+insert\\s*\\(").r
+      "(?:when\\s+matched\\s+and\\s+(.+?)\\s+then\\s+delete\\s+)?" +
+      "when\\s+matched\\s+(?:and\\s+(.+?)\\s+)?then\\s+update\\s+set\\s+(.+?)\\s+" +
+      "when\\s+not\\s+matched\\s+(?:by\\s+target\\s+)?then\\s+insert\\s*\\(").r
 
   private val valuesOpenRe = "(?is)\\s*values\\s*\\(".r
 
@@ -174,7 +192,9 @@ object MergeSqlCompiler {
       if sql.substring(afterVals).matches("(?s)\\s*;?\\s*")
       // clause bodies with bracketed/double-quoted identifiers are
       // outside the canonical contract: skip, never half-translate
-      if !Seq(m.group(5), m.group(6), m.group(7), colsStr, valsStr)
+      // (groups 6/7 — delete-pred / update-pred — are optional)
+      if !(Seq(m.group(5), m.group(8), colsStr, valsStr) ++
+        Option(m.group(6)) ++ Option(m.group(7)))
         .exists(hasQuotedIdentifier)
     } yield (m, colsStr, valsStr)
     parsed.map { case (m, colsStr, valsStr) =>
@@ -184,8 +204,11 @@ object MergeSqlCompiler {
       val srcP = resolve(srcName).columns
         .foldLeft(resolve(srcName))((d, c) => d.withColumnRenamed(c, SrcPrefix + c))
       val joinCond = expr(xlate(m.group(5), tA, sA))
-      val deletePred = expr(xlate(m.group(6), tA, sA))
-      val setMap = splitTop(m.group(7)).map { a =>
+      // optional verbs/conditions: no DELETE clause = nothing deletes;
+      // no UPDATE condition = every surviving match updates
+      val deletePredOpt = Option(m.group(6)).map(t => expr(xlate(t, tA, sA)))
+      val updatePredOpt = Option(m.group(7)).map(t => expr(xlate(t, tA, sA)))
+      val setMap = splitTop(m.group(8)).map { a =>
         val i = a.indexOf('=')
         require(i > 0, s"MERGE SET assignment has no '=': $a")
         xlate(a.take(i).trim, tA, sA) -> expr(xlate(a.drop(i + 1).trim, tA, sA))
@@ -234,16 +257,26 @@ object MergeSqlCompiler {
           "to one row per merge key first")
 
       val untouched = tgt.join(srcP, joinCond, "left_anti")
-      // NULL delete-predicate (e.g. a NULL op column) must mean "not a
-      // delete" — a bare !pred filter would drop the row from BOTH legs
-      // lookups are case-insensitive like the validation above (T-SQL
+      // NULL predicates (e.g. a NULL op column) must mean "not fired" —
+      // a bare !pred filter would drop the row from BOTH legs; lookups
+      // are case-insensitive like the validation above (T-SQL
       // identifiers): key both maps by lower-cased name
       val setMapLc = setMap.map { case (k, v) => k.toLowerCase -> v }
       val insertMapLc = insertMap.map { case (k, v) => k.toLowerCase -> v }
+      val delPred = deletePredOpt
+        .map(coalesce(_, lit(false))).getOrElse(lit(false))
+      val updPred = updatePredOpt
+        .map(coalesce(_, lit(false))).getOrElse(lit(true))
+      // matched rows surviving the delete verb: SET fires only where the
+      // update condition holds — a matched row failing it stays AS-IS
+      // (the two-verb upsert's keep path)
       val updated = matched
-        .filter(!coalesce(deletePred, lit(false)))
+        .filter(!delPred)
         .select(tgt.columns.toSeq.map(c =>
-          setMapLc.getOrElse(c.toLowerCase, col(c)).as(c)): _*)
+          setMapLc.get(c.toLowerCase) match {
+            case Some(e) => when(updPred, e).otherwise(col(c)).as(c)
+            case None => col(c).as(c)
+          }): _*)
       // WHEN NOT MATCHED inserts EVERY unmatched source row (SQL Server
       // semantics — the op column does not gate inserts); absent target
       // columns become typed NULLs
