@@ -46,7 +46,18 @@ object RankLowering {
   /** `row_number()` over (`partCols`, ordered by `orderCols` — pass
     * direction via `.desc`/`.asc`) as an IntegerType column `outCol`,
     * computed with bounded tasks (no partition-sized sort). Pass
-    * `partCols = Nil` for a global row number (the q75 full-sort case). */
+    * `partCols = Nil` for a global row number (the q75 full-sort case).
+    *
+    * Requires a DETERMINISTIC input plan: the local-rank window and the
+    * bucket-count aggregate must observe identical range-bucket
+    * assignments, which holds because both consume the one ranged
+    * exchange (ReuseExchange) and the RangePartitioner's boundary
+    * sampling is deterministic for a given input. An upstream
+    * `rand()`/`sample()` — or input files changing between the two
+    * evaluations — could hand the subplans different boundaries and
+    * yield wrong global ranks; callers with a non-deterministic source
+    * must materialize it (cache/localCheckpoint/write) first. Every
+    * gated caller here reads deterministic parquet/derived frames. */
   def rowNumber(df: DataFrame, partCols: Seq[Column], orderCols: Seq[Column],
       outCol: String, buckets: Int = 64): DataFrame = {
     require(orderCols.nonEmpty, "row_number requires an ORDER BY")

@@ -3,6 +3,7 @@ package graft.patterns
 import graft.ir.Ir.ExecuteSqlTask
 import graft.pipeline.PackageRunner.SqlOutcome
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Three-verb MERGE → Spark compile. The reference DETECTS the J5 MERGE
@@ -25,13 +26,16 @@ import org.apache.spark.sql.functions._
   * condition is kept untouched.
   *
   * Compiled to a state replacement — vanilla Spark has no mutable table,
-  * so the post-merge target state is built as
-  * `untouched (target anti-join on key) ∪ matched-and-updated ∪
-  * inserted` and written back with Overwrite: ONE shuffle on the merge
-  * key, the DELETE verb is the row's absence from both legs. Aliases are
-  * required and clause order is fixed (the canonical CDC authoring);
-  * any other MERGE returns None and stays a manual-review skip —
-  * executing half a MERGE is worse than not converting it.
+  * so the post-merge target state is built from ONE target×source
+  * full-outer join: each output row is exactly one of untouched (source
+  * side null), matched (delete = filtered out, update = per-column
+  * CASE), or inserted (target side null), written back with Overwrite.
+  * The T-SQL 8672 multi-match guard is a window count on the SAME
+  * joined frame, raised from the same action that materializes the
+  * state — the merge-key shuffle happens once, not four times. Aliases
+  * are required and clause order is fixed (the canonical CDC
+  * authoring); any other MERGE returns None and stays a manual-review
+  * skip — executing half a MERGE is worse than not converting it.
   */
 object MergeSqlCompiler {
 
@@ -243,20 +247,32 @@ object MergeSqlCompiler {
         s"MERGE INSERT names column(s) more than once: " +
           dupIns.keys.mkString(", "))
 
-      // T-SQL MERGE aborts (error 8672) when one target row matches
-      // several source rows — the state replacement below would instead
-      // silently DUPLICATE the row. Fail loud, eagerly, like SQL Server.
+      // ONE full-outer join computes all three MERGE legs — untouched
+      // (source side null), matched (both present), inserted (target
+      // side null) — where the previous shape ran FOUR target×source
+      // joins (an eager multi-match guard, the matched inner, and two
+      // anti joins). At 100 TB the merge-key shuffle is the dominant
+      // cost of a MERGE; it must happen once.
       val tgtWithId = tgt.withColumn("__graft_tid",
         monotonically_increasing_id())
-      val matched = tgtWithId.join(srcP, joinCond, "inner")
-      val multi = matched.groupBy(col("__graft_tid")).count()
-        .filter(col("count") > 1)
-      require(multi.isEmpty,
-        s"MERGE into ${tgtName}: a target row is matched by multiple " +
-          "source rows (T-SQL error 8672) — compact the source feed " +
-          "to one row per merge key first")
-
-      val untouched = tgt.join(srcP, joinCond, "left_anti")
+      val srcWithId = srcP.withColumn("__graft_sid",
+        monotonically_increasing_id())
+      val full = tgtWithId.join(srcWithId, joinCond, "full_outer")
+      val isMatched = col("__graft_tid").isNotNull &&
+        col("__graft_sid").isNotNull
+      val isInsert = col("__graft_tid").isNull
+      // T-SQL MERGE aborts (error 8672) when one target row matches
+      // several source rows — a state replacement would instead silently
+      // DUPLICATE the row. The guard is a match count per target row on
+      // the SAME joined frame, raised from the same action that
+      // materializes the state (writes in this engine are lazy frames,
+      // so nothing commits when the guard trips). Insert rows (null tid)
+      // get a per-source-row window key — a shared null partition would
+      // funnel every insert into one task.
+      val wGuard = Window.partitionBy(col("__graft_tid"),
+        when(col("__graft_tid").isNull, col("__graft_sid")))
+      val guarded = full.withColumn("__graft_mcnt",
+        count(when(isMatched, lit(1))).over(wGuard))
       // NULL predicates (e.g. a NULL op column) must mean "not fired" —
       // a bare !pred filter would drop the row from BOTH legs; lookups
       // are case-insensitive like the validation above (T-SQL
@@ -267,25 +283,36 @@ object MergeSqlCompiler {
         .map(coalesce(_, lit(false))).getOrElse(lit(false))
       val updPred = updatePredOpt
         .map(coalesce(_, lit(false))).getOrElse(lit(true))
-      // matched rows surviving the delete verb: SET fires only where the
-      // update condition holds — a matched row failing it stays AS-IS
-      // (the two-verb upsert's keep path)
-      val updated = matched
-        .filter(!delPred)
-        .select(tgt.columns.toSeq.map(c =>
-          setMapLc.get(c.toLowerCase) match {
-            case Some(e) => when(updPred, e).otherwise(col(c)).as(c)
-            case None => col(c).as(c)
-          }): _*)
-      // WHEN NOT MATCHED inserts EVERY unmatched source row (SQL Server
-      // semantics — the op column does not gate inserts); absent target
-      // columns become typed NULLs
-      val inserted = srcP.join(tgt, joinCond, "left_anti")
-        .select(tgt.schema.fields.toSeq.map(f =>
-          insertMapLc.getOrElse(f.name.toLowerCase,
-            lit(null).cast(f.dataType)).as(f.name)): _*)
-      SqlOutcome(Some(untouched.unionByName(updated).unionByName(inserted)),
-        Some(tgtName), SaveMode.Overwrite)
+      // a single CASE filter (not a conjunction Catalyst could split and
+      // short-circuit) so EVERY row evaluates the guard before the
+      // delete verb can drop it — a multi-matched row that is deleted
+      // still aborts, exactly like SQL Server
+      val kept = guarded.filter(
+        when(col("__graft_mcnt") > 1,
+          raise_error(lit(s"MERGE into ${tgtName}: a target row is " +
+            "matched by multiple source rows (T-SQL error 8672) — " +
+            "compact the source feed to one row per merge key first"))
+            .cast("boolean"))
+          .otherwise(!(isMatched && delPred)))
+      // per-column CASE over the one joined frame: insert rows take the
+      // INSERT expression (absent columns = NULL), matched rows take the
+      // SET expression only where the update condition holds (the
+      // two-verb upsert's keep path), untouched rows pass through. Every
+      // branch casts to the TARGET column type — T-SQL column types win
+      // over expression types.
+      val out = kept.select(tgt.schema.fields.toSeq.map { f =>
+        val lc = f.name.toLowerCase
+        val insertVal = insertMapLc.getOrElse(lc, lit(null))
+        val branched = setMapLc.get(lc) match {
+          case Some(e) =>
+            when(isInsert, insertVal)
+              .when(isMatched && updPred, e)
+              .otherwise(col(f.name))
+          case None => when(isInsert, insertVal).otherwise(col(f.name))
+        }
+        branched.cast(f.dataType).as(f.name)
+      }: _*)
+      SqlOutcome(Some(out), Some(tgtName), SaveMode.Overwrite)
     }
   }
 }

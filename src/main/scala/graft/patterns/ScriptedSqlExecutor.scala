@@ -25,7 +25,9 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *    statement compiles — a script never half-executes. The overlay
   *    views drop at script end either way: a session temp view
   *    outliving the task would leak into the NEXT package run's
-  *    `spark.table` fallback (observed as a doubled append).
+  *    `spark.table` fallback (observed as a doubled append); a
+  *    same-named temp view the CALLER registered before the script ran
+  *    is snapshotted and re-registered after the drop.
   *    Crucially, a non-refresh script never falls back to the
   *    whole-statement chain: SqlPatternRewriter's order-blind matchers
   *    would execute the first INSERT…SELECT and silently drop the
@@ -79,11 +81,23 @@ object ScriptedSqlExecutor {
     def script(bound: ExecuteSqlTask,
         stmts: List[String]): Option[SqlOutcome] = {
       val overlay = scala.collection.mutable.Map.empty[String, DataFrame]
+      // a caller may have registered a same-named temp view BEFORE the
+      // script runs; createOrReplaceTempView replaces it and the drop
+      // below would then delete it outright — snapshot those frames now
+      // and re-register them after the drop, so a caller binding views
+      // once per run is not silently unbound by the first script task
+      val shadowed = scala.collection.mutable.Map.empty[String, DataFrame]
+      def snapshot(name: String): Unit =
+        if (!overlay.contains(name) && !shadowed.contains(name))
+          scala.util.Try(spark.catalog.getTable(name)).toOption
+            .filter(_.isTemporary)
+            .foreach { _ => shadowed(name) = spark.table(name) }
       def res(name: String): DataFrame =
         overlay.getOrElse(name, resolveFrame(name))
       def stage(o: SqlOutcome): Unit =
         for { tgt <- o.target; df <- o.df } {
           val bare = bareName(tgt)
+          snapshot(bare)
           overlay(bare) = o.mode match {
             case SaveMode.Append =>
               scala.util.Try(res(bare)).toOption
@@ -115,8 +129,11 @@ object ScriptedSqlExecutor {
           // carrying the final statement's frame (result-set binding)
           Some(SqlOutcome(outcomes.last.df, None))
         }
-      } finally
+      } finally {
         overlay.keys.foreach(k => spark.catalog.dropTempView(k): Unit)
+        // restore any pre-existing temp views the overlay replaced
+        shadowed.foreach { case (k, f) => f.createOrReplaceTempView(k) }
+      }
     }
 
     bound => {

@@ -72,8 +72,16 @@ object WindowSqlLowering {
     depth
   }
 
+  /** Case-fold and space-collapse UNQUOTED segments only: two items
+    * differing solely inside a string literal (`coalesce(seg,'A')` vs
+    * `coalesce(seg,'a')`) are DIFFERENT expressions — folding literal
+    * content would alias one to the other and silently change the rank
+    * order the lowering must preserve. */
   private def norm(s: String): String =
-    s.trim.toLowerCase.replaceAll("\\s+", " ")
+    MergeSqlCompiler.segments(s).map {
+      case (seg, true) => seg
+      case (seg, false) => seg.toLowerCase.replaceAll("\\s+", " ")
+    }.mkString.trim
 
   def lower(spark: SparkSession, select: String): Option[DataFrame] = {
     // ALL keyword/position scans run on a literal-MASKED twin of the

@@ -345,14 +345,18 @@ class PipelineSpec extends AnyFunSuite {
     val ins = sub.df.get.filter(col("id") === 9L).collect().head
     assert(ins.isNullAt(1) && ins.getDouble(2) === 5.0)
     // duplicate source rows per merge key must abort (T-SQL error 8672),
-    // never silently duplicate the target row
+    // never silently duplicate the target row. The guard rides the same
+    // plan that materializes the state (one join, lazy writes — nothing
+    // commits), so the abort surfaces at action time; walk the cause
+    // chain because the raise_error lands inside a task failure wrapper.
     val dupFeed = Seq((2L, "b2", 25.0, "U"), (2L, "b3", 26.0, "U"))
       .toDF("id", "name", "bal", "op")
-    val dupErr = intercept[IllegalArgumentException] {
-      graft.patterns.MergeSqlCompiler.rewrite(spark, merge,
-        Map("dim" -> tgt, "feed" -> dupFeed))
-    }
-    assert(dupErr.getMessage.contains("8672"))
+    val dupOut = graft.patterns.MergeSqlCompiler.rewrite(spark, merge,
+      Map("dim" -> tgt, "feed" -> dupFeed)).get
+    val dupErr = intercept[Exception] { dupOut.df.get.collect() }
+    val chain = Iterator.iterate(dupErr: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString("\n")
+    assert(chain.contains("8672"))
     // a misspelled SET / INSERT column must abort, not silently NULL
     val typo = merge.copy(sqlStatement =
       "MERGE INTO dim AS t USING feed AS s ON t.id = s.id " +

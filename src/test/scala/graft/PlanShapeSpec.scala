@@ -901,6 +901,32 @@ class PlanShapeSpec extends AnyFunSuite {
       "group-size join must stay an equi-join on the content key")
   }
 
+  test("MERGE compiles to ONE target×source join carrying guard + all three verbs") {
+    // the r11 shape ran FOUR target×source joins (eager 8672 guard,
+    // matched inner, two antis); the fused compile must shuffle the
+    // merge key once — a full-outer join whose window guard and
+    // per-column CASEs ride the same frame
+    import spark.implicits._
+    val tgt = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "name", "bal")
+    val feed = Seq((2L, "b2", 25.0, "U"), (9L, "z", 5.0, "I"))
+      .toDF("id", "name", "bal", "op")
+    val task = graft.ir.Ir.ExecuteSqlTask("m", None, "c",
+      "MERGE INTO dim AS t USING feed AS s ON t.id = s.id " +
+        "WHEN MATCHED AND s.op = 'D' THEN DELETE " +
+        "WHEN MATCHED THEN UPDATE SET name = s.name, bal = s.bal " +
+        "WHEN NOT MATCHED THEN INSERT (id, name, bal) VALUES (s.id, s.name, s.bal)")
+    val out = graft.patterns.MergeSqlCompiler
+      .rewrite(spark, task, Map("dim" -> tgt, "feed" -> feed)).get.df.get
+    val plan = out.queryExecution.optimizedPlan.toString
+    val joins = plan.linesIterator.count(_.contains("Join "))
+    assert(joins === 1, s"MERGE must shuffle target×source ONCE, saw $joins:\n$plan")
+    assert(plan.contains("__graft_mcnt"),
+      "the 8672 guard window must ride the same joined frame")
+    // and the verbs still land: 1 untouched + 1 updated + 1 inserted
+    assert(out.orderBy("id").as[(Long, String, Double)].collect().toList ===
+      List((1L, "a", 10.0), (2L, "b2", 25.0), (9L, "z", 5.0)))
+  }
+
   test("no gated plan contains a trivially-true self-equality predicate") {
     // `a#12 = a#12` (same exprId on both sides) means a join condition was
     // written against two frames that resolve to the SAME attribute — the
