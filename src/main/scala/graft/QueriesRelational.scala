@@ -1358,6 +1358,37 @@ object QueriesRelational {
       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_flagged,
       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_items""".stripMargin
 
+  /** Correlated UPDATE…FROM (the T-SQL join-update) through the dtsx
+    * frontend — `UpdateOrdersJoinETL.dtsx`'s second Execute SQL task
+    * joins the staged orders table to the customer dimension and
+    * adjusts matched rows (SET referencing SOURCE columns, WHERE over
+    * source columns); [[graft.patterns.UpdateFromSqlCompiler]] executes
+    * it as a state replacement over ONE target×source left join with
+    * the multi-match guard riding the same frame. The join key
+    * (c_custkey, unique in the dimension) makes the statement
+    * deterministic — the shape class the compiler accepts. */
+  def q92_dtsx_update_from(spark: SparkSession, dir: String): DataFrame =
+    runDtsxWarehousePackage(spark, dir, "UpdateOrdersJoinETL.dtsx")
+      ._1.apply("orders_priced")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast(DoubleType).as("o_totalprice"),
+        col("o_orderpriority"))
+
+  val q92Oracle: String =
+    """WITH staged AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice,
+      |    o_orderpriority
+      |  FROM orders)
+      |SELECT s.o_orderkey, s.o_custkey,
+      |  CAST(CASE WHEN c.c_mktsegment = 'BUILDING' AND c.c_acctbal > 0
+      |       THEN CAST(s.o_totalprice + CAST(c.c_acctbal AS DECIMAL(12,2))
+      |            AS DECIMAL(12,2))
+      |       ELSE s.o_totalprice END AS DOUBLE) AS o_totalprice,
+      |  CASE WHEN c.c_mktsegment = 'BUILDING' AND c.c_acctbal > 0
+      |       THEN 'ADJ' ELSE s.o_orderpriority END AS o_orderpriority
+      |FROM staged s JOIN customer c ON s.o_custkey = c.c_custkey""".stripMargin
+
   /** Explicit GROUPING SETS with grouping_id disambiguation (beyond q24's
     * rollup): two chosen aggregation levels, no intermediate level. */
   def q39_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
@@ -2715,6 +2746,7 @@ object QueriesRelational {
     "q89_dtsx_values_log" -> (q89_dtsx_values_log _),
     "q90_dtsx_script_select" -> (q90_dtsx_script_select _),
     "q91_dtsx_param_synclog" -> (q91_dtsx_param_synclog _),
+    "q92_dtsx_update_from" -> (q92_dtsx_update_from _),
     "q82_orc_roundtrip" -> (q82_orc_roundtrip _),
     "q80_dtsx_cdc_merge" -> (q80_dtsx_cdc_merge _),
     "q79_delete_cascade" -> (q79_delete_cascade _),
@@ -2799,6 +2831,7 @@ object QueriesRelational {
     "q89_dtsx_values_log" -> q89Oracle,
     "q90_dtsx_script_select" -> q90Oracle,
     "q91_dtsx_param_synclog" -> q91Oracle,
+    "q92_dtsx_update_from" -> q92Oracle,
     "q82_orc_roundtrip" -> q82Oracle,
     "q80_dtsx_cdc_merge" -> q80Oracle,
     "q79_delete_cascade" -> q79Oracle,

@@ -64,7 +64,7 @@ object MergeSqlCompiler {
 
   private val valuesOpenRe = "(?is)\\s*values\\s*\\(".r
 
-  private val SrcPrefix = "__src_"
+  private[patterns] val SrcPrefix = "__src_"
 
   /** Scan from `from` (just past an opening paren) to the MATCHING close
     * paren, skipping parens inside single-quoted literals; returns the
@@ -152,7 +152,7 @@ object MergeSqlCompiler {
   /** Translate alias-qualified references: `s.col` → `__src_col` (the
     * renamed source frame), `t.col` → `col` (the target frame). String
     * literals pass through untouched. */
-  private def xlate(e: String, tgtAlias: String, srcAlias: String): String = {
+  private[patterns] def xlate(e: String, tgtAlias: String, srcAlias: String): String = {
     val q = java.util.regex.Pattern.quote _
     segments(e).map {
       case (seg, true) => seg

@@ -407,6 +407,83 @@ class PipelineSpec extends AnyFunSuite {
     assert(graft.patterns.MergeSqlCompiler.rewrite(spark, dquoted, frames).isEmpty)
   }
 
+  test("UpdateFromSqlCompiler: correlated join-update; off-shape stays None") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tgt = Seq((1L, 10.0, "A"), (2L, 20.0, "B"), (3L, 30.0, "C"))
+      .toDF("id", "bal", "tag")
+    val dim = Seq((1L, 5.0, "keep"), (2L, 7.0, "adj"))
+      .toDF("id", "delta", "action")
+    val frames = Map("acct" -> tgt, "dim" -> dim)
+    def task(sql: String) = graft.ir.Ir.ExecuteSqlTask("uf", None, "conn", sql)
+    // canonical shape: SET references source cols, WHERE over source
+    // cols, unmatched target rows pass through untouched
+    val out = graft.patterns.UpdateFromSqlCompiler.rewrite(spark,
+      task("UPDATE t SET bal = t.bal + s.delta, tag = upper(s.action) " +
+        "FROM acct t JOIN dim s ON t.id = s.id WHERE s.action = 'adj'"),
+      frames).getOrElse(fail("canonical UPDATE...FROM did not compile"))
+    assert(out.target.contains("acct"))
+    assert(out.df.get.orderBy("id").as[(Long, Double, String)].collect().toList
+      === List((1L, 10.0, "A"), (2L, 27.0, "ADJ"), (3L, 30.0, "C")))
+    // UPDATE clause may name the table instead of the alias
+    assert(graft.patterns.UpdateFromSqlCompiler.rewrite(spark,
+      task("UPDATE acct SET bal = s.delta FROM acct t JOIN dim s ON t.id = s.id"),
+      frames).nonEmpty)
+    // pre-update-row semantics: SET sees the PRE-update joined row
+    val swap = graft.patterns.UpdateFromSqlCompiler.rewrite(spark,
+      task("UPDATE t SET bal = s.delta, tag = concat(t.tag, s.action) " +
+        "FROM acct t JOIN dim s ON t.id = s.id"), frames).get
+    assert(swap.df.get.filter(col("id") === 1L)
+      .as[(Long, Double, String)].head() === ((1L, 5.0, "Akeep")))
+    // multi-match: T-SQL leaves the winner undefined — this engine
+    // aborts from the materializing action rather than silently pick
+    val dupDim = Seq((2L, 7.0, "adj"), (2L, 9.0, "adj"))
+      .toDF("id", "delta", "action")
+    val dupOut = graft.patterns.UpdateFromSqlCompiler.rewrite(spark,
+      task("UPDATE t SET bal = s.delta FROM acct t JOIN dim s ON t.id = s.id"),
+      Map("acct" -> tgt, "dim" -> dupDim)).get
+    val dupErr = intercept[Exception] { dupOut.df.get.collect() }
+    val chain = Iterator.iterate(dupErr: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString("\n")
+    assert(chain.contains("matched by multiple source rows"))
+    // off-shape declines: outer joins (different unmatched-row
+    // semantics), a second join, comma-list FROM, subqueries, a
+    // mismatched update token, trailing statements
+    assert(graft.patterns.UpdateFromSqlCompiler.rewrite(spark,
+      task("UPDATE t SET bal = s.delta FROM acct t LEFT JOIN dim s ON t.id = s.id"),
+      frames).isEmpty)
+    assert(graft.patterns.UpdateFromSqlCompiler.rewrite(spark,
+      task("UPDATE t SET bal = s.delta FROM acct t JOIN dim s ON t.id = s.id " +
+        "JOIN dim u ON u.id = s.id"), frames).isEmpty)
+    assert(graft.patterns.UpdateFromSqlCompiler.rewrite(spark,
+      task("UPDATE t SET bal = s.delta FROM acct t, dim s WHERE t.id = s.id"),
+      frames).isEmpty)
+    assert(graft.patterns.UpdateFromSqlCompiler.rewrite(spark,
+      task("UPDATE t SET bal = (SELECT max(delta) FROM dim) " +
+        "FROM acct t JOIN dim s ON t.id = s.id"), frames).isEmpty)
+    assert(graft.patterns.UpdateFromSqlCompiler.rewrite(spark,
+      task("UPDATE other SET bal = s.delta FROM acct t JOIN dim s ON t.id = s.id"),
+      frames).isEmpty)
+    assert(graft.patterns.UpdateFromSqlCompiler.rewrite(spark,
+      task("UPDATE t SET bal = s.delta FROM acct t JOIN dim s ON t.id = s.id; " +
+        "DELETE FROM acct"), frames).isEmpty)
+    // a 'join'/'from' inside a string literal is DATA, not structure
+    assert(graft.patterns.UpdateFromSqlCompiler.rewrite(spark,
+      task("UPDATE t SET tag = 'from the join' " +
+        "FROM acct t JOIN dim s ON t.id = s.id"), frames).nonEmpty)
+    // misspelled SET column aborts eagerly, never silently no-ops
+    assert(intercept[IllegalArgumentException] {
+      graft.patterns.UpdateFromSqlCompiler.rewrite(spark,
+        task("UPDATE t SET ball = s.delta FROM acct t JOIN dim s ON t.id = s.id"),
+        frames)
+    }.getMessage.contains("ball"))
+    // the compiled plan shuffles target×source ONCE (guard rides it)
+    val plan = out.df.get.queryExecution.optimizedPlan.toString
+    assert(plan.linesIterator.count(_.contains("Join ")) === 1,
+      s"UPDATE...FROM must join once:\n$plan")
+    assert(plan.contains("__graft_mcnt"))
+  }
+
   test("UpdateSqlCompiler: canonical single-table UPDATE; off-shape stays None") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
