@@ -1389,6 +1389,27 @@ object QueriesRelational {
       |       THEN 'ADJ' ELSE s.o_orderpriority END AS o_orderpriority
       |FROM staged s JOIN customer c ON s.o_custkey = c.c_custkey""".stripMargin
 
+  /** RANK() through the dtsx frontend — `RankPriorityETL.dtsx` carries
+    * the tie-group twin of q83's ROW_NUMBER idiom: 5 priority values
+    * over the orders fact give tie groups of ~N/15 rows, the shape
+    * whose raw window used to be the one remaining executed-SQL scale
+    * wall. [[graft.patterns.WindowSqlLowering]] now routes RANK and
+    * DENSE_RANK through [[graft.ops.RankLowering.rankLike]] — one
+    * map-side-combined groupBy to the distinct key frame, bounded-task
+    * two-phase rank over the keys, null-safe full-key join back — so a
+    * tie group straddling a range-bucket boundary is unobservable. */
+  def q93_dtsx_rank_sql(spark: SparkSession, dir: String): DataFrame =
+    runDtsxWarehousePackage(spark, dir, "RankPriorityETL.dtsx")
+      ._1.apply("order_priority_rank")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+        col("prio_rank").cast(IntegerType).as("prio_rank"))
+
+  val q93Oracle: String =
+    """SELECT o_orderkey, o_orderstatus, o_orderpriority,
+      |  CAST(RANK() OVER (PARTITION BY o_orderstatus
+      |    ORDER BY o_orderpriority) AS INT) AS prio_rank
+      |FROM orders""".stripMargin
+
   /** Explicit GROUPING SETS with grouping_id disambiguation (beyond q24's
     * rollup): two chosen aggregation levels, no intermediate level. */
   def q39_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
@@ -2747,6 +2768,7 @@ object QueriesRelational {
     "q90_dtsx_script_select" -> (q90_dtsx_script_select _),
     "q91_dtsx_param_synclog" -> (q91_dtsx_param_synclog _),
     "q92_dtsx_update_from" -> (q92_dtsx_update_from _),
+    "q93_dtsx_rank_sql" -> (q93_dtsx_rank_sql _),
     "q82_orc_roundtrip" -> (q82_orc_roundtrip _),
     "q80_dtsx_cdc_merge" -> (q80_dtsx_cdc_merge _),
     "q79_delete_cascade" -> (q79_delete_cascade _),
@@ -2832,6 +2854,7 @@ object QueriesRelational {
     "q90_dtsx_script_select" -> q90Oracle,
     "q91_dtsx_param_synclog" -> q91Oracle,
     "q92_dtsx_update_from" -> q92Oracle,
+    "q93_dtsx_rank_sql" -> q93Oracle,
     "q82_orc_roundtrip" -> q82Oracle,
     "q80_dtsx_cdc_merge" -> q80Oracle,
     "q79_delete_cascade" -> q79Oracle,

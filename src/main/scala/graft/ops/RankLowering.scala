@@ -5,7 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
-/** Scale-safe ROW_NUMBER — the two-phase distributed rank.
+/** Scale-safe ROW_NUMBER / RANK / DENSE_RANK — the two-phase
+  * distributed rank.
   *
   * A raw `row_number() OVER (PARTITION BY p ORDER BY o)` hash-exchanges
   * on `p` and sorts each partition in ONE task; when `p` has tiny
@@ -97,5 +98,98 @@ object RankLowering {
           .cast(IntegerType))
       .drop(pNames ++ offNames ++
         Seq("__graft_rk_b", "__graft_rk_bo", "__graft_rk_l", "__graft_rk_off"): _*)
+  }
+
+  /** `rank()` / `dense_rank()` over (`partCols`, ordered by `orderPlain`
+    * with per-item `descFlags`) as an IntegerType column `outCol`,
+    * computed with bounded tasks at ANY partition-key cardinality.
+    *
+    * Unlike ROW_NUMBER, rank functions are TIE-GROUP functions: every
+    * row of a tie group takes the same value, so the two-phase bucket
+    * decomposition that is exact for row_number would need a boundary
+    * repair (a tie group split across a range-bucket edge restarts its
+    * local rank). This implementation sidesteps boundary repair by
+    * ranking the DISTINCT key frame instead:
+    *
+    *  1. ONE corpus shuffle: `groupBy(part ++ order keys)` with
+    *     map-side combining collapses the input to its distinct keys,
+    *     each carrying its tie-group size. Ties can never straddle
+    *     anything afterwards — each tie group is one row.
+    *  2. On the key frame (corpus → |keys| rows):
+    *     dense_rank = [[rowNumber]] over the keys (distinct ⇒ no ties);
+    *     rank = 1 + exclusive prefix sum of tie-group sizes, the same
+    *     order-aligned bucket scan rowNumber uses, weighted by count.
+    *  3. A null-safe join back on the full key — keyed by the
+    *     high-cardinality (part, order) tuple, so tasks stay bounded by
+    *     tie-group size; AQE picks broadcast when the key frame is
+    *     small.
+    *
+    * Same deterministic-input requirement as [[rowNumber]]. NULL order
+    * values rank per Spark's null ordering (ASC = NULLS FIRST) — SQL
+    * oracles must say so explicitly. */
+  def rankLike(df: DataFrame, partCols: Seq[Column], orderPlain: Seq[Column],
+      descFlags: Seq[Boolean], outCol: String, dense: Boolean,
+      buckets: Int = 64): DataFrame = {
+    require(orderPlain.nonEmpty, "rank requires an ORDER BY")
+    require(orderPlain.length == descFlags.length,
+      "one desc flag per order expression")
+    val pNames = partCols.indices.map(i => s"__graft_rkk_p$i")
+    val oNames = orderPlain.indices.map(i => s"__graft_rkk_o$i")
+    val withPO = (partCols.zip(pNames) ++ orderPlain.zip(oNames))
+      .foldLeft(df) { case (d, (c, n)) => d.withColumn(n, c) }
+    val keyCols = (pNames ++ oNames).map(col)
+    val keyCounts = withPO.groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("__graft_rkk_n"))
+    val directed = oNames.zip(descFlags).map { case (n, d) =>
+      if (d) col(n).desc else col(n).asc
+    }
+    val keyRank =
+      if (dense)
+        rowNumber(keyCounts, pNames.map(col), directed, "__graft_rkk_r",
+          buckets)
+          .withColumn("__graft_rkk_r", col("__graft_rkk_r").cast(LongType))
+      else {
+        // weighted twin of rowNumber's scan: local exclusive cumsum of
+        // tie-group sizes within order-aligned buckets + bucket-total
+        // offsets; both consumers share the one ranged exchange
+        val ranged = keyCounts
+          .repartitionByRange(buckets, pNames.map(col) ++ directed: _*)
+          .withColumn("__graft_rkk_b", spark_partition_id())
+        val wLocal = Window
+          .partitionBy((pNames :+ "__graft_rkk_b").map(col): _*)
+          .orderBy(directed: _*)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val local = ranged.withColumn("__graft_rkk_cum",
+          coalesce(sum(col("__graft_rkk_n")).over(wLocal), lit(0L)))
+        val wOff = Window.partitionBy(pNames.map(col): _*)
+          .orderBy(col("__graft_rkk_b"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offNames = pNames.map(_ + "_o")
+        val offsets = ranged
+          .groupBy((pNames :+ "__graft_rkk_b").map(col): _*)
+          .agg(sum(col("__graft_rkk_n")).as("__graft_rkk_bn"))
+          .withColumn("__graft_rkk_off",
+            coalesce(sum(col("__graft_rkk_bn")).over(wOff), lit(0L)))
+          .select(pNames.zip(offNames).map { case (n, o) => col(n).as(o) } ++
+            Seq(col("__graft_rkk_b").as("__graft_rkk_bo"),
+              col("__graft_rkk_off")): _*)
+        val jc = pNames.zip(offNames)
+          .map { case (n, o) => local(n) <=> offsets(o) }
+          .foldLeft(local("__graft_rkk_b") === offsets("__graft_rkk_bo"))(_ && _)
+        local.join(offsets, jc)
+          .withColumn("__graft_rkk_r",
+            lit(1L) + col("__graft_rkk_cum") + col("__graft_rkk_off"))
+      }
+    // rename the key frame's columns so the back-join is unambiguous
+    val kNames = (pNames ++ oNames).map(_ + "_k")
+    val keyed = (pNames ++ oNames).zip(kNames)
+      .foldLeft(keyRank)((d, p) => d.withColumnRenamed(p._1, p._2))
+      .select((kNames.map(col) :+ col("__graft_rkk_r")): _*)
+    val backCond = (pNames ++ oNames).zip(kNames)
+      .map { case (n, k) => withPO(n) <=> keyed(k) }
+      .reduce(_ && _)
+    withPO.join(keyed, backCond)
+      .withColumn(outCol, col("__graft_rkk_r").cast(IntegerType))
+      .drop(pNames ++ oNames ++ kNames :+ "__graft_rkk_r": _*)
   }
 }

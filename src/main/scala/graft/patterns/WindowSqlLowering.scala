@@ -11,9 +11,10 @@ import org.apache.spark.sql.functions.{col, expr}
   * key into one task — fine for a 5-segment dimension, a single-task
   * sort of ~N/5 rows the moment a user points the same package at a
   * fact table. When the executed SELECT carries exactly one top-level
-  * `ROW_NUMBER() OVER (...) AS alias` item, this rewrites it through
-  * [[graft.ops.RankLowering]] (order-aligned range buckets + two-phase
-  * offsets — bounded tasks at ANY partition-key cardinality).
+  * `ROW_NUMBER() | RANK() | DENSE_RANK() OVER (...) AS alias` item,
+  * this rewrites it through [[graft.ops.RankLowering]] (order-aligned
+  * range buckets + two-phase offsets — bounded tasks at ANY
+  * partition-key cardinality).
   *
   * Anything off-shape returns None and the caller executes the
   * original SQL unchanged — the lowering must never change WHAT is
@@ -31,18 +32,18 @@ import org.apache.spark.sql.functions.{col, expr}
   * lowering reuses that output column directly — same expression over
   * the same input rows, the exact value the raw window ordered by.
   *
-  * RANK()/DENSE_RANK() are deliberately NOT lowered: the two-phase
-  * decomposition is exact for ROW_NUMBER because every row counts once
-  * regardless of ties, but a tie GROUP split across a range-bucket
-  * boundary would take two different rank values (the second bucket's
-  * local rank restarts at 1 while true rank repeats the first bucket's
-  * value) — repairing that needs a boundary-value join we judged not
-  * worth the plan complexity. Those functions keep the raw window: the
-  * honest single-task-per-partition cost, documented here rather than
-  * silently wrong. */
+  * RANK()/DENSE_RANK() lower through
+  * [[graft.ops.RankLowering.rankLike]]: the two-phase bucket
+  * decomposition alone would be wrong for tie-group functions (a tie
+  * group split across a range-bucket boundary takes two values), so the
+  * rank is computed over the DISTINCT key frame — one map-side-combined
+  * groupBy collapses ties to single rows, the key frame ranks with the
+  * same bounded-task machinery, and a null-safe full-key join lands the
+  * value back on every corpus row. Exact at any tie distribution. */
 object WindowSqlLowering {
 
-  private val rowNumberOpenRe = "(?i)row_number\\s*\\(\\s*\\)\\s+over\\s*\\(".r
+  private val rankFnOpenRe =
+    "(?i)\\b(row_number|dense_rank|rank)\\s*\\(\\s*\\)\\s+over\\s*\\(".r
   private val asAliasRe = "(?is)^\\s+as\\s+([A-Za-z_][A-Za-z0-9_]*)".r
   private val overBodyRe =
     "(?is)^\\s*(?:partition\\s+by\\s+(.+?))?\\s*order\\s+by\\s+(.+)$".r
@@ -97,9 +98,10 @@ object WindowSqlLowering {
     // depth-0 hit is always the outer statement's.
     if (limitOrOrderRe.findAllMatchIn(msk)
         .exists(m => depthAt(msk, m.start) == 0)) return None
-    val matches = rowNumberOpenRe.findAllMatchIn(msk).toList
+    val matches = rankFnOpenRe.findAllMatchIn(msk).toList
     matches match {
       case m :: Nil if depthAt(msk, m.start) == 0 =>
+        val fn = m.group(1).toLowerCase
         for {
           (overBody, afterOver) <- MergeSqlCompiler.balanced(select, m.end)
           am <- asAliasRe.findPrefixMatchOf(msk.substring(afterOver))
@@ -121,7 +123,7 @@ object WindowSqlLowering {
           partList = Option(ob.group(1))
             .map(_ => overBody.substring(ob.start(1), ob.end(1)))
           orderList = overBody.substring(ob.start(2), ob.end(2))
-          df <- lowerParsed(spark, before, after, alias, partList, orderList)
+          df <- lowerParsed(spark, fn, before, after, alias, partList, orderList)
         } yield df
       case _ => None
     }
@@ -139,7 +141,7 @@ object WindowSqlLowering {
     } yield MergeSqlCompiler.splitTop(baseText.substring(sel.end, from.start))
   }
 
-  private def lowerParsed(spark: SparkSession, before: String,
+  private def lowerParsed(spark: SparkSession, fn: String, before: String,
       after: String, alias: String, partList: Option[String],
       orderList: String): Option[DataFrame] = {
     // base select = the statement with the window item (and its comma)
@@ -203,8 +205,15 @@ object WindowSqlLowering {
       // resolution check: every OVER reference must bind against the
       // window-free output — analysis failure falls back to raw SQL
       base.select((pCols ++ oPlain).flatten: _*).queryExecution.analyzed
-      val ranked = graft.ops.RankLowering.rowNumber(base,
-        pCols.flatten, oCols.flatten, alias)
+      val ranked = fn match {
+        case "row_number" =>
+          graft.ops.RankLowering.rowNumber(base, pCols.flatten,
+            oCols.flatten, alias)
+        case _ =>
+          graft.ops.RankLowering.rankLike(base, pCols.flatten,
+            oPlain.flatten, oCompiled.map(_._2), alias,
+            dense = fn == "dense_rank")
+      }
       val ordered = {
         val bs = base.columns.toSeq
         (bs.take(itemIdx) :+ alias) ++ bs.drop(itemIdx)

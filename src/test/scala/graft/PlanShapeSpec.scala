@@ -857,6 +857,20 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q93: frontend RANK ranks the distinct key frame, never the raw window") {
+    // 3 statuses × 5 priorities over the orders fact: the raw window
+    // would sort ~N/3 rows per task and the two-phase bucket rank alone
+    // would split tie groups — rankLike's key frame does neither
+    val plan = executedPlan("q93_dtsx_rank_sql")
+    assert(plan.contains("__graft_rkk_"),
+      "frontend RANK must route through RankLowering.rankLike")
+    val rawRank = plan.linesIterator.filter(l =>
+      l.contains("Window") && l.contains("rank("))
+    assert(rawRank.isEmpty, "a raw rank window survived the lowering")
+    assert(plan.contains("partial_count"),
+      "the tie-group collapse must map-side combine")
+  }
+
   test("q75: sort-component position rank is bucket-keyed, not one task") {
     val plan = executedPlan("q75_sort_component")
     assert(plan.contains("__graft_rk_b"),

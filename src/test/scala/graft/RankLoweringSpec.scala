@@ -143,6 +143,68 @@ class RankLoweringSpec extends AnyFunSuite {
     }
   }
 
+  test("property: rankLike equals raw RANK/DENSE_RANK across tie-heavy shapes") {
+    // rank/dense_rank are tie-GROUP functions: the heavy-tie generator
+    // (5 distinct v values over 400 rows) forces tie groups to straddle
+    // every range-bucket boundary at small bucket counts — the distinct
+    // key frame must make that unobservable
+    val rnd = new scala.util.Random(11)
+    val data = (1 to 400).map { i =>
+      (i.toLong, s"p${rnd.nextInt(2) * rnd.nextInt(3)}", rnd.nextInt(5).toDouble)
+    }
+    val df2 = data.toDF("id", "k", "v")
+    for {
+      buckets <- Seq(1, 3, 64)
+      desc <- Seq(false, true)
+    } {
+      val w = Window.partitionBy($"k")
+        .orderBy(if (desc) $"v".desc else $"v".asc)
+      val raw = df2
+        .withColumn("r", rank().over(w))
+        .withColumn("d", dense_rank().over(w))
+        .select("id", "r", "d").as[(Long, Int, Int)].collect().toSeq.sorted
+      val lowR = RankLowering.rankLike(df2, Seq(col("k")), Seq(col("v")),
+        Seq(desc), "r", dense = false, buckets)
+      val low = RankLowering.rankLike(lowR, Seq(col("k")), Seq(col("v")),
+        Seq(desc), "d", dense = true, buckets)
+        .select("id", "r", "d").as[(Long, Int, Int)].collect().toSeq.sorted
+      assert(low === raw, s"mismatch at buckets=$buckets desc=$desc")
+    }
+    // global (no partition) + NULL order values rank as a group
+    val dfN = Seq((1L, Some(2.0)), (2L, None), (3L, Some(2.0)), (4L, None),
+      (5L, Some(1.0))).toDF("id", "v")
+    val rawN = dfN.withColumn("r", rank().over(Window.orderBy($"v")))
+      .select("id", "r").as[(Long, Int)].collect().toSeq.sorted
+    val lowN = RankLowering.rankLike(dfN, Nil, Seq(col("v")), Seq(false),
+      "r", dense = false, buckets = 3)
+      .select("id", "r").as[(Long, Int)].collect().toSeq.sorted
+    assert(lowN === rawN, "NULL order keys must rank as one tie group")
+  }
+
+  test("WindowSqlLowering lowers RANK/DENSE_RANK through the key frame") {
+    df.createOrReplaceTempView("rk_t")
+    for (fn <- Seq("RANK", "DENSE_RANK")) {
+      // heavy ties: v has 101 distinct values over 500 rows
+      val sql = s"SELECT id, k, v, $fn() OVER (PARTITION BY k " +
+        "ORDER BY v DESC) AS rk FROM rk_t"
+      val low = WindowSqlLowering.lower(spark, sql)
+        .getOrElse(fail(s"$fn analytic select did not lower"))
+      assert(low.columns.toSeq === Seq("id", "k", "v", "rk"))
+      val a = spark.sql(sql).select("id", "rk").as[(Long, Int)]
+        .collect().toSeq.sorted
+      val b = low.select("id", "rk").as[(Long, Int)].collect().toSeq.sorted
+      assert(a === b, s"$fn lowering changed the result")
+      // the plan ranks the DISTINCT key frame with bucket-keyed tasks —
+      // no window partitioned by the bare low-cardinality key survives
+      val plan = low.queryExecution.executedPlan.toString
+      assert(plan.contains("__graft_rkk_"),
+        s"$fn must route through rankLike's key frame")
+      val rawWin = plan.linesIterator.filter(l =>
+        l.contains("Window") && (l.contains("rank(") || l.contains("dense_rank(")))
+      assert(rawWin.isEmpty, s"$fn kept a raw rank window")
+    }
+  }
+
   test("off-shape selects fall back to raw SQL (None)") {
     df.createOrReplaceTempView("rk_t")
     // two windows
