@@ -1,7 +1,6 @@
 package graft.ops
 
-import java.io.File
-
+import org.apache.hadoop.fs.{FileStatus, FileSystem, FileUtil, Path}
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -10,8 +9,21 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * ingest dataset needs: per-iteration ForEach appends and over-parallel
   * writes each leave a file per task, and at 100 TB a scan's cost becomes
   * listing/open dominated long before it is byte dominated. Compaction
-  * rewrites a parquet directory into ~`targetFileBytes` files and
-  * atomically swaps it in place.
+  * rewrites a parquet directory into ~`targetFileBytes` files and swaps
+  * it in place.
+  *
+  * All filesystem access goes through the Hadoop [[FileSystem]] API
+  * resolved from the dataset's own path — the same abstraction Spark's
+  * readers use — so the pass runs unchanged against `file:`, `hdfs:`,
+  * or an object store's connector. STORE CONTRACT: the publish step is
+  * two directory renames, which are atomic on HDFS and local
+  * filesystems; object-store connectors (s3a and friends) implement
+  * rename as copy+delete, so there the swap is NOT atomic and a
+  * concurrent reader can observe a partial generation. On such stores
+  * run compaction inside the table format's own commit protocol, or
+  * publish by the write-new-generation + pointer-swap convention
+  * (write to a fresh `gen-N` directory and flip a small pointer file /
+  * catalog entry instead of renaming in place).
   *
   * Safety contract (each clause guards a dataset shape this repo itself
   * produces):
@@ -39,20 +51,20 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * listing) — so a 10 GB partition gets ~80 files and a 1 MB partition
   * exactly one, and total output stays ~bytes/target.
   *
-  * The rewrite is published with the same atomic-rename idiom as
-  * [[Bucketing.ensureStaged]] so a concurrent reader sees either the old
-  * files or the new, never a half-written mix. Between the two renames
-  * there is a window where the path does not exist (readers get
-  * ENOENT-and-retry, never partial data); if the second rename fails the
-  * original generation is MOVED BACK, so a crash cannot strand the only
-  * copy under the `.old-*` name. Root-level underscore sidecar files
-  * (`_SUCCESS`, custom markers) ARE carried into the new generation —
-  * external tooling keys on them — with deliberate exceptions:
-  * `_metadata` and `_common_metadata` (they describe the REPLACED files'
-  * row groups / footer schema; a mergeSchema rewrite can widen the
-  * schema, so carrying either forward would be a stale lie) and
-  * dot-prefixed files (local-FS `.crc` checksums name specific data
-  * files).
+  * The rewrite is published with the same rename idiom as
+  * [[Bucketing.ensureStaged]] so a reader on a rename-atomic store sees
+  * either the old files or the new, never a half-written mix. Between
+  * the two renames there is a window where the path does not exist
+  * (readers get ENOENT-and-retry, never partial data); if the second
+  * rename fails the original generation is MOVED BACK, so a crash
+  * cannot strand the only copy under the `.old-*` name. Root-level
+  * underscore sidecar files (`_SUCCESS`, custom markers) ARE carried
+  * into the new generation — external tooling keys on them — with
+  * deliberate exceptions: `_metadata` and `_common_metadata` (they
+  * describe the REPLACED files' row groups / footer schema; a
+  * mergeSchema rewrite can widen the schema, so carrying either forward
+  * would be a stale lie) and dot-prefixed files (local-FS `.crc`
+  * checksums name specific data files).
   */
 object Compaction {
 
@@ -64,31 +76,40 @@ object Compaction {
     * (Spark never reads under `_temporary`, `.compact-*` leftovers, etc.
     * — counting them would inflate sizing and, worse, let the swap delete
     * rows the rewrite never carried). */
-  private def parquetFiles(dir: File): Seq[File] = {
+  private def parquetFiles(fs: FileSystem, dir: Path): Seq[FileStatus] = {
     def hidden(name: String) = name.startsWith(".") || name.startsWith("_")
-    def walk(f: File): Seq[File] =
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty).toSeq
-          .filterNot(c => hidden(c.getName)).flatMap(walk)
-      else Seq(f)
-    walk(dir).filter(_.getName.endsWith(".parquet"))
+    def walk(st: FileStatus): Seq[FileStatus] =
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).toSeq
+          .filterNot(c => hidden(c.getPath.getName)).flatMap(walk)
+      else Seq(st)
+    walk(fs.getFileStatus(dir)).filter(_.getPath.getName.endsWith(".parquet"))
+  }
+
+  /** `file`'s path components below `dir` (both already qualified by the
+    * same [[FileSystem]], so prefix arithmetic on the URI paths is
+    * exact). */
+  private def relParts(dir: Path, file: Path): Seq[String] = {
+    val base = dir.toUri.getPath.stripSuffix("/")
+    val full = file.toUri.getPath
+    require(full.startsWith(base + "/"),
+      s"$file is not under $dir — listing and dataset disagree")
+    full.stripPrefix(base + "/").split("/").toSeq
   }
 
   /** Hive partition columns from the directory layout: each nested level
     * of `k=v`-named directories contributes its key, outermost first. */
-  private def partitionColumns(dir: File): Seq[String] = {
+  private def partitionColumns(fs: FileSystem, dir: Path): Seq[String] = {
     val KV = "([^=/]+)=.*".r
-    def level(d: File): Seq[String] =
-      Option(d.listFiles()).getOrElse(Array.empty)
-        .filter(_.isDirectory).map(_.getName).collectFirst {
-          case KV(k) => k
-        } match {
+    def level(d: Path): Seq[String] = {
+      val dirs = fs.listStatus(d).filter(_.isDirectory)
+      dirs.map(_.getPath.getName).collectFirst { case KV(k) => k } match {
         case Some(k) =>
-          val child = Option(d.listFiles()).getOrElse(Array.empty)
-            .find(c => c.isDirectory && c.getName.startsWith(s"$k="))
-          k +: child.map(level).getOrElse(Nil)
+          val child = dirs.find(_.getPath.getName.startsWith(s"$k="))
+          k +: child.map(c => level(c.getPath)).getOrElse(Nil)
         case None => Nil
       }
+    }
     level(dir)
   }
 
@@ -99,18 +120,22 @@ object Compaction {
   def compact(spark: SparkSession, path: String,
       targetFileBytes: Long = 128L * 1024 * 1024): CompactionStats = {
     require(targetFileBytes > 0, s"targetFileBytes must be positive: $targetFileBytes")
-    // canonical File: a trailing slash in `path` must not move the
-    // scratch/old siblings INSIDE the dataset (move-into-self EINVAL)
-    val dir = new File(path).getAbsoluteFile
-    require(!new File(dir, "_spark_metadata").exists(),
+    val conf = spark.sessionState.newHadoopConf()
+    // qualify once: a trailing slash in `path` must not move the
+    // scratch/old siblings INSIDE the dataset (move-into-self), and all
+    // later prefix arithmetic assumes the qualified spelling
+    val raw = new Path(path)
+    val fs = raw.getFileSystem(conf)
+    val dir = fs.makeQualified(raw)
+    require(!fs.exists(new Path(dir, "_spark_metadata")),
       s"$dir is a streaming sink (_spark_metadata): compacting would orphan " +
         "the sink's transaction log; move the data out of the sink first")
-    val before = parquetFiles(dir)
-    val bytesBefore = before.map(_.length).sum
+    val before = parquetFiles(fs, dir)
+    val bytesBefore = before.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(bytesBefore.toDouble / targetFileBytes).toInt)
     if (before.length <= nOut)
       return CompactionStats(before.length, before.length, bytesBefore, bytesBefore)
-    val partCols = partitionColumns(dir)
+    val partCols = partitionColumns(fs, dir)
     // a mixed/partial layout (data files above the detected partition
     // depth, or non-`k=v` directory components) must fail with a CLEAR
     // message before any rewrite, not an opaque index error mid-sizing —
@@ -118,20 +143,21 @@ object Compaction {
     // destroy planning-time pruning for its readers
     if (partCols.nonEmpty) {
       val offenders = before.filter { f =>
-        val rel = dir.toPath.relativize(f.toPath)
-        rel.getNameCount != partCols.size + 1 ||
-          partCols.indices.exists(i => !rel.getName(i).toString.contains("="))
+        val rel = relParts(dir, f.getPath)
+        rel.length != partCols.size + 1 ||
+          partCols.indices.exists(i => !rel(i).contains("="))
       }
       require(offenders.isEmpty,
         s"inconsistent partition layout under $dir: detected partition " +
           s"columns ${partCols.mkString("(", ", ", ")")} but " +
           s"${offenders.size} data file(s) sit outside that k=v depth, " +
-          s"e.g. ${offenders.take(3).map(f => dir.toPath.relativize(f.toPath).toString).mkString(", ")}")
+          s"e.g. ${offenders.take(3).map(f => relParts(dir, f.getPath).mkString("/")).mkString(", ")}")
     }
     // mergeSchema: a schema-evolved dataset (q58 shape) must keep every
     // batch's columns through the rewrite
-    val df = spark.read.option("mergeSchema", "true").parquet(dir.getPath)
-    val scratch = new File(dir.getParentFile, dir.getName + ".compact-" + java.util.UUID.randomUUID)
+    val df = spark.read.option("mergeSchema", "true").parquet(dir.toString)
+    val scratch = new Path(dir.getParent,
+      dir.getName + ".compact-" + java.util.UUID.randomUUID)
     val out =
       if (partCols.isEmpty) df.repartition(nOut)
       else {
@@ -140,11 +166,11 @@ object Compaction {
         // bytes summed per value tuple
         val hiveNull = "__HIVE_DEFAULT_PARTITION__"
         val perPart: Map[Seq[String], Long] = before.groupBy { f =>
-          val rel = dir.toPath.relativize(f.toPath)
+          val rel = relParts(dir, f.getPath)
           partCols.indices.map(i =>
             org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-              .unescapePathName(rel.getName(i).toString.split("=", 2)(1)))
-        }.view.mapValues(_.map(_.length).sum).toMap
+              .unescapePathName(rel(i).split("=", 2)(1)))
+        }.view.mapValues(_.map(_.getLen).sum).toMap
         val pvCols = partCols.indices.map(i => s"__graft_pv_$i")
         val rows = perPart.toSeq.map { case (vals, bytes) =>
           Row.fromSeq(vals :+ bytes)
@@ -202,7 +228,7 @@ object Compaction {
       }
     val writer = out.write
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
-      .parquet(scratch.getAbsolutePath)
+      .parquet(scratch.toString)
     // carry root-level underscore sidecars (`_SUCCESS`, custom completion
     // markers) into the new generation BEFORE the swap — external tooling
     // keys on them and the rewrite must not eat them. Deliberately
@@ -212,32 +238,35 @@ object Compaction {
     // forward would be a stale lie), dot-files (local-FS `.crc`
     // checksums name specific data files), and directories (`_temporary`
     // debris from crashed writers has no place in a fresh generation).
-    Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.startsWith("_") &&
-        f.getName != "_metadata" && f.getName != "_common_metadata")
+    fs.listStatus(dir)
+      .filter(f => f.isFile && f.getPath.getName.startsWith("_") &&
+        f.getPath.getName != "_metadata" && f.getPath.getName != "_common_metadata")
       .foreach { f =>
-        java.nio.file.Files.copy(f.toPath, new File(scratch, f.getName).toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        FileUtil.copy(fs, f.getPath, fs, new Path(scratch, f.getPath.getName),
+          /* deleteSource = */ false, /* overwrite = */ true, conf): Unit
       }
-    // atomic swap: old dir aside, scratch in, old deleted — readers see
-    // one complete generation or the other
-    val old = new File(dir.getParentFile, dir.getName + ".old-" + java.util.UUID.randomUUID)
-    java.nio.file.Files.move(dir.toPath, old.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    try java.nio.file.Files.move(scratch.toPath, dir.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // swap: old dir aside, scratch in, old deleted — on a rename-atomic
+    // store readers see one complete generation or the other (see the
+    // object-store caveat in the class doc). Hadoop rename signals
+    // failure by RETURNING false as often as by throwing — both paths
+    // must restore.
+    def rename(from: Path, to: Path): Unit =
+      require(fs.rename(from, to), s"rename $from -> $to failed")
+    val old = new Path(dir.getParent, dir.getName + ".old-" + java.util.UUID.randomUUID)
+    rename(dir, old)
+    try rename(scratch, dir)
     catch {
       case t: Throwable =>
         // the second rename failed: restore the original generation so a
         // crash here cannot strand the only copy under the .old-* name
-        try java.nio.file.Files.move(old.toPath, dir.toPath,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        try rename(old, dir)
         catch { case r: Throwable => t.addSuppressed(r) }
-        Bucketing.deleteDirRecursively(scratch)
+        fs.delete(scratch, true): Unit
         throw t
     }
-    Bucketing.deleteDirRecursively(old)
-    val after = parquetFiles(dir)
-    CompactionStats(before.length, after.length, bytesBefore, after.map(_.length).sum)
+    fs.delete(old, true): Unit
+    val after = parquetFiles(fs, dir)
+    CompactionStats(before.length, after.length, bytesBefore,
+      after.map(_.getLen).sum)
   }
 }
