@@ -772,7 +772,7 @@ object QueriesTrainingData {
       |    regexp_replace(
       |      CASE WHEN sch = 'https' THEN regexp_replace(hp, ':443$', '')
       |           WHEN sch = 'http' THEN regexp_replace(hp, ':80$', '')
-      |           ELSE hp END, '^www\.', '') AS host
+      |           ELSE hp END, '^www\.([^.]+\..+)', '\1') AS host
       |  FROM p),
       |dom AS (
       |  SELECT doc_id, text,
@@ -3494,7 +3494,15 @@ object QueriesTrainingData {
     "psl2(r) AS (VALUES " +
       graft.text.PublicSuffix.sqlValues(graft.text.PublicSuffix.rules2) +
       "),\npsl3(r) AS (VALUES " +
-      graft.text.PublicSuffix.sqlValues(graft.text.PublicSuffix.rules3) + ")"
+      graft.text.PublicSuffix.sqlValues(graft.text.PublicSuffix.rules3) +
+      "),\npslw1(r) AS (VALUES " +
+      graft.text.PublicSuffix.sqlValues(graft.text.PublicSuffix.wildcardTlds) +
+      "),\npslw2(r) AS (VALUES " +
+      graft.text.PublicSuffix.sqlValues(graft.text.PublicSuffix.wildcardParents2) +
+      "),\npslx2(r) AS (VALUES " +
+      graft.text.PublicSuffix.sqlValues(graft.text.PublicSuffix.exceptions2) +
+      "),\npslx3(r) AS (VALUES " +
+      graft.text.PublicSuffix.sqlValues(graft.text.PublicSuffix.exceptions3) + ")"
 
   /** URL/host canonicalization + domain-level dedup — standard web-corpus
     * curation: normalize scheme/host case, default ports, `www.`,
@@ -3556,7 +3564,7 @@ object QueriesTrainingData {
       |    regexp_replace(
       |      CASE WHEN sch = 'https' THEN regexp_replace(hp, ':443$', '')
       |           WHEN sch = 'http' THEN regexp_replace(hp, ':80$', '')
-      |           ELSE hp END, '^www\.', '') AS host,
+      |           ELSE hp END, '^www\.([^.]+\..+)', '\1') AS host,
       |    CASE WHEN regexp_replace(pth, '/+$', '') = '' THEN '/'
       |         ELSE regexp_replace(pth, '/+$', '') END AS cpath,
       |    CASE WHEN qry = '' THEN ''
@@ -4492,7 +4500,7 @@ object QueriesTrainingData {
       |    regexp_replace(
       |      CASE WHEN sch = 'https' THEN regexp_replace(hp, ':443$', '')
       |           WHEN sch = 'http' THEN regexp_replace(hp, ':80$', '')
-      |           ELSE hp END, '^www\.', '') AS host,
+      |           ELSE hp END, '^www\.([^.]+\..+)', '\1') AS host,
       |    CASE WHEN regexp_replace(pth, '/+$', '') = '' THEN '/'
       |         ELSE regexp_replace(pth, '/+$', '') END AS cpath,
       |    CASE WHEN qry = '' THEN ''

@@ -13,21 +13,27 @@ import org.apache.spark.sql.functions._
   * is the public, de-facto-standard rule set browsers and crawlers use
   * to find the registrable boundary.
   *
-  * Scope of the snapshot: the plain (non-wildcard, non-exception)
-  * multi-label rules for the high-traffic ccTLD second-level registries
-  * plus the common shared-hosting private-section suffixes (github.io,
-  * blogspot.com, …). Wildcard (`*.ck`) and exception (`!www.ck`) rules
-  * are intentionally out of scope — they are rare, and keeping the rule
-  * set to plain literals keeps the lookup a single hash-set membership
-  * test (Catalyst `InSet` after the >10-literal `In` conversion, O(1)
-  * per row inside whole-stage codegen) AND keeps the rule table
-  * oracle-expressible as a plain `VALUES` join in DuckDB. Hosts under a
-  * TLD with no matching rule fall back to the PSL default rule `*`:
-  * suffix = last label, registered domain = last two labels — exactly
-  * the round-10 behavior, so unlisted TLDs are unchanged.
+  * Scope of the snapshot: the plain multi-label rules for the
+  * high-traffic ccTLD second-level registries plus the common
+  * shared-hosting private-section suffixes (github.io, blogspot.com,
+  * …), AND the full wildcard/exception rule families the list carries —
+  * the TLD-level `*.ck`-class wildcards with their `!www.ck` exception,
+  * and the Japanese city `*.kawasaki.jp`-class wildcards with their
+  * `!city.<x>.jp` exceptions. All four families are tiny fixed sets, so
+  * they compile to the SAME mechanism as the plain rules: hash-set
+  * membership probes over the last-k-label tails (Catalyst `InSet`
+  * after the >10-literal `In` conversion, O(1) per row inside
+  * whole-stage codegen, zero joins) — strictly cheaper at any scale
+  * than the broadcast-join alternative, and every probe set stays
+  * oracle-expressible as a plain `VALUES` CTE in DuckDB. PSL precedence
+  * is encoded in the CASE order: exceptions before the wildcards they
+  * cancel, longer rules before shorter. Hosts under a TLD with no
+  * matching rule fall back to the PSL default rule `*`: suffix = last
+  * label, registered domain = last two labels — so unlisted TLDs are
+  * unchanged.
   *
   * At full-PSL scale (~9k rules) the same candidate-suffix columns
-  * ([[registeredDomainOfHost]] extracts the last-2/3/4-label tails)
+  * ([[registeredDomainOfHost]] extracts the last-1/2/3/4-label tails)
   * would feed a broadcast join against a rules table instead of the
   * literal `InSet`; the extraction side of the plan is identical.
   */
@@ -225,6 +231,34 @@ object PublicSuffix {
     "s3.amazonaws.com",
   )
 
+  /** TLD-level wildcard rules (`*.bd`, `*.ck`, …) by parent TLD: every
+    * label directly under the TLD is itself a public suffix, so a host
+    * `a.b.ck` registers `a.b.ck` (suffix `b.ck`). ICANN-section
+    * snapshot. */
+  val wildcardTlds: Seq[String] = Seq(
+    "bd", "ck", "er", "fk", "jm", "kh", "mm", "np", "pg",
+  )
+
+  /** Exception rules cancelling [[wildcardTlds]] (`!www.ck`): the listed
+    * 2-label host IS registrable — its public suffix is the bare TLD. */
+  val exceptions2: Seq[String] = Seq("www.ck")
+
+  /** Second-level wildcard parents (`*.kawasaki.jp`-class, the Japanese
+    * city geographic registries): every label directly under the listed
+    * 2-label parent is a public suffix. */
+  val wildcardParents2: Seq[String] = Seq(
+    "kawasaki.jp", "kitakyushu.jp", "kobe.jp", "nagoya.jp", "sapporo.jp",
+    "sendai.jp", "yokohama.jp",
+  )
+
+  /** Exception rules cancelling [[wildcardParents2]]
+    * (`!city.kawasaki.jp`): the listed 3-label host IS registrable. */
+  val exceptions3: Seq[String] = Seq(
+    "city.kawasaki.jp", "city.kitakyushu.jp", "city.kobe.jp",
+    "city.nagoya.jp", "city.sapporo.jp", "city.sendai.jp",
+    "city.yokohama.jp",
+  )
+
   /** DuckDB `VALUES` body for a rules CTE — the oracle-side twin of the
     * `InSet` lookup, so correctness gates join against the IDENTICAL
     * rule table the engine compiles in. */
@@ -243,24 +277,40 @@ object PublicSuffix {
     val h = regexp_replace(host, ":\\d+$", "")
     def lastK(k: Int): Column =
       regexp_extract(h, s"((?:[^.]+\\.){${k - 1}}[^.]+)$$", 1)
+    val l1 = lastK(1)
     val l2 = lastK(2)
     val l3 = lastK(3)
     val l4 = lastK(4)
-    when(l4 =!= "" && l3.isin(rules3: _*), l4)
+    // PSL precedence, encoded top-down: exception rules first (they
+    // cancel the wildcard below them), then wildcards, then plain rules
+    // longest-first, then the default `*` rule
+    when(l3 =!= "" && l3.isin(exceptions3: _*), l3)
+      .when(l4 =!= "" && l2.isin(wildcardParents2: _*), l4)
+      .when(l2 =!= "" && l2.isin(exceptions2: _*), l2)
+      .when(l3 =!= "" && l1.isin(wildcardTlds: _*), l3)
+      .when(l4 =!= "" && l3.isin(rules3: _*), l4)
       .when(l3 =!= "" && l2.isin(rules2: _*), l3)
       .otherwise(l2)
   }
 
   /** Oracle-side registered-domain CASE over a host expression, joined
-    * against [[rules2]]/[[rules3]] CTEs named `psl2(r)`/`psl3(r)`.
-    * Callers splice `WITH psl2(r) AS (VALUES ...), psl3(r) AS (...)`
-    * from [[sqlValues]] and then use this expression. */
+    * against the rule CTEs `psl2(r)`/`psl3(r)` ([[rules2]]/[[rules3]]),
+    * `pslw1(r)`/`pslw2(r)` ([[wildcardTlds]]/[[wildcardParents2]]) and
+    * `pslx2(r)`/`pslx3(r)` ([[exceptions2]]/[[exceptions3]]). Callers
+    * splice the `WITH` bodies from [[sqlValues]] and then use this
+    * expression — branch order matches [[registeredDomainOfHost]]
+    * exactly. */
   def sqlRegisteredDomain(hostExpr: String): String = {
     val h = s"regexp_replace($hostExpr, ':\\d+$$', '')"
+    val l1 = s"regexp_extract($h, '([^.]+)$$', 1)"
     val l2 = s"regexp_extract($h, '((?:[^.]+\\.){1}[^.]+)$$', 1)"
     val l3 = s"regexp_extract($h, '((?:[^.]+\\.){2}[^.]+)$$', 1)"
     val l4 = s"regexp_extract($h, '((?:[^.]+\\.){3}[^.]+)$$', 1)"
-    s"""CASE WHEN $l4 <> '' AND $l3 IN (SELECT r FROM psl3) THEN $l4
+    s"""CASE WHEN $l3 <> '' AND $l3 IN (SELECT r FROM pslx3) THEN $l3
+       |     WHEN $l4 <> '' AND $l2 IN (SELECT r FROM pslw2) THEN $l4
+       |     WHEN $l2 <> '' AND $l2 IN (SELECT r FROM pslx2) THEN $l2
+       |     WHEN $l3 <> '' AND $l1 IN (SELECT r FROM pslw1) THEN $l3
+       |     WHEN $l4 <> '' AND $l3 IN (SELECT r FROM psl3) THEN $l4
        |     WHEN $l3 <> '' AND $l2 IN (SELECT r FROM psl2) THEN $l3
        |     ELSE $l2 END""".stripMargin
   }

@@ -27,14 +27,20 @@ object UrlOps {
   def scheme(url: Column): Column = lower(regexp_extract(url, SchemeRe, 1))
 
   /** Canonical host: lower-cased, default port for the scheme stripped
-    * (`:443` for https, `:80` for http), leading `www.` removed. */
+    * (`:443` for https, `:80` for http), leading `www.` removed — but
+    * ONLY when at least two labels remain: `www.ck` is a registrable
+    * host under the PSL's `!www.ck` exception rule, and collapsing it
+    * to the bare TLD would merge it with every other `*.ck` registrant
+    * (and break the registered-domain extraction downstream). The
+    * guarded pattern needs no lookahead, so the DuckDB oracle twin
+    * (RE2, which has none) states it identically. */
   def canonicalHost(url: Column): Column = {
     val sch = scheme(url)
     val hp = lower(regexp_extract(url, HostRe, 1))
     val dePorted = when(sch === "https", regexp_replace(hp, ":443$", ""))
       .when(sch === "http", regexp_replace(hp, ":80$", ""))
       .otherwise(hp)
-    regexp_replace(dePorted, "^www\\.", "")
+    regexp_replace(dePorted, "^www\\.([^.]+\\..+)", "$1")
   }
 
   /** Canonical path: trailing slashes dropped, empty path → `/`. */

@@ -68,7 +68,20 @@ class UrlOpsSpec extends AnyFunSuite {
       "https://example.com:8080/x" -> "example.com",
       "http://sub.example.com:80/x" -> "example.com",
       // host IS a public suffix: degenerate, falls through to last-2
-      "https://co.uk/" -> "co.uk")
+      "https://co.uk/" -> "co.uk",
+      // wildcard rule *.ck: every label under the TLD is a suffix, so
+      // the registrant carries THREE labels
+      "https://a.shop.CK/x" -> "a.shop.ck",
+      "https://deep.a.shop.ck/x" -> "a.shop.ck",
+      // exception !www.ck cancels the wildcard: www.ck IS registrable
+      "https://WWW.ck/" -> "www.ck",
+      "https://mail.www.ck/" -> "www.ck",
+      // second-level wildcard *.kawasaki.jp with its !city exception
+      "https://x.foo.kawasaki.JP/" -> "x.foo.kawasaki.jp",
+      "https://sub.city.kawasaki.jp/" -> "city.kawasaki.jp",
+      "https://city.kawasaki.jp/" -> "city.kawasaki.jp",
+      // plain jp 2-label rules are untouched by the city wildcards
+      "https://www.example.co.jp/" -> "example.co.jp")
     val got = cases.map(_._1).toDF("u")
       .select(UrlOps.registeredDomain(col("u")))
       .as[String].collect().toSeq
