@@ -4450,6 +4450,109 @@ object QueriesTrainingData {
       |  array_to_string(list_filter(string_split(f2.s, chr(31)), x -> x <> ''), '|') AS seg2
       |FROM fin2 f2 JOIN o1 ON f2.w = o1.w""".stripMargin
 
+  /** BPE run to a DEEPER vocabulary — the multi-round loop real
+    * tokenizers close (x84 proved one re-count round; a production
+    * vocabulary runs the loop to |V|): round 1 learns 16 character-pair
+    * merges, then THREE re-count rounds ([[graft.text.Bpe.learnTokenMerges]],
+    * 8 merges each) re-price adjacent-token statistics over the
+    * progressively-merged vocabulary — 40 merges total, deep enough
+    * that merge sides are themselves multi-character tokens (BpeSpec
+    * pins ≥3-char tokens in the final vocabulary). The result is the
+    * VOCABULARY a tokenizer ships: per final subword token, its corpus
+    * frequency (wf-weighted positions), position count and length.
+    * A round that finds fewer than 8 surviving pairs simply learns
+    * fewer merges — mirrored exactly by the oracle's LIMIT + rank join.
+    * Scale shape: every round is a vocabulary-sized aggregate plus a
+    * bounded tokenizer-model collect (the merge table is a plan
+    * literal); applies stay chained codegen'd literal replaces over
+    * DISTINCT words; the corpus is tokenized zero extra times. The
+    * oracle replays all four rounds as recursive-CTE levels — the
+    * round cap is what keeps the DuckDB replay bounded (the gate's
+    * integrity outranks depth). */
+  def x93_bpe_vocab(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Bpe
+    val wf = stagedWordFreq(spark, dir)
+    val m1 = Bpe.learnMerges(wf, 16)
+    val enc1 = wf.select(col("w"), col("wf"),
+      Bpe.applyMerges(Bpe.wrap(col("w")), m1).as("s"))
+    val encFinal = (2 to 4).foldLeft(enc1) { (enc, _) =>
+      val m = Bpe.learnTokenMerges(enc, "s", "wf", 8)
+      enc.withColumn("s", Bpe.applyTokenMerges(col("s"), m))
+    }
+    encFinal
+      .select(col("wf"), explode(Bpe.subwords(col("s"))).as("token"))
+      .groupBy(col("token"))
+      .agg(sum(col("wf")).cast(LongType).as("tok_freq"),
+        count(lit(1)).cast(LongType).as("n_positions"))
+      .withColumn("tok_len", length(col("token")).cast(IntegerType))
+  }
+
+  private def bpeOracleRound(i: Int): String = {
+    val prev = s"fin${i - 1}"
+    s"""tl$i AS (
+       |  SELECT w, wf, s,
+       |    list_filter(string_split(s, chr(31)), x -> x <> '') AS tl
+       |  FROM $prev),
+       |tp$i AS (
+       |  SELECT wf, unnest(list_transform(generate_series(1, len(tl) - 1),
+       |    i -> struct_pack(a := tl[i], b := tl[i+1]))) AS pr
+       |  FROM tl$i WHERE len(tl) >= 2),
+       |tps$i AS (SELECT pr.a AS a, pr.b AS b, SUM(wf) AS n FROM tp$i GROUP BY 1, 2),
+       |m$i AS (
+       |  SELECT a, b, CAST(row_number() OVER (ORDER BY n DESC, a, b) AS INT) AS rk
+       |  FROM tps$i ORDER BY n DESC, a, b LIMIT 8),
+       |enc$i AS (
+       |  SELECT w, wf, s, 0 AS r FROM $prev
+       |  UNION ALL
+       |  SELECT e.w, e.wf,
+       |    replace(e.s,
+       |      chr(31) || m.a || chr(31) || chr(31) || m.b || chr(31),
+       |      chr(31) || m.a || m.b || chr(31)),
+       |    e.r + 1
+       |  FROM enc$i e JOIN m$i m ON m.rk = e.r + 1),
+       |fin$i AS (
+       |  SELECT w, wf, s FROM enc$i WHERE r = (SELECT COUNT(*) FROM m$i))""".stripMargin
+  }
+
+  val x93Oracle: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT unnest(string_split_regex(text, '\s+')) AS w FROM documents),
+      |wf AS (
+      |  SELECT w, COUNT(*) AS wf FROM toks
+      |  WHERE w <> '' AND NOT contains(w, chr(31)) GROUP BY w),
+      |p AS (
+      |  SELECT wf, unnest(list_transform(
+      |    generate_series(1, length(w) - 1), i -> w[i:i+1])) AS pair
+      |  FROM wf WHERE length(w) >= 2),
+      |ps AS (SELECT pair, SUM(wf) AS n FROM p GROUP BY pair),
+      |m1 AS (
+      |  SELECT pair, CAST(row_number() OVER (ORDER BY n DESC, pair) AS INT) AS rk
+      |  FROM ps ORDER BY n DESC, pair LIMIT 16),
+      |enc1 AS (
+      |  SELECT w, wf,
+      |    chr(31) || regexp_replace(w, '(.)', '\1' || chr(31) || chr(31), 'g') AS s,
+      |    0 AS r
+      |  FROM wf
+      |  UNION ALL
+      |  SELECT e.w, e.wf,
+      |    replace(e.s,
+      |      chr(31) || m.pair[1] || chr(31) || chr(31) || m.pair[2] || chr(31),
+      |      chr(31) || m.pair || chr(31)),
+      |    e.r + 1
+      |  FROM enc1 e JOIN m1 m ON m.rk = e.r + 1),
+      |fin1 AS (
+      |  SELECT w, wf, s FROM enc1 WHERE r = (SELECT COUNT(*) FROM m1)),
+      |""".stripMargin +
+      (2 to 4).map(bpeOracleRound).mkString(",\n") + ",\n" +
+    """v AS (
+      |  SELECT wf, unnest(list_filter(string_split(s, chr(31)), x -> x <> ''))
+      |    AS token
+      |  FROM fin4)
+      |SELECT token, CAST(SUM(wf) AS BIGINT) AS tok_freq,
+      |  CAST(COUNT(*) AS BIGINT) AS n_positions,
+      |  CAST(length(token) AS INT) AS tok_len
+      |FROM v GROUP BY token""".stripMargin
+
   /** URL takedown sweep — corpus governance at the canonical-URL key
     * (the DMCA/robots-retroactive case): a takedown list of canonical
     * URLs (here: every URL whose source id ≡ 0 mod 7 — a deterministic
@@ -4674,6 +4777,7 @@ object QueriesTrainingData {
     "x90_dedup_threshold_sweep" -> (x90_dedup_threshold_sweep _),
     "x91_vocab_drift" -> (x91_vocab_drift _),
     "x92_curriculum_schedule" -> (x92_curriculum_schedule _),
+    "x93_bpe_vocab" -> (x93_bpe_vocab _),
     "x80_vision_token_budget" -> (x80_vision_token_budget _),
     "x79_url_takedown" -> (x79_url_takedown _),
     "x78_tokenizer_fertility" -> (x78_tokenizer_fertility _),
@@ -4768,6 +4872,7 @@ object QueriesTrainingData {
     "x90_dedup_threshold_sweep" -> x90Oracle,
     "x91_vocab_drift" -> x91Oracle,
     "x92_curriculum_schedule" -> x92Oracle,
+    "x93_bpe_vocab" -> x93Oracle,
     "x80_vision_token_budget" -> x80Oracle,
     "x79_url_takedown" -> x79Oracle,
     "x78_tokenizer_fertility" -> x78Oracle,

@@ -135,4 +135,39 @@ class BpeSpec extends AnyFunSuite {
     assert(out.exists(o => o._3 < o._2),
       "round 2 merged nothing anywhere — the second iteration is inert")
   }
+
+  test("x93 end-to-end: the multi-round vocabulary carries >=3-char tokens") {
+    // four learning rounds (16 + 8x3 merges) must compound: merge sides
+    // become multi-character tokens, so the shipped vocabulary contains
+    // subwords no single round could build — and the vocabulary's
+    // wf-weighted token mass must equal the corpus's segmented mass
+    import graft.text.Bpe
+    val vocab = QueriesTrainingData.x93_bpe_vocab(spark, "/root/testdata/sf0.001")
+      .select(col("token"), col("tok_freq"), col("n_positions"), col("tok_len"))
+      .as[(String, Long, Long, Int)].collect()
+    assert(vocab.nonEmpty)
+    assert(vocab.exists(_._4 >= 3),
+      "four rounds produced no >=3-char token — the loop is not compounding")
+    // conservation: total wf-weighted positions == sum over words of
+    // wf * |final segmentation| (no token created or lost by the rounds)
+    val wf = QueriesTrainingData.stagedWordFreq(spark, "/root/testdata/sf0.001")
+    val m1 = Bpe.learnMerges(wf, 16)
+    val enc1 = wf.select(col("w"), col("wf"),
+      Bpe.applyMerges(Bpe.wrap(col("w")), m1).as("s"))
+    val encF = (2 to 4).foldLeft(enc1) { (enc, _) =>
+      val m = Bpe.learnTokenMerges(enc, "s", "wf", 8)
+      enc.withColumn("s", Bpe.applyTokenMerges(col("s"), m))
+    }
+    val segMass = encF
+      .select((col("wf") * size(Bpe.subwords(col("s")))).as("m"))
+      .agg(sum(col("m"))).as[Long].head()
+    assert(vocab.map(_._2).sum === segMass,
+      "vocabulary token mass diverged from the segmented corpus mass")
+    // every token rebuilds some word: concatenating each word's final
+    // segmentation must reproduce the word (spot the whole vocab side)
+    val rebuilt = encF.select(col("w"),
+      array_join(Bpe.subwords(col("s")), "").as("r"))
+      .filter(col("w") =!= col("r")).count()
+    assert(rebuilt === 0L, "a segmentation no longer rebuilds its word")
+  }
 }
