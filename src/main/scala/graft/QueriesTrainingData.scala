@@ -4553,6 +4553,97 @@ object QueriesTrainingData {
       |  CAST(length(token) AS INT) AS tok_len
       |FROM v GROUP BY token""".stripMargin
 
+  /** Bigram-LM fluency gate — the CCNet-style quality filter a real
+    * curation pipeline runs after x35's unigram stopgap: an add-one
+    * smoothed bigram model `P(b|a) = (B(a,b)+1) / (U(a)+V)` trained on
+    * the corpus itself scores every document's adjacent-pair stream;
+    * gibberish and boilerplate-shredded text sits in low-probability
+    * transitions while fluent text rides the head of the conditional
+    * distribution.
+    *
+    * Scoring is EXACT for oracle parity — the reason this emits mean
+    * conditional probability rather than log-perplexity: every per-pair
+    * probability is one IEEE division (correctly rounded, identical in
+    * any engine) cast to DECIMAL(24,14) (tie-free by construction — a
+    * binary64 can never land exactly on a 14-digit half-ulp), the
+    * per-doc SUM is exact decimal arithmetic (order-independent), and
+    * the keep gate compares `sum * 50 > n_pairs` (mean cond-prob >
+    * 0.02) in integers/decimals. A libm `ln` would differ across
+    * engines in the last ulp and poison the hash gate; rank-ordering —
+    * what a filter consumes — is preserved without it. `max_surprisal`
+    * (the worst transition, x35's convention) rides along as the
+    * secondary signal.
+    *
+    * Scale shape: the bigram and left-context tables are the ONLY
+    * corpus-mass aggregates — both partial-combining groupBys on the
+    * pair stream (spec-pinned); V is a scalar distinct-count broadcast
+    * like x35's corpus total; scoring is two term-keyed equi-joins and
+    * one per-doc aggregate. No corpus window anywhere. */
+  def x94_bigram_lm_quality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val pairs = docs
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> struct(toks[i-1] AS a, toks[i] AS b))")).as("pr"))
+      .select(col("doc_id"), col("pr.a").as("a"), col("pr.b").as("b"))
+      .filter(col("a") =!= "" && col("b") =!= "")
+    val big = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("bn"))
+    val ctx = pairs.groupBy(col("a")).agg(count(lit(1)).as("un"))
+    val vocab = docs.select(explode(col("toks")).as("t"))
+      .filter(col("t") =!= "")
+      .agg(countDistinct(col("t")).as("v"))
+    pairs.join(big, Seq("a", "b")).join(ctx, Seq("a"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("cp",
+        ((col("bn") + lit(1)).cast(DoubleType) /
+          (col("un") + col("v")).cast(DoubleType))
+          .cast(DecimalType(24, 14)))
+      .withColumn("sp",
+        (col("un") + col("v")).cast(DoubleType) /
+          (col("bn") + lit(1)).cast(DoubleType))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("cp")).cast(DecimalType(30, 14)).as("sum_cp_x"),
+        max(col("sp")).as("max_surprisal"))
+      // the keep gate compares in EXACT decimal/integer space; only the
+      // reported score column rounds to double (the repo's output
+      // convention — exact inside, DOUBLE at the edge)
+      .withColumn("keep", col("sum_cp_x") * 50 > col("n_pairs"))
+      .withColumn("sum_condprob", col("sum_cp_x").cast(DoubleType))
+      .select(col("doc_id"), col("n_pairs"), col("sum_condprob"),
+        col("max_surprisal"), col("keep"))
+  }
+
+  val x94Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      |pr AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(generate_series(1, len(w) - 1),
+      |      i -> struct_pack(a := w[i], b := w[i+1]))) AS pr
+      |  FROM toks WHERE len(w) >= 2),
+      |pp AS (
+      |  SELECT doc_id, pr.a AS a, pr.b AS b FROM pr
+      |  WHERE pr.a <> '' AND pr.b <> ''),
+      |big AS (SELECT a, b, COUNT(*) AS bn FROM pp GROUP BY 1, 2),
+      |ctx AS (SELECT a, COUNT(*) AS un FROM pp GROUP BY 1),
+      |voc AS (
+      |  SELECT COUNT(DISTINCT t) AS v
+      |  FROM (SELECT unnest(w) AS t FROM toks) u WHERE t <> ''),
+      |sc AS (
+      |  SELECT p.doc_id,
+      |    CAST(CAST(bn + 1 AS DOUBLE) / CAST(un + v AS DOUBLE)
+      |      AS DECIMAL(24,14)) AS cp,
+      |    CAST(un + v AS DOUBLE) / CAST(bn + 1 AS DOUBLE) AS sp
+      |  FROM pp p JOIN big USING (a, b) JOIN ctx USING (a) CROSS JOIN voc)
+      |SELECT doc_id, COUNT(*) AS n_pairs,
+      |  CAST(CAST(SUM(cp) AS DECIMAL(30,14)) AS DOUBLE) AS sum_condprob,
+      |  MAX(sp) AS max_surprisal,
+      |  CAST(SUM(cp) AS DECIMAL(30,14)) * 50 > COUNT(*) AS keep
+      |FROM sc GROUP BY doc_id""".stripMargin
+
   /** URL takedown sweep — corpus governance at the canonical-URL key
     * (the DMCA/robots-retroactive case): a takedown list of canonical
     * URLs (here: every URL whose source id ≡ 0 mod 7 — a deterministic
@@ -4778,6 +4869,7 @@ object QueriesTrainingData {
     "x91_vocab_drift" -> (x91_vocab_drift _),
     "x92_curriculum_schedule" -> (x92_curriculum_schedule _),
     "x93_bpe_vocab" -> (x93_bpe_vocab _),
+    "x94_bigram_lm_quality" -> (x94_bigram_lm_quality _),
     "x80_vision_token_budget" -> (x80_vision_token_budget _),
     "x79_url_takedown" -> (x79_url_takedown _),
     "x78_tokenizer_fertility" -> (x78_tokenizer_fertility _),
@@ -4873,6 +4965,7 @@ object QueriesTrainingData {
     "x91_vocab_drift" -> x91Oracle,
     "x92_curriculum_schedule" -> x92Oracle,
     "x93_bpe_vocab" -> x93Oracle,
+    "x94_bigram_lm_quality" -> x94Oracle,
     "x80_vision_token_budget" -> x80Oracle,
     "x79_url_takedown" -> x79Oracle,
     "x78_tokenizer_fertility" -> x78Oracle,

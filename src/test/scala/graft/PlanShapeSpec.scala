@@ -915,6 +915,21 @@ class PlanShapeSpec extends AnyFunSuite {
       "group-size join must stay an equi-join on the content key")
   }
 
+  test("x94: bigram-LM tables partial-combine; no corpus window; scalar broadcast") {
+    val plan = executedPlan("x94_bigram_lm_quality")
+    assert(plan.contains("partial_count"),
+      "bigram/context count tables must map-side combine")
+    assert(!plan.contains("Window"),
+      "LM scoring must not window the corpus")
+    // the only nested-loop join is the 1-row vocabulary scalar broadcast
+    assert(!plan.contains("CartesianProduct"),
+      "vocabulary scalar must ride a broadcast, never a cartesian")
+    val probeJoins = plan.linesIterator.filter(_.contains("Join")).toList
+    assert(probeJoins.exists(l => l.contains("SortMergeJoin") ||
+      l.contains("ShuffledHashJoin") || l.contains("BroadcastHashJoin")),
+      "pair scoring must be term-keyed equi-joins")
+  }
+
   test("MERGE compiles to ONE target×source join carrying guard + all three verbs") {
     // the r11 shape ran FOUR target×source joins (eager 8672 guard,
     // matched inner, two antis); the fused compile must shuffle the
