@@ -1410,6 +1410,32 @@ object QueriesRelational {
       |    ORDER BY o_orderpriority) AS INT) AS prio_rank
       |FROM orders""".stripMargin
 
+  /** Correlated DELETE…FROM (the T-SQL join-delete) through the dtsx
+    * frontend — `DeleteOrdersJoinETL.dtsx` purges staged orders whose
+    * customer sits in a segment with a negative balance: deletion keyed
+    * by REFERENCE data, the purge idiom real estates author.
+    * [[graft.patterns.DeleteFromSqlCompiler]] executes it as ONE
+    * target×source left-anti join on `joinCond AND wherePred` — no
+    * multi-match guard needed (deletion is idempotent in T-SQL too). */
+  def q94_dtsx_delete_from(spark: SparkSession, dir: String): DataFrame =
+    runDtsxWarehousePackage(spark, dir, "DeleteOrdersJoinETL.dtsx")
+      ._1.apply("orders_working")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice").cast(DoubleType).as("o_totalprice"))
+
+  val q94Oracle: String =
+    """WITH staged AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus,
+      |    CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice
+      |  FROM orders)
+      |SELECT s.o_orderkey, s.o_custkey, s.o_orderstatus,
+      |  CAST(s.o_totalprice AS DOUBLE) AS o_totalprice
+      |FROM staged s
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM customer c
+      |  WHERE s.o_custkey = c.c_custkey
+      |    AND c.c_mktsegment = 'MACHINERY' AND c.c_acctbal < 0)""".stripMargin
+
   /** Explicit GROUPING SETS with grouping_id disambiguation (beyond q24's
     * rollup): two chosen aggregation levels, no intermediate level. */
   def q39_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
@@ -2769,6 +2795,7 @@ object QueriesRelational {
     "q91_dtsx_param_synclog" -> (q91_dtsx_param_synclog _),
     "q92_dtsx_update_from" -> (q92_dtsx_update_from _),
     "q93_dtsx_rank_sql" -> (q93_dtsx_rank_sql _),
+    "q94_dtsx_delete_from" -> (q94_dtsx_delete_from _),
     "q82_orc_roundtrip" -> (q82_orc_roundtrip _),
     "q80_dtsx_cdc_merge" -> (q80_dtsx_cdc_merge _),
     "q79_delete_cascade" -> (q79_delete_cascade _),
@@ -2855,6 +2882,7 @@ object QueriesRelational {
     "q91_dtsx_param_synclog" -> q91Oracle,
     "q92_dtsx_update_from" -> q92Oracle,
     "q93_dtsx_rank_sql" -> q93Oracle,
+    "q94_dtsx_delete_from" -> q94Oracle,
     "q82_orc_roundtrip" -> q82Oracle,
     "q80_dtsx_cdc_merge" -> q80Oracle,
     "q79_delete_cascade" -> q79Oracle,

@@ -10,7 +10,8 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * compilers it orchestrates live beside it.
   *
   * Single statements route through the compiler chain (MERGE → UPDATE →
-  * UPDATE…FROM → DELETE/TRUNCATE → literal VALUES → SqlPatternRewriter). Scripts are
+  * UPDATE…FROM → DELETE/TRUNCATE → DELETE…FROM → literal VALUES →
+  * SqlPatternRewriter). Scripts are
   * split on quote-aware semicolons of the comment-stripped text and
   * routed by SHAPE:
   *
@@ -76,6 +77,7 @@ object ScriptedSqlExecutor {
         .orElse(UpdateSqlCompiler.rewrite(spark, stmt, resolve))
         .orElse(UpdateFromSqlCompiler.rewrite(spark, stmt, resolve))
         .orElse(DeleteSqlCompiler.rewrite(spark, stmt, resolve))
+        .orElse(DeleteFromSqlCompiler.rewrite(spark, stmt, resolve))
         .orElse(InsertValuesSqlCompiler.rewrite(spark, stmt, resolve))
         .orElse(SqlPatternRewriter.rewrite(spark, stmt))
 

@@ -484,6 +484,61 @@ class PipelineSpec extends AnyFunSuite {
     assert(plan.contains("__graft_mcnt"))
   }
 
+  test("DeleteFromSqlCompiler: correlated join-delete; off-shape stays None") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tgt = Seq((1L, "A"), (2L, "B"), (3L, "C"), (4L, "D"))
+      .toDF("id", "tag")
+    val dim = Seq((1L, "purge"), (2L, "keep"), (4L, "purge"))
+      .toDF("id", "action")
+    val frames = Map("acct" -> tgt, "dim" -> dim)
+    def task(sql: String) = graft.ir.Ir.ExecuteSqlTask("df", None, "conn", sql)
+    // canonical: rows deleted exactly where a source row joins AND the
+    // WHERE (over source columns) holds; unmatched rows survive
+    val out = graft.patterns.DeleteFromSqlCompiler.rewrite(spark,
+      task("DELETE t FROM acct t JOIN dim s ON t.id = s.id " +
+        "WHERE s.action = 'purge'"), frames)
+      .getOrElse(fail("canonical DELETE...FROM did not compile"))
+    assert(out.target.contains("acct"))
+    assert(out.df.get.orderBy("id").as[(Long, String)].collect().toList
+      === List((2L, "B"), (3L, "C")))
+    // no WHERE: every matched row deletes; table name instead of alias
+    val all = graft.patterns.DeleteFromSqlCompiler.rewrite(spark,
+      task("DELETE acct FROM acct t JOIN dim s ON t.id = s.id"), frames).get
+    assert(all.df.get.as[(Long, String)].collect().toList === List((3L, "C")))
+    // multi-match deletes once — idempotent, no guard, no dup
+    val dupDim = Seq((1L, "x"), (1L, "y")).toDF("id", "action")
+    val dup = graft.patterns.DeleteFromSqlCompiler.rewrite(spark,
+      task("DELETE t FROM acct t JOIN dim s ON t.id = s.id"),
+      Map("acct" -> tgt, "dim" -> dupDim)).get
+    assert(dup.df.get.orderBy("id").as[(Long, String)].collect().toList
+      === List((2L, "B"), (3L, "C"), (4L, "D")))
+    // NULL WHERE means not deleted (SQL's WHERE-is-TRUE rule)
+    val nullPred = graft.patterns.DeleteFromSqlCompiler.rewrite(spark,
+      task("DELETE t FROM acct t JOIN dim s ON t.id = s.id " +
+        "WHERE CASE WHEN s.id = 1 THEN NULL ELSE true END"), frames).get
+    assert(nullPred.df.get.filter(col("id") === 1L).count() === 1L)
+    // off-shape declines: outer join, second join, comma list, doubled
+    // T-SQL FROM spelling, mismatched token, subquery, trailing stmt
+    for (sql <- Seq(
+      "DELETE t FROM acct t LEFT JOIN dim s ON t.id = s.id",
+      "DELETE t FROM acct t JOIN dim s ON t.id = s.id JOIN dim u ON u.id = s.id",
+      "DELETE t FROM acct t, dim s WHERE t.id = s.id",
+      "DELETE FROM acct FROM acct t JOIN dim s ON t.id = s.id",
+      "DELETE other FROM acct t JOIN dim s ON t.id = s.id",
+      "DELETE t FROM acct t JOIN dim s ON t.id = (SELECT max(id) FROM dim)",
+      "DELETE t FROM acct t JOIN dim s ON t.id = s.id; DELETE FROM acct"))
+      assert(graft.patterns.DeleteFromSqlCompiler
+        .rewrite(spark, task(sql), frames).isEmpty, s"should decline: $sql")
+    // single-table DELETE stays with DeleteSqlCompiler (regex disjoint)
+    assert(graft.patterns.DeleteFromSqlCompiler.rewrite(spark,
+      task("DELETE FROM acct WHERE id = 1"), frames).isEmpty)
+    // the compiled plan is one anti join
+    val plan = out.df.get.queryExecution.optimizedPlan.toString
+    assert(plan.linesIterator.count(_.contains("Join ")) === 1 &&
+      plan.contains("LeftAnti"), s"join-delete must be one anti join:\n$plan")
+  }
+
   test("UpdateSqlCompiler: canonical single-table UPDATE; off-shape stays None") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
