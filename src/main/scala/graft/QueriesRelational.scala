@@ -1436,6 +1436,30 @@ object QueriesRelational {
       |  WHERE s.o_custkey = c.c_custkey
       |    AND c.c_mktsegment = 'MACHINERY' AND c.c_acctbal < 0)""".stripMargin
 
+  /** NTILE(4) through the dtsx frontend — `NtileQuartileETL.dtsx` bands
+    * order values into quartiles within status, the reporting idiom
+    * BI-facing packages author. [[graft.patterns.WindowSqlLowering]]
+    * routes it through [[graft.ops.RankLowering.ntile]]: the two-phase
+    * row number plus one partial-combining partition-count aggregate
+    * and a narrow integer-`div` projection (SQL's uneven-split rule:
+    * the first `cnt % n` tiles carry one extra row). The total order
+    * key (price, key) is what makes NTILE deterministic — ties split
+    * arbitrarily otherwise. */
+  def q95_dtsx_ntile_sql(spark: SparkSession, dir: String): DataFrame =
+    runDtsxWarehousePackage(spark, dir, "NtileQuartileETL.dtsx")
+      ._1.apply("order_value_quartile")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast(DoubleType).as("o_totalprice"),
+        col("value_quartile").cast(IntegerType).as("value_quartile"))
+
+  val q95Oracle: String =
+    """SELECT o_orderkey, o_orderstatus,
+      |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice,
+      |  CAST(NTILE(4) OVER (PARTITION BY o_orderstatus
+      |    ORDER BY CAST(o_totalprice AS DECIMAL(12,2)), o_orderkey) AS INT)
+      |    AS value_quartile
+      |FROM orders""".stripMargin
+
   /** Explicit GROUPING SETS with grouping_id disambiguation (beyond q24's
     * rollup): two chosen aggregation levels, no intermediate level. */
   def q39_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
@@ -2796,6 +2820,7 @@ object QueriesRelational {
     "q92_dtsx_update_from" -> (q92_dtsx_update_from _),
     "q93_dtsx_rank_sql" -> (q93_dtsx_rank_sql _),
     "q94_dtsx_delete_from" -> (q94_dtsx_delete_from _),
+    "q95_dtsx_ntile_sql" -> (q95_dtsx_ntile_sql _),
     "q82_orc_roundtrip" -> (q82_orc_roundtrip _),
     "q80_dtsx_cdc_merge" -> (q80_dtsx_cdc_merge _),
     "q79_delete_cascade" -> (q79_delete_cascade _),
@@ -2883,6 +2908,7 @@ object QueriesRelational {
     "q92_dtsx_update_from" -> q92Oracle,
     "q93_dtsx_rank_sql" -> q93Oracle,
     "q94_dtsx_delete_from" -> q94Oracle,
+    "q95_dtsx_ntile_sql" -> q95Oracle,
     "q82_orc_roundtrip" -> q82Oracle,
     "q80_dtsx_cdc_merge" -> q80Oracle,
     "q79_delete_cascade" -> q79Oracle,

@@ -1,11 +1,11 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
 
-/** Scale-safe ROW_NUMBER / RANK / DENSE_RANK — the two-phase
+/** Scale-safe ROW_NUMBER / RANK / DENSE_RANK / NTILE — the two-phase
   * distributed rank.
   *
   * A raw `row_number() OVER (PARTITION BY p ORDER BY o)` hash-exchanges
@@ -16,12 +16,17 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * with order-aligned buckets. This generalizes their shape to an
   * ARBITRARY sort order:
   *
-  *  1. `repartitionByRange(buckets, p ++ o)` gives every row an
-  *     order-ALIGNED bucket (the physical range-partition id): all rows
-  *     of bucket b sort entirely before bucket b+1 within a partition
-  *     key. Each bucket is ~N/buckets rows regardless of |p|.
-  *  2. A window over (p, bucket) ranks locally — tasks bounded by
-  *     bucket size, never by N/|p|.
+  *  1. Every row gets an order-ALIGNED bucket id computed from SAMPLED
+  *     VALUE BOUNDARIES: one bounded driver-side sampling pass over the
+  *     order key collects ~buckets·64 tuples, sorts them under the
+  *     directed comparator, and turns `buckets-1` cut points into plan
+  *     LITERALS (the IVF-centroid / BPE-merge-table convention). The
+  *     bucket is then a PURE FUNCTION of the row — every consumer of
+  *     the frame agrees bucket-for-row by construction, no matter how
+  *     many times the plan re-evaluates.
+  *  2. A window over (p, bucket) ranks locally — its hash exchange is
+  *     the ONE corpus shuffle; tasks are bounded by bucket size, never
+  *     by N/|p|.
   *  3. Bucket COUNTS (a partial-combining aggregate, ≤ buckets rows per
   *     partition key) prefix-scan into per-bucket offsets; the scan
   *     window holds ≤ `buckets` rows per key.
@@ -31,49 +36,212 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   *     frame approaches the row count and a broadcast would be the
   *     scale hazard instead).
   *
-  * The two consumers of the range exchange (the local-rank window and
-  * the bucket-count aggregate) share one identical exchange subplan, so
-  * Spark's ReuseExchange evaluates it once; the range partitioner's
-  * boundary sampling is deterministic for a given input, and a tie
-  * split across a bucket boundary still numbers every row exactly once
-  * (ties make row_number order-arbitrary under ANY evaluation — gated
-  * callers order by a total key).
+  * WHY literal boundaries and not `repartitionByRange` +
+  * `spark_partition_id()`: the physical range-partition id is NOT a
+  * function of the row — RangePartitioner re-samples per evaluation,
+  * so the local-rank window and the bucket-count aggregate only agree
+  * when ReuseExchange happens to unify their exchange subtrees. Under
+  * AQE that reuse is not guaranteed (observed failing on a 15k-row
+  * parquet scan: two `rangepartitioning` exchanges, no reuse, ~30% of
+  * rows bucketed differently between the two consumers → duplicate and
+  * missing ranks). Literal boundaries close that hazard outright AND
+  * delete the range exchange — one corpus shuffle instead of two; the
+  * price is the sampling pass (projection-pruned scan of the order
+  * columns, the same pass RangePartitioner's sketch ran anyway).
   *
-  * Cost vs the raw window: two extra small shuffles (bucket counts +
-  * the offsets join). Worth it whenever |p| ≪ cores; harmless when not.
+  * Boundary QUALITY only affects bucket balance, never correctness: a
+  * bad sample skews task sizes, while bucket-for-row agreement and
+  * order alignment hold for ANY boundary set. For ROW_NUMBER a
+  * deterministic per-row hash tie-break joins the bucket key, so heavy
+  * tie groups still split across buckets (identical full rows share a
+  * hash and stay together — the degenerate one-value corpus keeps one
+  * bucket, documented). Sort keys must be driver-Comparable (all SQL
+  * scalar types are); anything else degrades to one bucket — the raw
+  * window's cost, never a wrong answer.
+  *
+  * Cost vs the raw window: the sampling pass + two small shuffles
+  * (bucket counts + the offsets join). Worth it whenever |p| ≪ cores;
+  * harmless when not.
   */
 object RankLowering {
+
+  /** Per-column sort spec: materialized column name, descending?,
+    * nulls-first? — parsed from a caller's `.asc`/`.desc` column. */
+  private final case class SortSpec(name: String, desc: Boolean,
+      nullsFirst: Boolean)
+
+  /** Split a possibly-SortOrder column into (plain column, spec) — the
+    * `.asc`/`.desc` wrapper is a public `ColumnNode` case class, so the
+    * direction and null placement read straight off the node. */
+  private def parseSort(c: Column, name: String): (Column, SortSpec) =
+    c.node match {
+      // the SortOrder node class is private[sql] in the Scala pickle,
+      // but it IS a Product whose elements are (child, direction,
+      // nullOrdering, origin) — read them structurally. ColumnNode
+      // itself is public (it's Column's constructor parameter type).
+      case s: Product
+          if s.getClass.getName == "org.apache.spark.sql.internal.SortOrder" =>
+        (columnFromNode(s.productElement(0).asInstanceOf[AnyRef]),
+          SortSpec(name,
+            desc = s.productElement(1).getClass.getName.endsWith("Descending$"),
+            nullsFirst =
+              s.productElement(2).getClass.getName.endsWith("NullsFirst$")))
+      case _ => (c, SortSpec(name, desc = false, nullsFirst = true))
+    }
+
+  /** `new Column(node)` via runtime reflection — the `ColumnNode` type
+    * is private[sql] at compile time but public in bytecode. */
+  private def columnFromNode(node: AnyRef): Column = {
+    val ctor = classOf[Column].getConstructors
+      .find(_.getParameterTypes.exists(_.getName.endsWith("ColumnNode")))
+      .getOrElse(sys.error("Column(ColumnNode) constructor not found"))
+    ctor.newInstance(node).asInstanceOf[Column]
+  }
+
+  /** Driver-side directed comparator over sampled key tuples. Values
+    * arrive as external Scala/Java types (String, Long, BigDecimal,
+    * Timestamp — all Comparable); a non-Comparable pair compares equal,
+    * which only flattens boundaries (fewer buckets), never mis-ranks. */
+  private def rowOrdering(specs: Seq[SortSpec]): Ordering[Row] =
+    new Ordering[Row] {
+      private def cmpOne(a: Any, b: Any, s: SortSpec): Int = {
+        val nullCmp =
+          if (a == null && b == null) Some(0)
+          else if (a == null) Some(if (s.nullsFirst) -1 else 1)
+          else if (b == null) Some(if (s.nullsFirst) 1 else -1)
+          else None
+        nullCmp.getOrElse {
+          val base = a match {
+            case ac: Comparable[_] =>
+              scala.util.Try(ac.asInstanceOf[Comparable[Any]].compareTo(b))
+                .getOrElse(0)
+            case _ => 0
+          }
+          if (s.desc) -base else base
+        }
+      }
+      override def compare(x: Row, y: Row): Int = {
+        var i = 0
+        while (i < specs.length) {
+          val c = cmpOne(x.get(i), y.get(i), specs(i))
+          if (c != 0) return c
+          i += 1
+        }
+        0
+      }
+    }
+
+  /** `column strictly-after boundary` under one directed spec. Spark's
+    * default null placement (asc = nulls first, desc = nulls last) and
+    * explicit NULLS FIRST/LAST both encode in the spec. */
+  private def afterOne(c: Column, bnd: Column, s: SortSpec): Column = {
+    val cAfterNull = if (s.nullsFirst) bnd.isNull && c.isNotNull
+      else c.isNull && bnd.isNotNull
+    val bothSet = c.isNotNull && bnd.isNotNull
+    val gt = if (s.desc) c < bnd else c > bnd
+    cAfterNull || (bothSet && gt)
+  }
+
+  /** Lexicographic strictly-after across the whole key tuple. */
+  private def afterExpr(cols: Seq[Column], bnds: Seq[Column],
+      specs: Seq[SortSpec]): Column = {
+    val terms = cols.lazyZip(bnds).lazyZip(specs).toSeq
+    terms.foldRight(lit(false)) { case ((c, b, s), rest) =>
+      afterOne(c, b, s) || (c <=> b && rest)
+    }
+  }
+
+  /** Add `bucketCol`: the count of sampled boundaries the row's key
+    * tuple sorts strictly after — deterministic, order-aligned, literal
+    * boundaries. One bounded sampling job runs at CALL time (the
+    * driver-side control-fact convention); `specs` columns must already
+    * exist on `df`. */
+  private def withValueBuckets(df: DataFrame, specs: Seq[SortSpec],
+      bucketCol: String, buckets: Int): DataFrame = {
+    val keyCols = specs.map(s => col(s.name))
+    val keyTypes: Seq[DataType] = specs.map(s => df.schema(s.name).dataType)
+    val perPart = 128
+    val sampled: Array[Row] = df.select(keyCols: _*).rdd
+      .mapPartitionsWithIndex { case (idx, it) =>
+        // deterministic per-partition reservoir — though determinism is
+        // not load-bearing (whatever is collected becomes the fixed
+        // literal set), it keeps reruns comparable
+        val rng = new java.util.Random(0x5DEECE66DL ^ idx)
+        val buf = new scala.collection.mutable.ArrayBuffer[Row](perPart)
+        var seen = 0L
+        it.foreach { r =>
+          seen += 1
+          if (buf.size < perPart) buf += r
+          else {
+            val j = (rng.nextDouble() * seen).toLong
+            if (j < perPart) buf(j.toInt) = r
+          }
+        }
+        buf.iterator
+      }.collect()
+    if (sampled.isEmpty || buckets <= 1)
+      return df.withColumn(bucketCol, lit(0))
+    val sorted = sampled.sorted(rowOrdering(specs))
+    // evenly spaced cut points; consecutive duplicates collapse (equal
+    // boundaries would only make provably-empty buckets)
+    val raw = (1 until buckets)
+      .map(i => sorted(((i.toLong * sorted.length) / buckets).toInt
+        .min(sorted.length - 1)))
+    val ord = rowOrdering(specs)
+    val bounds = raw.foldLeft(List.empty[Row]) { (acc, r) =>
+      if (acc.nonEmpty && ord.compare(acc.head, r) == 0) acc else r :: acc
+    }.reverse
+    val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
+      val bndLits = keyTypes.indices.map { i =>
+        val v = b.get(i)
+        if (v == null) lit(null).cast(keyTypes(i)) else lit(v).cast(keyTypes(i))
+      }
+      acc + when(afterExpr(keyCols, bndLits, specs), 1).otherwise(0)
+    }
+    df.withColumn(bucketCol, bucket)
+  }
 
   /** `row_number()` over (`partCols`, ordered by `orderCols` — pass
     * direction via `.desc`/`.asc`) as an IntegerType column `outCol`,
     * computed with bounded tasks (no partition-sized sort). Pass
     * `partCols = Nil` for a global row number (the q75 full-sort case).
-    *
-    * Requires a DETERMINISTIC input plan: the local-rank window and the
-    * bucket-count aggregate must observe identical range-bucket
-    * assignments, which holds because both consume the one ranged
-    * exchange (ReuseExchange) and the RangePartitioner's boundary
-    * sampling is deterministic for a given input. An upstream
-    * `rand()`/`sample()` — or input files changing between the two
-    * evaluations — could hand the subplans different boundaries and
-    * yield wrong global ranks; callers with a non-deterministic source
-    * must materialize it (cache/localCheckpoint/write) first. Every
-    * gated caller here reads deterministic parquet/derived frames. */
+    * Correct for any input plan and any tie distribution: the bucket id
+    * is a pure function of the row (literal boundaries + a per-row hash
+    * tie-break that lets tie groups split), so the window and the
+    * offsets aggregate can never disagree. */
   def rowNumber(df: DataFrame, partCols: Seq[Column], orderCols: Seq[Column],
       outCol: String, buckets: Int = 64): DataFrame = {
     require(orderCols.nonEmpty, "row_number requires an ORDER BY")
-    // materialize partition EXPRESSIONS once so the window, the count
-    // aggregate and the offsets join all key on identical attributes
+    // materialize partition + order EXPRESSIONS once so the window, the
+    // count aggregate and the offsets join all key on identical columns
     val pNames = partCols.indices.map(i => s"__graft_rk_p$i")
-    val withP = partCols.zip(pNames).foldLeft(df) {
-      case (d, (c, n)) => d.withColumn(n, c)
+    val parsed = orderCols.zipWithIndex.map { case (c, i) =>
+      parseSort(c, s"__graft_rk_o$i")
     }
-    val ranged = withP
-      .repartitionByRange(buckets, pNames.map(col) ++ orderCols: _*)
-      .withColumn("__graft_rk_b", spark_partition_id())
+    val oSpecs = parsed.map(_._2)
+    val hashSpec = SortSpec("__graft_rk_h", desc = false, nullsFirst = true)
+    val withPO = (partCols.zip(pNames) ++
+      parsed.map { case (c, s) => (c, s.name) })
+      .foldLeft(df) { case (d, (c, n)) => d.withColumn(n, c) }
+      // deterministic per-row tie-break: heavy tie groups may split
+      // across buckets (row_number is order-arbitrary within a tie);
+      // identical full rows share a hash and stay together
+      .withColumn("__graft_rk_h", xxhash64(df.columns.map(col): _*))
+    val ranged = withValueBuckets(withPO,
+      (pNames.map(SortSpec(_, desc = false, nullsFirst = true)) ++
+        oSpecs :+ hashSpec), "__graft_rk_b", buckets)
+    val directed = oSpecs.map { s =>
+      val c = col(s.name)
+      (s.desc, s.nullsFirst) match {
+        case (false, true) => c.asc
+        case (false, false) => c.asc_nulls_last
+        case (true, false) => c.desc
+        case (true, true) => c.desc_nulls_first
+      }
+    }
     val wLocal = Window
       .partitionBy((pNames :+ "__graft_rk_b").map(col): _*)
-      .orderBy(orderCols: _*)
+      .orderBy(directed: _*)
     val local = ranged.withColumn("__graft_rk_l", row_number().over(wLocal))
     val wOff = Window.partitionBy(pNames.map(col): _*)
       .orderBy(col("__graft_rk_b"))
@@ -96,8 +264,9 @@ object RankLowering {
       .withColumn(outCol,
         (col("__graft_rk_l").cast(LongType) + col("__graft_rk_off"))
           .cast(IntegerType))
-      .drop(pNames ++ offNames ++
-        Seq("__graft_rk_b", "__graft_rk_bo", "__graft_rk_l", "__graft_rk_off"): _*)
+      .drop(pNames ++ offNames ++ oSpecs.map(_.name) ++
+        Seq("__graft_rk_h", "__graft_rk_b", "__graft_rk_bo",
+          "__graft_rk_l", "__graft_rk_off"): _*)
   }
 
   /** `rank()` / `dense_rank()` over (`partCols`, ordered by `orderPlain`
@@ -107,9 +276,9 @@ object RankLowering {
     * Unlike ROW_NUMBER, rank functions are TIE-GROUP functions: every
     * row of a tie group takes the same value, so the two-phase bucket
     * decomposition that is exact for row_number would need a boundary
-    * repair (a tie group split across a range-bucket edge restarts its
-    * local rank). This implementation sidesteps boundary repair by
-    * ranking the DISTINCT key frame instead:
+    * repair (a tie group split across a bucket edge restarts its local
+    * rank). This implementation sidesteps boundary repair by ranking
+    * the DISTINCT key frame instead:
     *
     *  1. ONE corpus shuffle: `groupBy(part ++ order keys)` with
     *     map-side combining collapses the input to its distinct keys,
@@ -118,15 +287,14 @@ object RankLowering {
     *  2. On the key frame (corpus → |keys| rows):
     *     dense_rank = [[rowNumber]] over the keys (distinct ⇒ no ties);
     *     rank = 1 + exclusive prefix sum of tie-group sizes, the same
-    *     order-aligned bucket scan rowNumber uses, weighted by count.
+    *     literal-boundary bucket scan rowNumber uses, weighted by count.
     *  3. A null-safe join back on the full key — keyed by the
     *     high-cardinality (part, order) tuple, so tasks stay bounded by
     *     tie-group size; AQE picks broadcast when the key frame is
     *     small.
     *
-    * Same deterministic-input requirement as [[rowNumber]]. NULL order
-    * values rank per Spark's null ordering (ASC = NULLS FIRST) — SQL
-    * oracles must say so explicitly. */
+    * NULL order values rank per Spark's null ordering (ASC = NULLS
+    * FIRST) — SQL oracles must say so explicitly. */
   def rankLike(df: DataFrame, partCols: Seq[Column], orderPlain: Seq[Column],
       descFlags: Seq[Boolean], outCol: String, dense: Boolean,
       buckets: Int = 64): DataFrame = {
@@ -140,21 +308,24 @@ object RankLowering {
     val keyCols = (pNames ++ oNames).map(col)
     val keyCounts = withPO.groupBy(keyCols: _*)
       .agg(count(lit(1)).as("__graft_rkk_n"))
-    val directed = oNames.zip(descFlags).map { case (n, d) =>
-      if (d) col(n).desc else col(n).asc
+    val oSpecs = oNames.zip(descFlags).map { case (n, d) =>
+      SortSpec(n, d, nullsFirst = !d)
     }
+    val directed = oSpecs.map(s =>
+      if (s.desc) col(s.name).desc else col(s.name).asc)
     val keyRank =
       if (dense)
         rowNumber(keyCounts, pNames.map(col), directed, "__graft_rkk_r",
           buckets)
           .withColumn("__graft_rkk_r", col("__graft_rkk_r").cast(LongType))
       else {
-        // weighted twin of rowNumber's scan: local exclusive cumsum of
-        // tie-group sizes within order-aligned buckets + bucket-total
-        // offsets; both consumers share the one ranged exchange
-        val ranged = keyCounts
-          .repartitionByRange(buckets, pNames.map(col) ++ directed: _*)
-          .withColumn("__graft_rkk_b", spark_partition_id())
+        // weighted twin of rowNumber's scan over the DISTINCT key frame
+        // (no ties ⇒ no hash tie-break needed): local exclusive cumsum
+        // of tie-group sizes within literal-boundary buckets +
+        // bucket-total offsets — every bucket id a pure row function
+        val ranged = withValueBuckets(keyCounts,
+          pNames.map(SortSpec(_, desc = false, nullsFirst = true)) ++ oSpecs,
+          "__graft_rkk_b", buckets)
         val wLocal = Window
           .partitionBy((pNames :+ "__graft_rkk_b").map(col): _*)
           .orderBy(directed: _*)
@@ -191,5 +362,51 @@ object RankLowering {
     withPO.join(keyed, backCond)
       .withColumn(outCol, col("__graft_rkk_r").cast(IntegerType))
       .drop(pNames ++ oNames ++ kNames :+ "__graft_rkk_r": _*)
+  }
+
+  /** `ntile(n)` over (`partCols`, ordered by `orderCols` — direction via
+    * `.desc`/`.asc`) as an IntegerType column `outCol`, with bounded
+    * tasks at any partition-key cardinality. NTILE is a pure function of
+    * (row_number, partition size, n) — SQL's tile split gives the first
+    * `cnt % n` tiles `⌈cnt/n⌉` rows and the rest `⌊cnt/n⌋` — so the plan
+    * is [[rowNumber]]'s two-phase rank plus ONE partial-combining
+    * partition-count aggregate joined back (broadcast under AQE when
+    * |partitions| is small), then a narrow arithmetic projection. NTILE
+    * over a non-total order is underdetermined (ties split arbitrarily);
+    * gated callers order by a total key, same as row_number. */
+  def ntile(df: DataFrame, partCols: Seq[Column], orderCols: Seq[Column],
+      n: Int, outCol: String, buckets: Int = 64): DataFrame = {
+    require(n >= 1, s"ntile requires a positive tile count: $n")
+    val pNames = partCols.indices.map(i => s"__graft_nt_p$i")
+    val withP = partCols.zip(pNames).foldLeft(df) {
+      case (d, (c, nm)) => d.withColumn(nm, c)
+    }
+    val rn = rowNumber(withP, pNames.map(col), orderCols, "__graft_nt_rn",
+      buckets)
+    val cNames = pNames.map(_ + "_c")
+    val counts = withP.groupBy(pNames.map(col): _*)
+      .agg(count(lit(1)).as("__graft_nt_cnt"))
+      .select(pNames.zip(cNames).map { case (p, c) => col(p).as(c) } :+
+        col("__graft_nt_cnt"): _*)
+    val joined =
+      if (pNames.isEmpty) rn.crossJoin(broadcast(counts))
+      else rn.join(counts,
+        pNames.zip(cNames).map { case (p, c) => rn(p) <=> counts(c) }
+          .reduce(_ && _))
+    // integer `div`, never `/` (Column./ is DOUBLE division — a tile
+    // boundary off by one ulp would truncate into the wrong bucket);
+    // first r tiles carry q+1 rows, the rest q; the else branch only
+    // evaluates when q >= 1, because rn <= cnt = r when q = 0
+    val tile = joined
+      .withColumn("__graft_nt_q", expr(s"__graft_nt_cnt div $n"))
+      .withColumn("__graft_nt_r", expr(s"__graft_nt_cnt % $n"))
+      .withColumn(outCol, expr(
+        "CAST(CASE WHEN __graft_nt_rn <= __graft_nt_r * (__graft_nt_q + 1) " +
+          "THEN (CAST(__graft_nt_rn AS BIGINT) - 1) div (__graft_nt_q + 1) + 1 " +
+          "ELSE __graft_nt_r + (CAST(__graft_nt_rn AS BIGINT) - " +
+          "__graft_nt_r * (__graft_nt_q + 1) - 1) div __graft_nt_q + 1 " +
+          "END AS INT)"))
+    tile.drop(pNames ++ cNames ++
+      Seq("__graft_nt_rn", "__graft_nt_cnt", "__graft_nt_q", "__graft_nt_r"): _*)
   }
 }

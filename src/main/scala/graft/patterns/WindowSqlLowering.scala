@@ -11,10 +11,11 @@ import org.apache.spark.sql.functions.{col, expr}
   * key into one task — fine for a 5-segment dimension, a single-task
   * sort of ~N/5 rows the moment a user points the same package at a
   * fact table. When the executed SELECT carries exactly one top-level
-  * `ROW_NUMBER() | RANK() | DENSE_RANK() OVER (...) AS alias` item,
-  * this rewrites it through [[graft.ops.RankLowering]] (order-aligned
-  * range buckets + two-phase offsets — bounded tasks at ANY
-  * partition-key cardinality).
+  * `ROW_NUMBER() | RANK() | DENSE_RANK() | NTILE(k) OVER (...) AS
+  * alias` item, this rewrites it through [[graft.ops.RankLowering]]
+  * (order-aligned range buckets + two-phase offsets — bounded tasks at
+  * ANY partition-key cardinality; NTILE adds one partition-count
+  * aggregate and a narrow integer-arithmetic projection).
   *
   * Anything off-shape returns None and the caller executes the
   * original SQL unchanged — the lowering must never change WHAT is
@@ -43,7 +44,8 @@ import org.apache.spark.sql.functions.{col, expr}
 object WindowSqlLowering {
 
   private val rankFnOpenRe =
-    "(?i)\\b(row_number|dense_rank|rank)\\s*\\(\\s*\\)\\s+over\\s*\\(".r
+    ("(?i)\\b(?:(row_number|dense_rank|rank)\\s*\\(\\s*\\)" +
+      "|(ntile)\\s*\\(\\s*(\\d+)\\s*\\))\\s+over\\s*\\(").r
   private val asAliasRe = "(?is)^\\s+as\\s+([A-Za-z_][A-Za-z0-9_]*)".r
   private val overBodyRe =
     "(?is)^\\s*(?:partition\\s+by\\s+(.+?))?\\s*order\\s+by\\s+(.+)$".r
@@ -101,7 +103,8 @@ object WindowSqlLowering {
     val matches = rankFnOpenRe.findAllMatchIn(msk).toList
     matches match {
       case m :: Nil if depthAt(msk, m.start) == 0 =>
-        val fn = m.group(1).toLowerCase
+        val fn = Option(m.group(1)).getOrElse(m.group(2)).toLowerCase
+        val fnArg = Option(m.group(3)).map(_.toInt)
         for {
           (overBody, afterOver) <- MergeSqlCompiler.balanced(select, m.end)
           am <- asAliasRe.findPrefixMatchOf(msk.substring(afterOver))
@@ -123,7 +126,8 @@ object WindowSqlLowering {
           partList = Option(ob.group(1))
             .map(_ => overBody.substring(ob.start(1), ob.end(1)))
           orderList = overBody.substring(ob.start(2), ob.end(2))
-          df <- lowerParsed(spark, fn, before, after, alias, partList, orderList)
+          df <- lowerParsed(spark, fn, fnArg, before, after, alias, partList,
+            orderList)
         } yield df
       case _ => None
     }
@@ -141,7 +145,8 @@ object WindowSqlLowering {
     } yield MergeSqlCompiler.splitTop(baseText.substring(sel.end, from.start))
   }
 
-  private def lowerParsed(spark: SparkSession, fn: String, before: String,
+  private def lowerParsed(spark: SparkSession, fn: String,
+      fnArg: Option[Int], before: String,
       after: String, alias: String, partList: Option[String],
       orderList: String): Option[DataFrame] = {
     // base select = the statement with the window item (and its comma)
@@ -209,6 +214,9 @@ object WindowSqlLowering {
         case "row_number" =>
           graft.ops.RankLowering.rowNumber(base, pCols.flatten,
             oCols.flatten, alias)
+        case "ntile" =>
+          graft.ops.RankLowering.ntile(base, pCols.flatten,
+            oCols.flatten, fnArg.get, alias)
         case _ =>
           graft.ops.RankLowering.rankLike(base, pCols.flatten,
             oPlain.flatten, oCompiled.map(_._2), alias,

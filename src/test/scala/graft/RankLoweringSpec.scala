@@ -205,6 +205,88 @@ class RankLoweringSpec extends AnyFunSuite {
     }
   }
 
+  test("property: ntile equals the raw window across n, buckets, partitions") {
+    // uneven splits are the hazard: cnt % n tiles carry one extra row,
+    // and a double-division boundary error would shift whole tiles
+    val rnd = new scala.util.Random(13)
+    val data = (1 to 377).map { i =>
+      (i.toLong, s"p${rnd.nextInt(3)}", rnd.nextDouble())
+    }
+    val df2 = data.toDF("id", "k", "v")
+    for {
+      n <- Seq(1, 3, 4, 7, 500) // 500 > any partition: every row its own tile
+      buckets <- Seq(3, 64)
+    } {
+      val raw = df2.withColumn("t",
+        ntile(n).over(Window.partitionBy($"k").orderBy($"v", $"id")))
+        .select("id", "t").as[(Long, Int)].collect().toSeq.sorted
+      val low = RankLowering.ntile(df2, Seq(col("k")),
+        Seq(col("v").asc, col("id").asc), n, "t", buckets)
+        .select("id", "t").as[(Long, Int)].collect().toSeq.sorted
+      assert(low === raw, s"mismatch at n=$n buckets=$buckets")
+    }
+    // global (no partition): counts ride a 1-row broadcast
+    val rawG = df2.withColumn("t", ntile(7).over(Window.orderBy($"v", $"id")))
+      .select("id", "t").as[(Long, Int)].collect().toSeq.sorted
+    val lowG = RankLowering.ntile(df2, Nil, Seq(col("v").asc, col("id").asc),
+      7, "t", 5)
+      .select("id", "t").as[(Long, Int)].collect().toSeq.sorted
+    assert(lowG === rawG)
+  }
+
+  test("WindowSqlLowering lowers NTILE(k) through the two-phase rank") {
+    df.createOrReplaceTempView("rk_t")
+    val sql = "SELECT id, k, v, NTILE(4) OVER (PARTITION BY k " +
+      "ORDER BY v, id) AS qt FROM rk_t"
+    val low = WindowSqlLowering.lower(spark, sql)
+      .getOrElse(fail("NTILE analytic select did not lower"))
+    assert(low.columns.toSeq === Seq("id", "k", "v", "qt"))
+    val a = spark.sql(sql).select("id", "qt").as[(Long, Int)]
+      .collect().toSeq.sorted
+    val b = low.select("id", "qt").as[(Long, Int)].collect().toSeq.sorted
+    assert(a === b)
+    val plan = low.queryExecution.executedPlan.toString
+    assert(plan.contains("__graft_rk_b"),
+      "NTILE must ride the bucket-keyed two-phase row number")
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("ntile(")),
+      "a raw ntile window survived the lowering")
+    // a non-integer ntile arg is off-shape: falls back to raw SQL
+    assert(WindowSqlLowering.lower(spark,
+      "SELECT id, NTILE(v) OVER (ORDER BY id) AS qt FROM rk_t").isEmpty)
+  }
+
+  test("bucket ids are a pure row function: many-partition input, exact ranks") {
+    // the r12 regression class: with repartitionByRange +
+    // spark_partition_id, a multi-partition input made RangePartitioner
+    // re-sample per evaluation, and whenever exchange reuse failed the
+    // window and the offsets aggregate disagreed bucket-for-row —
+    // duplicate AND missing ranks (~30% of rows on a 15k parquet scan).
+    // Literal value boundaries make the bucket deterministic; this pin
+    // drives the shape that exposed it: a many-partition input whose
+    // consumers each re-evaluate the frame.
+    val many = (1 to 5000)
+      .map(i => (i.toLong, s"k${i % 3}", (i * 2654435761L % 9973).toDouble))
+      .toDF("id", "k", "v").repartition(37)
+    val rn = RankLowering.rowNumber(many, Seq(col("k")),
+      Seq(col("v").desc, col("id").asc), "rn", buckets = 16)
+    val sanity = rn.groupBy("k")
+      .agg(max("rn").as("mx"), count(lit(1)).as("n"),
+        countDistinct("rn").as("d"))
+      .as[(String, Int, Long, Long)].collect()
+    sanity.foreach { case (k, mx, n, d) =>
+      assert(mx.toLong === n && d === n,
+        s"partition $k: max=$mx n=$n distinct=$d — ranks must be a " +
+          "permutation of 1..n on every evaluation")
+    }
+    // and the values equal the raw window's
+    val raw = many.withColumn("rn", row_number().over(
+      Window.partitionBy($"k").orderBy($"v".desc, $"id".asc)))
+      .select("id", "rn").as[(Long, Int)].collect().toSeq.sorted
+    val low = rn.select("id", "rn").as[(Long, Int)].collect().toSeq.sorted
+    assert(low === raw)
+  }
+
   test("off-shape selects fall back to raw SQL (None)") {
     df.createOrReplaceTempView("rk_t")
     // two windows
