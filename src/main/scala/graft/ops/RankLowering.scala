@@ -227,9 +227,12 @@ object RankLowering {
       // across buckets (row_number is order-arbitrary within a tie);
       // identical full rows share a hash and stay together
       .withColumn("__graft_rk_h", xxhash64(df.columns.map(col): _*))
-    val ranged = withValueBuckets(withPO,
-      (pNames.map(SortSpec(_, desc = false, nullsFirst = true)) ++
-        oSpecs :+ hashSpec), "__graft_rk_b", buckets)
+    // bucket key = ORDER columns (+ hash tie-break) only — order
+    // alignment within every partition key holds for GLOBAL order-value
+    // boundaries, and leaving the partition columns out keeps the
+    // boundary CASE chain (codegen size ∝ boundaries × key width) small
+    val ranged = withValueBuckets(withPO, oSpecs :+ hashSpec,
+      "__graft_rk_b", buckets)
     val directed = oSpecs.map { s =>
       val c = col(s.name)
       (s.desc, s.nullsFirst) match {
@@ -323,8 +326,7 @@ object RankLowering {
         // (no ties ⇒ no hash tie-break needed): local exclusive cumsum
         // of tie-group sizes within literal-boundary buckets +
         // bucket-total offsets — every bucket id a pure row function
-        val ranged = withValueBuckets(keyCounts,
-          pNames.map(SortSpec(_, desc = false, nullsFirst = true)) ++ oSpecs,
+        val ranged = withValueBuckets(keyCounts, oSpecs,
           "__graft_rkk_b", buckets)
         val wLocal = Window
           .partitionBy((pNames :+ "__graft_rkk_b").map(col): _*)
