@@ -4644,6 +4644,107 @@ object QueriesTrainingData {
       |  CAST(SUM(cp) AS DECIMAL(30,14)) * 50 > COUNT(*) AS keep
       |FROM sc GROUP BY doc_id""".stripMargin
 
+  /** CCNet-style quality TIERS — the banding step after x94's fluency
+    * score: per language, documents split into head / middle / tail
+    * thirds by mean bigram conditional probability (CCNet buckets on
+    * LM perplexity exactly this way; training recipes then sample the
+    * head harder). The per-language ranking runs through
+    * [[graft.ops.RankLowering.rowNumber]] — literal-boundary buckets,
+    * bounded tasks at 5-language cardinality over any corpus size —
+    * and the tier gate is integer arithmetic (`rank·3 ≤ n`), so the
+    * only doubles in play are single IEEE divisions both engines round
+    * identically. Scale shape: x94's aggregates + one broadcast totals
+    * join + the two-phase rank; no corpus window. */
+  def x95_quality_tiers(spark: SparkSession, dir: String): DataFrame = {
+    val scored = x94_bigram_lm_quality(spark, dir)
+      .select(col("doc_id"), col("n_pairs"), col("sum_condprob"))
+    val s = documents(spark, dir).select(col("doc_id"), col("lang"))
+      .join(scored, Seq("doc_id"))
+      .withColumn("fluency",
+        col("sum_condprob") / col("n_pairs").cast(DoubleType))
+    val ranked = graft.ops.RankLowering.rowNumber(s, Seq(col("lang")),
+      Seq(col("fluency").desc, col("doc_id").asc), "__graft_qr")
+    val totals = s.groupBy(col("lang")).agg(count(lit(1)).as("__graft_qn"))
+    ranked.join(broadcast(totals), Seq("lang"))
+      .withColumn("tier",
+        when(col("__graft_qr") * 3 <= col("__graft_qn"), lit("head"))
+          .when(col("__graft_qr") * 3 <= col("__graft_qn") * 2, lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col("doc_id"), col("lang"), col("fluency"), col("tier"))
+  }
+
+  val x95Oracle: String =
+    "WITH scored AS (\n" +
+      "  SELECT doc_id, sum_condprob / n_pairs AS fluency FROM (\n" +
+      x94Oracle + "\n  ) x),\n" +
+    """l AS (
+      |  SELECT d.doc_id, d.lang, s.fluency
+      |  FROM documents d JOIN scored s USING (doc_id)),
+      |r AS (
+      |  SELECT doc_id, lang, fluency,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY fluency DESC, doc_id) AS rk,
+      |    COUNT(*) OVER (PARTITION BY lang) AS n
+      |  FROM l)
+      |SELECT doc_id, lang, fluency,
+      |  CASE WHEN rk * 3 <= n THEN 'head'
+      |       WHEN rk * 3 <= 2 * n THEN 'middle'
+      |       ELSE 'tail' END AS tier
+      |FROM r""".stripMargin
+
+  /** Quality-AWARE near-dup survivorship — the dedup policy upgrade a
+    * real curation pipeline makes once it has a quality model: among
+    * near-duplicate copies, keep the HIGHEST-fluency one (x94's bigram
+    * score), not the lowest id (x33's bootstrap convention). Pairwise
+    * greedy rule, x90's non-closure convention: a document is removed
+    * iff some ≥0.7-jaccard partner beats it on (fluency, then lower
+    * id) — exact for the greedy rule and oracle-replayable without
+    * iteration. Fifth consumer of [[stagedLshScoredPairs]]:
+    * candidate-sized work over the staged pair frame + one term-keyed
+    * join to the x94 scores; no corpus rescan, no window. Tie-break on
+    * id keeps the rule total (identical fluency ⇒ deterministic
+    * winner). */
+  def x96_quality_survivor(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = stagedLshScoredPairs(spark, dir)
+      .filter(col("jaccard") >= 0.7)
+      .select(col("doc_a"), col("doc_b"))
+    val sym = pairs.unionByName(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val flu = x94_bigram_lm_quality(spark, dir)
+      .withColumn("fluency",
+        col("sum_condprob") / col("n_pairs").cast(DoubleType))
+      .select(col("doc_id"), col("fluency"))
+    val fa = flu.select(col("doc_id").as("doc_a"), col("fluency").as("fl_a"))
+    val fb = flu.select(col("doc_id").as("doc_b"), col("fluency").as("fl_b"))
+    sym.join(fa, Seq("doc_a")).join(fb, Seq("doc_b"))
+      .groupBy(col("doc_a"), col("fl_a"))
+      .agg(count(lit(1)).as("n_partners"),
+        max(when(col("fl_b") > col("fl_a") ||
+          (col("fl_b") === col("fl_a") && col("doc_b") < col("doc_a")),
+          1).otherwise(0)).as("__graft_beat"))
+      .select(col("doc_a").as("doc_id"), col("fl_a").as("fluency"),
+        col("n_partners"), (col("__graft_beat") === 1).as("removed"))
+  }
+
+  val x96Oracle: String =
+    s"WITH $lshScoredCtes,\n" +
+    "f AS (\n  SELECT doc_id, sum_condprob / n_pairs AS fluency FROM (\n" +
+      x94Oracle + "\n  ) x),\n" +
+    """fired AS (
+      |  SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.7),
+      |sym AS (
+      |  SELECT doc_a, doc_b FROM fired
+      |  UNION ALL SELECT doc_b, doc_a FROM fired),
+      |j AS (
+      |  SELECT s.doc_a, s.doc_b, a.fluency AS fl_a, b.fluency AS fl_b
+      |  FROM sym s JOIN f a ON s.doc_a = a.doc_id
+      |             JOIN f b ON s.doc_b = b.doc_id)
+      |SELECT doc_a AS doc_id, fl_a AS fluency,
+      |  COUNT(*) AS n_partners,
+      |  MAX(CASE WHEN fl_b > fl_a OR (fl_b = fl_a AND doc_b < doc_a)
+      |      THEN 1 ELSE 0 END) = 1 AS removed
+      |FROM j GROUP BY doc_a, fl_a""".stripMargin
+
   /** URL takedown sweep — corpus governance at the canonical-URL key
     * (the DMCA/robots-retroactive case): a takedown list of canonical
     * URLs (here: every URL whose source id ≡ 0 mod 7 — a deterministic
@@ -4870,6 +4971,8 @@ object QueriesTrainingData {
     "x92_curriculum_schedule" -> (x92_curriculum_schedule _),
     "x93_bpe_vocab" -> (x93_bpe_vocab _),
     "x94_bigram_lm_quality" -> (x94_bigram_lm_quality _),
+    "x95_quality_tiers" -> (x95_quality_tiers _),
+    "x96_quality_survivor" -> (x96_quality_survivor _),
     "x80_vision_token_budget" -> (x80_vision_token_budget _),
     "x79_url_takedown" -> (x79_url_takedown _),
     "x78_tokenizer_fertility" -> (x78_tokenizer_fertility _),
@@ -4966,6 +5069,8 @@ object QueriesTrainingData {
     "x92_curriculum_schedule" -> x92Oracle,
     "x93_bpe_vocab" -> x93Oracle,
     "x94_bigram_lm_quality" -> x94Oracle,
+    "x95_quality_tiers" -> x95Oracle,
+    "x96_quality_survivor" -> x96Oracle,
     "x80_vision_token_budget" -> x80Oracle,
     "x79_url_takedown" -> x79Oracle,
     "x78_tokenizer_fertility" -> x78Oracle,
