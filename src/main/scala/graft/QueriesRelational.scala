@@ -1460,6 +1460,37 @@ object QueriesRelational {
       |    AS value_quartile
       |FROM orders""".stripMargin
 
+  /** Transaction-wrapped script batch through the dtsx frontend —
+    * `TransactionalMartETL.dtsx` carries the canonical T-SQL dressing
+    * (`SET NOCOUNT ON; BEGIN TRANSACTION; … COMMIT;`) around an
+    * INSERT→UPDATE→DELETE batch. [[graft.patterns.ScriptedSqlExecutor]]
+    * strips the wrapper statements — the shadow overlay's
+    * commit-only-when-every-statement-compiles rule IS the transaction
+    * contract — and runs the batch all-or-nothing; a ROLLBACK would
+    * decline the whole task to manual review (control flow this replay
+    * cannot express). */
+  def q96_dtsx_txn_script(spark: SparkSession, dir: String): DataFrame =
+    runDtsxWarehousePackage(spark, dir, "TransactionalMartETL.dtsx")
+      ._1.apply("mart_tx")
+      .select(col("s_suppkey"), col("s_nationkey").cast(IntegerType)
+        .as("s_nationkey"),
+        col("s_acctbal").cast(DoubleType).as("s_acctbal"))
+
+  val q96Oracle: String =
+    """WITH staged AS (
+      |  SELECT s_suppkey, s_nationkey,
+      |    CAST(s_acctbal AS DECIMAL(12,2)) AS s_acctbal
+      |  FROM supplier),
+      |upd AS (
+      |  SELECT s_suppkey, s_nationkey,
+      |    CASE WHEN s_acctbal < 0
+      |         THEN CAST(s_acctbal * 2 AS DECIMAL(12,2))
+      |         ELSE s_acctbal END AS s_acctbal
+      |  FROM staged)
+      |SELECT s_suppkey, CAST(s_nationkey AS INT) AS s_nationkey,
+      |  CAST(s_acctbal AS DOUBLE) AS s_acctbal
+      |FROM upd WHERE s_nationkey <> 3""".stripMargin
+
   /** Explicit GROUPING SETS with grouping_id disambiguation (beyond q24's
     * rollup): two chosen aggregation levels, no intermediate level. */
   def q39_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
@@ -2821,6 +2852,7 @@ object QueriesRelational {
     "q93_dtsx_rank_sql" -> (q93_dtsx_rank_sql _),
     "q94_dtsx_delete_from" -> (q94_dtsx_delete_from _),
     "q95_dtsx_ntile_sql" -> (q95_dtsx_ntile_sql _),
+    "q96_dtsx_txn_script" -> (q96_dtsx_txn_script _),
     "q82_orc_roundtrip" -> (q82_orc_roundtrip _),
     "q80_dtsx_cdc_merge" -> (q80_dtsx_cdc_merge _),
     "q79_delete_cascade" -> (q79_delete_cascade _),
@@ -2909,6 +2941,7 @@ object QueriesRelational {
     "q93_dtsx_rank_sql" -> q93Oracle,
     "q94_dtsx_delete_from" -> q94Oracle,
     "q95_dtsx_ntile_sql" -> q95Oracle,
+    "q96_dtsx_txn_script" -> q96Oracle,
     "q82_orc_roundtrip" -> q82Oracle,
     "q80_dtsx_cdc_merge" -> q80Oracle,
     "q79_delete_cascade" -> q79Oracle,

@@ -32,8 +32,38 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *    Crucially, a non-refresh script never falls back to the
   *    whole-statement chain: SqlPatternRewriter's order-blind matchers
   *    would execute the first INSERT…SELECT and silently drop the
-  *    trailing statements — manual review beats a mangled half-run. */
+  *    trailing statements — manual review beats a mangled half-run.
+  *
+  * T-SQL transaction dressing is honored, not parsed around:
+  * `BEGIN TRAN[SACTION]` / `COMMIT` / `SET NOCOUNT ON|OFF` statements
+  * strip away (the overlay's commit-only-when-every-statement-compiles
+  * rule IS the transaction contract), a `BEGIN TRAN` fused onto the
+  * next statement by a missing `;` loses just the prefix, and any
+  * `ROLLBACK` — conditional undo this replay cannot express — declines
+  * the whole task to manual review. */
 object ScriptedSqlExecutor {
+
+  /** T-SQL housekeeping statements that are semantic no-ops here: the
+    * shadow-overlay script already IS all-or-nothing (nothing commits
+    * unless every statement compiles), which is exactly the
+    * BEGIN TRAN … COMMIT contract, and NOCOUNT only suppresses
+    * rowcount chatter. The reference's own SQL parser tracks these
+    * keywords (ssis-to-dbt `src/parser/utils.py:45`). */
+  private val txnNoopRe =
+    ("(?is)^\\s*(?:begin\\s+tran(?:saction)?(?:\\s+\\w+)?" +
+      "|commit(?:\\s+tran(?:saction)?(?:\\s+\\w+)?)?" +
+      "|set\\s+nocount\\s+(?:on|off))\\s*$").r
+
+  /** `BEGIN TRAN` fused onto the next statement by a missing `;`
+    * (`BEGIN TRANSACTION UPDATE t SET …`) — strip the prefix, keep the
+    * statement. */
+  private val beginTranPrefixRe =
+    "(?is)^\\s*begin\\s+tran(?:saction)?\\s+(?=[A-Za-z])".r
+
+  /** A ROLLBACK anywhere is CONTROL FLOW (conditional undo this
+    * replay cannot express) — the whole task declines to manual
+    * review, never a half-honored transaction. */
+  private val rollbackRe = "(?i)\\brollback\\b".r
 
   // ANCHORED per-statement twins of SqlPatternRewriter's order-blind
   // matchers (deleteTargetRe / truncateTargetRe / insertSelectRe): the
@@ -140,12 +170,29 @@ object ScriptedSqlExecutor {
     }
 
     bound => {
-      val stmts = SqlText.splitStatements(
-        SqlText.stripComments(bound.sqlStatement))
-      if (stmts.length <= 1) chain(bound, resolveFrame)
-      else if (isRefreshShape(stmts))
-        chain(bound, resolveFrame).orElse(script(bound, stmts))
-      else script(bound, stmts)
+      val text = SqlText.stripComments(bound.sqlStatement)
+      if (rollbackRe.findFirstIn(UpdateSqlCompiler.masked(text)).isDefined)
+        None // conditional undo is control flow — manual review
+      else {
+        val stmts0 = SqlText.splitStatements(text)
+        val stmts = stmts0
+          .map(s => beginTranPrefixRe.replaceFirstIn(s, ""))
+          .filterNot(s => txnNoopRe.findFirstMatchIn(s).isDefined)
+        val txnStripped = stmts != stmts0
+        // a statement text rewritten by the transaction strip must be
+        // what the chain compiles; untouched tasks keep their ORIGINAL
+        // text (compilers strip comments themselves)
+        def single(s: String) =
+          chain(if (txnStripped) bound.copy(sqlStatement = s) else bound,
+            resolveFrame)
+        if (stmts.isEmpty)
+          // a script of only BEGIN TRAN/COMMIT/NOCOUNT: vacuous success
+          Some(SqlOutcome(None, None))
+        else if (stmts.length == 1) single(stmts.head)
+        else if (isRefreshShape(stmts))
+          single(stmts.mkString(";\n")).orElse(script(bound, stmts))
+        else script(bound, stmts)
+      }
     }
   }
 }

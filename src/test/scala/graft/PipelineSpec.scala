@@ -747,6 +747,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(mkExec(w3)(task(
       "INSERT INTO m2 SELECT id, v FROM src_s; EXEC sp_refresh")).isEmpty)
     assert(w3.isEmpty, "half-executed script committed state")
+    // T-SQL transaction dressing strips away — the overlay IS the
+    // transaction; the batch still runs sequentially all-or-nothing
+    val w4 = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]()
+    val txn = mkExec(w4)(task(
+      "SET NOCOUNT ON; BEGIN TRANSACTION; " +
+        "INSERT INTO mt SELECT id, v FROM src_s; " +
+        "DELETE FROM mt WHERE v < 10; COMMIT;"))
+    assert(txn.nonEmpty, "transaction-wrapped script did not compile")
+    assert(w4("mt").as[(Long, Double)].collect().toList === List((2L, 50.0)))
+    // BEGIN TRAN fused onto the next statement by a missing ';' loses
+    // just the prefix
+    val w5 = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame](
+      "acct5" -> Seq((1L, 5.0), (2L, 50.0)).toDF("id", "v"))
+    val fused = mkExec(w5)(task(
+      "BEGIN TRAN UPDATE acct5 SET v = 0 WHERE id = 1; COMMIT"))
+    assert(fused.nonEmpty, "fused BEGIN TRAN prefix did not strip")
+    assert(w5.nonEmpty || fused.get.df.nonEmpty)
+    assert(fused.get.df.get.orderBy("id").as[(Long, Double)].collect().toList
+      === List((1L, 0.0), (2L, 50.0)))
+    // ROLLBACK anywhere is control flow: the WHOLE task declines
+    assert(mkExec(w4)(task(
+      "BEGIN TRAN; UPDATE mt SET v = 1; " +
+        "IF @@ERROR <> 0 ROLLBACK; COMMIT")).isEmpty)
+    // ...but 'rollback' inside a string literal is data, not control
+    val w6 = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame](
+      "n6" -> Seq((1L, "x")).toDF("id", "note"))
+    assert(mkExec(w6)(task(
+      "UPDATE n6 SET note = 'rollback plan attached'")).nonEmpty)
+    // a script of ONLY wrapper statements is vacuous success, no writes
+    val w7 = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]()
+    val noop = mkExec(w7)(task("SET NOCOUNT ON; BEGIN TRAN; COMMIT;"))
+    assert(noop.exists(o => o.df.isEmpty && o.target.isEmpty))
+    assert(w7.isEmpty)
   }
 
   test("q89 rerun purity: a second run in the same session rebuilds from scratch") {
