@@ -400,7 +400,107 @@ object QueriesStreaming {
       |  CAST(CAST(ts AS DATE) AS VARCHAR) AS day
       |FROM events""".stripMargin
 
+  /** STREAMING held-out quality gate — the x94 bigram LM applied the way
+    * a production ingest actually applies it: the model is trained ONCE
+    * on the STANDING corpus (ids ≢7 mod 10) and a delta of incoming
+    * documents streams through the scorer. Properly held-out, so unseen
+    * bigrams/contexts take the smoothed floor `1/(0+V)` (left joins +
+    * coalesce — x94's inner joins are the train-on-self special case).
+    * Scale shape: the LM tables are static frames the stream-static
+    * left joins probe (broadcast-able, no stream state); V is a
+    * bounded driver scalar baked as a literal (a 1-row crossJoin is
+    * not stream-safe); the only stateful op is the per-doc Complete
+    * aggregate the memory-sink drain requires. Exact-decimal scoring
+    * identical to x94's contract. */
+  def x97_stream_heldout_quality(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextOps
+    val standing = Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(10)) =!= 7)
+      .select(TextOps.tokens(col("text")).as("toks"))
+    val sp = standing
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> struct(toks[i-1] AS a, toks[i] AS b))")).as("pr"))
+      .select(col("pr.a").as("a"), col("pr.b").as("b"))
+      .filter(col("a") =!= "" && col("b") =!= "")
+    val big = sp.groupBy(col("a"), col("b")).agg(count(lit(1)).as("bn"))
+    val ctx = sp.groupBy(col("a")).agg(count(lit(1)).as("un"))
+    val v = standing.select(explode(col("toks")).as("t"))
+      .filter(col("t") =!= "")
+      .agg(countDistinct(col("t"))).head().getLong(0)
+    val delta = docsDeltaStream(spark, dir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> struct(toks[i-1] AS a, toks[i] AS b))")).as("pr"))
+      .select(col("doc_id"), col("pr.a").as("a"), col("pr.b").as("b"))
+      .filter(col("a") =!= "" && col("b") =!= "")
+    val scored = delta
+      .join(big, Seq("a", "b"), "left")
+      .join(ctx, Seq("a"), "left")
+      .withColumn("cp",
+        ((coalesce(col("bn"), lit(0L)) + lit(1)).cast(DoubleType) /
+          (coalesce(col("un"), lit(0L)) + lit(v)).cast(DoubleType))
+          .cast(DecimalType(24, 14)))
+      .withColumn("sp",
+        (coalesce(col("un"), lit(0L)) + lit(v)).cast(DoubleType) /
+          (coalesce(col("bn"), lit(0L)) + lit(1)).cast(DoubleType))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("cp")).cast(DecimalType(30, 14)).as("sum_cp_x"),
+        max(col("sp")).as("max_surprisal"))
+      .withColumn("keep", col("sum_cp_x") * 50 > col("n_pairs"))
+      .withColumn("sum_condprob", col("sum_cp_x").cast(DoubleType))
+      .select(col("doc_id"), col("n_pairs"), col("sum_condprob"),
+        col("max_surprisal"), col("keep"))
+    StreamingOps.drainToMemory(scored, "x97_out", ckpt(), OutputMode.Complete)
+  }
+
+  val x97Oracle: String =
+    """WITH standing AS (
+      |  SELECT string_split_regex(text, '\s+') AS w FROM documents
+      |  WHERE doc_id % 10 <> 7),
+      |spr AS (
+      |  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+      |    i -> struct_pack(a := w[i], b := w[i+1]))) AS pr
+      |  FROM standing WHERE len(w) >= 2),
+      |sp AS (
+      |  SELECT pr.a AS a, pr.b AS b FROM spr
+      |  WHERE pr.a <> '' AND pr.b <> ''),
+      |big AS (SELECT a, b, COUNT(*) AS bn FROM sp GROUP BY 1, 2),
+      |ctx AS (SELECT a, COUNT(*) AS un FROM sp GROUP BY 1),
+      |voc AS (
+      |  SELECT COUNT(DISTINCT t) AS v
+      |  FROM (SELECT unnest(w) AS t FROM standing) u WHERE t <> ''),
+      |dpr AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(generate_series(1,
+      |      len(string_split_regex(text, '\s+')) - 1),
+      |      i -> struct_pack(a := string_split_regex(text, '\s+')[i],
+      |                       b := string_split_regex(text, '\s+')[i+1]))) AS pr
+      |  FROM documents
+      |  WHERE doc_id % 10 = 7 AND len(string_split_regex(text, '\s+')) >= 2),
+      |dp AS (
+      |  SELECT doc_id, pr.a AS a, pr.b AS b FROM dpr
+      |  WHERE pr.a <> '' AND pr.b <> ''),
+      |sc AS (
+      |  SELECT d.doc_id,
+      |    CAST(CAST(coalesce(bn, 0) + 1 AS DOUBLE) /
+      |      CAST(coalesce(un, 0) + v AS DOUBLE) AS DECIMAL(24,14)) AS cp,
+      |    CAST(coalesce(un, 0) + v AS DOUBLE) /
+      |      CAST(coalesce(bn, 0) + 1 AS DOUBLE) AS spv
+      |  FROM dp d LEFT JOIN big USING (a, b) LEFT JOIN ctx USING (a)
+      |  CROSS JOIN voc)
+      |SELECT doc_id, COUNT(*) AS n_pairs,
+      |  CAST(CAST(SUM(cp) AS DECIMAL(30,14)) AS DOUBLE) AS sum_condprob,
+      |  MAX(spv) AS max_surprisal,
+      |  CAST(SUM(cp) AS DECIMAL(30,14)) * 50 > COUNT(*) AS keep
+      |FROM sc GROUP BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x97_stream_heldout_quality" -> (x97_stream_heldout_quality _),
     "q84_stream_partitioned_sink" -> (q84_stream_partitioned_sink _),
     "q81_stream_cdc_compaction" -> (q81_stream_cdc_compaction _),
     "q43_stream_windowed_agg" -> (q43_stream_windowed_agg _),
@@ -411,6 +511,7 @@ object QueriesStreaming {
     "q69_stream_dedup_bounded" -> (q69_stream_dedup_bounded _))
 
   val oracle: Map[String, String] = Map(
+    "x97_stream_heldout_quality" -> x97Oracle,
     "q84_stream_partitioned_sink" -> q84Oracle,
     "q81_stream_cdc_compaction" -> q81Oracle,
     "q43_stream_windowed_agg" -> q43Oracle,
