@@ -167,17 +167,14 @@ object QueriesTrainingData {
     res
   }
 
-  /** CTE chain (no leading WITH) ending in `scored(doc_a, doc_b, jaccard)`
-    * — the LSH candidate + verification pipeline in DuckDB SQL, shared by
-    * the x06 and x15 oracles. */
-  private val lshScoredCtes: String = {
+  /** CTE chain (no leading WITH) ending in `sig(doc_id, sig0..sig7)` —
+    * shingles → hashes → minhash signature in DuckDB SQL, the shared
+    * prefix of every LSH oracle (x06/x15/x90 via [[lshScoredCtes]], the
+    * x98 S-curve directly). */
+  private lazy val lshSigCtes: String = {
     val sigDefs = DedupOps.DefaultPerms.zipWithIndex.map { case ((a, b), i) =>
       s"list_min(list_transform(hs, h -> (h * $a + $b) % 2147483647)) AS sig$i"
     }.mkString(",\n      ")
-    val bandRows = (0 until 2).map { i =>
-      val cols = (4 * i until 4 * i + 4).map(j => s"sig$j").mkString(" || '|' || ")
-      s"SELECT doc_id, $i AS band_idx, md5($cols) AS band_key FROM sig"
-    }.mkString("\n      UNION ALL ")
     s"""words AS (
        |  SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents),
        |sh AS (
@@ -192,9 +189,27 @@ object QueriesTrainingData {
        |sig AS (
        |  SELECT doc_id,
        |      $sigDefs
-       |  FROM h),
+       |  FROM h)""".stripMargin
+  }
+
+  /** Band rows for one (rowsPerBand, nBands) config over `sig` — the
+    * SQL twin of [[DedupOps.bandKeysFromSigArray]]'s key construction. */
+  private def lshBandRowsSql(r: Int, b: Int): String =
+    (0 until b).map { i =>
+      // explicit VARCHAR casts: a single-column band has no '||' to
+      // coerce the BIGINT, and md5 is VARCHAR-only in DuckDB
+      val cols = (r * i until r * i + r)
+        .map(j => s"CAST(sig$j AS VARCHAR)").mkString(" || '|' || ")
+      s"SELECT doc_id, $i AS band_idx, md5($cols) AS band_key FROM sig"
+    }.mkString("\n      UNION ALL ")
+
+  /** CTE chain (no leading WITH) ending in `scored(doc_a, doc_b, jaccard)`
+    * — the LSH candidate + verification pipeline in DuckDB SQL, shared by
+    * the x06 and x15 oracles. */
+  private lazy val lshScoredCtes: String = {
+    s"""$lshSigCtes,
        |bands AS (
-       |      $bandRows),
+       |      ${lshBandRowsSql(4, 2)}),
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
@@ -4745,6 +4760,107 @@ object QueriesTrainingData {
       |      THEN 1 ELSE 0 END) = 1 AS removed
       |FROM j GROUP BY doc_a, fl_a""".stripMargin
 
+  /** LSH S-CURVE audit — the band/row tuning artifact a dedup pipeline
+    * files before pinning its (bands × rows) configuration: from ONE
+    * 8-permutation minhash signature pass, every way of cutting the
+    * signature into bands ((1×8), (2×4), (4×2), (8×1) rows×bands) is
+    * evaluated for candidate volume and recall of true ≥0.7-jaccard
+    * pairs. More rows per band = steeper S-curve (fewer, more
+    * confident candidates); the audit measures where the knee actually
+    * sits on THIS corpus instead of trusting the formula. Ground truth
+    * = verified pairs surfaced by ANY config (r=1 single-perm bands
+    * are the most permissive cut; absolute recall beyond their reach
+    * is unobservable without all-pairs — documented, not hidden).
+    * Scale shape: the signature computes ONCE (cached slim frame);
+    * per-config banding is arithmetic over the signature array;
+    * verification runs once per DISTINCT candidate pair across all
+    * configs (the md5-heavy step never repeats per config); rollups
+    * partial-combine. */
+  def x98_lsh_scurve(spark: SparkSession, dir: String): DataFrame = {
+    val configs = Seq((1, 8), (2, 4), (4, 2), (8, 1))
+    val docs = documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("text"))
+    val sig = docs.select(col("doc_id"),
+      DedupOps.minhashSignatureArray(
+        DedupOps.hashedShingles(DedupOps.shingles(col("text"), 3))).as("sig"))
+      .cache()
+    val cand = configs.map { case (r, b) =>
+      val banded = sig.select(col("doc_id"),
+        DedupOps.bandKeysFromSigArray(col("sig"), r, b).as("bands"))
+      DedupOps.lshCandidatePairs(banded, "doc_id", "bands")
+        .select(lit(r).as("rows_per_band"), lit(b).as("n_bands"),
+          col("doc_a"), col("doc_b"))
+    }.reduce(_ unionByName _).cache()
+    cand.count()
+    sig.unpersist()
+    val distinctPairs = cand.select(col("doc_a"), col("doc_b")).distinct()
+    val candIds = distinctPairs.select(col("doc_a").as("doc_id"))
+      .unionByName(distinctPairs.select(col("doc_b").as("doc_id"))).distinct()
+    val candSh = docs.join(broadcast(candIds), Seq("doc_id"))
+      .select(col("doc_id"), DedupOps.shingles(col("text"), 3).as("sh"))
+      .cache()
+    val scored = distinctPairs
+      .join(candSh.toDF("doc_a", "sh_a"), "doc_a")
+      .join(candSh.toDF("doc_b", "sh_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (DedupOps.jaccard(col("sh_a"), col("sh_b")) >= 0.7).as("is_true"))
+      .cache()
+    val totalTrue = scored.filter(col("is_true")).count()
+    candSh.unpersist()
+    val res = cand.join(scored, Seq("doc_a", "doc_b"))
+      .groupBy(col("rows_per_band"), col("n_bands"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("is_true"), 1L).otherwise(0L)).as("n_true_caught"))
+      .withColumn("n_true_total", lit(totalTrue))
+      .withColumn("recall",
+        when(lit(totalTrue) === 0, lit(null).cast(DoubleType))
+          .otherwise(col("n_true_caught").cast(DoubleType) /
+            lit(totalTrue).cast(DoubleType)))
+      .localCheckpoint(true)
+    cand.unpersist()
+    scored.unpersist()
+    res
+  }
+
+  val x98Oracle: String = {
+    val configs = Seq((1, 8), (2, 4), (4, 2), (8, 1))
+    val bandCtes = configs.map { case (r, b) =>
+      s"bands_${r}_$b AS (\n      ${lshBandRowsSql(r, b)})"
+    }.mkString(",\n")
+    val candArms = configs.map { case (r, b) =>
+      s"""SELECT DISTINCT $r AS rows_per_band, $b AS n_bands,
+         |    a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands_${r}_$b a JOIN bands_${r}_$b b
+         |    ON a.band_key = b.band_key AND a.band_idx = b.band_idx
+         |    AND a.doc_id < b.doc_id""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $lshSigCtes,
+       |$bandCtes,
+       |cand AS (
+       |  $candArms),
+       |dp AS (SELECT DISTINCT doc_a, doc_b FROM cand),
+       |sc AS (
+       |  SELECT p.doc_a, p.doc_b,
+       |    CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+       |    CAST(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))
+       |      AS DOUBLE) >= 0.7 AS is_true
+       |  FROM dp p JOIN sh x ON x.doc_id = p.doc_a
+       |            JOIN sh y ON y.doc_id = p.doc_b),
+       |tot AS (SELECT COUNT(*) AS n_true_total FROM sc WHERE is_true)
+       |SELECT c.rows_per_band, c.n_bands,
+       |  COUNT(*) AS n_candidates,
+       |  CAST(SUM(CASE WHEN s.is_true THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_true_caught,
+       |  CAST(t.n_true_total AS BIGINT) AS n_true_total,
+       |  CASE WHEN t.n_true_total = 0 THEN NULL
+       |       ELSE CAST(SUM(CASE WHEN s.is_true THEN 1 ELSE 0 END) AS DOUBLE)
+       |            / t.n_true_total END AS recall
+       |FROM cand c JOIN sc s ON c.doc_a = s.doc_a AND c.doc_b = s.doc_b
+       |CROSS JOIN tot t
+       |GROUP BY c.rows_per_band, c.n_bands, t.n_true_total""".stripMargin
+  }
+
   /** URL takedown sweep — corpus governance at the canonical-URL key
     * (the DMCA/robots-retroactive case): a takedown list of canonical
     * URLs (here: every URL whose source id ≡ 0 mod 7 — a deterministic
@@ -4973,6 +5089,7 @@ object QueriesTrainingData {
     "x94_bigram_lm_quality" -> (x94_bigram_lm_quality _),
     "x95_quality_tiers" -> (x95_quality_tiers _),
     "x96_quality_survivor" -> (x96_quality_survivor _),
+    "x98_lsh_scurve" -> (x98_lsh_scurve _),
     "x80_vision_token_budget" -> (x80_vision_token_budget _),
     "x79_url_takedown" -> (x79_url_takedown _),
     "x78_tokenizer_fertility" -> (x78_tokenizer_fertility _),
@@ -5071,6 +5188,7 @@ object QueriesTrainingData {
     "x94_bigram_lm_quality" -> x94Oracle,
     "x95_quality_tiers" -> x95Oracle,
     "x96_quality_survivor" -> x96Oracle,
+    "x98_lsh_scurve" -> x98Oracle,
     "x80_vision_token_budget" -> x80Oracle,
     "x79_url_takedown" -> x79Oracle,
     "x78_tokenizer_fertility" -> x78Oracle,
