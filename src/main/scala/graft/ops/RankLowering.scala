@@ -191,14 +191,23 @@ object RankLowering {
     val bounds = raw.foldLeft(List.empty[Row]) { (acc, r) =>
       if (acc.nonEmpty && ord.compare(acc.head, r) == 0) acc else r :: acc
     }.reverse
-    val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
-      val bndLits = keyTypes.indices.map { i =>
-        val v = b.get(i)
-        if (v == null) lit(null).cast(keyTypes(i)) else lit(v).cast(keyTypes(i))
-      }
-      acc + when(afterExpr(keyCols, bndLits, specs), 1).otherwise(0)
+    def bndLits(b: Row): Seq[Column] = keyTypes.indices.map { i =>
+      val v = b.get(i)
+      if (v == null) lit(null).cast(keyTypes(i)) else lit(v).cast(keyTypes(i))
     }
-    df.withColumn(bucketCol, bucket)
+    // binary-search CASE tree: the bucket of a row = number of
+    // boundaries it sorts strictly after, found in ⌈log₂ |bounds|⌉
+    // directed comparisons per row instead of |bounds| (the linear
+    // sum-of-flags form tripled the q83-class query cost)
+    val bArr = bounds.toArray
+    def search(lo: Int, hi: Int): Column =
+      if (lo > hi) lit(lo)
+      else {
+        val mid = (lo + hi) / 2
+        when(afterExpr(keyCols, bndLits(bArr(mid)), specs),
+          search(mid + 1, hi)).otherwise(search(lo, mid - 1))
+      }
+    df.withColumn(bucketCol, search(0, bArr.length - 1))
   }
 
   /** `row_number()` over (`partCols`, ordered by `orderCols` — pass
