@@ -4673,10 +4673,16 @@ object QueriesTrainingData {
   def x95_quality_tiers(spark: SparkSession, dir: String): DataFrame = {
     val scored = x94_bigram_lm_quality(spark, dir)
       .select(col("doc_id"), col("n_pairs"), col("sum_condprob"))
+    // SLIM per-doc frame, MANY consumers: the two-phase rank evaluates
+    // its input for the boundary sample, the local window and the
+    // offsets aggregate, and the totals/back-join read it again — cache
+    // so the corpus-mass LM pipeline underneath runs ONCE (the x06
+    // slim-frame rule; Verify/Bench clear the SQL cache per query)
     val s = documents(spark, dir).select(col("doc_id"), col("lang"))
       .join(scored, Seq("doc_id"))
       .withColumn("fluency",
         col("sum_condprob") / col("n_pairs").cast(DoubleType))
+      .cache()
     val ranked = graft.ops.RankLowering.rowNumber(s, Seq(col("lang")),
       Seq(col("fluency").desc, col("doc_id").asc), "__graft_qr")
     val totals = s.groupBy(col("lang")).agg(count(lit(1)).as("__graft_qn"))
@@ -4725,10 +4731,13 @@ object QueriesTrainingData {
       .select(col("doc_a"), col("doc_b"))
     val sym = pairs.unionByName(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    // slim per-doc frame probed from BOTH pair sides — cache so the LM
+    // pipeline underneath runs once, not once per join leg
     val flu = x94_bigram_lm_quality(spark, dir)
       .withColumn("fluency",
         col("sum_condprob") / col("n_pairs").cast(DoubleType))
       .select(col("doc_id"), col("fluency"))
+      .cache()
     val fa = flu.select(col("doc_id").as("doc_a"), col("fluency").as("fl_a"))
     val fb = flu.select(col("doc_id").as("doc_b"), col("fluency").as("fl_b"))
     sym.join(fa, Seq("doc_a")).join(fb, Seq("doc_b"))
