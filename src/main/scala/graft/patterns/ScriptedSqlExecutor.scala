@@ -11,8 +11,8 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *
   * Single statements route through the compiler chain (MERGE → UPDATE →
   * UPDATE…FROM → DELETE/TRUNCATE → DELETE…FROM → literal VALUES →
-  * SqlPatternRewriter). Scripts are
-  * split on quote-aware semicolons of the comment-stripped text and
+  * SqlPatternRewriter). Scripts are split on quote-aware semicolons
+  * AND `GO` batch-separator lines of the comment-stripped text and
   * routed by SHAPE:
   *
   *  - the canonical REFRESH script (clears followed by one
@@ -174,7 +174,10 @@ object ScriptedSqlExecutor {
       if (rollbackRe.findFirstIn(UpdateSqlCompiler.masked(text)).isDefined)
         None // conditional undo is control flow — manual review
       else {
-        val stmts0 = SqlText.splitStatements(text)
+        // GO batch separators split exactly like ';' — a batch boundary
+        // is always a statement boundary
+        val stmts0 = SqlText.splitBatches(text)
+          .flatMap(SqlText.splitStatements)
         val stmts = stmts0
           .map(s => beginTranPrefixRe.replaceFirstIn(s, ""))
           .filterNot(s => txnNoopRe.findFirstMatchIn(s).isDefined)

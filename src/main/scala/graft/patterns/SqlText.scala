@@ -27,6 +27,27 @@ object SqlText {
   def stripComments(sql: String): String =
     (if (sql.contains('\n')) stripToEol(sql) else stripNormalized(sql)).trim
 
+  /** T-SQL `GO` batch separators: a line holding only `GO` (optionally
+    * `;`-terminated) splits the script exactly like a `;` — SSMS-style
+    * batch authoring is everywhere in real estates. Positions are found
+    * on the literal-MASKED twin (a multi-line string literal containing
+    * a lone `go` line is data) and sliced from the original. Only
+    * meaningful when real newlines survived the dtsx attribute
+    * normalization — in the newline-free form `GO` is indistinguishable
+    * from an identifier, so the text passes through untouched. */
+  private val goLineRe = "(?im)^[ \\t]*go[ \\t]*;?[ \\t]*$".r
+
+  def splitBatches(sql: String): List[String] =
+    if (!sql.contains('\n')) List(sql)
+    else {
+      val msk = UpdateSqlCompiler.masked(sql)
+      val cuts = goLineRe.findAllMatchIn(msk).map(m => (m.start, m.end)).toList
+      val (parts, last) = cuts.foldLeft((List.empty[String], 0)) {
+        case ((acc, from), (s, e)) => (sql.substring(from, s) :: acc, e)
+      }
+      (sql.substring(last) :: parts).reverse.map(_.trim).filter(_.nonEmpty)
+    }
+
   /** Split a script into its `;`-separated statements, quote-aware (a
     * `;` inside a string literal never splits; `''` escapes survive).
     * Empty fragments (trailing `;`, `;;`) are dropped. */

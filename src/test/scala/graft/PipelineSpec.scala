@@ -780,6 +780,20 @@ class PipelineSpec extends AnyFunSuite {
     val noop = mkExec(w7)(task("SET NOCOUNT ON; BEGIN TRAN; COMMIT;"))
     assert(noop.exists(o => o.df.isEmpty && o.target.isEmpty))
     assert(w7.isEmpty)
+    // GO batch separators split like ';' (SSMS authoring): the
+    // INSERT→DELETE batch still runs sequentially
+    val w8 = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]()
+    val goOut = mkExec(w8)(task(
+      "INSERT INTO mg SELECT id, v FROM src_s\nGO\nDELETE FROM mg WHERE v < 10\nGO"))
+    assert(goOut.nonEmpty, "GO-separated script did not compile")
+    assert(w8("mg").as[(Long, Double)].collect().toList === List((2L, 50.0)))
+    // a lone 'go' line INSIDE a multi-line string literal is data
+    val w9 = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame](
+      "n9" -> Seq((1L, "x")).toDF("id", "note"))
+    val litGo = mkExec(w9)(task("UPDATE n9 SET note = 'now\ngo\nlater'"))
+    assert(litGo.nonEmpty, "literal containing a go line split the statement")
+    assert(litGo.get.df.get.select(col("note")).as[String].head()
+      === "now\ngo\nlater")
   }
 
   test("q89 rerun purity: a second run in the same session rebuilds from scratch") {
