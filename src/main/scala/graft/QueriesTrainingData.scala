@@ -4870,6 +4870,89 @@ object QueriesTrainingData {
        |GROUP BY c.rows_per_band, c.n_bands, t.n_true_total""".stripMargin
   }
 
+  /** Vocabulary GROWTH curve (Heaps-law audit) — how fast the type
+    * inventory grows with corpus size, the planning fact behind "is
+    * more data still buying vocabulary?" and tokenizer sizing: docs
+    * are assigned to nested corpus fractions (10% ⊂ 25% ⊂ 50% ⊂ 100%
+    * by a deterministic id-hash draw), and the curve = distinct tokens
+    * present in each prefix. Computed in ONE corpus pass with the
+    * first-tier trick: per TOKEN, the smallest fraction containing it
+    * (a map-side-combining `min` over the token key — the corpus never
+    * shuffles at token granularity twice); the running sum over the
+    * 4-row tier frame is a toy window. Every tier row is anchored even
+    * when no token debuts there. */
+  def x99_vocab_growth(spark: SparkSession, dir: String): DataFrame = {
+    val draw = TextOps.stableHash64(
+      concat(lit("vg:"), col("doc_id").cast(StringType))) % 100
+    val tier = when(draw < 10, 10).when(draw < 25, 25)
+      .when(draw < 50, 50).otherwise(100)
+    val firstTier = documents(spark, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .withColumn("tier", tier)
+      .groupBy(col("w")).agg(min(col("tier")).as("first_tier"))
+    val debut = firstTier.groupBy(col("first_tier"))
+      .agg(count(lit(1)).as("new_types"))
+    val anchor = spark.range(1).select(
+      explode(array(lit(10), lit(25), lit(50), lit(100))).as("first_tier"))
+    val filled = anchor.join(debut, Seq("first_tier"), "left")
+      .select(col("first_tier").as("tier"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("tier"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    filled.withColumn("vocab_size", sum(col("new_types")).over(w))
+      .select(col("tier").cast(IntegerType).as("tier"),
+        col("new_types"), col("vocab_size"))
+  }
+
+  val x99Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w
+      |  FROM documents),
+      |d AS (
+      |  SELECT w,
+      |    CAST(('0x' || substr(md5('vg:' || CAST(doc_id AS VARCHAR)), 1, 15))
+      |      AS BIGINT) % 100 AS draw
+      |  FROM t WHERE w <> ''),
+      |ft AS (
+      |  SELECT w, MIN(CASE WHEN draw < 10 THEN 10 WHEN draw < 25 THEN 25
+      |    WHEN draw < 50 THEN 50 ELSE 100 END) AS first_tier
+      |  FROM d GROUP BY w),
+      |debut AS (
+      |  SELECT first_tier, COUNT(*) AS new_types FROM ft GROUP BY first_tier),
+      |anchor(tier) AS (SELECT * FROM (VALUES (10), (25), (50), (100)) v(t)),
+      |filled AS (
+      |  SELECT a.tier, CAST(coalesce(d.new_types, 0) AS BIGINT) AS new_types
+      |  FROM anchor a LEFT JOIN debut d ON a.tier = d.first_tier)
+      |SELECT CAST(tier AS INT) AS tier, new_types,
+      |  CAST(SUM(new_types) OVER (ORDER BY tier
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
+      |FROM filled""".stripMargin
+
+  /** Token-frequency SPECTRUM (Zipf audit) — the frequency-of-
+    * frequencies table a vocabulary/tokenizer plan reads: for each
+    * occurrence count, how many types carry it and how much corpus
+    * mass they sum to (hapax count = the `wf = 1` row; head mass = the
+    * top rows). Vocabulary-sized input ([[stagedWordFreq]] — zero
+    * extra corpus tokenizes), one partial-combining aggregate. */
+  def x100_zipf_spectrum(spark: SparkSession, dir: String): DataFrame =
+    stagedWordFreq(spark, dir)
+      .groupBy(col("wf"))
+      .agg(count(lit(1)).as("n_types"))
+      .select(col("wf").cast(LongType).as("occurrences"), col("n_types"),
+        (col("wf") * col("n_types")).cast(LongType).as("token_mass"))
+
+  val x100Oracle: String =
+    """WITH t AS (
+      |  SELECT unnest(string_split_regex(text, '\s+')) AS w FROM documents),
+      |wf AS (
+      |  SELECT w, COUNT(*) AS wf FROM t
+      |  WHERE w <> '' AND NOT contains(w, chr(31)) GROUP BY w)
+      |SELECT CAST(wf AS BIGINT) AS occurrences,
+      |  COUNT(*) AS n_types,
+      |  CAST(wf * COUNT(*) AS BIGINT) AS token_mass
+      |FROM wf GROUP BY wf""".stripMargin
+
   /** URL takedown sweep — corpus governance at the canonical-URL key
     * (the DMCA/robots-retroactive case): a takedown list of canonical
     * URLs (here: every URL whose source id ≡ 0 mod 7 — a deterministic
@@ -5099,6 +5182,8 @@ object QueriesTrainingData {
     "x95_quality_tiers" -> (x95_quality_tiers _),
     "x96_quality_survivor" -> (x96_quality_survivor _),
     "x98_lsh_scurve" -> (x98_lsh_scurve _),
+    "x99_vocab_growth" -> (x99_vocab_growth _),
+    "x100_zipf_spectrum" -> (x100_zipf_spectrum _),
     "x80_vision_token_budget" -> (x80_vision_token_budget _),
     "x79_url_takedown" -> (x79_url_takedown _),
     "x78_tokenizer_fertility" -> (x78_tokenizer_fertility _),
@@ -5198,6 +5283,8 @@ object QueriesTrainingData {
     "x95_quality_tiers" -> x95Oracle,
     "x96_quality_survivor" -> x96Oracle,
     "x98_lsh_scurve" -> x98Oracle,
+    "x99_vocab_growth" -> x99Oracle,
+    "x100_zipf_spectrum" -> x100Oracle,
     "x80_vision_token_budget" -> x80Oracle,
     "x79_url_takedown" -> x79Oracle,
     "x78_tokenizer_fertility" -> x78Oracle,
