@@ -1491,6 +1491,30 @@ object QueriesRelational {
       |  CAST(s_acctbal AS DOUBLE) AS s_acctbal
       |FROM upd WHERE s_nationkey <> 3""".stripMargin
 
+  /** T-SQL `SELECT … INTO` through the dtsx frontend —
+    * `SelectIntoMartETL.dtsx` creates a join+aggregate mart in one
+    * statement, the other ubiquitous table-creation idiom beside
+    * INSERT…SELECT. [[graft.patterns.SelectIntoSqlCompiler]] excises
+    * the top-level INTO clause, runs the pure SELECT (scale-safe rank
+    * lowering applies when the shape fits), and writes the target's
+    * first generation; a pre-existing target aborts loudly (T-SQL
+    * error 2714 parity). */
+  def q97_dtsx_select_into(spark: SparkSession, dir: String): DataFrame =
+    runDtsxWarehousePackage(spark, dir, "SelectIntoMartETL.dtsx")
+      ._1.apply("nation_supplier_mart")
+      .select(col("n_nationkey").cast(IntegerType).as("n_nationkey"),
+        col("n_name"),
+        col("n_suppliers").cast(LongType).as("n_suppliers"),
+        col("total_bal").cast(DoubleType).as("total_bal"))
+
+  val q97Oracle: String =
+    """SELECT CAST(n.n_nationkey AS INT) AS n_nationkey, n.n_name,
+      |  COUNT(*) AS n_suppliers,
+      |  CAST(CAST(SUM(CAST(s.s_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,2))
+      |    AS DOUBLE) AS total_bal
+      |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |GROUP BY n.n_nationkey, n.n_name""".stripMargin
+
   /** Explicit GROUPING SETS with grouping_id disambiguation (beyond q24's
     * rollup): two chosen aggregation levels, no intermediate level. */
   def q39_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
@@ -2853,6 +2877,7 @@ object QueriesRelational {
     "q94_dtsx_delete_from" -> (q94_dtsx_delete_from _),
     "q95_dtsx_ntile_sql" -> (q95_dtsx_ntile_sql _),
     "q96_dtsx_txn_script" -> (q96_dtsx_txn_script _),
+    "q97_dtsx_select_into" -> (q97_dtsx_select_into _),
     "q82_orc_roundtrip" -> (q82_orc_roundtrip _),
     "q80_dtsx_cdc_merge" -> (q80_dtsx_cdc_merge _),
     "q79_delete_cascade" -> (q79_delete_cascade _),
@@ -2942,6 +2967,7 @@ object QueriesRelational {
     "q94_dtsx_delete_from" -> q94Oracle,
     "q95_dtsx_ntile_sql" -> q95Oracle,
     "q96_dtsx_txn_script" -> q96Oracle,
+    "q97_dtsx_select_into" -> q97Oracle,
     "q82_orc_roundtrip" -> q82Oracle,
     "q80_dtsx_cdc_merge" -> q80Oracle,
     "q79_delete_cascade" -> q79Oracle,

@@ -109,6 +109,7 @@ object ScriptedSqlExecutor {
         .orElse(DeleteSqlCompiler.rewrite(spark, stmt, resolve))
         .orElse(DeleteFromSqlCompiler.rewrite(spark, stmt, resolve))
         .orElse(InsertValuesSqlCompiler.rewrite(spark, stmt, resolve))
+        .orElse(SelectIntoSqlCompiler.rewrite(spark, stmt, resolve))
         .orElse(SqlPatternRewriter.rewrite(spark, stmt))
 
     def script(bound: ExecuteSqlTask,

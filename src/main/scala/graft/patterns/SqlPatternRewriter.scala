@@ -52,7 +52,7 @@ object SqlPatternRewriter {
   /** Execute a rewritten SELECT — through the scale-safe rank lowering
     * when it is the single-ROW_NUMBER analytic shape
     * ([[WindowSqlLowering]]), raw `spark.sql` otherwise. */
-  private def runSelect(spark: SparkSession, select: String): DataFrame =
+  private[patterns] def runSelect(spark: SparkSession, select: String): DataFrame =
     WindowSqlLowering.lower(spark, select).getOrElse(spark.sql(select))
 
   def rewrite(spark: SparkSession, task: ExecuteSqlTask,

@@ -57,7 +57,7 @@ object WindowSqlLowering {
 
   /** Depth of nesting parens at `pos`, counting only parens outside
     * single-quoted literals; 0 = the top-level select list. */
-  private def depthAt(s: String, pos: Int): Int = {
+  private[patterns] def depthAt(s: String, pos: Int): Int = {
     var depth = 0
     var inQ = false
     var i = 0

@@ -539,6 +539,47 @@ class PipelineSpec extends AnyFunSuite {
       plan.contains("LeftAnti"), s"join-delete must be one anti join:\n$plan")
   }
 
+  test("SelectIntoSqlCompiler: table creation; 2714 abort; off-shape stays None") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    Seq((1L, "a", 5.0), (2L, "b", 7.0)).toDF("id", "grp", "v")
+      .createOrReplaceTempView("si_src")
+    val existing = Seq((9L, 1.0)).toDF("id", "v")
+    val frames = Map("already" -> existing)
+    def resolve(frames: Map[String, org.apache.spark.sql.DataFrame])(n: String) =
+      frames.getOrElse(n, sys.error(s"unknown table $n"))
+    def task(sql: String) = graft.ir.Ir.ExecuteSqlTask("si", None, "conn", sql)
+    // canonical: the INTO clause excises, the SELECT runs, Overwrite
+    val out = graft.patterns.SelectIntoSqlCompiler.rewrite(spark,
+      task("SELECT grp, SUM(v) AS total INTO mart FROM si_src GROUP BY grp"),
+      resolve(frames)).getOrElse(fail("canonical SELECT INTO did not compile"))
+    assert(out.target.contains("mart"))
+    assert(out.mode == org.apache.spark.sql.SaveMode.Overwrite)
+    assert(out.df.get.orderBy("grp").as[(String, Double)].collect().toList
+      === List(("a", 5.0), ("b", 7.0)))
+    // a pre-existing target aborts loudly (T-SQL Msg 2714), never
+    // silently overwrites
+    assert(intercept[Exception] {
+      graft.patterns.SelectIntoSqlCompiler.rewrite(spark,
+        task("SELECT id INTO already FROM si_src"), resolve(frames))
+    }.getMessage.contains("2714"))
+    // an INTO inside a subquery belongs to the inner query — decline;
+    // temp/table-variable targets and quoted identifiers decline
+    for (sql <- Seq(
+      "SELECT id FROM (SELECT id INTO x FROM si_src) s",
+      "SELECT id INTO #tmp FROM si_src",
+      "SELECT id INTO @tv FROM si_src",
+      "SELECT id INTO [m].[t] FROM si_src",
+      "INSERT INTO t SELECT id FROM si_src"))
+      assert(graft.patterns.SelectIntoSqlCompiler
+        .rewrite(spark, task(sql), resolve(frames)).isEmpty,
+        s"should decline: $sql")
+    // 'into' inside a string literal is data, not a clause
+    assert(graft.patterns.SelectIntoSqlCompiler.rewrite(spark,
+      task("SELECT id, 'walked into x' AS note FROM si_src"),
+      resolve(frames)).isEmpty)
+  }
+
   test("UpdateSqlCompiler: canonical single-table UPDATE; off-shape stays None") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
