@@ -1515,6 +1515,25 @@ object QueriesRelational {
       |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
       |GROUP BY n.n_nationkey, n.n_name""".stripMargin
 
+  /** The reference InventorySync WATERMARK LOOP executed end-to-end —
+    * `WatermarkLoopETL.dtsx` (q98): seed a sync log, fetch the last
+    * successful watermark with the reference's own statement shape
+    * (`SELECT TOP 1 … ORDER BY … DESC`, SingleRow result bound to a
+    * package variable — [[graft.patterns.SqlPatternRewriter.translateTop]]
+    * turns TOP into LIMIT, the runner stores the one-row scalar), then
+    * load the delta past the watermark through a `?` parameter bound
+    * from that variable. The full incremental handshake EXECUTES, where
+    * q13/q21/q36 covered its pieces natively. */
+  def q98_dtsx_watermark_loop(spark: SparkSession, dir: String): DataFrame =
+    runDtsxWarehousePackage(spark, dir, "WatermarkLoopETL.dtsx")
+      ._1.apply("orders_delta")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+
+  val q98Oracle: String =
+    """SELECT o_orderkey, o_custkey, o_orderdate
+      |FROM orders
+      |WHERE o_orderdate > TIMESTAMP '1997-06-01 00:00:00'""".stripMargin
+
   /** Explicit GROUPING SETS with grouping_id disambiguation (beyond q24's
     * rollup): two chosen aggregation levels, no intermediate level. */
   def q39_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
@@ -2878,6 +2897,7 @@ object QueriesRelational {
     "q95_dtsx_ntile_sql" -> (q95_dtsx_ntile_sql _),
     "q96_dtsx_txn_script" -> (q96_dtsx_txn_script _),
     "q97_dtsx_select_into" -> (q97_dtsx_select_into _),
+    "q98_dtsx_watermark_loop" -> (q98_dtsx_watermark_loop _),
     "q82_orc_roundtrip" -> (q82_orc_roundtrip _),
     "q80_dtsx_cdc_merge" -> (q80_dtsx_cdc_merge _),
     "q79_delete_cascade" -> (q79_delete_cascade _),
@@ -2968,6 +2988,7 @@ object QueriesRelational {
     "q95_dtsx_ntile_sql" -> q95Oracle,
     "q96_dtsx_txn_script" -> q96Oracle,
     "q97_dtsx_select_into" -> q97Oracle,
+    "q98_dtsx_watermark_loop" -> q98Oracle,
     "q82_orc_roundtrip" -> q82Oracle,
     "q80_dtsx_cdc_merge" -> q80Oracle,
     "q79_delete_cascade" -> q79Oracle,

@@ -49,11 +49,31 @@ object SqlPatternRewriter {
     norm(a) == norm(b)
   }
 
+  /** `SELECT TOP n …` / `SELECT TOP (n) …` → `SELECT … LIMIT n` — the
+    * T-SQL row-cap spelling the reference's own watermark fetch uses
+    * (`InventorySync.dtsx`'s `SELECT TOP 1 LastSyncTime … ORDER BY …`);
+    * Spark's parser has no TOP, so without the translation the
+    * statement class fails loud instead of executing. Only the LEADING
+    * top-level TOP translates — a TOP inside a subquery still fails
+    * loudly rather than silently capping the wrong query level. */
+  private val topRe = "(?is)^(\\s*select)\\s+top\\s*\\(?\\s*(\\d+)\\s*\\)?\\s+".r
+  private[patterns] def translateTop(select: String): String =
+    topRe.findFirstMatchIn(select) match {
+      case Some(m) =>
+        select.substring(0, m.end(1)) + " " +
+          select.substring(m.end) + s" LIMIT ${m.group(2)}"
+      case None => select
+    }
+
   /** Execute a rewritten SELECT — through the scale-safe rank lowering
     * when it is the single-ROW_NUMBER analytic shape
-    * ([[WindowSqlLowering]]), raw `spark.sql` otherwise. */
-  private[patterns] def runSelect(spark: SparkSession, select: String): DataFrame =
-    WindowSqlLowering.lower(spark, select).getOrElse(spark.sql(select))
+    * ([[WindowSqlLowering]]), raw `spark.sql` otherwise. TOP translates
+    * first (the lowering declines LIMIT shapes by design, so a TOP'd
+    * select always takes the raw path). */
+  private[patterns] def runSelect(spark: SparkSession, select: String): DataFrame = {
+    val s = translateTop(select)
+    WindowSqlLowering.lower(spark, s).getOrElse(spark.sql(s))
+  }
 
   def rewrite(spark: SparkSession, task: ExecuteSqlTask,
       params: Map[String, String] = Map.empty): Option[SqlOutcome] = {

@@ -533,12 +533,28 @@ object PackageRunner {
           // EXECUTION uses the bound statement
           val detection = LoadPatterns.detect(sql0.sqlStatement, pkg.variables)
           val sql = PackageVariables.bindStatement(sql0, pkg, values)
-          // ResultBinding: a produced result set lands in the bound Object
-          // variable (the recordset a ForEach ADO enumerator iterates)
+          // ResultBinding: a Full result set lands in the bound Object
+          // variable as a frame (the recordset a ForEach ADO enumerator
+          // iterates); a SingleRow binding stores the first row's first
+          // column as a SCALAR — the SSIS watermark-fetch convention
+          // (`SELECT TOP 1 LastSyncTime …` → variable → the next task's
+          // `?` parameter, InventorySync.dtsx:58-63). A one-row head()
+          // is a bounded driver-control fact, the q13 class; an EMPTY
+          // SingleRow result is an SSIS runtime error — fail loud, a
+          // silently-unbound watermark would refetch the whole source.
           def bindResult(out: Option[org.apache.spark.sql.DataFrame]): List[String] =
             (sql0.resultVariable zip out).map { case (v, df) =>
-              store.values = store.values + (v -> df)
-              s"result set bound to $v"
+              if (sql0.resultSet == "SingleRow") {
+                val rows = df.limit(1).collect()
+                require(rows.nonEmpty,
+                  s"SingleRow result binding for $v: the query returned " +
+                    "no rows (SSIS would fail the task)")
+                store.values = store.values + (v -> rows.head.get(0))
+                s"single-row value bound to $v"
+              } else {
+                store.values = store.values + (v -> df)
+                s"result set bound to $v"
+              }
             }.toList
           env.sqlExecutor(sql) match {
             case Some(SqlOutcome(Some(out), Some(target), mode)) =>
