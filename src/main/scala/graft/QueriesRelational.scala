@@ -1534,6 +1534,26 @@ object QueriesRelational {
       |FROM orders
       |WHERE o_orderdate > TIMESTAMP '1997-06-01 00:00:00'""".stripMargin
 
+  /** The reference SalesFactETL GUARD BLOCK executed — `GuardedFactETL
+    * .dtsx` (q99): the `DECLARE / SELECT @x = COUNT(*) / IF … RAISERROR`
+    * pre-ETL verification task runs through
+    * [[graft.patterns.GuardBlockSqlCompiler]] (scalar collects +
+    * FROM-less predicate evaluation; a tripped severity-16 guard fails
+    * the task exactly like SSIS), and only then the guarded fact load
+    * executes. This was the LAST statement class in the reference's own
+    * sample packages that only classified instead of executing. */
+  def q99_dtsx_guard_block(spark: SparkSession, dir: String): DataFrame =
+    runDtsxWarehousePackage(spark, dir, "GuardedFactETL.dtsx")
+      ._1.apply("guarded_fact")
+      .select(col("o_orderkey"),
+        col("c_nationkey").cast(IntegerType).as("c_nationkey"),
+        col("o_totalprice").cast(DoubleType).as("o_totalprice"))
+
+  val q99Oracle: String =
+    """SELECT o.o_orderkey, CAST(c.c_nationkey AS INT) AS c_nationkey,
+      |  CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin
+
   /** Explicit GROUPING SETS with grouping_id disambiguation (beyond q24's
     * rollup): two chosen aggregation levels, no intermediate level. */
   def q39_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
@@ -2898,6 +2918,7 @@ object QueriesRelational {
     "q96_dtsx_txn_script" -> (q96_dtsx_txn_script _),
     "q97_dtsx_select_into" -> (q97_dtsx_select_into _),
     "q98_dtsx_watermark_loop" -> (q98_dtsx_watermark_loop _),
+    "q99_dtsx_guard_block" -> (q99_dtsx_guard_block _),
     "q82_orc_roundtrip" -> (q82_orc_roundtrip _),
     "q80_dtsx_cdc_merge" -> (q80_dtsx_cdc_merge _),
     "q79_delete_cascade" -> (q79_delete_cascade _),
@@ -2989,6 +3010,7 @@ object QueriesRelational {
     "q96_dtsx_txn_script" -> q96Oracle,
     "q97_dtsx_select_into" -> q97Oracle,
     "q98_dtsx_watermark_loop" -> q98Oracle,
+    "q99_dtsx_guard_block" -> q99Oracle,
     "q82_orc_roundtrip" -> q82Oracle,
     "q80_dtsx_cdc_merge" -> q80Oracle,
     "q79_delete_cascade" -> q79Oracle,

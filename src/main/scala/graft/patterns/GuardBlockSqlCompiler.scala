@@ -1,0 +1,116 @@
+package graft.patterns
+
+import graft.ir.Ir.ExecuteSqlTask
+import graft.pipeline.PackageRunner.SqlOutcome
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The T-SQL pre-ETL GUARD block → Spark compile — the LAST statement
+  * class in the reference's own sample packages that only classified
+  * instead of executing (SalesFactETL's "Verify dimension tables have
+  * data" task, `SalesFactETL.dtsx`):
+  *
+  * {{{
+  * DECLARE @A INT, @B INT;
+  * SELECT @A = COUNT(*) FROM t1 [WHERE …];
+  * SELECT @B = COUNT(*) FROM t2;
+  * IF <predicate over @vars> RAISERROR('message', severity, state);
+  * }}}
+  *
+  * Every statement must be one of exactly three forms — DECLARE,
+  * scalar SELECT-assign, IF…RAISERROR — with at least one assign and
+  * at least one guard; anything else declines the WHOLE block to
+  * manual review (half a guard is no guard). Each scalar assign runs
+  * eagerly and collects ONE value (the q13 bounded-driver-fact
+  * convention — guard counts are scalars by construction); the IF
+  * predicate evaluates with the collected values substituted as typed
+  * literals through a FROM-less `spark.sql` CASE (so any SQL predicate
+  * the author wrote — OR chains, comparisons, NULL checks — keeps SQL
+  * semantics, including UNKNOWN ≠ TRUE). A tripped guard with severity
+  * ≥ 11 throws — the task fails exactly like SSIS failing the
+  * statement; severity ≤ 10 is informational in T-SQL and passes. A
+  * variable referenced but never declared declines the block. */
+object GuardBlockSqlCompiler {
+
+  private val declareRe = "(?is)^declare\\s+@.+$".r
+  private val assignRe = "(?is)^select\\s+@(\\w+)\\s*=\\s*(.+)$".r
+  private val ifRaiseRe =
+    "(?is)^if\\s+(.+?)\\s+raiserror\\s*\\((.+)\\)\\s*$".r
+  private val declaredVarRe = "@(\\w+)".r
+
+  def rewrite(spark: SparkSession, task: ExecuteSqlTask,
+      resolve: String => DataFrame): Option[SqlOutcome] = {
+    val text = SqlText.stripComments(task.sqlStatement)
+    val stmts = SqlText.splitStatements(text)
+    // classify every statement first — execution starts only when the
+    // WHOLE block is the canonical guard shape
+    sealed trait G
+    case class Decl(names: Seq[String]) extends G
+    case class Assign(name: String, expr: String) extends G
+    case class Guard(pred: String, args: String) extends G
+    val parsed: Seq[Option[G]] = stmts.map { s =>
+      val msk = UpdateSqlCompiler.masked(s)
+      if (declareRe.findFirstIn(msk).isDefined)
+        Some(Decl(declaredVarRe.findAllMatchIn(msk)
+          .map(_.group(1).toLowerCase).toSeq))
+      else (assignRe.findFirstMatchIn(msk), ifRaiseRe.findFirstMatchIn(msk)) match {
+        case (Some(m), _) =>
+          Some(Assign(s.substring(m.start(1), m.end(1)).toLowerCase,
+            s.substring(m.start(2), m.end(2))))
+        case (_, Some(m)) =>
+          Some(Guard(s.substring(m.start(1), m.end(1)),
+            s.substring(m.start(2), m.end(2))))
+        case _ => None
+      }
+    }
+    if (parsed.exists(_.isEmpty)) return None
+    val gs = parsed.flatten
+    val declared = gs.collect { case Decl(ns) => ns }.flatten.toSet
+    val assigns = gs.collect { case a: Assign => a }
+    val guards = gs.collect { case g: Guard => g }
+    if (assigns.isEmpty || guards.isEmpty) return None
+    // every referenced variable must be declared — an undeclared @var
+    // is a shape we do not understand, never a silent NULL
+    val referenced = (assigns.map(_.name) ++ guards.flatMap(g =>
+      declaredVarRe.findAllMatchIn(UpdateSqlCompiler.masked(g.pred))
+        .map(_.group(1).toLowerCase))).toSet
+    if (!referenced.subsetOf(declared)) return None
+    Some {
+      val vals = scala.collection.mutable.Map.empty[String, Any]
+      declared.foreach(v => vals(v) = null)
+      assigns.foreach { a =>
+        val rows = spark.sql("SELECT " + a.expr).limit(1).collect()
+        vals(a.name) = rows.headOption.map(_.get(0)).orNull
+      }
+      def lit(v: Any): String = v match {
+        case null => "NULL"
+        case s: String => "'" + s.replace("'", "''") + "'"
+        case ts: java.sql.Timestamp => s"TIMESTAMP '${ts}'"
+        case other => other.toString
+      }
+      guards.foreach { g =>
+        val bound = MergeSqlCompiler.segments(g.pred).map {
+          case (seg, true) => seg
+          case (seg, false) =>
+            declaredVarRe.replaceAllIn(seg, m =>
+              java.util.regex.Matcher.quoteReplacement(
+                lit(vals(m.group(1).toLowerCase))))
+        }.mkString
+        val fired = spark
+          .sql(s"SELECT CASE WHEN $bound THEN true ELSE false END")
+          .head().getBoolean(0)
+        if (fired) {
+          val args = MergeSqlCompiler.splitTop(g.args)
+          val severity = args.lift(1).flatMap(_.trim.toIntOption).getOrElse(16)
+          // T-SQL: severity ≤ 10 is informational — the batch continues
+          if (severity >= 11)
+            throw new IllegalArgumentException(
+              "RAISERROR: " + args.headOption.map(_.trim).getOrElse("")
+                .stripPrefix("'").stripSuffix("'").replace("''", "'") +
+                s" (severity $severity)")
+        }
+      }
+      // guard passed: success, nothing written, no result set
+      SqlOutcome(None, None)
+    }
+  }
+}

@@ -172,7 +172,13 @@ object ScriptedSqlExecutor {
 
     bound => {
       val text = SqlText.stripComments(bound.sqlStatement)
-      if (rollbackRe.findFirstIn(UpdateSqlCompiler.masked(text)).isDefined)
+      // the DECLARE/assign/IF-RAISERROR guard block is a WHOLE-text
+      // shape — it must be recognized before statement splitting would
+      // shred it into unconvertible pieces
+      val guard = GuardBlockSqlCompiler.rewrite(spark,
+        bound.copy(sqlStatement = text), resolveFrame)
+      if (guard.isDefined) guard
+      else if (rollbackRe.findFirstIn(UpdateSqlCompiler.masked(text)).isDefined)
         None // conditional undo is control flow — manual review
       else {
         // GO batch separators split exactly like ';' — a batch boundary

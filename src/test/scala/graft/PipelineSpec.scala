@@ -539,6 +539,63 @@ class PipelineSpec extends AnyFunSuite {
       plan.contains("LeftAnti"), s"join-delete must be one anti join:\n$plan")
   }
 
+  test("GuardBlockSqlCompiler: pre-ETL guard executes; trips fail; off-shape None") {
+    import spark.implicits._
+    Seq((1L, 5.0), (2L, -3.0)).toDF("id", "v").createOrReplaceTempView("gb_dim")
+    spark.emptyDataFrame.createOrReplaceTempView("gb_unused")
+    def task(sql: String) = graft.ir.Ir.ExecuteSqlTask("g", None, "conn", sql)
+    def run(sql: String) = graft.patterns.GuardBlockSqlCompiler
+      .rewrite(spark, task(sql), _ => sys.error("no resolve"))
+    // passing guard: success outcome, nothing written
+    val ok = run(
+      "DECLARE @A INT, @B INT;" +
+        "SELECT @A = COUNT(*) FROM gb_dim WHERE v > 0;" +
+        "SELECT @B = COUNT(*) FROM gb_dim;" +
+        "IF @A = 0 OR @B = 0 RAISERROR('dims empty', 16, 1);")
+    assert(ok.exists(o => o.df.isEmpty && o.target.isEmpty))
+    // tripped severity-16 guard FAILS the task, message surfaced
+    val err = intercept[IllegalArgumentException] {
+      run("DECLARE @A INT;" +
+        "SELECT @A = COUNT(*) FROM gb_dim WHERE v > 100;" +
+        "IF @A = 0 RAISERROR('no big rows', 16, 1);")
+    }
+    assert(err.getMessage.contains("no big rows"))
+    // severity <= 10 is informational in T-SQL: the guard passes
+    assert(run("DECLARE @A INT;" +
+      "SELECT @A = COUNT(*) FROM gb_dim WHERE v > 100;" +
+      "IF @A = 0 RAISERROR('fyi only', 10, 1);").nonEmpty)
+    // SQL NULL predicate = UNKNOWN, not TRUE: an unassigned variable
+    // cannot trip the guard
+    assert(run("DECLARE @A INT, @B INT;" +
+      "SELECT @A = COUNT(*) FROM gb_dim;" +
+      "IF @B > 0 RAISERROR('null fired', 16, 1);").nonEmpty)
+    // off-shape declines: an undeclared variable, a foreign statement
+    // in the block, no guard, no assign
+    assert(run("DECLARE @A INT;" +
+      "SELECT @A = COUNT(*) FROM gb_dim;" +
+      "IF @Z = 0 RAISERROR('x', 16, 1);").isEmpty)
+    assert(run("DECLARE @A INT;" +
+      "SELECT @A = COUNT(*) FROM gb_dim;" +
+      "DELETE FROM gb_dim;" +
+      "IF @A = 0 RAISERROR('x', 16, 1);").isEmpty)
+    assert(run("DECLARE @A INT; SELECT @A = COUNT(*) FROM gb_dim;").isEmpty)
+    assert(run("IF 1 = 0 RAISERROR('x', 16, 1);").isEmpty)
+    // the reference SalesFactETL block shape (three assigns, OR chain)
+    // is exactly the accepted class
+    Seq((1L, 1)).toDF("k", "IsCurrent").createOrReplaceTempView("gb_c")
+    Seq((1L, 1)).toDF("k", "IsActive").createOrReplaceTempView("gb_p")
+    Seq(Tuple1(1L)).toDF("k").createOrReplaceTempView("gb_d")
+    assert(run(
+      "DECLARE @CustomerCount INT, @ProductCount INT, @DateCount INT;\n" +
+        "SELECT @CustomerCount = COUNT(*) FROM gb_c WHERE IsCurrent = 1;\n" +
+        "SELECT @ProductCount = COUNT(*) FROM gb_p WHERE IsActive = 1;\n" +
+        "SELECT @DateCount = COUNT(*) FROM gb_d;\n" +
+        "IF @CustomerCount = 0 OR @ProductCount = 0 OR @DateCount = 0\n" +
+        "    RAISERROR('Dimension tables are empty. Cannot proceed with " +
+        "fact load.', 16, 1);").nonEmpty,
+      "the reference guard-block shape must execute")
+  }
+
   test("SelectIntoSqlCompiler: table creation; 2714 abort; off-shape stays None") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
