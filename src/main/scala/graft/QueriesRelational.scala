@@ -1554,6 +1554,52 @@ object QueriesRelational {
       |  CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice
       |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin
 
+  /** FLAGSHIP composite — `ReferenceParityETL.dtsx` (q100): every
+    * Execute SQL statement class the reference's three sample packages
+    * author, composed through ONE orchestrated DAG — the SalesFactETL
+    * guard block, the CustomerDataLoad TRUNCATE+reload and two-verb
+    * hash-guarded MERGE, and the InventorySync watermark fetch
+    * (TOP 1 → SingleRow → variable) feeding a parameterized delta load
+    * + sync-log append script. The gate certifies the post-run state of
+    * all three planes in one row: the merged dimension's rollup, the
+    * delta count past the fetched watermark, and the log's success
+    * count (3 = 2 seeded + the appended entry; GETDATE timestamps stay
+    * out of the hash). */
+  def q100_dtsx_reference_composite(spark: SparkSession, dir: String): DataFrame = {
+    val (w, _) = runDtsxWarehousePackage(spark, dir, "ReferenceParityETL.dtsx")
+    val dim = w("dim_customer").agg(
+      count(lit(1)).as("n_dim"),
+      sum(col("c_acctbal")).cast(DoubleType).as("dim_bal"))
+    val delta = w("orders_inc").agg(count(lit(1)).as("n_delta"))
+    val log = w("ref_sync_log").filter(col("status") === "Success")
+      .agg(count(lit(1)).as("n_log_success"))
+    dim.crossJoin(delta).crossJoin(log)
+  }
+
+  val q100Oracle: String =
+    """WITH stg AS (
+      |  SELECT c_custkey, UPPER(c_name) AS c_name,
+      |    CAST(c_acctbal AS DECIMAL(12,2)) AS c_acctbal
+      |  FROM customer WHERE c_custkey % 4 <> 3),
+      |dim0 AS (
+      |  SELECT c_custkey, c_name,
+      |    CAST(c_acctbal - 5 AS DECIMAL(12,2)) AS c_acctbal
+      |  FROM customer WHERE c_custkey % 2 = 0),
+      |merged AS (
+      |  SELECT d.c_custkey, d.c_name, d.c_acctbal FROM dim0 d
+      |  WHERE NOT EXISTS (SELECT 1 FROM stg s WHERE s.c_custkey = d.c_custkey)
+      |  UNION ALL
+      |  SELECT s.c_custkey, s.c_name, s.c_acctbal
+      |  FROM dim0 d JOIN stg s ON d.c_custkey = s.c_custkey
+      |  UNION ALL
+      |  SELECT s.c_custkey, s.c_name, s.c_acctbal FROM stg s
+      |  WHERE NOT EXISTS (SELECT 1 FROM dim0 d WHERE d.c_custkey = s.c_custkey))
+      |SELECT (SELECT COUNT(*) FROM merged) AS n_dim,
+      |  (SELECT CAST(SUM(c_acctbal) AS DOUBLE) FROM merged) AS dim_bal,
+      |  (SELECT COUNT(*) FROM orders
+      |   WHERE o_orderdate > TIMESTAMP '1997-06-01 00:00:00') AS n_delta,
+      |  CAST(3 AS BIGINT) AS n_log_success""".stripMargin
+
   /** Explicit GROUPING SETS with grouping_id disambiguation (beyond q24's
     * rollup): two chosen aggregation levels, no intermediate level. */
   def q39_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
@@ -2919,6 +2965,7 @@ object QueriesRelational {
     "q97_dtsx_select_into" -> (q97_dtsx_select_into _),
     "q98_dtsx_watermark_loop" -> (q98_dtsx_watermark_loop _),
     "q99_dtsx_guard_block" -> (q99_dtsx_guard_block _),
+    "q100_dtsx_reference_composite" -> (q100_dtsx_reference_composite _),
     "q82_orc_roundtrip" -> (q82_orc_roundtrip _),
     "q80_dtsx_cdc_merge" -> (q80_dtsx_cdc_merge _),
     "q79_delete_cascade" -> (q79_delete_cascade _),
@@ -3011,6 +3058,7 @@ object QueriesRelational {
     "q97_dtsx_select_into" -> q97Oracle,
     "q98_dtsx_watermark_loop" -> q98Oracle,
     "q99_dtsx_guard_block" -> q99Oracle,
+    "q100_dtsx_reference_composite" -> q100Oracle,
     "q82_orc_roundtrip" -> q82Oracle,
     "q80_dtsx_cdc_merge" -> q80Oracle,
     "q79_delete_cascade" -> q79Oracle,
