@@ -158,7 +158,13 @@ object MigrationMapping {
     val insertSelect = "(?is)insert\\s+into\\s+(\\S+)[\\s(].*?select\\b".r
     val insertValues = "(?is)insert\\s+into\\s+(\\S+)\\s*\\([^)]*\\)\\s*values\\b".r
 
-    if (upper.contains("RAISERROR"))
+    if (graft.patterns.GuardBlockSqlCompiler.shapeMatches(sql))
+      TaskMapping(t.name, "ExecuteSQLTask", "converted_to_tests", None,
+        Some("pre-ETL guard block EXECUTES (patterns/GuardBlockSqlCompiler: " +
+          "scalar collects + IF predicate, RAISERROR severity >= 11 fails " +
+          "the task like SSIS); also expressible as validate/ValidationSuite " +
+          "checks"), Nil, signals)
+    else if (upper.contains("RAISERROR"))
       TaskMapping(t.name, "ExecuteSQLTask", "converted_to_tests", None,
         Some("validation aggregate guard (validate/ValidationSuite) — " +
           "RAISERROR becomes a failed check"), Nil, signals)
@@ -166,8 +172,9 @@ object MigrationMapping {
         upper.contains("USING"))
       TaskMapping(t.name, "ExecuteSQLTask", "converted",
         "(?is)merge\\s+(?:into\\s+)?(\\S+)".r.findFirstMatchIn(sql).map(_.group(1)),
-        Some("SCD2 merge (patterns/ScdType2.merge — full-outer join + " +
-          "window close-out)"), Nil, signals)
+        Some("canonical MERGE executes (patterns/MergeSqlCompiler — one " +
+          "full-outer-join state replacement with the fused 8672 guard); " +
+          "dataflow SCD2 via patterns/ScdType2.merge"), Nil, signals)
     else if (insertSelect.findFirstMatchIn(sql).isDefined) {
       val target = insertSelect.findFirstMatchIn(sql).map(_.group(1))
       val mode =
@@ -179,8 +186,10 @@ object MigrationMapping {
           s"to a DataFrame, written $mode"), Nil, signals)
     } else if (upper.startsWith("TRUNCATE TABLE") &&
         !upper.contains("INSERT") && !upper.contains("SELECT"))
-      TaskMapping(t.name, "ExecuteSQLTask", "skipped", None,
-        Some("not needed — overwrite write mode recreates the table"), Nil, signals)
+      TaskMapping(t.name, "ExecuteSQLTask", "converted", None,
+        Some("empty overwrite, schema kept (patterns/DeleteSqlCompiler); " +
+          "a following reload's overwrite also recreates the table"),
+        Nil, signals)
     else if (insertValues.findFirstMatchIn(sql).isDefined) {
       val target = insertValues.findFirstMatchIn(sql).map(_.group(1))
       val handshake = "(?i)update\\s.{0,80}?processed.?flag".r.findFirstIn(sql).isDefined
@@ -188,11 +197,36 @@ object MigrationMapping {
         Some("sync-log append (patterns/Incremental.syncLogEntry)" +
           (if (handshake) " + processed-flag handshake (Incremental.unprocessed)"
            else "")), Nil, signals)
-    } else if (upper.startsWith("SELECT"))
+    } else if (graft.patterns.SelectIntoSqlCompiler.shapeTarget(sql).isDefined)
+      TaskMapping(t.name, "ExecuteSQLTask", "converted",
+        graft.patterns.SelectIntoSqlCompiler.shapeTarget(sql),
+        Some("SELECT INTO creates its target (patterns/SelectIntoSqlCompiler " +
+          "— INTO excised, pure SELECT runs, first generation written; " +
+          "pre-existing target aborts with T-SQL 2714 parity)"), Nil, signals)
+    else if (upper.startsWith("SELECT"))
       TaskMapping(t.name, "ExecuteSQLTask", "converted", None,
         Some("SELECT compiles to a DataFrame" + t.resultVariable.fold("")(v =>
           s"; result set bound to $v (watermark read / ForEach ADO feed)")),
         Nil, signals)
+    else if (graft.patterns.UpdateSqlCompiler.shapeMatches(sql))
+      TaskMapping(t.name, "ExecuteSQLTask", "converted", None,
+        Some("canonical UPDATE executes (patterns/UpdateSqlCompiler — " +
+          "CASE-projection state replacement, pre-update-row semantics)"),
+        Nil, signals)
+    else if (graft.patterns.UpdateFromSqlCompiler.shapeMatches(sql))
+      TaskMapping(t.name, "ExecuteSQLTask", "converted", None,
+        Some("correlated UPDATE...FROM executes (patterns/" +
+          "UpdateFromSqlCompiler — one target-source join with the " +
+          "multi-match guard)"), Nil, signals)
+    else if (graft.patterns.DeleteFromSqlCompiler.shapeMatches(sql))
+      TaskMapping(t.name, "ExecuteSQLTask", "converted", None,
+        Some("correlated DELETE...FROM executes (patterns/" +
+          "DeleteFromSqlCompiler — one anti-join state replacement)"),
+        Nil, signals)
+    else if (graft.patterns.DeleteSqlCompiler.shapeMatches(sql))
+      TaskMapping(t.name, "ExecuteSQLTask", "converted", None,
+        Some("canonical DELETE executes (patterns/DeleteSqlCompiler — " +
+          "keep-NOT-TRUE filter + overwrite)"), Nil, signals)
     else if (upper.startsWith("UPDATE") &&
         detection.pattern == LoadPatterns.LoadPattern.Incremental)
       TaskMapping(t.name, "ExecuteSQLTask", "converted", None,

@@ -44,6 +44,21 @@ object DeleteFromSqlCompiler {
   private val bodyKeywordRe =
     "(?i)\\b(select|insert|update|delete|merge|from|join)\\b".r
 
+  /** Parse-only classification twin of [[rewrite]] (no frames touched). */
+  private[graft] def shapeMatches(sqlRaw: String): Boolean = {
+    val sql = SqlText.stripComments(sqlRaw)
+    val msk = UpdateSqlCompiler.masked(sql)
+    if (offShapeJoinRe.findFirstIn(msk).isDefined) return false
+    deleteFromRe.findFirstMatchIn(msk).exists { m =>
+      def g(i: Int): String = sql.substring(m.start(i), m.end(i))
+      val bodies = g(6) :: (if (m.group(7) == null) Nil else List(g(7)))
+      val namesTarget = g(1).equalsIgnoreCase(g(3)) ||
+        g(1).equalsIgnoreCase(g(2))
+      namesTarget && !g(3).equalsIgnoreCase(g(5)) &&
+        !bodies.exists(MergeSqlCompiler.bodyDisqualified(_, bodyKeywordRe))
+    }
+  }
+
   def rewrite(spark: SparkSession, task: ExecuteSqlTask,
       resolve: String => DataFrame): Option[SqlOutcome] = {
     val sql = SqlText.stripComments(task.sqlStatement)

@@ -38,6 +38,14 @@ object DeleteSqlCompiler {
   private def disqualified(body: String): Boolean =
     MergeSqlCompiler.bodyDisqualified(body, deleteKeywordRe)
 
+  /** Parse-only classification twin of [[rewrite]] (no frames touched). */
+  private[graft] def shapeMatches(sqlRaw: String): Boolean = {
+    val sql = SqlText.stripComments(sqlRaw)
+    truncateRe.findFirstIn(sql).isDefined ||
+      deleteRe.findFirstMatchIn(sql).exists(m =>
+        !Option(m.group(2)).exists(disqualified))
+  }
+
   def rewrite(spark: SparkSession, task: ExecuteSqlTask,
       resolve: String => DataFrame): Option[SqlOutcome] = {
     val sql = SqlText.stripComments(task.sqlStatement)

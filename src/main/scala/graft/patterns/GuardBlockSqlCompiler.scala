@@ -37,44 +37,58 @@ object GuardBlockSqlCompiler {
     "(?is)^if\\s+(.+?)\\s+raiserror\\s*\\((.+)\\)\\s*$".r
   private val declaredVarRe = "@(\\w+)".r
 
-  def rewrite(spark: SparkSession, task: ExecuteSqlTask,
-      resolve: String => DataFrame): Option[SqlOutcome] = {
-    val text = SqlText.stripComments(task.sqlStatement)
+  private final case class Assign(name: String, expr: String)
+  private final case class Guard(pred: String, args: String)
+  private final case class Block(declared: Set[String],
+      assigns: Seq[Assign], guards: Seq[Guard])
+
+  /** The canonical-shape classification of a whole statement text —
+    * shared by [[rewrite]] (which then executes) and the parse-only
+    * [[shapeMatches]] the migration-mapping ledger uses. */
+  private def parseBlock(text: String): Option[Block] = {
     val stmts = SqlText.splitStatements(text)
-    // classify every statement first — execution starts only when the
-    // WHOLE block is the canonical guard shape
     sealed trait G
-    case class Decl(names: Seq[String]) extends G
-    case class Assign(name: String, expr: String) extends G
-    case class Guard(pred: String, args: String) extends G
+    case class D(names: Seq[String]) extends G
+    case class A(a: Assign) extends G
+    case class Gu(g: Guard) extends G
     val parsed: Seq[Option[G]] = stmts.map { s =>
       val msk = UpdateSqlCompiler.masked(s)
       if (declareRe.findFirstIn(msk).isDefined)
-        Some(Decl(declaredVarRe.findAllMatchIn(msk)
+        Some(D(declaredVarRe.findAllMatchIn(msk)
           .map(_.group(1).toLowerCase).toSeq))
       else (assignRe.findFirstMatchIn(msk), ifRaiseRe.findFirstMatchIn(msk)) match {
         case (Some(m), _) =>
-          Some(Assign(s.substring(m.start(1), m.end(1)).toLowerCase,
-            s.substring(m.start(2), m.end(2))))
+          Some(A(Assign(s.substring(m.start(1), m.end(1)).toLowerCase,
+            s.substring(m.start(2), m.end(2)))))
         case (_, Some(m)) =>
-          Some(Guard(s.substring(m.start(1), m.end(1)),
-            s.substring(m.start(2), m.end(2))))
+          Some(Gu(Guard(s.substring(m.start(1), m.end(1)),
+            s.substring(m.start(2), m.end(2)))))
         case _ => None
       }
     }
     if (parsed.exists(_.isEmpty)) return None
     val gs = parsed.flatten
-    val declared = gs.collect { case Decl(ns) => ns }.flatten.toSet
-    val assigns = gs.collect { case a: Assign => a }
-    val guards = gs.collect { case g: Guard => g }
+    val declared = gs.collect { case D(ns) => ns }.flatten.toSet
+    val assigns = gs.collect { case A(a) => a }
+    val guards = gs.collect { case Gu(g) => g }
     if (assigns.isEmpty || guards.isEmpty) return None
     // every referenced variable must be declared — an undeclared @var
     // is a shape we do not understand, never a silent NULL
     val referenced = (assigns.map(_.name) ++ guards.flatMap(g =>
       declaredVarRe.findAllMatchIn(UpdateSqlCompiler.masked(g.pred))
         .map(_.group(1).toLowerCase))).toSet
-    if (!referenced.subsetOf(declared)) return None
-    Some {
+    if (!referenced.subsetOf(declared)) None
+    else Some(Block(declared, assigns, guards))
+  }
+
+  /** Parse-only classification twin of [[rewrite]] — no jobs run. */
+  private[graft] def shapeMatches(sqlRaw: String): Boolean =
+    parseBlock(SqlText.stripComments(sqlRaw)).isDefined
+
+  def rewrite(spark: SparkSession, task: ExecuteSqlTask,
+      resolve: String => DataFrame): Option[SqlOutcome] = {
+    val text = SqlText.stripComments(task.sqlStatement)
+    parseBlock(text).map { case Block(declared, assigns, guards) =>
       val vals = scala.collection.mutable.Map.empty[String, Any]
       declared.foreach(v => vals(v) = null)
       assigns.foreach { a =>

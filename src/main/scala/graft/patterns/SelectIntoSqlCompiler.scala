@@ -25,6 +25,23 @@ object SelectIntoSqlCompiler {
   private val selectHeadRe = "(?is)^\\s*select\\b".r
   private val intoRe = "(?i)\\binto\\s+([^\\s;,()]+)".r
 
+  /** Parse-only classification twin of [[rewrite]] (no frames touched,
+    * no 2714 probe): the mapping ledger reports target + strategy. */
+  private[graft] def shapeTarget(sqlRaw: String): Option[String] = {
+    val sql = SqlText.stripComments(sqlRaw)
+    val msk = UpdateSqlCompiler.masked(sql)
+    if (selectHeadRe.findFirstIn(msk).isEmpty) return None
+    intoRe.findAllMatchIn(msk)
+      .filter(m => WindowSqlLowering.depthAt(msk, m.start) == 0).toList match {
+      case m :: Nil =>
+        val target = sql.substring(m.start(1), m.end(1))
+        if (MergeSqlCompiler.hasQuotedIdentifier(target) ||
+          target.startsWith("#") || target.startsWith("@")) None
+        else Some(target)
+      case _ => None
+    }
+  }
+
   def rewrite(spark: SparkSession, task: ExecuteSqlTask,
       resolve: String => DataFrame): Option[SqlOutcome] = {
     val sql = SqlText.stripComments(task.sqlStatement)

@@ -61,6 +61,22 @@ object UpdateFromSqlCompiler {
   private val bodyKeywordRe =
     "(?i)\\b(select|insert|update|delete|merge|from|join)\\b".r
 
+  /** Parse-only classification twin of [[rewrite]] (no frames touched). */
+  private[graft] def shapeMatches(sqlRaw: String): Boolean = {
+    val sql = SqlText.stripComments(sqlRaw)
+    val msk = UpdateSqlCompiler.masked(sql)
+    if (offShapeJoinRe.findFirstIn(msk).isDefined) return false
+    updateFromRe.findFirstMatchIn(msk).exists { m =>
+      def g(i: Int): String = sql.substring(m.start(i), m.end(i))
+      val bodies = g(2) :: g(7) ::
+        (if (m.group(8) == null) Nil else List(g(8)))
+      val namesTarget = g(1).equalsIgnoreCase(g(4)) ||
+        g(1).equalsIgnoreCase(g(3))
+      namesTarget && !g(4).equalsIgnoreCase(g(6)) &&
+        !bodies.exists(MergeSqlCompiler.bodyDisqualified(_, bodyKeywordRe))
+    }
+  }
+
   def rewrite(spark: SparkSession, task: ExecuteSqlTask,
       resolve: String => DataFrame): Option[SqlOutcome] = {
     val sql = SqlText.stripComments(task.sqlStatement)

@@ -48,6 +48,20 @@ object UpdateSqlCompiler {
   private def disqualified(body: String): Boolean =
     MergeSqlCompiler.bodyDisqualified(body, updateKeywordRe)
 
+  /** Parse-only classification twin of [[rewrite]] (no frames touched) —
+    * the migration-mapping ledger and dry run must preview exactly the
+    * statements the run executes. */
+  private[graft] def shapeMatches(sqlRaw: String): Boolean = {
+    val sql = SqlText.stripComments(sqlRaw)
+    updateRe.findFirstMatchIn(masked(sql)).exists { m =>
+      val setList = sql.substring(m.start(2), m.end(2))
+      val whereOpt =
+        if (m.group(3) == null) None
+        else Some(sql.substring(m.start(3), m.end(3)))
+      !(setList :: whereOpt.toList).exists(disqualified)
+    }
+  }
+
   def rewrite(spark: SparkSession, task: ExecuteSqlTask,
       resolve: String => DataFrame): Option[SqlOutcome] = {
     val sql = SqlText.stripComments(task.sqlStatement)

@@ -235,7 +235,7 @@ class ArtifactsSpec extends AnyFunSuite {
       "Pre-ETL Validation" -> "converted_to_tests",
       "Load Sales Facts" -> "converted",
       "Update Aggregates" -> "converted",
-      "Truncate Staging" -> "skipped",
+      "Truncate Staging" -> "converted",
       "Load Customer Data" -> "converted",
       "Merge to Dimension" -> "converted",
       "Get Last Sync Time" -> "converted",
@@ -245,14 +245,15 @@ class ArtifactsSpec extends AnyFunSuite {
       "Send Completion Email" -> "skipped"))
     val sum = root.get("summary")
     assert(sum.get("total_ssis_tasks").asInt() === 11)
-    assert(sum.get("converted").asInt() === 7)
+    assert(sum.get("converted").asInt() === 8)
     assert(sum.get("converted_to_tests").asInt() === 1)
-    assert(sum.get("skipped").asInt() === 2)
+    assert(sum.get("skipped").asInt() === 1)
     assert(sum.get("manual_review").asInt() === 1)
-    // (7+1)/11 — same formula as the reference's 63.6% = (6+1)/11; the two
-    // extra conversions are the watermark read and the sync-log append,
-    // which this engine executes rather than skips
-    assert(sum.get("conversion_rate").asText() === "72.7%")
+    // (8+1)/11 — same formula as the reference's 63.6% = (6+1)/11; the
+    // extra conversions over the reference are the watermark read, the
+    // sync-log append, and (since r12) the standalone TRUNCATE — all
+    // classes this engine executes rather than skips
+    assert(sum.get("conversion_rate").asText() === "81.8%")
     // transform mapping carries real compiled expressions for derived cols
     val lsf = (0 until root.get("packages").size()).map(root.get("packages").get)
       .flatMap(p => (0 until p.get("tasks").size()).map(p.get("tasks").get))
@@ -269,7 +270,7 @@ class ArtifactsSpec extends AnyFunSuite {
     assert(md.contains("# Spark Migration Scaffolding Report"))
     assert(md.contains("| SSIS Packages Processed | 3 |"))
     assert(md.contains("| Total SSIS Tasks | 11 |"))
-    assert(md.contains("| Conversion Rate | 72.7% |"))
+    assert(md.contains("| Conversion Rate | 81.8% |"))
     assert(md.contains("### SalesFactETL.dtsx"))
     assert(md.contains("**Manual Review Required**"))
     assert(md.contains("## Manual Review Required"))
