@@ -34,10 +34,18 @@ object UpdateSqlCompiler {
     * of the same length: keyword scans on the masked text can never
     * match inside a literal (`SET note = 'applies where stated'` must
     * not split at the literal's "where"), while every match span maps
-    * 1:1 onto the original string for slicing. */
+    * 1:1 onto the original string for slicing. Length preservation
+    * holds for MALFORMED input too: an unterminated trailing literal
+    * (`… 'abc` or a lone `'`) masks to an open literal of the same
+    * length — the naive closed-quote form would shift every span after
+    * it (only the FINAL segment can be unterminated, but the 1:1
+    * contract should not depend on that). */
   private[patterns] def masked(sql: String): String =
     MergeSqlCompiler.segments(sql).map {
-      case (seg, true) => "'" + "x" * math.max(0, seg.length - 2) + "'"
+      case (seg, true) =>
+        if (seg.length >= 2 && seg.endsWith("'"))
+          "'" + "x" * (seg.length - 2) + "'"
+        else "'" + "x" * (seg.length - 1)
       case (seg, false) => seg
     }.mkString
 

@@ -1,0 +1,141 @@
+package graft.patterns
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property coverage for the quote-aware text machinery every SQL
+  * compiler stands on (segments / masked / splitTop / splitStatements /
+  * splitBatches): a bug here silently re-shapes statements — the
+  * worst failure class the frontend has. Deterministic sampling, the
+  * SsisExprPropertySpec convention. */
+class SqlTextPropertySpec extends AnyFunSuite {
+
+  private def forAll[A](g: Gen[A], n: Int = 200)(f: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      g.apply(Gen.Parameters.default, org.scalacheck.rng.Seed(97L + i)).foreach(f)
+    }
+
+  // SQL-ish soup: identifiers, punctuation that matters (quotes,
+  // semicolons, parens, commas), SQL-escaped quotes, keywords that the
+  // compilers scan for, newlines and GO lines
+  private val genPiece: Gen[String] = Gen.oneOf(
+    Gen.oneOf("select", "FROM", "where", "join", "into", "GO", "go",
+      "update", "delete", ";", ",", "(", ")", " ", "\n", "x", "t1",
+      "= 1", "-- note", "?"),
+    Gen.oneOf("'", "''").map(identity),
+    Gen.alphaNumStr.map(_.take(6)))
+  private val genSoup: Gen[String] =
+    Gen.listOfN(24, genPiece).map(_.mkString(" "))
+
+  test("segments reassemble to the input exactly; flags alternate sanely") {
+    forAll(genSoup) { s =>
+      val segs = MergeSqlCompiler.segments(s)
+      assert(segs.map(_._1).mkString === s,
+        s"segments lost characters on: ${s.take(120)}")
+      // a quoted segment opens with a quote; every NON-FINAL quoted
+      // segment is terminated (only end-of-input can leave one open)
+      segs.filter(_._2).foreach { case (q, _) =>
+        assert(q.startsWith("'"), s"quoted segment without open quote: $q")
+      }
+      segs.dropRight(1).filter(_._2).foreach { case (q, _) =>
+        assert(q.length >= 2 && q.endsWith("'"),
+          s"non-final quoted segment unterminated: $q")
+      }
+    }
+  }
+
+  test("masked is length-preserving and leaks no literal content") {
+    forAll(genSoup) { s =>
+      val m = UpdateSqlCompiler.masked(s)
+      assert(m.length === s.length, s"masked changed length of: ${s.take(120)}")
+      // every character position that sits INSIDE a literal in the
+      // original is an 'x' or a quote in the mask
+      val segs = MergeSqlCompiler.segments(s)
+      var pos = 0
+      segs.foreach { case (seg, quoted) =>
+        if (quoted) {
+          val masked = m.substring(pos, pos + seg.length)
+          assert(masked.forall(c => c == 'x' || c == '\''),
+            s"literal content leaked into mask: '$seg' -> '$masked'")
+        } else
+          assert(m.substring(pos, pos + seg.length) === seg,
+            "mask altered unquoted text")
+        pos += seg.length
+      }
+    }
+  }
+
+  test("splitTop never splits inside parens or literals; rejoin preserves content") {
+    forAll(genSoup) { s =>
+      val parts = MergeSqlCompiler.splitTop(s)
+      parts.foreach { p =>
+        // balanced parens per part (when the input was balanced)
+        val depthOk = {
+          var d = 0; var ok = true
+          MergeSqlCompiler.segments(p).foreach {
+            case (seg, false) => seg.foreach {
+              case '(' => d += 1
+              case ')' => d -= 1; if (d < 0) ok = false
+              case _ =>
+            }
+            case _ =>
+          }
+          ok || {
+            // inputs with unbalanced parens are allowed to yield
+            // unbalanced parts — only flag when the INPUT was balanced
+            var dIn = 0; var okIn = true
+            MergeSqlCompiler.segments(s).foreach {
+              case (seg, false) => seg.foreach {
+                case '(' => dIn += 1
+                case ')' => dIn -= 1; if (dIn < 0) okIn = false
+                case _ =>
+              }
+              case _ =>
+            }
+            !(okIn && dIn == 0)
+          }
+        }
+        assert(depthOk, s"splitTop cut inside parens: '$p' from '${s.take(120)}'")
+      }
+    }
+  }
+
+  test("splitStatements: fragments contain no ACTIVE semicolon; content survives") {
+    forAll(genSoup) { s =>
+      val stmts = SqlText.splitStatements(s)
+      stmts.foreach { st =>
+        MergeSqlCompiler.segments(st).foreach { case (seg, quoted) =>
+          if (!quoted)
+            assert(!seg.contains(';'),
+              s"active ';' survived inside a statement: '$st'")
+        }
+      }
+      // no non-whitespace content is lost by splitting
+      val joined = stmts.mkString.replaceAll("\\s", "")
+      val original = s.replace(";", "").replaceAll("\\s", "")
+      // quoted semicolons stay; unquoted ones are delimiters — compare
+      // after removing BOTH kinds from the original only when no
+      // literal contains one
+      val hasQuotedSemi = MergeSqlCompiler.segments(s)
+        .exists { case (seg, q) => q && seg.contains(';') }
+      if (!hasQuotedSemi)
+        assert(joined === original,
+          s"splitStatements lost content on: ${s.take(120)}")
+    }
+  }
+
+  test("splitBatches: GO lines split; masked positions slice the original") {
+    forAll(genSoup) { s =>
+      val batches = SqlText.splitBatches(s)
+      // every batch is a substring of the input (trimmed) — slicing by
+      // masked spans must never shear characters
+      batches.foreach(b => assert(s.contains(b),
+        s"batch is not a substring: '$b' of '${s.take(120)}'"))
+      // and no batch retains a full-line GO outside a literal
+      batches.foreach { b =>
+        val msk = UpdateSqlCompiler.masked(b)
+        assert("(?im)^[ \\t]*go[ \\t]*;?[ \\t]*$".r.findFirstIn(msk).isEmpty,
+          s"a GO line survived inside a batch: '$b'")
+      }
+    }
+  }
+}
