@@ -4953,6 +4953,135 @@ object QueriesTrainingData {
       |  CAST(wf * COUNT(*) AS BIGINT) AS token_mass
       |FROM wf GROUP BY wf""".stripMargin
 
+  /** TRIGRAM LM with stupid backoff — the production upgrade over
+    * x94's bigram gate (Brants et al. 2007: at web scale, unsmoothed
+    * relative frequencies with a fixed 0.4 backoff multiplier match
+    * Kneser-Ney at a fraction of the cost — exactly the regime a
+    * 100 TB curation pipeline sits in): score(c | a,b) =
+    * count(abc)/count(ab) when the trigram was seen, else
+    * 0.4 · (count(bc)+1)/(ctx(b)+V) — the add-one bigram floor keeps
+    * the backoff total and exact. Scoring stays libm-free: every
+    * branch is one IEEE division (the backoff's 0.4· is one exact
+    * double multiply) cast to the tie-free DECIMAL(24,14), summed in
+    * exact decimal, with the keep gate in integer/decimal space.
+    * Emits per doc: trigram positions, seen-trigram count (the
+    * coverage signal), exact-decimal score sum (DOUBLE at the edge)
+    * and keep.
+    * Scale shape: THREE partial-combining corpus aggregates (trigram,
+    * leading-pair, bigram+context from x94's machinery), all
+    * term-keyed equi-joins, scalar V broadcast, no corpus window. */
+  def x101_trigram_backoff(spark: SparkSession, dir: String): DataFrame = {
+    def triplesOf(d: DataFrame, withId: Boolean): DataFrame = {
+      val base = d.filter(size(col("toks")) >= 3)
+        .select((if (withId) Seq(col("doc_id")) else Nil) :+ explode(expr(
+          "transform(sequence(2, size(toks) - 1), " +
+            "i -> struct(toks[i-2] AS a, toks[i-1] AS b, toks[i] AS c))"))
+          .as("tr"): _*)
+      base.select((if (withId) Seq(col("doc_id")) else Nil) ++
+        Seq(col("tr.a").as("a"), col("tr.b").as("b"), col("tr.c").as("c")): _*)
+        .filter(col("a") =!= "" && col("b") =!= "" && col("c") =!= "")
+    }
+    val docs = documents(spark, dir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    // held-out split, the x97 convention: the LM trains on the STANDING
+    // corpus, the delta scores against it — which is what makes the
+    // backoff branch a live path (an unseen trigram backs off to the
+    // add-one bigram floor) instead of train-on-self dead code
+    val standing = docs.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+    val delta = docs.filter(pmod(col("doc_id"), lit(10)) === 7)
+    val tri = triplesOf(standing, withId = false)
+      .groupBy(col("a"), col("b"), col("c")).agg(count(lit(1)).as("tn"))
+    val pairs = standing
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> struct(toks[i-1] AS a, toks[i] AS b))")).as("pr"))
+      .select(col("pr.a").as("b"), col("pr.b").as("c"))
+      .filter(col("b") =!= "" && col("c") =!= "")
+    // trigram-lead totals roll up from the trigram table itself (a
+    // trigram-sized aggregate, not a corpus pass), so tn/ln is a true
+    // conditional: Σ_c P(c|a,b) = 1 over seen continuations
+    val lead = tri.groupBy(col("a"), col("b")).agg(sum(col("tn")).as("ln"))
+    val big = pairs.groupBy(col("b"), col("c")).agg(count(lit(1)).as("bn"))
+    val ctx = pairs.groupBy(col("b")).agg(count(lit(1)).as("un"))
+    val v = standing.select(explode(col("toks")).as("t"))
+      .filter(col("t") =!= "")
+      .agg(countDistinct(col("t"))).head().getLong(0)
+    triplesOf(delta, withId = true)
+      .join(tri, Seq("a", "b", "c"), "left")
+      .join(lead, Seq("a", "b"), "left")
+      .join(big, Seq("b", "c"), "left")
+      .join(ctx, Seq("b"), "left")
+      .withColumn("cp",
+        when(col("tn").isNotNull && col("ln").isNotNull,
+          col("tn").cast(DoubleType) / col("ln").cast(DoubleType))
+          .otherwise(lit(0.4) *
+            ((coalesce(col("bn"), lit(0L)) + lit(1)).cast(DoubleType) /
+              (coalesce(col("un"), lit(0L)) + lit(v)).cast(DoubleType)))
+          .cast(DecimalType(24, 14)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when(col("tn").isNotNull, 1L).otherwise(0L)).as("n_seen"),
+        sum(col("cp")).cast(DecimalType(30, 14)).as("sum_cp_x"))
+      .withColumn("keep", col("sum_cp_x") * 20 > col("n_trigrams"))
+      .withColumn("sum_score", col("sum_cp_x").cast(DoubleType))
+      .select(col("doc_id"), col("n_trigrams"), col("n_seen"),
+        col("sum_score"), col("keep"))
+  }
+
+  val x101Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      |strr AS (
+      |  SELECT unnest(list_transform(generate_series(2, len(w) - 1),
+      |      i -> struct_pack(a := w[i-1], b := w[i], c := w[i+1]))) AS tr
+      |  FROM toks WHERE doc_id % 10 <> 7 AND len(w) >= 3),
+      |stp AS (
+      |  SELECT tr.a AS a, tr.b AS b, tr.c AS c FROM strr
+      |  WHERE tr.a <> '' AND tr.b <> '' AND tr.c <> ''),
+      |tri AS (SELECT a, b, c, COUNT(*) AS tn FROM stp GROUP BY 1, 2, 3),
+      |lead3 AS (SELECT a, b, SUM(tn) AS ln FROM tri GROUP BY 1, 2),
+      |prr AS (
+      |  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+      |    i -> struct_pack(b := w[i], c := w[i+1]))) AS pr
+      |  FROM toks WHERE doc_id % 10 <> 7 AND len(w) >= 2),
+      |pp AS (
+      |  SELECT pr.b AS b, pr.c AS c FROM prr
+      |  WHERE pr.b <> '' AND pr.c <> ''),
+      |big AS (SELECT b, c, COUNT(*) AS bn FROM pp GROUP BY 1, 2),
+      |ctx AS (SELECT b, COUNT(*) AS un FROM pp GROUP BY 1),
+      |voc AS (
+      |  SELECT COUNT(DISTINCT t) AS v
+      |  FROM (SELECT unnest(w) AS t FROM toks WHERE doc_id % 10 <> 7) u
+      |  WHERE t <> ''),
+      |dtrr AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(generate_series(2, len(w) - 1),
+      |      i -> struct_pack(a := w[i-1], b := w[i], c := w[i+1]))) AS tr
+      |  FROM toks WHERE doc_id % 10 = 7 AND len(w) >= 3),
+      |dtp AS (
+      |  SELECT doc_id, tr.a AS a, tr.b AS b, tr.c AS c FROM dtrr
+      |  WHERE tr.a <> '' AND tr.b <> '' AND tr.c <> ''),
+      |sc AS (
+      |  SELECT t.doc_id, tri.tn,
+      |    CAST(CASE WHEN tri.tn IS NOT NULL AND l.ln IS NOT NULL
+      |      THEN CAST(tri.tn AS DOUBLE) / CAST(l.ln AS DOUBLE)
+      |      ELSE 0.4 * (CAST(coalesce(bg.bn, 0) + 1 AS DOUBLE) /
+      |        CAST(coalesce(cx.un, 0) + voc.v AS DOUBLE)) END
+      |      AS DECIMAL(24,14)) AS cp
+      |  FROM dtp t
+      |  LEFT JOIN tri ON t.a = tri.a AND t.b = tri.b AND t.c = tri.c
+      |  LEFT JOIN lead3 l ON t.a = l.a AND t.b = l.b
+      |  LEFT JOIN big bg ON t.b = bg.b AND t.c = bg.c
+      |  LEFT JOIN ctx cx ON t.b = cx.b
+      |  CROSS JOIN voc)
+      |SELECT doc_id, COUNT(*) AS n_trigrams,
+      |  CAST(SUM(CASE WHEN tn IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_seen,
+      |  CAST(CAST(SUM(cp) AS DECIMAL(30,14)) AS DOUBLE) AS sum_score,
+      |  CAST(SUM(cp) AS DECIMAL(30,14)) * 20 > COUNT(*) AS keep
+      |FROM sc GROUP BY doc_id""".stripMargin
+
   /** URL takedown sweep — corpus governance at the canonical-URL key
     * (the DMCA/robots-retroactive case): a takedown list of canonical
     * URLs (here: every URL whose source id ≡ 0 mod 7 — a deterministic
@@ -5184,6 +5313,7 @@ object QueriesTrainingData {
     "x98_lsh_scurve" -> (x98_lsh_scurve _),
     "x99_vocab_growth" -> (x99_vocab_growth _),
     "x100_zipf_spectrum" -> (x100_zipf_spectrum _),
+    "x101_trigram_backoff" -> (x101_trigram_backoff _),
     "x80_vision_token_budget" -> (x80_vision_token_budget _),
     "x79_url_takedown" -> (x79_url_takedown _),
     "x78_tokenizer_fertility" -> (x78_tokenizer_fertility _),
@@ -5285,6 +5415,7 @@ object QueriesTrainingData {
     "x98_lsh_scurve" -> x98Oracle,
     "x99_vocab_growth" -> x99Oracle,
     "x100_zipf_spectrum" -> x100Oracle,
+    "x101_trigram_backoff" -> x101Oracle,
     "x80_vision_token_budget" -> x80Oracle,
     "x79_url_takedown" -> x79Oracle,
     "x78_tokenizer_fertility" -> x78Oracle,
