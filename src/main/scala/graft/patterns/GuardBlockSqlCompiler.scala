@@ -33,8 +33,12 @@ object GuardBlockSqlCompiler {
 
   private val declareRe = "(?is)^declare\\s+@.+$".r
   private val assignRe = "(?is)^select\\s+@(\\w+)\\s*=\\s*(.+)$".r
+  // the optional BEGIN … END wrapper is equally canonical T-SQL
+  // (`IF pred BEGIN RAISERROR(...) END`); the END may arrive in the
+  // same fragment (no inner `;`) or be orphaned by the split
   private val ifRaiseRe =
-    "(?is)^if\\s+(.+?)\\s+raiserror\\s*\\((.+)\\)\\s*$".r
+    "(?is)^if\\s+(.+?)\\s+(?:begin\\s+)?raiserror\\s*\\((.+?)\\)\\s*(?:;?\\s*end)?\\s*$".r
+  private val bareEndRe = "(?is)^end\\s*$".r
   private val declaredVarRe = "@(\\w+)".r
 
   private final case class Assign(name: String, expr: String)
@@ -51,9 +55,11 @@ object GuardBlockSqlCompiler {
     case class D(names: Seq[String]) extends G
     case class A(a: Assign) extends G
     case class Gu(g: Guard) extends G
+    case object Noop extends G // a split-orphaned END after `BEGIN RAISERROR(...);`
     val parsed: Seq[Option[G]] = stmts.map { s =>
       val msk = UpdateSqlCompiler.masked(s)
-      if (declareRe.findFirstIn(msk).isDefined)
+      if (bareEndRe.findFirstIn(msk).isDefined) Some(Noop)
+      else if (declareRe.findFirstIn(msk).isDefined)
         Some(D(declaredVarRe.findAllMatchIn(msk)
           .map(_.group(1).toLowerCase).toSeq))
       else (assignRe.findFirstMatchIn(msk), ifRaiseRe.findFirstMatchIn(msk)) match {
@@ -74,9 +80,10 @@ object GuardBlockSqlCompiler {
     if (assigns.isEmpty || guards.isEmpty) return None
     // every referenced variable must be declared — an undeclared @var
     // is a shape we do not understand, never a silent NULL
-    val referenced = (assigns.map(_.name) ++ guards.flatMap(g =>
-      declaredVarRe.findAllMatchIn(UpdateSqlCompiler.masked(g.pred))
-        .map(_.group(1).toLowerCase))).toSet
+    val referenced = (assigns.map(_.name) ++
+      (assigns.map(_.expr) ++ guards.map(_.pred)).flatMap(e =>
+        declaredVarRe.findAllMatchIn(UpdateSqlCompiler.masked(e))
+          .map(_.group(1).toLowerCase))).toSet
     if (!referenced.subsetOf(declared)) None
     else Some(Block(declared, assigns, guards))
   }
@@ -91,24 +98,27 @@ object GuardBlockSqlCompiler {
     parseBlock(text).map { case Block(declared, assigns, guards) =>
       val vals = scala.collection.mutable.Map.empty[String, Any]
       declared.foreach(v => vals(v) = null)
-      assigns.foreach { a =>
-        val rows = spark.sql("SELECT " + a.expr).limit(1).collect()
-        vals(a.name) = rows.headOption.map(_.get(0)).orNull
-      }
       def lit(v: Any): String = v match {
         case null => "NULL"
         case s: String => "'" + s.replace("'", "''") + "'"
         case ts: java.sql.Timestamp => s"TIMESTAMP '${ts}'"
         case other => other.toString
       }
+      // earlier assignments substitute into later expressions as typed
+      // literals (T-SQL scoping: `SELECT @B = @A + 1` sees @A's value)
+      def bind(e: String): String = MergeSqlCompiler.segments(e).map {
+        case (seg, true) => seg
+        case (seg, false) =>
+          declaredVarRe.replaceAllIn(seg, m =>
+            java.util.regex.Matcher.quoteReplacement(
+              lit(vals(m.group(1).toLowerCase))))
+      }.mkString
+      assigns.foreach { a =>
+        val rows = spark.sql("SELECT " + bind(a.expr)).limit(1).collect()
+        vals(a.name) = rows.headOption.map(_.get(0)).orNull
+      }
       guards.foreach { g =>
-        val bound = MergeSqlCompiler.segments(g.pred).map {
-          case (seg, true) => seg
-          case (seg, false) =>
-            declaredVarRe.replaceAllIn(seg, m =>
-              java.util.regex.Matcher.quoteReplacement(
-                lit(vals(m.group(1).toLowerCase))))
-        }.mkString
+        val bound = bind(g.pred)
         val fired = spark
           .sql(s"SELECT CASE WHEN $bound THEN true ELSE false END")
           .head().getBoolean(0)

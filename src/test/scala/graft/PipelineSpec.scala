@@ -580,6 +580,27 @@ class PipelineSpec extends AnyFunSuite {
       "IF @A = 0 RAISERROR('x', 16, 1);").isEmpty)
     assert(run("DECLARE @A INT; SELECT @A = COUNT(*) FROM gb_dim;").isEmpty)
     assert(run("IF 1 = 0 RAISERROR('x', 16, 1);").isEmpty)
+    // BEGIN ... END wrapper around the RAISERROR is equally canonical;
+    // a ';' inside the block orphans the END into its own fragment
+    assert(run("DECLARE @A INT;" +
+      "SELECT @A = COUNT(*) FROM gb_dim;" +
+      "IF @A = 0 BEGIN RAISERROR('x', 16, 1) END").nonEmpty)
+    assert(run("DECLARE @A INT;" +
+      "SELECT @A = COUNT(*) FROM gb_dim;" +
+      "IF @A = 0 BEGIN RAISERROR('x', 16, 1); END").nonEmpty)
+    // chained assignment: a later SELECT @B = @A + 1 sees @A's value
+    val chained = intercept[IllegalArgumentException] {
+      run("DECLARE @A INT, @B INT;" +
+        "SELECT @A = COUNT(*) FROM gb_dim;" +
+        "SELECT @B = @A - 2;" +
+        "IF @B = 0 RAISERROR('chained fired', 16, 1);")
+    }
+    assert(chained.getMessage.contains("chained fired"),
+      "@A's value must substitute into @B's assignment (2 rows - 2 = 0)")
+    // an undeclared @var inside an ASSIGN expression declines cleanly
+    assert(run("DECLARE @A INT;" +
+      "SELECT @A = @Missing + 1;" +
+      "IF @A = 0 RAISERROR('x', 16, 1);").isEmpty)
     // the reference SalesFactETL block shape (three assigns, OR chain)
     // is exactly the accepted class
     Seq((1L, 1)).toDF("k", "IsCurrent").createOrReplaceTempView("gb_c")
