@@ -5082,6 +5082,42 @@ object QueriesTrainingData {
       |  CAST(SUM(cp) AS DECIMAL(30,14)) * 20 > COUNT(*) AS keep
       |FROM sc GROUP BY doc_id""".stripMargin
 
+  /** Language LABEL-NOISE audit — the confusion matrix between the
+    * corpus's declared language labels and x03's n-gram language ID:
+    * per (labeled, predicted) cell, document count and the share of the
+    * labeled row (so a noisy label pool shows up as off-diagonal mass).
+    * The standard pre-training sanity check before per-language quotas
+    * (x25/x46) or tiers (x95) trust the label column. Scale shape: one
+    * narrow scoring projection (x03's marker counts, codegen'd) + one
+    * partial-combining cell aggregate + a broadcast row-total join —
+    * |langs|² cells, no corpus window. */
+  def x102_lang_confusion(spark: SparkSession, dir: String): DataFrame = {
+    val scored = x03_langid(spark, dir)
+      .select(col("labeled_lang"), col("predicted_lang"))
+    val cells = scored.groupBy(col("labeled_lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val totals = scored.groupBy(col("labeled_lang"))
+      .agg(count(lit(1)).as("__graft_lt"))
+    cells.join(broadcast(totals), Seq("labeled_lang"))
+      .withColumn("row_share",
+        col("n_docs").cast(DoubleType) / col("__graft_lt").cast(DoubleType))
+      .withColumn("agree", col("labeled_lang") === col("predicted_lang"))
+      .select(col("labeled_lang"), col("predicted_lang"), col("n_docs"),
+        col("row_share"), col("agree"))
+  }
+
+  val x102Oracle: String =
+    "WITH x03 AS (\n" + x03Oracle + "\n),\n" +
+    """cells AS (
+      |  SELECT labeled_lang, predicted_lang, COUNT(*) AS n_docs
+      |  FROM x03 GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT labeled_lang, COUNT(*) AS t FROM x03 GROUP BY 1)
+      |SELECT c.labeled_lang, c.predicted_lang, c.n_docs,
+      |  CAST(c.n_docs AS DOUBLE) / CAST(t.t AS DOUBLE) AS row_share,
+      |  c.labeled_lang = c.predicted_lang AS agree
+      |FROM cells c JOIN tot t ON c.labeled_lang = t.labeled_lang""".stripMargin
+
   /** URL takedown sweep — corpus governance at the canonical-URL key
     * (the DMCA/robots-retroactive case): a takedown list of canonical
     * URLs (here: every URL whose source id ≡ 0 mod 7 — a deterministic
@@ -5314,6 +5350,7 @@ object QueriesTrainingData {
     "x99_vocab_growth" -> (x99_vocab_growth _),
     "x100_zipf_spectrum" -> (x100_zipf_spectrum _),
     "x101_trigram_backoff" -> (x101_trigram_backoff _),
+    "x102_lang_confusion" -> (x102_lang_confusion _),
     "x80_vision_token_budget" -> (x80_vision_token_budget _),
     "x79_url_takedown" -> (x79_url_takedown _),
     "x78_tokenizer_fertility" -> (x78_tokenizer_fertility _),
@@ -5416,6 +5453,7 @@ object QueriesTrainingData {
     "x99_vocab_growth" -> x99Oracle,
     "x100_zipf_spectrum" -> x100Oracle,
     "x101_trigram_backoff" -> x101Oracle,
+    "x102_lang_confusion" -> x102Oracle,
     "x80_vision_token_budget" -> x80Oracle,
     "x79_url_takedown" -> x79Oracle,
     "x78_tokenizer_fertility" -> x78Oracle,

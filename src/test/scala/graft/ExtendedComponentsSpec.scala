@@ -341,6 +341,27 @@ class ExtendedComponentsSpec extends AnyFunSuite {
     assert(new java.io.File(dir).listFiles().map(f => f.getName -> f.lastModified).toMap === mtimes)
   }
 
+  test("compaction resolves its FileSystem from the path: a file: URI works end-to-end") {
+    // the Hadoop-FS port's contract: listing, sizing, sidecar carry and
+    // the generation swap all run through the scheme's FileSystem — a
+    // qualified URI must behave exactly like the bare local path
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_uri").toString
+    val rows = (1 to 4000).map(i => (i.toLong, s"v$i"))
+    rows.toDF("id", "v").repartition(16).write.mode("overwrite").parquet(dir)
+    val uri = "file:" + dir
+    val stats = graft.ops.Compaction.compact(spark, uri, targetFileBytes = 512L * 1024)
+    assert(stats.filesAfter < stats.filesBefore && stats.filesAfter >= 1)
+    val back = spark.read.parquet(uri).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    assert(back.toSeq === rows.sortBy(_._1))
+    // the swap left no stranded generations beside the dataset
+    val parent = new java.io.File(dir).getParentFile
+    val strays = parent.listFiles().map(_.getName).filter(n =>
+      n.startsWith(new java.io.File(dir).getName + ".compact-") ||
+        n.startsWith(new java.io.File(dir).getName + ".old-"))
+    assert(strays.isEmpty, s"stranded generations: ${strays.mkString(",")}")
+  }
+
   test("compaction preserves evolved schemas, partition layout; refuses a streaming sink") {
     // schema-evolved dataset (q58 shape): the later column must survive
     val evolved = java.nio.file.Files.createTempDirectory("graft_compact_ev").toString
