@@ -5118,6 +5118,45 @@ object QueriesTrainingData {
       |  c.labeled_lang = c.predicted_lang AS agree
       |FROM cells c JOIN tot t ON c.labeled_lang = t.labeled_lang""".stripMargin
 
+  /** Cross-SOURCE near-dup matrix — which sources re-host which: every
+    * verified ≥0.7-jaccard pair mapped to its (source, source) cell,
+    * order-normalized so (A,B) and (B,A) aggregate together. The
+    * off-diagonal cells are the mirror/syndication structure a crawl
+    * dedup plan keys on (drop the mirror wholesale instead of paying
+    * pairwise dedup); the diagonal is within-source duplication. Sixth
+    * consumer of [[stagedLshScoredPairs]]: candidate-sized work + two
+    * broadcast-able doc→source probes, no corpus rescan. */
+  def x103_cross_source_neardup(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = stagedLshScoredPairs(spark, dir)
+      .filter(col("jaccard") >= 0.7)
+      .select(col("doc_a"), col("doc_b"))
+    val src = documents(spark, dir).select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")),
+        Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")),
+        Seq("doc_b"))
+      .withColumn("src_lo", least(col("src_a"), col("src_b")))
+      .withColumn("src_hi", greatest(col("src_a"), col("src_b")))
+      .groupBy(col("src_lo"), col("src_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("cross_source", col("src_lo") =!= col("src_hi"))
+  }
+
+  val x103Oracle: String =
+    s"WITH $lshScoredCtes,\n" +
+    """fired AS (
+      |  SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.7),
+      |j AS (
+      |  SELECT least(a.source, b.source) AS src_lo,
+      |         greatest(a.source, b.source) AS src_hi
+      |  FROM fired f
+      |  JOIN documents a ON f.doc_a = a.doc_id
+      |  JOIN documents b ON f.doc_b = b.doc_id)
+      |SELECT src_lo, src_hi, COUNT(*) AS n_pairs,
+      |  src_lo <> src_hi AS cross_source
+      |FROM j GROUP BY src_lo, src_hi""".stripMargin
+
   /** URL takedown sweep — corpus governance at the canonical-URL key
     * (the DMCA/robots-retroactive case): a takedown list of canonical
     * URLs (here: every URL whose source id ≡ 0 mod 7 — a deterministic
@@ -5351,6 +5390,7 @@ object QueriesTrainingData {
     "x100_zipf_spectrum" -> (x100_zipf_spectrum _),
     "x101_trigram_backoff" -> (x101_trigram_backoff _),
     "x102_lang_confusion" -> (x102_lang_confusion _),
+    "x103_cross_source_neardup" -> (x103_cross_source_neardup _),
     "x80_vision_token_budget" -> (x80_vision_token_budget _),
     "x79_url_takedown" -> (x79_url_takedown _),
     "x78_tokenizer_fertility" -> (x78_tokenizer_fertility _),
@@ -5454,6 +5494,7 @@ object QueriesTrainingData {
     "x100_zipf_spectrum" -> x100Oracle,
     "x101_trigram_backoff" -> x101Oracle,
     "x102_lang_confusion" -> x102Oracle,
+    "x103_cross_source_neardup" -> x103Oracle,
     "x80_vision_token_budget" -> x80Oracle,
     "x79_url_takedown" -> x79Oracle,
     "x78_tokenizer_fertility" -> x78Oracle,
