@@ -5157,6 +5157,43 @@ object QueriesTrainingData {
       |  src_lo <> src_hi AS cross_source
       |FROM j GROUP BY src_lo, src_hi""".stripMargin
 
+  /** Embedding-table HEALTH audit — the data-quality gate an ANN/dedup
+    * plane runs before trusting its vectors: per dimensionality class,
+    * vector count, zero-norm count (a zero vector poisons cosine with
+    * division by zero), and the exact min/max/total of the quantized
+    * squared norms (the 1e-4 integer grid keeps every aggregate
+    * order-independent — a double norm SUM would be order-dependent and
+    * unhashable). A multi-dimensionality table or a zero-norm block is
+    * exactly what this surfaces before x08/x09/x11 consume the column.
+    * Scale shape: one narrow quantize projection + one
+    * partial-combining aggregate; zero joins, zero windows. */
+  def x104_embedding_health(spark: SparkSession, dir: String): DataFrame =
+    embeddings(spark, dir)
+      .select(size(col("embedding")).as("dims"),
+        SimilarityOps.qnorm2(SimilarityOps.quantize(col("embedding")))
+          .as("qn2"))
+      .groupBy(col("dims"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("qn2") === 0, 1L).otherwise(0L)).as("n_zero_norm"),
+        min(col("qn2")).as("min_qnorm2"),
+        max(col("qn2")).as("max_qnorm2"),
+        sum(col("qn2")).as("sum_qnorm2"))
+
+  val x104Oracle: String =
+    """WITH q AS (
+      |  SELECT len(embedding) AS dims,
+      |    list_sum(list_transform(embedding,
+      |      x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT) *
+      |           CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))) AS qn2
+      |  FROM embeddings)
+      |SELECT CAST(dims AS INT) AS dims, COUNT(*) AS n_vectors,
+      |  CAST(SUM(CASE WHEN qn2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_zero_norm,
+      |  CAST(MIN(qn2) AS BIGINT) AS min_qnorm2,
+      |  CAST(MAX(qn2) AS BIGINT) AS max_qnorm2,
+      |  CAST(SUM(qn2) AS BIGINT) AS sum_qnorm2
+      |FROM q GROUP BY dims""".stripMargin
+
   /** URL takedown sweep — corpus governance at the canonical-URL key
     * (the DMCA/robots-retroactive case): a takedown list of canonical
     * URLs (here: every URL whose source id ≡ 0 mod 7 — a deterministic
@@ -5391,6 +5428,7 @@ object QueriesTrainingData {
     "x101_trigram_backoff" -> (x101_trigram_backoff _),
     "x102_lang_confusion" -> (x102_lang_confusion _),
     "x103_cross_source_neardup" -> (x103_cross_source_neardup _),
+    "x104_embedding_health" -> (x104_embedding_health _),
     "x80_vision_token_budget" -> (x80_vision_token_budget _),
     "x79_url_takedown" -> (x79_url_takedown _),
     "x78_tokenizer_fertility" -> (x78_tokenizer_fertility _),
@@ -5495,6 +5533,7 @@ object QueriesTrainingData {
     "x101_trigram_backoff" -> x101Oracle,
     "x102_lang_confusion" -> x102Oracle,
     "x103_cross_source_neardup" -> x103Oracle,
+    "x104_embedding_health" -> x104Oracle,
     "x80_vision_token_budget" -> x80Oracle,
     "x79_url_takedown" -> x79Oracle,
     "x78_tokenizer_fertility" -> x78Oracle,
