@@ -5194,6 +5194,82 @@ object QueriesTrainingData {
       |  CAST(SUM(qn2) AS BIGINT) AS sum_qnorm2
       |FROM q GROUP BY dims""".stripMargin
 
+  /** MANIFEST DIFF between corpus generations — the incremental
+    * republish primitive x88's manifests exist for: two generations
+    * (x91's old/new convention — docs leave, docs arrive, some texts
+    * revise) each roll up to per-shard order-blind XOR fingerprints
+    * over a GENERATION-STABLE id-hash shard key, and the diff is a
+    * 16-row full-outer join naming exactly the shards whose content
+    * changed. A 100 TB republish then rewrites ONLY those shards —
+    * manifest rows replace corpus scans. Fingerprints hash
+    * (id, text-md5) so an in-place revision flips its shard.
+    * Scale shape: two narrow manifest aggregates (partial-combining)
+    * + one shards-sized join; the corpus never shuffles. */
+  def x105_manifest_diff(spark: SparkSession, dir: String): DataFrame = {
+    def manifest(docs: DataFrame): DataFrame = docs
+      .select(
+        pmod(TextOps.stableHash64(
+          concat(lit("sh:"), col("doc_id").cast(StringType))), lit(16L))
+          .as("shard"),
+        TextOps.stableHash64(concat(col("doc_id").cast(StringType),
+          lit(":"), md5(col("text")))).as("fp"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), expr("bit_xor(fp)").as("fingerprint"))
+    val d = documents(spark, dir)
+    val oldGen = d.filter(pmod(col("doc_id"), lit(10L)) =!= 7)
+      .select(col("doc_id"), col("text"))
+    val newGen = d.filter(pmod(col("doc_id"), lit(10L)) =!= 3)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(5L)) === 0,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text")).as("text"))
+    val mo = manifest(oldGen)
+      .select(col("shard"), col("n_docs").as("n_docs_old"),
+        col("fingerprint").as("fp_old"))
+    val mn = manifest(newGen)
+      .select(col("shard"), col("n_docs").as("n_docs_new"),
+        col("fingerprint").as("fp_new"))
+    mo.join(mn, Seq("shard"), "full_outer")
+      .withColumn("status",
+        when(col("fp_old").isNull, lit("added"))
+          .when(col("fp_new").isNull, lit("dropped"))
+          .when(col("fp_old") =!= col("fp_new"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .select(col("shard").cast(IntegerType).as("shard"),
+        coalesce(col("n_docs_old"), lit(0L)).as("n_docs_old"),
+        coalesce(col("n_docs_new"), lit(0L)).as("n_docs_new"),
+        col("status"))
+  }
+
+  val x105Oracle: String =
+    """WITH oldg AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 7),
+      |newg AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 10 <> 3),
+      |mo AS (
+      |  SELECT CAST(('0x' || substr(md5('sh:' || CAST(doc_id AS VARCHAR)), 1, 15))
+      |      AS BIGINT) % 16 AS shard,
+      |    COUNT(*) AS n_docs_old,
+      |    bit_xor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+      |      md5(text)), 1, 15)) AS BIGINT)) AS fp_old
+      |  FROM oldg GROUP BY 1),
+      |mn AS (
+      |  SELECT CAST(('0x' || substr(md5('sh:' || CAST(doc_id AS VARCHAR)), 1, 15))
+      |      AS BIGINT) % 16 AS shard,
+      |    COUNT(*) AS n_docs_new,
+      |    bit_xor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+      |      md5(text)), 1, 15)) AS BIGINT)) AS fp_new
+      |  FROM newg GROUP BY 1)
+      |SELECT CAST(coalesce(mo.shard, mn.shard) AS INT) AS shard,
+      |  CAST(coalesce(n_docs_old, 0) AS BIGINT) AS n_docs_old,
+      |  CAST(coalesce(n_docs_new, 0) AS BIGINT) AS n_docs_new,
+      |  CASE WHEN mo.shard IS NULL THEN 'added'
+      |       WHEN mn.shard IS NULL THEN 'dropped'
+      |       WHEN fp_old <> fp_new THEN 'changed'
+      |       ELSE 'unchanged' END AS status
+      |FROM mo FULL OUTER JOIN mn ON mo.shard = mn.shard""".stripMargin
+
   /** URL takedown sweep — corpus governance at the canonical-URL key
     * (the DMCA/robots-retroactive case): a takedown list of canonical
     * URLs (here: every URL whose source id ≡ 0 mod 7 — a deterministic
@@ -5429,6 +5505,7 @@ object QueriesTrainingData {
     "x102_lang_confusion" -> (x102_lang_confusion _),
     "x103_cross_source_neardup" -> (x103_cross_source_neardup _),
     "x104_embedding_health" -> (x104_embedding_health _),
+    "x105_manifest_diff" -> (x105_manifest_diff _),
     "x80_vision_token_budget" -> (x80_vision_token_budget _),
     "x79_url_takedown" -> (x79_url_takedown _),
     "x78_tokenizer_fertility" -> (x78_tokenizer_fertility _),
@@ -5534,6 +5611,7 @@ object QueriesTrainingData {
     "x102_lang_confusion" -> x102Oracle,
     "x103_cross_source_neardup" -> x103Oracle,
     "x104_embedding_health" -> x104Oracle,
+    "x105_manifest_diff" -> x105Oracle,
     "x80_vision_token_budget" -> x80Oracle,
     "x79_url_takedown" -> x79Oracle,
     "x78_tokenizer_fertility" -> x78Oracle,
