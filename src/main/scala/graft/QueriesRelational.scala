@@ -1600,6 +1600,69 @@ object QueriesRelational {
       |   WHERE o_orderdate > TIMESTAMP '1997-06-01 00:00:00') AS n_delta,
       |  CAST(3 AS BIGINT) AS n_log_success""".stripMargin
 
+  /** T-SQL `#temp` TABLE staging script through the dtsx frontend —
+    * `TempTableMartETL.dtsx` (q101): aggregate orders into
+    * `#cust_orders`, join the temp against customer into a real mart,
+    * `DROP TABLE` the temp. [[graft.patterns.ScriptedSqlExecutor]]
+    * rewrites every `#name` to an overlay-safe identifier, sequences
+    * the statements against the shadow overlay, and commits ONLY the
+    * mart — the temp dies at script end (tempdb session-scope parity),
+    * re-creating a live temp aborts with T-SQL 2714, and `##global`
+    * temps decline. The reference's identifier validator rejects `#`
+    * outright (`src/parser/utils.py:30-32`) — this surface executed
+    * nowhere before. Scale shape: the temp is a named Catalyst plan,
+    * not a materialization — the mart compiles to ONE agg + join DAG. */
+  def q101_dtsx_temp_table(spark: SparkSession, dir: String): DataFrame =
+    runDtsxWarehousePackage(spark, dir, "TempTableMartETL.dtsx")
+      ._1.apply("customer_order_mart")
+      .select(col("c_custkey"), col("c_name"),
+        col("n_orders").cast(LongType).as("n_orders"),
+        col("total_spend").cast(DoubleType).as("total_spend"))
+
+  val q101Oracle: String =
+    """WITH co AS (
+      |  SELECT o_custkey, COUNT(*) AS n_orders,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
+      |      AS total_spend
+      |  FROM orders GROUP BY o_custkey)
+      |SELECT c.c_custkey, c.c_name, co.n_orders,
+      |  CAST(co.total_spend AS DOUBLE) AS total_spend
+      |FROM customer c JOIN co ON c.c_custkey = co.o_custkey
+      |WHERE co.n_orders >= 2""".stripMargin
+
+  /** T-SQL `@@ROWCOUNT` audit-log idiom through the dtsx frontend —
+    * `RowCountAuditETL.dtsx` (q102): stage orders, flag high-value rows,
+    * and append the rows-affected fact to an audit log in the NEXT
+    * statement. [[graft.patterns.ScriptedSqlExecutor]] substitutes the
+    * UPDATE's lazily-counted affected-rows thunk
+    * ([[graft.pipeline.PackageRunner.SqlOutcome]]`.affected`) into the
+    * `@@ROWCOUNT` read; other `@@vars`, a read with no countable
+    * predecessor, and a read after MERGE (three-verb total this compile
+    * does not state) decline to manual review. The gate certifies the
+    * LOGGED count equals the flagged-row count the update really
+    * applied. Scale shape: the count is one predicate-filtered action
+    * over the staged frame, evaluated once, only because the script
+    * actually reads it. */
+  def q102_dtsx_rowcount_audit(spark: SparkSession, dir: String): DataFrame = {
+    val (w, _) = runDtsxWarehousePackage(spark, dir, "RowCountAuditETL.dtsx")
+    val audit = w("etl_row_audit").select(col("task_name"),
+      col("rows_affected").cast(LongType).as("rows_affected"))
+    val stg = w("stg_orders").agg(
+      count(when(col("o_orderstatus") === "H", lit(1))).as("n_flagged"),
+      count(lit(1)).as("n_total"))
+    audit.crossJoin(stg)
+  }
+
+  val q102Oracle: String =
+    """WITH staged AS (
+      |  SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(12,2)) AS p
+      |  FROM orders)
+      |SELECT 'flag_high_value' AS task_name,
+      |  CAST((SELECT COUNT(*) FROM staged WHERE p > 300000) AS BIGINT)
+      |    AS rows_affected,
+      |  (SELECT COUNT(*) FROM staged WHERE p > 300000) AS n_flagged,
+      |  (SELECT COUNT(*) FROM staged) AS n_total""".stripMargin
+
   /** Explicit GROUPING SETS with grouping_id disambiguation (beyond q24's
     * rollup): two chosen aggregation levels, no intermediate level. */
   def q39_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
@@ -2966,6 +3029,8 @@ object QueriesRelational {
     "q98_dtsx_watermark_loop" -> (q98_dtsx_watermark_loop _),
     "q99_dtsx_guard_block" -> (q99_dtsx_guard_block _),
     "q100_dtsx_reference_composite" -> (q100_dtsx_reference_composite _),
+    "q101_dtsx_temp_table" -> (q101_dtsx_temp_table _),
+    "q102_dtsx_rowcount_audit" -> (q102_dtsx_rowcount_audit _),
     "q82_orc_roundtrip" -> (q82_orc_roundtrip _),
     "q80_dtsx_cdc_merge" -> (q80_dtsx_cdc_merge _),
     "q79_delete_cascade" -> (q79_delete_cascade _),
@@ -3059,6 +3124,8 @@ object QueriesRelational {
     "q98_dtsx_watermark_loop" -> q98Oracle,
     "q99_dtsx_guard_block" -> q99Oracle,
     "q100_dtsx_reference_composite" -> q100Oracle,
+    "q101_dtsx_temp_table" -> q101Oracle,
+    "q102_dtsx_rowcount_audit" -> q102Oracle,
     "q82_orc_roundtrip" -> q82Oracle,
     "q80_dtsx_cdc_merge" -> q80Oracle,
     "q79_delete_cascade" -> q79Oracle,

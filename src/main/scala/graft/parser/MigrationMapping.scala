@@ -175,6 +175,12 @@ object MigrationMapping {
         Some("canonical MERGE executes (patterns/MergeSqlCompiler — one " +
           "full-outer-join state replacement with the fused 8672 guard); " +
           "dataflow SCD2 via patterns/ScdType2.merge"), Nil, signals)
+    else if (graft.patterns.ScriptedSqlExecutor.scriptFeatures(sql).isDefined)
+      TaskMapping(t.name, "ExecuteSQLTask", "converted", None,
+        Some("sequential shadow-overlay script (patterns/" +
+          "ScriptedSqlExecutor): " +
+          graft.patterns.ScriptedSqlExecutor.scriptFeatures(sql).get),
+        Nil, signals)
     else if (insertSelect.findFirstMatchIn(sql).isDefined) {
       val target = insertSelect.findFirstMatchIn(sql).map(_.group(1))
       val mode =

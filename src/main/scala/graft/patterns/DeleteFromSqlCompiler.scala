@@ -87,7 +87,11 @@ object DeleteFromSqlCompiler {
           .map(w => coalesce(expr(MergeSqlCompiler.xlate(w, tA, sA)), lit(false)))
           .getOrElse(lit(true))
         val kept = tgt.join(srcP, joinCond && firePred, "left_anti")
-        SqlOutcome(Some(kept), Some(tgtName), SaveMode.Overwrite)
+        SqlOutcome(Some(kept), Some(tgtName), SaveMode.Overwrite,
+          // @@ROWCOUNT after DELETE…FROM = target rows with a firing
+          // match — the anti join's complement, one semi-join count
+          affected = Some(() =>
+            tgt.join(srcP, joinCond && firePred, "left_semi").count()))
       }
     }
   }

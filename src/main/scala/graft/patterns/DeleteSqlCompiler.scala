@@ -52,7 +52,10 @@ object DeleteSqlCompiler {
     truncateRe.findFirstMatchIn(sql).foreach { t =>
       val tgt = resolve(t.group(1))
       return Some(SqlOutcome(Some(tgt.filter(lit(false))), Some(t.group(1)),
-        SaveMode.Overwrite))
+        SaveMode.Overwrite,
+        // T-SQL TRUNCATE does not set @@ROWCOUNT to the removed rows
+        // (it reports 0 — minimally-logged, no per-row accounting)
+        affected = Some(() => 0L)))
     }
     deleteRe.findFirstMatchIn(sql).flatMap { m =>
       val tgtName = m.group(1)
@@ -64,7 +67,13 @@ object DeleteSqlCompiler {
           case Some(w) => tgt.filter(!coalesce(expr(w), lit(false)))
           case None => tgt.filter(lit(false))
         }
-        SqlOutcome(Some(kept), Some(tgtName), SaveMode.Overwrite)
+        // @@ROWCOUNT after DELETE = rows the predicate matched
+        val deleted = whereOpt match {
+          case Some(w) => () => tgt.filter(coalesce(expr(w), lit(false))).count()
+          case None => () => tgt.count()
+        }
+        SqlOutcome(Some(kept), Some(tgtName), SaveMode.Overwrite,
+          affected = Some(deleted))
       }
     }
   }

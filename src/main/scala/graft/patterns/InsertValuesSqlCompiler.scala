@@ -119,7 +119,10 @@ object InsertValuesSqlCompiler {
                 "to bootstrap it")
             values
         }
-        SqlOutcome(Some(aligned), Some(tgtName), SaveMode.Append)
+        // @@ROWCOUNT after INSERT…VALUES = the literal row count, known
+        // at compile time — no Spark action needed
+        SqlOutcome(Some(aligned), Some(tgtName), SaveMode.Append,
+          affected = Some(() => rows.length.toLong))
       }
     }
   }

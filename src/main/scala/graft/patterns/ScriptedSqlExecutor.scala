@@ -40,8 +40,154 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * rule IS the transaction contract), a `BEGIN TRAN` fused onto the
   * next statement by a missing `;` loses just the prefix, and any
   * `ROLLBACK` — conditional undo this replay cannot express — declines
-  * the whole task to manual review. */
+  * the whole task to manual review.
+  *
+  * `#temp` TABLES live for exactly one script: every `#name` reference
+  * (outside string literals) rewrites to an overlay-safe identifier,
+  * the table is created by `SELECT … INTO #t` / `CREATE TABLE #t (…)`
+  * (or the INSERT…VALUES bootstrap), read and mutated by any later
+  * statement through the same compiler chain, optionally freed early by
+  * `DROP TABLE [IF EXISTS] #t`, and NEVER commits — script end IS the
+  * T-SQL scope exit, mirroring tempdb session scope. Re-creating a live
+  * `#t` aborts (T-SQL 2714), `##global` temps decline (cross-session
+  * state this replay does not model), and a `#t` referenced OUTSIDE a
+  * script declines — temp state never crosses task boundaries. The
+  * reference classifies exactly this surface as complex/manual
+  * (ssis-to-dbt `src/agents/analyzer.py:469-479`; its identifier
+  * validator rejects `#`/`@` outright, `src/parser/utils.py:30-32`).
+  *
+  * `@@ROWCOUNT` reads substitute the previous statement's
+  * rows-affected fact ([[graft.pipeline.PackageRunner.SqlOutcome]]'s
+  * lazy `affected` thunk — evaluated only when actually read): the
+  * T-SQL audit-log idiom `UPDATE …; INSERT INTO log VALUES(…,
+  * @@ROWCOUNT, …)` executes exactly. A read whose predecessor cannot
+  * state its count (MERGE), a read at script start, and every other
+  * `@@var` decline to manual review. Caveat: wrapper statements
+  * (BEGIN TRAN/COMMIT/NOCOUNT) strip BEFORE sequencing, so a read
+  * across one sees the prior DML's count where genuine T-SQL resets to
+  * 0 — a source script relying on that is already broken. */
 object ScriptedSqlExecutor {
+
+  /** Rewritten spelling of `#name`: a valid Spark view identifier that
+    * no warehouse table can collide with. */
+  private[patterns] val TempPrefix = "graft_tmp_"
+
+  // `#name` / `##name` reference (scans run on the masked twin so a '#'
+  // inside a string literal is data, not a temp reference)
+  private val tempRefRe = "#{1,2}[A-Za-z_][A-Za-z0-9_]*".r
+  private val globalTempRe = "##[A-Za-z_]".r
+  private val rowcountRe = "(?i)@@rowcount".r
+  // any OTHER @@system_var (@@IDENTITY, @@ERROR, @@TRANCOUNT…) — state
+  // this replay cannot produce; the whole script declines
+  private val otherSysVarRe = "(?i)@@(?!rowcount\\b)[a-z_]+".r
+
+  /** Does the statement reference a `#temp` (outside literals)? */
+  private def hasTempRef(s: String): Boolean =
+    tempRefRe.findFirstIn(UpdateSqlCompiler.masked(s)).isDefined
+
+  /** Rewrite every `#name` to [[TempPrefix]]`name` (case-folded — T-SQL
+    * temp names are case-insensitive), splicing at masked-twin spans so
+    * literal content survives verbatim. Returns the rewritten text and
+    * the rewritten names it saw. */
+  private def detemp(s: String): (String, Set[String]) = {
+    val msk = UpdateSqlCompiler.masked(s)
+    val ms = tempRefRe.findAllMatchIn(msk).toList
+    if (ms.isEmpty) (s, Set.empty)
+    else {
+      val sb = new StringBuilder
+      var pos = 0
+      val names = Set.newBuilder[String]
+      ms.foreach { m =>
+        sb.append(s.substring(pos, m.start))
+        val nm = TempPrefix + s.substring(m.start, m.end)
+          .dropWhile(_ == '#').toLowerCase
+        names += nm
+        sb.append(nm)
+        pos = m.end
+      }
+      sb.append(s.substring(pos))
+      (sb.toString, names.result())
+    }
+  }
+
+  /** Substitute every `@@ROWCOUNT` read with the literal `n`, splicing
+    * at masked-twin spans (a literal containing "@@ROWCOUNT" is data). */
+  private def substRowcount(s: String, n: Long): String = {
+    val msk = UpdateSqlCompiler.masked(s)
+    val ms = rowcountRe.findAllMatchIn(msk).toList
+    if (ms.isEmpty) s
+    else {
+      val sb = new StringBuilder
+      var pos = 0
+      ms.foreach { m =>
+        sb.append(s.substring(pos, m.start)).append(n.toString)
+        pos = m.end
+      }
+      sb.append(s.substring(pos))
+      sb.toString
+    }
+  }
+
+  /** `DROP TABLE [IF EXISTS] graft_tmp_x` (post-[[detemp]] spelling) —
+    * the early-free statement real temp-table scripts end with. */
+  private val dropTempRe =
+    ("(?is)^\\s*drop\\s+table\\s+(?:(if\\s+exists)\\s+)?(" +
+      TempPrefix + "\\w+)\\s*;?\\s*$").r
+
+  /** `CREATE TABLE graft_tmp_x (col TYPE [NOT NULL], …)` — the other
+    * canonical temp-table creation beside SELECT INTO. Scoped to TEMPS:
+    * creating a real warehouse table by DDL stays manual review. */
+  private val createTempRe =
+    ("(?is)^\\s*create\\s+table\\s+(" + TempPrefix +
+      "\\w+)\\s*\\((.*)\\)\\s*;?\\s*$").r
+
+  /** T-SQL column type → Spark SQL type for the temp-DDL compile; None
+    * declines the script (constraints, IDENTITY, computed columns…). */
+  private def sparkDdlType(t: String): Option[String] = {
+    val m = "(?i)^([a-z0-9_]+)\\s*(?:\\(\\s*(\\d+|max)\\s*(?:,\\s*(\\d+)\\s*)?\\))?$"
+      .r.findFirstMatchIn(t.trim).getOrElse(return None)
+    val args = (Option(m.group(2)), Option(m.group(3)))
+    m.group(1).toLowerCase match {
+      case "int" => Some("INT")
+      case "bigint" => Some("BIGINT")
+      case "smallint" => Some("SMALLINT")
+      case "tinyint" => Some("SMALLINT") // unsigned 0..255 widens
+      case "bit" => Some("BOOLEAN")
+      case "float" => Some("DOUBLE")
+      case "real" => Some("FLOAT")
+      case "decimal" | "numeric" => args match {
+        case (Some(p), s) if p.forall(_.isDigit) =>
+          Some(s"DECIMAL($p, ${s.getOrElse("0")})")
+        case (None, _) => Some("DECIMAL(18, 0)")
+        case _ => None
+      }
+      case "money" => Some("DECIMAL(19, 4)")
+      case "smallmoney" => Some("DECIMAL(10, 4)")
+      case "varchar" | "nvarchar" | "char" | "nchar" | "text" | "ntext" |
+          "uniqueidentifier" | "sysname" => Some("STRING")
+      case "datetime" | "datetime2" | "smalldatetime" | "datetimeoffset" =>
+        Some("TIMESTAMP")
+      case "date" => Some("DATE")
+      case "varbinary" | "binary" | "image" => Some("BINARY")
+      case _ => None
+    }
+  }
+
+  /** Compile the temp-DDL column list to an empty, schema-true frame —
+    * `SELECT CAST(NULL AS T) AS c, … WHERE false`. None (constraint
+    * clauses, unmapped types) declines the script to manual review. */
+  private def emptyFrameFor(spark: SparkSession, colDefs: String)
+      : Option[DataFrame] = {
+    val cols = MergeSqlCompiler.splitTop(colDefs).map(_.trim)
+    if (cols.isEmpty || cols.exists(_.isEmpty)) return None
+    val fields = cols.map { c =>
+      val m = "(?is)^([A-Za-z_][A-Za-z0-9_]*)\\s+(.+?)(?:\\s+(?:not\\s+)?null)?\\s*$"
+        .r.findFirstMatchIn(c).getOrElse(return None)
+      val tpe = sparkDdlType(m.group(2)).getOrElse(return None)
+      s"CAST(NULL AS $tpe) AS ${m.group(1)}"
+    }
+    Some(spark.sql("SELECT " + fields.mkString(", ")).filter("false"))
+  }
 
   /** T-SQL housekeeping statements that are semantic no-ops here: the
     * shadow-overlay script already IS all-or-nothing (nothing commits
@@ -90,6 +236,33 @@ object ScriptedSqlExecutor {
         clears.flatten.exists(c => SqlPatternRewriter.sameTable(c, ins.get))
     }
 
+  /** Parse-only classification twin of the script dispatcher for the
+    * migration-mapping ledger / dry run: Some(description) when the
+    * text is a multi-statement script using the `#temp` and/or
+    * `@@ROWCOUNT` surfaces this executor models (and none of the
+    * disqualifiers — ROLLBACK, `##global`, other `@@vars`). Shape-level
+    * like every other `shapeMatches` twin: an individual statement may
+    * still fail to compile at run time. */
+  private[graft] def scriptFeatures(sqlRaw: String): Option[String] = {
+    val text = SqlText.stripComments(sqlRaw)
+    if (rollbackRe.findFirstIn(UpdateSqlCompiler.masked(text)).isDefined)
+      return None
+    val stmts = SqlText.splitBatches(text).flatMap(SqlText.splitStatements)
+      .map(s => beginTranPrefixRe.replaceFirstIn(s, ""))
+      .filterNot(s => txnNoopRe.findFirstMatchIn(s).isDefined)
+    if (stmts.length < 2) return None
+    def m(s: String) = UpdateSqlCompiler.masked(s)
+    if (stmts.exists(s => globalTempRe.findFirstIn(m(s)).isDefined) ||
+      stmts.exists(s => otherSysVarRe.findFirstIn(m(s)).isDefined)) return None
+    val temp = stmts.exists(hasTempRef)
+    val rc = stmts.exists(s => rowcountRe.findFirstIn(m(s)).isDefined)
+    if (!temp && !rc) None
+    else Some(List(
+      if (temp) Some("#temp scope (script-lifetime overlay tables)") else None,
+      if (rc) Some("@@ROWCOUNT substitution") else None)
+      .flatten.mkString(" + "))
+  }
+
   /** Build a task executor over the caller's written-state:
     * `resolveFrame` maps a table name to its current frame (throwing
     * for unknown names), `bareName` strips schema/bracket decoration,
@@ -113,7 +286,13 @@ object ScriptedSqlExecutor {
         .orElse(SqlPatternRewriter.rewrite(spark, stmt))
 
     def script(bound: ExecuteSqlTask,
-        stmts: List[String]): Option[SqlOutcome] = {
+        stmts0: List[String]): Option[SqlOutcome] = {
+      // temp-table references rewrite ONCE, up front, so every statement
+      // (and the overlay keys) speak the same overlay-safe names
+      val (stmts, tempNames) = {
+        val pairs = stmts0.map(detemp)
+        (pairs.map(_._1), pairs.flatMap(_._2).toSet)
+      }
       val overlay = scala.collection.mutable.Map.empty[String, DataFrame]
       // a caller may have registered a same-named temp view BEFORE the
       // script runs; createOrReplaceTempView replaces it and the drop
@@ -146,19 +325,67 @@ object ScriptedSqlExecutor {
       // mid-script becomes TaskStatus.Failed upstream, and a leaked
       // overlay view would feed the next run's spark.table fallback
       // with never-committed rows — try/finally, not happy-path cleanup
+      // the previous statement's rows-affected thunk (memoized on first
+      // read — several @@ROWCOUNT references in one statement must see
+      // ONE consistent number, and counting is an action)
+      var lastAffected: Option[() => Long] = None
+      def compileOne(s0: String): Option[SqlOutcome] = {
+        val msk0 = UpdateSqlCompiler.masked(s0)
+        // @@IDENTITY/@@ERROR/@@TRANCOUNT…: state this replay cannot
+        // produce — decline the whole script, never substitute garbage
+        if (otherSysVarRe.findFirstIn(msk0).isDefined) return None
+        val s =
+          if (rowcountRe.findFirstIn(msk0).isEmpty) s0
+          else lastAffected match {
+            case Some(f) => substRowcount(s0, f())
+            case None => return None // read with no countable predecessor
+          }
+        dropTempRe.findFirstMatchIn(UpdateSqlCompiler.masked(s)) match {
+          case Some(d) if tempNames(d.group(2).toLowerCase) =>
+            val nm = d.group(2).toLowerCase
+            // a plain DROP of a temp that is not live errors in T-SQL;
+            // IF EXISTS makes it a no-op
+            require(overlay.contains(nm) || d.group(1) != null,
+              s"DROP TABLE ${nm}: cannot drop the table because it " +
+                "does not exist (T-SQL error 3701) — use IF EXISTS")
+            // early free: the name is reusable afterwards (2714 clears)
+            overlay.remove(nm)
+              .foreach(_ => spark.catalog.dropTempView(nm): Unit)
+            lastAffected = Some(() => 0L) // DDL sets @@ROWCOUNT to 0
+            return Some(SqlOutcome(None, None))
+          case _ => ()
+        }
+        createTempRe.findFirstMatchIn(UpdateSqlCompiler.masked(s)) match {
+          case Some(c) if tempNames(c.group(1).toLowerCase) =>
+            val nm = c.group(1).toLowerCase
+            require(scala.util.Try(res(nm)).isFailure,
+              s"CREATE TABLE ${nm}: there is already an object named " +
+                s"'${nm}' (T-SQL error 2714)")
+            return emptyFrameFor(spark, s.substring(c.start(2), c.end(2)))
+              .map { f =>
+                lastAffected = Some(() => 0L)
+                SqlOutcome(Some(f), Some(nm), SaveMode.Overwrite)
+              }
+          case _ => ()
+        }
+        val out = chain(bound.copy(sqlStatement = s), res)
+        out.foreach(o => lastAffected = o.affected)
+        out
+      }
       try {
         // short-circuit on the first unconvertible statement: a later
         // statement may reference a table an earlier one creates, so
         // compiling past a failure is meaningless
         val allOk = stmts.forall { s =>
-          chain(bound.copy(sqlStatement = s), res) match {
+          compileOne(s) match {
             case Some(o) => stage(o); outcomes += o; true
             case None => false
           }
         }
         if (!allOk) None
         else {
-          overlay.foreach { case (k, v) => commit(k, v) }
+          // temp tables never commit: script end IS the T-SQL scope exit
+          overlay.foreach { case (k, v) => if (!tempNames(k)) commit(k, v) }
           // writes are committed; hand the runner a write-free outcome
           // carrying the final statement's frame (result-set binding)
           Some(SqlOutcome(outcomes.last.df, None))
@@ -198,7 +425,22 @@ object ScriptedSqlExecutor {
         if (stmts.isEmpty)
           // a script of only BEGIN TRAN/COMMIT/NOCOUNT: vacuous success
           Some(SqlOutcome(None, None))
-        else if (stmts.length == 1) single(stmts.head)
+        // ##global temps are cross-session state; a #temp OUTSIDE a
+        // script (single statement) was created by some OTHER task this
+        // replay does not model; a lone @@ read has no predecessor; all
+        // other @@vars are unproducible — manual review, never a guess
+        else if (stmts.exists(s =>
+            globalTempRe.findFirstIn(UpdateSqlCompiler.masked(s)).isDefined))
+          None
+        else if (stmts.length == 1) {
+          val msk = UpdateSqlCompiler.masked(stmts.head)
+          if (tempRefRe.findFirstIn(msk).isDefined ||
+            "@@".r.findFirstIn(msk).isDefined) None
+          else single(stmts.head)
+        }
+        // a #temp-bearing refresh shape must still run SEQUENTIALLY
+        // (the INSERT…SELECT reads a temp an earlier statement creates)
+        else if (stmts.exists(hasTempRef)) script(bound, stmts)
         else if (isRefreshShape(stmts))
           single(stmts.mkString(";\n")).orElse(script(bound, stmts))
         else script(bound, stmts)

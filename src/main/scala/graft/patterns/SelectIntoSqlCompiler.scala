@@ -60,8 +60,9 @@ object SelectIntoSqlCompiler {
               s"'${target}' (T-SQL error 2714) — SELECT INTO creates its " +
               "target; use INSERT INTO … SELECT to load an existing table")
           val pure = sql.substring(0, m.start) + " " + sql.substring(m.end)
-          SqlOutcome(Some(SqlPatternRewriter.runSelect(spark, pure)),
-            Some(target), SaveMode.Overwrite)
+          val selected = SqlPatternRewriter.runSelect(spark, pure)
+          SqlOutcome(Some(selected), Some(target), SaveMode.Overwrite,
+            affected = Some(() => selected.count()))
         }
       case _ => None
     }

@@ -105,14 +105,20 @@ object SqlPatternRewriter {
         val mode =
           if (cleared.exists(sameTable(_, target))) SaveMode.Overwrite
           else SaveMode.Append
-        Some(SqlOutcome(Some(runSelect(spark, select)), Some(target), mode))
+        val selected = runSelect(spark, select)
+        // @@ROWCOUNT after INSERT…SELECT = rows the SELECT produced
+        Some(SqlOutcome(Some(selected), Some(target), mode,
+          affected = Some(() => selected.count())))
       case _ :: _ =>
         // several INSERT…SELECT statements: executing only the first and
         // silently discarding the rest is worse than manual review
         None
       case Nil =>
         bareSelectRe.findFirstMatchIn(sql).map { m =>
-          SqlOutcome(Some(runSelect(spark, m.group(1))), None)
+          val selected = runSelect(spark, m.group(1))
+          // T-SQL sets @@ROWCOUNT after a SELECT too (rows returned)
+          SqlOutcome(Some(selected), None,
+            affected = Some(() => selected.count()))
         }
     }
   }

@@ -152,7 +152,11 @@ object UpdateFromSqlCompiler {
             case None => col(f.name).as(f.name)
           }
         }: _*)
-        SqlOutcome(Some(out), Some(tgtName), SaveMode.Overwrite)
+        SqlOutcome(Some(out), Some(tgtName), SaveMode.Overwrite,
+          // @@ROWCOUNT after UPDATE…FROM = target rows where the join
+          // matched AND the WHERE fired (the guarded frame reuses the
+          // one join; a multi-match still aborts through raise_error)
+          affected = Some(() => kept.filter(fire).count()))
       }
     }
   }

@@ -109,7 +109,11 @@ object UpdateSqlCompiler {
             case None => col(c)
           }
         }: _*)
-        SqlOutcome(Some(updated), Some(tgtName), SaveMode.Overwrite)
+        SqlOutcome(Some(updated), Some(tgtName), SaveMode.Overwrite,
+          // @@ROWCOUNT after UPDATE = rows the predicate matched, counted
+          // on the PRE-update frame (immutable plan — later overlay
+          // staging cannot skew a deferred evaluation)
+          affected = Some(() => tgt.filter(pred).count()))
       }
     }
   }

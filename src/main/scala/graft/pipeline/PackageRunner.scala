@@ -25,8 +25,18 @@ object PackageRunner {
         * (DELETE+INSERT → overwrite etc.); None → recorded as skipped. */
       sqlExecutor: ExecuteSqlTask => Option[SqlOutcome] = _ => None)
 
+  /** @param affected lazily-evaluated "rows affected" fact for the
+    *   statement — T-SQL's `@@ROWCOUNT` contract (UPDATE/DELETE = rows
+    *   the predicate matched, INSERT = rows inserted, SELECT = rows
+    *   returned). A THUNK, not a value: counting is a Spark action, and
+    *   it must run only when a later script statement actually reads
+    *   `@@ROWCOUNT` ([[graft.patterns.ScriptedSqlExecutor]]). None =
+    *   the compiler cannot state the count (e.g. MERGE's three-verb
+    *   total) — a read after such a statement declines to manual review
+    *   rather than substituting a wrong number. */
   final case class SqlOutcome(df: Option[DataFrame], target: Option[String],
-      mode: SaveMode = SaveMode.Overwrite)
+      mode: SaveMode = SaveMode.Overwrite,
+      affected: Option[() => Long] = None)
 
   sealed trait TaskStatus
   object TaskStatus {
@@ -557,11 +567,11 @@ object PackageRunner {
               }
             }.toList
           env.sqlExecutor(sql) match {
-            case Some(SqlOutcome(Some(out), Some(target), mode)) =>
+            case Some(SqlOutcome(Some(out), Some(target), mode, _)) =>
               env.write(target, out, mode)
               TaskRun(task.name, "ExecuteSQLTask", TaskStatus.Succeeded,
                 pattern = Some(detection), notes = bindResult(Some(out)))
-            case Some(SqlOutcome(out, _, _)) =>
+            case Some(SqlOutcome(out, _, _, _)) =>
               TaskRun(task.name, "ExecuteSQLTask", TaskStatus.Succeeded,
                 pattern = Some(detection), notes = bindResult(out))
             case None =>

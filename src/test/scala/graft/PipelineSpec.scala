@@ -915,6 +915,148 @@ class PipelineSpec extends AnyFunSuite {
       === "now\ngo\nlater")
   }
 
+  test("ScriptedSqlExecutor: #temp tables live for exactly one script") {
+    import spark.implicits._
+    def mkExec(written: scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]) =
+      graft.patterns.ScriptedSqlExecutor.executor(spark,
+        resolveFrame = n => written.getOrElse(n, spark.table(n)),
+        bareName = identity,
+        commit = (k, v) => written(k) = v)
+    def task(sql: String) = graft.ir.Ir.ExecuteSqlTask("s", None, "conn", sql)
+    Seq((1L, 5.0), (2L, 50.0), (3L, 500.0)).toDF("id", "v")
+      .createOrReplaceTempView("src_tt")
+    // SELECT INTO #t stages, the mart built FROM the temp commits, the
+    // temp itself never commits and leaves no session view behind
+    val w1 = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]()
+    val out1 = mkExec(w1)(task(
+      "SELECT id, v INTO #big FROM src_tt WHERE v >= 50; " +
+        "SELECT id, v * 2 AS v2 INTO mart_tt FROM #big; " +
+        "DROP TABLE #big"))
+    assert(out1.nonEmpty, "temp-table script did not compile")
+    assert(w1.keySet === Set("mart_tt"), s"temp leaked into commits: ${w1.keySet}")
+    assert(w1("mart_tt").orderBy("id").as[(Long, Double)].collect().toList
+      === List((2L, 100.0), (3L, 1000.0)))
+    assert(!spark.catalog.tableExists("graft_tmp_big"),
+      "temp view outlived its script")
+    // temp names are case-insensitive (#Big and #BIG are one table) and
+    // the DROP is optional — scope exit frees it either way
+    val w2 = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]()
+    assert(mkExec(w2)(task(
+      "SELECT id INTO #Keys FROM src_tt; " +
+        "SELECT COUNT(*) AS n INTO mart_k FROM #KEYS")).nonEmpty)
+    assert(w2.keySet === Set("mart_k") && w2("mart_k").as[Long].head() === 3L)
+    assert(!spark.catalog.tableExists("graft_tmp_keys"))
+    // re-creating a LIVE temp aborts (T-SQL 2714), nothing commits
+    val w3 = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]()
+    val e3 = intercept[IllegalArgumentException] {
+      mkExec(w3)(task(
+        "SELECT id INTO #d FROM src_tt; SELECT id INTO #d FROM src_tt"))
+    }
+    assert(e3.getMessage.contains("2714"))
+    assert(w3.isEmpty && !spark.catalog.tableExists("graft_tmp_d"))
+    // ...but DROP frees the name for re-creation
+    val w4 = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]()
+    assert(mkExec(w4)(task(
+      "SELECT id INTO #r FROM src_tt; DROP TABLE #r; " +
+        "SELECT id INTO #r FROM src_tt WHERE v >= 50; " +
+        "SELECT COUNT(*) AS n INTO mart_r FROM #r")).nonEmpty)
+    assert(w4("mart_r").as[Long].head() === 2L)
+    // plain DROP of a never-created temp errors (3701); IF EXISTS is a no-op
+    assert(intercept[IllegalArgumentException] {
+      mkExec(scala.collection.mutable.Map.empty)(task(
+        "SELECT id INTO #a FROM src_tt; DROP TABLE #ghost"))
+    }.getMessage.contains("3701"))
+    assert(mkExec(scala.collection.mutable.Map.empty)(task(
+      "SELECT id INTO #a FROM src_tt; DROP TABLE IF EXISTS #ghost; " +
+        "SELECT COUNT(*) AS n INTO mart_g FROM #a")).nonEmpty)
+    // CREATE TABLE #t (cols) compiles the T-SQL DDL to a schema-true
+    // empty frame; INSERT VALUES then loads it
+    val w5 = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]()
+    assert(mkExec(w5)(task(
+      "CREATE TABLE #stage (k INT, nm NVARCHAR(50), amt DECIMAL(12,2)); " +
+        "INSERT INTO #stage (k, nm, amt) VALUES (1, 'a', 10.50), (2, 'b', 20.25); " +
+        "SELECT k, nm, amt INTO mart_c FROM #stage")).nonEmpty)
+    val mc = w5("mart_c")
+    assert(mc.schema("k").dataType.typeName === "integer")
+    assert(mc.schema("amt").dataType.typeName === "decimal(12,2)")
+    assert(mc.count() === 2L)
+    // DDL with constraints / unmapped types declines the whole script
+    assert(mkExec(scala.collection.mutable.Map.empty)(task(
+      "CREATE TABLE #p (k INT PRIMARY KEY); " +
+        "SELECT COUNT(*) AS n INTO mart_p FROM #p")).isEmpty)
+    // ##global temps are cross-session state: decline
+    assert(mkExec(scala.collection.mutable.Map.empty)(task(
+      "SELECT id INTO ##g FROM src_tt; SELECT id INTO mart_gg FROM ##g")).isEmpty)
+    // a #temp OUTSIDE a script (single statement) declines — temp state
+    // never crosses task boundaries
+    assert(mkExec(scala.collection.mutable.Map.empty)(
+      task("SELECT id INTO #solo FROM src_tt")).isEmpty)
+    // '#' inside a string literal is data, not a temp reference
+    val w6 = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame](
+      "n7" -> Seq((1L, "x")).toDF("id", "note"))
+    val lit6 = mkExec(w6)(task(
+      "UPDATE n7 SET note = 'see #backlog item'; DELETE FROM n7 WHERE id < 0"))
+    assert(lit6.nonEmpty, "literal '#' was treated as a temp reference")
+    assert(w6("n7").select("note").as[String].head() === "see #backlog item")
+  }
+
+  test("ScriptedSqlExecutor: @@ROWCOUNT substitutes the prior statement's fact") {
+    import spark.implicits._
+    def mkExec(written: scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]) =
+      graft.patterns.ScriptedSqlExecutor.executor(spark,
+        resolveFrame = n => written.getOrElse(n, spark.table(n)),
+        bareName = identity,
+        commit = (k, v) => written(k) = v)
+    def task(sql: String) = graft.ir.Ir.ExecuteSqlTask("s", None, "conn", sql)
+    // UPDATE → log: the logged number is the rows the predicate matched
+    val w1 = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame](
+      "acct_rc" -> Seq((1L, 5.0), (2L, 50.0), (3L, 500.0)).toDF("id", "v"))
+    assert(mkExec(w1)(task(
+      "UPDATE acct_rc SET v = 0 WHERE v >= 50; " +
+        "INSERT INTO audit_rc (task_name, n) VALUES ('upd', @@ROWCOUNT)")).nonEmpty)
+    assert(w1("audit_rc").as[(String, Int)].head() === ("upd", 2))
+    // DELETE → log: the deleted-row count
+    val w2 = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame](
+      "acct_rc2" -> Seq((1L, 5.0), (2L, 50.0), (3L, 500.0)).toDF("id", "v"))
+    assert(mkExec(w2)(task(
+      "DELETE FROM acct_rc2 WHERE v < 50; " +
+        "INSERT INTO audit_rc2 (task_name, n) VALUES ('del', @@ROWCOUNT)")).nonEmpty)
+    assert(w2("audit_rc2").as[(String, Int)].head() === ("del", 1))
+    assert(w2("acct_rc2").count() === 2L)
+    // INSERT…VALUES → log: the literal row count, no action needed
+    val w3 = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]()
+    assert(mkExec(w3)(task(
+      "INSERT INTO seed_rc (k) VALUES (1), (2), (3); " +
+        "INSERT INTO audit_rc3 (task_name, n) VALUES ('ins', @@ROWCOUNT)")).nonEmpty)
+    assert(w3("audit_rc3").as[(String, Int)].head() === ("ins", 3))
+    // a read with NO countable predecessor declines (script start)
+    assert(mkExec(scala.collection.mutable.Map.empty)(task(
+      "INSERT INTO a_rc (k, n) VALUES (1, @@ROWCOUNT); DELETE FROM a_rc")).isEmpty)
+    // every other @@var is unproducible state: decline
+    val w5 = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame](
+      "acct_rc5" -> Seq((1L, 5.0)).toDF("id", "v"))
+    assert(mkExec(w5)(task(
+      "UPDATE acct_rc5 SET v = 0; " +
+        "INSERT INTO a5 (k, n) VALUES (1, @@IDENTITY)")).isEmpty)
+    assert(w5("acct_rc5").as[(Long, Double)].head()._2 === 5.0,
+      "declined script committed state")
+    // '@@ROWCOUNT' inside a string literal is data, not a read
+    val w6 = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame](
+      "n_rc" -> Seq((1L, "x")).toDF("id", "note"))
+    assert(mkExec(w6)(task(
+      "UPDATE n_rc SET note = 'logs @@ROWCOUNT verbatim'; " +
+        "DELETE FROM n_rc WHERE id < 0")).nonEmpty)
+    assert(w6("n_rc").select("note").as[String].head()
+      === "logs @@ROWCOUNT verbatim")
+    // two reads in ONE statement see one consistent number
+    val w7 = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame](
+      "acct_rc7" -> Seq((1L, 5.0), (2L, 50.0)).toDF("id", "v"))
+    assert(mkExec(w7)(task(
+      "UPDATE acct_rc7 SET v = 0 WHERE v >= 5; " +
+        "INSERT INTO a7 (a, b) VALUES (@@ROWCOUNT, @@ROWCOUNT)")).nonEmpty)
+    assert(w7("a7").as[(Int, Int)].head() === ((2, 2)))
+  }
+
   test("q89 rerun purity: a second run in the same session rebuilds from scratch") {
     // run-1's temp views must not leak into run-2's spark.table fallback
     // (a bootstrap INSERT would silently become an append onto run-1's
