@@ -5270,6 +5270,94 @@ object QueriesTrainingData {
       |       ELSE 'unchanged' END AS status
       |FROM mo FULL OUTER JOIN mn ON mo.shard = mn.shard""".stripMargin
 
+  /** Incremental inverted-index maintenance — x53's df-banded index
+    * updated for a delta batch WITHOUT rebuilding from the corpus: the
+    * x72/x85/x105 incremental-family member for the search-side
+    * artifact. The standing store persists (1) the full df table
+    * (vocab-sized) and (2) postings for banded terms (df ∈ [2, 32]).
+    * A delta arrives (the x72 `doc_id % 10 = 7` convention): ONLY the
+    * delta tokenizes for counting; new df = stored df + delta df (one
+    * vocab-sized full-outer join). Terms still banded keep their stored
+    * postings and append the delta's; terms ENTERING the band (stored
+    * df < 2) backfill their ≤ 1 corpus posting through a BROADCAST of
+    * the entering-term set — a targeted probe, never a corpus rebuild
+    * (a production store persists a forward index and skips even that);
+    * terms leaving the band (new df > 32) drop. The oracle is x53's
+    * FULL REBUILD over corpus ∪ delta — the gate certifies incremental
+    * maintenance loses nothing, exactly the x85 append contract.
+    *
+    * Scale shape: per-batch work = delta tokenize + vocab-sized df
+    * merge + term-keyed joins bounded at 32 rows/term; the stored-side
+    * frames are cache()d here because this gate MATERIALIZES the store
+    * in-query (three consumers), then released (x06 lifecycle rule). */
+  def x106_incremental_index(spark: SparkSession, dir: String): DataFrame = {
+    val (updated, caches) = incrementalIndexUpdate(spark, dir)
+    val res = updated.localCheckpoint(true)
+    caches.foreach(_.unpersist())
+    res
+  }
+
+  /** The un-checkpointed x106 (updated-index frame + the staged store
+    * caches it holds), exposed so PlanShapeSpec can pin the broadcast
+    * backfill probe that `localCheckpoint` erases from the public
+    * query's plan (the q79/x72 pattern). */
+  private[graft] def incrementalIndexUpdate(spark: SparkSession,
+      dir: String): (DataFrame, Seq[DataFrame]) = {
+    val docs = documents(spark, dir).select(col("doc_id"), col("text"))
+    val isDelta = pmod(col("doc_id"), lit(10L)) === 7
+    def termsOf(d: DataFrame): DataFrame = d.select(col("doc_id"),
+      explode(array_distinct(
+        TextOps.ngrams(TextOps.tokens(col("text")), 2))).as("term"))
+    // the persisted store: (doc_id, term) forward rows for the standing
+    // corpus — staged once, three consumers (df table, stored postings,
+    // entering-term backfill)
+    val corpusTerms = termsOf(docs.filter(!isDelta)).cache()
+    val deltaTerms = termsOf(docs.filter(isDelta)).cache()
+    val dfC = corpusTerms.groupBy(col("term")).agg(count(lit(1)).as("df_c"))
+    val dfD = deltaTerms.groupBy(col("term")).agg(count(lit(1)).as("df_d"))
+    val dfNew = dfC.join(dfD, Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("df_c"), lit(0L)) + coalesce(col("df_d"), lit(0L)))
+          .as("df"),
+        coalesce(col("df_c"), lit(0L)).as("df_c"))
+      .filter(col("df") >= 2 && col("df") <= 32)
+    // stored postings stay valid for terms banded BEFORE the delta
+    // (df_c ∈ [2, 32] — the ≤ 32 half is implied by df_c ≤ df ≤ 32)
+    val keptTerms = dfNew.filter(col("df_c") >= 2).select(col("term"))
+    // terms entering the band carry ≤ 1 unstored corpus posting each:
+    // the term set is small by construction — broadcast it into the
+    // forward index, a targeted backfill probe
+    val enteringTerms = dfNew.filter(col("df_c") < 2).select(col("term"))
+    val rows = corpusTerms.join(keptTerms, Seq("term"))
+      .unionByName(corpusTerms.join(broadcast(enteringTerms), Seq("term")))
+      .unionByName(deltaTerms.join(dfNew.select(col("term")), Seq("term")))
+    val updated = rows.groupBy(col("term"))
+      .agg(concat_ws(",",
+        transform(sort_array(collect_list(col("doc_id"))),
+          d => d.cast(StringType))).as("postings"))
+      .join(dfNew.select(col("term"), col("df")), Seq("term"))
+      .select(col("term"), col("df"), col("postings"))
+    (updated, Seq(corpusTerms, deltaTerms))
+  }
+
+  /** Full rebuild over corpus ∪ delta = ALL documents — x53's oracle
+    * verbatim: the incremental path must reproduce it bit-for-bit. */
+  val x106Oracle: String =
+    """WITH ws AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      |t AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(generate_series(1, len(w) - 1),
+      |      i -> w[i] || ' ' || w[i + 1])) AS term
+      |  FROM ws),
+      |rare AS (
+      |  SELECT term, COUNT(*) AS df FROM t GROUP BY term
+      |  HAVING COUNT(*) BETWEEN 2 AND 32)
+      |SELECT t.term, rare.df,
+      |  array_to_string(list_sort(list(t.doc_id)), ',') AS postings
+      |FROM t JOIN rare ON t.term = rare.term
+      |GROUP BY t.term, rare.df""".stripMargin
+
   /** URL takedown sweep — corpus governance at the canonical-URL key
     * (the DMCA/robots-retroactive case): a takedown list of canonical
     * URLs (here: every URL whose source id ≡ 0 mod 7 — a deterministic
@@ -5506,6 +5594,7 @@ object QueriesTrainingData {
     "x103_cross_source_neardup" -> (x103_cross_source_neardup _),
     "x104_embedding_health" -> (x104_embedding_health _),
     "x105_manifest_diff" -> (x105_manifest_diff _),
+    "x106_incremental_index" -> (x106_incremental_index _),
     "x80_vision_token_budget" -> (x80_vision_token_budget _),
     "x79_url_takedown" -> (x79_url_takedown _),
     "x78_tokenizer_fertility" -> (x78_tokenizer_fertility _),
@@ -5612,6 +5701,7 @@ object QueriesTrainingData {
     "x103_cross_source_neardup" -> x103Oracle,
     "x104_embedding_health" -> x104Oracle,
     "x105_manifest_diff" -> x105Oracle,
+    "x106_incremental_index" -> x106Oracle,
     "x80_vision_token_budget" -> x80Oracle,
     "x79_url_takedown" -> x79Oracle,
     "x78_tokenizer_fertility" -> x78Oracle,

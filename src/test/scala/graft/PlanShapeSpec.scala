@@ -893,6 +893,30 @@ class PlanShapeSpec extends AnyFunSuite {
       "the per-delta verdict rollup must map-side combine")
   }
 
+  test("x106: entering-term backfill probes the store via BROADCAST; no cartesian") {
+    // pin the un-checkpointed update frame — localCheckpoint erases the
+    // probe shape from the public query's plan (the q79/x72 pattern)
+    val (updated, caches) = QueriesTrainingData
+      .incrementalIndexUpdate(spark, sf)
+    val plan = updated.queryExecution.executedPlan.toString
+    caches.foreach(_.unpersist())
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "index maintenance must stay equi-joined")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"),
+      "the entering-term set must ride a broadcast into the forward index")
+    assert(plan.contains("partial_count"),
+      "df tables must map-side combine")
+    // the incremental result must EQUAL x53's full rebuild (the oracle
+    // certifies it against DuckDB; this pins it in-engine too)
+    val inc = QueriesTrainingData.x106_incremental_index(spark, sf)
+      .orderBy("term").collect().map(_.toSeq).toList
+    val full = QueriesTrainingData.x53_inverted_index(spark, sf)
+      .orderBy("term").collect().map(_.toSeq).toList
+    assert(inc === full, "incremental index drifted from the full rebuild")
+  }
+
   test("x71: quantization happens once per row, before the pair fan-out") {
     val plan = SparkEntry.queries("x71_hard_negatives")(spark, sf)
       .queryExecution.optimizedPlan.toString
