@@ -1663,6 +1663,31 @@ object QueriesRelational {
       |  (SELECT COUNT(*) FROM staged WHERE p > 300000) AS n_flagged,
       |  (SELECT COUNT(*) FROM staged) AS n_total""".stripMargin
 
+  /** T-SQL counter `WHILE` loop through the dtsx frontend —
+    * `WhileLoopBackfillETL.dtsx` (q103): the month-at-a-time
+    * batch-backfill idiom (`WHILE @m <= 3 … INSERT … WHERE MONTH(d) =
+    * @m; SET @m = @m + 1`). [[graft.patterns.WhileLoopSqlCompiler]]
+    * driver-evaluates the control flow (FROM-less arithmetic only — a
+    * data-dependent loop stays manual review) and macro-expands the
+    * body into a flat statement list that executes through
+    * [[graft.patterns.ScriptedSqlExecutor]]'s overlay, composing with
+    * #temp/@@ROWCOUNT; an over-[[graft.patterns.WhileLoopSqlCompiler.MaxIterations]]
+    * loop declines rather than exploding the plan. Scale shape: each
+    * iteration's INSERT…SELECT is one lazy Catalyst plan unioned into
+    * the overlay — the loop costs |iterations| plan builds, the data
+    * one job at commit. */
+  def q103_dtsx_while_loop(spark: SparkSession, dir: String): DataFrame =
+    runDtsxWarehousePackage(spark, dir, "WhileLoopBackfillETL.dtsx")
+      ._1.apply("q1_orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("month_no").cast(IntegerType).as("month_no"))
+
+  val q103Oracle: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(MONTH(o_orderdate) AS INT) AS month_no
+      |FROM orders
+      |WHERE YEAR(o_orderdate) = 1997 AND MONTH(o_orderdate) <= 3""".stripMargin
+
   /** Explicit GROUPING SETS with grouping_id disambiguation (beyond q24's
     * rollup): two chosen aggregation levels, no intermediate level. */
   def q39_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
@@ -3031,6 +3056,7 @@ object QueriesRelational {
     "q100_dtsx_reference_composite" -> (q100_dtsx_reference_composite _),
     "q101_dtsx_temp_table" -> (q101_dtsx_temp_table _),
     "q102_dtsx_rowcount_audit" -> (q102_dtsx_rowcount_audit _),
+    "q103_dtsx_while_loop" -> (q103_dtsx_while_loop _),
     "q82_orc_roundtrip" -> (q82_orc_roundtrip _),
     "q80_dtsx_cdc_merge" -> (q80_dtsx_cdc_merge _),
     "q79_delete_cascade" -> (q79_delete_cascade _),
@@ -3126,6 +3152,7 @@ object QueriesRelational {
     "q100_dtsx_reference_composite" -> q100Oracle,
     "q101_dtsx_temp_table" -> q101Oracle,
     "q102_dtsx_rowcount_audit" -> q102Oracle,
+    "q103_dtsx_while_loop" -> q103Oracle,
     "q82_orc_roundtrip" -> q82Oracle,
     "q80_dtsx_cdc_merge" -> q80Oracle,
     "q79_delete_cascade" -> q79Oracle,

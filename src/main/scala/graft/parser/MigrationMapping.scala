@@ -175,6 +175,12 @@ object MigrationMapping {
         Some("canonical MERGE executes (patterns/MergeSqlCompiler — one " +
           "full-outer-join state replacement with the fused 8672 guard); " +
           "dataflow SCD2 via patterns/ScdType2.merge"), Nil, signals)
+    else if (graft.patterns.WhileLoopSqlCompiler.shapeMatches(sql))
+      TaskMapping(t.name, "ExecuteSQLTask", "converted", None,
+        Some("counter WHILE loop unrolls (patterns/WhileLoopSqlCompiler " +
+          "— driver-evaluated control flow, body statements execute " +
+          "through the script overlay; data-dependent loops stay " +
+          "manual review)"), Nil, signals)
     else if (graft.patterns.ScriptedSqlExecutor.scriptFeatures(sql).isDefined)
       TaskMapping(t.name, "ExecuteSQLTask", "converted", None,
         Some("sequential shadow-overlay script (patterns/" +

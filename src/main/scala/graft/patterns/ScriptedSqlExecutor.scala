@@ -407,7 +407,15 @@ object ScriptedSqlExecutor {
       if (guard.isDefined) guard
       else if (rollbackRe.findFirstIn(UpdateSqlCompiler.masked(text)).isDefined)
         None // conditional undo is control flow — manual review
-      else {
+      else WhileLoopSqlCompiler.unroll(spark, text) match {
+        // a counter WHILE loop is a WHOLE-text shape too: the driver
+        // evaluates its control flow, the emitted body statements run
+        // through the script overlay like any hand-written batch (so
+        // #temp / @@ROWCOUNT compose); predicate false at entry =
+        // vacuous success, T-SQL skips the body
+        case Some(Nil) => Some(SqlOutcome(None, None))
+        case Some(unrolled) => script(bound, unrolled)
+        case None =>
         // GO batch separators split exactly like ';' — a batch boundary
         // is always a statement boundary
         val stmts0 = SqlText.splitBatches(text)

@@ -1057,6 +1057,71 @@ class PipelineSpec extends AnyFunSuite {
     assert(w7("a7").as[(Int, Int)].head() === ((2, 2)))
   }
 
+  test("WhileLoopSqlCompiler: counter loops unroll, data-dependent loops decline") {
+    import spark.implicits._
+    def mkExec(written: scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]) =
+      graft.patterns.ScriptedSqlExecutor.executor(spark,
+        resolveFrame = n => written.getOrElse(n, spark.table(n)),
+        bareName = identity,
+        commit = (k, v) => written(k) = v)
+    def task(sql: String) = graft.ir.Ir.ExecuteSqlTask("s", None, "conn", sql)
+    // counter loop: body emits once per iteration with @i bound
+    val w1 = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]()
+    assert(mkExec(w1)(task(
+      "DECLARE @i INT = 1; WHILE @i <= 3 BEGIN " +
+        "INSERT INTO loop_t (k, v) VALUES (@i, @i * 10); " +
+        "SET @i = @i + 1; END")).nonEmpty)
+    assert(w1("loop_t").orderBy("k").as[(Int, Int)].collect().toList
+      === List((1, 10), (2, 20), (3, 30)))
+    // predicate false at entry: vacuous success, nothing written
+    val w2 = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]()
+    val skip = mkExec(w2)(task(
+      "DECLARE @i INT = 9; WHILE @i < 3 BEGIN " +
+        "INSERT INTO loop_s (k) VALUES (@i); SET @i = @i + 1; END"))
+    assert(skip.exists(o => o.df.isEmpty && o.target.isEmpty) && w2.isEmpty)
+    // the loop composes with @@ROWCOUNT inside its body
+    val w3 = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]()
+    assert(mkExec(w3)(task(
+      "DECLARE @i INT = 1; WHILE @i <= 2 BEGIN " +
+        "INSERT INTO batch_t (k) VALUES (@i), (@i); " +
+        "INSERT INTO audit_wl (it, n) VALUES (@i, @@ROWCOUNT); " +
+        "SET @i = @i + 1; END")).nonEmpty)
+    assert(w3("audit_wl").orderBy("it").as[(Int, Int)].collect().toList
+      === List((1, 2), (2, 2)))
+    // declines, all-or-nothing: data-dependent predicate (FROM/EXISTS),
+    // @@ROWCOUNT in control, undeclared vars, missing SET, nested BEGIN,
+    // over-cap loops
+    def declines(sql: String, clue: String): Unit =
+      assert(mkExec(scala.collection.mutable.Map.empty)(task(sql)).isEmpty, clue)
+    declines("DECLARE @i INT = 1; WHILE @i <= (SELECT COUNT(*) FROM loop_t) " +
+      "BEGIN INSERT INTO t1 (k) VALUES (@i); SET @i = @i + 1; END",
+      "data-dependent predicate must decline")
+    declines("DECLARE @i INT = 1; WHILE @@ROWCOUNT > 0 " +
+      "BEGIN INSERT INTO t2 (k) VALUES (@i); SET @i = @i + 1; END",
+      "@@ROWCOUNT-driven loop must decline")
+    declines("DECLARE @i INT = 1; WHILE @i <= 2 " +
+      "BEGIN INSERT INTO t3 (k) VALUES (@j); SET @i = @i + 1; END",
+      "undeclared body variable must decline")
+    declines("DECLARE @i INT = 1; WHILE @i <= 2 " +
+      "BEGIN INSERT INTO t4 (k) VALUES (@i); END",
+      "a body with no SET never terminates — decline")
+    declines("DECLARE @i INT = 1; WHILE @i <= 2 BEGIN " +
+      "WHILE @i <= 1 BEGIN SET @i = @i + 1; END " +
+      "INSERT INTO t5 (k) VALUES (@i); SET @i = @i + 1; END",
+      "nested control flow must decline")
+    declines("DECLARE @i INT = 1; WHILE @i <= 100000 " +
+      "BEGIN INSERT INTO t6 (k) VALUES (@i); SET @i = @i + 1; END",
+      "an over-cap loop declines instead of exploding the plan")
+    // 'WHILE' / 'BEGIN' inside a string literal is data, not a loop
+    val w4 = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame](
+      "n_wl" -> Seq((1L, "x")).toDF("id", "note"))
+    val lit4 = mkExec(w4)(task(
+      "UPDATE n_wl SET note = 'while begin end loop'"))
+    assert(lit4.nonEmpty, "literal WHILE/BEGIN was parsed as a loop")
+    assert(lit4.get.df.get.select("note").as[String].head()
+      === "while begin end loop")
+  }
+
   test("q89 rerun purity: a second run in the same session rebuilds from scratch") {
     // run-1's temp views must not leak into run-2's spark.table fallback
     // (a bootstrap INSERT would silently become an append onto run-1's
