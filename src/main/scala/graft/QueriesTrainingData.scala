@@ -5358,6 +5358,115 @@ object QueriesTrainingData {
       |FROM t JOIN rare ON t.term = rare.term
       |GROUP BY t.term, rare.df""".stripMargin
 
+  /** BM25-weighted sparse retrieval — the scored top-k lookup a
+    * curation pipeline runs over x53/x106's index plane (retrieval-
+    * based decontamination, nearest-neighbor text probes, eval-set
+    * mining; Robertson & Zaragoza 2009). Four probe terms pick
+    * themselves deterministically (df ∈ [8, 32], heaviest df first —
+    * the discriminative band, so CANDIDATE VOLUME IS BOUNDED AT df ≤ 32
+    * PER QUERY by construction); each candidate scores with the full
+    * BM25 per-term machinery (k1 = 1.2, b = 0.75): the rational idf
+    * odds ((N − df + 0.5)/(df + 0.5)) × tf saturation with length
+    * normalization — NO libm log anywhere, and NO decimal cast either:
+    * the score is a chain of IEEE +×/ ops with evaluation order pinned
+    * by parens, never SUMMED across rows, so the raw double is already
+    * bit-reproducible in both engines (x94's decimal convention exists
+    * for order-blind SUMS; a double→DECIMAL(p,14) cast here would
+    * DIVERGE — DuckDB rounds via value×10¹⁴ in IEEE, Spark converts
+    * exactly, and they disagree at grid boundaries — observed on 3/40
+    * rows before this was dropped). Ranking orders by (score, doc_id).
+    *
+    * Scale shape: ONE corpus tokenize builds the (doc, term, tf) table
+    * (the positional-free index a store persists — cached here, three
+    * consumers: df table, doc lengths, probe); query terms ride a
+    * BROADCAST into it; the ranking window runs over ≤ |queries| × 32
+    * candidate rows — tiny at any corpus size, the df band is the
+    * contract (x53's reasoning on the scoring plane). */
+  def x107_sparse_retrieval(spark: SparkSession, dir: String): DataFrame = {
+    val (ranked, caches) = sparseRetrievalRanked(spark, dir)
+    val res = ranked.localCheckpoint(true)
+    caches.foreach(_.unpersist())
+    res
+  }
+
+  /** The un-checkpointed x107 (ranked frame + the tf-table cache),
+    * exposed for PlanShapeSpec's broadcast/TakeOrdered pins. */
+  private[graft] def sparseRetrievalRanked(spark: SparkSession,
+      dir: String): (DataFrame, Seq[DataFrame]) = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = documents(spark, dir)
+      .select(col("doc_id"),
+        explode(TextOps.ngrams(TextOps.tokens(col("text")), 2)).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .cache()
+    val dfx = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // deterministic probe set: heaviest discriminative terms — a
+    // TakeOrdered over the vocab-sized df table (the x65 pattern)
+    val q = dfx.filter(col("df") >= 8 && col("df") <= 32)
+      .orderBy(col("df").desc, col("term")).limit(4)
+      .select(col("term"), col("df"))
+    val lens = tf.groupBy(col("doc_id"))
+      .agg((lit(1L) + sum(col("tf"))).as("len"))
+    val stats = lens.agg(count(lit(1)).as("nd"),
+      (sum(col("len")).cast(DoubleType) / count(lit(1))).as("avgdl"))
+    val idf = ((col("nd").cast(DoubleType) - col("df").cast(DoubleType))
+      + lit(0.5)) / (col("df").cast(DoubleType) + lit(0.5))
+    val sat = (col("tf").cast(DoubleType) * lit(2.2)) /
+      (col("tf").cast(DoubleType) + lit(1.2) *
+        (lit(0.25) + lit(0.75) * (col("len").cast(DoubleType) / col("avgdl"))))
+    val cand = tf.join(broadcast(q.withColumnRenamed("term", "query_term")),
+        col("term") === col("query_term"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("w", idf * sat)
+    val ranked = cand
+      // ≤ 4 partitions × ≤ 32 candidates — the window frame is bounded
+      // by the df band at ANY corpus size, so the raw window is safe
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("query_term"))
+        .orderBy(col("w").desc, col("doc_id"))))
+      .filter(col("rnk") <= 10)
+      .select(col("query_term"), col("rnk").cast(IntegerType).as("rnk"),
+        col("doc_id"), col("w").as("score"))
+    (ranked, Seq(tf))
+  }
+
+  val x107Oracle: String =
+    """WITH ws AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      |t AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+      |    i -> w[i] || ' ' || w[i + 1])) AS term
+      |  FROM ws),
+      |tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
+      |dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |q AS (
+      |  SELECT term AS query_term, df FROM dfx
+      |  WHERE df BETWEEN 8 AND 32 ORDER BY df DESC, term LIMIT 4),
+      |lens AS (SELECT doc_id, 1 + SUM(tf) AS len FROM tf GROUP BY doc_id),
+      |stats AS (
+      |  SELECT COUNT(*) AS nd,
+      |    CAST(SUM(len) AS DOUBLE) / COUNT(*) AS avgdl
+      |  FROM lens),
+      |cand AS (
+      |  SELECT q.query_term, tf.doc_id,
+      |    (((CAST(nd AS DOUBLE) - CAST(q.df AS DOUBLE)) + 0.5)
+      |        / (CAST(q.df AS DOUBLE) + 0.5))
+      |      * ((CAST(tf AS DOUBLE) * 2.2)
+      |        / (CAST(tf AS DOUBLE) + 1.2
+      |          * (0.25 + 0.75 * (CAST(len AS DOUBLE) / avgdl)))) AS w
+      |  FROM tf JOIN q ON tf.term = q.query_term
+      |  JOIN lens ON tf.doc_id = lens.doc_id
+      |  CROSS JOIN stats)
+      |SELECT query_term, CAST(rnk AS INT) AS rnk, doc_id, w AS score
+      |FROM (
+      |  SELECT query_term, doc_id, w,
+      |    ROW_NUMBER() OVER (PARTITION BY query_term
+      |      ORDER BY w DESC, doc_id) AS rnk
+      |  FROM cand)
+      |WHERE rnk <= 10""".stripMargin
+
   /** URL takedown sweep — corpus governance at the canonical-URL key
     * (the DMCA/robots-retroactive case): a takedown list of canonical
     * URLs (here: every URL whose source id ≡ 0 mod 7 — a deterministic
@@ -5595,6 +5704,7 @@ object QueriesTrainingData {
     "x104_embedding_health" -> (x104_embedding_health _),
     "x105_manifest_diff" -> (x105_manifest_diff _),
     "x106_incremental_index" -> (x106_incremental_index _),
+    "x107_sparse_retrieval" -> (x107_sparse_retrieval _),
     "x80_vision_token_budget" -> (x80_vision_token_budget _),
     "x79_url_takedown" -> (x79_url_takedown _),
     "x78_tokenizer_fertility" -> (x78_tokenizer_fertility _),
@@ -5702,6 +5812,7 @@ object QueriesTrainingData {
     "x104_embedding_health" -> x104Oracle,
     "x105_manifest_diff" -> x105Oracle,
     "x106_incremental_index" -> x106Oracle,
+    "x107_sparse_retrieval" -> x107Oracle,
     "x80_vision_token_budget" -> x80Oracle,
     "x79_url_takedown" -> x79Oracle,
     "x78_tokenizer_fertility" -> x78Oracle,

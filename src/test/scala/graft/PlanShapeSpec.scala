@@ -917,6 +917,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(inc === full, "incremental index drifted from the full rebuild")
   }
 
+  test("x107: probe terms TakeOrdered + broadcast; candidates stay df-bounded") {
+    val (ranked, caches) = QueriesTrainingData.sparseRetrievalRanked(spark, sf)
+    val plan = ranked.queryExecution.executedPlan.toString
+    val nCand = ranked.count() // ≤ 4 queries × 10 ranks by construction
+    caches.foreach(_.unpersist())
+    assert(nCand <= 40, s"rank output overflowed the df-band bound: $nCand")
+    assert(plan.contains("TakeOrdered"),
+      "probe-term selection must be a TakeOrdered over the df table")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "query terms must ride a broadcast into the tf table")
+    assert(!plan.contains("CartesianProduct"),
+      "only the 1-row stats frame may cross-join (broadcast)")
+    assert(plan.contains("partial_count"),
+      "tf/df tables must map-side combine")
+  }
+
   test("x71: quantization happens once per row, before the pair fan-out") {
     val plan = SparkEntry.queries("x71_hard_negatives")(spark, sf)
       .queryExecution.optimizedPlan.toString
