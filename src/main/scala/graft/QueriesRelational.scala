@@ -1688,6 +1688,28 @@ object QueriesRelational {
       |FROM orders
       |WHERE YEAR(o_orderdate) = 1997 AND MONTH(o_orderdate) <= 3""".stripMargin
 
+  /** T-SQL `CONVERT(type, expr, style)` through the dtsx frontend —
+    * `ConvertStyleETL.dtsx` (q104): the date-keyed mart projection
+    * real estates write with CONVERT style codes (112 = yyyymmdd
+    * surrogate day keys, 23 = ISO date; nested CONVERTs). [[graft
+    * .patterns.SqlText.translateConvert]] rewrites char-target +
+    * date-style calls to `date_format` and everything else to `CAST`,
+    * innermost-first; unknown styles/types stay in place and fail
+    * loudly. Scale shape: pure narrow projection over the pruned
+    * scan — translation is compile-time text work, zero plan cost. */
+  def q104_dtsx_convert_style(spark: SparkSession, dir: String): DataFrame =
+    runDtsxWarehousePackage(spark, dir, "ConvertStyleETL.dtsx")
+      ._1.apply("orders_keyed")
+      .select(col("o_orderkey"), col("day_key"), col("day_iso"),
+        col("price").cast(DoubleType).as("price"))
+
+  val q104Oracle: String =
+    """SELECT o_orderkey,
+      |  strftime(o_orderdate, '%Y%m%d') AS day_key,
+      |  strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day_iso,
+      |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+      |FROM orders WHERE o_orderkey % 5 = 0""".stripMargin
+
   /** Explicit GROUPING SETS with grouping_id disambiguation (beyond q24's
     * rollup): two chosen aggregation levels, no intermediate level. */
   def q39_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
@@ -3057,6 +3079,7 @@ object QueriesRelational {
     "q101_dtsx_temp_table" -> (q101_dtsx_temp_table _),
     "q102_dtsx_rowcount_audit" -> (q102_dtsx_rowcount_audit _),
     "q103_dtsx_while_loop" -> (q103_dtsx_while_loop _),
+    "q104_dtsx_convert_style" -> (q104_dtsx_convert_style _),
     "q82_orc_roundtrip" -> (q82_orc_roundtrip _),
     "q80_dtsx_cdc_merge" -> (q80_dtsx_cdc_merge _),
     "q79_delete_cascade" -> (q79_delete_cascade _),
@@ -3153,6 +3176,7 @@ object QueriesRelational {
     "q101_dtsx_temp_table" -> q101Oracle,
     "q102_dtsx_rowcount_audit" -> q102Oracle,
     "q103_dtsx_while_loop" -> q103Oracle,
+    "q104_dtsx_convert_style" -> q104Oracle,
     "q82_orc_roundtrip" -> q82Oracle,
     "q80_dtsx_cdc_merge" -> q80Oracle,
     "q79_delete_cascade" -> q79Oracle,

@@ -141,9 +141,10 @@ object ScriptedSqlExecutor {
     ("(?is)^\\s*create\\s+table\\s+(" + TempPrefix +
       "\\w+)\\s*\\((.*)\\)\\s*;?\\s*$").r
 
-  /** T-SQL column type → Spark SQL type for the temp-DDL compile; None
+  /** T-SQL column type → Spark SQL type for the temp-DDL compile and
+    * the CONVERT translation ([[SqlText.translateConvert]]); None
     * declines the script (constraints, IDENTITY, computed columns…). */
-  private def sparkDdlType(t: String): Option[String] = {
+  private[patterns] def sparkDdlType(t: String): Option[String] = {
     val m = "(?i)^([a-z0-9_]+)\\s*(?:\\(\\s*(\\d+|max)\\s*(?:,\\s*(\\d+)\\s*)?\\))?$"
       .r.findFirstMatchIn(t.trim).getOrElse(return None)
     val args = (Option(m.group(2)), Option(m.group(3)))

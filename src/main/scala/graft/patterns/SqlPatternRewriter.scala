@@ -67,11 +67,14 @@ object SqlPatternRewriter {
 
   /** Execute a rewritten SELECT — through the scale-safe rank lowering
     * when it is the single-ROW_NUMBER analytic shape
-    * ([[WindowSqlLowering]]), raw `spark.sql` otherwise. TOP translates
-    * first (the lowering declines LIMIT shapes by design, so a TOP'd
-    * select always takes the raw path). */
+    * ([[WindowSqlLowering]]), raw `spark.sql` otherwise. The T-SQL
+    * surface translates first: TOP → LIMIT (the lowering declines
+    * LIMIT shapes by design, so a TOP'd select always takes the raw
+    * path), CONVERT → CAST/date_format, GETDATE → current_timestamp
+    * ([[SqlText.translateConvert]]/[[SqlText.translateGetdate]]). */
   private[patterns] def runSelect(spark: SparkSession, select: String): DataFrame = {
-    val s = translateTop(select)
+    val s = SqlText.translateGetdate(
+      SqlText.translateConvert(translateTop(select)))
     WindowSqlLowering.lower(spark, s).getOrElse(spark.sql(s))
   }
 

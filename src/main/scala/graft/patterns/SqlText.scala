@@ -74,6 +74,84 @@ object SqlText {
     out.toList.map(_.trim).filter(_.nonEmpty)
   }
 
+  /** T-SQL `CONVERT(type, expr [, style])` → Spark — the other
+    * cast-spelling half of real estates' SQL beside `CAST` (the
+    * reference's LLM expression-mapper lists CONVERT in its contract,
+    * ssis-to-dbt `src/agents/llm/prompts.py`). Char targets with a
+    * DATE STYLE code translate to `date_format(expr, fmt)` for the
+    * styles below; everything else becomes `CAST(expr AS sparkType)`
+    * (T-SQL ignores styles on non-char targets). Nested CONVERTs
+    * translate innermost-first; an unmapped type or unknown style is
+    * LEFT IN PLACE so `spark.sql` fails loudly rather than guessing a
+    * format (the TOP-in-subquery precedent). Scans run on the masked
+    * twin — 'CONVERT(...)' inside a string literal is data. */
+  private val convertHeadRe = "(?i)\\bconvert\\s*\\(".r
+  private val charTypeRe = "(?i)^\\s*n?(?:var)?char\\b".r
+  private val dateStyleFmt: Map[Int, String] = Map(
+    1 -> "MM/dd/yy", 101 -> "MM/dd/yyyy",
+    3 -> "dd/MM/yy", 103 -> "dd/MM/yyyy",
+    4 -> "dd.MM.yy", 104 -> "dd.MM.yyyy",
+    12 -> "yyMMdd", 112 -> "yyyyMMdd",
+    23 -> "yyyy-MM-dd",
+    120 -> "yyyy-MM-dd HH:mm:ss",
+    121 -> "yyyy-MM-dd HH:mm:ss.SSS",
+    126 -> "yyyy-MM-dd'T'HH:mm:ss")
+
+  def translateConvert(sql: String): String = {
+    var cur = sql
+    var rounds = 0
+    while (rounds < 64) { // nesting bound; each round rewrites one call
+      rounds += 1
+      val msk = UpdateSqlCompiler.masked(cur)
+      val heads = convertHeadRe.findAllMatchIn(msk).toList
+      // a LEAF call's argument span contains no other CONVERT head —
+      // walking right-to-left finds one whenever any call is left
+      val rewritten = heads.reverseIterator.map { h =>
+        var depth = 1
+        var i = h.end
+        while (i < msk.length && depth > 0) {
+          val c = msk.charAt(i)
+          if (c == '(') depth += 1 else if (c == ')') depth -= 1
+          i += 1
+        }
+        if (depth != 0) None // unbalanced — leave for spark.sql to reject
+        else {
+          val close = i - 1
+          val inner = cur.substring(h.end, close)
+          if (convertHeadRe.findFirstIn(msk.substring(h.end, close)).isDefined)
+            None // not a leaf this round
+          else MergeSqlCompiler.splitTop(inner).map(_.trim) match {
+            case tpe :: args if args.nonEmpty && args.length <= 2 =>
+              val style = args.lift(1).flatMap(_.trim.toIntOption)
+              val repl =
+                if (charTypeRe.findFirstIn(tpe).isDefined && style.isDefined)
+                  style.flatMap(dateStyleFmt.get)
+                    .map(f => s"date_format(${args.head}, '$f')")
+                else ScriptedSqlExecutor.sparkDdlType(tpe)
+                  .map(t => s"CAST(${args.head} AS $t)")
+              repl.map(r =>
+                cur.substring(0, h.start) + r + cur.substring(close + 1))
+            case _ => None
+          }
+        }
+      }.collectFirst { case Some(next) => next }
+      rewritten match {
+        case Some(next) => cur = next
+        case None => return cur
+      }
+    }
+    cur
+  }
+
+  /** `GETDATE()` → `current_timestamp()` in unquoted segments — the
+    * [[InsertValuesSqlCompiler]] mapping, shared with the SELECT path. */
+  private val getDateRe = "(?i)\\bgetdate\\s*\\(\\s*\\)".r
+  def translateGetdate(sql: String): String =
+    MergeSqlCompiler.segments(sql).map {
+      case (seg, true) => seg
+      case (seg, false) => getDateRe.replaceAllIn(seg, "current_timestamp()")
+    }.mkString
+
   /** Newlines present: strip `--` to end-of-line — but only a `--` OUTSIDE
     * a single-quoted literal starts a comment (`WHERE note <> '--x'` must
     * survive intact). Quote state persists across newlines, so a literal

@@ -104,6 +104,41 @@ class SqlRewriteAndJsonSpec extends AnyFunSuite {
       .select("id").collect().map(_.getLong(0)).toSeq === Seq(1L))
   }
 
+  test("translateConvert: style codes, CAST fallback, nesting, fail-loud leftovers") {
+    import graft.patterns.SqlText.translateConvert
+    // char target + date style → date_format
+    assert(translateConvert("SELECT CONVERT(VARCHAR(8), d, 112) AS k FROM t")
+      === "SELECT date_format(d, 'yyyyMMdd') AS k FROM t")
+    // non-char target → CAST with the type translated
+    assert(translateConvert("SELECT CONVERT(DECIMAL(12,2), p) FROM t")
+      === "SELECT CAST(p AS DECIMAL(12, 2)) FROM t")
+    assert(translateConvert("SELECT CONVERT(DATETIME, s) FROM t")
+      === "SELECT CAST(s AS TIMESTAMP) FROM t")
+    // char target WITHOUT style → plain string cast
+    assert(translateConvert("SELECT CONVERT(NVARCHAR(50), x) FROM t")
+      === "SELECT CAST(x AS STRING) FROM t")
+    // nested: innermost first
+    assert(translateConvert(
+      "SELECT CONVERT(VARCHAR(10), CONVERT(DATE, d), 23) FROM t")
+      === "SELECT date_format(CAST(d AS DATE), 'yyyy-MM-dd') FROM t")
+    // unknown style / unmapped type stay IN PLACE (spark.sql fails loud)
+    assert(translateConvert("SELECT CONVERT(VARCHAR(8), d, 999) FROM t")
+      === "SELECT CONVERT(VARCHAR(8), d, 999) FROM t")
+    assert(translateConvert("SELECT CONVERT(GEOGRAPHY, g) FROM t")
+      === "SELECT CONVERT(GEOGRAPHY, g) FROM t")
+    // ...and an inner translatable call still translates under an
+    // untranslatable outer one
+    assert(translateConvert(
+      "SELECT CONVERT(GEOGRAPHY, CONVERT(VARCHAR(8), d, 112)) FROM t")
+      === "SELECT CONVERT(GEOGRAPHY, date_format(d, 'yyyyMMdd')) FROM t")
+    // a 'CONVERT(' inside a string literal is data
+    val lit = "SELECT 'use CONVERT(VARCHAR, d, 112) here' AS note FROM t"
+    assert(translateConvert(lit) === lit)
+    // expression args with commas inside parens survive splitTop
+    assert(translateConvert("SELECT CONVERT(VARCHAR(8), coalesce(a, b), 112) FROM t")
+      === "SELECT date_format(coalesce(a, b), 'yyyyMMdd') FROM t")
+  }
+
   test("stripComments: '--' inside a string literal never starts a comment") {
     import graft.patterns.SqlText
     // multiline branch: the quoted dashes survive, the real comment strips
