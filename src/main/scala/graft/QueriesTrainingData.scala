@@ -5467,6 +5467,76 @@ object QueriesTrainingData {
       |  FROM cand)
       |WHERE rnk <= 10""".stripMargin
 
+  /** Product-quantization ANN with asymmetric distance (PQ/ADC,
+    * Jégou et al. 2011) — the memory-compression half of a vector
+    * store beside x11's IVF cells: 64-dim vectors store as 32 six-bit
+    * codes (24 bytes, 10.7× compression) and search is a SUM OF TABLE
+    * LOOKUPS per candidate, no per-candidate float math. All
+    * arithmetic is exact integers on the 1e-4 grid, so training
+    * (seeded one-iteration Lloyd — [[graft.sim.PqIndex]] documents the
+    * bounded-rounds convention and the measured config dial), encoding,
+    * and ADC ranking replay in DuckDB.
+    *
+    * Scale shape: codebooks are m × 64 rows broadcast into narrow
+    * passes; the LUT is |queries| × m × 64 broadcast; the exhaustive
+    * ADC scan is the honest PQ cost a deployment bounds by composing
+    * with IVF cell pruning (IVF-PQ). */
+  def x108_pq_ann(spark: SparkSession, dir: String): DataFrame =
+    graft.sim.PqIndex.adcTopK(embeddings(spark, dir), "vec_id", "embedding",
+      queryPred = col("vec_id") < 10, k = 5)
+
+  val x108Oracle: String =
+    """WITH q AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |sub AS (
+      |  SELECT vec_id, s.s AS s, qv[s.s*2+1 : s.s*2+2] AS sv
+      |  FROM q, generate_series(0, 31) s(s)),
+      |seeds AS (
+      |  SELECT vec_id AS cw, s, sv AS cv FROM sub WHERE vec_id < 64),
+      |a1 AS (
+      |  SELECT sub.vec_id, sub.s, sub.sv, seeds.cw,
+      |    list_sum(list_transform(generate_series(1, 2),
+      |      i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))) AS d
+      |  FROM sub JOIN seeds ON sub.s = seeds.s
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+      |    ORDER BY d, seeds.cw) = 1),
+      |cb AS (
+      |  SELECT cw, s, p.p AS p,
+      |    CAST(floor(CAST(SUM(sv[p.p]) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)
+      |      AS cwv
+      |  FROM a1, generate_series(1, 2) p(p)
+      |  GROUP BY cw, s, p),
+      |cbv AS (SELECT cw, s, list(cwv ORDER BY p) AS cv FROM cb GROUP BY cw, s),
+      |dists AS (
+      |  SELECT sub.vec_id, sub.s, cbv.cw,
+      |    list_sum(list_transform(generate_series(1, 2),
+      |      i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))) AS d
+      |  FROM sub JOIN cbv ON sub.s = cbv.s),
+      |codes AS (
+      |  SELECT vec_id, s, cw AS code FROM dists
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, cw) = 1),
+      |lut AS (
+      |  SELECT sub.vec_id AS query_id, sub.s, cbv.cw,
+      |    list_sum(list_transform(generate_series(1, 2),
+      |      i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))) AS qd
+      |  FROM sub JOIN cbv ON sub.s = cbv.s
+      |  WHERE sub.vec_id < 10),
+      |adc AS (
+      |  SELECT l.query_id, c.vec_id AS neighbor_id,
+      |    CAST(SUM(l.qd) AS BIGINT) AS adc_dist
+      |  FROM codes c JOIN lut l ON c.s = l.s AND c.code = l.cw
+      |  WHERE l.query_id <> c.vec_id
+      |  GROUP BY 1, 2)
+      |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, adc_dist
+      |FROM (
+      |  SELECT query_id, neighbor_id, adc_dist,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY adc_dist, neighbor_id) AS rank
+      |  FROM adc)
+      |WHERE rank <= 5""".stripMargin
+
   /** URL takedown sweep — corpus governance at the canonical-URL key
     * (the DMCA/robots-retroactive case): a takedown list of canonical
     * URLs (here: every URL whose source id ≡ 0 mod 7 — a deterministic
@@ -5705,6 +5775,7 @@ object QueriesTrainingData {
     "x105_manifest_diff" -> (x105_manifest_diff _),
     "x106_incremental_index" -> (x106_incremental_index _),
     "x107_sparse_retrieval" -> (x107_sparse_retrieval _),
+    "x108_pq_ann" -> (x108_pq_ann _),
     "x80_vision_token_budget" -> (x80_vision_token_budget _),
     "x79_url_takedown" -> (x79_url_takedown _),
     "x78_tokenizer_fertility" -> (x78_tokenizer_fertility _),
@@ -5813,6 +5884,7 @@ object QueriesTrainingData {
     "x105_manifest_diff" -> x105Oracle,
     "x106_incremental_index" -> x106Oracle,
     "x107_sparse_retrieval" -> x107Oracle,
+    "x108_pq_ann" -> x108Oracle,
     "x80_vision_token_budget" -> x80Oracle,
     "x79_url_takedown" -> x79Oracle,
     "x78_tokenizer_fertility" -> x78Oracle,

@@ -1,0 +1,125 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Product quantization (PQ) — the memory-compression half of a real
+  * vector store (Jégou, Douze & Schmid 2011, "Product Quantization for
+  * Nearest Neighbor Search"): each embedding splits into `m` subspaces,
+  * each subspace maps to its nearest codeword in a small per-subspace
+  * codebook, and a vector is stored as `m` small codes. Search is
+  * ASYMMETRIC DISTANCE (ADC): the query builds one lookup table of
+  * query-to-codeword distances per subspace (|queries| × m × |codebook|
+  * rows — tiny, broadcast), and every stored vector's approximate
+  * distance is a SUM OF m TABLE LOOKUPS — no float math per candidate.
+  *
+  * Everything here is EXACT INTEGER arithmetic on the repo's 1e-4
+  * quantization grid ([[SimilarityOps.QuantScale]]), so the whole
+  * machinery — training, encoding, ADC ranking — is DuckDB-replayable
+  * and hash-gated (x108). Codebook training is k-means with
+  * DETERMINISTIC seeds (the subvectors of the `nCw` lowest ids) and a
+  * bounded number of Lloyd iterations, each one assign + floor(mean
+  * + 0.5) averaging pass — the x93-BPE rule: bounded rounds keep the
+  * recursive oracle replay honest; an MLlib fit ([[IvfIndex.build]])
+  * drops in at deployment with the same dataflow.
+  *
+  * Config note (measured on the driver's synthetic embeddings): iid
+  * near-uniform dims leave PQ nothing to exploit, so coarse subspaces
+  * collapse — 8-dim subspaces × 16 codewords gave 0.14 top-5 recall
+  * vs exact L2; the dial lands at FINE 2-dim subspaces × 64 codewords
+  * (0.68 recall, 24 bytes/vector = 10.7× compression). Real embedding
+  * tables have correlated dims and move the dial back toward 8-dim
+  * subspaces. The recall audit in SourcesAndIvfSpec DECIDES per corpus
+  * — the x77 rule: the audit, not the hope.
+  *
+  * Scale shape: training touches seeds × vectors per iteration with a
+  * BROADCAST codebook; encoding is one narrow pass (m × |codebook|
+  * distance evals per vector — the standard PQ encode cost); the ADC
+  * scan scores |vectors| codes per query — the honest exhaustive-PQ
+  * cost a deployment bounds by composing with [[IvfIndex]]'s cell
+  * pruning (IVF-PQ: probe cells first, ADC-rank inside them). */
+object PqIndex {
+
+  /** (id, s, sv): the per-subspace views of each quantized vector. */
+  private[graft] def subspaces(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, subDim: Int): DataFrame =
+    df.withColumn("qvec", SimilarityOps.quantize(col(vecCol)))
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), " +
+          s"s -> slice(qvec, s * $subDim + 1, $subDim))"))
+        .as(Seq("s", "sv")))
+
+  /** Integer squared L2 between two equal-length quantized arrays. */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Seeded k-means codebooks: init = the subvectors of the `nCw`
+    * lowest ids; each Lloyd iteration assigns every subvector to its
+    * nearest codeword (order-blind argmin, ties to the lower cw) and
+    * re-averages on the integer grid (floor(mean + 0.5)). A codeword
+    * that loses all members drops out — standard k-means attrition. */
+  private[graft] def trainCodebooks(sub: DataFrame, idCol: String,
+      nCw: Int, iters: Int): DataFrame = {
+    var cb = sub.filter(col(idCol) < nCw)
+      .select(col(idCol).as("cw"), col("s"), col("sv").as("cv"))
+    for (_ <- 1 to iters) {
+      val assigned = sub.join(broadcast(cb), Seq("s"))
+        .withColumn("d", sqDist(col("sv"), col("cv")))
+        .groupBy(col(idCol), col("s"), col("sv"))
+        .agg(min(struct(col("d"), col("cw"))).as("mn"))
+        .select(col("s"), col("mn.cw").as("cw"), col("sv"))
+      cb = assigned
+        .select(col("cw"), col("s"), posexplode(col("sv")).as(Seq("p", "v")))
+        .groupBy(col("cw"), col("s"), col("p"))
+        .agg(sum(col("v")).as("sm"), count(lit(1)).as("c"))
+        .withColumn("cwv",
+          floor(col("sm").cast(DoubleType) / col("c") + lit(0.5))
+            .cast(LongType))
+        .groupBy(col("cw"), col("s"))
+        .agg(transform(sort_array(collect_list(struct(col("p"), col("cwv")))),
+          e => e.getField("cwv")).as("cv"))
+    }
+    cb
+  }
+
+  /** Each (vector, subspace) → its nearest codeword id; the argmin is
+    * an order-blind `min(struct(dist, cw))`, ties to the lower cw. */
+  private[graft] def encode(sub: DataFrame, codebooks: DataFrame,
+      idCol: String): DataFrame =
+    sub.join(broadcast(codebooks), Seq("s"))
+      .withColumn("d", sqDist(col("sv"), col("cv")))
+      .groupBy(col(idCol), col("s"))
+      .agg(min(struct(col("d"), col("cw"))).as("mn"))
+      .select(col(idCol), col("s"), col("mn.cw").as("code"))
+
+  /** Exhaustive ADC top-k: queries selected by `queryPred` over the id
+    * column. Returns (query_id, rank, neighbor_id, adc_dist). */
+  def adcTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int,
+      m: Int = 32, subDim: Int = 2, nCw: Int = 64, iters: Int = 1)
+      : DataFrame = {
+    val sub = subspaces(emb, idCol, vecCol, m, subDim)
+    val codebooks = trainCodebooks(sub, idCol, nCw, iters)
+    val codes = encode(sub, codebooks, idCol)
+    // the ADC lookup table: |queries| × m × nCw distances, broadcast
+    val lut = sub.filter(queryPred)
+      .toDF("query_id", "s", "qsv")
+      .join(broadcast(codebooks), Seq("s"))
+      .withColumn("qd", sqDist(col("qsv"), col("cv")))
+      .select(col("query_id"), col("s"), col("cw"), col("qd"))
+    val adc = codes.join(broadcast(lut),
+        codes("s") === lut("s") && codes("code") === lut("cw"))
+      .filter(col("query_id") =!= col(idCol))
+      .groupBy(col("query_id"), col(idCol).as("neighbor_id"))
+      .agg(sum(col("qd")).as("adc_dist"))
+    adc.withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("adc_dist"), col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast(IntegerType).as("rank"),
+        col("neighbor_id"), col("adc_dist"))
+  }
+}
