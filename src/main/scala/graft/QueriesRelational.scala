@@ -1710,6 +1710,34 @@ object QueriesRelational {
       |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
       |FROM orders WHERE o_orderkey % 5 = 0""".stripMargin
 
+  /** T-SQL `IF [NOT] EXISTS` conditional branches through the dtsx
+    * frontend — `IfExistsBranchETL.dtsx` (q105): the data-driven
+    * conditional-load idiom [[graft.patterns.SqlPatternRewriter]]
+    * deliberately disqualifies (its embedded-UPDATE rule exists so the
+    * IF-EXISTS upsert is never HALF-executed — now the whole statement
+    * executes via [[graft.patterns.IfExistsSqlCompiler]]). The gate
+    * drives a THEN branch, a BEGIN/END-dressed ELSE branch, and a
+    * NOT-EXISTS vacuous skip; the probe is a LIMIT-1 driver fact, the
+    * untaken branch must still be ownable (a data flip next run cannot
+    * fail the package). Scale shape: the probe is a `limit(1)` job
+    * over the pushed-down predicate; the taken branch compiles exactly
+    * as it would standalone. */
+  def q105_dtsx_if_exists(spark: SparkSession, dir: String): DataFrame =
+    runDtsxWarehousePackage(spark, dir, "IfExistsBranchETL.dtsx")
+      ._1.apply("load_alerts")
+      .select(col("chk"), col("kind"))
+
+  val q105Oracle: String =
+    """SELECT 'seed' AS chk, 'init' AS kind
+      |UNION ALL
+      |SELECT 't2',
+      |  CASE WHEN EXISTS (SELECT 1 FROM orders WHERE o_totalprice > 100000)
+      |       THEN 'high_value_present' ELSE 'none' END
+      |UNION ALL
+      |SELECT 't3',
+      |  CASE WHEN EXISTS (SELECT 1 FROM orders WHERE o_totalprice > 99999999)
+      |       THEN 'impossible' ELSE 'as_expected' END""".stripMargin
+
   /** Explicit GROUPING SETS with grouping_id disambiguation (beyond q24's
     * rollup): two chosen aggregation levels, no intermediate level. */
   def q39_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
@@ -3080,6 +3108,7 @@ object QueriesRelational {
     "q102_dtsx_rowcount_audit" -> (q102_dtsx_rowcount_audit _),
     "q103_dtsx_while_loop" -> (q103_dtsx_while_loop _),
     "q104_dtsx_convert_style" -> (q104_dtsx_convert_style _),
+    "q105_dtsx_if_exists" -> (q105_dtsx_if_exists _),
     "q82_orc_roundtrip" -> (q82_orc_roundtrip _),
     "q80_dtsx_cdc_merge" -> (q80_dtsx_cdc_merge _),
     "q79_delete_cascade" -> (q79_delete_cascade _),
@@ -3177,6 +3206,7 @@ object QueriesRelational {
     "q102_dtsx_rowcount_audit" -> q102Oracle,
     "q103_dtsx_while_loop" -> q103Oracle,
     "q104_dtsx_convert_style" -> q104Oracle,
+    "q105_dtsx_if_exists" -> q105Oracle,
     "q82_orc_roundtrip" -> q82Oracle,
     "q80_dtsx_cdc_merge" -> q80Oracle,
     "q79_delete_cascade" -> q79Oracle,

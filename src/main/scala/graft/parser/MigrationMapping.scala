@@ -175,6 +175,12 @@ object MigrationMapping {
         Some("canonical MERGE executes (patterns/MergeSqlCompiler — one " +
           "full-outer-join state replacement with the fused 8672 guard); " +
           "dataflow SCD2 via patterns/ScdType2.merge"), Nil, signals)
+    else if (graft.patterns.IfExistsSqlCompiler.shapeMatches(sql))
+      TaskMapping(t.name, "ExecuteSQLTask", "converted", None,
+        Some("IF [NOT] EXISTS branch executes (patterns/" +
+          "IfExistsSqlCompiler — LIMIT-1 probe decides, the taken " +
+          "branch runs through the statement chain; both branches must " +
+          "be single ownable statements)"), Nil, signals)
     else if (graft.patterns.WhileLoopSqlCompiler.shapeMatches(sql))
       TaskMapping(t.name, "ExecuteSQLTask", "converted", None,
         Some("counter WHILE loop unrolls (patterns/WhileLoopSqlCompiler " +

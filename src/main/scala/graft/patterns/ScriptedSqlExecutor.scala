@@ -284,6 +284,10 @@ object ScriptedSqlExecutor {
         .orElse(DeleteFromSqlCompiler.rewrite(spark, stmt, resolve))
         .orElse(InsertValuesSqlCompiler.rewrite(spark, stmt, resolve))
         .orElse(SelectIntoSqlCompiler.rewrite(spark, stmt, resolve))
+        // the taken IF-EXISTS branch re-enters this chain (branches are
+        // single statements by contract, so the recursion is one level)
+        .orElse(IfExistsSqlCompiler.rewrite(spark, stmt, resolve,
+          s => chain(s, resolve)))
         .orElse(SqlPatternRewriter.rewrite(spark, stmt))
 
     def script(bound: ExecuteSqlTask,

@@ -1122,6 +1122,65 @@ class PipelineSpec extends AnyFunSuite {
       === "while begin end loop")
   }
 
+  test("IfExistsSqlCompiler: the probe decides, untaken branches stay ownable") {
+    import spark.implicits._
+    def mkExec(written: scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]) =
+      graft.patterns.ScriptedSqlExecutor.executor(spark,
+        resolveFrame = n => written.getOrElse(n, spark.table(n)),
+        bareName = identity,
+        commit = (k, v) => written(k) = v)
+    def task(sql: String) = graft.ir.Ir.ExecuteSqlTask("s", None, "conn", sql)
+    Seq((1L, 5.0), (2L, 50.0)).toDF("id", "v").createOrReplaceTempView("src_ie")
+    // THEN branch fires; the outcome is the taken branch's
+    val w1 = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame](
+      "flags_ie" -> Seq(("a", 0)).toDF("k", "n"))
+    val t1 = mkExec(w1)(task(
+      "IF EXISTS (SELECT 1 FROM src_ie WHERE v > 10) " +
+        "UPDATE flags_ie SET n = 1 WHERE k = 'a' " +
+        "ELSE UPDATE flags_ie SET n = 2 WHERE k = 'a'"))
+    assert(t1.nonEmpty && t1.get.df.get.as[(String, Int)].head() === ("a", 1))
+    // ELSE branch fires (BEGIN/END dressing strips)
+    val t2 = mkExec(w1)(task(
+      "IF EXISTS (SELECT 1 FROM src_ie WHERE v > 9999) " +
+        "BEGIN UPDATE flags_ie SET n = 1 WHERE k = 'a' END " +
+        "ELSE BEGIN UPDATE flags_ie SET n = 2 WHERE k = 'a' END"))
+    assert(t2.nonEmpty && t2.get.df.get.as[(String, Int)].head() === ("a", 2))
+    // NOT EXISTS negates; no ELSE + untaken = vacuous success
+    val t3 = mkExec(w1)(task(
+      "IF NOT EXISTS (SELECT 1 FROM src_ie) " +
+        "UPDATE flags_ie SET n = 9 WHERE k = 'a'"))
+    assert(t3.exists(o => o.df.isEmpty && o.target.isEmpty))
+    // an IF EXISTS inside a SCRIPT composes with the overlay
+    val w2 = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]()
+    assert(mkExec(w2)(task(
+      "INSERT INTO ctl_ie (k) VALUES (1); " +
+        "IF EXISTS (SELECT 1 FROM ctl_ie) " +
+        "INSERT INTO ctl_ie (k) VALUES (2) " +
+        "ELSE INSERT INTO ctl_ie (k) VALUES (3)")).nonEmpty)
+    assert(w2("ctl_ie").orderBy("k").as[Int].collect().toList === List(1, 2))
+    // declines: an untaken branch that is NOT an ownable statement
+    // (EXEC), multi-statement branches, nested IF, a non-SELECT probe
+    def declines(sql: String, clue: String): Unit =
+      assert(mkExec(scala.collection.mutable.Map.empty)(task(sql)).isEmpty, clue)
+    declines("IF EXISTS (SELECT 1 FROM src_ie) " +
+      "UPDATE flags_ie SET n = 1 ELSE EXEC sp_fix",
+      "unownable untaken branch must decline the WHOLE task")
+    declines("IF EXISTS (SELECT 1 FROM src_ie) " +
+      "BEGIN UPDATE flags_ie SET n = 1; DELETE FROM flags_ie END",
+      "multi-statement branch must decline")
+    declines("IF EXISTS (SELECT 1 FROM src_ie) " +
+      "IF EXISTS (SELECT 1 FROM src_ie) UPDATE flags_ie SET n = 1",
+      "nested IF must decline")
+    // 'ELSE' inside a string literal is not a branch split
+    val w3 = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame](
+      "n_ie" -> Seq((1L, "x")).toDF("id", "note"))
+    val lit3 = mkExec(w3)(task(
+      "IF EXISTS (SELECT 1 FROM src_ie) " +
+        "UPDATE n_ie SET note = 'this else that'"))
+    assert(lit3.nonEmpty &&
+      lit3.get.df.get.select("note").as[String].head() === "this else that")
+  }
+
   test("q89 rerun purity: a second run in the same session rebuilds from scratch") {
     // run-1's temp views must not leak into run-2's spark.table fallback
     // (a bootstrap INSERT would silently become an append onto run-1's
