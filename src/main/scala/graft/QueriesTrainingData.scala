@@ -5537,6 +5537,113 @@ object QueriesTrainingData {
       |  FROM adc)
       |WHERE rank <= 5""".stripMargin
 
+  /** IVF-PQ ANN — x11's cell pruning composed with x108's PQ codes,
+    * the full architecture of a production vector store (FAISS's
+    * IVFADC): the coarse quantizer (the same seeded-Lloyd machinery
+    * with ONE 64-dim subspace × 8 codewords) assigns every vector to a
+    * cell, each query probes its 2 nearest cells, and the
+    * sum-of-table-lookups ADC ranking runs over ONLY the probed
+    * candidates — candidate volume drops by ~nProbe/nCells while
+    * storage stays PQ's 24 bytes/vector. Every stage is exact integers
+    * on the 1e-4 grid, DuckDB-replayable end-to-end; the recall-vs-
+    * speed trade against exhaustive ADC is audited in
+    * SourcesAndIvfSpec (the x77 rule).
+    *
+    * Scale shape: probes are |queries| × nProbe rows broadcast into
+    * the cell table; the ADC join is candidate-bounded; codebooks/LUT
+    * broadcast as in x108. */
+  def x109_ivf_pq(spark: SparkSession, dir: String): DataFrame =
+    graft.sim.PqIndex.ivfPqTopK(embeddings(spark, dir), "vec_id",
+      "embedding", queryPred = col("vec_id") < 10, k = 5)
+
+  val x109Oracle: String =
+    """WITH q AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |cseeds AS (SELECT vec_id AS cw, qv AS cv FROM q WHERE vec_id < 8),
+      |ca1 AS (
+      |  SELECT q.vec_id, q.qv, cseeds.cw,
+      |    list_sum(list_transform(generate_series(1, 64),
+      |      i -> (qv[i] - cv[i]) * (qv[i] - cv[i]))) AS d
+      |  FROM q CROSS JOIN cseeds
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |    ORDER BY d, cseeds.cw) = 1),
+      |ccb AS (
+      |  SELECT cw, p.p AS p,
+      |    CAST(floor(CAST(SUM(qv[p.p]) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)
+      |      AS cwv
+      |  FROM ca1, generate_series(1, 64) p(p)
+      |  GROUP BY cw, p),
+      |ccbv AS (SELECT cw, list(cwv ORDER BY p) AS cv FROM ccb GROUP BY cw),
+      |cells AS (
+      |  SELECT q.vec_id, ccbv.cw AS cell,
+      |    list_sum(list_transform(generate_series(1, 64),
+      |      i -> (qv[i] - cv[i]) * (qv[i] - cv[i]))) AS d
+      |  FROM q CROSS JOIN ccbv
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |    ORDER BY d, ccbv.cw) = 1),
+      |probes AS (
+      |  SELECT q.vec_id AS query_id, ccbv.cw AS cell,
+      |    list_sum(list_transform(generate_series(1, 64),
+      |      i -> (qv[i] - cv[i]) * (qv[i] - cv[i]))) AS d
+      |  FROM q CROSS JOIN ccbv
+      |  WHERE q.vec_id < 10
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |    ORDER BY d, ccbv.cw) <= 2),
+      |cand AS (
+      |  SELECT probes.query_id, cells.vec_id
+      |  FROM cells JOIN probes ON cells.cell = probes.cell),
+      |sub AS (
+      |  SELECT vec_id, s.s AS s, qv[s.s*2+1 : s.s*2+2] AS sv
+      |  FROM q, generate_series(0, 31) s(s)),
+      |seeds AS (
+      |  SELECT vec_id AS cw, s, sv AS cv FROM sub WHERE vec_id < 64),
+      |a1 AS (
+      |  SELECT sub.vec_id, sub.s, sub.sv, seeds.cw,
+      |    list_sum(list_transform(generate_series(1, 2),
+      |      i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))) AS d
+      |  FROM sub JOIN seeds ON sub.s = seeds.s
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+      |    ORDER BY d, seeds.cw) = 1),
+      |cb AS (
+      |  SELECT cw, s, p.p AS p,
+      |    CAST(floor(CAST(SUM(sv[p.p]) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)
+      |      AS cwv
+      |  FROM a1, generate_series(1, 2) p(p)
+      |  GROUP BY cw, s, p),
+      |cbv AS (SELECT cw, s, list(cwv ORDER BY p) AS cv FROM cb GROUP BY cw, s),
+      |dists AS (
+      |  SELECT sub.vec_id, sub.s, cbv.cw,
+      |    list_sum(list_transform(generate_series(1, 2),
+      |      i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))) AS d
+      |  FROM sub JOIN cbv ON sub.s = cbv.s),
+      |codes AS (
+      |  SELECT vec_id, s, cw AS code FROM dists
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, cw) = 1),
+      |lut AS (
+      |  SELECT sub.vec_id AS query_id, sub.s, cbv.cw,
+      |    list_sum(list_transform(generate_series(1, 2),
+      |      i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))) AS qd
+      |  FROM sub JOIN cbv ON sub.s = cbv.s
+      |  WHERE sub.vec_id < 10),
+      |adc AS (
+      |  SELECT l.query_id, c.vec_id AS neighbor_id,
+      |    CAST(SUM(l.qd) AS BIGINT) AS adc_dist
+      |  FROM codes c
+      |  JOIN cand ON c.vec_id = cand.vec_id
+      |  JOIN lut l ON c.s = l.s AND c.code = l.cw
+      |    AND l.query_id = cand.query_id
+      |  WHERE l.query_id <> c.vec_id
+      |  GROUP BY 1, 2)
+      |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, adc_dist
+      |FROM (
+      |  SELECT query_id, neighbor_id, adc_dist,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY adc_dist, neighbor_id) AS rank
+      |  FROM adc)
+      |WHERE rank <= 5""".stripMargin
+
   /** URL takedown sweep — corpus governance at the canonical-URL key
     * (the DMCA/robots-retroactive case): a takedown list of canonical
     * URLs (here: every URL whose source id ≡ 0 mod 7 — a deterministic
@@ -5776,6 +5883,7 @@ object QueriesTrainingData {
     "x106_incremental_index" -> (x106_incremental_index _),
     "x107_sparse_retrieval" -> (x107_sparse_retrieval _),
     "x108_pq_ann" -> (x108_pq_ann _),
+    "x109_ivf_pq" -> (x109_ivf_pq _),
     "x80_vision_token_budget" -> (x80_vision_token_budget _),
     "x79_url_takedown" -> (x79_url_takedown _),
     "x78_tokenizer_fertility" -> (x78_tokenizer_fertility _),
@@ -5885,6 +5993,7 @@ object QueriesTrainingData {
     "x106_incremental_index" -> x106Oracle,
     "x107_sparse_retrieval" -> x107Oracle,
     "x108_pq_ann" -> x108Oracle,
+    "x109_ivf_pq" -> x109Oracle,
     "x80_vision_token_budget" -> x80Oracle,
     "x79_url_takedown" -> x79Oracle,
     "x78_tokenizer_fertility" -> x78Oracle,
