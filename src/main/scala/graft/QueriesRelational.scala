@@ -1738,6 +1738,28 @@ object QueriesRelational {
       |  CASE WHEN EXISTS (SELECT 1 FROM orders WHERE o_totalprice > 99999999)
       |       THEN 'impossible' ELSE 'as_expected' END""".stripMargin
 
+  /** CTE-prefixed DML through the dtsx frontend — `CteInsertETL.dtsx`
+    * (q106): `WITH c AS (…) INSERT INTO t SELECT … FROM c`, T-SQL's
+    * other staging spelling. [[graft.patterns.SqlPatternRewriter]]
+    * re-attaches the CTE prefix to the extracted SELECT — without the
+    * re-attachment the select references CTE names that no longer
+    * exist and every WITH-authored task fails; WITH-leading pure
+    * SELECTs (CTE watermark reads) are owned too. Scale shape:
+    * Catalyst inlines the CTE — the plan is the same join+agg DAG the
+    * expanded query would build. */
+  def q106_dtsx_cte_insert(spark: SparkSession, dir: String): DataFrame =
+    runDtsxWarehousePackage(spark, dir, "CteInsertETL.dtsx")
+      ._1.apply("repeat_customers")
+      .select(col("c_custkey"), col("c_name"),
+        col("n_orders").cast(LongType).as("n_orders"))
+
+  val q106Oracle: String =
+    """WITH big AS (
+      |  SELECT o_custkey, COUNT(*) AS n_orders
+      |  FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 3)
+      |SELECT c.c_custkey, c.c_name, b.n_orders
+      |FROM customer c JOIN big b ON c.c_custkey = b.o_custkey""".stripMargin
+
   /** Explicit GROUPING SETS with grouping_id disambiguation (beyond q24's
     * rollup): two chosen aggregation levels, no intermediate level. */
   def q39_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
@@ -3109,6 +3131,7 @@ object QueriesRelational {
     "q103_dtsx_while_loop" -> (q103_dtsx_while_loop _),
     "q104_dtsx_convert_style" -> (q104_dtsx_convert_style _),
     "q105_dtsx_if_exists" -> (q105_dtsx_if_exists _),
+    "q106_dtsx_cte_insert" -> (q106_dtsx_cte_insert _),
     "q82_orc_roundtrip" -> (q82_orc_roundtrip _),
     "q80_dtsx_cdc_merge" -> (q80_dtsx_cdc_merge _),
     "q79_delete_cascade" -> (q79_delete_cascade _),
@@ -3207,6 +3230,7 @@ object QueriesRelational {
     "q103_dtsx_while_loop" -> q103Oracle,
     "q104_dtsx_convert_style" -> q104Oracle,
     "q105_dtsx_if_exists" -> q105Oracle,
+    "q106_dtsx_cte_insert" -> q106Oracle,
     "q82_orc_roundtrip" -> q82Oracle,
     "q80_dtsx_cdc_merge" -> q80Oracle,
     "q79_delete_cascade" -> q79Oracle,

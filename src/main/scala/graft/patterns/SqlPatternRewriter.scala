@@ -93,11 +93,22 @@ object SqlPatternRewriter {
     if (upper.contains("MERGE ") || upper.contains("RAISERROR") ||
       updateStmtRe.findFirstIn(sql).isDefined) return None
 
+    // a leading CTE prefix (`WITH c AS (…) INSERT INTO t SELECT … FROM c`
+    // / `WITH … SELECT`) belongs to the SELECT the statement carries —
+    // T-SQL's other staging spelling; without the re-attachment the
+    // extracted select would reference CTE names that no longer exist
+    val msk = graft.patterns.UpdateSqlCompiler.masked(sql)
+    val withLead = "(?is)^\\s*with\\b".r.findFirstIn(msk).isDefined
+
     val inserts = insertSelectRe.findAllMatchIn(sql).toList
     inserts match {
       case m :: Nil =>
         val target = m.group(1)
-        val select = m.group(2).trim
+        val ctePrefix =
+          if (withLead && WindowSqlLowering.depthAt(msk, m.start) == 0)
+            sql.substring(0, m.start).trim + " "
+          else ""
+        val select = ctePrefix + m.group(2).trim
         // Overwrite ONLY when the DELETE/TRUNCATE names the SAME table
         // the INSERT refills — a cleanup of some other table must not
         // turn this task into an overwrite that destroys the target's
@@ -122,6 +133,17 @@ object SqlPatternRewriter {
           // T-SQL sets @@ROWCOUNT after a SELECT too (rows returned)
           SqlOutcome(Some(selected), None,
             affected = Some(() => selected.count()))
+        }.orElse {
+          // WITH-prefixed pure SELECT (read-only CTE statement): the
+          // whole text is the query. DELETE/TRUNCATE alongside a
+          // leading WITH is not a shape this rewrite owns
+          if (withLead &&
+            deleteTargetRe.findFirstIn(msk).isEmpty &&
+            truncateTargetRe.findFirstIn(msk).isEmpty) {
+            val selected = runSelect(spark, sql)
+            Some(SqlOutcome(Some(selected), None,
+              affected = Some(() => selected.count())))
+          } else None
         }
     }
   }

@@ -139,6 +139,33 @@ class SqlRewriteAndJsonSpec extends AnyFunSuite {
       === "SELECT date_format(coalesce(a, b), 'yyyyMMdd') FROM t")
   }
 
+  test("rewriter: a leading CTE prefix re-attaches to the extracted SELECT") {
+    import spark.implicits._
+    def task(sql: String) = graft.ir.Ir.ExecuteSqlTask("s", None, "conn", sql)
+    Seq((1L, 5.0), (1L, 6.0), (2L, 50.0)).toDF("id", "v")
+      .createOrReplaceTempView("src_cte")
+    // WITH … INSERT INTO … SELECT FROM <cte>: without the prefix the
+    // select would reference a CTE name that no longer exists
+    val ins = graft.patterns.SqlPatternRewriter.rewrite(spark, task(
+      "WITH agg AS (SELECT id, COUNT(*) AS n FROM src_cte GROUP BY id) " +
+        "INSERT INTO mart_cte SELECT id, n FROM agg WHERE n >= 2"))
+    assert(ins.nonEmpty && ins.get.target.contains("mart_cte"))
+    assert(ins.get.df.get.as[(Long, Long)].collect().toList === List((1L, 2L)))
+    // WITH-prefixed pure SELECT is owned (CTE watermark reads)
+    val sel = graft.patterns.SqlPatternRewriter.rewrite(spark, task(
+      "WITH mx AS (SELECT MAX(v) AS m FROM src_cte) SELECT m FROM mx"))
+    assert(sel.nonEmpty && sel.get.target.isEmpty)
+    assert(sel.get.df.get.as[Double].head() === 50.0)
+    // WITH alongside DELETE/TRUNCATE is not a shape this rewrite owns
+    assert(graft.patterns.SqlPatternRewriter.rewrite(spark, task(
+      "WITH d AS (SELECT id FROM src_cte) DELETE FROM mart_cte")).isEmpty)
+    // a literal containing 'WITH' does not trigger the CTE path
+    val plain = graft.patterns.SqlPatternRewriter.rewrite(spark, task(
+      "SELECT 'starts WITH data' AS note FROM src_cte WHERE id = 2"))
+    assert(plain.nonEmpty &&
+      plain.get.df.get.select("note").as[String].head() === "starts WITH data")
+  }
+
   test("stripComments: '--' inside a string literal never starts a comment") {
     import graft.patterns.SqlText
     // multiline branch: the quoted dashes survive, the real comment strips
