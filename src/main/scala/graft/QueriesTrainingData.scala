@@ -5644,6 +5644,76 @@ object QueriesTrainingData {
       |  FROM adc)
       |WHERE rank <= 5""".stripMargin
 
+  /** IVF cell-balance audit — the index-health fact that decides
+    * whether an IVF deployment works at all: a skewed coarse quantizer
+    * (one hot cell holding most of the table) makes every probe scan
+    * the hot cell and nProbe meaningless, and EMPTY cells waste the
+    * codebook. Reports each cell of x109's replayable coarse quantizer
+    * with its member count and integer permille share (empty cells
+    * included via the codebook-side join — a groupBy alone would hide
+    * exactly the cells the audit exists to expose). The x104
+    * embedding-health plane extended to the index; on a real store
+    * this runs after every (re)train and gates the index swap.
+    *
+    * Scale shape: one narrow assign pass (broadcast codebook) + one
+    * partial-combining count per cell + an 8-row left join. */
+  def x110_ivf_cell_balance(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sim.PqIndex
+    val emb = embeddings(spark, dir)
+    val subFull = PqIndex.subspaces(emb, "vec_id", "embedding", 1, 64)
+    val coarseCb = PqIndex.trainCodebooks(subFull, "vec_id", nCw = 8, iters = 1)
+    val counts = PqIndex.encode(subFull, coarseCb, "vec_id")
+      .groupBy(col("code").as("cell")).agg(count(lit(1)).as("n_vecs"))
+    val total = emb.agg(count(lit(1)).as("n_total"))
+    coarseCb.select(col("cw").as("cell"))
+      .join(counts, Seq("cell"), "left_outer")
+      .crossJoin(broadcast(total))
+      .select(col("cell").cast(IntegerType).as("cell"),
+        coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
+        // integer permille: exact, order-blind, both-engine-identical
+        // (positive floor division)
+        (coalesce(col("n_vecs"), lit(0L)) * 1000L / col("n_total"))
+          .cast(LongType).as("permille"),
+        coalesce(col("n_vecs"), lit(0L)) === 0L).toDF(
+        "cell", "n_vecs", "permille", "is_empty")
+  }
+
+  val x110Oracle: String =
+    """WITH q AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |cseeds AS (SELECT vec_id AS cw, qv AS cv FROM q WHERE vec_id < 8),
+      |ca1 AS (
+      |  SELECT q.vec_id, q.qv, cseeds.cw,
+      |    list_sum(list_transform(generate_series(1, 64),
+      |      i -> (qv[i] - cv[i]) * (qv[i] - cv[i]))) AS d
+      |  FROM q CROSS JOIN cseeds
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |    ORDER BY d, cseeds.cw) = 1),
+      |ccb AS (
+      |  SELECT cw, p.p AS p,
+      |    CAST(floor(CAST(SUM(qv[p.p]) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)
+      |      AS cwv
+      |  FROM ca1, generate_series(1, 64) p(p)
+      |  GROUP BY cw, p),
+      |ccbv AS (SELECT cw, list(cwv ORDER BY p) AS cv FROM ccb GROUP BY cw),
+      |cells AS (
+      |  SELECT q.vec_id, ccbv.cw AS cell,
+      |    list_sum(list_transform(generate_series(1, 64),
+      |      i -> (qv[i] - cv[i]) * (qv[i] - cv[i]))) AS d
+      |  FROM q CROSS JOIN ccbv
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |    ORDER BY d, ccbv.cw) = 1),
+      |counts AS (SELECT cell, COUNT(*) AS n_vecs FROM cells GROUP BY cell),
+      |total AS (SELECT COUNT(*) AS n_total FROM embeddings)
+      |SELECT CAST(ccbv.cw AS INT) AS cell,
+      |  CAST(coalesce(n_vecs, 0) AS BIGINT) AS n_vecs,
+      |  CAST(coalesce(n_vecs, 0) * 1000 // n_total AS BIGINT) AS permille,
+      |  coalesce(n_vecs, 0) = 0 AS is_empty
+      |FROM ccbv LEFT JOIN counts ON ccbv.cw = counts.cell
+      |CROSS JOIN total""".stripMargin
+
   /** URL takedown sweep — corpus governance at the canonical-URL key
     * (the DMCA/robots-retroactive case): a takedown list of canonical
     * URLs (here: every URL whose source id ≡ 0 mod 7 — a deterministic
@@ -5884,6 +5954,7 @@ object QueriesTrainingData {
     "x107_sparse_retrieval" -> (x107_sparse_retrieval _),
     "x108_pq_ann" -> (x108_pq_ann _),
     "x109_ivf_pq" -> (x109_ivf_pq _),
+    "x110_ivf_cell_balance" -> (x110_ivf_cell_balance _),
     "x80_vision_token_budget" -> (x80_vision_token_budget _),
     "x79_url_takedown" -> (x79_url_takedown _),
     "x78_tokenizer_fertility" -> (x78_tokenizer_fertility _),
@@ -5994,6 +6065,7 @@ object QueriesTrainingData {
     "x107_sparse_retrieval" -> x107Oracle,
     "x108_pq_ann" -> x108Oracle,
     "x109_ivf_pq" -> x109Oracle,
+    "x110_ivf_cell_balance" -> x110Oracle,
     "x80_vision_token_budget" -> x80Oracle,
     "x79_url_takedown" -> x79Oracle,
     "x78_tokenizer_fertility" -> x78Oracle,
