@@ -5714,6 +5714,135 @@ object QueriesTrainingData {
       |FROM ccbv LEFT JOIN counts ON ccbv.cw = counts.cell
       |CROSS JOIN total""".stripMargin
 
+  /** PQ compression–recall frontier — the tuning artifact that picks a
+    * vector store's config (x98's LSH S-curve on the quantization
+    * plane): three PQ configs (coarse 8×8-dim×16 → 4 bytes/vec, middle
+    * 16×4-dim×64 → 12 bytes, fine 32×2-dim×64 → 24 bytes) each run the
+    * full x108 pipeline and score their ADC top-5 against the EXACT
+    * integer-L2 top-5; the report row per config is (bytes/vec,
+    * hits, recall). On this corpus the frontier is the scaladoc'd
+    * sweep made a gated artifact: recall climbs 0.14 → ~0.5 → 0.68 as
+    * bytes rise — the dial a training pipeline reads before building
+    * its index. All three pipelines and the exact ranking replay in
+    * DuckDB (the oracle generates one CTE chain per config).
+    *
+    * Scale shape: the exact ranking is |queries| × N (ground-truth
+    * construction, query-bounded); each config is x108's broadcast
+    * shapes; report rows are 3. */
+  def x111_pq_frontier(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sim.{PqIndex, SimilarityOps}
+    val emb = embeddings(spark, dir)
+    val qv = emb.select(col("vec_id"),
+      SimilarityOps.quantize(col("embedding")).as("qv"))
+    val queries = qv.filter(col("vec_id") < 10)
+      .toDF("query_id", "qa")
+    val exact = queries.crossJoin(qv.toDF("neighbor_id", "qb"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("d", aggregate(zip_with(col("qa"), col("qb"),
+        (x, y) => (x - y) * (x - y)), lit(0L), (a, v) => a + v))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("d"), col("neighbor_id"))))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id"), col("neighbor_id"))
+      .cache()
+    val nExact = exact.count()
+    val rows = pqFrontierConfigs.map { case (tag, m, sd, ncw, bytes) =>
+      val top = PqIndex.adcTopK(emb, "vec_id", "embedding",
+        col("vec_id") < 10, k = 5, m = m, subDim = sd, nCw = ncw)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = top.join(exact, Seq("query_id", "neighbor_id")).count()
+      (tag, bytes, hits, hits.toDouble / nExact.toDouble)
+    }
+    exact.unpersist()
+    import spark.implicits._
+    rows.toDF("cfg", "bytes_per_vec", "n_hits", "recall")
+      .select(col("cfg"), col("bytes_per_vec").cast(IntegerType),
+        col("n_hits").cast(LongType), col("recall"))
+      .toDF("cfg", "bytes_per_vec", "n_hits", "recall")
+  }
+
+  /** (tag, m, subDim, nCw, bytes/vec with ceil(log2 nCw) bits/code). */
+  private val pqFrontierConfigs = Seq(
+    ("m8_d8_k16", 8, 8, 16, 4),
+    ("m16_d4_k64", 16, 4, 64, 12),
+    ("m32_d2_k64", 32, 2, 64, 24))
+
+  /** One x108-shaped CTE chain per config, suffixed; shared q/exact. */
+  private def pqCfgOracleCtes(tag: String, m: Int, sd: Int, ncw: Int): String =
+    s"""sub_$tag AS (
+       |  SELECT vec_id, s.s AS s, qv[s.s*$sd+1 : s.s*$sd+$sd] AS sv
+       |  FROM q, generate_series(0, ${m - 1}) s(s)),
+       |seeds_$tag AS (
+       |  SELECT vec_id AS cw, s, sv AS cv FROM sub_$tag WHERE vec_id < $ncw),
+       |a1_$tag AS (
+       |  SELECT sub_$tag.vec_id, sub_$tag.s, sub_$tag.sv, seeds_$tag.cw,
+       |    list_sum(list_transform(generate_series(1, $sd),
+       |      i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))) AS d
+       |  FROM sub_$tag JOIN seeds_$tag ON sub_$tag.s = seeds_$tag.s
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY sub_$tag.vec_id, sub_$tag.s
+       |    ORDER BY d, seeds_$tag.cw) = 1),
+       |cb_$tag AS (
+       |  SELECT cw, s, p.p AS p,
+       |    CAST(floor(CAST(SUM(sv[p.p]) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)
+       |      AS cwv
+       |  FROM a1_$tag, generate_series(1, $sd) p(p)
+       |  GROUP BY cw, s, p),
+       |cbv_$tag AS (
+       |  SELECT cw, s, list(cwv ORDER BY p) AS cv FROM cb_$tag GROUP BY cw, s),
+       |dists_$tag AS (
+       |  SELECT sub_$tag.vec_id, sub_$tag.s, cbv_$tag.cw,
+       |    list_sum(list_transform(generate_series(1, $sd),
+       |      i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))) AS d
+       |  FROM sub_$tag JOIN cbv_$tag ON sub_$tag.s = cbv_$tag.s),
+       |codes_$tag AS (
+       |  SELECT vec_id, s, cw AS code FROM dists_$tag
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, cw) = 1),
+       |lut_$tag AS (
+       |  SELECT sub_$tag.vec_id AS query_id, sub_$tag.s, cbv_$tag.cw,
+       |    list_sum(list_transform(generate_series(1, $sd),
+       |      i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))) AS qd
+       |  FROM sub_$tag JOIN cbv_$tag ON sub_$tag.s = cbv_$tag.s
+       |  WHERE sub_$tag.vec_id < 10),
+       |adc_$tag AS (
+       |  SELECT l.query_id, c.vec_id AS neighbor_id, SUM(l.qd) AS adc_dist
+       |  FROM codes_$tag c JOIN lut_$tag l ON c.s = l.s AND c.code = l.cw
+       |  WHERE l.query_id <> c.vec_id
+       |  GROUP BY 1, 2),
+       |top_$tag AS (
+       |  SELECT query_id, neighbor_id FROM adc_$tag
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY adc_dist, neighbor_id) <= 5),
+       |hits_$tag AS (
+       |  SELECT COUNT(*) AS h FROM top_$tag t
+       |  JOIN exact e ON t.query_id = e.query_id
+       |    AND t.neighbor_id = e.neighbor_id)""".stripMargin
+
+  lazy val x111Oracle: String = {
+    val cfgs = pqFrontierConfigs
+    val rows = cfgs.map { case (tag, _, _, _, bytes) =>
+      s"""SELECT '$tag' AS cfg, CAST($bytes AS INT) AS bytes_per_vec,
+         |  CAST(h AS BIGINT) AS n_hits,
+         |  CAST(h AS DOUBLE) / CAST((SELECT COUNT(*) FROM exact) AS DOUBLE)
+         |    AS recall
+         |FROM hits_$tag""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH q AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |exact AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    list_sum(list_transform(generate_series(1, 64),
+       |      i -> (a.qv[i] - b.qv[i]) * (a.qv[i] - b.qv[i]))) AS d
+       |  FROM q a JOIN q b ON a.vec_id < 10 AND a.vec_id <> b.vec_id
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |    ORDER BY d, b.vec_id) <= 5),
+       |""".stripMargin +
+      cfgs.map { case (tag, m, sd, ncw, _) =>
+        pqCfgOracleCtes(tag, m, sd, ncw) }.mkString(",\n") + "\n" + rows
+  }
+
   /** URL takedown sweep — corpus governance at the canonical-URL key
     * (the DMCA/robots-retroactive case): a takedown list of canonical
     * URLs (here: every URL whose source id ≡ 0 mod 7 — a deterministic
@@ -5955,6 +6084,7 @@ object QueriesTrainingData {
     "x108_pq_ann" -> (x108_pq_ann _),
     "x109_ivf_pq" -> (x109_ivf_pq _),
     "x110_ivf_cell_balance" -> (x110_ivf_cell_balance _),
+    "x111_pq_frontier" -> (x111_pq_frontier _),
     "x80_vision_token_budget" -> (x80_vision_token_budget _),
     "x79_url_takedown" -> (x79_url_takedown _),
     "x78_tokenizer_fertility" -> (x78_tokenizer_fertility _),
@@ -6066,6 +6196,7 @@ object QueriesTrainingData {
     "x108_pq_ann" -> x108Oracle,
     "x109_ivf_pq" -> x109Oracle,
     "x110_ivf_cell_balance" -> x110Oracle,
+    "x111_pq_frontier" -> x111Oracle,
     "x80_vision_token_budget" -> x80Oracle,
     "x79_url_takedown" -> x79Oracle,
     "x78_tokenizer_fertility" -> x78Oracle,
