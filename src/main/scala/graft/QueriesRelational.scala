@@ -1760,6 +1760,35 @@ object QueriesRelational {
       |SELECT c.c_custkey, c.c_name, b.n_orders
       |FROM customer c JOIN big b ON c.c_custkey = b.o_custkey""".stripMargin
 
+  /** T-SQL `BEGIN TRY / BEGIN CATCH` through the dtsx frontend —
+    * `TryCatchAuditETL.dtsx` (q107): the error-logging dressing real
+    * ETL batches wear. [[graft.patterns.ScriptedSqlExecutor]] catches
+    * this engine's EAGER abort classes (the same errors T-SQL raises —
+    * here a 2714 SELECT-INTO collision), keeps the pre-failure
+    * statements' staged effects (T-SQL without XACT_ABORT — the
+    * failing statement staged nothing, aborts fire before staging),
+    * and runs the CATCH with `ERROR_MESSAGE()` bound to the caught
+    * text; a succeeding TRY never runs its CATCH. The gate certifies
+    * the kept pre-failure rows, the happy-path rows, the single error
+    * row, and that the logged text names the 2714. */
+  def q107_dtsx_try_catch(spark: SparkSession, dir: String): DataFrame = {
+    val (w, _) = runDtsxWarehousePackage(spark, dir, "TryCatchAuditETL.dtsx")
+    val staged = w("stage_tc").agg(count(lit(1)).as("n_staged"))
+    val ok = w("ok_tc").agg(count(lit(1)).as("n_ok"))
+    val errs = w("etl_errors").agg(count(lit(1)).as("n_errors"),
+      max(col("error_text").contains("2714")).as("has_2714"),
+      max(col("task_name")).as("err_task"))
+    staged.crossJoin(ok).crossJoin(errs)
+  }
+
+  val q107Oracle: String =
+    """SELECT
+      |  (SELECT COUNT(*) FROM orders WHERE o_orderkey % 100 = 0) AS n_staged,
+      |  CAST(2 AS BIGINT) AS n_ok,
+      |  CAST(1 AS BIGINT) AS n_errors,
+      |  TRUE AS has_2714,
+      |  'stage_load' AS err_task""".stripMargin
+
   /** Explicit GROUPING SETS with grouping_id disambiguation (beyond q24's
     * rollup): two chosen aggregation levels, no intermediate level. */
   def q39_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
@@ -3132,6 +3161,7 @@ object QueriesRelational {
     "q104_dtsx_convert_style" -> (q104_dtsx_convert_style _),
     "q105_dtsx_if_exists" -> (q105_dtsx_if_exists _),
     "q106_dtsx_cte_insert" -> (q106_dtsx_cte_insert _),
+    "q107_dtsx_try_catch" -> (q107_dtsx_try_catch _),
     "q82_orc_roundtrip" -> (q82_orc_roundtrip _),
     "q80_dtsx_cdc_merge" -> (q80_dtsx_cdc_merge _),
     "q79_delete_cascade" -> (q79_delete_cascade _),
@@ -3231,6 +3261,7 @@ object QueriesRelational {
     "q104_dtsx_convert_style" -> q104Oracle,
     "q105_dtsx_if_exists" -> q105Oracle,
     "q106_dtsx_cte_insert" -> q106Oracle,
+    "q107_dtsx_try_catch" -> q107Oracle,
     "q82_orc_roundtrip" -> q82Oracle,
     "q80_dtsx_cdc_merge" -> q80Oracle,
     "q79_delete_cascade" -> q79Oracle,

@@ -175,6 +175,13 @@ object MigrationMapping {
         Some("canonical MERGE executes (patterns/MergeSqlCompiler — one " +
           "full-outer-join state replacement with the fused 8672 guard); " +
           "dataflow SCD2 via patterns/ScdType2.merge"), Nil, signals)
+    else if (graft.patterns.ScriptedSqlExecutor.tryCatchShape(sql))
+      TaskMapping(t.name, "ExecuteSQLTask", "converted", None,
+        Some("TRY/CATCH batch executes (patterns/ScriptedSqlExecutor — " +
+          "eager abort classes are caught, pre-failure effects stay " +
+          "staged (T-SQL without XACT_ABORT), ERROR_MESSAGE() binds the " +
+          "caught text; a CATCH needing ROLLBACK stays manual review)"),
+        Nil, signals)
     else if (graft.patterns.IfExistsSqlCompiler.shapeMatches(sql))
       TaskMapping(t.name, "ExecuteSQLTask", "converted", None,
         Some("IF [NOT] EXISTS branch executes (patterns/" +

@@ -128,6 +128,44 @@ object ScriptedSqlExecutor {
     }
   }
 
+  /** `BEGIN TRY … END TRY BEGIN CATCH … END CATCH` — the T-SQL
+    * error-handling dressing around ETL batches. The TRY body runs
+    * through the normal sequential overlay; when a statement ABORTS
+    * with one of this engine's eager error classes (2714 re-create,
+    * 3701 missing drop, 8672 multi-match, arity/typo aborts — the same
+    * errors T-SQL raises and CATCH catches), the effects of statements
+    * BEFORE the failing one stay staged (T-SQL semantics without
+    * XACT_ABORT — the failing statement itself staged nothing, aborts
+    * fire before staging) and the CATCH body runs against that state
+    * with `ERROR_MESSAGE()` substituted as the caught text. A CATCH
+    * needing ROLLBACK still declines the whole task (the global
+    * rollback rule); an exception INSIDE the catch body propagates as
+    * T-SQL's does. */
+  private val tryCatchRe =
+    ("(?is)^\\s*begin\\s+try\\b(.*?)\\bend\\s+try\\s*;?\\s*" +
+      "begin\\s+catch\\b(.*?)\\bend\\s+catch\\s*;?\\s*$").r
+  private val errMsgRe = "(?i)error_message\\s*\\(\\s*\\)".r
+
+  /** Substitute every `ERROR_MESSAGE()` read with the caught text as a
+    * quoted literal (masked spans — a literal containing the call text
+    * is data). */
+  private def substErrMsg(s: String, msg: String): String = {
+    val msk = UpdateSqlCompiler.masked(s)
+    val ms = errMsgRe.findAllMatchIn(msk).toList
+    if (ms.isEmpty) s
+    else {
+      val lit = "'" + msg.replace("'", "''") + "'"
+      val sb = new StringBuilder
+      var pos = 0
+      ms.foreach { m =>
+        sb.append(s.substring(pos, m.start)).append(lit)
+        pos = m.end
+      }
+      sb.append(s.substring(pos))
+      sb.toString
+    }
+  }
+
   /** `DROP TABLE [IF EXISTS] graft_tmp_x` (post-[[detemp]] spelling) —
     * the early-free statement real temp-table scripts end with. */
   private val dropTempRe =
@@ -237,6 +275,15 @@ object ScriptedSqlExecutor {
         clears.flatten.exists(c => SqlPatternRewriter.sameTable(c, ins.get))
     }
 
+  /** Parse-only TRY/CATCH classification (ledger / dry run). */
+  private[graft] def tryCatchShape(sqlRaw: String): Boolean = {
+    val msk = UpdateSqlCompiler.masked(SqlText.stripComments(sqlRaw))
+    if (rollbackRe.findFirstIn(msk).isDefined) false
+    else tryCatchRe.findFirstMatchIn(msk).exists(m =>
+      "(?is)begin\\s+try".r
+        .findFirstIn(msk.substring(m.start(1), m.end(1))).isEmpty)
+  }
+
   /** Parse-only classification twin of the script dispatcher for the
     * migration-mapping ledger / dry run: Some(description) when the
     * text is a multi-statement script using the `#temp` and/or
@@ -291,12 +338,18 @@ object ScriptedSqlExecutor {
         .orElse(SqlPatternRewriter.rewrite(spark, stmt))
 
     def script(bound: ExecuteSqlTask,
-        stmts0: List[String]): Option[SqlOutcome] = {
+        stmts0: List[String],
+        catchStmts0: Option[List[String]] = None): Option[SqlOutcome] = {
       // temp-table references rewrite ONCE, up front, so every statement
-      // (and the overlay keys) speak the same overlay-safe names
-      val (stmts, tempNames) = {
+      // (and the overlay keys) speak the same overlay-safe names; catch
+      // statements share the scope (a CATCH may log via the TRY's temp).
+      // catchStmts0 is an OPTION: Some(Nil) is T-SQL's empty CATCH —
+      // it still swallows the error — while None means no CATCH at all
+      val (stmts, catchStmts, tempNames) = {
         val pairs = stmts0.map(detemp)
-        (pairs.map(_._1), pairs.flatMap(_._2).toSet)
+        val cPairs = catchStmts0.getOrElse(Nil).map(detemp)
+        (pairs.map(_._1), cPairs.map(_._1),
+          (pairs ++ cPairs).flatMap(_._2).toSet)
       }
       val overlay = scala.collection.mutable.Map.empty[String, DataFrame]
       // a caller may have registered a same-named temp view BEFORE the
@@ -381,19 +434,32 @@ object ScriptedSqlExecutor {
         // short-circuit on the first unconvertible statement: a later
         // statement may reference a table an earlier one creates, so
         // compiling past a failure is meaningless
-        val allOk = stmts.forall { s =>
+        def runSeq(ss: List[String]): Boolean = ss.forall { s =>
           compileOne(s) match {
             case Some(o) => stage(o); outcomes += o; true
             case None => false
           }
         }
+        val allOk =
+          if (catchStmts0.isEmpty) runSeq(stmts)
+          else
+            try runSeq(stmts)
+            catch {
+              case e: IllegalArgumentException =>
+                // an eager abort (2714/3701/8672/arity…) = a T-SQL
+                // error CATCH catches: keep the pre-failure staged
+                // state, run the catch body with ERROR_MESSAGE() bound
+                val msg = Option(e.getMessage).getOrElse("")
+                runSeq(catchStmts.map(substErrMsg(_, msg)))
+            }
         if (!allOk) None
         else {
           // temp tables never commit: script end IS the T-SQL scope exit
           overlay.foreach { case (k, v) => if (!tempNames(k)) commit(k, v) }
           // writes are committed; hand the runner a write-free outcome
-          // carrying the final statement's frame (result-set binding)
-          Some(SqlOutcome(outcomes.last.df, None))
+          // carrying the final statement's frame (result-set binding);
+          // an empty-catch swallow can leave NO outcomes — still success
+          Some(SqlOutcome(outcomes.lastOption.flatMap(_.df), None))
         }
       } finally {
         overlay.keys.foreach(k => spark.catalog.dropTempView(k): Unit)
@@ -412,6 +478,25 @@ object ScriptedSqlExecutor {
       if (guard.isDefined) guard
       else if (rollbackRe.findFirstIn(UpdateSqlCompiler.masked(text)).isDefined)
         None // conditional undo is control flow — manual review
+      else if (tryCatchRe.findFirstMatchIn(UpdateSqlCompiler.masked(text))
+          .isDefined) {
+        val msk = UpdateSqlCompiler.masked(text)
+        val m = tryCatchRe.findFirstMatchIn(msk).get
+        val tryBody = text.substring(m.start(1), m.end(1))
+        val catchBody = text.substring(m.start(2), m.end(2))
+        // nested TRY blocks would mis-split on the lazy matcher — decline
+        if ("(?is)begin\\s+try".r
+            .findFirstIn(msk.substring(m.start(1), m.end(1))).isDefined) None
+        else {
+          def stmtsOf(body: String) = SqlText.splitBatches(body)
+            .flatMap(SqlText.splitStatements)
+            .map(s => beginTranPrefixRe.replaceFirstIn(s, ""))
+            .filterNot(s => txnNoopRe.findFirstMatchIn(s).isDefined)
+          val ts = stmtsOf(tryBody)
+          if (ts.isEmpty) Some(SqlOutcome(None, None))
+          else script(bound, ts, Some(stmtsOf(catchBody)))
+        }
+      }
       else WhileLoopSqlCompiler.unroll(spark, text) match {
         // a counter WHILE loop is a WHOLE-text shape too: the driver
         // evaluates its control flow, the emitted body statements run

@@ -1181,6 +1181,56 @@ class PipelineSpec extends AnyFunSuite {
       lit3.get.df.get.select("note").as[String].head() === "this else that")
   }
 
+  test("ScriptedSqlExecutor: TRY/CATCH keeps pre-failure state, binds ERROR_MESSAGE") {
+    import spark.implicits._
+    def mkExec(written: scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]) =
+      graft.patterns.ScriptedSqlExecutor.executor(spark,
+        resolveFrame = n => written.getOrElse(n, spark.table(n)),
+        bareName = identity,
+        commit = (k, v) => written(k) = v)
+    def task(sql: String) = graft.ir.Ir.ExecuteSqlTask("s", None, "conn", sql)
+    Seq((1L, 5.0), (2L, 50.0)).toDF("id", "v").createOrReplaceTempView("src_tc")
+    // an eager abort (arity mismatch) is CAUGHT: the pre-failure INSERT
+    // stays, the catch logs the message
+    val w1 = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]()
+    val t1 = mkExec(w1)(task(
+      "BEGIN TRY " +
+        "INSERT INTO stage_tcs (k) VALUES (1), (2); " +
+        "INSERT INTO stage_tcs (k, extra) VALUES (3); " +
+        "END TRY BEGIN CATCH " +
+        "INSERT INTO errlog_tcs (src, msg) VALUES ('t1', ERROR_MESSAGE()); " +
+        "END CATCH"))
+    assert(t1.nonEmpty, "caught TRY/CATCH did not compile")
+    assert(w1("stage_tcs").as[Int].collect().toSet === Set(1, 2),
+      "pre-failure staged rows were lost")
+    val logged = w1("errlog_tcs").as[(String, String)].head()
+    assert(logged._1 === "t1" && logged._2.contains("arity"),
+      s"ERROR_MESSAGE did not bind: $logged")
+    // a succeeding TRY never runs its CATCH
+    val w2 = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]()
+    assert(mkExec(w2)(task(
+      "BEGIN TRY INSERT INTO ok_tcs (k) VALUES (9); END TRY " +
+        "BEGIN CATCH INSERT INTO errlog_tcs2 (m) VALUES ('no'); END CATCH")).nonEmpty)
+    assert(w2.keySet === Set("ok_tcs"), s"catch ran on success: ${w2.keySet}")
+    // an UNCONVERTIBLE try statement is not an error — manual review
+    assert(mkExec(scala.collection.mutable.Map.empty)(task(
+      "BEGIN TRY EXEC sp_x; END TRY " +
+        "BEGIN CATCH INSERT INTO e (m) VALUES ('x'); END CATCH")).isEmpty)
+    // a CATCH needing ROLLBACK stays manual review (global rule)
+    assert(mkExec(scala.collection.mutable.Map.empty)(task(
+      "BEGIN TRY INSERT INTO t (k) VALUES (1); END TRY " +
+        "BEGIN CATCH ROLLBACK; END CATCH")).isEmpty)
+    // an empty CATCH swallows the error (T-SQL) — vacuous success with
+    // pre-failure state kept
+    val w3 = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]()
+    assert(mkExec(w3)(task(
+      "BEGIN TRY " +
+        "INSERT INTO s3_tcs (k) VALUES (7); " +
+        "INSERT INTO s3_tcs (k, nope) VALUES (8); " +
+        "END TRY BEGIN CATCH END CATCH")).nonEmpty)
+    assert(w3("s3_tcs").as[Int].collect().toList === List(7))
+  }
+
   test("q89 rerun purity: a second run in the same session rebuilds from scratch") {
     // run-1's temp views must not leak into run-2's spark.table fallback
     // (a bootstrap INSERT would silently become an append onto run-1's
