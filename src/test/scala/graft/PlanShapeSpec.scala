@@ -933,6 +933,32 @@ class PlanShapeSpec extends AnyFunSuite {
       "tf/df tables must map-side combine")
   }
 
+  test("q101/q106: frontend scripts compile to ONE join+agg DAG, no extra scans") {
+    // the #temp (q101) and CTE (q106) are NAMED CATALYST PLANS, not
+    // materializations — each mart must be exactly one aggregate + one
+    // join over two scans, the same DAG a hand-written query builds
+    def shape(name: String): (Int, Int, Int) = {
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.optimizedPlan.toString
+      (plan.linesIterator.count(_.contains("Join ")),
+        plan.linesIterator.count(_.contains("Aggregate [")),
+        plan.linesIterator.count(_.contains("Relation")))
+    }
+    val (j1, a1, r1) = shape("q101_dtsx_temp_table")
+    assert(j1 === 1 && a1 === 1 && r1 === 2,
+      s"q101 mart DAG drifted: joins=$j1 aggs=$a1 scans=$r1")
+    val (j6, a6, r6) = shape("q106_dtsx_cte_insert")
+    assert(j6 === 1 && a6 === 1 && r6 === 2,
+      s"q106 mart DAG drifted: joins=$j6 aggs=$a6 scans=$r6")
+    // q103's unrolled loop: three pruned scans of orders union'd — no
+    // join, no window, nothing per-iteration beyond the branch
+    val p103 = SparkEntry.queries("q103_dtsx_while_loop")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(p103.linesIterator.count(_.contains("Join ")) === 0 &&
+      !p103.contains("Window"),
+      s"q103 loop plan grew structure beyond the union of branches")
+  }
+
   test("x71: quantization happens once per row, before the pair fan-out") {
     val plan = SparkEntry.queries("x71_hard_negatives")(spark, sf)
       .queryExecution.optimizedPlan.toString
