@@ -458,6 +458,78 @@ object QueriesStreaming {
     StreamingOps.drainToMemory(scored, "x97_out", ckpt(), OutputMode.Complete)
   }
 
+  /** STREAMING index-maintenance ledger — x106's df-table upsert feed
+    * computed from the delta STREAM: each delta document's distinct
+    * bigrams left-join the STANDING df table (stream-static, before the
+    * aggregation — the supported shape), the Complete-mode per-term
+    * aggregate counts the delta df, and every TOUCHED term emits its
+    * upsert row (old df, new df, band transition: entered / left /
+    * still_banded / outside). This is exactly what a maintainer writes
+    * back to the store — x106's batch maintenance driven from the
+    * stream a production corpus actually arrives on (the x97
+    * stream-static pattern on the index plane).
+    *
+    * Scale shape: per-batch work is delta-sized; the standing df table
+    * joins as a static side; state is one register per touched term. */
+  def x112_stream_index_ledger(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextOps
+    val dfC = Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(10)) =!= 7)
+      .select(col("doc_id"), explode(array_distinct(
+        TextOps.ngrams(TextOps.tokens(col("text")), 2))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df_c"))
+    val touched = docsDeltaStream(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(
+        TextOps.ngrams(TextOps.tokens(col("text")), 2))).as("term"))
+      .join(dfC, Seq("term"), "left")
+      .groupBy(col("term"), col("df_c"))
+      .agg(count(lit(1)).as("df_d"))
+      .withColumn("df_old", coalesce(col("df_c"), lit(0L)))
+      .withColumn("df_new", col("df_old") + col("df_d"))
+      .withColumn("status",
+        when(col("df_old").between(2, 32) && col("df_new").between(2, 32),
+          lit("still_banded"))
+          .when(!col("df_old").between(2, 32) && col("df_new").between(2, 32),
+            lit("entered"))
+          .when(col("df_old").between(2, 32) && !col("df_new").between(2, 32),
+            lit("left"))
+          .otherwise(lit("outside")))
+      .select(col("term"), col("df_old"), col("df_new"), col("status"))
+    StreamingOps.drainToMemory(touched, "x112_out", ckpt(), OutputMode.Complete)
+  }
+
+  val x112Oracle: String =
+    """WITH cws AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
+      |  WHERE doc_id % 10 <> 7),
+      |ct AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(generate_series(1, len(w) - 1),
+      |      i -> w[i] || ' ' || w[i + 1])) AS term
+      |  FROM cws),
+      |dfc AS (SELECT term, COUNT(*) AS df_c FROM ct GROUP BY term),
+      |dws AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
+      |  WHERE doc_id % 10 = 7),
+      |dt AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(generate_series(1, len(w) - 1),
+      |      i -> w[i] || ' ' || w[i + 1])) AS term
+      |  FROM dws),
+      |dfd AS (SELECT term, COUNT(*) AS df_d FROM dt GROUP BY term)
+      |SELECT dfd.term,
+      |  CAST(coalesce(df_c, 0) AS BIGINT) AS df_old,
+      |  CAST(coalesce(df_c, 0) + df_d AS BIGINT) AS df_new,
+      |  CASE
+      |    WHEN coalesce(df_c, 0) BETWEEN 2 AND 32
+      |      AND coalesce(df_c, 0) + df_d BETWEEN 2 AND 32 THEN 'still_banded'
+      |    WHEN NOT coalesce(df_c, 0) BETWEEN 2 AND 32
+      |      AND coalesce(df_c, 0) + df_d BETWEEN 2 AND 32 THEN 'entered'
+      |    WHEN coalesce(df_c, 0) BETWEEN 2 AND 32
+      |      AND NOT coalesce(df_c, 0) + df_d BETWEEN 2 AND 32 THEN 'left'
+      |    ELSE 'outside' END AS status
+      |FROM dfd LEFT JOIN dfc ON dfd.term = dfc.term""".stripMargin
+
   val x97Oracle: String =
     """WITH standing AS (
       |  SELECT string_split_regex(text, '\s+') AS w FROM documents
@@ -501,6 +573,7 @@ object QueriesStreaming {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x97_stream_heldout_quality" -> (x97_stream_heldout_quality _),
+    "x112_stream_index_ledger" -> (x112_stream_index_ledger _),
     "q84_stream_partitioned_sink" -> (q84_stream_partitioned_sink _),
     "q81_stream_cdc_compaction" -> (q81_stream_cdc_compaction _),
     "q43_stream_windowed_agg" -> (q43_stream_windowed_agg _),
@@ -512,6 +585,7 @@ object QueriesStreaming {
 
   val oracle: Map[String, String] = Map(
     "x97_stream_heldout_quality" -> x97Oracle,
+    "x112_stream_index_ledger" -> x112Oracle,
     "q84_stream_partitioned_sink" -> q84Oracle,
     "q81_stream_cdc_compaction" -> q81Oracle,
     "q43_stream_windowed_agg" -> q43Oracle,
