@@ -1789,6 +1789,29 @@ object QueriesRelational {
       |  TRUE AS has_2714,
       |  'stage_load' AS err_task""".stripMargin
 
+  /** Literal dynamic SQL through the dtsx frontend — `DynamicSqlETL
+    * .dtsx` (q108): `EXEC sp_executesql N'…'` and `EXEC('…')` wrappers
+    * around STATIC statements, the dynamic-SQL habit real estates wear
+    * (the reference sends every EXEC to manual review).
+    * [[graft.patterns.ExecLiteralSqlCompiler]] proves the argument is
+    * exactly one string literal (masked scan — a `+`/`,` outside the
+    * literal means concatenation/params and declines), undoes the `''`
+    * escapes, and compiles the inner statement through the SAME chain
+    * it would take written inline; EXEC towers decline. Scale shape:
+    * the unwrap is compile-time text work — the inner statements plan
+    * exactly as q-native ones. */
+  def q108_dtsx_dynamic_sql(spark: SparkSession, dir: String): DataFrame =
+    runDtsxWarehousePackage(spark, dir, "DynamicSqlETL.dtsx")
+      ._1.apply("dyn_nation")
+      .select(col("n_nationkey").cast(IntegerType).as("n_nationkey"),
+        col("n_name"))
+
+  val q108Oracle: String =
+    """SELECT CAST(n_nationkey AS INT) AS n_nationkey,
+      |  CASE WHEN n_name = 'GERMANY' THEN 'GERMANY_DE' ELSE n_name END
+      |    AS n_name
+      |FROM nation WHERE n_name <> 'FRANCE'""".stripMargin
+
   /** Explicit GROUPING SETS with grouping_id disambiguation (beyond q24's
     * rollup): two chosen aggregation levels, no intermediate level. */
   def q39_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
@@ -3162,6 +3185,7 @@ object QueriesRelational {
     "q105_dtsx_if_exists" -> (q105_dtsx_if_exists _),
     "q106_dtsx_cte_insert" -> (q106_dtsx_cte_insert _),
     "q107_dtsx_try_catch" -> (q107_dtsx_try_catch _),
+    "q108_dtsx_dynamic_sql" -> (q108_dtsx_dynamic_sql _),
     "q82_orc_roundtrip" -> (q82_orc_roundtrip _),
     "q80_dtsx_cdc_merge" -> (q80_dtsx_cdc_merge _),
     "q79_delete_cascade" -> (q79_delete_cascade _),
@@ -3262,6 +3286,7 @@ object QueriesRelational {
     "q105_dtsx_if_exists" -> q105Oracle,
     "q106_dtsx_cte_insert" -> q106Oracle,
     "q107_dtsx_try_catch" -> q107Oracle,
+    "q108_dtsx_dynamic_sql" -> q108Oracle,
     "q82_orc_roundtrip" -> q82Oracle,
     "q80_dtsx_cdc_merge" -> q80Oracle,
     "q79_delete_cascade" -> q79Oracle,

@@ -257,6 +257,18 @@ object MigrationMapping {
       TaskMapping(t.name, "ExecuteSQLTask", "converted", None,
         Some("processed-flag / watermark executor (patterns/Incremental)"),
         Nil, signals)
+    else if (graft.patterns.ExecLiteralSqlCompiler.unwrap(sql).isDefined)
+      TaskMapping(t.name, "ExecuteSQLTask", "converted", None,
+        Some("literal dynamic SQL unwraps (patterns/ExecLiteralSqlCompiler" +
+          " — sp_executesql/EXEC('…') around a single static statement " +
+          "compiles inline; @param lists and concatenation stay manual " +
+          "review)"), Nil, signals)
+    else if ("(?is)\\bdeclare\\b.{0,120}?\\bcursor\\b".r
+        .findFirstIn(sql).isDefined)
+      TaskMapping(t.name, "ExecuteSQLTask", "manual_review", None, None, Nil,
+        List("CURSOR loop: row-at-a-time control flow this engine will " +
+          "not replay — rewrite set-based (a WHILE counter loop or one " +
+          "DML statement usually replaces it)") ++ signals)
     else
       TaskMapping(t.name, "ExecuteSQLTask", "manual_review", None, None, Nil,
         List("statement shape not auto-convertible") ++ signals)

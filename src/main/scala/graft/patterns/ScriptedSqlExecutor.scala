@@ -335,6 +335,10 @@ object ScriptedSqlExecutor {
         // single statements by contract, so the recursion is one level)
         .orElse(IfExistsSqlCompiler.rewrite(spark, stmt, resolve,
           s => chain(s, resolve)))
+        // literal sp_executesql / EXEC('…') unwraps and re-enters (the
+        // compiler bans EXEC towers, so this too is one level)
+        .orElse(ExecLiteralSqlCompiler.rewrite(spark, stmt, resolve,
+          s => chain(s, resolve)))
         .orElse(SqlPatternRewriter.rewrite(spark, stmt))
 
     def script(bound: ExecuteSqlTask,

@@ -1231,6 +1231,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(w3("s3_tcs").as[Int].collect().toList === List(7))
   }
 
+  test("ExecLiteralSqlCompiler: literal dynamic SQL unwraps, params decline") {
+    import spark.implicits._
+    def mkExec(written: scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]) =
+      graft.patterns.ScriptedSqlExecutor.executor(spark,
+        resolveFrame = n => written.getOrElse(n, spark.table(n)),
+        bareName = identity,
+        commit = (k, v) => written(k) = v)
+    def task(sql: String) = graft.ir.Ir.ExecuteSqlTask("s", None, "conn", sql)
+    // sp_executesql around an UPDATE with '' escapes unwraps and runs
+    val w1 = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame](
+      "acct_dx" -> Seq((1L, "a"), (2L, "b")).toDF("id", "tag"))
+    val t1 = mkExec(w1)(task(
+      "EXEC sp_executesql N'UPDATE acct_dx SET tag = ''it''''s'' WHERE id = 1'"))
+    assert(t1.nonEmpty, "literal sp_executesql did not unwrap")
+    assert(t1.get.df.get.orderBy("id").as[(Long, String)].collect().toList
+      === List((1L, "it's"), (2L, "b")))
+    // EXEC('...') form too
+    val t2 = mkExec(w1)(task("EXEC('UPDATE acct_dx SET tag = ''z'' WHERE id = 2')"))
+    assert(t2.nonEmpty && t2.get.df.get.filter(col("id") === 2)
+      .select("tag").as[String].head() === "z")
+    // declines: @param lists, concatenation, bare procedures, EXEC towers
+    def declines(sql: String, clue: String): Unit =
+      assert(mkExec(scala.collection.mutable.Map.empty)(task(sql)).isEmpty, clue)
+    declines("EXEC sp_executesql N'UPDATE t SET v = @v', N'@v INT', @v = 1",
+      "a parameter list is truly dynamic — decline")
+    declines("EXEC('UPDATE ' + @tbl + ' SET v = 1')",
+      "concatenated fragments must decline")
+    declines("EXEC sp_load_warehouse", "a real procedure has an unseen body")
+    declines("EXEC sp_executesql N'EXEC(''SELECT 1'')'",
+      "EXEC towers must decline")
+  }
+
   test("q89 rerun purity: a second run in the same session rebuilds from scratch") {
     // run-1's temp views must not leak into run-2's spark.table fallback
     // (a bootstrap INSERT would silently become an append onto run-1's
