@@ -1812,6 +1812,32 @@ object QueriesRelational {
       |    AS n_name
       |FROM nation WHERE n_name <> 'FRANCE'""".stripMargin
 
+  /** Multi-statement IF EXISTS branches through the dtsx frontend —
+    * `ConditionalReloadETL.dtsx` (q109): the conditional
+    * full-vs-incremental reload idiom (`IF EXISTS(control='full')
+    * BEGIN clear; reload; flip; END ELSE BEGIN audit; audit; END`).
+    * The dispatch probes eagerly and routes the TAKEN branch through
+    * [[graft.patterns.ScriptedSqlExecutor]]'s overlay (so #temp /
+    * @@ROWCOUNT compose inside branches); the same statement
+    * re-evaluated after the flip takes the ELSE branch — both paths
+    * gate in one run. Single-statement branches stay with the q105
+    * chain member. Scale shape: one LIMIT-1 probe per evaluation; the
+    * branch statements plan as q-native. */
+  def q109_dtsx_if_exists_block(spark: SparkSession, dir: String): DataFrame = {
+    val (w, _) = runDtsxWarehousePackage(spark, dir, "ConditionalReloadETL.dtsx")
+    val mart = w("region_mart").agg(count(lit(1)).as("n_mart"),
+      count(when(col("r_name") === "stale", lit(1))).as("n_stale"))
+    val mode = w("lc_control").agg(max(col("mode")).as("mode"))
+    val audit = w("lc_audit").agg(count(lit(1)).as("n_audit"))
+    mart.crossJoin(mode).crossJoin(audit)
+  }
+
+  val q109Oracle: String =
+    """SELECT (SELECT COUNT(*) FROM region) AS n_mart,
+      |  CAST(0 AS BIGINT) AS n_stale,
+      |  'incremental' AS mode,
+      |  CAST(2 AS BIGINT) AS n_audit""".stripMargin
+
   /** Explicit GROUPING SETS with grouping_id disambiguation (beyond q24's
     * rollup): two chosen aggregation levels, no intermediate level. */
   def q39_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
@@ -3186,6 +3212,7 @@ object QueriesRelational {
     "q106_dtsx_cte_insert" -> (q106_dtsx_cte_insert _),
     "q107_dtsx_try_catch" -> (q107_dtsx_try_catch _),
     "q108_dtsx_dynamic_sql" -> (q108_dtsx_dynamic_sql _),
+    "q109_dtsx_if_exists_block" -> (q109_dtsx_if_exists_block _),
     "q82_orc_roundtrip" -> (q82_orc_roundtrip _),
     "q80_dtsx_cdc_merge" -> (q80_dtsx_cdc_merge _),
     "q79_delete_cascade" -> (q79_delete_cascade _),
@@ -3287,6 +3314,7 @@ object QueriesRelational {
     "q106_dtsx_cte_insert" -> q106Oracle,
     "q107_dtsx_try_catch" -> q107Oracle,
     "q108_dtsx_dynamic_sql" -> q108Oracle,
+    "q109_dtsx_if_exists_block" -> q109Oracle,
     "q82_orc_roundtrip" -> q82Oracle,
     "q80_dtsx_cdc_merge" -> q80Oracle,
     "q79_delete_cascade" -> q79Oracle,

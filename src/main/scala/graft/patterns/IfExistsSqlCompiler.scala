@@ -57,7 +57,9 @@ object IfExistsSqlCompiler {
     else Some(text.trim)
   }
 
-  private def parse(text: String): Option[Parsed] = {
+  /** Head/probe/branch splitting shared by the single-statement parse
+    * (the chain member) and [[parseMulti]] (the script-routed form). */
+  private def split(text: String): Option[(Boolean, String, String, Option[String])] = {
     val msk = UpdateSqlCompiler.masked(text)
     headRe.findFirstMatchIn(msk).flatMap { h =>
       var depth = 1
@@ -80,16 +82,62 @@ object IfExistsSqlCompiler {
             Some(rest.substring(m.end)))
           case None => (rest, None)
         }
-        for {
-          t <- branch(thenRaw)
-          e <- elseRaw match {
-            case Some(r) => branch(r).map(Some(_))
-            case None => Some(None)
-          }
-        } yield Parsed(h.group(1) != null, probe, t, e)
+        Some((h.group(1) != null, probe, thenRaw, elseRaw))
       }
     }
   }
+
+  private def parse(text: String): Option[Parsed] =
+    split(text).flatMap { case (neg, probe, thenRaw, elseRaw) =>
+      for {
+        t <- branch(thenRaw)
+        e <- elseRaw match {
+          case Some(r) => branch(r).map(Some(_))
+          case None => Some(None)
+        }
+      } yield Parsed(neg, probe, t, e)
+    }
+
+  /** A BEGIN…END branch carrying SEVERAL `;`-separated statements —
+    * T-SQL only allows multi-statement branches inside BEGIN/END, so
+    * an unwrapped branch stays single-statement. Statements must each
+    * be ownable and free of nested control flow. */
+  private def branchMulti(raw: String): Option[List[String]] = {
+    val msk0 = UpdateSqlCompiler.masked(raw)
+    beginRe.findFirstMatchIn(msk0) match {
+      case Some(b) =>
+        endRe.findFirstMatchIn(msk0) match {
+          case Some(e) if e.start >= b.end =>
+            val body = raw.substring(b.end, e.start)
+            val stmts = SqlText.splitStatements(body)
+            val ok = stmts.nonEmpty && stmts.forall { s =>
+              val m = UpdateSqlCompiler.masked(s)
+              stmtHeadRe.findFirstIn(m).isDefined &&
+                "(?i)\\b(if|while|begin)\\b".r.findFirstIn(m).isEmpty
+            }
+            if (ok) Some(stmts) else None
+          case _ => None
+        }
+      case None => branch(raw).map(List(_))
+    }
+  }
+
+  /** The multi-statement form: Some((negated, probe, thenStmts,
+    * elseStmtsOpt)) when every branch parses; the DISPATCH routes the
+    * taken branch through the script overlay when any branch carries
+    * more than one statement. */
+  private[patterns] def parseMulti(text: String)
+      : Option[(Boolean, String, List[String], Option[List[String]])] =
+    split(text).flatMap { case (neg, probe, thenRaw, elseRaw) =>
+      if ("(?is)^\\s*select\\b".r.findFirstIn(probe).isEmpty) None
+      else for {
+        t <- branchMulti(thenRaw)
+        e <- elseRaw match {
+          case Some(r) => branchMulti(r).map(Some(_))
+          case None => Some(None)
+        }
+      } yield (neg, probe, t, e)
+    }
 
   /** Parse-only classification twin (ledger / dry run) — no jobs. */
   private[graft] def shapeMatches(sqlRaw: String): Boolean =

@@ -501,6 +501,21 @@ object ScriptedSqlExecutor {
           else script(bound, ts, Some(stmtsOf(catchBody)))
         }
       }
+      // IF EXISTS with MULTI-statement BEGIN…END branches: probe
+      // eagerly, route the taken branch through the script overlay
+      // (single-statement branches stay with the chain member so they
+      // also compose INSIDE scripts)
+      else if (IfExistsSqlCompiler.parseMulti(text).exists { case (_, _, t, e) =>
+          t.length > 1 || e.exists(_.length > 1) }) {
+        val (neg, probe, thenStmts, elseOpt) =
+          IfExistsSqlCompiler.parseMulti(text).get
+        val found = !SqlPatternRewriter.runSelect(spark, probe)
+          .limit(1).isEmpty
+        (if (found != neg) Some(thenStmts) else elseOpt) match {
+          case None => Some(SqlOutcome(None, None)) // untaken, no ELSE
+          case Some(ss) => script(bound, ss)
+        }
+      }
       else WhileLoopSqlCompiler.unroll(spark, text) match {
         // a counter WHILE loop is a WHOLE-text shape too: the driver
         // evaluates its control flow, the emitted body statements run

@@ -1166,9 +1166,6 @@ class PipelineSpec extends AnyFunSuite {
       "UPDATE flags_ie SET n = 1 ELSE EXEC sp_fix",
       "unownable untaken branch must decline the WHOLE task")
     declines("IF EXISTS (SELECT 1 FROM src_ie) " +
-      "BEGIN UPDATE flags_ie SET n = 1; DELETE FROM flags_ie END",
-      "multi-statement branch must decline")
-    declines("IF EXISTS (SELECT 1 FROM src_ie) " +
       "IF EXISTS (SELECT 1 FROM src_ie) UPDATE flags_ie SET n = 1",
       "nested IF must decline")
     // 'ELSE' inside a string literal is not a branch split
@@ -1179,6 +1176,29 @@ class PipelineSpec extends AnyFunSuite {
         "UPDATE n_ie SET note = 'this else that'"))
     assert(lit3.nonEmpty &&
       lit3.get.df.get.select("note").as[String].head() === "this else that")
+    // MULTI-statement BEGIN/END branches route through the overlay:
+    // clear + reload + flip, all-or-nothing, @@ROWCOUNT composing
+    // probes read REGISTERED VIEWS (the runner's bind contract) — the
+    // scaffold registers every referenced warehouse table before a task
+    Seq(("full", 0)).toDF("mode", "z").createOrReplaceTempView("ctrl_ie")
+    val w4 = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame](
+      "ctrl_ie" -> spark.table("ctrl_ie"),
+      "mart_ie" -> Seq((9L, "stale")).toDF("k", "tag"))
+    assert(mkExec(w4)(task(
+      "IF EXISTS (SELECT 1 FROM ctrl_ie WHERE mode = 'full') BEGIN " +
+        "DELETE FROM mart_ie; " +
+        "INSERT INTO mart_ie SELECT id AS k, 'fresh' AS tag FROM src_ie; " +
+        "INSERT INTO log_ie (n) VALUES (@@ROWCOUNT); END " +
+        "ELSE BEGIN INSERT INTO log_ie (n) VALUES (-1); END")).nonEmpty)
+    assert(w4("mart_ie").filter(col("tag") === "stale").count() === 0L)
+    assert(w4("mart_ie").count() === 2L)
+    assert(w4("log_ie").as[Int].head() === 2,
+      "@@ROWCOUNT did not compose inside the taken branch")
+    // a half-ownable multi-branch still declines whole (EXEC tail)
+    assert(mkExec(scala.collection.mutable.Map.empty)(task(
+      "IF EXISTS (SELECT 1 FROM src_ie) BEGIN " +
+        "INSERT INTO m_ie (k) VALUES (1); EXEC sp_x; END " +
+        "ELSE BEGIN INSERT INTO m_ie (k) VALUES (2); END")).isEmpty)
   }
 
   test("ScriptedSqlExecutor: TRY/CATCH keeps pre-failure state, binds ERROR_MESSAGE") {
