@@ -5812,11 +5812,7 @@ object QueriesTrainingData {
        |top_$tag AS (
        |  SELECT query_id, neighbor_id FROM adc_$tag
        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
-       |    ORDER BY adc_dist, neighbor_id) <= 5),
-       |hits_$tag AS (
-       |  SELECT COUNT(*) AS h FROM top_$tag t
-       |  JOIN exact e ON t.query_id = e.query_id
-       |    AND t.neighbor_id = e.neighbor_id)""".stripMargin
+       |    ORDER BY adc_dist, neighbor_id) <= 5)""".stripMargin
 
   lazy val x111Oracle: String = {
     val cfgs = pqFrontierConfigs
@@ -5840,8 +5836,167 @@ object QueriesTrainingData {
        |    ORDER BY d, b.vec_id) <= 5),
        |""".stripMargin +
       cfgs.map { case (tag, m, sd, ncw, _) =>
-        pqCfgOracleCtes(tag, m, sd, ncw) }.mkString(",\n") + "\n" + rows
+        pqCfgOracleCtes(tag, m, sd, ncw) + s""",
+           |hits_$tag AS (
+           |  SELECT COUNT(*) AS h FROM top_$tag t
+           |  JOIN exact e ON t.query_id = e.query_id
+           |    AND t.neighbor_id = e.neighbor_id)""".stripMargin
+      }.mkString(",\n") + "\n" + rows
   }
+
+  /** Hybrid retrieval with reciprocal-rank fusion — the production RAG
+    * stack in one gated operator: SPARSE doc-to-doc BM25 (x107's
+    * machinery, query = a document's own discriminative terms,
+    * candidates band-bounded at ≤ 32 docs/term) fused with DENSE
+    * PQ/ADC ANN (x108) by RRF (`1/(60+rank)`, Cormack et al. 2009).
+    * Every parity lesson of this plane is load-bearing here: the
+    * per-term BM25 weight is the bit-identical IEEE chain from x107
+    * QUANTIZED to the 1e-6 integer grid with floor(x+0.5) (the x37
+    * convention) so the CROSS-TERM sum is order-blind exact integers —
+    * never a float sum across rows, never a decimal cast of a
+    * non-summed double (the x107 finding); the RRF score is exactly
+    * two IEEE terms in pinned order. Ranks tie-break on doc_id
+    * throughout.
+    *
+    * Scale shape: sparse candidates are |query terms| × ≤ 32 rows by
+    * the df-band contract; the dense side is x108's broadcast shapes;
+    * the fusion is a top-10 × top-10 full-outer join per query. */
+  def x113_hybrid_retrieval(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = documents(spark, dir)
+      .select(col("doc_id"),
+        explode(TextOps.ngrams(TextOps.tokens(col("text")), 2)).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .cache()
+    val dfx = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= 32)
+    val lens = tf.groupBy(col("doc_id"))
+      .agg((lit(1L) + sum(col("tf"))).as("len"))
+    val stats = lens.agg(count(lit(1)).as("nd"),
+      (sum(col("len")).cast(DoubleType) / count(lit(1))).as("avgdl"))
+    val qterms = tf.filter(col("doc_id") < 10)
+      .join(dfx, Seq("term"))
+      .select(col("doc_id").as("query_id"), col("term"), col("df"))
+    val idf = ((col("nd").cast(DoubleType) - col("df").cast(DoubleType))
+      + lit(0.5)) / (col("df").cast(DoubleType) + lit(0.5))
+    val sat = (col("tf").cast(DoubleType) * lit(2.2)) /
+      (col("tf").cast(DoubleType) + lit(1.2) *
+        (lit(0.25) + lit(0.75) * (col("len").cast(DoubleType) / col("avgdl"))))
+    val sparse = tf.join(qterms, Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      // 1e-6-grid integer weight: the cross-term sum stays exact
+      .withColumn("w_int",
+        floor((idf * sat) * lit(1000000.0) + lit(0.5)).cast(LongType))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("w_int")).as("s_sparse"))
+      .withColumn("r_sparse", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("s_sparse").desc, col("doc_id"))))
+      .filter(col("r_sparse") <= 10)
+      .select(col("query_id"), col("doc_id"), col("r_sparse"))
+    val dense = graft.sim.PqIndex.adcTopK(embeddings(spark, dir), "vec_id",
+        "embedding", queryPred = col("vec_id") < 10, k = 10)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("r_dense"))
+    val fused = sparse.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      // EXACTLY two IEEE terms in pinned order — deterministic per row
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60.0) + col("r_sparse").cast(DoubleType)),
+          lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("r_dense").cast(DoubleType)),
+            lit(0.0)))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf").desc, col("doc_id"))))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank").cast(IntegerType).as("rank"),
+        col("doc_id"),
+        col("r_sparse").cast(IntegerType).as("r_sparse"),
+        col("r_dense").cast(IntegerType).as("r_dense"),
+        col("rrf"))
+    val res = fused.localCheckpoint(true)
+    tf.unpersist()
+    res
+  }
+
+  lazy val x113Oracle: String =
+    s"""WITH q AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |${pqCfgOracleCtes("hx", 32, 2, 64)},
+       |dense AS (
+       |  SELECT query_id, neighbor_id AS doc_id,
+       |    CAST(rnk AS INT) AS r_dense
+       |  FROM (
+       |    SELECT query_id, neighbor_id, adc_dist,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY adc_dist, neighbor_id) AS rnk
+       |    FROM adc_hx)
+       |  WHERE rnk <= 10),
+       |ws AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents),
+       |t AS (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+       |    i -> w[i] || ' ' || w[i + 1])) AS term
+       |  FROM ws),
+       |tf AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
+       |dfx AS (
+       |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+       |  HAVING COUNT(*) BETWEEN 2 AND 32),
+       |lens AS (SELECT doc_id, 1 + SUM(tf) AS len FROM tf GROUP BY doc_id),
+       |stats AS (
+       |  SELECT COUNT(*) AS nd,
+       |    CAST(SUM(len) AS DOUBLE) / COUNT(*) AS avgdl
+       |  FROM lens),
+       |qterms AS (
+       |  SELECT tf.doc_id AS query_id, tf.term, dfx.df
+       |  FROM tf JOIN dfx ON tf.term = dfx.term
+       |  WHERE tf.doc_id < 10),
+       |sparse0 AS (
+       |  SELECT qterms.query_id, tf.doc_id,
+       |    SUM(CAST(floor(
+       |      ((((CAST(nd AS DOUBLE) - CAST(qterms.df AS DOUBLE)) + 0.5)
+       |          / (CAST(qterms.df AS DOUBLE) + 0.5))
+       |        * ((CAST(tf AS DOUBLE) * 2.2)
+       |          / (CAST(tf AS DOUBLE) + 1.2
+       |            * (0.25 + 0.75 * (CAST(len AS DOUBLE) / avgdl)))))
+       |      * 1000000.0 + 0.5) AS BIGINT)) AS s_sparse
+       |  FROM tf
+       |  JOIN qterms ON tf.term = qterms.term
+       |  JOIN lens ON tf.doc_id = lens.doc_id
+       |  CROSS JOIN stats
+       |  WHERE tf.doc_id <> qterms.query_id
+       |  GROUP BY 1, 2),
+       |sparse AS (
+       |  SELECT query_id, doc_id, CAST(rs AS INT) AS r_sparse FROM (
+       |    SELECT query_id, doc_id, s_sparse,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY s_sparse DESC, doc_id) AS rs
+       |    FROM sparse0)
+       |  WHERE rs <= 10),
+       |fused AS (
+       |  SELECT coalesce(sparse.query_id, dense.query_id) AS query_id,
+       |    coalesce(sparse.doc_id, dense.doc_id) AS doc_id,
+       |    sparse.r_sparse, dense.r_dense,
+       |    coalesce(1.0 / (60.0 + CAST(sparse.r_sparse AS DOUBLE)), 0.0)
+       |      + coalesce(1.0 / (60.0 + CAST(dense.r_dense AS DOUBLE)), 0.0)
+       |      AS rrf
+       |  FROM sparse FULL OUTER JOIN dense
+       |    ON sparse.query_id = dense.query_id
+       |    AND sparse.doc_id = dense.doc_id)
+       |SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
+       |  r_sparse, r_dense, rrf
+       |FROM (
+       |  SELECT query_id, doc_id, r_sparse, r_dense, rrf,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY rrf DESC, doc_id) AS rank
+       |  FROM fused)
+       |WHERE rank <= 10""".stripMargin
 
   /** URL takedown sweep — corpus governance at the canonical-URL key
     * (the DMCA/robots-retroactive case): a takedown list of canonical
@@ -6085,6 +6240,7 @@ object QueriesTrainingData {
     "x109_ivf_pq" -> (x109_ivf_pq _),
     "x110_ivf_cell_balance" -> (x110_ivf_cell_balance _),
     "x111_pq_frontier" -> (x111_pq_frontier _),
+    "x113_hybrid_retrieval" -> (x113_hybrid_retrieval _),
     "x80_vision_token_budget" -> (x80_vision_token_budget _),
     "x79_url_takedown" -> (x79_url_takedown _),
     "x78_tokenizer_fertility" -> (x78_tokenizer_fertility _),
@@ -6197,6 +6353,7 @@ object QueriesTrainingData {
     "x109_ivf_pq" -> x109Oracle,
     "x110_ivf_cell_balance" -> x110Oracle,
     "x111_pq_frontier" -> x111Oracle,
+    "x113_hybrid_retrieval" -> x113Oracle,
     "x80_vision_token_budget" -> x80Oracle,
     "x79_url_takedown" -> x79Oracle,
     "x78_tokenizer_fertility" -> x78Oracle,
