@@ -1838,6 +1838,65 @@ object QueriesRelational {
       |  'incremental' AS mode,
       |  CAST(2 AS BIGINT) AS n_audit""".stripMargin
 
+  /** T-SQL `OUTPUT … INTO` through the dtsx frontend —
+    * `AuditedPurgeETL.dtsx` archives purged rows from a DELETE
+    * (archive-before-delete) and writes a pre/post-image price audit
+    * from an UPDATE ([[graft.patterns.OutputIntoSqlCompiler]]: the
+    * audit append rides [[graft.pipeline.PackageRunner.SqlOutcome]]'s
+    * `side` writes, applied before the state replacement; both frames
+    * are narrow projections of one pre-state scan — zero joins). The
+    * gate certifies all three surfaces: the archive rows, the audit's
+    * old/new images, and the final live-table state. */
+  def q110_dtsx_output_into(spark: SparkSession, dir: String): DataFrame = {
+    val (w, _) = runDtsxWarehousePackage(spark, dir, "AuditedPurgeETL.dtsx")
+    val archive = w("orders_archive").select(col("o_orderkey"),
+      lit("archive").as("kind"),
+      col("o_totalprice").cast(DoubleType).as("old_price"),
+      lit(null).cast(DoubleType).as("new_price"), col("o_orderpriority"))
+    val audit = w("price_audit").select(col("o_orderkey"), lit("audit").as("kind"),
+      col("old_price").cast(DoubleType).as("old_price"),
+      col("new_price").cast(DoubleType).as("new_price"), col("o_orderpriority"))
+    val live = w("orders_live").select(col("o_orderkey"), lit("final").as("kind"),
+      lit(null).cast(DoubleType).as("old_price"),
+      col("o_totalprice").cast(DoubleType).as("new_price"), col("o_orderpriority"))
+    archive.unionByName(audit).unionByName(live)
+  }
+
+  val q110Oracle: String =
+    """WITH live0 AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice, o_orderpriority
+      |  FROM orders),
+      |purged AS (
+      |  SELECT * FROM live0 WHERE o_orderstatus = 'F' AND o_totalprice < 100000),
+      |live1 AS (
+      |  SELECT * FROM live0
+      |  WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000)),
+      |audit AS (
+      |  SELECT o_orderkey, o_totalprice AS old_price,
+      |    CAST(o_totalprice + 12.75 AS DECIMAL(12,2)) AS new_price,
+      |    o_orderpriority
+      |  FROM live1 WHERE o_orderpriority = '1-URGENT'),
+      |live2 AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderpriority = '1-URGENT'
+      |         THEN CAST(o_totalprice + 12.75 AS DECIMAL(12,2))
+      |         ELSE o_totalprice END AS o_totalprice,
+      |    o_orderpriority
+      |  FROM live1)
+      |SELECT o_orderkey, 'archive' AS kind,
+      |  CAST(o_totalprice AS DOUBLE) AS old_price,
+      |  CAST(NULL AS DOUBLE) AS new_price, o_orderpriority
+      |FROM purged
+      |UNION ALL
+      |SELECT o_orderkey, 'audit', CAST(old_price AS DOUBLE),
+      |  CAST(new_price AS DOUBLE), o_orderpriority
+      |FROM audit
+      |UNION ALL
+      |SELECT o_orderkey, 'final', CAST(NULL AS DOUBLE),
+      |  CAST(o_totalprice AS DOUBLE), o_orderpriority
+      |FROM live2""".stripMargin
+
   /** Explicit GROUPING SETS with grouping_id disambiguation (beyond q24's
     * rollup): two chosen aggregation levels, no intermediate level. */
   def q39_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
@@ -3213,6 +3272,7 @@ object QueriesRelational {
     "q107_dtsx_try_catch" -> (q107_dtsx_try_catch _),
     "q108_dtsx_dynamic_sql" -> (q108_dtsx_dynamic_sql _),
     "q109_dtsx_if_exists_block" -> (q109_dtsx_if_exists_block _),
+    "q110_dtsx_output_into" -> (q110_dtsx_output_into _),
     "q82_orc_roundtrip" -> (q82_orc_roundtrip _),
     "q80_dtsx_cdc_merge" -> (q80_dtsx_cdc_merge _),
     "q79_delete_cascade" -> (q79_delete_cascade _),
@@ -3315,6 +3375,7 @@ object QueriesRelational {
     "q107_dtsx_try_catch" -> q107Oracle,
     "q108_dtsx_dynamic_sql" -> q108Oracle,
     "q109_dtsx_if_exists_block" -> q109Oracle,
+    "q110_dtsx_output_into" -> q110Oracle,
     "q82_orc_roundtrip" -> q82Oracle,
     "q80_dtsx_cdc_merge" -> q80Oracle,
     "q79_delete_cascade" -> q79Oracle,

@@ -233,6 +233,12 @@ object MigrationMapping {
         Some("SELECT compiles to a DataFrame" + t.resultVariable.fold("")(v =>
           s"; result set bound to $v (watermark read / ForEach ADO feed)")),
         Nil, signals)
+    else if (graft.patterns.OutputIntoSqlCompiler.shapeMatches(sql))
+      TaskMapping(t.name, "ExecuteSQLTask", "converted", None,
+        Some("OUTPUT…INTO DML executes (patterns/OutputIntoSqlCompiler — " +
+          "audit/archive rows from the fired pre-state rows ride a side " +
+          "append before the state replacement; both frames are narrow " +
+          "projections of one scan)"), Nil, signals)
     else if (graft.patterns.UpdateSqlCompiler.shapeMatches(sql))
       TaskMapping(t.name, "ExecuteSQLTask", "converted", None,
         Some("canonical UPDATE executes (patterns/UpdateSqlCompiler — " +

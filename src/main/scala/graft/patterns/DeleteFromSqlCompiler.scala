@@ -42,7 +42,7 @@ object DeleteFromSqlCompiler {
     "(?i)\\b(left|right|full|outer|cross)\\s+join\\b".r
 
   private val bodyKeywordRe =
-    "(?i)\\b(select|insert|update|delete|merge|from|join)\\b".r
+    "(?i)\\b(select|insert|update|delete|merge|from|join|output)\\b".r
 
   /** Parse-only classification twin of [[rewrite]] (no frames touched). */
   private[graft] def shapeMatches(sqlRaw: String): Boolean = {

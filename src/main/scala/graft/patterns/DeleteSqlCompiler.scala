@@ -34,7 +34,7 @@ object DeleteSqlCompiler {
   private val truncateRe =
     "(?is)^\\s*truncate\\s+table\\s+([^\\s;]+)\\s*;?\\s*$".r
 
-  private val deleteKeywordRe = "(?i)\\b(insert|select|from|join)\\b".r
+  private val deleteKeywordRe = "(?i)\\b(insert|select|from|join|output)\\b".r
   private def disqualified(body: String): Boolean =
     MergeSqlCompiler.bodyDisqualified(body, deleteKeywordRe)
 

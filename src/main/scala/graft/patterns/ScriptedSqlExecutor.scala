@@ -325,6 +325,10 @@ object ScriptedSqlExecutor {
     def chain(stmt: ExecuteSqlTask,
         resolve: String => DataFrame): Option[SqlOutcome] =
       MergeSqlCompiler.rewrite(spark, stmt, resolve)
+        // OUTPUT…INTO must test first: the plain UPDATE regex would
+        // swallow an OUTPUT clause into its SET list (it declines on
+        // the keyword, but the clause is executable — own it here)
+        .orElse(OutputIntoSqlCompiler.rewrite(spark, stmt, resolve))
         .orElse(UpdateSqlCompiler.rewrite(spark, stmt, resolve))
         .orElse(UpdateFromSqlCompiler.rewrite(spark, stmt, resolve))
         .orElse(DeleteSqlCompiler.rewrite(spark, stmt, resolve))
@@ -369,18 +373,24 @@ object ScriptedSqlExecutor {
             .foreach { _ => shadowed(name) = spark.table(name) }
       def res(name: String): DataFrame =
         overlay.getOrElse(name, resolveFrame(name))
-      def stage(o: SqlOutcome): Unit =
-        for { tgt <- o.target; df <- o.df } {
-          val bare = bareName(tgt)
-          snapshot(bare)
-          overlay(bare) = o.mode match {
-            case SaveMode.Append =>
-              scala.util.Try(res(bare)).toOption
-                .map(_.unionByName(df)).getOrElse(df)
-            case _ => df
-          }
-          overlay(bare).createOrReplaceTempView(bare)
+      def stageOne(tgt: String, df: DataFrame, mode: SaveMode): Unit = {
+        val bare = bareName(tgt)
+        snapshot(bare)
+        overlay(bare) = mode match {
+          case SaveMode.Append =>
+            scala.util.Try(res(bare)).toOption
+              .map(_.unionByName(df)).getOrElse(df)
+          case _ => df
         }
+        overlay(bare).createOrReplaceTempView(bare)
+      }
+      def stage(o: SqlOutcome): Unit = {
+        // OUTPUT…INTO side writes stage first — their frames were built
+        // over the pre-statement state, and a later statement reading
+        // the audit table must see the appended rows
+        o.side.foreach { case (t, f, m) => stageOne(t, f, m) }
+        for { tgt <- o.target; df <- o.df } stageOne(tgt, df, o.mode)
+      }
       val outcomes = scala.collection.mutable.ListBuffer.empty[SqlOutcome]
       // the view drop must survive EXCEPTIONS, not just declines: a
       // compiler `require` or a unionByName schema mismatch thrown

@@ -59,7 +59,7 @@ object UpdateFromSqlCompiler {
     * second join, or a FROM (a subquery leg) leaves the canonical
     * contract. */
   private val bodyKeywordRe =
-    "(?i)\\b(select|insert|update|delete|merge|from|join)\\b".r
+    "(?i)\\b(select|insert|update|delete|merge|from|join|output)\\b".r
 
   /** Parse-only classification twin of [[rewrite]] (no frames touched). */
   private[graft] def shapeMatches(sqlRaw: String): Boolean = {

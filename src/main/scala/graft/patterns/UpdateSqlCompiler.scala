@@ -52,7 +52,7 @@ object UpdateSqlCompiler {
   /** A clause body that leaves the canonical contract: a FROM/JOIN leg
     * (the T-SQL correlated-update form), a subquery, a trailing script
     * statement, or a quoted identifier ([[MergeSqlCompiler.bodyDisqualified]]). */
-  private val updateKeywordRe = "(?i)\\b(from|join|select|insert)\\b".r
+  private val updateKeywordRe = "(?i)\\b(from|join|select|insert|output)\\b".r
   private def disqualified(body: String): Boolean =
     MergeSqlCompiler.bodyDisqualified(body, updateKeywordRe)
 
@@ -70,6 +70,32 @@ object UpdateSqlCompiler {
     }
   }
 
+  /** Parse + validate a SET list against the target's schema: a
+    * misspelled or duplicated SET column must abort, not silently
+    * no-op / collapse (the MergeSqlCompiler validation contract).
+    * Returns lowercase column name → assigned expression over the
+    * PRE-update row. Shared with [[OutputIntoSqlCompiler]] so the
+    * OUTPUT-clause form validates identically. */
+  private[patterns] def parsedAssignments(setList: String, tgt: DataFrame,
+      tgtName: String): Map[String, org.apache.spark.sql.Column] = {
+    val assignments = MergeSqlCompiler.splitTop(setList).map { a =>
+      val i = a.indexOf('=')
+      require(i > 0, s"UPDATE SET assignment has no '=': $a")
+      a.take(i).trim -> expr(a.drop(i + 1).trim)
+    }
+    val tgtCols = tgt.columns.map(_.toLowerCase).toSet
+    val bad = assignments.map(_._1).filterNot(c => tgtCols(c.toLowerCase))
+    require(bad.isEmpty,
+      s"UPDATE SET names column(s) absent from target ${tgtName}: " +
+        bad.mkString(", "))
+    val dup = assignments.map(_._1).groupBy(_.toLowerCase)
+      .filter(_._2.size > 1)
+    require(dup.isEmpty,
+      s"UPDATE SET assigns column(s) more than once: " +
+        dup.keys.mkString(", "))
+    assignments.map { case (k, v) => k.toLowerCase -> v }.toMap
+  }
+
   def rewrite(spark: SparkSession, task: ExecuteSqlTask,
       resolve: String => DataFrame): Option[SqlOutcome] = {
     val sql = SqlText.stripComments(task.sqlStatement)
@@ -83,24 +109,7 @@ object UpdateSqlCompiler {
       if ((setList :: whereOpt.toList).exists(disqualified)) None
       else Some {
         val tgt = resolve(tgtName)
-        val assignments = MergeSqlCompiler.splitTop(setList).map { a =>
-          val i = a.indexOf('=')
-          require(i > 0, s"UPDATE SET assignment has no '=': $a")
-          a.take(i).trim -> expr(a.drop(i + 1).trim)
-        }
-        // a misspelled or duplicated SET column must abort, not silently
-        // no-op / collapse — the MergeSqlCompiler validation contract
-        val tgtCols = tgt.columns.map(_.toLowerCase).toSet
-        val bad = assignments.map(_._1).filterNot(c => tgtCols(c.toLowerCase))
-        require(bad.isEmpty,
-          s"UPDATE SET names column(s) absent from target ${tgtName}: " +
-            bad.mkString(", "))
-        val dup = assignments.map(_._1).groupBy(_.toLowerCase)
-          .filter(_._2.size > 1)
-        require(dup.isEmpty,
-          s"UPDATE SET assigns column(s) more than once: " +
-            dup.keys.mkString(", "))
-        val setLc = assignments.map { case (k, v) => k.toLowerCase -> v }.toMap
+        val setLc = parsedAssignments(setList, tgt, tgtName)
         val pred = whereOpt.map(w => coalesce(expr(w), lit(false)))
           .getOrElse(lit(true))
         val updated = tgt.select(tgt.columns.toSeq.map { c =>

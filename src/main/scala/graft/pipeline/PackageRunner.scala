@@ -36,7 +36,14 @@ object PackageRunner {
     *   rather than substituting a wrong number. */
   final case class SqlOutcome(df: Option[DataFrame], target: Option[String],
       mode: SaveMode = SaveMode.Overwrite,
-      affected: Option[() => Long] = None)
+      affected: Option[() => Long] = None,
+      /** Companion writes the statement carries BESIDE its main
+        * target mutation — T-SQL's `OUTPUT … INTO` audit/archive
+        * clause ([[graft.patterns.OutputIntoSqlCompiler]]). Applied
+        * BEFORE the main write: the side frames are built over the
+        * PRE-statement state, and an audit append must never observe
+        * its own statement's mutation. */
+      side: List[(String, DataFrame, SaveMode)] = Nil)
 
   sealed trait TaskStatus
   object TaskStatus {
@@ -567,11 +574,15 @@ object PackageRunner {
               }
             }.toList
           env.sqlExecutor(sql) match {
-            case Some(SqlOutcome(Some(out), Some(target), mode, _)) =>
+            case Some(o @ SqlOutcome(Some(out), Some(target), mode, _, _)) =>
+              // OUTPUT…INTO side writes land first: audit/archive rows
+              // are built over the pre-statement state
+              o.side.foreach { case (t, f, m) => env.write(t, f, m) }
               env.write(target, out, mode)
               TaskRun(task.name, "ExecuteSQLTask", TaskStatus.Succeeded,
                 pattern = Some(detection), notes = bindResult(Some(out)))
-            case Some(SqlOutcome(out, _, _, _)) =>
+            case Some(o @ SqlOutcome(out, _, _, _, _)) =>
+              o.side.foreach { case (t, f, m) => env.write(t, f, m) }
               TaskRun(task.name, "ExecuteSQLTask", TaskStatus.Succeeded,
                 pattern = Some(detection), notes = bindResult(out))
             case None =>

@@ -484,6 +484,121 @@ class PipelineSpec extends AnyFunSuite {
     assert(plan.contains("__graft_mcnt"))
   }
 
+  test("OutputIntoSqlCompiler: audit/archive side writes; off-shape stays None") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tgt = Seq((1L, 10.0, "A"), (2L, 20.0, "B"), (3L, 30.0, "A"))
+      .toDF("id", "bal", "tag")
+    val audit = Seq.empty[(Long, Double, Double)].toDF("id", "old_bal", "new_bal")
+    val archive = Seq.empty[(Long, Double, String)].toDF("id", "bal", "tag")
+    val frames = Map("acct" -> tgt, "audit" -> audit, "arch" -> archive)
+    def task(sql: String) = graft.ir.Ir.ExecuteSqlTask("oi", None, "conn", sql)
+    def go(sql: String) =
+      graft.patterns.OutputIntoSqlCompiler.rewrite(spark, task(sql), frames)
+    // UPDATE: audit rows carry BOTH images (deleted = pre, inserted =
+    // the SET expression over the PRE-update row); target is the usual
+    // CASE state replacement; @@ROWCOUNT = fired rows
+    val up = go("UPDATE acct SET bal = bal * 2 " +
+      "OUTPUT inserted.id, deleted.bal AS old_bal, inserted.bal AS new_bal " +
+      "INTO audit WHERE tag = 'A'")
+      .getOrElse(fail("canonical UPDATE OUTPUT INTO did not compile"))
+    assert(up.target.contains("acct") && up.mode ===
+      org.apache.spark.sql.SaveMode.Overwrite)
+    assert(up.df.get.orderBy("id").as[(Long, Double, String)].collect().toList
+      === List((1L, 20.0, "A"), (2L, 20.0, "B"), (3L, 60.0, "A")))
+    val List((an, af, am)) = up.side
+    assert(an === "audit" && am === org.apache.spark.sql.SaveMode.Append)
+    assert(af.orderBy("id").as[(Long, Double, Double)].collect().toList
+      === List((1L, 10.0, 20.0), (3L, 30.0, 60.0)))
+    assert(up.affected.get.apply() === 2L)
+    // DELETE with deleted.* and an explicit positional column list;
+    // unnamed audit columns take typed NULLs
+    val del = go("DELETE FROM acct OUTPUT deleted.id, deleted.tag " +
+      "INTO arch (id, tag) WHERE bal >= 20").get
+    assert(del.df.get.as[(Long, Double, String)].collect().toList
+      === List((1L, 10.0, "A")))
+    val arch = del.side.head._2
+    assert(arch.columns.toList === List("id", "bal", "tag"))
+    assert(arch.orderBy("id").as[(Long, Option[Double], String)].collect()
+      .toList === List((2L, None, "B"), (3L, None, "A")))
+    // deleted.* expands positionally over the whole target row
+    val delStar = go("DELETE FROM acct OUTPUT deleted.* INTO arch " +
+      "WHERE tag = 'B'").get
+    assert(delStar.side.head._2.as[(Long, Double, String)].collect().toList
+      === List((2L, 20.0, "B")))
+    // arity mismatch aborts eagerly (T-SQL 213), as does an unknown
+    // audit column and an unknown OUTPUT column
+    assert(intercept[IllegalArgumentException] {
+      go("DELETE FROM acct OUTPUT deleted.id INTO arch WHERE bal >= 20")
+    }.getMessage.contains("213"))
+    assert(intercept[IllegalArgumentException] {
+      go("DELETE FROM acct OUTPUT deleted.id INTO arch (nope) WHERE bal >= 20")
+    }.getMessage.contains("nope"))
+    assert(intercept[IllegalArgumentException] {
+      go("UPDATE acct SET bal = 0 OUTPUT deleted.nope INTO audit")
+    }.getMessage.contains("nope"))
+    // off-shape declines: inserted in a DELETE, OUTPUT without INTO,
+    // OUTPUT into the statement's own target, a FROM/JOIN leg, a
+    // subquery in the WHERE, deleted.* with an alias
+    assert(go("DELETE FROM acct OUTPUT inserted.id INTO arch (id)").isEmpty)
+    assert(go("UPDATE acct SET bal = 0 OUTPUT deleted.bal WHERE tag = 'A'").isEmpty)
+    assert(go("UPDATE acct SET bal = 0 OUTPUT deleted.bal INTO acct").isEmpty)
+    assert(go("UPDATE t SET bal = 0 OUTPUT deleted.bal INTO audit " +
+      "FROM acct t JOIN audit s ON t.id = s.id").isEmpty)
+    assert(go("DELETE FROM acct OUTPUT deleted.id INTO arch (id) " +
+      "WHERE bal = (SELECT max(old_bal) FROM audit)").isEmpty)
+    assert(go("DELETE FROM acct OUTPUT deleted.* AS d INTO arch").isEmpty)
+    // the plain compilers DECLINE the OUTPUT forms (never half-execute)
+    assert(graft.patterns.UpdateSqlCompiler.rewrite(spark,
+      task("UPDATE acct SET bal = 0 OUTPUT deleted.bal INTO audit"),
+      frames).isEmpty)
+    // shapeMatches is the parse-only twin
+    assert(graft.patterns.OutputIntoSqlCompiler.shapeMatches(
+      "UPDATE acct SET bal = bal + 1 OUTPUT deleted.bal AS old_bal, " +
+        "inserted.bal AS new_bal INTO audit (old_bal, new_bal) WHERE tag = 'A'"))
+    assert(!graft.patterns.OutputIntoSqlCompiler.shapeMatches(
+      "UPDATE acct SET bal = 0 WHERE tag = 'A'"))
+    assert(!graft.patterns.OutputIntoSqlCompiler.shapeMatches(
+      "DELETE FROM acct OUTPUT inserted.id INTO arch"))
+    // a literal 'output into' inside a string is DATA, not structure
+    assert(!graft.patterns.OutputIntoSqlCompiler.shapeMatches(
+      "UPDATE acct SET tag = 'output into arch' WHERE bal > 0"))
+    assert(graft.patterns.UpdateSqlCompiler.shapeMatches(
+      "UPDATE acct SET tag = 'output into arch' WHERE bal > 0"))
+    // zero joins: both frames are narrow projections of one scan
+    val upPlan = up.df.get.queryExecution.optimizedPlan.toString
+    val auPlan = af.queryExecution.optimizedPlan.toString
+    assert(!upPlan.contains("Join ") && !auPlan.contains("Join "))
+  }
+
+  test("OutputIntoSqlCompiler: script staging order and @@ROWCOUNT") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def mkExec(written: scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]) =
+      graft.patterns.ScriptedSqlExecutor.executor(spark,
+        resolveFrame = n => written.getOrElse(n, spark.table(n)),
+        bareName = identity,
+        commit = (k, v) => written(k) = v)
+    def task(sql: String) = graft.ir.Ir.ExecuteSqlTask("so", None, "conn", sql)
+    // a later script statement reads the audit rows the OUTPUT clause
+    // staged, and @@ROWCOUNT after the OUTPUT DML counts fired rows
+    val w = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame](
+      "t" -> Seq((1L, 5.0), (2L, 50.0), (3L, 500.0)).toDF("id", "v"),
+      "aud" -> Seq.empty[(Long, Double, Double)].toDF("id", "old_v", "new_v"),
+      "log" -> Seq.empty[(String, Long)].toDF("what", "n"))
+    mkExec(w)(task(
+      "UPDATE t SET v = v + 1 OUTPUT inserted.id, deleted.v AS old_v, " +
+        "inserted.v AS new_v INTO aud WHERE v >= 50; " +
+        "INSERT INTO log (what, n) VALUES ('updated', @@ROWCOUNT); " +
+        "DELETE FROM aud WHERE old_v > 100"))
+      .getOrElse(fail("OUTPUT script did not compile"))
+    assert(w("t").orderBy("id").as[(Long, Double)].collect().toList
+      === List((1L, 5.0), (2L, 51.0), (3L, 501.0)))
+    assert(w("aud").as[(Long, Double, Double)].collect().toList
+      === List((2L, 50.0, 51.0)))
+    assert(w("log").as[(String, Long)].head() === (("updated", 2L)))
+  }
+
   test("DeleteFromSqlCompiler: correlated join-delete; off-shape stays None") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
