@@ -5998,6 +5998,83 @@ object QueriesTrainingData {
        |  FROM fused)
        |WHERE rank <= 10""".stripMargin
 
+  /** DSIR-style importance resampling — domain-targeted data selection
+    * (Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling"): score every raw-pool document by how
+    * target-like its token distribution is, then take the top of the
+    * pool as the resampled training slice. Target here = the curated
+    * English sample (`lang = 'en' AND source IN ('src0','src1')`);
+    * the pool = everything else.
+    *
+    * Cross-engine determinism (the x37/x107 convention): the
+    * per-feature importance weight is a LOG-FREE odds ratio on an
+    * integer grid — `w_f = (T_f + 1) * 1e6 div (R_f + 1)` with
+    * `T_f`/`R_f` the add-one-smoothed target/corpus token counts —
+    * so every weight, document score, and per-token score is exact
+    * BIGINT arithmetic (`div` here, `//` in the DuckDB oracle; both
+    * truncate identically on non-negatives). `w_f` is monotone in the
+    * DSIR likelihood ratio per feature, and the per-token score is the
+    * resampling key. Shape: ONE corpus tokenize feeds both the
+    * vocab-sized weight table (a single conditional-sum aggregate —
+    * no second corpus pass) and the term-keyed score join; source/
+    * lang/target flags ride the doc-keyed groupBy as functionally
+    * dependent keys (no meta join at corpus scale); top-40 lands via
+    * TakeOrdered, never a global sort. */
+  def x114_importance_resample(spark: SparkSession, dir: String): DataFrame = {
+    val isTgt = col("lang") === "en" &&
+      col("source").isin("src0", "src1")
+    val tf = documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"), isTgt.as("is_tgt"),
+        explode(TextOps.tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("doc_id"), col("source"), col("lang"), col("is_tgt"),
+        col("term"))
+      .agg(count(lit(1)).as("c"))
+      .cache()
+    val weights = tf.groupBy(col("term"))
+      .agg(sum(when(col("is_tgt"), col("c")).otherwise(0L)).as("t_f"),
+        sum(col("c")).as("r_f"))
+      .select(col("term"),
+        expr("(t_f + 1) * 1000000 div (r_f + 1)").as("w"))
+    val res = tf.filter(!col("is_tgt"))
+      .join(weights, Seq("term"))
+      .groupBy(col("doc_id"), col("source"), col("lang"))
+      .agg(sum(col("c")).as("n_tok"),
+        sum(col("c") * col("w")).as("imp_score"))
+      .withColumn("imp_per_tok", expr("imp_score div n_tok"))
+      .orderBy(col("imp_per_tok").desc, col("doc_id"))
+      .limit(40)
+      .localCheckpoint(true)
+    tf.unpersist()
+    res
+  }
+
+  val x114Oracle: String =
+    """WITH terms AS (
+      |  SELECT doc_id, source, lang,
+      |    (lang = 'en' AND source IN ('src0','src1')) AS is_tgt,
+      |    unnest(string_split_regex(text, '\s+')) AS term
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, source, lang, is_tgt, term, COUNT(*) AS c
+      |  FROM terms WHERE term <> '' GROUP BY 1, 2, 3, 4, 5),
+      |w AS (
+      |  SELECT term,
+      |    (1 + SUM(CASE WHEN is_tgt THEN c ELSE 0 END)) * 1000000
+      |      // (1 + SUM(c)) AS w
+      |  FROM tf GROUP BY term)
+      |SELECT doc_id, source, lang, n_tok, imp_score,
+      |  CAST(imp_score // n_tok AS BIGINT) AS imp_per_tok
+      |FROM (
+      |  SELECT tf.doc_id, tf.source, tf.lang,
+      |    CAST(SUM(tf.c) AS BIGINT) AS n_tok,
+      |    CAST(SUM(tf.c * w.w) AS BIGINT) AS imp_score
+      |  FROM tf JOIN w USING (term)
+      |  WHERE NOT tf.is_tgt
+      |  GROUP BY 1, 2, 3)
+      |ORDER BY imp_per_tok DESC, doc_id
+      |LIMIT 40""".stripMargin
+
   /** URL takedown sweep — corpus governance at the canonical-URL key
     * (the DMCA/robots-retroactive case): a takedown list of canonical
     * URLs (here: every URL whose source id ≡ 0 mod 7 — a deterministic
@@ -6241,6 +6318,7 @@ object QueriesTrainingData {
     "x110_ivf_cell_balance" -> (x110_ivf_cell_balance _),
     "x111_pq_frontier" -> (x111_pq_frontier _),
     "x113_hybrid_retrieval" -> (x113_hybrid_retrieval _),
+    "x114_importance_resample" -> (x114_importance_resample _),
     "x80_vision_token_budget" -> (x80_vision_token_budget _),
     "x79_url_takedown" -> (x79_url_takedown _),
     "x78_tokenizer_fertility" -> (x78_tokenizer_fertility _),
@@ -6354,6 +6432,7 @@ object QueriesTrainingData {
     "x110_ivf_cell_balance" -> x110Oracle,
     "x111_pq_frontier" -> x111Oracle,
     "x113_hybrid_retrieval" -> x113Oracle,
+    "x114_importance_resample" -> x114Oracle,
     "x80_vision_token_budget" -> x80Oracle,
     "x79_url_takedown" -> x79Oracle,
     "x78_tokenizer_fertility" -> x78Oracle,

@@ -460,6 +460,29 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("x114: importance resampling excludes the target slice and ranks by per-token score") {
+    spark.sharedState.cacheManager.clearCache()
+    val rows = QueriesTrainingData.x114_importance_resample(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 40)
+    // the resampled slice is drawn from the raw pool only — never from
+    // the curated target sample that defines the importance weights
+    rows.foreach { r =>
+      val tgt = r.getAs[String]("lang") == "en" &&
+        Set("src0", "src1").contains(r.getAs[String]("source"))
+      assert(!tgt, s"target-slice doc ${r.getAs[Long]("doc_id")} leaked into the resample")
+    }
+    val perTok = rows.map(_.getAs[Long]("imp_per_tok"))
+    assert(perTok.zip(perTok.tail).forall { case (a, b) => a >= b },
+      "resample must be ordered by descending per-token importance")
+    // integer-grid scores: per-token score is the truncated quotient
+    rows.foreach { r =>
+      assert(r.getAs[Long]("imp_per_tok") ===
+        r.getAs[Long]("imp_score") / r.getAs[Long]("n_tok"))
+    }
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "x114 must unpersist its term-frequency cache")
+  }
+
   test("x59: serpentine sharding balances token mass and spreads every shard") {
     val shards = QueriesTrainingData
       .x59_balanced_shards(spark, "/root/testdata/sf0.01")
