@@ -174,7 +174,11 @@ object MigrationMapping {
         "(?is)merge\\s+(?:into\\s+)?(\\S+)".r.findFirstMatchIn(sql).map(_.group(1)),
         Some("canonical MERGE executes (patterns/MergeSqlCompiler — one " +
           "full-outer-join state replacement with the fused 8672 guard); " +
-          "dataflow SCD2 via patterns/ScdType2.merge"), Nil, signals)
+          "dataflow SCD2 via patterns/ScdType2.merge" +
+          (if (graft.patterns.MergeSqlCompiler.outputShape(sql))
+             "; OUTPUT…INTO change feed rides the side append ($action + " +
+               "deleted/inserted images from the same joined frame)"
+           else "")), Nil, signals)
     else if (graft.patterns.ScriptedSqlExecutor.tryCatchShape(sql))
       TaskMapping(t.name, "ExecuteSQLTask", "converted", None,
         Some("TRY/CATCH batch executes (patterns/ScriptedSqlExecutor — " +

@@ -2,7 +2,7 @@ package graft.patterns
 
 import graft.ir.Ir.ExecuteSqlTask
 import graft.pipeline.PackageRunner.SqlOutcome
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -64,7 +64,54 @@ object MergeSqlCompiler {
 
   private val valuesOpenRe = "(?is)\\s*values\\s*\\(".r
 
+  /** Optional `OUTPUT … INTO` tail after the VALUES list — the T-SQL
+    * MERGE change-feed idiom (`$action` plus deleted/inserted images
+    * appended to a change log from the same atomic statement). */
+  private val outputTailRe =
+    ("(?is)^\\s*output\\s+(.+?)\\s+into\\s+([^\\s;(]+)\\s*" +
+      "(?:\\(([^)]*)\\))?\\s*;?\\s*$").r
+
   private[patterns] val SrcPrefix = "__src_"
+
+  /** Classify the statement tail past the VALUES list: `Some(None)` =
+    * bare terminator, `Some(Some(spec))` = a canonical OUTPUT…INTO
+    * change feed, `None` = anything else (the whole MERGE declines —
+    * executing a MERGE while dropping its OUTPUT rows would silently
+    * lose the change feed). The keyword scan runs on a literal-masked
+    * twin; item/column text is extracted from the ORIGINAL tail.
+    * T-SQL forbids the INTO table being a table of the statement —
+    * audit = target or source declines. */
+  private def outputTail(sql: String, from: Int, tgtName: String,
+      srcName: String): Option[Option[(String, String, Option[String])]] = {
+    val tail = sql.substring(from)
+    if (tail.matches("(?s)\\s*;?\\s*")) Some(None)
+    else outputTailRe.findFirstMatchIn(UpdateSqlCompiler.masked(tail))
+      .flatMap { m =>
+        def g(i: Int): Option[String] =
+          Option(m.group(i)).map(_ => tail.substring(m.start(i), m.end(i)))
+        val (items, audit, colList) = (g(1).get, g(2).get, g(3))
+        val ok = OutputIntoSqlCompiler
+            .parseItems(items, allowAction = true).isDefined &&
+          !audit.equalsIgnoreCase(tgtName) &&
+          !audit.equalsIgnoreCase(srcName) &&
+          colList.forall(cl =>
+            splitTop(cl).forall(_.matches("[A-Za-z_]\\w*")))
+        if (ok) Some(Some((items, audit, colList))) else None
+      }
+  }
+
+  /** Parse-only twin for the migration ledger: does this statement
+    * carry a canonical MERGE OUTPUT…INTO change feed? */
+  private[graft] def outputShape(sqlRaw: String): Boolean = {
+    val sql = SqlText.stripComments(sqlRaw)
+    (for {
+      m <- mergePrefixRe.findFirstMatchIn(sql)
+      (_, afterCols) <- balanced(sql, m.end)
+      vm <- valuesOpenRe.findPrefixMatchOf(sql.substring(afterCols))
+      (_, afterVals) <- balanced(sql, afterCols + vm.end)
+      spec <- outputTail(sql, afterVals, m.group(1), m.group(3))
+    } yield spec.isDefined).getOrElse(false)
+  }
 
   /** Scan from `from` (just past an opening paren) to the MATCHING close
     * paren, skipping parens inside single-quoted literals; returns the
@@ -192,16 +239,17 @@ object MergeSqlCompiler {
       (colsStr, afterCols) <- balanced(sql, m.end)
       vm <- valuesOpenRe.findPrefixMatchOf(sql.substring(afterCols))
       (valsStr, afterVals) <- balanced(sql, afterCols + vm.end)
-      // nothing but an optional semicolon may follow the VALUES list
-      if sql.substring(afterVals).matches("(?s)\\s*;?\\s*")
+      // the tail must be a bare terminator or a canonical OUTPUT…INTO
+      // change feed — anything else declines the whole statement
+      outSpec <- outputTail(sql, afterVals, m.group(1), m.group(3))
       // clause bodies with bracketed/double-quoted identifiers are
       // outside the canonical contract: skip, never half-translate
       // (groups 6/7 — delete-pred / update-pred — are optional)
       if !(Seq(m.group(5), m.group(8), colsStr, valsStr) ++
         Option(m.group(6)) ++ Option(m.group(7)))
         .exists(hasQuotedIdentifier)
-    } yield (m, colsStr, valsStr)
-    parsed.map { case (m, colsStr, valsStr) =>
+    } yield (m, colsStr, valsStr, outSpec)
+    parsed.map { case (m, colsStr, valsStr, outSpec) =>
       val (tgtName, tA) = (m.group(1), m.group(2))
       val (srcName, sA) = (m.group(3), m.group(4))
       val tgt = resolve(tgtName)
@@ -287,12 +335,13 @@ object MergeSqlCompiler {
       // short-circuit) so EVERY row evaluates the guard before the
       // delete verb can drop it — a multi-matched row that is deleted
       // still aborts, exactly like SQL Server
+      val guardAbort =
+        raise_error(lit(s"MERGE into ${tgtName}: a target row is " +
+          "matched by multiple source rows (T-SQL error 8672) — " +
+          "compact the source feed to one row per merge key first"))
+          .cast("boolean")
       val kept = guarded.filter(
-        when(col("__graft_mcnt") > 1,
-          raise_error(lit(s"MERGE into ${tgtName}: a target row is " +
-            "matched by multiple source rows (T-SQL error 8672) — " +
-            "compact the source feed to one row per merge key first"))
-            .cast("boolean"))
+        when(col("__graft_mcnt") > 1, guardAbort)
           .otherwise(!(isMatched && delPred)))
       // per-column CASE over the one joined frame: insert rows take the
       // INSERT expression (absent columns = NULL), matched rows take the
@@ -312,7 +361,60 @@ object MergeSqlCompiler {
         }
         branched.cast(f.dataType).as(f.name)
       }: _*)
-      SqlOutcome(Some(out), Some(tgtName), SaveMode.Overwrite)
+      // OUTPUT…INTO change feed: one row per AFFECTED row (untouched
+      // matches emit nothing), built over the SAME joined frame — no
+      // second join is ever PLANNED. With the warehouse runner's lazy
+      // writes a single downstream action evaluates both frames (the
+      // duplicate exchange subtrees are reuse candidates); a
+      // materializing sink pays the join once per written table (2×,
+      // the two-destination floor), never per MERGE leg. The side
+      // append carries the 8672 guard too (side writes land before the
+      // state write, so the abort fires from whichever action runs
+      // first).
+      // Image semantics are the atomic statement's: `deleted.c` = the
+      // pre-image (NULL on insert), `inserted.c` = the post-image (the
+      // SET/INSERT expression over the PRE-state row; NULL on delete),
+      // `$action` = INSERT | UPDATE | DELETE. Every image casts to the
+      // TARGET column's type before the audit-table cast — T-SQL OUTPUT
+      // columns have the target's types.
+      val side = outSpec.map { case (itemsStr, auditName, colListOpt) =>
+        val items =
+          OutputIntoSqlCompiler.parseItems(itemsStr, allowAction = true).get
+        val firedPred = isInsert || (isMatched && (delPred || updPred))
+        val auditRows = guarded.filter(
+          when(col("__graft_mcnt") > 1, guardAbort).otherwise(firedPred))
+        val action = when(isInsert, lit("INSERT"))
+          .when(delPred, lit("DELETE"))
+          .otherwise(lit("UPDATE"))
+        def image(img: String, name: String): Column = {
+          val f = tgt.schema.fields.find(_.name.equalsIgnoreCase(name)).get
+          val lc = f.name.toLowerCase
+          val c = img match {
+            case "deleted" =>
+              when(isInsert, lit(null)).otherwise(col(f.name))
+            case _ =>
+              when(isInsert, insertMapLc.getOrElse(lc, lit(null)))
+                .when(delPred, lit(null))
+                .otherwise(setMapLc.getOrElse(lc, col(f.name)))
+          }
+          c.cast(f.dataType)
+        }
+        val itemCols: List[(Column, String)] = items.flatMap {
+          case OutputIntoSqlCompiler.Item("action", _, al) =>
+            List(action -> al.getOrElse("$action"))
+          case OutputIntoSqlCompiler.Item(img, "*", _) =>
+            tgt.columns.toList.map(c => image(img, c) -> c)
+          case OutputIntoSqlCompiler.Item(img, c, al) =>
+            require(tgtCols(c.toLowerCase),
+              s"OUTPUT $img.$c: column absent from target $tgtName")
+            List(image(img, c) -> al.getOrElse(c))
+        }
+        val audit = OutputIntoSqlCompiler.auditFrame(auditRows, itemCols,
+          resolve(auditName), auditName, colListOpt)
+        (auditName, audit, SaveMode.Append)
+      }
+      SqlOutcome(Some(out), Some(tgtName), SaveMode.Overwrite,
+        side = side.toList)
     }
   }
 }

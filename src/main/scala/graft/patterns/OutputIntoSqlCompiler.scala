@@ -56,19 +56,27 @@ object OutputIntoSqlCompiler {
   private val itemRe =
     "(?i)^(deleted|inserted)\\s*\\.\\s*(\\*|[A-Za-z_]\\w*)(?:\\s+as\\s+([A-Za-z_]\\w*))?\\s*$".r
 
+  /** `$action [AS alias]` — T-SQL allows it in MERGE's OUTPUT only;
+    * [[parseItems]] admits it solely when the caller says so. */
+  private val actionRe =
+    "(?i)^\\$action(?:\\s+as\\s+([A-Za-z_]\\w*))?\\s*$".r
+
   private val setKeywordRe = "(?i)\\b(from|join|select|insert)\\b".r
   private val whereKeywordRe = "(?i)\\b(from|join|select|insert|output|into)\\b".r
   private val identRe = "^[A-Za-z_]\\w*$".r
 
-  private final case class Item(image: String, colName: String,
+  /** image ∈ deleted | inserted | action (colName empty for action). */
+  private[patterns] final case class Item(image: String, colName: String,
       alias: Option[String])
 
-  private def parseItems(items: String): Option[List[Item]] = {
+  private[patterns] def parseItems(items: String,
+      allowAction: Boolean = false): Option[List[Item]] = {
     val parsed = MergeSqlCompiler.splitTop(items).map {
       case itemRe(img, c, al) =>
         val item = Item(img.toLowerCase, c, Option(al))
         // `deleted.* AS x` is not a shape
         if (c == "*" && item.alias.nonEmpty) None else Some(item)
+      case actionRe(al) if allowAction => Some(Item("action", "", Option(al)))
       case _ => None
     }
     if (parsed.isEmpty || parsed.exists(_.isEmpty)) None
@@ -96,7 +104,7 @@ object OutputIntoSqlCompiler {
   /** Align the expanded items with the audit table's schema — T-SQL
     * INSERT rules: positional, arity-exact without a column list
     * (error 213); with one, unnamed audit columns take typed NULLs. */
-  private def auditFrame(fired: DataFrame, itemCols: List[(Column, String)],
+  private[patterns] def auditFrame(fired: DataFrame, itemCols: List[(Column, String)],
       audit: DataFrame, auditName: String,
       colList: Option[String]): DataFrame = {
     val fields = audit.schema.fields

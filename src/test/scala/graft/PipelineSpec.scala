@@ -407,6 +407,97 @@ class PipelineSpec extends AnyFunSuite {
     assert(graft.patterns.MergeSqlCompiler.rewrite(spark, dquoted, frames).isEmpty)
   }
 
+  test("MergeSqlCompiler OUTPUT…INTO: change feed per affected row; off-shape declines") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tgt = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
+      (4L, "d", 40.0)).toDF("id", "name", "bal")
+    // op 'N' matches row 4 but fires neither verb — it must emit NO
+    // change-feed row (T-SQL OUTPUT covers affected rows only)
+    val feed = Seq((2L, "b2", 25.0, "U"), (3L, "c", 0.0, "D"),
+      (9L, "z", 5.0, "I"), (4L, "d4", 44.0, "N"))
+      .toDF("id", "name", "bal", "op")
+    val log = Seq.empty[(String, Option[Long], Option[Long], Option[Double],
+      Option[Double])].toDF("act", "old_id", "new_id", "old_bal", "new_bal")
+    val frames = Map("dim" -> tgt, "feed" -> feed, "chlog" -> log)
+    def task(sql: String) = graft.ir.Ir.ExecuteSqlTask("mo", None, "conn", sql)
+    def go(sql: String, fr: Map[String, org.apache.spark.sql.DataFrame] = frames) =
+      graft.patterns.MergeSqlCompiler.rewrite(spark, task(sql), fr)
+    val body =
+      "MERGE INTO dim AS t USING feed AS s ON t.id = s.id " +
+        "WHEN MATCHED AND s.op = 'D' THEN DELETE " +
+        "WHEN MATCHED AND s.op = 'U' THEN UPDATE SET name = s.name, bal = s.bal " +
+        "WHEN NOT MATCHED THEN INSERT (id, name, bal) VALUES (s.id, s.name, s.bal)"
+    val out = go(body + " OUTPUT $action AS act, deleted.id AS old_id, " +
+      "inserted.id AS new_id, deleted.bal AS old_bal, " +
+      "inserted.bal AS new_bal INTO chlog;")
+      .getOrElse(fail("canonical MERGE OUTPUT INTO did not compile"))
+    // target state unchanged by the OUTPUT clause
+    assert(out.df.get.orderBy(col("id")).as[(Long, String, Double)]
+      .collect().toList === List((1L, "a", 10.0), (2L, "b2", 25.0),
+        (4L, "d", 40.0), (9L, "z", 5.0)))
+    val List((ln, lf, lm)) = out.side
+    assert(ln === "chlog" && lm === org.apache.spark.sql.SaveMode.Append)
+    // $action + both images: deleted = pre (NULL on insert), inserted =
+    // post from the SAME atomic statement (NULL on delete); the
+    // no-verb-fired match (id 4) emits nothing
+    assert(lf.orderBy(coalesce(col("old_id"), col("new_id")))
+      .as[(String, Option[Long], Option[Long], Option[Double], Option[Double])]
+      .collect().toList === List(
+        ("UPDATE", Some(2L), Some(2L), Some(20.0), Some(25.0)),
+        ("DELETE", Some(3L), None, Some(30.0), None),
+        ("INSERT", None, Some(9L), None, Some(5.0))))
+    // deleted.* / inserted.* expand positionally over the target schema
+    val wide = Seq.empty[(Long, String, Double)].toDF("id", "name", "bal")
+    val star = go(body + " OUTPUT inserted.* INTO wide",
+      frames + ("wide" -> wide)).get
+    assert(star.side.head._2.filter(col("id").isNotNull)
+      .orderBy(col("id")).as[(Long, String, Double)].collect().toList
+      === List((2L, "b2", 25.0), (9L, "z", 5.0)))
+    // the 8672 guard rides the SIDE frame too — the audit append is the
+    // first action the runner takes, so the abort must fire from it
+    val dupFeed = Seq((2L, "b2", 25.0, "U"), (2L, "b3", 26.0, "U"))
+      .toDF("id", "name", "bal", "op")
+    val dup = go(body + " OUTPUT $action AS act, deleted.id AS old_id, " +
+      "inserted.id AS new_id, deleted.bal AS old_bal, " +
+      "inserted.bal AS new_bal INTO chlog",
+      frames + ("feed" -> dupFeed)).get
+    val dupErr = intercept[Exception] { dup.side.head._2.collect() }
+    val chain = Iterator.iterate(dupErr: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString("\n")
+    assert(chain.contains("8672"))
+    // eager T-SQL aborts: arity mismatch vs the log table (213), an
+    // OUTPUT column absent from the target
+    assert(intercept[IllegalArgumentException] {
+      go(body + " OUTPUT $action INTO chlog")
+    }.getMessage.contains("213"))
+    assert(intercept[IllegalArgumentException] {
+      go(body + " OUTPUT $action AS act, deleted.nope AS old_id, " +
+        "inserted.id AS new_id, deleted.bal AS old_bal, " +
+        "inserted.bal AS new_bal INTO chlog")
+    }.getMessage.contains("nope"))
+    // declines: OUTPUT into the MERGE's own target or source, OUTPUT
+    // without INTO, junk after the VALUES list
+    assert(go(body + " OUTPUT $action AS act, deleted.id AS old_id, " +
+      "inserted.id AS new_id, deleted.bal AS old_bal, " +
+      "inserted.bal AS new_bal INTO dim").isEmpty)
+    assert(go(body + " OUTPUT deleted.* INTO feed").isEmpty)
+    assert(go(body + " OUTPUT $action, deleted.id").isEmpty)
+    assert(go(body + " SELECT 1").isEmpty)
+    // $action stays MERGE-only: the single-table OUTPUT compiler
+    // declines it (T-SQL: $action is valid only in MERGE)
+    assert(graft.patterns.OutputIntoSqlCompiler.rewrite(spark,
+      task("UPDATE dim SET bal = 0 OUTPUT $action, deleted.bal INTO chlog"),
+      frames).isEmpty)
+    // ledger twin agrees with the executable surface
+    assert(graft.patterns.MergeSqlCompiler.outputShape(body +
+      " OUTPUT $action AS act, deleted.id AS old_id, inserted.id AS " +
+      "new_id, deleted.bal AS old_bal, inserted.bal AS new_bal INTO chlog"))
+    assert(!graft.patterns.MergeSqlCompiler.outputShape(body))
+    assert(!graft.patterns.MergeSqlCompiler.outputShape(body +
+      " OUTPUT deleted.* INTO feed"))
+  }
+
   test("UpdateFromSqlCompiler: correlated join-update; off-shape stays None") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
