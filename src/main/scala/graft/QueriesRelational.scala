@@ -1963,6 +1963,74 @@ object QueriesRelational {
       |  FROM chg WHERE op = 'I')
       |SELECT * FROM log UNION ALL SELECT * FROM fin""".stripMargin
 
+  /** MERGE `USING (SELECT …)` subquery source through the dtsx
+    * frontend (`MergeSubqueryETL.dtsx`) — the most common authored
+    * MERGE form: the change feed filtered INLINE instead of staged.
+    * The staged feed carries a stale batch (op = 'X', duplicate merge
+    * keys) that the subquery excludes — included, the MERGE would
+    * abort with T-SQL 8672, so the gate proves the filter really ran.
+    * [[graft.patterns.MergeSqlCompiler.spliceUsingSubquery]] compiles
+    * the projection/filter through the runner's `resolve` (never the
+    * catalog — script-staged state stays authoritative), and the
+    * `OUTPUT $action` clause appends the change log from the same
+    * joined frame (q111's surface composed with the subquery form). */
+  def q112_dtsx_merge_subquery(spark: SparkSession, dir: String): DataFrame = {
+    val (w, _) = runDtsxWarehousePackage(spark, dir, "MergeSubqueryETL.dtsx")
+    val log = w("change_log_ms").select(col("op"),
+      col("old_key").cast(LongType).as("old_key"),
+      col("new_key").cast(LongType).as("new_key"),
+      col("old_bal").cast(DoubleType).as("old_bal"),
+      col("new_bal").cast(DoubleType).as("new_bal"))
+    val fin = w("dim_customer_ms").select(lit("FINAL").as("op"),
+      lit(null).cast(LongType).as("old_key"),
+      col("c_custkey").cast(LongType).as("new_key"),
+      lit(null).cast(DoubleType).as("old_bal"),
+      col("c_acctbal").cast(DoubleType).as("new_bal"))
+    log.unionByName(fin)
+  }
+
+  val q112Oracle: String =
+    """WITH dim0 AS (
+      |  SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(12,2)) AS c_acctbal
+      |  FROM customer WHERE c_custkey % 10 <> 7),
+      |chg AS (
+      |  SELECT c_custkey, c_name,
+      |    CAST(c_acctbal AS DECIMAL(12,2)) AS c_acctbal, 'I' AS op
+      |  FROM customer WHERE c_custkey % 10 = 7
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(12,2)), 'D'
+      |  FROM customer WHERE c_custkey % 10 <> 7 AND c_custkey % 13 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, CAST(c_acctbal + 25 AS DECIMAL(12,2)), 'U'
+      |  FROM customer
+      |  WHERE c_custkey % 10 <> 7 AND c_custkey % 11 = 0 AND c_custkey % 13 <> 0),
+      |log AS (
+      |  SELECT 'INSERT' AS op, CAST(NULL AS BIGINT) AS old_key,
+      |    CAST(c_custkey AS BIGINT) AS new_key, CAST(NULL AS DOUBLE) AS old_bal,
+      |    CAST(c_acctbal AS DOUBLE) AS new_bal
+      |  FROM chg WHERE op = 'I'
+      |  UNION ALL
+      |  SELECT 'DELETE', CAST(d.c_custkey AS BIGINT), CAST(NULL AS BIGINT),
+      |    CAST(d.c_acctbal AS DOUBLE), CAST(NULL AS DOUBLE)
+      |  FROM dim0 d JOIN chg c ON d.c_custkey = c.c_custkey AND c.op = 'D'
+      |  UNION ALL
+      |  SELECT 'UPDATE', CAST(d.c_custkey AS BIGINT), CAST(d.c_custkey AS BIGINT),
+      |    CAST(d.c_acctbal AS DOUBLE), CAST(c.c_acctbal AS DOUBLE)
+      |  FROM dim0 d JOIN chg c ON d.c_custkey = c.c_custkey AND c.op = 'U'),
+      |fin AS (
+      |  SELECT 'FINAL' AS op, CAST(NULL AS BIGINT) AS old_key,
+      |    CAST(d.c_custkey AS BIGINT) AS new_key, CAST(NULL AS DOUBLE) AS old_bal,
+      |    CAST(COALESCE(u.c_acctbal, d.c_acctbal) AS DOUBLE) AS new_bal
+      |  FROM dim0 d
+      |  LEFT JOIN (SELECT c_custkey, c_acctbal FROM chg WHERE op = 'U') u
+      |    ON d.c_custkey = u.c_custkey
+      |  WHERE d.c_custkey NOT IN (SELECT c_custkey FROM chg WHERE op = 'D')
+      |  UNION ALL
+      |  SELECT 'FINAL', CAST(NULL AS BIGINT), CAST(c_custkey AS BIGINT),
+      |    CAST(NULL AS DOUBLE), CAST(c_acctbal AS DOUBLE)
+      |  FROM chg WHERE op = 'I')
+      |SELECT * FROM log UNION ALL SELECT * FROM fin""".stripMargin
+
   /** Explicit GROUPING SETS with grouping_id disambiguation (beyond q24's
     * rollup): two chosen aggregation levels, no intermediate level. */
   def q39_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
@@ -3340,6 +3408,7 @@ object QueriesRelational {
     "q109_dtsx_if_exists_block" -> (q109_dtsx_if_exists_block _),
     "q110_dtsx_output_into" -> (q110_dtsx_output_into _),
     "q111_dtsx_merge_output" -> (q111_dtsx_merge_output _),
+    "q112_dtsx_merge_subquery" -> (q112_dtsx_merge_subquery _),
     "q82_orc_roundtrip" -> (q82_orc_roundtrip _),
     "q80_dtsx_cdc_merge" -> (q80_dtsx_cdc_merge _),
     "q79_delete_cascade" -> (q79_delete_cascade _),
@@ -3444,6 +3513,7 @@ object QueriesRelational {
     "q109_dtsx_if_exists_block" -> q109Oracle,
     "q110_dtsx_output_into" -> q110Oracle,
     "q111_dtsx_merge_output" -> q111Oracle,
+    "q112_dtsx_merge_subquery" -> q112Oracle,
     "q82_orc_roundtrip" -> q82Oracle,
     "q80_dtsx_cdc_merge" -> q80Oracle,
     "q79_delete_cascade" -> q79Oracle,

@@ -13,10 +13,13 @@ import org.apache.spark.sql.functions._
   * through parse → IR → runner (q80) exactly like dataflows do (q33):
   *
   * {{{
-  * MERGE [INTO] <target> [AS] t USING <source> [AS] s ON t.k = s.k [...]
+  * MERGE [INTO] <target> [AS] t
+  * USING <source> | (SELECT list FROM tbl [WHERE pred]) [AS] s
+  * ON t.k = s.k [...]
   * [WHEN MATCHED AND <delete-pred> THEN DELETE]
   * WHEN MATCHED [AND <update-pred>] THEN UPDATE SET col = expr, ...
   * WHEN NOT MATCHED [BY TARGET] THEN INSERT (cols) VALUES (exprs)
+  * [OUTPUT $action | deleted.c | inserted.c [AS a], ... INTO <log> [(cols)]]
   * }}}
   *
   * The optional pieces admit the reference's OWN CustomerDataLoad merge
@@ -73,6 +76,57 @@ object MergeSqlCompiler {
 
   private[patterns] val SrcPrefix = "__src_"
 
+  /** Synthetic source name spliced in for a `USING (SELECT …)` leg. */
+  private[patterns] val SyntheticSrc = "__graft_using_src"
+
+  private val usingOpenRe =
+    "(?is)^(\\s*merge\\s+(?:into\\s+)?\\S+\\s+(?:as\\s+)?\\w+\\s+using\\s*)\\(".r
+
+  /** The one canonical subquery shape: a projection/filter of ONE
+    * table. Joins/unions/nested selects stay manual review — they are
+    * authored staging logic, not a source leg this compiler owns. */
+  private val simpleSelectRe =
+    "(?is)^\\s*select\\s+(.+?)\\s+from\\s+([^\\s;()]+)\\s*(?:\\s+where\\s+(.+?))?\\s*$".r
+
+  private val subqueryKeywordRe =
+    "(?i)\\b(select|from|join|union|group|having|order)\\b".r
+
+  /** `MERGE … USING (SELECT list FROM tbl [WHERE pred]) AS s …` — the
+    * most common authored MERGE form (the change feed filtered or
+    * projected inline instead of staged). Splice a synthetic source
+    * name into the text so the canonical parser sees a table MERGE,
+    * and hand back the subquery parts for frame compilation through
+    * `resolve` — NOT the catalog, so a script-staged state is
+    * respected. A non-simple subquery leaves the text untouched (the
+    * prefix regex then fails on the `(` and the statement declines).
+    * All keyword scans run on the literal-masked twin; parts are
+    * extracted from the ORIGINAL text (masking is length-exact). */
+  private def spliceUsingSubquery(sql: String)
+      : (String, Option[(String, String, Option[String])]) = {
+    usingOpenRe.findPrefixMatchOf(UpdateSqlCompiler.masked(sql)) match {
+      case Some(pm) => balanced(sql, pm.end) match {
+        case Some((sub, after)) =>
+          val mskSub = UpdateSqlCompiler.masked(sub)
+          simpleSelectRe.findFirstMatchIn(mskSub) match {
+            case Some(sm) =>
+              def g(i: Int): Option[String] = Option(sm.group(i))
+                .map(_ => sub.substring(sm.start(i), sm.end(i)))
+              val (list, tbl, whereOpt) = (g(1).get, g(2).get, g(3))
+              val ok = !bodyDisqualified(list, subqueryKeywordRe) &&
+                !whereOpt.exists(bodyDisqualified(_, subqueryKeywordRe)) &&
+                splitTop(list).nonEmpty
+              if (ok)
+                (sql.substring(0, pm.end - 1) + " " + SyntheticSrc + " " +
+                  sql.substring(after), Some((list, tbl, whereOpt)))
+              else (sql, None)
+            case None => (sql, None)
+          }
+        case None => (sql, None)
+      }
+      case None => (sql, None)
+    }
+  }
+
   /** Classify the statement tail past the VALUES list: `Some(None)` =
     * bare terminator, `Some(Some(spec))` = a canonical OUTPUT…INTO
     * change feed, `None` = anything else (the whole MERGE declines —
@@ -103,7 +157,7 @@ object MergeSqlCompiler {
   /** Parse-only twin for the migration ledger: does this statement
     * carry a canonical MERGE OUTPUT…INTO change feed? */
   private[graft] def outputShape(sqlRaw: String): Boolean = {
-    val sql = SqlText.stripComments(sqlRaw)
+    val sql = spliceUsingSubquery(SqlText.stripComments(sqlRaw))._1
     (for {
       m <- mergePrefixRe.findFirstMatchIn(sql)
       (_, afterCols) <- balanced(sql, m.end)
@@ -233,7 +287,17 @@ object MergeSqlCompiler {
     * (the runner's written-state map backed by the warehouse). */
   def rewrite(spark: SparkSession, task: ExecuteSqlTask,
       resolve: String => DataFrame): Option[SqlOutcome] = {
-    val sql = SqlText.stripComments(task.sqlStatement)
+    val (sql, subSpec) = spliceUsingSubquery(SqlText.stripComments(task.sqlStatement))
+    // the subquery's frame compiles through `resolve` (projection +
+    // filter of one table), NEVER the catalog: a script-staged state
+    // or the runner's written-state map stays authoritative
+    def resolveSrc(name: String): DataFrame =
+      if (subSpec.isDefined && name == SyntheticSrc) {
+        val (list, tbl, whereOpt) = subSpec.get
+        val base = resolve(tbl)
+        whereOpt.map(w => base.filter(expr(w))).getOrElse(base)
+          .selectExpr(splitTop(list): _*)
+      } else resolve(name)
     val parsed = for {
       m <- mergePrefixRe.findFirstMatchIn(sql)
       (colsStr, afterCols) <- balanced(sql, m.end)
@@ -242,6 +306,10 @@ object MergeSqlCompiler {
       // the tail must be a bare terminator or a canonical OUTPUT…INTO
       // change feed — anything else declines the whole statement
       outSpec <- outputTail(sql, afterVals, m.group(1), m.group(3))
+      // with a subquery source, the change log may not be the
+      // subquery's base table either (a table of the statement)
+      if subSpec.forall { case (_, tbl, _) =>
+        outSpec.forall { case (_, audit, _) => !audit.equalsIgnoreCase(tbl) } }
       // clause bodies with bracketed/double-quoted identifiers are
       // outside the canonical contract: skip, never half-translate
       // (groups 6/7 — delete-pred / update-pred — are optional)
@@ -253,8 +321,9 @@ object MergeSqlCompiler {
       val (tgtName, tA) = (m.group(1), m.group(2))
       val (srcName, sA) = (m.group(3), m.group(4))
       val tgt = resolve(tgtName)
-      val srcP = resolve(srcName).columns
-        .foldLeft(resolve(srcName))((d, c) => d.withColumnRenamed(c, SrcPrefix + c))
+      val src = resolveSrc(srcName)
+      val srcP = src.columns
+        .foldLeft(src)((d, c) => d.withColumnRenamed(c, SrcPrefix + c))
       val joinCond = expr(xlate(m.group(5), tA, sA))
       // optional verbs/conditions: no DELETE clause = nothing deletes;
       // no UPDATE condition = every surviving match updates
