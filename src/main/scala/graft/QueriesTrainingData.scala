@@ -6075,6 +6075,95 @@ object QueriesTrainingData {
       |ORDER BY imp_per_tok DESC, doc_id
       |LIMIT 40""".stripMargin
 
+  /** Topic-balanced corpus sampling — cluster-quota curation over the
+    * embedding plane (the cluster-balanced pruning step of
+    * SemDeDup-style curation: sample EVENLY across semantic clusters
+    * instead of letting head topics dominate the training mix): every
+    * document's embedding assigns to one of 8 coarse cells via the
+    * x110 replayable quantizer (seeded one-round Lloyd, broadcast
+    * centroids, exact integer L2), then each topic contributes a
+    * deterministic quota of k=12 documents — the md5-draw bottom-k,
+    * so the sample is reproducible and oracle-replayable.
+    *
+    * Scale shape: per-topic selection NEVER windows the corpus — the
+    * x58 sketch-prune runs first (one partial-combining (topic, 2-hex
+    * bin) count → per-topic cutoff bin holding the quota from the
+    * bottom, broadcast back), and the rank window sees only the
+    * cutoff survivors (~quota per topic at any corpus size). The
+    * prune is exact by construction, so the output equals the naive
+    * per-topic bottom-k and the oracle replays the naive form. */
+  def x115_topic_balanced_sample(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sim.PqIndex
+    import org.apache.spark.sql.expressions.Window
+    val k = 12
+    val emb = embeddings(spark, dir)
+    val subFull = PqIndex.subspaces(emb, "vec_id", "embedding", 1, 64)
+    val coarseCb = PqIndex.trainCodebooks(subFull, "vec_id", nCw = 8, iters = 1)
+    val cells = PqIndex.encode(subFull, coarseCb, "vec_id")
+      .select(col("vec_id").as("doc_id"),
+        col("code").cast(IntegerType).as("topic"))
+    val drawn = documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .join(cells, Seq("doc_id"))
+      .withColumn("draw",
+        md5(concat(lit("topic|"), col("doc_id").cast(StringType))))
+      .withColumn("bin", substring(col("draw"), 1, 2))
+    val cutoffs = drawn.groupBy(col("topic"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("cum", sum(col("n")).over(Window.partitionBy(col("topic"))
+        .orderBy(col("bin").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // a topic with < k docs never reaches cum >= k: keep all its bins
+      // (prune nothing for that topic, exactness over savings)
+      .groupBy(col("topic"))
+      .agg(coalesce(min(when(col("cum") >= k, col("bin"))),
+        max(col("bin"))).as("cutoff"))
+    drawn.join(broadcast(cutoffs), Seq("topic"))
+      .filter(col("bin") <= col("cutoff"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("topic"))
+        .orderBy(col("draw").asc, col("doc_id"))))
+      .filter(col("rk") <= k)
+      .select(col("topic"), col("rk").cast(IntegerType).as("rk"),
+        col("doc_id"), col("source"), col("n_chars"))
+  }
+
+  val x115Oracle: String =
+    """WITH q AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |cseeds AS (SELECT vec_id AS cw, qv AS cv FROM q WHERE vec_id < 8),
+      |ca1 AS (
+      |  SELECT q.vec_id, q.qv, cseeds.cw,
+      |    list_sum(list_transform(generate_series(1, 64),
+      |      i -> (qv[i] - cv[i]) * (qv[i] - cv[i]))) AS d
+      |  FROM q CROSS JOIN cseeds
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |    ORDER BY d, cseeds.cw) = 1),
+      |ccb AS (
+      |  SELECT cw, p.p AS p,
+      |    CAST(floor(CAST(SUM(qv[p.p]) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)
+      |      AS cwv
+      |  FROM ca1, generate_series(1, 64) p(p)
+      |  GROUP BY cw, p),
+      |ccbv AS (SELECT cw, list(cwv ORDER BY p) AS cv FROM ccb GROUP BY cw),
+      |cells AS (
+      |  SELECT q.vec_id, ccbv.cw AS cell,
+      |    list_sum(list_transform(generate_series(1, 64),
+      |      i -> (qv[i] - cv[i]) * (qv[i] - cv[i]))) AS d
+      |  FROM q CROSS JOIN ccbv
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |    ORDER BY d, ccbv.cw) = 1),
+      |drawn AS (
+      |  SELECT CAST(cells.cell AS INT) AS topic, d.doc_id, d.source,
+      |    d.n_chars, md5('topic|' || CAST(d.doc_id AS VARCHAR)) AS draw
+      |  FROM documents d JOIN cells ON d.doc_id = cells.vec_id),
+      |r AS (
+      |  SELECT topic, CAST(row_number() OVER (PARTITION BY topic
+      |    ORDER BY draw, doc_id) AS INT) AS rk, doc_id, source, n_chars
+      |  FROM drawn)
+      |SELECT topic, rk, doc_id, source, n_chars FROM r WHERE rk <= 12""".stripMargin
+
   /** URL takedown sweep — corpus governance at the canonical-URL key
     * (the DMCA/robots-retroactive case): a takedown list of canonical
     * URLs (here: every URL whose source id ≡ 0 mod 7 — a deterministic
@@ -6319,6 +6408,7 @@ object QueriesTrainingData {
     "x111_pq_frontier" -> (x111_pq_frontier _),
     "x113_hybrid_retrieval" -> (x113_hybrid_retrieval _),
     "x114_importance_resample" -> (x114_importance_resample _),
+    "x115_topic_balanced_sample" -> (x115_topic_balanced_sample _),
     "x80_vision_token_budget" -> (x80_vision_token_budget _),
     "x79_url_takedown" -> (x79_url_takedown _),
     "x78_tokenizer_fertility" -> (x78_tokenizer_fertility _),
@@ -6433,6 +6523,7 @@ object QueriesTrainingData {
     "x111_pq_frontier" -> x111Oracle,
     "x113_hybrid_retrieval" -> x113Oracle,
     "x114_importance_resample" -> x114Oracle,
+    "x115_topic_balanced_sample" -> x115Oracle,
     "x80_vision_token_budget" -> x80Oracle,
     "x79_url_takedown" -> x79Oracle,
     "x78_tokenizer_fertility" -> x78Oracle,

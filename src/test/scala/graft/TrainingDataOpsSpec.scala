@@ -483,6 +483,25 @@ class TrainingDataOpsSpec extends AnyFunSuite {
       "x114 must unpersist its term-frequency cache")
   }
 
+  test("x115: topic-balanced sample fills every quota with dense ranks") {
+    val out = QueriesTrainingData
+      .x115_topic_balanced_sample(spark, "/root/testdata/sf0.01")
+      .cache()
+    val perTopic = out.groupBy(col("topic")).agg(count(lit(1)).as("n"),
+      max(col("rk")).as("mx"), countDistinct(col("doc_id")).as("nd"))
+      .collect()
+    out.unpersist()
+    assert(perTopic.length === 8, "all 8 topics must contribute")
+    // quota respected, ranks dense 1..n, no document sampled twice
+    // (exactness of the sketch prune vs the naive per-topic bottom-k is
+    // the oracle's job — x115Oracle replays the UNPRUNED form)
+    perTopic.foreach { r =>
+      val n = r.getAs[Long]("n")
+      assert(n <= 12 && n === r.getAs[Int]("mx").toLong &&
+        n === r.getAs[Long]("nd"), s"quota/rank mismatch: $r")
+    }
+  }
+
   test("x59: serpentine sharding balances token mass and spreads every shard") {
     val shards = QueriesTrainingData
       .x59_balanced_shards(spark, "/root/testdata/sf0.01")
