@@ -2031,6 +2031,47 @@ object QueriesRelational {
       |  FROM chg WHERE op = 'I')
       |SELECT * FROM log UNION ALL SELECT * FROM fin""".stripMargin
 
+  /** Audited join-update through the dtsx frontend
+    * (`AuditedJoinUpdateETL.dtsx`): `UPDATE … OUTPUT … INTO … FROM
+    * target JOIN source` — the T-SQL idiom for an attribute-driven
+    * adjustment that keeps its audit trail in the same statement.
+    * [[graft.patterns.UpdateFromSqlCompiler]] builds the audit frame
+    * from the FIRED rows of the SAME guarded join as the state
+    * replacement (deleted = pre-image, inserted = the SET expression
+    * over the PRE-update row); no second join is planned; the append
+    * rides `SqlOutcome.side` before the target write. */
+  def q113_dtsx_join_update_output(spark: SparkSession, dir: String): DataFrame = {
+    val (w, _) =
+      runDtsxWarehousePackage(spark, dir, "AuditedJoinUpdateETL.dtsx")
+    val audit = w("price_audit_ju").select(col("o_orderkey"),
+      lit("audit").as("kind"),
+      col("old_price").cast(DoubleType).as("old_price"),
+      col("new_price").cast(DoubleType).as("new_price"))
+    val live = w("orders_live_ju").select(col("o_orderkey"),
+      lit("final").as("kind"), lit(null).cast(DoubleType).as("old_price"),
+      col("o_totalprice").cast(DoubleType).as("new_price"))
+    audit.unionByName(live)
+  }
+
+  val q113Oracle: String =
+    """WITH live0 AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice
+      |  FROM orders),
+      |fired AS (
+      |  SELECT l.o_orderkey, l.o_totalprice AS old_price,
+      |    CAST(l.o_totalprice + 5.25 AS DECIMAL(12,2)) AS new_price
+      |  FROM live0 l JOIN customer c ON l.o_custkey = c.c_custkey
+      |  WHERE c.c_mktsegment = 'BUILDING')
+      |SELECT o_orderkey, 'audit' AS kind,
+      |  CAST(old_price AS DOUBLE) AS old_price,
+      |  CAST(new_price AS DOUBLE) AS new_price
+      |FROM fired
+      |UNION ALL
+      |SELECT l.o_orderkey, 'final', CAST(NULL AS DOUBLE),
+      |  CAST(COALESCE(f.new_price, l.o_totalprice) AS DOUBLE)
+      |FROM live0 l LEFT JOIN fired f ON l.o_orderkey = f.o_orderkey""".stripMargin
+
   /** Explicit GROUPING SETS with grouping_id disambiguation (beyond q24's
     * rollup): two chosen aggregation levels, no intermediate level. */
   def q39_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
@@ -3409,6 +3450,7 @@ object QueriesRelational {
     "q110_dtsx_output_into" -> (q110_dtsx_output_into _),
     "q111_dtsx_merge_output" -> (q111_dtsx_merge_output _),
     "q112_dtsx_merge_subquery" -> (q112_dtsx_merge_subquery _),
+    "q113_dtsx_join_update_output" -> (q113_dtsx_join_update_output _),
     "q82_orc_roundtrip" -> (q82_orc_roundtrip _),
     "q80_dtsx_cdc_merge" -> (q80_dtsx_cdc_merge _),
     "q79_delete_cascade" -> (q79_delete_cascade _),
@@ -3514,6 +3556,7 @@ object QueriesRelational {
     "q110_dtsx_output_into" -> q110Oracle,
     "q111_dtsx_merge_output" -> q111Oracle,
     "q112_dtsx_merge_subquery" -> q112Oracle,
+    "q113_dtsx_join_update_output" -> q113Oracle,
     "q82_orc_roundtrip" -> q82Oracle,
     "q80_dtsx_cdc_merge" -> q80Oracle,
     "q79_delete_cascade" -> q79Oracle,

@@ -86,7 +86,7 @@ object OutputIntoSqlCompiler {
   /** Expand items over the target schema into (value over the PRE-image
     * row, output name). `setLc` is empty for DELETE — every `inserted`
     * reference was already declined there. */
-  private def itemColumns(items: List[Item], tgt: DataFrame,
+  private[patterns] def itemColumns(items: List[Item], tgt: DataFrame,
       tgtName: String, setLc: Map[String, Column]): List[(Column, String)] = {
     val tgtCols = tgt.columns.map(_.toLowerCase).toSet
     def image(img: String, c: String): Column =

@@ -15,6 +15,7 @@ import org.apache.spark.sql.functions._
   *
   * {{{
   * UPDATE <t-alias> SET col = s.expr, ...
+  * [OUTPUT deleted.c | inserted.c [AS a], ... INTO <audit> [(cols)]]
   * FROM <target> [AS] t [INNER] JOIN <source> [AS] s ON t.k = s.k
   * [WHERE <pred>]
   * }}}
@@ -41,8 +42,12 @@ import org.apache.spark.sql.functions._
   * 8672 guard (writes are lazy frames, so nothing commits). */
 object UpdateFromSqlCompiler {
 
+  /** Groups: 1 update token, 2 SET list, 3/4/5 optional OUTPUT items /
+    * audit table / column list (T-SQL puts OUTPUT between SET and
+    * FROM), 6 target, 7 tAlias, 8 source, 9 sAlias, 10 ON, 11 WHERE. */
   private val updateFromRe =
     ("(?is)^\\s*update\\s+([^\\s;]+)\\s+set\\s+(.+?)\\s+" +
+      "(?:output\\s+(.+?)\\s+into\\s+([^\\s;(]+)\\s*(?:\\(([^)]*)\\))?\\s+)?" +
       "from\\s+([^\\s;]+)\\s+(?:as\\s+)?(\\w+)\\s+(?:inner\\s+)?join\\s+" +
       "([^\\s;]+)\\s+(?:as\\s+)?(\\w+)\\s+on\\s+(.+?)" +
       "(?:\\s+where\\s+(.+?))?\\s*;?\\s*$").r
@@ -61,20 +66,36 @@ object UpdateFromSqlCompiler {
   private val bodyKeywordRe =
     "(?i)\\b(select|insert|update|delete|merge|from|join|output)\\b".r
 
+  /** Shared shape predicate over the matched groups: the UPDATE token
+    * must name the FROM target, aliases distinct, clause bodies
+    * expression-only, and an OUTPUT clause (when present) must parse
+    * with its audit table distinct from both statement tables. */
+  private def groupsOk(sql: String, m: scala.util.matching.Regex.Match): Boolean = {
+    def g(i: Int): String = sql.substring(m.start(i), m.end(i))
+    def gOpt(i: Int): Option[String] =
+      if (m.group(i) == null) None else Some(g(i))
+    val bodies = g(2) :: g(10) :: gOpt(11).toList
+    val namesTarget = g(1).equalsIgnoreCase(g(7)) ||
+      g(1).equalsIgnoreCase(g(6))
+    val outputOk = gOpt(3) match {
+      case None => true
+      case Some(items) =>
+        val audit = g(4)
+        OutputIntoSqlCompiler.parseItems(items).isDefined &&
+          !audit.equalsIgnoreCase(g(6)) && !audit.equalsIgnoreCase(g(8)) &&
+          gOpt(5).forall(cl => MergeSqlCompiler.splitTop(cl)
+            .forall(_.matches("[A-Za-z_]\\w*")))
+    }
+    namesTarget && !g(7).equalsIgnoreCase(g(9)) && outputOk &&
+      !bodies.exists(MergeSqlCompiler.bodyDisqualified(_, bodyKeywordRe))
+  }
+
   /** Parse-only classification twin of [[rewrite]] (no frames touched). */
   private[graft] def shapeMatches(sqlRaw: String): Boolean = {
     val sql = SqlText.stripComments(sqlRaw)
     val msk = UpdateSqlCompiler.masked(sql)
     if (offShapeJoinRe.findFirstIn(msk).isDefined) return false
-    updateFromRe.findFirstMatchIn(msk).exists { m =>
-      def g(i: Int): String = sql.substring(m.start(i), m.end(i))
-      val bodies = g(2) :: g(7) ::
-        (if (m.group(8) == null) Nil else List(g(8)))
-      val namesTarget = g(1).equalsIgnoreCase(g(4)) ||
-        g(1).equalsIgnoreCase(g(3))
-      namesTarget && !g(4).equalsIgnoreCase(g(6)) &&
-        !bodies.exists(MergeSqlCompiler.bodyDisqualified(_, bodyKeywordRe))
-    }
+    updateFromRe.findFirstMatchIn(msk).exists(groupsOk(sql, _))
   }
 
   def rewrite(spark: SparkSession, task: ExecuteSqlTask,
@@ -85,20 +106,15 @@ object UpdateFromSqlCompiler {
     updateFromRe.findFirstMatchIn(msk).flatMap { m =>
       // match on the masked twin, slice the ORIGINAL by group spans
       def g(i: Int): String = sql.substring(m.start(i), m.end(i))
-      val updTok = g(1)
+      def gOpt(i: Int): Option[String] =
+        if (m.group(i) == null) None else Some(g(i))
       val setList = g(2)
-      val (tgtName, tA) = (g(3), g(4))
-      val (srcName, sA) = (g(5), g(6))
-      val onBody = g(7)
-      val whereOpt = if (m.group(8) == null) None else Some(g(8))
-      val bodies = setList :: onBody :: whereOpt.toList
-      // the UPDATE clause must name the FROM target — a mismatch is
-      // either a three-table form or a mis-split; both are manual review
-      val namesTarget = updTok.equalsIgnoreCase(tA) ||
-        updTok.equalsIgnoreCase(tgtName)
-      if (!namesTarget || tA.equalsIgnoreCase(sA) ||
-        bodies.exists(MergeSqlCompiler.bodyDisqualified(_, bodyKeywordRe)))
-        None
+      val outSpec = gOpt(3).map(items => (items, g(4), gOpt(5)))
+      val (tgtName, tA) = (g(6), g(7))
+      val (srcName, sA) = (g(8), g(9))
+      val onBody = g(10)
+      val whereOpt = gOpt(11)
+      if (!groupsOk(sql, m)) None
       else Some {
         val tgt = resolve(tgtName)
         val srcP = resolve(srcName).columns
@@ -152,11 +168,28 @@ object UpdateFromSqlCompiler {
             case None => col(f.name).as(f.name)
           }
         }: _*)
+        // OUTPUT…INTO on the join-update: the audit frame is the FIRED
+        // rows of the SAME guarded join (the multi-match abort rides it
+        // too) projected through the deleted/inserted images — deleted =
+        // the pre-image target column, inserted = the SET expression on
+        // the PRE-update row (which may reference the source leg). No
+        // second join is planned.
+        val side = outSpec.map { case (itemsStr, auditName, colListOpt) =>
+          val items = OutputIntoSqlCompiler.parseItems(itemsStr).get
+          val fired = kept.filter(fire)
+          val itemCols = OutputIntoSqlCompiler.itemColumns(items, tgt,
+            tgtName, setLc)
+          (auditName,
+            OutputIntoSqlCompiler.auditFrame(fired, itemCols,
+              resolve(auditName), auditName, colListOpt),
+            SaveMode.Append)
+        }
         SqlOutcome(Some(out), Some(tgtName), SaveMode.Overwrite,
           // @@ROWCOUNT after UPDATE…FROM = target rows where the join
           // matched AND the WHERE fired (the guarded frame reuses the
           // one join; a multi-match still aborts through raise_error)
-          affected = Some(() => kept.filter(fire).count()))
+          affected = Some(() => kept.filter(fire).count()),
+          side = side.toList)
       }
     }
   }

@@ -590,6 +590,45 @@ class PipelineSpec extends AnyFunSuite {
         "FROM acct t JOIN dim s ON t.id = s.id"), frames).get
     assert(swap.df.get.filter(col("id") === 1L)
       .as[(Long, Double, String)].head() === ((1L, 5.0, "Akeep")))
+    // OUTPUT…INTO between SET and FROM (the T-SQL position): the audit
+    // frame is the fired rows of the SAME guarded join — deleted = the
+    // pre-image, inserted = the SET expression (which may reference the
+    // source leg) on the PRE-update row
+    val audit = Seq.empty[(Long, Double, Double)].toDF("id", "old_bal", "new_bal")
+    val au = graft.patterns.UpdateFromSqlCompiler.rewrite(spark,
+      task("UPDATE t SET bal = t.bal + s.delta " +
+        "OUTPUT inserted.id, deleted.bal AS old_bal, inserted.bal AS new_bal " +
+        "INTO audit FROM acct t JOIN dim s ON t.id = s.id " +
+        "WHERE s.action = 'adj'"),
+      frames + ("audit" -> audit)).getOrElse(
+        fail("audited UPDATE...FROM did not compile"))
+    val List((an, af, am)) = au.side
+    assert(an === "audit" && am === org.apache.spark.sql.SaveMode.Append)
+    assert(af.as[(Long, Double, Double)].collect().toList
+      === List((2L, 20.0, 27.0)))
+    assert(au.df.get.filter(col("id") === 2L)
+      .as[(Long, Double, String)].head() === ((2L, 27.0, "B")))
+    // audited declines: INTO the statement's own target or source leg,
+    // $action outside MERGE, a malformed OUTPUT (no INTO)
+    assert(graft.patterns.UpdateFromSqlCompiler.rewrite(spark,
+      task("UPDATE t SET bal = s.delta OUTPUT deleted.bal INTO acct " +
+        "FROM acct t JOIN dim s ON t.id = s.id"), frames).isEmpty)
+    assert(graft.patterns.UpdateFromSqlCompiler.rewrite(spark,
+      task("UPDATE t SET bal = s.delta OUTPUT deleted.bal INTO dim " +
+        "FROM acct t JOIN dim s ON t.id = s.id"), frames).isEmpty)
+    assert(graft.patterns.UpdateFromSqlCompiler.rewrite(spark,
+      task("UPDATE t SET bal = s.delta OUTPUT $action, deleted.bal " +
+        "INTO audit FROM acct t JOIN dim s ON t.id = s.id"),
+      frames + ("audit" -> audit)).isEmpty)
+    assert(graft.patterns.UpdateFromSqlCompiler.rewrite(spark,
+      task("UPDATE t SET bal = s.delta OUTPUT deleted.bal " +
+        "FROM acct t JOIN dim s ON t.id = s.id"), frames).isEmpty)
+    assert(graft.patterns.UpdateFromSqlCompiler.shapeMatches(
+      "UPDATE t SET bal = s.delta OUTPUT deleted.bal INTO audit " +
+        "FROM acct t JOIN dim s ON t.id = s.id"))
+    assert(!graft.patterns.UpdateFromSqlCompiler.shapeMatches(
+      "UPDATE t SET bal = s.delta OUTPUT deleted.bal INTO acct " +
+        "FROM acct t JOIN dim s ON t.id = s.id"))
     // multi-match: T-SQL leaves the winner undefined — this engine
     // aborts from the materializing action rather than silently pick
     val dupDim = Seq((2L, 7.0, "adj"), (2L, 9.0, "adj"))
