@@ -6164,6 +6164,91 @@ object QueriesTrainingData {
       |  FROM drawn)
       |SELECT topic, rk, doc_id, source, n_chars FROM r WHERE rk <= 12""".stripMargin
 
+  /** DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining") —
+    * the mixture-tuning step that upweights domains whose text a proxy
+    * model finds HARD: here the proxy difficulty is the corpus unigram
+    * LM's mean token rarity (x35's surprisal surrogate on the integer
+    * grid: `r_t = n_corpus·1e6 div cnt_t`, monotone in −log p and
+    * libm-free), and the update is the LINEARIZED multiplicative step
+    * `w_s ∝ ref_s · (domain mean rarity / corpus mean rarity)` — the
+    * exp(η·excess) of the paper replaced by its first-order ratio form
+    * so every weight is exact BIGINT arithmetic on both engines
+    * (documented deviation; ratios clamp at 10× as the step-size cap).
+    * Every division operates on non-negatives — Spark `div` truncates
+    * toward zero, DuckDB `//` floors, and they agree only there.
+    *
+    * Shape: ONE corpus tokenize → per-(source, term) partial-combining
+    * counts; the LM and every total derive from THAT frame (no second
+    * corpus pass); the rarity join is vocab-keyed; the final mixture
+    * math runs on a sources-sized frame. */
+  def x116_doremi_reweight(spark: SparkSession, dir: String): DataFrame = {
+    val tf = documents(spark, dir)
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+      .cache()
+    val lm = tf.groupBy(col("term")).agg(sum(col("c")).as("cnt"))
+    val nCorpus = lm.agg(sum(col("cnt")).as("n_corpus"))
+    val rar = lm.crossJoin(broadcast(nCorpus))
+      .select(col("term"),
+        expr("n_corpus * 1000000 div cnt").as("r"))
+    val perSrc = tf.join(rar, Seq("term"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tok"), sum(col("c") * col("r")).as("num"))
+    val totals = perSrc.agg(sum(col("n_tok")).as("tot_n"),
+      sum(col("num")).as("tot_num"))
+    val scored = perSrc.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_tok"),
+        expr("n_tok * 1000000 div tot_n").as("ref_ppm"),
+        expr("num div n_tok").as("mean_rarity"),
+        expr("least(num div n_tok * 1000000 div (tot_num div tot_n), " +
+          "10000000)").as("ratio_ppm"))
+      .withColumn("raw", expr("ref_ppm * ratio_ppm div 1000"))
+    val res = scored.crossJoin(broadcast(
+        scored.agg(sum(col("raw")).as("tot_raw"))))
+      .select(col("source"), col("n_tok"), col("ref_ppm"),
+        col("mean_rarity"), col("ratio_ppm"),
+        expr("raw * 1000000 div tot_raw").as("new_ppm"))
+      .localCheckpoint(true)
+    tf.unpersist()
+    res
+  }
+
+  val x116Oracle: String =
+    """WITH t AS (
+      |  SELECT source, unnest(string_split_regex(text, '\s+')) AS term
+      |  FROM documents),
+      |tf AS (
+      |  SELECT source, term, COUNT(*) AS c FROM t WHERE term <> ''
+      |  GROUP BY 1, 2),
+      |lm AS (SELECT term, CAST(SUM(c) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+      |n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_corpus FROM lm),
+      |rar AS (
+      |  SELECT term, CAST(n_corpus * 1000000 // cnt AS BIGINT) AS r
+      |  FROM lm CROSS JOIN n),
+      |per_src AS (
+      |  SELECT source, CAST(SUM(c) AS BIGINT) AS n_tok,
+      |    CAST(SUM(c * r) AS BIGINT) AS num
+      |  FROM tf JOIN rar USING (term) GROUP BY source),
+      |tot AS (
+      |  SELECT CAST(SUM(n_tok) AS BIGINT) AS tot_n,
+      |    CAST(SUM(num) AS BIGINT) AS tot_num
+      |  FROM per_src),
+      |scored AS (
+      |  SELECT source, n_tok,
+      |    CAST(n_tok * 1000000 // tot_n AS BIGINT) AS ref_ppm,
+      |    CAST(num // n_tok AS BIGINT) AS mean_rarity,
+      |    CAST(least(num // n_tok * 1000000 // (tot_num // tot_n),
+      |      10000000) AS BIGINT) AS ratio_ppm,
+      |    CAST(n_tok * 1000000 // tot_n * (least(num // n_tok * 1000000
+      |      // (tot_num // tot_n), 10000000)) // 1000 AS BIGINT) AS raw
+      |  FROM per_src CROSS JOIN tot)
+      |SELECT source, n_tok, ref_ppm, mean_rarity, ratio_ppm,
+      |  CAST(raw * 1000000 // (SELECT SUM(raw) FROM scored) AS BIGINT)
+      |    AS new_ppm
+      |FROM scored""".stripMargin
+
   /** URL takedown sweep — corpus governance at the canonical-URL key
     * (the DMCA/robots-retroactive case): a takedown list of canonical
     * URLs (here: every URL whose source id ≡ 0 mod 7 — a deterministic
@@ -6409,6 +6494,7 @@ object QueriesTrainingData {
     "x113_hybrid_retrieval" -> (x113_hybrid_retrieval _),
     "x114_importance_resample" -> (x114_importance_resample _),
     "x115_topic_balanced_sample" -> (x115_topic_balanced_sample _),
+    "x116_doremi_reweight" -> (x116_doremi_reweight _),
     "x80_vision_token_budget" -> (x80_vision_token_budget _),
     "x79_url_takedown" -> (x79_url_takedown _),
     "x78_tokenizer_fertility" -> (x78_tokenizer_fertility _),
@@ -6524,6 +6610,7 @@ object QueriesTrainingData {
     "x113_hybrid_retrieval" -> x113Oracle,
     "x114_importance_resample" -> x114Oracle,
     "x115_topic_balanced_sample" -> x115Oracle,
+    "x116_doremi_reweight" -> x116Oracle,
     "x80_vision_token_budget" -> x80Oracle,
     "x79_url_takedown" -> x79Oracle,
     "x78_tokenizer_fertility" -> x78Oracle,

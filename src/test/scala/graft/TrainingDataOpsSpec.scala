@@ -502,6 +502,27 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("x116: DoReMi reweight upweights rare-token domains, mixture sums to ~1e6") {
+    spark.sharedState.cacheManager.clearCache()
+    val rows = QueriesTrainingData.x116_doremi_reweight(spark, sf).collect()
+    assert(rows.length > 1, "need several domains to reweight")
+    // a normalized mixture: ppm sum within truncation loss of 1e6
+    val tot = rows.map(_.getAs[Long]("new_ppm")).sum
+    assert(tot <= 1000000L && tot > 1000000L - rows.length,
+      s"mixture ppm sum $tot out of truncation band")
+    // the update is monotone: a domain with HIGHER mean rarity than
+    // another but equal reference share can never end up below it —
+    // check the ratio column is ordered with mean_rarity
+    val byRarity = rows.sortBy(_.getAs[Long]("mean_rarity"))
+    val ratios = byRarity.map(_.getAs[Long]("ratio_ppm"))
+    assert(ratios.zip(ratios.tail).forall { case (a, b) => a <= b },
+      "ratio_ppm must be monotone in mean_rarity")
+    // upweighting really happened somewhere: not all ratios equal
+    assert(ratios.distinct.length > 1, "degenerate reweight")
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "x116 must unpersist its term-frequency cache")
+  }
+
   test("x59: serpentine sharding balances token mass and spreads every shard") {
     val shards = QueriesTrainingData
       .x59_balanced_shards(spark, "/root/testdata/sf0.01")
