@@ -2072,6 +2072,49 @@ object QueriesRelational {
       |  CAST(COALESCE(f.new_price, l.o_totalprice) AS DOUBLE)
       |FROM live0 l LEFT JOIN fired f ON l.o_orderkey = f.o_orderkey""".stripMargin
 
+  /** Script-scoped scalar `@variables` through the dtsx frontend
+    * (`WatermarkScriptETL.dtsx`): the in-script watermark idiom —
+    * `DECLARE @wm; SELECT @wm = MAX(…) FROM live; INSERT …; DELETE …`
+    * all in ONE Execute SQL script. [[graft.patterns
+    * .ScriptedSqlExecutor]] evaluates the scalar assign against the
+    * CURRENT overlay state (a temp staged earlier in the script is
+    * visible) and binds the value into later statements as a typed
+    * literal; zero-row assigns keep the prior value (T-SQL), multi-row
+    * assigns decline (T-SQL picks an arbitrary row — this engine
+    * refuses to choose), and an undeclared `@` reference declines the
+    * whole script. The gate certifies the audit row (watermark value +
+    * row count) and the purged final state together. */
+  def q114_dtsx_script_vars(spark: SparkSession, dir: String): DataFrame = {
+    val (w, _) =
+      runDtsxWarehousePackage(spark, dir, "WatermarkScriptETL.dtsx")
+    val log = w("wm_log_ws").select(lit("log").as("kind"),
+      lit(null).cast(LongType).as("o_orderkey"),
+      col("wm").cast(DoubleType).as("v"),
+      col("n_above").cast(LongType).as("n"))
+    val live = w("orders_live_ws").select(lit("final").as("kind"),
+      col("o_orderkey").cast(LongType).as("o_orderkey"),
+      col("o_totalprice").cast(DoubleType).as("v"),
+      lit(null).cast(LongType).as("n"))
+    log.unionByName(live)
+  }
+
+  val q114Oracle: String =
+    """WITH live0 AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice
+      |  FROM orders),
+      |wm AS (
+      |  SELECT MAX(o_totalprice) AS wm FROM live0 WHERE o_orderstatus = 'F')
+      |SELECT 'log' AS kind, CAST(NULL AS BIGINT) AS o_orderkey,
+      |  CAST(wm AS DOUBLE) AS v,
+      |  (SELECT COUNT(*) FROM live0 CROSS JOIN wm
+      |   WHERE o_totalprice > wm - 50000) AS n
+      |FROM wm
+      |UNION ALL
+      |SELECT 'final', o_orderkey, CAST(o_totalprice AS DOUBLE),
+      |  CAST(NULL AS BIGINT)
+      |FROM live0 CROSS JOIN wm WHERE NOT (o_totalprice > wm - 50000)""".stripMargin
+
   /** Explicit GROUPING SETS with grouping_id disambiguation (beyond q24's
     * rollup): two chosen aggregation levels, no intermediate level. */
   def q39_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
@@ -3451,6 +3494,7 @@ object QueriesRelational {
     "q111_dtsx_merge_output" -> (q111_dtsx_merge_output _),
     "q112_dtsx_merge_subquery" -> (q112_dtsx_merge_subquery _),
     "q113_dtsx_join_update_output" -> (q113_dtsx_join_update_output _),
+    "q114_dtsx_script_vars" -> (q114_dtsx_script_vars _),
     "q82_orc_roundtrip" -> (q82_orc_roundtrip _),
     "q80_dtsx_cdc_merge" -> (q80_dtsx_cdc_merge _),
     "q79_delete_cascade" -> (q79_delete_cascade _),
@@ -3557,6 +3601,7 @@ object QueriesRelational {
     "q111_dtsx_merge_output" -> q111Oracle,
     "q112_dtsx_merge_subquery" -> q112Oracle,
     "q113_dtsx_join_update_output" -> q113Oracle,
+    "q114_dtsx_script_vars" -> q114Oracle,
     "q82_orc_roundtrip" -> q82Oracle,
     "q80_dtsx_cdc_merge" -> q80Oracle,
     "q79_delete_cascade" -> q79Oracle,

@@ -77,6 +77,20 @@ object ScriptedSqlExecutor {
   private val tempRefRe = "#{1,2}[A-Za-z_][A-Za-z0-9_]*".r
   private val globalTempRe = "##[A-Za-z_]".r
   private val rowcountRe = "(?i)@@rowcount".r
+
+  // ---- script-scoped scalar @variables (the in-script watermark
+  // idiom: DECLARE @wm …; SELECT @wm = MAX(ts) FROM t; <DML using @wm>)
+  private val declareStmtRe = "(?is)^\\s*declare\\s+(@.+)$".r
+  private val declareItemRe =
+    "(?is)^@(\\w+)\\s+[A-Za-z]\\w*(?:\\s*\\([^)]*\\))?(?:\\s*=\\s*(.+))?\\s*$".r
+  private val selectAssignRe = "(?is)^\\s*select\\s+@(\\w+)\\s*=\\s*(.+)$".r
+  private val setAssignRe = "(?is)^\\s*set\\s+@(\\w+)\\s*=\\s*(.+)$".r
+  // a second assignment target inside one SELECT (multi-assign) — or a
+  // variable on the LEFT of a comparison, which binding would turn into
+  // a silent literal=column predicate alias — both decline
+  private val innerAssignRe = "@\\w+\\s*=".r
+  private val scalarVarRe = "(?<!@)@(\\w+)".r
+  private val fromKeywordRe = "(?i)\\bfrom\\b".r
   // any OTHER @@system_var (@@IDENTITY, @@ERROR, @@TRANCOUNT…) — state
   // this replay cannot produce; the whole script declines
   private val otherSysVarRe = "(?i)@@(?!rowcount\\b)[a-z_]+".r
@@ -304,10 +318,16 @@ object ScriptedSqlExecutor {
       stmts.exists(s => otherSysVarRe.findFirstIn(m(s)).isDefined)) return None
     val temp = stmts.exists(hasTempRef)
     val rc = stmts.exists(s => rowcountRe.findFirstIn(m(s)).isDefined)
-    if (!temp && !rc) None
+    val sv = stmts.exists(s =>
+        declareStmtRe.findFirstMatchIn(m(s)).isDefined) &&
+      stmts.exists(s => selectAssignRe.findFirstMatchIn(m(s)).isDefined ||
+        setAssignRe.findFirstMatchIn(m(s)).isDefined)
+    if (!temp && !rc && !sv) None
     else Some(List(
       if (temp) Some("#temp scope (script-lifetime overlay tables)") else None,
-      if (rc) Some("@@ROWCOUNT substitution") else None)
+      if (rc) Some("@@ROWCOUNT substitution") else None,
+      if (sv) Some("script-scoped scalar @vars (typed-literal binding)")
+      else None)
       .flatten.mkString(" + "))
   }
 
@@ -401,17 +421,121 @@ object ScriptedSqlExecutor {
       // read — several @@ROWCOUNT references in one statement must see
       // ONE consistent number, and counting is an action)
       var lastAffected: Option[() => Long] = None
+      // script-scoped scalar @variables: declared names → current value
+      // (NULL until assigned — T-SQL DECLARE semantics). Values bind
+      // into later statements as typed literals the way the WHILE
+      // unroller binds its counters; an assign FROM a query evaluates
+      // against the CURRENT overlay state (a temp staged two statements
+      // ago is visible), which is why this lives in the sequencing loop
+      // and not in a pre-pass.
+      val vars = scala.collection.mutable.Map.empty[String, Any]
+      def varLit(v: Any): String = v match {
+        case null => "NULL"
+        case s: String => "'" + s.replace("'", "''") + "'"
+        case ts: java.sql.Timestamp => s"TIMESTAMP '${ts}'"
+        case d: java.sql.Date => s"DATE '${d}'"
+        case other => other.toString
+      }
+      def bindVars(e: String): String = MergeSqlCompiler.segments(e).map {
+        case (seg, true) => seg
+        case (seg, false) => scalarVarRe.replaceAllIn(seg, m =>
+          vars.get(m.group(1).toLowerCase) match {
+            case Some(v) => java.util.regex.Matcher
+              .quoteReplacement(varLit(v))
+            case None => m.matched // undeclared: left for the gate below
+          })
+      }.mkString
+      def evalScalar(boundExpr: String): Any =
+        spark.sql("SELECT " + boundExpr).head().get(0)
       def compileOne(s0: String): Option[SqlOutcome] = {
         val msk0 = UpdateSqlCompiler.masked(s0)
         // @@IDENTITY/@@ERROR/@@TRANCOUNT…: state this replay cannot
         // produce — decline the whole script, never substitute garbage
         if (otherSysVarRe.findFirstIn(msk0).isDefined) return None
-        val s =
+        val sRc =
           if (rowcountRe.findFirstIn(msk0).isEmpty) s0
           else lastAffected match {
             case Some(f) => substRowcount(s0, f())
             case None => return None // read with no countable predecessor
           }
+        val mskRc = UpdateSqlCompiler.masked(sRc)
+        declareStmtRe.findFirstMatchIn(mskRc).foreach { m =>
+          val items = MergeSqlCompiler.splitTop(
+            sRc.substring(m.start(1), m.end(1)))
+          // every item must parse as @name TYPE [= init] or the whole
+          // script declines (half a DECLARE is no DECLARE)
+          val parsed = items.map(i =>
+            declareItemRe.findFirstMatchIn(i.trim).map { im =>
+              im.group(1).toLowerCase ->
+                Option(im.group(2)).map(init =>
+                  i.trim.substring(im.start(2), im.end(2)))
+            })
+          if (parsed.exists(_.isEmpty)) return None
+          var inited = false
+          parsed.flatten.foreach { case (nm, initOpt) =>
+            val bound = initOpt.map(bindVars)
+            if (bound.exists(b =>
+                scalarVarRe.findFirstIn(UpdateSqlCompiler.masked(b)).isDefined))
+              return None // init references an undeclared variable
+            vars(nm) = bound.map(evalScalar).orNull
+            inited |= bound.isDefined
+          }
+          // a DECLARE with an initializer is a simple assignment
+          // (@@ROWCOUNT = 1); a bare DECLARE leaves the count alone
+          if (inited) lastAffected = Some(() => 1L)
+          return Some(SqlOutcome(None, None))
+        }
+        selectAssignRe.findFirstMatchIn(mskRc).foreach { m =>
+          val nm = sRc.substring(m.start(1), m.end(1)).toLowerCase
+          val rhsRaw = sRc.substring(m.start(2), m.end(2))
+          val rhsMsk = mskRc.substring(m.start(2), m.end(2))
+          // undeclared target, a second assignment target (multi-assign),
+          // or a left-side @var comparison: decline, never half-bind
+          if (!vars.contains(nm) ||
+            innerAssignRe.findFirstIn(rhsMsk).isDefined) return None
+          val bound = bindVars(rhsRaw)
+          if (scalarVarRe.findFirstIn(UpdateSqlCompiler.masked(bound))
+              .isDefined) return None
+          if (fromKeywordRe.findFirstIn(rhsMsk).isEmpty) {
+            // pure expression assign — FROM-less, one row by construction
+            vars(nm) = evalScalar(bound)
+            lastAffected = Some(() => 1L)
+          } else {
+            // scalar assign from a query, evaluated on the CURRENT
+            // overlay state. T-SQL: zero rows leave the variable
+            // unchanged; several rows assign an arbitrary last row —
+            // this engine refuses to choose (decline, nothing commits)
+            val rows = SqlPatternRewriter
+              .runSelect(spark, "SELECT " + bound).limit(2).collect()
+            if (rows.length > 1) return None
+            rows.headOption.foreach(r => vars(nm) = r.get(0))
+            val n = rows.length.toLong
+            lastAffected = Some(() => n)
+          }
+          return Some(SqlOutcome(None, None))
+        }
+        setAssignRe.findFirstMatchIn(mskRc).foreach { m =>
+          val nm = sRc.substring(m.start(1), m.end(1)).toLowerCase
+          val rhsRaw = sRc.substring(m.start(2), m.end(2))
+          val rhsMsk = mskRc.substring(m.start(2), m.end(2))
+          // SET is the FROM-less form (T-SQL: SET takes one expression;
+          // subquery SETs stay manual review)
+          if (!vars.contains(nm) ||
+            fromKeywordRe.findFirstIn(rhsMsk).isDefined ||
+            innerAssignRe.findFirstIn(rhsMsk).isDefined) return None
+          val bound = bindVars(rhsRaw)
+          if (scalarVarRe.findFirstIn(UpdateSqlCompiler.masked(bound))
+              .isDefined) return None
+          vars(nm) = evalScalar(bound)
+          lastAffected = Some(() => 1L)
+          return Some(SqlOutcome(None, None))
+        }
+        // every other statement: bind declared @vars as typed literals;
+        // an @reference that survives binding is undeclared — decline
+        // the whole script rather than hand a compiler a bare @token
+        val s = if (vars.isEmpty) sRc else bindVars(sRc)
+        if (scalarVarRe.findFirstIn(UpdateSqlCompiler.masked(s)).isDefined)
+          return None
         dropTempRe.findFirstMatchIn(UpdateSqlCompiler.masked(s)) match {
           case Some(d) if tempNames(d.group(2).toLowerCase) =>
             val nm = d.group(2).toLowerCase

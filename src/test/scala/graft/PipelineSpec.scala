@@ -793,6 +793,70 @@ class PipelineSpec extends AnyFunSuite {
     assert(w("log").as[(String, Long)].head() === (("updated", 2L)))
   }
 
+  test("script-scoped scalar @vars: watermark idiom, T-SQL assign semantics, declines") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def mkExec(written: scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]) =
+      graft.patterns.ScriptedSqlExecutor.executor(spark,
+        resolveFrame = n => written.getOrElse(n, spark.table(n)),
+        bareName = identity,
+        commit = (k, v) => written(k) = v)
+    def task(sql: String) = graft.ir.Ir.ExecuteSqlTask("sv", None, "conn", sql)
+    def fresh() = {
+      val w = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame](
+        "src" -> Seq((1L, 10.0), (2L, 40.0), (3L, 90.0)).toDF("id", "v"),
+        "tgt" -> Seq((1L, 10.0), (2L, 40.0), (3L, 90.0)).toDF("id", "v"),
+        "log" -> Seq.empty[(Double, Long)].toDF("wm", "n"))
+      w.foreach { case (k, f) => f.createOrReplaceTempView(k) }
+      w
+    }
+    // the in-script watermark: DECLARE, scalar assign from a query on
+    // the live state, then DML + audit INSERT both using the value
+    val w = fresh()
+    mkExec(w)(task(
+      "DECLARE @wm FLOAT, @cut FLOAT = 25.0; " +
+        "SELECT @wm = MAX(v) FROM src WHERE v < 50; " +
+        "SET @cut = @wm - @cut; " +
+        "INSERT INTO log (wm, n) VALUES (@wm, @@ROWCOUNT); " +
+        "DELETE FROM tgt WHERE v <= @cut"))
+      .getOrElse(fail("scalar-var script did not compile"))
+    assert(w("log").as[(Double, Long)].head() === ((40.0, 1L)))
+    assert(w("tgt").orderBy("id").as[(Long, Double)].collect().toList
+      === List((2L, 40.0), (3L, 90.0)))
+    // zero-row assign keeps the prior value (T-SQL), and @@ROWCOUNT
+    // reads 0 — the canonical "no new rows since the watermark" branch
+    val w2 = fresh()
+    mkExec(w2)(task(
+      "DECLARE @wm FLOAT = 7.5; " +
+        "SELECT @wm = MAX(v) FROM src WHERE v > 1000 HAVING COUNT(*) > 0; " +
+        "INSERT INTO log (wm, n) VALUES (@wm, @@ROWCOUNT)"))
+      .getOrElse(fail("zero-row assign script did not compile"))
+    assert(w2("log").as[(Double, Long)].head() === ((7.5, 0L)))
+    // declines, never half-bound: an undeclared variable in DML, a
+    // multi-assign SELECT, a multi-row assign (T-SQL picks an arbitrary
+    // row — this engine refuses), a subquery SET
+    val w3 = fresh()
+    assert(mkExec(w3)(task(
+      "DECLARE @a FLOAT; SELECT @a = MAX(v) FROM src; " +
+        "DELETE FROM tgt WHERE v < @nope")).isEmpty)
+    assert(mkExec(w3)(task(
+      "DECLARE @a FLOAT, @b FLOAT; SELECT @a = MIN(v), @b = MAX(v) " +
+        "FROM src; DELETE FROM tgt WHERE v < @a")).isEmpty)
+    assert(mkExec(w3)(task(
+      "DECLARE @a FLOAT; SELECT @a = v FROM src; " +
+        "DELETE FROM tgt WHERE v < @a")).isEmpty)
+    assert(mkExec(w3)(task(
+      "DECLARE @a FLOAT; SET @a = (SELECT MAX(v) FROM src); " +
+        "DELETE FROM tgt WHERE v < @a")).isEmpty)
+    // nothing committed by the declined scripts
+    assert(w3("tgt").count() === 3L)
+    // ledger twin surfaces the feature
+    assert(graft.patterns.ScriptedSqlExecutor.scriptFeatures(
+      "DECLARE @wm FLOAT; SELECT @wm = MAX(v) FROM src; " +
+        "DELETE FROM tgt WHERE v <= @wm")
+      .exists(_.contains("scalar @vars")))
+  }
+
   test("DeleteFromSqlCompiler: correlated join-delete; off-shape stays None") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
