@@ -498,6 +498,68 @@ object QueriesStreaming {
     StreamingOps.drainToMemory(touched, "x112_out", ckpt(), OutputMode.Complete)
   }
 
+  /** STREAMING mixture-drift monitor — x116's domain-mixture plane
+    * watched from the ingest stream: the delta documents stream into a
+    * per-source token-mass aggregate (Complete mode, one register per
+    * source — bounded state by construction), and the post-drain batch
+    * compares the arriving mix against the STANDING corpus's mix on
+    * the ppm grid. Drift is pure BIGINT subtraction (sign-safe across
+    * engines — no division ever touches a negative), so an alerting
+    * job can threshold `abs(drift_ppm)` exactly. This is the monitor a
+    * curation pipeline runs ON the feed that x116 retunes FROM. */
+  def x117_stream_mixture_drift(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextOps
+    val standing = Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(10)) =!= 7)
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_standing"))
+    val delta = docsDeltaStream(spark, dir)
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_delta"))
+    val counts =
+      StreamingOps.drainToMemory(delta, "x117_out", ckpt(), OutputMode.Complete)
+    // batch epilogue on sources-sized frames: shares on the ppm grid
+    val j = counts.join(standing, Seq("source"), "full_outer")
+      .select(col("source"),
+        coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+        coalesce(col("n_standing"), lit(0L)).as("n_standing"))
+    j.crossJoin(broadcast(
+        j.agg(sum(col("n_delta")).as("td"), sum(col("n_standing")).as("ts"))))
+      .select(col("source"), col("n_delta"), col("n_standing"),
+        expr("n_delta * 1000000 div td").as("delta_ppm"),
+        expr("n_standing * 1000000 div ts").as("standing_ppm"))
+      .withColumn("drift_ppm", col("delta_ppm") - col("standing_ppm"))
+  }
+
+  val x117Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, source, unnest(string_split_regex(text, '\s+')) AS term
+      |  FROM documents),
+      |tt AS (SELECT doc_id, source, term FROM t WHERE term <> ''),
+      |d AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_delta FROM tt
+      |  WHERE doc_id % 10 = 7 GROUP BY 1),
+      |s AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_standing FROM tt
+      |  WHERE doc_id % 10 <> 7 GROUP BY 1),
+      |j AS (
+      |  SELECT COALESCE(d.source, s.source) AS source,
+      |    COALESCE(n_delta, 0) AS n_delta,
+      |    COALESCE(n_standing, 0) AS n_standing
+      |  FROM d FULL OUTER JOIN s ON d.source = s.source),
+      |tot AS (
+      |  SELECT CAST(SUM(n_delta) AS BIGINT) AS td,
+      |    CAST(SUM(n_standing) AS BIGINT) AS ts FROM j)
+      |SELECT source, CAST(n_delta AS BIGINT) AS n_delta,
+      |  CAST(n_standing AS BIGINT) AS n_standing,
+      |  CAST(n_delta * 1000000 // td AS BIGINT) AS delta_ppm,
+      |  CAST(n_standing * 1000000 // ts AS BIGINT) AS standing_ppm,
+      |  CAST(n_delta * 1000000 // td - n_standing * 1000000 // ts
+      |    AS BIGINT) AS drift_ppm
+      |FROM j CROSS JOIN tot""".stripMargin
+
   val x112Oracle: String =
     """WITH cws AS (
       |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
@@ -574,6 +636,7 @@ object QueriesStreaming {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x97_stream_heldout_quality" -> (x97_stream_heldout_quality _),
     "x112_stream_index_ledger" -> (x112_stream_index_ledger _),
+    "x117_stream_mixture_drift" -> (x117_stream_mixture_drift _),
     "q84_stream_partitioned_sink" -> (q84_stream_partitioned_sink _),
     "q81_stream_cdc_compaction" -> (q81_stream_cdc_compaction _),
     "q43_stream_windowed_agg" -> (q43_stream_windowed_agg _),
@@ -586,6 +649,7 @@ object QueriesStreaming {
   val oracle: Map[String, String] = Map(
     "x97_stream_heldout_quality" -> x97Oracle,
     "x112_stream_index_ledger" -> x112Oracle,
+    "x117_stream_mixture_drift" -> x117Oracle,
     "q84_stream_partitioned_sink" -> q84Oracle,
     "q81_stream_cdc_compaction" -> q81Oracle,
     "q43_stream_windowed_agg" -> q43Oracle,

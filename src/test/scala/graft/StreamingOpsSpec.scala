@@ -142,6 +142,26 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() === expected)
   }
 
+  test("x117: streaming mixture drift is a zero-sum ppm balance over bounded state") {
+    val rows = QueriesStreaming
+      .x117_stream_mixture_drift(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length > 1, "need several sources to monitor")
+    // both share columns are normalized mixtures (truncation band), so
+    // the drift column must sum inside ±|sources| of zero
+    val dSum = rows.map(_.getAs[Long]("delta_ppm")).sum
+    val sSum = rows.map(_.getAs[Long]("standing_ppm")).sum
+    val drift = rows.map(_.getAs[Long]("drift_ppm")).sum
+    assert(dSum <= 1000000L && dSum > 1000000L - rows.length)
+    assert(sSum <= 1000000L && sSum > 1000000L - rows.length)
+    assert(math.abs(drift) < rows.length.toLong,
+      s"drift must be zero-sum up to truncation, got $drift")
+    // per-row identity: drift is exactly the share difference
+    rows.foreach { r =>
+      assert(r.getAs[Long]("drift_ppm") ===
+        r.getAs[Long]("delta_ppm") - r.getAs[Long]("standing_ppm"))
+    }
+  }
+
   test("AvailableNow drains the events table as an incremental batch") {
     // FileStreamSource needs a directory: stage the events file into one
     val stage = java.nio.file.Path.of(tmp("events-stage"), "events.parquet")
