@@ -2115,6 +2115,52 @@ object QueriesRelational {
       |  CAST(NULL AS BIGINT)
       |FROM live0 CROSS JOIN wm WHERE NOT (o_totalprice > wm - 50000)""".stripMargin
 
+  /** T-SQL `CROSS APPLY` / `OUTER APPLY` through the dtsx frontend
+    * (`LatestOrderApplyETL.dtsx`) — the latest-row-per-key source
+    * idiom. [[graft.patterns.ApplySql]] translates the TOP-1
+    * correlated body to a ranked join: `ROW_NUMBER()` partitioned by
+    * the correlation key inside a derived table (corpus-cardinality
+    * key, so the window parallelizes by construction — the
+    * low-cardinality single-task hazard cannot arise), `CROSS` →
+    * inner join, `OUTER` → left join with NULL extension for
+    * customers who never ordered. The gate certifies both directions
+    * plus the local-conjunct pushdown (`o_orderstatus = 'F'` stays
+    * inside the derived table). */
+  def q115_dtsx_apply(spark: SparkSession, dir: String): DataFrame = {
+    val (w, _) =
+      runDtsxWarehousePackage(spark, dir, "LatestOrderApplyETL.dtsx")
+    val latest = w("cust_latest_ca").select(lit("latest").as("kind"),
+      col("c_custkey").cast(LongType).as("c_custkey"),
+      col("o_orderkey").cast(LongType).as("o_orderkey"),
+      col("o_totalprice").cast(DoubleType).as("o_totalprice"))
+    val cov = w("cust_coverage_ca").select(lit("coverage").as("kind"),
+      col("c_custkey").cast(LongType).as("c_custkey"),
+      col("last_orderkey").cast(LongType).as("o_orderkey"),
+      lit(null).cast(DoubleType).as("o_totalprice"))
+    latest.unionByName(cov)
+  }
+
+  val q115Oracle: String =
+    """WITH ranked AS (
+      |  SELECT o_custkey, o_orderkey,
+      |    CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate DESC, o_orderkey) AS rn
+      |  FROM orders),
+      |rankedf AS (
+      |  SELECT o_custkey, o_orderkey,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate DESC, o_orderkey) AS rn
+      |  FROM orders WHERE o_orderstatus = 'F')
+      |SELECT 'latest' AS kind, c.c_custkey, r.o_orderkey,
+      |  CAST(r.o_totalprice AS DOUBLE) AS o_totalprice
+      |FROM customer c JOIN ranked r
+      |  ON r.o_custkey = c.c_custkey AND r.rn = 1
+      |UNION ALL
+      |SELECT 'coverage', c.c_custkey, r.o_orderkey, CAST(NULL AS DOUBLE)
+      |FROM customer c LEFT JOIN rankedf r
+      |  ON r.o_custkey = c.c_custkey AND r.rn = 1""".stripMargin
+
   /** Explicit GROUPING SETS with grouping_id disambiguation (beyond q24's
     * rollup): two chosen aggregation levels, no intermediate level. */
   def q39_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
@@ -3495,6 +3541,7 @@ object QueriesRelational {
     "q112_dtsx_merge_subquery" -> (q112_dtsx_merge_subquery _),
     "q113_dtsx_join_update_output" -> (q113_dtsx_join_update_output _),
     "q114_dtsx_script_vars" -> (q114_dtsx_script_vars _),
+    "q115_dtsx_apply" -> (q115_dtsx_apply _),
     "q82_orc_roundtrip" -> (q82_orc_roundtrip _),
     "q80_dtsx_cdc_merge" -> (q80_dtsx_cdc_merge _),
     "q79_delete_cascade" -> (q79_delete_cascade _),
@@ -3602,6 +3649,7 @@ object QueriesRelational {
     "q112_dtsx_merge_subquery" -> q112Oracle,
     "q113_dtsx_join_update_output" -> q113Oracle,
     "q114_dtsx_script_vars" -> q114Oracle,
+    "q115_dtsx_apply" -> q115Oracle,
     "q82_orc_roundtrip" -> q82Oracle,
     "q80_dtsx_cdc_merge" -> q80Oracle,
     "q79_delete_cascade" -> q79Oracle,

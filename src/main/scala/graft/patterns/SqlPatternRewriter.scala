@@ -78,6 +78,18 @@ object SqlPatternRewriter {
     WindowSqlLowering.lower(spark, s).getOrElse(spark.sql(s))
   }
 
+  /** Resolve a T-SQL APPLY before compiling: `Some(text)` = use this
+    * text (translated, or untouched when no APPLY), `None` = an APPLY
+    * is present but off-shape — the task must decline (raw APPLY is
+    * not Spark syntax; compiling it would fail loud instead of
+    * landing in manual review). */
+  private def applyResolved(select: String): Option[String] =
+    ApplySql.translate(select) match {
+      case None => Some(select)
+      case Some(Right(t)) => Some(t)
+      case Some(Left(_)) => None
+    }
+
   def rewrite(spark: SparkSession, task: ExecuteSqlTask,
       params: Map[String, String] = Map.empty): Option[SqlOutcome] = {
     var sql = stripComments(task.sqlStatement)
@@ -108,7 +120,7 @@ object SqlPatternRewriter {
           if (withLead && WindowSqlLowering.depthAt(msk, m.start) == 0)
             sql.substring(0, m.start).trim + " "
           else ""
-        val select = ctePrefix + m.group(2).trim
+        val select0 = ctePrefix + m.group(2).trim
         // Overwrite ONLY when the DELETE/TRUNCATE names the SAME table
         // the INSERT refills — a cleanup of some other table must not
         // turn this task into an overwrite that destroys the target's
@@ -119,20 +131,24 @@ object SqlPatternRewriter {
         val mode =
           if (cleared.exists(sameTable(_, target))) SaveMode.Overwrite
           else SaveMode.Append
-        val selected = runSelect(spark, select)
-        // @@ROWCOUNT after INSERT…SELECT = rows the SELECT produced
-        Some(SqlOutcome(Some(selected), Some(target), mode,
-          affected = Some(() => selected.count())))
+        applyResolved(select0).map { select =>
+          val selected = runSelect(spark, select)
+          // @@ROWCOUNT after INSERT…SELECT = rows the SELECT produced
+          SqlOutcome(Some(selected), Some(target), mode,
+            affected = Some(() => selected.count()))
+        }
       case _ :: _ =>
         // several INSERT…SELECT statements: executing only the first and
         // silently discarding the rest is worse than manual review
         None
       case Nil =>
-        bareSelectRe.findFirstMatchIn(sql).map { m =>
-          val selected = runSelect(spark, m.group(1))
-          // T-SQL sets @@ROWCOUNT after a SELECT too (rows returned)
-          SqlOutcome(Some(selected), None,
-            affected = Some(() => selected.count()))
+        bareSelectRe.findFirstMatchIn(sql).flatMap { m =>
+          applyResolved(m.group(1)).map { sel =>
+            val selected = runSelect(spark, sel)
+            // T-SQL sets @@ROWCOUNT after a SELECT too (rows returned)
+            SqlOutcome(Some(selected), None,
+              affected = Some(() => selected.count()))
+          }
         }.orElse {
           // WITH-prefixed pure SELECT (read-only CTE statement): the
           // whole text is the query. DELETE/TRUNCATE alongside a
@@ -140,9 +156,11 @@ object SqlPatternRewriter {
           if (withLead &&
             deleteTargetRe.findFirstIn(msk).isEmpty &&
             truncateTargetRe.findFirstIn(msk).isEmpty) {
-            val selected = runSelect(spark, sql)
-            Some(SqlOutcome(Some(selected), None,
-              affected = Some(() => selected.count())))
+            applyResolved(sql).map { sel =>
+              val selected = runSelect(spark, sel)
+              SqlOutcome(Some(selected), None,
+                affected = Some(() => selected.count()))
+            }
           } else None
         }
     }

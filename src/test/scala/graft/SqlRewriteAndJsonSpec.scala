@@ -226,6 +226,48 @@ class SqlRewriteAndJsonSpec extends AnyFunSuite {
       task("IF @n = 0 RAISERROR('empty', 16, 1);")).isEmpty)
   }
 
+  test("CROSS/OUTER APPLY translates to a ranked join; off-shapes decline whole") {
+    import graft.patterns.ApplySql
+    def t(s: String) = ApplySql.translate(s)
+    val base = "SELECT a.id, x.v FROM ta a CROSS APPLY (SELECT TOP 1 v " +
+      "FROM tb b WHERE b.k = a.id AND b.v > 0 ORDER BY b.ts DESC, b.v) x"
+    val Some(Right(r)) = t(base): @unchecked
+    // ranked-join shape: derived table carries the list + synthetic key
+    // + rank; local conjuncts stay inside; correlation becomes the ON
+    assert(r.contains("JOIN (SELECT v, b.k AS __graft_k0, ROW_NUMBER() " +
+      "OVER (PARTITION BY b.k ORDER BY b.ts DESC, b.v) AS __graft_rn " +
+      "FROM tb AS b WHERE b.v > 0) AS x"))
+    assert(r.contains("ON x.__graft_k0 = a.id AND x.__graft_rn <= 1"))
+    // OUTER APPLY = LEFT JOIN; flipped equality sides normalize;
+    // TOP (n) parenthesized form accepted
+    val Some(Right(o)) = t("SELECT a.id, x.v FROM ta a OUTER APPLY " +
+      "(SELECT TOP (2) v FROM tb b WHERE a.id = b.k ORDER BY b.v) x"): @unchecked
+    assert(o.contains("LEFT JOIN") && o.contains("__graft_rn <= 2"))
+    // no APPLY at all: pass-through signal
+    assert(t("SELECT 1 FROM ta").isEmpty)
+    // off-shapes: no TOP, no ORDER BY, non-equality correlation, outer
+    // ref in the body list, star select, two APPLYs — all Left
+    def left(s: String) = assert(t(s).exists(_.isLeft), s)
+    left("SELECT a.id, x.v FROM ta a CROSS APPLY (SELECT v FROM tb b " +
+      "WHERE b.k = a.id ORDER BY b.v) x")
+    left("SELECT a.id, x.v FROM ta a CROSS APPLY (SELECT TOP 1 v FROM tb b " +
+      "WHERE b.k = a.id) x")
+    left("SELECT a.id, x.v FROM ta a CROSS APPLY (SELECT TOP 1 v FROM tb b " +
+      "WHERE b.k > a.id ORDER BY b.v) x")
+    left("SELECT a.id, x.v FROM ta a CROSS APPLY (SELECT TOP 1 a.id + b.v " +
+      "AS v FROM tb b WHERE b.k = a.id ORDER BY b.v) x")
+    left("SELECT * FROM ta a CROSS APPLY (SELECT TOP 1 v FROM tb b " +
+      "WHERE b.k = a.id ORDER BY b.v) x")
+    left("SELECT a.id, x.v, y.v FROM ta a CROSS APPLY (SELECT TOP 1 v " +
+      "FROM tb b WHERE b.k = a.id ORDER BY b.v) x CROSS APPLY " +
+      "(SELECT TOP 1 v FROM tb c WHERE c.k = a.id ORDER BY c.v) y")
+    // literal immunity: ') x' inside a string is data
+    val Some(Right(li)) = t("SELECT a.id, x.v FROM ta a CROSS APPLY " +
+      "(SELECT TOP 1 v FROM tb b WHERE b.k = a.id AND b.tag <> ') x' " +
+      "ORDER BY b.v) x"): @unchecked
+    assert(li.contains("b.tag <> ') x'"))
+  }
+
   test("package JSON export: valid JSON, credentials redacted, full structure") {
     val pkg = DtsxParser.parseFile(
       getClass.getResource("/dtsx/SalesFactETL.dtsx").getPath)
