@@ -95,46 +95,47 @@ object GuardBlockSqlCompiler {
   def rewrite(spark: SparkSession, task: ExecuteSqlTask,
       resolve: String => DataFrame): Option[SqlOutcome] = {
     val text = SqlText.stripComments(task.sqlStatement)
-    parseBlock(text).map { case Block(declared, assigns, guards) =>
+    parseBlock(text).flatMap { case Block(declared, assigns, guards) =>
       val vals = scala.collection.mutable.Map.empty[String, Any]
       declared.foreach(v => vals(v) = null)
-      def lit(v: Any): String = v match {
-        case null => "NULL"
-        case s: String => "'" + s.replace("'", "''") + "'"
-        case ts: java.sql.Timestamp => s"TIMESTAMP '${ts}'"
-        case other => other.toString
-      }
       // earlier assignments substitute into later expressions as typed
-      // literals (T-SQL scoping: `SELECT @B = @A + 1` sees @A's value)
+      // literals (T-SQL scoping: `SELECT @B = @A + 1` sees @A's value);
+      // a value with no safe literal form (SqlText.sqlLit → None)
+      // declines the whole block — a toString-spliced Date is integer
+      // arithmetic and the guard would silently never fire
       def bind(e: String): String = MergeSqlCompiler.segments(e).map {
         case (seg, true) => seg
         case (seg, false) =>
           declaredVarRe.replaceAllIn(seg, m =>
             java.util.regex.Matcher.quoteReplacement(
-              lit(vals(m.group(1).toLowerCase))))
+              SqlText.sqlLitOrDecline(vals(m.group(1).toLowerCase))))
       }.mkString
-      assigns.foreach { a =>
-        val rows = spark.sql("SELECT " + bind(a.expr)).limit(1).collect()
-        vals(a.name) = rows.headOption.map(_.get(0)).orNull
-      }
-      guards.foreach { g =>
-        val bound = bind(g.pred)
-        val fired = spark
-          .sql(s"SELECT CASE WHEN $bound THEN true ELSE false END")
-          .head().getBoolean(0)
-        if (fired) {
-          val args = MergeSqlCompiler.splitTop(g.args)
-          val severity = args.lift(1).flatMap(_.trim.toIntOption).getOrElse(16)
-          // T-SQL: severity ≤ 10 is informational — the batch continues
-          if (severity >= 11)
-            throw new IllegalArgumentException(
-              "RAISERROR: " + args.headOption.map(_.trim).getOrElse("")
-                .stripPrefix("'").stripSuffix("'").replace("''", "'") +
-                s" (severity $severity)")
+      try {
+        assigns.foreach { a =>
+          val rows = spark.sql("SELECT " + bind(a.expr)).limit(1).collect()
+          vals(a.name) = rows.headOption.map(_.get(0)).orNull
         }
+        guards.foreach { g =>
+          val bound = bind(g.pred)
+          val fired = spark
+            .sql(s"SELECT CASE WHEN $bound THEN true ELSE false END")
+            .head().getBoolean(0)
+          if (fired) {
+            val args = MergeSqlCompiler.splitTop(g.args)
+            val severity = args.lift(1).flatMap(_.trim.toIntOption).getOrElse(16)
+            // T-SQL: severity ≤ 10 is informational — the batch continues
+            if (severity >= 11)
+              throw new IllegalArgumentException(
+                "RAISERROR: " + args.headOption.map(_.trim).getOrElse("")
+                  .stripPrefix("'").stripSuffix("'").replace("''", "'") +
+                  s" (severity $severity)")
+          }
+        }
+        // guard passed: success, nothing written, no result set
+        Some(SqlOutcome(None, None))
+      } catch {
+        case _: SqlText.UnbindableLiteral => None
       }
-      // guard passed: success, nothing written, no result set
-      SqlOutcome(None, None)
     }
   }
 }

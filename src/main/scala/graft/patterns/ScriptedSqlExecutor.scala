@@ -81,8 +81,11 @@ object ScriptedSqlExecutor {
   // ---- script-scoped scalar @variables (the in-script watermark
   // idiom: DECLARE @wm …; SELECT @wm = MAX(ts) FROM t; <DML using @wm>)
   private val declareStmtRe = "(?is)^\\s*declare\\s+(@.+)$".r
+  // group 2 captures the declared T-SQL type: T-SQL casts every
+  // assignment to it, so the binder must too (a DATETIME variable
+  // initialized from a string literal binds as TIMESTAMP, not STRING)
   private val declareItemRe =
-    "(?is)^@(\\w+)\\s+[A-Za-z]\\w*(?:\\s*\\([^)]*\\))?(?:\\s*=\\s*(.+))?\\s*$".r
+    "(?is)^@(\\w+)\\s+([A-Za-z]\\w*(?:\\s*\\([^)]*\\))?)(?:\\s*=\\s*(.+))?\\s*$".r
   private val selectAssignRe = "(?is)^\\s*select\\s+@(\\w+)\\s*=\\s*(.+)$".r
   private val setAssignRe = "(?is)^\\s*set\\s+@(\\w+)\\s*=\\s*(.+)$".r
   // a second assignment target inside one SELECT (multi-assign) — or a
@@ -145,13 +148,14 @@ object ScriptedSqlExecutor {
   /** `BEGIN TRY … END TRY BEGIN CATCH … END CATCH` — the T-SQL
     * error-handling dressing around ETL batches. The TRY body runs
     * through the normal sequential overlay; when a statement ABORTS
-    * with one of this engine's eager error classes (2714 re-create,
-    * 3701 missing drop, 8672 multi-match, arity/typo aborts — the same
-    * errors T-SQL raises and CATCH catches), the effects of statements
-    * BEFORE the failing one stay staged (T-SQL semantics without
-    * XACT_ABORT — the failing statement itself staged nothing, aborts
-    * fire before staging) and the CATCH body runs against that state
-    * with `ERROR_MESSAGE()` substituted as the caught text. A CATCH
+    * with a T-SQL-catchable error class ([[caughtMsg]]: the eager
+    * 2714 re-create / 3701 missing drop / arity aborts, and the LAZY
+    * 8672 multi-match guards, which a CATCH-bearing script forces at
+    * each statement so they fire at their point of failure), the
+    * effects of statements BEFORE the failing one stay staged (T-SQL
+    * semantics without XACT_ABORT — the failing statement itself
+    * staged nothing) and the CATCH body runs against that state with
+    * `ERROR_MESSAGE()` substituted as the caught text. A CATCH
     * needing ROLLBACK still declines the whole task (the global
     * rollback rule); an exception INSIDE the catch body propagates as
     * T-SQL's does. */
@@ -179,6 +183,27 @@ object ScriptedSqlExecutor {
       sb.toString
     }
   }
+
+  /** The T-SQL-catchable message of an abort, or None for exception
+    * classes a CATCH must NOT swallow (an engine bug propagates).
+    * Catchable: the eager `require` aborts (IllegalArgumentException —
+    * 2714 re-create, 3701 missing drop, arity/typo) and the LAZY
+    * raise_error guards (MERGE/UPDATE…FROM 8672 multi-match), which
+    * surface as a `SparkRuntimeException` with condition
+    * USER_RAISED_EXCEPTION somewhere in the failure's cause chain once
+    * the frame is forced (local-mode task failures arrive wrapped in
+    * SparkException layers). */
+  private def caughtMsg(e: Throwable): Option[String] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16)
+      .collectFirst {
+        case i: IllegalArgumentException =>
+          Option(i.getMessage).getOrElse("")
+        case r: org.apache.spark.SparkThrowable
+            if r.getCondition == "USER_RAISED_EXCEPTION" =>
+          Option(r.getMessageParameters.get("errorMessage"))
+            .getOrElse(Option(r.asInstanceOf[Throwable].getMessage)
+              .getOrElse("").stripPrefix("[USER_RAISED_EXCEPTION] "))
+      }
 
   /** `DROP TABLE [IF EXISTS] graft_tmp_x` (post-[[detemp]] spelling) —
     * the early-free statement real temp-table scripts end with. */
@@ -429,24 +454,30 @@ object ScriptedSqlExecutor {
       // ago is visible), which is why this lives in the sequencing loop
       // and not in a pre-pass.
       val vars = scala.collection.mutable.Map.empty[String, Any]
-      def varLit(v: Any): String = v match {
-        case null => "NULL"
-        case s: String => "'" + s.replace("'", "''") + "'"
-        case ts: java.sql.Timestamp => s"TIMESTAMP '${ts}'"
-        case d: java.sql.Date => s"DATE '${d}'"
-        case other => other.toString
-      }
+      // declared Spark type per variable — every assignment casts to it
+      // (T-SQL assignment semantics); populated only by the DECLARE
+      // handler, so vars.contains(nm) implies varTypes.contains(nm)
+      val varTypes = scala.collection.mutable.Map.empty[String, String]
+      // binding uses the shared typed-literal form; a value with no
+      // safe spelling (SqlText.sqlLit → None) throws UnbindableLiteral
+      // and runSeq declines the script — never a toString splice
       def bindVars(e: String): String = MergeSqlCompiler.segments(e).map {
         case (seg, true) => seg
         case (seg, false) => scalarVarRe.replaceAllIn(seg, m =>
           vars.get(m.group(1).toLowerCase) match {
             case Some(v) => java.util.regex.Matcher
-              .quoteReplacement(varLit(v))
+              .quoteReplacement(SqlText.sqlLitOrDecline(v))
             case None => m.matched // undeclared: left for the gate below
           })
       }.mkString
       def evalScalar(boundExpr: String): Any =
         spark.sql("SELECT " + boundExpr).head().get(0)
+      // T-SQL casts to the declared type AT assignment — a DATETIME
+      // variable assigned a string literal holds a timestamp, and its
+      // later bindings compare as one
+      def castTo(v: Any, tpe: String): Any =
+        if (v == null) null
+        else evalScalar(s"CAST(${SqlText.sqlLitOrDecline(v)} AS $tpe)")
       def compileOne(s0: String): Option[SqlOutcome] = {
         val msk0 = UpdateSqlCompiler.masked(s0)
         // @@IDENTITY/@@ERROR/@@TRANCOUNT…: state this replay cannot
@@ -462,22 +493,26 @@ object ScriptedSqlExecutor {
         declareStmtRe.findFirstMatchIn(mskRc).foreach { m =>
           val items = MergeSqlCompiler.splitTop(
             sRc.substring(m.start(1), m.end(1)))
-          // every item must parse as @name TYPE [= init] or the whole
-          // script declines (half a DECLARE is no DECLARE)
+          // every item must parse as @name TYPE [= init] with a MAPPED
+          // type or the whole script declines (half a DECLARE is no
+          // DECLARE; an unmapped type — TABLE variables, sql_variant,
+          // CURSOR — is state this replay cannot model)
           val parsed = items.map(i =>
-            declareItemRe.findFirstMatchIn(i.trim).map { im =>
-              im.group(1).toLowerCase ->
-                Option(im.group(2)).map(init =>
-                  i.trim.substring(im.start(2), im.end(2)))
+            declareItemRe.findFirstMatchIn(i.trim).flatMap { im =>
+              sparkDdlType(i.trim.substring(im.start(2), im.end(2)))
+                .map(tpe => (im.group(1).toLowerCase, tpe,
+                  Option(im.group(3)).map(_ =>
+                    i.trim.substring(im.start(3), im.end(3)))))
             })
           if (parsed.exists(_.isEmpty)) return None
           var inited = false
-          parsed.flatten.foreach { case (nm, initOpt) =>
+          parsed.flatten.foreach { case (nm, tpe, initOpt) =>
             val bound = initOpt.map(bindVars)
             if (bound.exists(b =>
                 scalarVarRe.findFirstIn(UpdateSqlCompiler.masked(b)).isDefined))
               return None // init references an undeclared variable
-            vars(nm) = bound.map(evalScalar).orNull
+            varTypes(nm) = tpe
+            vars(nm) = bound.map(b => evalScalar(s"CAST(($b) AS $tpe)")).orNull
             inited |= bound.isDefined
           }
           // a DECLARE with an initializer is a simple assignment
@@ -498,7 +533,7 @@ object ScriptedSqlExecutor {
               .isDefined) return None
           if (fromKeywordRe.findFirstIn(rhsMsk).isEmpty) {
             // pure expression assign — FROM-less, one row by construction
-            vars(nm) = evalScalar(bound)
+            vars(nm) = evalScalar(s"CAST(($bound) AS ${varTypes(nm)})")
             lastAffected = Some(() => 1L)
           } else {
             // scalar assign from a query, evaluated on the CURRENT
@@ -508,7 +543,8 @@ object ScriptedSqlExecutor {
             val rows = SqlPatternRewriter
               .runSelect(spark, "SELECT " + bound).limit(2).collect()
             if (rows.length > 1) return None
-            rows.headOption.foreach(r => vars(nm) = r.get(0))
+            rows.headOption.foreach(r =>
+              vars(nm) = castTo(r.get(0), varTypes(nm)))
             val n = rows.length.toLong
             lastAffected = Some(() => n)
           }
@@ -526,7 +562,7 @@ object ScriptedSqlExecutor {
           val bound = bindVars(rhsRaw)
           if (scalarVarRe.findFirstIn(UpdateSqlCompiler.masked(bound))
               .isDefined) return None
-          vars(nm) = evalScalar(bound)
+          vars(nm) = evalScalar(s"CAST(($bound) AS ${varTypes(nm)})")
           lastAffected = Some(() => 1L)
           return Some(SqlOutcome(None, None))
         }
@@ -571,24 +607,39 @@ object ScriptedSqlExecutor {
       try {
         // short-circuit on the first unconvertible statement: a later
         // statement may reference a table an earlier one creates, so
-        // compiling past a failure is meaningless
-        def runSeq(ss: List[String]): Boolean = ss.forall { s =>
-          compileOne(s) match {
-            case Some(o) => stage(o); outcomes += o; true
-            case None => false
+        // compiling past a failure is meaningless. With a CATCH
+        // present, each statement's frames are FORCED before staging:
+        // the lazy abort guards (the 8672 multi-match class rides
+        // raise_error columns that only fire at materialization) must
+        // surface AT their statement — T-SQL point-of-failure
+        // semantics, and the failing statement stages nothing. Without
+        // a CATCH the laziness is observable only as failure timing,
+        // so the forcing cost is not paid.
+        def runSeq(ss: List[String], catching: Boolean): Boolean =
+          ss.forall { s =>
+            (try compileOne(s) catch {
+              // a bound variable with no safe literal form: decline
+              case _: SqlText.UnbindableLiteral => None
+            }) match {
+              case Some(o) =>
+                if (catching)
+                  (o.side.map(_._2) ++ o.df).foreach(_.foreach(_ => ()))
+                stage(o); outcomes += o; true
+              case None => false
+            }
           }
-        }
         val allOk =
-          if (catchStmts0.isEmpty) runSeq(stmts)
+          if (catchStmts0.isEmpty) runSeq(stmts, catching = false)
           else
-            try runSeq(stmts)
+            try runSeq(stmts, catching = true)
             catch {
-              case e: IllegalArgumentException =>
-                // an eager abort (2714/3701/8672/arity…) = a T-SQL
-                // error CATCH catches: keep the pre-failure staged
-                // state, run the catch body with ERROR_MESSAGE() bound
-                val msg = Option(e.getMessage).getOrElse("")
-                runSeq(catchStmts.map(substErrMsg(_, msg)))
+              case e: Exception if caughtMsg(e).isDefined =>
+                // a T-SQL-catchable abort (eager 2714/3701/arity…, or
+                // a forced lazy guard — 8672 multi-match): keep the
+                // pre-failure staged state, run the catch body with
+                // ERROR_MESSAGE() bound
+                runSeq(catchStmts.map(substErrMsg(_, caughtMsg(e).get)),
+                  catching = true)
             }
         if (!allOk) None
         else {
@@ -661,18 +712,18 @@ object ScriptedSqlExecutor {
         case None =>
         // GO batch separators split exactly like ';' — a batch boundary
         // is always a statement boundary
-        val stmts0 = SqlText.splitBatches(text)
+        val stmts = SqlText.splitBatches(text)
           .flatMap(SqlText.splitStatements)
-        val stmts = stmts0
           .map(s => beginTranPrefixRe.replaceFirstIn(s, ""))
           .filterNot(s => txnNoopRe.findFirstMatchIn(s).isDefined)
-        val txnStripped = stmts != stmts0
-        // a statement text rewritten by the transaction strip must be
-        // what the chain compiles; untouched tasks keep their ORIGINAL
-        // text (compilers strip comments themselves)
+        // a statement text that DIVERGED from the whole stripped text —
+        // by the transaction strip OR by GO-separator splitting — must
+        // be what the chain compiles (a trailing lone `GO` would fail
+        // the compilers' anchored shapes); only a truly untouched task
+        // keeps its ORIGINAL text (compilers strip comments themselves)
         def single(s: String) =
-          chain(if (txnStripped) bound.copy(sqlStatement = s) else bound,
-            resolveFrame)
+          chain(if (s.trim == text.trim) bound
+            else bound.copy(sqlStatement = s), resolveFrame)
         if (stmts.isEmpty)
           // a script of only BEGIN TRAN/COMMIT/NOCOUNT: vacuous success
           Some(SqlOutcome(None, None))

@@ -27,6 +27,51 @@ object SqlText {
   def stripComments(sql: String): String =
     (if (sql.contains('\n')) stripToEol(sql) else stripNormalized(sql)).trim
 
+  /** Typed SQL literal for a driver-evaluated scalar binding back into
+    * statement text — the WHILE unroll, guard block, and script
+    * @variable binders all share this one. None = the value has no
+    * literal form this engine vouches for (binary, arrays, exotic JDBC
+    * types…) and the caller must DECLINE the statement: `toString`
+    * splicing is never safe (an unquoted `2024-01-08` evaluates as
+    * integer subtraction = 2010, silently wrong). Date/time values
+    * cover both the java.sql and the java.time (datetime.java8API)
+    * spellings. */
+  def sqlLit(v: Any): Option[String] = v match {
+    case null => Some("NULL")
+    case s: String => Some("'" + s.replace("'", "''") + "'")
+    case ts: java.sql.Timestamp => Some(s"TIMESTAMP '$ts'")
+    case d: java.sql.Date => Some(s"DATE '$d'")
+    case d: java.time.LocalDate => Some(s"DATE '$d'")
+    case t: java.time.Instant =>
+      Some(s"TIMESTAMP '${java.sql.Timestamp.from(t)}'")
+    case t: java.time.LocalDateTime =>
+      Some(s"TIMESTAMP '${java.sql.Timestamp.valueOf(t)}'")
+    case b: Boolean => Some(b.toString)
+    case n @ (_: Byte | _: Short | _: Int | _: Long) => Some(n.toString)
+    case bd: java.math.BigDecimal =>
+      // precision from the plain rendering (covers the leading zero),
+      // scale clamped non-negative (1E+2 renders plain as 100, scale 0)
+      val p = bd.toPlainString.count(_.isDigit)
+      val s = math.max(bd.scale, 0)
+      if (p > 38) None
+      else Some(s"CAST(${bd.toPlainString} AS DECIMAL($p, $s))")
+    case bd: scala.math.BigDecimal => sqlLit(bd.underlying)
+    case d: Double if !d.isNaN && !d.isInfinite =>
+      Some(s"CAST('$d' AS DOUBLE)") // exact: Spark parses the shortest
+    case f: Float if !f.isNaN && !f.isInfinite =>
+      Some(s"CAST('$f' AS FLOAT)") // round-trip rendering back
+    case _ => None
+  }
+
+  /** Thrown by the shared binder call sites when [[sqlLit]] has no
+    * literal form — each compiler catches it and declines the statement
+    * to manual review (never a toString splice). */
+  private[patterns] final class UnbindableLiteral(val v: Any)
+    extends RuntimeException(s"no SQL literal form for $v", null, false, false)
+
+  private[patterns] def sqlLitOrDecline(v: Any): String =
+    sqlLit(v).getOrElse(throw new UnbindableLiteral(v))
+
   /** T-SQL `GO` batch separators: a line holding only `GO` (optionally
     * `;`-terminated) splits the script exactly like a `;` — SSMS-style
     * batch authoring is everywhere in real estates. Positions are found

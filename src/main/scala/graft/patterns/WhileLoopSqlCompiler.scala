@@ -140,19 +140,16 @@ object WhileLoopSqlCompiler {
 
     val vals = scala.collection.mutable.Map.empty[String, Any]
     declared.foreach(v => vals(v) = null)
-    def lit(v: Any): String = v match {
-      case null => "NULL"
-      case s: String => "'" + s.replace("'", "''") + "'"
-      case ts: java.sql.Timestamp => s"TIMESTAMP '${ts}'"
-      case other => other.toString
-    }
-    // substitute current values as typed literals, literal-masked
+    // substitute current values as typed literals, literal-masked;
+    // a value with no safe literal form (SqlText.sqlLit → None, e.g. a
+    // binary) throws UnbindableLiteral and the whole loop DECLINES —
+    // a toString splice of a Date is integer arithmetic, silently wrong
     def bind(e: String): String = MergeSqlCompiler.segments(e).map {
       case (seg, true) => seg
       case (seg, false) =>
         varRe.replaceAllIn(seg, m =>
           java.util.regex.Matcher.quoteReplacement(
-            lit(vals(m.group(1).toLowerCase))))
+            SqlText.sqlLitOrDecline(vals(m.group(1).toLowerCase))))
     }.mkString
     def eval(e: String): Any =
       spark.sql("SELECT " + bind(e)).head().get(0)
@@ -160,38 +157,44 @@ object WhileLoopSqlCompiler {
       .sql(s"SELECT CASE WHEN ${bind(p.pred)} THEN true ELSE false END")
       .head().getBoolean(0)
 
-    // preamble: DECLARE inits and SETs in order
-    p.preamble.foreach { s =>
-      val msk = UpdateSqlCompiler.masked(s)
-      declareRe.findFirstMatchIn(msk).foreach { m =>
-        MergeSqlCompiler.splitTop(s.substring(m.start(1), m.end(1)))
-          .foreach(item => declareItemRe.findFirstMatchIn(item.trim)
-            .foreach { im =>
-              Option(im.group(2)).foreach(init =>
-                vals(im.group(1).toLowerCase) = eval(init))
-            })
-      }
-      setRe.findFirstMatchIn(msk).foreach { m =>
-        vals(s.substring(m.start(1), m.end(1)).toLowerCase) =
-          eval(s.substring(m.start(2), m.end(2)))
-      }
-    }
-
-    val out = List.newBuilder[String]
-    var iters = 0
-    while (predTrue) {
-      iters += 1
-      if (iters > MaxIterations) return None // manual review, not a bomb
-      p.body.foreach { s =>
+    try {
+      // preamble: DECLARE inits and SETs in order
+      p.preamble.foreach { s =>
         val msk = UpdateSqlCompiler.masked(s)
-        setRe.findFirstMatchIn(msk) match {
-          case Some(m) =>
-            vals(s.substring(m.start(1), m.end(1)).toLowerCase) =
-              eval(s.substring(m.start(2), m.end(2)))
-          case None => out += bind(s)
+        declareRe.findFirstMatchIn(msk).foreach { m =>
+          MergeSqlCompiler.splitTop(s.substring(m.start(1), m.end(1)))
+            .foreach(item => declareItemRe.findFirstMatchIn(item.trim)
+              .foreach { im =>
+                Option(im.group(2)).foreach(init =>
+                  vals(im.group(1).toLowerCase) = eval(init))
+              })
+        }
+        setRe.findFirstMatchIn(msk).foreach { m =>
+          vals(s.substring(m.start(1), m.end(1)).toLowerCase) =
+            eval(s.substring(m.start(2), m.end(2)))
         }
       }
+
+      val out = List.newBuilder[String]
+      var iters = 0
+      while (predTrue) {
+        iters += 1
+        if (iters > MaxIterations) return None // manual review, not a bomb
+        p.body.foreach { s =>
+          val msk = UpdateSqlCompiler.masked(s)
+          setRe.findFirstMatchIn(msk) match {
+            case Some(m) =>
+              vals(s.substring(m.start(1), m.end(1)).toLowerCase) =
+                eval(s.substring(m.start(2), m.end(2)))
+            case None => out += bind(s)
+          }
+        }
+      }
+      Some(out.result())
+    } catch {
+      // a loop variable took a value with no safe literal spelling —
+      // decline the whole loop to manual review
+      case _: SqlText.UnbindableLiteral => None
     }
-    Some(out.result())
   }
 }

@@ -958,6 +958,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(run("DECLARE @A INT;" +
       "SELECT @A = COUNT(*) FROM gb_dim;" +
       "IF @A = 0 BEGIN RAISERROR('x', 16, 1) END").nonEmpty)
+    // a DATE-valued guard variable binds as a DATE literal, so a
+    // staleness guard actually FIRES (a toString splice evaluates the
+    // date as integer arithmetic and the guard silently never trips)
+    Seq(java.sql.Date.valueOf("2024-05-01")).toDF("d")
+      .createOrReplaceTempView("gb_dates")
+    val derr = intercept[IllegalArgumentException] {
+      run("DECLARE @maxd DATE;" +
+        "SELECT @maxd = MAX(d) FROM gb_dates;" +
+        "IF @maxd < '2030-01-01' RAISERROR('stale feed', 16, 1);")
+    }
+    assert(derr.getMessage.contains("stale feed"))
     assert(run("DECLARE @A INT;" +
       "SELECT @A = COUNT(*) FROM gb_dim;" +
       "IF @A = 0 BEGIN RAISERROR('x', 16, 1); END").nonEmpty)
@@ -1493,6 +1504,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(lit4.nonEmpty, "literal WHILE/BEGIN was parsed as a loop")
     assert(lit4.get.df.get.select("note").as[String].head()
       === "while begin end loop")
+    // a DATE-valued loop variable binds as a DATE literal — the
+    // watermark-walk idiom (SET @d = DATE_ADD(@d, 7)); a toString
+    // splice would evaluate `2024-01-08` as integer subtraction and
+    // silently under-iterate
+    val w5 = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]()
+    assert(mkExec(w5)(task(
+      "DECLARE @d DATE = DATE '2024-01-01'; WHILE @d <= '2024-01-22' BEGIN " +
+        "INSERT INTO wk_wl (d) VALUES (@d); " +
+        "SET @d = DATE_ADD(@d, 7); END")).nonEmpty)
+    assert(w5("wk_wl").orderBy("d").as[java.sql.Date].collect().toList
+      .map(_.toString) ===
+      List("2024-01-01", "2024-01-08", "2024-01-15", "2024-01-22"))
   }
 
   test("IfExistsSqlCompiler: the probe decides, untaken branches stay ownable") {
@@ -1622,6 +1645,97 @@ class PipelineSpec extends AnyFunSuite {
         "INSERT INTO s3_tcs (k, nope) VALUES (8); " +
         "END TRY BEGIN CATCH END CATCH")).nonEmpty)
     assert(w3("s3_tcs").as[Int].collect().toList === List(7))
+  }
+
+  test("ScriptedSqlExecutor: TRY/CATCH catches the LAZY 8672 multi-match guard") {
+    import spark.implicits._
+    def mkExec(written: scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]) =
+      graft.patterns.ScriptedSqlExecutor.executor(spark,
+        resolveFrame = n => written.getOrElse(n, spark.table(n)),
+        bareName = identity,
+        commit = (k, v) => written(k) = v)
+    def task(sql: String) = graft.ir.Ir.ExecuteSqlTask("s", None, "conn", sql)
+    // the 8672 guard is a raise_error COLUMN that fires at
+    // materialization — with a CATCH present the script forces each
+    // statement's frame, so the abort surfaces AT the MERGE (T-SQL
+    // point of failure), the MERGE stages nothing, and the catch binds
+    // its message
+    val w = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame](
+      "dim8_tc" -> Seq((1L, 10.0)).toDF("id", "bal"),
+      "feed8_tc" -> Seq((1L, 20.0), (1L, 30.0)).toDF("id", "bal"))
+    val t = mkExec(w)(task(
+      "BEGIN TRY " +
+        "MERGE INTO dim8_tc AS t USING feed8_tc AS s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET bal = s.bal " +
+        "WHEN NOT MATCHED THEN INSERT (id, bal) VALUES (s.id, s.bal); " +
+        "END TRY BEGIN CATCH " +
+        "INSERT INTO errlog8_tc (msg) VALUES (ERROR_MESSAGE()); " +
+        "END CATCH"))
+    assert(t.nonEmpty, "lazy-guard TRY/CATCH did not compile")
+    val msg = w("errlog8_tc").as[String].head()
+    assert(msg.contains("8672"), s"catch did not bind the 8672 text: $msg")
+    assert(w("dim8_tc").as[(Long, Double)].collect().toList === List((1L, 10.0)),
+      "the failing MERGE must stage nothing")
+  }
+
+  test("ScriptedSqlExecutor: DECLARE casts to the declared type; unmapped declines") {
+    import spark.implicits._
+    def mkExec(written: scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]) =
+      graft.patterns.ScriptedSqlExecutor.executor(spark,
+        resolveFrame = n => written.getOrElse(n, spark.table(n)),
+        bareName = identity,
+        commit = (k, v) => written(k) = v)
+    def task(sql: String) = graft.ir.Ir.ExecuteSqlTask("s", None, "conn", sql)
+    // T-SQL casts at assignment: a DATETIME initialized from a string
+    // literal holds a timestamp and binds as TIMESTAMP downstream
+    val w1 = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]()
+    assert(mkExec(w1)(task(
+      "DECLARE @wm DATETIME = '2020-01-05'; " +
+        "INSERT INTO wmlog_dt (wm) VALUES (@wm)")).nonEmpty)
+    assert(w1("wmlog_dt").schema.head.dataType ===
+      org.apache.spark.sql.types.TimestampType,
+      "DATETIME variable must bind as a TIMESTAMP literal")
+    // a DATE variable assigned from a query binds as DATE — the
+    // comparison below is date arithmetic, not integer subtraction
+    Seq(java.sql.Date.valueOf("2024-03-01"), java.sql.Date.valueOf("2024-05-01"))
+      .toDF("d").createOrReplaceTempView("ddecl_src")
+    val w2 = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]()
+    assert(mkExec(w2)(task(
+      "DECLARE @maxd DATE; " +
+        "SELECT @maxd = MAX(d) FROM ddecl_src; " +
+        "INSERT INTO dlog_dt (d, fresh) VALUES (@maxd, " +
+        "CASE WHEN @maxd > '2024-04-01' THEN 1 ELSE 0 END)")).nonEmpty)
+    assert(w2("dlog_dt").as[(java.sql.Date, Int)].head() ===
+      (java.sql.Date.valueOf("2024-05-01"), 1))
+    // TABLE variables / unmapped types are state this replay cannot
+    // model — the whole script declines
+    assert(mkExec(scala.collection.mutable.Map.empty)(task(
+      "DECLARE @t TABLE (id INT); " +
+        "INSERT INTO x_dt (k) VALUES (1)")).isEmpty)
+    assert(mkExec(scala.collection.mutable.Map.empty)(task(
+      "DECLARE @v SQL_VARIANT; " +
+        "INSERT INTO x_dt (k) VALUES (1)")).isEmpty)
+  }
+
+  test("ScriptedSqlExecutor: a single-statement batch with trailing GO compiles") {
+    import spark.implicits._
+    def mkExec(written: scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]) =
+      graft.patterns.ScriptedSqlExecutor.executor(spark,
+        resolveFrame = n => written.getOrElse(n, spark.table(n)),
+        bareName = identity,
+        commit = (k, v) => written(k) = v)
+    def task(sql: String) = graft.ir.Ir.ExecuteSqlTask("s", None, "conn", sql)
+    // GO removal is a REWRITE: the chain must compile the split
+    // statement, not the original text whose trailing GO fails the
+    // compilers' anchored shapes
+    val w = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame](
+      "go1_t" -> Seq((1L, 0), (2L, 0)).toDF("id", "v"))
+    val t = mkExec(w)(task("UPDATE go1_t SET v = 7 WHERE id = 1\nGO"))
+    assert(t.nonEmpty, "single statement + GO must compile")
+    // single statements return the outcome for the RUNNER to commit
+    assert(t.get.target === Some("go1_t"))
+    assert(t.get.df.get.orderBy("id").as[(Long, Int)].collect().toList
+      === List((1L, 7), (2L, 0)))
   }
 
   test("ExecLiteralSqlCompiler: literal dynamic SQL unwraps, params decline") {
