@@ -17,9 +17,10 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
   * ARBITRARY sort order:
   *
   *  1. Every row gets an order-ALIGNED bucket id computed from SAMPLED
-  *     VALUE BOUNDARIES: one bounded driver-side sampling pass over the
-  *     order key collects ~buckets·64 tuples, sorts them under the
-  *     directed comparator, and turns `buckets-1` cut points into plan
+  *     VALUE BOUNDARIES: one GLOBALLY-budgeted driver-side sampling
+  *     pass over the order key collects ≤ ~2·buckets·128 tuples at any
+  *     partition count ([[samplePlan]]), sorts them under the directed
+  *     comparator, and turns `buckets-1` cut points into plan
   *     LITERALS (the IVF-centroid / BPE-merge-table convention). The
   *     bucket is then a PURE FUNCTION of the row — every consumer of
   *     the frame agrees bucket-for-row by construction, no matter how
@@ -151,6 +152,25 @@ object RankLowering {
     }
   }
 
+  /** Global sample-budget plan: (rows per contributing partition,
+    * partition stride). A FIXED per-partition count times an unbounded
+    * partition count is a driver bottleneck (~800k scan partitions at
+    * 100 TB would collect ~100M key tuples) — the RangePartitioner
+    * convention caps the TOTAL sketch instead. Budget = buckets × 128
+    * tuples; below 64-ish partitions this reproduces the full
+    * 128/partition sample exactly (small-SF plans unchanged), past the
+    * budget only every `stride`-th partition contributes one row, so
+    * the collect stays ≤ ~2× budget at ANY partition count. Boundary
+    * QUALITY degrades gracefully with the sample; correctness never
+    * depends on it (order alignment holds for any boundary set). */
+  private[graft] def samplePlan(numParts: Int, buckets: Int): (Int, Int) = {
+    val parts = math.max(numParts, 1)
+    val budget = math.max(buckets, 1) * 128
+    val perPart = math.min(128, math.max(1, budget / parts))
+    val stride = math.max(1, parts / budget)
+    (perPart, stride)
+  }
+
   /** Add `bucketCol`: the count of sampled boundaries the row's key
     * tuple sorts strictly after — deterministic, order-aligned, literal
     * boundaries. One bounded sampling job runs at CALL time (the
@@ -160,24 +180,28 @@ object RankLowering {
       bucketCol: String, buckets: Int): DataFrame = {
     val keyCols = specs.map(s => col(s.name))
     val keyTypes: Seq[DataType] = specs.map(s => df.schema(s.name).dataType)
-    val perPart = 128
-    val sampled: Array[Row] = df.select(keyCols: _*).rdd
+    val keyRdd = df.select(keyCols: _*).rdd
+    val (perPart, stride) = samplePlan(keyRdd.getNumPartitions, buckets)
+    val sampled: Array[Row] = keyRdd
       .mapPartitionsWithIndex { case (idx, it) =>
         // deterministic per-partition reservoir — though determinism is
         // not load-bearing (whatever is collected becomes the fixed
         // literal set), it keeps reruns comparable
-        val rng = new java.util.Random(0x5DEECE66DL ^ idx)
-        val buf = new scala.collection.mutable.ArrayBuffer[Row](perPart)
-        var seen = 0L
-        it.foreach { r =>
-          seen += 1
-          if (buf.size < perPart) buf += r
-          else {
-            val j = (rng.nextDouble() * seen).toLong
-            if (j < perPart) buf(j.toInt) = r
+        if (idx % stride != 0) Iterator.empty
+        else {
+          val rng = new java.util.Random(0x5DEECE66DL ^ idx)
+          val buf = new scala.collection.mutable.ArrayBuffer[Row](perPart)
+          var seen = 0L
+          it.foreach { r =>
+            seen += 1
+            if (buf.size < perPart) buf += r
+            else {
+              val j = (rng.nextDouble() * seen).toLong
+              if (j < perPart) buf(j.toInt) = r
+            }
           }
+          buf.iterator
         }
-        buf.iterator
       }.collect()
     if (sampled.isEmpty || buckets <= 1)
       return df.withColumn(bucketCol, lit(0))

@@ -287,6 +287,44 @@ class RankLoweringSpec extends AnyFunSuite {
     assert(low === raw)
   }
 
+  test("boundary sample is globally budgeted at any partition count") {
+    // the r12 scale caveat: 128 rows/partition × unbounded partitions
+    // collected ~100M key tuples to the driver at the 100 TB partition
+    // count. The plan caps the TOTAL: ≤ ~2·buckets·128 tuples however
+    // many partitions the scan has, and reproduces the old full sample
+    // exactly below ~budget/128 partitions (small-SF plans unchanged).
+    def collected(parts: Int, buckets: Int): Long = {
+      val (perPart, stride) = RankLowering.samplePlan(parts, buckets)
+      // contributing partitions = ceil(parts / stride)
+      (parts.toLong + stride - 1) / stride * perPart
+    }
+    for (buckets <- Seq(16, 64, 256); parts <- Seq(1, 32, 64, 1000,
+        100000, 800000, Int.MaxValue / 2)) {
+      val budget = buckets * 128L
+      assert(collected(parts, buckets) <= 2 * budget,
+        s"parts=$parts buckets=$buckets collects ${collected(parts, buckets)}" +
+          s" > 2×budget ${2 * budget}")
+    }
+    // unchanged at sandbox scale: full 128/partition, no striding
+    assert(RankLowering.samplePlan(32, 64) === ((128, 1)))
+    assert(RankLowering.samplePlan(64, 64) === ((128, 1)))
+    // boundary math itself never depends on the sample: ranks stay
+    // exact on an input partitioned past the budget, which forces the
+    // strided path (buckets=1 → budget 128, 300 partitions → stride 2)
+    assert(RankLowering.samplePlan(300, 1)._2 > 1, "stride must engage")
+    val many = (1 to 4000).map(i => (i.toLong, (i * 48271 % 7919).toDouble))
+      .toDF("id", "v").repartition(300)
+    val rn = RankLowering.rowNumber(many, Nil, Seq(col("v").asc), "rn",
+      buckets = 1)
+    val rn2 = RankLowering.rowNumber(many, Nil, Seq(col("v").asc), "rn",
+      buckets = 2)
+    val raw = many.withColumn("rn", row_number().over(
+        Window.orderBy($"v".asc)))
+      .select("id", "rn").as[(Long, Int)].collect().toSeq.sorted
+    assert(rn.select("id", "rn").as[(Long, Int)].collect().toSeq.sorted === raw)
+    assert(rn2.select("id", "rn").as[(Long, Int)].collect().toSeq.sorted === raw)
+  }
+
   test("off-shape selects fall back to raw SQL (None)") {
     df.createOrReplaceTempView("rk_t")
     // two windows
