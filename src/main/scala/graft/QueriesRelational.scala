@@ -2161,6 +2161,61 @@ object QueriesRelational {
       |FROM customer c LEFT JOIN rankedf r
       |  ON r.o_custkey = c.c_custkey AND r.rn = 1""".stripMargin
 
+  /** MERGE `WHEN NOT MATCHED BY SOURCE` through the dtsx frontend
+    * (`FullSyncMergeETL.dtsx`) — the full-sync dimension idiom: the
+    * feed is a complete current snapshot, so target rows the feed no
+    * longer carries are FLAGGED (`UPDATE SET is_current = 0`, here
+    * guarded by an `AND tgt.is_current = 1` predicate) on one
+    * dimension and RETIRED (`DELETE`) on another. In
+    * [[graft.patterns.MergeSqlCompiler]] both verbs ride the
+    * null-source leg of the ONE full-outer-join state replacement the
+    * other three verbs already share (PlanShapeSpec pins joins === 1)
+    * — no extra join, no second merge-key shuffle, the 8672 guard
+    * unchanged. Off-shape clauses (source references in BY SOURCE
+    * bodies, a second BY SOURCE clause) decline the whole MERGE. */
+  def q116_dtsx_merge_by_source(spark: SparkSession, dir: String): DataFrame = {
+    val (w, _) = runDtsxWarehousePackage(spark, dir, "FullSyncMergeETL.dtsx")
+    val flag = w("dim_supplier_fs").select(lit("FLAG").as("form"),
+      col("s_suppkey").cast(LongType).as("s_suppkey"),
+      col("s_acctbal").cast(DoubleType).as("bal"),
+      col("is_current").cast(IntegerType).as("is_current"))
+    val del = w("dim_supplier_del_fs").select(lit("DEL").as("form"),
+      col("s_suppkey").cast(LongType).as("s_suppkey"),
+      col("s_acctbal").cast(DoubleType).as("bal"),
+      col("is_current").cast(IntegerType).as("is_current"))
+    flag.unionByName(del)
+  }
+
+  val q116Oracle: String =
+    """WITH dim0 AS (
+      |  SELECT s_suppkey, s_name, CAST(s_acctbal AS DECIMAL(12,2)) AS s_acctbal,
+      |    1 AS is_current
+      |  FROM supplier WHERE s_suppkey % 7 <> 3),
+      |feed AS (
+      |  SELECT s_suppkey, s_name, CAST(s_acctbal + 50 AS DECIMAL(12,2)) AS s_acctbal
+      |  FROM supplier WHERE s_suppkey % 5 <> 0),
+      |flagd AS (
+      |  SELECT d.s_suppkey,
+      |    CASE WHEN f.s_suppkey IS NOT NULL THEN f.s_acctbal
+      |         ELSE d.s_acctbal END AS s_acctbal,
+      |    CASE WHEN f.s_suppkey IS NULL THEN 0 ELSE d.is_current END AS is_current
+      |  FROM dim0 d LEFT JOIN feed f ON d.s_suppkey = f.s_suppkey
+      |  UNION ALL
+      |  SELECT f.s_suppkey, f.s_acctbal, 1 FROM feed f
+      |  WHERE f.s_suppkey NOT IN (SELECT s_suppkey FROM dim0)),
+      |deld AS (
+      |  SELECT d.s_suppkey, f.s_acctbal, d.is_current
+      |  FROM dim0 d JOIN feed f ON d.s_suppkey = f.s_suppkey
+      |  UNION ALL
+      |  SELECT f.s_suppkey, f.s_acctbal, 1 FROM feed f
+      |  WHERE f.s_suppkey NOT IN (SELECT s_suppkey FROM dim0))
+      |SELECT 'FLAG' AS form, s_suppkey, CAST(s_acctbal AS DOUBLE) AS bal,
+      |  is_current
+      |FROM flagd
+      |UNION ALL
+      |SELECT 'DEL', s_suppkey, CAST(s_acctbal AS DOUBLE), is_current
+      |FROM deld""".stripMargin
+
   /** Explicit GROUPING SETS with grouping_id disambiguation (beyond q24's
     * rollup): two chosen aggregation levels, no intermediate level. */
   def q39_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
@@ -3542,6 +3597,7 @@ object QueriesRelational {
     "q113_dtsx_join_update_output" -> (q113_dtsx_join_update_output _),
     "q114_dtsx_script_vars" -> (q114_dtsx_script_vars _),
     "q115_dtsx_apply" -> (q115_dtsx_apply _),
+    "q116_dtsx_merge_by_source" -> (q116_dtsx_merge_by_source _),
     "q82_orc_roundtrip" -> (q82_orc_roundtrip _),
     "q80_dtsx_cdc_merge" -> (q80_dtsx_cdc_merge _),
     "q79_delete_cascade" -> (q79_delete_cascade _),
@@ -3650,6 +3706,7 @@ object QueriesRelational {
     "q113_dtsx_join_update_output" -> q113Oracle,
     "q114_dtsx_script_vars" -> q114Oracle,
     "q115_dtsx_apply" -> q115Oracle,
+    "q116_dtsx_merge_by_source" -> q116Oracle,
     "q82_orc_roundtrip" -> q82Oracle,
     "q80_dtsx_cdc_merge" -> q80Oracle,
     "q79_delete_cascade" -> q79Oracle,

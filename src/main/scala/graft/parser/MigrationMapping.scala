@@ -175,6 +175,10 @@ object MigrationMapping {
         Some("canonical MERGE executes (patterns/MergeSqlCompiler — one " +
           "full-outer-join state replacement with the fused 8672 guard); " +
           "dataflow SCD2 via patterns/ScdType2.merge" +
+          (if (graft.patterns.MergeSqlCompiler.bySourceShape(sql))
+             "; WHEN NOT MATCHED BY SOURCE retires/flags source-absent " +
+               "target rows on the same frame's null-source leg"
+           else "") +
           (if (graft.patterns.MergeSqlCompiler.outputShape(sql))
              "; OUTPUT…INTO change feed rides the side append ($action + " +
                "deleted/inserted images from the same joined frame)"
@@ -182,9 +186,11 @@ object MigrationMapping {
     else if (graft.patterns.ScriptedSqlExecutor.tryCatchShape(sql))
       TaskMapping(t.name, "ExecuteSQLTask", "converted", None,
         Some("TRY/CATCH batch executes (patterns/ScriptedSqlExecutor — " +
-          "eager abort classes are caught, pre-failure effects stay " +
-          "staged (T-SQL without XACT_ABORT), ERROR_MESSAGE() binds the " +
-          "caught text; a CATCH needing ROLLBACK stays manual review)"),
+          "T-SQL-catchable aborts are caught: the eager 2714/3701/arity " +
+          "classes plus the lazy 8672 multi-match guards, forced at each " +
+          "statement; pre-failure effects stay staged (T-SQL without " +
+          "XACT_ABORT), ERROR_MESSAGE() binds the caught text; a CATCH " +
+          "needing ROLLBACK stays manual review)"),
         Nil, signals)
     else if (graft.patterns.IfExistsSqlCompiler.shapeMatches(sql))
       TaskMapping(t.name, "ExecuteSQLTask", "converted", None,

@@ -19,6 +19,7 @@ import org.apache.spark.sql.functions._
   * [WHEN MATCHED AND <delete-pred> THEN DELETE]
   * WHEN MATCHED [AND <update-pred>] THEN UPDATE SET col = expr, ...
   * WHEN NOT MATCHED [BY TARGET] THEN INSERT (cols) VALUES (exprs)
+  * [WHEN NOT MATCHED BY SOURCE [AND <pred>] THEN DELETE | UPDATE SET ...]
   * [OUTPUT $action | deleted.c | inserted.c [AS a], ... INTO <log> [(cols)]]
   * }}}
   *
@@ -66,6 +67,49 @@ object MergeSqlCompiler {
       "when\\s+not\\s+matched\\s+(?:by\\s+target\\s+)?then\\s+insert\\s*\\(").r
 
   private val valuesOpenRe = "(?is)\\s*values\\s*\\(".r
+
+  /** `WHEN NOT MATCHED BY SOURCE [AND pred] THEN DELETE | UPDATE SET …`
+    * after the VALUES list — the full-sync dimension idiom: target rows
+    * the feed no longer carries are retired (DELETE) or flagged
+    * (`UPDATE SET is_current = 0`). On the one full-outer frame these
+    * rows ARE the null-source leg, so both verbs are a filter / CASE
+    * branch away — no extra join, no extra shuffle. */
+  private val bySourceRe =
+    ("(?is)^\\s*when\\s+not\\s+matched\\s+by\\s+source\\s+" +
+      "(?:and\\s+(.+?)\\s+)?then\\s+(?:(delete)|update\\s+set\\s+(.+?))" +
+      "\\s*(?=\\boutput\\b|;|$)").r
+
+  private val bySourceOpenRe =
+    "(?is)^\\s*when\\s+not\\s+matched\\s+by\\s+source\\b".r
+
+  /** pred = optional extra condition; set = UPDATE assignments, None
+    * for the DELETE verb. */
+  private final case class BySourceSpec(pred: Option[String],
+      set: Option[String])
+
+  /** Parse the optional BY SOURCE clause starting at `from`:
+    * `Some((None, from))` = no clause there; `Some((Some(spec), end))`
+    * = one canonical clause; `None` = a BY SOURCE clause is present but
+    * off-shape (a second clause, a CASE/WHEN or nested query in its
+    * bodies…) — the whole MERGE declines, half a clause never runs.
+    * Matching runs on the literal-masked twin; bodies slice from the
+    * original text. */
+  private def bySourceClause(sql: String, from: Int)
+      : Option[(Option[BySourceSpec], Int)] = {
+    val tail = sql.substring(from)
+    val msk = UpdateSqlCompiler.masked(tail)
+    if (bySourceOpenRe.findPrefixMatchOf(msk).isEmpty) return Some((None, from))
+    bySourceRe.findPrefixMatchOf(msk).flatMap { m =>
+      def g(i: Int): Option[String] =
+        Option(m.group(i)).map(_ => tail.substring(m.start(i), m.end(i)))
+      val spec = BySourceSpec(g(1), g(3))
+      // a WHEN inside a body is either a swallowed second clause or a
+      // CASE expression — both outside the canonical contract
+      val ok = !(spec.pred.toList ++ spec.set).exists(
+        bodyDisqualified(_, "(?i)\\bwhen\\b|\\bselect\\b".r))
+      if (ok) Some((Some(spec), from + m.end)) else None
+    }
+  }
 
   /** Optional `OUTPUT … INTO` tail after the VALUES list — the T-SQL
     * MERGE change-feed idiom (`$action` plus deleted/inserted images
@@ -163,7 +207,21 @@ object MergeSqlCompiler {
       (_, afterCols) <- balanced(sql, m.end)
       vm <- valuesOpenRe.findPrefixMatchOf(sql.substring(afterCols))
       (_, afterVals) <- balanced(sql, afterCols + vm.end)
-      spec <- outputTail(sql, afterVals, m.group(1), m.group(3))
+      (_, afterBySrc) <- bySourceClause(sql, afterVals)
+      spec <- outputTail(sql, afterBySrc, m.group(1), m.group(3))
+    } yield spec.isDefined).getOrElse(false)
+  }
+
+  /** Parse-only twin for the migration ledger: does this statement
+    * carry a canonical `WHEN NOT MATCHED BY SOURCE` clause? */
+  private[graft] def bySourceShape(sqlRaw: String): Boolean = {
+    val sql = spliceUsingSubquery(SqlText.stripComments(sqlRaw))._1
+    (for {
+      m <- mergePrefixRe.findFirstMatchIn(sql)
+      (_, afterCols) <- balanced(sql, m.end)
+      vm <- valuesOpenRe.findPrefixMatchOf(sql.substring(afterCols))
+      (_, afterVals) <- balanced(sql, afterCols + vm.end)
+      (spec, _) <- bySourceClause(sql, afterVals)
     } yield spec.isDefined).getOrElse(false)
   }
 
@@ -303,9 +361,19 @@ object MergeSqlCompiler {
       (colsStr, afterCols) <- balanced(sql, m.end)
       vm <- valuesOpenRe.findPrefixMatchOf(sql.substring(afterCols))
       (valsStr, afterVals) <- balanced(sql, afterCols + vm.end)
+      // optional full-sync clause; an off-shape BY SOURCE declines
+      (bySrcOpt, afterBySrc) <- bySourceClause(sql, afterVals)
+      // T-SQL forbids source references inside BY SOURCE bodies (the
+      // source side IS null there) — a package carrying one never
+      // compiled on SQL Server; decline rather than bind NULLs
+      if bySrcOpt.forall(bs => !(bs.pred.toList ++ bs.set).exists(b =>
+        segments(b).exists { case (seg, quoted) =>
+          !quoted && ("(?i)\\b" + java.util.regex.Pattern.quote(m.group(4)) +
+            "\\.").r.findFirstIn(seg).isDefined
+        }))
       // the tail must be a bare terminator or a canonical OUTPUT…INTO
       // change feed — anything else declines the whole statement
-      outSpec <- outputTail(sql, afterVals, m.group(1), m.group(3))
+      outSpec <- outputTail(sql, afterBySrc, m.group(1), m.group(3))
       // with a subquery source, the change log may not be the
       // subquery's base table either (a table of the statement)
       if subSpec.forall { case (_, tbl, _) =>
@@ -316,8 +384,8 @@ object MergeSqlCompiler {
       if !(Seq(m.group(5), m.group(8), colsStr, valsStr) ++
         Option(m.group(6)) ++ Option(m.group(7)))
         .exists(hasQuotedIdentifier)
-    } yield (m, colsStr, valsStr, outSpec)
-    parsed.map { case (m, colsStr, valsStr, outSpec) =>
+    } yield (m, colsStr, valsStr, bySrcOpt, outSpec)
+    parsed.map { case (m, colsStr, valsStr, bySrcOpt, outSpec) =>
       val (tgtName, tA) = (m.group(1), m.group(2))
       val (srcName, sA) = (m.group(3), m.group(4))
       val tgt = resolve(tgtName)
@@ -363,6 +431,26 @@ object MergeSqlCompiler {
       require(dupIns.isEmpty,
         s"MERGE INSERT names column(s) more than once: " +
           dupIns.keys.mkString(", "))
+      // BY SOURCE UPDATE assignments validate exactly like SET: absent
+      // or duplicated target columns abort, never silently no-op
+      val bsSetMapLc: Map[String, Column] =
+        bySrcOpt.flatMap(_.set).map { sl =>
+          val pairs = splitTop(sl).map { a =>
+            val i = a.indexOf('=')
+            require(i > 0, s"MERGE BY SOURCE SET assignment has no '=': $a")
+            xlate(a.take(i).trim, tA, sA) -> expr(xlate(a.drop(i + 1).trim, tA, sA))
+          }
+          val badBs = pairs.map(_._1).filterNot(c => tgtCols(c.toLowerCase))
+          require(badBs.isEmpty,
+            s"MERGE BY SOURCE SET names column(s) absent from target " +
+              s"${tgtName}: ${badBs.mkString(", ")}")
+          val dupBs = pairs.map(_._1).groupBy(_.toLowerCase)
+            .filter(_._2.size > 1)
+          require(dupBs.isEmpty,
+            s"MERGE BY SOURCE SET assigns column(s) more than once: " +
+              dupBs.keys.mkString(", "))
+          pairs.map { case (k, v) => k.toLowerCase -> v }.toMap
+        }.getOrElse(Map.empty)
 
       // ONE full-outer join computes all three MERGE legs — untouched
       // (source side null), matched (both present), inserted (target
@@ -400,6 +488,16 @@ object MergeSqlCompiler {
         .map(coalesce(_, lit(false))).getOrElse(lit(false))
       val updPred = updatePredOpt
         .map(coalesce(_, lit(false))).getOrElse(lit(true))
+      // the BY SOURCE leg on the one joined frame: target rows the
+      // source does not carry (null source side) whose optional AND
+      // predicate holds (target-column-only by the parse guard; NULL
+      // predicate = not fired, like the other verbs)
+      val isBySource = col("__graft_sid").isNull
+      val bsDelete = bySrcOpt.exists(_.set.isEmpty)
+      val bsFire = bySrcOpt.map { bs =>
+        isBySource && bs.pred.map(t =>
+          coalesce(expr(xlate(t, tA, sA)), lit(false))).getOrElse(lit(true))
+      }.getOrElse(lit(false))
       // a single CASE filter (not a conjunction Catalyst could split and
       // short-circuit) so EVERY row evaluates the guard before the
       // delete verb can drop it — a multi-matched row that is deleted
@@ -411,24 +509,23 @@ object MergeSqlCompiler {
           .cast("boolean")
       val kept = guarded.filter(
         when(col("__graft_mcnt") > 1, guardAbort)
-          .otherwise(!(isMatched && delPred)))
+          .otherwise(!(isMatched && delPred) &&
+            (if (bsDelete) !bsFire else lit(true))))
       // per-column CASE over the one joined frame: insert rows take the
-      // INSERT expression (absent columns = NULL), matched rows take the
-      // SET expression only where the update condition holds (the
-      // two-verb upsert's keep path), untouched rows pass through. Every
-      // branch casts to the TARGET column type — T-SQL column types win
-      // over expression types.
+      // INSERT expression (absent columns = NULL), BY SOURCE UPDATE rows
+      // take their SET expression (disjoint from the matched leg by
+      // construction), matched rows take the SET expression only where
+      // the update condition holds (the two-verb upsert's keep path),
+      // untouched rows pass through. Every branch casts to the TARGET
+      // column type — T-SQL column types win over expression types.
       val out = kept.select(tgt.schema.fields.toSeq.map { f =>
         val lc = f.name.toLowerCase
         val insertVal = insertMapLc.getOrElse(lc, lit(null))
-        val branched = setMapLc.get(lc) match {
-          case Some(e) =>
-            when(isInsert, insertVal)
-              .when(isMatched && updPred, e)
-              .otherwise(col(f.name))
-          case None => when(isInsert, insertVal).otherwise(col(f.name))
-        }
-        branched.cast(f.dataType).as(f.name)
+        var branched = when(isInsert, insertVal)
+        bsSetMapLc.get(lc).foreach(e => branched = branched.when(bsFire, e))
+        setMapLc.get(lc).foreach(e =>
+          branched = branched.when(isMatched && updPred, e))
+        branched.otherwise(col(f.name)).cast(f.dataType).as(f.name)
       }: _*)
       // OUTPUT…INTO change feed: one row per AFFECTED row (untouched
       // matches emit nothing), built over the SAME joined frame — no
@@ -449,10 +546,18 @@ object MergeSqlCompiler {
       val side = outSpec.map { case (itemsStr, auditName, colListOpt) =>
         val items =
           OutputIntoSqlCompiler.parseItems(itemsStr, allowAction = true).get
-        val firedPred = isInsert || (isMatched && (delPred || updPred))
+        val firedBase = isInsert || (isMatched && (delPred || updPred))
+        val firedPred =
+          if (bySrcOpt.isEmpty) firedBase else firedBase || bsFire
         val auditRows = guarded.filter(
           when(col("__graft_mcnt") > 1, guardAbort).otherwise(firedPred))
-        val action = when(isInsert, lit("INSERT"))
+        // a fired BY SOURCE row reports its own verb ($action); when no
+        // BY SOURCE clause exists the plan stays byte-identical to the
+        // two-leg form (untouched rows never pass firedPred anyway)
+        val action0 = when(isInsert, lit("INSERT"))
+        val action = (if (bySrcOpt.isEmpty) action0
+          else action0.when(isBySource,
+            lit(if (bsDelete) "DELETE" else "UPDATE")))
           .when(delPred, lit("DELETE"))
           .otherwise(lit("UPDATE"))
         def image(img: String, name: String): Column = {
@@ -462,7 +567,11 @@ object MergeSqlCompiler {
             case "deleted" =>
               when(isInsert, lit(null)).otherwise(col(f.name))
             case _ =>
-              when(isInsert, insertMapLc.getOrElse(lc, lit(null)))
+              val base = when(isInsert, insertMapLc.getOrElse(lc, lit(null)))
+              (if (bySrcOpt.isEmpty) base
+               else base.when(isBySource,
+                 if (bsDelete) lit(null)
+                 else bsSetMapLc.getOrElse(lc, col(f.name))))
                 .when(delPred, lit(null))
                 .otherwise(setMapLc.getOrElse(lc, col(f.name)))
           }

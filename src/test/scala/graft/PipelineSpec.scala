@@ -310,6 +310,109 @@ class PipelineSpec extends AnyFunSuite {
     assert(!broken.planned(1).action.contains("FAILS"))
   }
 
+  test("MergeSqlCompiler: WHEN NOT MATCHED BY SOURCE flags/retires; off-shape declines") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tgt = Seq((1L, "a", 10.0, 1), (2L, "b", 20.0, 1), (3L, "c", 30.0, 0))
+      .toDF("id", "name", "bal", "cur")
+    val feed = Seq((2L, "b2", 25.0), (9L, "z", 5.0)).toDF("id", "name", "bal")
+    val frames = Map("dim" -> tgt, "feed" -> feed,
+      "mlog" -> Seq.empty[(String, Option[Long], Option[Long])]
+        .toDF("op", "old_id", "new_id"))
+    def run(sql: String) = graft.patterns.MergeSqlCompiler
+      .rewrite(spark, graft.ir.Ir.ExecuteSqlTask("m", None, "conn", sql), frames)
+    // UPDATE form with AND predicate: id 1 flagged (cur 1→0), id 3
+    // source-absent but pred false → untouched, id 2 updated, 9 inserted
+    val flag = run(
+      "MERGE INTO dim AS t USING feed AS s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET name = s.name, bal = s.bal " +
+        "WHEN NOT MATCHED BY TARGET THEN INSERT (id, name, bal, cur) " +
+        "VALUES (s.id, s.name, s.bal, 1) " +
+        "WHEN NOT MATCHED BY SOURCE AND t.cur = 1 THEN UPDATE SET cur = 0")
+      .getOrElse(fail("BY SOURCE UPDATE did not compile")).df.get
+    assert(flag.orderBy("id").as[(Long, String, Double, Int)].collect().toList
+      === List((1L, "a", 10.0, 0), (2L, "b2", 25.0, 1),
+        (3L, "c", 30.0, 0), (9L, "z", 5.0, 1)))
+    // DELETE form: source-absent rows 1 and 3 retired
+    val del = run(
+      "MERGE INTO dim AS t USING feed AS s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET bal = s.bal " +
+        "WHEN NOT MATCHED THEN INSERT (id, name, bal, cur) " +
+        "VALUES (s.id, s.name, s.bal, 1) " +
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+      .getOrElse(fail("BY SOURCE DELETE did not compile")).df.get
+    assert(del.orderBy("id").select("id").as[Long].collect().toList
+      === List(2L, 9L))
+    // OUTPUT composes: BY SOURCE rows report their own $action and a
+    // NULL post-image on DELETE; untouched-by-pred rows emit nothing
+    val outed = run(
+      "MERGE INTO dim AS t USING feed AS s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET bal = s.bal " +
+        "WHEN NOT MATCHED THEN INSERT (id, name, bal, cur) " +
+        "VALUES (s.id, s.name, s.bal, 1) " +
+        "WHEN NOT MATCHED BY SOURCE AND t.cur = 1 THEN DELETE " +
+        "OUTPUT $action AS op, deleted.id AS old_id, inserted.id AS new_id " +
+        "INTO mlog").getOrElse(fail("BY SOURCE + OUTPUT did not compile"))
+    val audit = outed.side.head._2
+      .as[(String, Option[Long], Option[Long])].collect().toSet
+    assert(audit === Set(("DELETE", Some(1L), None),
+      ("UPDATE", Some(2L), Some(2L)), ("INSERT", None, Some(9L))))
+    // declines: a source reference in a BY SOURCE body (T-SQL compile
+    // error — the source side IS null there), a second BY SOURCE
+    // clause, a CASE expression in the SET body
+    for ((sql, clue) <- Seq(
+      ("MERGE INTO dim AS t USING feed AS s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET bal = s.bal " +
+        "WHEN NOT MATCHED THEN INSERT (id, name, bal, cur) " +
+        "VALUES (s.id, s.name, s.bal, 1) " +
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET bal = s.bal",
+        "source reference in BY SOURCE SET"),
+      ("MERGE INTO dim AS t USING feed AS s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET bal = s.bal " +
+        "WHEN NOT MATCHED THEN INSERT (id, name, bal, cur) " +
+        "VALUES (s.id, s.name, s.bal, 1) " +
+        "WHEN NOT MATCHED BY SOURCE AND s.id > 0 THEN DELETE",
+        "source reference in BY SOURCE predicate"),
+      ("MERGE INTO dim AS t USING feed AS s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET bal = s.bal " +
+        "WHEN NOT MATCHED THEN INSERT (id, name, bal, cur) " +
+        "VALUES (s.id, s.name, s.bal, 1) " +
+        "WHEN NOT MATCHED BY SOURCE AND t.cur = 1 THEN UPDATE SET cur = 0 " +
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+        "two BY SOURCE clauses"),
+      ("MERGE INTO dim AS t USING feed AS s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET bal = s.bal " +
+        "WHEN NOT MATCHED THEN INSERT (id, name, bal, cur) " +
+        "VALUES (s.id, s.name, s.bal, 1) " +
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET " +
+        "cur = CASE WHEN t.cur = 1 THEN 0 ELSE t.cur END",
+        "CASE in BY SOURCE body")))
+      assert(run(sql).isEmpty, s"must decline: $clue")
+    // a misspelled BY SOURCE SET column aborts, never silently no-ops
+    val typoErr = intercept[IllegalArgumentException] {
+      run("MERGE INTO dim AS t USING feed AS s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET bal = s.bal " +
+        "WHEN NOT MATCHED THEN INSERT (id, name, bal, cur) " +
+        "VALUES (s.id, s.name, s.bal, 1) " +
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET curr = 0")
+    }
+    assert(typoErr.getMessage.contains("BY SOURCE"))
+    // the 8672 guard is unchanged with a BY SOURCE clause present
+    val dupFeed = Seq((2L, "b2", 25.0), (2L, "b3", 26.0)).toDF("id", "name", "bal")
+    val dupOut = graft.patterns.MergeSqlCompiler.rewrite(spark,
+      graft.ir.Ir.ExecuteSqlTask("m", None, "conn",
+        "MERGE INTO dim AS t USING feed AS s ON t.id = s.id " +
+          "WHEN MATCHED THEN UPDATE SET bal = s.bal " +
+          "WHEN NOT MATCHED THEN INSERT (id, name, bal, cur) " +
+          "VALUES (s.id, s.name, s.bal, 1) " +
+          "WHEN NOT MATCHED BY SOURCE THEN DELETE"),
+      Map("dim" -> tgt, "feed" -> dupFeed)).get
+    val dupErr = intercept[Exception] { dupOut.df.get.collect() }
+    val chain = Iterator.iterate(dupErr: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString("\n")
+    assert(chain.contains("8672"))
+  }
+
   test("MergeSqlCompiler: three-verb MERGE executes; non-canonical stays None") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -1020,6 +1020,21 @@ class PlanShapeSpec extends AnyFunSuite {
     // and the verbs still land: 1 untouched + 1 updated + 1 inserted
     assert(out.orderBy("id").as[(Long, String, Double)].collect().toList ===
       List((1L, "a", 10.0), (2L, "b2", 25.0), (9L, "z", 5.0)))
+    // the BY SOURCE leg rides the SAME frame: still exactly one join
+    val taskBs = graft.ir.Ir.ExecuteSqlTask("m", None, "c",
+      "MERGE INTO dim AS t USING feed AS s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET name = s.name, bal = s.bal " +
+        "WHEN NOT MATCHED THEN INSERT (id, name, bal) VALUES (s.id, s.name, s.bal) " +
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+    val outBs = graft.patterns.MergeSqlCompiler
+      .rewrite(spark, taskBs, Map("dim" -> tgt, "feed" -> feed)).get.df.get
+    val planBs = outBs.queryExecution.optimizedPlan.toString
+    val joinsBs = planBs.linesIterator.count(_.contains("Join "))
+    assert(joinsBs === 1,
+      s"BY SOURCE must ride the one full-outer join, saw $joinsBs:\n$planBs")
+    // id 1 (source-absent) retired, 2 updated, 9 inserted
+    assert(outBs.orderBy("id").as[(Long, String, Double)].collect().toList ===
+      List((2L, "b2", 25.0), (9L, "z", 5.0)))
   }
 
   test("no gated plan contains a trivially-true self-equality predicate") {
