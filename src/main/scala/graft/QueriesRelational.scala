@@ -2216,6 +2216,37 @@ object QueriesRelational {
       |SELECT 'DEL', s_suppkey, CAST(s_acctbal AS DOUBLE), is_current
       |FROM deld""".stripMargin
 
+  /** The canonical one-DML CURSOR FETCH loop through the dtsx frontend
+    * (`CursorLoopETL.dtsx`) — the statement class the reference (and
+    * this engine through r12) routed wholesale to manual review.
+    * [[graft.patterns.CursorLoopSqlCompiler]] recognizes the FETCH
+    * loop whose body is ONE DML parameterized by the cursor row and
+    * stages the cursor SELECT once as #temp rows: the UPDATE-body
+    * cursor becomes ONE join-update (UpdateFromSqlCompiler's
+    * multi-match guard aborts the only divergent case), the
+    * DELETE-body cursor ONE anti-join delete (idempotent — exactly the
+    * loop's semantics), and the cursor's ORDER BY drops (iteration
+    * order is relationally unobservable once multi-match aborts; a
+    * global sort of a 100 TB cursor source would be pure waste).
+    * Off-shape cursors (multi-statement bodies, WHERE CURRENT OF,
+    * FETCH PRIOR, accumulator variables) keep the honest decline. */
+  def q117_dtsx_cursor_loop(spark: SparkSession, dir: String): DataFrame = {
+    val (w, _) = runDtsxWarehousePackage(spark, dir, "CursorLoopETL.dtsx")
+    w("dim_customer_cl").select(
+      col("custkey").cast(LongType).as("custkey"),
+      col("acctbal").cast(DoubleType).as("acctbal"),
+      col("touched").cast(IntegerType).as("touched"))
+  }
+
+  val q117Oracle: String =
+    """SELECT c_custkey AS custkey,
+      |  CAST(CASE WHEN c_mktsegment = 'BUILDING'
+      |       THEN CAST(c_acctbal + 10 AS DECIMAL(12,2))
+      |       ELSE CAST(c_acctbal AS DECIMAL(12,2)) END AS DOUBLE) AS acctbal,
+      |  CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS touched
+      |FROM customer
+      |WHERE c_mktsegment <> 'MACHINERY'""".stripMargin
+
   /** Explicit GROUPING SETS with grouping_id disambiguation (beyond q24's
     * rollup): two chosen aggregation levels, no intermediate level. */
   def q39_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
@@ -3598,6 +3629,7 @@ object QueriesRelational {
     "q114_dtsx_script_vars" -> (q114_dtsx_script_vars _),
     "q115_dtsx_apply" -> (q115_dtsx_apply _),
     "q116_dtsx_merge_by_source" -> (q116_dtsx_merge_by_source _),
+    "q117_dtsx_cursor_loop" -> (q117_dtsx_cursor_loop _),
     "q82_orc_roundtrip" -> (q82_orc_roundtrip _),
     "q80_dtsx_cdc_merge" -> (q80_dtsx_cdc_merge _),
     "q79_delete_cascade" -> (q79_delete_cascade _),
@@ -3707,6 +3739,7 @@ object QueriesRelational {
     "q114_dtsx_script_vars" -> q114Oracle,
     "q115_dtsx_apply" -> q115Oracle,
     "q116_dtsx_merge_by_source" -> q116Oracle,
+    "q117_dtsx_cursor_loop" -> q117Oracle,
     "q82_orc_roundtrip" -> q82Oracle,
     "q80_dtsx_cdc_merge" -> q80Oracle,
     "q79_delete_cascade" -> q79Oracle,

@@ -204,6 +204,17 @@ object MigrationMapping {
           "— driver-evaluated control flow, body statements execute " +
           "through the script overlay; data-dependent loops stay " +
           "manual review)"), Nil, signals)
+    // the executable cursor test runs BEFORE the statement-fragment
+    // branches: an INSERT-body FETCH loop would otherwise classify as a
+    // bare INSERT…VALUES append — the whole-text anchors make this
+    // branch precise, so testing early is safe
+    else if (graft.patterns.CursorLoopSqlCompiler.rewriteToScript(sql).isDefined)
+      TaskMapping(t.name, "ExecuteSQLTask", "converted", None,
+        Some("canonical CURSOR FETCH loop executes set-based (patterns/" +
+          "CursorLoopSqlCompiler — the cursor SELECT stages once, the " +
+          "one-DML body becomes a join-update / anti-join delete / " +
+          "insert-select; an UPDATE whose target row two cursor rows " +
+          "would hit aborts via the multi-match guard)"), Nil, signals)
     else if (graft.patterns.ScriptedSqlExecutor.scriptFeatures(sql).isDefined)
       TaskMapping(t.name, "ExecuteSQLTask", "converted", None,
         Some("sequential shadow-overlay script (patterns/" +
@@ -284,7 +295,9 @@ object MigrationMapping {
       TaskMapping(t.name, "ExecuteSQLTask", "manual_review", None, None, Nil,
         List("CURSOR loop: row-at-a-time control flow this engine will " +
           "not replay — rewrite set-based (a WHILE counter loop or one " +
-          "DML statement usually replaces it)") ++ signals)
+          "DML statement usually replaces it; the one-DML FETCH-loop " +
+          "shape converts automatically via CursorLoopSqlCompiler)") ++
+          signals)
     else
       TaskMapping(t.name, "ExecuteSQLTask", "manual_review", None, None, Nil,
         List("statement shape not auto-convertible") ++ signals)

@@ -1,0 +1,268 @@
+package graft.patterns
+
+import scala.util.matching.Regex
+
+/** The canonical T-SQL CURSOR FETCH loop → a two-statement set-based
+  * script — closing the last big Execute-SQL statement class this
+  * engine declined wholesale.
+  *
+  * The reference routes every `DECLARE … CURSOR` to manual review
+  * (ssis-to-dbt `src/agents/analyzer.py:137-156` classifies statements;
+  * cursors never convert), and so did this engine through r12
+  * ([[graft.parser.MigrationMapping]]). But the most common estate
+  * cursor is mechanical: a FETCH loop whose body is ONE DML statement
+  * parameterized by the cursor row. Row-at-a-time execution of that
+  * shape IS a join — this compiler recognizes exactly it and emits the
+  * set-based equivalent; every other cursor keeps the honest decline.
+  *
+  * Recognized whole-text shape (masked scan — literals never match):
+  * {{{
+  * DECLARE @a T1 [, @b T2 …];            -- one or more variable DECLAREs
+  * DECLARE c [INSENSITIVE|SCROLL] CURSOR [LOCAL|FAST_FORWARD|…] FOR
+  *   SELECT i1, i2 FROM … [WHERE …] [ORDER BY …];
+  * OPEN c;
+  * FETCH NEXT FROM c INTO @a, @b;
+  * WHILE @@FETCH_STATUS = 0
+  * BEGIN
+  *   <one UPDATE / DELETE / INSERT…VALUES using @a, @b>;
+  *   FETCH NEXT FROM c INTO @a, @b;      -- identical INTO list
+  * END;
+  * CLOSE c;
+  * DEALLOCATE c;
+  * }}}
+  *
+  * rewritten to (the #temp script [[ScriptedSqlExecutor]] already owns):
+  * {{{
+  * SELECT i1 AS __gc0, i2 AS __gc1 INTO #graft_cursor_rows FROM … [WHERE …];
+  * UPDATE __t SET … FROM tgt __t INNER JOIN #graft_cursor_rows __s ON <where'>
+  * }}}
+  *
+  * Semantics adjudication, per body verb:
+  *  - UPDATE: the loop equals one join-update IFF no target row is hit
+  *    by two cursor rows (sequential applies both; set picks one). The
+  *    rewrite rides [[UpdateFromSqlCompiler]], whose multi-match window
+  *    guard ABORTS exactly that case — a loud stop, never a silent
+  *    divergence from T-SQL.
+  *  - DELETE: deletion is idempotent, so [[DeleteFromSqlCompiler]]'s
+  *    anti-join equals the loop at any match multiplicity.
+  *  - INSERT…VALUES: the loop appends one row per cursor row; so does
+  *    the rewritten `INSERT … SELECT … FROM #graft_cursor_rows`
+  *    ([[SqlPatternRewriter]]'s append path). The column list is
+  *    REQUIRED — its names alias the select items so the append aligns
+  *    by name, and a misspelled column fails loudly at union.
+  *
+  * The cursor's top-level ORDER BY is dropped (unless TOP/OFFSET make
+  * it row-selecting): iteration order is relationally unobservable for
+  * these three verbs once UPDATE multi-match aborts, and a global sort
+  * of the cursor source at 100 TB would be pure waste.
+  *
+  * Declines (→ manual review, the reference's routing): a body of 2+
+  * statements or any control flow, positioned `WHERE CURRENT OF`,
+  * FETCH PRIOR/ABSOLUTE/RELATIVE, a WHILE predicate other than
+  * `@@FETCH_STATUS = 0`, mismatched INTO lists, a second cursor,
+  * @variables beyond the FETCH INTO list (a mid-loop accumulator is
+  * genuine iteration state), `SELECT *` cursors (positional INTO
+  * binding needs an explicit item list), INSERT without a column list,
+  * and any text outside the canonical frame. */
+object CursorLoopSqlCompiler {
+
+  /** Staged cursor rows live one script — tempdb session-scope parity. */
+  private[patterns] val TempName = "#graft_cursor_rows"
+
+  private val q = java.util.regex.Pattern.quote _
+
+  /** `DECLARE <name> [opts] CURSOR [opts] FOR` — option keywords from
+    * the T-SQL grammar, permissive on order, strict on vocabulary. */
+  private val cursorDeclRe: Regex =
+    ("(?is)\\bdeclare\\s+(\\w+)\\s+(?:(?:insensitive|scroll)\\s+)*cursor\\s+" +
+      "(?:(?:local|global|forward_only|scroll|static|keyset|dynamic|" +
+      "fast_forward|read_only|scroll_locks|optimistic|type_warning)\\s+)*" +
+      "for\\b").r
+
+  private val varDeclStmtRe = "(?is)^declare\\s+@.+$".r
+  private val varNameRe = "^\\s*@(\\w+)".r
+  private val scalarVarRe = "@(\\w+)".r
+
+  /** Body-clause vocabulary ban, shared with the sibling DML compilers:
+    * a clause that grows its own query leg leaves the canonical shape. */
+  private val bodyKeywordRe =
+    "(?i)\\b(select|insert|update|delete|merge|from|join|output|into)\\b".r
+
+  /** Control flow / cursor verbs / session state a one-DML body must
+    * not carry (CURRENT OF is the positioned form — iteration state). */
+  private val bodyBanRe =
+    ("(?i)\\b(while|begin|end|if|else|goto|return|fetch|open|close|" +
+      "deallocate|cursor|exec|execute|merge|declare|set\\s+@)\\b" +
+      "|current\\s+of|@@").r
+
+  private val updBodyRe =
+    "(?is)^\\s*update\\s+([^\\s;@(]+)\\s+set\\s+(.+?)\\s+where\\s+(.+?)\\s*;?\\s*$".r
+  private val delBodyRe =
+    "(?is)^\\s*delete\\s+(?:from\\s+)?([^\\s;@(]+)\\s+where\\s+(.+?)\\s*;?\\s*$".r
+  private val insBodyRe =
+    ("(?is)^\\s*insert\\s+into\\s+([^\\s;@(]+)\\s*\\(([^)]*)\\)\\s*" +
+      "values\\s*\\((.+)\\)\\s*;?\\s*$").r
+
+  /** Substitute `@var` → `__s.__gc<i>` at masked spans (literal text
+    * containing an @token is data, not a reference). */
+  private def substVars(s: String, idx: Map[String, Int]): String =
+    MergeSqlCompiler.segments(s).map {
+      case (seg, true) => seg
+      case (seg, false) => scalarVarRe.replaceAllIn(seg, m =>
+        idx.get(m.group(1).toLowerCase)
+          .map(i => s"__s.__gc$i").getOrElse(m.matched))
+    }.mkString
+
+  /** Strip a top-level trailing `AS alias` / bare `ident alias` from a
+    * select item — the rewrite re-aliases every item positionally. */
+  private def stripAlias(item: String): String = {
+    val msk = UpdateSqlCompiler.masked(item)
+    val asRe = "(?is)^(.+?)\\s+as\\s+(\\w+)\\s*$".r
+    asRe.findFirstMatchIn(msk) match {
+      case Some(m) if WindowSqlLowering.depthAt(msk, m.end(1)) == 0 =>
+        item.substring(0, m.end(1)).trim
+      case _ =>
+        val bareRe = "(?is)^([\\w.\\[\\]]+)\\s+(\\w+)\\s*$".r
+        bareRe.findFirstMatchIn(msk)
+          .map(m => item.substring(0, m.end(1)).trim).getOrElse(item.trim)
+    }
+  }
+
+  /** Whole-text recognizer: the canonical one-DML FETCH loop → the
+    * equivalent two-statement #temp script, or None (manual review). */
+  private[graft] def rewriteToScript(textRaw: String): Option[List[String]] = {
+    val text = SqlText.stripComments(textRaw)
+    val msk = UpdateSqlCompiler.masked(text)
+    val declM = cursorDeclRe.findAllMatchIn(msk).toList match {
+      case one :: Nil => one
+      case _ => return None // no cursor, or a second/nested cursor
+    }
+    val cur = text.substring(declM.start(1), declM.end(1))
+
+    // preamble: ONLY scalar-variable DECLAREs (each item must parse a
+    // name — half a DECLARE is no DECLARE); types are irrelevant to the
+    // rewrite (FETCH overwrites every value before first use)
+    val preStmts = SqlText.splitStatements(text.substring(0, declM.start))
+    if (!preStmts.forall(s => varDeclStmtRe.pattern.matcher(s).matches))
+      return None
+    val preNames = preStmts.flatMap(s => MergeSqlCompiler.splitTop(
+        s.replaceFirst("(?is)^declare\\s+", ""))
+      .map(i => varNameRe.findFirstMatchIn(i).map(_.group(1).toLowerCase)))
+    if (preNames.exists(_.isEmpty)) return None
+    val declared = preNames.flatten.toSet
+
+    // the cursor SELECT runs to OPEN; exactly one statement, item list
+    // explicit (no *), every item positional-bindable
+    val openRe = ("(?is)\\bopen\\s+" + q(cur) + "\\b").r
+    val openM = openRe.findFirstMatchIn(msk).getOrElse(return None)
+    if (openM.start < declM.end) return None
+    val selStmts = SqlText.splitStatements(
+      text.substring(declM.end, openM.start))
+    if (selStmts.length != 1) return None
+    val select = selStmts.head
+    val selMsk = UpdateSqlCompiler.masked(select)
+    val headM = "(?is)^select\\s+(distinct\\s+)?".r
+      .findPrefixMatchOf(select).getOrElse(return None)
+    val distinct = headM.group(1) != null
+    val fromM = "(?i)\\bfrom\\b".r.findAllMatchIn(selMsk)
+      .find(m => WindowSqlLowering.depthAt(selMsk, m.start) == 0)
+      .getOrElse(return None)
+    val items = MergeSqlCompiler.splitTop(
+      select.substring(headM.end, fromM.start))
+    if (items.isEmpty || items.exists(i => i.isEmpty ||
+        i.trim == "*" || i.trim.matches("(?s)\\w+\\.\\*")))
+      return None
+    // ORDER BY drops UNLESS it selects rows (TOP / OFFSET…FETCH)
+    var selTail = select.substring(fromM.start).trim
+    val tailMsk = selMsk.substring(fromM.start)
+    val rowSelecting =
+      "(?i)\\b(top|offset)\\b".r.findFirstIn(selMsk).isDefined
+    if (!rowSelecting)
+      "(?i)\\border\\s+by\\b".r.findAllMatchIn(tailMsk)
+        .find(m => WindowSqlLowering.depthAt(tailMsk, m.start) == 0)
+        .foreach(m => selTail = selTail.substring(0, m.start).trim)
+
+    // OPEN → FETCH → WHILE @@FETCH_STATUS = 0 BEGIN <body> FETCH → END
+    // → CLOSE → DEALLOCATE, each anchored at the previous match's end
+    var pos = openM.end
+    def prefix(re: Regex): Option[Regex.Match] = {
+      val m = re.findPrefixMatchOf(msk.subSequence(pos, msk.length))
+      m.foreach(mm => pos += mm.end)
+      m
+    }
+    val fetchHead = "(?is)^\\s*;?\\s*fetch\\s+next\\s+from\\s+" + q(cur) +
+      "\\s+into\\s+(@\\w+(?:\\s*,\\s*@\\w+)*)\\s*;?"
+    val f1 = prefix(fetchHead.r).getOrElse(return None)
+    if (prefix("(?is)^\\s*while\\s+@@fetch_status\\s*=\\s*0\\s*begin\\b".r)
+        .isEmpty) return None
+    val bodyStart = pos
+    // the loop-advance FETCH bounds the body: first occurrence wins (a
+    // body that itself FETCHes truncates here and the END anchor fails)
+    val fetch2Re = ("(?is)\\bfetch\\s+next\\s+from\\s+" + q(cur) +
+      "\\s+into\\s+(@\\w+(?:\\s*,\\s*@\\w+)*)\\s*;?").r
+    val adv = fetch2Re.findFirstMatchIn(msk.substring(pos))
+      .getOrElse(return None)
+    val body = text.substring(bodyStart, bodyStart + adv.start).trim
+    pos = bodyStart + adv.end
+    if (("(?is)^\\s*;?\\s*end\\s*;?\\s*close\\s+" + q(cur) +
+        "\\s*;?\\s*deallocate\\s+" + q(cur) + "\\s*;?\\s*$").r
+      .findPrefixMatchOf(msk.subSequence(pos, msk.length)).isEmpty)
+      return None
+
+    // INTO lists: identical, no duplicates, all declared, one per item
+    def varsOf(g: String): List[String] =
+      scalarVarRe.findAllMatchIn(g).map(_.group(1).toLowerCase).toList
+    val fetchVars = varsOf(f1.group(1))
+    if (varsOf(adv.group(1)) != fetchVars) return None
+    if (fetchVars.distinct.size != fetchVars.size) return None
+    if (!fetchVars.forall(declared)) return None
+    if (fetchVars.size != items.size) return None
+    val vIdx = fetchVars.zipWithIndex.toMap
+
+    // body: exactly ONE statement, no control flow / cursor verbs /
+    // @@state, @references only from the FETCH list
+    val bodyStmts = SqlText.splitStatements(body)
+    if (bodyStmts.length != 1) return None
+    val b = bodyStmts.head
+    val bMsk = UpdateSqlCompiler.masked(b)
+    if (bodyBanRe.findFirstIn(bMsk).isDefined) return None
+    if (!varsOf(bMsk).toSet.subsetOf(fetchVars.toSet)) return None
+    if (MergeSqlCompiler.hasQuotedIdentifier(b)) return None
+
+    // staged cursor rows: one scan of the source, aliased positionally
+    val selInto = "SELECT " + (if (distinct) "DISTINCT " else "") +
+      items.zipWithIndex.map { case (it, i) =>
+        stripAlias(it) + s" AS __gc$i"
+      }.mkString(", ") + s" INTO $TempName $selTail"
+
+    def g(m: Regex.Match, i: Int): String = b.substring(m.start(i), m.end(i))
+    def clauseOk(c: String): Boolean =
+      !MergeSqlCompiler.bodyDisqualified(c, bodyKeywordRe)
+    val dml: Option[String] = updBodyRe.findFirstMatchIn(bMsk).map { m =>
+      (g(m, 1), g(m, 2), g(m, 3))
+    }.collect { case (tgt, sets, where) if clauseOk(sets) && clauseOk(where) =>
+      s"UPDATE __t SET ${substVars(sets, vIdx)} FROM $tgt __t " +
+        s"INNER JOIN $TempName __s ON ${substVars(where, vIdx)}"
+    }.orElse {
+      delBodyRe.findFirstMatchIn(bMsk).map(m => (g(m, 1), g(m, 2)))
+        .collect { case (tgt, where) if clauseOk(where) =>
+          s"DELETE __t FROM $tgt __t INNER JOIN $TempName __s " +
+            s"ON ${substVars(where, vIdx)}"
+        }
+    }.orElse {
+      insBodyRe.findFirstMatchIn(bMsk).map(m => (g(m, 1), g(m, 2), g(m, 3)))
+        .collect { case (tgt, colList, vals)
+            if clauseOk(vals) && colList.trim.nonEmpty =>
+          val cols = MergeSqlCompiler.splitTop(colList)
+          val exprs = MergeSqlCompiler.splitTop(vals)
+          if (cols.size != exprs.size ||
+            !cols.forall(_.matches("[A-Za-z_]\\w*"))) None
+          else Some(s"INSERT INTO $tgt SELECT " +
+            exprs.zip(cols).map { case (v, c) =>
+              s"${substVars(v, vIdx)} AS $c"
+            }.mkString(", ") + s" FROM $TempName __s")
+        }.flatten
+    }
+    dml.map(d => List(selInto, d))
+  }
+}

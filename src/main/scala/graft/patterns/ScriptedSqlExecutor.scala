@@ -701,6 +701,13 @@ object ScriptedSqlExecutor {
           case Some(ss) => script(bound, ss)
         }
       }
+      // the canonical one-DML CURSOR FETCH loop is a whole-text shape
+      // too (its WHILE block would shred under statement splitting):
+      // CursorLoopSqlCompiler emits the equivalent two-statement #temp
+      // script, which runs through the same overlay as any hand-written
+      // batch; off-shape cursors fall through to the decline below
+      else if (CursorLoopSqlCompiler.rewriteToScript(text).isDefined)
+        script(bound, CursorLoopSqlCompiler.rewriteToScript(text).get)
       else WhileLoopSqlCompiler.unroll(spark, text) match {
         // a counter WHILE loop is a WHOLE-text shape too: the driver
         // evaluates its control flow, the emitted body statements run

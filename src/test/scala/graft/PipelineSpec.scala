@@ -1897,4 +1897,142 @@ class PipelineSpec extends AnyFunSuite {
       pmod(col("c_custkey"), lit(13)) === 0).count()
     assert(n === nBase + nIns - nDel)
   }
+
+  test("CursorLoopSqlCompiler: one-DML FETCH loops execute set-based; off-shape declines") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def mkExec(written: scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]) =
+      graft.patterns.ScriptedSqlExecutor.executor(spark,
+        resolveFrame = n => written.getOrElse(n, spark.table(n)),
+        bareName = identity,
+        commit = (k, v) => written(k) = v)
+    def task(sql: String) = graft.ir.Ir.ExecuteSqlTask("cur", None, "conn", sql)
+    // the canonical frame, assembled so every case differs only where
+    // the case is about
+    def loop(decls: String, sel: String, into: String, body: String,
+        cur: String = "c", advInto: String = ""): String =
+      s"DECLARE $decls; DECLARE $cur CURSOR FOR $sel; OPEN $cur; " +
+        s"FETCH NEXT FROM $cur INTO $into; WHILE @@FETCH_STATUS = 0 BEGIN " +
+        s"$body; FETCH NEXT FROM $cur INTO " +
+        (if (advInto.isEmpty) into else advInto) +
+        s"; END; CLOSE $cur; DEALLOCATE $cur;"
+    def fresh() = {
+      val w = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame](
+        "csrc" -> Seq((1L, 10.0), (2L, 40.0), (3L, 90.0)).toDF("id", "v"),
+        "ctgt" -> Seq((1L, 10.0, 0), (2L, 40.0, 0), (3L, 90.0, 0))
+          .toDF("id", "v", "flag"),
+        "clog" -> Seq.empty[(Long, Double)].toDF("id", "v"))
+      w.foreach { case (k, f) => f.createOrReplaceTempView(k) }
+      w
+    }
+    // UPDATE-body cursor -> ONE join-update; the ORDER BY is dropped
+    // from the staged cursor select (iteration order is unobservable)
+    val updSql = loop("@i INT, @nv FLOAT",
+      "SELECT id, v * 2 FROM csrc WHERE v < 50 ORDER BY id", "@i, @nv",
+      "UPDATE ctgt SET v = @nv, flag = 1 WHERE id = @i")
+    val staged = graft.patterns.CursorLoopSqlCompiler.rewriteToScript(updSql)
+      .getOrElse(fail("canonical UPDATE cursor did not rewrite"))
+    assert(staged.length === 2)
+    assert(!staged.head.toUpperCase.contains("ORDER BY"))
+    val w = fresh()
+    mkExec(w)(task(updSql)).getOrElse(fail("UPDATE cursor did not compile"))
+    assert(w("ctgt").orderBy("id").as[(Long, Double, Int)].collect().toList
+      === List((1L, 20.0, 1), (2L, 80.0, 1), (3L, 90.0, 0)))
+    // DELETE-body cursor -> ONE anti-join delete (idempotent = the loop)
+    val w2 = fresh()
+    mkExec(w2)(task(loop("@i INT",
+      "SELECT id FROM csrc WHERE v > 30", "@i",
+      "DELETE FROM ctgt WHERE id = @i")))
+      .getOrElse(fail("DELETE cursor did not compile"))
+    assert(w2("ctgt").as[(Long, Double, Int)].collect().toList
+      === List((1L, 10.0, 0)))
+    // INSERT-body cursor -> one insert-select append, one row per
+    // cursor row, expressions over the fetched values preserved
+    val w3 = fresh()
+    mkExec(w3)(task(loop("@i INT, @nv FLOAT",
+      "SELECT id, v FROM csrc WHERE v < 50", "@i, @nv",
+      "INSERT INTO clog (id, v) VALUES (@i, @nv + 1)")))
+      .getOrElse(fail("INSERT cursor did not compile"))
+    assert(w3("clog").orderBy("id").as[(Long, Double)].collect().toList
+      === List((1L, 11.0), (2L, 41.0)))
+    // sequential-vs-set divergence is GUARDED, not silent: two cursor
+    // rows hitting one target row abort at materialization (T-SQL would
+    // apply both sequentially; the set form refuses to choose)
+    val w4 = fresh()
+    w4("cdup") = Seq((2L, 1.0), (2L, 2.0)).toDF("id", "v")
+    w4("cdup").createOrReplaceTempView("cdup")
+    mkExec(w4)(task(loop("@i INT, @nv FLOAT",
+      "SELECT id, v FROM cdup", "@i, @nv",
+      "UPDATE ctgt SET v = @nv WHERE id = @i")))
+      .getOrElse(fail("multi-match cursor should compile (abort is lazy)"))
+    val err = intercept[Exception](w4("ctgt").collect())
+    assert(err.getMessage != null)
+    // declines -> manual review, matching the reference's routing
+    val w5 = fresh()
+    for (sql <- Seq(
+      // positioned update: iteration state, not a join
+      loop("@i INT", "SELECT id FROM csrc", "@i",
+        "UPDATE ctgt SET v = 0 WHERE CURRENT OF c"),
+      // two-statement body
+      loop("@i INT", "SELECT id FROM csrc", "@i",
+        "UPDATE ctgt SET flag = 1 WHERE id = @i; " +
+          "INSERT INTO clog (id, v) VALUES (@i, 0)"),
+      // mid-loop accumulator: genuine per-iteration state
+      loop("@i INT, @acc FLOAT", "SELECT id FROM csrc", "@i",
+        "SET @acc = @acc + 1"),
+      // mismatched advance FETCH list
+      loop("@i INT, @j INT", "SELECT id, id FROM csrc", "@i, @j",
+        "UPDATE ctgt SET flag = 1 WHERE id = @i", advInto = "@j, @i"),
+      // FETCH PRIOR is a scroll cursor
+      "DECLARE @i INT; DECLARE c CURSOR FOR SELECT id FROM csrc; OPEN c; " +
+        "FETCH PRIOR FROM c INTO @i; WHILE @@FETCH_STATUS = 0 BEGIN " +
+        "DELETE FROM ctgt WHERE id = @i; FETCH PRIOR FROM c INTO @i; " +
+        "END; CLOSE c; DEALLOCATE c;",
+      // a second cursor
+      loop("@i INT", "SELECT id FROM csrc", "@i",
+        "DELETE FROM ctgt WHERE id = @i") +
+        " DECLARE d CURSOR FOR SELECT id FROM csrc;",
+      // SELECT * cursor: positional INTO binding needs explicit items
+      loop("@i INT", "SELECT * FROM csrc", "@i",
+        "DELETE FROM ctgt WHERE id = @i"),
+      // INSERT without a column list
+      loop("@i INT, @nv FLOAT", "SELECT id, v FROM csrc", "@i, @nv",
+        "INSERT INTO clog VALUES (@i, @nv)"),
+      // body references a variable outside the FETCH list
+      loop("@i INT, @x INT", "SELECT id FROM csrc", "@i",
+        "DELETE FROM ctgt WHERE id = @i + @x"),
+      // undeclared FETCH variable
+      "DECLARE c CURSOR FOR SELECT id FROM csrc; OPEN c; " +
+        "FETCH NEXT FROM c INTO @i; WHILE @@FETCH_STATUS = 0 BEGIN " +
+        "DELETE FROM ctgt WHERE id = @i; FETCH NEXT FROM c INTO @i; " +
+        "END; CLOSE c; DEALLOCATE c;",
+      // INTO arity must equal the cursor select item count
+      loop("@i INT", "SELECT id, v FROM csrc", "@i",
+        "DELETE FROM ctgt WHERE id = @i"),
+      // trailing statement outside the canonical frame
+      loop("@i INT", "SELECT id FROM csrc", "@i",
+        "DELETE FROM ctgt WHERE id = @i") + " SELECT 1;",
+      // non-canonical WHILE predicate
+      loop("@i INT", "SELECT id FROM csrc", "@i",
+        "DELETE FROM ctgt WHERE id = @i")
+        .replace("@@FETCH_STATUS = 0", "@@FETCH_STATUS <> -1")))
+      assert(mkExec(w5)(task(sql)).isEmpty, s"should decline: $sql")
+    // nothing committed by the declined scripts
+    assert(w5("ctgt").count() === 3L)
+    // a TOP cursor keeps its ORDER BY (row-selecting, not cosmetic)
+    val topStaged = graft.patterns.CursorLoopSqlCompiler.rewriteToScript(
+      loop("@i INT", "SELECT TOP 2 id FROM csrc ORDER BY v DESC", "@i",
+        "DELETE FROM ctgt WHERE id = @i"))
+    assert(topStaged.forall(_.head.toUpperCase.contains("ORDER BY")))
+    // the mapping ledger reclassifies the executed shape
+    val conv = graft.parser.MigrationMapping.mapTask(
+      graft.ir.Ir.ExecuteSqlTask("t", None, "conn", updSql), Nil)
+    assert(conv.status === "converted")
+    assert(conv.strategy.exists(_.contains("CURSOR FETCH loop")))
+    val rev = graft.parser.MigrationMapping.mapTask(
+      graft.ir.Ir.ExecuteSqlTask("t", None, "conn", loop("@i INT",
+        "SELECT id FROM csrc", "@i",
+        "UPDATE ctgt SET v = 0 WHERE CURRENT OF c")), Nil)
+    assert(rev.status === "manual_review")
+  }
 }
