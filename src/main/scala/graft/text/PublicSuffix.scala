@@ -211,6 +211,123 @@ object PublicSuffix {
     "ac.cy", "com.cy", "gov.cy", "net.cy", "org.cy",
     // Lithuania / Ireland (single-rule registries)
     "gov.lt", "gov.ie",
+    // Japan prefecture geographic registries (the 47 <pref>.jp rules;
+    // the city wildcards below carve their own deeper boundaries)
+    "hokkaido.jp", "aomori.jp", "iwate.jp", "miyagi.jp", "akita.jp",
+    "yamagata.jp", "fukushima.jp", "ibaraki.jp", "tochigi.jp", "gunma.jp",
+    "saitama.jp", "chiba.jp", "tokyo.jp", "kanagawa.jp", "niigata.jp",
+    "toyama.jp", "ishikawa.jp", "fukui.jp", "yamanashi.jp", "nagano.jp",
+    "gifu.jp", "shizuoka.jp", "aichi.jp", "mie.jp", "shiga.jp", "kyoto.jp",
+    "osaka.jp", "hyogo.jp", "nara.jp", "wakayama.jp", "tottori.jp",
+    "shimane.jp", "okayama.jp", "hiroshima.jp", "yamaguchi.jp",
+    "tokushima.jp", "kagawa.jp", "ehime.jp", "kochi.jp", "fukuoka.jp",
+    "saga.jp", "nagasaki.jp", "kumamoto.jp", "oita.jp", "miyazaki.jp",
+    "kagoshima.jp", "okinawa.jp",
+    // United States locality namespace: every state/territory code is a
+    // public suffix (k12/cc/lib third-level registries exist under most
+    // of these — the full-list join path resolves those; the snapshot
+    // keeps the state boundary)
+    "ak.us", "al.us", "ar.us", "az.us", "ca.us", "co.us", "ct.us",
+    "dc.us", "de.us", "fl.us", "ga.us", "hi.us", "ia.us", "id.us",
+    "il.us", "in.us", "ks.us", "ky.us", "la.us", "ma.us", "md.us",
+    "me.us", "mi.us", "mn.us", "mo.us", "ms.us", "mt.us", "nc.us",
+    "nd.us", "ne.us", "nh.us", "nj.us", "nm.us", "nv.us", "ny.us",
+    "oh.us", "ok.us", "or.us", "pa.us", "pr.us", "ri.us", "sc.us",
+    "sd.us", "tn.us", "tx.us", "ut.us", "va.us", "vi.us", "vt.us",
+    "wa.us", "wi.us", "wv.us", "wy.us", "fed.us", "isa.us", "nsn.us",
+    "dni.us",
+    // East / Southern Africa
+    "ac.tz", "co.tz", "go.tz", "hotel.tz", "info.tz", "me.tz", "mil.tz",
+    "mobi.tz", "ne.tz", "or.tz", "sc.tz", "tv.tz",
+    "ac.ug", "co.ug", "com.ug", "go.ug", "ne.ug", "or.ug", "org.ug",
+    "sc.ug",
+    "ac.zw", "co.zw", "gov.zw", "mil.zw", "org.zw",
+    "ac.zm", "biz.zm", "co.zm", "com.zm", "edu.zm", "gov.zm", "info.zm",
+    "mil.zm", "net.zm", "org.zm", "sch.zm",
+    "ac.mw", "biz.mw", "co.mw", "com.mw", "coop.mw", "edu.mw", "gov.mw",
+    "int.mw", "net.mw", "org.mw",
+    "ac.mz", "adv.mz", "co.mz", "edu.mz", "gov.mz", "mil.mz", "net.mz",
+    "org.mz",
+    "co.na", "com.na", "org.na",
+    "ac.bw", "co.bw", "gov.bw", "net.bw", "org.bw",
+    "ac.rw", "co.rw", "coop.rw", "gov.rw", "mil.rw", "net.rw", "org.rw",
+    // West / Central / North Africa
+    "com.gh", "edu.gh", "gov.gh", "mil.gh", "org.gh",
+    "biz.et", "com.et", "edu.et", "gov.et", "info.et", "name.et",
+    "net.et", "org.et",
+    "art.sn", "com.sn", "edu.sn", "gouv.sn", "org.sn", "perso.sn",
+    "univ.sn",
+    "ac.ci", "co.ci", "com.ci", "ed.ci", "edu.ci", "go.ci", "or.ci",
+    "org.ci",
+    "co.cm", "com.cm", "gov.cm", "net.cm",
+    "co.ao", "ed.ao", "edu.ao", "gov.ao", "gv.ao", "it.ao", "og.ao",
+    "org.ao", "pb.ao",
+    "ac.ma", "co.ma", "gov.ma", "net.ma", "org.ma", "press.ma",
+    "com.tn", "ens.tn", "fin.tn", "gov.tn", "ind.tn", "info.tn",
+    "intl.tn", "nat.tn", "net.tn", "org.tn", "perso.tn", "tourism.tn",
+    "art.dz", "asso.dz", "com.dz", "edu.dz", "gov.dz", "net.dz",
+    "org.dz", "pol.dz",
+    "com.ly", "edu.ly", "gov.ly", "id.ly", "med.ly", "net.ly", "org.ly",
+    "plc.ly", "sch.ly",
+    "com.sd", "edu.sd", "gov.sd", "info.sd", "med.sd", "net.sd",
+    "org.sd", "tv.sd",
+    // Middle East
+    "com.lb", "edu.lb", "gov.lb", "net.lb", "org.lb",
+    "com.jo", "edu.jo", "gov.jo", "mil.jo", "name.jo", "net.jo",
+    "org.jo", "sch.jo",
+    "com.sy", "edu.sy", "gov.sy", "mil.sy", "net.sy", "org.sy",
+    "com.ye", "edu.ye", "gov.ye", "mil.ye", "net.ye", "org.ye",
+    "co.om", "com.om", "edu.om", "gov.om", "med.om", "museum.om",
+    "net.om", "org.om", "pro.om",
+    "com.bh", "edu.bh", "gov.bh", "net.bh", "org.bh",
+    "com.iq", "edu.iq", "gov.iq", "mil.iq", "net.iq", "org.iq",
+    // Central / South / Southeast Asia
+    "com.la", "edu.la", "gov.la", "info.la", "int.la", "net.la",
+    "org.la", "per.la",
+    "edu.mn", "gov.mn", "org.mn",
+    "com.bn", "edu.bn", "gov.bn", "net.bn", "org.bn",
+    "com.kz", "edu.kz", "gov.kz", "mil.kz", "net.kz", "org.kz",
+    "co.uz", "com.uz", "net.uz", "org.uz",
+    "com.kg", "edu.kg", "gov.kg", "mil.kg", "net.kg", "org.kg",
+    "ac.tj", "biz.tj", "co.tj", "com.tj", "edu.tj", "go.tj", "gov.tj",
+    "int.tj", "mil.tj", "name.tj", "net.tj", "nic.tj", "org.tj",
+    "test.tj", "web.tj",
+    "com.af", "edu.af", "gov.af", "net.af", "org.af",
+    "com.bt", "edu.bt", "gov.bt", "net.bt", "org.bt",
+    "aero.mv", "biz.mv", "com.mv", "coop.mv", "edu.mv", "gov.mv",
+    "info.mv", "int.mv", "mil.mv", "museum.mv", "name.mv", "net.mv",
+    "org.mv", "pro.mv",
+    "com.mo", "edu.mo", "gov.mo", "net.mo", "org.mo",
+    // Caucasus / Eastern Europe long tail
+    "com.ge", "edu.ge", "gov.ge", "mil.ge", "net.ge", "org.ge", "pvt.ge",
+    "co.am", "com.am", "commune.am", "net.am", "org.am",
+    "biz.az", "com.az", "edu.az", "gov.az", "info.az", "int.az",
+    "mil.az", "name.az", "net.az", "org.az", "pp.az", "pro.az",
+    "com.by", "gov.by", "mil.by", "of.by",
+    "com.mk", "edu.mk", "gov.mk", "inf.mk", "name.mk", "net.mk",
+    "org.mk",
+    "com.al", "edu.al", "gov.al", "mil.al", "net.al", "org.al",
+    "ac.me", "co.me", "edu.me", "gov.me", "its.me", "net.me", "org.me",
+    "priv.me",
+    // Crown dependencies
+    "co.gg", "net.gg", "org.gg", "co.je", "net.je", "org.je",
+    "ac.im", "co.im", "com.im", "gov.im", "net.im", "org.im",
+    // Central America / Caribbean
+    "co.ni", "com.ni", "edu.ni", "gob.ni", "net.ni", "org.ni",
+    "com.sv", "edu.sv", "gob.sv", "org.sv", "red.sv",
+    "com.hn", "edu.hn", "gob.hn", "mil.hn", "net.hn", "org.hn",
+    "abo.pa", "ac.pa", "com.pa", "edu.pa", "gob.pa", "ing.pa", "med.pa",
+    "net.pa", "nom.pa", "org.pa", "sld.pa",
+    "com.cu", "edu.cu", "gov.cu", "inf.cu", "net.cu", "org.cu",
+    "ac.pr", "biz.pr", "com.pr", "edu.pr", "est.pr", "gov.pr", "info.pr",
+    "isla.pr", "name.pr", "net.pr", "org.pr", "pro.pr", "prof.pr",
+    "co.tt", "com.tt", "edu.tt", "gov.tt", "net.tt", "org.tt",
+    "com.bb", "edu.bb", "gov.bb", "net.bb", "org.bb",
+    "com.bs", "edu.bs", "gov.bs", "net.bs", "org.bs",
+    "com.bz", "edu.bz", "gov.bz", "net.bz", "org.bz",
+    "com.ht", "edu.ht", "gouv.ht", "info.ht", "net.ht", "org.ht",
+    // Russia second-level (RU-CENTER legacy + city registries)
+    "com.ru", "net.ru", "org.ru", "msk.ru", "spb.ru",
     // ---- private section: shared-hosting platforms ----
     "appspot.com", "azurewebsites.net", "blogspot.com", "cloudfront.net",
     "deno.dev", "firebaseapp.com", "fly.dev", "github.io",
@@ -218,6 +335,8 @@ object PublicSuffix {
     "netlify.app", "ngrok.io", "onrender.com", "pages.dev", "repl.co",
     "readthedocs.io", "surge.sh", "vercel.app", "web.app", "weebly.com",
     "wixsite.com", "wordpress.com", "workers.dev",
+    "amplifyapp.com", "elasticbeanstalk.com", "neocities.org",
+    "pythonanywhere.com", "translate.goog", "codeberg.page",
   )
 
   /** Three-label public suffixes: `host = x.y.<rule>` registers

@@ -147,4 +147,102 @@ class UrlOpsSpec extends AnyFunSuite {
       assert(out.filter(col("url_keep") && !col("domain_keep")).count() > 0)
     } finally out.unpersist()
   }
+
+  test("long-tail registries resolve from the extended snapshot") {
+    val cases = Seq(
+      // Japan prefecture geographic rules
+      "https://www.pref.tokyo.jp/" -> "pref.tokyo.jp",
+      "https://a.b.hokkaido.jp/" -> "b.hokkaido.jp",
+      // US state locality namespace
+      "https://www.cityhall.ca.us/" -> "cityhall.ca.us",
+      "https://x.dmv.ny.us/" -> "dmv.ny.us",
+      // African second-level registries
+      "https://news.daily.com.et/" -> "daily.com.et",
+      "https://portal.uni.ac.tz/" -> "uni.ac.tz",
+      "https://shop.market.co.zm/" -> "market.co.zm",
+      // Caucasus / Central Asia
+      "https://x.site.com.ge/" -> "site.com.ge",
+      "https://a.b.org.kz/" -> "b.org.kz",
+      // Caribbean / Central America
+      "https://www.bank.com.tt/" -> "bank.com.tt",
+      "https://gob.example.gob.pa/" -> "example.gob.pa",
+      // Russia second-level
+      "https://www.firm.msk.ru/" -> "firm.msk.ru",
+      // private-section hosting platforms
+      "https://feature.myapp.amplifyapp.com/" -> "myapp.amplifyapp.com",
+      "https://site.user.pythonanywhere.com/" -> "user.pythonanywhere.com")
+    val got = cases.map(_._1).toDF("u")
+      .select(UrlOps.registeredDomain(col("u")))
+      .as[String].collect().toSeq
+    assert(got === cases.map(_._2))
+  }
+
+  test("PublicSuffixTable.parse reads the publicsuffix.org wire format") {
+    import graft.text.PublicSuffixTable
+    val lines = Seq(
+      "// ===BEGIN ICANN DOMAINS===",
+      "",
+      "com",
+      "co.uk  // trailing comment after whitespace drops",
+      "*.ck",
+      "!www.ck",
+      "  *.kawasaki.jp  ",
+      "!city.kawasaki.jp",
+      "// ===END ICANN DOMAINS===",
+      "github.io",
+      "*",
+      "CO.UK")
+    val rules = PublicSuffixTable.parse(lines).toSet
+    assert(rules === Set(
+      ("com", 1, "plain"), ("co.uk", 2, "plain"), ("ck", 1, "wildcard"),
+      ("www.ck", 2, "exception"), ("kawasaki.jp", 2, "wildcard"),
+      ("city.kawasaki.jp", 3, "exception"), ("github.io", 2, "plain")))
+    // kind-precedence dedup: a list carrying x three ways keeps the
+    // strongest kind so the join key stays unique
+    val dup = PublicSuffixTable.parse(Seq("x.y", "*.x.y", "!x.y"))
+    assert(dup === Seq(("x.y", 2, "exception")))
+  }
+
+  test("broadcast-join path agrees with the InSet snapshot path host-for-host") {
+    import graft.text.{PublicSuffix, PublicSuffixTable}
+    // a battery covering every rule family plus fallback and degenerate
+    // shapes; the two paths share the rule table so they must agree
+    val hosts = Seq(
+      "a.b.example.com", "example.org", "shop.example.co.uk",
+      "news.example.com.au", "project.user.github.io",
+      "x.school.nsw.edu.au", "example.com:8080", "sub.example.com:80",
+      "co.uk", "uk", "a.shop.ck", "deep.a.shop.ck", "www.ck",
+      "mail.www.ck", "x.foo.kawasaki.jp", "sub.city.kawasaki.jp",
+      "city.kawasaki.jp", "www.example.co.jp", "pref.tokyo.jp",
+      "a.b.c.d.e.unlisted", "singlelabel", "x.ca.us", "k12.ca.us",
+      "school.k12.ca.us", "a.com.et", "b.msk.ru")
+    val rules = PublicSuffixTable.rulesDf(spark, PublicSuffixTable.snapshotRules)
+    val got = PublicSuffixTable.withRegisteredDomain(
+      hosts.toDF("h"), col("h"), "via_join", rules)
+      .withColumn("via_inset", PublicSuffix.registeredDomainOfHost(col("h")))
+      .as[(String, String, String)].collect()
+    got.foreach { case (h, viaJoin, viaInset) =>
+      assert(viaJoin === viaInset, s"paths disagree on $h")
+    }
+    assert(got.length === hosts.length)
+  }
+
+  test("full-list swap: rules beyond the snapshot resolve through the join path") {
+    import graft.text.PublicSuffixTable
+    // the k12.<state>.us third-level registries are real PSL rules the
+    // curated snapshot omits: loading them through parse() moves the
+    // boundary one level deeper with no code change — the full-9k-rule
+    // swap is exactly this, at scale
+    val extended = PublicSuffixTable.snapshotRules ++
+      PublicSuffixTable.parse(Seq("k12.ca.us", "cc.ca.us", "lib.ca.us"))
+    val rules = PublicSuffixTable.rulesDf(spark, extended)
+    val got = PublicSuffixTable.withRegisteredDomain(
+      Seq("district.k12.ca.us", "x.district.k12.ca.us", "city.ca.us")
+        .toDF("h"), col("h"), "d", rules)
+      .as[(String, String)].collect().toMap
+    assert(got("district.k12.ca.us") === "district.k12.ca.us")
+    assert(got("x.district.k12.ca.us") === "district.k12.ca.us")
+    // rules untouched by the extension keep their snapshot answer
+    assert(got("city.ca.us") === "city.ca.us")
+  }
 }
