@@ -5482,8 +5482,68 @@ object QueriesTrainingData {
     * ADC scan is the honest PQ cost a deployment bounds by composing
     * with IVF cell pruning (IVF-PQ). */
   def x108_pq_ann(spark: SparkSession, dir: String): DataFrame =
-    graft.sim.PqIndex.adcTopK(embeddings(spark, dir), "vec_id", "embedding",
-      queryPred = col("vec_id") < 10, k = 5)
+    stagedAdcTop5(spark, dir, "m32_d2_k64", 32, 2, 64)
+
+  /** Content-keyed staging of one PQ config's ADC top-5 (the x48/x38
+    * lifecycle): train/encode/rank ONCE per (corpus, config), read the
+    * bucketed artifact afterwards. x108 and x111's fine frontier leg
+    * are the SAME config — staging makes that sharing structural
+    * instead of a recompute, and a tuning rerun (x111 is a
+    * once-per-corpus report) costs a scan, not three pipelines. The
+    * stale-cleanup prefix carries the config tag so sibling configs'
+    * stagings never evict each other. */
+  private def stagedAdcTop5(spark: SparkSession, dir: String, tag: String,
+      m: Int, sd: Int, ncw: Int): DataFrame = {
+    val key = s"${tag}_" +
+      graft.ops.Bucketing.datasetKey(dir, Seq("embeddings.parquet"))
+    val prefix = s"graft_adc_${tag}_"
+    val stage = new java.io.File(
+      System.getProperty("java.io.tmpdir"), prefix + key)
+    graft.ops.Bucketing.cleanupStale(stage.getParentFile, dir, stage.getName,
+      prefix = prefix)
+    graft.ops.Bucketing.writeSourceMarker(stage, dir)
+    graft.ops.Bucketing.ensureStaged(spark,
+      graft.sim.PqIndex.adcTopK(embeddings(spark, dir), "vec_id",
+        "embedding", queryPred = col("vec_id") < 10, k = 5,
+        m = m, subDim = sd, nCw = ncw),
+      s"graft_adc_top5_$key",
+      new java.io.File(stage, "top5").getAbsolutePath, 4, "query_id")
+  }
+
+  /** Content-keyed staging of the EXACT integer-L2 top-5 ground truth
+    * for the vec_id < 10 query set — the |Q|×N ranking every recall
+    * audit scores against (x111's frontier, SourcesAndIvfSpec's x108
+    * audit). Computed once per corpus; query-bounded (|Q| = 10), so the
+    * build itself is a narrow broadcast-side cross of 10 rows against
+    * the table, never N×N. */
+  def stagedExactTop5(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sim.SimilarityOps
+    val key = "l2top5_" +
+      graft.ops.Bucketing.datasetKey(dir, Seq("embeddings.parquet"))
+    val stage = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_exacttop5_$key")
+    graft.ops.Bucketing.cleanupStale(stage.getParentFile, dir, stage.getName,
+      prefix = "graft_exacttop5_")
+    graft.ops.Bucketing.writeSourceMarker(stage, dir)
+    def build: DataFrame = {
+      val qv = embeddings(spark, dir).select(col("vec_id"),
+        SimilarityOps.quantize(col("embedding")).as("qv"))
+      qv.filter(col("vec_id") < 10).toDF("query_id", "qa")
+        .crossJoin(qv.toDF("neighbor_id", "qb"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("d", aggregate(zip_with(col("qa"), col("qb"),
+          (x, y) => (x - y) * (x - y)), lit(0L), (a, v) => a + v))
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("query_id"))
+            .orderBy(col("d"), col("neighbor_id"))))
+        .filter(col("rnk") <= 5)
+        .select(col("query_id"), col("neighbor_id"))
+    }
+    graft.ops.Bucketing.ensureStaged(spark, build,
+      s"graft_exact_top5_$key",
+      new java.io.File(stage, "top5").getAbsolutePath, 4, "query_id")
+  }
 
   val x108Oracle: String =
     """WITH q AS (
@@ -5730,31 +5790,21 @@ object QueriesTrainingData {
     * construction, query-bounded); each config is x108's broadcast
     * shapes; report rows are 3. */
   def x111_pq_frontier(spark: SparkSession, dir: String): DataFrame = {
-    import graft.sim.{PqIndex, SimilarityOps}
-    val emb = embeddings(spark, dir)
-    val qv = emb.select(col("vec_id"),
-      SimilarityOps.quantize(col("embedding")).as("qv"))
-    val queries = qv.filter(col("vec_id") < 10)
-      .toDF("query_id", "qa")
-    val exact = queries.crossJoin(qv.toDF("neighbor_id", "qb"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("d", aggregate(zip_with(col("qa"), col("qb"),
-        (x, y) => (x - y) * (x - y)), lit(0L), (a, v) => a + v))
-      .withColumn("rnk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
-          .orderBy(col("d"), col("neighbor_id"))))
-      .filter(col("rnk") <= 5)
-      .select(col("query_id"), col("neighbor_id"))
-      .cache()
+    // every leg reads content-keyed staging: the exact ground truth is
+    // the shared [[stagedExactTop5]] artifact (the same |Q|×N ranking
+    // the x108 recall audit scores against), and each config's ADC
+    // top-5 stages through [[stagedAdcTop5]] — the fine config IS
+    // x108's artifact, so in a sweep where x108 already ran this
+    // frontier pays two small pipelines and three scans, not three
+    // pipelines plus a cross ranking
+    val exact = stagedExactTop5(spark, dir)
     val nExact = exact.count()
     val rows = pqFrontierConfigs.map { case (tag, m, sd, ncw, bytes) =>
-      val top = PqIndex.adcTopK(emb, "vec_id", "embedding",
-        col("vec_id") < 10, k = 5, m = m, subDim = sd, nCw = ncw)
+      val top = stagedAdcTop5(spark, dir, tag, m, sd, ncw)
         .select(col("query_id"), col("neighbor_id"))
       val hits = top.join(exact, Seq("query_id", "neighbor_id")).count()
       (tag, bytes, hits, hits.toDouble / nExact.toDouble)
     }
-    exact.unpersist()
     import spark.implicits._
     rows.toDF("cfg", "bytes_per_vec", "n_hits", "recall")
       .select(col("cfg"), col("bytes_per_vec").cast(IntegerType),

@@ -1048,4 +1048,25 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(hits.isEmpty, s"$name has trivially-true predicate(s): $hits")
     }
   }
+
+  test("x111: frontier legs read content-keyed staging (x108 config + exact GT shared)") {
+    // force the stagings (idempotent when an earlier test already did)
+    SparkEntry.queries("x111_pq_frontier")(spark, sf).collect()
+    // x108 IS the fine frontier config: after staging, its plan must be
+    // a bucketed scan of the artifact — no codebook training, no ADC
+    // aggregation, no join
+    val plan = executedPlan("x108_pq_ann")
+    assert(plan.contains("graft_adc_"),
+      s"x108 not reading the staged ADC artifact:\n$plan")
+    assert(!plan.contains("HashAggregate") && !plan.contains("Join"),
+      s"PQ pipeline recomputed instead of the staged read:\n$plan")
+    // the exact ground truth every recall consumer scores against is
+    // the one staged table, not a re-ranked cross join
+    val exactPlan = QueriesTrainingData.stagedExactTop5(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(exactPlan.contains("graft_exact"),
+      s"exact GT not reading its staging:\n$exactPlan")
+    assert(!exactPlan.contains("Window") && !exactPlan.contains("Join"),
+      s"exact ranking recomputed instead of the staged read:\n$exactPlan")
+  }
 }

@@ -112,26 +112,33 @@ class SourcesAndIvfSpec extends AnyFunSuite {
   test("IVF index: builds k cells, search beats nothing and approximates brute force") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
       .repartition(4).cache()
-    val model = IvfIndex.build(emb, "vec_id", "embedding", k = 8)
-    assert(model.centroids.length === 8)
-    assert(model.assigned.select("cell").distinct().count() <= 8)
-    val queries = emb.filter(col("vec_id") < 5)
-    val approx = IvfIndex.search(spark, model, queries, "vec_id", "embedding",
-      k = 3, nProbe = 3).collect()
-    assert(approx.length === 15) // 5 queries × top-3
-    assert(approx.forall(_.getInt(2) <= 3))
-    // recall vs brute force with generous probes should be high
-    val brute = SimilarityOps.knnBruteForce(queries, emb, "vec_id", "embedding", 3)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val wide = IvfIndex.search(spark, model, queries, "vec_id", "embedding",
-      k = 3, nProbe = 8).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(wide === brute) // nProbe = k cells ⇒ exhaustive ⇒ exact
-    // the approximate mode (nProbe < k, the 100 TB path: score 3/8 of the
-    // corpus) must still recover most true neighbors; deterministic given
-    // the seeded quantizer, so the bound is a regression gate
-    val approxSet = approx.map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = (approxSet intersect brute).size.toDouble / brute.size
-    assert(recall >= 0.6, s"nProbe=3/8 recall@3 regressed: $recall")
+    // the unpersist is load-bearing beyond hygiene: a cache left behind
+    // on repartition(4)-over-embeddings is canonically IDENTICAL to
+    // x08's repartition(defaultParallelism=4) subtree, so a concurrent
+    // PlanShapeSpec pin would see an InMemoryRelation (whose printed
+    // schema carries the label column) swapped into x08's plan
+    try {
+      val model = IvfIndex.build(emb, "vec_id", "embedding", k = 8)
+      assert(model.centroids.length === 8)
+      assert(model.assigned.select("cell").distinct().count() <= 8)
+      val queries = emb.filter(col("vec_id") < 5)
+      val approx = IvfIndex.search(spark, model, queries, "vec_id", "embedding",
+        k = 3, nProbe = 3).collect()
+      assert(approx.length === 15) // 5 queries × top-3
+      assert(approx.forall(_.getInt(2) <= 3))
+      // recall vs brute force with generous probes should be high
+      val brute = SimilarityOps.knnBruteForce(queries, emb, "vec_id", "embedding", 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val wide = IvfIndex.search(spark, model, queries, "vec_id", "embedding",
+        k = 3, nProbe = 8).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(wide === brute) // nProbe = k cells ⇒ exhaustive ⇒ exact
+      // the approximate mode (nProbe < k, the 100 TB path: score 3/8 of the
+      // corpus) must still recover most true neighbors; deterministic given
+      // the seeded quantizer, so the bound is a regression gate
+      val approxSet = approx.map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (approxSet intersect brute).size.toDouble / brute.size
+      assert(recall >= 0.6, s"nProbe=3/8 recall@3 regressed: $recall")
+    } finally emb.unpersist(): Unit
   }
 
   test("IVF persistence: save/load roundtrip is exact; cell filters partition-prune") {
@@ -247,11 +254,20 @@ class SourcesAndIvfSpec extends AnyFunSuite {
         .map { case (id, v) =>
           id -> v.toArray.map(x => math.round(x.toDouble * 10000))
         }.toMap
+      // the exact ranking is the SHARED staged artifact (x111's ground
+      // truth reads the same table) — validated here against a local
+      // recompute before anything scores against it, so the staging
+      // can never silently drift from the definition
+      val staged = QueriesTrainingData.stagedExactTop5(spark, sf)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
       val recalls = (0L until 10L).map { q =>
         val qv = vecs(q)
         val exact = vecs.view.filterKeys(_ != q).toSeq.map { case (id, v) =>
           (id, v.zip(qv).map { case (a, b) => val d = a - b; d * d }.sum)
         }.sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toSet
+        assert(staged(q) === exact,
+          s"stagedExactTop5 drifted from the exact definition for query $q")
         (exact intersect got(q)).size / 5.0
       }
       val mean = recalls.sum / recalls.size
