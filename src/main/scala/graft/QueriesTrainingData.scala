@@ -6299,6 +6299,314 @@ object QueriesTrainingData {
       |    AS new_ppm
       |FROM scored""".stripMargin
 
+  /** Margin-based parallel-pair mining (Artetxe & Schwenk 2019's
+    * margin criterion, distance-ratio form) — the bitext-mining step
+    * that builds MT / cross-lingual training corpora: a candidate pair
+    * (src, tgt) is accepted not on raw similarity but on its MARGIN
+    * over each endpoint's neighborhood, which filters hub vectors
+    * (close to everything) that any absolute threshold admits.
+    *
+    * The embedding pool splits by label parity into a "source" and
+    * "target" language plane; the mined batch is the source vectors
+    * with vec_id < 32 — the delta-alignment shape (align a new batch
+    * against the standing pool): the batch side BROADCASTS, so the
+    * distance frame is linear in the pool with zero pool shuffles
+    * (x09's accepted linear-scan class; the full-corpus mining path
+    * composes with IVF cells exactly like x109). Distances are exact
+    * integer L2 on the 1e4 grid; the margin is
+    * `(ctx_src + ctx_tgt) * 125000 div (d + 1)` — the mean of the 8
+    * context distances (top-4 each direction) against the pair
+    * distance on a ppm grid, exact BIGINT on both engines (all
+    * operands non-negative, where Spark's div and DuckDB's // agree).
+    * Accepted = margin > 1.05e6 (ratio 1.05 — the margin criterion's
+    * typical operating point; ratio 1.0 is vacuous for a top-1 pair,
+    * whose own distance always sits at or below its context mean).
+    * One mined row per source vector (top-1 target by margin, ties by
+    * target id), so output is batch-bounded. */
+  def x118_bitext_margin_mining(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qv = embeddings(spark, dir).select(col("vec_id"), col("label"),
+      SimilarityOps.quantize(col("embedding")).as("qv"))
+    val src = qv.filter(col("label") % 2 === 0 && col("vec_id") < 32)
+      .select(col("vec_id").as("src_id"), col("qv").as("qa"))
+    val tgt = qv.filter(col("label") % 2 === 1)
+      .select(col("vec_id").as("tgt_id"), col("qv").as("qb"))
+    // slim (src, tgt, d) frame feeds three consumers (fwd top-k, rev
+    // top-k, margin scoring) — cache it, free it before return
+    val dists = tgt.crossJoin(broadcast(src))
+      .withColumn("d", aggregate(zip_with(col("qa"), col("qb"),
+        (x, y) => (x - y) * (x - y)), lit(0L), (a, v) => a + v))
+      .select(col("src_id"), col("tgt_id"), col("d"))
+      .cache()
+    val fwd = dists.withColumn("rf", row_number().over(
+        Window.partitionBy(col("src_id")).orderBy(col("d"), col("tgt_id"))))
+      .filter(col("rf") <= 4)
+    val ctxSrc = fwd.groupBy(col("src_id")).agg(sum(col("d")).as("ctx_src"))
+    val ctxTgt = dists.withColumn("rr", row_number().over(
+        Window.partitionBy(col("tgt_id")).orderBy(col("d"), col("src_id"))))
+      .filter(col("rr") <= 4)
+      .groupBy(col("tgt_id")).agg(sum(col("d")).as("ctx_tgt"))
+    val mined = fwd.join(ctxSrc, Seq("src_id")).join(ctxTgt, Seq("tgt_id"))
+      .withColumn("margin_ppm",
+        expr("((ctx_src + ctx_tgt) * 125000) DIV (d + 1)"))
+      .withColumn("rm", row_number().over(
+        Window.partitionBy(col("src_id"))
+          .orderBy(col("margin_ppm").desc, col("tgt_id"))))
+      .filter(col("rm") === 1)
+      .select(col("src_id"), col("tgt_id"), col("d").as("dist"),
+        col("margin_ppm"), (col("margin_ppm") > 1050000L).as("accepted"))
+      .cache()
+    mined.count() // materialize, then free the fat internal frame
+    dists.unpersist()
+    mined
+  }
+
+  val x118Oracle: String =
+    """WITH qe AS (
+      |  SELECT vec_id, label, list_transform(embedding,
+      |    x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |src AS (
+      |  SELECT vec_id AS src_id, qv AS qa FROM qe
+      |  WHERE label % 2 = 0 AND vec_id < 32),
+      |tgt AS (SELECT vec_id AS tgt_id, qv AS qb FROM qe WHERE label % 2 = 1),
+      |dists AS (
+      |  SELECT src_id, tgt_id,
+      |    CAST(list_sum(list_transform(generate_series(1, 64),
+      |      i -> (qa[i] - qb[i]) * (qa[i] - qb[i]))) AS BIGINT) AS d
+      |  FROM src CROSS JOIN tgt),
+      |fwd AS (
+      |  SELECT src_id, tgt_id, d,
+      |    ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY d, tgt_id) AS rf
+      |  FROM dists),
+      |ctxa AS (
+      |  SELECT src_id, CAST(SUM(d) AS BIGINT) AS ctx_src FROM fwd
+      |  WHERE rf <= 4 GROUP BY src_id),
+      |rev AS (
+      |  SELECT src_id, tgt_id, d,
+      |    ROW_NUMBER() OVER (PARTITION BY tgt_id ORDER BY d, src_id) AS rr
+      |  FROM dists),
+      |ctxb AS (
+      |  SELECT tgt_id, CAST(SUM(d) AS BIGINT) AS ctx_tgt FROM rev
+      |  WHERE rr <= 4 GROUP BY tgt_id),
+      |scored AS (
+      |  SELECT f.src_id, f.tgt_id, f.d,
+      |    CAST(((ctx_src + ctx_tgt) * 125000) // (f.d + 1) AS BIGINT)
+      |      AS margin_ppm
+      |  FROM fwd f
+      |  JOIN ctxa ON f.src_id = ctxa.src_id
+      |  JOIN ctxb ON f.tgt_id = ctxb.tgt_id
+      |  WHERE f.rf <= 4)
+      |SELECT src_id, tgt_id, CAST(d AS BIGINT) AS dist, margin_ppm,
+      |  margin_ppm > 1050000 AS accepted
+      |FROM (
+      |  SELECT src_id, tgt_id, d, margin_ppm,
+      |    ROW_NUMBER() OVER (PARTITION BY src_id
+      |      ORDER BY margin_ppm DESC, tgt_id) AS rm
+      |  FROM scored)
+      |WHERE rm = 1""".stripMargin
+
+  /** k-anonymity audit over quasi-identifier tuples — the privacy-risk
+    * report a release pipeline files before shipping a corpus: rows
+    * whose (source, lang, size-band) combination is shared by fewer
+    * than k = 5 documents are re-identification risks even after
+    * direct-PII scrubbing (x27/x87 remove identifiers; this measures
+    * what the REMAINING attributes still leak, Sweeney 2002's model).
+    * One partial-combining aggregate over the corpus; the report is
+    * QI-cardinality-sized (sources × langs × 4KB-bands), never
+    * row-sized — the same shape at 100 TB. */
+  def x119_k_anonymity_audit(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .groupBy(col("source"), col("lang"),
+        expr("n_chars DIV 256").as("size_band"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("at_risk", col("n_docs") < 5)
+
+  val x119Oracle: String =
+    """SELECT source, lang, CAST(n_chars // 256 AS BIGINT) AS size_band,
+      |  COUNT(*) AS n_docs, COUNT(*) < 5 AS at_risk
+      |FROM documents
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  /** Retrieval ablation report — the recall@5 table a RAG stack reads
+    * before picking its retriever: the DENSE leg (x108's staged PQ/ADC
+    * top-5), the SPARSE leg (x113's BM25 shape cut at 5), and their
+    * RRF fusion, each scored against the one staged exact-L2 ground
+    * truth ([[stagedExactTop5]] — the same table x111 and the x108
+    * audit score against; sparse recall vs the EMBEDDING ground truth
+    * measures how much of the semantic answer lexical matching
+    * recovers, the ablation's whole point). Three report rows; the
+    * dense/exact legs are staged scans, the sparse leg is df-banded
+    * (candidates ≤ 32/term) — the report costs one BM25 pass at any
+    * corpus size. */
+  def x120_retrieval_ablation(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gt = stagedExactTop5(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    val nGt = gt.count()
+    val dense = stagedAdcTop5(spark, dir, "m32_d2_k64", 32, 2, 64)
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast(IntegerType).as("r_dense"))
+    val tf = documents(spark, dir)
+      .select(col("doc_id"),
+        explode(TextOps.ngrams(TextOps.tokens(col("text")), 2)).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .cache()
+    val dfx = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= 32)
+    val lens = tf.groupBy(col("doc_id"))
+      .agg((lit(1L) + sum(col("tf"))).as("len"))
+    val stats = lens.agg(count(lit(1)).as("nd"),
+      (sum(col("len")).cast(DoubleType) / count(lit(1))).as("avgdl"))
+    val qterms = tf.filter(col("doc_id") < 10)
+      .join(dfx, Seq("term"))
+      .select(col("doc_id").as("query_id"), col("term"), col("df"))
+    val idf = ((col("nd").cast(DoubleType) - col("df").cast(DoubleType))
+      + lit(0.5)) / (col("df").cast(DoubleType) + lit(0.5))
+    val sat = (col("tf").cast(DoubleType) * lit(2.2)) /
+      (col("tf").cast(DoubleType) + lit(1.2) *
+        (lit(0.25) + lit(0.75) * (col("len").cast(DoubleType) / col("avgdl"))))
+    val sparse = tf.join(qterms, Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("w_int",
+        floor((idf * sat) * lit(1000000.0) + lit(0.5)).cast(LongType))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("w_int")).as("s_sparse"))
+      .withColumn("r_sparse", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("s_sparse").desc, col("doc_id"))))
+      .filter(col("r_sparse") <= 5)
+      .select(col("query_id"), col("doc_id").as("neighbor_id"),
+        col("r_sparse").cast(IntegerType).as("r_sparse"))
+    val fused = sparse.join(dense, Seq("query_id", "neighbor_id"), "full_outer")
+      // the x113 convention: EXACTLY two IEEE terms in pinned order
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60.0) + col("r_sparse").cast(DoubleType)),
+          lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("r_dense").cast(DoubleType)),
+            lit(0.0)))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf").desc, col("neighbor_id"))))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("neighbor_id"))
+    def hits(leg: DataFrame): Long =
+      leg.select(col("query_id"), col("neighbor_id"))
+        .join(gt, Seq("query_id", "neighbor_id")).count()
+    val rows = Seq(("dense", hits(dense)), ("sparse", hits(sparse)),
+      ("hybrid", hits(fused)))
+    tf.unpersist()
+    import spark.implicits._
+    rows.toDF("leg", "n_hits")
+      .select(col("leg"), col("n_hits").cast(LongType).as("n_hits"),
+        (col("n_hits").cast(DoubleType) / lit(nGt.toDouble)).as("recall"))
+  }
+
+  lazy val x120Oracle: String =
+    s"""WITH q AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |exact AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    list_sum(list_transform(generate_series(1, 64),
+       |      i -> (a.qv[i] - b.qv[i]) * (a.qv[i] - b.qv[i]))) AS d
+       |  FROM q a JOIN q b ON a.vec_id < 10 AND a.vec_id <> b.vec_id
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |    ORDER BY d, b.vec_id) <= 5),
+       |${pqCfgOracleCtes("ab", 32, 2, 64)},
+       |dense AS (
+       |  SELECT query_id, neighbor_id, CAST(rnk AS INT) AS r_dense FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY adc_dist, neighbor_id) AS rnk
+       |    FROM adc_ab)
+       |  WHERE rnk <= 5),
+       |ws AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents),
+       |t AS (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+       |    i -> w[i] || ' ' || w[i + 1])) AS term
+       |  FROM ws),
+       |tf AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
+       |dfx AS (
+       |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+       |  HAVING COUNT(*) BETWEEN 2 AND 32),
+       |lens AS (SELECT doc_id, 1 + SUM(tf) AS len FROM tf GROUP BY doc_id),
+       |stats AS (
+       |  SELECT COUNT(*) AS nd,
+       |    CAST(SUM(len) AS DOUBLE) / COUNT(*) AS avgdl
+       |  FROM lens),
+       |qterms AS (
+       |  SELECT tf.doc_id AS query_id, tf.term, dfx.df
+       |  FROM tf JOIN dfx ON tf.term = dfx.term
+       |  WHERE tf.doc_id < 10),
+       |sparse0 AS (
+       |  SELECT qterms.query_id, tf.doc_id,
+       |    SUM(CAST(floor(
+       |      ((((CAST(nd AS DOUBLE) - CAST(qterms.df AS DOUBLE)) + 0.5)
+       |          / (CAST(qterms.df AS DOUBLE) + 0.5))
+       |        * ((CAST(tf AS DOUBLE) * 2.2)
+       |          / (CAST(tf AS DOUBLE) + 1.2
+       |            * (0.25 + 0.75 * (CAST(len AS DOUBLE) / avgdl)))))
+       |      * 1000000.0 + 0.5) AS BIGINT)) AS s_sparse
+       |  FROM tf
+       |  JOIN qterms ON tf.term = qterms.term
+       |  JOIN lens ON tf.doc_id = lens.doc_id
+       |  CROSS JOIN stats
+       |  WHERE tf.doc_id <> qterms.query_id
+       |  GROUP BY 1, 2),
+       |sparse AS (
+       |  SELECT query_id, doc_id AS neighbor_id, CAST(rs AS INT) AS r_sparse
+       |  FROM (
+       |    SELECT query_id, doc_id, s_sparse,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY s_sparse DESC, doc_id) AS rs
+       |    FROM sparse0)
+       |  WHERE rs <= 5),
+       |fused AS (
+       |  SELECT coalesce(sparse.query_id, dense.query_id) AS query_id,
+       |    coalesce(sparse.neighbor_id, dense.neighbor_id) AS neighbor_id,
+       |    coalesce(1.0 / (60.0 + CAST(sparse.r_sparse AS DOUBLE)), 0.0)
+       |      + coalesce(1.0 / (60.0 + CAST(dense.r_dense AS DOUBLE)), 0.0)
+       |      AS rrf
+       |  FROM sparse FULL OUTER JOIN dense
+       |    ON sparse.query_id = dense.query_id
+       |    AND sparse.neighbor_id = dense.neighbor_id),
+       |hybrid AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY rrf DESC, neighbor_id) AS rk
+       |    FROM fused)
+       |  WHERE rk <= 5),
+       |hd AS (SELECT COUNT(*) AS h FROM dense d
+       |  JOIN exact e ON d.query_id = e.query_id
+       |    AND d.neighbor_id = e.neighbor_id),
+       |hs AS (SELECT COUNT(*) AS h FROM sparse s
+       |  JOIN exact e ON s.query_id = e.query_id
+       |    AND s.neighbor_id = e.neighbor_id),
+       |hh AS (SELECT COUNT(*) AS h FROM hybrid f
+       |  JOIN exact e ON f.query_id = e.query_id
+       |    AND f.neighbor_id = e.neighbor_id)
+       |SELECT 'dense' AS leg, CAST(h AS BIGINT) AS n_hits,
+       |  CAST(h AS DOUBLE) / CAST((SELECT COUNT(*) FROM exact) AS DOUBLE)
+       |    AS recall
+       |FROM hd
+       |UNION ALL
+       |SELECT 'sparse', CAST(h AS BIGINT),
+       |  CAST(h AS DOUBLE) / CAST((SELECT COUNT(*) FROM exact) AS DOUBLE)
+       |FROM hs
+       |UNION ALL
+       |SELECT 'hybrid', CAST(h AS BIGINT),
+       |  CAST(h AS DOUBLE) / CAST((SELECT COUNT(*) FROM exact) AS DOUBLE)
+       |FROM hh""".stripMargin
+
   /** URL takedown sweep — corpus governance at the canonical-URL key
     * (the DMCA/robots-retroactive case): a takedown list of canonical
     * URLs (here: every URL whose source id ≡ 0 mod 7 — a deterministic
@@ -6545,6 +6853,9 @@ object QueriesTrainingData {
     "x114_importance_resample" -> (x114_importance_resample _),
     "x115_topic_balanced_sample" -> (x115_topic_balanced_sample _),
     "x116_doremi_reweight" -> (x116_doremi_reweight _),
+    "x118_bitext_margin_mining" -> (x118_bitext_margin_mining _),
+    "x119_k_anonymity_audit" -> (x119_k_anonymity_audit _),
+    "x120_retrieval_ablation" -> (x120_retrieval_ablation _),
     "x80_vision_token_budget" -> (x80_vision_token_budget _),
     "x79_url_takedown" -> (x79_url_takedown _),
     "x78_tokenizer_fertility" -> (x78_tokenizer_fertility _),
@@ -6661,6 +6972,9 @@ object QueriesTrainingData {
     "x114_importance_resample" -> x114Oracle,
     "x115_topic_balanced_sample" -> x115Oracle,
     "x116_doremi_reweight" -> x116Oracle,
+    "x118_bitext_margin_mining" -> x118Oracle,
+    "x119_k_anonymity_audit" -> x119Oracle,
+    "x120_retrieval_ablation" -> x120Oracle,
     "x80_vision_token_budget" -> x80Oracle,
     "x79_url_takedown" -> x79Oracle,
     "x78_tokenizer_fertility" -> x78Oracle,

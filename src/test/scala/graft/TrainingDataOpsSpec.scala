@@ -540,4 +540,43 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(counts.max - counts.min <= 1,
       "round-robin must spread row counts within 1")
   }
+
+  test("x118: margin mining — one row per source, hub filtering, exact grid") {
+    val rows = QueriesTrainingData.x118_bitext_margin_mining(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    // one mined pair per batch source vector (top-1 target by margin)
+    assert(rows.map(_._1).distinct.length === rows.length)
+    assert(rows.nonEmpty && rows.forall(_._1 < 32))
+    // the mined target is in the other pool by construction; margin is
+    // positive on the ppm grid and accepted iff it clears 1e6
+    rows.foreach { case (_, _, d, m, acc) =>
+      assert(d >= 0L && m >= 0L)
+      assert(acc === (m > 1050000L))
+    }
+  }
+
+  test("x119: k-anonymity groups partition the corpus; risk flags match k=5") {
+    val rows = QueriesTrainingData.x119_k_anonymity_audit(spark, sf)
+      .collect().map(r => (r.getLong(3), r.getBoolean(4)))
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.map(_._1).sum === total, "QI groups must partition the corpus")
+    rows.foreach { case (n, risk) => assert(risk === (n < 5L)) }
+    assert(rows.exists(!_._2), "expected at least one safe group")
+  }
+
+  test("x120: ablation recalls are in [0,1]; hits never exceed the GT size") {
+    val rows = QueriesTrainingData.x120_retrieval_ablation(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).sorted.toList === List("dense", "hybrid", "sparse"))
+    val nGt = QueriesTrainingData.stagedExactTop5(spark, sf).count()
+    rows.foreach { case (leg, h, rec) =>
+      assert(h >= 0L && h <= nGt, s"$leg hits out of range: $h")
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(math.abs(rec - h.toDouble / nGt.toDouble) < 1e-12)
+    }
+    // the dense leg scores against its own geometry's ground truth — it
+    // must recover a nontrivial share (the x108 audit pins >= 0.5)
+    assert(rows.find(_._1 == "dense").get._3 >= 0.3)
+  }
 }
