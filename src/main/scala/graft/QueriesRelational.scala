@@ -2247,6 +2247,35 @@ object QueriesRelational {
       |FROM customer
       |WHERE c_mktsegment <> 'MACHINERY'""".stripMargin
 
+  /** The batched-DML purge loop through the dtsx frontend
+    * (`BatchedPurgeETL.dtsx`) — `WHILE 1 = 1 … UPDATE/DELETE TOP (n) …
+    * IF @@ROWCOUNT = 0 BREAK`, the idiom operators use to bound
+    * transaction-log growth and lock escalation on big mutations.
+    * [[graft.patterns.BatchedDmlLoopSqlCompiler]] compiles the loop to
+    * its set-based FIXPOINT (log pressure has no Spark analog — state
+    * replacement writes a new generation): the DELETE form is
+    * unconditionally equivalent (any TOP slice order reaches "no row
+    * satisfies p"), the UPDATE form only when a SET literal provably
+    * falsifies a WHERE conjunct so every batch shrinks the pred-set —
+    * anything weaker would not terminate in T-SQL either and declines. */
+  def q118_dtsx_batched_purge(spark: SparkSession, dir: String): DataFrame = {
+    val (w, _) = runDtsxWarehousePackage(spark, dir, "BatchedPurgeETL.dtsx")
+    w("orders_purge_bp").select(
+      col("okey").cast(LongType).as("okey"),
+      col("flagged").cast(IntegerType).as("flagged"),
+      col("price").cast(DoubleType).as("price"))
+  }
+
+  val q118Oracle: String =
+    """SELECT o_orderkey AS okey,
+      |  CASE WHEN o_orderstatus = 'O'
+      |       AND CAST(o_totalprice AS DECIMAL(12,2)) < 50000
+      |       THEN 1 ELSE 0 END AS flagged,
+      |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+      |FROM orders
+      |WHERE NOT (o_orderstatus = 'F'
+      |  AND CAST(o_totalprice AS DECIMAL(12,2)) >= 100000)""".stripMargin
+
   /** Explicit GROUPING SETS with grouping_id disambiguation (beyond q24's
     * rollup): two chosen aggregation levels, no intermediate level. */
   def q39_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
@@ -3630,6 +3659,7 @@ object QueriesRelational {
     "q115_dtsx_apply" -> (q115_dtsx_apply _),
     "q116_dtsx_merge_by_source" -> (q116_dtsx_merge_by_source _),
     "q117_dtsx_cursor_loop" -> (q117_dtsx_cursor_loop _),
+    "q118_dtsx_batched_purge" -> (q118_dtsx_batched_purge _),
     "q82_orc_roundtrip" -> (q82_orc_roundtrip _),
     "q80_dtsx_cdc_merge" -> (q80_dtsx_cdc_merge _),
     "q79_delete_cascade" -> (q79_delete_cascade _),
@@ -3740,6 +3770,7 @@ object QueriesRelational {
     "q115_dtsx_apply" -> q115Oracle,
     "q116_dtsx_merge_by_source" -> q116Oracle,
     "q117_dtsx_cursor_loop" -> q117Oracle,
+    "q118_dtsx_batched_purge" -> q118Oracle,
     "q82_orc_roundtrip" -> q82Oracle,
     "q80_dtsx_cdc_merge" -> q80Oracle,
     "q79_delete_cascade" -> q79Oracle,

@@ -215,6 +215,15 @@ object MigrationMapping {
           "one-DML body becomes a join-update / anti-join delete / " +
           "insert-select; an UPDATE whose target row two cursor rows " +
           "would hit aborts via the multi-match guard)"), Nil, signals)
+    else if (graft.patterns.BatchedDmlLoopSqlCompiler
+        .rewriteToStatement(sql).isDefined)
+      TaskMapping(t.name, "ExecuteSQLTask", "converted", None,
+        Some("batched-DML purge loop executes as its set-based fixpoint " +
+          "(patterns/BatchedDmlLoopSqlCompiler — TOP (n) chunking exists " +
+          "for row-store log pressure, which state replacement has no " +
+          "analog of; the UPDATE form compiles only when a SET literal " +
+          "provably falsifies a WHERE conjunct, so every batch shrinks " +
+          "the pred-set)"), Nil, signals)
     else if (graft.patterns.ScriptedSqlExecutor.scriptFeatures(sql).isDefined)
       TaskMapping(t.name, "ExecuteSQLTask", "converted", None,
         Some("sequential shadow-overlay script (patterns/" +

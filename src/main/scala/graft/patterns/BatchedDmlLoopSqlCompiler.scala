@@ -1,0 +1,128 @@
+package graft.patterns
+
+import scala.util.matching.Regex
+
+/** The batched-DML purge loop → its set-based fixpoint — the OTHER
+  * canonical T-SQL loop beside the cursor ([[CursorLoopSqlCompiler]])
+  * and the counter WHILE ([[WhileLoopSqlCompiler]]): operators batch
+  * big DELETEs/UPDATEs in `TOP (n)` chunks purely to keep the
+  * TRANSACTION LOG and lock escalation bounded —
+  *
+  * {{{
+  * WHILE 1 = 1
+  * BEGIN
+  *   DELETE TOP (5000) FROM audit_log WHERE created < '2020-01-01';
+  *   IF @@ROWCOUNT = 0 BREAK;
+  * END
+  * }}}
+  *
+  * Log pressure is a row-store concern with no Spark analog (state
+  * replacement writes a new generation), so the loop's FIXPOINT is the
+  * honest translation: one `DELETE FROM t WHERE p`.
+  *
+  * Equivalence, per verb:
+  *  - DELETE: each iteration removes an arbitrary `TOP (n)` slice of
+  *    the rows satisfying p until none remain — the terminal state is
+  *    exactly "no row satisfies p", the single DELETE's postcondition,
+  *    for ANY n and any slice order.
+  *  - UPDATE: sound ONLY when each batch provably shrinks the
+  *    pred-set, so the compile requires (a) every SET rhs is a
+  *    LITERAL (a batch-varying expression like GETDATE() would leave
+  *    batch boundaries visible in the data), and (b) some assigned
+  *    column `c = lit` has a WHERE conjunct the assignment falsifies
+  *    (`c <> lit`, `c = otherLit`, or `c IS NULL` with a non-NULL
+  *    rhs). Updates are row-local, so a row leaves the pred-set when
+  *    updated and no row ever enters it — the fixpoint is the single
+  *    UPDATE over all originally-matching rows. Anything weaker
+  *    declines: a loop whose batches do not shrink the set never
+  *    terminates in T-SQL either, and this engine will not guess.
+  *
+  * Recognized frames (whole-text, masked scans): the `WHILE 1 = 1 …
+  * IF @@ROWCOUNT = 0 BREAK` form, with `;` or line breaks between the
+  * three parts. Everything else — EXISTS-guarded variants whose two
+  * predicates must be proven identical, WAITFOR DELAY throttles,
+  * TOP PERCENT, ORDER BY'd TOP (order-dependent slices), extra body
+  * statements — declines to manual review. */
+object BatchedDmlLoopSqlCompiler {
+
+  private val deleteLoopRe: Regex =
+    ("(?is)^\\s*while\\s+1\\s*=\\s*1\\s*begin\\s+" +
+      "delete\\s+top\\s*\\(\\s*\\d+\\s*\\)\\s+from\\s+([^\\s;@(]+)\\s+" +
+      "where\\s+(.+?)\\s*;\\s*" +
+      "if\\s+@@rowcount\\s*=\\s*0\\s*break\\s*;?\\s*end\\s*;?\\s*$").r
+
+  private val updateLoopRe: Regex =
+    ("(?is)^\\s*while\\s+1\\s*=\\s*1\\s*begin\\s+" +
+      "update\\s+top\\s*\\(\\s*\\d+\\s*\\)\\s+([^\\s;@(]+)\\s+" +
+      "set\\s+(.+?)\\s+where\\s+(.+?)\\s*;\\s*" +
+      "if\\s+@@rowcount\\s*=\\s*0\\s*break\\s*;?\\s*end\\s*;?\\s*$").r
+
+  private val bodyKeywordRe =
+    ("(?i)\\b(select|insert|update|delete|merge|from|join|output|into|" +
+      "top|order|group|having|union)\\b").r
+
+  /** A SET rhs that is a single literal on the masked twin: number,
+    * string (masked to 'xxx…'), NULL, or 0x… binary. */
+  private val literalRhsRe =
+    "(?is)^\\s*(null|[+-]?\\d+(?:\\.\\d+)?|'x*'|0x[0-9a-fA-F]+)\\s*$".r
+
+  private def clauseOk(c: String): Boolean =
+    !MergeSqlCompiler.bodyDisqualified(c, bodyKeywordRe) &&
+      !c.contains("@")
+
+  /** Does the WHERE clause carry a conjunct the assignment `c = rhs`
+    * falsifies? Scanned on the raw text at word boundaries; literals
+    * compare as trimmed text (the engine never equates two spellings
+    * of one value — a miss declines, never mis-executes). */
+  private def falsifies(where: String, c: String, rhs: String): Boolean = {
+    val q = java.util.regex.Pattern.quote _
+    val neq = ("(?is)\\b" + q(c) + "\\s*(?:<>|!=)\\s*(\\S+)").r
+    val eq = ("(?is)\\b" + q(c) + "\\s*=\\s*('[^']*'|[^\\s()]+)").r
+    val isNull = ("(?is)\\b" + q(c) + "\\s+is\\s+null\\b").r
+    val rhsT = rhs.trim
+    neq.findAllMatchIn(where).exists(_.group(1).trim.equalsIgnoreCase(rhsT)) ||
+      eq.findAllMatchIn(where).exists(m =>
+        !m.group(1).trim.equalsIgnoreCase(rhsT)) ||
+      (isNull.findFirstIn(where).isDefined &&
+        !rhsT.equalsIgnoreCase("null"))
+  }
+
+  /** Whole-text recognizer: the batched purge loop → its one-statement
+    * set-based fixpoint, or None (manual review). */
+  private[graft] def rewriteToStatement(textRaw: String): Option[String] = {
+    val text = SqlText.stripComments(textRaw)
+    val msk = UpdateSqlCompiler.masked(text)
+    deleteLoopRe.findFirstMatchIn(msk).flatMap { m =>
+      def g(i: Int) = text.substring(m.start(i), m.end(i))
+      val (tgt, where) = (g(1), g(2))
+      if (clauseOk(msk.substring(m.start(2), m.end(2))))
+        Some(s"DELETE FROM $tgt WHERE $where")
+      else None
+    }.orElse {
+      updateLoopRe.findFirstMatchIn(msk).flatMap { m =>
+        def g(i: Int) = text.substring(m.start(i), m.end(i))
+        val (tgt, sets, where) = (g(1), g(2), g(3))
+        val setsMsk = msk.substring(m.start(2), m.end(2))
+        val whereMsk = msk.substring(m.start(3), m.end(3))
+        if (!clauseOk(setsMsk) || !clauseOk(whereMsk)) None
+        else {
+          // every rhs a literal, checked on the MASKED item (string
+          // content cannot fake a literal shape)
+          val items = MergeSqlCompiler.splitTop(sets)
+          val itemsMsk = MergeSqlCompiler.splitTop(setsMsk)
+          val parsed = items.zip(itemsMsk).map { case (it, itM) =>
+            val i = itM.indexOf('=')
+            if (i <= 0) None
+            else if (literalRhsRe.findFirstIn(itM.drop(i + 1)).isEmpty) None
+            else Some((it.take(i).trim, it.drop(i + 1).trim))
+          }
+          if (parsed.exists(_.isEmpty)) None
+          else if (!parsed.flatten.exists { case (c, rhs) =>
+              c.matches("[A-Za-z_]\\w*") && falsifies(where, c, rhs) })
+            None // cannot prove each batch shrinks the pred-set
+          else Some(s"UPDATE $tgt SET $sets WHERE $where")
+        }
+      }
+    }
+  }
+}

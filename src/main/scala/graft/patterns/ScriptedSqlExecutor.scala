@@ -708,6 +708,12 @@ object ScriptedSqlExecutor {
       // batch; off-shape cursors fall through to the decline below
       else if (CursorLoopSqlCompiler.rewriteToScript(text).isDefined)
         script(bound, CursorLoopSqlCompiler.rewriteToScript(text).get)
+      // the batched-DML purge loop (WHILE 1=1 … DELETE/UPDATE TOP(n) …
+      // IF @@ROWCOUNT = 0 BREAK) compiles to its set-based fixpoint —
+      // one statement through the same overlay
+      else if (BatchedDmlLoopSqlCompiler.rewriteToStatement(text).isDefined)
+        script(bound,
+          List(BatchedDmlLoopSqlCompiler.rewriteToStatement(text).get))
       else WhileLoopSqlCompiler.unroll(spark, text) match {
         // a counter WHILE loop is a WHOLE-text shape too: the driver
         // evaluates its control flow, the emitted body statements run

@@ -2035,4 +2035,66 @@ class PipelineSpec extends AnyFunSuite {
         "UPDATE ctgt SET v = 0 WHERE CURRENT OF c")), Nil)
     assert(rev.status === "manual_review")
   }
+
+  test("BatchedDmlLoopSqlCompiler: TOP(n) purge loops execute as fixpoints; declines") {
+    import spark.implicits._
+    def mkExec(written: scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]) =
+      graft.patterns.ScriptedSqlExecutor.executor(spark,
+        resolveFrame = n => written.getOrElse(n, spark.table(n)),
+        bareName = identity,
+        commit = (k, v) => written(k) = v)
+    def task(sql: String) = graft.ir.Ir.ExecuteSqlTask("bp", None, "conn", sql)
+    def loop(body: String): String =
+      s"WHILE 1 = 1 BEGIN $body; IF @@ROWCOUNT = 0 BREAK; END"
+    def fresh() = {
+      val w = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame](
+        "bpt" -> Seq((1L, "O", 10.0, 0), (2L, "F", 200.0, 0),
+          (3L, "O", 300.0, 0), (4L, "F", 40.0, 0)).toDF("id", "st", "v", "flg"))
+      w.foreach { case (k, f) => f.createOrReplaceTempView(k) }
+      w
+    }
+    // DELETE loop -> one anti-predicate state replacement
+    val w = fresh()
+    mkExec(w)(task(loop("DELETE TOP (2) FROM bpt WHERE st = 'F' AND v > 100")))
+      .getOrElse(fail("DELETE loop did not compile"))
+    assert(w("bpt").select("id").as[Long].collect().sorted.toList
+      === List(1L, 3L, 4L))
+    // UPDATE loop with the falsifying conjunct -> one CASE projection
+    val w2 = fresh()
+    mkExec(w2)(task(loop(
+      "UPDATE TOP (1) bpt SET flg = 1 WHERE st = 'O' AND flg = 0")))
+      .getOrElse(fail("UPDATE loop did not compile"))
+    assert(w2("bpt").orderBy("id").select("flg").as[Int].collect().toList
+      === List(1, 0, 1, 0))
+    // the falsifying conjunct can also be <> or IS NULL
+    assert(graft.patterns.BatchedDmlLoopSqlCompiler.rewriteToStatement(loop(
+      "UPDATE TOP (5) bpt SET flg = 1 WHERE flg <> 1")).isDefined)
+    // declines, never a guess
+    for (sql <- Seq(
+      // UPDATE whose batches do not provably shrink the pred-set
+      loop("UPDATE TOP (5) bpt SET flg = 1 WHERE st = 'O'"),
+      // SET rhs not a literal (batch-varying expressions leak batch
+      // boundaries into the data)
+      loop("UPDATE TOP (5) bpt SET v = v + 1 WHERE flg = 0"),
+      // ORDER BY'd TOP: the slice is order-dependent
+      "WHILE 1 = 1 BEGIN DELETE TOP (2) FROM bpt WHERE v > 0 " +
+        "ORDER BY v; IF @@ROWCOUNT = 0 BREAK; END",
+      // extra body statement
+      "WHILE 1 = 1 BEGIN DELETE TOP (2) FROM bpt WHERE st = 'F'; " +
+        "INSERT INTO log_t (n) VALUES (1); IF @@ROWCOUNT = 0 BREAK; END",
+      // EXISTS-guarded variant: two predicates would need a proof
+      "WHILE EXISTS (SELECT 1 FROM bpt WHERE st = 'F') BEGIN " +
+        "DELETE TOP (2) FROM bpt WHERE st = 'F'; END",
+      // non-zero BREAK comparison
+      loop("DELETE TOP (2) FROM bpt WHERE st = 'F'")
+        .replace("@@ROWCOUNT = 0", "@@ROWCOUNT < 5")))
+      assert(graft.patterns.BatchedDmlLoopSqlCompiler
+        .rewriteToStatement(sql).isEmpty, s"should decline: $sql")
+    // the mapping ledger reclassifies the executed shape
+    val conv = graft.parser.MigrationMapping.mapTask(
+      graft.ir.Ir.ExecuteSqlTask("t", None, "conn",
+        loop("DELETE TOP (100) FROM bpt WHERE st = 'F'")), Nil)
+    assert(conv.status === "converted")
+    assert(conv.strategy.exists(_.contains("fixpoint")))
+  }
 }
