@@ -2276,6 +2276,43 @@ object QueriesRelational {
       |WHERE NOT (o_orderstatus = 'F'
       |  AND CAST(o_totalprice AS DECIMAL(12,2)) >= 100000)""".stripMargin
 
+  /** The LEFT-join correlated DML pair through the dtsx frontend
+    * (`CorrelatedLeftETL.dtsx`) — the two forms r12 still declined as
+    * "a different semantics class", now owned on the SAME left_outer
+    * frame the inner forms already build:
+    * `UPDATE … FROM t LEFT JOIN s` (backfill-with-default: every
+    * admitted target row updates; unmatched rows assign NULL from
+    * source-referencing SETs) and
+    * `DELETE t FROM t LEFT JOIN s ON … WHERE s.k IS NULL` (the orphan
+    * purge — a target row deletes iff ANY of its result rows, the
+    * NULL-extended one included, passes the WHERE). The gate's dim
+    * leaves regions ≥ 3 with a NULL backfill, and the purge keeps only
+    * customers with at least one order. */
+  def q119_dtsx_correlated_left(spark: SparkSession, dir: String): DataFrame = {
+    val (w, _) = runDtsxWarehousePackage(spark, dir, "CorrelatedLeftETL.dtsx")
+    val dim = w("dim_nation_lj").select(lit("dim").as("kind"),
+      col("nationkey").cast(LongType).as("k"),
+      col("region_name").cast(StringType).as("region_name"),
+      col("synced").cast(IntegerType).as("synced"))
+    val cust = w("cust_lj").select(lit("cust").as("kind"),
+      col("c_custkey").cast(LongType).as("k"),
+      lit(null).cast(StringType).as("region_name"),
+      lit(null).cast(IntegerType).as("synced"))
+    dim.unionByName(cust)
+  }
+
+  val q119Oracle: String =
+    """SELECT 'dim' AS kind, n_nationkey AS k,
+      |  CASE WHEN n_regionkey < 3 THEN
+      |    (SELECT r_name FROM region WHERE r_regionkey = n_regionkey)
+      |  ELSE NULL END AS region_name,
+      |  1 AS synced
+      |FROM nation
+      |UNION ALL
+      |SELECT 'cust', c_custkey, CAST(NULL AS VARCHAR), CAST(NULL AS INT)
+      |FROM customer
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders)""".stripMargin
+
   /** Explicit GROUPING SETS with grouping_id disambiguation (beyond q24's
     * rollup): two chosen aggregation levels, no intermediate level. */
   def q39_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
@@ -3660,6 +3697,7 @@ object QueriesRelational {
     "q116_dtsx_merge_by_source" -> (q116_dtsx_merge_by_source _),
     "q117_dtsx_cursor_loop" -> (q117_dtsx_cursor_loop _),
     "q118_dtsx_batched_purge" -> (q118_dtsx_batched_purge _),
+    "q119_dtsx_correlated_left" -> (q119_dtsx_correlated_left _),
     "q82_orc_roundtrip" -> (q82_orc_roundtrip _),
     "q80_dtsx_cdc_merge" -> (q80_dtsx_cdc_merge _),
     "q79_delete_cascade" -> (q79_delete_cascade _),
@@ -3771,6 +3809,7 @@ object QueriesRelational {
     "q116_dtsx_merge_by_source" -> q116Oracle,
     "q117_dtsx_cursor_loop" -> q117Oracle,
     "q118_dtsx_batched_purge" -> q118Oracle,
+    "q119_dtsx_correlated_left" -> q119Oracle,
     "q82_orc_roundtrip" -> q82Oracle,
     "q80_dtsx_cdc_merge" -> q80Oracle,
     "q79_delete_cascade" -> q79Oracle,

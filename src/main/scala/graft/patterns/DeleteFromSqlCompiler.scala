@@ -10,12 +10,17 @@ import org.apache.spark.sql.functions._
   * DML pair a real SSIS estate uses to purge by reference data:
   *
   * {{{
-  * DELETE <t-alias> FROM <target> [AS] t [INNER] JOIN <source> [AS] s
-  *   ON t.k = s.k [WHERE <pred>]
+  * DELETE <t-alias> FROM <target> [AS] t [INNER | LEFT [OUTER]] JOIN
+  *   <source> [AS] s ON t.k = s.k [WHERE <pred>]
   * }}}
   *
   * The DELETE clause must name the FROM leg's target (alias or table
-  * name). Declined to manual review: outer/cross joins, a second JOIN,
+  * name). The LEFT form (owned since r13) is the orphan-purge idiom —
+  * `… LEFT JOIN s ON t.k = s.k WHERE s.k IS NULL` deletes target rows
+  * whose NULL-extended result row passes the WHERE; in general a
+  * target row deletes iff ANY of its result rows fires, carried by a
+  * per-identity window over one left_outer join. Declined to manual
+  * review: RIGHT/FULL/CROSS joins, a second JOIN,
   * comma-style FROM lists, subqueries, quoted identifiers, trailing
   * statements, and T-SQL's doubled `DELETE FROM t FROM …` spelling
   * (the single-FROM alias form is the canonical authoring).
@@ -32,14 +37,21 @@ import org.apache.spark.sql.functions._
   * anti-join is exactly the statement's semantics in one shuffle. */
 object DeleteFromSqlCompiler {
 
+  /** Groups: 1 delete token, 2 target, 3 tAlias, 4 optional direction
+    * (INNER / LEFT [OUTER]), 5 source, 6 sAlias, 7 ON, 8 WHERE. */
   private val deleteFromRe =
     ("(?is)^\\s*delete\\s+([^\\s;]+)\\s+from\\s+([^\\s;]+)\\s+" +
-      "(?:as\\s+)?(\\w+)\\s+(?:inner\\s+)?join\\s+([^\\s;]+)\\s+" +
+      "(?:as\\s+)?(\\w+)\\s+(?:(inner|left(?:\\s+outer)?)\\s+)?join\\s+" +
+      "([^\\s;]+)\\s+" +
       "(?:as\\s+)?(\\w+)\\s+on\\s+(.+?)" +
       "(?:\\s+where\\s+(.+?))?\\s*;?\\s*$").r
 
+  /** RIGHT/FULL/CROSS stay declined; LEFT is owned since r13 — the
+    * orphan-purge idiom (`… LEFT JOIN s ON t.k = s.k WHERE s.k IS
+    * NULL`) deletes target rows whose NULL-extended result row passes
+    * the WHERE. */
   private val offShapeJoinRe =
-    "(?i)\\b(left|right|full|outer|cross)\\s+join\\b".r
+    "(?i)\\b(right|full|cross)\\s+join\\b".r
 
   private val bodyKeywordRe =
     "(?i)\\b(select|insert|update|delete|merge|from|join|output)\\b".r
@@ -51,10 +63,10 @@ object DeleteFromSqlCompiler {
     if (offShapeJoinRe.findFirstIn(msk).isDefined) return false
     deleteFromRe.findFirstMatchIn(msk).exists { m =>
       def g(i: Int): String = sql.substring(m.start(i), m.end(i))
-      val bodies = g(6) :: (if (m.group(7) == null) Nil else List(g(7)))
+      val bodies = g(7) :: (if (m.group(8) == null) Nil else List(g(8)))
       val namesTarget = g(1).equalsIgnoreCase(g(3)) ||
         g(1).equalsIgnoreCase(g(2))
-      namesTarget && !g(3).equalsIgnoreCase(g(5)) &&
+      namesTarget && !g(3).equalsIgnoreCase(g(6)) &&
         !bodies.exists(MergeSqlCompiler.bodyDisqualified(_, bodyKeywordRe))
     }
   }
@@ -68,9 +80,10 @@ object DeleteFromSqlCompiler {
       def g(i: Int): String = sql.substring(m.start(i), m.end(i))
       val delTok = g(1)
       val (tgtName, tA) = (g(2), g(3))
-      val (srcName, sA) = (g(4), g(5))
-      val onBody = g(6)
-      val whereOpt = if (m.group(7) == null) None else Some(g(7))
+      val isLeft = m.group(4) != null && g(4).toLowerCase.startsWith("left")
+      val (srcName, sA) = (g(5), g(6))
+      val onBody = g(7)
+      val whereOpt = if (m.group(8) == null) None else Some(g(8))
       val bodies = onBody :: whereOpt.toList
       val namesTarget = delTok.equalsIgnoreCase(tA) ||
         delTok.equalsIgnoreCase(tgtName)
@@ -86,12 +99,47 @@ object DeleteFromSqlCompiler {
         val firePred = whereOpt
           .map(w => coalesce(expr(MergeSqlCompiler.xlate(w, tA, sA)), lit(false)))
           .getOrElse(lit(true))
-        val kept = tgt.join(srcP, joinCond && firePred, "left_anti")
-        SqlOutcome(Some(kept), Some(tgtName), SaveMode.Overwrite,
-          // @@ROWCOUNT after DELETE…FROM = target rows with a firing
-          // match — the anti join's complement, one semi-join count
-          affected = Some(() =>
-            tgt.join(srcP, joinCond && firePred, "left_semi").count()))
+        if (!isLeft) {
+          val kept = tgt.join(srcP, joinCond && firePred, "left_anti")
+          SqlOutcome(Some(kept), Some(tgtName), SaveMode.Overwrite,
+            // @@ROWCOUNT after DELETE…FROM = target rows with a firing
+            // match — the anti join's complement, one semi-join count
+            affected = Some(() =>
+              tgt.join(srcP, joinCond && firePred, "left_semi").count()))
+        } else {
+          // LEFT join (the orphan-purge idiom: `… ON t.k = s.k WHERE
+          // s.k IS NULL`): a target row rides the result set once per
+          // match, or once NULL-extended when unmatched — it deletes
+          // iff ANY of those rows passes the WHERE. One left_outer
+          // join on the ON condition alone; the WHERE evaluates per
+          // joined row (NULL source columns on the unmatched row,
+          // T-SQL's own semantics), then a per-row-identity window
+          // keeps rows where NO result row fired. Deletion is
+          // idempotent so no multi-match guard — the window is the
+          // ANY, not an abort.
+          val tgtWithId = tgt.withColumn("__graft_tid",
+            monotonically_increasing_id())
+          val joined = tgtWithId.join(srcP, joinCond, "left_outer")
+          val fired = max(when(firePred, lit(1)).otherwise(lit(0)))
+            .over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("__graft_tid")))
+          val kept = joined.withColumn("__graft_any", fired)
+            .filter(col("__graft_any") === 0)
+            // one surviving row per target identity (unmatched rows are
+            // already unique; matched-but-unfired rows may repeat)
+            .withColumn("__graft_rn", row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy(col("__graft_tid"))
+                .orderBy(col("__graft_tid"))))
+            .filter(col("__graft_rn") === 1)
+            .select(tgt.columns.map(col): _*)
+          SqlOutcome(Some(kept), Some(tgtName), SaveMode.Overwrite,
+            affected = Some(() => {
+              val all = tgtWithId.join(srcP, joinCond, "left_outer")
+              all.filter(coalesce(firePred, lit(false)))
+                .select(col("__graft_tid")).distinct().count()
+            }))
+        }
       }
     }
   }

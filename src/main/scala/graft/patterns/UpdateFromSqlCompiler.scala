@@ -16,16 +16,21 @@ import org.apache.spark.sql.functions._
   * {{{
   * UPDATE <t-alias> SET col = s.expr, ...
   * [OUTPUT deleted.c | inserted.c [AS a], ... INTO <audit> [(cols)]]
-  * FROM <target> [AS] t [INNER] JOIN <source> [AS] s ON t.k = s.k
-  * [WHERE <pred>]
+  * FROM <target> [AS] t [INNER | LEFT [OUTER]] JOIN <source> [AS] s
+  *   ON t.k = s.k [WHERE <pred>]
   * }}}
   *
   * The UPDATE clause must name the FROM leg's target (alias or table
-  * name). Declined to manual review ([[UpdateSqlCompiler]] already
-  * declines any FROM — this compiler owns the join form): outer/cross
-  * joins (their unmatched-row NULL-assignment semantics are not the
-  * inner form's), more than one JOIN, comma-style FROM lists,
-  * subqueries, quoted identifiers, trailing statements.
+  * name). The LEFT form (owned since r13 — the backfill-with-default
+  * idiom) updates EVERY target row the WHERE admits: unmatched rows
+  * see NULL source columns in both SET and WHERE, T-SQL's own
+  * result-set semantics, carried by the same left_outer frame the
+  * inner form already builds. Declined to manual review
+  * ([[UpdateSqlCompiler]] already declines any FROM — this compiler
+  * owns the join form): RIGHT/FULL/CROSS joins (a right join can
+  * produce rows with no target identity), more than one JOIN,
+  * comma-style FROM lists, subqueries, quoted identifiers, trailing
+  * statements.
   *
   * Compiled as a state replacement over ONE target×source LEFT join —
   * the merge-key shuffle happens once: matched rows take
@@ -44,21 +49,27 @@ object UpdateFromSqlCompiler {
 
   /** Groups: 1 update token, 2 SET list, 3/4/5 optional OUTPUT items /
     * audit table / column list (T-SQL puts OUTPUT between SET and
-    * FROM), 6 target, 7 tAlias, 8 source, 9 sAlias, 10 ON, 11 WHERE. */
+    * FROM), 6 target, 7 tAlias, 8 optional join direction (INNER /
+    * LEFT [OUTER]), 9 source, 10 sAlias, 11 ON, 12 WHERE. */
   private val updateFromRe =
     ("(?is)^\\s*update\\s+([^\\s;]+)\\s+set\\s+(.+?)\\s+" +
       "(?:output\\s+(.+?)\\s+into\\s+([^\\s;(]+)\\s*(?:\\(([^)]*)\\))?\\s+)?" +
-      "from\\s+([^\\s;]+)\\s+(?:as\\s+)?(\\w+)\\s+(?:inner\\s+)?join\\s+" +
+      "from\\s+([^\\s;]+)\\s+(?:as\\s+)?(\\w+)\\s+" +
+      "(?:(inner|left(?:\\s+outer)?)\\s+)?join\\s+" +
       "([^\\s;]+)\\s+(?:as\\s+)?(\\w+)\\s+on\\s+(.+?)" +
       "(?:\\s+where\\s+(.+?))?\\s*;?\\s*$").r
 
-  /** An outer/cross join anywhere in the statement is a different
-    * semantics class (unmatched rows assign NULL) — decline the whole
-    * statement before the permissive alias token can swallow the
-    * direction keyword (`FROM t LEFT JOIN s` would otherwise parse with
-    * alias "LEFT" and silently run inner semantics). */
+  /** RIGHT/FULL/CROSS joins stay a different semantics class (a RIGHT
+    * join can INSERT-shape rows with no target identity; CROSS has no
+    * ON). LEFT is owned since r13: every target row survives into the
+    * joined frame, unmatched rows see NULL source columns — exactly
+    * the left_outer frame this compiler already builds, with the fire
+    * predicate no longer requiring a match. The decline must run
+    * before the permissive alias token could swallow the direction
+    * keyword (`FROM t RIGHT JOIN s` would otherwise parse with alias
+    * "RIGHT" and silently run inner semantics). */
   private val offShapeJoinRe =
-    "(?i)\\b(left|right|full|outer|cross)\\s+join\\b".r
+    "(?i)\\b(right|full|cross)\\s+join\\b".r
 
   /** Clause bodies must stay expression-only: any verb keyword, a
     * second join, or a FROM (a subquery leg) leaves the canonical
@@ -74,7 +85,7 @@ object UpdateFromSqlCompiler {
     def g(i: Int): String = sql.substring(m.start(i), m.end(i))
     def gOpt(i: Int): Option[String] =
       if (m.group(i) == null) None else Some(g(i))
-    val bodies = g(2) :: g(10) :: gOpt(11).toList
+    val bodies = g(2) :: g(11) :: gOpt(12).toList
     val namesTarget = g(1).equalsIgnoreCase(g(7)) ||
       g(1).equalsIgnoreCase(g(6))
     val outputOk = gOpt(3) match {
@@ -82,11 +93,11 @@ object UpdateFromSqlCompiler {
       case Some(items) =>
         val audit = g(4)
         OutputIntoSqlCompiler.parseItems(items).isDefined &&
-          !audit.equalsIgnoreCase(g(6)) && !audit.equalsIgnoreCase(g(8)) &&
+          !audit.equalsIgnoreCase(g(6)) && !audit.equalsIgnoreCase(g(9)) &&
           gOpt(5).forall(cl => MergeSqlCompiler.splitTop(cl)
             .forall(_.matches("[A-Za-z_]\\w*")))
     }
-    namesTarget && !g(7).equalsIgnoreCase(g(9)) && outputOk &&
+    namesTarget && !g(7).equalsIgnoreCase(g(10)) && outputOk &&
       !bodies.exists(MergeSqlCompiler.bodyDisqualified(_, bodyKeywordRe))
   }
 
@@ -111,9 +122,10 @@ object UpdateFromSqlCompiler {
       val setList = g(2)
       val outSpec = gOpt(3).map(items => (items, g(4), gOpt(5)))
       val (tgtName, tA) = (g(6), g(7))
-      val (srcName, sA) = (g(8), g(9))
-      val onBody = g(10)
-      val whereOpt = gOpt(11)
+      val isLeft = gOpt(8).exists(_.toLowerCase.startsWith("left"))
+      val (srcName, sA) = (g(9), g(10))
+      val onBody = g(11)
+      val whereOpt = gOpt(12)
       if (!groupsOk(sql, m)) None
       else Some {
         val tgt = resolve(tgtName)
@@ -160,7 +172,13 @@ object UpdateFromSqlCompiler {
               "wins undefined; compact the source to one row per join " +
               "key first")).cast("boolean"))
             .otherwise(lit(true)))
-        val fire = isMatched && wherePred
+        // INNER: only matched rows update. LEFT (T-SQL): EVERY target
+        // row rides the result set — unmatched rows see NULL source
+        // columns, so a source-referencing SET assigns NULL and a
+        // source-referencing WHERE evaluates NULL → false (the same
+        // WHERE-is-TRUE rule); the left_outer frame already models
+        // both, so the only difference IS the fire predicate
+        val fire = if (isLeft) wherePred else isMatched && wherePred
         val out = kept.select(tgt.schema.fields.toSeq.map { f =>
           setLc.get(f.name.toLowerCase) match {
             case Some(e) =>

@@ -743,11 +743,31 @@ class PipelineSpec extends AnyFunSuite {
     val chain = Iterator.iterate(dupErr: Throwable)(_.getCause)
       .takeWhile(_ != null).map(_.getMessage).mkString("\n")
     assert(chain.contains("matched by multiple source rows"))
-    // off-shape declines: outer joins (different unmatched-row
-    // semantics), a second join, comma-list FROM, subqueries, a
-    // mismatched update token, trailing statements
-    assert(graft.patterns.UpdateFromSqlCompiler.rewrite(spark,
+    // LEFT JOIN executes (r13): EVERY target row is in the result set —
+    // unmatched rows assign NULL from source-referencing SETs (the
+    // backfill-with-default idiom); RIGHT/FULL/CROSS stay declined
+    val lj = graft.patterns.UpdateFromSqlCompiler.rewrite(spark,
       task("UPDATE t SET bal = s.delta FROM acct t LEFT JOIN dim s ON t.id = s.id"),
+      frames).getOrElse(fail("LEFT-join UPDATE...FROM did not compile"))
+    assert(lj.df.get.orderBy("id").as[(Long, Option[Double], String)]
+      .collect().toList === List((1L, Some(5.0), "A"), (2L, Some(7.0), "B"),
+        (3L, None, "C")))
+    // a WHERE over source columns is NULL on the unmatched row → that
+    // row does NOT update (the same WHERE-is-TRUE rule)
+    val ljw = graft.patterns.UpdateFromSqlCompiler.rewrite(spark,
+      task("UPDATE t SET bal = s.delta FROM acct t LEFT JOIN dim s " +
+        "ON t.id = s.id WHERE s.action = 'adj'"), frames).get
+    assert(ljw.df.get.orderBy("id").as[(Long, Option[Double], String)]
+      .collect().toList === List((1L, Some(10.0), "A"), (2L, Some(7.0), "B"),
+        (3L, Some(30.0), "C")))
+    // off-shape declines: RIGHT/FULL/CROSS joins (a right join can
+    // produce rows with no target identity), a second join, comma-list
+    // FROM, subqueries, a mismatched update token, trailing statements
+    assert(graft.patterns.UpdateFromSqlCompiler.rewrite(spark,
+      task("UPDATE t SET bal = s.delta FROM acct t RIGHT JOIN dim s ON t.id = s.id"),
+      frames).isEmpty)
+    assert(graft.patterns.UpdateFromSqlCompiler.rewrite(spark,
+      task("UPDATE t SET bal = s.delta FROM acct t FULL OUTER JOIN dim s ON t.id = s.id"),
       frames).isEmpty)
     assert(graft.patterns.UpdateFromSqlCompiler.rewrite(spark,
       task("UPDATE t SET bal = s.delta FROM acct t JOIN dim s ON t.id = s.id " +
@@ -994,10 +1014,26 @@ class PipelineSpec extends AnyFunSuite {
       task("DELETE t FROM acct t JOIN dim s ON t.id = s.id " +
         "WHERE CASE WHEN s.id = 1 THEN NULL ELSE true END"), frames).get
     assert(nullPred.df.get.filter(col("id") === 1L).count() === 1L)
-    // off-shape declines: outer join, second join, comma list, doubled
-    // T-SQL FROM spelling, mismatched token, subquery, trailing stmt
+    // LEFT JOIN executes (r13): the orphan-purge idiom — a target row
+    // deletes iff ANY of its result rows (NULL-extended when
+    // unmatched) passes the WHERE
+    val orphan = graft.patterns.DeleteFromSqlCompiler.rewrite(spark,
+      task("DELETE t FROM acct t LEFT JOIN dim s ON t.id = s.id " +
+        "WHERE s.id IS NULL"), frames).getOrElse(
+        fail("LEFT-join orphan DELETE did not compile"))
+    assert(orphan.df.get.orderBy("id").as[(Long, String)].collect().toList
+      === List((1L, "A"), (2L, "B"), (4L, "D")))
+    assert(orphan.affected.get.apply() === 1L)
+    // LEFT with no WHERE: every row rides the result set → delete all
+    val allLeft = graft.patterns.DeleteFromSqlCompiler.rewrite(spark,
+      task("DELETE t FROM acct t LEFT JOIN dim s ON t.id = s.id"), frames).get
+    assert(allLeft.df.get.count() === 0L)
+    // off-shape declines: RIGHT/FULL/CROSS join, second join, comma
+    // list, doubled T-SQL FROM spelling, mismatched token, subquery,
+    // trailing stmt
     for (sql <- Seq(
-      "DELETE t FROM acct t LEFT JOIN dim s ON t.id = s.id",
+      "DELETE t FROM acct t RIGHT JOIN dim s ON t.id = s.id",
+      "DELETE t FROM acct t CROSS JOIN dim s ON t.id = s.id",
       "DELETE t FROM acct t JOIN dim s ON t.id = s.id JOIN dim u ON u.id = s.id",
       "DELETE t FROM acct t, dim s WHERE t.id = s.id",
       "DELETE FROM acct FROM acct t JOIN dim s ON t.id = s.id",
