@@ -579,4 +579,24 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     // must recover a nontrivial share (the x108 audit pins >= 0.5)
     assert(rows.find(_._1 == "dense").get._3 >= 0.3)
   }
+
+  test("x121: exact re-rank over the ADC pool recovers recall (audit decides)") {
+    import spark.implicits._
+    val gt = QueriesTrainingData.stagedExactTop5(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val adc = SparkEntry.queries("x108_pq_ann")(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val rr = QueriesTrainingData.x121_ann_rerank(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(rr.size === adc.size, "both stages must emit top-5 per query")
+    val hitsAdc = (adc intersect gt).size
+    val hitsRr = (rr intersect gt).size
+    // the refine step may never LOSE recall vs ADC-only ranking
+    assert(hitsRr >= hitsAdc, s"re-rank lost recall: $hitsRr < $hitsAdc")
+    // and on this corpus the top-100 pool nearly always contains the
+    // true top-5 - the re-rank should sit near exact (x108's ADC-only
+    // recall is ~0.68; the whole point of the second stage)
+    assert(hitsRr.toDouble / gt.size >= 0.8,
+      s"re-rank recall collapsed: ${hitsRr.toDouble / gt.size}")
+  }
 }
