@@ -2313,6 +2313,32 @@ object QueriesRelational {
       |FROM customer
       |WHERE c_custkey IN (SELECT o_custkey FROM orders)""".stripMargin
 
+  /** The schema-migration script through the dtsx frontend
+    * (`MigrationScriptETL.dtsx`) — ALTER TABLE ADD a nullable column,
+    * backfill it with UPDATEs, DROP the legacy column, ADD a NOT NULL
+    * DEFAULT audit tag, all one script task.
+    * [[graft.patterns.AlterTableSqlCompiler]] executes the DDL as
+    * narrow projections inside the same shadow-overlay sequence as the
+    * DML (all-or-nothing commit); T-SQL parity errors (2705 duplicate
+    * add, 4901 NOT NULL without DEFAULT on rows, 4924 missing drop)
+    * hold eagerly, and constraints / ALTER COLUMN stay declined. */
+  def q120_dtsx_migration_script(spark: SparkSession, dir: String): DataFrame = {
+    val (w, _) = runDtsxWarehousePackage(spark, dir, "MigrationScriptETL.dtsx")
+    w("part_dim_ms").select(
+      col("pkey").cast(LongType).as("pkey"),
+      col("retail").cast(DoubleType).as("retail"),
+      col("price_band").cast(StringType).as("price_band"),
+      col("audit_tag").cast(StringType).as("audit_tag"))
+  }
+
+  val q120Oracle: String =
+    """SELECT p_partkey AS pkey,
+      |  CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE) AS retail,
+      |  CASE WHEN CAST(p_retailprice AS DECIMAL(12,2)) >= 1500
+      |       THEN 'HIGH' ELSE 'LOW' END AS price_band,
+      |  'migr13' AS audit_tag
+      |FROM part""".stripMargin
+
   /** Explicit GROUPING SETS with grouping_id disambiguation (beyond q24's
     * rollup): two chosen aggregation levels, no intermediate level. */
   def q39_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
@@ -3698,6 +3724,7 @@ object QueriesRelational {
     "q117_dtsx_cursor_loop" -> (q117_dtsx_cursor_loop _),
     "q118_dtsx_batched_purge" -> (q118_dtsx_batched_purge _),
     "q119_dtsx_correlated_left" -> (q119_dtsx_correlated_left _),
+    "q120_dtsx_migration_script" -> (q120_dtsx_migration_script _),
     "q82_orc_roundtrip" -> (q82_orc_roundtrip _),
     "q80_dtsx_cdc_merge" -> (q80_dtsx_cdc_merge _),
     "q79_delete_cascade" -> (q79_delete_cascade _),
@@ -3810,6 +3837,7 @@ object QueriesRelational {
     "q117_dtsx_cursor_loop" -> q117Oracle,
     "q118_dtsx_batched_purge" -> q118Oracle,
     "q119_dtsx_correlated_left" -> q119Oracle,
+    "q120_dtsx_migration_script" -> q120Oracle,
     "q82_orc_roundtrip" -> q82Oracle,
     "q80_dtsx_cdc_merge" -> q80Oracle,
     "q79_delete_cascade" -> q79Oracle,

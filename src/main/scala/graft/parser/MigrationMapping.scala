@@ -293,6 +293,13 @@ object MigrationMapping {
       TaskMapping(t.name, "ExecuteSQLTask", "converted", None,
         Some("processed-flag / watermark executor (patterns/Incremental)"),
         Nil, signals)
+    else if (graft.patterns.AlterTableSqlCompiler.shapeMatches(sql))
+      TaskMapping(t.name, "ExecuteSQLTask", "converted", None,
+        Some("migration DDL executes (patterns/AlterTableSqlCompiler — " +
+          "ADD appends the typed DEFAULT/NULL column as one narrow " +
+          "projection, DROP COLUMN projects it away; 2705/4901/4924 " +
+          "T-SQL parity errors hold; constraints and ALTER COLUMN type " +
+          "changes stay manual review)"), Nil, signals)
     else if (graft.patterns.ExecLiteralSqlCompiler.unwrap(sql).isDefined)
       TaskMapping(t.name, "ExecuteSQLTask", "converted", None,
         Some("literal dynamic SQL unwraps (patterns/ExecLiteralSqlCompiler" +

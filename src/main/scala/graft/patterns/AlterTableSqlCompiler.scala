@@ -1,0 +1,102 @@
+package graft.patterns
+
+import graft.ir.Ir.ExecuteSqlTask
+import graft.pipeline.PackageRunner.SqlOutcome
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** `ALTER TABLE … ADD / DROP COLUMN` → Spark compile — the schema-
+  * migration DDL every estate's upgrade scripts carry around their DML
+  * (add the column, backfill it, drop the old one). The reference
+  * classifies DDL to manual review wholesale; here the two mechanical
+  * forms EXECUTE as state replacements, so a whole migration script
+  * (ALTER → UPDATE backfill → ALTER DROP) runs end-to-end:
+  *
+  * {{{
+  * ALTER TABLE t ADD <col> <type> [NULL | NOT NULL] [DEFAULT <lit>]
+  * ALTER TABLE t DROP COLUMN <col>
+  * }}}
+  *
+  * ADD appends a typed column: the DEFAULT literal cast to the
+  * declared type for every EXISTING row (T-SQL backfills `NOT NULL
+  * DEFAULT` adds; a plain nullable add backfills NULL — both are one
+  * narrow projection, no shuffle at any scale). T-SQL parity errors
+  * hold eagerly: adding a column that exists is error 2705; `NOT
+  * NULL` without DEFAULT on a non-empty table is error 4901; DROP of
+  * a missing column is error 4924. Declined to manual review:
+  * multi-column ADDs, constraints (PRIMARY KEY / FOREIGN KEY / CHECK
+  * / IDENTITY — relational contracts this engine verifies at the
+  * validation plane instead), `ALTER COLUMN` type changes (a lossy
+  * cast should be authored, not guessed), non-literal defaults, and
+  * unmapped types. */
+object AlterTableSqlCompiler {
+
+  private val addRe =
+    ("(?is)^\\s*alter\\s+table\\s+([^\\s;]+)\\s+add\\s+(\\w+)\\s+" +
+      "([A-Za-z]\\w*(?:\\s*\\(\\s*\\d+(?:\\s*,\\s*\\d+)?\\s*\\))?)" +
+      "(\\s+not\\s+null|\\s+null)?" +
+      "(?:\\s+default\\s+('[^']*'|[^\\s;()]+))?\\s*;?\\s*$").r
+
+  private val dropRe =
+    ("(?is)^\\s*alter\\s+table\\s+([^\\s;]+)\\s+drop\\s+column\\s+" +
+      "(\\w+)\\s*;?\\s*$").r
+
+  /** Parse-only classification twin (no frames touched). */
+  private[graft] def shapeMatches(sqlRaw: String): Boolean = {
+    val sql = SqlText.stripComments(sqlRaw)
+    val msk = UpdateSqlCompiler.masked(sql)
+    dropRe.findFirstMatchIn(msk).isDefined ||
+      addRe.findFirstMatchIn(msk).exists(m =>
+        ScriptedSqlExecutor.sparkDdlType(
+          sql.substring(m.start(3), m.end(3))).isDefined)
+  }
+
+  def rewrite(spark: SparkSession, task: ExecuteSqlTask,
+      resolve: String => DataFrame): Option[SqlOutcome] = {
+    val sql = SqlText.stripComments(task.sqlStatement)
+    val msk = UpdateSqlCompiler.masked(sql)
+    dropRe.findFirstMatchIn(msk).map { m =>
+      def g(i: Int): String = sql.substring(m.start(i), m.end(i))
+      val (tgtName, colName) = (g(1), g(2))
+      val tgt = resolve(tgtName)
+      require(tgt.columns.exists(_.equalsIgnoreCase(colName)),
+        s"ALTER TABLE $tgtName DROP COLUMN $colName: the column does " +
+          "not exist (T-SQL error 4924)")
+      val kept = tgt.columns.filterNot(_.equalsIgnoreCase(colName))
+      // dropping the last column leaves no relation — T-SQL also errors
+      require(kept.nonEmpty,
+        s"ALTER TABLE $tgtName DROP COLUMN $colName: cannot drop the " +
+          "only column")
+      SqlOutcome(Some(tgt.select(kept.map(col): _*)), Some(tgtName),
+        SaveMode.Overwrite, affected = Some(() => 0L)) // DDL: @@ROWCOUNT 0
+    }.orElse {
+      addRe.findFirstMatchIn(msk).flatMap { m =>
+        def g(i: Int): String = sql.substring(m.start(i), m.end(i))
+        def gOpt(i: Int): Option[String] =
+          if (m.group(i) == null) None else Some(g(i))
+        val (tgtName, colName, ddlType) = (g(1), g(2), g(3))
+        val notNull = gOpt(4).exists(_.trim.equalsIgnoreCase("not null"))
+        val defaultOpt = gOpt(5)
+        ScriptedSqlExecutor.sparkDdlType(ddlType).map { tpe =>
+          val tgt = resolve(tgtName)
+          require(!tgt.columns.exists(_.equalsIgnoreCase(colName)),
+            s"ALTER TABLE $tgtName ADD $colName: column names in each " +
+              "table must be unique (T-SQL error 2705)")
+          if (notNull && defaultOpt.isEmpty)
+            // exact only when the table is empty — count is an action,
+            // but an ALTER is a once-per-migration statement, not a
+            // per-row path, and T-SQL 4901 is the alternative
+            require(tgt.isEmpty,
+              s"ALTER TABLE $tgtName ADD $colName NOT NULL: a NOT NULL " +
+                "column needs a DEFAULT on a non-empty table (T-SQL " +
+                "error 4901)")
+          val value = defaultOpt
+            .map(d => expr(d).cast(tpe))
+            .getOrElse(lit(null).cast(tpe))
+          SqlOutcome(Some(tgt.withColumn(colName, value)), Some(tgtName),
+            SaveMode.Overwrite, affected = Some(() => 0L))
+        }
+      }
+    }
+  }
+}

@@ -380,6 +380,9 @@ object ScriptedSqlExecutor {
         .orElse(DeleteFromSqlCompiler.rewrite(spark, stmt, resolve))
         .orElse(InsertValuesSqlCompiler.rewrite(spark, stmt, resolve))
         .orElse(SelectIntoSqlCompiler.rewrite(spark, stmt, resolve))
+        // migration DDL: ADD/DROP COLUMN execute so alter→backfill→drop
+        // scripts run end-to-end (constraints/ALTER COLUMN decline)
+        .orElse(AlterTableSqlCompiler.rewrite(spark, stmt, resolve))
         // the taken IF-EXISTS branch re-enters this chain (branches are
         // single statements by contract, so the recursion is one level)
         .orElse(IfExistsSqlCompiler.rewrite(spark, stmt, resolve,

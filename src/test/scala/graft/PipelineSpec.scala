@@ -2133,4 +2133,59 @@ class PipelineSpec extends AnyFunSuite {
     assert(conv.status === "converted")
     assert(conv.strategy.exists(_.contains("fixpoint")))
   }
+
+  test("AlterTableSqlCompiler: ADD/DROP COLUMN execute; parity aborts; declines") {
+    import spark.implicits._
+    def mkExec(written: scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]) =
+      graft.patterns.ScriptedSqlExecutor.executor(spark,
+        resolveFrame = n => written.getOrElse(n, spark.table(n)),
+        bareName = identity,
+        commit = (k, v) => written(k) = v)
+    def task(sql: String) = graft.ir.Ir.ExecuteSqlTask("alt", None, "conn", sql)
+    def fresh() = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame](
+      "mt" -> Seq((1L, 10.0), (2L, 2000.0)).toDF("id", "v"))
+    // the canonical migration: add -> backfill -> drop -> add defaulted
+    val w = fresh()
+    mkExec(w)(task(
+      "ALTER TABLE mt ADD band VARCHAR(10) NULL; " +
+        "UPDATE mt SET band = 'HI' WHERE v >= 1500; " +
+        "UPDATE mt SET band = 'LO' WHERE v < 1500; " +
+        "ALTER TABLE mt DROP COLUMN v; " +
+        "ALTER TABLE mt ADD tag VARCHAR(8) NOT NULL DEFAULT 'm13'"))
+      .getOrElse(fail("migration script did not compile"))
+    assert(w("mt").columns.toList === List("id", "band", "tag"))
+    assert(w("mt").orderBy("id").as[(Long, String, String)].collect().toList
+      === List((1L, "LO", "m13"), (2L, "HI", "m13")))
+    // a nullable ADD backfills NULL (single statement: the runner
+    // commits the outcome frame — apply it like the runner would)
+    val w2 = fresh()
+    val nOut = mkExec(w2)(task("ALTER TABLE mt ADD note VARCHAR(20)"))
+      .getOrElse(fail("bare nullable ADD did not compile"))
+    assert(nOut.target.contains("mt"))
+    assert(nOut.df.get.filter(col("note").isNull).count() === 2L)
+    // T-SQL parity aborts: 2705 duplicate add, 4924 missing drop,
+    // 4901 NOT NULL without DEFAULT on a non-empty table
+    val w3 = fresh()
+    for (bad <- Seq(
+      "ALTER TABLE mt ADD v INT NULL",
+      "ALTER TABLE mt DROP COLUMN nope",
+      "ALTER TABLE mt ADD strict INT NOT NULL")) {
+      val e = intercept[Exception](mkExec(w3)(task(bad)))
+      assert(e.getMessage.matches("(?s).*(2705|4924|4901).*"),
+        s"$bad: ${e.getMessage}")
+    }
+    // declines: constraints, ALTER COLUMN, multi-column add,
+    // expression defaults
+    for (sql <- Seq(
+      "ALTER TABLE mt ADD c INT PRIMARY KEY",
+      "ALTER TABLE mt ALTER COLUMN v BIGINT",
+      "ALTER TABLE mt ADD a INT, b INT",
+      "ALTER TABLE mt ADD ts DATETIME DEFAULT GETDATE()",
+      "ALTER TABLE mt ADD c SOMETYPE"))
+      assert(mkExec(fresh())(task(sql)).isEmpty, s"should decline: $sql")
+    // ledger twin
+    assert(graft.parser.MigrationMapping.mapTask(
+      graft.ir.Ir.ExecuteSqlTask("t", None, "conn",
+        "ALTER TABLE mt DROP COLUMN v"), Nil).status === "converted")
+  }
 }
