@@ -347,11 +347,14 @@ object ScriptedSqlExecutor {
         declareStmtRe.findFirstMatchIn(m(s)).isDefined) &&
       stmts.exists(s => selectAssignRe.findFirstMatchIn(m(s)).isDefined ||
         setAssignRe.findFirstMatchIn(m(s)).isDefined)
-    if (!temp && !rc && !sv) None
+    val ddl = stmts.exists(AlterTableSqlCompiler.shapeMatches)
+    if (!temp && !rc && !sv && !ddl) None
     else Some(List(
       if (temp) Some("#temp scope (script-lifetime overlay tables)") else None,
       if (rc) Some("@@ROWCOUNT substitution") else None,
       if (sv) Some("script-scoped scalar @vars (typed-literal binding)")
+      else None,
+      if (ddl) Some("migration DDL (ALTER ADD/DROP COLUMN execute)")
       else None)
       .flatten.mkString(" + "))
   }

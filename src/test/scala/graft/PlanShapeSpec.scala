@@ -1069,4 +1069,40 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!exactPlan.contains("Window") && !exactPlan.contains("Join"),
       s"exact ranking recomputed instead of the staged read:\n$exactPlan")
   }
+
+  test("q117: the cursor rewrite is one join per DML leg, never per-row work") {
+    val plan = executedPlan("q117_dtsx_cursor_loop")
+    // the UPDATE-body loop became ONE left_outer join-update against
+    // the staged cursor rows; the DELETE-body loop ONE anti join
+    assert(plan.contains("LeftOuter"), s"join-update leg missing:\n$plan")
+    assert(plan.contains("LeftAnti"), s"anti-join delete leg missing:\n$plan")
+    assert(!plan.contains("Cross"), s"cartesian in the cursor rewrite:\n$plan")
+  }
+
+  test("q118: the batched purge fixpoint is join-free projections") {
+    val plan = executedPlan("q118_dtsx_batched_purge")
+    // one CASE projection (the UPDATE fixpoint) + one keep-filter (the
+    // DELETE fixpoint) over the staged scan — TOP(n) chunking must
+    // leave NO trace in the plan
+    assert(!plan.contains("Join"), s"fixpoint plan grew a join:\n$plan")
+  }
+
+  test("q119: LEFT correlated DML rides left_outer frames, no cartesian") {
+    val plan = executedPlan("q119_dtsx_correlated_left")
+    assert(plan.contains("LeftOuter"),
+      s"LEFT forms must plan left_outer joins:\n$plan")
+    assert(!plan.contains("Cross"), s"cartesian in the LEFT DML:\n$plan")
+  }
+
+  test("x121: re-rank reads the staged ADC pool and fetches vectors by broadcast") {
+    // ensure the staging exists (first toucher builds it)
+    SparkEntry.queries("x108_pq_ann")(spark, sf).collect()
+    val plan = executedPlan("x121_ann_rerank")
+    assert(plan.contains("graft_adc_"),
+      s"candidates must come from the staged artifact:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the |Q|x100 candidate frame must broadcast into the corpus scan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus must never shuffle for the candidate fetch:\n$plan")
+  }
 }
