@@ -70,22 +70,43 @@ object BatchedDmlLoopSqlCompiler {
     !MergeSqlCompiler.bodyDisqualified(c, bodyKeywordRe) &&
       !c.contains("@")
 
-  /** Does the WHERE clause carry a conjunct the assignment `c = rhs`
+  /** A comparand that is itself a literal — the only shape whose
+    * post-assignment truth value is row-independent. `c = other_col`
+    * proves nothing: the batch only shrinks where other_col ≠ rhs, and
+    * a row with other_col = rhs re-matches forever (the T-SQL loop
+    * HANGS — compiling its "fixpoint" would execute something the
+    * original never completes). */
+  private val litCompRe =
+    "(?is)^(?:'[^']*'|[+-]?\\d+(?:\\.\\d+)?|null|0x[0-9a-fA-F]+)$".r
+
+  /** Does the WHERE carry a CONJUNCT the assignment `c = rhs`
     * falsifies? Scanned on the raw text at word boundaries; literals
     * compare as trimmed text (the engine never equates two spellings
-    * of one value — a miss declines, never mis-executes). */
+    * of one value — a miss declines, never mis-executes). The caller
+    * must have rejected top-level OR first: under a disjunction a
+    * falsified comparison does not shrink the pred-set. */
   private def falsifies(where: String, c: String, rhs: String): Boolean = {
     val q = java.util.regex.Pattern.quote _
     val neq = ("(?is)\\b" + q(c) + "\\s*(?:<>|!=)\\s*(\\S+)").r
     val eq = ("(?is)\\b" + q(c) + "\\s*=\\s*('[^']*'|[^\\s()]+)").r
     val isNull = ("(?is)\\b" + q(c) + "\\s+is\\s+null\\b").r
     val rhsT = rhs.trim
-    neq.findAllMatchIn(where).exists(_.group(1).trim.equalsIgnoreCase(rhsT)) ||
-      eq.findAllMatchIn(where).exists(m =>
-        !m.group(1).trim.equalsIgnoreCase(rhsT)) ||
+    neq.findAllMatchIn(where).exists(m =>
+      litCompRe.pattern.matcher(m.group(1).trim).matches &&
+        m.group(1).trim.equalsIgnoreCase(rhsT)) ||
+      eq.findAllMatchIn(where).exists { m =>
+        val g = m.group(1).trim
+        litCompRe.pattern.matcher(g).matches && !g.equalsIgnoreCase(rhsT)
+      } ||
       (isNull.findFirstIn(where).isDefined &&
         !rhsT.equalsIgnoreCase("null"))
   }
+
+  /** Top-level OR anywhere in the (masked) WHERE: a falsified conjunct
+    * under a disjunction does not shrink the pred-set — decline. */
+  private def hasTopLevelOr(whereMsk: String): Boolean =
+    "(?i)\\bor\\b".r.findAllMatchIn(whereMsk)
+      .exists(m => WindowSqlLowering.depthAt(whereMsk, m.start) == 0)
 
   /** Whole-text recognizer: the batched purge loop → its one-statement
     * set-based fixpoint, or None (manual review). */
@@ -104,7 +125,8 @@ object BatchedDmlLoopSqlCompiler {
         val (tgt, sets, where) = (g(1), g(2), g(3))
         val setsMsk = msk.substring(m.start(2), m.end(2))
         val whereMsk = msk.substring(m.start(3), m.end(3))
-        if (!clauseOk(setsMsk) || !clauseOk(whereMsk)) None
+        if (!clauseOk(setsMsk) || !clauseOk(whereMsk) ||
+          hasTopLevelOr(whereMsk)) None
         else {
           // every rhs a literal, checked on the MASKED item (string
           // content cannot fake a literal shape)

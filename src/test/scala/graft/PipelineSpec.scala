@@ -2121,6 +2121,12 @@ class PipelineSpec extends AnyFunSuite {
       // EXISTS-guarded variant: two predicates would need a proof
       "WHILE EXISTS (SELECT 1 FROM bpt WHERE st = 'F') BEGIN " +
         "DELETE TOP (2) FROM bpt WHERE st = 'F'; END",
+      // a column comparand proves nothing: where other-col = rhs the
+      // row re-matches forever (the T-SQL loop hangs)
+      loop("UPDATE TOP (5) bpt SET flg = 1 WHERE flg = othercol"),
+      // a falsified conjunct under a top-level OR does not shrink the
+      // pred-set (rows matching the other disjunct re-match forever)
+      loop("UPDATE TOP (5) bpt SET flg = 1 WHERE flg = 0 OR v > 5"),
       // non-zero BREAK comparison
       loop("DELETE TOP (2) FROM bpt WHERE st = 'F'")
         .replace("@@ROWCOUNT = 0", "@@ROWCOUNT < 5")))
