@@ -107,16 +107,44 @@ object DeleteFromSqlCompiler {
             affected = Some(() =>
               tgt.join(srcP, joinCond && firePred, "left_semi").count()))
         } else {
-          // LEFT join (the orphan-purge idiom: `… ON t.k = s.k WHERE
-          // s.k IS NULL`): a target row rides the result set once per
-          // match, or once NULL-extended when unmatched — it deletes
-          // iff ANY of those rows passes the WHERE. One left_outer
-          // join on the ON condition alone; the WHERE evaluates per
-          // joined row (NULL source columns on the unmatched row,
-          // T-SQL's own semantics), then a per-row-identity window
-          // keeps rows where NO result row fired. Deletion is
-          // idempotent so no multi-match guard — the window is the
-          // ANY, not an abort.
+          // The canonical orphan purge — WHERE is EXACTLY `s.k IS
+          // NULL` where k is the ON equality's source-side key —
+          // needs no window: a MATCHED row's s.k can never be NULL
+          // (NULL keys never join), so "some result row fires" ≡
+          // "unmatched" ≡ the anti join, and "keep" ≡ the semi join.
+          // One shuffle-free-on-the-probe-side join instead of the
+          // general form's row-identity window shuffle. The key
+          // restriction is load-bearing: `s.other IS NULL` on a
+          // NULLABLE source column also fires on MATCHED rows in
+          // T-SQL, which only the window form models.
+          val onKeyRe =
+            "(?is)^\\s*(\\w+)\\.(\\w+)\\s*=\\s*(\\w+)\\.(\\w+)\\s*$".r
+          val whereNullRe = ("(?is)^\\s*" +
+            java.util.regex.Pattern.quote(sA) +
+            "\\.(\\w+)\\s+is\\s+null\\s*;?\\s*$").r
+          val orphanKey = for {
+            om <- onKeyRe.findFirstMatchIn(onBody)
+            wm <- whereOpt.flatMap(whereNullRe.findFirstMatchIn(_))
+            srcSide <- Seq((om.group(1), om.group(2)),
+                (om.group(3), om.group(4)))
+              .find(_._1.equalsIgnoreCase(sA)).map(_._2)
+            if srcSide.equalsIgnoreCase(wm.group(1))
+          } yield srcSide
+          if (orphanKey.isDefined) {
+            val kept = tgt.join(srcP, joinCond, "left_semi")
+            SqlOutcome(Some(kept), Some(tgtName), SaveMode.Overwrite,
+              affected = Some(() =>
+                tgt.join(srcP, joinCond, "left_anti").count()))
+          } else {
+          // LEFT join, general form: a target row rides the result set
+          // once per match, or once NULL-extended when unmatched — it
+          // deletes iff ANY of those rows passes the WHERE. One
+          // left_outer join on the ON condition alone; the WHERE
+          // evaluates per joined row (NULL source columns on the
+          // unmatched row, T-SQL's own semantics), then a
+          // per-row-identity window keeps rows where NO result row
+          // fired. Deletion is idempotent so no multi-match guard —
+          // the window is the ANY, not an abort.
           val tgtWithId = tgt.withColumn("__graft_tid",
             monotonically_increasing_id())
           val joined = tgtWithId.join(srcP, joinCond, "left_outer")
@@ -139,6 +167,7 @@ object DeleteFromSqlCompiler {
               all.filter(coalesce(firePred, lit(false)))
                 .select(col("__graft_tid")).distinct().count()
             }))
+          }
         }
       }
     }

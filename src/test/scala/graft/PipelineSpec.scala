@@ -1028,6 +1028,18 @@ class PipelineSpec extends AnyFunSuite {
     val allLeft = graft.patterns.DeleteFromSqlCompiler.rewrite(spark,
       task("DELETE t FROM acct t LEFT JOIN dim s ON t.id = s.id"), frames).get
     assert(allLeft.df.get.count() === 0L)
+    // IS NULL on a NON-KEY source column is NOT the orphan fast path:
+    // a MATCHED row whose source column is genuinely NULL also fires
+    // in T-SQL — only the general windowed form models that
+    val nullDim = Seq((1L, "purge"), (2L, null.asInstanceOf[String]),
+      (4L, "purge")).toDF("id", "action")
+    val nonKey = graft.patterns.DeleteFromSqlCompiler.rewrite(spark,
+      task("DELETE t FROM acct t LEFT JOIN dim s ON t.id = s.id " +
+        "WHERE s.action IS NULL"),
+      Map("acct" -> tgt, "dim" -> nullDim)).get
+    // id=2 matched-with-NULL-action fires; id=3 unmatched fires
+    assert(nonKey.df.get.orderBy("id").as[(Long, String)].collect().toList
+      === List((1L, "A"), (4L, "D")))
     // off-shape declines: RIGHT/FULL/CROSS join, second join, comma
     // list, doubled T-SQL FROM spelling, mismatched token, subquery,
     // trailing stmt

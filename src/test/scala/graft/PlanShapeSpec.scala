@@ -1092,6 +1092,10 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("LeftOuter"),
       s"LEFT forms must plan left_outer joins:\n$plan")
     assert(!plan.contains("Cross"), s"cartesian in the LEFT DML:\n$plan")
+    // the canonical orphan purge (IS NULL on the join key) takes the
+    // window-free SEMI fast path — no row-identity shuffle
+    assert(plan.contains("LeftSemi"),
+      s"orphan purge must plan a semi join, not the windowed form:\n$plan")
   }
 
   test("x121: re-rank reads the staged ADC pool and fetches vectors by broadcast") {
