@@ -300,6 +300,13 @@ object MigrationMapping {
           "projection, DROP COLUMN projects it away; 2705/4901/4924 " +
           "T-SQL parity errors hold; constraints and ALTER COLUMN type " +
           "changes stay manual review)"), Nil, signals)
+    else if (graft.patterns.NoopDdlSqlCompiler.shapeMatches(sql))
+      TaskMapping(t.name, "ExecuteSQLTask", "converted", None,
+        Some("physical-tuning DDL executes as a no-op (patterns/" +
+          "NoopDdlSqlCompiler — rowstore indexes and manual statistics " +
+          "have no relational content in a columnar engine; bucketing/" +
+          "z-order are this engine's explicit analogs and parquet " +
+          "gathers column stats at write time)"), Nil, signals)
     else if (graft.patterns.ExecLiteralSqlCompiler.unwrap(sql).isDefined)
       TaskMapping(t.name, "ExecuteSQLTask", "converted", None,
         Some("literal dynamic SQL unwraps (patterns/ExecLiteralSqlCompiler" +

@@ -347,7 +347,8 @@ object ScriptedSqlExecutor {
         declareStmtRe.findFirstMatchIn(m(s)).isDefined) &&
       stmts.exists(s => selectAssignRe.findFirstMatchIn(m(s)).isDefined ||
         setAssignRe.findFirstMatchIn(m(s)).isDefined)
-    val ddl = stmts.exists(AlterTableSqlCompiler.shapeMatches)
+    val ddl = stmts.exists(s => AlterTableSqlCompiler.shapeMatches(s) ||
+      NoopDdlSqlCompiler.shapeMatches(s))
     if (!temp && !rc && !sv && !ddl) None
     else Some(List(
       if (temp) Some("#temp scope (script-lifetime overlay tables)") else None,
@@ -386,6 +387,9 @@ object ScriptedSqlExecutor {
         // migration DDL: ADD/DROP COLUMN execute so alter→backfill→drop
         // scripts run end-to-end (constraints/ALTER COLUMN decline)
         .orElse(AlterTableSqlCompiler.rewrite(spark, stmt, resolve))
+        // physical-tuning DDL (CREATE/DROP INDEX, UPDATE STATISTICS):
+        // zero relational content in a columnar engine — executed no-op
+        .orElse(NoopDdlSqlCompiler.rewrite(stmt))
         // the taken IF-EXISTS branch re-enters this chain (branches are
         // single statements by contract, so the recursion is one level)
         .orElse(IfExistsSqlCompiler.rewrite(spark, stmt, resolve,

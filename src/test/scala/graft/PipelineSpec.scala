@@ -2206,4 +2206,36 @@ class PipelineSpec extends AnyFunSuite {
       graft.ir.Ir.ExecuteSqlTask("t", None, "conn",
         "ALTER TABLE mt DROP COLUMN v"), Nil).status === "converted")
   }
+
+  test("NoopDdlSqlCompiler: index/statistics DDL executes as a no-op; scope held") {
+    import spark.implicits._
+    def task(sql: String) = graft.ir.Ir.ExecuteSqlTask("nd", None, "conn", sql)
+    for (sql <- Seq(
+      "CREATE INDEX ix ON t (a, b)",
+      "CREATE UNIQUE CLUSTERED INDEX ix ON dbo.t (a)",
+      "CREATE NONCLUSTERED INDEX ix ON t (a) INCLUDE (b, c)",
+      "CREATE INDEX ix ON t (a) WHERE a > 0 WITH (FILLFACTOR = 80)",
+      "DROP INDEX ix ON t",
+      "DROP INDEX t.ix",
+      "UPDATE STATISTICS t",
+      "UPDATE STATISTICS t ix WITH FULLSCAN")) {
+      val out = graft.patterns.NoopDdlSqlCompiler.rewrite(task(sql))
+        .getOrElse(fail(s"should no-op: $sql"))
+      assert(out.df.isEmpty && out.target.isEmpty)
+      assert(out.affected.get.apply() === 0L)
+    }
+    // NOT swallowed: relational DDL, rebuilds, bare UPDATEs
+    for (sql <- Seq(
+      "CREATE TABLE t (a INT)",
+      "DROP TABLE t",
+      "ALTER INDEX ix ON t REBUILD",
+      "UPDATE t SET a = 1",
+      "CREATE INDEX ix ON t (a); DELETE FROM t"))
+      assert(graft.patterns.NoopDdlSqlCompiler.rewrite(task(sql)).isEmpty,
+        s"should not own: $sql")
+    // ledger twin
+    assert(graft.parser.MigrationMapping.mapTask(
+      graft.ir.Ir.ExecuteSqlTask("t", None, "conn",
+        "CREATE INDEX ix_b ON part_dim (band)"), Nil).status === "converted")
+  }
 }
