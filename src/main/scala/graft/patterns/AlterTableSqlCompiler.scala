@@ -17,10 +17,11 @@ import org.apache.spark.sql.functions._
   * ALTER TABLE t DROP COLUMN <col>
   * }}}
   *
-  * ADD appends a typed column: the DEFAULT literal cast to the
-  * declared type for every EXISTING row (T-SQL backfills `NOT NULL
-  * DEFAULT` adds; a plain nullable add backfills NULL — both are one
-  * narrow projection, no shuffle at any scale). T-SQL parity errors
+  * ADD appends a typed column as one narrow projection (no shuffle at
+  * any scale). The backfill follows T-SQL exactly: EXISTING rows take
+  * the DEFAULT only for a `NOT NULL` add or an explicit `WITH VALUES`;
+  * a plain nullable add — with or without a DEFAULT — backfills NULL
+  * (T-SQL applies a nullable column's default to future inserts only). T-SQL parity errors
   * hold eagerly: adding a column that exists is error 2705; `NOT
   * NULL` without DEFAULT on a non-empty table is error 4901; DROP of
   * a missing column is error 4924. Declined to manual review:
@@ -35,7 +36,8 @@ object AlterTableSqlCompiler {
     ("(?is)^\\s*alter\\s+table\\s+([^\\s;]+)\\s+add\\s+(\\w+)\\s+" +
       "([A-Za-z]\\w*(?:\\s*\\(\\s*\\d+(?:\\s*,\\s*\\d+)?\\s*\\))?)" +
       "(\\s+not\\s+null|\\s+null)?" +
-      "(?:\\s+default\\s+('[^']*'|[^\\s;()]+))?\\s*;?\\s*$").r
+      "(?:\\s+default\\s+('[^']*'|[^\\s;()]+))?" +
+      "(\\s+with\\s+values)?\\s*;?\\s*$").r
 
   private val dropRe =
     ("(?is)^\\s*alter\\s+table\\s+([^\\s;]+)\\s+drop\\s+column\\s+" +
@@ -90,9 +92,16 @@ object AlterTableSqlCompiler {
               s"ALTER TABLE $tgtName ADD $colName NOT NULL: a NOT NULL " +
                 "column needs a DEFAULT on a non-empty table (T-SQL " +
                 "error 4901)")
-          val value = defaultOpt
-            .map(d => expr(d).cast(tpe))
-            .getOrElse(lit(null).cast(tpe))
+          // T-SQL backfill rule: EXISTING rows take the DEFAULT only
+          // for a NOT NULL add or an explicit WITH VALUES — a plain
+          // nullable add with a DEFAULT leaves existing rows NULL (the
+          // default applies to future inserts, which state replacement
+          // expresses per-statement, not here)
+          val withValues = gOpt(6).isDefined
+          val value =
+            if (defaultOpt.isDefined && (notNull || withValues))
+              expr(defaultOpt.get).cast(tpe)
+            else lit(null).cast(tpe)
           SqlOutcome(Some(tgt.withColumn(colName, value)), Some(tgtName),
             SaveMode.Overwrite, affected = Some(() => 0L))
         }

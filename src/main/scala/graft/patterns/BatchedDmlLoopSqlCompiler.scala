@@ -80,33 +80,40 @@ object BatchedDmlLoopSqlCompiler {
     "(?is)^(?:'[^']*'|[+-]?\\d+(?:\\.\\d+)?|null|0x[0-9a-fA-F]+)$".r
 
   /** Does the WHERE carry a CONJUNCT the assignment `c = rhs`
-    * falsifies? Scanned on the raw text at word boundaries; literals
-    * compare as trimmed text (the engine never equates two spellings
-    * of one value — a miss declines, never mis-executes). The caller
-    * must have rejected top-level OR first: under a disjunction a
-    * falsified comparison does not shrink the pred-set. */
-  private def falsifies(where: String, c: String, rhs: String): Boolean = {
+    * falsifies? Comparisons are LOCATED on the masked twin (a string
+    * literal containing "flag = 0" is data, not a predicate) and their
+    * comparand text sliced from the RAW where at the matched spans
+    * (masking is length-preserving, so spans align) — two different
+    * string values mask to the same 'xxx', so the value comparison
+    * must see the original text. The caller must have rejected any
+    * OR / NOT / CASE first: outside a pure-AND tree a falsified
+    * comparison does not imply the pred-set shrinks. */
+  private def falsifies(whereRaw: String, whereMsk: String,
+      c: String, rhs: String): Boolean = {
     val q = java.util.regex.Pattern.quote _
     val neq = ("(?is)\\b" + q(c) + "\\s*(?:<>|!=)\\s*(\\S+)").r
     val eq = ("(?is)\\b" + q(c) + "\\s*=\\s*('[^']*'|[^\\s()]+)").r
     val isNull = ("(?is)\\b" + q(c) + "\\s+is\\s+null\\b").r
     val rhsT = rhs.trim
-    neq.findAllMatchIn(where).exists(m =>
-      litCompRe.pattern.matcher(m.group(1).trim).matches &&
-        m.group(1).trim.equalsIgnoreCase(rhsT)) ||
-      eq.findAllMatchIn(where).exists { m =>
-        val g = m.group(1).trim
-        litCompRe.pattern.matcher(g).matches && !g.equalsIgnoreCase(rhsT)
+    def raw(m: scala.util.matching.Regex.Match): String =
+      whereRaw.substring(m.start(1), m.end(1)).trim
+    neq.findAllMatchIn(whereMsk).exists(m =>
+      litCompRe.pattern.matcher(raw(m)).matches &&
+        raw(m).equalsIgnoreCase(rhsT)) ||
+      eq.findAllMatchIn(whereMsk).exists { m =>
+        litCompRe.pattern.matcher(raw(m)).matches &&
+          !raw(m).equalsIgnoreCase(rhsT)
       } ||
-      (isNull.findFirstIn(where).isDefined &&
+      (isNull.findFirstIn(whereMsk).isDefined &&
         !rhsT.equalsIgnoreCase("null"))
   }
 
-  /** Top-level OR anywhere in the (masked) WHERE: a falsified conjunct
-    * under a disjunction does not shrink the pred-set — decline. */
-  private def hasTopLevelOr(whereMsk: String): Boolean =
-    "(?i)\\bor\\b".r.findAllMatchIn(whereMsk)
-      .exists(m => WindowSqlLowering.depthAt(whereMsk, m.start) == 0)
+  /** Anything that breaks the pure-AND conjunct structure — OR at ANY
+    * depth (a parenthesized disjunction still shelters re-matching
+    * rows), NOT, CASE, IN, BETWEEN — declines the UPDATE form: the
+    * falsification proof only composes over conjunction. */
+  private def breaksConjunctTree(whereMsk: String): Boolean =
+    "(?i)\\b(or|not|case|in|between)\\b".r.findFirstIn(whereMsk).isDefined
 
   /** Whole-text recognizer: the batched purge loop → its one-statement
     * set-based fixpoint, or None (manual review). */
@@ -126,7 +133,7 @@ object BatchedDmlLoopSqlCompiler {
         val setsMsk = msk.substring(m.start(2), m.end(2))
         val whereMsk = msk.substring(m.start(3), m.end(3))
         if (!clauseOk(setsMsk) || !clauseOk(whereMsk) ||
-          hasTopLevelOr(whereMsk)) None
+          breaksConjunctTree(whereMsk)) None
         else {
           // every rhs a literal, checked on the MASKED item (string
           // content cannot fake a literal shape)
@@ -140,7 +147,8 @@ object BatchedDmlLoopSqlCompiler {
           }
           if (parsed.exists(_.isEmpty)) None
           else if (!parsed.flatten.exists { case (c, rhs) =>
-              c.matches("[A-Za-z_]\\w*") && falsifies(where, c, rhs) })
+              c.matches("[A-Za-z_]\\w*") &&
+                falsifies(where, whereMsk, c, rhs) })
             None // cannot prove each batch shrinks the pred-set
           else Some(s"UPDATE $tgt SET $sets WHERE $where")
         }

@@ -37,13 +37,19 @@ import org.apache.spark.sql.functions._
   * anti-join is exactly the statement's semantics in one shuffle. */
 object DeleteFromSqlCompiler {
 
-  /** Groups: 1 delete token, 2 target, 3 tAlias, 4 optional direction
-    * (INNER / LEFT [OUTER]), 5 source, 6 sAlias, 7 ON, 8 WHERE. */
+  /** Groups: 1 delete token, 2 target, 3 OPTIONAL tAlias, 4 optional
+    * direction (INNER / LEFT [OUTER]), 5 source, 6 OPTIONAL sAlias,
+    * 7 ON, 8 WHERE. The alias lookahead keeps an alias-less
+    * `FROM t LEFT JOIN s` from parsing with alias "LEFT" and running
+    * inner semantics; absent aliases fall back to the table name. */
+  private val aliasBan =
+    "(?!(?:inner|left|right|full|cross|outer|join|on|where)\\b)"
   private val deleteFromRe =
-    ("(?is)^\\s*delete\\s+([^\\s;]+)\\s+from\\s+([^\\s;]+)\\s+" +
-      "(?:as\\s+)?(\\w+)\\s+(?:(inner|left(?:\\s+outer)?)\\s+)?join\\s+" +
-      "([^\\s;]+)\\s+" +
-      "(?:as\\s+)?(\\w+)\\s+on\\s+(.+?)" +
+    ("(?is)^\\s*delete\\s+([^\\s;]+)\\s+from\\s+([^\\s;]+)" +
+      "(?:\\s+(?:as\\s+)?(" + aliasBan + "\\w+))?\\s+" +
+      "(?:(inner|left(?:\\s+outer)?)\\s+)?join\\s+" +
+      "([^\\s;]+)" +
+      "(?:\\s+(?:as\\s+)?(" + aliasBan + "\\w+))?\\s+on\\s+(.+?)" +
       "(?:\\s+where\\s+(.+?))?\\s*;?\\s*$").r
 
   /** RIGHT/FULL/CROSS stay declined; LEFT is owned since r13 — the
@@ -63,10 +69,14 @@ object DeleteFromSqlCompiler {
     if (offShapeJoinRe.findFirstIn(msk).isDefined) return false
     deleteFromRe.findFirstMatchIn(msk).exists { m =>
       def g(i: Int): String = sql.substring(m.start(i), m.end(i))
+      def gOpt(i: Int): Option[String] =
+        if (m.group(i) == null) None else Some(g(i))
+      val tA = gOpt(3).getOrElse(g(2))
+      val sA = gOpt(6).getOrElse(g(5))
       val bodies = g(7) :: (if (m.group(8) == null) Nil else List(g(8)))
-      val namesTarget = g(1).equalsIgnoreCase(g(3)) ||
+      val namesTarget = g(1).equalsIgnoreCase(tA) ||
         g(1).equalsIgnoreCase(g(2))
-      namesTarget && !g(3).equalsIgnoreCase(g(6)) &&
+      namesTarget && !tA.equalsIgnoreCase(sA) &&
         !bodies.exists(MergeSqlCompiler.bodyDisqualified(_, bodyKeywordRe))
     }
   }
@@ -78,12 +88,16 @@ object DeleteFromSqlCompiler {
     if (offShapeJoinRe.findFirstIn(msk).isDefined) return None
     deleteFromRe.findFirstMatchIn(msk).flatMap { m =>
       def g(i: Int): String = sql.substring(m.start(i), m.end(i))
+      def gOpt(i: Int): Option[String] =
+        if (m.group(i) == null) None else Some(g(i))
       val delTok = g(1)
-      val (tgtName, tA) = (g(2), g(3))
+      val tgtName = g(2)
+      val tA = gOpt(3).getOrElse(tgtName)
       val isLeft = m.group(4) != null && g(4).toLowerCase.startsWith("left")
-      val (srcName, sA) = (g(5), g(6))
+      val srcName = g(5)
+      val sA = gOpt(6).getOrElse(srcName)
       val onBody = g(7)
-      val whereOpt = if (m.group(8) == null) None else Some(g(8))
+      val whereOpt = gOpt(8)
       val bodies = onBody :: whereOpt.toList
       val namesTarget = delTok.equalsIgnoreCase(tA) ||
         delTok.equalsIgnoreCase(tgtName)

@@ -193,17 +193,25 @@ object ScriptedSqlExecutor {
     * USER_RAISED_EXCEPTION somewhere in the failure's cause chain once
     * the frame is forced (local-mode task failures arrive wrapped in
     * SparkException layers). */
-  private def caughtMsg(e: Throwable): Option[String] =
-    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16)
-      .collectFirst {
-        case i: IllegalArgumentException =>
-          Option(i.getMessage).getOrElse("")
-        case r: org.apache.spark.SparkThrowable
-            if r.getCondition == "USER_RAISED_EXCEPTION" =>
-          Option(r.getMessageParameters.get("errorMessage"))
-            .getOrElse(Option(r.asInstanceOf[Throwable].getMessage)
-              .getOrElse("").stripPrefix("[USER_RAISED_EXCEPTION] "))
-      }
+  private def caughtMsg(e: Throwable): Option[String] = e match {
+    // the engine's own eager `require` aborts fire synchronously on
+    // the driver, so they arrive DIRECT — a nested IAE is some Spark
+    // internal's (parquet/codegen/memory) and must NOT read as a
+    // T-SQL-catchable error: only the lazy raise_error guards are
+    // legitimately wrapped (in SparkException layers), and those carry
+    // the USER_RAISED_EXCEPTION condition the chain walk matches below
+    case i: IllegalArgumentException =>
+      Some(Option(i.getMessage).getOrElse(""))
+    case _ =>
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16)
+        .collectFirst {
+          case r: org.apache.spark.SparkThrowable
+              if r.getCondition == "USER_RAISED_EXCEPTION" =>
+            Option(r.getMessageParameters.get("errorMessage"))
+              .getOrElse(Option(r.asInstanceOf[Throwable].getMessage)
+                .getOrElse("").stripPrefix("[USER_RAISED_EXCEPTION] "))
+        }
+  }
 
   /** `DROP TABLE [IF EXISTS] graft_tmp_x` (post-[[detemp]] spelling) —
     * the early-free statement real temp-table scripts end with. */
@@ -715,16 +723,15 @@ object ScriptedSqlExecutor {
       // too (its WHILE block would shred under statement splitting):
       // CursorLoopSqlCompiler emits the equivalent two-statement #temp
       // script, which runs through the same overlay as any hand-written
-      // batch; off-shape cursors fall through to the decline below
-      else if (CursorLoopSqlCompiler.rewriteToScript(text).isDefined)
-        script(bound, CursorLoopSqlCompiler.rewriteToScript(text).get)
-      // the batched-DML purge loop (WHILE 1=1 … DELETE/UPDATE TOP(n) …
-      // IF @@ROWCOUNT = 0 BREAK) compiles to its set-based fixpoint —
-      // one statement through the same overlay
-      else if (BatchedDmlLoopSqlCompiler.rewriteToStatement(text).isDefined)
-        script(bound,
-          List(BatchedDmlLoopSqlCompiler.rewriteToStatement(text).get))
-      else WhileLoopSqlCompiler.unroll(spark, text) match {
+      // batch; off-shape cursors fall through to the decline below.
+      // The batched-DML purge loop (WHILE 1=1 … DELETE/UPDATE TOP(n) …
+      // IF @@ROWCOUNT = 0 BREAK) likewise compiles to its set-based
+      // fixpoint. Each whole-text parse runs ONCE.
+      else CursorLoopSqlCompiler.rewriteToScript(text)
+        .orElse(BatchedDmlLoopSqlCompiler.rewriteToStatement(text)
+          .map(List(_))) match {
+      case Some(ss) => script(bound, ss)
+      case None => WhileLoopSqlCompiler.unroll(spark, text) match {
         // a counter WHILE loop is a WHOLE-text shape too: the driver
         // evaluates its control flow, the emitted body statements run
         // through the script overlay like any hand-written batch (so
@@ -769,6 +776,7 @@ object ScriptedSqlExecutor {
         else if (isRefreshShape(stmts))
           single(stmts.mkString(";\n")).orElse(script(bound, stmts))
         else script(bound, stmts)
+      }
       }
     }
   }

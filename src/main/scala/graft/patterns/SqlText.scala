@@ -39,11 +39,21 @@ object SqlText {
   def sqlLit(v: Any): Option[String] = v match {
     case null => Some("NULL")
     case s: String => Some("'" + s.replace("'", "''") + "'")
-    case ts: java.sql.Timestamp => Some(s"TIMESTAMP '$ts'")
+    // instant-typed values bind ZONE-FREE as epoch micros:
+    // `TIMESTAMP '<Timestamp.toString>'` would render in the JVM
+    // default zone and re-parse in the SESSION zone — every bound
+    // watermark would drift by the zone offset whenever the two
+    // differ. timestamp_micros() is exact at Spark's TIMESTAMP
+    // precision and involves no wall-clock text at all.
+    case ts: java.sql.Timestamp =>
+      val i = ts.toInstant
+      Some(s"timestamp_micros(${i.getEpochSecond * 1000000L + i.getNano / 1000})")
+    case t: java.time.Instant =>
+      Some(s"timestamp_micros(${t.getEpochSecond * 1000000L + t.getNano / 1000})")
     case d: java.sql.Date => Some(s"DATE '$d'")
     case d: java.time.LocalDate => Some(s"DATE '$d'")
-    case t: java.time.Instant =>
-      Some(s"TIMESTAMP '${java.sql.Timestamp.from(t)}'")
+    // LocalDateTime is wall-clock by TYPE: both its toString and the
+    // TIMESTAMP literal are zone-free, so the text form is exact
     case t: java.time.LocalDateTime =>
       Some(s"TIMESTAMP '${java.sql.Timestamp.valueOf(t)}'")
     case b: Boolean => Some(b.toString)

@@ -49,14 +49,21 @@ object UpdateFromSqlCompiler {
 
   /** Groups: 1 update token, 2 SET list, 3/4/5 optional OUTPUT items /
     * audit table / column list (T-SQL puts OUTPUT between SET and
-    * FROM), 6 target, 7 tAlias, 8 optional join direction (INNER /
-    * LEFT [OUTER]), 9 source, 10 sAlias, 11 ON, 12 WHERE. */
+    * FROM), 6 target, 7 OPTIONAL tAlias, 8 optional join direction
+    * (INNER / LEFT [OUTER]), 9 source, 10 OPTIONAL sAlias, 11 ON,
+    * 12 WHERE. The alias tokens carry a negative lookahead over the
+    * join-grammar keywords so an ALIAS-LESS `FROM t LEFT JOIN s` can
+    * never parse with alias "LEFT" and silently run inner semantics
+    * (the exact hazard the pre-r13 blanket LEFT decline guarded);
+    * when absent, the table name itself is the reference alias. */
+  private val aliasBan =
+    "(?!(?:inner|left|right|full|cross|outer|join|on|where|output)\\b)"
   private val updateFromRe =
     ("(?is)^\\s*update\\s+([^\\s;]+)\\s+set\\s+(.+?)\\s+" +
       "(?:output\\s+(.+?)\\s+into\\s+([^\\s;(]+)\\s*(?:\\(([^)]*)\\))?\\s+)?" +
-      "from\\s+([^\\s;]+)\\s+(?:as\\s+)?(\\w+)\\s+" +
+      "from\\s+([^\\s;]+)(?:\\s+(?:as\\s+)?(" + aliasBan + "\\w+))?\\s+" +
       "(?:(inner|left(?:\\s+outer)?)\\s+)?join\\s+" +
-      "([^\\s;]+)\\s+(?:as\\s+)?(\\w+)\\s+on\\s+(.+?)" +
+      "([^\\s;]+)(?:\\s+(?:as\\s+)?(" + aliasBan + "\\w+))?\\s+on\\s+(.+?)" +
       "(?:\\s+where\\s+(.+?))?\\s*;?\\s*$").r
 
   /** RIGHT/FULL/CROSS joins stay a different semantics class (a RIGHT
@@ -85,8 +92,10 @@ object UpdateFromSqlCompiler {
     def g(i: Int): String = sql.substring(m.start(i), m.end(i))
     def gOpt(i: Int): Option[String] =
       if (m.group(i) == null) None else Some(g(i))
+    val tA = gOpt(7).getOrElse(g(6))
+    val sA = gOpt(10).getOrElse(g(9))
     val bodies = g(2) :: g(11) :: gOpt(12).toList
-    val namesTarget = g(1).equalsIgnoreCase(g(7)) ||
+    val namesTarget = g(1).equalsIgnoreCase(tA) ||
       g(1).equalsIgnoreCase(g(6))
     val outputOk = gOpt(3) match {
       case None => true
@@ -97,7 +106,7 @@ object UpdateFromSqlCompiler {
           gOpt(5).forall(cl => MergeSqlCompiler.splitTop(cl)
             .forall(_.matches("[A-Za-z_]\\w*")))
     }
-    namesTarget && !g(7).equalsIgnoreCase(g(10)) && outputOk &&
+    namesTarget && !tA.equalsIgnoreCase(sA) && outputOk &&
       !bodies.exists(MergeSqlCompiler.bodyDisqualified(_, bodyKeywordRe))
   }
 
@@ -121,9 +130,13 @@ object UpdateFromSqlCompiler {
         if (m.group(i) == null) None else Some(g(i))
       val setList = g(2)
       val outSpec = gOpt(3).map(items => (items, g(4), gOpt(5)))
-      val (tgtName, tA) = (g(6), g(7))
+      // alias-less legs reference columns by the TABLE name — the
+      // table name IS the alias for translation purposes
+      val tgtName = g(6)
+      val tA = gOpt(7).getOrElse(tgtName)
       val isLeft = gOpt(8).exists(_.toLowerCase.startsWith("left"))
-      val (srcName, sA) = (g(9), g(10))
+      val srcName = g(9)
+      val sA = gOpt(10).getOrElse(srcName)
       val onBody = g(11)
       val whereOpt = gOpt(12)
       if (!groupsOk(sql, m)) None

@@ -760,6 +760,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(ljw.df.get.orderBy("id").as[(Long, Option[Double], String)]
       .collect().toList === List((1L, Some(10.0), "A"), (2L, Some(7.0), "B"),
         (3L, Some(30.0), "C")))
+    // alias-less LEFT (the natural authoring): the direction must be
+    // captured, never swallowed as the alias token; the table name is
+    // the reference alias
+    val ljBare = graft.patterns.UpdateFromSqlCompiler.rewrite(spark,
+      task("UPDATE acct SET bal = s.delta FROM acct LEFT JOIN dim s " +
+        "ON acct.id = s.id"), frames)
+      .getOrElse(fail("alias-less LEFT UPDATE...FROM did not compile"))
+    assert(ljBare.df.get.orderBy("id").as[(Long, Option[Double], String)]
+      .collect().toList === List((1L, Some(5.0), "A"), (2L, Some(7.0), "B"),
+        (3L, None, "C")))
     // off-shape declines: RIGHT/FULL/CROSS joins (a right join can
     // produce rows with no target identity), a second join, comma-list
     // FROM, subqueries, a mismatched update token, trailing statements
@@ -1028,6 +1038,16 @@ class PipelineSpec extends AnyFunSuite {
     val allLeft = graft.patterns.DeleteFromSqlCompiler.rewrite(spark,
       task("DELETE t FROM acct t LEFT JOIN dim s ON t.id = s.id"), frames).get
     assert(allLeft.df.get.count() === 0L)
+    // the ALIAS-LESS spelling (the natural authoring) must parse with
+    // the direction captured — never with alias "LEFT" and silent
+    // inner semantics (the pre-r13 hazard, now a lookahead in the
+    // alias token; the table name is the reference alias)
+    val bare = graft.patterns.DeleteFromSqlCompiler.rewrite(spark,
+      task("DELETE acct FROM acct LEFT JOIN dim s ON acct.id = s.id " +
+        "WHERE s.id IS NULL"), frames).getOrElse(
+        fail("alias-less LEFT orphan purge did not compile"))
+    assert(bare.df.get.orderBy("id").as[(Long, String)].collect().toList
+      === List((1L, "A"), (2L, "B"), (4L, "D")))
     // IS NULL on a NON-KEY source column is NOT the orphan fast path:
     // a MATCHED row whose source column is genuinely NULL also fires
     // in T-SQL — only the general windowed form models that
@@ -2114,9 +2134,16 @@ class PipelineSpec extends AnyFunSuite {
       .getOrElse(fail("UPDATE loop did not compile"))
     assert(w2("bpt").orderBy("id").select("flg").as[Int].collect().toList
       === List(1, 0, 1, 0))
-    // the falsifying conjunct can also be <> or IS NULL
+    // the falsifying conjunct can also be <> or IS NULL — string
+    // literal values compare on the RAW text (masking is located-only)
     assert(graft.patterns.BatchedDmlLoopSqlCompiler.rewriteToStatement(loop(
       "UPDATE TOP (5) bpt SET flg = 1 WHERE flg <> 1")).isDefined)
+    assert(graft.patterns.BatchedDmlLoopSqlCompiler.rewriteToStatement(loop(
+      "UPDATE TOP (5) bpt SET st = 'X' WHERE st <> 'X'")).isDefined)
+    // same-LENGTH different strings mask identically — the raw-text
+    // comparison must still see them as different (no false proof)
+    assert(graft.patterns.BatchedDmlLoopSqlCompiler.rewriteToStatement(loop(
+      "UPDATE TOP (5) bpt SET st = 'X' WHERE st <> 'Y'")).isEmpty)
     // declines, never a guess
     for (sql <- Seq(
       // UPDATE whose batches do not provably shrink the pred-set
@@ -2139,6 +2166,11 @@ class PipelineSpec extends AnyFunSuite {
       // a falsified conjunct under a top-level OR does not shrink the
       // pred-set (rows matching the other disjunct re-match forever)
       loop("UPDATE TOP (5) bpt SET flg = 1 WHERE flg = 0 OR v > 5"),
+      // ...and a PARENTHESIZED disjunction shelters re-matching rows
+      // just the same (OR at any depth declines)
+      loop("UPDATE TOP (5) bpt SET flg = 1 WHERE (v > 5 OR flg = 0) AND st = 'O'"),
+      // a comparison INSIDE a string literal is data, not a predicate
+      loop("UPDATE TOP (5) bpt SET flg = 1 WHERE st = 'flg = 0 pending'"),
       // non-zero BREAK comparison
       loop("DELETE TOP (2) FROM bpt WHERE st = 'F'")
         .replace("@@ROWCOUNT = 0", "@@ROWCOUNT < 5")))
@@ -2181,6 +2213,15 @@ class PipelineSpec extends AnyFunSuite {
       .getOrElse(fail("bare nullable ADD did not compile"))
     assert(nOut.target.contains("mt"))
     assert(nOut.df.get.filter(col("note").isNull).count() === 2L)
+    // T-SQL's WITH VALUES rule: a NULLABLE add with a DEFAULT leaves
+    // existing rows NULL (the default applies to future inserts);
+    // only NOT NULL or an explicit WITH VALUES backfills
+    val dOut = mkExec(fresh())(task(
+      "ALTER TABLE mt ADD tag VARCHAR(4) DEFAULT 'd'")).get
+    assert(dOut.df.get.filter(col("tag").isNull).count() === 2L)
+    val wvOut = mkExec(fresh())(task(
+      "ALTER TABLE mt ADD tag VARCHAR(4) DEFAULT 'd' WITH VALUES")).get
+    assert(wvOut.df.get.filter(col("tag") === "d").count() === 2L)
     // T-SQL parity aborts: 2705 duplicate add, 4924 missing drop,
     // 4901 NOT NULL without DEFAULT on a non-empty table
     val w3 = fresh()
