@@ -2339,6 +2339,38 @@ object QueriesRelational {
       |  'migr13' AS audit_tag
       |FROM part""".stripMargin
 
+  /** The all-or-nothing TRY/CATCH through the dtsx frontend
+    * (`TryCatchRollbackETL.dtsx`) — the one ROLLBACK shape this engine
+    * owns (any other placement stays manual review): a CATCH that
+    * LEADS with a bare ROLLBACK discards the TRY's staged effects
+    * before the rest of the CATCH runs, so a mid-script abort leaves
+    * the target bit-identical to its pre-script state while the error
+    * log still lands. The gate's TRY stages a real UPDATE, then aborts
+    * on a 2714 (SELECT INTO an existing table); the post-rollback log
+    * row certifies @@ROWCOUNT reads 0 after the undo. */
+  def q121_dtsx_trycatch_rollback(spark: SparkSession, dir: String): DataFrame = {
+    val (w, _) = runDtsxWarehousePackage(spark, dir, "TryCatchRollbackETL.dtsx")
+    val acct = w("acct_tcr").select(lit("acct").as("kind"),
+      col("id").cast(LongType).as("id"),
+      col("bal").cast(DoubleType).as("bal"),
+      lit(null).cast(StringType).as("what"),
+      lit(null).cast(LongType).as("n"))
+    val log = w("tcr_log").select(lit("log").as("kind"),
+      lit(null).cast(LongType).as("id"),
+      lit(null).cast(DoubleType).as("bal"),
+      col("what").cast(StringType).as("what"),
+      col("n").cast(LongType).as("n"))
+    acct.unionByName(log)
+  }
+
+  val q121Oracle: String =
+    """SELECT 'acct' AS kind, c_custkey AS id,
+      |  CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal,
+      |  CAST(NULL AS VARCHAR) AS what, CAST(NULL AS BIGINT) AS n
+      |FROM customer
+      |UNION ALL
+      |SELECT 'log', NULL, NULL, 'rolled_back', 0""".stripMargin
+
   /** Explicit GROUPING SETS with grouping_id disambiguation (beyond q24's
     * rollup): two chosen aggregation levels, no intermediate level. */
   def q39_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
@@ -3725,6 +3757,7 @@ object QueriesRelational {
     "q118_dtsx_batched_purge" -> (q118_dtsx_batched_purge _),
     "q119_dtsx_correlated_left" -> (q119_dtsx_correlated_left _),
     "q120_dtsx_migration_script" -> (q120_dtsx_migration_script _),
+    "q121_dtsx_trycatch_rollback" -> (q121_dtsx_trycatch_rollback _),
     "q82_orc_roundtrip" -> (q82_orc_roundtrip _),
     "q80_dtsx_cdc_merge" -> (q80_dtsx_cdc_merge _),
     "q79_delete_cascade" -> (q79_delete_cascade _),
@@ -3838,6 +3871,7 @@ object QueriesRelational {
     "q118_dtsx_batched_purge" -> q118Oracle,
     "q119_dtsx_correlated_left" -> q119Oracle,
     "q120_dtsx_migration_script" -> q120Oracle,
+    "q121_dtsx_trycatch_rollback" -> q121Oracle,
     "q82_orc_roundtrip" -> q82Oracle,
     "q80_dtsx_cdc_merge" -> q80Oracle,
     "q79_delete_cascade" -> q79Oracle,

@@ -190,7 +190,9 @@ object MigrationMapping {
           "classes plus the lazy 8672 multi-match guards, forced at each " +
           "statement; pre-failure effects stay staged (T-SQL without " +
           "XACT_ABORT), ERROR_MESSAGE() binds the caught text; a CATCH " +
-          "needing ROLLBACK stays manual review)"),
+          "LEADING with a bare ROLLBACK discards the TRY's staged " +
+          "effects first — the all-or-nothing idiom; any other " +
+          "rollback placement stays manual review)"),
         Nil, signals)
     else if (graft.patterns.IfExistsSqlCompiler.shapeMatches(sql))
       TaskMapping(t.name, "ExecuteSQLTask", "converted", None,

@@ -297,6 +297,32 @@ object ScriptedSqlExecutor {
     * review, never a half-honored transaction. */
   private val rollbackRe = "(?i)\\brollback\\b".r
 
+  /** A bare `ROLLBACK [TRAN[SACTION]]` statement — the only rollback
+    * spelling the executor owns, and only as a CATCH body's FIRST
+    * statement (the all-or-nothing idiom). Savepoint/named rollbacks
+    * stay manual review. */
+  private val bareRollbackRe =
+    "(?is)^\\s*rollback(?:\\s+tran(?:saction)?)?\\s*;?\\s*$".r
+
+  /** Is every ROLLBACK in the text the CATCH-leading bare statement of
+    * this TRY/CATCH match? True enables the owned all-or-nothing form:
+    * a caught abort DISCARDS the TRY's staged effects before the rest
+    * of the CATCH runs. Any other rollback placement keeps the
+    * conditional-undo decline. */
+  private def rollbackOnlyCatchLeading(text: String, msk: String,
+      m: scala.util.matching.Regex.Match): Boolean = {
+    val inTry = rollbackRe.findFirstIn(
+      msk.substring(m.start(1), m.end(1))).isDefined
+    val catchStmts = SqlText.splitBatches(text.substring(m.start(2), m.end(2)))
+      .flatMap(SqlText.splitStatements)
+    val catchRollbacks = catchStmts.zipWithIndex.filter { case (s, _) =>
+      rollbackRe.findFirstIn(UpdateSqlCompiler.masked(s)).isDefined
+    }
+    !inTry && catchRollbacks.forall { case (s, i) =>
+      i == 0 && bareRollbackRe.findFirstMatchIn(s).isDefined
+    }
+  }
+
   // ANCHORED per-statement twins of SqlPatternRewriter's order-blind
   // matchers (deleteTargetRe / truncateTargetRe / insertSelectRe): the
   // routing predicate below must classify exactly the scripts that
@@ -324,11 +350,13 @@ object ScriptedSqlExecutor {
 
   /** Parse-only TRY/CATCH classification (ledger / dry run). */
   private[graft] def tryCatchShape(sqlRaw: String): Boolean = {
-    val msk = UpdateSqlCompiler.masked(SqlText.stripComments(sqlRaw))
-    if (rollbackRe.findFirstIn(msk).isDefined) false
-    else tryCatchRe.findFirstMatchIn(msk).exists(m =>
+    val text = SqlText.stripComments(sqlRaw)
+    val msk = UpdateSqlCompiler.masked(text)
+    tryCatchRe.findFirstMatchIn(msk).exists(m =>
       "(?is)begin\\s+try".r
-        .findFirstIn(msk.substring(m.start(1), m.end(1))).isEmpty)
+        .findFirstIn(msk.substring(m.start(1), m.end(1))).isEmpty &&
+        (rollbackRe.findFirstIn(msk).isEmpty ||
+          rollbackOnlyCatchLeading(text, msk, m)))
   }
 
   /** Parse-only classification twin of the script dispatcher for the
@@ -410,7 +438,8 @@ object ScriptedSqlExecutor {
 
     def script(bound: ExecuteSqlTask,
         stmts0: List[String],
-        catchStmts0: Option[List[String]] = None): Option[SqlOutcome] = {
+        catchStmts0: Option[List[String]] = None,
+        catchRollsBack: Boolean = false): Option[SqlOutcome] = {
       // temp-table references rewrite ONCE, up front, so every statement
       // (and the overlay keys) speak the same overlay-safe names; catch
       // statements share the scope (a CATCH may log via the TRY's temp).
@@ -653,9 +682,23 @@ object ScriptedSqlExecutor {
             catch {
               case e: Exception if caughtMsg(e).isDefined =>
                 // a T-SQL-catchable abort (eager 2714/3701/arity…, or
-                // a forced lazy guard — 8672 multi-match): keep the
-                // pre-failure staged state, run the catch body with
-                // ERROR_MESSAGE() bound
+                // a forced lazy guard — 8672 multi-match). Default:
+                // keep the pre-failure staged state (T-SQL without
+                // XACT_ABORT). With a CATCH-leading ROLLBACK, the
+                // TRY's staged effects are DISCARDED first — the
+                // all-or-nothing idiom: drop the overlay views,
+                // restore anything they shadowed, and reset the
+                // outcome ledger; script @variables persist across a
+                // ROLLBACK exactly as in T-SQL, and @@ROWCOUNT reads 0
+                if (catchRollsBack) {
+                  overlay.keys.foreach(k =>
+                    spark.catalog.dropTempView(k): Unit)
+                  shadowed.foreach { case (k, f) =>
+                    f.createOrReplaceTempView(k) }
+                  overlay.clear()
+                  outcomes.clear()
+                  lastAffected = Some(() => 0L)
+                }
                 runSeq(catchStmts.map(substErrMsg(_, caughtMsg(e).get)),
                   catching = true)
             }
@@ -683,8 +726,16 @@ object ScriptedSqlExecutor {
       val guard = GuardBlockSqlCompiler.rewrite(spark,
         bound.copy(sqlStatement = text), resolveFrame)
       if (guard.isDefined) guard
-      else if (rollbackRe.findFirstIn(UpdateSqlCompiler.masked(text)).isDefined)
-        None // conditional undo is control flow — manual review
+      // conditional undo is control flow — manual review, EXCEPT the
+      // one owned shape: a TRY/CATCH whose CATCH leads with a bare
+      // ROLLBACK (the all-or-nothing + log idiom) — a caught abort
+      // then discards the TRY's staged effects before the rest of the
+      // CATCH runs
+      else if (rollbackRe.findFirstIn(UpdateSqlCompiler.masked(text)).isDefined
+          && !tryCatchRe.findFirstMatchIn(UpdateSqlCompiler.masked(text))
+            .exists(m => rollbackOnlyCatchLeading(text,
+              UpdateSqlCompiler.masked(text), m)))
+        None
       else if (tryCatchRe.findFirstMatchIn(UpdateSqlCompiler.masked(text))
           .isDefined) {
         val msk = UpdateSqlCompiler.masked(text)
@@ -700,8 +751,13 @@ object ScriptedSqlExecutor {
             .map(s => beginTranPrefixRe.replaceFirstIn(s, ""))
             .filterNot(s => txnNoopRe.findFirstMatchIn(s).isDefined)
           val ts = stmtsOf(tryBody)
+          val cs = stmtsOf(catchBody)
+          val rollsBack = cs.headOption
+            .exists(s => bareRollbackRe.findFirstMatchIn(s).isDefined)
           if (ts.isEmpty) Some(SqlOutcome(None, None))
-          else script(bound, ts, Some(stmtsOf(catchBody)))
+          else script(bound, ts,
+            Some(if (rollsBack) cs.tail else cs),
+            catchRollsBack = rollsBack)
         }
       }
       // IF EXISTS with MULTI-statement BEGIN…END branches: probe

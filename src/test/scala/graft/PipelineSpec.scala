@@ -2279,4 +2279,64 @@ class PipelineSpec extends AnyFunSuite {
       graft.ir.Ir.ExecuteSqlTask("t", None, "conn",
         "CREATE INDEX ix_b ON part_dim (band)"), Nil).status === "converted")
   }
+
+  test("TRY/CATCH with CATCH-leading ROLLBACK: all-or-nothing; placements decline") {
+    import spark.implicits._
+    def mkExec(written: scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]) =
+      graft.patterns.ScriptedSqlExecutor.executor(spark,
+        resolveFrame = n => written.getOrElse(n, spark.table(n)),
+        bareName = identity,
+        commit = (k, v) => written(k) = v)
+    def task(sql: String) = graft.ir.Ir.ExecuteSqlTask("rb", None, "conn", sql)
+    def fresh() = {
+      val w = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame](
+        "rbt" -> Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"),
+        "rblog" -> Seq.empty[(String, Long)].toDF("what", "n"))
+      w.foreach { case (k, f) => f.createOrReplaceTempView(k) }
+      w
+    }
+    // the owned shape: TRY stages a real UPDATE, aborts on 2714, the
+    // CATCH-leading ROLLBACK discards the staged effect, the log lands
+    // with @@ROWCOUNT = 0 (reset by the undo)
+    val w = fresh()
+    mkExec(w)(task(
+      "BEGIN TRY BEGIN TRAN; UPDATE rbt SET v = v + 5; " +
+        "SELECT id INTO rbt FROM rbt; COMMIT; END TRY " +
+        "BEGIN CATCH ROLLBACK; " +
+        "INSERT INTO rblog (what, n) VALUES ('undone', @@ROWCOUNT); " +
+        "END CATCH"))
+      .getOrElse(fail("rollback TRY/CATCH did not compile"))
+    assert(w("rbt").orderBy("id").as[(Long, Double)].collect().toList
+      === List((1L, 10.0), (2L, 20.0)), "TRY effects must be discarded")
+    assert(w("rblog").as[(String, Long)].collect().toList
+      === List(("undone", 0L)))
+    // a SUCCESSFUL try never reaches the rollback: effects commit
+    val w2 = fresh()
+    mkExec(w2)(task(
+      "BEGIN TRY BEGIN TRAN; UPDATE rbt SET v = v + 5; COMMIT; END TRY " +
+        "BEGIN CATCH ROLLBACK; " +
+        "INSERT INTO rblog (what, n) VALUES ('undone', 1); END CATCH"))
+      .getOrElse(fail("successful rollback-guarded script did not compile"))
+    assert(w2("rbt").orderBy("id").as[(Long, Double)].collect().toList
+      === List((1L, 15.0), (2L, 25.0)))
+    assert(w2("rblog").count() === 0L)
+    // declines: rollback mid-TRY, rollback NOT leading the catch,
+    // savepoint rollbacks, a bare rollback outside TRY/CATCH
+    for (sql <- Seq(
+      "BEGIN TRY UPDATE rbt SET v = 1; ROLLBACK; END TRY " +
+        "BEGIN CATCH END CATCH",
+      "BEGIN TRY UPDATE rbt SET v = 1; END TRY BEGIN CATCH " +
+        "INSERT INTO rblog (what, n) VALUES ('x', 1); ROLLBACK; END CATCH",
+      "BEGIN TRY UPDATE rbt SET v = 1; END TRY BEGIN CATCH " +
+        "ROLLBACK TRANSACTION sp1; END CATCH",
+      "UPDATE rbt SET v = 1; ROLLBACK"))
+      assert(mkExec(fresh())(task(sql)).isEmpty, s"should decline: $sql")
+    // ledger twin recognizes exactly the owned shape
+    assert(graft.patterns.ScriptedSqlExecutor.tryCatchShape(
+      "BEGIN TRY UPDATE t SET a = 1; END TRY BEGIN CATCH ROLLBACK; " +
+        "INSERT INTO l (m) VALUES ('x'); END CATCH"))
+    assert(!graft.patterns.ScriptedSqlExecutor.tryCatchShape(
+      "BEGIN TRY UPDATE t SET a = 1; ROLLBACK; END TRY " +
+        "BEGIN CATCH END CATCH"))
+  }
 }
