@@ -1803,10 +1803,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(mkExec(scala.collection.mutable.Map.empty)(task(
       "BEGIN TRY EXEC sp_x; END TRY " +
         "BEGIN CATCH INSERT INTO e (m) VALUES ('x'); END CATCH")).isEmpty)
-    // a CATCH needing ROLLBACK stays manual review (global rule)
-    assert(mkExec(scala.collection.mutable.Map.empty)(task(
+    // a CATCH-LEADING bare ROLLBACK is owned since r13 (the
+    // all-or-nothing idiom; the dedicated spec covers the discard
+    // path) — on a SUCCESSFUL try the catch never runs and the
+    // insert commits; non-leading/savepoint placements still decline
+    val wRb = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]()
+    assert(mkExec(wRb)(task(
       "BEGIN TRY INSERT INTO t (k) VALUES (1); END TRY " +
-        "BEGIN CATCH ROLLBACK; END CATCH")).isEmpty)
+        "BEGIN CATCH ROLLBACK; END CATCH")).nonEmpty)
+    assert(wRb.keySet === Set("t"))
     // an empty CATCH swallows the error (T-SQL) — vacuous success with
     // pre-failure state kept
     val w3 = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]()
