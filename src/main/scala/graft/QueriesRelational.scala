@@ -2371,6 +2371,30 @@ object QueriesRelational {
       |UNION ALL
       |SELECT 'log', NULL, NULL, 'rolled_back', 0""".stripMargin
 
+  /** Table-variable staging through the dtsx frontend
+    * (`TableVarETL.dtsx`) — `DECLARE @t TABLE (…)`, the other
+    * session-scoped staging spelling beside `#temp`.
+    * [[graft.patterns.ScriptedSqlExecutor]] reduces table variables to
+    * the temp overlay wholesale (the tempdb-vs-memory distinction is
+    * physical, not relational): the DECLARE becomes the owned
+    * CREATE TABLE form, every `@t` reference rewrites to the overlay
+    * name at masked spans (scalar @variables untouched), and the
+    * variable dies at script end without committing. */
+  def q122_dtsx_table_var(spark: SparkSession, dir: String): DataFrame = {
+    val (w, _) = runDtsxWarehousePackage(spark, dir, "TableVarETL.dtsx")
+    w("hot_mart_tv").select(
+      col("okey").cast(LongType).as("okey"),
+      col("price").cast(DoubleType).as("price"),
+      col("seg").cast(StringType).as("seg"))
+  }
+
+  val q122Oracle: String =
+    """SELECT o_orderkey AS okey,
+      |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+      |  c_mktsegment AS seg
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE o_totalprice > 200000""".stripMargin
+
   /** Explicit GROUPING SETS with grouping_id disambiguation (beyond q24's
     * rollup): two chosen aggregation levels, no intermediate level. */
   def q39_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
@@ -3758,6 +3782,7 @@ object QueriesRelational {
     "q119_dtsx_correlated_left" -> (q119_dtsx_correlated_left _),
     "q120_dtsx_migration_script" -> (q120_dtsx_migration_script _),
     "q121_dtsx_trycatch_rollback" -> (q121_dtsx_trycatch_rollback _),
+    "q122_dtsx_table_var" -> (q122_dtsx_table_var _),
     "q82_orc_roundtrip" -> (q82_orc_roundtrip _),
     "q80_dtsx_cdc_merge" -> (q80_dtsx_cdc_merge _),
     "q79_delete_cascade" -> (q79_delete_cascade _),
@@ -3872,6 +3897,7 @@ object QueriesRelational {
     "q119_dtsx_correlated_left" -> q119Oracle,
     "q120_dtsx_migration_script" -> q120Oracle,
     "q121_dtsx_trycatch_rollback" -> q121Oracle,
+    "q122_dtsx_table_var" -> q122Oracle,
     "q82_orc_roundtrip" -> q82Oracle,
     "q80_dtsx_cdc_merge" -> q80Oracle,
     "q79_delete_cascade" -> q79Oracle,

@@ -127,6 +127,59 @@ object ScriptedSqlExecutor {
     }
   }
 
+  /** `DECLARE @name TABLE (coldefs)` — a whole-statement shape. Table
+    * variables ARE #temps with @-syntax for this replay's purposes
+    * (both are session-scoped relations that die at scope exit; the
+    * tempdb-vs-memory distinction is physical), so [[detv]] reduces
+    * them to the temp machinery wholesale. */
+  private val tableVarDeclRe =
+    "(?is)^\\s*declare\\s+@(\\w+)\\s+table\\s*\\((.+)\\)\\s*;?\\s*$".r
+
+  /** Rewrite table-variable syntax to the temp overlay's: every `@name`
+    * declared as TABLE becomes [[TempPrefix]]`tvar_name` (the extra
+    * `tvar_` segment keeps a same-named `#tvar_x` temp from colliding
+    * — a script carrying both spellings of one name is vanishingly
+    * unlikely and would fail loudly on the 2714 re-create), and the
+    * DECLARE itself becomes the `CREATE TABLE` form the temp-DDL
+    * handler already owns ([[emptyFrameFor]], 2714 parity, never
+    * commits). Scalar @variables are untouched — only names DECLAREd
+    * as TABLE rewrite, at masked spans. Returns the rewritten
+    * statements and the overlay names. */
+  private def detv(ss: List[String]): (List[String], Set[String]) = {
+    val names = ss.flatMap { s =>
+      tableVarDeclRe.findFirstMatchIn(UpdateSqlCompiler.masked(s))
+        .map(m => s.substring(m.start(1), m.end(1)).toLowerCase)
+    }.toSet
+    if (names.isEmpty) (ss, Set.empty)
+    else {
+      val tokRe = "@(\\w+)".r
+      val rewritten = ss.map { s =>
+        val msk = UpdateSqlCompiler.masked(s)
+        val ms = tokRe.findAllMatchIn(msk)
+          .filter(m => names(m.group(1).toLowerCase)).toList
+        if (ms.isEmpty) s
+        else {
+          val sb = new StringBuilder
+          var pos = 0
+          ms.foreach { m =>
+            sb.append(s.substring(pos, m.start))
+            sb.append(TempPrefix + "tvar_" +
+              s.substring(m.start + 1, m.end).toLowerCase)
+            pos = m.end
+          }
+          sb.append(s.substring(pos))
+          sb.toString
+        }
+      }.map { s =>
+        ("(?is)^\\s*declare\\s+(" + TempPrefix + "tvar_\\w+)\\s+table\\s*" +
+          "\\((.+)\\)\\s*;?\\s*$").r.replaceAllIn(s, m =>
+          java.util.regex.Matcher.quoteReplacement(
+            s"CREATE TABLE ${m.group(1)} (${m.group(2)})"))
+      }
+      (rewritten, names.map(n => TempPrefix + "tvar_" + n))
+    }
+  }
+
   /** Substitute every `@@ROWCOUNT` read with the literal `n`, splicing
     * at masked-twin spans (a literal containing "@@ROWCOUNT" is data). */
   private def substRowcount(s: String, n: Long): String = {
@@ -385,9 +438,13 @@ object ScriptedSqlExecutor {
         setAssignRe.findFirstMatchIn(m(s)).isDefined)
     val ddl = stmts.exists(s => AlterTableSqlCompiler.shapeMatches(s) ||
       NoopDdlSqlCompiler.shapeMatches(s))
-    if (!temp && !rc && !sv && !ddl) None
+    val tv = stmts.exists(s =>
+      tableVarDeclRe.findFirstMatchIn(m(s)).isDefined)
+    if (!temp && !rc && !sv && !ddl && !tv) None
     else Some(List(
       if (temp) Some("#temp scope (script-lifetime overlay tables)") else None,
+      if (tv) Some("table variables (reduced to the temp overlay)")
+      else None,
       if (rc) Some("@@ROWCOUNT substitution") else None,
       if (sv) Some("script-scoped scalar @vars (typed-literal binding)")
       else None,
@@ -446,10 +503,15 @@ object ScriptedSqlExecutor {
       // catchStmts0 is an OPTION: Some(Nil) is T-SQL's empty CATCH —
       // it still swallows the error — while None means no CATCH at all
       val (stmts, catchStmts, tempNames) = {
-        val pairs = stmts0.map(detemp)
-        val cPairs = catchStmts0.getOrElse(Nil).map(detemp)
+        // table variables reduce to the temp machinery FIRST (names
+        // collected across try+catch so a CATCH can read the TRY's
+        // table var, like temps), then #temps rewrite
+        val (tvAll, tvNames) = detv(stmts0 ++ catchStmts0.getOrElse(Nil))
+        val (tvStmts, tvCatch) = tvAll.splitAt(stmts0.length)
+        val pairs = tvStmts.map(detemp)
+        val cPairs = tvCatch.map(detemp)
         (pairs.map(_._1), cPairs.map(_._1),
-          (pairs ++ cPairs).flatMap(_._2).toSet)
+          (pairs ++ cPairs).flatMap(_._2).toSet ++ tvNames)
       }
       val overlay = scala.collection.mutable.Map.empty[String, DataFrame]
       // a caller may have registered a same-named temp view BEFORE the

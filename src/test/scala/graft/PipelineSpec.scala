@@ -2344,4 +2344,63 @@ class PipelineSpec extends AnyFunSuite {
       "BEGIN TRY UPDATE t SET a = 1; ROLLBACK; END TRY " +
         "BEGIN CATCH END CATCH"))
   }
+
+  test("table variables reduce to the temp overlay; scope and declines hold") {
+    import spark.implicits._
+    def mkExec(written: scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]) =
+      graft.patterns.ScriptedSqlExecutor.executor(spark,
+        resolveFrame = n => written.getOrElse(n, spark.table(n)),
+        bareName = identity,
+        commit = (k, v) => written(k) = v)
+    def task(sql: String) = graft.ir.Ir.ExecuteSqlTask("tv", None, "conn", sql)
+    def fresh() = {
+      val w = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame](
+        "tsrc" -> Seq((1L, 5.0), (2L, 55.0), (3L, 70.0)).toDF("id", "v"))
+      w.foreach { case (k, f) => f.createOrReplaceTempView(k) }
+      w
+    }
+    // declare -> fill -> join into a real mart; the variable never commits
+    val w = fresh()
+    mkExec(w)(task(
+      "DECLARE @big TABLE (id BIGINT, v FLOAT); " +
+        "INSERT INTO @big SELECT id AS id, v AS v FROM tsrc WHERE v > 50; " +
+        "INSERT INTO tvmart SELECT b.id AS id, b.v AS v FROM @big b"))
+      .getOrElse(fail("table-var script did not compile"))
+    assert(w("tvmart").orderBy("id").as[(Long, Double)].collect().toList
+      === List((2L, 55.0), (3L, 70.0)))
+    assert(!w.keySet.exists(_.contains("tvar")),
+      "the table variable must never commit")
+    // table vars compose with scalar @vars and @@ROWCOUNT
+    val w2 = fresh()
+    mkExec(w2)(task(
+      "DECLARE @cut FLOAT = 50.0; DECLARE @big TABLE (id BIGINT); " +
+        "INSERT INTO @big SELECT id AS id FROM tsrc WHERE v > @cut; " +
+        "INSERT INTO tvlog SELECT COUNT(*) AS n FROM @big"))
+      .getOrElse(fail("mixed scalar/table-var script did not compile"))
+    assert(w2("tvlog").as[Long].head() === 2L)
+    // UPDATE/DELETE on the variable work like temps
+    val w3 = fresh()
+    mkExec(w3)(task(
+      "DECLARE @b TABLE (id BIGINT, v FLOAT); " +
+        "INSERT INTO @b SELECT id AS id, v AS v FROM tsrc; " +
+        "DELETE FROM @b WHERE v < 50; " +
+        "UPDATE @b SET v = 0 WHERE id = 2; " +
+        "INSERT INTO tvmart2 SELECT id AS id, v AS v FROM @b"))
+      .getOrElse(fail("DML on table var did not compile"))
+    assert(w3("tvmart2").orderBy("id").as[(Long, Double)].collect().toList
+      === List((2L, 0.0), (3L, 70.0)))
+    // declines: a mixed scalar+TABLE declare item (T-SQL errors too),
+    // an undeclared table-var reference
+    assert(mkExec(fresh())(task(
+      "DECLARE @a INT, @t TABLE (id INT); " +
+        "INSERT INTO @t SELECT 1 AS id")).isEmpty)
+    assert(mkExec(fresh())(task(
+      "INSERT INTO @nope SELECT id AS id FROM tsrc; " +
+        "INSERT INTO tvmart3 SELECT id AS id FROM @nope")).isEmpty)
+    // ledger twin reports the feature
+    assert(graft.patterns.ScriptedSqlExecutor.scriptFeatures(
+      "DECLARE @b TABLE (id BIGINT); INSERT INTO @b SELECT 1 AS id; " +
+        "INSERT INTO m SELECT id FROM @b")
+      .exists(_.contains("table variables")))
+  }
 }
