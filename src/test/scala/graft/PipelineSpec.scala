@@ -1883,11 +1883,15 @@ class PipelineSpec extends AnyFunSuite {
         "CASE WHEN @maxd > '2024-04-01' THEN 1 ELSE 0 END)")).nonEmpty)
     assert(w2("dlog_dt").as[(java.sql.Date, Int)].head() ===
       (java.sql.Date.valueOf("2024-05-01"), 1))
-    // TABLE variables / unmapped types are state this replay cannot
-    // model — the whole script declines
-    assert(mkExec(scala.collection.mutable.Map.empty)(task(
+    // TABLE variables are OWNED since r13 (reduced to the temp
+    // overlay — the dedicated spec covers them); an unused one is
+    // simply an empty staging that never commits
+    val wTv = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]()
+    assert(mkExec(wTv)(task(
       "DECLARE @t TABLE (id INT); " +
-        "INSERT INTO x_dt (k) VALUES (1)")).isEmpty)
+        "INSERT INTO x_dt (k) VALUES (1)")).nonEmpty)
+    assert(wTv.keySet === Set("x_dt"))
+    // genuinely unmapped scalar types still decline the whole script
     assert(mkExec(scala.collection.mutable.Map.empty)(task(
       "DECLARE @v SQL_VARIANT; " +
         "INSERT INTO x_dt (k) VALUES (1)")).isEmpty)
