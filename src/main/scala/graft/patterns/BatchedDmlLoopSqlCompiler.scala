@@ -79,6 +79,35 @@ object BatchedDmlLoopSqlCompiler {
   private val litCompRe =
     "(?is)^(?:'[^']*'|[+-]?\\d+(?:\\.\\d+)?|null|0x[0-9a-fA-F]+)$".r
 
+  /** Literal equality with T-SQL value semantics, not text semantics:
+    * numerics compare as values (`1.0 = 1` is TRUE in T-SQL, so
+    * `SET c = 1.0 WHERE c = 1` does NOT falsify — textual comparison
+    * would claim it does and compile a fixpoint for a loop the
+    * original never completes), quoted strings compare content
+    * case-insensitively (default collation), 0x binaries by digits.
+    * Cross-shape pairs (a number vs a string) return None — unproven
+    * either way, so both falsification directions decline. */
+  private def litEq(a: String, b: String): Option[Boolean] = {
+    def num(s: String): Option[BigDecimal] =
+      if (s.matches("[+-]?\\d+(?:\\.\\d+)?")) Some(BigDecimal(s)) else None
+    def str(s: String): Option[String] =
+      if (s.length >= 2 && s.head == '\'' && s.last == '\'')
+        Some(s.substring(1, s.length - 1)) else None
+    def hex(s: String): Option[String] =
+      if (s.matches("(?i)0x[0-9a-fA-F]+"))
+        Some(s.drop(2).toLowerCase.dropWhile(_ == '0')) else None
+    (num(a), num(b)) match {
+      case (Some(x), Some(y)) => Some(x == y)
+      case _ => (str(a), str(b)) match {
+        case (Some(x), Some(y)) => Some(x.equalsIgnoreCase(y))
+        case _ => (hex(a), hex(b)) match {
+          case (Some(x), Some(y)) => Some(x == y)
+          case _ => None
+        }
+      }
+    }
+  }
+
   /** Does the WHERE carry a CONJUNCT the assignment `c = rhs`
     * falsifies? Comparisons are LOCATED on the masked twin (a string
     * literal containing "flag = 0" is data, not a predicate) and their
@@ -99,10 +128,10 @@ object BatchedDmlLoopSqlCompiler {
       whereRaw.substring(m.start(1), m.end(1)).trim
     neq.findAllMatchIn(whereMsk).exists(m =>
       litCompRe.pattern.matcher(raw(m)).matches &&
-        raw(m).equalsIgnoreCase(rhsT)) ||
+        litEq(raw(m), rhsT).contains(true)) ||
       eq.findAllMatchIn(whereMsk).exists { m =>
         litCompRe.pattern.matcher(raw(m)).matches &&
-          !raw(m).equalsIgnoreCase(rhsT)
+          litEq(raw(m), rhsT).contains(false)
       } ||
       (isNull.findFirstIn(whereMsk).isDefined &&
         !rhsT.equalsIgnoreCase("null"))

@@ -61,9 +61,21 @@ import scala.util.matching.Regex
   * FETCH PRIOR/ABSOLUTE/RELATIVE, a WHILE predicate other than
   * `@@FETCH_STATUS = 0`, mismatched INTO lists, a second cursor,
   * @variables beyond the FETCH INTO list (a mid-loop accumulator is
-  * genuine iteration state), `SELECT *` cursors (positional INTO
-  * binding needs an explicit item list), INSERT without a column list,
-  * and any text outside the canonical frame. */
+  * genuine iteration state), a cursor SELECT that itself references
+  * preamble @variables (the rewrite drops the DECLAREs, so the emitted
+  * script would carry an unbound @token — classification and execution
+  * must stay aligned), `SELECT *` cursors (positional INTO binding
+  * needs an explicit item list), INSERT without a column list, a body
+  * DML whose TARGET table appears in the cursor SELECT's FROM — unless
+  * the cursor is declared STATIC/INSENSITIVE (snapshot semantics, which
+  * is exactly what the staged rewrite implements) or the body WHERE is
+  * a pure fetch-var key-equality conjunction (self-row mutation, where
+  * a default dynamic cursor and the snapshot agree); a default
+  * forward-only cursor whose body mutates not-yet-fetched rows'
+  * MEMBERSHIP (e.g. `UPDATE t SET flag = 1 WHERE k = @k + 1` over a
+  * cursor filtered on flag) sees its own writes and silently diverges
+  * from the one-scan staging — and any text outside the canonical
+  * frame. */
 object CursorLoopSqlCompiler {
 
   /** Staged cursor rows live one script — tempdb session-scope parity. */
@@ -113,6 +125,17 @@ object CursorLoopSqlCompiler {
           .map(i => s"__s.__gc$i").getOrElse(m.matched))
     }.mkString
 
+  /** A WHERE that is a pure conjunction of `col = @var` / `@var = col`
+    * terms — the self-row shape where a default dynamic cursor and the
+    * staged snapshot provably agree: the mutated row is exactly the
+    * fetched row, so no OTHER row's pred-set membership can change.
+    * Checked on the masked twin; any parenthesis, OR, or non-equality
+    * comparison fails the per-conjunct regex and declines. */
+  private def pureKeyEquality(whereMsk: String): Boolean =
+    whereMsk.split("(?i)\\band\\b").forall(c =>
+      c.trim.matches("(?is)[\\w.\\[\\]]+\\s*=\\s*@\\w+") ||
+        c.trim.matches("(?is)@\\w+\\s*=\\s*[\\w.\\[\\]]+"))
+
   /** Strip a top-level trailing `AS alias` / bare `ident alias` from a
     * select item — the rewrite re-aliases every item positionally. */
   private def stripAlias(item: String): String = {
@@ -161,6 +184,14 @@ object CursorLoopSqlCompiler {
     if (selStmts.length != 1) return None
     val select = selStmts.head
     val selMsk = UpdateSqlCompiler.masked(select)
+    // the cursor SELECT must be variable-free: the rewrite drops the
+    // preamble DECLAREs, so a @reference here would reach the emitted
+    // script unbound — ScriptedSqlExecutor would decline AFTER the
+    // mapping already said "converted" (ledger/execution mismatch)
+    if (scalarVarRe.findFirstIn(selMsk).isDefined) return None
+    // snapshot-vs-dynamic adjudication needs the declared options
+    val staticCursor = "(?i)\\b(static|insensitive)\\b".r
+      .findFirstIn(msk.substring(declM.start, declM.end)).isDefined
     val headM = "(?is)^select\\s+(distinct\\s+)?".r
       .findPrefixMatchOf(select).getOrElse(return None)
     val distinct = headM.group(1) != null
@@ -236,23 +267,43 @@ object CursorLoopSqlCompiler {
       }.mkString(", ") + s" INTO $TempName $selTail"
 
     def g(m: Regex.Match, i: Int): String = b.substring(m.start(i), m.end(i))
+    def gm(m: Regex.Match, i: Int): String = bMsk.substring(m.start(i), m.end(i))
     def clauseOk(c: String): Boolean =
       !MergeSqlCompiler.bodyDisqualified(c, bodyKeywordRe)
-    val dml: Option[String] = updBodyRe.findFirstMatchIn(bMsk).map { m =>
-      (g(m, 1), g(m, 2), g(m, 3))
-    }.collect { case (tgt, sets, where) if clauseOk(sets) && clauseOk(where) =>
-      s"UPDATE __t SET ${substVars(sets, vIdx)} FROM $tgt __t " +
-        s"INNER JOIN $TempName __s ON ${substVars(where, vIdx)}"
+    // a body DML whose TARGET appears in the cursor's FROM sees its own
+    // writes under default (dynamic / forward-only) cursor semantics —
+    // mutating a not-yet-fetched row's membership diverges from the
+    // one-scan staging. Snapshot cursors (STATIC/INSENSITIVE) and pure
+    // self-row key-equality bodies provably agree; everything else
+    // declines. INSERT gets no WHERE exemption: appending into the
+    // cursor's source under a dynamic cursor can even loop forever.
+    val selFromMsk = selMsk.substring(fromM.start)
+    def sourceSafe(tgt: String, whereMskOpt: Option[String]): Boolean = {
+      val bare = tgt.split('.').last.replaceAll("[\\[\\]]", "")
+      val inFrom = ("(?i)\\b" + q(bare) + "\\b").r
+        .findFirstIn(selFromMsk).isDefined
+      !inFrom || staticCursor || whereMskOpt.exists(pureKeyEquality)
+    }
+    val dml: Option[String] = updBodyRe.findFirstMatchIn(bMsk).flatMap { m =>
+      val (tgt, sets, where) = (g(m, 1), g(m, 2), g(m, 3))
+      if (clauseOk(sets) && clauseOk(where) && sourceSafe(tgt, Some(gm(m, 3))))
+        Some(s"UPDATE __t SET ${substVars(sets, vIdx)} FROM $tgt __t " +
+          s"INNER JOIN $TempName __s ON ${substVars(where, vIdx)}")
+      else None
     }.orElse {
-      delBodyRe.findFirstMatchIn(bMsk).map(m => (g(m, 1), g(m, 2)))
-        .collect { case (tgt, where) if clauseOk(where) =>
-          s"DELETE __t FROM $tgt __t INNER JOIN $TempName __s " +
-            s"ON ${substVars(where, vIdx)}"
-        }
+      delBodyRe.findFirstMatchIn(bMsk).flatMap { m =>
+        val (tgt, where) = (g(m, 1), g(m, 2))
+        if (clauseOk(where) && sourceSafe(tgt, Some(gm(m, 2))))
+          Some(s"DELETE __t FROM $tgt __t INNER JOIN $TempName __s " +
+            s"ON ${substVars(where, vIdx)}")
+        else None
+      }
     }.orElse {
-      insBodyRe.findFirstMatchIn(bMsk).map(m => (g(m, 1), g(m, 2), g(m, 3)))
-        .collect { case (tgt, colList, vals)
-            if clauseOk(vals) && colList.trim.nonEmpty =>
+      insBodyRe.findFirstMatchIn(bMsk).flatMap { m =>
+        val (tgt, colList, vals) = (g(m, 1), g(m, 2), g(m, 3))
+        if (!clauseOk(vals) || colList.trim.isEmpty ||
+          !sourceSafe(tgt, None)) None
+        else {
           val cols = MergeSqlCompiler.splitTop(colList)
           val exprs = MergeSqlCompiler.splitTop(vals)
           if (cols.size != exprs.size ||
@@ -261,7 +312,8 @@ object CursorLoopSqlCompiler {
             exprs.zip(cols).map { case (v, c) =>
               s"${substVars(v, vIdx)} AS $c"
             }.mkString(", ") + s" FROM $TempName __s")
-        }.flatten
+        }
+      }
     }
     dml.map(d => List(selInto, d))
   }

@@ -25,15 +25,20 @@ import graft.pipeline.PackageRunner.SqlOutcome
   * bit-identical either way, which is what the oracle gates certify.
   * @@ROWCOUNT after DDL is 0, matching the ALTER convention.
   *
-  * Deliberately NOT no-op'd: CREATE/DROP TABLE (relational content),
-  * CREATE STATISTICS with a filter (could mask an authoring error in
-  * review), index rebuild/reorganize ALTER INDEX forms (they name no
-  * schema change but a decline surfaces them in the conversion ledger
-  * where an operator can delete them consciously). */
+  * Deliberately NOT no-op'd: CREATE UNIQUE INDEX (a unique index is a
+  * relational CONSTRAINT, not physical tuning — T-SQL errors at
+  * creation on existing duplicates and rejects later duplicate
+  * inserts, so dropping it silently changes semantics; it declines
+  * like AlterTableSqlCompiler's PRIMARY KEY forms), CREATE/DROP TABLE
+  * (relational content), CREATE STATISTICS with a filter (could mask
+  * an authoring error in review), index rebuild/reorganize ALTER
+  * INDEX forms (they name no schema change but a decline surfaces
+  * them in the conversion ledger where an operator can delete them
+  * consciously). */
 object NoopDdlSqlCompiler {
 
   private val createIndexRe =
-    ("(?is)^\\s*create\\s+(?:unique\\s+)?(?:clustered\\s+|nonclustered\\s+)?" +
+    ("(?is)^\\s*create\\s+(?:clustered\\s+|nonclustered\\s+)?" +
       "index\\s+\\w+\\s+on\\s+[^\\s;(]+\\s*\\([^)]*\\)\\s*" +
       "(?:include\\s*\\([^)]*\\)\\s*)?" +
       "(?:where\\s+[^;]+?\\s*)?" +

@@ -357,11 +357,41 @@ object ScriptedSqlExecutor {
   private val bareRollbackRe =
     "(?is)^\\s*rollback(?:\\s+tran(?:saction)?)?\\s*;?\\s*$".r
 
+  private val beginTranStmtRe =
+    "(?is)^\\s*begin\\s+tran(?:saction)?(?:\\s+\\w+)?\\s*$".r
+  private val commitStmtRe =
+    "(?is)^\\s*commit(?:\\s+tran(?:saction)?(?:\\s+\\w+)?)?\\s*$".r
+
+  /** Does the TRY's transaction bracket EVERY TRY effect? The
+    * all-or-nothing replay is sound ONLY then: in T-SQL a ROLLBACK
+    * with no open transaction raises error 3903 (effects persist and
+    * the rest of the CATCH is skipped), and statements before a
+    * mid-TRY BEGIN TRAN are already committed — both diverge silently
+    * from a whole-TRY discard. Checked on the RAW statement list
+    * (before the txnNoop filter strips the very statements at issue):
+    * the TRY must LEAD with BEGIN TRAN (bare first statement, or
+    * fused onto it), open no second transaction, and COMMIT at most
+    * once and only as its last statement. */
+  private def tranBracketsTryBody(tryBody: String): Boolean = {
+    val raw = SqlText.splitBatches(tryBody).flatMap(SqlText.splitStatements)
+    def isBeginTran(s: String) =
+      beginTranStmtRe.findFirstMatchIn(s).isDefined ||
+        beginTranPrefixRe.findFirstMatchIn(s).isDefined
+    raw.headOption.exists(isBeginTran) &&
+      !raw.tail.exists(isBeginTran) && {
+        val commits = raw.zipWithIndex.filter { case (s, _) =>
+          commitStmtRe.findFirstMatchIn(s).isDefined }
+        commits.isEmpty ||
+          (commits.size == 1 && commits.head._2 == raw.size - 1)
+      }
+  }
+
   /** Is every ROLLBACK in the text the CATCH-leading bare statement of
-    * this TRY/CATCH match? True enables the owned all-or-nothing form:
-    * a caught abort DISCARDS the TRY's staged effects before the rest
-    * of the CATCH runs. Any other rollback placement keeps the
-    * conditional-undo decline. */
+    * this TRY/CATCH match, with the TRY's transaction bracketing every
+    * TRY effect ([[tranBracketsTryBody]])? True enables the owned
+    * all-or-nothing form: a caught abort DISCARDS the TRY's staged
+    * effects before the rest of the CATCH runs. Any other rollback or
+    * BEGIN TRAN placement keeps the conditional-undo decline. */
   private def rollbackOnlyCatchLeading(text: String, msk: String,
       m: scala.util.matching.Regex.Match): Boolean = {
     val inTry = rollbackRe.findFirstIn(
@@ -373,7 +403,8 @@ object ScriptedSqlExecutor {
     }
     !inTry && catchRollbacks.forall { case (s, i) =>
       i == 0 && bareRollbackRe.findFirstMatchIn(s).isDefined
-    }
+    } && (catchRollbacks.isEmpty ||
+      tranBracketsTryBody(text.substring(m.start(1), m.end(1))))
   }
 
   // ANCHORED per-statement twins of SqlPatternRewriter's order-blind
@@ -816,7 +847,12 @@ object ScriptedSqlExecutor {
           val cs = stmtsOf(catchBody)
           val rollsBack = cs.headOption
             .exists(s => bareRollbackRe.findFirstMatchIn(s).isDefined)
-          if (ts.isEmpty) Some(SqlOutcome(None, None))
+          // the all-or-nothing replay is sound ONLY when the TRY's
+          // transaction brackets every TRY effect (see
+          // tranBracketsTryBody) — other placements decline to manual
+          // review like any other rollback
+          if (rollsBack && !tranBracketsTryBody(tryBody)) None
+          else if (ts.isEmpty) Some(SqlOutcome(None, None))
           else script(bound, ts,
             Some(if (rollsBack) cs.tail else cs),
             catchRollsBack = rollsBack)

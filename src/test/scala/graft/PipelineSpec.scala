@@ -1805,13 +1805,20 @@ class PipelineSpec extends AnyFunSuite {
         "BEGIN CATCH INSERT INTO e (m) VALUES ('x'); END CATCH")).isEmpty)
     // a CATCH-LEADING bare ROLLBACK is owned since r13 (the
     // all-or-nothing idiom; the dedicated spec covers the discard
-    // path) — on a SUCCESSFUL try the catch never runs and the
-    // insert commits; non-leading/savepoint placements still decline
+    // path) — but ONLY when the TRY's transaction brackets every TRY
+    // effect (leads with BEGIN TRAN): on a SUCCESSFUL try the catch
+    // never runs and the insert commits
     val wRb = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]()
     assert(mkExec(wRb)(task(
-      "BEGIN TRY INSERT INTO t (k) VALUES (1); END TRY " +
-        "BEGIN CATCH ROLLBACK; END CATCH")).nonEmpty)
+      "BEGIN TRY BEGIN TRAN; INSERT INTO t (k) VALUES (1); COMMIT; " +
+        "END TRY BEGIN CATCH ROLLBACK; END CATCH")).nonEmpty)
     assert(wRb.keySet === Set("t"))
+    // without a leading BEGIN TRAN the same shape declines: in T-SQL
+    // the CATCH's ROLLBACK would raise 3903 and the TRY's effects
+    // would persist — not the all-or-nothing this replay implements
+    assert(mkExec(scala.collection.mutable.Map.empty)(task(
+      "BEGIN TRY INSERT INTO t (k) VALUES (1); END TRY " +
+        "BEGIN CATCH ROLLBACK; END CATCH")).isEmpty)
     // an empty CATCH swallows the error (T-SQL) — vacuous success with
     // pre-failure state kept
     val w3 = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]()
@@ -2092,8 +2099,43 @@ class PipelineSpec extends AnyFunSuite {
       // non-canonical WHILE predicate
       loop("@i INT", "SELECT id FROM csrc", "@i",
         "DELETE FROM ctgt WHERE id = @i")
-        .replace("@@FETCH_STATUS = 0", "@@FETCH_STATUS <> -1")))
+        .replace("@@FETCH_STATUS = 0", "@@FETCH_STATUS <> -1"),
+      // the cursor SELECT references a preamble @variable: the rewrite
+      // drops the DECLAREs, so the staged script would carry an
+      // unbound token — decline keeps ledger and execution aligned
+      loop("@i INT, @minv FLOAT", "SELECT id FROM csrc WHERE v > @minv",
+        "@i", "DELETE FROM ctgt WHERE id = @i"),
+      // a DEFAULT (dynamic) cursor whose body mutates OTHER rows of
+      // its own source: the loop sees its writes, the snapshot rewrite
+      // does not — silent divergence, so it declines
+      loop("@i INT", "SELECT id FROM csrc WHERE v < 50", "@i",
+        "UPDATE csrc SET v = 99 WHERE id = @i + 1"),
+      // appending into the cursor's own source under a dynamic cursor
+      // (can even loop forever in T-SQL)
+      loop("@i INT", "SELECT id FROM csrc", "@i",
+        "INSERT INTO csrc (id, v) VALUES (@i + 100, 0)")))
       assert(mkExec(w5)(task(sql)).isEmpty, s"should decline: $sql")
+    // ...but a STATIC cursor snapshots at OPEN — exactly what the
+    // staged rewrite implements — so source-mutating bodies compile
+    val w6 = fresh()
+    mkExec(w6)(task(
+      "DECLARE @i INT; DECLARE c INSENSITIVE CURSOR FOR " +
+        "SELECT id FROM csrc WHERE v < 50; OPEN c; " +
+        "FETCH NEXT FROM c INTO @i; WHILE @@FETCH_STATUS = 0 BEGIN " +
+        "UPDATE csrc SET v = 99 WHERE id = @i + 1; " +
+        "FETCH NEXT FROM c INTO @i; END; CLOSE c; DEALLOCATE c;"))
+      .getOrElse(fail("STATIC cursor with source-mutating body should compile"))
+    assert(w6("csrc").orderBy("id").as[(Long, Double)].collect().toList
+      === List((1L, 10.0), (2L, 99.0), (3L, 99.0)))
+    // ...and a pure fetch-var key-equality body is SELF-ROW mutation,
+    // where dynamic and snapshot semantics provably agree
+    val w7 = fresh()
+    mkExec(w7)(task(loop("@i INT",
+      "SELECT id FROM csrc WHERE v < 50", "@i",
+      "UPDATE csrc SET v = 0 WHERE id = @i")))
+      .getOrElse(fail("self-row key-equality cursor should compile"))
+    assert(w7("csrc").orderBy("id").as[(Long, Double)].collect().toList
+      === List((1L, 0.0), (2L, 0.0), (3L, 90.0)))
     // nothing committed by the declined scripts
     assert(w5("ctgt").count() === 3L)
     // a TOP cursor keeps its ORDER BY (row-selecting, not cosmetic)
@@ -2153,6 +2195,19 @@ class PipelineSpec extends AnyFunSuite {
     // comparison must still see them as different (no false proof)
     assert(graft.patterns.BatchedDmlLoopSqlCompiler.rewriteToStatement(loop(
       "UPDATE TOP (5) bpt SET st = 'X' WHERE st <> 'Y'")).isEmpty)
+    // numeric literals compare as VALUES, not text: 1.0 = 1 stays true
+    // in T-SQL, so `SET v = 1.0 WHERE v = 1` never terminates — the
+    // textual difference must not count as a falsification proof
+    assert(graft.patterns.BatchedDmlLoopSqlCompiler.rewriteToStatement(loop(
+      "UPDATE TOP (5) bpt SET v = 1.0 WHERE v = 1")).isEmpty)
+    assert(graft.patterns.BatchedDmlLoopSqlCompiler.rewriteToStatement(loop(
+      "UPDATE TOP (5) bpt SET flg = 01 WHERE flg = 1")).isEmpty)
+    // ...and value-equality across spellings DOES prove the <> form
+    assert(graft.patterns.BatchedDmlLoopSqlCompiler.rewriteToStatement(loop(
+      "UPDATE TOP (5) bpt SET v = 1.0 WHERE v <> 1")).isDefined)
+    // cross-shape comparands (number vs string) prove nothing either way
+    assert(graft.patterns.BatchedDmlLoopSqlCompiler.rewriteToStatement(loop(
+      "UPDATE TOP (5) bpt SET st = '1' WHERE st = 1")).isEmpty)
     // declines, never a guess
     for (sql <- Seq(
       // UPDATE whose batches do not provably shrink the pred-set
@@ -2262,7 +2317,7 @@ class PipelineSpec extends AnyFunSuite {
     def task(sql: String) = graft.ir.Ir.ExecuteSqlTask("nd", None, "conn", sql)
     for (sql <- Seq(
       "CREATE INDEX ix ON t (a, b)",
-      "CREATE UNIQUE CLUSTERED INDEX ix ON dbo.t (a)",
+      "CREATE CLUSTERED INDEX ix ON dbo.t (a)",
       "CREATE NONCLUSTERED INDEX ix ON t (a) INCLUDE (b, c)",
       "CREATE INDEX ix ON t (a) WHERE a > 0 WITH (FILLFACTOR = 80)",
       "DROP INDEX ix ON t",
@@ -2274,10 +2329,15 @@ class PipelineSpec extends AnyFunSuite {
       assert(out.df.isEmpty && out.target.isEmpty)
       assert(out.affected.get.apply() === 0L)
     }
-    // NOT swallowed: relational DDL, rebuilds, bare UPDATEs
+    // NOT swallowed: relational DDL, rebuilds, bare UPDATEs — and
+    // UNIQUE indexes, which are a relational CONSTRAINT (T-SQL errors
+    // at creation on existing duplicates and rejects later duplicate
+    // inserts; no-op'ing would silently drop both)
     for (sql <- Seq(
       "CREATE TABLE t (a INT)",
       "DROP TABLE t",
+      "CREATE UNIQUE INDEX ix ON t (a)",
+      "CREATE UNIQUE CLUSTERED INDEX ix ON dbo.t (a)",
       "ALTER INDEX ix ON t REBUILD",
       "UPDATE t SET a = 1",
       "CREATE INDEX ix ON t (a); DELETE FROM t"))
@@ -2330,23 +2390,56 @@ class PipelineSpec extends AnyFunSuite {
       === List((1L, 15.0), (2L, 25.0)))
     assert(w2("rblog").count() === 0L)
     // declines: rollback mid-TRY, rollback NOT leading the catch,
-    // savepoint rollbacks, a bare rollback outside TRY/CATCH
+    // savepoint rollbacks, a bare rollback outside TRY/CATCH — and
+    // rollbacks whose TRY transaction does NOT bracket every effect:
+    // no BEGIN TRAN at all (T-SQL ROLLBACK raises 3903, effects
+    // persist), a mid-TRY BEGIN TRAN (statements before it are
+    // already committed), a mid-TRY COMMIT with statements after it
+    // (the txn is closed when the later statement fails)
     for (sql <- Seq(
-      "BEGIN TRY UPDATE rbt SET v = 1; ROLLBACK; END TRY " +
-        "BEGIN CATCH END CATCH",
-      "BEGIN TRY UPDATE rbt SET v = 1; END TRY BEGIN CATCH " +
+      "BEGIN TRY BEGIN TRAN; UPDATE rbt SET v = 1; ROLLBACK; COMMIT; " +
+        "END TRY BEGIN CATCH END CATCH",
+      "BEGIN TRY BEGIN TRAN; UPDATE rbt SET v = 1; COMMIT; END TRY " +
+        "BEGIN CATCH " +
         "INSERT INTO rblog (what, n) VALUES ('x', 1); ROLLBACK; END CATCH",
-      "BEGIN TRY UPDATE rbt SET v = 1; END TRY BEGIN CATCH " +
-        "ROLLBACK TRANSACTION sp1; END CATCH",
-      "UPDATE rbt SET v = 1; ROLLBACK"))
+      "BEGIN TRY BEGIN TRAN; UPDATE rbt SET v = 1; COMMIT; END TRY " +
+        "BEGIN CATCH ROLLBACK TRANSACTION sp1; END CATCH",
+      "UPDATE rbt SET v = 1; ROLLBACK",
+      // no BEGIN TRAN anywhere in the TRY
+      "BEGIN TRY UPDATE rbt SET v = 1; END TRY " +
+        "BEGIN CATCH ROLLBACK; END CATCH",
+      // mid-TRY BEGIN TRAN: the first UPDATE is already committed
+      "BEGIN TRY UPDATE rbt SET v = 1; BEGIN TRAN; " +
+        "UPDATE rbt SET v = 2; COMMIT; END TRY " +
+        "BEGIN CATCH ROLLBACK; END CATCH",
+      // mid-TRY COMMIT with a statement after it: txn closed at fail
+      "BEGIN TRY BEGIN TRAN; UPDATE rbt SET v = 1; COMMIT; " +
+        "UPDATE rbt SET v = 2; END TRY " +
+        "BEGIN CATCH ROLLBACK; END CATCH",
+      // a second BEGIN TRAN inside the TRY
+      "BEGIN TRY BEGIN TRAN; UPDATE rbt SET v = 1; BEGIN TRAN; " +
+        "UPDATE rbt SET v = 2; END TRY BEGIN CATCH ROLLBACK; END CATCH"))
       assert(mkExec(fresh())(task(sql)).isEmpty, s"should decline: $sql")
-    // ledger twin recognizes exactly the owned shape
+    // ledger twin recognizes exactly the owned shape (including the
+    // BEGIN-TRAN-brackets-the-TRY requirement)
     assert(graft.patterns.ScriptedSqlExecutor.tryCatchShape(
+      "BEGIN TRY BEGIN TRAN; UPDATE t SET a = 1; COMMIT; END TRY " +
+        "BEGIN CATCH ROLLBACK; " +
+        "INSERT INTO l (m) VALUES ('x'); END CATCH"))
+    // a fused BEGIN TRAN prefix on the first statement also brackets
+    assert(graft.patterns.ScriptedSqlExecutor.tryCatchShape(
+      "BEGIN TRY BEGIN TRAN UPDATE t SET a = 1; END TRY " +
+        "BEGIN CATCH ROLLBACK; END CATCH"))
+    assert(!graft.patterns.ScriptedSqlExecutor.tryCatchShape(
       "BEGIN TRY UPDATE t SET a = 1; END TRY BEGIN CATCH ROLLBACK; " +
         "INSERT INTO l (m) VALUES ('x'); END CATCH"))
     assert(!graft.patterns.ScriptedSqlExecutor.tryCatchShape(
-      "BEGIN TRY UPDATE t SET a = 1; ROLLBACK; END TRY " +
+      "BEGIN TRY BEGIN TRAN; UPDATE t SET a = 1; ROLLBACK; END TRY " +
         "BEGIN CATCH END CATCH"))
+    // no-rollback CATCHes are untouched by the bracket rule
+    assert(graft.patterns.ScriptedSqlExecutor.tryCatchShape(
+      "BEGIN TRY UPDATE t SET a = 1; END TRY BEGIN CATCH " +
+        "INSERT INTO l (m) VALUES ('x'); END CATCH"))
   }
 
   test("table variables reduce to the temp overlay; scope and declines hold") {
