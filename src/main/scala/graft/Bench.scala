@@ -39,7 +39,7 @@ object Bench {
     // regression gate untrustworthy; the median is the reported figure,
     // the min is the best-observed floor. Caveat for queries with
     // persistent staging (q50, x38 via stagedLshScoredPairs, x48, and
-    // x108/x111 via stagedAdcTop5/stagedExactTop5): iteration 1 may pay
+    // x108/x111 via stagedAdcTopK/stagedExactTop5): iteration 1 may pay
     // the staging build,
     // iterations 2+ hit the session-catalog/on-disk reuse path, so the
     // MEDIAN reports the warm (reuse) cost — the steady-state figure;

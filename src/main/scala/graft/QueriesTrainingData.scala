@@ -5389,17 +5389,13 @@ object QueriesTrainingData {
     res
   }
 
-  /** The un-checkpointed x107 (ranked frame + the tf-table cache),
-    * exposed for PlanShapeSpec's broadcast/TakeOrdered pins. */
+  /** The un-checkpointed x107 (ranked frame; the caches seq is empty
+    * since the tf table moved behind [[stagedBigramTf]]), exposed for
+    * PlanShapeSpec's broadcast/TakeOrdered pins. */
   private[graft] def sparseRetrievalRanked(spark: SparkSession,
       dir: String): (DataFrame, Seq[DataFrame]) = {
     import org.apache.spark.sql.expressions.Window
-    val tf = documents(spark, dir)
-      .select(col("doc_id"),
-        explode(TextOps.ngrams(TextOps.tokens(col("text")), 2)).as("term"))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-      .cache()
+    val tf = stagedBigramTf(spark, dir)
     val dfx = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // deterministic probe set: heaviest discriminative terms — a
     // TakeOrdered over the vocab-sized df table (the x65 pattern)
@@ -5428,7 +5424,7 @@ object QueriesTrainingData {
       .filter(col("rnk") <= 10)
       .select(col("query_term"), col("rnk").cast(IntegerType).as("rnk"),
         col("doc_id"), col("w").as("score"))
-    (ranked, Seq(tf))
+    (ranked, Seq.empty)
   }
 
   val x107Oracle: String =
@@ -5482,7 +5478,7 @@ object QueriesTrainingData {
     * ADC scan is the honest PQ cost a deployment bounds by composing
     * with IVF cell pruning (IVF-PQ). */
   def x108_pq_ann(spark: SparkSession, dir: String): DataFrame =
-    stagedAdcTop5(spark, dir, "m32_d2_k64", 32, 2, 64)
+    stagedAdcTopK(spark, dir, "m32_d2_k64", 32, 2, 64)
       .filter(col("rank") <= 5)
 
   /** Content-keyed staging of one PQ config's ADC top-k (the x48/x38
@@ -5490,14 +5486,14 @@ object QueriesTrainingData {
     * bucketed artifact afterwards. The fine m32 config stages the ADC
     * top-100 — the single deepest consumer (x121's re-rank candidate
     * pool) sets the staged depth, and every shallower consumer (x108's
-    * top-5, x111's fine frontier leg, x120's dense leg) is a rank
-    * filter over the SAME table: the ADC ranking is deterministic
-    * (adc_dist, neighbor_id), so a prefix of the top-100 IS the top-5.
-    * The coarser frontier configs stage at 5 (no deeper consumer). A
-    * tuning rerun costs a scan, not a pipeline; the stale-cleanup
-    * prefix carries the config tag + depth so sibling stagings never
-    * evict each other. */
-  private def stagedAdcTop5(spark: SparkSession, dir: String, tag: String,
+    * top-5, x111's fine frontier leg, x113's dense retrieval leg at
+    * 10, x120's dense leg) is a rank filter over the SAME table: the
+    * ADC ranking is deterministic (adc_dist, neighbor_id), so a prefix
+    * of the top-100 IS the top-5/top-10. The coarser frontier configs
+    * stage at 5 (no deeper consumer). A tuning rerun costs a scan, not
+    * a pipeline; the stale-cleanup prefix carries the config tag +
+    * depth so sibling stagings never evict each other. */
+  private def stagedAdcTopK(spark: SparkSession, dir: String, tag: String,
       m: Int, sd: Int, ncw: Int): DataFrame = {
     val k = if (tag == "m32_d2_k64") 100 else 5
     val key = s"${tag}_k${k}_" +
@@ -5549,6 +5545,79 @@ object QueriesTrainingData {
     graft.ops.Bucketing.ensureStaged(spark, build,
       s"graft_exact_top5_$key",
       new java.io.File(stage, "top5").getAbsolutePath, 4, "query_id")
+  }
+
+  /** Content-keyed staging of the bigram term-frequency table
+    * `(doc_id, term, tf)` — the inverted-index build every sparse
+    * retrieval consumer shares (x107's BM25, x113's sparse leg,
+    * x120's ablation sparse leg). Tokenize + explode + count runs
+    * ONCE per corpus; afterwards each consumer reads the bucketed
+    * artifact. Bucketed and sorted by `term`: the per-term statistics
+    * (df) and the query-term candidate join both key on term, so they
+    * ride the bucket layout instead of re-shuffling the exploded
+    * corpus. At 100 TB this is the "build the index once, query it
+    * many times" lifecycle of a production retrieval stack — the
+    * explode alone multiplies the corpus by the mean bigram count,
+    * the single most expensive map in this plane. */
+  private[graft] def stagedBigramTf(spark: SparkSession,
+      dir: String): DataFrame = {
+    val key = "bigramtf_" +
+      graft.ops.Bucketing.datasetKey(dir, Seq("documents.parquet"))
+    val stage = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_bigramtf_$key")
+    graft.ops.Bucketing.cleanupStale(stage.getParentFile, dir, stage.getName,
+      prefix = "graft_bigramtf_")
+    graft.ops.Bucketing.writeSourceMarker(stage, dir)
+    def build: DataFrame = documents(spark, dir)
+      .select(col("doc_id"),
+        explode(TextOps.ngrams(TextOps.tokens(col("text")), 2)).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    graft.ops.Bucketing.ensureStaged(spark, build,
+      s"graft_bigram_tf_$key",
+      new java.io.File(stage, "tf").getAbsolutePath, 4, "term")
+  }
+
+  /** The shared doc-to-doc BM25 sparse leg over [[stagedBigramTf]]
+    * (x113 consumes k = 10, x120 k = 5): query docs (doc_id < 10)
+    * probe their own df-banded discriminative bigrams (2 ≤ df ≤ 32,
+    * so candidates stay ≤ 32 docs/term at ANY corpus size), each
+    * candidate scores the bit-identical IEEE BM25 chain QUANTIZED to
+    * the 1e-6 integer grid with floor(x+0.5) (the x37 convention) so
+    * the cross-term sum is order-blind exact integers, and ranks
+    * tie-break on doc_id. Output: (query_id, doc_id, r_sparse ≤ k). */
+  private[graft] def bm25SparseTopK(spark: SparkSession, dir: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = stagedBigramTf(spark, dir)
+    val dfx = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= 32)
+    val lens = tf.groupBy(col("doc_id"))
+      .agg((lit(1L) + sum(col("tf"))).as("len"))
+    val stats = lens.agg(count(lit(1)).as("nd"),
+      (sum(col("len")).cast(DoubleType) / count(lit(1))).as("avgdl"))
+    val qterms = tf.filter(col("doc_id") < 10)
+      .join(dfx, Seq("term"))
+      .select(col("doc_id").as("query_id"), col("term"), col("df"))
+    val idf = ((col("nd").cast(DoubleType) - col("df").cast(DoubleType))
+      + lit(0.5)) / (col("df").cast(DoubleType) + lit(0.5))
+    val sat = (col("tf").cast(DoubleType) * lit(2.2)) /
+      (col("tf").cast(DoubleType) + lit(1.2) *
+        (lit(0.25) + lit(0.75) * (col("len").cast(DoubleType) / col("avgdl"))))
+    tf.join(qterms, Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      // 1e-6-grid integer weight: the cross-term sum stays exact
+      .withColumn("w_int",
+        floor((idf * sat) * lit(1000000.0) + lit(0.5)).cast(LongType))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("w_int")).as("s_sparse"))
+      .withColumn("r_sparse", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("s_sparse").desc, col("doc_id"))))
+      .filter(col("r_sparse") <= k)
+      .select(col("query_id"), col("doc_id"), col("r_sparse"))
   }
 
   val x108Oracle: String =
@@ -5799,14 +5868,14 @@ object QueriesTrainingData {
     // every leg reads content-keyed staging: the exact ground truth is
     // the shared [[stagedExactTop5]] artifact (the same |Q|×N ranking
     // the x108 recall audit scores against), and each config's ADC
-    // top-5 stages through [[stagedAdcTop5]] — the fine config IS
+    // top-5 stages through [[stagedAdcTopK]] — the fine config IS
     // x108's artifact, so in a sweep where x108 already ran this
     // frontier pays two small pipelines and three scans, not three
     // pipelines plus a cross ranking
     val exact = stagedExactTop5(spark, dir)
     val nExact = exact.count()
     val rows = pqFrontierConfigs.map { case (tag, m, sd, ncw, bytes) =>
-      val top = stagedAdcTop5(spark, dir, tag, m, sd, ncw)
+      val top = stagedAdcTopK(spark, dir, tag, m, sd, ncw)
         .filter(col("rank") <= 5) // m32 stages top-100 for x121's pool
         .select(col("query_id"), col("neighbor_id"))
       val hits = top.join(exact, Seq("query_id", "neighbor_id")).count()
@@ -5918,46 +5987,22 @@ object QueriesTrainingData {
     * Scale shape: sparse candidates are |query terms| × ≤ 32 rows by
     * the df-band contract; the dense side is x108's broadcast shapes;
     * the fusion is a top-10 × top-10 full-outer join per query. */
-  def x113_hybrid_retrieval(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val tf = documents(spark, dir)
-      .select(col("doc_id"),
-        explode(TextOps.ngrams(TextOps.tokens(col("text")), 2)).as("term"))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-      .cache()
-    val dfx = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2 && col("df") <= 32)
-    val lens = tf.groupBy(col("doc_id"))
-      .agg((lit(1L) + sum(col("tf"))).as("len"))
-    val stats = lens.agg(count(lit(1)).as("nd"),
-      (sum(col("len")).cast(DoubleType) / count(lit(1))).as("avgdl"))
-    val qterms = tf.filter(col("doc_id") < 10)
-      .join(dfx, Seq("term"))
-      .select(col("doc_id").as("query_id"), col("term"), col("df"))
-    val idf = ((col("nd").cast(DoubleType) - col("df").cast(DoubleType))
-      + lit(0.5)) / (col("df").cast(DoubleType) + lit(0.5))
-    val sat = (col("tf").cast(DoubleType) * lit(2.2)) /
-      (col("tf").cast(DoubleType) + lit(1.2) *
-        (lit(0.25) + lit(0.75) * (col("len").cast(DoubleType) / col("avgdl"))))
-    val sparse = tf.join(qterms, Seq("term"))
-      .filter(col("doc_id") =!= col("query_id"))
-      .join(lens, Seq("doc_id"))
-      .crossJoin(broadcast(stats))
-      // 1e-6-grid integer weight: the cross-term sum stays exact
-      .withColumn("w_int",
-        floor((idf * sat) * lit(1000000.0) + lit(0.5)).cast(LongType))
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(sum(col("w_int")).as("s_sparse"))
-      .withColumn("r_sparse", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("s_sparse").desc, col("doc_id"))))
-      .filter(col("r_sparse") <= 10)
-      .select(col("query_id"), col("doc_id"), col("r_sparse"))
-    val dense = graft.sim.PqIndex.adcTopK(embeddings(spark, dir), "vec_id",
-        "embedding", queryPred = col("vec_id") < 10, k = 10)
+  /** x113's dense leg: the staged m32 ADC artifact — the SAME table
+    * x108/x111/x120/x121 consume; the ADC ranking is deterministic
+    * (adc_dist, neighbor_id), so the staged top-100's rank<=10 prefix
+    * IS adcTopK(k=10), without recomputing the PQ pipeline per run.
+    * Package-visible so PlanShapeSpec can pin the staged read (x113
+    * itself returns a localCheckpoint, which hides the scan). */
+  private[graft] def x113dense(spark: SparkSession, dir: String): DataFrame =
+    stagedAdcTopK(spark, dir, "m32_d2_k64", 32, 2, 64)
+      .filter(col("rank") <= 10)
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rank").as("r_dense"))
+
+  def x113_hybrid_retrieval(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sparse = bm25SparseTopK(spark, dir, 10)
+    val dense = x113dense(spark, dir)
     val fused = sparse.join(dense, Seq("query_id", "doc_id"), "full_outer")
       // EXACTLY two IEEE terms in pinned order — deterministic per row
       .withColumn("rrf",
@@ -5974,9 +6019,7 @@ object QueriesTrainingData {
         col("r_sparse").cast(IntegerType).as("r_sparse"),
         col("r_dense").cast(IntegerType).as("r_dense"),
         col("rrf"))
-    val res = fused.localCheckpoint(true)
-    tf.unpersist()
-    res
+    fused.localCheckpoint(true)
   }
 
   lazy val x113Oracle: String =
@@ -6322,7 +6365,7 @@ object QueriesTrainingData {
     * expensive metric touches a constant-size pool per query. */
   def x121_ann_rerank(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cand = stagedAdcTop5(spark, dir, "m32_d2_k64", 32, 2, 64)
+    val cand = stagedAdcTopK(spark, dir, "m32_d2_k64", 32, 2, 64)
       .select(col("query_id"), col("neighbor_id"))
     val qv = embeddings(spark, dir).select(col("vec_id"),
       graft.sim.SimilarityOps.quantize(col("embedding")).as("qv"))
@@ -6511,42 +6554,11 @@ object QueriesTrainingData {
     val gt = stagedExactTop5(spark, dir)
       .select(col("query_id"), col("neighbor_id"))
     val nGt = gt.count()
-    val dense = stagedAdcTop5(spark, dir, "m32_d2_k64", 32, 2, 64)
+    val dense = stagedAdcTopK(spark, dir, "m32_d2_k64", 32, 2, 64)
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("neighbor_id"),
         col("rank").cast(IntegerType).as("r_dense"))
-    val tf = documents(spark, dir)
-      .select(col("doc_id"),
-        explode(TextOps.ngrams(TextOps.tokens(col("text")), 2)).as("term"))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-      .cache()
-    val dfx = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2 && col("df") <= 32)
-    val lens = tf.groupBy(col("doc_id"))
-      .agg((lit(1L) + sum(col("tf"))).as("len"))
-    val stats = lens.agg(count(lit(1)).as("nd"),
-      (sum(col("len")).cast(DoubleType) / count(lit(1))).as("avgdl"))
-    val qterms = tf.filter(col("doc_id") < 10)
-      .join(dfx, Seq("term"))
-      .select(col("doc_id").as("query_id"), col("term"), col("df"))
-    val idf = ((col("nd").cast(DoubleType) - col("df").cast(DoubleType))
-      + lit(0.5)) / (col("df").cast(DoubleType) + lit(0.5))
-    val sat = (col("tf").cast(DoubleType) * lit(2.2)) /
-      (col("tf").cast(DoubleType) + lit(1.2) *
-        (lit(0.25) + lit(0.75) * (col("len").cast(DoubleType) / col("avgdl"))))
-    val sparse = tf.join(qterms, Seq("term"))
-      .filter(col("doc_id") =!= col("query_id"))
-      .join(lens, Seq("doc_id"))
-      .crossJoin(broadcast(stats))
-      .withColumn("w_int",
-        floor((idf * sat) * lit(1000000.0) + lit(0.5)).cast(LongType))
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(sum(col("w_int")).as("s_sparse"))
-      .withColumn("r_sparse", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("s_sparse").desc, col("doc_id"))))
-      .filter(col("r_sparse") <= 5)
+    val sparse = bm25SparseTopK(spark, dir, 5)
       .select(col("query_id"), col("doc_id").as("neighbor_id"),
         col("r_sparse").cast(IntegerType).as("r_sparse"))
     val fused = sparse.join(dense, Seq("query_id", "neighbor_id"), "full_outer")
@@ -6566,7 +6578,6 @@ object QueriesTrainingData {
         .join(gt, Seq("query_id", "neighbor_id")).count()
     val rows = Seq(("dense", hits(dense)), ("sparse", hits(sparse)),
       ("hybrid", hits(fused)))
-    tf.unpersist()
     import spark.implicits._
     rows.toDF("leg", "n_hits")
       .select(col("leg"), col("n_hits").cast(LongType).as("n_hits"),

@@ -931,6 +931,12 @@ class PlanShapeSpec extends AnyFunSuite {
       "only the 1-row stats frame may cross-join (broadcast)")
     assert(plan.contains("partial_count"),
       "tf/df tables must map-side combine")
+    // the exploded bigram tf table is the staged inverted-index
+    // artifact, shared with x113/x120 — never re-exploded per consumer
+    assert(plan.contains("graft_bigram_tf"),
+      s"x107 not reading the staged bigram tf:\n$plan")
+    assert(!plan.contains("documents.parquet"),
+      s"x107 must not re-tokenize the documents corpus:\n$plan")
   }
 
   test("q101/q106: frontend scripts compile to ONE join+agg DAG, no extra scans") {
@@ -1096,6 +1102,22 @@ class PlanShapeSpec extends AnyFunSuite {
     // window-free SEMI fast path — no row-identity shuffle
     assert(plan.contains("LeftSemi"),
       s"orphan purge must plan a semi join, not the windowed form:\n$plan")
+  }
+
+  test("x113: the dense leg reads the staged ADC artifact, never the PQ pipeline") {
+    // ensure the staging exists (first toucher builds it)
+    SparkEntry.queries("x108_pq_ann")(spark, sf).collect()
+    // after staging, the dense leg is a bucketed scan of the artifact
+    // plus a rank filter — no codebook training, no ADC aggregation,
+    // no join, no embeddings scan
+    val plan = QueriesTrainingData.x113dense(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_adc_"),
+      s"x113 dense leg not reading the staged ADC artifact:\n$plan")
+    assert(!plan.contains("HashAggregate") && !plan.contains("Join"),
+      s"x113 dense leg recomputed the PQ pipeline:\n$plan")
+    assert(!plan.contains("embeddings.parquet"),
+      s"x113 dense leg must not rescan the embeddings corpus:\n$plan")
   }
 
   test("x121: re-rank reads the staged ADC pool and fetches vectors by broadcast") {
