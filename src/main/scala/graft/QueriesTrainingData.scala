@@ -751,10 +751,11 @@ object QueriesTrainingData {
     val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
     val card = "\\b[0-9]{13,16}\\b"
     val phone = "\\+?[0-9][0-9 ()-]{6,18}[0-9]"
-    val flagged = documents(spark, dir)
-      .select(col("doc_id"), col("source"), col("lang"), col("text"))
-      .withColumn("url_raw", messyCrawlUrl)
-      .withColumn("domain", UrlOps.registeredDomain(col("url_raw")))
+    val flagged = UrlOps.withRegisteredDomain(
+      documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("lang"), col("text"))
+        .withColumn("url_raw", messyCrawlUrl),
+      col("url_raw"), "domain")
       .withColumn("he", col("text").rlike(email))
       .withColumn("hi", col("text").rlike(ip))
       .withColumn("hc", col("text").rlike(card))
@@ -792,7 +793,7 @@ object QueriesTrainingData {
       |dom AS (
       |  SELECT doc_id, text,
       |    """.stripMargin +
-    graft.text.PublicSuffix.sqlRegisteredDomain("host") + " AS domain\n" +
+    pslFullDomainSql("host") + " AS domain\n" +
     """  FROM c),
       |f AS (
       |  SELECT domain,
@@ -3502,9 +3503,12 @@ object QueriesTrainingData {
       |    (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
       |    (CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=1' ELSE '?a=1&b=2' END)""".stripMargin
 
-  /** Public-suffix rules CTEs shared by the x63/x79 oracles — the SQL
-    * twin of the engine's `InSet` lookup, joined so the oracle replays
-    * the IDENTICAL bundled rule table ([[graft.text.PublicSuffix]]). */
+  /** Public-suffix rules CTEs shared by the x63/x79/x87 oracles — the
+    * SQL twin of the engine's composed resolution: the hot-snapshot
+    * slices ([[graft.text.PublicSuffix]], the `InSet` path) plus the
+    * long-tail slices ([[graft.text.PublicSuffixTable.tailRules]], the
+    * broadcast-join path), so the oracle replays the IDENTICAL bundled
+    * rule table in the IDENTICAL precedence. */
   private lazy val pslCtesSql: String =
     "psl2(r) AS (VALUES " +
       graft.text.PublicSuffix.sqlValues(graft.text.PublicSuffix.rules2) +
@@ -3517,7 +3521,17 @@ object QueriesTrainingData {
       "),\npslx2(r) AS (VALUES " +
       graft.text.PublicSuffix.sqlValues(graft.text.PublicSuffix.exceptions2) +
       "),\npslx3(r) AS (VALUES " +
-      graft.text.PublicSuffix.sqlValues(graft.text.PublicSuffix.exceptions3) + ")"
+      graft.text.PublicSuffix.sqlValues(graft.text.PublicSuffix.exceptions3) +
+      "),\n" + graft.text.PublicSuffixTable.sqlRuleCtes(
+        graft.text.PublicSuffixTable.tailRules, "pslt")
+
+  /** Full-list registered-domain SQL: the long-tail CASE coalesced
+    * over the hot-snapshot CASE — the mirror of
+    * [[graft.text.UrlOps.withRegisteredDomain]]. */
+  private def pslFullDomainSql(hostExpr: String): String =
+    "COALESCE(" + graft.text.PublicSuffixTable.sqlCaseFor(hostExpr,
+      graft.text.PublicSuffixTable.tailRules, "pslt") + ",\n      " +
+      graft.text.PublicSuffix.sqlRegisteredDomain(hostExpr) + ")"
 
   /** URL/host canonicalization + domain-level dedup — standard web-corpus
     * curation: normalize scheme/host case, default ports, `www.`,
@@ -3540,9 +3554,9 @@ object QueriesTrainingData {
     val raw = documents(spark, dir)
       .select(col("doc_id"), col("source"), col("lang"))
       .withColumn("url_raw", messyCrawlUrl)
-    val canon = raw.select(col("doc_id"),
-      UrlOps.canonicalize(col("url_raw")).as("url_canon"),
-      UrlOps.registeredDomain(col("url_raw")).as("domain"))
+    val canon = UrlOps.withRegisteredDomain(raw, col("url_raw"), "domain")
+      .select(col("doc_id"),
+        UrlOps.canonicalize(col("url_raw")).as("url_canon"), col("domain"))
     val keepers = canon.groupBy(col("url_canon"))
       .agg(min(col("doc_id")).as("__graft_keeper"))
     val flagged = canon.join(keepers, Seq("url_canon"))
@@ -3588,7 +3602,7 @@ object QueriesTrainingData {
       |canon AS (
       |  SELECT doc_id, sch || '://' || host || cpath || cq AS url_canon,
       |    """.stripMargin +
-    graft.text.PublicSuffix.sqlRegisteredDomain("host") + " AS domain\n" +
+    pslFullDomainSql("host") + " AS domain\n" +
     """  FROM c),
       |k AS (SELECT url_canon, min(doc_id) AS keeper FROM canon GROUP BY url_canon),
       |f AS (
@@ -6701,9 +6715,9 @@ object QueriesTrainingData {
     val raw = documents(spark, dir)
       .select(col("doc_id"), col("source"), col("lang"))
       .withColumn("url_raw", messyCrawlUrl)
-    val canon = raw.select(col("doc_id"), col("source"),
-      UrlOps.canonicalize(col("url_raw")).as("url_canon"),
-      UrlOps.registeredDomain(col("url_raw")).as("domain"))
+    val canon = UrlOps.withRegisteredDomain(raw, col("url_raw"), "domain")
+      .select(col("doc_id"), col("source"),
+        UrlOps.canonicalize(col("url_raw")).as("url_canon"), col("domain"))
     val takedown = canon
       .filter(pmod(substring(col("source"), 4, 10).cast(IntegerType),
         lit(7)) === 0)
@@ -6744,7 +6758,7 @@ object QueriesTrainingData {
       |canon AS (
       |  SELECT doc_id, source, sch || '://' || host || cpath || cq AS url_canon,
       |    """.stripMargin +
-    graft.text.PublicSuffix.sqlRegisteredDomain("host") + " AS domain\n" +
+    pslFullDomainSql("host") + " AS domain\n" +
     """  FROM c),
       |takedown AS (
       |  SELECT DISTINCT url_canon FROM canon

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** URL canonicalization for web-corpus curation — the normalization a
@@ -73,4 +73,41 @@ object UrlOps {
     * takedown audit must not treat ports as registrants). */
   def registeredDomain(url: Column): Column =
     PublicSuffix.registeredDomainOfHost(canonicalHost(url))
+
+  /** Append `out` = registered domain of `url` resolved against the
+    * FULL bundled public-suffix list — the production path: the
+    * curated snapshot stays the codegen'd `InSet` hot path
+    * ([[registeredDomain]]), and the long tail
+    * ([[PublicSuffixTable.tailRules]] — the `k12.<state>.us`-class
+    * registries, `*.sch.uk`, AWS hosting boundaries, per-country
+    * platform rules) rides per-label-count BROADCAST joins, with a
+    * tail match overriding the hot answer.
+    *
+    * The override IS PSL precedence, not a heuristic: the tail shares
+    * no rule string with the snapshot and no tail rule is a proper
+    * dot-suffix of a hot rule (UrlOpsSpec pins both invariants on the
+    * bundled resource), so whenever a host matches rules from both
+    * sets the tail rule is strictly longer — and PSL resolution picks
+    * the longest match. Hosts matching no tail rule resolve exactly as
+    * [[registeredDomain]]; hosts matching no rule at all keep the
+    * default last-2-label fallback.
+    *
+    * Scale shape: the corpus side never moves — the tail slices are
+    * kilobytes broadcast to every executor, the probes are per-row
+    * hash lookups, and the hot path stays inside whole-stage codegen.
+    * A list refresh swaps the resource file; no recompile. */
+  def withRegisteredDomain(df: DataFrame, url: Column,
+      out: String): DataFrame = {
+    val hostCol = "__graft_psl_host"
+    val tailCol = "__graft_psl_tail"
+    val joined = PublicSuffixTable.withRegisteredDomain(
+      df.withColumn(hostCol, canonicalHost(url)), col(hostCol), tailCol,
+      PublicSuffixTable.rulesDf(df.sparkSession, PublicSuffixTable.tailRules),
+      maxK = PublicSuffixTable.tailMaxK, fallbackToLast2 = false,
+      presentKs = Some(PublicSuffixTable.tailRules.map(_._2).toSet))
+    joined
+      .withColumn(out, coalesce(col(tailCol),
+        PublicSuffix.registeredDomainOfHost(col(hostCol))))
+      .drop(tailCol, hostCol)
+  }
 }

@@ -227,6 +227,98 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(got.length === hosts.length)
   }
 
+  test("bundled list invariants: the tail composes exactly over the hot snapshot") {
+    import graft.text.PublicSuffixTable
+    val hot = PublicSuffixTable.snapshotRules.map(_._1).toSet
+    val tail = PublicSuffixTable.tailRules
+    // the resource must carry the whole snapshot plus a real tail
+    assert(PublicSuffixTable.bundledRules.map(_._1).toSet.intersect(hot) === hot,
+      "bundled resource must contain every hot-snapshot rule")
+    assert(tail.nonEmpty, "bundled resource must extend the snapshot")
+    // disjointness by (rule, kind): a tail rule may share a hot rule's
+    // STRING only as a wildcard over the hot plain (*.sch.uk over
+    // sch.uk) — its effective suffixes are one label deeper, so the
+    // tail match is still strictly more specific
+    val hotPairs = PublicSuffixTable.snapshotRules
+      .map(r => (r._1, r._3)).toSet
+    assert(tail.forall(r => !hotPairs((r._1, r._3))))
+    tail.filter(r => hot(r._1)).foreach { case (r, _, kind) =>
+      assert(kind === "wildcard" && hotPairs((r, "plain")),
+        s"tail rule $r shares a hot string without deepening it")
+    }
+    // the override invariant that makes tail-wins EXACT PSL precedence:
+    // no tail rule is a proper dot-suffix of any hot rule, so when a
+    // host matches both sets the tail match is strictly longer
+    val violations = tail.map(_._1).filter(t => hot.exists(h =>
+      h != t && h.endsWith("." + t)))
+    assert(violations.isEmpty,
+      s"tail rules shadowed by longer hot rules: $violations")
+    // exception rules must ride with their wildcard parent's set
+    val tailWild = tail.filter(_._3 == "wildcard").map(_._1).toSet
+    tail.filter(_._3 == "exception").foreach { case (r, _, _) =>
+      val parent = r.split('.').drop(1).mkString(".")
+      assert(tailWild(parent),
+        s"tail exception $r without its wildcard parent in the tail")
+    }
+  }
+
+  test("production path: long-tail rules resolve; hot answers survive") {
+    // the composed UrlOps.withRegisteredDomain: InSet hot path +
+    // broadcast-join tail, tail match winning
+    def resolve(urls: Seq[String]): Map[String, String] =
+      UrlOps.withRegisteredDomain(urls.toDF("u"), col("u"), "d")
+        .as[(String, String)].collect().toMap
+    val got = resolve(Seq(
+      // k12.<state>.us third-level registries: WITHOUT the tail these
+      // fall to the hot ca.us rule (registered = k12.ca.us)
+      "https://school.K12.CA.US/x",
+      "https://www.district.k12.ny.us/",
+      "https://a.lib.tx.us", "https://x.cc.fl.us",
+      // 4-label rule
+      "https://academy.pvt.k12.ma.us/",
+      // *.sch.uk wildcard: suffix = <school>.sch.uk
+      "https://lea.bristol.sch.uk/x",
+      // AWS wildcard boundary: each instance hostname is its own site
+      "https://ec2-1-2-3.us-west-2.compute.amazonaws.com/",
+      // per-country platform rule overriding the hot co.uk answer
+      "https://myblog.blogspot.co.uk/post",
+      // eu.org national delegation
+      "https://site.fr.eu.org/"))
+    assert(got("https://school.K12.CA.US/x") === "school.k12.ca.us")
+    assert(got("https://www.district.k12.ny.us/") === "district.k12.ny.us")
+    assert(got("https://a.lib.tx.us") === "a.lib.tx.us")
+    assert(got("https://x.cc.fl.us") === "x.cc.fl.us")
+    assert(got("https://academy.pvt.k12.ma.us/") === "academy.pvt.k12.ma.us")
+    assert(got("https://lea.bristol.sch.uk/x") === "lea.bristol.sch.uk")
+    assert(got("https://ec2-1-2-3.us-west-2.compute.amazonaws.com/")
+      === "ec2-1-2-3.us-west-2.compute.amazonaws.com")
+    assert(got("https://myblog.blogspot.co.uk/post")
+      === "myblog.blogspot.co.uk")
+    assert(got("https://site.fr.eu.org/") === "site.fr.eu.org")
+    // ...and the long-tail answers really did move past the hot
+    // snapshot's last-rule fallback
+    val hotOnly = Seq("https://school.K12.CA.US/x").toDF("u")
+      .select(UrlOps.registeredDomain(col("u"))).as[String].head()
+    assert(hotOnly === "k12.ca.us", "hot snapshot baseline moved")
+    // parity: every host NOT matching a tail rule keeps the hot answer
+    val battery = Seq(
+      "https://a.b.example.com/x", "http://example.org",
+      "https://shop.example.CO.UK/x", "https://news.example.com.au",
+      "https://project.user.github.io/docs", "https://x.school.nsw.edu.au",
+      "https://example.com:8080/x", "https://co.uk/",
+      "https://a.shop.ck/x", "https://WWW.ck/", "https://mail.www.ck/",
+      "https://x.foo.kawasaki.jp/", "https://sub.city.kawasaki.jp/",
+      "https://www.example.co.jp/", "https://b.msk.ru/",
+      "https://singlelabel/")
+    val composed = resolve(battery)
+    val hotGot = battery.toDF("u")
+      .select(col("u"), UrlOps.registeredDomain(col("u")).as("d"))
+      .as[(String, String)].collect().toMap
+    battery.foreach { u =>
+      assert(composed(u) === hotGot(u), s"composed path moved $u")
+    }
+  }
+
   test("full-list swap: rules beyond the snapshot resolve through the join path") {
     import graft.text.PublicSuffixTable
     // the k12.<state>.us third-level registries are real PSL rules the
