@@ -2395,6 +2395,34 @@ object QueriesRelational {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |WHERE o_totalprice > 200000""".stripMargin
 
+  /** The ALTER COLUMN re-type script through the dtsx frontend
+    * (`AlterColumnETL.dtsx`) — the last migration-script class: re-type
+    * a stringly-keyed column to BIGINT NOT NULL, widen a decimal, then
+    * backfill over the new types, one script task.
+    * [[graft.patterns.AlterTableSqlCompiler]] executes each re-type as
+    * a narrow overlay projection; T-SQL conversion parity holds lazily
+    * (an unconvertible non-NULL value aborts with the 245/8114
+    * contract, a NULL under NOT NULL with 515 — never Spark's silent
+    * NULL), and COLLATE/IDENTITY/constraint forms stay declined. */
+  def q123_dtsx_alter_column(spark: SparkSession, dir: String): DataFrame = {
+    val (w, _) = runDtsxWarehousePackage(spark, dir, "AlterColumnETL.dtsx")
+    w("cust_ac").select(
+      col("ckey").cast(LongType).as("ckey"),
+      col("key_txt").cast(LongType).as("key_txt"),
+      col("bal").cast(DoubleType).as("bal"),
+      col("seg").cast(StringType).as("seg"))
+  }
+
+  val q123Oracle: String =
+    """SELECT c_custkey AS ckey, CAST(c_custkey AS BIGINT) AS key_txt,
+      |  CAST(CASE WHEN c_mktsegment = 'BUILDING'
+      |       THEN CAST(CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DECIMAL(14,4))
+      |            * 2 AS DECIMAL(14,4))
+      |       ELSE CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DECIMAL(14,4))
+      |  END AS DOUBLE) AS bal,
+      |  c_mktsegment AS seg
+      |FROM customer""".stripMargin
+
   /** Explicit GROUPING SETS with grouping_id disambiguation (beyond q24's
     * rollup): two chosen aggregation levels, no intermediate level. */
   def q39_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
@@ -3783,6 +3811,7 @@ object QueriesRelational {
     "q120_dtsx_migration_script" -> (q120_dtsx_migration_script _),
     "q121_dtsx_trycatch_rollback" -> (q121_dtsx_trycatch_rollback _),
     "q122_dtsx_table_var" -> (q122_dtsx_table_var _),
+    "q123_dtsx_alter_column" -> (q123_dtsx_alter_column _),
     "q82_orc_roundtrip" -> (q82_orc_roundtrip _),
     "q80_dtsx_cdc_merge" -> (q80_dtsx_cdc_merge _),
     "q79_delete_cascade" -> (q79_delete_cascade _),
@@ -3898,6 +3927,7 @@ object QueriesRelational {
     "q120_dtsx_migration_script" -> q120Oracle,
     "q121_dtsx_trycatch_rollback" -> q121Oracle,
     "q122_dtsx_table_var" -> q122Oracle,
+    "q123_dtsx_alter_column" -> q123Oracle,
     "q82_orc_roundtrip" -> q82Oracle,
     "q80_dtsx_cdc_merge" -> q80Oracle,
     "q79_delete_cascade" -> q79Oracle,

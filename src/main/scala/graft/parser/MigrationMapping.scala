@@ -299,9 +299,10 @@ object MigrationMapping {
       TaskMapping(t.name, "ExecuteSQLTask", "converted", None,
         Some("migration DDL executes (patterns/AlterTableSqlCompiler — " +
           "ADD appends the typed DEFAULT/NULL column as one narrow " +
-          "projection, DROP COLUMN projects it away; 2705/4901/4924 " +
-          "T-SQL parity errors hold; constraints and ALTER COLUMN type " +
-          "changes stay manual review)"), Nil, signals)
+          "projection, DROP COLUMN projects it away, ALTER COLUMN " +
+          "re-types in place with lazy 245/8114/515 conversion guards; " +
+          "2705/4901/4924 T-SQL parity errors hold; constraints, " +
+          "COLLATE, and IDENTITY stay manual review)"), Nil, signals)
     else if (graft.patterns.NoopDdlSqlCompiler.shapeMatches(sql))
       TaskMapping(t.name, "ExecuteSQLTask", "converted", None,
         Some("physical-tuning DDL executes as a no-op (patterns/" +

@@ -15,6 +15,7 @@ import org.apache.spark.sql.functions._
   * {{{
   * ALTER TABLE t ADD <col> <type> [NULL | NOT NULL] [DEFAULT <lit>]
   * ALTER TABLE t DROP COLUMN <col>
+  * ALTER TABLE t ALTER COLUMN <col> <type> [NULL | NOT NULL]
   * }}}
   *
   * ADD appends a typed column as one narrow projection (no shuffle at
@@ -23,13 +24,23 @@ import org.apache.spark.sql.functions._
   * a plain nullable add — with or without a DEFAULT — backfills NULL
   * (T-SQL applies a nullable column's default to future inserts only). T-SQL parity errors
   * hold eagerly: adding a column that exists is error 2705; `NOT
-  * NULL` without DEFAULT on a non-empty table is error 4901; DROP of
-  * a missing column is error 4924. Declined to manual review:
-  * multi-column ADDs, constraints (PRIMARY KEY / FOREIGN KEY / CHECK
-  * / IDENTITY — relational contracts this engine verifies at the
-  * validation plane instead), `ALTER COLUMN` type changes (a lossy
-  * cast should be authored, not guessed), non-literal defaults, and
-  * unmapped types. */
+  * NULL` without DEFAULT on a non-empty table is error 4901; DROP or
+  * ALTER COLUMN of a missing column is error 4924.
+  *
+  * ALTER COLUMN re-types in place as the same narrow projection, and
+  * T-SQL conversion parity holds LAZILY (the raise_error-column
+  * convention of the 8672 multi-match guards): a non-NULL value the
+  * new type cannot represent aborts the script at materialization —
+  * T-SQL 245/8114 conversion failure / 8115 overflow — instead of
+  * Spark's silent NULL; `NOT NULL` with an existing NULL aborts with
+  * the error-515 contract. The cast itself is exactly what an
+  * authored migration would write; what stays declined is anything
+  * BEYOND the cast: COLLATE clauses, IDENTITY, constraints.
+  *
+  * Declined to manual review: multi-column ADDs, constraints
+  * (PRIMARY KEY / FOREIGN KEY / CHECK / IDENTITY — relational
+  * contracts this engine verifies at the validation plane instead),
+  * non-literal defaults, and unmapped types. */
 object AlterTableSqlCompiler {
 
   private val addRe =
@@ -43,12 +54,20 @@ object AlterTableSqlCompiler {
     ("(?is)^\\s*alter\\s+table\\s+([^\\s;]+)\\s+drop\\s+column\\s+" +
       "(\\w+)\\s*;?\\s*$").r
 
+  private val alterColRe =
+    ("(?is)^\\s*alter\\s+table\\s+([^\\s;]+)\\s+alter\\s+column\\s+(\\w+)\\s+" +
+      "([A-Za-z]\\w*(?:\\s*\\(\\s*\\d+(?:\\s*,\\s*\\d+)?\\s*\\))?)" +
+      "(\\s+not\\s+null|\\s+null)?\\s*;?\\s*$").r
+
   /** Parse-only classification twin (no frames touched). */
   private[graft] def shapeMatches(sqlRaw: String): Boolean = {
     val sql = SqlText.stripComments(sqlRaw)
     val msk = UpdateSqlCompiler.masked(sql)
     dropRe.findFirstMatchIn(msk).isDefined ||
       addRe.findFirstMatchIn(msk).exists(m =>
+        ScriptedSqlExecutor.sparkDdlType(
+          sql.substring(m.start(3), m.end(3))).isDefined) ||
+      alterColRe.findFirstMatchIn(msk).exists(m =>
         ScriptedSqlExecutor.sparkDdlType(
           sql.substring(m.start(3), m.end(3))).isDefined)
   }
@@ -103,6 +122,47 @@ object AlterTableSqlCompiler {
               expr(defaultOpt.get).cast(tpe)
             else lit(null).cast(tpe)
           SqlOutcome(Some(tgt.withColumn(colName, value)), Some(tgtName),
+            SaveMode.Overwrite, affected = Some(() => 0L))
+        }
+      }
+    }.orElse {
+      alterColRe.findFirstMatchIn(msk).flatMap { m =>
+        def g(i: Int): String = sql.substring(m.start(i), m.end(i))
+        def gOpt(i: Int): Option[String] =
+          if (m.group(i) == null) None else Some(g(i))
+        val (tgtName, colName, ddlType) = (g(1), g(2), g(3))
+        val notNull = gOpt(4).exists(_.trim.equalsIgnoreCase("not null"))
+        ScriptedSqlExecutor.sparkDdlType(ddlType).map { tpe =>
+          val tgt = resolve(tgtName)
+          val actual = tgt.columns.find(_.equalsIgnoreCase(colName))
+            .getOrElse(throw new IllegalArgumentException(
+              s"ALTER TABLE $tgtName ALTER COLUMN $colName: the column " +
+                "does not exist (T-SQL error 4924)"))
+          // the re-type is one narrow projection; conversion parity is
+          // a LAZY raise_error column (the 8672 guard convention): a
+          // non-NULL value the new type cannot represent must ABORT
+          // like T-SQL (245/8114 conversion failure, 8115 overflow),
+          // never become Spark's silent NULL — and under NOT NULL an
+          // existing NULL violates the column contract (error 515)
+          val src = col(actual)
+          // try_cast, not cast: ANSI mode's own CAST_INVALID_INPUT
+          // would fire first with a Spark-coded message — the guard
+          // below owns the abort so it carries the T-SQL contract
+          val casted = expr(s"try_cast(`$actual` AS $tpe)")
+          val converted = when(src.isNotNull && casted.isNull,
+            raise_error(concat(
+              lit(s"ALTER TABLE $tgtName ALTER COLUMN $actual $ddlType: " +
+                "conversion failed for value '"),
+              src.cast("string"),
+              lit("' (T-SQL error 245/8114)"))).cast(tpe))
+            .otherwise(casted)
+          val guarded =
+            if (!notNull) converted
+            else when(src.isNull, raise_error(lit(
+              s"ALTER TABLE $tgtName ALTER COLUMN $actual: cannot " +
+                "declare NOT NULL over existing NULLs (T-SQL error 515)"))
+              .cast(tpe)).otherwise(converted)
+          SqlOutcome(Some(tgt.withColumn(actual, guarded)), Some(tgtName),
             SaveMode.Overwrite, affected = Some(() => 0L))
         }
       }

@@ -2297,11 +2297,50 @@ class PipelineSpec extends AnyFunSuite {
       assert(e.getMessage.matches("(?s).*(2705|4924|4901).*"),
         s"$bad: ${e.getMessage}")
     }
-    // declines: constraints, ALTER COLUMN, multi-column add,
-    // expression defaults
+    // ALTER COLUMN re-types in place: string key -> BIGINT NOT NULL,
+    // decimal widen, post-retype arithmetic over the new types
+    val w4 = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame](
+      "rt" -> Seq((1L, "10", 5.0), (2L, "20", 7.0)).toDF("id", "k", "v"))
+    mkExec(w4)(task(
+      "ALTER TABLE rt ALTER COLUMN k BIGINT NOT NULL; " +
+        "ALTER TABLE rt ALTER COLUMN v DECIMAL(14,4); " +
+        "UPDATE rt SET v = CAST(v * 2 AS DECIMAL(14,4)) WHERE k = 20"))
+      .getOrElse(fail("ALTER COLUMN script did not compile"))
+    assert(w4("rt").schema("k").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(w4("rt").schema("v").dataType ===
+      org.apache.spark.sql.types.DecimalType(14, 4))
+    assert(w4("rt").orderBy("id").select("k", "v").collect().map(r =>
+      (r.getLong(0), r.getDecimal(1).doubleValue())).toList
+      === List((10L, 5.0), (20L, 14.0)))
+    // conversion parity is LAZY, like the 8672 guards: an unconvertible
+    // non-NULL value aborts at materialization with the 245/8114
+    // contract — never Spark's silent NULL
+    val w5 = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame](
+      "rt" -> Seq((1L, "10"), (2L, "oops")).toDF("id", "k"))
+    val badCast = mkExec(w5)(task("ALTER TABLE rt ALTER COLUMN k INT"))
+      .getOrElse(fail("retype should compile; the abort is lazy"))
+    val castErr = intercept[Exception](badCast.df.get.collect())
+    assert(castErr.getMessage.matches("(?s).*(245|8114).*"),
+      s"conversion abort lost: ${castErr.getMessage}")
+    // NOT NULL over an existing NULL aborts with the 515 contract
+    val w6 = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame](
+      "rt" -> Seq((1L, Some("10")), (2L, None)).toDF("id", "k"))
+    val nn = mkExec(w6)(task("ALTER TABLE rt ALTER COLUMN k BIGINT NOT NULL"))
+      .getOrElse(fail("NOT NULL retype should compile; the abort is lazy"))
+    val nnErr = intercept[Exception](nn.df.get.collect())
+    assert(nnErr.getMessage.contains("515"), nnErr.getMessage)
+    // 4924 on a missing column, eagerly, like DROP
+    val e4924 = intercept[Exception](mkExec(fresh())(task(
+      "ALTER TABLE mt ALTER COLUMN nope INT")))
+    assert(e4924.getMessage.contains("4924"), e4924.getMessage)
+    // declines: constraints, COLLATE/IDENTITY forms, multi-column add,
+    // expression defaults, unmapped types
     for (sql <- Seq(
       "ALTER TABLE mt ADD c INT PRIMARY KEY",
-      "ALTER TABLE mt ALTER COLUMN v BIGINT",
+      "ALTER TABLE mt ALTER COLUMN v VARCHAR(20) COLLATE Latin1_General_CS_AS",
+      "ALTER TABLE mt ALTER COLUMN v ADD SPARSE",
+      "ALTER TABLE mt ALTER COLUMN v SOMETYPE",
       "ALTER TABLE mt ADD a INT, b INT",
       "ALTER TABLE mt ADD ts DATETIME DEFAULT GETDATE()",
       "ALTER TABLE mt ADD c SOMETYPE"))
@@ -2310,6 +2349,9 @@ class PipelineSpec extends AnyFunSuite {
     assert(graft.parser.MigrationMapping.mapTask(
       graft.ir.Ir.ExecuteSqlTask("t", None, "conn",
         "ALTER TABLE mt DROP COLUMN v"), Nil).status === "converted")
+    assert(graft.parser.MigrationMapping.mapTask(
+      graft.ir.Ir.ExecuteSqlTask("t", None, "conn",
+        "ALTER TABLE mt ALTER COLUMN v BIGINT"), Nil).status === "converted")
   }
 
   test("NoopDdlSqlCompiler: index/statistics DDL executes as a no-op; scope held") {

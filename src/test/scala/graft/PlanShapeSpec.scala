@@ -1093,6 +1093,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"fixpoint plan grew a join:\n$plan")
   }
 
+  test("q123: ALTER COLUMN re-types are narrow projections, no join/shuffle") {
+    val plan = executedPlan("q123_dtsx_alter_column")
+    // two re-types + a literal-predicate backfill: projection work
+    // fused over the staged scan — a schema migration must never
+    // shuffle or join at any scale
+    assert(!plan.contains("Join"), s"retype plan grew a join:\n$plan")
+    assert(!plan.contains("Exchange"), s"retype plan shuffles:\n$plan")
+  }
+
   test("q119: LEFT correlated DML rides left_outer frames, no cartesian") {
     val plan = executedPlan("q119_dtsx_correlated_left")
     assert(plan.contains("LeftOuter"),
