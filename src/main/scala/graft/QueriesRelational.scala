@@ -2423,6 +2423,34 @@ object QueriesRelational {
       |  c_mktsegment AS seg
       |FROM customer""".stripMargin
 
+  /** Parameterized literal dynamic SQL through the dtsx frontend
+    * (`ParamExecETL.dtsx`) — `EXEC sp_executesql N'<stmt with @p>',
+    * N'@p <type>', @p = <literal | declared @var>`, the plan-cache
+    * idiom estates standardize on.
+    * [[graft.patterns.ExecLiteralSqlCompiler]] binds each parameter
+    * into the inner statement as the script executor's typed-literal
+    * form and compiles the bound statement inline; the declared-@var
+    * argument spelling composes through the script executor's own
+    * binding (task 3). Expression args, OUTPUT params, positional
+    * args, and concatenated SQL keep the decline. */
+  def q124_dtsx_param_exec(spark: SparkSession, dir: String): DataFrame = {
+    val (w, _) = runDtsxWarehousePackage(spark, dir, "ParamExecETL.dtsx")
+    w("ord_pe").select(
+      col("okey").cast(LongType).as("okey"),
+      col("price").cast(DoubleType).as("price"),
+      col("st").cast(StringType).as("st"),
+      col("flag").cast(IntegerType).as("flag"))
+  }
+
+  val q124Oracle: String =
+    """SELECT o_orderkey AS okey,
+      |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+      |  o_orderstatus AS st,
+      |  CASE WHEN CAST(o_totalprice AS DECIMAL(12,2)) > 150000
+      |        AND o_orderstatus = 'O' THEN 1 ELSE 0 END AS flag
+      |FROM orders
+      |WHERE CAST(o_totalprice AS DECIMAL(12,2)) <= 250000""".stripMargin
+
   /** Explicit GROUPING SETS with grouping_id disambiguation (beyond q24's
     * rollup): two chosen aggregation levels, no intermediate level. */
   def q39_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
@@ -3812,6 +3840,7 @@ object QueriesRelational {
     "q121_dtsx_trycatch_rollback" -> (q121_dtsx_trycatch_rollback _),
     "q122_dtsx_table_var" -> (q122_dtsx_table_var _),
     "q123_dtsx_alter_column" -> (q123_dtsx_alter_column _),
+    "q124_dtsx_param_exec" -> (q124_dtsx_param_exec _),
     "q82_orc_roundtrip" -> (q82_orc_roundtrip _),
     "q80_dtsx_cdc_merge" -> (q80_dtsx_cdc_merge _),
     "q79_delete_cascade" -> (q79_delete_cascade _),
@@ -3928,6 +3957,7 @@ object QueriesRelational {
     "q121_dtsx_trycatch_rollback" -> q121Oracle,
     "q122_dtsx_table_var" -> q122Oracle,
     "q123_dtsx_alter_column" -> q123Oracle,
+    "q124_dtsx_param_exec" -> q124Oracle,
     "q82_orc_roundtrip" -> q82Oracle,
     "q80_dtsx_cdc_merge" -> q80Oracle,
     "q79_delete_cascade" -> q79Oracle,

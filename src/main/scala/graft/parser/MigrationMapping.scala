@@ -310,12 +310,15 @@ object MigrationMapping {
           "have no relational content in a columnar engine; bucketing/" +
           "z-order are this engine's explicit analogs and parquet " +
           "gathers column stats at write time)"), Nil, signals)
-    else if (graft.patterns.ExecLiteralSqlCompiler.unwrap(sql).isDefined)
+    else if (graft.patterns.ExecLiteralSqlCompiler.unwrap(sql).isDefined ||
+        graft.patterns.ExecLiteralSqlCompiler.bindParameterized(sql).isDefined)
       TaskMapping(t.name, "ExecuteSQLTask", "converted", None,
         Some("literal dynamic SQL unwraps (patterns/ExecLiteralSqlCompiler" +
           " — sp_executesql/EXEC('…') around a single static statement " +
-          "compiles inline; @param lists and concatenation stay manual " +
-          "review)"), Nil, signals)
+          "compiles inline, and the parameterized sp_executesql form " +
+          "binds literal @p arguments as typed literals; expression " +
+          "args, OUTPUT params, and concatenation stay manual review)"),
+        Nil, signals)
     else if ("(?is)\\bdeclare\\b.{0,120}?\\bcursor\\b".r
         .findFirstIn(sql).isDefined)
       TaskMapping(t.name, "ExecuteSQLTask", "manual_review", None, None, Nil,

@@ -12,12 +12,33 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (undoing the `''` escapes) and compile it through the caller's
   * statement chain exactly as if it were written inline.
   *
-  * Declined to manual review: `@param` lists (truly dynamic),
-  * concatenated fragments (`EXEC('SELECT ' + @col)`), non-literal
-  * arguments, and any other EXEC (stored procedures have bodies this
-  * engine cannot see). One recursion level: an unwrapped text that is
-  * itself an EXEC declines — dynamic SQL generating dynamic SQL is
-  * manual review, not a tower. */
+  * The PARAMETERIZED form is owned too when every argument is a typed
+  * LITERAL (r14):
+  * {{{
+  * EXEC sp_executesql N'<one static stmt using @p>',
+  *   N'@p <type> [, …]', @p = <literal> [, …]
+  * }}}
+  * binds each parameter into the inner statement as the same
+  * `CAST(<literal> AS <mapped type>)` form the script executor's
+  * DECLARE path uses ([[ScriptedSqlExecutor]]'s typed-literal
+  * convention), then compiles the fully-bound single statement through
+  * the chain. Inside a script, a declared `@var` argument is already a
+  * literal by the time the statement reaches this compiler (the
+  * executor's bindVars runs first), so `@p = @declaredVar` composes
+  * for free; at top level the same spelling has no binding and
+  * declines. Parameter scope is exact: the substitution touches only
+  * the inner text (sp_executesql params never leak into the outer
+  * batch), and an inner `@token` that is not a declared parameter
+  * declines — it is session state this replay cannot see.
+  *
+  * Declined to manual review: concatenated fragments
+  * (`EXEC('SELECT ' + @col)`), non-literal / expression arguments,
+  * positional (unnamed) arguments, `OUTPUT` parameters, unmapped
+  * parameter types, duplicate or missing bindings, and any other EXEC
+  * (stored procedures have bodies this engine cannot see). One
+  * recursion level: an unwrapped text that is itself an EXEC declines
+  * — dynamic SQL generating dynamic SQL is manual review, not a
+  * tower. */
 object ExecLiteralSqlCompiler {
 
   // EXEC sp_executesql N'...'  |  EXEC ('...')  — the tail after the
@@ -53,15 +74,108 @@ object ExecLiteralSqlCompiler {
     val m = spExecRe.findFirstMatchIn(msk)
       .orElse(execParenRe.findFirstMatchIn(msk))
       .getOrElse(return None)
-    singleLiteral(sql.substring(m.start(1), m.end(1))).filter(inner =>
-      // no EXEC towers
-      "(?is)^\\s*exec(?:ute)?\\b".r
-        .findFirstIn(UpdateSqlCompiler.masked(inner)).isEmpty)
+    singleLiteral(sql.substring(m.start(1), m.end(1))).filter(noExecTower)
+  }
+
+  private def noExecTower(inner: String): Boolean =
+    "(?is)^\\s*exec(?:ute)?\\b".r
+      .findFirstIn(UpdateSqlCompiler.masked(inner)).isEmpty
+
+  // the parameterized frame, matched on the MASKED twin (masked string
+  // literals carry no quotes, so lazy spans cannot leak across them):
+  // statement literal, declaration literal, then the argument tail
+  private val spExecParamRe =
+    ("(?is)^\\s*exec(?:ute)?\\s+sp_executesql\\s+(N?'[^']*')\\s*,\\s*" +
+      "(N?'[^']*')\\s*,\\s*(.+?)\\s*;?\\s*$").r
+
+  private val paramDeclRe =
+    ("(?is)^@(\\w+)\\s+([A-Za-z]\\w*" +
+      "(?:\\s*\\(\\s*(?:\\d+|max)\\s*(?:,\\s*\\d+\\s*)?\\))?)\\s*$").r
+
+  private val argRe = "(?is)^@(\\w+)\\s*=\\s*(.+)$".r
+
+  // a literal argument on the masked twin: string (masked to 'xxx…'),
+  // number, NULL, 0x binary — plus the executor's OWN typed-literal
+  // spellings, because a declared @var argument arrives here already
+  // bound by ScriptedSqlExecutor's bindVars (CAST(n AS DECIMAL/DOUBLE/
+  // FLOAT), timestamp_micros(n), DATE/TIMESTAMP 'x'). Anything else
+  // (expressions, @vars that survived the caller's binding, OUTPUT
+  // markers) declines.
+  private val litArgMskRe =
+    ("(?is)^(N?'x*'|[+-]?\\d+(?:\\.\\d+)?|null|0x[0-9a-fA-F]+" +
+      "|cast\\s*\\(\\s*(?:[+-]?\\d+(?:\\.\\d+)?|'x*')\\s+as\\s+" +
+      "[a-z0-9_]+(?:\\s*\\(\\s*\\d+(?:\\s*,\\s*\\d+)?\\s*\\))?\\s*\\)" +
+      "|timestamp_micros\\s*\\(\\s*\\d+\\s*\\)" +
+      "|(?:date|timestamp)\\s+'x*')$").r
+
+  /** The parameterized sp_executesql → its fully-bound inner statement,
+    * or None (manual review). Every declared parameter must bind to
+    * exactly one literal argument; every `@token` in the inner text
+    * must be a declared parameter. */
+  private[graft] def bindParameterized(sqlRaw: String): Option[String] = {
+    val sql = SqlText.stripComments(sqlRaw)
+    val msk = UpdateSqlCompiler.masked(sql)
+    val m = spExecParamRe.findFirstMatchIn(msk).getOrElse(return None)
+    def g(i: Int): String = sql.substring(m.start(i), m.end(i))
+    val inner = singleLiteral(g(1)).filter(noExecTower).getOrElse(return None)
+    val declsTxt = singleLiteral(g(2)).getOrElse(return None)
+    // parameter declarations: @name <mapped type> per comma item
+    val decls = MergeSqlCompiler.splitTop(declsTxt).map(d =>
+      paramDeclRe.findFirstMatchIn(d.trim).flatMap(dm =>
+        ScriptedSqlExecutor.sparkDdlType(dm.group(2))
+          .map(tpe => dm.group(1).toLowerCase -> tpe)))
+    if (decls.exists(_.isEmpty)) return None
+    val types = decls.flatten.toMap
+    if (types.size != decls.size) return None // duplicate declaration
+    // named literal arguments, one per declared parameter
+    val argsRaw = MergeSqlCompiler.splitTop(g(3))
+    val argsMsk = MergeSqlCompiler.splitTop(msk.substring(m.start(3), m.end(3)))
+    if (argsRaw.size != argsMsk.size) return None
+    val bound = argsRaw.zip(argsMsk).map { case (raw, am) =>
+      argRe.findFirstMatchIn(am.trim).flatMap { an =>
+        val nm = an.group(1).toLowerCase
+        val valMsk = an.group(2).trim
+        if (litArgMskRe.findFirstIn(valMsk).isEmpty) None
+        else types.get(nm).map { tpe =>
+          // slice the RAW value at the masked match's span — masking is
+          // length-preserving and whitespace-preserving, so raw.trim
+          // and am.trim align position-for-position; then undo N''…''
+          // escaping for strings and re-spell through the engine's one
+          // safe literal form
+          val rawVal = raw.trim.substring(an.start(2)).trim
+          val lit =
+            if (rawVal.matches("(?is)^N?'.*'$")) {
+              val body = rawVal.replaceFirst("(?is)^N", "")
+              SqlText.sqlLitOrDecline(
+                body.substring(1, body.length - 1).replace("''", "'"))
+            } else rawVal
+          nm -> s"CAST($lit AS $tpe)"
+        }
+      }
+    }
+    if (bound.exists(_.isEmpty)) return None
+    val byName = bound.flatten.toMap
+    if (byName.size != bound.size) return None // duplicate argument
+    if (byName.keySet != types.keySet) return None // missing binding
+    // bind into the inner text at masked spans; any surviving @token
+    // is not a declared parameter — session state, decline
+    val replaced = MergeSqlCompiler.segments(inner).map {
+      case (seg, true) => seg
+      case (seg, false) => "@(\\w+)".r.replaceAllIn(seg, rm =>
+        byName.get(rm.group(1).toLowerCase) match {
+          case Some(b) => java.util.regex.Matcher.quoteReplacement(b)
+          case None => rm.matched
+        })
+    }.mkString
+    if ("@\\w+".r.findFirstIn(UpdateSqlCompiler.masked(replaced)).isDefined)
+      None
+    else Some(replaced)
   }
 
   def rewrite(spark: SparkSession, task: ExecuteSqlTask,
       resolve: String => DataFrame,
       chain: ExecuteSqlTask => Option[SqlOutcome]): Option[SqlOutcome] =
     unwrap(task.sqlStatement)
+      .orElse(bindParameterized(task.sqlStatement))
       .flatMap(inner => chain(task.copy(sqlStatement = inner)))
 }

@@ -709,7 +709,17 @@ object ScriptedSqlExecutor {
         // every other statement: bind declared @vars as typed literals;
         // an @reference that survives binding is undeclared — decline
         // the whole script rather than hand a compiler a bare @token
-        val s = if (vars.isEmpty) sRc else bindVars(sRc)
+        val sV = if (vars.isEmpty) sRc else bindVars(sRc)
+        // parameterized sp_executesql expands BEFORE the gate: its own
+        // @params are named in the statement text by design (the gate
+        // would read them as unbound), and with the script's @vars
+        // already literal-bound above, `@p = @declaredVar` arguments
+        // are literals by now — the expansion yields one fully-bound
+        // inner statement that re-enters this sequencer
+        val s = ExecLiteralSqlCompiler.bindParameterized(sV) match {
+          case Some(inner) => inner
+          case None => sV
+        }
         if (scalarVarRe.findFirstIn(UpdateSqlCompiler.masked(s)).isDefined)
           return None
         dropTempRe.findFirstMatchIn(UpdateSqlCompiler.masked(s)) match {

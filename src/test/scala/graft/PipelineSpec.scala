@@ -1945,11 +1945,14 @@ class PipelineSpec extends AnyFunSuite {
     val t2 = mkExec(w1)(task("EXEC('UPDATE acct_dx SET tag = ''z'' WHERE id = 2')"))
     assert(t2.nonEmpty && t2.get.df.get.filter(col("id") === 2)
       .select("tag").as[String].head() === "z")
-    // declines: @param lists, concatenation, bare procedures, EXEC towers
+    // declines: non-literal params (literal @p lists are owned since
+    // r14 — the dedicated sp_executesql spec), concatenation, bare
+    // procedures, EXEC towers
     def declines(sql: String, clue: String): Unit =
       assert(mkExec(scala.collection.mutable.Map.empty)(task(sql)).isEmpty, clue)
-    declines("EXEC sp_executesql N'UPDATE t SET v = @v', N'@v INT', @v = 1",
-      "a parameter list is truly dynamic — decline")
+    declines("EXEC sp_executesql N'UPDATE t SET v = @v', N'@v INT', " +
+      "@v = GETDATE()",
+      "an expression argument is truly dynamic — decline")
     declines("EXEC('UPDATE ' + @tbl + ' SET v = 1')",
       "concatenated fragments must decline")
     declines("EXEC sp_load_warehouse", "a real procedure has an unseen body")
@@ -2352,6 +2355,73 @@ class PipelineSpec extends AnyFunSuite {
     assert(graft.parser.MigrationMapping.mapTask(
       graft.ir.Ir.ExecuteSqlTask("t", None, "conn",
         "ALTER TABLE mt ALTER COLUMN v BIGINT"), Nil).status === "converted")
+  }
+
+  test("parameterized sp_executesql binds typed literals; off-shapes decline") {
+    import spark.implicits._
+    def mkExec(written: scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]) =
+      graft.patterns.ScriptedSqlExecutor.executor(spark,
+        resolveFrame = n => written.getOrElse(n, spark.table(n)),
+        bareName = identity,
+        commit = (k, v) => written(k) = v)
+    def task(sql: String) = graft.ir.Ir.ExecuteSqlTask("pe", None, "conn", sql)
+    def fresh() = {
+      val w = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame](
+        "pet" -> Seq((1L, 5.0, "A"), (2L, 9.0, "B"), (3L, 12.0, "B"))
+          .toDF("id", "v", "tag"))
+      w.foreach { case (k, f) => f.createOrReplaceTempView(k) }
+      w
+    }
+    // single statement, two typed parameters (the runner commits the
+    // outcome frame — read it like the runner would)
+    val o1 = mkExec(fresh())(task(
+      "EXEC sp_executesql N'UPDATE pet SET v = 0 WHERE v > @cut AND " +
+        "tag = @t', N'@cut DECIMAL(12,2), @t VARCHAR(1)', " +
+        "@cut = 8, @t = 'B'"))
+      .getOrElse(fail("parameterized sp_executesql did not compile"))
+    assert(o1.target.contains("pet"))
+    assert(o1.df.get.orderBy("id").select("v").as[Double].collect().toList
+      === List(5.0, 0.0, 0.0))
+    // a string argument binds through the engine's safe literal form
+    val o2 = mkExec(fresh())(task(
+      "EXEC sp_executesql N'DELETE FROM pet WHERE tag = @t', " +
+        "N'@t VARCHAR(4)', @t = 'B'"))
+      .getOrElse(fail("string-arg sp_executesql did not compile"))
+    assert(o2.df.get.count() === 1L)
+    // inside a script, a DECLARED @var argument binds through the
+    // executor's own typed-literal pass before this compiler sees it
+    val w3 = fresh()
+    mkExec(w3)(task(
+      "DECLARE @lim DECIMAL(12,2) = 8; " +
+        "EXEC sp_executesql N'DELETE FROM pet WHERE v > @p', " +
+        "N'@p DECIMAL(12,2)', @p = @lim;"))
+      .getOrElse(fail("declared-@var sp_executesql did not compile"))
+    assert(w3("pet").count() === 1L)
+    // declines: expression args, OUTPUT params, positional args,
+    // param/arg mismatches, an inner @token that is not a parameter,
+    // unmapped types, towers
+    for (sql <- Seq(
+      "EXEC sp_executesql N'DELETE FROM pet WHERE v > @p', " +
+        "N'@p DECIMAL(12,2)', @p = @undeclared",
+      "EXEC sp_executesql N'DELETE FROM pet WHERE v > @p', " +
+        "N'@p DECIMAL(12,2)', @p = 1 + 2",
+      "EXEC sp_executesql N'SELECT @n = COUNT(*) FROM pet', " +
+        "N'@n INT OUTPUT', @n = 0",
+      "EXEC sp_executesql N'DELETE FROM pet WHERE v > @p', " +
+        "N'@p DECIMAL(12,2)', 5",
+      "EXEC sp_executesql N'DELETE FROM pet WHERE v > @p', " +
+        "N'@p DECIMAL(12,2), @q INT', @p = 5",
+      "EXEC sp_executesql N'DELETE FROM pet WHERE v > @p AND tag = @t', " +
+        "N'@p DECIMAL(12,2)', @p = 5",
+      "EXEC sp_executesql N'DELETE FROM pet WHERE v > @p', " +
+        "N'@p SOMETYPE', @p = 5",
+      "EXEC sp_executesql N'EXEC sp_other @x', N'@x INT', @x = 1"))
+      assert(mkExec(fresh())(task(sql)).isEmpty, s"should decline: $sql")
+    // ledger twin
+    assert(graft.parser.MigrationMapping.mapTask(
+      graft.ir.Ir.ExecuteSqlTask("t", None, "conn",
+        "EXEC sp_executesql N'DELETE FROM pet WHERE v > @p', " +
+          "N'@p DECIMAL(12,2)', @p = 5"), Nil).status === "converted")
   }
 
   test("NoopDdlSqlCompiler: index/statistics DDL executes as a no-op; scope held") {
