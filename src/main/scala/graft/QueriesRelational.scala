@@ -2451,6 +2451,41 @@ object QueriesRelational {
       |FROM orders
       |WHERE CAST(o_totalprice AS DECIMAL(12,2)) <= 250000""".stripMargin
 
+  /** The savepoint-suffix TRY/CATCH through the dtsx frontend
+    * (`SavepointETL.dtsx`) — `SAVE TRAN sp` bracketing a SUFFIX of the
+    * TRY, the partial-undo idiom beside q121's all-or-nothing: the
+    * suffix aborts on a 2714, `ROLLBACK TRAN sp` discards only the
+    * effects staged after the savepoint, the prefix UPDATE survives,
+    * and the CATCH's audit row lands with @@ROWCOUNT = 0 before its
+    * COMMIT makes the kept prefix durable. An abort BEFORE the
+    * savepoint fails the task (the 6401 contract); interleaved
+    * savepoints and commit-less catches stay declined. */
+  def q125_dtsx_savepoint(spark: SparkSession, dir: String): DataFrame = {
+    val (w, _) = runDtsxWarehousePackage(spark, dir, "SavepointETL.dtsx")
+    val acct = w("acct_sp").select(lit("acct").as("kind"),
+      col("id").cast(LongType).as("id"),
+      col("bal").cast(DoubleType).as("bal"),
+      lit(null).cast(StringType).as("what"),
+      lit(null).cast(LongType).as("n"))
+    val log = w("sp_log").select(lit("log").as("kind"),
+      lit(null).cast(LongType).as("id"),
+      lit(null).cast(DoubleType).as("bal"),
+      col("what").cast(StringType).as("what"),
+      col("n").cast(LongType).as("n"))
+    acct.unionByName(log)
+  }
+
+  val q125Oracle: String =
+    """SELECT 'acct' AS kind, c_custkey AS id,
+      |  CAST(CASE WHEN c_custkey % 2 = 1
+      |       THEN CAST(CAST(c_acctbal AS DECIMAL(12,2)) + 50 AS DECIMAL(12,2))
+      |       ELSE CAST(c_acctbal AS DECIMAL(12,2))
+      |  END AS DOUBLE) AS bal,
+      |  CAST(NULL AS VARCHAR) AS what, CAST(NULL AS BIGINT) AS n
+      |FROM customer
+      |UNION ALL
+      |SELECT 'log', NULL, NULL, 'suffix_undone', 0""".stripMargin
+
   /** Explicit GROUPING SETS with grouping_id disambiguation (beyond q24's
     * rollup): two chosen aggregation levels, no intermediate level. */
   def q39_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
@@ -3841,6 +3876,7 @@ object QueriesRelational {
     "q122_dtsx_table_var" -> (q122_dtsx_table_var _),
     "q123_dtsx_alter_column" -> (q123_dtsx_alter_column _),
     "q124_dtsx_param_exec" -> (q124_dtsx_param_exec _),
+    "q125_dtsx_savepoint" -> (q125_dtsx_savepoint _),
     "q82_orc_roundtrip" -> (q82_orc_roundtrip _),
     "q80_dtsx_cdc_merge" -> (q80_dtsx_cdc_merge _),
     "q79_delete_cascade" -> (q79_delete_cascade _),
@@ -3958,6 +3994,7 @@ object QueriesRelational {
     "q122_dtsx_table_var" -> q122Oracle,
     "q123_dtsx_alter_column" -> q123Oracle,
     "q124_dtsx_param_exec" -> q124Oracle,
+    "q125_dtsx_savepoint" -> q125Oracle,
     "q82_orc_roundtrip" -> q82Oracle,
     "q80_dtsx_cdc_merge" -> q80Oracle,
     "q79_delete_cascade" -> q79Oracle,

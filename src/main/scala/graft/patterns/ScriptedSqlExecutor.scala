@@ -386,6 +386,60 @@ object ScriptedSqlExecutor {
       }
   }
 
+  private val saveTranStmtRe =
+    "(?is)^\\s*save\\s+tran(?:saction)?\\s+(\\w+)\\s*;?\\s*$".r
+  private val namedRollbackStmtRe =
+    "(?is)^\\s*rollback\\s+tran(?:saction)?\\s+(\\w+)\\s*;?\\s*$".r
+
+  /** The savepoint-suffix TRY/CATCH (the OTHER owned rollback shape
+    * beside the all-or-nothing q121 form): `BEGIN TRAN; <prefix>;
+    * SAVE TRAN sp; <suffix>; COMMIT` in the TRY, a CATCH LEADING with
+    * `ROLLBACK TRAN sp` and ENDING with COMMIT — the partial-undo
+    * idiom where the savepoint brackets a suffix of the TRY. Owned
+    * when: exactly ONE savepoint in the whole text; the catch-leading
+    * named rollback is the ONLY rollback and names that savepoint; the
+    * TRY's transaction brackets every TRY effect
+    * ([[tranBracketsTryBody]] — SAVE TRAN is not a bracket verb); and
+    * the CATCH's last raw statement is a COMMIT (T-SQL: after rolling
+    * back to the savepoint the outer transaction is still open — only
+    * an explicit COMMIT makes the kept prefix durable; a catch that
+    * leaves it open would roll back everything at connection close,
+    * which is a DIFFERENT meaning this replay will not guess).
+    * Returns the savepoint's index in the CLEANED TRY statement list
+    * (= how many executable statements precede it). Interleaved or
+    * repeated savepoints keep the decline. */
+  private def savepointSuffixOwned(text: String, msk: String,
+      m: scala.util.matching.Regex.Match): Option[Int] = {
+    val tryBody = text.substring(m.start(1), m.end(1))
+    val catchBody = text.substring(m.start(2), m.end(2))
+    def raw(body: String) = SqlText.splitBatches(body)
+      .flatMap(SqlText.splitStatements)
+    val tsRaw = raw(tryBody)
+    val csRaw = raw(catchBody)
+    val saves = tsRaw.zipWithIndex.flatMap { case (s, i) =>
+      saveTranStmtRe.findFirstMatchIn(s).map(mm =>
+        (mm.group(1).toLowerCase, i))
+    }
+    if (saves.size != 1) return None
+    if (csRaw.exists(s => saveTranStmtRe.findFirstMatchIn(s).isDefined))
+      return None
+    val (spName, spRawIdx) = saves.head
+    val leadName = csRaw.headOption.flatMap(s =>
+      namedRollbackStmtRe.findFirstMatchIn(s).map(_.group(1).toLowerCase))
+    if (!leadName.contains(spName)) return None
+    // the catch-leading named rollback must be the ONLY rollback
+    val rollbacks = (tsRaw ++ csRaw.tail).count(s =>
+      rollbackRe.findFirstIn(UpdateSqlCompiler.masked(s)).isDefined)
+    if (rollbacks != 0) return None
+    if (!tranBracketsTryBody(tryBody)) return None
+    if (!csRaw.lastOption.exists(s =>
+        commitStmtRe.findFirstMatchIn(s).isDefined)) return None
+    // index within the CLEANED list: executable statements before it
+    Some(tsRaw.take(spRawIdx)
+      .map(s => beginTranPrefixRe.replaceFirstIn(s, ""))
+      .count(s => txnNoopRe.findFirstMatchIn(s).isEmpty))
+  }
+
   /** Is every ROLLBACK in the text the CATCH-leading bare statement of
     * this TRY/CATCH match, with the TRY's transaction bracketing every
     * TRY effect ([[tranBracketsTryBody]])? True enables the owned
@@ -439,8 +493,12 @@ object ScriptedSqlExecutor {
     tryCatchRe.findFirstMatchIn(msk).exists(m =>
       "(?is)begin\\s+try".r
         .findFirstIn(msk.substring(m.start(1), m.end(1))).isEmpty &&
-        (rollbackRe.findFirstIn(msk).isEmpty ||
-          rollbackOnlyCatchLeading(text, msk, m)))
+        // a stray SAVE TRAN outside the owned savepoint form reaches
+        // the sequencer and declines there — classify identically
+        ((("(?i)\\bsave\\s+tran".r.findFirstIn(msk).isEmpty) &&
+          (rollbackRe.findFirstIn(msk).isEmpty ||
+            rollbackOnlyCatchLeading(text, msk, m))) ||
+          savepointSuffixOwned(text, msk, m).isDefined))
   }
 
   /** Parse-only classification twin of the script dispatcher for the
@@ -527,7 +585,8 @@ object ScriptedSqlExecutor {
     def script(bound: ExecuteSqlTask,
         stmts0: List[String],
         catchStmts0: Option[List[String]] = None,
-        catchRollsBack: Boolean = false): Option[SqlOutcome] = {
+        catchRollsBack: Boolean = false,
+        savepointAt: Option[Int] = None): Option[SqlOutcome] = {
       // temp-table references rewrite ONCE, up front, so every statement
       // (and the overlay keys) speak the same overlay-safe names; catch
       // statements share the scope (a CATCH may log via the TRY's temp).
@@ -765,8 +824,18 @@ object ScriptedSqlExecutor {
         // semantics, and the failing statement stages nothing. Without
         // a CATCH the laziness is observable only as failure timing,
         // so the forcing cost is not paid.
-        def runSeq(ss: List[String], catching: Boolean): Boolean =
-          ss.forall { s =>
+        // the savepoint snapshot: overlay/outcome/@@ROWCOUNT state at
+        // the SAVE TRAN point, captured when the TRY's sequencer
+        // reaches savepointAt; None until then (an abort BEFORE the
+        // savepoint leaves the CATCH's ROLLBACK TRAN sp with nothing
+        // to roll back to — T-SQL error 6401, the task fails)
+        var spState: Option[(Map[String, DataFrame], List[SqlOutcome],
+          Option[() => Long])] = None
+        def runSeq(ss: List[String], catching: Boolean,
+            trySeq: Boolean = false): Boolean =
+          ss.zipWithIndex.forall { case (s, i) =>
+            if (trySeq && savepointAt.contains(i))
+              spState = Some((overlay.toMap, outcomes.toList, lastAffected))
             (try compileOne(s) catch {
               // a bound variable with no safe literal form: decline
               case _: SqlText.UnbindableLiteral => None
@@ -781,7 +850,7 @@ object ScriptedSqlExecutor {
         val allOk =
           if (catchStmts0.isEmpty) runSeq(stmts, catching = false)
           else
-            try runSeq(stmts, catching = true)
+            try runSeq(stmts, catching = true, trySeq = true)
             catch {
               case e: Exception if caughtMsg(e).isDefined =>
                 // a T-SQL-catchable abort (eager 2714/3701/arity…, or
@@ -801,6 +870,30 @@ object ScriptedSqlExecutor {
                   overlay.clear()
                   outcomes.clear()
                   lastAffected = Some(() => 0L)
+                } else if (savepointAt.isDefined) spState match {
+                  // savepoint-suffix form: ROLLBACK TRAN sp discards
+                  // only the effects staged AFTER the SAVE TRAN —
+                  // restore the snapshot, keep the prefix
+                  case Some((spO, spOut, _)) =>
+                    overlay.keys.foreach(k =>
+                      spark.catalog.dropTempView(k): Unit)
+                    shadowed.foreach { case (k, f) =>
+                      f.createOrReplaceTempView(k) }
+                    overlay.clear(); overlay ++= spO
+                    spO.foreach { case (k, f) =>
+                      f.createOrReplaceTempView(k) }
+                    outcomes.clear(); outcomes ++= spOut
+                    // the prefix's @@ROWCOUNT is gone: ROLLBACK reads 0
+                    lastAffected = Some(() => 0L)
+                  case None =>
+                    // the abort came BEFORE the savepoint existed: the
+                    // CATCH's ROLLBACK TRAN sp raises T-SQL 6401 and
+                    // the rest of the CATCH never runs — the task
+                    // fails, nothing commits
+                    throw new IllegalStateException(
+                      "ROLLBACK TRANSACTION: cannot roll back to the " +
+                        "savepoint — no savepoint of that name was " +
+                        "reached before the abort (T-SQL error 6401)", e)
                 }
                 runSeq(catchStmts.map(substErrMsg(_, caughtMsg(e).get)),
                   catching = true)
@@ -830,14 +923,17 @@ object ScriptedSqlExecutor {
         bound.copy(sqlStatement = text), resolveFrame)
       if (guard.isDefined) guard
       // conditional undo is control flow — manual review, EXCEPT the
-      // one owned shape: a TRY/CATCH whose CATCH leads with a bare
-      // ROLLBACK (the all-or-nothing + log idiom) — a caught abort
-      // then discards the TRY's staged effects before the rest of the
-      // CATCH runs
+      // two owned shapes: a TRY/CATCH whose CATCH leads with a bare
+      // ROLLBACK (the all-or-nothing + log idiom — a caught abort
+      // discards the TRY's staged effects before the rest of the
+      // CATCH runs), and the savepoint-suffix form (ROLLBACK TRAN sp
+      // discarding only the effects after SAVE TRAN sp)
       else if (rollbackRe.findFirstIn(UpdateSqlCompiler.masked(text)).isDefined
           && !tryCatchRe.findFirstMatchIn(UpdateSqlCompiler.masked(text))
             .exists(m => rollbackOnlyCatchLeading(text,
-              UpdateSqlCompiler.masked(text), m)))
+                UpdateSqlCompiler.masked(text), m) ||
+              savepointSuffixOwned(text,
+                UpdateSqlCompiler.masked(text), m).isDefined))
         None
       else if (tryCatchRe.findFirstMatchIn(UpdateSqlCompiler.masked(text))
           .isDefined) {
@@ -853,19 +949,35 @@ object ScriptedSqlExecutor {
             .flatMap(SqlText.splitStatements)
             .map(s => beginTranPrefixRe.replaceFirstIn(s, ""))
             .filterNot(s => txnNoopRe.findFirstMatchIn(s).isDefined)
-          val ts = stmtsOf(tryBody)
+          val savepoint = savepointSuffixOwned(text, msk, m)
+          val ts0 = stmtsOf(tryBody)
+          // in the owned savepoint form the SAVE TRAN marker leaves
+          // the executable list (its position travels as savepointAt);
+          // in any other text a surviving SAVE TRAN reaches compileOne
+          // and declines the script
+          val ts =
+            if (savepoint.isDefined)
+              ts0.filterNot(s => saveTranStmtRe.findFirstMatchIn(s).isDefined)
+            else ts0
           val cs = stmtsOf(catchBody)
-          val rollsBack = cs.headOption
+          val rollsBack = savepoint.isEmpty && cs.headOption
             .exists(s => bareRollbackRe.findFirstMatchIn(s).isDefined)
+          val csRun =
+            if (rollsBack) cs.tail
+            else if (savepoint.isDefined)
+              // drop the leading ROLLBACK TRAN sp (the restore is the
+              // executor's savepoint machinery, not a statement)
+              cs.dropWhile(s =>
+                namedRollbackStmtRe.findFirstMatchIn(s).isDefined)
+            else cs
           // the all-or-nothing replay is sound ONLY when the TRY's
           // transaction brackets every TRY effect (see
           // tranBracketsTryBody) — other placements decline to manual
           // review like any other rollback
           if (rollsBack && !tranBracketsTryBody(tryBody)) None
           else if (ts.isEmpty) Some(SqlOutcome(None, None))
-          else script(bound, ts,
-            Some(if (rollsBack) cs.tail else cs),
-            catchRollsBack = rollsBack)
+          else script(bound, ts, Some(csRun),
+            catchRollsBack = rollsBack, savepointAt = savepoint)
         }
       }
       // IF EXISTS with MULTI-statement BEGIN…END branches: probe

@@ -2554,6 +2554,86 @@ class PipelineSpec extends AnyFunSuite {
         "INSERT INTO l (m) VALUES ('x'); END CATCH"))
   }
 
+  test("savepoint-suffix TRY/CATCH: ROLLBACK TRAN sp discards only the suffix") {
+    import spark.implicits._
+    def mkExec(written: scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]) =
+      graft.patterns.ScriptedSqlExecutor.executor(spark,
+        resolveFrame = n => written.getOrElse(n, spark.table(n)),
+        bareName = identity,
+        commit = (k, v) => written(k) = v)
+    def task(sql: String) = graft.ir.Ir.ExecuteSqlTask("sp", None, "conn", sql)
+    def fresh() = {
+      val w = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame](
+        "spt" -> Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"),
+        "splog" -> Seq.empty[(String, Long)].toDF("what", "n"))
+      w.foreach { case (k, f) => f.createOrReplaceTempView(k) }
+      w
+    }
+    // abort in the SUFFIX: the prefix UPDATE survives, the suffix
+    // UPDATE rolls back to the savepoint, the catch logs and commits
+    val w = fresh()
+    mkExec(w)(task(
+      "BEGIN TRY BEGIN TRAN; UPDATE spt SET v = v + 1; SAVE TRAN sp1; " +
+        "UPDATE spt SET v = v + 100; SELECT id INTO spt FROM spt; " +
+        "COMMIT; END TRY BEGIN CATCH ROLLBACK TRAN sp1; " +
+        "INSERT INTO splog (what, n) VALUES ('partial', @@ROWCOUNT); " +
+        "COMMIT; END CATCH"))
+      .getOrElse(fail("savepoint TRY/CATCH did not compile"))
+    assert(w("spt").orderBy("id").as[(Long, Double)].collect().toList
+      === List((1L, 11.0), (2L, 21.0)),
+      "prefix must survive, suffix must roll back")
+    assert(w("splog").as[(String, Long)].collect().toList
+      === List(("partial", 0L)), "@@ROWCOUNT must read 0 after the undo")
+    // a SUCCESSFUL try never reaches the catch: everything commits
+    val w2 = fresh()
+    mkExec(w2)(task(
+      "BEGIN TRY BEGIN TRAN; UPDATE spt SET v = v + 1; SAVE TRAN sp1; " +
+        "UPDATE spt SET v = v + 100; COMMIT; END TRY " +
+        "BEGIN CATCH ROLLBACK TRAN sp1; COMMIT; END CATCH"))
+      .getOrElse(fail("successful savepoint script did not compile"))
+    assert(w2("spt").orderBy("id").as[(Long, Double)].collect().toList
+      === List((1L, 111.0), (2L, 121.0)))
+    // an abort BEFORE the savepoint: the catch's ROLLBACK TRAN sp has
+    // no savepoint to reach — T-SQL 6401, the task fails, nothing
+    // commits
+    val w3 = fresh()
+    val e = intercept[Exception](mkExec(w3)(task(
+      "BEGIN TRY BEGIN TRAN; SELECT id INTO spt FROM spt; " +
+        "SAVE TRAN sp1; UPDATE spt SET v = 0; COMMIT; END TRY " +
+        "BEGIN CATCH ROLLBACK TRAN sp1; COMMIT; END CATCH")))
+    assert(e.getMessage.contains("6401"), e.getMessage)
+    assert(w3("spt").orderBy("id").as[(Long, Double)].collect().toList
+      === List((1L, 10.0), (2L, 20.0)), "nothing may commit on 6401")
+    // declines: savepoint/rollback name mismatch, two savepoints, a
+    // catch that does not COMMIT the kept prefix, a savepoint with a
+    // BARE catch rollback (full-undo semantics over a savepoint text
+    // is a different meaning), SAVE TRAN outside the owned form
+    for (sql <- Seq(
+      "BEGIN TRY BEGIN TRAN; UPDATE spt SET v = 1; SAVE TRAN sp1; " +
+        "UPDATE spt SET v = 2; COMMIT; END TRY " +
+        "BEGIN CATCH ROLLBACK TRAN other; COMMIT; END CATCH",
+      "BEGIN TRY BEGIN TRAN; SAVE TRAN a; UPDATE spt SET v = 1; " +
+        "SAVE TRAN b; UPDATE spt SET v = 2; COMMIT; END TRY " +
+        "BEGIN CATCH ROLLBACK TRAN b; COMMIT; END CATCH",
+      "BEGIN TRY BEGIN TRAN; UPDATE spt SET v = 1; SAVE TRAN sp1; " +
+        "UPDATE spt SET v = 2; COMMIT; END TRY " +
+        "BEGIN CATCH ROLLBACK TRAN sp1; END CATCH",
+      "BEGIN TRY BEGIN TRAN; UPDATE spt SET v = 1; SAVE TRAN sp1; " +
+        "UPDATE spt SET v = 2; COMMIT; END TRY " +
+        "BEGIN CATCH ROLLBACK; COMMIT; END CATCH",
+      "BEGIN TRAN; UPDATE spt SET v = 1; SAVE TRAN sp1; " +
+        "UPDATE spt SET v = 2; COMMIT"))
+      assert(mkExec(fresh())(task(sql)).isEmpty, s"should decline: $sql")
+    // ledger twin recognizes exactly the owned shape
+    assert(graft.patterns.ScriptedSqlExecutor.tryCatchShape(
+      "BEGIN TRY BEGIN TRAN; UPDATE t SET a = 1; SAVE TRAN s; " +
+        "UPDATE t SET a = 2; COMMIT; END TRY " +
+        "BEGIN CATCH ROLLBACK TRAN s; COMMIT; END CATCH"))
+    assert(!graft.patterns.ScriptedSqlExecutor.tryCatchShape(
+      "BEGIN TRY BEGIN TRAN; UPDATE t SET a = 1; SAVE TRAN s; " +
+        "COMMIT; END TRY BEGIN CATCH ROLLBACK TRAN s; END CATCH"))
+  }
+
   test("table variables reduce to the temp overlay; scope and declines hold") {
     import spark.implicits._
     def mkExec(written: scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]) =
