@@ -2486,6 +2486,31 @@ object QueriesRelational {
       |UNION ALL
       |SELECT 'log', NULL, NULL, 'suffix_undone', 0""".stripMargin
 
+  /** The WAITFOR-throttled purge script through the dtsx frontend
+    * (`ThrottledPurgeETL.dtsx`) — DELETE waves separated by
+    * `WAITFOR DELAY` / `WAITFOR TIME` throttles, the retry/log-pressure
+    * idiom. Time is the ORCHESTRATOR's axis in a replay
+    * ([[graft.patterns.NoopDdlSqlCompiler]]): the WAITFORs execute as
+    * no-ops because the post-script state is bit-identical, while a
+    * `@@ROWCOUNT` read straight after one declines rather than guess
+    * T-SQL's reset behavior; `WAITFOR (RECEIVE …)` stays manual
+    * review. */
+  def q126_dtsx_throttled_purge(spark: SparkSession, dir: String): DataFrame = {
+    val (w, _) = runDtsxWarehousePackage(spark, dir, "ThrottledPurgeETL.dtsx")
+    w("ord_tp").select(
+      col("okey").cast(LongType).as("okey"),
+      col("price").cast(DoubleType).as("price"),
+      col("st").cast(StringType).as("st"))
+  }
+
+  val q126Oracle: String =
+    """SELECT o_orderkey AS okey,
+      |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+      |  CASE WHEN o_orderstatus = 'O' THEN 'K' ELSE o_orderstatus END AS st
+      |FROM orders
+      |WHERE CAST(o_totalprice AS DECIMAL(12,2)) >= 50000
+      |  AND o_orderstatus <> 'F'""".stripMargin
+
   /** Explicit GROUPING SETS with grouping_id disambiguation (beyond q24's
     * rollup): two chosen aggregation levels, no intermediate level. */
   def q39_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
@@ -3877,6 +3902,7 @@ object QueriesRelational {
     "q123_dtsx_alter_column" -> (q123_dtsx_alter_column _),
     "q124_dtsx_param_exec" -> (q124_dtsx_param_exec _),
     "q125_dtsx_savepoint" -> (q125_dtsx_savepoint _),
+    "q126_dtsx_throttled_purge" -> (q126_dtsx_throttled_purge _),
     "q82_orc_roundtrip" -> (q82_orc_roundtrip _),
     "q80_dtsx_cdc_merge" -> (q80_dtsx_cdc_merge _),
     "q79_delete_cascade" -> (q79_delete_cascade _),
@@ -3995,6 +4021,7 @@ object QueriesRelational {
     "q123_dtsx_alter_column" -> q123Oracle,
     "q124_dtsx_param_exec" -> q124Oracle,
     "q125_dtsx_savepoint" -> q125Oracle,
+    "q126_dtsx_throttled_purge" -> q126Oracle,
     "q82_orc_roundtrip" -> q82Oracle,
     "q80_dtsx_cdc_merge" -> q80Oracle,
     "q79_delete_cascade" -> q79Oracle,

@@ -305,11 +305,13 @@ object MigrationMapping {
           "COLLATE, and IDENTITY stay manual review)"), Nil, signals)
     else if (graft.patterns.NoopDdlSqlCompiler.shapeMatches(sql))
       TaskMapping(t.name, "ExecuteSQLTask", "converted", None,
-        Some("physical-tuning DDL executes as a no-op (patterns/" +
+        Some("physical-tuning DDL / WAITFOR executes as a no-op (patterns/" +
           "NoopDdlSqlCompiler — rowstore indexes and manual statistics " +
           "have no relational content in a columnar engine; bucketing/" +
           "z-order are this engine's explicit analogs and parquet " +
-          "gathers column stats at write time)"), Nil, signals)
+          "gathers column stats at write time; WAITFOR DELAY/TIME is " +
+          "the orchestrator's job in a replay and the state is " +
+          "bit-identical)"), Nil, signals)
     else if (graft.patterns.ExecLiteralSqlCompiler.unwrap(sql).isDefined ||
         graft.patterns.ExecLiteralSqlCompiler.bindParameterized(sql).isDefined)
       TaskMapping(t.name, "ExecuteSQLTask", "converted", None,

@@ -25,6 +25,18 @@ import graft.pipeline.PackageRunner.SqlOutcome
   * bit-identical either way, which is what the oracle gates certify.
   * @@ROWCOUNT after DDL is 0, matching the ALTER convention.
   *
+  * `WAITFOR DELAY 'hh:mm:ss'` / `WAITFOR TIME 'hh:mm'` (r14) are the
+  * same class on the TIME axis: throttles and schedule alignment are
+  * the ORCHESTRATOR's job in a replay (the runner fires the task when
+  * its precedence constraints say so), and the post-statement state
+  * is bit-identical — so they execute as no-ops rather than declining
+  * the purge/retry scripts that carry them. One honest difference:
+  * their outcome carries NO rows-affected thunk, so a following
+  * `@@ROWCOUNT` read DECLINES the script ("read with no countable
+  * predecessor") — T-SQL's reset behavior after WAITFOR is not a
+  * contract this engine will guess at. `WAITFOR (RECEIVE …)` is
+  * service-broker state and stays manual review.
+  *
   * Deliberately NOT no-op'd: CREATE UNIQUE INDEX (a unique index is a
   * relational CONSTRAINT, not physical tuning — T-SQL errors at
   * creation on existing duplicates and rejects later duplicate
@@ -52,16 +64,27 @@ object NoopDdlSqlCompiler {
     ("(?is)^\\s*update\\s+statistics\\s+[^\\s;]+(?:\\s+\\w+)?" +
       "(?:\\s+with\\s+[^;]+?)?\\s*;?\\s*$").r
 
+  private val waitforRe =
+    "(?is)^\\s*waitfor\\s+(?:delay|time)\\s+'[^']*'\\s*;?\\s*$".r
+
   /** Parse-only classification twin of [[rewrite]]. */
   private[graft] def shapeMatches(sqlRaw: String): Boolean = {
     val msk = UpdateSqlCompiler.masked(SqlText.stripComments(sqlRaw))
     createIndexRe.findFirstMatchIn(msk).isDefined ||
       dropIndexRe.findFirstMatchIn(msk).isDefined ||
-      updateStatsRe.findFirstMatchIn(msk).isDefined
+      updateStatsRe.findFirstMatchIn(msk).isDefined ||
+      waitforRe.findFirstMatchIn(msk).isDefined
   }
 
-  def rewrite(task: ExecuteSqlTask): Option[SqlOutcome] =
-    if (shapeMatches(task.sqlStatement))
+  def rewrite(task: ExecuteSqlTask): Option[SqlOutcome] = {
+    val msk = UpdateSqlCompiler.masked(
+      SqlText.stripComments(task.sqlStatement))
+    if (waitforRe.findFirstMatchIn(msk).isDefined)
+      // no rows-affected thunk: a following @@ROWCOUNT read declines
+      // instead of guessing T-SQL's post-WAITFOR reset behavior
+      Some(SqlOutcome(None, None))
+    else if (shapeMatches(task.sqlStatement))
       Some(SqlOutcome(None, None, affected = Some(() => 0L)))
     else None
+  }
 }

@@ -2459,6 +2459,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(graft.parser.MigrationMapping.mapTask(
       graft.ir.Ir.ExecuteSqlTask("t", None, "conn",
         "CREATE INDEX ix_b ON part_dim (band)"), Nil).status === "converted")
+    // WAITFOR DELAY/TIME: time is the orchestrator's axis — no-ops,
+    // but with NO rows-affected thunk (a following @@ROWCOUNT read
+    // must decline, not guess T-SQL's post-WAITFOR reset)
+    for (sql <- Seq("WAITFOR DELAY '00:00:05'", "WAITFOR TIME '23:00'")) {
+      val out = graft.patterns.NoopDdlSqlCompiler.rewrite(task(sql))
+        .getOrElse(fail(s"should no-op: $sql"))
+      assert(out.df.isEmpty && out.target.isEmpty && out.affected.isEmpty)
+    }
+    assert(graft.patterns.NoopDdlSqlCompiler.rewrite(task(
+      "WAITFOR (RECEIVE TOP(1) * FROM q)")).isEmpty,
+      "service-broker WAITFOR must stay manual review")
+    // in a script: DML flows across the throttle; a @@ROWCOUNT read
+    // straight after the WAITFOR declines the whole script
+    import spark.implicits._
+    def mkExec(written: scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]) =
+      graft.patterns.ScriptedSqlExecutor.executor(spark,
+        resolveFrame = n => written.getOrElse(n, spark.table(n)),
+        bareName = identity,
+        commit = (k, v) => written(k) = v)
+    val w = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame](
+      "wt" -> Seq((1L, 5.0), (2L, 90.0), (3L, 40.0)).toDF("id", "v"))
+    w.foreach { case (k, f) => f.createOrReplaceTempView(k) }
+    mkExec(w)(graft.ir.Ir.ExecuteSqlTask("wf", None, "conn",
+      "DELETE FROM wt WHERE v < 10; WAITFOR DELAY '00:00:01'; " +
+        "DELETE FROM wt WHERE v > 80"))
+      .getOrElse(fail("throttled purge script did not compile"))
+    assert(w("wt").select("id").as[Long].collect().toList === List(3L))
+    assert(mkExec(w)(graft.ir.Ir.ExecuteSqlTask("wf2", None, "conn",
+      "DELETE FROM wt WHERE v < 10; WAITFOR DELAY '00:00:01'; " +
+        "INSERT INTO wlog (n) VALUES (@@ROWCOUNT)")).isEmpty,
+      "@@ROWCOUNT after WAITFOR must decline, never guess")
   }
 
   test("TRY/CATCH with CATCH-leading ROLLBACK: all-or-nothing; placements decline") {
