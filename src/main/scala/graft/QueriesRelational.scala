@@ -2511,6 +2511,33 @@ object QueriesRelational {
       |WHERE CAST(o_totalprice AS DECIMAL(12,2)) >= 50000
       |  AND o_orderstatus <> 'F'""".stripMargin
 
+  /** Concatenated dynamic SQL through the dtsx frontend
+    * (`ConcatSqlETL.dtsx`) — the `'+'`-built EXEC strings real estates
+    * assemble from variables, in both owned spellings: the inline
+    * `EXEC('…' + CAST(@v AS VARCHAR(n)) + …)` concat and the
+    * `SET @sql = '…' + …; EXEC(@sql)` builder. The script executor
+    * binds declared @vars to typed literals first, so every fragment
+    * is a compile-time constant and [[graft.patterns.TsqlConcatFold]]
+    * renders the exact text T-SQL would build (default-30 lengths,
+    * silent string truncation, 8115 declines, decimal re-scaling);
+    * non-constant fragments decline to manual review. */
+  def q127_dtsx_concat_sql(spark: SparkSession, dir: String): DataFrame = {
+    val (w, _) = runDtsxWarehousePackage(spark, dir, "ConcatSqlETL.dtsx")
+    w("cust_cs").select(
+      col("ck").cast(LongType).as("ck"),
+      col("bal").cast(DoubleType).as("bal"),
+      col("seg").cast(StringType).as("seg"))
+  }
+
+  val q127Oracle: String =
+    """SELECT c_custkey AS ck,
+      |  CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal,
+      |  CASE WHEN c_mktsegment = 'MACHINERY'
+      |        AND CAST(c_acctbal AS DECIMAL(12,2)) > 5000 THEN 'PRIORITY'
+      |       ELSE c_mktsegment END AS seg
+      |FROM customer
+      |WHERE CAST(c_acctbal AS DECIMAL(12,2)) >= 100.00""".stripMargin
+
   /** Explicit GROUPING SETS with grouping_id disambiguation (beyond q24's
     * rollup): two chosen aggregation levels, no intermediate level. */
   def q39_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
@@ -3903,6 +3930,7 @@ object QueriesRelational {
     "q124_dtsx_param_exec" -> (q124_dtsx_param_exec _),
     "q125_dtsx_savepoint" -> (q125_dtsx_savepoint _),
     "q126_dtsx_throttled_purge" -> (q126_dtsx_throttled_purge _),
+    "q127_dtsx_concat_sql" -> (q127_dtsx_concat_sql _),
     "q82_orc_roundtrip" -> (q82_orc_roundtrip _),
     "q80_dtsx_cdc_merge" -> (q80_dtsx_cdc_merge _),
     "q79_delete_cascade" -> (q79_delete_cascade _),
@@ -4022,6 +4050,7 @@ object QueriesRelational {
     "q124_dtsx_param_exec" -> q124Oracle,
     "q125_dtsx_savepoint" -> q125Oracle,
     "q126_dtsx_throttled_purge" -> q126Oracle,
+    "q127_dtsx_concat_sql" -> q127Oracle,
     "q82_orc_roundtrip" -> q82Oracle,
     "q80_dtsx_cdc_merge" -> q80Oracle,
     "q79_delete_cascade" -> q79Oracle,

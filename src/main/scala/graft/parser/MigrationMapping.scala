@@ -313,13 +313,16 @@ object MigrationMapping {
           "the orchestrator's job in a replay and the state is " +
           "bit-identical)"), Nil, signals)
     else if (graft.patterns.ExecLiteralSqlCompiler.unwrap(sql).isDefined ||
-        graft.patterns.ExecLiteralSqlCompiler.bindParameterized(sql).isDefined)
+        graft.patterns.ExecLiteralSqlCompiler.bindParameterized(sql).isDefined ||
+        graft.patterns.ExecLiteralSqlCompiler.foldConcatenated(sql).isDefined)
       TaskMapping(t.name, "ExecuteSQLTask", "converted", None,
         Some("literal dynamic SQL unwraps (patterns/ExecLiteralSqlCompiler" +
           " — sp_executesql/EXEC('…') around a single static statement " +
-          "compiles inline, and the parameterized sp_executesql form " +
-          "binds literal @p arguments as typed literals; expression " +
-          "args, OUTPUT params, and concatenation stay manual review)"),
+          "compiles inline, the parameterized sp_executesql form binds " +
+          "literal @p arguments as typed literals, and a constant `+` " +
+          "concatenation folds to its exact T-SQL text; expression " +
+          "args, OUTPUT params, and non-constant concatenation stay " +
+          "manual review)"),
         Nil, signals)
     else if ("(?is)\\bdeclare\\b.{0,120}?\\bcursor\\b".r
         .findFirstIn(sql).isDefined)

@@ -31,8 +31,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * batch), and an inner `@token` that is not a declared parameter
   * declines — it is session state this replay cannot see.
   *
-  * Declined to manual review: concatenated fragments
-  * (`EXEC('SELECT ' + @col)`), non-literal / expression arguments,
+  * CONCATENATED dynamic SQL is owned when it constant-folds (r14):
+  * `EXEC('DELETE FROM t WHERE k = ' + CAST(@id AS VARCHAR(10)))` — by
+  * the time a script statement reaches this compiler, the executor's
+  * bindVars has made every declared @var a typed literal, so the
+  * fragments are compile-time constants and [[TsqlConcatFold]] renders
+  * the exact text T-SQL would build (default-30 char lengths, silent
+  * string truncation, 8115 declines, decimal re-scaling). The
+  * `SET @sql = '…' + …; EXEC(@sql)` spelling composes through the
+  * executor's assignment fold plus the plain literal unwrap here.
+  *
+  * Declined to manual review: concatenated fragments that do NOT fold
+  * (column/identifier splices — `EXEC('SELECT ' + @col)` where @col
+  * names a column, function calls, date/float renderings whose text
+  * form is style-dependent), non-literal / expression arguments,
   * positional (unnamed) arguments, `OUTPUT` parameters, unmapped
   * parameter types, duplicate or missing bindings, and any other EXEC
   * (stored procedures have bodies this engine cannot see). One
@@ -172,10 +184,33 @@ object ExecLiteralSqlCompiler {
     else Some(replaced)
   }
 
+  // the same two EXEC frames with ANY argument text — the argument is
+  // then required to be one top-level item (a comma = a parameter
+  // list) that constant-folds as a `+` concatenation
+  private val spExecAnyRe =
+    "(?is)^\\s*exec(?:ute)?\\s+sp_executesql\\s+(.+?)\\s*;?\\s*$".r
+  private val execParenAnyRe =
+    "(?is)^\\s*exec(?:ute)?\\s*\\(\\s*(.+)\\)\\s*;?\\s*$".r
+
+  /** Concatenated dynamic SQL whose fragments are all compile-time
+    * constants → the folded inner statement, or None (manual review).
+    * Single-literal arguments stay [[unwrap]]'s class. */
+  private[graft] def foldConcatenated(sqlRaw: String): Option[String] = {
+    val sql = SqlText.stripComments(sqlRaw)
+    val msk = UpdateSqlCompiler.masked(sql)
+    val m = spExecAnyRe.findFirstMatchIn(msk)
+      .orElse(execParenAnyRe.findFirstMatchIn(msk))
+      .getOrElse(return None)
+    val argRaw = sql.substring(m.start(1), m.end(1))
+    if (MergeSqlCompiler.splitTop(argRaw).size != 1) return None
+    TsqlConcatFold.fold(argRaw).filter(noExecTower)
+  }
+
   def rewrite(spark: SparkSession, task: ExecuteSqlTask,
       resolve: String => DataFrame,
       chain: ExecuteSqlTask => Option[SqlOutcome]): Option[SqlOutcome] =
     unwrap(task.sqlStatement)
       .orElse(bindParameterized(task.sqlStatement))
+      .orElse(foldConcatenated(task.sqlStatement))
       .flatMap(inner => chain(task.copy(sqlStatement = inner)))
 }

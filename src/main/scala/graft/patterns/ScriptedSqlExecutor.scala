@@ -671,6 +671,19 @@ object ScriptedSqlExecutor {
       }.mkString
       def evalScalar(boundExpr: String): Any =
         spark.sql("SELECT " + boundExpr).head().get(0)
+      // T-SQL `+` over string fragments is CONCATENATION; Spark's `+`
+      // is arithmetic (ANSI error on strings). A bound RHS that folds
+      // as a constant string concat ([[TsqlConcatFold]] — the
+      // `SET @sql = '…' + CAST(@k AS VARCHAR(10))` dynamic-SQL builder)
+      // assigns its exact T-SQL text; everything else evaluates as
+      // before. Numeric `+` never folds (bare numerics are not
+      // foldable fragments), so arithmetic is untouched.
+      def evalAssign(bound: String, tpe: String): Any =
+        TsqlConcatFold.fold(bound) match {
+          case Some(txt) =>
+            evalScalar(s"CAST(${SqlText.sqlLitOrDecline(txt)} AS $tpe)")
+          case None => evalScalar(s"CAST(($bound) AS $tpe)")
+        }
       // T-SQL casts to the declared type AT assignment — a DATETIME
       // variable assigned a string literal holds a timestamp, and its
       // later bindings compare as one
@@ -711,7 +724,7 @@ object ScriptedSqlExecutor {
                 scalarVarRe.findFirstIn(UpdateSqlCompiler.masked(b)).isDefined))
               return None // init references an undeclared variable
             varTypes(nm) = tpe
-            vars(nm) = bound.map(b => evalScalar(s"CAST(($b) AS $tpe)")).orNull
+            vars(nm) = bound.map(b => evalAssign(b, tpe)).orNull
             inited |= bound.isDefined
           }
           // a DECLARE with an initializer is a simple assignment
@@ -732,7 +745,7 @@ object ScriptedSqlExecutor {
               .isDefined) return None
           if (fromKeywordRe.findFirstIn(rhsMsk).isEmpty) {
             // pure expression assign — FROM-less, one row by construction
-            vars(nm) = evalScalar(s"CAST(($bound) AS ${varTypes(nm)})")
+            vars(nm) = evalAssign(bound, varTypes(nm))
             lastAffected = Some(() => 1L)
           } else {
             // scalar assign from a query, evaluated on the CURRENT
@@ -761,7 +774,7 @@ object ScriptedSqlExecutor {
           val bound = bindVars(rhsRaw)
           if (scalarVarRe.findFirstIn(UpdateSqlCompiler.masked(bound))
               .isDefined) return None
-          vars(nm) = evalScalar(s"CAST(($bound) AS ${varTypes(nm)})")
+          vars(nm) = evalAssign(bound, varTypes(nm))
           lastAffected = Some(() => 1L)
           return Some(SqlOutcome(None, None))
         }

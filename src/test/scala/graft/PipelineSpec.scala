@@ -2424,6 +2424,107 @@ class PipelineSpec extends AnyFunSuite {
           "N'@p DECIMAL(12,2)', @p = 5"), Nil).status === "converted")
   }
 
+  test("concatenated dynamic SQL folds to exact T-SQL text; non-constants decline") {
+    import graft.patterns.{ExecLiteralSqlCompiler, TsqlConcatFold}
+    import spark.implicits._
+    // the fold itself: T-SQL text-rendering contracts
+    def fold(s: String) = TsqlConcatFold.fold(s)
+    assert(fold("'DELETE FROM t WHERE v < ' + CAST(5 AS VARCHAR(10))")
+      === Some("DELETE FROM t WHERE v < 5"))
+    // decimal binding re-scales HALF_UP at the cast's declared scale
+    assert(fold("'v = ' + CAST(CAST(12.5 AS DECIMAL(12,2)) AS VARCHAR(10))")
+      === Some("v = 12.50"))
+    assert(fold("'v = ' + CAST(CAST(2.345 AS DECIMAL(4,2)) AS VARCHAR(10))")
+      === Some("v = 2.35"))
+    // integer literals render canonically; decimals keep their own scale
+    assert(fold("'a' + CAST(007 AS VARCHAR(5)) + 'b' + CONVERT(VARCHAR(6), 1.50)")
+      === Some("a7b1.50"))
+    assert(fold("'x' + CAST(.5 AS VARCHAR(5))") === Some("x0.5"))
+    // a STRING source truncates silently; a NUMERIC overflow is 8115
+    assert(fold("'p' + CAST('abcdef' AS VARCHAR(3))") === Some("pabc"))
+    assert(fold("'p' + CAST(12345 AS VARCHAR(2))").isEmpty)
+    // missing char length is T-SQL's default 30
+    assert(fold("'p' + CAST('" + "y" * 40 + "' AS VARCHAR)")
+      === Some("p" + "y" * 30))
+    // '' escapes unescape; MAX is unbounded
+    assert(fold("'it''s ' + CAST('a' AS NVARCHAR(MAX))") === Some("it's a"))
+    // declines: bare numerics (T-SQL conversion error, not concat),
+    // CONVERT styles, functions, NULL, single fragment, arithmetic
+    for (s <- Seq("'a' + 1", "'a' + @v", "'a' + UPPER('b')",
+      "'a' + CONVERT(VARCHAR(10), 5, 1)", "'a' + NULL",
+      "'just one literal'", "1 + 2",
+      "'a' + CAST(GETDATE() AS VARCHAR(20))"))
+      assert(fold(s).isEmpty, s"should not fold: $s")
+    // the EXEC frames: inline concat and the SET @sql builder
+    assert(ExecLiteralSqlCompiler.foldConcatenated(
+      "EXEC('DELETE FROM ct WHERE v < ' + CAST(8 AS VARCHAR(10)))")
+      === Some("DELETE FROM ct WHERE v < 8"))
+    assert(ExecLiteralSqlCompiler.foldConcatenated(
+      "EXEC sp_executesql N'DELETE FROM ct WHERE tag = ' + '''B'''")
+      === Some("DELETE FROM ct WHERE tag = 'B'"))
+    // towers stay declined even when they fold
+    assert(ExecLiteralSqlCompiler.foldConcatenated(
+      "EXEC('EXEC ' + 'sp_other')").isEmpty)
+    // a top-level comma is the parameterized form, not a concat
+    assert(ExecLiteralSqlCompiler.foldConcatenated(
+      "EXEC sp_executesql N'a' + 'b', N'@p INT', @p = 1").isEmpty)
+    def mkExec(written: scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]) =
+      graft.patterns.ScriptedSqlExecutor.executor(spark,
+        resolveFrame = n => written.getOrElse(n, spark.table(n)),
+        bareName = identity,
+        commit = (k, v) => written(k) = v)
+    def task(sql: String) = graft.ir.Ir.ExecuteSqlTask("cd", None, "conn", sql)
+    def fresh() = {
+      val w = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame](
+        "ct" -> Seq((1L, 5.0, "A"), (2L, 9.0, "B"), (3L, 12.0, "B"))
+          .toDF("id", "v", "tag"))
+      w.foreach { case (k, f) => f.createOrReplaceTempView(k) }
+      w
+    }
+    // end-to-end: declared @var → CAST fragment → folded EXEC
+    val w1 = fresh()
+    mkExec(w1)(task(
+      "DECLARE @min INT = 8; " +
+        "EXEC('DELETE FROM ct WHERE v < ' + CAST(@min AS VARCHAR(10)));"))
+      .getOrElse(fail("inline concat EXEC did not compile"))
+    assert(w1("ct").orderBy("id").select("id").as[Long].collect().toList
+      === List(2L, 3L))
+    // the SET @sql builder: concat folds at assignment, EXEC(@sql)
+    // binds to a single literal and unwraps
+    val w2 = fresh()
+    mkExec(w2)(task(
+      "DECLARE @cut DECIMAL(12,2) = 10.5; DECLARE @sql VARCHAR(200); " +
+        "SET @sql = 'UPDATE ct SET v = 0 WHERE v > ' + " +
+        "CAST(@cut AS VARCHAR(12)); EXEC(@sql);"))
+      .getOrElse(fail("SET @sql builder did not compile"))
+    assert(w2("ct").orderBy("id").select("v").as[Double].collect().toList
+      === List(5.0, 9.0, 0.0))
+    // numeric arithmetic still evaluates as arithmetic after the fold
+    val w3 = fresh()
+    mkExec(w3)(task(
+      "DECLARE @n INT = 3; SET @n = @n + 4; " +
+        "DELETE FROM ct WHERE id < @n - 5;"))
+      .getOrElse(fail("numeric SET did not compile"))
+    assert(w3("ct").count() === 2L)
+    // a non-constant concat inside EXEC declines the script
+    assert(mkExec(fresh())(task(
+      "DECLARE @col VARCHAR(10) = 'v'; " +
+        "EXEC('DELETE FROM ct WHERE ' + @col + ' > 8');")).isDefined,
+      "a bound string @var IS a constant — this one folds")
+    assert(mkExec(fresh())(task(
+      "EXEC('DELETE FROM ct WHERE v < ' + CAST(GETDATE() AS VARCHAR(20)));"))
+      .isEmpty, "non-constant fragments must decline")
+    // ledger twin
+    assert(graft.parser.MigrationMapping.mapTask(
+      graft.ir.Ir.ExecuteSqlTask("t", None, "conn",
+        "EXEC('DELETE FROM ct WHERE v < ' + CAST(8 AS VARCHAR(10)))"),
+      Nil).status === "converted")
+    assert(graft.parser.MigrationMapping.mapTask(
+      graft.ir.Ir.ExecuteSqlTask("t", None, "conn",
+        "EXEC('DELETE FROM ct WHERE ' + @col + ' > 8')"),
+      Nil).status === "manual_review")
+  }
+
   test("NoopDdlSqlCompiler: index/statistics DDL executes as a no-op; scope held") {
     import spark.implicits._
     def task(sql: String) = graft.ir.Ir.ExecuteSqlTask("nd", None, "conn", sql)
