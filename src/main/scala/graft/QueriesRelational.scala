@@ -2228,7 +2228,7 @@ object QueriesRelational {
     * loop's semantics), and the cursor's ORDER BY drops (iteration
     * order is relationally unobservable once multi-match aborts; a
     * global sort of a 100 TB cursor source would be pure waste).
-    * Off-shape cursors (multi-statement bodies, WHERE CURRENT OF,
+    * Off-shape cursors (repeated-target bodies, WHERE CURRENT OF,
     * FETCH PRIOR, accumulator variables) keep the honest decline. */
   def q117_dtsx_cursor_loop(spark: SparkSession, dir: String): DataFrame = {
     val (w, _) = runDtsxWarehousePackage(spark, dir, "CursorLoopETL.dtsx")
@@ -2537,6 +2537,45 @@ object QueriesRelational {
       |       ELSE c_mktsegment END AS seg
       |FROM customer
       |WHERE CAST(c_acctbal AS DECIMAL(12,2)) >= 100.00""".stripMargin
+
+  /** The multi-statement cursor body through the dtsx frontend
+    * (`CursorAuditETL.dtsx`) — the update-then-audit-log idiom: one
+    * FETCH loop whose body flags the dimension row AND appends an
+    * audit row per cursor row. [[graft.patterns.CursorLoopSqlCompiler]]
+    * (r14) owns multi-statement bodies whose targets are PAIRWISE
+    * DISTINCT tables: the clause bans (no FROM/JOIN/subquery in
+    * SET/WHERE/VALUES) keep each statement blind to its sibling's
+    * writes, so the staged per-statement order and T-SQL's per-row
+    * interleaving provably commute — the cursor scan stages ONCE and
+    * each body statement becomes its own set-based DML over it.
+    * Repeated-target bodies keep the honest decline. */
+  def q128_dtsx_cursor_multi(spark: SparkSession, dir: String): DataFrame = {
+    val (w, _) = runDtsxWarehousePackage(spark, dir, "CursorAuditETL.dtsx")
+    val dim = w("dim_part_ca").select(
+      lit("dim").as("kind"),
+      col("pk").cast(LongType).as("pk"),
+      col("price").cast(DoubleType).as("price"),
+      col("flagged").cast(IntegerType).as("flagged"),
+      lit(null).cast(StringType).as("mfgr"))
+    val log = w("log_ca").select(
+      lit("log").as("kind"),
+      col("pk").cast(LongType).as("pk"),
+      lit(null).cast(DoubleType).as("price"),
+      lit(null).cast(IntegerType).as("flagged"),
+      col("mfgr").cast(StringType).as("mfgr"))
+    dim.unionByName(log)
+  }
+
+  val q128Oracle: String =
+    """SELECT 'dim' AS kind, p_partkey AS pk,
+      |  CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+      |  CASE WHEN p_size > 40 THEN 1 ELSE 0 END AS flagged,
+      |  CAST(NULL AS VARCHAR) AS mfgr
+      |FROM part
+      |UNION ALL
+      |SELECT 'log', p_partkey, CAST(NULL AS DOUBLE), CAST(NULL AS INT),
+      |  p_brand
+      |FROM part WHERE p_size > 40""".stripMargin
 
   /** Explicit GROUPING SETS with grouping_id disambiguation (beyond q24's
     * rollup): two chosen aggregation levels, no intermediate level. */
@@ -3931,6 +3970,7 @@ object QueriesRelational {
     "q125_dtsx_savepoint" -> (q125_dtsx_savepoint _),
     "q126_dtsx_throttled_purge" -> (q126_dtsx_throttled_purge _),
     "q127_dtsx_concat_sql" -> (q127_dtsx_concat_sql _),
+    "q128_dtsx_cursor_multi" -> (q128_dtsx_cursor_multi _),
     "q82_orc_roundtrip" -> (q82_orc_roundtrip _),
     "q80_dtsx_cdc_merge" -> (q80_dtsx_cdc_merge _),
     "q79_delete_cascade" -> (q79_delete_cascade _),
@@ -4051,6 +4091,7 @@ object QueriesRelational {
     "q125_dtsx_savepoint" -> q125Oracle,
     "q126_dtsx_throttled_purge" -> q126Oracle,
     "q127_dtsx_concat_sql" -> q127Oracle,
+    "q128_dtsx_cursor_multi" -> q128Oracle,
     "q82_orc_roundtrip" -> q82Oracle,
     "q80_dtsx_cdc_merge" -> q80Oracle,
     "q79_delete_cascade" -> q79Oracle,

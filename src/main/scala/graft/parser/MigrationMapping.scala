@@ -213,10 +213,12 @@ object MigrationMapping {
     else if (graft.patterns.CursorLoopSqlCompiler.rewriteToScript(sql).isDefined)
       TaskMapping(t.name, "ExecuteSQLTask", "converted", None,
         Some("canonical CURSOR FETCH loop executes set-based (patterns/" +
-          "CursorLoopSqlCompiler — the cursor SELECT stages once, the " +
-          "one-DML body becomes a join-update / anti-join delete / " +
-          "insert-select; an UPDATE whose target row two cursor rows " +
-          "would hit aborts via the multi-match guard)"), Nil, signals)
+          "CursorLoopSqlCompiler — the cursor SELECT stages once, each " +
+          "body DML becomes a join-update / anti-join delete / " +
+          "insert-select (multi-statement bodies own when targets are " +
+          "pairwise-distinct tables); an UPDATE whose target row two " +
+          "cursor rows would hit aborts via the multi-match guard)"),
+        Nil, signals)
     else if (graft.patterns.BatchedDmlLoopSqlCompiler
         .rewriteToStatement(sql).isDefined)
       TaskMapping(t.name, "ExecuteSQLTask", "converted", None,
@@ -329,8 +331,9 @@ object MigrationMapping {
       TaskMapping(t.name, "ExecuteSQLTask", "manual_review", None, None, Nil,
         List("CURSOR loop: row-at-a-time control flow this engine will " +
           "not replay — rewrite set-based (a WHILE counter loop or one " +
-          "DML statement usually replaces it; the one-DML FETCH-loop " +
-          "shape converts automatically via CursorLoopSqlCompiler)") ++
+          "DML statement usually replaces it; the canonical FETCH-loop " +
+          "shape with distinct-target body DML converts automatically " +
+          "via CursorLoopSqlCompiler)") ++
           signals)
     else
       TaskMapping(t.name, "ExecuteSQLTask", "manual_review", None, None, Nil,

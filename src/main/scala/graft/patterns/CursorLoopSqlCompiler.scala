@@ -10,10 +10,11 @@ import scala.util.matching.Regex
   * (ssis-to-dbt `src/agents/analyzer.py:137-156` classifies statements;
   * cursors never convert), and so did this engine through r12
   * ([[graft.parser.MigrationMapping]]). But the most common estate
-  * cursor is mechanical: a FETCH loop whose body is ONE DML statement
-  * parameterized by the cursor row. Row-at-a-time execution of that
-  * shape IS a join — this compiler recognizes exactly it and emits the
-  * set-based equivalent; every other cursor keeps the honest decline.
+  * cursor is mechanical: a FETCH loop whose body is one or more DML
+  * statements parameterized by the cursor row. Row-at-a-time execution
+  * of that shape IS a join — this compiler recognizes exactly it and
+  * emits the set-based equivalent; every other cursor keeps the honest
+  * decline.
   *
   * Recognized whole-text shape (masked scan — literals never match):
   * {{{
@@ -24,7 +25,8 @@ import scala.util.matching.Regex
   * FETCH NEXT FROM c INTO @a, @b;
   * WHILE @@FETCH_STATUS = 0
   * BEGIN
-  *   <one UPDATE / DELETE / INSERT…VALUES using @a, @b>;
+  *   <UPDATE / DELETE / INSERT…VALUES using @a, @b>;  -- one or more,
+  *   [<more body DML, each on a DISTINCT target table>;]
   *   FETCH NEXT FROM c INTO @a, @b;      -- identical INTO list
   * END;
   * CLOSE c;
@@ -56,8 +58,20 @@ import scala.util.matching.Regex
   * these three verbs once UPDATE multi-match aborts, and a global sort
   * of the cursor source at 100 TB would be pure waste.
   *
-  * Declines (→ manual review, the reference's routing): a body of 2+
-  * statements or any control flow, positioned `WHERE CURRENT OF`,
+  * MULTI-STATEMENT bodies (r14) are owned when every statement
+  * individually passes the one-DML gates AND the targets are PAIRWISE
+  * DISTINCT tables (the update-then-audit-log idiom). Staging runs
+  * statement 1 over all cursor rows before statement 2 runs at all,
+  * where T-SQL interleaves per row — but the clause bans (no FROM/
+  * JOIN/subquery in SET/WHERE/VALUES) mean each statement reads only
+  * its own target's columns and the fetch variables, so sibling
+  * writes are invisible and the two orders commute. A repeated target
+  * (`UPDATE t …; DELETE t …` per row) could read its sibling's writes
+  * mid-loop and declines.
+  *
+  * Declines (→ manual review, the reference's routing): body
+  * statements sharing a target table, any control flow in the body,
+  * positioned `WHERE CURRENT OF`,
   * FETCH PRIOR/ABSOLUTE/RELATIVE, a WHILE predicate other than
   * `@@FETCH_STATUS = 0`, mismatched INTO lists, a second cursor,
   * @variables beyond the FETCH INTO list (a mid-loop accumulator is
@@ -250,15 +264,16 @@ object CursorLoopSqlCompiler {
     if (fetchVars.size != items.size) return None
     val vIdx = fetchVars.zipWithIndex.toMap
 
-    // body: exactly ONE statement, no control flow / cursor verbs /
-    // @@state, @references only from the FETCH list
+    // body: one or more DML statements, no control flow / cursor verbs
+    // / @@state, @references only from the FETCH list
     val bodyStmts = SqlText.splitStatements(body)
-    if (bodyStmts.length != 1) return None
-    val b = bodyStmts.head
-    val bMsk = UpdateSqlCompiler.masked(b)
-    if (bodyBanRe.findFirstIn(bMsk).isDefined) return None
-    if (!varsOf(bMsk).toSet.subsetOf(fetchVars.toSet)) return None
-    if (MergeSqlCompiler.hasQuotedIdentifier(b)) return None
+    if (bodyStmts.isEmpty) return None
+    for (b <- bodyStmts) {
+      val bMsk = UpdateSqlCompiler.masked(b)
+      if (bodyBanRe.findFirstIn(bMsk).isDefined) return None
+      if (!varsOf(bMsk).toSet.subsetOf(fetchVars.toSet)) return None
+      if (MergeSqlCompiler.hasQuotedIdentifier(b)) return None
+    }
 
     // staged cursor rows: one scan of the source, aliased positionally
     val selInto = "SELECT " + (if (distinct) "DISTINCT " else "") +
@@ -266,8 +281,6 @@ object CursorLoopSqlCompiler {
         stripAlias(it) + s" AS __gc$i"
       }.mkString(", ") + s" INTO $TempName $selTail"
 
-    def g(m: Regex.Match, i: Int): String = b.substring(m.start(i), m.end(i))
-    def gm(m: Regex.Match, i: Int): String = bMsk.substring(m.start(i), m.end(i))
     def clauseOk(c: String): Boolean =
       !MergeSqlCompiler.bodyDisqualified(c, bodyKeywordRe)
     // a body DML whose TARGET appears in the cursor's FROM sees its own
@@ -278,43 +291,64 @@ object CursorLoopSqlCompiler {
     // declines. INSERT gets no WHERE exemption: appending into the
     // cursor's source under a dynamic cursor can even loop forever.
     val selFromMsk = selMsk.substring(fromM.start)
+    def bareOf(tgt: String): String =
+      tgt.split('.').last.replaceAll("[\\[\\]]", "").toLowerCase
     def sourceSafe(tgt: String, whereMskOpt: Option[String]): Boolean = {
-      val bare = tgt.split('.').last.replaceAll("[\\[\\]]", "")
-      val inFrom = ("(?i)\\b" + q(bare) + "\\b").r
+      val inFrom = ("(?i)\\b" + q(bareOf(tgt)) + "\\b").r
         .findFirstIn(selFromMsk).isDefined
       !inFrom || staticCursor || whereMskOpt.exists(pureKeyEquality)
     }
-    val dml: Option[String] = updBodyRe.findFirstMatchIn(bMsk).flatMap { m =>
-      val (tgt, sets, where) = (g(m, 1), g(m, 2), g(m, 3))
-      if (clauseOk(sets) && clauseOk(where) && sourceSafe(tgt, Some(gm(m, 3))))
-        Some(s"UPDATE __t SET ${substVars(sets, vIdx)} FROM $tgt __t " +
-          s"INNER JOIN $TempName __s ON ${substVars(where, vIdx)}")
-      else None
-    }.orElse {
-      delBodyRe.findFirstMatchIn(bMsk).flatMap { m =>
-        val (tgt, where) = (g(m, 1), g(m, 2))
-        if (clauseOk(where) && sourceSafe(tgt, Some(gm(m, 2))))
-          Some(s"DELETE __t FROM $tgt __t INNER JOIN $TempName __s " +
-            s"ON ${substVars(where, vIdx)}")
+    // one compiled statement per body DML, each carrying its target
+    def compileBody(b: String): Option[(String, String)] = {
+      val bMsk = UpdateSqlCompiler.masked(b)
+      def g(m: Regex.Match, i: Int): String = b.substring(m.start(i), m.end(i))
+      def gm(m: Regex.Match, i: Int): String = bMsk.substring(m.start(i), m.end(i))
+      updBodyRe.findFirstMatchIn(bMsk).flatMap { m =>
+        val (tgt, sets, where) = (g(m, 1), g(m, 2), g(m, 3))
+        if (clauseOk(sets) && clauseOk(where) && sourceSafe(tgt, Some(gm(m, 3))))
+          Some((s"UPDATE __t SET ${substVars(sets, vIdx)} FROM $tgt __t " +
+            s"INNER JOIN $TempName __s ON ${substVars(where, vIdx)}", bareOf(tgt)))
         else None
-      }
-    }.orElse {
-      insBodyRe.findFirstMatchIn(bMsk).flatMap { m =>
-        val (tgt, colList, vals) = (g(m, 1), g(m, 2), g(m, 3))
-        if (!clauseOk(vals) || colList.trim.isEmpty ||
-          !sourceSafe(tgt, None)) None
-        else {
-          val cols = MergeSqlCompiler.splitTop(colList)
-          val exprs = MergeSqlCompiler.splitTop(vals)
-          if (cols.size != exprs.size ||
-            !cols.forall(_.matches("[A-Za-z_]\\w*"))) None
-          else Some(s"INSERT INTO $tgt SELECT " +
-            exprs.zip(cols).map { case (v, c) =>
-              s"${substVars(v, vIdx)} AS $c"
-            }.mkString(", ") + s" FROM $TempName __s")
+      }.orElse {
+        delBodyRe.findFirstMatchIn(bMsk).flatMap { m =>
+          val (tgt, where) = (g(m, 1), g(m, 2))
+          if (clauseOk(where) && sourceSafe(tgt, Some(gm(m, 2))))
+            Some((s"DELETE __t FROM $tgt __t INNER JOIN $TempName __s " +
+              s"ON ${substVars(where, vIdx)}", bareOf(tgt)))
+          else None
+        }
+      }.orElse {
+        insBodyRe.findFirstMatchIn(bMsk).flatMap { m =>
+          val (tgt, colList, vals) = (g(m, 1), g(m, 2), g(m, 3))
+          if (!clauseOk(vals) || colList.trim.isEmpty ||
+            !sourceSafe(tgt, None)) None
+          else {
+            val cols = MergeSqlCompiler.splitTop(colList)
+            val exprs = MergeSqlCompiler.splitTop(vals)
+            if (cols.size != exprs.size ||
+              !cols.forall(_.matches("[A-Za-z_]\\w*"))) None
+            else Some((s"INSERT INTO $tgt SELECT " +
+              exprs.zip(cols).map { case (v, c) =>
+                s"${substVars(v, vIdx)} AS $c"
+              }.mkString(", ") + s" FROM $TempName __s", bareOf(tgt)))
+          }
         }
       }
     }
-    dml.map(d => List(selInto, d))
+    val compiled = bodyStmts.map(compileBody)
+    if (compiled.exists(_.isEmpty)) return None
+    val dmls = compiled.flatten
+    // MULTI-statement bodies (r14): staging runs statement 1 over ALL
+    // cursor rows before statement 2 runs at all, where T-SQL
+    // interleaves per row. The two provably agree when the body
+    // statements' targets are PAIRWISE DISTINCT tables: the canonical
+    // shape's clause bans (no FROM/JOIN/subquery in SET/WHERE/VALUES)
+    // mean each statement reads only its own target's columns and the
+    // fetch variables, so statement i's writes are invisible to
+    // statement j — per-row and per-statement execution orders commute.
+    // A repeated target (UPDATE t … ; DELETE t … per row) could read
+    // its sibling's writes mid-loop and declines.
+    if (dmls.map(_._2).distinct.size != dmls.size) return None
+    Some(selInto :: dmls.map(_._1))
   }
 }

@@ -2042,6 +2042,26 @@ class PipelineSpec extends AnyFunSuite {
       .getOrElse(fail("INSERT cursor did not compile"))
     assert(w3("clog").orderBy("id").as[(Long, Double)].collect().toList
       === List((1L, 11.0), (2L, 41.0)))
+    // MULTI-statement body on pairwise-distinct targets (r14): the
+    // update-then-audit-log idiom — each statement becomes its own
+    // set-based DML over the one staged cursor scan; per-row and
+    // per-statement orders commute because the clause bans keep each
+    // statement blind to its siblings' targets
+    val multiSql = loop("@i INT, @nv FLOAT",
+      "SELECT id, v FROM csrc WHERE v < 50", "@i, @nv",
+      "UPDATE ctgt SET flag = 1 WHERE id = @i; " +
+        "INSERT INTO clog (id, v) VALUES (@i, @nv)")
+    val multiStaged = graft.patterns.CursorLoopSqlCompiler
+      .rewriteToScript(multiSql)
+      .getOrElse(fail("multi-statement cursor did not rewrite"))
+    assert(multiStaged.length === 3)
+    val w3b = fresh()
+    mkExec(w3b)(task(multiSql))
+      .getOrElse(fail("multi-statement cursor did not compile"))
+    assert(w3b("ctgt").orderBy("id").select("flag").as[Int].collect().toList
+      === List(1, 1, 0))
+    assert(w3b("clog").orderBy("id").as[(Long, Double)].collect().toList
+      === List((1L, 10.0), (2L, 40.0)))
     // sequential-vs-set divergence is GUARDED, not silent: two cursor
     // rows hitting one target row abort at materialization (T-SQL would
     // apply both sequentially; the set form refuses to choose)
@@ -2060,10 +2080,11 @@ class PipelineSpec extends AnyFunSuite {
       // positioned update: iteration state, not a join
       loop("@i INT", "SELECT id FROM csrc", "@i",
         "UPDATE ctgt SET v = 0 WHERE CURRENT OF c"),
-      // two-statement body
+      // multi-statement body with a REPEATED target: statement 2 could
+      // read statement 1's writes mid-loop — orders don't commute
       loop("@i INT", "SELECT id FROM csrc", "@i",
         "UPDATE ctgt SET flag = 1 WHERE id = @i; " +
-          "INSERT INTO clog (id, v) VALUES (@i, 0)"),
+          "DELETE FROM ctgt WHERE id = @i"),
       // mid-loop accumulator: genuine per-iteration state
       loop("@i INT, @acc FLOAT", "SELECT id FROM csrc", "@i",
         "SET @acc = @acc + 1"),
