@@ -2577,6 +2577,35 @@ object QueriesRelational {
       |  p_brand
       |FROM part WHERE p_size > 40""".stripMargin
 
+  /** Positioned cursor DML through the dtsx frontend
+    * (`PositionedCursorETL.dtsx`) — `WHERE CURRENT OF`, the classic
+    * updatable-cursor idiom. [[graft.patterns.CursorLoopSqlCompiler]]
+    * (r14) compiles it one-shot: the cursor's own WHERE becomes the
+    * predicate and fetch vars substitute to their item expressions.
+    * The KEYSET rebate updates its own PREDICATE column — exactly the
+    * case the Halloween gate declines for dynamic-capable cursors
+    * (membership could re-order mid-scan) and admits for KEYSET
+    * (membership freezes at OPEN); the default-cursor positioned
+    * DELETE needs no gate (deleting the current row cannot change
+    * another row's membership). Read-only cursors (16929), DISTINCT,
+    * TOP, and joined/aliased cursor FROMs keep the decline. */
+  def q129_dtsx_positioned_cursor(spark: SparkSession, dir: String): DataFrame = {
+    val (w, _) = runDtsxWarehousePackage(spark, dir, "PositionedCursorETL.dtsx")
+    w("ord_pc").select(
+      col("okey").cast(LongType).as("okey"),
+      col("price").cast(DoubleType).as("price"),
+      col("st").cast(StringType).as("st"))
+  }
+
+  val q129Oracle: String =
+    """SELECT o_orderkey AS okey,
+      |  CAST(CASE WHEN CAST(o_totalprice AS DECIMAL(12,2)) > 200000
+      |       THEN CAST(o_totalprice AS DECIMAL(12,2)) * 0.9
+      |       ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS DOUBLE) AS price,
+      |  o_orderstatus AS st
+      |FROM orders
+      |WHERE o_orderstatus <> 'F'""".stripMargin
+
   /** Explicit GROUPING SETS with grouping_id disambiguation (beyond q24's
     * rollup): two chosen aggregation levels, no intermediate level. */
   def q39_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
@@ -3971,6 +4000,7 @@ object QueriesRelational {
     "q126_dtsx_throttled_purge" -> (q126_dtsx_throttled_purge _),
     "q127_dtsx_concat_sql" -> (q127_dtsx_concat_sql _),
     "q128_dtsx_cursor_multi" -> (q128_dtsx_cursor_multi _),
+    "q129_dtsx_positioned_cursor" -> (q129_dtsx_positioned_cursor _),
     "q82_orc_roundtrip" -> (q82_orc_roundtrip _),
     "q80_dtsx_cdc_merge" -> (q80_dtsx_cdc_merge _),
     "q79_delete_cascade" -> (q79_delete_cascade _),
@@ -4092,6 +4122,7 @@ object QueriesRelational {
     "q126_dtsx_throttled_purge" -> q126Oracle,
     "q127_dtsx_concat_sql" -> q127Oracle,
     "q128_dtsx_cursor_multi" -> q128Oracle,
+    "q129_dtsx_positioned_cursor" -> q129Oracle,
     "q82_orc_roundtrip" -> q82Oracle,
     "q80_dtsx_cdc_merge" -> q80Oracle,
     "q79_delete_cascade" -> q79Oracle,

@@ -69,9 +69,30 @@ import scala.util.matching.Regex
   * (`UPDATE t …; DELETE t …` per row) could read its sibling's writes
   * mid-loop and declines.
   *
+  * POSITIONED DML (`WHERE CURRENT OF c`, r14) is owned when the
+  * cursor scans ONE bare table: the loop touches exactly the cursor's
+  * result rows, so the one-shot equivalent is the same DML with the
+  * CURSOR'S OWN WHERE as predicate and each fetch variable replaced
+  * by its cursor item EXPRESSION (the per-row FETCH value IS that
+  * expression of the current row, and a one-shot UPDATE's RHS reads
+  * the same pre-statement values the FETCH read — positioned DML
+  * never writes another row, so no cross-row interference exists).
+  * Guards, per T-SQL's own contracts: a read-only cursor
+  * (STATIC/INSENSITIVE/FAST_FORWARD/READ_ONLY) rejects positioned DML
+  * (error 16929) → decline; a positioned UPDATE of a column the
+  * cursor's WHERE/ORDER BY reads can re-position the current row
+  * mid-scan under a dynamic-capable cursor (the Halloween re-visit) →
+  * decline unless the cursor is KEYSET (membership and order freeze
+  * at OPEN); DISTINCT (cursor rows not 1:1 with table rows) and
+  * TOP/OFFSET (a row quota the one-shot WHERE cannot express) →
+  * decline. The cursor-level `FOR UPDATE [OF …]` tail parses and
+  * strips. Positioned DELETE needs no Halloween gate — deleting the
+  * current row cannot change any other row's membership.
+  *
   * Declines (→ manual review, the reference's routing): body
   * statements sharing a target table, any control flow in the body,
-  * positioned `WHERE CURRENT OF`,
+  * positioned DML through a read-only or joined/aliased/DISTINCT/TOP
+  * cursor or naming a different table,
   * FETCH PRIOR/ABSOLUTE/RELATIVE, a WHILE predicate other than
   * `@@FETCH_STATUS = 0`, mismatched INTO lists, a second cursor,
   * @variables beyond the FETCH INTO list (a mid-loop accumulator is
@@ -115,11 +136,12 @@ object CursorLoopSqlCompiler {
     "(?i)\\b(select|insert|update|delete|merge|from|join|output|into)\\b".r
 
   /** Control flow / cursor verbs / session state a one-DML body must
-    * not carry (CURRENT OF is the positioned form — iteration state). */
+    * not carry (`WHERE CURRENT OF` is owned separately — the
+    * positioned regexes below — so it is NOT in this ban). */
   private val bodyBanRe =
     ("(?i)\\b(while|begin|end|if|else|goto|return|fetch|open|close|" +
       "deallocate|cursor|exec|execute|merge|declare|set\\s+@)\\b" +
-      "|current\\s+of|@@").r
+      "|@@").r
 
   private val updBodyRe =
     "(?is)^\\s*update\\s+([^\\s;@(]+)\\s+set\\s+(.+?)\\s+where\\s+(.+?)\\s*;?\\s*$".r
@@ -128,6 +150,15 @@ object CursorLoopSqlCompiler {
   private val insBodyRe =
     ("(?is)^\\s*insert\\s+into\\s+([^\\s;@(]+)\\s*\\(([^)]*)\\)\\s*" +
       "values\\s*\\((.+)\\)\\s*;?\\s*$").r
+
+  // positioned (WHERE CURRENT OF) forms — the updatable-cursor idiom
+  private val posUpdRe =
+    ("(?is)^\\s*update\\s+([^\\s;@(]+)\\s+set\\s+(.+?)\\s+" +
+      "where\\s+current\\s+of\\s+(\\w+)\\s*;?\\s*$").r
+  private val posDelRe =
+    ("(?is)^\\s*delete\\s+(?:from\\s+)?([^\\s;@(]+)\\s+" +
+      "where\\s+current\\s+of\\s+(\\w+)\\s*;?\\s*$").r
+  private val currentOfRe = "(?i)\\bcurrent\\s+of\\b".r
 
   /** Substitute `@var` → `__s.__gc<i>` at masked spans (literal text
     * containing an @token is data, not a reference). */
@@ -196,7 +227,17 @@ object CursorLoopSqlCompiler {
     val selStmts = SqlText.splitStatements(
       text.substring(declM.end, openM.start))
     if (selStmts.length != 1) return None
-    val select = selStmts.head
+    // the cursor-level `FOR UPDATE [OF col,…]` tail (r14, positioned
+    // DML) is an updatability marker, not part of the query — strip it
+    // before any parsing (it is not Spark SQL either)
+    val select = {
+      val s0 = selStmts.head
+      val m0 = UpdateSqlCompiler.masked(s0)
+      ("(?is)\\bfor\\s+update(?:\\s+of\\s+[\\w.,\\s\\[\\]]+?)?\\s*;?\\s*$").r
+        .findFirstMatchIn(m0)
+        .filter(m => WindowSqlLowering.depthAt(m0, m.start) == 0)
+        .map(m => s0.substring(0, m.start).trim).getOrElse(s0)
+    }
     val selMsk = UpdateSqlCompiler.masked(select)
     // the cursor SELECT must be variable-free: the rewrite drops the
     // preamble DECLAREs, so a @reference here would reach the emitted
@@ -204,8 +245,17 @@ object CursorLoopSqlCompiler {
     // mapping already said "converted" (ledger/execution mismatch)
     if (scalarVarRe.findFirstIn(selMsk).isDefined) return None
     // snapshot-vs-dynamic adjudication needs the declared options
+    val declOptsMsk = msk.substring(declM.start, declM.end)
     val staticCursor = "(?i)\\b(static|insensitive)\\b".r
-      .findFirstIn(msk.substring(declM.start, declM.end)).isDefined
+      .findFirstIn(declOptsMsk).isDefined
+    // positioned DML needs an UPDATABLE cursor (T-SQL: STATIC/
+    // INSENSITIVE/FAST_FORWARD/READ_ONLY cursors reject it with 16929)
+    val readOnlyCursor = "(?i)\\b(static|insensitive|fast_forward|read_only)\\b".r
+      .findFirstIn(declOptsMsk).isDefined
+    // KEYSET freezes membership and order at OPEN — the one declared
+    // option under which a positioned UPDATE of membership-driving
+    // columns still equals the one-shot rewrite (no Halloween re-visit)
+    val keysetCursor = "(?i)\\bkeyset\\b".r.findFirstIn(declOptsMsk).isDefined
     val headM = "(?is)^select\\s+(distinct\\s+)?".r
       .findPrefixMatchOf(select).getOrElse(return None)
     val distinct = headM.group(1) != null
@@ -226,6 +276,32 @@ object CursorLoopSqlCompiler {
       "(?i)\\border\\s+by\\b".r.findAllMatchIn(tailMsk)
         .find(m => WindowSqlLowering.depthAt(tailMsk, m.start) == 0)
         .foreach(m => selTail = selTail.substring(0, m.start).trim)
+
+    // positioned-DML metadata over the ORIGINAL tail: the cursor must
+    // scan ONE bare table (no join/alias/subquery) for `CURRENT OF` to
+    // have a one-shot equivalent, and the one-shot's predicate is the
+    // cursor's own WHERE
+    val tail0 = select.substring(fromM.start)
+    val whereM0 = "(?i)\\bwhere\\b".r.findAllMatchIn(tailMsk)
+      .find(m => WindowSqlLowering.depthAt(tailMsk, m.start) == 0)
+    val orderM0 = "(?i)\\border\\s+by\\b".r.findAllMatchIn(tailMsk)
+      .find(m => WindowSqlLowering.depthAt(tailMsk, m.start) == 0)
+    val fromTblEnd = List(whereM0.map(_.start), orderM0.map(_.start))
+      .flatten.sorted.headOption.getOrElse(tailMsk.length)
+    val cursorTable: Option[String] = {
+      val t = tail0.substring(4, fromTblEnd).trim // after "FROM"
+      if (t.matches("[A-Za-z_\\[][\\w.\\[\\]]*")) Some(t) else None
+    }
+    val cursorWhere: Option[String] = whereM0.map { m =>
+      tail0.substring(m.end,
+        orderM0.map(_.start).getOrElse(tailMsk.length)).trim
+    }
+    // word tokens of the membership/order predicates, for the
+    // Halloween gate on positioned UPDATEs of non-KEYSET cursors
+    val predTokens: Set[String] = {
+      val txt = tailMsk.substring(whereM0.map(_.start).getOrElse(fromTblEnd))
+      "[A-Za-z_]\\w*".r.findAllIn(txt).map(_.toLowerCase).toSet
+    }
 
     // OPEN → FETCH → WHILE @@FETCH_STATUS = 0 BEGIN <body> FETCH → END
     // → CLOSE → DEALLOCATE, each anchored at the previous match's end
@@ -298,11 +374,64 @@ object CursorLoopSqlCompiler {
         .findFirstIn(selFromMsk).isDefined
       !inFrom || staticCursor || whereMskOpt.exists(pureKeyEquality)
     }
+    // positioned (`WHERE CURRENT OF`) rewrites substitute each fetch
+    // variable with its cursor ITEM EXPRESSION — the loop's per-row
+    // value IS that expression of the current row, and a one-shot
+    // UPDATE/DELETE's RHS reads the same pre-statement row values the
+    // per-row FETCH read (no cross-row writes exist: positioned DML
+    // touches only the current row)
+    def substItems(s: String): String = MergeSqlCompiler.segments(s).map {
+      case (seg, true) => seg
+      case (seg, false) => scalarVarRe.replaceAllIn(seg, m =>
+        vIdx.get(m.group(1).toLowerCase)
+          .map(i => java.util.regex.Matcher
+            .quoteReplacement("(" + stripAlias(items(i)) + ")"))
+          .getOrElse(m.matched))
+    }.mkString
+    val posWhere = cursorWhere.map(w => s" WHERE $w").getOrElse(" WHERE 1 = 1")
+    // positioned preconditions shared by UPDATE and DELETE: updatable
+    // cursor, one bare-table scan, no DISTINCT (cursor rows would not
+    // map 1:1 to table rows), no TOP/OFFSET (the one-shot WHERE cannot
+    // express a row quota), and the body names THIS cursor's table
+    def positionedOk(tgt: String, curRef: String): Boolean =
+      !readOnlyCursor && !distinct && !rowSelecting &&
+        curRef.equalsIgnoreCase(cur) &&
+        cursorTable.exists(t => bareOf(t) == bareOf(tgt))
+
     // one compiled statement per body DML, each carrying its target
     def compileBody(b: String): Option[(String, String)] = {
       val bMsk = UpdateSqlCompiler.masked(b)
       def g(m: Regex.Match, i: Int): String = b.substring(m.start(i), m.end(i))
       def gm(m: Regex.Match, i: Int): String = bMsk.substring(m.start(i), m.end(i))
+      // `CURRENT OF` anywhere routes to the positioned branches ONLY —
+      // the generic regexes must never swallow a positioned WHERE
+      if (currentOfRe.findFirstIn(bMsk).isDefined) {
+        return posUpdRe.findFirstMatchIn(bMsk).flatMap { m =>
+          val (tgt, sets) = (g(m, 1), g(m, 2))
+          // the Halloween gate: under a non-KEYSET (dynamic-capable)
+          // cursor, updating a column the cursor's WHERE/ORDER BY
+          // reads can re-position the current row mid-scan — T-SQL may
+          // re-visit it, the one-shot never does. KEYSET freezes
+          // membership and order at OPEN, so the gate lifts.
+          val setCols = MergeSqlCompiler.splitTop(sets).map(c =>
+            "(?is)^\\s*([\\w.\\[\\]]+)\\s*=".r.findFirstMatchIn(c)
+              .map(cm => bareOf(cm.group(1))))
+          if (setCols.exists(_.isEmpty)) None
+          else if (!positionedOk(tgt, gm(m, 3)) || !clauseOk(sets)) None
+          else if (!keysetCursor &&
+            setCols.flatten.exists(predTokens.contains)) None
+          else Some((s"UPDATE $tgt SET ${substItems(sets)}$posWhere",
+            bareOf(tgt)))
+        }.orElse {
+          posDelRe.findFirstMatchIn(bMsk).flatMap { m =>
+            val tgt = g(m, 1)
+            // positioned DELETE is Halloween-free: deleting the
+            // current row cannot change any OTHER row's membership
+            if (!positionedOk(tgt, gm(m, 2))) None
+            else Some((s"DELETE FROM $tgt$posWhere", bareOf(tgt)))
+          }
+        }
+      }
       updBodyRe.findFirstMatchIn(bMsk).flatMap { m =>
         val (tgt, sets, where) = (g(m, 1), g(m, 2), g(m, 3))
         if (clauseOk(sets) && clauseOk(where) && sourceSafe(tgt, Some(gm(m, 3))))

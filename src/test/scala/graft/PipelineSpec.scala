@@ -2062,6 +2062,67 @@ class PipelineSpec extends AnyFunSuite {
       === List(1, 1, 0))
     assert(w3b("clog").orderBy("id").as[(Long, Double)].collect().toList
       === List((1L, 10.0), (2L, 40.0)))
+    // POSITIONED DML (r14): WHERE CURRENT OF over a one-table cursor.
+    // A positioned UPDATE whose SET column stays out of the cursor's
+    // predicate is Halloween-free under any updatable cursor
+    val wp1 = fresh()
+    mkExec(wp1)(task(loop("@i INT, @nv FLOAT",
+      "SELECT id, v FROM csrc WHERE v < 50 FOR UPDATE OF id", "@i, @nv",
+      "UPDATE csrc SET id = @i + 100 WHERE CURRENT OF c")))
+      .getOrElse(fail("positioned UPDATE (no-Halloween) did not compile"))
+    assert(wp1("csrc").orderBy("v").select("id").as[Long].collect().toList
+      === List(101L, 102L, 3L))
+    // ...updating a PREDICATE column needs KEYSET (membership frozen)
+    val wp2 = fresh()
+    mkExec(wp2)(task(
+      "DECLARE @i INT, @nv FLOAT; DECLARE c CURSOR KEYSET FOR " +
+        "SELECT id, v FROM csrc WHERE v < 50; OPEN c; " +
+        "FETCH NEXT FROM c INTO @i, @nv; WHILE @@FETCH_STATUS = 0 BEGIN " +
+        "UPDATE csrc SET v = @nv * 2 WHERE CURRENT OF c; " +
+        "FETCH NEXT FROM c INTO @i, @nv; END; CLOSE c; DEALLOCATE c;"))
+      .getOrElse(fail("KEYSET positioned UPDATE did not compile"))
+    assert(wp2("csrc").orderBy("id").select("v").as[Double].collect().toList
+      === List(20.0, 80.0, 90.0))
+    // positioned DELETE is Halloween-free under the default cursor
+    val wp3 = fresh()
+    mkExec(wp3)(task(loop("@i INT",
+      "SELECT id FROM csrc WHERE v > 30", "@i",
+      "DELETE FROM csrc WHERE CURRENT OF c")))
+      .getOrElse(fail("positioned DELETE did not compile"))
+    assert(wp3("csrc").select("id").as[Long].collect().toList === List(1L))
+    // positioned UPDATE + audit INSERT compose under the
+    // distinct-target rule (the INSERT rides the staged scan)
+    val posStaged = graft.patterns.CursorLoopSqlCompiler.rewriteToScript(
+      loop("@i INT, @nv FLOAT",
+        "SELECT id, v FROM csrc WHERE v < 50", "@i, @nv",
+        "UPDATE csrc SET id = @i WHERE CURRENT OF c; " +
+          "INSERT INTO clog (id, v) VALUES (@i, @nv)"))
+      .getOrElse(fail("positioned+audit body did not rewrite"))
+    assert(posStaged.length === 3)
+    assert(posStaged(1).toUpperCase.contains("WHERE V < 50"))
+    // positioned declines: read-only cursor designs, a predicate-column
+    // SET without KEYSET, DISTINCT/TOP cursors, a different table
+    for (sql <- Seq(
+      // non-KEYSET UPDATE of a predicate column: Halloween re-visit
+      loop("@i INT, @nv FLOAT", "SELECT id, v FROM csrc WHERE v < 50",
+        "@i, @nv", "UPDATE csrc SET v = @nv * 2 WHERE CURRENT OF c"),
+      // FAST_FORWARD is read-only: T-SQL rejects positioned DML (16929)
+      "DECLARE @i INT; DECLARE c CURSOR FAST_FORWARD FOR " +
+        "SELECT id FROM csrc; OPEN c; FETCH NEXT FROM c INTO @i; " +
+        "WHILE @@FETCH_STATUS = 0 BEGIN " +
+        "DELETE FROM csrc WHERE CURRENT OF c; " +
+        "FETCH NEXT FROM c INTO @i; END; CLOSE c; DEALLOCATE c;",
+      // DISTINCT cursor rows are not 1:1 with table rows
+      loop("@i INT", "SELECT DISTINCT id FROM csrc", "@i",
+        "DELETE FROM csrc WHERE CURRENT OF c"),
+      // TOP is a row quota the one-shot WHERE cannot express
+      loop("@i INT", "SELECT TOP 2 id FROM csrc ORDER BY v", "@i",
+        "DELETE FROM csrc WHERE CURRENT OF c"),
+      // positioned DML must name the cursor's own table
+      loop("@i INT", "SELECT id FROM csrc", "@i",
+        "DELETE FROM ctgt WHERE CURRENT OF c")))
+      assert(mkExec(fresh())(task(sql)).isEmpty,
+        s"positioned should decline: $sql")
     // sequential-vs-set divergence is GUARDED, not silent: two cursor
     // rows hitting one target row abort at materialization (T-SQL would
     // apply both sequentially; the set form refuses to choose)
