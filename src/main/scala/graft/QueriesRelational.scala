@@ -2606,6 +2606,33 @@ object QueriesRelational {
       |FROM orders
       |WHERE o_orderstatus <> 'F'""".stripMargin
 
+  /** The script-local helper procedure through the dtsx frontend
+    * (`ProcHelperETL.dtsx`) — `CREATE PROCEDURE` in its own GO batch,
+    * EXEC calls with positional AND named literal args, `DROP
+    * PROCEDURE`. [[graft.patterns.ProcInlineSqlCompiler]] (r14) owns
+    * exactly the EXEC class whose body IS visible: each call inlines
+    * to the body statements with parameters bound as typed literals
+    * (the sp_executesql convention); an EXEC before the CREATE batch
+    * or after the DROP declines with T-SQL's own 2812 contract, and
+    * procedures created elsewhere keep the manual-review decline. */
+  def q130_dtsx_proc_helper(spark: SparkSession, dir: String): DataFrame = {
+    val (w, _) = runDtsxWarehousePackage(spark, dir, "ProcHelperETL.dtsx")
+    w("cust_ph").select(
+      col("ck").cast(LongType).as("ck"),
+      col("bal").cast(DoubleType).as("bal"),
+      col("seg").cast(StringType).as("seg"))
+  }
+
+  val q130Oracle: String =
+    """SELECT c_custkey AS ck,
+      |  CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal,
+      |  CASE WHEN c_mktsegment = 'BUILDING'
+      |        AND CAST(c_acctbal AS DECIMAL(12,2)) >= 7000 THEN 'TIER1'
+      |       WHEN c_mktsegment = 'MACHINERY'
+      |        AND CAST(c_acctbal AS DECIMAL(12,2)) >= 9000 THEN 'TIER1'
+      |       ELSE c_mktsegment END AS seg
+      |FROM customer""".stripMargin
+
   /** Explicit GROUPING SETS with grouping_id disambiguation (beyond q24's
     * rollup): two chosen aggregation levels, no intermediate level. */
   def q39_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
@@ -4001,6 +4028,7 @@ object QueriesRelational {
     "q127_dtsx_concat_sql" -> (q127_dtsx_concat_sql _),
     "q128_dtsx_cursor_multi" -> (q128_dtsx_cursor_multi _),
     "q129_dtsx_positioned_cursor" -> (q129_dtsx_positioned_cursor _),
+    "q130_dtsx_proc_helper" -> (q130_dtsx_proc_helper _),
     "q82_orc_roundtrip" -> (q82_orc_roundtrip _),
     "q80_dtsx_cdc_merge" -> (q80_dtsx_cdc_merge _),
     "q79_delete_cascade" -> (q79_delete_cascade _),
@@ -4123,6 +4151,7 @@ object QueriesRelational {
     "q127_dtsx_concat_sql" -> q127Oracle,
     "q128_dtsx_cursor_multi" -> q128Oracle,
     "q129_dtsx_positioned_cursor" -> q129Oracle,
+    "q130_dtsx_proc_helper" -> q130Oracle,
     "q82_orc_roundtrip" -> q82Oracle,
     "q80_dtsx_cdc_merge" -> q80Oracle,
     "q79_delete_cascade" -> q79Oracle,

@@ -210,6 +210,14 @@ object MigrationMapping {
     // branches: an INSERT-body FETCH loop would otherwise classify as a
     // bare INSERT…VALUES append — the whole-text anchors make this
     // branch precise, so testing early is safe
+    else if (graft.patterns.ProcInlineSqlCompiler.rewriteToScript(sql).isDefined)
+      TaskMapping(t.name, "ExecuteSQLTask", "converted", None,
+        Some("script-local stored procedure inlines (patterns/" +
+          "ProcInlineSqlCompiler — the CREATE PROCEDURE batch's body is " +
+          "IN the script, so each EXEC call expands to the body with " +
+          "literal args bound as typed literals; procs created " +
+          "elsewhere keep the manual-review decline, their bodies are " +
+          "invisible)"), Nil, signals)
     else if (graft.patterns.CursorLoopSqlCompiler.rewriteToScript(sql).isDefined)
       TaskMapping(t.name, "ExecuteSQLTask", "converted", None,
         Some("canonical CURSOR FETCH loop executes set-based (patterns/" +

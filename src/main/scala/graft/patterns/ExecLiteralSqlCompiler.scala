@@ -100,7 +100,7 @@ object ExecLiteralSqlCompiler {
     ("(?is)^\\s*exec(?:ute)?\\s+sp_executesql\\s+(N?'[^']*')\\s*,\\s*" +
       "(N?'[^']*')\\s*,\\s*(.+?)\\s*;?\\s*$").r
 
-  private val paramDeclRe =
+  private[patterns] val paramDeclRe =
     ("(?is)^@(\\w+)\\s+([A-Za-z]\\w*" +
       "(?:\\s*\\(\\s*(?:\\d+|max)\\s*(?:,\\s*\\d+\\s*)?\\))?)\\s*$").r
 
@@ -113,7 +113,7 @@ object ExecLiteralSqlCompiler {
   // FLOAT), timestamp_micros(n), DATE/TIMESTAMP 'x'). Anything else
   // (expressions, @vars that survived the caller's binding, OUTPUT
   // markers) declines.
-  private val litArgMskRe =
+  private[patterns] val litArgMskRe =
     ("(?is)^(N?'x*'|[+-]?\\d+(?:\\.\\d+)?|null|0x[0-9a-fA-F]+" +
       "|cast\\s*\\(\\s*(?:[+-]?\\d+(?:\\.\\d+)?|'x*')\\s+as\\s+" +
       "[a-z0-9_]+(?:\\s*\\(\\s*\\d+(?:\\s*,\\s*\\d+)?\\s*\\))?\\s*\\)" +

@@ -334,7 +334,7 @@ object ScriptedSqlExecutor {
     * BEGIN TRAN … COMMIT contract, and NOCOUNT only suppresses
     * rowcount chatter. The reference's own SQL parser tracks these
     * keywords (ssis-to-dbt `src/parser/utils.py:45`). */
-  private val txnNoopRe =
+  private[patterns] val txnNoopRe =
     ("(?is)^\\s*(?:begin\\s+tran(?:saction)?(?:\\s+\\w+)?" +
       "|commit(?:\\s+tran(?:saction)?(?:\\s+\\w+)?)?" +
       "|set\\s+nocount\\s+(?:on|off))\\s*$").r
@@ -342,7 +342,7 @@ object ScriptedSqlExecutor {
   /** `BEGIN TRAN` fused onto the next statement by a missing `;`
     * (`BEGIN TRANSACTION UPDATE t SET …`) — strip the prefix, keep the
     * statement. */
-  private val beginTranPrefixRe =
+  private[patterns] val beginTranPrefixRe =
     "(?is)^\\s*begin\\s+tran(?:saction)?\\s+(?=[A-Za-z])".r
 
   /** A ROLLBACK anywhere is CONTROL FLOW (conditional undo this
@@ -1018,7 +1018,12 @@ object ScriptedSqlExecutor {
       // fixpoint. Each whole-text parse runs ONCE.
       else CursorLoopSqlCompiler.rewriteToScript(text)
         .orElse(BatchedDmlLoopSqlCompiler.rewriteToStatement(text)
-          .map(List(_))) match {
+          .map(List(_)))
+        // a script carrying its OWN helper procedure (CREATE PROC
+        // batch + EXEC calls + DROP) inlines each call with literal
+        // args bound — the one EXEC class whose body IS visible
+        .orElse(ProcInlineSqlCompiler.rewriteToScript(text)) match {
+      case Some(Nil) => Some(SqlOutcome(None, None)) // create+drop only
       case Some(ss) => script(bound, ss)
       case None => WhileLoopSqlCompiler.unroll(spark, text) match {
         // a counter WHILE loop is a WHOLE-text shape too: the driver

@@ -2607,6 +2607,97 @@ class PipelineSpec extends AnyFunSuite {
       Nil).status === "manual_review")
   }
 
+  test("script-local stored procedures inline their EXEC calls; off-shapes decline") {
+    import spark.implicits._
+    def mkExec(written: scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]) =
+      graft.patterns.ScriptedSqlExecutor.executor(spark,
+        resolveFrame = n => written.getOrElse(n, spark.table(n)),
+        bareName = identity,
+        commit = (k, v) => written(k) = v)
+    def task(sql: String) = graft.ir.Ir.ExecuteSqlTask("pi", None, "conn", sql)
+    def fresh() = {
+      val w = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame](
+        "pt" -> Seq((1L, 5.0, "A"), (2L, 9.0, "B"), (3L, 12.0, "B"))
+          .toDF("id", "v", "tag"))
+      w.foreach { case (k, f) => f.createOrReplaceTempView(k) }
+      w
+    }
+    // the helper-proc idiom: create, call twice (positional THEN named
+    // across two calls), drop — each call inlines with bound args
+    val w1 = fresh()
+    mkExec(w1)(task(
+      "CREATE PROCEDURE dbo.bump @cut DECIMAL(12,2), @t VARCHAR(1) AS\n" +
+        "BEGIN UPDATE pt SET v = v + 1 WHERE v > @cut AND tag = @t END\n" +
+        "GO\n" +
+        "EXEC dbo.bump 8, 'B';\n" +
+        "EXEC bump @t = 'A', @cut = 1;\n" +
+        "DROP PROCEDURE dbo.bump;"))
+      .getOrElse(fail("helper-proc script did not compile"))
+    assert(w1("pt").orderBy("id").select("v").as[Double].collect().toList
+      === List(6.0, 10.0, 13.0))
+    // create+drop with no call: vacuous success, nothing commits
+    val w2 = fresh()
+    mkExec(w2)(task(
+      "CREATE PROCEDURE p1 AS\nDELETE FROM pt WHERE v > 0\nGO\n" +
+        "DROP PROCEDURE p1;"))
+      .getOrElse(fail("create+drop-only script did not compile"))
+    assert(w2("pt").count() === 3L)
+    // a parameterless proc body still inlines
+    val w3 = fresh()
+    mkExec(w3)(task(
+      "CREATE PROCEDURE purgeb AS\nDELETE FROM pt WHERE tag = 'B'\nGO\n" +
+        "EXEC purgeb;\nDROP PROCEDURE purgeb;"))
+      .getOrElse(fail("parameterless proc did not compile"))
+    assert(w3("pt").count() === 1L)
+    // declines
+    for (sql <- Seq(
+      // EXEC before the CREATE batch: T-SQL 2812
+      "EXEC px 1;\nGO\nCREATE PROCEDURE px @a INT AS\n" +
+        "DELETE FROM pt WHERE id = @a\nGO\nDROP PROCEDURE px;",
+      // EXEC after DROP: 2812 too
+      "CREATE PROCEDURE px @a INT AS\nDELETE FROM pt WHERE id = @a\nGO\n" +
+        "DROP PROCEDURE px;\nEXEC px 1;",
+      // EXEC of a procedure this script never created
+      "CREATE PROCEDURE px @a INT AS\nDELETE FROM pt WHERE id = @a\nGO\n" +
+        "EXEC other_proc 1;\nDROP PROCEDURE px;",
+      // control flow in the body
+      "CREATE PROCEDURE px @a INT AS\n" +
+        "IF @a > 0 DELETE FROM pt WHERE id = @a\nGO\nEXEC px 1;",
+      // body-local DECLARE would leak scope on inlining
+      "CREATE PROCEDURE px AS\nDECLARE @x INT = 1; " +
+        "DELETE FROM pt WHERE id = @x\nGO\nEXEC px;",
+      // OUTPUT parameter
+      "CREATE PROCEDURE px @a INT OUTPUT AS\n" +
+        "DELETE FROM pt WHERE id = @a\nGO\nEXEC px 1;",
+      // body @token that is not a parameter
+      "CREATE PROCEDURE px @a INT AS\nDELETE FROM pt WHERE id = @b\nGO\n" +
+        "EXEC px 1;",
+      // non-literal argument
+      "CREATE PROCEDURE px @a INT AS\nDELETE FROM pt WHERE id = @a\nGO\n" +
+        "EXEC px 1 + 2;",
+      // arity mismatch
+      "CREATE PROCEDURE px @a INT AS\nDELETE FROM pt WHERE id = @a\nGO\n" +
+        "EXEC px 1, 2;",
+      // mixed positional and named args
+      "CREATE PROCEDURE px @a INT, @b INT AS\n" +
+        "DELETE FROM pt WHERE id = @a AND id = @b\nGO\nEXEC px 1, @b = 2;",
+      // a second procedure
+      "CREATE PROCEDURE p1 AS\nDELETE FROM pt WHERE id = 1\nGO\n" +
+        "CREATE PROCEDURE p2 AS\nDELETE FROM pt WHERE id = 2\nGO\n" +
+        "EXEC p1;"))
+      assert(mkExec(fresh())(task(sql)).isEmpty, s"should decline: $sql")
+    // ledger twins
+    assert(graft.parser.MigrationMapping.mapTask(
+      graft.ir.Ir.ExecuteSqlTask("t", None, "conn",
+        "CREATE PROCEDURE dbo.bump @cut DECIMAL(12,2) AS\n" +
+          "UPDATE pt SET v = v + 1 WHERE v > @cut\nGO\n" +
+          "EXEC dbo.bump 8;\nDROP PROCEDURE dbo.bump;"), Nil)
+      .status === "converted")
+    assert(graft.parser.MigrationMapping.mapTask(
+      graft.ir.Ir.ExecuteSqlTask("t", None, "conn",
+        "EXEC some_external_proc 1, 2"), Nil).status === "manual_review")
+  }
+
   test("NoopDdlSqlCompiler: index/statistics DDL executes as a no-op; scope held") {
     import spark.implicits._
     def task(sql: String) = graft.ir.Ir.ExecuteSqlTask("nd", None, "conn", sql)
