@@ -6699,6 +6699,122 @@ object QueriesTrainingData {
        |  CAST(h AS DOUBLE) / CAST((SELECT COUNT(*) FROM exact) AS DOUBLE)
        |FROM hh""".stripMargin
 
+  /** Matryoshka (prefix-truncation) recall audit — x77's measurement
+    * discipline applied to the OTHER lossy serving representation: MRL
+    * embeddings are served by truncating to a prefix of the dimensions
+    * (16 or 32 of the 64), and the audit scores each truncation's
+    * top-5 against the full-dim exact top-5 before any index is built
+    * on the cheap prefix. Distinct from x77 (JL projection MIXES all
+    * dims into random directions; truncation KEEPS a prefix — the MRL
+    * contract is that training front-loaded the information, which
+    * random vectors provably did not, so the expected verdict here is
+    * REJECT and the audit proves it with a number per dim).
+    * Scale shape: queries are a bounded slice; per-dim scoring is a
+    * (query-sized × corpus) broadcast-style join on pre-sliced
+    * quantized vectors — the corpus embeds once, slices are
+    * projections, no extra scan per dim. */
+  def x122_mrl_truncation_recall(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val full = SimilarityOps.knnBruteForce(
+        emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val q0 = SimilarityOps.withQuantized(emb, "embedding")
+      .select(col("vec_id"), col("qvec"))
+    Seq(16, 32).map { d =>
+      val sl = q0.select(col("vec_id"), slice(col("qvec"), 1, d).as("pv"))
+        .withColumn("pn2", SimilarityOps.qnorm2(col("pv")))
+      val q = sl.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("pv").as("qp"),
+          col("pn2").as("qn"))
+      val c = sl.select(col("vec_id").as("neighbor_id"),
+        col("pv").as("cp"), col("pn2").as("cn"))
+      val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+        .withColumn("cosine",
+          SimilarityOps.qdot(col("qp"), col("cp")).cast(DoubleType) /
+            (sqrt(col("qn").cast(DoubleType)) *
+              sqrt(col("cn").cast(DoubleType))))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      val ttop = scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("__graft_hit"))
+      full.join(ttop, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(sum(coalesce(col("__graft_hit"), lit(0))).cast(LongType)
+          .as("n_overlap"))
+        .withColumn("recall", col("n_overlap").cast(DoubleType) / lit(5.0))
+        .withColumn("dim", lit(d))
+    }.reduce(_ unionByName _)
+  }
+
+  val x122Oracle: String =
+    """WITH q AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, qv,
+      |    list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])) AS n2
+      |  FROM q),
+      |fullsc AS (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |    CAST(list_sum(list_transform(generate_series(1, len(a.qv)), i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+      |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cosine
+      |  FROM n a JOIN n b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
+      |ftop AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+      |    FROM fullsc) WHERE rk <= 5),
+      |dims AS (SELECT UNNEST([16, 32]) AS dim),
+      |tn AS (
+      |  SELECT d.dim, q.vec_id, list_slice(q.qv, 1, d.dim) AS pv,
+      |    list_sum(list_transform(list_slice(q.qv, 1, d.dim), x -> x * x)) AS n2
+      |  FROM q CROSS JOIN dims d),
+      |trsc AS (
+      |  SELECT a.dim, a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |    CAST(list_sum(list_transform(generate_series(1, a.dim), i -> a.pv[i] * b.pv[i])) AS DOUBLE)
+      |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cosine
+      |  FROM tn a JOIN tn b ON a.dim = b.dim AND a.vec_id < 10 AND a.vec_id <> b.vec_id),
+      |ttop AS (
+      |  SELECT dim, query_id, neighbor_id FROM (
+      |    SELECT dim, query_id, neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY dim, query_id ORDER BY cosine DESC, neighbor_id) AS rk
+      |    FROM trsc) WHERE rk <= 5)
+      |SELECT f.query_id,
+      |  CAST(SUM(CASE WHEN p.neighbor_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_overlap,
+      |  CAST(SUM(CASE WHEN p.neighbor_id IS NULL THEN 0 ELSE 1 END) AS DOUBLE) / 5.0 AS recall,
+      |  CAST(d.dim AS INT) AS dim
+      |FROM (SELECT UNNEST([16, 32]) AS dim) d
+      |CROSS JOIN ftop f
+      |LEFT JOIN ttop p ON p.dim = d.dim AND p.query_id = f.query_id
+      |  AND p.neighbor_id = f.neighbor_id
+      |GROUP BY d.dim, f.query_id""".stripMargin
+
+  /** l-diversity audit — x119's k-anonymity companion: a
+    * quasi-identifier group can have MANY members (k safe) and still
+    * leak when every member shares one sensitive value (the
+    * homogeneity attack). Per (source, size-band) group: member count,
+    * distinct sensitive values (the language label stands in for the
+    * sensitive attribute on this corpus), and the l ≥ 2 verdict.
+    * Scale shape: ONE partial-combining aggregate over the corpus —
+    * count + count-distinct by group key, no joins, no shuffle beyond
+    * the group-by. */
+  def x123_l_diversity_audit(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .groupBy(col("source"), expr("n_chars DIV 256").as("size_band"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_sensitive"))
+      .withColumn("diverse", col("n_sensitive") >= 2)
+
+  val x123Oracle: String =
+    """SELECT source, CAST(n_chars // 256 AS BIGINT) AS size_band,
+      |  COUNT(*) AS n_docs, COUNT(DISTINCT lang) AS n_sensitive,
+      |  COUNT(DISTINCT lang) >= 2 AS diverse
+      |FROM documents
+      |GROUP BY 1, 2""".stripMargin
+
   /** URL takedown sweep — corpus governance at the canonical-URL key
     * (the DMCA/robots-retroactive case): a takedown list of canonical
     * URLs (here: every URL whose source id ≡ 0 mod 7 — a deterministic
@@ -6949,6 +7065,8 @@ object QueriesTrainingData {
     "x119_k_anonymity_audit" -> (x119_k_anonymity_audit _),
     "x120_retrieval_ablation" -> (x120_retrieval_ablation _),
     "x121_ann_rerank" -> (x121_ann_rerank _),
+    "x122_mrl_truncation_recall" -> (x122_mrl_truncation_recall _),
+    "x123_l_diversity_audit" -> (x123_l_diversity_audit _),
     "x80_vision_token_budget" -> (x80_vision_token_budget _),
     "x79_url_takedown" -> (x79_url_takedown _),
     "x78_tokenizer_fertility" -> (x78_tokenizer_fertility _),
@@ -7069,6 +7187,8 @@ object QueriesTrainingData {
     "x119_k_anonymity_audit" -> x119Oracle,
     "x120_retrieval_ablation" -> x120Oracle,
     "x121_ann_rerank" -> x121Oracle,
+    "x122_mrl_truncation_recall" -> x122Oracle,
+    "x123_l_diversity_audit" -> x123Oracle,
     "x80_vision_token_budget" -> x80Oracle,
     "x79_url_takedown" -> x79Oracle,
     "x78_tokenizer_fertility" -> x78Oracle,

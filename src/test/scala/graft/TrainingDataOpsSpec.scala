@@ -599,4 +599,33 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(hitsRr.toDouble / gt.size >= 0.8,
       s"re-rank recall collapsed: ${hitsRr.toDouble / gt.size}")
   }
+
+  test("x122: MRL truncation recall is per (query, dim); wider prefix never worse on average") {
+    val rows = QueriesTrainingData.x122_mrl_truncation_recall(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // 10 bounded queries x 2 truncation dims
+    assert(rows.length === 20)
+    assert(rows.map(_._4).distinct.sorted.toList === List(16, 32))
+    rows.foreach { case (_, n, rec, _) =>
+      assert(n >= 0L && n <= 5L)
+      assert(math.abs(rec - n.toDouble / 5.0) < 1e-12)
+    }
+    // the audit's verdict on random vectors: truncation CANNOT keep
+    // neighbor structure (no front-loaded dims) — mean recall must sit
+    // far below the serving bar, which is the audit doing its job
+    val mean32 = rows.filter(_._4 == 32).map(_._3).sum / 10.0
+    assert(mean32 <= 0.7, s"random vectors cannot have MRL structure: $mean32")
+  }
+
+  test("x123: l-diversity groups partition the corpus; verdict matches l=2") {
+    val rows = QueriesTrainingData.x123_l_diversity_audit(spark, sf)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.map(_._1).sum === total, "QI groups must partition the corpus")
+    rows.foreach { case (n, l, div) =>
+      assert(l >= 1L && l <= n)
+      assert(div === (l >= 2L))
+    }
+    assert(rows.exists(_._3), "expected at least one diverse group")
+  }
 }
