@@ -1102,6 +1102,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"retype plan shuffles:\n$plan")
   }
 
+  test("q129: positioned cursor DML plans plain one-shot DML, no join/shuffle") {
+    val plan = executedPlan("q129_dtsx_positioned_cursor")
+    // WHERE CURRENT OF compiles to the same UPDATE/DELETE the inline
+    // spelling produces: predicate + projection over the staged scan.
+    // No staged temp, no join on a row identity, no exchange — the
+    // cheapest cursor rewrite must stay that way at any scale.
+    assert(!plan.contains("Join"), s"positioned plan grew a join:\n$plan")
+    assert(!plan.contains("Exchange"), s"positioned plan shuffles:\n$plan")
+  }
+
   test("q119: LEFT correlated DML rides left_outer frames, no cartesian") {
     val plan = executedPlan("q119_dtsx_correlated_left")
     assert(plan.contains("LeftOuter"),
