@@ -47,7 +47,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * form is style-dependent), non-literal / expression arguments,
   * positional (unnamed) arguments, `OUTPUT` parameters, unmapped
   * parameter types, duplicate or missing bindings, and any other EXEC
-  * (stored procedures have bodies this engine cannot see). One
+  * (stored procedures have bodies this engine cannot see — except the
+  * script-local CREATE PROCEDURE class, which
+  * [[ProcInlineSqlCompiler]] owns because there the body IS in the
+  * task text). One
   * recursion level: an unwrapped text that is itself an EXEC declines
   * — dynamic SQL generating dynamic SQL is manual review, not a
   * tower. */
