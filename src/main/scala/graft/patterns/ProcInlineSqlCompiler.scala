@@ -48,7 +48,8 @@ object ProcInlineSqlCompiler {
   private val bodyBanRe =
     ("(?i)\\b(begin|end|if|else|while|goto|return|declare|cursor|fetch|" +
       "open|close|deallocate|exec|execute|merge|tran|transaction|" +
-      "rollback|commit|try|catch|output|out|readonly|default)\\b").r
+      "rollback|commit|try|catch|output|out|readonly|default|" +
+      "create|drop|alter|truncate|grant|revoke|use|waitfor)\\b").r
 
   private def bare(name: String): String =
     name.split('.').last.replaceAll("[\\[\\]]", "").toLowerCase
