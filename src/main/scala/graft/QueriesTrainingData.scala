@@ -2904,11 +2904,13 @@ object QueriesTrainingData {
     // bigram terms: this corpus' unigram vocabulary is ~31 near-ubiquitous
     // tokens (every df lands in the excluded head), while bigrams spread
     // across the discriminative band — the same reason real indexes use
-    // phrases/shingles for high-precision lookup
-    val terms = documents(spark, dir)
-      .select(col("doc_id"),
-        explode(array_distinct(
-          TextOps.ngrams(TextOps.tokens(col("text")), 2))).as("term"))
+    // phrases/shingles for high-precision lookup.
+    // r14: the distinct (doc_id, term) pairs ARE the rows of the shared
+    // [[stagedBigramTf]] artifact (x107/x113/x120's index build) — read
+    // it instead of re-exploding the corpus; bucketed+sorted by term,
+    // so the df statistics and the postings group-by ride the bucket
+    // layout with no shuffle of the exploded corpus.
+    val terms = stagedBigramTf(spark, dir).select(col("doc_id"), col("term"))
     val rare = terms.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= 32)

@@ -1139,6 +1139,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"x113 dense leg must not rescan the embeddings corpus:\n$plan")
   }
 
+  test("x53: the inverted index reads the staged bigram-tf, never re-explodes") {
+    // ensure the staging exists (first toucher builds it)
+    SparkEntry.queries("x107_sparse_retrieval")(spark, sf).collect()
+    val plan = executedPlan("x53_inverted_index")
+    assert(plan.contains("graft_bigram_tf_"),
+      s"x53 not reading the staged bigram-tf artifact:\n$plan")
+    assert(!plan.contains("documents.parquet"),
+      s"x53 must not re-tokenize the corpus:\n$plan")
+    assert(!plan.toLowerCase.contains("explode"),
+      s"x53 must not re-explode bigrams:\n$plan")
+  }
+
   test("x121: re-rank reads the staged ADC pool and fetches vectors by broadcast") {
     // ensure the staging exists (first toucher builds it)
     SparkEntry.queries("x108_pq_ann")(spark, sf).collect()
