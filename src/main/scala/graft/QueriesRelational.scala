@@ -2633,6 +2633,30 @@ object QueriesRelational {
       |       ELSE c_mktsegment END AS seg
       |FROM customer""".stripMargin
 
+  /** The `STUFF(… FOR XML PATH(''))` group-concat idiom through the
+    * dtsx frontend (`XmlAggETL.dtsx`) — pre-2017 T-SQL's only string
+    * aggregation spelling. [[graft.patterns.XmlPathAgg]] (r14)
+    * translates the whole STUFF span to a correlated `collect_list`
+    * scalar subquery (the ORDER BY realized as a struct sort with the
+    * item expression as deterministic tiebreak), which Spark plans as
+    * an aggregate + join on the correlation key — the same shuffle a
+    * native group-concat needs, nothing more. Off-shape FOR XML
+    * (AUTO/RAW/non-empty PATH, missing ORDER BY, DESC, multi-`+`
+    * items, strip-length ≠ separator length) declines to manual
+    * review — it is genuine XML shaping, not aggregation. */
+  def q131_dtsx_xml_agg(spark: SparkSession, dir: String): DataFrame = {
+    val (w, _) = runDtsxWarehousePackage(spark, dir, "XmlAggETL.dtsx")
+    w("cust_orders_xa").select(
+      col("ck").cast(LongType).as("ck"),
+      col("olist").cast(StringType).as("olist"))
+  }
+
+  val q131Oracle: String =
+    """SELECT o_custkey AS ck,
+      |  string_agg(CAST(o_orderkey AS VARCHAR), ','
+      |    ORDER BY o_orderkey, CAST(o_orderkey AS VARCHAR)) AS olist
+      |FROM orders GROUP BY o_custkey""".stripMargin
+
   /** Explicit GROUPING SETS with grouping_id disambiguation (beyond q24's
     * rollup): two chosen aggregation levels, no intermediate level. */
   def q39_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
@@ -4029,6 +4053,7 @@ object QueriesRelational {
     "q128_dtsx_cursor_multi" -> (q128_dtsx_cursor_multi _),
     "q129_dtsx_positioned_cursor" -> (q129_dtsx_positioned_cursor _),
     "q130_dtsx_proc_helper" -> (q130_dtsx_proc_helper _),
+    "q131_dtsx_xml_agg" -> (q131_dtsx_xml_agg _),
     "q82_orc_roundtrip" -> (q82_orc_roundtrip _),
     "q80_dtsx_cdc_merge" -> (q80_dtsx_cdc_merge _),
     "q79_delete_cascade" -> (q79_delete_cascade _),
@@ -4152,6 +4177,7 @@ object QueriesRelational {
     "q128_dtsx_cursor_multi" -> q128Oracle,
     "q129_dtsx_positioned_cursor" -> q129Oracle,
     "q130_dtsx_proc_helper" -> q130Oracle,
+    "q131_dtsx_xml_agg" -> q131Oracle,
     "q82_orc_roundtrip" -> q82Oracle,
     "q80_dtsx_cdc_merge" -> q80Oracle,
     "q79_delete_cascade" -> q79Oracle,

@@ -242,15 +242,21 @@ object MigrationMapping {
           "ScriptedSqlExecutor): " +
           graft.patterns.ScriptedSqlExecutor.scriptFeatures(sql).get),
         Nil, signals)
-    else if (insertSelect.findFirstMatchIn(sql).isDefined) {
+    else if (insertSelect.findFirstMatchIn(sql).isDefined &&
+        !graft.patterns.XmlPathAgg.translate(sql).exists(_.isLeft)) {
       val target = insertSelect.findFirstMatchIn(sql).map(_.group(1))
       val mode =
         if (upper.contains("DELETE FROM") || upper.contains("TRUNCATE TABLE"))
           "overwrite (DELETE+INSERT refresh)"
         else "append"
+      val xmlAgg =
+        if (graft.patterns.XmlPathAgg.translate(sql).isDefined)
+          "; STUFF(… FOR XML PATH('')) group-concat translates to a " +
+            "correlated collect_list subquery (patterns/XmlPathAgg)"
+        else ""
       TaskMapping(t.name, "ExecuteSQLTask", "converted", target,
         Some(s"refresh rewrite (patterns/SqlPatternRewriter): SELECT compiles " +
-          s"to a DataFrame, written $mode"), Nil, signals)
+          s"to a DataFrame, written $mode$xmlAgg"), Nil, signals)
     } else if (upper.startsWith("TRUNCATE TABLE") &&
         !upper.contains("INSERT") && !upper.contains("SELECT"))
       TaskMapping(t.name, "ExecuteSQLTask", "converted", None,

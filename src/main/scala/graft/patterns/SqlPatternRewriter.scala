@@ -84,10 +84,19 @@ object SqlPatternRewriter {
     * not Spark syntax; compiling it would fail loud instead of
     * landing in manual review). */
   private def applyResolved(select: String): Option[String] =
-    ApplySql.translate(select) match {
+    (ApplySql.translate(select) match {
       case None => Some(select)
       case Some(Right(t)) => Some(t)
       case Some(Left(_)) => None
+    }).flatMap { s =>
+      // the STUFF(… FOR XML PATH('')) group-concat idiom translates to
+      // a correlated collect_list scalar subquery; any OTHER FOR XML is
+      // genuine XML shaping — decline, never hand spark.sql the text
+      XmlPathAgg.translate(s) match {
+        case None => Some(s)
+        case Some(Right(t)) => Some(t)
+        case Some(Left(_)) => None
+      }
     }
 
   def rewrite(spark: SparkSession, task: ExecuteSqlTask,

@@ -2698,6 +2698,62 @@ class PipelineSpec extends AnyFunSuite {
         "EXEC some_external_proc 1, 2"), Nil).status === "manual_review")
   }
 
+  test("STUFF(FOR XML PATH) group-concat translates; XML shaping declines") {
+    import graft.patterns.XmlPathAgg
+    import spark.implicits._
+    def stuff(inner: String, strip: Int = 1) =
+      s"SELECT DISTINCT k, STUFF(($inner), 1, $strip, '') AS lst FROM xt o"
+    val canonical = stuff("SELECT ',' + CAST(o2.v AS VARCHAR(10)) " +
+      "FROM xt o2 WHERE o2.k = o.k ORDER BY o2.v FOR XML PATH('')")
+    // canonical → Right with the collect_list subquery
+    val Some(Right(t1)) = XmlPathAgg.translate(canonical)
+    assert(t1.contains("collect_list") && t1.contains("array_join") &&
+      !t1.toUpperCase.contains("FOR XML"))
+    // no FOR XML anywhere → None (text untouched)
+    assert(XmlPathAgg.translate("SELECT 1 AS a").isEmpty)
+    // off-shapes → Left: XML shaping, not aggregation
+    for (s <- Seq(
+      "SELECT * FROM xt FOR XML AUTO",
+      // no ORDER BY: the concatenation order is undefined in T-SQL
+      stuff("SELECT ',' + CAST(o2.v AS VARCHAR(10)) FROM xt o2 " +
+        "WHERE o2.k = o.k FOR XML PATH('')"),
+      // DESC: array_sort is ascending
+      stuff("SELECT ',' + CAST(o2.v AS VARCHAR(10)) FROM xt o2 " +
+        "WHERE o2.k = o.k ORDER BY o2.v DESC FOR XML PATH('')"),
+      // a multi-'+' item is T-SQL concat Spark would read as arithmetic
+      stuff("SELECT ',' + CAST(o2.v AS VARCHAR(10)) + ':' FROM xt o2 " +
+        "WHERE o2.k = o.k ORDER BY o2.v FOR XML PATH('')"),
+      // strip length must equal the separator's length
+      stuff("SELECT ', ' + CAST(o2.v AS VARCHAR(10)) FROM xt o2 " +
+        "WHERE o2.k = o.k ORDER BY o2.v FOR XML PATH('')", strip = 1),
+      // non-empty PATH emits element tags — genuine XML
+      stuff("SELECT ',' + CAST(o2.v AS VARCHAR(10)) FROM xt o2 " +
+        "WHERE o2.k = o.k ORDER BY o2.v FOR XML PATH('r')")))
+      assert(XmlPathAgg.translate(s).exists(_.isLeft), s"should be Left: $s")
+    // end-to-end through the rewriter: INSERT…SELECT with the idiom
+    Seq((1L, 30L), (1L, 10L), (2L, 20L), (1L, 20L))
+      .toDF("k", "v").createOrReplaceTempView("xt")
+    val out = graft.patterns.SqlPatternRewriter.rewrite(spark,
+      graft.ir.Ir.ExecuteSqlTask("xa", None, "conn",
+        s"INSERT INTO xagg $canonical"))
+      .getOrElse(fail("canonical STUFF did not compile"))
+    assert(out.target.contains("xagg"))
+    assert(out.df.get.orderBy("k").as[(Long, String)].collect().toList
+      === List((1L, "10,20,30"), (2L, "20")))
+    // off-shape FOR XML inside an INSERT…SELECT declines the statement
+    assert(graft.patterns.SqlPatternRewriter.rewrite(spark,
+      graft.ir.Ir.ExecuteSqlTask("xa2", None, "conn",
+        "INSERT INTO xagg SELECT k FROM xt FOR XML AUTO")).isEmpty)
+    // ledger twins
+    assert(graft.parser.MigrationMapping.mapTask(
+      graft.ir.Ir.ExecuteSqlTask("t", None, "conn",
+        s"INSERT INTO xagg $canonical"), Nil).status === "converted")
+    assert(graft.parser.MigrationMapping.mapTask(
+      graft.ir.Ir.ExecuteSqlTask("t", None, "conn",
+        "INSERT INTO xagg SELECT k FROM xt FOR XML AUTO"), Nil)
+      .status === "manual_review")
+  }
+
   test("NoopDdlSqlCompiler: index/statistics DDL executes as a no-op; scope held") {
     import spark.implicits._
     def task(sql: String) = graft.ir.Ir.ExecuteSqlTask("nd", None, "conn", sql)
