@@ -2657,6 +2657,56 @@ object QueriesRelational {
       |    ORDER BY o_orderkey, CAST(o_orderkey AS VARCHAR)) AS olist
       |FROM orders GROUP BY o_custkey""".stripMargin
 
+  /** `STRING_AGG … WITHIN GROUP (ORDER BY …)` through the dtsx
+    * frontend (`StringAggETL.dtsx`) — SQL Server 2017+'s native string
+    * aggregation, the successor of q131's STUFF idiom. Spark 4 parses
+    * the identical surface (`string_agg` with `WITHIN GROUP`), so the
+    * statement compiles through the normal SELECT path with NO
+    * translation — the cheapest kind of parity, gated here so the
+    * no-op stays proven. */
+  def q132_dtsx_string_agg(spark: SparkSession, dir: String): DataFrame = {
+    val (w, _) = runDtsxWarehousePackage(spark, dir, "StringAggETL.dtsx")
+    w("cust_sa").select(
+      col("ck").cast(LongType).as("ck"),
+      col("n_orders").cast(LongType).as("n_orders"),
+      col("olist").cast(StringType).as("olist"))
+  }
+
+  val q132Oracle: String =
+    """SELECT o_custkey AS ck, COUNT(*) AS n_orders,
+      |  string_agg(CAST(o_orderkey AS VARCHAR), ','
+      |    ORDER BY o_orderkey) AS olist
+      |FROM orders GROUP BY o_custkey""".stripMargin
+
+  /** T-SQL `PIVOT` through the dtsx frontend (`PivotReportETL.dtsx`)
+    * — the status × priority revenue matrix. The relational operator
+    * is identical in Spark; [[graft.patterns.PivotSql]] (r14) rewrites
+    * only the spelling: T-SQL's bracketed-identifier IN list
+    * (`IN ([O], [F])`) becomes Spark's aliased literals
+    * (`IN ('O' AS O, 'F' AS F)`), the result alias strips, and `[X]`
+    * references to the pivoted columns debracket. The pivot itself
+    * plans as Spark's native partial-aggregating PIVOT — one shuffle
+    * on the group keys, as cheap as the hand-written CASE form.
+    * UNPIVOT and non-identifier value names decline. */
+  def q133_dtsx_pivot(spark: SparkSession, dir: String): DataFrame = {
+    val (w, _) = runDtsxWarehousePackage(spark, dir, "PivotReportETL.dtsx")
+    w("prio_pv").select(
+      col("prio").cast(StringType).as("prio"),
+      col("O").cast(DoubleType).as("o_tot"),
+      col("F").cast(DoubleType).as("f_tot"),
+      col("P").cast(DoubleType).as("p_tot"))
+  }
+
+  val q133Oracle: String =
+    """SELECT o_orderpriority AS prio,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'O'
+      |    THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS o_tot,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F'
+      |    THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS f_tot,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'P'
+      |    THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS p_tot
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
   /** Explicit GROUPING SETS with grouping_id disambiguation (beyond q24's
     * rollup): two chosen aggregation levels, no intermediate level. */
   def q39_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
@@ -4054,6 +4104,8 @@ object QueriesRelational {
     "q129_dtsx_positioned_cursor" -> (q129_dtsx_positioned_cursor _),
     "q130_dtsx_proc_helper" -> (q130_dtsx_proc_helper _),
     "q131_dtsx_xml_agg" -> (q131_dtsx_xml_agg _),
+    "q132_dtsx_string_agg" -> (q132_dtsx_string_agg _),
+    "q133_dtsx_pivot" -> (q133_dtsx_pivot _),
     "q82_orc_roundtrip" -> (q82_orc_roundtrip _),
     "q80_dtsx_cdc_merge" -> (q80_dtsx_cdc_merge _),
     "q79_delete_cascade" -> (q79_delete_cascade _),
@@ -4178,6 +4230,8 @@ object QueriesRelational {
     "q129_dtsx_positioned_cursor" -> q129Oracle,
     "q130_dtsx_proc_helper" -> q130Oracle,
     "q131_dtsx_xml_agg" -> q131Oracle,
+    "q132_dtsx_string_agg" -> q132Oracle,
+    "q133_dtsx_pivot" -> q133Oracle,
     "q82_orc_roundtrip" -> q82Oracle,
     "q80_dtsx_cdc_merge" -> q80Oracle,
     "q79_delete_cascade" -> q79Oracle,

@@ -243,7 +243,8 @@ object MigrationMapping {
           graft.patterns.ScriptedSqlExecutor.scriptFeatures(sql).get),
         Nil, signals)
     else if (insertSelect.findFirstMatchIn(sql).isDefined &&
-        !graft.patterns.XmlPathAgg.translate(sql).exists(_.isLeft)) {
+        !graft.patterns.XmlPathAgg.translate(sql).exists(_.isLeft) &&
+        !graft.patterns.PivotSql.translate(sql).exists(_.isLeft)) {
       val target = insertSelect.findFirstMatchIn(sql).map(_.group(1))
       val mode =
         if (upper.contains("DELETE FROM") || upper.contains("TRUNCATE TABLE"))

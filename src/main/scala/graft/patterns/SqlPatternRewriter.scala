@@ -97,6 +97,16 @@ object SqlPatternRewriter {
         case Some(Right(t)) => Some(t)
         case Some(Left(_)) => None
       }
+    }.flatMap { s =>
+      // T-SQL PIVOT IN-lists name values as (bracketed) identifiers;
+      // Spark takes aliased literals — same operator, different
+      // spelling. Off-shape pivots (UNPIVOT, non-identifier values)
+      // decline rather than reach spark.sql as unparseable text
+      PivotSql.translate(s) match {
+        case None => Some(s)
+        case Some(Right(t)) => Some(t)
+        case Some(Left(_)) => None
+      }
     }
 
   def rewrite(spark: SparkSession, task: ExecuteSqlTask,

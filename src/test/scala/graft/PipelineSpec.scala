@@ -2754,6 +2754,53 @@ class PipelineSpec extends AnyFunSuite {
       .status === "manual_review")
   }
 
+  test("T-SQL PIVOT spelling translates to Spark's; off-shapes decline") {
+    import graft.patterns.PivotSql
+    import spark.implicits._
+    val canonical = "SELECT k, [A], [B] FROM (SELECT k, s, v FROM pt2) src " +
+      "PIVOT (SUM(v) FOR s IN ([A], [B])) p"
+    val Some(Right(t1)) = PivotSql.translate(canonical)
+    assert(t1.contains("IN ('A' AS A, 'B' AS B)"))
+    assert(!t1.contains("[A]") && !t1.endsWith(" p"),
+      s"refs must debracket and the result alias must strip: $t1")
+    // bare-identifier items translate too; Spark-style quoted items
+    // would not match the identifier grammar and decline (they never
+    // appear in T-SQL task text)
+    assert(PivotSql.translate(canonical.replace("[A], [B]", "A, B"))
+      .exists(_.isRight))
+    assert(PivotSql.translate("SELECT 1 AS a").isEmpty)
+    for (s <- Seq(
+      // UNPIVOT is its own operator
+      "SELECT * FROM t UNPIVOT (v FOR s IN (a, b)) u",
+      // non-identifier value names compare by a typed value the text
+      // alone does not determine
+      "SELECT * FROM (SELECT k, s, v FROM t) src " +
+        "PIVOT (SUM(v) FOR s IN ([2024-01], [2024-02])) p",
+      // two pivots
+      canonical + " CROSS JOIN (SELECT k2 FROM (SELECT 1 AS k2, 2 AS s2, 3 AS v2) " +
+        "PIVOT (SUM(v2) FOR s2 IN ([X])) q) z"))
+      assert(PivotSql.translate(s).exists(_.isLeft), s"should be Left: $s")
+    // end-to-end through the rewriter
+    Seq((1L, "A", 10.0), (1L, "B", 5.0), (2L, "A", 7.0))
+      .toDF("k", "s", "v").createOrReplaceTempView("pt2")
+    val out = graft.patterns.SqlPatternRewriter.rewrite(spark,
+      graft.ir.Ir.ExecuteSqlTask("pv", None, "conn",
+        s"INSERT INTO pvt $canonical"))
+      .getOrElse(fail("canonical PIVOT did not compile"))
+    assert(out.df.get.orderBy("k").as[(Long, Option[Double], Option[Double])]
+      .collect().toList ===
+      List((1L, Some(10.0), Some(5.0)), (2L, Some(7.0), None)))
+    // ledger twins
+    assert(graft.parser.MigrationMapping.mapTask(
+      graft.ir.Ir.ExecuteSqlTask("t", None, "conn",
+        s"INSERT INTO pvt $canonical"), Nil).status === "converted")
+    assert(graft.parser.MigrationMapping.mapTask(
+      graft.ir.Ir.ExecuteSqlTask("t", None, "conn",
+        "INSERT INTO pvt SELECT * FROM (SELECT k, s, v FROM pt2) src " +
+          "PIVOT (SUM(v) FOR s IN ([2024-01])) p"), Nil)
+      .status === "manual_review")
+  }
+
   test("NoopDdlSqlCompiler: index/statistics DDL executes as a no-op; scope held") {
     import spark.implicits._
     def task(sql: String) = graft.ir.Ir.ExecuteSqlTask("nd", None, "conn", sql)
