@@ -2707,6 +2707,37 @@ object QueriesRelational {
       |    THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS p_tot
       |FROM orders GROUP BY o_orderpriority""".stripMargin
 
+  /** T-SQL `UNPIVOT` through the dtsx frontend (`UnpivotETL.dtsx`) —
+    * the wide-to-long reshape that undoes a report matrix.
+    * [[graft.patterns.PivotSql]] (r14) rewrites only the spelling:
+    * `UNPIVOT (v FOR s IN ([c1], [c2])) u` → Spark's
+    * `UNPIVOT ((v) FOR s IN ((c1), (c2)))`, alias stripped. The
+    * NULL-dropping default is identical in both dialects (T-SQL
+    * always drops NULL measures; Spark excludes them unless INCLUDE
+    * NULLS), and the name column takes the column text as written.
+    * Plans as Spark's native Expand — one narrow pass, no shuffle. */
+  def q134_dtsx_unpivot(spark: SparkSession, dir: String): DataFrame = {
+    val (w, _) = runDtsxWarehousePackage(spark, dir, "UnpivotETL.dtsx")
+    w("long_up").select(
+      col("prio").cast(StringType).as("prio"),
+      col("status_col").cast(StringType).as("status_col"),
+      col("cnt").cast(LongType).as("cnt"))
+  }
+
+  val q134Oracle: String =
+    """WITH w AS (
+      |  SELECT o_orderpriority AS prio,
+      |    SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS open_cnt,
+      |    SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS filled_cnt,
+      |    SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS pending_cnt
+      |  FROM orders GROUP BY o_orderpriority)
+      |SELECT prio, 'open_cnt' AS status_col, CAST(open_cnt AS BIGINT) AS cnt
+      |FROM w
+      |UNION ALL
+      |SELECT prio, 'filled_cnt', CAST(filled_cnt AS BIGINT) FROM w
+      |UNION ALL
+      |SELECT prio, 'pending_cnt', CAST(pending_cnt AS BIGINT) FROM w""".stripMargin
+
   /** Explicit GROUPING SETS with grouping_id disambiguation (beyond q24's
     * rollup): two chosen aggregation levels, no intermediate level. */
   def q39_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
@@ -4106,6 +4137,7 @@ object QueriesRelational {
     "q131_dtsx_xml_agg" -> (q131_dtsx_xml_agg _),
     "q132_dtsx_string_agg" -> (q132_dtsx_string_agg _),
     "q133_dtsx_pivot" -> (q133_dtsx_pivot _),
+    "q134_dtsx_unpivot" -> (q134_dtsx_unpivot _),
     "q82_orc_roundtrip" -> (q82_orc_roundtrip _),
     "q80_dtsx_cdc_merge" -> (q80_dtsx_cdc_merge _),
     "q79_delete_cascade" -> (q79_delete_cascade _),
@@ -4232,6 +4264,7 @@ object QueriesRelational {
     "q131_dtsx_xml_agg" -> q131Oracle,
     "q132_dtsx_string_agg" -> q132Oracle,
     "q133_dtsx_pivot" -> q133Oracle,
+    "q134_dtsx_unpivot" -> q134Oracle,
     "q82_orc_roundtrip" -> q82Oracle,
     "q80_dtsx_cdc_merge" -> q80Oracle,
     "q79_delete_cascade" -> q79Oracle,

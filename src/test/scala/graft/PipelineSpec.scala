@@ -2770,16 +2770,32 @@ class PipelineSpec extends AnyFunSuite {
       .exists(_.isRight))
     assert(PivotSql.translate("SELECT 1 AS a").isEmpty)
     for (s <- Seq(
-      // UNPIVOT is its own operator
-      "SELECT * FROM t UNPIVOT (v FOR s IN (a, b)) u",
       // non-identifier value names compare by a typed value the text
       // alone does not determine
       "SELECT * FROM (SELECT k, s, v FROM t) src " +
         "PIVOT (SUM(v) FOR s IN ([2024-01], [2024-02])) p",
       // two pivots
       canonical + " CROSS JOIN (SELECT k2 FROM (SELECT 1 AS k2, 2 AS s2, 3 AS v2) " +
-        "PIVOT (SUM(v2) FOR s2 IN ([X])) q) z"))
+        "PIVOT (SUM(v2) FOR s2 IN ([X])) q) z",
+      // PIVOT and UNPIVOT side by side
+      canonical + " CROSS JOIN (SELECT * FROM t2 UNPIVOT (v2 FOR s2 IN (x, y)) u) z"))
       assert(PivotSql.translate(s).exists(_.isLeft), s"should be Left: $s")
+    // UNPIVOT translates to Spark's multi-paren form, alias stripped,
+    // and the NULL measure rows drop in BOTH dialects
+    val up = "SELECT k, st, cnt FROM wup " +
+      "UNPIVOT (cnt FOR st IN ([a_cnt], [b_cnt])) u"
+    val Some(Right(tu)) = PivotSql.translate(up)
+    assert(tu.contains("UNPIVOT ((cnt) FOR st IN ((a_cnt), (b_cnt)))") &&
+      !tu.endsWith(" u"), s"unpivot translation wrong: $tu")
+    Seq((1L, Some(10.0), Option.empty[Double]), (2L, Some(7.0), Some(3.0)))
+      .toDF("k", "a_cnt", "b_cnt").createOrReplaceTempView("wup")
+    val outU = graft.patterns.SqlPatternRewriter.rewrite(spark,
+      graft.ir.Ir.ExecuteSqlTask("up", None, "conn",
+        s"INSERT INTO lup $up"))
+      .getOrElse(fail("canonical UNPIVOT did not compile"))
+    assert(outU.df.get.orderBy("k", "st").as[(Long, String, Double)]
+      .collect().toList ===
+      List((1L, "a_cnt", 10.0), (2L, "a_cnt", 7.0), (2L, "b_cnt", 3.0)))
     // end-to-end through the rewriter
     Seq((1L, "A", 10.0), (1L, "B", 5.0), (2L, "A", 7.0))
       .toDF("k", "s", "v").createOrReplaceTempView("pt2")
