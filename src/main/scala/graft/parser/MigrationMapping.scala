@@ -214,10 +214,12 @@ object MigrationMapping {
       TaskMapping(t.name, "ExecuteSQLTask", "converted", None,
         Some("script-local stored procedure inlines (patterns/" +
           "ProcInlineSqlCompiler — the CREATE PROCEDURE batch's body is " +
-          "IN the script, so each EXEC call expands to the body with " +
-          "literal args bound as typed literals; procs created " +
-          "elsewhere keep the manual-review decline, their bodies are " +
-          "invisible)"), Nil, signals)
+          "IN the script, so each EXEC call expands hygienically: one " +
+          "DECLARE per parameter in a per-call namespace (literal OR " +
+          "same-batch declared-variable arguments), body-locals " +
+          "renamed alongside; multiple helpers own, each in its own " +
+          "batch; procs created elsewhere keep the manual-review " +
+          "decline, their bodies are invisible)"), Nil, signals)
     else if (graft.patterns.CursorLoopSqlCompiler.rewriteToScript(sql).isDefined)
       TaskMapping(t.name, "ExecuteSQLTask", "converted", None,
         Some("canonical CURSOR FETCH loop executes set-based (patterns/" +

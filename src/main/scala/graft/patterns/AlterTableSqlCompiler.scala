@@ -32,7 +32,11 @@ import org.apache.spark.sql.functions._
   * convention of the 8672 multi-match guards): a non-NULL value the
   * new type cannot represent aborts the script at materialization —
   * T-SQL 245/8114 conversion failure / 8115 overflow — instead of
-  * Spark's silent NULL; `NOT NULL` with an existing NULL aborts with
+  * Spark's silent NULL; a char(n) target whose new length any
+  * existing value exceeds aborts with the error-8152 contract
+  * (string-to-string re-types can never fail the cast, so the length
+  * guard is the only thing standing between a narrowing ALTER and a
+  * silent divergence); `NOT NULL` with an existing NULL aborts with
   * the error-515 contract. The cast itself is exactly what an
   * authored migration would write; what stays declined is anything
   * BEYOND the cast: COLLATE clauses, IDENTITY, constraints.
@@ -149,13 +153,31 @@ object AlterTableSqlCompiler {
           // would fire first with a Spark-coded message — the guard
           // below owns the abort so it carries the T-SQL contract
           val casted = expr(s"try_cast(`$actual` AS $tpe)")
-          val converted = when(src.isNotNull && casted.isNull,
+          val converted0 = when(src.isNotNull && casted.isNull,
             raise_error(concat(
               lit(s"ALTER TABLE $tgtName ALTER COLUMN $actual $ddlType: " +
                 "conversion failed for value '"),
               src.cast("string"),
               lit("' (T-SQL error 245/8114)"))).cast(tpe))
             .otherwise(casted)
+          // char(n) targets narrow: T-SQL raises 8152 ("string or
+          // binary data would be truncated") when any existing value
+          // exceeds the new length — the 245/8114 guard above can
+          // never fire on string-to-string re-types (try_cast to
+          // STRING never nulls), so the length contract needs its own
+          // lazy guard, same raise_error-column convention
+          val converted = ExecLiteralSqlCompiler.charCap(ddlType) match {
+            case Some(n) =>
+              when(src.isNotNull && length(src.cast("string")) > n,
+                raise_error(concat(
+                  lit(s"ALTER TABLE $tgtName ALTER COLUMN $actual " +
+                    s"$ddlType: string or binary data would be " +
+                    "truncated for value '"),
+                  src.cast("string"),
+                  lit("' (T-SQL error 8152)"))).cast(tpe))
+                .otherwise(converted0)
+            case None => converted0
+          }
           val guarded =
             if (!notNull) converted
             else when(src.isNull, raise_error(lit(

@@ -107,6 +107,20 @@ object ExecLiteralSqlCompiler {
     ("(?is)^@(\\w+)\\s+([A-Za-z]\\w*" +
       "(?:\\s*\\(\\s*(?:\\d+|max)\\s*(?:,\\s*\\d+\\s*)?\\))?)\\s*$").r
 
+  /** Declared char cap — VARCHAR(n)/NVARCHAR(n)/CHAR(n)/NCHAR(n) → n.
+    * T-SQL silently truncates ASSIGNMENT (variable and parameter
+    * binding) to the declared length — no error 8152, which is an
+    * INSERT/UPDATE contract — so every binding path that spells a
+    * string literal into a declared char slot must truncate first
+    * (the same silent-truncation contract [[TsqlConcatFold]] models
+    * for CAST fragments). `MAX` and unlengthed forms have no cap;
+    * CHAR(n)'s blank-PADDING is not modeled (T-SQL comparison is
+    * trailing-space-insensitive, so padding is unobservable in the
+    * owned statement classes). */
+  private[patterns] def charCap(tsqlType: String): Option[Int] =
+    "(?i)^n?(?:var)?char\\s*\\(\\s*(\\d+)\\s*\\)$".r
+      .findFirstMatchIn(tsqlType.trim).map(_.group(1).toInt)
+
   private val argRe = "(?is)^@(\\w+)\\s*=\\s*(.+)$".r
 
   // a literal argument on the masked twin: string (masked to 'xxx…'),
@@ -136,9 +150,11 @@ object ExecLiteralSqlCompiler {
     val declsTxt = singleLiteral(g(2)).getOrElse(return None)
     // parameter declarations: @name <mapped type> per comma item
     val decls = MergeSqlCompiler.splitTop(declsTxt).map(d =>
-      paramDeclRe.findFirstMatchIn(d.trim).flatMap(dm =>
-        ScriptedSqlExecutor.sparkDdlType(dm.group(2))
-          .map(tpe => dm.group(1).toLowerCase -> tpe)))
+      paramDeclRe.findFirstMatchIn(d.trim).flatMap { dm =>
+        val rawType = d.trim.substring(dm.start(2), dm.end(2))
+        ScriptedSqlExecutor.sparkDdlType(rawType)
+          .map(tpe => dm.group(1).toLowerCase -> (tpe, charCap(rawType)))
+      })
     if (decls.exists(_.isEmpty)) return None
     val types = decls.flatten.toMap
     if (types.size != decls.size) return None // duplicate declaration
@@ -151,18 +167,20 @@ object ExecLiteralSqlCompiler {
         val nm = an.group(1).toLowerCase
         val valMsk = an.group(2).trim
         if (litArgMskRe.findFirstIn(valMsk).isEmpty) None
-        else types.get(nm).map { tpe =>
+        else types.get(nm).map { case (tpe, cap) =>
           // slice the RAW value at the masked match's span — masking is
           // length-preserving and whitespace-preserving, so raw.trim
           // and am.trim align position-for-position; then undo N''…''
-          // escaping for strings and re-spell through the engine's one
-          // safe literal form
+          // escaping for strings, TRUNCATE to the declared char cap
+          // (T-SQL parameter assignment truncates silently — see
+          // charCap), and re-spell through the engine's one safe
+          // literal form
           val rawVal = raw.trim.substring(an.start(2)).trim
           val lit =
             if (rawVal.matches("(?is)^N?'.*'$")) {
               val body = rawVal.replaceFirst("(?is)^N", "")
-              SqlText.sqlLitOrDecline(
-                body.substring(1, body.length - 1).replace("''", "'"))
+              val v0 = body.substring(1, body.length - 1).replace("''", "'")
+              SqlText.sqlLitOrDecline(cap.fold(v0)(v0.take))
             } else rawVal
           nm -> s"CAST($lit AS $tpe)"
         }

@@ -8,27 +8,107 @@ package graft.patterns
   * literals with aliases (`PIVOT (SUM(v) FOR c IN ('O' AS O, 'F' AS
   * F))`) and no result alias. The translation rewrites each `[X]` /
   * bare `X` item to `'X' AS X`, strips the T-SQL result alias, and
-  * debrackets `[X]` references to the pivoted columns in the rest of
-  * the statement.
+  * rewrites `[X]` references to the pivoted columns in the rest of
+  * the statement (backtick-quoted when `X` is not a plain
+  * identifier).
+  *
+  * Two T-SQL comparison contracts ride along (r15):
+  *
+  * '''Collation.''' T-SQL compares the pivot column to each IN name
+  * under the column collation — case-INsensitive in default estates —
+  * while Spark literals compare case-sensitively. When any IN value
+  * carries a letter, the pivot SOURCE is wrapped as
+  * `(SELECT * EXCEPT (c), upper(c) AS c FROM <source>)` and the
+  * value literals upper-case, so `'o'` rows land in the `[O]` column
+  * exactly as a default-collation estate folds them. The wrap
+  * replaces the column in place (star-EXCEPT), so the implicit
+  * group-by column set — everything but the agg arg and the pivot
+  * column — is unchanged. Letter-bearing values whose source relation
+  * the rewriter cannot isolate (a join before PIVOT, a qualified
+  * pivot column) decline rather than ship the case-sensitive
+  * divergence.
+  *
+  * '''Typed values.''' A non-identifier IN name like `[1995]` or
+  * `[US-West]` compares by the pivot COLUMN's type in T-SQL (the
+  * identifier text converts to it). Spark's pivot casts the value
+  * literal to the column type the same way, so each such name emits
+  * as a STRING literal with a backtick-quoted alias — `'1995' AS
+  * \`1995\`` matches an INT year column and a VARCHAR code column
+  * alike, exactly the T-SQL conversion direction.
   *
   * Owned only when: exactly ONE PIVOT (or one UNPIVOT — see
-  * [[translateUnpivot]]; a statement carrying both declines), and
-  * every IN item is a plain identifier (`[A-Za-z_]\w*`, bracketed or
-  * bare) — the string-valued pivot everywhere in estate reporting.
-  * Numeric or exotic value names (e.g. `[2024-01]`) compare by a
-  * typed value the text alone does not determine → Left, manual
-  * review. */
+  * [[translateUnpivot]]; a statement carrying both declines). */
 object PivotSql {
 
   private val pivotHeadRe = "(?is)\\bpivot\\s*\\(".r
   private val unpivotRe = "(?i)\\bunpivot\\b".r
   private val innerRe =
     "(?is)^\\s*(\\w+\\s*\\(.+\\))\\s+for\\s+([\\w.\\[\\]]+)\\s+in\\s*\\((.+)\\)\\s*$".r
-  private val identItemRe = "(?s)^(?:\\[([A-Za-z_]\\w*)\\]|([A-Za-z_]\\w*))$".r
+  private val itemRe = "(?s)^(?:\\[([^\\]]+)\\]|([A-Za-z_]\\w*))$".r
+  private val plainIdentRe = "(?s)^[A-Za-z_]\\w*$".r
   private val stopWords = Set("where", "group", "order", "having", "union",
     "limit", "on", "join", "inner", "left", "right", "full", "cross",
     "pivot", "unpivot", "for", "except", "intersect", "option", "select",
     "from", "top", "offset", "fetch")
+
+  /** The value's output-column spelling: bare when a plain
+    * identifier, backtick-quoted otherwise; None when unquotable. */
+  private def aliasOf(v: String): Option[String] =
+    if (plainIdentRe.findFirstIn(v).isDefined) Some(v)
+    else if (v.contains("`")) None
+    else Some(s"`$v`")
+
+  /** Rewrite a `[X]` reference outside string literals. */
+  private def deref(seg: String, v: String): String =
+    aliasOf(v).map(a => seg.replace(s"[$v]", a)).getOrElse(seg)
+
+  /** Wrap the relation immediately before the PIVOT head in the
+    * upper-casing projection (collation fold — see scaladoc). Owned
+    * source shapes: `FROM (sub) [AS] alias`, `FROM (sub)`,
+    * `FROM|JOIN table [AS] alias`, `FROM|JOIN table` — anything else
+    * (the relation is a join tail, an APPLY, …) returns None. */
+  private def wrapSource(pre: String, preMsk: String,
+      pcol: String): Option[String] = {
+    val subTailRe = "(?is)\\)\\s*(?:as\\s+)?([A-Za-z_]\\w*)?\\s*$".r
+    val tblTailRe =
+      ("(?is)\\b(from|join)\\s+([\\w.\\[\\]]+)" +
+        "(?:\\s+(?:as\\s+)?([A-Za-z_]\\w*))?\\s*$").r
+    def wrapped(rel: String, alias: Option[String]): String = {
+      val inner = s"SELECT * EXCEPT ($pcol), upper($pcol) AS $pcol " +
+        s"FROM $rel${alias.fold("")(" " + _)}"
+      s"($inner)${alias.fold("")(" " + _)} "
+    }
+    subTailRe.findFirstMatchIn(preMsk) match {
+      case Some(tm) =>
+        val alias = Option(tm.group(1))
+        if (alias.exists(a => stopWords(a.toLowerCase))) return None
+        // balance backwards from the closing paren to its opener
+        var depth = 1
+        var j = tm.start - 1
+        while (depth > 0 && j >= 0) {
+          preMsk.charAt(j) match {
+            case ')' => depth += 1
+            case '(' => depth -= 1
+            case _ => ()
+          }
+          j -= 1
+        }
+        if (depth != 0) return None
+        val openIdx = j + 1
+        // the derived table must sit directly in a FROM/JOIN slot
+        if ("(?is)\\b(from|join)\\s*$".r
+            .findFirstIn(preMsk.substring(0, openIdx)).isEmpty) return None
+        val rel = pre.substring(openIdx, tm.start + 1)
+        Some(pre.substring(0, openIdx) + wrapped(rel, alias))
+      case None =>
+        tblTailRe.findFirstMatchIn(preMsk).map { tm =>
+          val alias = Option(tm.group(3)).filterNot(a =>
+            stopWords(a.toLowerCase))
+          val rel = pre.substring(tm.start(2), tm.end(2))
+          pre.substring(0, tm.start(2)) + wrapped(rel, alias)
+        }
+    }
+  }
 
   /** None = no PIVOT (text untouched); Right = translated; Left = a
     * PIVOT/UNPIVOT this translation does not own. */
@@ -64,8 +144,9 @@ object PivotSql {
       argsRaw.substring(m.start(k), m.end(k)).trim.replaceAll("[\\[\\]]", "")
     val (vcol, ncol) = (g(1), g(2))
     val items = MergeSqlCompiler.splitTop(g(3)).map(_.trim)
-    val cols = items.map(it => identItemRe.findFirstMatchIn(it)
-      .map(im => Option(im.group(1)).getOrElse(im.group(2))))
+    val cols = items.map(it => itemRe.findFirstMatchIn(it)
+      .map(im => Option(im.group(1)).getOrElse(im.group(2)))
+      .filter(c => plainIdentRe.findFirstIn(c).isDefined))
     if (cols.isEmpty || cols.exists(_.isEmpty)) return Left(())
     val inList = cols.flatten.map(c => s"($c)").mkString(", ")
     val after0 = sqlRaw.substring(i)
@@ -118,11 +199,29 @@ object PivotSql {
     val agg = g(1)
     val pcol = g(2).replaceAll("[\\[\\]]", "")
     val items = MergeSqlCompiler.splitTop(g(3)).map(_.trim)
-    val names = items.map(it => identItemRe.findFirstMatchIn(it)
-      .map(im => Option(im.group(1)).getOrElse(im.group(2))))
+    val names = items.map(it => itemRe.findFirstMatchIn(it)
+      .map(im => Option(im.group(1)).getOrElse(im.group(2)))
+      .filter(v => aliasOf(v).isDefined))
     if (names.isEmpty || names.exists(_.isEmpty)) return Some(Left(()))
     val vals = names.flatten
-    val inList = vals.map(v => s"'$v' AS $v").mkString(", ")
+    // collation fold (see scaladoc): letter-bearing values compare
+    // case-insensitively in default T-SQL estates, so the source
+    // wraps in an upper() projection and the literals upper-case;
+    // letterless (numeric/code) values have no case to fold
+    val fold = vals.exists(_.exists(_.isLetter))
+    val pre0 = sqlRaw.substring(0, h.start)
+    val pre =
+      if (!fold) pre0
+      else {
+        if (pcol.contains(".")) return Some(Left(())) // qualified: see doc
+        wrapSource(pre0, msk0.substring(0, h.start), pcol)
+          .getOrElse(return Some(Left(())))
+      }
+    def esc(s: String): String = s.replace("'", "''")
+    val inList = vals.map { v =>
+      val litV = if (fold) v.toUpperCase else v
+      s"'${esc(litV)}' AS ${aliasOf(v).get}"
+    }.mkString(", ")
     // the T-SQL result alias after the PIVOT close paren — strip it
     val after0 = sqlRaw.substring(i)
     val afterMsk = msk0.substring(i)
@@ -132,14 +231,11 @@ object PivotSql {
         after0.substring(am.end)
       case _ => after0
     }
-    var out = sqlRaw.substring(0, h.start) +
-      s"PIVOT ($agg FOR $pcol IN ($inList))" + after
-    // debracket [X] references to the pivoted columns elsewhere
-    val outMskSegs = MergeSqlCompiler.segments(out)
-    out = outMskSegs.map {
+    var out = pre + s"PIVOT ($agg FOR $pcol IN ($inList))" + after
+    // rewrite [X] references to the pivoted columns elsewhere
+    out = MergeSqlCompiler.segments(out).map {
       case (seg, true) => seg
-      case (seg, false) =>
-        vals.foldLeft(seg)((s, v) => s.replace(s"[$v]", v))
+      case (seg, false) => vals.foldLeft(seg)(deref)
     }.mkString
     Some(Right(out))
   }

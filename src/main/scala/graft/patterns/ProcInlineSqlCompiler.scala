@@ -1,38 +1,60 @@
 package graft.patterns
 
 /** Script-local stored procedures — `CREATE PROCEDURE` in its own GO
-  * batch, `EXEC <name> <literal args>` calls, `DROP PROCEDURE` — the
+  * batch, `EXEC <name> <args>` calls, `DROP PROCEDURE` — the
   * helper-proc idiom migration and maintenance scripts use (create a
   * parameterized helper, call it N times, drop it). The reference
   * routes every EXEC to manual review because a stored procedure's
   * body normally lives in the database, invisible to the task text;
   * HERE the body is in the same script, so each call is statically
-  * expandable: the EXEC inlines to the body statements with every
-  * parameter bound as the engine's `CAST(<literal> AS <type>)`
-  * typed-literal form (the same convention as sp_executesql binding,
-  * [[ExecLiteralSqlCompiler]]), and the expanded statements run
-  * through the script overlay like any hand-written batch.
+  * expandable. Expansion is HYGIENIC (r15): an `EXEC p <arg>, …`
+  * becomes one `DECLARE @__graft_<p>_<k>_<param> <declared type> =
+  * <arg>` per parameter (k = per-call counter, so two calls never
+  * share state and T-SQL's by-value parameter passing holds) followed
+  * by the body statements with every parameter and body-local
+  * variable renamed to the same `@__graft_<p>_<k>_…` namespace. The
+  * emitted statements run through the script overlay like any
+  * hand-written batch, so [[ScriptedSqlExecutor]]'s own DECLARE
+  * machinery performs the binding — which is exactly what lets an
+  * argument be a DECLARED VARIABLE (`DECLARE @id INT = 7; EXEC helper
+  * @id`), not just a literal: the injected DECLARE's initializer
+  * is `@id`, and the executor resolves it to the variable's value AT
+  * THE TIME OF THE CALL, cast to the parameter's declared type (T-SQL
+  * assignment-conversion at call, including the silent char(n)
+  * truncation contract the executor applies on assignment).
   *
   * T-SQL contracts held: `CREATE PROCEDURE` must lead its batch and
   * swallows the REST of the batch into the body — so the body is
   * "everything after AS to the batch's end", exactly the GO-delimited
-  * reading; an EXEC before the CREATE batch or after the DROP is error
-  * 2812 (could not find stored procedure) → the script declines;
-  * inside a script, a declared `@var` argument is a literal by the
-  * time this pre-pass sees it only at TOP level — this compiler runs
-  * before variable binding, so @var arguments decline (the owned
-  * spelling is literal args, the overwhelmingly common case for
-  * helper procs).
+  * reading; an EXEC before the CREATE batch, after the DROP, or of a
+  * name this script never created is error 2812 (could not find
+  * stored procedure) → the script declines; scalar variables are
+  * BATCH-scOPED, so a `@var` argument must be declared by an earlier
+  * statement of the SAME batch as the EXEC (a cross-batch reference
+  * is T-SQL error 137 — decline, never a silent carry-over); a
+  * parameter or body-local assigned inside the body mutates only the
+  * call's own renamed copy (by-value). Multiple helpers per script
+  * are owned (r15), each in its own CREATE batch; body-local DECLAREs
+  * are owned (r15) because the hygienic rename makes scope leaks
+  * impossible — a body name shadowing a parameter still declines
+  * (T-SQL 134, variable names must be unique within the batch).
   *
-  * Declined to manual review: a second CREATE PROCEDURE (one helper
-  * per script), OUTPUT/default/readonly parameters, RETURN or any
+  * Declined to manual review: rollback / TRY-CATCH / SAVE TRAN
+  * anywhere in the script (mirrors [[ScriptedSqlExecutor]]'s
+  * dispatcher gates, which run BEFORE this compiler — declining here
+  * keeps the classification ledger aligned with what actually
+  * executes), OUTPUT/default/readonly parameters, RETURN or any
   * control flow in the body (IF/WHILE/BEGIN-END beyond the optional
   * outer wrapper, TRY/CATCH, transactions, cursors, nested EXEC),
-  * body-local DECLAREs (their names would leak into the outer script's
-  * scope on inlining), body @tokens that are not parameters, non-
-  * literal arguments, arity/name mismatches, mixed positional+named
-  * args, EXEC of a procedure this script never created (its body is
-  * genuinely invisible), and DROP of an unknown procedure. */
+  * `@@` system-variable reads in the body (at proc entry they see
+  * caller state this positional expansion cannot reproduce), body
+  * @tokens that are neither parameters nor body-locals, expression
+  * arguments (T-SQL itself rejects them — EXEC args are literals or
+  * variables only), undeclared or cross-batch `@var` arguments,
+  * arity/name mismatches, mixed positional+named args, re-CREATE of
+  * a live name (T-SQL 2714), EXEC of a procedure this script never
+  * created (its body is genuinely invisible), and DROP of an unknown
+  * or already-dropped procedure. */
 object ProcInlineSqlCompiler {
 
   private val createProcHeadRe =
@@ -44,19 +66,44 @@ object ProcInlineSqlCompiler {
     ("(?is)^\\s*drop\\s+proc(?:edure)?\\s+(?:if\\s+exists\\s+)?" +
       "([\\w.\\[\\]]+)\\s*;?\\s*$").r
   private val namedArgRe = "(?is)^@(\\w+)\\s*=\\s*(.+)$".r
-  private val scalarVarRe = "@(\\w+)".r
+  private val scalarVarRe = "(?<!@)@(\\w+)".r
+  private val varArgRe = "(?is)^@\\w+$".r
   private val bodyBanRe =
-    ("(?i)\\b(begin|end|if|else|while|goto|return|declare|cursor|fetch|" +
+    ("(?i)\\b(begin|end|if|else|while|goto|return|cursor|fetch|" +
       "open|close|deallocate|exec|execute|merge|tran|transaction|" +
       "rollback|commit|try|catch|output|out|readonly|default|" +
       "create|drop|alter|truncate|grant|revoke|use|waitfor)\\b").r
+  // the dispatcher's conditional-undo gates, mirrored: a script text
+  // carrying any of these never REACHES this compiler at runtime
+  // (ScriptedSqlExecutor declines first), so the classification twin
+  // must decline too — a ledger row must never say "converted" for a
+  // text the executor will refuse
+  private val outerGateRe =
+    "(?i)\\brollback\\b|\\bbegin\\s+try\\b|\\bsave\\s+tran(?:saction)?\\b".r
+  private val declareStmtRe = "(?is)^\\s*declare\\s+(@.+)$".r
+  private val declareItemRe =
+    "(?is)^@(\\w+)\\s+([A-Za-z]\\w*(?:\\s*\\([^)]*\\))?)(?:\\s*=\\s*(.+))?\\s*$".r
 
   private def bare(name: String): String =
     name.split('.').last.replaceAll("[\\[\\]]", "").toLowerCase
 
-  /** Parse the CREATE batch → (bare name, ordered params, body text). */
-  private def parseCreate(batch: String)
-      : Option[(String, List[(String, String)], String)] = {
+  /** One parsed helper: ordered (param name → RAW T-SQL type text),
+    * the body text, and the body-local DECLARE names. */
+  private final case class Helper(params: List[(String, String)],
+      body: String, locals: Set[String])
+
+  /** Names declared by an outer-script DECLARE statement (the static
+    * twin of the executor's DECLARE tracking — names only; the
+    * executor re-validates types when it runs). */
+  private def declaredNames(stmt: String, msk: String): List[String] =
+    declareStmtRe.findFirstMatchIn(msk).toList.flatMap { m =>
+      MergeSqlCompiler.splitTop(stmt.substring(m.start(1), m.end(1)))
+        .flatMap(i => declareItemRe.findFirstMatchIn(i.trim)
+          .map(_.group(1).toLowerCase))
+    }
+
+  /** Parse the CREATE batch → the helper, or None (decline). */
+  private def parseCreate(batch: String): Option[(String, Helper)] = {
     val msk = UpdateSqlCompiler.masked(batch)
     val m = createProcHeadRe.findFirstMatchIn(msk).getOrElse(return None)
     def g(i: Int): String = batch.substring(m.start(i), m.end(i))
@@ -83,8 +130,11 @@ object ProcInlineSqlCompiler {
       else {
         val items = MergeSqlCompiler.splitTop(paramsTxt).map(i =>
           ExecLiteralSqlCompiler.paramDeclRe.findFirstMatchIn(i.trim)
-            .flatMap(pm => ScriptedSqlExecutor.sparkDdlType(pm.group(2))
-              .map(tpe => pm.group(1).toLowerCase -> tpe)))
+            .flatMap { pm =>
+              val rawType = i.trim.substring(pm.start(2), pm.end(2))
+              ScriptedSqlExecutor.sparkDdlType(rawType)
+                .map(_ => pm.group(1).toLowerCase -> rawType)
+            })
         if (items.exists(_.isEmpty)) return None
         items.flatten
       }
@@ -98,21 +148,54 @@ object ProcInlineSqlCompiler {
         .replaceFirst("(?is)\\bend\\s*;?\\s*$", "").trim
     if (body.isEmpty) return None
     val bMsk = UpdateSqlCompiler.masked(body)
+    // a body DECLARE is owned (hygienic rename isolates it); every
+    // OTHER banned keyword keeps the decline
     if (bodyBanRe.findFirstIn(bMsk).isDefined) return None
-    // every body @token must be a parameter
+    // @@ system variables at proc entry read CALLER state the
+    // positional expansion cannot reproduce — decline
+    if (bMsk.contains("@@")) return None
+    // body-local DECLAREs: collect names, validating each item's type
+    // maps (the executor would decline an unmapped type at runtime —
+    // the classification twin must agree)
+    val locals = scala.collection.mutable.LinkedHashSet.empty[String]
+    for (stmt <- SqlText.splitStatements(body)) {
+      val sMsk = UpdateSqlCompiler.masked(stmt)
+      declareStmtRe.findFirstMatchIn(sMsk).foreach { dm =>
+        val items = MergeSqlCompiler.splitTop(
+          stmt.substring(dm.start(1), dm.end(1)))
+        for (i <- items) {
+          val im = declareItemRe.findFirstMatchIn(i.trim)
+            .getOrElse(return None)
+          val rawType = i.trim.substring(im.start(2), im.end(2))
+          if (ScriptedSqlExecutor.sparkDdlType(rawType).isEmpty) return None
+          locals += im.group(1).toLowerCase
+        }
+      }
+    }
+    // name collisions (param shadowed by a local) are T-SQL error 134
     val pset = params.map(_._1).toSet
+    if (locals.exists(pset)) return None
+    // every body @token must be a parameter or a body-local
+    val known = pset ++ locals
     if (!scalarVarRe.findAllMatchIn(bMsk).map(_.group(1).toLowerCase)
-        .forall(pset)) return None
-    Some((name, params, body))
+        .forall(known)) return None
+    Some((name, Helper(params, body, locals.toSet)))
   }
 
-  /** Bind one EXEC's argument text against the params → the expanded
-    * body statements, or None. */
-  private def expand(argsTxt: String, params: List[(String, String)],
-      body: String): Option[List[String]] = {
+  /** Bind one EXEC's argument text against the helper → the expanded
+    * statement list (hygienic DECLAREs + renamed body), or None.
+    * `declared` = outer @vars declared earlier in the SAME batch. */
+  private def expand(name: String, callNo: Int, h: Helper,
+      argsTxt: String, declared: Set[String]): Option[List[String]] = {
     val t = argsTxt.trim
     val argsRaw = if (t.isEmpty) Nil else MergeSqlCompiler.splitTop(t)
-    if (argsRaw.size != params.size) return None
+    if (argsRaw.size != h.params.size) return None
+    // an argument is a literal or a same-batch declared @var — T-SQL
+    // EXEC accepts nothing else (expressions are a syntax error there)
+    def argOk(aMsk: String): Boolean =
+      ExecLiteralSqlCompiler.litArgMskRe.findFirstIn(aMsk).isDefined ||
+        (varArgRe.findFirstMatchIn(aMsk).isDefined &&
+          declared(aMsk.trim.substring(1).toLowerCase))
     val named = argsRaw.map(a =>
       namedArgRe.findFirstMatchIn(
         UpdateSqlCompiler.masked(a).trim).isDefined)
@@ -122,94 +205,104 @@ object ProcInlineSqlCompiler {
         val bound = argsRaw.map { a =>
           val am = UpdateSqlCompiler.masked(a).trim
           namedArgRe.findFirstMatchIn(am).flatMap { nm =>
-            val lit = a.trim.substring(nm.start(2)).trim
-            if (ExecLiteralSqlCompiler.litArgMskRe
-                .findFirstIn(am.substring(nm.start(2)).trim).isEmpty) None
-            else Some(nm.group(1).toLowerCase -> lit)
+            val vMsk = am.substring(nm.start(2)).trim
+            if (!argOk(vMsk)) None
+            else Some(nm.group(1).toLowerCase -> a.trim.substring(nm.start(2)).trim)
           }
         }
         if (bound.exists(_.isEmpty)) return None
         val byName = bound.flatten.toMap
         if (byName.size != bound.size ||
-          byName.keySet != params.map(_._1).toSet) return None
-        params.map { case (n, _) => n -> byName(n) }
+          byName.keySet != h.params.map(_._1).toSet) return None
+        h.params.map { case (n, _) => n -> byName(n) }
       } else {
-        if (argsRaw.exists(a => ExecLiteralSqlCompiler.litArgMskRe
-            .findFirstIn(UpdateSqlCompiler.masked(a).trim).isEmpty))
-          return None
-        params.map(_._1).zip(argsRaw.map(_.trim))
+        if (argsRaw.exists(a =>
+            !argOk(UpdateSqlCompiler.masked(a).trim))) return None
+        h.params.map(_._1).zip(argsRaw.map(_.trim))
       }
-    val byName = pairs.zip(params).map { case ((n, lit), (_, tpe)) =>
-      val spelled =
-        if (lit.matches("(?is)^N?'.*'$")) {
-          val b = lit.replaceFirst("(?is)^N", "")
-          SqlText.sqlLitOrDecline(
-            b.substring(1, b.length - 1).replace("''", "'"))
-        } else lit
-      n -> s"CAST($spelled AS $tpe)"
-    }.toMap
-    val replaced = MergeSqlCompiler.segments(body).map {
+    val prefix = s"__graft_${name}_$callNo"
+    // one hygienic DECLARE per parameter, in declaration order — the
+    // executor's own DECLARE path performs the typed assignment (and
+    // its char(n) truncation contract), and a @var initializer reads
+    // the variable's CURRENT value exactly as T-SQL's call does
+    val declares = pairs.zip(h.params).map { case ((n, arg), (_, tpe)) =>
+      s"DECLARE @${prefix}_$n $tpe = $arg"
+    }
+    // rename params AND body-locals into the call's namespace (masked
+    // segments — a literal containing '@x' is data, not a reference)
+    val renames = h.params.map(_._1).toSet ++ h.locals
+    val renamed = MergeSqlCompiler.segments(h.body).map {
       case (seg, true) => seg
       case (seg, false) => scalarVarRe.replaceAllIn(seg, rm =>
-        byName.get(rm.group(1).toLowerCase) match {
-          case Some(b) => java.util.regex.Matcher.quoteReplacement(b)
-          case None => rm.matched
-        })
+        if (renames(rm.group(1).toLowerCase))
+          java.util.regex.Matcher.quoteReplacement(
+            s"@${prefix}_${rm.group(1).toLowerCase}")
+        else rm.matched)
     }.mkString
-    Some(SqlText.splitStatements(replaced))
+    Some(declares ++ SqlText.splitStatements(renamed))
   }
 
-  /** Whole-text recognizer: a script carrying its own helper procedure
-    * → the statement list with every call inlined, or None. */
+  /** Whole-text recognizer: a script carrying its own helper
+    * procedure(s) → the statement list with every call inlined, or
+    * None. */
   private[graft] def rewriteToScript(textRaw: String): Option[List[String]] = {
     val text = SqlText.stripComments(textRaw)
-    if (anyCreateProcRe
-        .findFirstIn(UpdateSqlCompiler.masked(text)).isEmpty) return None
-    var proc: Option[(String, List[(String, String)], String)] = None
-    var dropped = false
+    val textMsk = UpdateSqlCompiler.masked(text)
+    if (anyCreateProcRe.findFirstIn(textMsk).isEmpty) return None
+    // mirror the dispatcher's conditional-undo gates (see scaladoc)
+    if (outerGateRe.findFirstIn(textMsk).isDefined) return None
+    val procs = scala.collection.mutable.Map.empty[String, Helper]
+    var callNo = 0
     val out = scala.collection.mutable.ListBuffer.empty[String]
+    var any = false
     for (batch <- SqlText.splitBatches(text)) {
       val batchMsk = UpdateSqlCompiler.masked(batch)
+      // scalar variables are batch-scoped: reset per batch
+      val declared = scala.collection.mutable.Set.empty[String]
       if (createProcHeadRe.findFirstMatchIn(batchMsk).isDefined) {
-        // one helper per script; CREATE PROC must LEAD its batch —
-        // the head regex anchors at ^, so a mid-batch CREATE PROC
-        // falls to the statement loop below and declines there
-        if (proc.isDefined) return None
-        proc = parseCreate(batch) match {
-          case some @ Some(_) => some
+        // CREATE PROC must LEAD its batch — the head regex anchors at
+        // ^, so a mid-batch CREATE PROC falls to the statement loop
+        // below and declines there
+        parseCreate(batch) match {
+          case Some((name, h)) =>
+            if (procs.contains(name)) return None // live name: 2714
+            procs(name) = h
+            any = true
           case None => return None // half a proc is no proc
         }
       } else for (stmt <- SqlText.splitStatements(batch)) {
         val sMsk = UpdateSqlCompiler.masked(stmt)
         if (anyCreateProcRe.findFirstIn(sMsk).isDefined) return None
         val execM = execStmtRe.findFirstMatchIn(sMsk)
-          .filter(m => proc.exists(_._1 ==
+          .filter(m => procs.contains(
             bare(stmt.substring(m.start(1), m.end(1)))))
         val dropM = dropProcRe.findFirstMatchIn(sMsk)
         if (dropM.isDefined) {
           val nm = bare(stmt.substring(dropM.get.start(1), dropM.get.end(1)))
-          // dropping a procedure this script never created is state
-          // this replay cannot see
-          if (!proc.exists(_._1 == nm) || dropped) return None
-          dropped = true
+          // dropping a procedure that is not live is state this
+          // replay cannot see (unknown, or double-drop: T-SQL 3701)
+          if (!procs.contains(nm)) return None
+          procs.remove(nm): Unit
         } else execM match {
           case Some(m) =>
-            if (dropped) return None // EXEC after DROP: T-SQL 2812
-            val (_, params, body) = proc.get
-            expand(stmt.substring(m.start(2), m.end(2)), params, body)
+            val nm = bare(stmt.substring(m.start(1), m.end(1)))
+            callNo += 1
+            expand(nm, callNo, procs(nm),
+                stmt.substring(m.start(2), m.end(2)), declared.toSet)
               match {
                 case Some(ss) => out ++= ss
                 case None => return None
               }
           case None =>
-            // an EXEC of a name that is NOT the script's proc and NOT
+            // an EXEC of a name that is NOT a live script proc and NOT
             // an owned dynamic-SQL form is a procedure whose body this
-            // replay cannot see — decline the whole script
+            // replay cannot see (never created, or created-then-
+            // dropped: T-SQL 2812) — decline the whole script
             val otherExec = execStmtRe.findFirstMatchIn(sMsk).exists { m =>
-              val nm = bare(stmt.substring(m.start(1), m.end(1)))
-              nm != "sp_executesql" && !proc.exists(_._1 == nm)
+              bare(stmt.substring(m.start(1), m.end(1))) != "sp_executesql"
             }
             if (otherExec) return None
+            declared ++= declaredNames(stmt, sMsk)
             val s2 = ScriptedSqlExecutor.beginTranPrefixRe
               .replaceFirstIn(stmt, "")
             if (ScriptedSqlExecutor.txnNoopRe
@@ -217,6 +310,6 @@ object ProcInlineSqlCompiler {
         }
       }
     }
-    if (proc.isEmpty) None else Some(out.toList)
+    if (!any) None else Some(out.toList)
   }
 }

@@ -657,6 +657,18 @@ object ScriptedSqlExecutor {
       // (T-SQL assignment semantics); populated only by the DECLARE
       // handler, so vars.contains(nm) implies varTypes.contains(nm)
       val varTypes = scala.collection.mutable.Map.empty[String, String]
+      // declared char(n) caps: T-SQL VARIABLE ASSIGNMENT silently
+      // truncates to the declared length (no 8152 — that is an
+      // INSERT/UPDATE contract), so a @v VARCHAR(3) assigned 'abcdef'
+      // holds 'abc'; sparkDdlType maps every char type to unbounded
+      // STRING, so the cap rides separately and applies at each
+      // assignment (ExecLiteralSqlCompiler.charCap, the
+      // TsqlConcatFold silent-truncation contract)
+      val varCaps = scala.collection.mutable.Map.empty[String, Int]
+      def capVal(nm: String, v: Any): Any = v match {
+        case s: String => varCaps.get(nm).fold[Any](s)(n => s.take(n))
+        case x => x
+      }
       // binding uses the shared typed-literal form; a value with no
       // safe spelling (SqlText.sqlLit → None) throws UnbindableLiteral
       // and runSeq declines the script — never a toString splice
@@ -711,20 +723,23 @@ object ScriptedSqlExecutor {
           // CURSOR — is state this replay cannot model)
           val parsed = items.map(i =>
             declareItemRe.findFirstMatchIn(i.trim).flatMap { im =>
-              sparkDdlType(i.trim.substring(im.start(2), im.end(2)))
-                .map(tpe => (im.group(1).toLowerCase, tpe,
+              val rawType = i.trim.substring(im.start(2), im.end(2))
+              sparkDdlType(rawType)
+                .map(tpe => (im.group(1).toLowerCase, tpe, rawType,
                   Option(im.group(3)).map(_ =>
                     i.trim.substring(im.start(3), im.end(3)))))
             })
           if (parsed.exists(_.isEmpty)) return None
           var inited = false
-          parsed.flatten.foreach { case (nm, tpe, initOpt) =>
+          parsed.flatten.foreach { case (nm, tpe, rawType, initOpt) =>
             val bound = initOpt.map(bindVars)
             if (bound.exists(b =>
                 scalarVarRe.findFirstIn(UpdateSqlCompiler.masked(b)).isDefined))
               return None // init references an undeclared variable
             varTypes(nm) = tpe
-            vars(nm) = bound.map(b => evalAssign(b, tpe)).orNull
+            ExecLiteralSqlCompiler.charCap(rawType)
+              .foreach(varCaps(nm) = _)
+            vars(nm) = capVal(nm, bound.map(b => evalAssign(b, tpe)).orNull)
             inited |= bound.isDefined
           }
           // a DECLARE with an initializer is a simple assignment
@@ -745,7 +760,7 @@ object ScriptedSqlExecutor {
               .isDefined) return None
           if (fromKeywordRe.findFirstIn(rhsMsk).isEmpty) {
             // pure expression assign — FROM-less, one row by construction
-            vars(nm) = evalAssign(bound, varTypes(nm))
+            vars(nm) = capVal(nm, evalAssign(bound, varTypes(nm)))
             lastAffected = Some(() => 1L)
           } else {
             // scalar assign from a query, evaluated on the CURRENT
@@ -756,7 +771,7 @@ object ScriptedSqlExecutor {
               .runSelect(spark, "SELECT " + bound).limit(2).collect()
             if (rows.length > 1) return None
             rows.headOption.foreach(r =>
-              vars(nm) = castTo(r.get(0), varTypes(nm)))
+              vars(nm) = capVal(nm, castTo(r.get(0), varTypes(nm))))
             val n = rows.length.toLong
             lastAffected = Some(() => n)
           }
@@ -774,7 +789,7 @@ object ScriptedSqlExecutor {
           val bound = bindVars(rhsRaw)
           if (scalarVarRe.findFirstIn(UpdateSqlCompiler.masked(bound))
               .isDefined) return None
-          vars(nm) = evalAssign(bound, varTypes(nm))
+          vars(nm) = capVal(nm, evalAssign(bound, varTypes(nm)))
           lastAffected = Some(() => 1L)
           return Some(SqlOutcome(None, None))
         }

@@ -2470,6 +2470,23 @@ class PipelineSpec extends AnyFunSuite {
         "N'@t VARCHAR(4)', @t = 'B'"))
       .getOrElse(fail("string-arg sp_executesql did not compile"))
     assert(o2.df.get.count() === 1L)
+    // r15 — T-SQL parameter assignment TRUNCATES silently to the
+    // declared char length: a VARCHAR(1) parameter bound 'BX' compares
+    // as 'B' (the TsqlConcatFold contract, now on the binding path)
+    val o2t = mkExec(fresh())(task(
+      "EXEC sp_executesql N'DELETE FROM pet WHERE tag = @t', " +
+        "N'@t VARCHAR(1)', @t = 'BX'"))
+      .getOrElse(fail("truncating string-arg sp_executesql did not compile"))
+    assert(o2t.df.get.count() === 1L,
+      "VARCHAR(1) must truncate 'BX' to 'B' before binding")
+    // …and the executor's own DECLARE/SET assignments truncate the
+    // same way (a @v VARCHAR(3) assigned 'abcdef' holds 'abc')
+    val wt = fresh()
+    mkExec(wt)(task(
+      "DECLARE @t VARCHAR(1) = 'BX'; DELETE FROM pet WHERE tag = @t;"))
+      .getOrElse(fail("truncating DECLARE did not compile"))
+    assert(wt("pet").count() === 1L,
+      "DECLARE VARCHAR(1) must truncate its initializer")
     // inside a script, a DECLARED @var argument binds through the
     // executor's own typed-literal pass before this compiler sees it
     val w3 = fresh()
@@ -2649,6 +2666,51 @@ class PipelineSpec extends AnyFunSuite {
         "EXEC purgeb;\nDROP PROCEDURE purgeb;"))
       .getOrElse(fail("parameterless proc did not compile"))
     assert(w3("pt").count() === 1L)
+    // r15 — DECLARED-VARIABLE arguments: same-batch @vars bind at
+    // call time, by value (the SET between the calls proves the
+    // second call reads the reassigned value, and the first call's
+    // binding is untouched by it); positional AND named spellings
+    val w4 = fresh()
+    mkExec(w4)(task(
+      "CREATE PROCEDURE dbo.bump @cut DECIMAL(12,2), @t VARCHAR(1) AS\n" +
+        "BEGIN UPDATE pt SET v = v + 1 WHERE v > @cut AND tag = @t END\n" +
+        "GO\n" +
+        "DECLARE @c DECIMAL(12,2) = 8;\n" +
+        "DECLARE @tg VARCHAR(1);\n" +
+        "SET @tg = 'B';\n" +
+        "EXEC dbo.bump @c, @tg;\n" +
+        "SET @c = 1;\n" +
+        "EXEC dbo.bump @cut = @c, @t = 'A';\n" +
+        "DROP PROCEDURE dbo.bump;"))
+      .getOrElse(fail("declared-variable args did not compile"))
+    assert(w4("pt").orderBy("id").select("v").as[Double].collect().toList
+      === List(6.0, 10.0, 13.0))
+    // r15 — MULTIPLE helpers, one with a hygienic body-local DECLARE
+    // (renamed per call, so nothing leaks into the outer scope and a
+    // later outer @tag would be a different variable)
+    val w5 = fresh()
+    mkExec(w5)(task(
+      "CREATE PROCEDURE mark @cut DECIMAL(12,2) AS\n" +
+        "BEGIN\nDECLARE @tag VARCHAR(2);\nSET @tag = 'H' + 'I';\n" +
+        "UPDATE pt SET tag = @tag WHERE v > @cut\nEND\n" +
+        "GO\n" +
+        "CREATE PROCEDURE purge @t VARCHAR(2) AS\n" +
+        "DELETE FROM pt WHERE tag = @t\nGO\n" +
+        "EXEC mark 8;\nEXEC purge 'A';\n" +
+        "DROP PROCEDURE mark;\nDROP PROCEDURE purge;"))
+      .getOrElse(fail("multi-helper script did not compile"))
+    assert(w5("pt").orderBy("id").select("tag").as[String].collect().toList
+      === List("HI", "HI"))
+    // r15 — parameter passing TRUNCATES to the declared char length
+    // (T-SQL assignment conversion): a VARCHAR(1) param bound 'BX'
+    // compares as 'B'
+    val w6 = fresh()
+    mkExec(w6)(task(
+      "CREATE PROCEDURE pg @t VARCHAR(1) AS\n" +
+        "DELETE FROM pt WHERE tag = @t\nGO\n" +
+        "EXEC pg 'BX';\nDROP PROCEDURE pg;"))
+      .getOrElse(fail("truncating param did not compile"))
+    assert(w6("pt").count() === 1L)
     // declines
     for (sql <- Seq(
       // EXEC before the CREATE batch: T-SQL 2812
@@ -2663,36 +2725,69 @@ class PipelineSpec extends AnyFunSuite {
       // control flow in the body
       "CREATE PROCEDURE px @a INT AS\n" +
         "IF @a > 0 DELETE FROM pt WHERE id = @a\nGO\nEXEC px 1;",
-      // body-local DECLARE would leak scope on inlining
-      "CREATE PROCEDURE px AS\nDECLARE @x INT = 1; " +
-        "DELETE FROM pt WHERE id = @x\nGO\nEXEC px;",
       // OUTPUT parameter
       "CREATE PROCEDURE px @a INT OUTPUT AS\n" +
         "DELETE FROM pt WHERE id = @a\nGO\nEXEC px 1;",
-      // body @token that is not a parameter
+      // body @token that is neither a parameter nor a body-local
       "CREATE PROCEDURE px @a INT AS\nDELETE FROM pt WHERE id = @b\nGO\n" +
         "EXEC px 1;",
-      // non-literal argument
+      // body-local shadowing a parameter: T-SQL 134
+      "CREATE PROCEDURE px @a INT AS\nBEGIN\nDECLARE @a INT;\n" +
+        "DELETE FROM pt WHERE id = @a\nEND\nGO\nEXEC px 1;",
+      // @@ system variables in the body read caller state
+      "CREATE PROCEDURE px AS\nDELETE FROM pt WHERE id = @@ROWCOUNT\n" +
+        "GO\nEXEC px;",
+      // expression argument (a T-SQL syntax error itself)
       "CREATE PROCEDURE px @a INT AS\nDELETE FROM pt WHERE id = @a\nGO\n" +
         "EXEC px 1 + 2;",
+      // UNDECLARED @var argument: T-SQL 137
+      "CREATE PROCEDURE px @a INT AS\nDELETE FROM pt WHERE id = @a\nGO\n" +
+        "EXEC px @nope;",
+      // @var declared in a DIFFERENT batch: batch-scoped, T-SQL 137
+      "CREATE PROCEDURE px @a INT AS\nDELETE FROM pt WHERE id = @a\nGO\n" +
+        "DECLARE @i INT = 1;\nGO\nEXEC px @i;",
       // arity mismatch
       "CREATE PROCEDURE px @a INT AS\nDELETE FROM pt WHERE id = @a\nGO\n" +
         "EXEC px 1, 2;",
       // mixed positional and named args
       "CREATE PROCEDURE px @a INT, @b INT AS\n" +
         "DELETE FROM pt WHERE id = @a AND id = @b\nGO\nEXEC px 1, @b = 2;",
-      // a second procedure
+      // re-CREATE of a live name: T-SQL 2714
       "CREATE PROCEDURE p1 AS\nDELETE FROM pt WHERE id = 1\nGO\n" +
-        "CREATE PROCEDURE p2 AS\nDELETE FROM pt WHERE id = 2\nGO\n" +
-        "EXEC p1;"))
+        "CREATE PROCEDURE p1 AS\nDELETE FROM pt WHERE id = 2\nGO\n" +
+        "EXEC p1;",
+      // ROLLBACK in the outer script: the dispatcher's conditional-
+      // undo gate declines the text at runtime, so this compiler must
+      // decline it too (ledger/execution alignment)
+      "CREATE PROCEDURE px AS\nDELETE FROM pt WHERE id = 1\nGO\n" +
+        "EXEC px;\nROLLBACK;\nDROP PROCEDURE px;",
+      // …same for TRY/CATCH and SAVE TRAN around the calls
+      "CREATE PROCEDURE px AS\nDELETE FROM pt WHERE id = 1\nGO\n" +
+        "BEGIN TRY\nEXEC px;\nEND TRY\nBEGIN CATCH\nSELECT 1\nEND CATCH",
+      "CREATE PROCEDURE px AS\nDELETE FROM pt WHERE id = 1\nGO\n" +
+        "SAVE TRAN sp1;\nEXEC px;"))
       assert(mkExec(fresh())(task(sql)).isEmpty, s"should decline: $sql")
-    // ledger twins
+    // ledger twins — including the alignment pin: a ROLLBACK-carrying
+    // proc script must ledger manual_review, because the executor's
+    // dispatcher gates refuse it before this compiler ever runs
     assert(graft.parser.MigrationMapping.mapTask(
       graft.ir.Ir.ExecuteSqlTask("t", None, "conn",
         "CREATE PROCEDURE dbo.bump @cut DECIMAL(12,2) AS\n" +
           "UPDATE pt SET v = v + 1 WHERE v > @cut\nGO\n" +
           "EXEC dbo.bump 8;\nDROP PROCEDURE dbo.bump;"), Nil)
       .status === "converted")
+    assert(graft.parser.MigrationMapping.mapTask(
+      graft.ir.Ir.ExecuteSqlTask("t", None, "conn",
+        "CREATE PROCEDURE dbo.bump @cut DECIMAL(12,2) AS\n" +
+          "UPDATE pt SET v = v + 1 WHERE v > @cut\nGO\n" +
+          "DECLARE @c DECIMAL(12,2) = 8;\nEXEC dbo.bump @c;\n" +
+          "DROP PROCEDURE dbo.bump;"), Nil)
+      .status === "converted")
+    assert(graft.parser.MigrationMapping.mapTask(
+      graft.ir.Ir.ExecuteSqlTask("t", None, "conn",
+        "CREATE PROCEDURE px AS\nDELETE FROM pt WHERE id = 1\nGO\n" +
+          "EXEC px;\nROLLBACK;\nDROP PROCEDURE px;"), Nil)
+      .status === "manual_review")
     assert(graft.parser.MigrationMapping.mapTask(
       graft.ir.Ir.ExecuteSqlTask("t", None, "conn",
         "EXEC some_external_proc 1, 2"), Nil).status === "manual_review")
@@ -2769,16 +2864,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(PivotSql.translate(canonical.replace("[A], [B]", "A, B"))
       .exists(_.isRight))
     assert(PivotSql.translate("SELECT 1 AS a").isEmpty)
+    // r15 — letter-bearing values fold case: the source wraps in an
+    // upper() projection so 'o'-cased rows land in the [O] column the
+    // way a default-collation T-SQL estate folds them
+    assert(t1.contains("upper(s) AS s") && t1.contains("EXCEPT (s)"),
+      s"letter values must wrap the source in the collation fold: $t1")
+    // r15 — non-identifier value names own: they emit as STRING
+    // literals with backticked aliases (Spark casts the value to the
+    // pivot column's type, the same direction T-SQL converts the
+    // identifier text)
+    val Some(Right(t2)) = PivotSql.translate(
+      "SELECT k, [1995], [1996] FROM (SELECT k, yr, v FROM t) src " +
+        "PIVOT (SUM(v) FOR yr IN ([1995], [1996])) p")
+    assert(t2.contains("IN ('1995' AS `1995`, '1996' AS `1996`)") &&
+      t2.contains("SELECT k, `1995`, `1996` FROM"),
+      s"numeric value names must quote and backtick: $t2")
+    assert(!t2.contains("upper("),
+      s"letterless values have no case to fold — no wrap: $t2")
     for (s <- Seq(
-      // non-identifier value names compare by a typed value the text
-      // alone does not determine
-      "SELECT * FROM (SELECT k, s, v FROM t) src " +
-        "PIVOT (SUM(v) FOR s IN ([2024-01], [2024-02])) p",
       // two pivots
       canonical + " CROSS JOIN (SELECT k2 FROM (SELECT 1 AS k2, 2 AS s2, 3 AS v2) " +
         "PIVOT (SUM(v2) FOR s2 IN ([X])) q) z",
       // PIVOT and UNPIVOT side by side
-      canonical + " CROSS JOIN (SELECT * FROM t2 UNPIVOT (v2 FOR s2 IN (x, y)) u) z"))
+      canonical + " CROSS JOIN (SELECT * FROM t2 UNPIVOT (v2 FOR s2 IN (x, y)) u) z",
+      // letter values over a source the fold cannot isolate (join
+      // before PIVOT): shipping the case-sensitive compare would
+      // silently diverge from a CI estate — decline
+      "SELECT * FROM a JOIN b ON a.k = b.k " +
+        "PIVOT (SUM(v) FOR s IN ([A], [B])) p",
+      // letter values with a QUALIFIED pivot column: same reason
+      "SELECT * FROM (SELECT k, s, v FROM t) src " +
+        "PIVOT (SUM(v) FOR src.s IN ([A], [B])) p"))
       assert(PivotSql.translate(s).exists(_.isLeft), s"should be Left: $s")
     // UNPIVOT translates to Spark's multi-paren form, alias stripped,
     // and the NULL measure rows drop in BOTH dialects
@@ -2814,6 +2930,11 @@ class PipelineSpec extends AnyFunSuite {
       graft.ir.Ir.ExecuteSqlTask("t", None, "conn",
         "INSERT INTO pvt SELECT * FROM (SELECT k, s, v FROM pt2) src " +
           "PIVOT (SUM(v) FOR s IN ([2024-01])) p"), Nil)
+      .status === "converted")
+    assert(graft.parser.MigrationMapping.mapTask(
+      graft.ir.Ir.ExecuteSqlTask("t", None, "conn",
+        "INSERT INTO pvt SELECT * FROM a JOIN b ON a.k = b.k " +
+          "PIVOT (SUM(v) FOR s IN ([A])) p"), Nil)
       .status === "manual_review")
   }
 
