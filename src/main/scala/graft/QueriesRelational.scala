@@ -2738,6 +2738,87 @@ object QueriesRelational {
       |UNION ALL
       |SELECT prio, 'pending_cnt', CAST(pending_cnt AS BIGINT) FROM w""".stripMargin
 
+  /** The script-local helper procedure called with DECLARED VARIABLE
+    * arguments through the dtsx frontend (`ProcHelperVarETL.dtsx`) —
+    * `DECLARE @x …; EXEC helper @x`, the overwhelmingly common
+    * maintenance-script idiom (r15; the reference routes every EXEC
+    * to manual review, `analyzer.py:137-145`).
+    * [[graft.patterns.ProcInlineSqlCompiler]] expands each call to
+    * hygienic per-call DECLAREs whose initializers are the argument
+    * texts, so the executor's own typed-assignment machinery binds
+    * the variable's value AT the call — the SET between the two calls
+    * in the package proves by-value binding (the second call reads
+    * the reassigned 9000, the first call's 7000 is untouched).
+    * Cross-batch @args (T-SQL 137, variables are batch-scoped) and
+    * undeclared @args decline. */
+  def q135_dtsx_proc_var_args(spark: SparkSession, dir: String): DataFrame = {
+    val (w, _) = runDtsxWarehousePackage(spark, dir, "ProcHelperVarETL.dtsx")
+    w("cust_phv").select(
+      col("ck").cast(LongType).as("ck"),
+      col("bal").cast(DoubleType).as("bal"),
+      col("seg").cast(StringType).as("seg"))
+  }
+
+  val q135Oracle: String =
+    """SELECT c_custkey AS ck,
+      |  CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal,
+      |  CASE WHEN c_mktsegment = 'BUILDING'
+      |        AND CAST(c_acctbal AS DECIMAL(12,2)) >= 7000 THEN 'TIER1'
+      |       WHEN c_mktsegment = 'MACHINERY'
+      |        AND CAST(c_acctbal AS DECIMAL(12,2)) >= 9000 THEN 'TIER1'
+      |       ELSE c_mktsegment END AS seg
+      |FROM customer""".stripMargin
+
+  /** TWO script-local helpers, one with a body-local DECLARE, through
+    * the dtsx frontend (`MultiHelperETL.dtsx`) — r15's second
+    * extension of the q130 class. Each helper lives in its own CREATE
+    * batch; the body-local `@tag` renames into the call's
+    * `__graft_markhi_<k>_tag` namespace so nothing leaks into the
+    * outer script, and the body's `SET @tag = 'HI' + 'VAL'` rides the
+    * executor's constant string-concat fold. Re-CREATE of a live name
+    * (2714), EXEC after DROP (2812), and a body-local shadowing a
+    * parameter (134) decline. */
+  def q136_dtsx_multi_helper(spark: SparkSession, dir: String): DataFrame = {
+    val (w, _) = runDtsxWarehousePackage(spark, dir, "MultiHelperETL.dtsx")
+    w("ord_mh").select(
+      col("okey").cast(LongType).as("okey"),
+      col("price").cast(DoubleType).as("price"),
+      col("band").cast(StringType).as("band"))
+  }
+
+  val q136Oracle: String =
+    """SELECT o_orderkey AS okey,
+      |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+      |  CASE WHEN CAST(o_totalprice AS DECIMAL(12,2)) >= 250000 THEN 'HIVAL'
+      |       WHEN CAST(o_totalprice AS DECIMAL(12,2)) < 50000 THEN 'LOVAL'
+      |       ELSE 'MID' END AS band
+      |FROM orders""".stripMargin
+
+  /** T-SQL `PIVOT` with NON-IDENTIFIER value names through the dtsx
+    * frontend (`PivotYearETL.dtsx`) — the `[1996], [1997]` year-column
+    * report (r15). T-SQL converts each IN name's text to the pivot
+    * COLUMN's type for comparison; [[graft.patterns.PivotSql]] emits
+    * the same direction — a string literal with a backtick-quoted
+    * alias (`'1996' AS `1996``), which Spark's pivot casts to the INT
+    * year column. Letterless values take no collation wrap (nothing
+    * to case-fold). Still one shuffle on the group keys, the
+    * partial-aggregating native PIVOT. */
+  def q137_dtsx_pivot_year(spark: SparkSession, dir: String): DataFrame = {
+    val (w, _) = runDtsxWarehousePackage(spark, dir, "PivotYearETL.dtsx")
+    w("yr_pv").select(
+      col("prio").cast(StringType).as("prio"),
+      col("1996").cast(DoubleType).as("y1996"),
+      col("1997").cast(DoubleType).as("y1997"))
+  }
+
+  val q137Oracle: String =
+    """SELECT o_orderpriority AS prio,
+      |  CAST(SUM(CASE WHEN year(o_orderdate) = 1996
+      |    THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS y1996,
+      |  CAST(SUM(CASE WHEN year(o_orderdate) = 1997
+      |    THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS y1997
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
   /** Explicit GROUPING SETS with grouping_id disambiguation (beyond q24's
     * rollup): two chosen aggregation levels, no intermediate level. */
   def q39_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
@@ -4138,6 +4219,9 @@ object QueriesRelational {
     "q132_dtsx_string_agg" -> (q132_dtsx_string_agg _),
     "q133_dtsx_pivot" -> (q133_dtsx_pivot _),
     "q134_dtsx_unpivot" -> (q134_dtsx_unpivot _),
+    "q135_dtsx_proc_var_args" -> (q135_dtsx_proc_var_args _),
+    "q136_dtsx_multi_helper" -> (q136_dtsx_multi_helper _),
+    "q137_dtsx_pivot_year" -> (q137_dtsx_pivot_year _),
     "q82_orc_roundtrip" -> (q82_orc_roundtrip _),
     "q80_dtsx_cdc_merge" -> (q80_dtsx_cdc_merge _),
     "q79_delete_cascade" -> (q79_delete_cascade _),
@@ -4265,6 +4349,9 @@ object QueriesRelational {
     "q132_dtsx_string_agg" -> q132Oracle,
     "q133_dtsx_pivot" -> q133Oracle,
     "q134_dtsx_unpivot" -> q134Oracle,
+    "q135_dtsx_proc_var_args" -> q135Oracle,
+    "q136_dtsx_multi_helper" -> q136Oracle,
+    "q137_dtsx_pivot_year" -> q137Oracle,
     "q82_orc_roundtrip" -> q82Oracle,
     "q80_dtsx_cdc_merge" -> q80Oracle,
     "q79_delete_cascade" -> q79Oracle,

@@ -478,6 +478,14 @@ object CursorLoopSqlCompiler {
     // A repeated target (UPDATE t … ; DELETE t … per row) could read
     // its sibling's writes mid-loop and declines.
     if (dmls.map(_._2).distinct.size != dmls.size) return None
-    Some(selInto :: dmls.map(_._1))
+    // a purely POSITIONED body never reads the staged rows (its
+    // one-shot predicates are the cursor's own WHERE) — emitting the
+    // SELECT INTO anyway would charge an entire unused source scan,
+    // which at 100 TB is the whole cost of the statement (r15; the
+    // q129 gate's cheapest-possible-plan claim now holds by
+    // construction, not by the staging being merely cheap)
+    val stmts = dmls.map(_._1)
+    Some(if (stmts.exists(_.contains(TempName))) selInto :: stmts
+      else stmts)
   }
 }

@@ -94,11 +94,15 @@ object ProcInlineSqlCompiler {
 
   /** Names declared by an outer-script DECLARE statement (the static
     * twin of the executor's DECLARE tracking — names only; the
-    * executor re-validates types when it runs). */
+    * executor re-validates types when it runs). TABLE variables are
+    * excluded: they are relations, not scalars, and `EXEC p @t` over
+    * one is a T-SQL type error this gate must not admit. */
   private def declaredNames(stmt: String, msk: String): List[String] =
     declareStmtRe.findFirstMatchIn(msk).toList.flatMap { m =>
       MergeSqlCompiler.splitTop(stmt.substring(m.start(1), m.end(1)))
         .flatMap(i => declareItemRe.findFirstMatchIn(i.trim)
+          .filterNot(im => "(?i)^table\\b".r
+            .findFirstIn(im.group(2)).isDefined)
           .map(_.group(1).toLowerCase))
     }
 
@@ -224,9 +228,13 @@ object ProcInlineSqlCompiler {
     // one hygienic DECLARE per parameter, in declaration order — the
     // executor's own DECLARE path performs the typed assignment (and
     // its char(n) truncation contract), and a @var initializer reads
-    // the variable's CURRENT value exactly as T-SQL's call does
+    // the variable's CURRENT value exactly as T-SQL's call does.
+    // T-SQL's N'…' national prefix strips (Spark has no N literals;
+    // the '' escapes inside are valid in both dialects)
+    def norm(a: String): String =
+      if (a.matches("(?is)^N'.*'$")) a.replaceFirst("(?is)^N", "") else a
     val declares = pairs.zip(h.params).map { case ((n, arg), (_, tpe)) =>
-      s"DECLARE @${prefix}_$n $tpe = $arg"
+      s"DECLARE @${prefix}_$n $tpe = ${norm(arg)}"
     }
     // rename params AND body-locals into the call's namespace (masked
     // segments — a literal containing '@x' is data, not a reference)
@@ -297,7 +305,16 @@ object ProcInlineSqlCompiler {
             // an EXEC of a name that is NOT a live script proc and NOT
             // an owned dynamic-SQL form is a procedure whose body this
             // replay cannot see (never created, or created-then-
-            // dropped: T-SQL 2812) — decline the whole script
+            // dropped: T-SQL 2812) — decline the whole script. A
+            // MID-statement EXEC (`INSERT INTO t EXEC p` — the
+            // insert-exec idiom) is the same invisible-body class and
+            // would otherwise pass through to a guaranteed runtime
+            // decline: refuse it here so the ledger agrees.
+            val headExec =
+              "(?is)^\\s*exec(?:ute)?\\b".r.findFirstIn(sMsk).isDefined
+            if (!headExec &&
+                "(?i)\\bexec(?:ute)?\\b".r.findFirstIn(sMsk).isDefined)
+              return None
             val otherExec = execStmtRe.findFirstMatchIn(sMsk).exists { m =>
               bare(stmt.substring(m.start(1), m.end(1))) != "sp_executesql"
             }

@@ -106,12 +106,17 @@ object PqIndex {
     * vs exhaustive ADC is the nProbe trade, audited in
     * SourcesAndIvfSpec. Returns (query_id, rank, neighbor_id,
     * adc_dist). */
-  def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
-      queryPred: Column, k: Int,
-      nCells: Int = 8, nProbe: Int = 2,
-      m: Int = 32, subDim: Int = 2, nCw: Int = 64, iters: Int = 1)
-      : DataFrame = {
-    val fullDim = m * subDim
+  /** The IVF coarse plane alone: train the `nCells` quantizer, assign
+    * every vector to a cell, and return each query's probed candidate
+    * set as (query_id, idCol) rows. Shared by [[ivfPqTopK]] (the ADC
+    * ranking runs over exactly this set) and by the scale audit in
+    * SourcesAndIvfSpec, which pins the production convention — nCells
+    * ∝ √N keeps the candidate FRACTION shrinking as the corpus grows,
+    * the sublinearity the fixed-cells oracle gate (x109) deliberately
+    * gives up for replayability. */
+  def coarseCandidates(emb: DataFrame, idCol: String,
+      vecCol: String, queryPred: Column,
+      nCells: Int, nProbe: Int, fullDim: Int, iters: Int): DataFrame = {
     // coarse plane: one subspace spanning the whole vector
     val subFull = subspaces(emb, idCol, vecCol, 1, fullDim)
     val coarseCb = trainCodebooks(subFull, idCol, nCells, iters)
@@ -126,8 +131,17 @@ object PqIndex {
       .filter(col("pr") <= nProbe)
       .select(col("query_id"), col("cw").as("cell"))
     // the probe set is |queries| × nProbe rows — broadcast into cells
-    val cand = cells.join(broadcast(probes), Seq("cell"))
+    cells.join(broadcast(probes), Seq("cell"))
       .select(col("query_id"), col(idCol))
+  }
+
+  def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int,
+      nCells: Int = 8, nProbe: Int = 2,
+      m: Int = 32, subDim: Int = 2, nCw: Int = 64, iters: Int = 1)
+      : DataFrame = {
+    val cand = coarseCandidates(emb, idCol, vecCol, queryPred,
+      nCells, nProbe, m * subDim, iters)
     // PQ plane, restricted to probed candidates
     val sub = subspaces(emb, idCol, vecCol, m, subDim)
     val codebooks = trainCodebooks(sub, idCol, nCw, iters)

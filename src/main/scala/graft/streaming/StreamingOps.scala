@@ -150,6 +150,16 @@ object StreamingOps {
     * under [[withStatePartitions]] sized by `statePartitions` (default 8:
     * a bounded drain, not a firehose — a forgotten override must not
     * silently pay 4× state-store setup per partition). */
+  /** Peak state-store row count (summed across the last drain's
+    * stateful operators, max over its microbatches) — the
+    * state-growth audit surface: a Complete-mode aggregate must hold
+    * exactly one register per live group, a watermarked join at most
+    * its watermark-deep tail. -1 until a drain with state has run.
+    * Written by [[drainToMemory]]; read by StreamingOpsSpec's floor
+    * audit. NOT thread-safe (like withStatePartitions — callers are
+    * the serial gate/bench paths). */
+  @volatile private[graft] var lastDrainStateRows: Long = -1L
+
   def drainToMemory(df: DataFrame, queryName: String, checkpoint: String,
       outputMode: OutputMode = OutputMode.Append,
       statePartitions: Int = 8): DataFrame =
@@ -166,6 +176,9 @@ object StreamingOps {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      lastDrainStateRows = q.recentProgress.toSeq
+        .map(_.stateOperators.map(_.numRowsTotal).sum)
+        .foldLeft(-1L)(math.max)
       df.sparkSession.table(queryName)
     }
 

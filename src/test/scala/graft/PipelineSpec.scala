@@ -2100,6 +2100,16 @@ class PipelineSpec extends AnyFunSuite {
       .getOrElse(fail("positioned+audit body did not rewrite"))
     assert(posStaged.length === 3)
     assert(posStaged(1).toUpperCase.contains("WHERE V < 50"))
+    // r15: a PURELY positioned body emits NO staged scan — its
+    // one-shot statements never read #graft_cursor_rows, and an
+    // unused source scan at 100 TB is the entire cost of the task
+    val posOnly = graft.patterns.CursorLoopSqlCompiler.rewriteToScript(
+      loop("@i INT", "SELECT id FROM csrc WHERE v > 30", "@i",
+        "DELETE FROM csrc WHERE CURRENT OF c"))
+      .getOrElse(fail("positioned-only body did not rewrite"))
+    assert(posOnly.length === 1 &&
+      !posOnly.head.contains("#graft_cursor_rows"),
+      s"positioned-only body must skip the staging scan: $posOnly")
     // positioned declines: read-only cursor designs, a predicate-column
     // SET without KEYSET, DISTINCT/TOP cursors, a different table
     for (sql <- Seq(
@@ -2702,13 +2712,14 @@ class PipelineSpec extends AnyFunSuite {
     assert(w5("pt").orderBy("id").select("tag").as[String].collect().toList
       === List("HI", "HI"))
     // r15 — parameter passing TRUNCATES to the declared char length
-    // (T-SQL assignment conversion): a VARCHAR(1) param bound 'BX'
-    // compares as 'B'
+    // (T-SQL assignment conversion): a VARCHAR(1) param bound N'BX'
+    // compares as 'B' (and the N national prefix strips — Spark has
+    // no N literals)
     val w6 = fresh()
     mkExec(w6)(task(
       "CREATE PROCEDURE pg @t VARCHAR(1) AS\n" +
         "DELETE FROM pt WHERE tag = @t\nGO\n" +
-        "EXEC pg 'BX';\nDROP PROCEDURE pg;"))
+        "EXEC pg N'BX';\nDROP PROCEDURE pg;"))
       .getOrElse(fail("truncating param did not compile"))
     assert(w6("pt").count() === 1L)
     // declines
@@ -2756,6 +2767,14 @@ class PipelineSpec extends AnyFunSuite {
       "CREATE PROCEDURE p1 AS\nDELETE FROM pt WHERE id = 1\nGO\n" +
         "CREATE PROCEDURE p1 AS\nDELETE FROM pt WHERE id = 2\nGO\n" +
         "EXEC p1;",
+      // a TABLE variable is a relation, not a scalar — passing one as
+      // an EXEC argument is a T-SQL type error
+      "CREATE PROCEDURE px @a INT AS\nDELETE FROM pt WHERE id = @a\nGO\n" +
+        "DECLARE @tv TABLE (id INT);\nEXEC px @tv;",
+      // mid-statement EXEC (INSERT…EXEC): an invisible body feeding an
+      // insert — same manual-review class as any external EXEC
+      "CREATE PROCEDURE px @a INT AS\nDELETE FROM pt WHERE id = @a\nGO\n" +
+        "EXEC px 1;\nINSERT INTO pt2 EXEC other_proc;",
       // ROLLBACK in the outer script: the dispatcher's conditional-
       // undo gate declines the text at runtime, so this compiler must
       // decline it too (ledger/execution alignment)

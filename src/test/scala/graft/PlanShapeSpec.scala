@@ -86,6 +86,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("pivotfirst") || plan.contains("partial_"))
   }
 
+  test("q133/q137: translated T-SQL PIVOT stays one scan + one aggregate pair") {
+    // q133 now carries the r15 collation fold (upper() source wrap) and
+    // q137 the typed numeric IN values — both must still plan as ONE
+    // orders scan feeding Spark's native partial-aggregating pivot;
+    // the wrap is a projection, never a second scan or an extra shuffle
+    for (q <- Seq("q133_dtsx_pivot", "q137_dtsx_pivot_year")) {
+      val plan = executedPlan(q)
+      assert("Scan parquet".r.findAllIn(plan).length === 1,
+        s"$q must scan orders exactly once:\n$plan")
+      assert(plan.contains("pivotfirst") || plan.contains("partial_"),
+        s"$q lost the partial-aggregating pivot:\n$plan")
+    }
+  }
+
   test("q33: dtsx-compiled full-cache lookups broadcast; source projection prunes") {
     val plan = executedPlan("q33_dtsx_dataflow")
     assert("BroadcastHashJoin".r.findAllIn(plan).length === 2)

@@ -304,6 +304,51 @@ class SourcesAndIvfSpec extends AnyFunSuite {
     } finally codes.unpersist(): Unit
   }
 
+  test("ivf √N-cells convention: probed candidate fraction shrinks as the corpus grows") {
+    // the x109 GATE pins nCells=8 so the DuckDB oracle can replay the
+    // deterministic quantizer — which makes the probed candidate set
+    // Θ(N) (PERF.md "x109 re-probe": 2.1–2.4× at 10×, structural).
+    // The PRODUCTION convention is nCells ∝ √N (the FAISS sizing);
+    // this audit runs the same coarse plane at two corpus sizes with
+    // √N cells and pins the sublinearity claim as a MEASURED fact:
+    // the per-query candidate FRACTION must shrink, i.e. candidate
+    // count grows ~√N while the corpus grows ~N.
+    import spark.implicits._
+    import graft.sim.PqIndex
+    // the testdata embeddings table holds 500–2000 vectors across the
+    // SFs — too close for a scaling audit, so the larger corpus is a
+    // deterministic 16× replication with a per-replica jitter (every
+    // replica is a distinct vector; no randomness, replayable)
+    def corpus(times: Int): org.apache.spark.sql.DataFrame = {
+      val base = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      if (times == 1) base
+      else base.crossJoin(spark.range(times.toLong).toDF("rep"))
+        .withColumn("vec_id", col("vec_id") * times + col("rep"))
+        .withColumn("embedding", transform(col("embedding"),
+          x => x + (col("rep") * lit(0.001)).cast("float")))
+        .drop("rep")
+    }
+    def candFrac(emb: org.apache.spark.sql.DataFrame): (Long, Double) = {
+      val n = emb.count()
+      val nCells = math.max(2, math.sqrt(n.toDouble).round.toInt)
+      val perQuery = PqIndex.coarseCandidates(emb, "vec_id", "embedding",
+          col("vec_id") < 10, nCells = nCells, nProbe = 2,
+          fullDim = 64, iters = 1)
+        .groupBy("query_id").count().as[(Long, Long)].collect()
+      assert(perQuery.length === 10, "query set drifted")
+      val meanCand = perQuery.map(_._2).sum.toDouble / perQuery.length
+      (n, meanCand / n.toDouble)
+    }
+    val (n1, f1) = candFrac(corpus(1))
+    val (n2, f2) = candFrac(corpus(16))
+    assert(n2 >= n1 * 5, s"corpus sizes too close to audit: $n1 vs $n2")
+    // with ~√N cells and fixed nProbe the ideal fraction is
+    // 2/√N — a 10× corpus should show ~0.32× the fraction; 0.6 leaves
+    // margin for 1-iter k-means cell imbalance
+    assert(f2 < f1 * 0.6,
+      s"√N cells did not restore sublinearity: frac($n1)=$f1, frac($n2)=$f2")
+  }
+
   test("x85: IVF delta append serves delta neighbors without re-training") {
     val sf = "/root/testdata/sf0.001"
     import spark.implicits._

@@ -142,6 +142,39 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() === expected)
   }
 
+  test("state-store floor audit: q60/x112 state holds exactly the live groups, no residue") {
+    // the r14 verdict's item 5: the two multi-second streaming floors
+    // (x112 4.0 s, q60 2.2–3.2 s) are documented STATE-STORE STARTUP
+    // floors, not per-row state growth. This audit pins that as a
+    // measured contract via drainToMemory's state-row capture:
+    //  - x112 (Complete-mode per-term aggregate): the store must hold
+    //    EXACTLY one register per live (term, df_c) group — i.e. the
+    //    state row count equals the output row count, at BOTH SFs. A
+    //    leak (residue from dropped groups, duplicated registers)
+    //    breaks the equality immediately.
+    //  - q60 (watermarked stream-stream join): state is bounded by
+    //    the two sides' retained tails — never more than the total
+    //    view+click volume, and strictly positive (an empty store
+    //    would mean the join never buffered, i.e. the test lost its
+    //    subject).
+    import graft.streaming.StreamingOps
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val ledger = SparkEntry.queries("x112_stream_index_ledger")(spark, sf)
+      val outRows = ledger.count()
+      assert(StreamingOps.lastDrainStateRows === outRows,
+        s"x112 state rows != live groups at $sf — per-group residue")
+      val joined = SparkEntry.queries("q60_stream_stream_join")(spark, sf)
+      joined.count(): Unit
+      val vc = Tables.events(spark, sf)
+        .filter(col("event_type").isin("view", "click")).count()
+      assert(StreamingOps.lastDrainStateRows > 0L,
+        s"q60 join state empty at $sf")
+      assert(StreamingOps.lastDrainStateRows <= vc,
+        s"q60 join state exceeds the view+click volume at $sf — " +
+          "rows are being retained more than once")
+    }
+  }
+
   test("x117: streaming mixture drift is a zero-sum ppm balance over bounded state") {
     val rows = QueriesStreaming
       .x117_stream_mixture_drift(spark, "/root/testdata/sf0.001").collect()
