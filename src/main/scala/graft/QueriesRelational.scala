@@ -2819,6 +2819,34 @@ object QueriesRelational {
       |    THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS y1997
       |FROM orders GROUP BY o_orderpriority""".stripMargin
 
+  /** T-SQL `PIVOT` under CASE-INSENSITIVE collation through the dtsx
+    * frontend (`PivotLangETL.dtsx`) — the estate writes `[EN], [FR],
+    * [ES]` while the documents table stores lowercase codes; default-
+    * collation T-SQL matches anyway. [[graft.patterns.PivotSql]]'s r15
+    * collation fold reproduces that: the source wraps in an `upper()`
+    * projection (star-EXCEPT keeps the implicit group-by set) and the
+    * value literals upper-case. Without the fold every pivot column
+    * reads NULL — the exact silent divergence this gate pins through
+    * the oracle, not just a spec. Still one shuffle on the group key. */
+  def q138_dtsx_pivot_ci(spark: SparkSession, dir: String): DataFrame = {
+    val (w, _) = runDtsxWarehousePackage(spark, dir, "PivotLangETL.dtsx")
+    w("lang_pv").select(
+      col("source").cast(StringType).as("source"),
+      col("EN").cast(LongType).as("en_chars"),
+      col("FR").cast(LongType).as("fr_chars"),
+      col("ES").cast(LongType).as("es_chars"))
+  }
+
+  val q138Oracle: String =
+    """SELECT source,
+      |  CAST(SUM(CASE WHEN upper(lang) = 'EN' THEN n_chars END) AS BIGINT)
+      |    AS en_chars,
+      |  CAST(SUM(CASE WHEN upper(lang) = 'FR' THEN n_chars END) AS BIGINT)
+      |    AS fr_chars,
+      |  CAST(SUM(CASE WHEN upper(lang) = 'ES' THEN n_chars END) AS BIGINT)
+      |    AS es_chars
+      |FROM documents GROUP BY source""".stripMargin
+
   /** Explicit GROUPING SETS with grouping_id disambiguation (beyond q24's
     * rollup): two chosen aggregation levels, no intermediate level. */
   def q39_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
@@ -4222,6 +4250,7 @@ object QueriesRelational {
     "q135_dtsx_proc_var_args" -> (q135_dtsx_proc_var_args _),
     "q136_dtsx_multi_helper" -> (q136_dtsx_multi_helper _),
     "q137_dtsx_pivot_year" -> (q137_dtsx_pivot_year _),
+    "q138_dtsx_pivot_ci" -> (q138_dtsx_pivot_ci _),
     "q82_orc_roundtrip" -> (q82_orc_roundtrip _),
     "q80_dtsx_cdc_merge" -> (q80_dtsx_cdc_merge _),
     "q79_delete_cascade" -> (q79_delete_cascade _),
@@ -4352,6 +4381,7 @@ object QueriesRelational {
     "q135_dtsx_proc_var_args" -> q135Oracle,
     "q136_dtsx_multi_helper" -> q136Oracle,
     "q137_dtsx_pivot_year" -> q137Oracle,
+    "q138_dtsx_pivot_ci" -> q138Oracle,
     "q82_orc_roundtrip" -> q82Oracle,
     "q80_dtsx_cdc_merge" -> q80Oracle,
     "q79_delete_cascade" -> q79Oracle,

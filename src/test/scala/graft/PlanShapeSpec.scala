@@ -91,7 +91,8 @@ class PlanShapeSpec extends AnyFunSuite {
     // q137 the typed numeric IN values — both must still plan as ONE
     // orders scan feeding Spark's native partial-aggregating pivot;
     // the wrap is a projection, never a second scan or an extra shuffle
-    for (q <- Seq("q133_dtsx_pivot", "q137_dtsx_pivot_year")) {
+    for (q <- Seq("q133_dtsx_pivot", "q137_dtsx_pivot_year",
+        "q138_dtsx_pivot_ci")) {
       val plan = executedPlan(q)
       assert("Scan parquet".r.findAllIn(plan).length === 1,
         s"$q must scan orders exactly once:\n$plan")
