@@ -2425,6 +2425,22 @@ class PipelineSpec extends AnyFunSuite {
       .getOrElse(fail("NOT NULL retype should compile; the abort is lazy"))
     val nnErr = intercept[Exception](nn.df.get.collect())
     assert(nnErr.getMessage.contains("515"), nnErr.getMessage)
+    // r15 — char(n) NARROWING aborts lazily with the 8152 contract when
+    // any existing value exceeds the new length (string-to-string casts
+    // can never fail, so length needs its own guard); values within the
+    // cap re-type fine, and NULLs never trip it
+    val w7 = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame](
+      "rt" -> Seq((1L, Some("abc")), (2L, Some("toolong")), (3L, None))
+        .toDF("id", "k"))
+    val narrowed = mkExec(w7)(task("ALTER TABLE rt ALTER COLUMN k VARCHAR(5)"))
+      .getOrElse(fail("narrowing retype should compile; the abort is lazy"))
+    val nErr = intercept[Exception](narrowed.df.get.collect())
+    assert(nErr.getMessage.contains("8152"), nErr.getMessage)
+    val w8 = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame](
+      "rt" -> Seq((1L, Some("abc")), (2L, None)).toDF("id", "k"))
+    val fits = mkExec(w8)(task("ALTER TABLE rt ALTER COLUMN k VARCHAR(5)"))
+      .getOrElse(fail("within-cap retype should compile"))
+    assert(fits.df.get.count() === 2L)
     // 4924 on a missing column, eagerly, like DROP
     val e4924 = intercept[Exception](mkExec(fresh())(task(
       "ALTER TABLE mt ALTER COLUMN nope INT")))
