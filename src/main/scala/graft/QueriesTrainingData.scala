@@ -6817,6 +6817,121 @@ object QueriesTrainingData {
       |FROM documents
       |GROUP BY 1, 2""".stripMargin
 
+  /** Semantic cluster-scoped dedup — the SemDeDup shape (Abbas et al.
+    * 2023, "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication"): cluster the embedding corpus with a
+    * coarse quantizer, then prune near-duplicates WITHIN each cluster,
+    * keeping the member farthest from its centroid (the paper's
+    * keep-low-centroid-similarity rule — duplicates nearest the
+    * centroid carry the least marginal information). This closes the
+    * gap between x08 (LSH-blocked pairwise near-dup — no cluster
+    * structure) and x15 (transitive components over an exact-dup
+    * graph): here the BLOCKING IS the semantic clustering, exactly how
+    * the method deploys over a web-scale corpus.
+    *
+    * Replayability: the clusters are x109's deterministic coarse
+    * quantizer (8 seeded cells, one Lloyd iteration — the config the
+    * DuckDB oracle replays verbatim); near-dup is integer squared L2
+    * on the 1e-4 quantization grid (`d² ≤ 130 000 000`, ~the 1st
+    * percentile of within-cell pair distances on this corpus —
+    * measured, not guessed), so both engines compare identical
+    * BIGINTs and the prune rule is pairwise dominance: v is pruned
+    * iff some same-cell u within the threshold is FARTHER from the
+    * centroid (ties break to the lower vec_id surviving). Pairwise,
+    * not transitive — the paper's per-pair scan; transitive pruning
+    * is x15's plane.
+    *
+    * Scale shape: quantizer trains on seeds × corpus with a BROADCAST
+    * codebook (one narrow pass per Lloyd round); assignment is a
+    * partial-combining min-struct aggregate, never a window; the
+    * pairwise leg self-joins WITHIN cells only — at the gate's fixed
+    * 8 cells that is Θ(N²/8) (oracle-replayable, like x109's probe),
+    * and at production √N cells the per-cell population is √N so the
+    * pair volume is Θ(N^1.5) spread across cells — the standard
+    * SemDeDup deployment cost, bounded per cluster and embarrassingly
+    * parallel across them. */
+  def x124_semantic_cluster_dedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sim.PqIndex
+    val emb = embeddings(spark, dir)
+    // one full-width "subspace": the coarse plane (x109's config)
+    val sub = PqIndex.subspaces(emb, "vec_id", "embedding", 1, 64)
+    val cb = PqIndex.trainCodebooks(sub, "vec_id", nCw = 8, iters = 1)
+    def d2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v)
+    // nearest cell + centroid distance in one partial-combining agg
+    val best = sub.join(broadcast(cb), Seq("s"))
+      .withColumn("d", d2(col("sv"), col("cv")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d"), col("cw"))).as("mn"),
+        first(col("sv")).as("qv"))
+      .select(col("vec_id"), col("mn.cw").as("cell"), col("mn.d").as("cd"),
+        col("qv"))
+    val a = best.select(col("cell"), col("vec_id").as("ia"),
+      col("cd").as("a_cd"), col("qv").as("a_qv"))
+    val b = best.select(col("cell"), col("vec_id").as("ib"),
+      col("cd").as("b_cd"), col("qv").as("b_qv"))
+    val near = a.join(b, Seq("cell"))
+      .filter(col("ia") < col("ib"))
+      .withColumn("pd2", d2(col("a_qv"), col("b_qv")))
+      .filter(col("pd2") <= lit(130000000L))
+    // dominance: the member closer to the centroid is pruned; a tie
+    // prunes the higher vec_id (lower id survives)
+    val pruned = near.select(
+      when(col("a_cd") < col("b_cd"), col("ia"))
+        .when(col("b_cd") < col("a_cd"), col("ib"))
+        .otherwise(col("ib")).as("vec_id"))
+      .distinct()
+      .withColumn("pruned", lit(true))
+    best.join(pruned, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        col("cell").cast(IntegerType).as("cell"),
+        col("cd").cast(LongType).as("centroid_d2"),
+        coalesce(col("pruned"), lit(false)).as("pruned"))
+  }
+
+  val x124Oracle: String =
+    """WITH q AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |cseeds AS (SELECT vec_id AS cw, qv AS cv FROM q WHERE vec_id < 8),
+      |ca1 AS (
+      |  SELECT q.vec_id, q.qv, cseeds.cw,
+      |    list_sum(list_transform(generate_series(1, 64),
+      |      i -> (qv[i] - cv[i]) * (qv[i] - cv[i]))) AS d
+      |  FROM q CROSS JOIN cseeds
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |    ORDER BY d, cseeds.cw) = 1),
+      |ccb AS (
+      |  SELECT cw, p.p AS p,
+      |    CAST(floor(CAST(SUM(qv[p.p]) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)
+      |      AS cwv
+      |  FROM ca1, generate_series(1, 64) p(p)
+      |  GROUP BY cw, p),
+      |ccbv AS (SELECT cw, list(cwv ORDER BY p) AS cv FROM ccb GROUP BY cw),
+      |cells AS (
+      |  SELECT q.vec_id, q.qv, ccbv.cw AS cell,
+      |    list_sum(list_transform(generate_series(1, 64),
+      |      i -> (qv[i] - cv[i]) * (qv[i] - cv[i]))) AS cd
+      |  FROM q CROSS JOIN ccbv
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |    ORDER BY cd, ccbv.cw) = 1),
+      |near AS (
+      |  SELECT a.vec_id AS ia, b.vec_id AS ib, a.cd AS a_cd, b.cd AS b_cd
+      |  FROM cells a JOIN cells b
+      |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  WHERE list_sum(list_transform(generate_series(1, 64),
+      |      i -> (a.qv[i] - b.qv[i]) * (a.qv[i] - b.qv[i]))) <= 130000000),
+      |pruned AS (
+      |  SELECT DISTINCT CASE WHEN a_cd < b_cd THEN ia
+      |    WHEN b_cd < a_cd THEN ib ELSE ib END AS vec_id
+      |  FROM near)
+      |SELECT c.vec_id, CAST(c.cell AS INT) AS cell,
+      |  CAST(c.cd AS BIGINT) AS centroid_d2,
+      |  p.vec_id IS NOT NULL AS pruned
+      |FROM cells c LEFT JOIN pruned p ON c.vec_id = p.vec_id""".stripMargin
+
   /** URL takedown sweep — corpus governance at the canonical-URL key
     * (the DMCA/robots-retroactive case): a takedown list of canonical
     * URLs (here: every URL whose source id ≡ 0 mod 7 — a deterministic
@@ -7069,6 +7184,7 @@ object QueriesTrainingData {
     "x121_ann_rerank" -> (x121_ann_rerank _),
     "x122_mrl_truncation_recall" -> (x122_mrl_truncation_recall _),
     "x123_l_diversity_audit" -> (x123_l_diversity_audit _),
+    "x124_semantic_cluster_dedup" -> (x124_semantic_cluster_dedup _),
     "x80_vision_token_budget" -> (x80_vision_token_budget _),
     "x79_url_takedown" -> (x79_url_takedown _),
     "x78_tokenizer_fertility" -> (x78_tokenizer_fertility _),
@@ -7191,6 +7307,7 @@ object QueriesTrainingData {
     "x121_ann_rerank" -> x121Oracle,
     "x122_mrl_truncation_recall" -> x122Oracle,
     "x123_l_diversity_audit" -> x123Oracle,
+    "x124_semantic_cluster_dedup" -> x124Oracle,
     "x80_vision_token_budget" -> x80Oracle,
     "x79_url_takedown" -> x79Oracle,
     "x78_tokenizer_fertility" -> x78Oracle,

@@ -628,4 +628,32 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     }
     assert(rows.exists(_._3), "expected at least one diverse group")
   }
+
+  test("x124: semantic cluster dedup partitions the corpus; max-centroid member survives") {
+    val rows = QueriesTrainingData.x124_semantic_cluster_dedup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getBoolean(3)))
+    val total = Tables.embeddings(spark, sf).count()
+    // every vector appears exactly once (cluster assignment partitions)
+    assert(rows.length.toLong === total)
+    assert(rows.map(_._1).distinct.length === rows.length)
+    // the gate's replayable quantizer has 8 seeded cells (attrition may
+    // drop some, never add)
+    val cells = rows.map(_._2).distinct
+    assert(cells.nonEmpty && cells.forall(c => c >= 0 && c < 8))
+    // the keep-farthest-from-centroid rule can never prune a cell's
+    // max-centroid-distance member (ties survive at the LOWEST id):
+    // dominance requires a strictly-farther partner or an id tie-break
+    // in the survivor's favor
+    rows.groupBy(_._2).foreach { case (cell, members) =>
+      val keeper = members.minBy(m => (-m._3, m._1))
+      assert(!keeper._4,
+        s"cell $cell pruned its farthest-from-centroid member $keeper")
+    }
+    // the measured threshold (~p01 of within-cell pairs) must actually
+    // prune something, and never everything
+    val nPruned = rows.count(_._4)
+    assert(nPruned > 0, "threshold pruned nothing — the audit is inert")
+    assert(nPruned < rows.length / 2, s"threshold pruned half the corpus: $nPruned")
+  }
 }
