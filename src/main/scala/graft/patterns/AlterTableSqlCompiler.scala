@@ -36,7 +36,9 @@ import org.apache.spark.sql.functions._
   * existing value exceeds aborts with the error-8152 contract
   * (string-to-string re-types can never fail the cast, so the length
   * guard is the only thing standing between a narrowing ALTER and a
-  * silent divergence); `NOT NULL` with an existing NULL aborts with
+  * silent divergence; trailing blanks trim SILENTLY first, per
+  * T-SQL, and a numeric source that doesn't fit reports 8115
+  * arithmetic overflow, not 8152); `NOT NULL` with an existing NULL aborts with
   * the error-515 contract. The cast itself is exactly what an
   * authored migration would write; what stays declined is anything
   * BEYOND the cast: COLLATE clauses, IDENTITY, constraints.
@@ -165,16 +167,34 @@ object AlterTableSqlCompiler {
           // exceeds the new length — the 245/8114 guard above can
           // never fire on string-to-string re-types (try_cast to
           // STRING never nulls), so the length contract needs its own
-          // lazy guard, same raise_error-column convention
+          // lazy guard, same raise_error-column convention. T-SQL
+          // trims trailing blanks SILENTLY when narrowing (no 8152:
+          // 'abc  ' → VARCHAR(3) stores 'abc'), so only the RTRIM'd
+          // length gates the abort and the over-length pass path caps
+          // at n — the first-n-characters value T-SQL keeps. A NUMERIC
+          // source that doesn't fit reports T-SQL's 8115 arithmetic
+          // overflow, not 8152. Lengths count characters: T-SQL
+          // varchar(n) counts BYTES under the column code page —
+          // exact on single-byte data, a documented boundary on
+          // multi-byte codepages (the charTrunc convention).
           val converted = ExecLiteralSqlCompiler.charCap(ddlType) match {
             case Some(n) =>
-              when(src.isNotNull && length(src.cast("string")) > n,
+              val srcStr = src.cast("string")
+              val srcNumeric = tgt.schema.fields
+                .find(_.name.equalsIgnoreCase(colName))
+                .exists(_.dataType
+                  .isInstanceOf[org.apache.spark.sql.types.NumericType])
+              val (code, verb) =
+                if (srcNumeric) ("8115", "arithmetic overflow converting")
+                else ("8152", "string or binary data would be truncated for")
+              when(src.isNotNull && length(rtrim(srcStr)) > n,
                 raise_error(concat(
                   lit(s"ALTER TABLE $tgtName ALTER COLUMN $actual " +
-                    s"$ddlType: string or binary data would be " +
-                    "truncated for value '"),
-                  src.cast("string"),
-                  lit("' (T-SQL error 8152)"))).cast(tpe))
+                    s"$ddlType: $verb value '"),
+                  srcStr,
+                  lit(s"' (T-SQL error $code)"))).cast(tpe))
+                .when(src.isNotNull && length(srcStr) > n,
+                  substring(srcStr, 1, n).cast(tpe))
                 .otherwise(converted0)
             case None => converted0
           }

@@ -180,7 +180,8 @@ object ExecLiteralSqlCompiler {
             if (rawVal.matches("(?is)^N?'.*'$")) {
               val body = rawVal.replaceFirst("(?is)^N", "")
               val v0 = body.substring(1, body.length - 1).replace("''", "'")
-              SqlText.sqlLitOrDecline(cap.fold(v0)(v0.take))
+              SqlText.sqlLitOrDecline(
+                cap.fold(v0)(n => SqlText.charTrunc(v0, n)))
             } else rawVal
           nm -> s"CAST($lit AS $tpe)"
         }

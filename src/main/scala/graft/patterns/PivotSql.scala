@@ -62,11 +62,42 @@ object PivotSql {
   private def deref(seg: String, v: String): String =
     aliasOf(v).map(a => seg.replace(s"[$v]", a)).getOrElse(seg)
 
+  /** True iff the relation introduced at `introStart` by token
+    * `introTok` is the statement's SOLE top-level relation: introduced
+    * by FROM (never a join tail) with no other FROM/JOIN/APPLY token at
+    * paren depth zero before it. Wrapping the TAIL of a join
+    * (`FROM t CROSS JOIN u PIVOT …` matches `JOIN u`) would upper-case
+    * only u while the pivot column may live on t — SQL the ledger
+    * already classified 'converted' would then fail at Spark analysis;
+    * the scaladoc promises joins decline, so classification and
+    * execution must stay aligned. CTE bodies and select-list subqueries
+    * sit inside parens (depth > 0 on the masked text) and don't count. */
+  private def soleTopLevelRelation(preMsk: String, introStart: Int,
+      introTok: String): Boolean = {
+    if (!introTok.equalsIgnoreCase("from")) return false
+    val depthAt = new Array[Int](preMsk.length)
+    var d = 0
+    var k = 0
+    while (k < preMsk.length) {
+      depthAt(k) = d
+      preMsk.charAt(k) match {
+        case '(' => d += 1
+        case ')' => d -= 1
+        case _ => ()
+      }
+      k += 1
+    }
+    "(?i)\\b(from|join|apply)\\b".r.findAllMatchIn(preMsk)
+      .forall(tk => tk.start >= introStart || depthAt(tk.start) > 0)
+  }
+
   /** Wrap the relation immediately before the PIVOT head in the
     * upper-casing projection (collation fold — see scaladoc). Owned
     * source shapes: `FROM (sub) [AS] alias`, `FROM (sub)`,
-    * `FROM|JOIN table [AS] alias`, `FROM|JOIN table` — anything else
-    * (the relation is a join tail, an APPLY, …) returns None. */
+    * `FROM table [AS] alias`, `FROM table` — and only when that
+    * relation is the statement's sole top-level one
+    * ([[soleTopLevelRelation]]); anything else (a join tail, an
+    * APPLY, …) returns None. */
   private def wrapSource(pre: String, preMsk: String,
       pcol: String): Option[String] = {
     val subTailRe = "(?is)\\)\\s*(?:as\\s+)?([A-Za-z_]\\w*)?\\s*$".r
@@ -95,17 +126,24 @@ object PivotSql {
         }
         if (depth != 0) return None
         val openIdx = j + 1
-        // the derived table must sit directly in a FROM/JOIN slot
-        if ("(?is)\\b(from|join)\\s*$".r
-            .findFirstIn(preMsk.substring(0, openIdx)).isEmpty) return None
+        // the derived table must sit directly in the statement's sole
+        // top-level FROM slot (never a join tail)
+        val intro = "(?is)\\b(from|join)\\s*$".r
+          .findFirstMatchIn(preMsk.substring(0, openIdx))
+          .getOrElse(return None)
+        if (!soleTopLevelRelation(preMsk, intro.start, intro.group(1)))
+          return None
         val rel = pre.substring(openIdx, tm.start + 1)
         Some(pre.substring(0, openIdx) + wrapped(rel, alias))
       case None =>
-        tblTailRe.findFirstMatchIn(preMsk).map { tm =>
-          val alias = Option(tm.group(3)).filterNot(a =>
-            stopWords(a.toLowerCase))
-          val rel = pre.substring(tm.start(2), tm.end(2))
-          pre.substring(0, tm.start(2)) + wrapped(rel, alias)
+        tblTailRe.findFirstMatchIn(preMsk).flatMap { tm =>
+          if (!soleTopLevelRelation(preMsk, tm.start, tm.group(1))) None
+          else {
+            val alias = Option(tm.group(3)).filterNot(a =>
+              stopWords(a.toLowerCase))
+            val rel = pre.substring(tm.start(2), tm.end(2))
+            Some(pre.substring(0, tm.start(2)) + wrapped(rel, alias))
+          }
         }
     }
   }

@@ -666,7 +666,8 @@ object ScriptedSqlExecutor {
       // TsqlConcatFold silent-truncation contract)
       val varCaps = scala.collection.mutable.Map.empty[String, Int]
       def capVal(nm: String, v: Any): Any = v match {
-        case s: String => varCaps.get(nm).fold[Any](s)(n => s.take(n))
+        case s: String =>
+          varCaps.get(nm).fold[Any](s)(n => SqlText.charTrunc(s, n))
         case x => x
       }
       // binding uses the shared typed-literal form; a value with no
@@ -737,6 +738,12 @@ object ScriptedSqlExecutor {
                 scalarVarRe.findFirstIn(UpdateSqlCompiler.masked(b)).isDefined))
               return None // init references an undeclared variable
             varTypes(nm) = tpe
+            // re-DECLARE replaces the cap wholesale: a second DECLARE
+            // with an uncapped type (VARCHAR(MAX) after VARCHAR(2) —
+            // legal T-SQL, and ProcInline flattens batches into one
+            // executor scope) must CLEAR the stale cap, not keep
+            // silently truncating at the old length
+            varCaps -= nm
             ExecLiteralSqlCompiler.charCap(rawType)
               .foreach(varCaps(nm) = _)
             vars(nm) = capVal(nm, bound.map(b => evalAssign(b, tpe)).orNull)

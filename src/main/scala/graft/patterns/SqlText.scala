@@ -82,6 +82,25 @@ object SqlText {
   private[patterns] def sqlLitOrDecline(v: Any): String =
     sqlLit(v).getOrElse(throw new UnbindableLiteral(v))
 
+  /** Truncate to `n` UTF-16 code units without splitting a surrogate
+    * pair — the shared char(n) assignment-truncation primitive (capVal,
+    * sp_executesql argument binding, CAST fragment folding). A naive
+    * `s.take(n)` landing between a high and low surrogate yields an
+    * invalid string that round-trips differently through parquet/UTF-8;
+    * when unit n would split a pair the whole pair is dropped instead.
+    * T-SQL semantics approximated: NVARCHAR(n) counts UTF-16 units
+    * exactly (SQL Server may keep the orphaned half; this engine
+    * prefers a valid string one unit short); VARCHAR(n) is a BYTE cap
+    * under the column collation's code page — character-count is exact
+    * for single-byte data (the entire gate corpus is ASCII) and
+    * diverges on multi-byte codepages, a documented boundary rather
+    * than a modeled one. */
+  private[patterns] def charTrunc(s: String, n: Int): String =
+    if (n <= 0) ""
+    else if (s.length <= n) s
+    else if (Character.isHighSurrogate(s.charAt(n - 1))) s.substring(0, n - 1)
+    else s.substring(0, n)
+
   /** T-SQL `GO` batch separators: a line holding only `GO` (optionally
     * `;`-terminated) splits the script exactly like a `;` — SSMS-style
     * batch authoring is everywhere in real estates. Positions are found

@@ -92,7 +92,8 @@ object TsqlConcatFold {
           case Some("max") => Some(txt)
           case other =>
             val n = other.map(_.toInt).getOrElse(30) // T-SQL CAST default
-            if (fromString) Some(txt.take(n)) // silent truncation
+            // silent truncation, surrogate-pair-safe ([[SqlText.charTrunc]])
+            if (fromString) Some(SqlText.charTrunc(txt, n))
             else if (txt.length > n) None // 8115 insufficient space
             else Some(txt)
         }

@@ -138,4 +138,28 @@ class SqlTextPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("charTrunc never splits a surrogate pair; result is always valid") {
+    // the shared char(n) truncation primitive (capVal, sp_executesql
+    // binding, CAST folding): a naive take(n) landing between a high
+    // and low surrogate yields an invalid string — charTrunc drops the
+    // whole pair instead (valid, one unit short)
+    val emoji = "😀" // one code point, two UTF-16 units
+    assert(SqlText.charTrunc("a" + emoji + "b", 2) === "a")
+    assert(SqlText.charTrunc("a" + emoji + "b", 3) === "a" + emoji)
+    assert(SqlText.charTrunc("a" + emoji + "b", 4) === "a" + emoji + "b")
+    assert(SqlText.charTrunc("abcdef", 3) === "abc")
+    assert(SqlText.charTrunc("ab", 5) === "ab")
+    assert(SqlText.charTrunc("ab", 0) === "")
+    // property: the result never ends on an unpaired high surrogate
+    val genMix = Gen.listOfN(12, Gen.oneOf(
+      Gen.alphaNumChar.map(_.toString), Gen.const(emoji))).map(_.mkString)
+    forAll(Gen.zip(genMix, Gen.choose(0, 16))) { case (s, n) =>
+      val t = SqlText.charTrunc(s, n)
+      assert(t.length <= n)
+      assert(t.isEmpty || !Character.isHighSurrogate(t.last),
+        s"split pair in charTrunc('$s', $n)")
+      assert(s.startsWith(t), "truncation must be a prefix")
+    }
+  }
 }
