@@ -2773,7 +2773,7 @@ object QueriesRelational {
     * the dtsx frontend (`MultiHelperETL.dtsx`) — r15's second
     * extension of the q130 class. Each helper lives in its own CREATE
     * batch; the body-local `@tag` renames into the call's
-    * `__graft_markhi_<k>_tag` namespace so nothing leaks into the
+    * `__graft_<k>_markhi_tag` namespace so nothing leaks into the
     * outer script, and the body's `SET @tag = 'HI' + 'VAL'` rides the
     * executor's constant string-concat fold. Re-CREATE of a live name
     * (2714), EXEC after DROP (2812), and a body-local shadowing a
@@ -2846,6 +2846,71 @@ object QueriesRelational {
       |  CAST(SUM(CASE WHEN upper(lang) = 'ES' THEN n_chars END) AS BIGINT)
       |    AS es_chars
       |FROM documents GROUP BY source""".stripMargin
+
+  /** Scalar OUTPUT parameter on a script-local procedure through the
+    * dtsx frontend (`ProcOutputETL.dtsx`) — `EXEC helper @x, @tot
+    * OUTPUT`, the second-most-common helper idiom after positional
+    * args (r16; the reference routes every EXEC to manual review,
+    * `analyzer.py:137-145`). [[graft.patterns.ProcInlineSqlCompiler]]
+    * copies the caller's value IN through the hygienic per-call
+    * DECLARE, the body's SELECT-assign mutates only the renamed
+    * local, and a post-body `SET @t = @__graft_…_tot` copies the
+    * final value back (T-SQL copy-in/copy-out, cast to the CALLER's
+    * declared type). The written-back segment total then bounds an
+    * UPDATE — positional OUTPUT on the first call, named on the
+    * second. OUTPUT on a non-OUTPUT parameter (T-SQL 8162) and on a
+    * literal argument (179) decline. Scale: the per-call machinery is
+    * all driver-side text; each body statement plans exactly the
+    * partial-aggregating scan + broadcast-literal filter the inline
+    * spelling would. */
+  def q139_dtsx_proc_output(spark: SparkSession, dir: String): DataFrame = {
+    val (w, _) = runDtsxWarehousePackage(spark, dir, "ProcOutputETL.dtsx")
+    w("cust_po").select(
+      col("ck").cast(LongType).as("ck"),
+      col("bal").cast(DoubleType).as("bal"),
+      col("seg").cast(StringType).as("seg"),
+      col("flag").cast(StringType).as("flag"))
+  }
+
+  val q139Oracle: String =
+    """SELECT c_custkey AS ck,
+      |  CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal,
+      |  c_mktsegment AS seg,
+      |  CASE WHEN c_mktsegment IN ('BUILDING', 'MACHINERY')
+      |        AND CAST(c_acctbal AS DECIMAL(12,2)) * 400 >
+      |          (SELECT SUM(CAST(c2.c_acctbal AS DECIMAL(12,2)))
+      |             FROM customer c2
+      |            WHERE c2.c_mktsegment = c.c_mktsegment)
+      |       THEN 'HEAVY' ELSE 'KEEP' END AS flag
+      |FROM customer c""".stripMargin
+
+  /** `INSERT INTO t EXEC helper` over a VISIBLE single-SELECT body
+    * through the dtsx frontend (`InsertExecETL.dtsx`) — the
+    * insert-exec reporting idiom (r16).
+    * [[graft.patterns.ProcInlineSqlCompiler]] inlines the helper's
+    * renamed SELECT as the INSERT's source (the derived-table
+    * reading); the SET between the two calls proves the declared-
+    * variable argument binds by value at each call. Multi-statement
+    * and assigning bodies keep the invisible-body decline. Scale: the
+    * expansion IS `INSERT INTO … SELECT` — one filtered scan
+    * appending, no extra materialization. */
+  def q140_dtsx_insert_exec(spark: SparkSession, dir: String): DataFrame = {
+    val (w, _) = runDtsxWarehousePackage(spark, dir, "InsertExecETL.dtsx")
+    w("ord_hi").select(
+      col("okey").cast(LongType).as("okey"),
+      col("price").cast(DoubleType).as("price"),
+      col("prio").cast(StringType).as("prio"))
+  }
+
+  val q140Oracle: String =
+    """SELECT o_orderkey AS okey,
+      |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+      |  o_orderpriority AS prio
+      |FROM orders
+      |WHERE (CAST(o_totalprice AS DECIMAL(12,2)) >= 200000
+      |        AND o_orderpriority = '1-URGENT')
+      |   OR (CAST(o_totalprice AS DECIMAL(12,2)) >= 300000
+      |        AND o_orderpriority = '2-HIGH')""".stripMargin
 
   /** Explicit GROUPING SETS with grouping_id disambiguation (beyond q24's
     * rollup): two chosen aggregation levels, no intermediate level. */
@@ -4251,6 +4316,8 @@ object QueriesRelational {
     "q136_dtsx_multi_helper" -> (q136_dtsx_multi_helper _),
     "q137_dtsx_pivot_year" -> (q137_dtsx_pivot_year _),
     "q138_dtsx_pivot_ci" -> (q138_dtsx_pivot_ci _),
+    "q139_dtsx_proc_output" -> (q139_dtsx_proc_output _),
+    "q140_dtsx_insert_exec" -> (q140_dtsx_insert_exec _),
     "q82_orc_roundtrip" -> (q82_orc_roundtrip _),
     "q80_dtsx_cdc_merge" -> (q80_dtsx_cdc_merge _),
     "q79_delete_cascade" -> (q79_delete_cascade _),
@@ -4382,6 +4449,8 @@ object QueriesRelational {
     "q136_dtsx_multi_helper" -> q136Oracle,
     "q137_dtsx_pivot_year" -> q137Oracle,
     "q138_dtsx_pivot_ci" -> q138Oracle,
+    "q139_dtsx_proc_output" -> q139Oracle,
+    "q140_dtsx_insert_exec" -> q140Oracle,
     "q82_orc_roundtrip" -> q82Oracle,
     "q80_dtsx_cdc_merge" -> q80Oracle,
     "q79_delete_cascade" -> q79Oracle,

@@ -218,8 +218,11 @@ object MigrationMapping {
           "DECLARE per parameter in a per-call namespace (literal OR " +
           "same-batch declared-variable arguments), body-locals " +
           "renamed alongside; multiple helpers own, each in its own " +
-          "batch; procs created elsewhere keep the manual-review " +
-          "decline, their bodies are invisible)"), Nil, signals)
+          "batch; scalar OUTPUT parameters copy in and write back " +
+          "post-body; INSERT INTO t EXEC helper inlines a single-" +
+          "SELECT body as the INSERT source; procs created elsewhere " +
+          "keep the manual-review decline, their bodies are invisible)"),
+        Nil, signals)
     else if (graft.patterns.CursorLoopSqlCompiler.rewriteToScript(sql).isDefined)
       TaskMapping(t.name, "ExecuteSQLTask", "converted", None,
         Some("canonical CURSOR FETCH loop executes set-based (patterns/" +

@@ -8,11 +8,12 @@ package graft.patterns
   * body normally lives in the database, invisible to the task text;
   * HERE the body is in the same script, so each call is statically
   * expandable. Expansion is HYGIENIC (r15): an `EXEC p <arg>, …`
-  * becomes one `DECLARE @__graft_<p>_<k>_<param> <declared type> =
-  * <arg>` per parameter (k = per-call counter, so two calls never
-  * share state and T-SQL's by-value parameter passing holds) followed
-  * by the body statements with every parameter and body-local
-  * variable renamed to the same `@__graft_<p>_<k>_…` namespace. The
+  * becomes one `DECLARE @__graft_<k>_<p>_<param> <declared type> =
+  * <arg>` per parameter (k = per-call counter, leading because it is
+  * the collision-free token — so two calls never share state and
+  * T-SQL's by-value parameter passing holds) followed by the body
+  * statements with every parameter and body-local variable renamed
+  * to the same `@__graft_<k>_<p>_…` namespace. The
   * emitted statements run through the script overlay like any
   * hand-written batch, so [[ScriptedSqlExecutor]]'s own DECLARE
   * machinery performs the binding — which is exactly what lets an
@@ -39,11 +40,32 @@ package graft.patterns
   * impossible — a body name shadowing a parameter still declines
   * (T-SQL 134, variable names must be unique within the batch).
   *
+  * Scalar OUTPUT parameters are owned (r16): a parameter declared
+  * `@total <type> OUTPUT` called as `EXEC p @x, @tot OUTPUT` rides
+  * the same hygienic machinery — the per-call DECLARE copies the
+  * caller's value IN (T-SQL OUTPUT is copy-in/copy-out), the body
+  * mutates only the renamed local, and a post-body `SET @tot =
+  * @__graft_…_total` copies the final value back through the
+  * executor's typed-assignment path (cast to the CALLER's declared
+  * type, its char(n) cap applied). A call that omits the OUTPUT
+  * keyword on an OUTPUT parameter binds by value and writes nothing
+  * back, exactly T-SQL; OUTPUT on a non-OUTPUT parameter is T-SQL
+  * error 8162 and OUTPUT on a literal argument is error 179 — both
+  * decline.
+  *
+  * `INSERT INTO t [(cols)] EXEC helper <args>` is owned (r16) when
+  * the helper body is ONE result-returning SELECT: the renamed
+  * SELECT inlines as the INSERT's source — mechanically the derived-
+  * table reading of the insert-exec reporting idiom. Multi-statement
+  * bodies, assigning SELECTs (`SELECT @x = …` returns no result
+  * set), and procs created elsewhere keep the invisible-body
+  * decline.
+  *
   * Declined to manual review: rollback / TRY-CATCH / SAVE TRAN
   * anywhere in the script (mirrors [[ScriptedSqlExecutor]]'s
   * dispatcher gates, which run BEFORE this compiler — declining here
   * keeps the classification ledger aligned with what actually
-  * executes), OUTPUT/default/readonly parameters, RETURN or any
+  * executes), default/readonly parameters, RETURN or any
   * control flow in the body (IF/WHILE/BEGIN-END beyond the optional
   * outer wrapper, TRY/CATCH, transactions, cursors, nested EXEC),
   * `@@` system-variable reads in the body (at proc entry they see
@@ -84,13 +106,25 @@ object ProcInlineSqlCompiler {
   private val declareItemRe =
     "(?is)^@(\\w+)\\s+([A-Za-z]\\w*(?:\\s*\\([^)]*\\))?)(?:\\s*=\\s*(.+))?\\s*$".r
 
+  // trailing OUTPUT/OUT on a parameter declaration or call argument
+  private val outSuffixRe = "(?is)^(.*?)\\s+(?:output|out)\\s*$".r
+  private val insertExecRe =
+    ("(?is)^\\s*insert\\s+into\\s+([\\w.\\[\\]#]+)\\s*(\\([^)]*\\))?\\s*" +
+      "exec(?:ute)?\\s+([A-Za-z_\\[][\\w.\\[\\]]*)(.*?)\\s*;?\\s*$").r
+
   private def bare(name: String): String =
     name.split('.').last.replaceAll("[\\[\\]]", "").toLowerCase
 
-  /** One parsed helper: ordered (param name → RAW T-SQL type text),
-    * the body text, and the body-local DECLARE names. */
-  private final case class Helper(params: List[(String, String)],
+  /** One parsed helper: ordered (param name, RAW T-SQL type text,
+    * declared OUTPUT), the body text, and the body-local DECLARE
+    * names. */
+  private final case class Helper(params: List[(String, String, Boolean)],
       body: String, locals: Set[String])
+
+  /** One bound call: the hygienic per-call DECLAREs, the renamed body
+    * text, and the post-body OUTPUT write-back statements. */
+  private final case class Bound(declares: List[String], body: String,
+      writebacks: List[String])
 
   /** Names declared by an outer-script DECLARE statement (the static
     * twin of the executor's DECLARE tracking — names only; the
@@ -132,13 +166,21 @@ object ProcInlineSqlCompiler {
     val params =
       if (paramsTxt.isEmpty) Nil
       else {
-        val items = MergeSqlCompiler.splitTop(paramsTxt).map(i =>
-          ExecLiteralSqlCompiler.paramDeclRe.findFirstMatchIn(i.trim)
+        val items = MergeSqlCompiler.splitTop(paramsTxt).map { i0 =>
+          val i = i0.trim
+          // a trailing OUTPUT/OUT marks the parameter for post-call
+          // write-back; READONLY/defaults still fail paramDeclRe below
+          val (core, isOut) = outSuffixRe.findFirstMatchIn(i) match {
+            case Some(om) => (i.substring(0, om.end(1)).trim, true)
+            case None => (i, false)
+          }
+          ExecLiteralSqlCompiler.paramDeclRe.findFirstMatchIn(core)
             .flatMap { pm =>
-              val rawType = i.trim.substring(pm.start(2), pm.end(2))
+              val rawType = core.substring(pm.start(2), pm.end(2))
               ScriptedSqlExecutor.sparkDdlType(rawType)
-                .map(_ => pm.group(1).toLowerCase -> rawType)
-            })
+                .map(_ => (pm.group(1).toLowerCase, rawType, isOut))
+            }
+        }
         if (items.exists(_.isEmpty)) return None
         items.flatten
       }
@@ -186,45 +228,75 @@ object ProcInlineSqlCompiler {
     Some((name, Helper(params, body, locals.toSet)))
   }
 
-  /** Bind one EXEC's argument text against the helper → the expanded
-    * statement list (hygienic DECLAREs + renamed body), or None.
+  /** Bind one EXEC's argument text against the helper → the hygienic
+    * DECLAREs, the renamed body, and the OUTPUT write-backs, or None.
     * `declared` = outer @vars declared earlier in the SAME batch. */
-  private def expand(name: String, callNo: Int, h: Helper,
-      argsTxt: String, declared: Set[String]): Option[List[String]] = {
+  private def bind(name: String, callNo: Int, h: Helper,
+      argsTxt: String, declared: Set[String]): Option[Bound] = {
     val t = argsTxt.trim
     val argsRaw = if (t.isEmpty) Nil else MergeSqlCompiler.splitTop(t)
     if (argsRaw.size != h.params.size) return None
+    // a trailing OUTPUT/OUT keyword strips off the argument first
+    // (works for `@tot OUTPUT` and `@p = @tot OUTPUT` alike — the
+    // keyword is always last); the flag rides beside the bare text
+    def splitOut(a0: String): (String, Boolean) = {
+      val a = a0.trim
+      outSuffixRe.findFirstMatchIn(UpdateSqlCompiler.masked(a)) match {
+        case Some(om) => (a.substring(0, om.end(1)).trim, true)
+        case None => (a, false)
+      }
+    }
+    val stripped = argsRaw.map(splitOut)
     // an argument is a literal or a same-batch declared @var — T-SQL
     // EXEC accepts nothing else (expressions are a syntax error there)
     def argOk(aMsk: String): Boolean =
       ExecLiteralSqlCompiler.litArgMskRe.findFirstIn(aMsk).isDefined ||
         (varArgRe.findFirstMatchIn(aMsk).isDefined &&
           declared(aMsk.trim.substring(1).toLowerCase))
-    val named = argsRaw.map(a =>
+    val named = stripped.map { case (a, _) =>
       namedArgRe.findFirstMatchIn(
-        UpdateSqlCompiler.masked(a).trim).isDefined)
+        UpdateSqlCompiler.masked(a).trim).isDefined }
     if (named.distinct.size > 1) return None // mixed positional+named
-    val pairs: List[(String, String)] =
+    // (param name, argument text, call-site OUTPUT flag), param order
+    val triples: List[(String, String, Boolean)] =
       if (named.headOption.contains(true)) {
-        val bound = argsRaw.map { a =>
+        val bound = stripped.map { case (a, o) =>
           val am = UpdateSqlCompiler.masked(a).trim
           namedArgRe.findFirstMatchIn(am).flatMap { nm =>
             val vMsk = am.substring(nm.start(2)).trim
             if (!argOk(vMsk)) None
-            else Some(nm.group(1).toLowerCase -> a.trim.substring(nm.start(2)).trim)
+            else Some((nm.group(1).toLowerCase,
+              a.trim.substring(nm.start(2)).trim, o))
           }
         }
         if (bound.exists(_.isEmpty)) return None
-        val byName = bound.flatten.toMap
+        val byName = bound.flatten.map(b => b._1 -> (b._2, b._3)).toMap
         if (byName.size != bound.size ||
           byName.keySet != h.params.map(_._1).toSet) return None
-        h.params.map { case (n, _) => n -> byName(n) }
+        h.params.map { case (n, _, _) =>
+          val (v, o) = byName(n); (n, v, o) }
       } else {
-        if (argsRaw.exists(a =>
-            !argOk(UpdateSqlCompiler.masked(a).trim))) return None
-        h.params.map(_._1).zip(argsRaw.map(_.trim))
+        if (stripped.exists { case (a, _) =>
+            !argOk(UpdateSqlCompiler.masked(a).trim) }) return None
+        h.params.zip(stripped).map { case ((n, _, _), (a, o)) => (n, a, o) }
       }
-    val prefix = s"__graft_${name}_$callNo"
+    // call-site OUTPUT contract: the keyword on a non-OUTPUT parameter
+    // is T-SQL error 8162; OUTPUT with a literal argument is error 179
+    // — both decline. An OUTPUT parameter called WITHOUT the keyword
+    // binds by value and writes nothing back, exactly T-SQL.
+    val outParams = h.params.map(p => p._1 -> p._3).toMap
+    for ((n, a, o) <- triples if o) {
+      if (!outParams(n)) return None
+      if (varArgRe.findFirstMatchIn(
+          UpdateSqlCompiler.masked(a).trim).isEmpty) return None
+    }
+    // call number FIRST: it is the unique per-call token and contains
+    // no underscores, so the first '_'-delimited segment alone
+    // discriminates calls — a name-first spelling could collide when a
+    // proc name ends in '_<digit>' or a param name starts with one
+    // (`__graft_p_1_2_x` reads as p_1/call 2/param x AND p/call 1/
+    // param 2_x), silently cross-binding two calls' state
+    val prefix = s"__graft_${callNo}_$name"
     // one hygienic DECLARE per parameter, in declaration order — the
     // executor's own DECLARE path performs the typed assignment (and
     // its char(n) truncation contract), and a @var initializer reads
@@ -233,8 +305,9 @@ object ProcInlineSqlCompiler {
     // the '' escapes inside are valid in both dialects)
     def norm(a: String): String =
       if (a.matches("(?is)^N'.*'$")) a.replaceFirst("(?is)^N", "") else a
-    val declares = pairs.zip(h.params).map { case ((n, arg), (_, tpe)) =>
-      s"DECLARE @${prefix}_$n $tpe = ${norm(arg)}"
+    val declares = triples.zip(h.params).map {
+      case ((n, arg, _), (_, tpe, _)) =>
+        s"DECLARE @${prefix}_$n $tpe = ${norm(arg)}"
     }
     // rename params AND body-locals into the call's namespace (masked
     // segments — a literal containing '@x' is data, not a reference)
@@ -247,8 +320,20 @@ object ProcInlineSqlCompiler {
             s"@${prefix}_${rm.group(1).toLowerCase}")
         else rm.matched)
     }.mkString
-    Some(declares ++ SqlText.splitStatements(renamed))
+    // copy-out: the renamed local's FINAL value flows back to the
+    // caller's variable through the executor's SET path (cast to the
+    // caller's declared type, its char(n) cap applied)
+    val writebacks = triples.collect {
+      case (n, arg, true) => s"SET $arg = @${prefix}_$n"
+    }
+    Some(Bound(declares, renamed, writebacks))
   }
+
+  /** [[bind]] flattened to the expanded statement list. */
+  private def expand(name: String, callNo: Int, h: Helper,
+      argsTxt: String, declared: Set[String]): Option[List[String]] =
+    bind(name, callNo, h, argsTxt, declared).map(b =>
+      b.declares ++ SqlText.splitStatements(b.body) ++ b.writebacks)
 
   /** Whole-text recognizer: a script carrying its own helper
     * procedure(s) → the statement list with every call inlined, or
@@ -301,15 +386,45 @@ object ProcInlineSqlCompiler {
                 case Some(ss) => out ++= ss
                 case None => return None
               }
+          case None if insertExecRe.findFirstMatchIn(sMsk).exists(m =>
+              procs.contains(bare(stmt.substring(m.start(3), m.end(3))))) =>
+            // `INSERT INTO t [(cols)] EXEC helper <args>` over a LIVE
+            // script proc: owned when the body is ONE result-returning
+            // SELECT — the renamed SELECT inlines as the INSERT's
+            // source. A multi-statement body or an assigning SELECT
+            // (`SELECT @x = …` returns no result set) declines with
+            // the rest of the invisible-body class.
+            val m = insertExecRe.findFirstMatchIn(sMsk).get
+            val nm = bare(stmt.substring(m.start(3), m.end(3)))
+            val h = procs(nm)
+            val bMsk = UpdateSqlCompiler.masked(h.body).trim
+            if (SqlText.splitStatements(h.body).size != 1 ||
+                "(?is)^select\\b".r.findFirstIn(bMsk).isEmpty ||
+                "(?is)^select\\s+@".r.findFirstIn(bMsk).isDefined)
+              return None
+            callNo += 1
+            bind(nm, callNo, h,
+                stmt.substring(m.start(4), m.end(4)), declared.toSet)
+              match {
+                case Some(b) =>
+                  val tbl = stmt.substring(m.start(1), m.end(1))
+                  val cols = if (m.group(2) == null) ""
+                    else " " + stmt.substring(m.start(2), m.end(2))
+                  out ++= b.declares
+                  out += s"INSERT INTO $tbl$cols " +
+                    SqlText.splitStatements(b.body).head.trim
+                  out ++= b.writebacks
+                case None => return None
+              }
           case None =>
             // an EXEC of a name that is NOT a live script proc and NOT
             // an owned dynamic-SQL form is a procedure whose body this
             // replay cannot see (never created, or created-then-
             // dropped: T-SQL 2812) — decline the whole script. A
-            // MID-statement EXEC (`INSERT INTO t EXEC p` — the
-            // insert-exec idiom) is the same invisible-body class and
-            // would otherwise pass through to a guaranteed runtime
-            // decline: refuse it here so the ledger agrees.
+            // MID-statement EXEC of anything else (`INSERT INTO t EXEC
+            // p` over an invisible or off-shape body) would otherwise
+            // pass through to a guaranteed runtime decline: refuse it
+            // here so the ledger agrees.
             val headExec =
               "(?is)^\\s*exec(?:ute)?\\b".r.findFirstIn(sMsk).isDefined
             if (!headExec &&

@@ -2441,6 +2441,23 @@ class PipelineSpec extends AnyFunSuite {
     val fits = mkExec(w8)(task("ALTER TABLE rt ALTER COLUMN k VARCHAR(5)"))
       .getOrElse(fail("within-cap retype should compile"))
     assert(fits.df.get.count() === 2L)
+    // r16 — T-SQL trims trailing blanks SILENTLY when narrowing (no
+    // 8152): 'abc  ' → VARCHAR(3) succeeds and stores the first 3 chars
+    val w8b = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame](
+      "rt" -> Seq((1L, Some("abc  ")), (2L, None)).toDF("id", "k"))
+    val trimmed = mkExec(w8b)(task("ALTER TABLE rt ALTER COLUMN k VARCHAR(3)"))
+      .getOrElse(fail("blank-padded narrowing should compile"))
+    assert(trimmed.df.get.orderBy("id").select("k").collect()
+      .map(_.getString(0)).toList === List("abc", null),
+      "trailing blanks must trim silently, value capped at n")
+    // …and a NUMERIC source that doesn't fit reports 8115 overflow,
+    // not the string 8152 contract
+    val w8c = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame](
+      "rt" -> Seq((1L, 12345), (2L, 7)).toDF("id", "k"))
+    val numNarrow = mkExec(w8c)(task("ALTER TABLE rt ALTER COLUMN k VARCHAR(3)"))
+      .getOrElse(fail("numeric-to-char retype should compile; abort is lazy"))
+    val numErr = intercept[Exception](numNarrow.df.get.collect())
+    assert(numErr.getMessage.contains("8115"), numErr.getMessage)
     // 4924 on a missing column, eagerly, like DROP
     val e4924 = intercept[Exception](mkExec(fresh())(task(
       "ALTER TABLE mt ALTER COLUMN nope INT")))
@@ -2513,6 +2530,17 @@ class PipelineSpec extends AnyFunSuite {
       .getOrElse(fail("truncating DECLARE did not compile"))
     assert(wt("pet").count() === 1L,
       "DECLARE VARCHAR(1) must truncate its initializer")
+    // r16 — a re-DECLARE with an UNCAPPED type must CLEAR the stale cap
+    // (legal T-SQL across batches, and ProcInline flattens batches into
+    // one executor scope): @t VARCHAR(10) after @t VARCHAR(1) binds the
+    // full 'BX', which matches nothing — nothing deletes
+    val wr = fresh()
+    mkExec(wr)(task(
+      "DECLARE @t VARCHAR(1) = 'Q'; DECLARE @t VARCHAR(10); " +
+        "SET @t = 'BX'; DELETE FROM pet WHERE tag = @t;"))
+      .getOrElse(fail("re-DECLARE script did not compile"))
+    assert(wr("pet").count() === 3L,
+      "re-DECLARE must clear the stale VARCHAR(1) cap")
     // inside a script, a DECLARED @var argument binds through the
     // executor's own typed-literal pass before this compiler sees it
     val w3 = fresh()
@@ -2738,6 +2766,67 @@ class PipelineSpec extends AnyFunSuite {
         "EXEC pg N'BX';\nDROP PROCEDURE pg;"))
       .getOrElse(fail("truncating param did not compile"))
     assert(w6("pt").count() === 1L)
+    // r16 — scalar OUTPUT parameter: copy-in at the call, body mutates
+    // the renamed local, post-body write-back to the caller's variable
+    // (cast to the CALLER's type); the written-back value then drives
+    // a later statement. Both positional and named call spellings.
+    val w7 = fresh()
+    mkExec(w7)(task(
+      "CREATE PROCEDURE sumv @t VARCHAR(1), @tot DECIMAL(12,2) OUTPUT AS\n" +
+        "SELECT @tot = SUM(v) FROM pt WHERE tag = @t\nGO\n" +
+        "DECLARE @acc DECIMAL(12,2) = 0;\n" +
+        "EXEC sumv 'B', @acc OUTPUT;\n" +
+        "DELETE FROM pt WHERE v < @acc / 2;\n" +
+        "DROP PROCEDURE sumv;"))
+      .getOrElse(fail("OUTPUT-param script did not compile"))
+    // SUM(v) over tag B = 21; delete v < 10.5 removes ids 1 and 2
+    assert(w7("pt").orderBy("id").select("id").as[Long].collect().toList
+      === List(3L))
+    val w7n = fresh()
+    mkExec(w7n)(task(
+      "CREATE PROCEDURE sumv @t VARCHAR(1), @tot DECIMAL(12,2) OUTPUT AS\n" +
+        "SELECT @tot = SUM(v) FROM pt WHERE tag = @t\nGO\n" +
+        "DECLARE @acc DECIMAL(12,2) = 0;\n" +
+        "EXEC sumv @tot = @acc OUTPUT, @t = 'B';\n" +
+        "DELETE FROM pt WHERE v < @acc / 2;\n" +
+        "DROP PROCEDURE sumv;"))
+      .getOrElse(fail("named OUTPUT arg did not compile"))
+    assert(w7n("pt").count() === 1L)
+    // an OUTPUT param called WITHOUT the keyword binds by value and
+    // writes nothing back — @acc stays 0 and nothing deletes (T-SQL)
+    val w7v = fresh()
+    mkExec(w7v)(task(
+      "CREATE PROCEDURE sumv @t VARCHAR(1), @tot DECIMAL(12,2) OUTPUT AS\n" +
+        "SELECT @tot = SUM(v) FROM pt WHERE tag = @t\nGO\n" +
+        "DECLARE @acc DECIMAL(12,2) = 0;\n" +
+        "EXEC sumv 'B', @acc;\n" +
+        "DELETE FROM pt WHERE v < @acc / 2;\n" +
+        "DROP PROCEDURE sumv;"))
+      .getOrElse(fail("OUTPUT-param by-value call did not compile"))
+    assert(w7v("pt").count() === 3L,
+      "no OUTPUT keyword at the call = no write-back")
+    // r16 — INSERT INTO t EXEC helper: a single-SELECT visible body
+    // inlines as the INSERT's source
+    val w8 = fresh()
+    w8("pt2") = Seq((0L, 0.0)).toDF("id", "v")
+    mkExec(w8)(task(
+      "CREATE PROCEDURE topv @cut DECIMAL(12,2) AS\n" +
+        "SELECT id, v FROM pt WHERE v > @cut\nGO\n" +
+        "INSERT INTO pt2 EXEC topv 8;\nDROP PROCEDURE topv;"))
+      .getOrElse(fail("insert-exec did not compile"))
+    assert(w8("pt2").count() === 3L) // seed row + ids 2,3
+    // r16 — prefix hygiene: the call number LEADS the generated
+    // namespace, so confusable proc spellings (p vs p_1) can never
+    // share a renamed slot across calls
+    val w9 = fresh()
+    mkExec(w9)(task(
+      "CREATE PROCEDURE p @b2_x INT AS\n" +
+        "DELETE FROM pt WHERE id = @b2_x\nGO\n" +
+        "CREATE PROCEDURE p_1 @x INT AS\n" +
+        "DELETE FROM pt WHERE id = @x\nGO\n" +
+        "EXEC p 1;\nEXEC p_1 2;\nDROP PROCEDURE p;\nDROP PROCEDURE p_1;"))
+      .getOrElse(fail("confusable-name script did not compile"))
+    assert(w9("pt").count() === 1L)
     // declines
     for (sql <- Seq(
       // EXEC before the CREATE batch: T-SQL 2812
@@ -2752,9 +2841,24 @@ class PipelineSpec extends AnyFunSuite {
       // control flow in the body
       "CREATE PROCEDURE px @a INT AS\n" +
         "IF @a > 0 DELETE FROM pt WHERE id = @a\nGO\nEXEC px 1;",
-      // OUTPUT parameter
+      // OUTPUT keyword on a non-OUTPUT parameter: T-SQL 8162
+      "CREATE PROCEDURE px @a INT AS\n" +
+        "DELETE FROM pt WHERE id = @a\nGO\n" +
+        "DECLARE @i INT = 1;\nEXEC px @i OUTPUT;",
+      // OUTPUT with a literal argument: T-SQL 179
       "CREATE PROCEDURE px @a INT OUTPUT AS\n" +
+        "DELETE FROM pt WHERE id = @a\nGO\nEXEC px 1 OUTPUT;",
+      // READONLY parameter stays declined
+      "CREATE PROCEDURE px @a INT READONLY AS\n" +
         "DELETE FROM pt WHERE id = @a\nGO\nEXEC px 1;",
+      // INSERT…EXEC of a MULTI-statement body: no derived-table reading
+      "CREATE PROCEDURE px @a INT AS\n" +
+        "DELETE FROM pt WHERE id = 0;\nSELECT id, v FROM pt WHERE id = @a\n" +
+        "GO\nINSERT INTO pt2 EXEC px 1;",
+      // INSERT…EXEC of an ASSIGNING body: returns no result set
+      "CREATE PROCEDURE px @a INT, @x INT OUTPUT AS\n" +
+        "SELECT @x = COUNT(*) FROM pt WHERE id = @a\nGO\n" +
+        "DECLARE @n INT = 0;\nINSERT INTO pt2 EXEC px 1, @n OUTPUT;",
       // body @token that is neither a parameter nor a body-local
       "CREATE PROCEDURE px @a INT AS\nDELETE FROM pt WHERE id = @b\nGO\n" +
         "EXEC px 1;",
@@ -2927,10 +3031,28 @@ class PipelineSpec extends AnyFunSuite {
       // silently diverge from a CI estate — decline
       "SELECT * FROM a JOIN b ON a.k = b.k " +
         "PIVOT (SUM(v) FOR s IN ([A], [B])) p",
+      // r16 — the TAIL relation of a multi-table FROM (tblTailRe would
+      // match `JOIN u`): wrapping only u while the pivot column may
+      // live on t would fail Spark analysis on a statement the ledger
+      // already classified 'converted' — decline at classification
+      "SELECT * FROM t CROSS JOIN u " +
+        "PIVOT (SUM(v) FOR s IN ([A], [B])) p",
+      "SELECT * FROM t CROSS JOIN (SELECT k, s, v FROM u) src " +
+        "PIVOT (SUM(v) FOR s IN ([A], [B])) p",
       // letter values with a QUALIFIED pivot column: same reason
       "SELECT * FROM (SELECT k, s, v FROM t) src " +
         "PIVOT (SUM(v) FOR src.s IN ([A], [B])) p"))
       assert(PivotSql.translate(s).exists(_.isLeft), s"should be Left: $s")
+    // …and the sole-relation guard must NOT over-decline the owned
+    // shapes: a bare table wraps, and an earlier FROM inside parens
+    // (a CTE body) doesn't count as a second relation
+    val Some(Right(tb)) = PivotSql.translate(
+      "SELECT * FROM t PIVOT (SUM(v) FOR s IN ([A], [B])) p")
+    assert(tb.contains("upper(s) AS s"), s"bare-table fold lost: $tb")
+    val Some(Right(tc)) = PivotSql.translate(
+      "WITH c AS (SELECT k, s, v FROM t) SELECT * FROM " +
+        "(SELECT k, s, v FROM c) src PIVOT (SUM(v) FOR s IN ([A], [B])) p")
+    assert(tc.contains("upper(s) AS s"), s"CTE-fed fold lost: $tc")
     // UNPIVOT translates to Spark's multi-paren form, alias stripped,
     // and the NULL measure rows drop in BOTH dialects
     val up = "SELECT k, st, cnt FROM wup " +
