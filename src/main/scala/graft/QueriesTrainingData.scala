@@ -6849,24 +6849,42 @@ object QueriesTrainingData {
     * and at production √N cells the per-cell population is √N so the
     * pair volume is Θ(N^1.5) spread across cells — the standard
     * SemDeDup deployment cost, bounded per cluster and embarrassingly
-    * parallel across them. */
-  def x124_semantic_cluster_dedup(spark: SparkSession, dir: String): DataFrame = {
+    * parallel across them. The production claim is MEASURED, not
+    * prose: SourcesAndIvfSpec's x124 audit runs [[semanticCells]] at
+    * √N cells over two corpus sizes and asserts the within-cell pair
+    * FRACTION shrinks (pairs/N² ∝ 1/√N), r16. */
+  /** The SemDeDup coarse plane alone: train the `nCells` quantizer and
+    * return each vector's (vec_id, cell, cd = centroid distance², qv =
+    * quantized vector). Shared by [[x124_semantic_cluster_dedup]]
+    * (nCells = 8, the oracle-replayable gate config) and by the scale
+    * audit in SourcesAndIvfSpec, which pins the production convention
+    * as a MEASURED fact — nCells ∝ √N keeps the within-cell pair
+    * volume Θ(N^1.5), the sublinearity the fixed-cells gate
+    * deliberately gives up for replayability (the x109 standard). */
+  private[graft] def semanticCells(emb: DataFrame, nCells: Int): DataFrame = {
     import graft.sim.PqIndex
-    val emb = embeddings(spark, dir)
     // one full-width "subspace": the coarse plane (x109's config)
     val sub = PqIndex.subspaces(emb, "vec_id", "embedding", 1, 64)
-    val cb = PqIndex.trainCodebooks(sub, "vec_id", nCw = 8, iters = 1)
+    val cb = PqIndex.trainCodebooks(sub, "vec_id", nCw = nCells, iters = 1)
     def d2(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
         lit(0L), (acc, v) => acc + v)
     // nearest cell + centroid distance in one partial-combining agg
-    val best = sub.join(broadcast(cb), Seq("s"))
+    sub.join(broadcast(cb), Seq("s"))
       .withColumn("d", d2(col("sv"), col("cv")))
       .groupBy(col("vec_id"))
       .agg(min(struct(col("d"), col("cw"))).as("mn"),
         first(col("sv")).as("qv"))
       .select(col("vec_id"), col("mn.cw").as("cell"), col("mn.d").as("cd"),
         col("qv"))
+  }
+
+  def x124_semantic_cluster_dedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(spark, dir)
+    def d2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v)
+    val best = semanticCells(emb, nCells = 8)
     val a = best.select(col("cell"), col("vec_id").as("ia"),
       col("cd").as("a_cd"), col("qv").as("a_qv"))
     val b = best.select(col("cell"), col("vec_id").as("ib"),

@@ -349,6 +349,50 @@ class SourcesAndIvfSpec extends AnyFunSuite {
       s"√N cells did not restore sublinearity: frac($n1)=$f1, frac($n2)=$f2")
   }
 
+  test("x124 √N-cells convention: within-cell pair volume grows ~N^1.5, not N²") {
+    // the x124 GATE pins nCells=8 for oracle replayability, making the
+    // within-cell self-join Θ(N²/8); the PRODUCTION convention is
+    // nCells ∝ √N (per-cell population √N → pair volume Θ(N^1.5)).
+    // Same standard as the x109 audit above: measure it. Pair volume
+    // is derived from cell POPULATIONS (Σ c·(c−1)/2 — exactly what the
+    // within-cell equi-join produces before the distance filter), so
+    // the audit measures the join's input volume without running it.
+    import spark.implicits._
+    // seeds are the nCells lowest ids, so the replicated corpus numbers
+    // replicas BLOCK-WISE (vec_id + rep·n0): the seed range then covers
+    // nCells DISTINCT original vectors — production seeds a sample of
+    // the corpus, never one vector's jittered copies
+    def corpus(times: Int): org.apache.spark.sql.DataFrame = {
+      val base = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      if (times == 1) base
+      else {
+        val n0 = base.count()
+        base.crossJoin(spark.range(times.toLong).toDF("rep"))
+          .withColumn("vec_id", col("vec_id") + col("rep") * n0)
+          .withColumn("embedding", transform(col("embedding"),
+            x => x + (col("rep") * lit(0.001)).cast("float")))
+          .drop("rep")
+      }
+    }
+    def pairFrac(emb: org.apache.spark.sql.DataFrame): (Long, Double) = {
+      val n = emb.count()
+      val nCells = math.max(2, math.sqrt(n.toDouble).round.toInt)
+      val pairs = QueriesTrainingData.semanticCells(emb, nCells)
+        .groupBy("cell").count().select(col("count")).as[Long].collect()
+        .map(c => c * (c - 1) / 2).sum
+      (n, pairs.toDouble / (n.toDouble * n))
+    }
+    val (n1, f1) = pairFrac(corpus(1))
+    val (n2, f2) = pairFrac(corpus(16))
+    assert(n2 >= n1 * 5, s"corpus sizes too close to audit: $n1 vs $n2")
+    // balanced cells give fraction ≈ 1/(2·√N): a 16× corpus should show
+    // ~0.25× the fraction; 0.55 leaves margin for 1-iter k-means cell
+    // imbalance. A fixed-cells (Θ(N²)) shape would hold the fraction
+    // FLAT — the failure this audit exists to catch.
+    assert(f2 < f1 * 0.55,
+      s"√N cells did not bound pair volume: frac($n1)=$f1, frac($n2)=$f2")
+  }
+
   test("x85: IVF delta append serves delta neighbors without re-training") {
     val sf = "/root/testdata/sf0.001"
     import spark.implicits._
