@@ -94,6 +94,12 @@ object Bench {
     val errs = results.collect { case (k, _, _, Some(e)) => s"\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // sum-of-mins rides beside the median headline: the min is far less
+    // sensitive to box weather (PERF.md documents 1.3-2x same-binary
+    // sweep drift), so a round-over-round compare that sees the median
+    // total jump while value_min holds is reading weather, not a plan
+    // regression — the r15 167->306s driver swing class
+    val totalMin = results.map(_._3).sum
     val errField = if (errs == "{}") "" else s""","errors":$errs"""
     val detail =
       s"""{"metric":"queries_detail","queries":$qs,"queries_min":$mins,"n":${results.size}$errField,"sf":"$sfDir"}"""
@@ -105,7 +111,7 @@ object Bench {
     // final driver-contract line prints
     catch { case scala.util.control.NonFatal(_) => }
     println(detail)
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size}$errField,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"value_min":${f(totalMin)},"unit":"sec","n":${results.size}$errField,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
