@@ -2912,6 +2912,40 @@ object QueriesRelational {
       |   OR (CAST(o_totalprice AS DECIMAL(12,2)) >= 300000
       |        AND o_orderpriority = '2-HIGH')""".stripMargin
 
+  /** PIVOT and UNPIVOT chained in ONE statement through the dtsx
+    * frontend (`PivotUnpivotETL.dtsx`) — the report-matrix round-trip
+    * (r16; previously a documented decline).
+    * [[graft.patterns.PivotSql]] rewrites the two postfix table
+    * operators SEQUENTIALLY in source order — Spark's FROM clause
+    * accepts the same chain, so no nesting is synthesized; the
+    * collation fold wraps the pivot's derived-table source exactly as
+    * in the single-PIVOT case, and T-SQL's NULL-measure drop on the
+    * unpivot leg is Spark's default too. Plans as one scan + the
+    * partial-aggregating pivot + a narrow Expand — the same shape the
+    * two statements written separately would produce, minus the
+    * intermediate materialization. */
+  def q141_dtsx_pivot_unpivot(spark: SparkSession, dir: String): DataFrame = {
+    val (w, _) = runDtsxWarehousePackage(spark, dir, "PivotUnpivotETL.dtsx")
+    w("pu_chain").select(
+      col("prio").cast(StringType).as("prio"),
+      col("sc").cast(StringType).as("sc"),
+      col("amt").cast(DoubleType).as("amt"))
+  }
+
+  val q141Oracle: String =
+    """WITH w AS (
+      |  SELECT o_orderpriority AS prio,
+      |    SUM(CASE WHEN upper(o_orderstatus) = 'O'
+      |      THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS o_amt,
+      |    SUM(CASE WHEN upper(o_orderstatus) = 'F'
+      |      THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS f_amt
+      |  FROM orders GROUP BY o_orderpriority)
+      |SELECT prio, 'O' AS sc, CAST(o_amt AS DOUBLE) AS amt FROM w
+      |WHERE o_amt IS NOT NULL
+      |UNION ALL
+      |SELECT prio, 'F', CAST(f_amt AS DOUBLE) FROM w
+      |WHERE f_amt IS NOT NULL""".stripMargin
+
   /** Explicit GROUPING SETS with grouping_id disambiguation (beyond q24's
     * rollup): two chosen aggregation levels, no intermediate level. */
   def q39_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
@@ -4318,6 +4352,7 @@ object QueriesRelational {
     "q138_dtsx_pivot_ci" -> (q138_dtsx_pivot_ci _),
     "q139_dtsx_proc_output" -> (q139_dtsx_proc_output _),
     "q140_dtsx_insert_exec" -> (q140_dtsx_insert_exec _),
+    "q141_dtsx_pivot_unpivot" -> (q141_dtsx_pivot_unpivot _),
     "q82_orc_roundtrip" -> (q82_orc_roundtrip _),
     "q80_dtsx_cdc_merge" -> (q80_dtsx_cdc_merge _),
     "q79_delete_cascade" -> (q79_delete_cascade _),
@@ -4451,6 +4486,7 @@ object QueriesRelational {
     "q138_dtsx_pivot_ci" -> q138Oracle,
     "q139_dtsx_proc_output" -> q139Oracle,
     "q140_dtsx_insert_exec" -> q140Oracle,
+    "q141_dtsx_pivot_unpivot" -> q141Oracle,
     "q82_orc_roundtrip" -> q82Oracle,
     "q80_dtsx_cdc_merge" -> q80Oracle,
     "q79_delete_cascade" -> q79Oracle,

@@ -36,8 +36,10 @@ package graft.patterns
   * \`1995\`` matches an INT year column and a VARCHAR code column
   * alike, exactly the T-SQL conversion direction.
   *
-  * Owned only when: exactly ONE PIVOT (or one UNPIVOT — see
-  * [[translateUnpivot]]; a statement carrying both declines). */
+  * Owned only when: exactly ONE PIVOT, exactly one UNPIVOT (see
+  * [[translateUnpivot]]), or (r16) exactly one of EACH chained as
+  * postfix table operators — Spark's FROM clause accepts the same
+  * chain, so the two legs rewrite sequentially in source order. */
 object PivotSql {
 
   private val pivotHeadRe = "(?is)\\bpivot\\s*\\(".r
@@ -207,17 +209,83 @@ object PivotSql {
     Right(out)
   }
 
+  /** None = no PIVOT and no UNPIVOT (text untouched); Right =
+    * translated; Left = a shape this translation does not own. One
+    * PIVOT alone, one UNPIVOT alone, or (r16) exactly ONE of each
+    * chained as postfix table operators — the two legs rewrite
+    * SEQUENTIALLY in source order (each leg's own gates still apply;
+    * both aliasRe stop-word lists already refuse to eat the other
+    * operator's keyword as a result alias, and a collation fold whose
+    * pivot source is the chained UNPIVOT declines in wrapSource as
+    * any non-isolatable relation does). */
   def translate(sqlRaw: String): Option[Either[Unit, String]] = {
     val msk0 = UpdateSqlCompiler.masked(sqlRaw)
+    val unpivotHeads = unpivotHeadRe.findAllMatchIn(msk0).toList
     val hasUnpivot = unpivotRe.findFirstIn(msk0).isDefined
     val heads = pivotHeadRe.findAllMatchIn(msk0).toList
-    if (hasUnpivot)
-      // one UNPIVOT, no PIVOT beside it — the r14-owned shape
-      return Some(
-        if (heads.nonEmpty) Left(()) else translateUnpivot(sqlRaw, msk0))
-    if (heads.isEmpty) return None
+    if (heads.isEmpty && !hasUnpivot) return None
     if (heads.length > 1) return Some(Left(()))
-    val h = heads.head
+    if (!hasUnpivot) return Some(translatePivot(sqlRaw, msk0, heads.head))
+    if (heads.isEmpty) return Some(translateUnpivot(sqlRaw, msk0))
+    // exactly one PIVOT and one UNPIVOT (r16): owned ONLY as a true
+    // chain — the second operator directly follows the first's close
+    // (result alias alone may sit between), and after the second close
+    // only a result alias and an ordinary clause follow. Anything
+    // looser (the operators in sibling relations of a join, a join
+    // after the chain) keeps the decline: T-SQL binds a postfix
+    // operator to its preceding relation while Spark's FROM clause
+    // attaches the operator to the WHOLE join tree, so rewriting a
+    // non-chain would silently change the grouping input.
+    if (unpivotHeads.length != 1) return Some(Left(()))
+    val (p, u) = (heads.head, unpivotHeads.head)
+    val (first, second) = if (u.start > p.start) (p, u) else (u, p)
+    val firstClose = balancedClose(msk0, first.end)
+    if (firstClose < 0 ||
+        !chainGapRe.matches(msk0.substring(firstClose, second.start)))
+      return Some(Left(()))
+    val secondClose = balancedClose(msk0, second.end)
+    if (secondClose < 0 ||
+        !chainTailRe.matches(msk0.substring(secondClose)))
+      return Some(Left(()))
+    Some(if (u.start > p.start)
+      translatePivot(sqlRaw, msk0, p).flatMap(t1 =>
+        translateUnpivot(t1, UpdateSqlCompiler.masked(t1)))
+    else
+      translateUnpivot(sqlRaw, msk0).flatMap { t1 =>
+        val m1 = UpdateSqlCompiler.masked(t1)
+        pivotHeadRe.findAllMatchIn(m1).toList match {
+          case h1 :: Nil => translatePivot(t1, m1, h1)
+          case _ => Left(())
+        }
+      })
+  }
+
+  /** Index just past the ')' closing the paren opened before
+    * `openEnd`, or -1 when unbalanced. */
+  private def balancedClose(msk: String, openEnd: Int): Int = {
+    var depth = 1
+    var i = openEnd
+    while (depth > 0 && i < msk.length) {
+      msk.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ => ()
+      }
+      i += 1
+    }
+    if (depth == 0) i else -1
+  }
+
+  // between the chain's two operators: at most the first's result alias
+  private val chainGapRe = "(?is)^\\s*(?:as\\s+)?(?:[A-Za-z_]\\w*)?\\s*$".r
+  // after the second operator: alias, then an ordinary clause or end
+  private val chainTailRe =
+    ("(?is)^\\s*(?:as\\s+)?(?:[A-Za-z_]\\w*)?\\s*" +
+      "(?:(?:where|group|order|having|union|except|intersect|option|" +
+      "limit|offset|fetch)\\b.*)?$").r
+
+  private def translatePivot(sqlRaw: String, msk0: String,
+      h: scala.util.matching.Regex.Match): Either[Unit, String] = {
     // balanced span of the PIVOT argument list
     var depth = 1
     var i = h.end
@@ -229,10 +297,10 @@ object PivotSql {
       }
       i += 1
     }
-    if (depth != 0) return Some(Left(()))
+    if (depth != 0) return Left(())
     val argsRaw = sqlRaw.substring(h.end, i - 1)
     val argsMsk = msk0.substring(h.end, i - 1)
-    val m = innerRe.findFirstMatchIn(argsMsk).getOrElse(return Some(Left(())))
+    val m = innerRe.findFirstMatchIn(argsMsk).getOrElse(return Left(()))
     def g(k: Int): String = argsRaw.substring(m.start(k), m.end(k)).trim
     val agg = g(1)
     val pcol = g(2).replaceAll("[\\[\\]]", "")
@@ -240,7 +308,7 @@ object PivotSql {
     val names = items.map(it => itemRe.findFirstMatchIn(it)
       .map(im => Option(im.group(1)).getOrElse(im.group(2)))
       .filter(v => aliasOf(v).isDefined))
-    if (names.isEmpty || names.exists(_.isEmpty)) return Some(Left(()))
+    if (names.isEmpty || names.exists(_.isEmpty)) return Left(())
     val vals = names.flatten
     // collation fold (see scaladoc): letter-bearing values compare
     // case-insensitively in default T-SQL estates, so the source
@@ -251,9 +319,9 @@ object PivotSql {
     val pre =
       if (!fold) pre0
       else {
-        if (pcol.contains(".")) return Some(Left(())) // qualified: see doc
+        if (pcol.contains(".")) return Left(()) // qualified: see doc
         wrapSource(pre0, msk0.substring(0, h.start), pcol)
-          .getOrElse(return Some(Left(())))
+          .getOrElse(return Left(()))
       }
     def esc(s: String): String = s.replace("'", "''")
     val inList = vals.map { v =>
@@ -275,6 +343,6 @@ object PivotSql {
       case (seg, true) => seg
       case (seg, false) => vals.foldLeft(seg)(deref)
     }.mkString
-    Some(Right(out))
+    Right(out)
   }
 }

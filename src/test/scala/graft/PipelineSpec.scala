@@ -3053,6 +3053,41 @@ class PipelineSpec extends AnyFunSuite {
       "WITH c AS (SELECT k, s, v FROM t) SELECT * FROM " +
         "(SELECT k, s, v FROM c) src PIVOT (SUM(v) FOR s IN ([A], [B])) p")
     assert(tc.contains("upper(s) AS s"), s"CTE-fed fold lost: $tc")
+    // r16 — ONE PIVOT chained with ONE UNPIVOT rewrites sequentially
+    // (previously a documented decline); both result aliases strip,
+    // shared [X] names debracket, both legs' gates still apply
+    val chain = "SELECT prio, sc, amt FROM (SELECT prio, st, v FROM t) src " +
+      "PIVOT (SUM(v) FOR st IN ([O], [F])) p " +
+      "UNPIVOT (amt FOR sc IN ([O], [F])) u"
+    val Some(Right(tch)) = PivotSql.translate(chain)
+    assert(tch.contains("PIVOT (SUM(v) FOR st IN ('O' AS O, 'F' AS F))") &&
+      tch.contains("UNPIVOT ((amt) FOR sc IN ((O), (F)))") &&
+      !tch.endsWith(" u") && !tch.contains(" p "),
+      s"chained translation wrong: $tch")
+    // …and the chain executes end-to-end with T-SQL's NULL-measure drop
+    Seq((1L, "O", 10.0), (1L, "F", 5.0), (2L, "O", 7.0))
+      .toDF("prio", "st", "v").createOrReplaceTempView("puc")
+    val outC = graft.patterns.SqlPatternRewriter.rewrite(spark,
+      graft.ir.Ir.ExecuteSqlTask("puc1", None, "conn",
+        "INSERT INTO puct " + chain.replace("FROM t)", "FROM puc)")))
+      .getOrElse(fail("chained PIVOT+UNPIVOT did not compile"))
+    assert(outC.df.get.orderBy("prio", "sc").as[(Long, String, Double)]
+      .collect().toList ===
+      List((1L, "F", 5.0), (1L, "O", 10.0), (2L, "O", 7.0)))
+    // UNPIVOT-first chains rewrite too when the pivot leg needs no
+    // collation fold (letterless values)…
+    val chain2 = "SELECT * FROM wup " +
+      "UNPIVOT (cnt FOR st IN ([a_cnt], [b_cnt])) u " +
+      "PIVOT (SUM(cnt) FOR yr IN ([1995], [1996])) p"
+    assert(PivotSql.translate(chain2).exists(_.isRight))
+    // …and a letter-bearing pivot IN list after an UNPIVOT declines:
+    // wrapSource cannot isolate a chained source to upper-fold
+    assert(PivotSql.translate(chain2.replace("[1995], [1996]", "[A], [B]")
+      .replace("FOR yr", "FOR st")).exists(_.isLeft))
+    // two PIVOTs beside an UNPIVOT still decline
+    assert(PivotSql.translate(chain +
+      " CROSS JOIN (SELECT k2 FROM (SELECT 1 AS k2, 2 AS s2, 3 AS v2) " +
+      "PIVOT (SUM(v2) FOR s2 IN ([X])) q) z").exists(_.isLeft))
     // UNPIVOT translates to Spark's multi-paren form, alias stripped,
     // and the NULL measure rows drop in BOTH dialects
     val up = "SELECT k, st, cnt FROM wup " +
