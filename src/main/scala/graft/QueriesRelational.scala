@@ -2946,6 +2946,37 @@ object QueriesRelational {
       |SELECT prio, 'F', CAST(f_amt AS DOUBLE) FROM w
       |WHERE f_amt IS NOT NULL""".stripMargin
 
+  /** Parameterized `sp_executesql` with a scalar OUTPUT parameter
+    * through the dtsx frontend (`SpExecOutputETL.dtsx`) — the
+    * counts-into-variables logging idiom (r16; previously a blanket
+    * decline, and the reference manual-reviews every EXEC).
+    * [[graft.patterns.ScriptedSqlExecutor]] owns the shape directly:
+    * the OUT argument stays a VARIABLE reference (it is the write-back
+    * target, so the literal-binding path cannot carry it), the inner
+    * `SELECT @c = …` evaluates with IN params bound as typed literals
+    * and the OUT param's copy-in value, and the result casts back
+    * through the parameter's then the caller's declared types (each
+    * with its char cap). The stamped count then rides an UPDATE.
+    * Scale: the OUT evaluation is ONE scalar aggregate job; the stamp
+    * is a narrow projection. */
+  def q142_dtsx_spexec_output(spark: SparkSession, dir: String): DataFrame = {
+    val (w, _) = runDtsxWarehousePackage(spark, dir, "SpExecOutputETL.dtsx")
+    w("ord_so").select(
+      col("okey").cast(LongType).as("okey"),
+      col("price").cast(DoubleType).as("price"),
+      col("st").cast(StringType).as("st"),
+      col("hi_cnt").cast(IntegerType).as("hi_cnt"))
+  }
+
+  val q142Oracle: String =
+    """SELECT o_orderkey AS okey,
+      |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+      |  o_orderstatus AS st,
+      |  CAST((SELECT COUNT(*) FROM orders o2
+      |        WHERE CAST(o2.o_totalprice AS DECIMAL(12,2)) >= 250000)
+      |    AS INT) AS hi_cnt
+      |FROM orders""".stripMargin
+
   /** Explicit GROUPING SETS with grouping_id disambiguation (beyond q24's
     * rollup): two chosen aggregation levels, no intermediate level. */
   def q39_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
@@ -4353,6 +4384,7 @@ object QueriesRelational {
     "q139_dtsx_proc_output" -> (q139_dtsx_proc_output _),
     "q140_dtsx_insert_exec" -> (q140_dtsx_insert_exec _),
     "q141_dtsx_pivot_unpivot" -> (q141_dtsx_pivot_unpivot _),
+    "q142_dtsx_spexec_output" -> (q142_dtsx_spexec_output _),
     "q82_orc_roundtrip" -> (q82_orc_roundtrip _),
     "q80_dtsx_cdc_merge" -> (q80_dtsx_cdc_merge _),
     "q79_delete_cascade" -> (q79_delete_cascade _),
@@ -4487,6 +4519,7 @@ object QueriesRelational {
     "q139_dtsx_proc_output" -> q139Oracle,
     "q140_dtsx_insert_exec" -> q140Oracle,
     "q141_dtsx_pivot_unpivot" -> q141Oracle,
+    "q142_dtsx_spexec_output" -> q142Oracle,
     "q82_orc_roundtrip" -> q82Oracle,
     "q80_dtsx_cdc_merge" -> q80Oracle,
     "q79_delete_cascade" -> q79Oracle,

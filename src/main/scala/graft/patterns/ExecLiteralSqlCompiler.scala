@@ -206,6 +206,66 @@ object ExecLiteralSqlCompiler {
     else Some(replaced)
   }
 
+  /** A parameterized sp_executesql carrying OUTPUT parameter(s),
+    * parsed but NOT bound: the inner statement text, the declarations
+    * as (name, spark type, char cap, isOutput), and the arguments as
+    * (name, raw value text, call-site OUTPUT flag). OUT arguments must
+    * stay VARIABLE references (they are the write-back target), so
+    * this form cannot ride [[bindParameterized]]'s literal-only path —
+    * [[ScriptedSqlExecutor]] owns the binding, evaluation, and
+    * copy-out. None when the text is not a parameterized sp_executesql
+    * or declares no OUTPUT parameter (the literal path owns those). */
+  private[graft] final case class SpExecOutput(
+      inner: String,
+      decls: List[(String, String, Option[Int], Boolean)],
+      args: List[(String, String, Boolean)])
+
+  private val outSuffixRe = "(?is)^(.*?)\\s+(?:output|out)\\s*$".r
+
+  private[graft] def parseParameterizedOutput(
+      sqlRaw: String): Option[SpExecOutput] = {
+    val sql = SqlText.stripComments(sqlRaw)
+    val msk = UpdateSqlCompiler.masked(sql)
+    val m = spExecParamRe.findFirstMatchIn(msk).getOrElse(return None)
+    def g(i: Int): String = sql.substring(m.start(i), m.end(i))
+    val inner = singleLiteral(g(1)).filter(noExecTower).getOrElse(return None)
+    val declsTxt = singleLiteral(g(2)).getOrElse(return None)
+    val decls = MergeSqlCompiler.splitTop(declsTxt).map { d0 =>
+      val d = d0.trim
+      val (core, isOut) = outSuffixRe.findFirstMatchIn(d) match {
+        case Some(om) => (d.substring(0, om.end(1)).trim, true)
+        case None => (d, false)
+      }
+      paramDeclRe.findFirstMatchIn(core).flatMap { dm =>
+        val rawType = core.substring(dm.start(2), dm.end(2))
+        ScriptedSqlExecutor.sparkDdlType(rawType)
+          .map(t => (dm.group(1).toLowerCase, t, charCap(rawType), isOut))
+      }
+    }
+    if (decls.exists(_.isEmpty)) return None
+    val ds = decls.flatten
+    if (!ds.exists(_._4)) return None // no OUTPUT: the literal path
+    if (ds.map(_._1).distinct.size != ds.size) return None
+    val argsRaw = MergeSqlCompiler.splitTop(g(3))
+    val argsMsk = MergeSqlCompiler.splitTop(msk.substring(m.start(3), m.end(3)))
+    if (argsRaw.size != argsMsk.size) return None
+    val args = argsRaw.zip(argsMsk).map { case (raw, am0) =>
+      val am = am0.trim
+      // the OUT keyword strips on the MASKED twin; masking is length-
+      // preserving so the same span slices the raw text
+      val (amCore, isOut) = outSuffixRe.findFirstMatchIn(am) match {
+        case Some(om) => (am.substring(0, om.end(1)).trim, true)
+        case None => (am, false)
+      }
+      argRe.findFirstMatchIn(amCore).map { an =>
+        val rawCore = raw.trim.substring(0, amCore.length)
+        (an.group(1).toLowerCase, rawCore.substring(an.start(2)).trim, isOut)
+      }
+    }
+    if (args.exists(_.isEmpty)) return None
+    Some(SpExecOutput(inner, ds, args.flatten))
+  }
+
   // the same two EXEC frames with ANY argument text — the argument is
   // then required to be one top-level item (a comma = a parameter
   // list) that constant-folds as a `+` concatenation

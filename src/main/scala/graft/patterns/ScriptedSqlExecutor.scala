@@ -800,6 +800,102 @@ object ScriptedSqlExecutor {
           lastAffected = Some(() => 1L)
           return Some(SqlOutcome(None, None))
         }
+        // parameterized sp_executesql with a scalar OUTPUT parameter
+        // (r16) — the counts-into-variables logging idiom:
+        // `EXEC sp_executesql N'SELECT @c = …', N'@p INT, @c INT
+        // OUTPUT', @p = …, @c = @n OUTPUT`. This must run BEFORE the
+        // generic literal binding below: the OUT argument is the
+        // write-back TARGET, so it has to stay a variable reference.
+        // Copy-in/copy-out like T-SQL: the inner statement sees the
+        // caller's current value; the final parameter value casts back
+        // through the parameter's declared type and char cap, then
+        // through the CALLER's. Owned shape: ONE OUTPUT parameter,
+        // the inner a single `SELECT @out = <expr> [FROM …]`; a
+        // FROM-query assigning zero rows leaves the variable unchanged
+        // and several rows decline (the script SELECT-assign contract).
+        val peOpt =
+          if ("(?is)\\bsp_executesql\\b".r.findFirstIn(mskRc).isDefined &&
+              "(?i)\\b(?:output|out)\\b".r.findFirstIn(mskRc).isDefined)
+            ExecLiteralSqlCompiler.parseParameterizedOutput(sRc)
+          else None // a parse miss falls through to the literal path
+        peOpt.foreach { pe =>
+          val outs = pe.decls.filter(_._4)
+          if (outs.size != 1) return None
+          val (outName, outTpe, outCap, _) = outs.head
+          val declsByName = pe.decls.map(d => d._1 -> d).toMap
+          if (pe.args.map(_._1).distinct.size != pe.args.size ||
+              pe.args.map(_._1).toSet != pe.decls.map(_._1).toSet)
+            return None
+          // OUTPUT keyword on a non-OUT parameter: T-SQL 8162 — decline
+          if (pe.args.exists(a => a._3 && !declsByName(a._1)._4)) return None
+          // the OUT argument must be a DECLARED variable marked OUTPUT
+          // (a literal there is T-SQL error 179; an unmarked variable
+          // would silently never receive the value — decline both)
+          val outArg = pe.args.find(_._1 == outName).get
+          if (!outArg._3 || !outArg._2.matches("(?s)^@\\w+$")) return None
+          val outVar = outArg._2.substring(1).toLowerCase
+          if (!vars.contains(outVar)) return None
+          // IN arguments bind as typed literals (literal or declared
+          // @var, the bindVars pass), with the parameter's char cap
+          val inBind = pe.args.filterNot(_._1 == outName).map {
+            case (n, vTxt, _) =>
+              val bound = bindVars(vTxt).trim
+              val bm = UpdateSqlCompiler.masked(bound).trim
+              if (ExecLiteralSqlCompiler.litArgMskRe.findFirstIn(bm).isEmpty)
+                return None
+              val (_, tpe, cap, _) = declsByName(n)
+              val lit =
+                if (bound.matches("(?is)^N?'.*'$")) {
+                  val body = bound.replaceFirst("(?is)^N", "")
+                  val v0 = body.substring(1, body.length - 1)
+                    .replace("''", "'")
+                  SqlText.sqlLitOrDecline(
+                    cap.fold(v0)(c => SqlText.charTrunc(v0, c)))
+                } else bound
+              n -> s"CAST($lit AS $tpe)"
+          }.toMap
+          // the inner: exactly one scalar-assign SELECT to the OUT param
+          if (SqlText.splitStatements(pe.inner).size != 1) return None
+          val innerMsk = UpdateSqlCompiler.masked(pe.inner)
+          val sa = "(?is)^\\s*select\\s+@(\\w+)\\s*=\\s*(.+?)\\s*;?\\s*$".r
+            .findFirstMatchIn(innerMsk).getOrElse(return None)
+          if (sa.group(1).toLowerCase != outName) return None
+          val rhsRaw = pe.inner.substring(sa.start(2), sa.end(2))
+          // copy-in: the OUT param's occurrences in the RHS read the
+          // caller's current value at the parameter's declared type
+          val allBind = inBind + (outName ->
+            SqlText.sqlLitOrDecline(castTo(vars(outVar), outTpe)))
+          val boundRhs = MergeSqlCompiler.segments(rhsRaw).map {
+            case (seg, true) => seg
+            case (seg, false) => "@(\\w+)".r.replaceAllIn(seg, rm =>
+              allBind.get(rm.group(1).toLowerCase) match {
+                case Some(b) => java.util.regex.Matcher.quoteReplacement(b)
+                case None => rm.matched
+              })
+          }.mkString
+          if ("@\\w+".r.findFirstIn(
+              UpdateSqlCompiler.masked(boundRhs)).isDefined) return None
+          def writeBack(v: Any): Unit = {
+            val pv = castTo(v, outTpe) match {
+              case s: String => outCap.fold[Any](s)(c => SqlText.charTrunc(s, c))
+              case x => x
+            }
+            vars(outVar) = capVal(outVar, castTo(pv, varTypes(outVar)))
+          }
+          if (fromKeywordRe.findFirstIn(
+              UpdateSqlCompiler.masked(boundRhs)).isEmpty) {
+            writeBack(evalScalar(s"CAST(($boundRhs) AS $outTpe)"))
+            lastAffected = Some(() => 1L)
+          } else {
+            val rows = SqlPatternRewriter
+              .runSelect(spark, "SELECT " + boundRhs).limit(2).collect()
+            if (rows.length > 1) return None
+            rows.headOption.foreach(r => writeBack(r.get(0)))
+            val n = rows.length.toLong
+            lastAffected = Some(() => n)
+          }
+          return Some(SqlOutcome(None, None))
+        }: Unit
         // every other statement: bind declared @vars as typed literals;
         // an @reference that survives binding is undeclared — decline
         // the whole script rather than hand a compiler a bare @token

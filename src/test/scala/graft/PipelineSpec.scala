@@ -2541,6 +2541,54 @@ class PipelineSpec extends AnyFunSuite {
       .getOrElse(fail("re-DECLARE script did not compile"))
     assert(wr("pet").count() === 3L,
       "re-DECLARE must clear the stale VARCHAR(1) cap")
+    // r16 — a scalar OUTPUT parameter writes back to the caller's
+    // variable (copy-in/copy-out); the written-back count drives the
+    // next statement
+    val wo = fresh()
+    mkExec(wo)(task(
+      "DECLARE @n INT = 0;\n" +
+        "EXEC sp_executesql N'SELECT @c = COUNT(*) FROM pet WHERE " +
+        "tag = @t', N'@t VARCHAR(1), @c INT OUTPUT', @t = 'B', " +
+        "@c = @n OUTPUT;\n" +
+        "DELETE FROM pet WHERE id <= @n;"))
+      .getOrElse(fail("sp_executesql OUTPUT did not compile"))
+    assert(wo("pet").count() === 1L, "COUNT=2 must write back and delete 2")
+    // copy-in: the OUT param reads the caller's value at entry
+    val wo2 = fresh()
+    mkExec(wo2)(task(
+      "DECLARE @n INT = 7;\n" +
+        "EXEC sp_executesql N'SELECT @c = @c + 5', N'@c INT OUTPUT', " +
+        "@c = @n OUTPUT;\n" +
+        "DELETE FROM pet WHERE id <= @n - 10;"))
+      .getOrElse(fail("copy-in OUTPUT did not compile"))
+    assert(wo2("pet").count() === 1L, "7+5=12 → delete id <= 2")
+    // a FROM-query assigning ZERO rows leaves the variable unchanged
+    val wo3 = fresh()
+    mkExec(wo3)(task(
+      "DECLARE @n INT = 99;\n" +
+        "EXEC sp_executesql N'SELECT @c = id FROM pet WHERE tag = ''Z''', " +
+        "N'@c INT OUTPUT', @c = @n OUTPUT;\n" +
+        "DELETE FROM pet WHERE id < @n;"))
+      .getOrElse(fail("zero-row OUTPUT did not compile"))
+    assert(wo3("pet").count() === 0L, "@n must stay 99 on zero rows")
+    // OUTPUT declines: two OUT params, OUTPUT on a non-OUT param,
+    // unmarked OUT argument, non-assigning inner, multi-row assign
+    for (sql <- Seq(
+      "DECLARE @a INT = 0; DECLARE @b INT = 0; " +
+        "EXEC sp_executesql N'SELECT @x = 1', " +
+        "N'@x INT OUTPUT, @y INT OUTPUT', @x = @a OUTPUT, @y = @b OUTPUT;",
+      "DECLARE @a INT = 0; " +
+        "EXEC sp_executesql N'SELECT @x = @p', N'@p INT, @x INT OUTPUT', " +
+        "@p = 1 OUTPUT, @x = @a OUTPUT;",
+      "DECLARE @a INT = 0; " +
+        "EXEC sp_executesql N'SELECT @x = 1', N'@x INT OUTPUT', @x = @a;",
+      "DECLARE @a INT = 0; " +
+        "EXEC sp_executesql N'DELETE FROM pet WHERE id = @x', " +
+        "N'@x INT OUTPUT', @x = @a OUTPUT;",
+      "DECLARE @a INT = 0; " +
+        "EXEC sp_executesql N'SELECT @x = id FROM pet', " +
+        "N'@x INT OUTPUT', @x = @a OUTPUT;"))
+      assert(mkExec(fresh())(task(sql)).isEmpty, s"should decline: $sql")
     // inside a script, a DECLARED @var argument binds through the
     // executor's own typed-literal pass before this compiler sees it
     val w3 = fresh()
