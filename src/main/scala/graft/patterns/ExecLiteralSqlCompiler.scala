@@ -266,6 +266,37 @@ object ExecLiteralSqlCompiler {
     Some(SpExecOutput(inner, ds, args.flatten))
   }
 
+  /** Static twin of [[ScriptedSqlExecutor]]'s sp_executesql-OUTPUT
+    * ownership test, for the classification ledger (shape only —
+    * variable declaredness and literal bindability are runtime facts,
+    * the same looseness the script-feature twin already accepts for
+    * SELECT-assign): ONE OUTPUT declaration, arguments matching the
+    * declarations by name with OUTPUT exactly on the OUT parameter,
+    * the OUT argument a bare @variable, every IN argument a literal
+    * or @variable, and the inner a single `SELECT @out = …`. */
+  private[graft] def ownsOutputShape(sqlRaw: String): Boolean =
+    parseParameterizedOutput(sqlRaw).exists { pe =>
+      val outs = pe.decls.filter(_._4)
+      outs.size == 1 && {
+        val outName = outs.head._1
+        val declsByName = pe.decls.map(d => d._1 -> d).toMap
+        pe.args.map(_._1).distinct.size == pe.args.size &&
+        pe.args.map(_._1).toSet == pe.decls.map(_._1).toSet &&
+        !pe.args.exists(a => a._3 && !declsByName(a._1)._4) &&
+        pe.args.find(_._1 == outName).exists(a =>
+          a._3 && a._2.matches("(?s)^@\\w+$")) &&
+        pe.args.forall(a => a._1 == outName ||
+          a._2.matches("(?s)^@\\w+$") ||
+          litArgMskRe.findFirstIn(
+            UpdateSqlCompiler.masked(a._2).trim).isDefined) &&
+        SqlText.splitStatements(pe.inner).size == 1 && {
+          val im = UpdateSqlCompiler.masked(pe.inner)
+          "(?is)^\\s*select\\s+@(\\w+)\\s*=\\s*.+$".r.findFirstMatchIn(im)
+            .exists(_.group(1).toLowerCase == outName)
+        }
+      }
+    }
+
   // the same two EXEC frames with ANY argument text — the argument is
   // then required to be one top-level item (a comma = a parameter
   // list) that constant-folds as a `+` concatenation

@@ -529,7 +529,9 @@ object ScriptedSqlExecutor {
       NoopDdlSqlCompiler.shapeMatches(s))
     val tv = stmts.exists(s =>
       tableVarDeclRe.findFirstMatchIn(m(s)).isDefined)
-    if (!temp && !rc && !sv && !ddl && !tv) None
+    val spOut = stmts.exists(s =>
+      ExecLiteralSqlCompiler.ownsOutputShape(s))
+    if (!temp && !rc && !sv && !ddl && !tv && !spOut) None
     else Some(List(
       if (temp) Some("#temp scope (script-lifetime overlay tables)") else None,
       if (tv) Some("table variables (reduced to the temp overlay)")
@@ -538,6 +540,8 @@ object ScriptedSqlExecutor {
       if (sv) Some("script-scoped scalar @vars (typed-literal binding)")
       else None,
       if (ddl) Some("migration DDL (ALTER ADD/DROP COLUMN execute)")
+      else None,
+      if (spOut) Some("sp_executesql OUTPUT (scalar copy-out write-back)")
       else None)
       .flatten.mkString(" + "))
   }

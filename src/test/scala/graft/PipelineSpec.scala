@@ -2589,6 +2589,24 @@ class PipelineSpec extends AnyFunSuite {
         "EXEC sp_executesql N'SELECT @x = id FROM pet', " +
         "N'@x INT OUTPUT', @x = @a OUTPUT;"))
       assert(mkExec(fresh())(task(sql)).isEmpty, s"should decline: $sql")
+    // ledger twins for the OUTPUT shape: the owned script classifies
+    // converted (ownsOutputShape, the static twin); two OUT params
+    // keep the manual-review decline
+    assert(graft.parser.MigrationMapping.mapTask(
+      graft.ir.Ir.ExecuteSqlTask("t", None, "conn",
+        "DECLARE @hi INT = 0;\n" +
+          "EXEC sp_executesql N'SELECT @c = COUNT(*) FROM pet WHERE " +
+          "v >= @cut', N'@cut DECIMAL(12,2), @c INT OUTPUT', " +
+          "@cut = 8, @c = @hi OUTPUT;\n" +
+          "UPDATE pet SET v = 0 WHERE id <= @hi;"), Nil)
+      .status === "converted")
+    assert(graft.parser.MigrationMapping.mapTask(
+      graft.ir.Ir.ExecuteSqlTask("t", None, "conn",
+        "DECLARE @a INT = 0; DECLARE @b INT = 0;\n" +
+          "EXEC sp_executesql N'SELECT @x = 1', " +
+          "N'@x INT OUTPUT, @y INT OUTPUT', @x = @a OUTPUT, " +
+          "@y = @b OUTPUT;"), Nil)
+      .status === "manual_review")
     // inside a script, a DECLARED @var argument binds through the
     // executor's own typed-literal pass before this compiler sees it
     val w3 = fresh()
