@@ -6817,6 +6817,36 @@ object QueriesTrainingData {
       |FROM documents
       |GROUP BY 1, 2""".stripMargin
 
+  /** Integer squared L2 between two equal-length quantized arrays —
+    * the one spelling shared by [[semanticCells]] and the x124
+    * within-cell pair leg. */
+  private def quantSqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** The SemDeDup coarse plane alone: train the `nCells` quantizer and
+    * return each vector's (vec_id, cell, cd = centroid distance², qv =
+    * quantized vector). Shared by [[x124_semantic_cluster_dedup]]
+    * (nCells = 8, the oracle-replayable gate config) and by the scale
+    * audit in SourcesAndIvfSpec, which pins the production convention
+    * as a MEASURED fact — nCells ∝ √N keeps the within-cell pair
+    * volume Θ(N^1.5), the sublinearity the fixed-cells gate
+    * deliberately gives up for replayability (the x109 standard). */
+  private[graft] def semanticCells(emb: DataFrame, nCells: Int): DataFrame = {
+    import graft.sim.PqIndex
+    // one full-width "subspace": the coarse plane (x109's config)
+    val sub = PqIndex.subspaces(emb, "vec_id", "embedding", 1, 64)
+    val cb = PqIndex.trainCodebooks(sub, "vec_id", nCw = nCells, iters = 1)
+    // nearest cell + centroid distance in one partial-combining agg
+    sub.join(broadcast(cb), Seq("s"))
+      .withColumn("d", quantSqDist(col("sv"), col("cv")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d"), col("cw"))).as("mn"),
+        first(col("sv")).as("qv"))
+      .select(col("vec_id"), col("mn.cw").as("cell"), col("mn.d").as("cd"),
+        col("qv"))
+  }
+
   /** Semantic cluster-scoped dedup — the SemDeDup shape (Abbas et al.
     * 2023, "SemDeDup: Data-efficient learning at web-scale through
     * semantic deduplication"): cluster the embedding corpus with a
@@ -6853,37 +6883,8 @@ object QueriesTrainingData {
     * prose: SourcesAndIvfSpec's x124 audit runs [[semanticCells]] at
     * √N cells over two corpus sizes and asserts the within-cell pair
     * FRACTION shrinks (pairs/N² ∝ 1/√N), r16. */
-  /** The SemDeDup coarse plane alone: train the `nCells` quantizer and
-    * return each vector's (vec_id, cell, cd = centroid distance², qv =
-    * quantized vector). Shared by [[x124_semantic_cluster_dedup]]
-    * (nCells = 8, the oracle-replayable gate config) and by the scale
-    * audit in SourcesAndIvfSpec, which pins the production convention
-    * as a MEASURED fact — nCells ∝ √N keeps the within-cell pair
-    * volume Θ(N^1.5), the sublinearity the fixed-cells gate
-    * deliberately gives up for replayability (the x109 standard). */
-  private[graft] def semanticCells(emb: DataFrame, nCells: Int): DataFrame = {
-    import graft.sim.PqIndex
-    // one full-width "subspace": the coarse plane (x109's config)
-    val sub = PqIndex.subspaces(emb, "vec_id", "embedding", 1, 64)
-    val cb = PqIndex.trainCodebooks(sub, "vec_id", nCw = nCells, iters = 1)
-    def d2(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, v) => acc + v)
-    // nearest cell + centroid distance in one partial-combining agg
-    sub.join(broadcast(cb), Seq("s"))
-      .withColumn("d", d2(col("sv"), col("cv")))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("d"), col("cw"))).as("mn"),
-        first(col("sv")).as("qv"))
-      .select(col("vec_id"), col("mn.cw").as("cell"), col("mn.d").as("cd"),
-        col("qv"))
-  }
-
   def x124_semantic_cluster_dedup(spark: SparkSession, dir: String): DataFrame = {
     val emb = embeddings(spark, dir)
-    def d2(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, v) => acc + v)
     val best = semanticCells(emb, nCells = 8)
     val a = best.select(col("cell"), col("vec_id").as("ia"),
       col("cd").as("a_cd"), col("qv").as("a_qv"))
@@ -6891,7 +6892,7 @@ object QueriesTrainingData {
       col("cd").as("b_cd"), col("qv").as("b_qv"))
     val near = a.join(b, Seq("cell"))
       .filter(col("ia") < col("ib"))
-      .withColumn("pd2", d2(col("a_qv"), col("b_qv")))
+      .withColumn("pd2", quantSqDist(col("a_qv"), col("b_qv")))
       .filter(col("pd2") <= lit(130000000L))
     // dominance: the member closer to the centroid is pruned; a tie
     // prunes the higher vec_id (lower id survives)

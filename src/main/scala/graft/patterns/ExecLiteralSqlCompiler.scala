@@ -220,7 +220,9 @@ object ExecLiteralSqlCompiler {
       decls: List[(String, String, Option[Int], Boolean)],
       args: List[(String, String, Boolean)])
 
-  private val outSuffixRe = "(?is)^(.*?)\\s+(?:output|out)\\s*$".r
+  // shared with ProcInlineSqlCompiler — ONE spelling of the trailing
+  // OUTPUT/OUT keyword so the two surfaces can never drift
+  private[patterns] val outSuffixRe = "(?is)^(.*?)\\s+(?:output|out)\\s*$".r
 
   private[graft] def parseParameterizedOutput(
       sqlRaw: String): Option[SpExecOutput] = {
@@ -291,8 +293,12 @@ object ExecLiteralSqlCompiler {
             UpdateSqlCompiler.masked(a._2).trim).isDefined) &&
         SqlText.splitStatements(pe.inner).size == 1 && {
           val im = UpdateSqlCompiler.masked(pe.inner)
-          "(?is)^\\s*select\\s+@(\\w+)\\s*=\\s*.+$".r.findFirstMatchIn(im)
-            .exists(_.group(1).toLowerCase == outName)
+          "(?is)^\\s*select\\s+@(\\w+)\\s*=\\s*(.+?)\\s*;?\\s*$".r
+            .findFirstMatchIn(im)
+            .exists(mm => mm.group(1).toLowerCase == outName &&
+              // multi-assign inners decline at runtime — twin the gate
+              ScriptedSqlExecutor.innerAssignRe
+                .findFirstIn(mm.group(2)).isEmpty)
         }
       }
     }

@@ -106,8 +106,9 @@ object ProcInlineSqlCompiler {
   private val declareItemRe =
     "(?is)^@(\\w+)\\s+([A-Za-z]\\w*(?:\\s*\\([^)]*\\))?)(?:\\s*=\\s*(.+))?\\s*$".r
 
-  // trailing OUTPUT/OUT on a parameter declaration or call argument
-  private val outSuffixRe = "(?is)^(.*?)\\s+(?:output|out)\\s*$".r
+  // trailing OUTPUT/OUT on a parameter declaration or call argument —
+  // the one shared spelling ([[ExecLiteralSqlCompiler.outSuffixRe]])
+  private def outSuffixRe = ExecLiteralSqlCompiler.outSuffixRe
   private val insertExecRe =
     ("(?is)^\\s*insert\\s+into\\s+([\\w.\\[\\]#]+)\\s*(\\([^)]*\\))?\\s*" +
       "exec(?:ute)?\\s+([A-Za-z_\\[][\\w.\\[\\]]*)(.*?)\\s*;?\\s*$").r

@@ -91,7 +91,7 @@ object ScriptedSqlExecutor {
   // a second assignment target inside one SELECT (multi-assign) — or a
   // variable on the LEFT of a comparison, which binding would turn into
   // a silent literal=column predicate alias — both decline
-  private val innerAssignRe = "@\\w+\\s*=".r
+  private[patterns] val innerAssignRe = "@\\w+\\s*=".r
   private val scalarVarRe = "(?<!@)@(\\w+)".r
   private val fromKeywordRe = "(?i)\\bfrom\\b".r
   // any OTHER @@system_var (@@IDENTITY, @@ERROR, @@TRANCOUNT…) — state
@@ -864,11 +864,24 @@ object ScriptedSqlExecutor {
           val sa = "(?is)^\\s*select\\s+@(\\w+)\\s*=\\s*(.+?)\\s*;?\\s*$".r
             .findFirstMatchIn(innerMsk).getOrElse(return None)
           if (sa.group(1).toLowerCase != outName) return None
+          // a multi-assign inner (`SELECT @c = …, @c = 0`) or a
+          // left-side @var comparison in the RHS: T-SQL assigns
+          // left-to-right, which this single-value replay cannot
+          // reproduce — the script SELECT-assign's own decline
+          if (innerAssignRe.findFirstIn(
+              innerMsk.substring(sa.start(2), sa.end(2))).isDefined)
+            return None
           val rhsRaw = pe.inner.substring(sa.start(2), sa.end(2))
           // copy-in: the OUT param's occurrences in the RHS read the
-          // caller's current value at the parameter's declared type
-          val allBind = inBind + (outName ->
-            SqlText.sqlLitOrDecline(castTo(vars(outVar), outTpe)))
+          // caller's current value, cast to the parameter's declared
+          // type WITH its char(n) cap — T-SQL truncates at parameter
+          // assignment, entry and exit alike
+          val copyIn = castTo(vars(outVar), outTpe) match {
+            case s: String =>
+              outCap.fold[Any](s)(c => SqlText.charTrunc(s, c))
+            case x => x
+          }
+          val allBind = inBind + (outName -> SqlText.sqlLitOrDecline(copyIn))
           val boundRhs = MergeSqlCompiler.segments(rhsRaw).map {
             case (seg, true) => seg
             case (seg, false) => "@(\\w+)".r.replaceAllIn(seg, rm =>
@@ -888,7 +901,10 @@ object ScriptedSqlExecutor {
           }
           if (fromKeywordRe.findFirstIn(
               UpdateSqlCompiler.masked(boundRhs)).isEmpty) {
-            writeBack(evalScalar(s"CAST(($boundRhs) AS $outTpe)"))
+            // evalAssign, not bare evalScalar: a constant T-SQL `+`
+            // string concatenation in the inner folds exactly as every
+            // other assignment path folds it (SET/DECLARE/SELECT-assign)
+            writeBack(evalAssign(boundRhs, outTpe))
             lastAffected = Some(() => 1L)
           } else {
             val rows = SqlPatternRewriter

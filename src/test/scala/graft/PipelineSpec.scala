@@ -2562,6 +2562,28 @@ class PipelineSpec extends AnyFunSuite {
         "DELETE FROM pet WHERE id <= @n - 10;"))
       .getOrElse(fail("copy-in OUTPUT did not compile"))
     assert(wo2("pet").count() === 1L, "7+5=12 → delete id <= 2")
+    // r16 review — the inner's constant string concat folds exactly as
+    // every other assignment path folds it (T-SQL `+` concatenation)
+    val wo2c = fresh()
+    mkExec(wo2c)(task(
+      "DECLARE @v VARCHAR(20) = '';\n" +
+        "EXEC sp_executesql N'SELECT @c = ''B'' + ''X''', " +
+        "N'@c VARCHAR(20) OUTPUT', @c = @v OUTPUT;\n" +
+        "DELETE FROM pet WHERE tag = @v;"))
+      .getOrElse(fail("concat-fold OUTPUT did not compile"))
+    assert(wo2c("pet").count() === 3L,
+      "'B' + 'X' must fold to 'BX', which matches nothing")
+    // r16 review — copy-in TRUNCATES at the parameter's char(n) cap
+    // (T-SQL truncates at parameter assignment, entry and exit alike)
+    val wo2t = fresh()
+    mkExec(wo2t)(task(
+      "DECLARE @v VARCHAR(10) = 'BZZ';\n" +
+        "EXEC sp_executesql N'SELECT @c = @c', " +
+        "N'@c VARCHAR(1) OUTPUT', @c = @v OUTPUT;\n" +
+        "DELETE FROM pet WHERE tag = @v;"))
+      .getOrElse(fail("copy-in truncation OUTPUT did not compile"))
+    assert(wo2t("pet").count() === 1L,
+      "'BZZ' must truncate to 'B' at VARCHAR(1) copy-in")
     // a FROM-query assigning ZERO rows leaves the variable unchanged
     val wo3 = fresh()
     mkExec(wo3)(task(
@@ -2587,8 +2609,20 @@ class PipelineSpec extends AnyFunSuite {
         "N'@x INT OUTPUT', @x = @a OUTPUT;",
       "DECLARE @a INT = 0; " +
         "EXEC sp_executesql N'SELECT @x = id FROM pet', " +
+        "N'@x INT OUTPUT', @x = @a OUTPUT;",
+      // r16 review — MULTI-assign inner: T-SQL assigns left-to-right,
+      // which a single-value replay cannot reproduce — decline
+      "DECLARE @a INT = 0; " +
+        "EXEC sp_executesql N'SELECT @x = COUNT(*), @x = 0 FROM pet', " +
         "N'@x INT OUTPUT', @x = @a OUTPUT;"))
       assert(mkExec(fresh())(task(sql)).isEmpty, s"should decline: $sql")
+    // …and the multi-assign decline has its ledger twin
+    assert(graft.parser.MigrationMapping.mapTask(
+      graft.ir.Ir.ExecuteSqlTask("t", None, "conn",
+        "DECLARE @a INT = 0;\n" +
+          "EXEC sp_executesql N'SELECT @x = COUNT(*), @x = 0 FROM pet', " +
+          "N'@x INT OUTPUT', @x = @a OUTPUT;\nUPDATE pet SET v = @a;"), Nil)
+      .status === "manual_review")
     // ledger twins for the OUTPUT shape: the owned script classifies
     // converted (ownsOutputShape, the static twin); two OUT params
     // keep the manual-review decline
