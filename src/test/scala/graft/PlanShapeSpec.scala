@@ -101,6 +101,20 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q141: chained PIVOT+UNPIVOT plans one scan + pivot pair + narrow Expand") {
+    // the chain must cost what the two statements written separately
+    // would, MINUS the intermediate materialization: one orders scan
+    // into the partial-aggregating pivot, the unpivot leg a narrow
+    // Expand over the pivoted rows — no second scan, no extra exchange
+    val plan = executedPlan("q141_dtsx_pivot_unpivot")
+    assert("Scan parquet".r.findAllIn(plan).length === 1,
+      s"q141 must scan orders exactly once:\n$plan")
+    assert(plan.contains("pivotfirst") || plan.contains("partial_"),
+      s"q141 lost the partial-aggregating pivot:\n$plan")
+    assert(plan.contains("Expand"),
+      s"q141 lost the Expand unpivot leg:\n$plan")
+  }
+
   test("q33: dtsx-compiled full-cache lookups broadcast; source projection prunes") {
     val plan = executedPlan("q33_dtsx_dataflow")
     assert("BroadcastHashJoin".r.findAllIn(plan).length === 2)
