@@ -2977,6 +2977,41 @@ object QueriesRelational {
       |    AS INT) AS hi_cnt
       |FROM orders""".stripMargin
 
+  /** Parameterized `sp_executesql` with TWO scalar OUTPUT parameters
+    * through the dtsx frontend (`SpExecMultiOutETL.dtsx`) — the
+    * `@rows OUTPUT, @err OUTPUT` logging-pair form of the idiom q142
+    * owns for one parameter (r17).
+    * [[graft.patterns.ScriptedSqlExecutor]]'s OUTPUT path now takes N
+    * OUT parameters: the inner comma-assign SELECT must assign every
+    * OUT param exactly once with no RHS reading another target (T-SQL
+    * evaluates left-to-right, which a parallel copy-in replay cannot
+    * reproduce — those decline), a FROM-bearing inner evaluates as
+    * ONE query whose single row feeds every write-back, and each
+    * value casts back through its parameter's then its caller's
+    * declared types with their char caps. Both stamped scalars then
+    * ride one UPDATE. Scale: the OUT evaluation is ONE scalar
+    * aggregate job regardless of N; the stamp is a narrow projection. */
+  def q143_dtsx_spexec_multi_out(spark: SparkSession, dir: String): DataFrame = {
+    val (w, _) = runDtsxWarehousePackage(spark, dir, "SpExecMultiOutETL.dtsx")
+    w("ord_mo").select(
+      col("okey").cast(LongType).as("okey"),
+      col("price").cast(DoubleType).as("price"),
+      col("hi_cnt").cast(IntegerType).as("hi_cnt"),
+      col("hi_tot").cast(DoubleType).as("hi_tot"))
+  }
+
+  val q143Oracle: String =
+    """SELECT o_orderkey AS okey,
+      |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+      |  CAST((SELECT COUNT(*) FROM orders o2
+      |        WHERE CAST(o2.o_totalprice AS DECIMAL(12,2)) >= 250000)
+      |    AS INT) AS hi_cnt,
+      |  CAST((SELECT SUM(CAST(o2.o_totalprice AS DECIMAL(12,2)))
+      |          FROM orders o2
+      |        WHERE CAST(o2.o_totalprice AS DECIMAL(12,2)) >= 250000)
+      |    AS DOUBLE) AS hi_tot
+      |FROM orders""".stripMargin
+
   /** Explicit GROUPING SETS with grouping_id disambiguation (beyond q24's
     * rollup): two chosen aggregation levels, no intermediate level. */
   def q39_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
@@ -4385,6 +4420,7 @@ object QueriesRelational {
     "q140_dtsx_insert_exec" -> (q140_dtsx_insert_exec _),
     "q141_dtsx_pivot_unpivot" -> (q141_dtsx_pivot_unpivot _),
     "q142_dtsx_spexec_output" -> (q142_dtsx_spexec_output _),
+    "q143_dtsx_spexec_multi_out" -> (q143_dtsx_spexec_multi_out _),
     "q82_orc_roundtrip" -> (q82_orc_roundtrip _),
     "q80_dtsx_cdc_merge" -> (q80_dtsx_cdc_merge _),
     "q79_delete_cascade" -> (q79_delete_cascade _),
@@ -4520,6 +4556,7 @@ object QueriesRelational {
     "q140_dtsx_insert_exec" -> q140Oracle,
     "q141_dtsx_pivot_unpivot" -> q141Oracle,
     "q142_dtsx_spexec_output" -> q142Oracle,
+    "q143_dtsx_spexec_multi_out" -> q143Oracle,
     "q82_orc_roundtrip" -> q82Oracle,
     "q80_dtsx_cdc_merge" -> q80Oracle,
     "q79_delete_cascade" -> q79Oracle,

@@ -268,39 +268,101 @@ object ExecLiteralSqlCompiler {
     Some(SpExecOutput(inner, ds, args.flatten))
   }
 
+  /** Parse the OUTPUT call's inner `SELECT @a = e1[, @b = e2 …]
+    * [FROM …]` — the assign targets with their RAW RHS texts (source
+    * order) plus the raw FROM-tail, or None (manual review). The
+    * shape gates live HERE, shared by the executor and its
+    * classification twin so they cannot drift: a single statement;
+    * every top-level select item an `@name = expr` assign; targets
+    * DISTINCT (T-SQL re-assigns the same variable left-to-right,
+    * which a single-value replay cannot reproduce — q142's decline,
+    * kept); and no RHS references ANOTHER assign target — T-SQL
+    * evaluates the list left-to-right, so `SELECT @a = 1, @b = @a+1`
+    * reads @a's NEW value where a copy-in replay would read the old
+    * one. A SELF-reference is exact either way: it is the variable's
+    * first (and only) assignment, so it reads the copy-in value in
+    * both engines. The item split and the FROM cut both run on the
+    * masked twin at paren depth zero, so literals and subqueries
+    * cannot shear. */
+  private[graft] def parseOutputInner(
+      inner: String): Option[(List[(String, String)], Option[String])] = {
+    if (SqlText.splitStatements(inner).size != 1) return None
+    val msk = UpdateSqlCompiler.masked(inner)
+    val selM = "(?is)^\\s*select\\s+(.+?)\\s*;?\\s*$".r
+      .findFirstMatchIn(msk).getOrElse(return None)
+    val bodyMsk = msk.substring(selM.start(1), selM.end(1))
+    val bodyRaw = inner.substring(selM.start(1), selM.end(1))
+    val depthAt = new Array[Int](bodyMsk.length)
+    var d = 0
+    var k = 0
+    while (k < bodyMsk.length) {
+      depthAt(k) = d
+      bodyMsk.charAt(k) match {
+        case '(' => d += 1
+        case ')' => d -= 1
+        case _ => ()
+      }
+      k += 1
+    }
+    val fromIdx = "(?i)\\bfrom\\b".r.findAllMatchIn(bodyMsk)
+      .find(fm => depthAt(fm.start) == 0).map(_.start)
+    val (listMsk, listRaw, fromRaw) = fromIdx match {
+      case Some(i) => (bodyMsk.substring(0, i), bodyRaw.substring(0, i),
+        Some(bodyRaw.substring(i)))
+      case None => (bodyMsk, bodyRaw, None)
+    }
+    // top-level commas sit outside literals, so the masked and raw
+    // splits align item-for-item and span-for-span
+    val itemsMsk = MergeSqlCompiler.splitTop(listMsk)
+    val itemsRaw = MergeSqlCompiler.splitTop(listRaw)
+    if (itemsMsk.isEmpty || itemsMsk.size != itemsRaw.size) return None
+    val assignRe = "(?is)^\\s*@(\\w+)\\s*=\\s*(.+?)\\s*$".r
+    val assigns = itemsMsk.zip(itemsRaw).map { case (im, ir) =>
+      assignRe.findFirstMatchIn(im).map(am =>
+        (am.group(1).toLowerCase, ir.substring(am.start(2), am.end(2))))
+    }
+    if (assigns.exists(_.isEmpty)) return None
+    val as = assigns.flatten
+    val names = as.map(_._1)
+    if (names.distinct.size != names.size) return None
+    val nameSet = names.toSet
+    val crossRef = as.exists { case (nm, rhs) =>
+      "@(\\w+)".r.findAllMatchIn(UpdateSqlCompiler.masked(rhs)).exists { rm =>
+        val t = rm.group(1).toLowerCase
+        t != nm && nameSet(t)
+      }
+    }
+    if (crossRef) return None
+    Some((as, fromRaw))
+  }
+
   /** Static twin of [[ScriptedSqlExecutor]]'s sp_executesql-OUTPUT
     * ownership test, for the classification ledger (shape only —
     * variable declaredness and literal bindability are runtime facts,
     * the same looseness the script-feature twin already accepts for
-    * SELECT-assign): ONE OUTPUT declaration, arguments matching the
-    * declarations by name with OUTPUT exactly on the OUT parameter,
-    * the OUT argument a bare @variable, every IN argument a literal
-    * or @variable, and the inner a single `SELECT @out = …`. */
+    * SELECT-assign): N ≥ 1 OUTPUT declarations (r17 — q142 owned one;
+    * the `@rows OUTPUT, @err OUTPUT` logging pair is the same idiom),
+    * arguments matching the declarations by name with OUTPUT exactly
+    * on the OUT parameters, each OUT argument a bare @variable, every
+    * IN argument a literal or @variable, and the inner a single
+    * `SELECT @out1 = …[, @out2 = …]` assigning EVERY OUT parameter
+    * exactly once ([[parseOutputInner]]'s gates). */
   private[graft] def ownsOutputShape(sqlRaw: String): Boolean =
     parseParameterizedOutput(sqlRaw).exists { pe =>
       val outs = pe.decls.filter(_._4)
-      outs.size == 1 && {
-        val outName = outs.head._1
-        val declsByName = pe.decls.map(d => d._1 -> d).toMap
-        pe.args.map(_._1).distinct.size == pe.args.size &&
-        pe.args.map(_._1).toSet == pe.decls.map(_._1).toSet &&
-        !pe.args.exists(a => a._3 && !declsByName(a._1)._4) &&
-        pe.args.find(_._1 == outName).exists(a =>
-          a._3 && a._2.matches("(?s)^@\\w+$")) &&
-        pe.args.forall(a => a._1 == outName ||
-          a._2.matches("(?s)^@\\w+$") ||
-          litArgMskRe.findFirstIn(
-            UpdateSqlCompiler.masked(a._2).trim).isDefined) &&
-        SqlText.splitStatements(pe.inner).size == 1 && {
-          val im = UpdateSqlCompiler.masked(pe.inner)
-          "(?is)^\\s*select\\s+@(\\w+)\\s*=\\s*(.+?)\\s*;?\\s*$".r
-            .findFirstMatchIn(im)
-            .exists(mm => mm.group(1).toLowerCase == outName &&
-              // multi-assign inners decline at runtime — twin the gate
-              ScriptedSqlExecutor.innerAssignRe
-                .findFirstIn(mm.group(2)).isEmpty)
-        }
-      }
+      val outNames = outs.map(_._1).toSet
+      val declsByName = pe.decls.map(d => d._1 -> d).toMap
+      pe.args.map(_._1).distinct.size == pe.args.size &&
+      pe.args.map(_._1).toSet == pe.decls.map(_._1).toSet &&
+      !pe.args.exists(a => a._3 && !declsByName(a._1)._4) &&
+      outs.forall(o => pe.args.find(_._1 == o._1).exists(a =>
+        a._3 && a._2.matches("(?s)^@\\w+$"))) &&
+      pe.args.forall(a => outNames(a._1) ||
+        a._2.matches("(?s)^@\\w+$") ||
+        litArgMskRe.findFirstIn(
+          UpdateSqlCompiler.masked(a._2).trim).isDefined) &&
+      parseOutputInner(pe.inner).exists { case (assigns, _) =>
+        assigns.map(_._1).toSet == outNames }
     }
 
   // the same two EXEC frames with ANY argument text — the argument is

@@ -804,19 +804,26 @@ object ScriptedSqlExecutor {
           lastAffected = Some(() => 1L)
           return Some(SqlOutcome(None, None))
         }
-        // parameterized sp_executesql with a scalar OUTPUT parameter
-        // (r16) — the counts-into-variables logging idiom:
-        // `EXEC sp_executesql N'SELECT @c = …', N'@p INT, @c INT
-        // OUTPUT', @p = …, @c = @n OUTPUT`. This must run BEFORE the
-        // generic literal binding below: the OUT argument is the
-        // write-back TARGET, so it has to stay a variable reference.
-        // Copy-in/copy-out like T-SQL: the inner statement sees the
-        // caller's current value; the final parameter value casts back
-        // through the parameter's declared type and char cap, then
-        // through the CALLER's. Owned shape: ONE OUTPUT parameter,
-        // the inner a single `SELECT @out = <expr> [FROM …]`; a
-        // FROM-query assigning zero rows leaves the variable unchanged
-        // and several rows decline (the script SELECT-assign contract).
+        // parameterized sp_executesql with scalar OUTPUT parameter(s)
+        // (r16; generalized to N in r17) — the counts-into-variables
+        // logging idiom and its `@rows OUTPUT, @err OUTPUT` pair:
+        // `EXEC sp_executesql N'SELECT @c = …[, @s = …]', N'@p INT,
+        // @c INT OUTPUT, @s … OUTPUT', @p = …, @c = @n OUTPUT, @s = @m
+        // OUTPUT`. This must run BEFORE the generic literal binding
+        // below: the OUT arguments are the write-back TARGETS, so they
+        // have to stay variable references. Copy-in/copy-out like
+        // T-SQL: the inner statement sees each caller's current value;
+        // each final parameter value casts back through the
+        // parameter's declared type and char cap, then through the
+        // CALLER's. Owned shape: the inner a single `SELECT @o1 =
+        // e1[, @o2 = e2 …] [FROM …]` assigning every OUT parameter
+        // exactly once with no RHS reading ANOTHER target
+        // ([[ExecLiteralSqlCompiler.parseOutputInner]] — left-to-right
+        // chaining a parallel copy-in replay cannot reproduce); a
+        // FROM-query assigning zero rows leaves every variable
+        // unchanged and several rows decline (the script SELECT-assign
+        // contract). A FROM-bearing inner evaluates ONE query over all
+        // expressions — the same single row feeds every write-back.
         val peOpt =
           if ("(?is)\\bsp_executesql\\b".r.findFirstIn(mskRc).isDefined &&
               "(?i)\\b(?:output|out)\\b".r.findFirstIn(mskRc).isDefined)
@@ -824,24 +831,27 @@ object ScriptedSqlExecutor {
           else None // a parse miss falls through to the literal path
         peOpt.foreach { pe =>
           val outs = pe.decls.filter(_._4)
-          if (outs.size != 1) return None
-          val (outName, outTpe, outCap, _) = outs.head
+          val outNames = outs.map(_._1).toSet
           val declsByName = pe.decls.map(d => d._1 -> d).toMap
           if (pe.args.map(_._1).distinct.size != pe.args.size ||
               pe.args.map(_._1).toSet != pe.decls.map(_._1).toSet)
             return None
           // OUTPUT keyword on a non-OUT parameter: T-SQL 8162 — decline
           if (pe.args.exists(a => a._3 && !declsByName(a._1)._4)) return None
-          // the OUT argument must be a DECLARED variable marked OUTPUT
-          // (a literal there is T-SQL error 179; an unmarked variable
-          // would silently never receive the value — decline both)
-          val outArg = pe.args.find(_._1 == outName).get
-          if (!outArg._3 || !outArg._2.matches("(?s)^@\\w+$")) return None
-          val outVar = outArg._2.substring(1).toLowerCase
-          if (!vars.contains(outVar)) return None
+          // every OUT argument must be a DECLARED variable marked
+          // OUTPUT (a literal there is T-SQL error 179; an unmarked
+          // variable would silently never receive the value — decline
+          // both)
+          val outVars = outs.map { o =>
+            val outArg = pe.args.find(_._1 == o._1).get
+            if (!outArg._3 || !outArg._2.matches("(?s)^@\\w+$")) return None
+            val v = outArg._2.substring(1).toLowerCase
+            if (!vars.contains(v)) return None
+            o._1 -> v
+          }.toMap
           // IN arguments bind as typed literals (literal or declared
           // @var, the bindVars pass), with the parameter's char cap
-          val inBind = pe.args.filterNot(_._1 == outName).map {
+          val inBind = pe.args.filterNot(a => outNames(a._1)).map {
             case (n, vTxt, _) =>
               val bound = bindVars(vTxt).trim
               val bm = UpdateSqlCompiler.masked(bound).trim
@@ -858,61 +868,72 @@ object ScriptedSqlExecutor {
                 } else bound
               n -> s"CAST($lit AS $tpe)"
           }.toMap
-          // the inner: exactly one scalar-assign SELECT to the OUT param
-          if (SqlText.splitStatements(pe.inner).size != 1) return None
-          val innerMsk = UpdateSqlCompiler.masked(pe.inner)
-          val sa = "(?is)^\\s*select\\s+@(\\w+)\\s*=\\s*(.+?)\\s*;?\\s*$".r
-            .findFirstMatchIn(innerMsk).getOrElse(return None)
-          if (sa.group(1).toLowerCase != outName) return None
-          // a multi-assign inner (`SELECT @c = …, @c = 0`) or a
-          // left-side @var comparison in the RHS: T-SQL assigns
-          // left-to-right, which this single-value replay cannot
-          // reproduce — the script SELECT-assign's own decline
-          if (innerAssignRe.findFirstIn(
-              innerMsk.substring(sa.start(2), sa.end(2))).isDefined)
-            return None
-          val rhsRaw = pe.inner.substring(sa.start(2), sa.end(2))
-          // copy-in: the OUT param's occurrences in the RHS read the
-          // caller's current value, cast to the parameter's declared
-          // type WITH its char(n) cap — T-SQL truncates at parameter
-          // assignment, entry and exit alike
-          val copyIn = castTo(vars(outVar), outTpe) match {
-            case s: String =>
-              outCap.fold[Any](s)(c => SqlText.charTrunc(s, c))
-            case x => x
+          // the inner: one SELECT assigning every OUT param exactly
+          // once (shape gates shared with the classification twin)
+          val (assigns, fromTail) = ExecLiteralSqlCompiler
+            .parseOutputInner(pe.inner).getOrElse(return None)
+          if (assigns.map(_._1).toSet != outNames) return None
+          // copy-in: each OUT param's occurrences read the caller's
+          // current value, cast to the parameter's declared type WITH
+          // its char(n) cap — T-SQL truncates at parameter assignment,
+          // entry and exit alike
+          val copyIns = outs.map { case (n, tpe, cap, _) =>
+            n -> (castTo(vars(outVars(n)), tpe) match {
+              case s: String => cap.fold[Any](s)(c => SqlText.charTrunc(s, c))
+              case x => x
+            })
+          }.toMap
+          val allBind = inBind ++ copyIns.map { case (n, v) =>
+            n -> SqlText.sqlLitOrDecline(v) }
+          def bindOut(txt: String): String =
+            MergeSqlCompiler.segments(txt).map {
+              case (seg, true) => seg
+              case (seg, false) => "@(\\w+)".r.replaceAllIn(seg, rm =>
+                allBind.get(rm.group(1).toLowerCase) match {
+                  case Some(b) => java.util.regex.Matcher.quoteReplacement(b)
+                  case None => rm.matched
+                })
+            }.mkString
+          val boundRhs = assigns.map { case (nm, rhs) =>
+            val b = bindOut(rhs)
+            if ("@\\w+".r.findFirstIn(
+                UpdateSqlCompiler.masked(b)).isDefined) return None
+            nm -> b
           }
-          val allBind = inBind + (outName -> SqlText.sqlLitOrDecline(copyIn))
-          val boundRhs = MergeSqlCompiler.segments(rhsRaw).map {
-            case (seg, true) => seg
-            case (seg, false) => "@(\\w+)".r.replaceAllIn(seg, rm =>
-              allBind.get(rm.group(1).toLowerCase) match {
-                case Some(b) => java.util.regex.Matcher.quoteReplacement(b)
-                case None => rm.matched
-              })
-          }.mkString
-          if ("@\\w+".r.findFirstIn(
-              UpdateSqlCompiler.masked(boundRhs)).isDefined) return None
-          def writeBack(v: Any): Unit = {
+          def writeBack(outName: String, v: Any): Unit = {
+            val (_, outTpe, outCap, _) = declsByName(outName)
             val pv = castTo(v, outTpe) match {
               case s: String => outCap.fold[Any](s)(c => SqlText.charTrunc(s, c))
               case x => x
             }
-            vars(outVar) = capVal(outVar, castTo(pv, varTypes(outVar)))
+            val cv = outVars(outName)
+            vars(cv) = capVal(cv, castTo(pv, varTypes(cv)))
           }
-          if (fromKeywordRe.findFirstIn(
-              UpdateSqlCompiler.masked(boundRhs)).isEmpty) {
-            // evalAssign, not bare evalScalar: a constant T-SQL `+`
-            // string concatenation in the inner folds exactly as every
-            // other assignment path folds it (SET/DECLARE/SELECT-assign)
-            writeBack(evalAssign(boundRhs, outTpe))
-            lastAffected = Some(() => 1L)
-          } else {
-            val rows = SqlPatternRewriter
-              .runSelect(spark, "SELECT " + boundRhs).limit(2).collect()
-            if (rows.length > 1) return None
-            rows.headOption.foreach(r => writeBack(r.get(0)))
-            val n = rows.length.toLong
-            lastAffected = Some(() => n)
+          fromTail match {
+            case None =>
+              // evalAssign, not bare evalScalar: a constant T-SQL `+`
+              // string concatenation in the inner folds exactly as
+              // every other assignment path folds it (SET/DECLARE/
+              // SELECT-assign). Independent evaluation is EXACT here:
+              // the no-cross-reference gate means every RHS reads only
+              // copy-in state, never another assignment's result.
+              boundRhs.foreach { case (nm, b) =>
+                writeBack(nm, evalAssign(b, declsByName(nm)._2)) }
+              lastAffected = Some(() => 1L)
+            case Some(fromRaw) =>
+              val boundFrom = bindOut(fromRaw)
+              if ("@\\w+".r.findFirstIn(
+                  UpdateSqlCompiler.masked(boundFrom)).isDefined) return None
+              val rows = SqlPatternRewriter.runSelect(spark,
+                  "SELECT " + boundRhs.map(_._2).mkString(", ") +
+                    " " + boundFrom)
+                .limit(2).collect()
+              if (rows.length > 1) return None
+              rows.headOption.foreach(r =>
+                boundRhs.zipWithIndex.foreach { case ((nm, _), i) =>
+                  writeBack(nm, r.get(i)) })
+              val n = rows.length.toLong
+              lastAffected = Some(() => n)
           }
           return Some(SqlOutcome(None, None))
         }: Unit

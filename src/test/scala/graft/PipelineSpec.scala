@@ -2593,9 +2593,50 @@ class PipelineSpec extends AnyFunSuite {
         "DELETE FROM pet WHERE id < @n;"))
       .getOrElse(fail("zero-row OUTPUT did not compile"))
     assert(wo3("pet").count() === 0L, "@n must stay 99 on zero rows")
-    // OUTPUT declines: two OUT params, OUTPUT on a non-OUT param,
+    // r17 — N OUTPUT parameters write back in one call (the
+    // `@rows OUTPUT, @err OUTPUT` logging pair): a FROM-bearing inner
+    // evaluates ONE query over all expressions, each value casting
+    // back through its parameter's then its caller's declared types
+    val wm = fresh()
+    mkExec(wm)(task(
+      "DECLARE @n INT = 0; DECLARE @s DECIMAL(18,2) = 0;\n" +
+        "EXEC sp_executesql N'SELECT @c = COUNT(*), @t = SUM(v) FROM " +
+        "pet WHERE tag = @g', N'@g VARCHAR(1), @c INT OUTPUT, " +
+        "@t DECIMAL(18,2) OUTPUT', @g = 'B', @c = @n OUTPUT, " +
+        "@t = @s OUTPUT;\n" +
+        "DELETE FROM pet WHERE id < @n AND v < @s;"))
+      .getOrElse(fail("multi-OUT sp_executesql did not compile"))
+    assert(wm("pet").count() === 2L,
+      "COUNT=2/SUM=21 must write back: delete id<2 AND v<21 → row 1 only")
+    // …FROM-less multi-assign evaluates each expression independently
+    // (exact: the no-cross-reference gate means every RHS reads only
+    // copy-in state)
+    val wm2 = fresh()
+    mkExec(wm2)(task(
+      "DECLARE @a INT = 3; DECLARE @b INT = 0;\n" +
+        "EXEC sp_executesql N'SELECT @x = @x + 1, @y = 10', " +
+        "N'@x INT OUTPUT, @y INT OUTPUT', @x = @a OUTPUT, @y = @b OUTPUT;\n" +
+        "DELETE FROM pet WHERE id < @a AND id < @b;"))
+      .getOrElse(fail("FROM-less multi-OUT did not compile"))
+    assert(wm2("pet").count() === 0L, "@a=4, @b=10 → delete id<4")
+    // …zero rows leave EVERY variable unchanged
+    val wm3 = fresh()
+    mkExec(wm3)(task(
+      "DECLARE @a INT = 99; DECLARE @b INT = 99;\n" +
+        "EXEC sp_executesql N'SELECT @x = id, @y = id FROM pet WHERE " +
+        "tag = ''Z''', N'@x INT OUTPUT, @y INT OUTPUT', @x = @a OUTPUT, " +
+        "@y = @b OUTPUT;\n" +
+        "DELETE FROM pet WHERE id < @a AND id < @b;"))
+      .getOrElse(fail("zero-row multi-OUT did not compile"))
+    assert(wm3("pet").count() === 0L, "both must stay 99 on zero rows")
+    // OUTPUT declines: a RHS reading ANOTHER assign target (T-SQL
+    // evaluates left-to-right — a parallel copy-in replay cannot),
+    // an OUT param never assigned, OUTPUT on a non-OUT param,
     // unmarked OUT argument, non-assigning inner, multi-row assign
     for (sql <- Seq(
+      "DECLARE @a INT = 0; DECLARE @b INT = 0; " +
+        "EXEC sp_executesql N'SELECT @x = 1, @y = @x + 1', " +
+        "N'@x INT OUTPUT, @y INT OUTPUT', @x = @a OUTPUT, @y = @b OUTPUT;",
       "DECLARE @a INT = 0; DECLARE @b INT = 0; " +
         "EXEC sp_executesql N'SELECT @x = 1', " +
         "N'@x INT OUTPUT, @y INT OUTPUT', @x = @a OUTPUT, @y = @b OUTPUT;",
@@ -2634,6 +2675,8 @@ class PipelineSpec extends AnyFunSuite {
           "@cut = 8, @c = @hi OUTPUT;\n" +
           "UPDATE pet SET v = 0 WHERE id <= @hi;"), Nil)
       .status === "converted")
+    // an OUT param the inner never assigns keeps manual review (r17:
+    // N OUT params are owned, but only when EVERY one is assigned)
     assert(graft.parser.MigrationMapping.mapTask(
       graft.ir.Ir.ExecuteSqlTask("t", None, "conn",
         "DECLARE @a INT = 0; DECLARE @b INT = 0;\n" +
@@ -2641,6 +2684,14 @@ class PipelineSpec extends AnyFunSuite {
           "N'@x INT OUTPUT, @y INT OUTPUT', @x = @a OUTPUT, " +
           "@y = @b OUTPUT;"), Nil)
       .status === "manual_review")
+    // …while the fully-assigned pair classifies converted (r17 twin)
+    assert(graft.parser.MigrationMapping.mapTask(
+      graft.ir.Ir.ExecuteSqlTask("t", None, "conn",
+        "DECLARE @a INT = 0; DECLARE @b INT = 0;\n" +
+          "EXEC sp_executesql N'SELECT @x = COUNT(*), @y = SUM(v) " +
+          "FROM pet', N'@x INT OUTPUT, @y INT OUTPUT', @x = @a OUTPUT, " +
+          "@y = @b OUTPUT;\nUPDATE pet SET v = 0 WHERE id <= @a;"), Nil)
+      .status === "converted")
     // inside a script, a DECLARED @var argument binds through the
     // executor's own typed-literal pass before this compiler sees it
     val w3 = fresh()
