@@ -3012,6 +3012,73 @@ object QueriesRelational {
       |    AS DOUBLE) AS hi_tot
       |FROM orders""".stripMargin
 
+  /** `EXEC @rc = helper` return-code capture through the dtsx
+    * frontend (`ProcReturnETL.dtsx`) — the exit-status idiom around
+    * script-local helpers (r17; the reference routes every EXEC to
+    * manual review, `analyzer.py:137-145`).
+    * [[graft.patterns.ProcInlineSqlCompiler]] owns a RETURN only as
+    * the body's FINAL statement with a scalar expression: the
+    * hygienic expansion appends `SET @rc = CAST((<renamed expr>) AS
+    * INT)` after the body — T-SQL converts the returned value to INT
+    * — and a body ending without RETURN (or with a bare RETURN)
+    * returns 0. Mid-body RETURN stays control flow and declines; the
+    * @rc target must be declared in the same batch (T-SQL 137). The
+    * captured code then stamps the rows. Scale: all driver-side text
+    * expansion — the body plans the same scalar aggregate + narrow
+    * stamp the inline spelling would. */
+  def q144_dtsx_proc_return(spark: SparkSession, dir: String): DataFrame = {
+    val (w, _) = runDtsxWarehousePackage(spark, dir, "ProcReturnETL.dtsx")
+    w("ord_rc").select(
+      col("okey").cast(LongType).as("okey"),
+      col("price").cast(DoubleType).as("price"),
+      col("hi2").cast(IntegerType).as("hi2"))
+  }
+
+  val q144Oracle: String =
+    """SELECT o_orderkey AS okey,
+      |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+      |  CAST(2 * (SELECT COUNT(*) FROM orders o2
+      |        WHERE CAST(o2.o_totalprice AS DECIMAL(12,2)) >= 250000)
+      |    AS INT) AS hi2
+      |FROM orders""".stripMargin
+
+  /** `INSERT INTO t EXEC helper` over an ASSIGNMENT-PREFIX body
+    * through the dtsx frontend (`InsertExecMultiETL.dtsx`) — the
+    * compute-a-threshold-then-select reporting idiom (r17, widening
+    * q140's single-SELECT ownership).
+    * [[graft.patterns.ProcInlineSqlCompiler]] owns bodies of N−1
+    * scalar assignments (DECLAREs, SETs, assigning SELECTs — which
+    * return no result set) followed by ONE result-returning SELECT:
+    * the assignments expand hygienically per call and the renamed
+    * final SELECT inlines as the INSERT's source, so T-SQL's
+    * exactly-one-result-set contract holds by construction. The two
+    * calls (positional, then named args) prove per-call threshold
+    * isolation. Bodies with a non-final result SELECT keep the
+    * decline. Scale: per call, one scalar-aggregate job for the
+    * threshold and one filtered scan appending — identical to the
+    * hand-inlined spelling. */
+  def q145_dtsx_insert_exec_multi(spark: SparkSession, dir: String): DataFrame = {
+    val (w, _) = runDtsxWarehousePackage(spark, dir, "InsertExecMultiETL.dtsx")
+    w("cust_hie").select(
+      col("ck").cast(LongType).as("ck"),
+      col("bal").cast(DoubleType).as("bal"),
+      col("seg").cast(StringType).as("seg"))
+  }
+
+  val q145Oracle: String =
+    """SELECT c_custkey AS ck,
+      |  CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal,
+      |  c_mktsegment AS seg
+      |FROM customer c
+      |WHERE (c_mktsegment = 'BUILDING'
+      |    AND CAST(c_acctbal AS DECIMAL(12,2)) >=
+      |      (SELECT MAX(CAST(c2.c_acctbal AS DECIMAL(12,2))) - 2000
+      |         FROM customer c2 WHERE c2.c_mktsegment = 'BUILDING'))
+      |   OR (c_mktsegment = 'MACHINERY'
+      |    AND CAST(c_acctbal AS DECIMAL(12,2)) >=
+      |      (SELECT MAX(CAST(c2.c_acctbal AS DECIMAL(12,2))) - 1500
+      |         FROM customer c2 WHERE c2.c_mktsegment = 'MACHINERY'))""".stripMargin
+
   /** Explicit GROUPING SETS with grouping_id disambiguation (beyond q24's
     * rollup): two chosen aggregation levels, no intermediate level. */
   def q39_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
@@ -4421,6 +4488,8 @@ object QueriesRelational {
     "q141_dtsx_pivot_unpivot" -> (q141_dtsx_pivot_unpivot _),
     "q142_dtsx_spexec_output" -> (q142_dtsx_spexec_output _),
     "q143_dtsx_spexec_multi_out" -> (q143_dtsx_spexec_multi_out _),
+    "q144_dtsx_proc_return" -> (q144_dtsx_proc_return _),
+    "q145_dtsx_insert_exec_multi" -> (q145_dtsx_insert_exec_multi _),
     "q82_orc_roundtrip" -> (q82_orc_roundtrip _),
     "q80_dtsx_cdc_merge" -> (q80_dtsx_cdc_merge _),
     "q79_delete_cascade" -> (q79_delete_cascade _),
@@ -4557,6 +4626,8 @@ object QueriesRelational {
     "q141_dtsx_pivot_unpivot" -> q141Oracle,
     "q142_dtsx_spexec_output" -> q142Oracle,
     "q143_dtsx_spexec_multi_out" -> q143Oracle,
+    "q144_dtsx_proc_return" -> q144Oracle,
+    "q145_dtsx_insert_exec_multi" -> q145Oracle,
     "q82_orc_roundtrip" -> q82Oracle,
     "q80_dtsx_cdc_merge" -> q80Oracle,
     "q79_delete_cascade" -> q79Oracle,

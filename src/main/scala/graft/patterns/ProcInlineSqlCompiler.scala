@@ -53,19 +53,31 @@ package graft.patterns
   * error 8162 and OUTPUT on a literal argument is error 179 — both
   * decline.
   *
-  * `INSERT INTO t [(cols)] EXEC helper <args>` is owned (r16) when
-  * the helper body is ONE result-returning SELECT: the renamed
-  * SELECT inlines as the INSERT's source — mechanically the derived-
-  * table reading of the insert-exec reporting idiom. Multi-statement
-  * bodies, assigning SELECTs (`SELECT @x = …` returns no result
-  * set), and procs created elsewhere keep the invisible-body
-  * decline.
+  * `INSERT INTO t [(cols)] EXEC helper <args>` is owned (r16; r17
+  * widens it) when the helper body is N−1 scalar-assignment
+  * statements (DECLAREs, SETs, assigning SELECTs) followed by ONE
+  * result-returning SELECT: the assignments expand hygienically like
+  * any body and the renamed final SELECT inlines as the INSERT's
+  * source — T-SQL INSERT-EXEC captures the proc's result sets, and
+  * assigning SELECTs return none, so this body shape yields exactly
+  * one. Bodies with a non-final result SELECT (two result sets) or
+  * non-assignment statements before it, and procs created elsewhere,
+  * keep the invisible-body decline.
+  *
+  * `EXEC @rc = helper <args>` return codes are owned (r17) when the
+  * body's RETURN — if any — is its FINAL statement with a scalar
+  * expression: T-SQL converts the returned value to INT, so the
+  * expansion appends `SET @rc = CAST((<renamed expr>) AS INT)` after
+  * the body and write-backs (a body that ends without RETURN returns
+  * 0, and a bare `RETURN` returns 0 — both emit `SET @rc = 0`). The
+  * caller's @rc must be declared in the SAME batch (T-SQL 137). A
+  * RETURN anywhere but the final statement is control flow — decline.
   *
   * Declined to manual review: rollback / TRY-CATCH / SAVE TRAN
   * anywhere in the script (mirrors [[ScriptedSqlExecutor]]'s
   * dispatcher gates, which run BEFORE this compiler — declining here
   * keeps the classification ledger aligned with what actually
-  * executes), default/readonly parameters, RETURN or any
+  * executes), default/readonly parameters, mid-body RETURN or any
   * control flow in the body (IF/WHILE/BEGIN-END beyond the optional
   * outer wrapper, TRY/CATCH, transactions, cursors, nested EXEC),
   * `@@` system-variable reads in the body (at proc entry they see
@@ -84,14 +96,21 @@ object ProcInlineSqlCompiler {
   private val anyCreateProcRe = "(?i)\\bcreate\\s+proc(?:edure)?\\b".r
   private val execStmtRe =
     "(?is)^\\s*exec(?:ute)?\\s+([A-Za-z_\\[][\\w.\\[\\]]*)(.*?)\\s*;?\\s*$".r
+  // `EXEC @rc = helper <args>` — the return-code capture form (r17)
+  private val execRcRe =
+    ("(?is)^\\s*exec(?:ute)?\\s+(@\\w+)\\s*=\\s*" +
+      "([A-Za-z_\\[][\\w.\\[\\]]*)(.*?)\\s*;?\\s*$").r
   private val dropProcRe =
     ("(?is)^\\s*drop\\s+proc(?:edure)?\\s+(?:if\\s+exists\\s+)?" +
       "([\\w.\\[\\]]+)\\s*;?\\s*$").r
   private val namedArgRe = "(?is)^@(\\w+)\\s*=\\s*(.+)$".r
   private val scalarVarRe = "(?<!@)@(\\w+)".r
   private val varArgRe = "(?is)^@\\w+$".r
+  // `return` left this ban in r17: a FINAL-statement RETURN is owned
+  // (parseCreate strips it into Helper.ret); any other placement still
+  // declines via the explicit mid-body check there
   private val bodyBanRe =
-    ("(?i)\\b(begin|end|if|else|while|goto|return|cursor|fetch|" +
+    ("(?i)\\b(begin|end|if|else|while|goto|cursor|fetch|" +
       "open|close|deallocate|exec|execute|merge|tran|transaction|" +
       "rollback|commit|try|catch|output|out|readonly|default|" +
       "create|drop|alter|truncate|grant|revoke|use|waitfor)\\b").r
@@ -117,15 +136,19 @@ object ProcInlineSqlCompiler {
     name.split('.').last.replaceAll("[\\[\\]]", "").toLowerCase
 
   /** One parsed helper: ordered (param name, RAW T-SQL type text,
-    * declared OUTPUT), the body text, and the body-local DECLARE
-    * names. */
+    * declared OUTPUT), the body text (final-statement RETURN already
+    * stripped), the body-local DECLARE names, and the RETURN's scalar
+    * expression — `Some("0")` for a bare `RETURN`, None when the body
+    * ends without one (T-SQL returns 0 either way; the distinction is
+    * kept only for the scaladoc's sake). */
   private final case class Helper(params: List[(String, String, Boolean)],
-      body: String, locals: Set[String])
+      body: String, locals: Set[String], ret: Option[String])
 
   /** One bound call: the hygienic per-call DECLAREs, the renamed body
-    * text, and the post-body OUTPUT write-back statements. */
+    * text, the post-body OUTPUT write-back statements, and the
+    * return-code SET when the call captured one. */
   private final case class Bound(declares: List[String], body: String,
-      writebacks: List[String])
+      writebacks: List[String], rcSet: Option[String])
 
   /** Names declared by an outer-script DECLARE statement (the static
     * twin of the executor's DECLARE tracking — names only; the
@@ -201,6 +224,35 @@ object ProcInlineSqlCompiler {
     // @@ system variables at proc entry read CALLER state the
     // positional expansion cannot reproduce — decline
     if (bMsk.contains("@@")) return None
+    // RETURN is owned ONLY as the body's FINAL statement with an
+    // optional scalar expression (the return-code form — T-SQL
+    // converts the value to INT at return); a RETURN anywhere else is
+    // control flow and the whole script declines. The keyword scan
+    // runs per-statement on the masked twin so a literal 'return' is
+    // data. @tokens in the expression validate with the body scan
+    // below (the strip happens after, on the statement list).
+    val returnStmtRe = "(?is)^\\s*return(?:\\s+(.+?))?\\s*;?\\s*$".r
+    val bodyStmts0 = SqlText.splitStatements(body)
+    if (bodyStmts0.isEmpty) return None
+    val retHere = "(?i)\\breturn\\b".r
+    if (bodyStmts0.init.exists(s =>
+        retHere.findFirstIn(UpdateSqlCompiler.masked(s)).isDefined))
+      return None
+    val ret = bodyStmts0.lastOption.flatMap { last =>
+      val lMsk = UpdateSqlCompiler.masked(last)
+      if (retHere.findFirstIn(lMsk).isEmpty) None
+      else returnStmtRe.findFirstMatchIn(lMsk) match {
+        case Some(rm) => Some(Option(rm.group(1))
+          .map(_ => last.substring(rm.start(1), rm.end(1))).getOrElse("0"))
+        case None => return None // RETURN embedded in a larger statement
+      }
+    }
+    if (ret.isDefined) {
+      // a body that is ONLY `RETURN expr` is owned (bodyStmts may
+      // empty); re-join the rest — statement boundaries are already
+      // clean, so the split/join round-trips
+      body = bodyStmts0.init.mkString(";\n")
+    }
     // body-local DECLAREs: collect names, validating each item's type
     // maps (the executor would decline an unmapped type at runtime —
     // the classification twin must agree)
@@ -222,18 +274,22 @@ object ProcInlineSqlCompiler {
     // name collisions (param shadowed by a local) are T-SQL error 134
     val pset = params.map(_._1).toSet
     if (locals.exists(pset)) return None
-    // every body @token must be a parameter or a body-local
+    // every body @token must be a parameter or a body-local (bMsk is
+    // the PRE-strip mask, so a RETURN expression's tokens are covered)
     val known = pset ++ locals
     if (!scalarVarRe.findAllMatchIn(bMsk).map(_.group(1).toLowerCase)
         .forall(known)) return None
-    Some((name, Helper(params, body, locals.toSet)))
+    Some((name, Helper(params, body, locals.toSet, ret)))
   }
 
   /** Bind one EXEC's argument text against the helper → the hygienic
-    * DECLAREs, the renamed body, and the OUTPUT write-backs, or None.
+    * DECLAREs, the renamed body, the OUTPUT write-backs, and the
+    * return-code SET (when `rcTarget` captures one — the raw `@rc`
+    * text, which must be a same-batch declared variable), or None.
     * `declared` = outer @vars declared earlier in the SAME batch. */
   private def bind(name: String, callNo: Int, h: Helper,
-      argsTxt: String, declared: Set[String]): Option[Bound] = {
+      argsTxt: String, declared: Set[String],
+      rcTarget: Option[String] = None): Option[Bound] = {
     val t = argsTxt.trim
     val argsRaw = if (t.isEmpty) Nil else MergeSqlCompiler.splitTop(t)
     if (argsRaw.size != h.params.size) return None
@@ -313,7 +369,7 @@ object ProcInlineSqlCompiler {
     // rename params AND body-locals into the call's namespace (masked
     // segments — a literal containing '@x' is data, not a reference)
     val renames = h.params.map(_._1).toSet ++ h.locals
-    val renamed = MergeSqlCompiler.segments(h.body).map {
+    def rename(txt: String): String = MergeSqlCompiler.segments(txt).map {
       case (seg, true) => seg
       case (seg, false) => scalarVarRe.replaceAllIn(seg, rm =>
         if (renames(rm.group(1).toLowerCase))
@@ -321,20 +377,30 @@ object ProcInlineSqlCompiler {
             s"@${prefix}_${rm.group(1).toLowerCase}")
         else rm.matched)
     }.mkString
+    val renamed = rename(h.body)
     // copy-out: the renamed local's FINAL value flows back to the
     // caller's variable through the executor's SET path (cast to the
     // caller's declared type, its char(n) cap applied)
     val writebacks = triples.collect {
       case (n, arg, true) => s"SET $arg = @${prefix}_$n"
     }
-    Some(Bound(declares, renamed, writebacks))
+    // return code: T-SQL converts the returned value to INT; a body
+    // ending without RETURN (and a bare RETURN) returns 0. Runs AFTER
+    // the OUTPUT write-backs — both happen at proc exit, and T-SQL
+    // assigns the return code to the caller's variable last.
+    val rcSet = rcTarget.map { rc =>
+      s"SET $rc = CAST((${rename(h.ret.getOrElse("0"))}) AS INT)"
+    }
+    Some(Bound(declares, renamed, writebacks, rcSet))
   }
 
   /** [[bind]] flattened to the expanded statement list. */
   private def expand(name: String, callNo: Int, h: Helper,
-      argsTxt: String, declared: Set[String]): Option[List[String]] =
-    bind(name, callNo, h, argsTxt, declared).map(b =>
-      b.declares ++ SqlText.splitStatements(b.body) ++ b.writebacks)
+      argsTxt: String, declared: Set[String],
+      rcTarget: Option[String] = None): Option[List[String]] =
+    bind(name, callNo, h, argsTxt, declared, rcTarget).map(b =>
+      b.declares ++ SqlText.splitStatements(b.body) ++ b.writebacks ++
+        b.rcSet.toList)
 
   /** Whole-text recognizer: a script carrying its own helper
     * procedure(s) → the statement list with every call inlined, or
@@ -370,8 +436,26 @@ object ProcInlineSqlCompiler {
         val execM = execStmtRe.findFirstMatchIn(sMsk)
           .filter(m => procs.contains(
             bare(stmt.substring(m.start(1), m.end(1)))))
+        val execRcM = execRcRe.findFirstMatchIn(sMsk)
         val dropM = dropProcRe.findFirstMatchIn(sMsk)
-        if (dropM.isDefined) {
+        if (execRcM.isDefined) {
+          // `EXEC @rc = helper <args>` (r17): the return-code capture.
+          // The target must be a same-batch declared variable (T-SQL
+          // 137) and the proc live (2812) — else decline; bind appends
+          // the `SET @rc = CAST((<renamed RETURN expr>) AS INT)`.
+          val m = execRcM.get
+          val rcRaw = stmt.substring(m.start(1), m.end(1))
+          val nm = bare(stmt.substring(m.start(2), m.end(2)))
+          if (!procs.contains(nm) ||
+              !declared(rcRaw.substring(1).toLowerCase)) return None
+          callNo += 1
+          expand(nm, callNo, procs(nm),
+              stmt.substring(m.start(3), m.end(3)), declared.toSet,
+              rcTarget = Some(rcRaw)) match {
+            case Some(ss) => out ++= ss
+            case None => return None
+          }
+        } else if (dropM.isDefined) {
           val nm = bare(stmt.substring(dropM.get.start(1), dropM.get.end(1)))
           // dropping a procedure that is not live is state this
           // replay cannot see (unknown, or double-drop: T-SQL 3701)
@@ -390,18 +474,30 @@ object ProcInlineSqlCompiler {
           case None if insertExecRe.findFirstMatchIn(sMsk).exists(m =>
               procs.contains(bare(stmt.substring(m.start(3), m.end(3))))) =>
             // `INSERT INTO t [(cols)] EXEC helper <args>` over a LIVE
-            // script proc: owned when the body is ONE result-returning
-            // SELECT — the renamed SELECT inlines as the INSERT's
-            // source. A multi-statement body or an assigning SELECT
-            // (`SELECT @x = …` returns no result set) declines with
-            // the rest of the invisible-body class.
+            // script proc: owned when the body is N−1 scalar-assignment
+            // statements (DECLARE / SET @x / SELECT @x = …, which
+            // return NO result set) followed by ONE result-returning
+            // SELECT — T-SQL INSERT-EXEC captures the proc's result
+            // sets, and this shape yields exactly one, so the renamed
+            // final SELECT inlines as the INSERT's source after the
+            // renamed assignments run (r17; r16 owned the one-SELECT
+            // case). A non-final result SELECT (two result sets) or
+            // any other statement declines with the invisible-body
+            // class.
             val m = insertExecRe.findFirstMatchIn(sMsk).get
             val nm = bare(stmt.substring(m.start(3), m.end(3)))
             val h = procs(nm)
-            val bMsk = UpdateSqlCompiler.masked(h.body).trim
-            if (SqlText.splitStatements(h.body).size != 1 ||
-                "(?is)^select\\b".r.findFirstIn(bMsk).isEmpty ||
-                "(?is)^select\\s+@".r.findFirstIn(bMsk).isDefined)
+            val bodyStmts = SqlText.splitStatements(h.body)
+            def sm(s: String) = UpdateSqlCompiler.masked(s).trim
+            val assignShapeRe =
+              "(?is)^(?:declare\\b|set\\s+@|select\\s+@\\w+\\s*=)".r
+            if (bodyStmts.isEmpty ||
+                !bodyStmts.init.forall(s =>
+                  assignShapeRe.findFirstIn(sm(s)).isDefined) || {
+                  val last = sm(bodyStmts.last)
+                  "(?is)^select\\b".r.findFirstIn(last).isEmpty ||
+                    "(?is)^select\\s+@".r.findFirstIn(last).isDefined
+                })
               return None
             callNo += 1
             bind(nm, callNo, h,
@@ -411,9 +507,10 @@ object ProcInlineSqlCompiler {
                   val tbl = stmt.substring(m.start(1), m.end(1))
                   val cols = if (m.group(2) == null) ""
                     else " " + stmt.substring(m.start(2), m.end(2))
+                  val renamedStmts = SqlText.splitStatements(b.body)
                   out ++= b.declares
-                  out += s"INSERT INTO $tbl$cols " +
-                    SqlText.splitStatements(b.body).head.trim
+                  out ++= renamedStmts.init
+                  out += s"INSERT INTO $tbl$cols " + renamedStmts.last.trim
                   out ++= b.writebacks
                 case None => return None
               }

@@ -2978,8 +2978,76 @@ class PipelineSpec extends AnyFunSuite {
         "EXEC p 1;\nEXEC p_1 2;\nDROP PROCEDURE p;\nDROP PROCEDURE p_1;"))
       .getOrElse(fail("confusable-name script did not compile"))
     assert(w9("pt").count() === 1L)
+    // r17 — EXEC @rc = helper: a FINAL-statement RETURN's scalar
+    // expression converts to INT and lands in the caller's variable
+    val w10 = fresh()
+    mkExec(w10)(task(
+      "CREATE PROCEDURE cntv @cut DECIMAL(12,2) AS\nBEGIN\n" +
+        "DECLARE @n INT;\nSELECT @n = COUNT(*) FROM pt WHERE v > @cut;\n" +
+        "RETURN @n * 2\nEND\nGO\n" +
+        "DECLARE @rc INT = -1;\nEXEC @rc = cntv 8;\n" +
+        "DELETE FROM pt WHERE id <= @rc;\nDROP PROCEDURE cntv;"))
+      .getOrElse(fail("EXEC @rc = helper did not compile"))
+    assert(w10("pt").count() === 0L, "COUNT=2 → @rc=4 → delete id<=4 (all)")
+    // …a body WITHOUT a RETURN returns 0, and a bare RETURN returns 0
+    val w11 = fresh()
+    mkExec(w11)(task(
+      "CREATE PROCEDURE nop0 @a INT AS\n" +
+        "DELETE FROM pt WHERE id = @a\nGO\n" +
+        "CREATE PROCEDURE nop1 @a INT AS\nBEGIN\n" +
+        "DELETE FROM pt WHERE id = @a;\nRETURN\nEND\nGO\n" +
+        "DECLARE @r1 INT = 9; DECLARE @r2 INT = 9;\n" +
+        "EXEC @r1 = nop0 1;\nEXEC @r2 = nop1 2;\n" +
+        "DELETE FROM pt WHERE id > @r1 + @r2;\n" +
+        "DROP PROCEDURE nop0;\nDROP PROCEDURE nop1;"))
+      .getOrElse(fail("default return 0 did not compile"))
+    assert(w11("pt").count() === 0L,
+      "@r1=@r2=0 → delete id>0 removes the remaining row")
+    // …the plain call form still works on a RETURN-bearing helper (the
+    // return value is simply discarded, like T-SQL)
+    val w12 = fresh()
+    mkExec(w12)(task(
+      "CREATE PROCEDURE delr @a INT AS\nBEGIN\n" +
+        "DELETE FROM pt WHERE id = @a;\nRETURN 7\nEND\nGO\n" +
+        "EXEC delr 1;\nDROP PROCEDURE delr;"))
+      .getOrElse(fail("discarded-return call did not compile"))
+    assert(w12("pt").count() === 2L)
+    // r17 — INSERT…EXEC over an assignment-prefix body: the N−1
+    // scalar assignments run hygienically, the final SELECT inlines
+    // as the INSERT's source
+    val w13 = fresh()
+    w13("pt2") = Seq((0L, 0.0)).toDF("id", "v")
+    mkExec(w13)(task(
+      "CREATE PROCEDURE topd @k INT AS\nBEGIN\n" +
+        "DECLARE @cut DECIMAL(12,2);\n" +
+        "SELECT @cut = MAX(v) - @k FROM pt;\n" +
+        "SELECT id, v FROM pt WHERE v >= @cut\nEND\nGO\n" +
+        "INSERT INTO pt2 EXEC topd 4;\nDROP PROCEDURE topd;"))
+      .getOrElse(fail("assignment-prefix insert-exec did not compile"))
+    assert(w13("pt2").count() === 3L, "MAX(12)-4=8 → ids 2,3 + seed row")
     // declines
     for (sql <- Seq(
+      // mid-body RETURN is control flow
+      "CREATE PROCEDURE px @a INT AS\nBEGIN\nRETURN 1;\n" +
+        "DELETE FROM pt WHERE id = @a\nEND\nGO\nEXEC @rc = px 1;",
+      // EXEC @rc = <proc this script never created>: T-SQL 2812
+      "CREATE PROCEDURE px @a INT AS\nDELETE FROM pt WHERE id = @a\nGO\n" +
+        "DECLARE @rc INT = 0;\nEXEC @rc = other_proc 1;",
+      // @rc not declared in the batch: T-SQL 137
+      "CREATE PROCEDURE px @a INT AS\nDELETE FROM pt WHERE id = @a\nGO\n" +
+        "EXEC @rc = px 1;",
+      // @rc declared in a DIFFERENT batch: batch-scoped, 137 again
+      "CREATE PROCEDURE px @a INT AS\nDELETE FROM pt WHERE id = @a\nGO\n" +
+        "DECLARE @rc INT = 0;\nGO\nEXEC @rc = px 1;",
+      // a RETURN expression reading an undeclared @token
+      "CREATE PROCEDURE px @a INT AS\nBEGIN\n" +
+        "DELETE FROM pt WHERE id = @a;\nRETURN @nope\nEND\nGO\n" +
+        "DECLARE @rc INT = 0;\nEXEC @rc = px 1;",
+      // INSERT…EXEC with a NON-assignment statement before the SELECT
+      // (two result sets / side-effecting prefix) keeps the decline
+      "CREATE PROCEDURE px @a INT AS\nBEGIN\n" +
+        "SELECT id, v FROM pt;\nSELECT id, v FROM pt WHERE id = @a\n" +
+        "END\nGO\nINSERT INTO pt2 EXEC px 1;",
       // EXEC before the CREATE batch: T-SQL 2812
       "EXEC px 1;\nGO\nCREATE PROCEDURE px @a INT AS\n" +
         "DELETE FROM pt WHERE id = @a\nGO\nDROP PROCEDURE px;",
