@@ -3079,6 +3079,48 @@ object QueriesRelational {
       |      (SELECT MAX(CAST(c2.c_acctbal AS DECIMAL(12,2))) - 1500
       |         FROM customer c2 WHERE c2.c_mktsegment = 'MACHINERY'))""".stripMargin
 
+  /** UNPIVOT chained into PIVOT under CASE-INSENSITIVE collation
+    * through the dtsx frontend (`PivotChainCiETL.dtsx`) — the q141 ×
+    * q138 composition (r17; previously a documented decline). The
+    * estate writes the pivot IN list lowercase (`[1-urgent]`,
+    * `[2-high]`) while the staged matrix stores uppercase priorities;
+    * [[graft.patterns.PivotSql]]'s fold now wraps the WHOLE
+    * `<rel> UNPIVOT (…)` chain in the `upper()` projection — the
+    * pivot column exists only through the chain — and upper-cases the
+    * value literals, so the rows land exactly as a default-collation
+    * estate folds them. Without the fold both pivot columns read NULL
+    * — the silent divergence this gate pins through the oracle. Plans
+    * as one scan + narrow Expand (unpivot) + the partial-aggregating
+    * pivot — the same shape as the two statements written apart. */
+  def q146_dtsx_pivot_chain_ci(spark: SparkSession, dir: String): DataFrame = {
+    val (w, _) = runDtsxWarehousePackage(spark, dir, "PivotChainCiETL.dtsx")
+    w("pc_ci").select(
+      col("sc").cast(StringType).as("sc"),
+      col("1-urgent").cast(DoubleType).as("urgent"),
+      col("2-high").cast(DoubleType).as("high"))
+  }
+
+  val q146Oracle: String =
+    """WITH w AS (
+      |  SELECT o_orderpriority AS prio,
+      |    SUM(CASE WHEN o_orderstatus = 'O'
+      |      THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS open_amt,
+      |    SUM(CASE WHEN o_orderstatus = 'F'
+      |      THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS fill_amt
+      |  FROM orders GROUP BY o_orderpriority),
+      |u AS (
+      |  SELECT prio, 'open_amt' AS sc, open_amt AS amt FROM w
+      |  WHERE open_amt IS NOT NULL
+      |  UNION ALL
+      |  SELECT prio, 'fill_amt', fill_amt FROM w
+      |  WHERE fill_amt IS NOT NULL)
+      |SELECT sc,
+      |  CAST(MAX(CASE WHEN upper(prio) = '1-URGENT' THEN amt END)
+      |    AS DOUBLE) AS urgent,
+      |  CAST(MAX(CASE WHEN upper(prio) = '2-HIGH' THEN amt END)
+      |    AS DOUBLE) AS high
+      |FROM u GROUP BY sc""".stripMargin
+
   /** Explicit GROUPING SETS with grouping_id disambiguation (beyond q24's
     * rollup): two chosen aggregation levels, no intermediate level. */
   def q39_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
@@ -4490,6 +4532,7 @@ object QueriesRelational {
     "q143_dtsx_spexec_multi_out" -> (q143_dtsx_spexec_multi_out _),
     "q144_dtsx_proc_return" -> (q144_dtsx_proc_return _),
     "q145_dtsx_insert_exec_multi" -> (q145_dtsx_insert_exec_multi _),
+    "q146_dtsx_pivot_chain_ci" -> (q146_dtsx_pivot_chain_ci _),
     "q82_orc_roundtrip" -> (q82_orc_roundtrip _),
     "q80_dtsx_cdc_merge" -> (q80_dtsx_cdc_merge _),
     "q79_delete_cascade" -> (q79_delete_cascade _),
@@ -4628,6 +4671,7 @@ object QueriesRelational {
     "q143_dtsx_spexec_multi_out" -> q143Oracle,
     "q144_dtsx_proc_return" -> q144Oracle,
     "q145_dtsx_insert_exec_multi" -> q145Oracle,
+    "q146_dtsx_pivot_chain_ci" -> q146Oracle,
     "q82_orc_roundtrip" -> q82Oracle,
     "q80_dtsx_cdc_merge" -> q80Oracle,
     "q79_delete_cascade" -> q79Oracle,

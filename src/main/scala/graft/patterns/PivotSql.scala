@@ -96,8 +96,13 @@ object PivotSql {
   /** Wrap the relation immediately before the PIVOT head in the
     * upper-casing projection (collation fold — see scaladoc). Owned
     * source shapes: `FROM (sub) [AS] alias`, `FROM (sub)`,
-    * `FROM table [AS] alias`, `FROM table` — and only when that
-    * relation is the statement's sole top-level one
+    * `FROM table [AS] alias`, `FROM table` — and (r17) any of those
+    * carrying a postfix UNPIVOT, the already-translated leg of the
+    * owned chain, in which case the wrap subsumes the WHOLE
+    * `<rel> UNPIVOT (…)` span (the pivot column may exist only AFTER
+    * the unpivot — its name column, or a pass-through — so wrapping
+    * less would re-case the wrong relation). Every shape only when
+    * the relation is the statement's sole top-level one
     * ([[soleTopLevelRelation]]); anything else (a join tail, an
     * APPLY, …) returns None. */
   private def wrapSource(pre: String, preMsk: String,
@@ -110,6 +115,55 @@ object PivotSql {
       val inner = s"SELECT * EXCEPT ($pcol), upper($pcol) AS $pcol " +
         s"FROM $rel${alias.fold("")(" " + _)}"
       s"($inner)${alias.fold("")(" " + _)} "
+    }
+    // the chained case: the pre ends with the Spark-spelled UNPIVOT
+    // leg (its result alias already stripped by translateUnpivot).
+    // Find the relation the UNPIVOT postfixes with the same two tail
+    // shapes, then wrap the whole chain as one derived table:
+    // `(SELECT * EXCEPT (c), upper(c) AS c FROM
+    //    (SELECT * FROM <rel> UNPIVOT (…))) `
+    // (an UNPIVOT that is NOT the pre's tail — e.g. inside a derived
+    // table — is not the chain; fall through to the plain shapes)
+    unpivotHeadRe.findFirstMatchIn(preMsk).filter { um =>
+      val close = balancedClose(preMsk, um.end)
+      close >= 0 && preMsk.substring(close).trim.isEmpty
+    } match {
+      case Some(um) =>
+        val close = balancedClose(preMsk, um.end)
+        val prefix = preMsk.substring(0, um.start)
+        val relStart = subTailRe.findFirstMatchIn(prefix) match {
+          case Some(tm) =>
+            if (Option(tm.group(1)).exists(a => stopWords(a.toLowerCase)))
+              return None
+            var depth = 1
+            var j = tm.start - 1
+            while (depth > 0 && j >= 0) {
+              prefix.charAt(j) match {
+                case ')' => depth += 1
+                case '(' => depth -= 1
+                case _ => ()
+              }
+              j -= 1
+            }
+            if (depth != 0) return None
+            val openIdx = j + 1
+            val intro = "(?is)\\b(from|join)\\s*$".r
+              .findFirstMatchIn(prefix.substring(0, openIdx))
+              .getOrElse(return None)
+            if (!soleTopLevelRelation(preMsk, intro.start, intro.group(1)))
+              return None
+            openIdx
+          case None =>
+            val tm = tblTailRe.findFirstMatchIn(prefix).getOrElse(return None)
+            if (!soleTopLevelRelation(preMsk, tm.start, tm.group(1)))
+              return None
+            tm.start(2)
+        }
+        val chain = pre.substring(relStart, close)
+        return Some(pre.substring(0, relStart) +
+          s"(SELECT * EXCEPT ($pcol), upper($pcol) AS $pcol " +
+          s"FROM (SELECT * FROM $chain)) ")
+      case None => ()
     }
     subTailRe.findFirstMatchIn(preMsk) match {
       case Some(tm) =>
@@ -216,8 +270,8 @@ object PivotSql {
     * SEQUENTIALLY in source order (each leg's own gates still apply;
     * both aliasRe stop-word lists already refuse to eat the other
     * operator's keyword as a result alias, and a collation fold whose
-    * pivot source is the chained UNPIVOT declines in wrapSource as
-    * any non-isolatable relation does). */
+    * pivot source is the chained UNPIVOT wraps the WHOLE
+    * `<rel> UNPIVOT (…)` span — r17; wrapSource's chained case). */
   def translate(sqlRaw: String): Option[Either[Unit, String]] = {
     val msk0 = UpdateSqlCompiler.masked(sqlRaw)
     val unpivotHeads = unpivotHeadRe.findAllMatchIn(msk0).toList

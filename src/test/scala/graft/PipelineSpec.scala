@@ -3299,10 +3299,40 @@ class PipelineSpec extends AnyFunSuite {
       "UNPIVOT (cnt FOR st IN ([a_cnt], [b_cnt])) u " +
       "PIVOT (SUM(cnt) FOR yr IN ([1995], [1996])) p"
     assert(PivotSql.translate(chain2).exists(_.isRight))
-    // …and a letter-bearing pivot IN list after an UNPIVOT declines:
-    // wrapSource cannot isolate a chained source to upper-fold
-    assert(PivotSql.translate(chain2.replace("[1995], [1996]", "[A], [B]")
-      .replace("FOR yr", "FOR st")).exists(_.isLeft))
+    // r17 — a letter-bearing pivot IN list after an UNPIVOT now OWNS:
+    // the collation fold wraps the WHOLE `<rel> UNPIVOT (…)` chain
+    // (the pivot column may exist only after the unpivot), previously
+    // a documented decline
+    val chainCi = "SELECT sc, [en], [fr] FROM " +
+      "(SELECT lang, a_cnt, b_cnt FROM wci) src " +
+      "UNPIVOT (cnt FOR sc IN ([a_cnt], [b_cnt])) u " +
+      "PIVOT (MAX(cnt) FOR lang IN ([en], [fr])) p"
+    val Some(Right(tci)) = PivotSql.translate(chainCi)
+    assert(tci.contains("upper(lang) AS lang") &&
+      tci.contains("IN ('EN' AS en, 'FR' AS fr)"),
+      s"chained CI fold must wrap the whole unpivot chain: $tci")
+    // …and it executes: uppercase-stored langs land in the lowercase
+    // IN columns exactly as a default-collation estate folds them
+    Seq(("EN", Some(10.0), Some(5.0)), ("FR", Some(7.0), Option.empty[Double]))
+      .toDF("lang", "a_cnt", "b_cnt").createOrReplaceTempView("wci")
+    val outCi = graft.patterns.SqlPatternRewriter.rewrite(spark,
+      graft.ir.Ir.ExecuteSqlTask("pci", None, "conn",
+        s"INSERT INTO pcit $chainCi"))
+      .getOrElse(fail("chained CI PIVOT did not compile"))
+    assert(outCi.df.get.orderBy("sc")
+      .as[(String, Option[Double], Option[Double])].collect().toList ===
+      List(("a_cnt", Some(10.0), Some(7.0)), ("b_cnt", Some(5.0), None)))
+    // …a bare-table unpivot source folds too
+    val chainCi2 = "SELECT sc, [en], [fr] FROM wci " +
+      "UNPIVOT (cnt FOR sc IN ([a_cnt], [b_cnt])) u " +
+      "PIVOT (MAX(cnt) FOR lang IN ([en], [fr])) p"
+    assert(PivotSql.translate(chainCi2).exists(_.isRight))
+    // …but an unpivot-tailed chain whose relation sits in a join tail
+    // still declines (the sole-top-level-relation guard)
+    assert(PivotSql.translate(
+      "SELECT * FROM t CROSS JOIN wci " +
+        "UNPIVOT (cnt FOR sc IN ([a_cnt], [b_cnt])) u " +
+        "PIVOT (MAX(cnt) FOR lang IN ([en], [fr])) p").exists(_.isLeft))
     // two PIVOTs beside an UNPIVOT still decline
     assert(PivotSql.translate(chain +
       " CROSS JOIN (SELECT k2 FROM (SELECT 1 AS k2, 2 AS s2, 3 AS v2) " +
