@@ -162,4 +162,52 @@ class SqlTextPropertySpec extends AnyFunSuite {
       assert(s.startsWith(t), "truncation must be a prefix")
     }
   }
+
+  test("sp_executesql OUTPUT arg slicing survives hostile literal content") {
+    // parseParameterizedOutput slices RAW text by masked-twin spans
+    // (rawCore = raw.trim.substring(0, amCore.length)) — sound only
+    // because masking is length- and whitespace-preserving. Pin it
+    // against literals carrying the exact tokens the parser scans for
+    // (OUTPUT/OUT keywords, commas, '=', '@vars', doubled quotes).
+    val genLit: Gen[String] = Gen.listOfN(8, Gen.oneOf(
+      "output", "OUT", ",", "=", "@v", "x", " ", "(", ")", "N'",
+      "OUTPUT ")).map(_.mkString)
+    forAll(genLit) { lit0 =>
+      val lit = lit0.replace("'", "''")
+      val sql = "EXEC sp_executesql N'SELECT @c = COUNT(*) FROM t " +
+        "WHERE tag = @t', N'@t VARCHAR(99), @c INT OUTPUT', " +
+        s"@t = '$lit', @c = @n OUTPUT"
+      val pe = ExecLiteralSqlCompiler.parseParameterizedOutput(sql)
+        .getOrElse(fail(s"parse lost on literal: <$lit0>"))
+      val targ = pe.args.find(_._1 == "t")
+        .getOrElse(fail("@t argument lost"))
+      assert(!targ._3, s"literal content read as call-site OUTPUT: <$lit0>")
+      assert(targ._2 === s"'$lit'",
+        s"raw arg sliced wrong: <$lit0> -> <${targ._2}>")
+      val carg = pe.args.find(_._1 == "c").getOrElse(fail("@c lost"))
+      assert(carg._3 && carg._2 === "@n", "OUT argument mis-sliced")
+      assert(pe.decls.map(d => (d._1, d._4)) ===
+        List(("t", false), ("c", true)), "declarations mis-parsed")
+    }
+  }
+
+  test("pivot fold's sole-relation depth walk ignores literals and subqueries") {
+    // soleTopLevelRelation scans the masked prefix with a depth array:
+    // FROM/JOIN tokens inside string literals (masked away) or inside
+    // parens (depth > 0 — select-list subqueries, CTE bodies) must not
+    // flip the classification in either direction.
+    val genSel: Gen[String] = Gen.listOfN(3, Gen.oneOf(
+      "'from'", "' join x '", "(SELECT max(k) FROM z)", "k2",
+      "'('", "')'", "' cross join '")).map(_.mkString(", "))
+    forAll(genSel, 100) { sel =>
+      val own = s"SELECT [A], [B], $sel FROM (SELECT k, s, v FROM t) src " +
+        "PIVOT (SUM(v) FOR s IN ([A], [B])) p"
+      assert(PivotSql.translate(own).exists(_.isRight),
+        s"sole-relation walk over-declined on select list: $sel")
+      val joined = s"SELECT [A], [B], $sel FROM t CROSS JOIN u " +
+        "PIVOT (SUM(v) FOR s IN ([A], [B])) p"
+      assert(PivotSql.translate(joined).exists(_.isLeft),
+        s"join tail must keep the decline regardless of select list: $sel")
+    }
+  }
 }
