@@ -3046,17 +3046,18 @@ object QueriesRelational {
     * through the dtsx frontend (`InsertExecMultiETL.dtsx`) — the
     * compute-a-threshold-then-select reporting idiom (r17, widening
     * q140's single-SELECT ownership).
-    * [[graft.patterns.ProcInlineSqlCompiler]] owns bodies of N−1
-    * scalar assignments (DECLAREs, SETs, assigning SELECTs — which
-    * return no result set) followed by ONE result-returning SELECT:
-    * the assignments expand hygienically per call and the renamed
-    * final SELECT inlines as the INSERT's source, so T-SQL's
-    * exactly-one-result-set contract holds by construction. The two
-    * calls (positional, then named args) prove per-call threshold
-    * isolation. Bodies with a non-final result SELECT keep the
-    * decline. Scale: per call, one scalar-aggregate job for the
-    * threshold and one filtered scan appending — identical to the
-    * hand-inlined spelling. */
+    * [[graft.patterns.ProcInlineSqlCompiler]] owns bodies whose every
+    * statement is a scalar assignment (DECLAREs, SETs, assigning
+    * SELECTs — which return no result set) or a result-returning
+    * SELECT: T-SQL INSERT-EXEC captures ALL result sets, so each
+    * renamed result SELECT inlines as its own INSERT in body order,
+    * interleaved with the renamed assignments exactly as the proc
+    * would run them. The two calls (positional, then named args)
+    * prove per-call threshold isolation. Bodies with any other
+    * statement keep the decline. Scale: per call, one
+    * scalar-aggregate job for the threshold and one filtered scan
+    * appending per result set — identical to the hand-inlined
+    * spelling. */
   def q145_dtsx_insert_exec_multi(spark: SparkSession, dir: String): DataFrame = {
     val (w, _) = runDtsxWarehousePackage(spark, dir, "InsertExecMultiETL.dtsx")
     w("cust_hie").select(

@@ -54,15 +54,16 @@ package graft.patterns
   * decline.
   *
   * `INSERT INTO t [(cols)] EXEC helper <args>` is owned (r16; r17
-  * widens it) when the helper body is N−1 scalar-assignment
-  * statements (DECLAREs, SETs, assigning SELECTs) followed by ONE
-  * result-returning SELECT: the assignments expand hygienically like
-  * any body and the renamed final SELECT inlines as the INSERT's
-  * source — T-SQL INSERT-EXEC captures the proc's result sets, and
-  * assigning SELECTs return none, so this body shape yields exactly
-  * one. Bodies with a non-final result SELECT (two result sets) or
-  * non-assignment statements before it, and procs created elsewhere,
-  * keep the invisible-body decline.
+  * widens it) when every body statement is a scalar assignment
+  * (DECLAREs, SETs, assigning SELECTs — which return NO result set)
+  * or a result-returning SELECT, with at least one of the latter:
+  * T-SQL INSERT-EXEC captures ALL the proc's result sets into the
+  * target, so each renamed result SELECT inlines as its own INSERT
+  * in body order, interleaved with the renamed assignments exactly
+  * as the proc would run them. Bodies carrying any other statement,
+  * and procs created elsewhere, keep the invisible-body decline;
+  * result sets with mismatched column counts fail loudly at
+  * analysis, as T-SQL's own error 213 would.
   *
   * `EXEC @rc = helper <args>` return codes are owned (r17) when the
   * body's RETURN — if any — is its FINAL statement with a scalar
@@ -474,16 +475,18 @@ object ProcInlineSqlCompiler {
           case None if insertExecRe.findFirstMatchIn(sMsk).exists(m =>
               procs.contains(bare(stmt.substring(m.start(3), m.end(3))))) =>
             // `INSERT INTO t [(cols)] EXEC helper <args>` over a LIVE
-            // script proc: owned when the body is N−1 scalar-assignment
-            // statements (DECLARE / SET @x / SELECT @x = …, which
-            // return NO result set) followed by ONE result-returning
-            // SELECT — T-SQL INSERT-EXEC captures the proc's result
-            // sets, and this shape yields exactly one, so the renamed
-            // final SELECT inlines as the INSERT's source after the
-            // renamed assignments run (r17; r16 owned the one-SELECT
-            // case). A non-final result SELECT (two result sets) or
-            // any other statement declines with the invisible-body
-            // class.
+            // script proc: owned when every body statement is a scalar
+            // assignment (DECLARE / SET @x / SELECT @x = …, which
+            // return NO result set) or a result-returning SELECT, with
+            // at least one of the latter — T-SQL INSERT-EXEC captures
+            // ALL of the proc's result sets into the target, so each
+            // renamed result SELECT inlines as its own INSERT in body
+            // order, interleaved with the renamed assignments exactly
+            // as the proc would run them (r17; r16 owned the
+            // one-SELECT case, early r17 the assignment-prefix case).
+            // Any other statement declines with the invisible-body
+            // class; column-count mismatches between result sets fail
+            // loudly at analysis, as T-SQL's own 213 would.
             val m = insertExecRe.findFirstMatchIn(sMsk).get
             val nm = bare(stmt.substring(m.start(3), m.end(3)))
             val h = procs(nm)
@@ -491,13 +494,13 @@ object ProcInlineSqlCompiler {
             def sm(s: String) = UpdateSqlCompiler.masked(s).trim
             val assignShapeRe =
               "(?is)^(?:declare\\b|set\\s+@|select\\s+@\\w+\\s*=)".r
+            def isResultSelect(msk: String): Boolean =
+              "(?is)^select\\b".r.findFirstIn(msk).isDefined &&
+                "(?is)^select\\s+@".r.findFirstIn(msk).isEmpty
             if (bodyStmts.isEmpty ||
-                !bodyStmts.init.forall(s =>
-                  assignShapeRe.findFirstIn(sm(s)).isDefined) || {
-                  val last = sm(bodyStmts.last)
-                  "(?is)^select\\b".r.findFirstIn(last).isEmpty ||
-                    "(?is)^select\\s+@".r.findFirstIn(last).isDefined
-                })
+                !bodyStmts.forall(s => assignShapeRe.findFirstIn(sm(s))
+                  .isDefined || isResultSelect(sm(s))) ||
+                !bodyStmts.exists(s => isResultSelect(sm(s))))
               return None
             callNo += 1
             bind(nm, callNo, h,
@@ -507,10 +510,12 @@ object ProcInlineSqlCompiler {
                   val tbl = stmt.substring(m.start(1), m.end(1))
                   val cols = if (m.group(2) == null) ""
                     else " " + stmt.substring(m.start(2), m.end(2))
-                  val renamedStmts = SqlText.splitStatements(b.body)
                   out ++= b.declares
-                  out ++= renamedStmts.init
-                  out += s"INSERT INTO $tbl$cols " + renamedStmts.last.trim
+                  out ++= SqlText.splitStatements(b.body).map { rs =>
+                    if (isResultSelect(sm(rs)))
+                      s"INSERT INTO $tbl$cols " + rs.trim
+                    else rs
+                  }
                   out ++= b.writebacks
                 case None => return None
               }

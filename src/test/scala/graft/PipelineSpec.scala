@@ -3012,6 +3012,19 @@ class PipelineSpec extends AnyFunSuite {
         "EXEC delr 1;\nDROP PROCEDURE delr;"))
       .getOrElse(fail("discarded-return call did not compile"))
     assert(w12("pt").count() === 2L)
+    // …and the return code COMPOSES with an OUTPUT parameter in one
+    // call: write-backs land first, then the rc SET (both at proc
+    // exit, rc last — the T-SQL order)
+    val w12b = fresh()
+    mkExec(w12b)(task(
+      "CREATE PROCEDURE combo @cut DECIMAL(12,2), @n INT OUTPUT AS\nBEGIN\n" +
+        "SELECT @n = COUNT(*) FROM pt WHERE v > @cut;\nRETURN @n + 10\nEND\nGO\n" +
+        "DECLARE @c INT = 0; DECLARE @rc INT = 0;\n" +
+        "EXEC @rc = combo 8, @c OUTPUT;\n" +
+        "DELETE FROM pt WHERE id <= @rc + @c - 12;\nDROP PROCEDURE combo;"))
+      .getOrElse(fail("rc + OUTPUT composition did not compile"))
+    assert(w12b("pt").count() === 1L,
+      "@c=2, @rc=12 → delete id <= 2 → rows 1,2 go")
     // r17 — INSERT…EXEC over an assignment-prefix body: the N−1
     // scalar assignments run hygienically, the final SELECT inlines
     // as the INSERT's source
@@ -3025,6 +3038,17 @@ class PipelineSpec extends AnyFunSuite {
         "INSERT INTO pt2 EXEC topd 4;\nDROP PROCEDURE topd;"))
       .getOrElse(fail("assignment-prefix insert-exec did not compile"))
     assert(w13("pt2").count() === 3L, "MAX(12)-4=8 → ids 2,3 + seed row")
+    // …and a body with TWO result SELECTs inserts BOTH result sets in
+    // body order, T-SQL INSERT-EXEC's capture-all contract
+    val w14 = fresh()
+    w14("pt2") = Seq((0L, 0.0)).toDF("id", "v")
+    mkExec(w14)(task(
+      "CREATE PROCEDURE both @a INT, @b INT AS\nBEGIN\n" +
+        "SELECT id, v FROM pt WHERE id = @a;\n" +
+        "SELECT id, v FROM pt WHERE id = @b\nEND\nGO\n" +
+        "INSERT INTO pt2 EXEC both 1, 3;\nDROP PROCEDURE both;"))
+      .getOrElse(fail("two-result-set insert-exec did not compile"))
+    assert(w14("pt2").count() === 3L, "seed + id 1 + id 3")
     // declines
     for (sql <- Seq(
       // mid-body RETURN is control flow
@@ -3043,11 +3067,12 @@ class PipelineSpec extends AnyFunSuite {
       "CREATE PROCEDURE px @a INT AS\nBEGIN\n" +
         "DELETE FROM pt WHERE id = @a;\nRETURN @nope\nEND\nGO\n" +
         "DECLARE @rc INT = 0;\nEXEC @rc = px 1;",
-      // INSERT…EXEC with a NON-assignment statement before the SELECT
-      // (two result sets / side-effecting prefix) keeps the decline
+      // INSERT…EXEC with a side-effecting DML before the SELECT (not
+      // an assignment, not a result set) keeps the decline
       "CREATE PROCEDURE px @a INT AS\nBEGIN\n" +
-        "SELECT id, v FROM pt;\nSELECT id, v FROM pt WHERE id = @a\n" +
-        "END\nGO\nINSERT INTO pt2 EXEC px 1;",
+        "UPDATE pt SET v = 0 WHERE id = 0;\n" +
+        "SELECT id, v FROM pt WHERE id = @a\nEND\nGO\n" +
+        "INSERT INTO pt2 EXEC px 1;",
       // EXEC before the CREATE batch: T-SQL 2812
       "EXEC px 1;\nGO\nCREATE PROCEDURE px @a INT AS\n" +
         "DELETE FROM pt WHERE id = @a\nGO\nDROP PROCEDURE px;",
