@@ -115,6 +115,20 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q141 lost the Expand unpivot leg:\n$plan")
   }
 
+  test("q146: chained UNPIVOT+PIVOT with CI fold keeps one scan + Expand + pivot") {
+    // the r17 collation wrap subsumes the whole unpivot chain in an
+    // upper() projection — a projection, not a barrier: the composed
+    // lineage must still be ONE orders scan → partial-agg (wide stage)
+    // → narrow Expand (unpivot) → partial-aggregating pivot
+    val plan = executedPlan("q146_dtsx_pivot_chain_ci")
+    assert("Scan parquet".r.findAllIn(plan).length === 1,
+      s"q146 must scan orders exactly once:\n$plan")
+    assert(plan.contains("Expand"),
+      s"q146 lost the Expand unpivot leg:\n$plan")
+    assert(plan.contains("pivotfirst") || plan.contains("partial_"),
+      s"q146 lost the partial-aggregating pivot:\n$plan")
+  }
+
   test("q33: dtsx-compiled full-cache lookups broadcast; source projection prunes") {
     val plan = executedPlan("q33_dtsx_dataflow")
     assert("BroadcastHashJoin".r.findAllIn(plan).length === 2)
