@@ -3080,6 +3080,40 @@ object QueriesRelational {
       |      (SELECT MAX(CAST(c2.c_acctbal AS DECIMAL(12,2))) - 1500
       |         FROM customer c2 WHERE c2.c_mktsegment = 'MACHINERY'))""".stripMargin
 
+  /** DEFAULT parameter values on a script-local helper through the
+    * dtsx frontend (`ProcDefaultETL.dtsx`) — `@cut DECIMAL(12,2) =
+    * 250000` in the signature (r17; the reference routes every EXEC
+    * to manual review, `analyzer.py:137-145`).
+    * [[graft.patterns.ProcInlineSqlCompiler]] fills any call that
+    * leaves the parameter unbound with the declared constant — the
+    * trailing positional omission, an explicit positional bind, and
+    * a name-bound omission are the three calls this gate runs.
+    * Non-constant defaults (a T-SQL syntax error) and unbound
+    * parameters without a default decline. Scale: unchanged — the
+    * default is one more driver-side literal in the hygienic
+    * per-call DECLARE. */
+  def q147_dtsx_proc_default(spark: SparkSession, dir: String): DataFrame = {
+    val (w, _) = runDtsxWarehousePackage(spark, dir, "ProcDefaultETL.dtsx")
+    w("ord_dp").select(
+      col("okey").cast(LongType).as("okey"),
+      col("price").cast(DoubleType).as("price"),
+      col("prio").cast(StringType).as("prio"),
+      col("tier").cast(StringType).as("tier"))
+  }
+
+  val q147Oracle: String =
+    """SELECT o_orderkey AS okey,
+      |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+      |  o_orderpriority AS prio,
+      |  CASE WHEN (o_orderpriority = '1-URGENT'
+      |          AND CAST(o_totalprice AS DECIMAL(12,2)) >= 250000)
+      |        OR (o_orderpriority = '2-HIGH'
+      |          AND CAST(o_totalprice AS DECIMAL(12,2)) >= 150000)
+      |        OR (o_orderpriority = '3-MEDIUM'
+      |          AND CAST(o_totalprice AS DECIMAL(12,2)) >= 250000)
+      |       THEN 'HI' ELSE 'LO' END AS tier
+      |FROM orders""".stripMargin
+
   /** UNPIVOT chained into PIVOT under CASE-INSENSITIVE collation
     * through the dtsx frontend (`PivotChainCiETL.dtsx`) — the q141 ×
     * q138 composition (r17; previously a documented decline). The
@@ -4534,6 +4568,7 @@ object QueriesRelational {
     "q144_dtsx_proc_return" -> (q144_dtsx_proc_return _),
     "q145_dtsx_insert_exec_multi" -> (q145_dtsx_insert_exec_multi _),
     "q146_dtsx_pivot_chain_ci" -> (q146_dtsx_pivot_chain_ci _),
+    "q147_dtsx_proc_default" -> (q147_dtsx_proc_default _),
     "q82_orc_roundtrip" -> (q82_orc_roundtrip _),
     "q80_dtsx_cdc_merge" -> (q80_dtsx_cdc_merge _),
     "q79_delete_cascade" -> (q79_delete_cascade _),
@@ -4673,6 +4708,7 @@ object QueriesRelational {
     "q144_dtsx_proc_return" -> q144Oracle,
     "q145_dtsx_insert_exec_multi" -> q145Oracle,
     "q146_dtsx_pivot_chain_ci" -> q146Oracle,
+    "q147_dtsx_proc_default" -> q147Oracle,
     "q82_orc_roundtrip" -> q82Oracle,
     "q80_dtsx_cdc_merge" -> q80Oracle,
     "q79_delete_cascade" -> q79Oracle,

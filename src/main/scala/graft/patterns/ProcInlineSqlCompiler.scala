@@ -74,11 +74,18 @@ package graft.patterns
   * caller's @rc must be declared in the SAME batch (T-SQL 137). A
   * RETURN anywhere but the final statement is control flow — decline.
   *
+  * DEFAULT parameter values are owned (r17): `@p <type> = <constant>`
+  * in the signature fills any call that leaves the parameter unbound
+  * — the trailing positional tail, or any name-bound omission —
+  * exactly T-SQL's constant-default contract (non-constant defaults
+  * are a T-SQL syntax error and decline; the `DEFAULT` placeholder
+  * keyword at a call site stays declined).
+  *
   * Declined to manual review: rollback / TRY-CATCH / SAVE TRAN
   * anywhere in the script (mirrors [[ScriptedSqlExecutor]]'s
   * dispatcher gates, which run BEFORE this compiler — declining here
   * keeps the classification ledger aligned with what actually
-  * executes), default/readonly parameters, mid-body RETURN or any
+  * executes), readonly parameters, mid-body RETURN or any
   * control flow in the body (IF/WHILE/BEGIN-END beyond the optional
   * outer wrapper, TRY/CATCH, transactions, cursors, nested EXEC),
   * `@@` system-variable reads in the body (at proc entry they see
@@ -137,12 +144,14 @@ object ProcInlineSqlCompiler {
     name.split('.').last.replaceAll("[\\[\\]]", "").toLowerCase
 
   /** One parsed helper: ordered (param name, RAW T-SQL type text,
-    * declared OUTPUT), the body text (final-statement RETURN already
-    * stripped), the body-local DECLARE names, and the RETURN's scalar
-    * expression — `Some("0")` for a bare `RETURN`, None when the body
-    * ends without one (T-SQL returns 0 either way; the distinction is
-    * kept only for the scaladoc's sake). */
-  private final case class Helper(params: List[(String, String, Boolean)],
+    * declared OUTPUT, default constant), the body text
+    * (final-statement RETURN already stripped), the body-local
+    * DECLARE names, and the RETURN's scalar expression — `Some("0")`
+    * for a bare `RETURN`, None when the body ends without one (T-SQL
+    * returns 0 either way; the distinction is kept only for the
+    * scaladoc's sake). */
+  private final case class Helper(
+      params: List[(String, String, Boolean, Option[String])],
       body: String, locals: Set[String], ret: Option[String])
 
   /** One bound call: the hygienic per-call DECLAREs, the renamed body
@@ -194,16 +203,32 @@ object ProcInlineSqlCompiler {
         val items = MergeSqlCompiler.splitTop(paramsTxt).map { i0 =>
           val i = i0.trim
           // a trailing OUTPUT/OUT marks the parameter for post-call
-          // write-back; READONLY/defaults still fail paramDeclRe below
-          val (core, isOut) = outSuffixRe.findFirstMatchIn(i) match {
+          // write-back; READONLY still fails paramDeclRe below
+          val (core0, isOut) = outSuffixRe.findFirstMatchIn(i) match {
             case Some(om) => (i.substring(0, om.end(1)).trim, true)
             case None => (i, false)
           }
+          // `@p <type> = <constant>` declares a DEFAULT (r17): T-SQL
+          // takes only constants there, so the value gate is the
+          // literal recognizer. The '=' is found on the MASKED core —
+          // a '=' inside a string default is data.
+          val coreMsk = UpdateSqlCompiler.masked(core0)
+          val (core, dflt) =
+            "^([^=]*?)\\s*=\\s*(\\S[\\s\\S]*?)\\s*$".r
+              .findFirstMatchIn(coreMsk) match {
+              case Some(dm) =>
+                val d = core0.substring(dm.start(2), dm.end(2))
+                if (ExecLiteralSqlCompiler.litArgMskRe.findFirstIn(
+                    UpdateSqlCompiler.masked(d).trim).isEmpty)
+                  return None // non-constant default: T-SQL syntax error
+                (core0.substring(dm.start(1), dm.end(1)).trim, Some(d))
+              case None => (core0, None)
+            }
           ExecLiteralSqlCompiler.paramDeclRe.findFirstMatchIn(core)
             .flatMap { pm =>
               val rawType = core.substring(pm.start(2), pm.end(2))
               ScriptedSqlExecutor.sparkDdlType(rawType)
-                .map(_ => (pm.group(1).toLowerCase, rawType, isOut))
+                .map(_ => (pm.group(1).toLowerCase, rawType, isOut, dflt))
             }
         }
         if (items.exists(_.isEmpty)) return None
@@ -293,7 +318,10 @@ object ProcInlineSqlCompiler {
       rcTarget: Option[String] = None): Option[Bound] = {
     val t = argsTxt.trim
     val argsRaw = if (t.isEmpty) Nil else MergeSqlCompiler.splitTop(t)
-    if (argsRaw.size != h.params.size) return None
+    // fewer args than params is legal when the unbound TRAILING params
+    // (positional) / unbound params (named) carry defaults (r17);
+    // more args than params stays the arity decline
+    if (argsRaw.size > h.params.size) return None
     // a trailing OUTPUT/OUT keyword strips off the argument first
     // (works for `@tot OUTPUT` and `@p = @tot OUTPUT` alike — the
     // keyword is always last); the flag rides beside the bare text
@@ -315,7 +343,8 @@ object ProcInlineSqlCompiler {
       namedArgRe.findFirstMatchIn(
         UpdateSqlCompiler.masked(a).trim).isDefined }
     if (named.distinct.size > 1) return None // mixed positional+named
-    // (param name, argument text, call-site OUTPUT flag), param order
+    // (param name, argument text, call-site OUTPUT flag), param order;
+    // an unbound param takes its declared default (or declines)
     val triples: List[(String, String, Boolean)] =
       if (named.headOption.contains(true)) {
         val bound = stripped.map { case (a, o) =>
@@ -330,13 +359,21 @@ object ProcInlineSqlCompiler {
         if (bound.exists(_.isEmpty)) return None
         val byName = bound.flatten.map(b => b._1 -> (b._2, b._3)).toMap
         if (byName.size != bound.size ||
-          byName.keySet != h.params.map(_._1).toSet) return None
-        h.params.map { case (n, _, _) =>
-          val (v, o) = byName(n); (n, v, o) }
+          !byName.keySet.subsetOf(h.params.map(_._1).toSet)) return None
+        h.params.map { case (n, _, _, dflt) =>
+          byName.get(n) match {
+            case Some((v, o)) => (n, v, o)
+            case None => (n, dflt.getOrElse(return None), false)
+          }
+        }
       } else {
         if (stripped.exists { case (a, _) =>
             !argOk(UpdateSqlCompiler.masked(a).trim) }) return None
-        h.params.zip(stripped).map { case ((n, _, _), (a, o)) => (n, a, o) }
+        // positional args bind the params PREFIX; the tail defaults
+        h.params.zipWithIndex.map { case ((n, _, _, dflt), i) =>
+          if (i < stripped.size) { val (a, o) = stripped(i); (n, a, o) }
+          else (n, dflt.getOrElse(return None), false)
+        }
       }
     // call-site OUTPUT contract: the keyword on a non-OUTPUT parameter
     // is T-SQL error 8162; OUTPUT with a literal argument is error 179
@@ -364,7 +401,7 @@ object ProcInlineSqlCompiler {
     def norm(a: String): String =
       if (a.matches("(?is)^N'.*'$")) a.replaceFirst("(?is)^N", "") else a
     val declares = triples.zip(h.params).map {
-      case ((n, arg, _), (_, tpe, _)) =>
+      case ((n, arg, _), (_, tpe, _, _)) =>
         s"DECLARE @${prefix}_$n $tpe = ${norm(arg)}"
     }
     // rename params AND body-locals into the call's namespace (masked

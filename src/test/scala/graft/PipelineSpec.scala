@@ -3025,6 +3025,38 @@ class PipelineSpec extends AnyFunSuite {
       .getOrElse(fail("rc + OUTPUT composition did not compile"))
     assert(w12b("pt").count() === 1L,
       "@c=2, @rc=12 → delete id <= 2 → rows 1,2 go")
+    // r17 — DEFAULT parameter values: an unbound trailing positional
+    // param and a name-bound omission both take the declared constant
+    val w12c = fresh()
+    mkExec(w12c)(task(
+      "CREATE PROCEDURE deld @a INT, @b INT = 2 AS\n" +
+        "DELETE FROM pt WHERE id = @a OR id = @b\nGO\n" +
+        "EXEC deld 1;\nDROP PROCEDURE deld;"))
+      .getOrElse(fail("positional default did not compile"))
+    assert(w12c("pt").count() === 1L, "@b defaults to 2 → ids 1,2 go")
+    val w12d = fresh()
+    mkExec(w12d)(task(
+      "CREATE PROCEDURE deld @a INT = 1, @b INT = 3 AS\n" +
+        "DELETE FROM pt WHERE id = @a OR id = @b\nGO\n" +
+        "EXEC deld @b = 2;\nDROP PROCEDURE deld;"))
+      .getOrElse(fail("named-omission default did not compile"))
+    assert(w12d("pt").count() === 1L, "@a defaults to 1, @b bound 2")
+    // …an all-defaults zero-arg call works too
+    val w12e = fresh()
+    mkExec(w12e)(task(
+      "CREATE PROCEDURE deld @a INT = 3 AS\n" +
+        "DELETE FROM pt WHERE id = @a\nGO\n" +
+        "EXEC deld;\nDROP PROCEDURE deld;"))
+      .getOrElse(fail("zero-arg default call did not compile"))
+    assert(w12e("pt").count() === 2L)
+    // …an unbound param WITHOUT a default still declines, as does a
+    // non-constant default (T-SQL syntax error)
+    assert(mkExec(fresh())(task(
+      "CREATE PROCEDURE px @a INT, @b INT AS\n" +
+        "DELETE FROM pt WHERE id = @a OR id = @b\nGO\nEXEC px 1;")).isEmpty)
+    assert(mkExec(fresh())(task(
+      "CREATE PROCEDURE px @a INT = @x AS\n" +
+        "DELETE FROM pt WHERE id = @a\nGO\nEXEC px;")).isEmpty)
     // r17 — INSERT…EXEC over an assignment-prefix body: the N−1
     // scalar assignments run hygienically, the final SELECT inlines
     // as the INSERT's source
