@@ -3080,6 +3080,35 @@ object QueriesRelational {
       |      (SELECT MAX(CAST(c2.c_acctbal AS DECIMAL(12,2))) - 1500
       |         FROM customer c2 WHERE c2.c_mktsegment = 'MACHINERY'))""".stripMargin
 
+  /** The scalar-predicate IF guard through the dtsx frontend
+    * (`IfScalarETL.dtsx`) — `DECLARE @hi INT; SELECT @hi = COUNT(*)
+    * …; IF @hi > 0 <load>`, the conditional-load idiom over script
+    * variables (r17; the reference sends ALL control flow to manual
+    * review, `analyzer.py:137-156`).
+    * [[graft.patterns.IfScalarSqlCompiler]] folds the predicate
+    * eagerly as one driver fact — script @vars arrive literal-bound,
+    * NULL takes the ELSE like T-SQL's UNKNOWN — and the taken branch
+    * runs through the statement chain (the package's second IF is
+    * false and exercises the ELSE leg). Branches must be single
+    * ownable statements; nested control flow and conditional SET
+    * assignment decline. Scale: the guard is one scalar aggregate
+    * job; the branch plans exactly its inline spelling. */
+  def q148_dtsx_if_scalar(spark: SparkSession, dir: String): DataFrame = {
+    val (w, _) = runDtsxWarehousePackage(spark, dir, "IfScalarETL.dtsx")
+    w("ord_if").select(
+      col("okey").cast(LongType).as("okey"),
+      col("price").cast(DoubleType).as("price"),
+      col("flag").cast(StringType).as("flag"))
+  }
+
+  val q148Oracle: String =
+    """SELECT o_orderkey AS okey,
+      |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+      |  CASE WHEN CAST(o_totalprice AS DECIMAL(12,2)) >= 300000 THEN 'HOT'
+      |       WHEN CAST(o_totalprice AS DECIMAL(12,2)) < 50000 THEN 'COOL'
+      |       ELSE 'NEW' END AS flag
+      |FROM orders""".stripMargin
+
   /** DEFAULT parameter values on a script-local helper through the
     * dtsx frontend (`ProcDefaultETL.dtsx`) — `@cut DECIMAL(12,2) =
     * 250000` in the signature (r17; the reference routes every EXEC
@@ -4569,6 +4598,7 @@ object QueriesRelational {
     "q145_dtsx_insert_exec_multi" -> (q145_dtsx_insert_exec_multi _),
     "q146_dtsx_pivot_chain_ci" -> (q146_dtsx_pivot_chain_ci _),
     "q147_dtsx_proc_default" -> (q147_dtsx_proc_default _),
+    "q148_dtsx_if_scalar" -> (q148_dtsx_if_scalar _),
     "q82_orc_roundtrip" -> (q82_orc_roundtrip _),
     "q80_dtsx_cdc_merge" -> (q80_dtsx_cdc_merge _),
     "q79_delete_cascade" -> (q79_delete_cascade _),
@@ -4709,6 +4739,7 @@ object QueriesRelational {
     "q145_dtsx_insert_exec_multi" -> q145Oracle,
     "q146_dtsx_pivot_chain_ci" -> q146Oracle,
     "q147_dtsx_proc_default" -> q147Oracle,
+    "q148_dtsx_if_scalar" -> q148Oracle,
     "q82_orc_roundtrip" -> q82Oracle,
     "q80_dtsx_cdc_merge" -> q80Oracle,
     "q79_delete_cascade" -> q79Oracle,

@@ -200,6 +200,13 @@ object MigrationMapping {
           "IfExistsSqlCompiler — LIMIT-1 probe decides, the taken " +
           "branch runs through the statement chain; both branches must " +
           "be single ownable statements)"), Nil, signals)
+    else if (graft.patterns.IfScalarSqlCompiler.shapeMatches(sql))
+      TaskMapping(t.name, "ExecuteSQLTask", "converted", None,
+        Some("scalar-predicate IF branch executes (patterns/" +
+          "IfScalarSqlCompiler — the predicate folds eagerly as one " +
+          "driver fact, NULL takes the ELSE like T-SQL's UNKNOWN; the " +
+          "taken branch runs through the statement chain; both " +
+          "branches must be single ownable statements)"), Nil, signals)
     else if (graft.patterns.WhileLoopSqlCompiler.shapeMatches(sql))
       TaskMapping(t.name, "ExecuteSQLTask", "converted", None,
         Some("counter WHILE loop unrolls (patterns/WhileLoopSqlCompiler " +

@@ -38,8 +38,9 @@ object IfExistsSqlCompiler {
       thenStmt: String, elseStmt: Option[String])
 
   /** Strip one optional BEGIN … END wrapper; None = the branch is not
-    * a single statement this engine can own. */
-  private def branch(raw: String): Option[String] = {
+    * a single statement this engine can own. Shared with
+    * [[IfScalarSqlCompiler]] — one branch contract for both IF forms. */
+  private[patterns] def branch(raw: String): Option[String] = {
     val msk0 = UpdateSqlCompiler.masked(raw)
     val (text, msk) = beginRe.findFirstMatchIn(msk0) match {
       case Some(b) =>

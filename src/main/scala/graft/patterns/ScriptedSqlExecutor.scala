@@ -580,6 +580,10 @@ object ScriptedSqlExecutor {
         // single statements by contract, so the recursion is one level)
         .orElse(IfExistsSqlCompiler.rewrite(spark, stmt, resolve,
           s => chain(s, resolve)))
+        // scalar-predicate IF (r17): script @vars arrive literal-bound,
+        // so the predicate folds eagerly — same one-level recursion
+        .orElse(IfScalarSqlCompiler.rewrite(spark, stmt,
+          s => chain(s, resolve)))
         // literal sp_executesql / EXEC('…') unwraps and re-enters (the
         // compiler bans EXEC towers, so this too is one level)
         .orElse(ExecLiteralSqlCompiler.rewrite(spark, stmt, resolve,

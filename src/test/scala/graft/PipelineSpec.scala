@@ -2482,6 +2482,99 @@ class PipelineSpec extends AnyFunSuite {
         "ALTER TABLE mt ALTER COLUMN v BIGINT"), Nil).status === "converted")
   }
 
+  test("scalar-predicate IF: eager fold, NULL takes ELSE, off-shapes decline") {
+    import spark.implicits._
+    def mkExec(written: scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]) =
+      graft.patterns.ScriptedSqlExecutor.executor(spark,
+        resolveFrame = n => written.getOrElse(n, spark.table(n)),
+        bareName = identity,
+        commit = (k, v) => written(k) = v)
+    def task(sql: String) = graft.ir.Ir.ExecuteSqlTask("ifs", None, "conn", sql)
+    def fresh() = {
+      val w = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame](
+        "ift" -> Seq((1L, 5.0, "A"), (2L, 9.0, "B"), (3L, 12.0, "B"))
+          .toDF("id", "v", "tag"))
+      w.foreach { case (k, f) => f.createOrReplaceTempView(k) }
+      w
+    }
+    // the variable-guard idiom: the script's SELECT-assign feeds the
+    // predicate, which folds eagerly; the THEN branch fires
+    val w1 = fresh()
+    mkExec(w1)(task(
+      "DECLARE @n INT = 0;\nSELECT @n = COUNT(*) FROM ift WHERE v > 8;\n" +
+        "IF @n > 0 UPDATE ift SET tag = 'HI' WHERE v > 8;"))
+      .getOrElse(fail("variable-guard IF did not compile"))
+    assert(w1("ift").filter("tag = 'HI'").count() === 2L)
+    // …the ELSE branch fires when the predicate is false
+    val w2 = fresh()
+    mkExec(w2)(task(
+      "DECLARE @n INT = 0;\n" +
+        "IF @n > 0 DELETE FROM ift WHERE id = 1 " +
+        "ELSE DELETE FROM ift WHERE id = 3;"))
+      .getOrElse(fail("ELSE branch did not compile"))
+    assert(w2("ift").count() === 2L &&
+      w2("ift").filter("id = 3").count() === 0L)
+    // …a NULL predicate is T-SQL's UNKNOWN: not-true → ELSE
+    val w3 = fresh()
+    mkExec(w3)(task(
+      "DECLARE @n INT;\n" +
+        "IF @n > 0 DELETE FROM ift WHERE id = 1 " +
+        "ELSE DELETE FROM ift WHERE id = 2;"))
+      .getOrElse(fail("NULL-predicate IF did not compile"))
+    assert(w3("ift").filter("id = 2").count() === 0L &&
+      w3("ift").filter("id = 1").count() === 1L)
+    // …untaken with no ELSE is a vacuous success
+    val w4 = fresh()
+    mkExec(w4)(task(
+      "DECLARE @n INT = 0;\nIF @n > 5 DELETE FROM ift WHERE id = 1;"))
+      .getOrElse(fail("untaken no-ELSE IF did not compile"))
+    assert(w4("ift").count() === 3L)
+    // …a subquery-comparison predicate owns at top level too (no
+    // variables at all), with BEGIN…END dressing
+    val w5 = fresh()
+    val o5 = mkExec(w5)(task(
+      "IF (SELECT COUNT(*) FROM ift WHERE tag = 'B') > 1 " +
+        "BEGIN UPDATE ift SET v = 0 WHERE tag = 'B' END"))
+      .getOrElse(fail("subquery-predicate IF did not compile"))
+    // single statement: the RUNNER commits the outcome frame
+    assert(o5.target.contains("ift") &&
+      o5.df.get.filter("v = 0").count() === 2L)
+    // …@@ROWCOUNT composes: the substitution runs before the chain
+    val w6 = fresh()
+    mkExec(w6)(task(
+      "DELETE FROM ift WHERE v > 8;\n" +
+        "IF 2 <= 2 INSERT INTO ift SELECT 9 AS id, 1.0 AS v, 'R' AS tag;"))
+      .getOrElse(fail("post-DML IF did not compile"))
+    assert(w6("ift").count() === 2L)
+    val w6b = fresh()
+    mkExec(w6b)(task(
+      "DELETE FROM ift WHERE v > 8;\n" +
+        "IF @@ROWCOUNT >= 2 DELETE FROM ift WHERE id = 1;"))
+      .getOrElse(fail("@@ROWCOUNT-guard IF did not compile"))
+    assert(w6b("ift").count() === 0L, "2 deleted → guard fires → id 1 goes")
+    // declines: undeclared @var in the predicate (top level, no
+    // binder), nested control flow in a branch, a multi-statement
+    // BEGIN block (would shred under the script splitter), a CASE
+    // ELSE leaking into the predicate, conditional SET assignment
+    for (sql <- Seq(
+      "IF @nope > 0 DELETE FROM ift WHERE id = 1;",
+      "IF 1 = 1 IF 2 = 2 DELETE FROM ift WHERE id = 1;",
+      "DECLARE @n INT = 1; IF @n > 0 BEGIN DELETE FROM ift WHERE id = 1; " +
+        "DELETE FROM ift WHERE id = 2; END",
+      "IF CASE WHEN 1 = 1 THEN 1 ELSE 0 END = 1 DELETE FROM ift WHERE id = 1;",
+      "DECLARE @n INT = 1; DECLARE @y INT = 0; IF @n > 0 SET @y = 5;"))
+      assert(mkExec(fresh())(task(sql)).isEmpty, s"should decline: $sql")
+    // ledger twins: the subquery form classifies converted; an
+    // unbindable top-level @predicate stays manual review
+    assert(graft.parser.MigrationMapping.mapTask(
+      graft.ir.Ir.ExecuteSqlTask("t", None, "conn",
+        "IF (SELECT COUNT(*) FROM ift) > 1 UPDATE ift SET v = 0 " +
+          "ELSE DELETE FROM ift WHERE id = 1"), Nil).status === "converted")
+    assert(graft.parser.MigrationMapping.mapTask(
+      graft.ir.Ir.ExecuteSqlTask("t", None, "conn",
+        "IF @nope > 0 UPDATE ift SET v = 0"), Nil).status === "manual_review")
+  }
+
   test("parameterized sp_executesql binds typed literals; off-shapes decline") {
     import spark.implicits._
     def mkExec(written: scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]) =
