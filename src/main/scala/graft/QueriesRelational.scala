@@ -3115,12 +3115,13 @@ object QueriesRelational {
     * to manual review, `analyzer.py:137-145`).
     * [[graft.patterns.ProcInlineSqlCompiler]] fills any call that
     * leaves the parameter unbound with the declared constant — the
-    * trailing positional omission, an explicit positional bind, and
-    * a name-bound omission are the three calls this gate runs.
-    * Non-constant defaults (a T-SQL syntax error) and unbound
-    * parameters without a default decline. Scale: unchanged — the
-    * default is one more driver-side literal in the hygienic
-    * per-call DECLARE. */
+    * trailing positional omission, an explicit positional bind, a
+    * name-bound omission, and the call-site `DEFAULT` placeholder
+    * keyword are the four calls this gate runs. Non-constant
+    * defaults (a T-SQL syntax error), unbound parameters without a
+    * default, and DEFAULT against a default-less parameter decline.
+    * Scale: unchanged — the default is one more driver-side literal
+    * in the hygienic per-call DECLARE. */
   def q147_dtsx_proc_default(spark: SparkSession, dir: String): DataFrame = {
     val (w, _) = runDtsxWarehousePackage(spark, dir, "ProcDefaultETL.dtsx")
     w("ord_dp").select(
@@ -3139,6 +3140,8 @@ object QueriesRelational {
       |        OR (o_orderpriority = '2-HIGH'
       |          AND CAST(o_totalprice AS DECIMAL(12,2)) >= 150000)
       |        OR (o_orderpriority = '3-MEDIUM'
+      |          AND CAST(o_totalprice AS DECIMAL(12,2)) >= 250000)
+      |        OR (o_orderpriority = '5-LOW'
       |          AND CAST(o_totalprice AS DECIMAL(12,2)) >= 250000)
       |       THEN 'HI' ELSE 'LO' END AS tier
       |FROM orders""".stripMargin

@@ -76,10 +76,11 @@ package graft.patterns
   *
   * DEFAULT parameter values are owned (r17): `@p <type> = <constant>`
   * in the signature fills any call that leaves the parameter unbound
-  * — the trailing positional tail, or any name-bound omission —
-  * exactly T-SQL's constant-default contract (non-constant defaults
-  * are a T-SQL syntax error and decline; the `DEFAULT` placeholder
-  * keyword at a call site stays declined).
+  * — the trailing positional tail, any name-bound omission, or an
+  * explicit `DEFAULT` placeholder keyword at the call site
+  * (positional or `@p = DEFAULT`) — exactly T-SQL's constant-default
+  * contract (non-constant defaults are a T-SQL syntax error and
+  * decline, as does DEFAULT against a parameter with no default).
   *
   * Declined to manual review: rollback / TRY-CATCH / SAVE TRAN
   * anywhere in the script (mirrors [[ScriptedSqlExecutor]]'s
@@ -333,10 +334,14 @@ object ProcInlineSqlCompiler {
       }
     }
     val stripped = argsRaw.map(splitOut)
-    // an argument is a literal or a same-batch declared @var — T-SQL
-    // EXEC accepts nothing else (expressions are a syntax error there)
+    // an argument is a literal, a same-batch declared @var, or the
+    // DEFAULT placeholder keyword (substituted below) — T-SQL EXEC
+    // accepts nothing else (expressions are a syntax error there)
+    def isDefaultKw(aMsk: String): Boolean =
+      "(?i)^default$".r.findFirstIn(aMsk.trim).isDefined
     def argOk(aMsk: String): Boolean =
       ExecLiteralSqlCompiler.litArgMskRe.findFirstIn(aMsk).isDefined ||
+        isDefaultKw(aMsk) ||
         (varArgRe.findFirstMatchIn(aMsk).isDefined &&
           declared(aMsk.trim.substring(1).toLowerCase))
     val named = stripped.map { case (a, _) =>
@@ -362,6 +367,8 @@ object ProcInlineSqlCompiler {
           !byName.keySet.subsetOf(h.params.map(_._1).toSet)) return None
         h.params.map { case (n, _, _, dflt) =>
           byName.get(n) match {
+            case Some((v, o)) if isDefaultKw(UpdateSqlCompiler.masked(v)) =>
+              (n, dflt.getOrElse(return None), o)
             case Some((v, o)) => (n, v, o)
             case None => (n, dflt.getOrElse(return None), false)
           }
@@ -369,10 +376,15 @@ object ProcInlineSqlCompiler {
       } else {
         if (stripped.exists { case (a, _) =>
             !argOk(UpdateSqlCompiler.masked(a).trim) }) return None
-        // positional args bind the params PREFIX; the tail defaults
+        // positional args bind the params PREFIX; the tail defaults,
+        // and an explicit DEFAULT keyword substitutes in place
         h.params.zipWithIndex.map { case ((n, _, _, dflt), i) =>
-          if (i < stripped.size) { val (a, o) = stripped(i); (n, a, o) }
-          else (n, dflt.getOrElse(return None), false)
+          if (i < stripped.size) {
+            val (a, o) = stripped(i)
+            if (isDefaultKw(UpdateSqlCompiler.masked(a)))
+              (n, dflt.getOrElse(return None), o)
+            else (n, a, o)
+          } else (n, dflt.getOrElse(return None), false)
         }
       }
     // call-site OUTPUT contract: the keyword on a non-OUTPUT parameter

@@ -3142,14 +3142,34 @@ class PipelineSpec extends AnyFunSuite {
         "EXEC deld;\nDROP PROCEDURE deld;"))
       .getOrElse(fail("zero-arg default call did not compile"))
     assert(w12e("pt").count() === 2L)
-    // …an unbound param WITHOUT a default still declines, as does a
-    // non-constant default (T-SQL syntax error)
+    // …the call-site DEFAULT placeholder substitutes in place, both
+    // positionally and name-bound
+    val w12f = fresh()
+    mkExec(w12f)(task(
+      "CREATE PROCEDURE deld @a INT = 1, @b INT AS\n" +
+        "DELETE FROM pt WHERE id = @a OR id = @b\nGO\n" +
+        "EXEC deld DEFAULT, 3;\nDROP PROCEDURE deld;"))
+      .getOrElse(fail("positional DEFAULT keyword did not compile"))
+    assert(w12f("pt").count() === 1L, "DEFAULT→1, 3 → ids 1,3 go")
+    val w12g = fresh()
+    mkExec(w12g)(task(
+      "CREATE PROCEDURE deld @a INT = 2 AS\n" +
+        "DELETE FROM pt WHERE id = @a\nGO\n" +
+        "EXEC deld @a = DEFAULT;\nDROP PROCEDURE deld;"))
+      .getOrElse(fail("named DEFAULT keyword did not compile"))
+    assert(w12g("pt").count() === 2L)
+    // …an unbound param WITHOUT a default still declines, as do a
+    // non-constant default (T-SQL syntax error) and a DEFAULT keyword
+    // against a parameter with no default
     assert(mkExec(fresh())(task(
       "CREATE PROCEDURE px @a INT, @b INT AS\n" +
         "DELETE FROM pt WHERE id = @a OR id = @b\nGO\nEXEC px 1;")).isEmpty)
     assert(mkExec(fresh())(task(
       "CREATE PROCEDURE px @a INT = @x AS\n" +
         "DELETE FROM pt WHERE id = @a\nGO\nEXEC px;")).isEmpty)
+    assert(mkExec(fresh())(task(
+      "CREATE PROCEDURE px @a INT AS\n" +
+        "DELETE FROM pt WHERE id = @a\nGO\nEXEC px DEFAULT;")).isEmpty)
     // r17 — INSERT…EXEC over an assignment-prefix body: the N−1
     // scalar assignments run hygienically, the final SELECT inlines
     // as the INSERT's source
