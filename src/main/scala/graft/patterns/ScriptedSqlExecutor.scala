@@ -531,7 +531,12 @@ object ScriptedSqlExecutor {
       tableVarDeclRe.findFirstMatchIn(m(s)).isDefined)
     val spOut = stmts.exists(s =>
       ExecLiteralSqlCompiler.ownsOutputShape(s))
-    if (!temp && !rc && !sv && !ddl && !tv && !spOut) None
+    // IF-scalar statements whose predicate needs the executor's
+    // binding carry @tokens here (shapeMatches declines those at the
+    // statement level) — the sv feature already covers that pairing;
+    // this flag claims the variable-free subquery-comparison form
+    val ifs = stmts.exists(s => IfScalarSqlCompiler.shapeMatches(s))
+    if (!temp && !rc && !sv && !ddl && !tv && !spOut && !ifs) None
     else Some(List(
       if (temp) Some("#temp scope (script-lifetime overlay tables)") else None,
       if (tv) Some("table variables (reduced to the temp overlay)")
@@ -542,6 +547,8 @@ object ScriptedSqlExecutor {
       if (ddl) Some("migration DDL (ALTER ADD/DROP COLUMN execute)")
       else None,
       if (spOut) Some("sp_executesql OUTPUT (scalar copy-out write-back)")
+      else None,
+      if (ifs) Some("scalar-predicate IF branches (eager driver fold)")
       else None)
       .flatten.mkString(" + "))
   }

@@ -2573,6 +2573,13 @@ class PipelineSpec extends AnyFunSuite {
     assert(graft.parser.MigrationMapping.mapTask(
       graft.ir.Ir.ExecuteSqlTask("t", None, "conn",
         "IF @nope > 0 UPDATE ift SET v = 0"), Nil).status === "manual_review")
+    // a SCRIPT whose only ownable feature is the variable-free IF
+    // classifies converted too (scriptFeatures' ifs flag)
+    assert(graft.parser.MigrationMapping.mapTask(
+      graft.ir.Ir.ExecuteSqlTask("t", None, "conn",
+        "UPDATE ift SET v = 1 WHERE id = 1;\n" +
+          "IF (SELECT COUNT(*) FROM ift) > 1 DELETE FROM ift WHERE id = 2;"),
+      Nil).status === "converted")
   }
 
   test("parameterized sp_executesql binds typed literals; off-shapes decline") {
