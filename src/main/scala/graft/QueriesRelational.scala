@@ -3109,6 +3109,100 @@ object QueriesRelational {
       |       ELSE 'NEW' END AS flag
       |FROM orders""".stripMargin
 
+  /** Dispatcher-level scalar IF with MULTI-statement `BEGIN…END`
+    * branches and conditional SET through the dtsx frontend
+    * (`IfBlockETL.dtsx`) — the q109 move replayed for the q148 class
+    * (r18; the reference sends ALL control flow to manual review,
+    * `analyzer.py:137-156`). [[graft.patterns.IfLadderSqlCompiler]]
+    * re-joins the fragments the `;` splitter shreds a block into and
+    * parses the ladder; the script sequencer folds each predicate
+    * eagerly (variables are in reach at the dispatcher — the r17
+    * chain-member restriction is gone) and runs the taken block's
+    * statement LIST through its own compileOne, so a later block
+    * statement sees an earlier one's staging and a conditional
+    * `SET @v = …` feeds statements after the IF. The false guard's
+    * TRUNCATE+INSERT block is skipped wholesale. Nested IF, fused
+    * statements, and BEGIN-without-END keep the decline. Scale: the
+    * guard is one scalar-aggregate job; each block statement plans
+    * exactly its inline spelling. */
+  def q149_dtsx_if_block(spark: SparkSession, dir: String): DataFrame = {
+    val (w, _) = runDtsxWarehousePackage(spark, dir, "IfBlockETL.dtsx")
+    w("ord_blk").select(
+      col("okey").cast(LongType).as("okey"),
+      col("price").cast(DoubleType).as("price"),
+      col("flag").cast(StringType).as("flag"))
+  }
+
+  val q149Oracle: String =
+    """SELECT o_orderkey AS okey,
+      |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+      |  CASE WHEN CAST(o_totalprice AS DECIMAL(12,2)) >= 300000 THEN 'HOT'
+      |       WHEN CAST(o_totalprice AS DECIMAL(12,2)) < 50000 THEN 'loaded'
+      |       ELSE 'NEW' END AS flag
+      |FROM orders
+      |WHERE CAST(o_totalprice AS DECIMAL(12,2)) >= 2000""".stripMargin
+
+  /** ELSE IF cascades through the dtsx frontend (`ElseIfLadderETL
+    * .dtsx`) — a four-leg ladder mixing scalar and EXISTS predicates
+    * resolving first-match to its MIDDLE leg, a conditionally-SET
+    * band read back by a later UPDATE, and an all-false two-leg
+    * ladder skipping vacuously (r18; previously both IF families
+    * declined any nested IF via `nestedControlRe`).
+    * [[graft.patterns.IfLadderSqlCompiler]] reads `IF … ELSE IF … ELSE
+    * …` as a sequential first-match cascade of the same eager probes —
+    * legs past the taken one never evaluate. Scale: one LIMIT-1 /
+    * scalar-aggregate probe per evaluated leg, then the branch's own
+    * plan — identical to the hand-written CASE spelling. */
+  def q150_dtsx_else_if(spark: SparkSession, dir: String): DataFrame = {
+    val (w, _) = runDtsxWarehousePackage(spark, dir, "ElseIfLadderETL.dtsx")
+    w("ord_lad").select(
+      col("okey").cast(LongType).as("okey"),
+      col("price").cast(DoubleType).as("price"),
+      col("band").cast(StringType).as("band"))
+  }
+
+  val q150Oracle: String =
+    """SELECT o_orderkey AS okey,
+      |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+      |  CASE WHEN CAST(o_totalprice AS DECIMAL(12,2)) >= 200000 THEN 'NEW'
+      |       WHEN (SELECT MAX(CAST(o2.o_totalprice AS DECIMAL(12,2)))
+      |             FROM orders o2) >= 10000000 THEN 'mega'
+      |       WHEN EXISTS (SELECT 1 FROM orders o3
+      |             WHERE CAST(o3.o_totalprice AS DECIMAL(12,2)) >= 100000)
+      |         THEN 'high'
+      |       WHEN (SELECT MAX(CAST(o2.o_totalprice AS DECIMAL(12,2)))
+      |             FROM orders o2) >= 1000 THEN 'mid'
+      |       ELSE 'low' END AS band
+      |FROM orders""".stripMargin
+
+  /** The script early-exit guard through the dtsx frontend
+    * (`EarlyExitETL.dtsx`) — `IF <pred> RETURN` at top level exits
+    * the batch: later statements are skipped, staged effects commit
+    * (r18; any top-level RETURN previously declined). The second
+    * task's guard FIRES (no negative prices exist): its pre-exit
+    * UPDATE lands while its trailing unconditional UPDATE provably
+    * never runs — the oracle would diverge on every row otherwise.
+    * The third task's guard does not fire and the whole script runs.
+    * RETURN under an explicit BEGIN TRAN bracket and mid-body RETURN
+    * keep the decline ([[graft.patterns.ScriptedSqlExecutor]]'s
+    * allowEarlyExit gate). Scale: the guard is one scalar aggregate;
+    * an exit costs nothing — statements after it never plan. */
+  def q151_dtsx_early_exit(spark: SparkSession, dir: String): DataFrame = {
+    val (w, _) = runDtsxWarehousePackage(spark, dir, "EarlyExitETL.dtsx")
+    w("ord_ee").select(
+      col("okey").cast(LongType).as("okey"),
+      col("price").cast(DoubleType).as("price"),
+      col("flag").cast(StringType).as("flag"))
+  }
+
+  val q151Oracle: String =
+    """SELECT o_orderkey AS okey,
+      |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+      |  CASE WHEN CAST(o_totalprice AS DECIMAL(12,2)) >= 400000 THEN 'CHK'
+      |       WHEN CAST(o_totalprice AS DECIMAL(12,2)) < 2000 THEN 'DONE'
+      |       ELSE 'NEW' END AS flag
+      |FROM orders""".stripMargin
+
   /** DEFAULT parameter values on a script-local helper through the
     * dtsx frontend (`ProcDefaultETL.dtsx`) — `@cut DECIMAL(12,2) =
     * 250000` in the signature (r17; the reference routes every EXEC
@@ -4602,6 +4696,9 @@ object QueriesRelational {
     "q146_dtsx_pivot_chain_ci" -> (q146_dtsx_pivot_chain_ci _),
     "q147_dtsx_proc_default" -> (q147_dtsx_proc_default _),
     "q148_dtsx_if_scalar" -> (q148_dtsx_if_scalar _),
+    "q149_dtsx_if_block" -> (q149_dtsx_if_block _),
+    "q150_dtsx_else_if" -> (q150_dtsx_else_if _),
+    "q151_dtsx_early_exit" -> (q151_dtsx_early_exit _),
     "q82_orc_roundtrip" -> (q82_orc_roundtrip _),
     "q80_dtsx_cdc_merge" -> (q80_dtsx_cdc_merge _),
     "q79_delete_cascade" -> (q79_delete_cascade _),
@@ -4743,6 +4840,9 @@ object QueriesRelational {
     "q146_dtsx_pivot_chain_ci" -> q146Oracle,
     "q147_dtsx_proc_default" -> q147Oracle,
     "q148_dtsx_if_scalar" -> q148Oracle,
+    "q149_dtsx_if_block" -> q149Oracle,
+    "q150_dtsx_else_if" -> q150Oracle,
+    "q151_dtsx_early_exit" -> q151Oracle,
     "q82_orc_roundtrip" -> q82Oracle,
     "q80_dtsx_cdc_merge" -> q80Oracle,
     "q79_delete_cascade" -> q79Oracle,

@@ -2,7 +2,7 @@ package graft.patterns
 
 import graft.ir.Ir.ExecuteSqlTask
 import graft.pipeline.PackageRunner.SqlOutcome
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.SparkSession
 
 /** T-SQL `IF [NOT] EXISTS (subquery) <stmt> [ELSE <stmt>]` → Spark
   * compile — the set-based conditional-load idiom (guarded seeds,
@@ -55,6 +55,12 @@ object IfExistsSqlCompiler {
     }
     if (stmtHeadRe.findFirstIn(msk).isEmpty) None
     else if (nestedControlRe.findFirstIn(msk).isDefined) None
+    // a TRUNCATE/DELETE head with a later depth-0 INSERT is two
+    // statements fused by a missing `;` — the order-blind rewriter at
+    // the chain's tail would compile BOTH under the guard where T-SQL
+    // guards only the first (a false guard then silently skips an
+    // unconditional INSERT): decline the fusion outright
+    else if (IfLadderSqlCompiler.fusedDml(msk)) None
     else Some(text.trim)
   }
 
@@ -114,7 +120,8 @@ object IfExistsSqlCompiler {
             val ok = stmts.nonEmpty && stmts.forall { s =>
               val m = UpdateSqlCompiler.masked(s)
               stmtHeadRe.findFirstIn(m).isDefined &&
-                "(?i)\\b(if|while|begin)\\b".r.findFirstIn(m).isEmpty
+                "(?i)\\b(if|while|begin)\\b".r.findFirstIn(m).isEmpty &&
+                !IfLadderSqlCompiler.fusedDml(m)
             }
             if (ok) Some(stmts) else None
           case _ => None
@@ -147,9 +154,11 @@ object IfExistsSqlCompiler {
 
   /** Compile: probe eagerly, run the taken branch through `chain`. An
     * untaken-branch task with no ELSE is a vacuous success (T-SQL
-    * skips the statement). */
+    * skips the statement). The probe runs through
+    * [[SqlPatternRewriter.runSelect]] — inside a script the overlay's
+    * temp views shadow same-named warehouse tables, so the probe sees
+    * STAGED (uncommitted) state, pinned by ScriptedExecutorSpec. */
   def rewrite(spark: SparkSession, task: ExecuteSqlTask,
-      resolve: String => DataFrame,
       chain: ExecuteSqlTask => Option[SqlOutcome]): Option[SqlOutcome] = {
     val text = SqlText.stripComments(task.sqlStatement)
     parse(text).flatMap { p =>

@@ -512,7 +512,13 @@ object ScriptedSqlExecutor {
     val text = SqlText.stripComments(sqlRaw)
     if (rollbackRe.findFirstIn(UpdateSqlCompiler.masked(text)).isDefined)
       return None
-    val stmts = SqlText.splitBatches(text).flatMap(SqlText.splitStatements)
+    val regrouped = IfLadderSqlCompiler.regroup(
+      SqlText.splitBatches(text).flatMap(SqlText.splitStatements))
+    val hadTxn = regrouped.exists(s =>
+      beginTranStmtRe.findFirstMatchIn(s).isDefined ||
+        beginTranPrefixRe.findFirstMatchIn(s).isDefined ||
+        commitStmtRe.findFirstMatchIn(s).isDefined)
+    val stmts = regrouped
       .map(s => beginTranPrefixRe.replaceFirstIn(s, ""))
       .filterNot(s => txnNoopRe.findFirstMatchIn(s).isDefined)
     if (stmts.length < 2) return None
@@ -536,7 +542,16 @@ object ScriptedSqlExecutor {
     // statement level) — the sv feature already covers that pairing;
     // this flag claims the variable-free subquery-comparison form
     val ifs = stmts.exists(s => IfScalarSqlCompiler.shapeMatches(s))
-    if (!temp && !rc && !sv && !ddl && !tv && !spOut && !ifs) None
+    // ladder statements beyond the chain members (q149–q151): multi-
+    // statement branches, conditional assignment, ELSE IF cascades,
+    // the RETURN early-exit (which stays manual review under an
+    // explicit transaction bracket — mirror the executor's gate)
+    val ladder = stmts.exists(s =>
+      IfLadderSqlCompiler.ownsBeyondChain(s) &&
+        !(hadTxn && IfLadderSqlCompiler.parse(SqlText.stripComments(s))
+          .exists(_.hasReturn)))
+    if (!temp && !rc && !sv && !ddl && !tv && !spOut && !ifs && !ladder)
+      None
     else Some(List(
       if (temp) Some("#temp scope (script-lifetime overlay tables)") else None,
       if (tv) Some("table variables (reduced to the temp overlay)")
@@ -549,6 +564,9 @@ object ScriptedSqlExecutor {
       if (spOut) Some("sp_executesql OUTPUT (scalar copy-out write-back)")
       else None,
       if (ifs) Some("scalar-predicate IF branches (eager driver fold)")
+      else None,
+      if (ladder) Some("IF ladders (BEGIN…END branches / ELSE IF " +
+        "cascade / conditional assignment / RETURN early-exit)")
       else None)
       .flatten.mkString(" + "))
   }
@@ -585,7 +603,7 @@ object ScriptedSqlExecutor {
         .orElse(NoopDdlSqlCompiler.rewrite(stmt))
         // the taken IF-EXISTS branch re-enters this chain (branches are
         // single statements by contract, so the recursion is one level)
-        .orElse(IfExistsSqlCompiler.rewrite(spark, stmt, resolve,
+        .orElse(IfExistsSqlCompiler.rewrite(spark, stmt,
           s => chain(s, resolve)))
         // scalar-predicate IF (r17): script @vars arrive literal-bound,
         // so the predicate folds eagerly — same one-level recursion
@@ -595,13 +613,23 @@ object ScriptedSqlExecutor {
         // compiler bans EXEC towers, so this too is one level)
         .orElse(ExecLiteralSqlCompiler.rewrite(spark, stmt, resolve,
           s => chain(s, resolve)))
-        .orElse(SqlPatternRewriter.rewrite(spark, stmt))
+        // an IF-headed statement EVERY IF owner above declined must not
+        // fall to the order-blind rewriter: its anywhere-matchers would
+        // compile the branch patterns while ignoring the guard (a false
+        // guard would then silently skip — or a true one run — text the
+        // owners refused to state). Manual review, never a half-read.
+        .orElse {
+          if ("(?is)^\\s*if\\b".r.findFirstIn(UpdateSqlCompiler.masked(
+              SqlText.stripComments(stmt.sqlStatement))).isDefined) None
+          else SqlPatternRewriter.rewrite(spark, stmt)
+        }
 
     def script(bound: ExecuteSqlTask,
         stmts0: List[String],
         catchStmts0: Option[List[String]] = None,
         catchRollsBack: Boolean = false,
-        savepointAt: Option[Int] = None): Option[SqlOutcome] = {
+        savepointAt: Option[Int] = None,
+        allowEarlyExit: Boolean = false): Option[SqlOutcome] = {
       // temp-table references rewrite ONCE, up front, so every statement
       // (and the overlay keys) speak the same overlay-safe names; catch
       // statements share the scope (a CATCH may log via the TRY's temp).
@@ -660,6 +688,17 @@ object ScriptedSqlExecutor {
       // read — several @@ROWCOUNT references in one statement must see
       // ONE consistent number, and counting is an action)
       var lastAffected: Option[() => Long] = None
+      // q151 early-exit: a taken `IF <pred> RETURN` leg ends the batch
+      // — the remaining script statements are SKIPPED (success, not
+      // decline) and everything staged commits, T-SQL batch-exit
+      // semantics. Set only when allowEarlyExit (no explicit
+      // transaction bracket in the script — commit/rollback placement
+      // under one is ambiguous and stays manual review).
+      var earlyExit = false
+      // mirror of runSeq's `catching` for statements the IF-ladder
+      // handler sequences itself: inside a TRY the lazy abort guards
+      // must be forced AT their statement (point-of-failure semantics)
+      var forceFrames = false
       // script-scoped scalar @variables: declared names → current value
       // (NULL until assigned — T-SQL DECLARE semantics). Values bind
       // into later statements as typed literals the way the WHILE
@@ -948,6 +987,86 @@ object ScriptedSqlExecutor {
           }
           return Some(SqlOutcome(None, None))
         }: Unit
+        // IF LADDERS (q149–q151): multi-statement BEGIN…END branches,
+        // conditional SET/SELECT-assign legs, ELSE IF cascades, and
+        // the top-level early-exit RETURN leg — the dispatcher-level
+        // promotion of the r17 chain members. HERE the executor's
+        // variable state is in reach: each predicate folds eagerly
+        // through bindVars (an unfoldable predicate — a surviving
+        // @token — declines the whole script, never guesses), and the
+        // first true leg's statements run through this same compileOne
+        // so assignments mutate `vars` and DML stages through the
+        // overlay. Single-simple IFs keep their r17 chain path
+        // (chainEquivalent — zero behavioral delta for q148/q109),
+        // EXCEPT assignment-shaped branches, which literal binding
+        // would silently turn into a boolean projection.
+        if ("(?is)^\\s*if\\b".r.findFirstIn(mskRc).isDefined) {
+          IfLadderSqlCompiler.parse(sRc) match {
+            case Some(l) if !l.chainEquivalent =>
+              // a RETURN leg under an explicit transaction bracket (or
+              // in a TRY body / emitted loop body, where batch exit is
+              // not this script's to decide) declines SHAPE-level:
+              // both directions of the guard must be ownable, so a
+              // data flip cannot turn a working package into a
+              // failing one
+              if (l.hasReturn && !allowEarlyExit) return None
+              def fold(p: IfLadderSqlCompiler.Pred): Option[Boolean] =
+                p match {
+                  case IfLadderSqlCompiler.ExistsPred(neg, probe) =>
+                    val b = bindVars(probe)
+                    if (scalarVarRe.findFirstIn(
+                        UpdateSqlCompiler.masked(b)).isDefined) None
+                    else Some((!SqlPatternRewriter.runSelect(spark, b)
+                      .limit(1).isEmpty) != neg)
+                  case IfLadderSqlCompiler.ScalarPred(e) =>
+                    val b = bindVars(e)
+                    if (scalarVarRe.findFirstIn(
+                        UpdateSqlCompiler.masked(b)).isDefined) None
+                    else Some(SqlPatternRewriter.runSelect(spark,
+                      s"SELECT CASE WHEN ($b) THEN true ELSE false END AS p")
+                      .head().getBoolean(0))
+                }
+              // first-match cascade: probe legs in order until one
+              // fires (T-SQL's ELSE IF is sequential, not nested);
+              // legs past the taken one never evaluate
+              var taken: Option[IfLadderSqlCompiler.Branch] = None
+              var decided = false
+              l.legs.foreach { case (p, br) =>
+                if (!decided) fold(p) match {
+                  case None => return None
+                  case Some(true) => decided = true; taken = Some(br)
+                  case Some(false) => ()
+                }
+              }
+              if (!decided) taken = l.otherwise
+              taken match {
+                case None =>
+                  // untaken with no ELSE: vacuous success; the count is
+                  // not this replay's to state (chain-member parity)
+                  lastAffected = None
+                  return Some(SqlOutcome(None, None))
+                case Some(IfLadderSqlCompiler.ReturnExit) =>
+                  earlyExit = true
+                  return Some(SqlOutcome(None, None))
+                case Some(IfLadderSqlCompiler.Stmts(ss, _)) =>
+                  var lastDf: Option[DataFrame] = None
+                  ss.foreach { s =>
+                    compileOne(s) match {
+                      case Some(o) =>
+                        if (forceFrames)
+                          (o.side.map(_._2) ++ o.df).foreach(_.foreach(_ => ()))
+                        stage(o); outcomes += o; lastDf = o.df
+                      case None => return None
+                    }
+                  }
+                  // the wrapper stages nothing itself (target None,
+                  // no side writes) but carries the last inner frame
+                  // so a result-set-final branch still binds
+                  return Some(SqlOutcome(lastDf, None))
+              }
+            case _ => () // chain-equivalent or unparseable: r17 paths
+          }
+        }
         // every other statement: bind declared @vars as typed literals;
         // an @reference that survives binding is undeclared — decline
         // the whole script rather than hand a compiler a bare @token
@@ -1017,6 +1136,11 @@ object ScriptedSqlExecutor {
         def runSeq(ss: List[String], catching: Boolean,
             trySeq: Boolean = false): Boolean =
           ss.zipWithIndex.forall { case (s, i) =>
+            forceFrames = catching
+            // a taken RETURN leg ended the batch: the remaining
+            // statements are skipped, staged state commits (q151)
+            if (earlyExit) true
+            else {
             if (trySeq && savepointAt.contains(i))
               spState = Some((overlay.toMap, outcomes.toList, lastAffected))
             (try compileOne(s) catch {
@@ -1028,6 +1152,7 @@ object ScriptedSqlExecutor {
                   (o.side.map(_._2) ++ o.df).foreach(_.foreach(_ => ()))
                 stage(o); outcomes += o; true
               case None => false
+            }
             }
           }
         val allOk =
@@ -1205,9 +1330,21 @@ object ScriptedSqlExecutor {
         case Some(unrolled) => script(bound, unrolled)
         case None =>
         // GO batch separators split exactly like ';' — a batch boundary
-        // is always a statement boundary
-        val stmts = SqlText.splitBatches(text)
-          .flatMap(SqlText.splitStatements)
+        // is always a statement boundary. IF…BEGIN…END blocks the `;`
+        // splitter shredded regroup back into one statement (q149–
+        // q151: the block's internal `;`s are body separators, not
+        // script boundaries) — non-IF scripts regroup to themselves.
+        val regrouped = IfLadderSqlCompiler.regroup(
+          SqlText.splitBatches(text).flatMap(SqlText.splitStatements))
+        // an explicit transaction bracket anywhere bars the RETURN
+        // early-exit leg: whether staged state commits at the exit
+        // point is the bracket's call, not this replay's (q151 keeps
+        // that decline) — NOCOUNT dressing does not count
+        val hadTxn = regrouped.exists(s =>
+          beginTranStmtRe.findFirstMatchIn(s).isDefined ||
+            beginTranPrefixRe.findFirstMatchIn(s).isDefined ||
+            commitStmtRe.findFirstMatchIn(s).isDefined)
+        val stmts = regrouped
           .map(s => beginTranPrefixRe.replaceFirstIn(s, ""))
           .filterNot(s => txnNoopRe.findFirstMatchIn(s).isDefined)
         // a statement text that DIVERGED from the whole stripped text —
@@ -1232,14 +1369,22 @@ object ScriptedSqlExecutor {
           val msk = UpdateSqlCompiler.masked(stmts.head)
           if (tempRefRe.findFirstIn(msk).isDefined ||
             "@@".r.findFirstIn(msk).isDefined) None
+          // a whole-task IF ladder beyond the chain members (a
+          // subquery-comparison multi-branch, an ELSE IF cascade)
+          // routes through the script overlay, where the ladder
+          // handler lives — the chain would decline it
+          else if (IfLadderSqlCompiler.ownsBeyondChain(stmts.head))
+            script(bound, stmts, allowEarlyExit = !hadTxn)
           else single(stmts.head)
         }
         // a #temp-bearing refresh shape must still run SEQUENTIALLY
         // (the INSERT…SELECT reads a temp an earlier statement creates)
-        else if (stmts.exists(hasTempRef)) script(bound, stmts)
+        else if (stmts.exists(hasTempRef))
+          script(bound, stmts, allowEarlyExit = !hadTxn)
         else if (isRefreshShape(stmts))
-          single(stmts.mkString(";\n")).orElse(script(bound, stmts))
-        else script(bound, stmts)
+          single(stmts.mkString(";\n"))
+            .orElse(script(bound, stmts, allowEarlyExit = !hadTxn))
+        else script(bound, stmts, allowEarlyExit = !hadTxn)
       }
       }
     }

@@ -2553,17 +2553,29 @@ class PipelineSpec extends AnyFunSuite {
       .getOrElse(fail("@@ROWCOUNT-guard IF did not compile"))
     assert(w6b("ift").count() === 0L, "2 deleted → guard fires → id 1 goes")
     // declines: undeclared @var in the predicate (top level, no
-    // binder), nested control flow in a branch, a multi-statement
-    // BEGIN block (would shred under the script splitter), a CASE
-    // ELSE leaking into the predicate, conditional SET assignment
+    // binder), nested control flow in a branch, a CASE ELSE leaking
+    // into the predicate
     for (sql <- Seq(
       "IF @nope > 0 DELETE FROM ift WHERE id = 1;",
       "IF 1 = 1 IF 2 = 2 DELETE FROM ift WHERE id = 1;",
-      "DECLARE @n INT = 1; IF @n > 0 BEGIN DELETE FROM ift WHERE id = 1; " +
-        "DELETE FROM ift WHERE id = 2; END",
-      "IF CASE WHEN 1 = 1 THEN 1 ELSE 0 END = 1 DELETE FROM ift WHERE id = 1;",
-      "DECLARE @n INT = 1; DECLARE @y INT = 0; IF @n > 0 SET @y = 5;"))
+      "IF CASE WHEN 1 = 1 THEN 1 ELSE 0 END = 1 DELETE FROM ift WHERE id = 1;"))
       assert(mkExec(fresh())(task(sql)).isEmpty, s"should decline: $sql")
+    // the two r17 decline classes the r18 ladder PROMOTED to owned:
+    // a multi-statement BEGIN block executes through the dispatcher
+    // (q149 — the splitter shred regroups), and conditional SET
+    // reaches the executor's variable state
+    val wBlk = fresh()
+    mkExec(wBlk)(task(
+      "DECLARE @n INT = 1; IF @n > 0 BEGIN DELETE FROM ift WHERE id = 1; " +
+        "DELETE FROM ift WHERE id = 2; END"))
+      .getOrElse(fail("multi-statement IF block did not compile"))
+    assert(wBlk("ift").count() === 1L, "both block statements must run")
+    val wSet = fresh()
+    mkExec(wSet)(task(
+      "DECLARE @n INT = 1; DECLARE @y INT = 0; IF @n > 0 SET @y = 5; " +
+        "DELETE FROM ift WHERE id <= @y;"))
+      .getOrElse(fail("conditional SET did not compile"))
+    assert(wSet("ift").count() === 0L, "the SET value must reach the DELETE")
     // ledger twins: the subquery form classifies converted; an
     // unbindable top-level @predicate stays manual review
     assert(graft.parser.MigrationMapping.mapTask(
