@@ -3203,6 +3203,47 @@ object QueriesRelational {
       |       ELSE 'NEW' END AS flag
       |FROM orders""".stripMargin
 
+  /** DYNAMIC pivot through the dtsx frontend (`DynamicPivotETL.dtsx`)
+    * — the classic idiom where the pivot column list is assembled
+    * FROM DATA: `SELECT @cols = STRING_AGG(CONCAT('[', p, ']'), ',')
+    * WITHIN GROUP (ORDER BY p) FROM (SELECT DISTINCT …)`, then
+    * `SET @sql = N'… SELECT st, ' + @cols + N' … PIVOT (… IN (' +
+    * @cols + N')) p'; EXEC(@sql)` (r18 — the r17 verdict asked this
+    * composition gated or its decline pinned; it COMPOSES). The
+    * executor's query-assign makes @cols a literal (q114),
+    * [[graft.patterns.TsqlConcatFold]] renders the exact spliced text
+    * (q127), the literal EXEC unwraps, and the folded inner re-enters
+    * [[graft.patterns.PivotSql]] (q137) — including the bracketed
+    * `[4-NOT SPECIFIED]` column with an embedded space. The reference
+    * routes every EXEC to manual review (`analyzer.py:137-145`).
+    * Scale: the @cols aggregate is one DISTINCT over the staged
+    * matrix's key column (narrow scan); the emitted INSERT plans the
+    * same one-scan Expand + partial-agg pivot as the static spelling. */
+  def q152_dtsx_dynamic_pivot(spark: SparkSession, dir: String): DataFrame = {
+    val (w, _) = runDtsxWarehousePackage(spark, dir, "DynamicPivotETL.dtsx")
+    w("prio_dpv").select(
+      col("st").cast(StringType).as("st"),
+      col("1-URGENT").cast(DoubleType).as("urgent"),
+      col("2-HIGH").cast(DoubleType).as("high"),
+      col("3-MEDIUM").cast(DoubleType).as("medium"),
+      col("4-NOT SPECIFIED").cast(DoubleType).as("notspec"),
+      col("5-LOW").cast(DoubleType).as("low"))
+  }
+
+  val q152Oracle: String =
+    """SELECT o_orderstatus AS st,
+      |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+      |    THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS urgent,
+      |  CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH'
+      |    THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS high,
+      |  CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM'
+      |    THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS medium,
+      |  CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+      |    THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS notspec,
+      |  CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'
+      |    THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS low
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
+
   /** DEFAULT parameter values on a script-local helper through the
     * dtsx frontend (`ProcDefaultETL.dtsx`) — `@cut DECIMAL(12,2) =
     * 250000` in the signature (r17; the reference routes every EXEC
@@ -4699,6 +4740,7 @@ object QueriesRelational {
     "q149_dtsx_if_block" -> (q149_dtsx_if_block _),
     "q150_dtsx_else_if" -> (q150_dtsx_else_if _),
     "q151_dtsx_early_exit" -> (q151_dtsx_early_exit _),
+    "q152_dtsx_dynamic_pivot" -> (q152_dtsx_dynamic_pivot _),
     "q82_orc_roundtrip" -> (q82_orc_roundtrip _),
     "q80_dtsx_cdc_merge" -> (q80_dtsx_cdc_merge _),
     "q79_delete_cascade" -> (q79_delete_cascade _),
@@ -4843,6 +4885,7 @@ object QueriesRelational {
     "q149_dtsx_if_block" -> q149Oracle,
     "q150_dtsx_else_if" -> q150Oracle,
     "q151_dtsx_early_exit" -> q151Oracle,
+    "q152_dtsx_dynamic_pivot" -> q152Oracle,
     "q82_orc_roundtrip" -> q82Oracle,
     "q80_dtsx_cdc_merge" -> q80Oracle,
     "q79_delete_cascade" -> q79Oracle,

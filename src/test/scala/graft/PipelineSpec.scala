@@ -2941,6 +2941,36 @@ class PipelineSpec extends AnyFunSuite {
       Nil).status === "manual_review")
   }
 
+  test("dynamic pivot: STRING_AGG-built column list composes through EXEC(@sql)") {
+    // q152 (the r17 verdict's item 7): the data-dependent IN list —
+    // query-assign (q114) folds @cols to a literal, TsqlConcatFold
+    // (q127) renders the spliced text, the literal EXEC unwraps, and
+    // the inner re-enters the PIVOT translation (q137). A bracketed
+    // column with an embedded space rides the whole chain.
+    import spark.implicits._
+    val w = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame](
+      "dpsrc" -> Seq(("1-URGENT", 10.0), ("2-HIGH", 5.0), ("1-URGENT", 2.0),
+        ("4-NOT SPECIFIED", 7.0)).toDF("prio", "amt"))
+    w.foreach { case (k, f) => f.createOrReplaceTempView(k) }
+    val exec = graft.patterns.ScriptedSqlExecutor.executor(spark,
+      resolveFrame = n => w.getOrElse(n, spark.table(n)),
+      bareName = identity,
+      commit = (k, v) => w(k) = v)
+    exec(graft.ir.Ir.ExecuteSqlTask("dp", None, "conn",
+      "DECLARE @cols NVARCHAR(MAX), @sql NVARCHAR(MAX); " +
+        "SELECT @cols = STRING_AGG(CONCAT('[', p, ']'), ',') " +
+        "WITHIN GROUP (ORDER BY p) FROM (SELECT DISTINCT prio AS p FROM dpsrc) d; " +
+        "SET @sql = N'INSERT INTO dptgt SELECT ' + @cols + N' FROM " +
+        "(SELECT prio, amt FROM dpsrc) s PIVOT (SUM(amt) FOR prio IN (' " +
+        "+ @cols + N')) p'; " +
+        "EXEC(@sql);"))
+      .getOrElse(fail("dynamic pivot did not compile"))
+    assert(w("dptgt").columns.toList ===
+      List("1-URGENT", "2-HIGH", "4-NOT SPECIFIED"))
+    assert(w("dptgt").as[(Double, Double, Double)].head() === ((12.0, 5.0, 7.0)))
+    spark.catalog.dropTempView("dpsrc")
+  }
+
   test("script-local stored procedures inline their EXEC calls; off-shapes decline") {
     import spark.implicits._
     def mkExec(written: scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]) =
