@@ -17,6 +17,35 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // box-weather instrumentation (r18): same-binary solo draws on this
+    // box swing 1.5-3x at the 272-query-sum level (PERF.md r15-r17 all
+    // paid probe protocols to re-conclude "coherent box state, not a
+    // plan regression"). Record load average, CPU governor/frequency,
+    // and memory temperature at sweep START and END into the DETAIL
+    // JSON so a future swing adjudicates from the artifact. The final
+    // driver-contract line stays lean (~200 B tail-truncation budget).
+    def envProbe(): String = {
+      def read(p: String): Option[String] =
+        try Some(new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Path.of(p)),
+          java.nio.charset.StandardCharsets.UTF_8).trim)
+        catch { case scala.util.control.NonFatal(_) => None }
+      val load = read("/proc/loadavg")
+        .map(_.split("\\s+").take(3).mkString(",")).getOrElse("")
+      val gov = read(
+        "/sys/devices/system/cpu/cpu0/cpufreq/scaling_governor")
+        .getOrElse("")
+      val freq = read(
+        "/sys/devices/system/cpu/cpu0/cpufreq/scaling_cur_freq")
+        .getOrElse("")
+      val mem = read("/proc/meminfo").map { mi =>
+        def kb(k: String) = ("(?m)^" + k + ":\\s+(\\d+)").r
+          .findFirstMatchIn(mi).map(_.group(1)).getOrElse("")
+        s""""mem_free_kb":"${kb("MemFree")}","mem_cached_kb":"${kb("Cached")}""""
+      }.getOrElse(""""mem_free_kb":"","mem_cached_kb":"""")
+      s"""{"loadavg":"$load","governor":"$gov","cpu_khz":"$freq",$mem}"""
+    }
+    val envStart = envProbe()
     // untimed warmup so the first query per table doesn't absorb JVM/
     // codegen/shuffle startup or first-touch file I/O: count every table
     // (page cache + footer reads), then one small shuffling aggregate
@@ -101,8 +130,9 @@ object Bench {
     // regression — the r15 167->306s driver swing class
     val totalMin = results.map(_._3).sum
     val errField = if (errs == "{}") "" else s""","errors":$errs"""
+    val envEnd = envProbe()
     val detail =
-      s"""{"metric":"queries_detail","queries":$qs,"queries_min":$mins,"n":${results.size}$errField,"sf":"$sfDir"}"""
+      s"""{"metric":"queries_detail","queries":$qs,"queries_min":$mins,"n":${results.size}$errField,"env":{"start":$envStart,"end":$envEnd},"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Path.of("/tmp/bench_queries.json"),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -207,6 +207,14 @@ object MigrationMapping {
           "driver fact, NULL takes the ELSE like T-SQL's UNKNOWN; the " +
           "taken branch runs through the statement chain; both " +
           "branches must be single ownable statements)"), Nil, signals)
+    else if (graft.patterns.IfLadderSqlCompiler.ownsWholeText(sql))
+      TaskMapping(t.name, "ExecuteSQLTask", "converted", None,
+        Some("IF ladder executes (patterns/IfLadderSqlCompiler — " +
+          "multi-statement BEGIN…END branches, ELSE IF first-match " +
+          "cascades, and mixed scalar/EXISTS predicates fold as eager " +
+          "driver probes; the taken leg's statements run through the " +
+          "script overlay; nested control flow stays manual review)"),
+        Nil, signals)
     else if (graft.patterns.WhileLoopSqlCompiler.shapeMatches(sql))
       TaskMapping(t.name, "ExecuteSQLTask", "converted", None,
         Some("counter WHILE loop unrolls (patterns/WhileLoopSqlCompiler " +

@@ -29,10 +29,14 @@ import org.apache.spark.sql.SparkSession
   * [[IfExistsSqlCompiler]]; a depth-0 ELSE before the verb (a CASE
   * expression spilling into the predicate) declines; branches take
   * one optional BEGIN…END wrapper, no nested control flow, no `;`
-  * (a multi-statement scalar-IF block would shred under the script
-  * splitter — decline loudly rather than half-run). `IF … SET @v = …`
-  * conditional ASSIGNMENT is not owned (the chain cannot reach the
-  * executor's variable state); no verb ⇒ decline. */
+  * (a multi-statement scalar-IF block is the DISPATCHER's to own —
+  * [[IfLadderSqlCompiler]] regroups the splitter shreds and the
+  * script sequencer runs the block, r18). `IF … SET @v = …`
+  * conditional ASSIGNMENT is likewise the ladder's (the chain cannot
+  * reach the executor's variable state; the sequencer can); this
+  * chain member keeps exactly the single-plain-statement shapes so
+  * the r17 paths (q148/q109 class) stay byte-identical. No verb ⇒
+  * decline. */
 object IfScalarSqlCompiler {
 
   private val headRe = "(?is)^\\s*if\\b".r

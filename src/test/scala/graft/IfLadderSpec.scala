@@ -19,6 +19,11 @@ class IfLadderSpec extends AnyFunSuite {
       commit = (k, v) => written(k) = v)
   private def task(sql: String) =
     graft.ir.Ir.ExecuteSqlTask("lad", None, "conn", sql)
+  // the session is shared across suites: every temp view a test
+  // registers must drop at its end, or a later suite's spark.table
+  // fallback reads this suite's fixtures (the r18 full-run interference)
+  private def dropViews(names: String*): Unit =
+    names.foreach(n => spark.catalog.dropTempView(n): Unit)
 
   // ---- regroup: the splitter-shred repair ----------------------------
 
@@ -151,6 +156,7 @@ class IfLadderSpec extends AnyFunSuite {
         "INSERT INTO log (status, n) VALUES ('del', @@ROWCOUNT)"))
       .getOrElse(fail("rowcount-after-block script did not compile"))
     assert(w3("log").as[(String, Long)].head() === (("del", 1L)))
+    dropViews("stage", "tgt", "log")
   }
 
   test("q149 declines: nested IF, undeclared predicate var, malformed block") {
@@ -176,6 +182,7 @@ class IfLadderSpec extends AnyFunSuite {
       "DECLARE @n INT = 1; IF @n > 0 TRUNCATE TABLE t INSERT INTO t " +
         "SELECT 2, 2.0")).isEmpty)
     assert(w("t").count() === 1L)
+    dropViews("t")
   }
 
   // ---- execution: q150 ELSE IF cascade --------------------------------
@@ -213,6 +220,7 @@ class IfLadderSpec extends AnyFunSuite {
         "ELSE IF @v > 99 INSERT INTO out (band, v) VALUES ('b', @v)"))
       .getOrElse(fail("vacuous cascade did not compile"))
     assert(w3("out").count() === 0L)
+    dropViews("m", "out")
   }
 
   // ---- execution: q151 early-exit RETURN -------------------------------
@@ -261,6 +269,7 @@ class IfLadderSpec extends AnyFunSuite {
     assert(mkExec(w4)(task(
       "INSERT INTO tgt SELECT id, v FROM src; RETURN; " +
         "INSERT INTO log (s) VALUES ('x')")).isEmpty)
+    dropViews("src", "tgt", "log")
   }
 
   // ---- invariant: the IF-EXISTS probe sees STAGED state ---------------
