@@ -129,6 +129,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q146 lost the partial-aggregating pivot:\n$plan")
   }
 
+  test("q152: dynamic pivot plans the static spelling's lineage — one scan + partial-agg pivot") {
+    // the STRING_AGG-built column list is driver-side text (the @cols
+    // probe is its own one-off scalar job); the EMITTED insert must
+    // plan exactly what a hand-written static PIVOT would — one orders
+    // scan into the partial-aggregating pivot, no extra exchange
+    val plan = executedPlan("q152_dtsx_dynamic_pivot")
+    assert("Scan parquet".r.findAllIn(plan).length === 1,
+      s"q152 must scan orders exactly once:\n$plan")
+    assert(plan.contains("pivotfirst") || plan.contains("partial_"),
+      s"q152 lost the partial-aggregating pivot:\n$plan")
+  }
+
   test("q33: dtsx-compiled full-cache lookups broadcast; source projection prunes") {
     val plan = executedPlan("q33_dtsx_dataflow")
     assert("BroadcastHashJoin".r.findAllIn(plan).length === 2)
