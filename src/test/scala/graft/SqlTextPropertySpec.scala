@@ -210,4 +210,63 @@ class SqlTextPropertySpec extends AnyFunSuite {
         s"join tail must keep the decline regardless of select list: $sel")
     }
   }
+
+  test("IfLadder regroup: literal keyword content never joins fragments; real blocks always rejoin") {
+    // hostile literals: BEGIN/END/CASE/IF/ELSE inside string content
+    // must be data — a literal-borne keyword that changed the block
+    // balance would fuse unrelated statements (silent re-shaping, the
+    // worst class). Generator: plain DML statements whose literal
+    // payload is keyword soup.
+    val kwSoup: Gen[String] = Gen.listOfN(4, Gen.oneOf(
+      "begin", "END", "case", "if", "else", "BEGIN TRAN", "end try",
+      "x", ";", "(", ")")).map(_.mkString(" "))
+    forAll(kwSoup) { payload =>
+      val lit = payload.replace("'", "''")
+      val stmts = List(
+        s"INSERT INTO t VALUES ('$lit')",
+        s"UPDATE t SET c = '$lit' WHERE k = 1",
+        "DELETE FROM t WHERE k = 2")
+      assert(IfLadderSqlCompiler.regroup(stmts) === stmts,
+        s"literal content changed regrouping for payload: $payload")
+    }
+    // the inverse property: a REAL block around arbitrary literal
+    // payload always regroups to exactly one statement, and the parse
+    // sees exactly the two body statements
+    forAll(kwSoup) { payload =>
+      val lit = payload.replace("'", "''")
+      val text = s"IF @n > 0 BEGIN UPDATE t SET c = '$lit'; " +
+        s"DELETE FROM u WHERE k = '$lit'; END"
+      val g = IfLadderSqlCompiler.regroup(SqlText.splitStatements(text))
+      assert(g.length === 1, s"shredded block failed to rejoin: $payload")
+      val l = IfLadderSqlCompiler.parse(g.head)
+      assert(l.exists(_.legs.head._2 match {
+        case IfLadderSqlCompiler.Stmts(ss, _) => ss.length == 2
+        case _ => false
+      }), s"block body mis-parsed for payload: $payload")
+    }
+  }
+
+  test("IfLadder parse: predicate/branch slicing survives hostile literals; cascade order is positional") {
+    val kwSoup: Gen[String] = Gen.listOfN(3, Gen.oneOf(
+      "else", "IF", "begin", "end", "return", "exists (", ")", "x"))
+      .map(_.mkString(" "))
+    forAll(kwSoup) { payload =>
+      val lit = payload.replace("'", "''")
+      // keyword soup in a predicate-side literal and both branch
+      // literals: the ladder must still split at the REAL tokens
+      val text = s"IF @s = '$lit' UPDATE t SET c = '$lit' " +
+        s"ELSE IF @n > 1 DELETE FROM t WHERE c = '$lit' " +
+        "ELSE RETURN"
+      IfLadderSqlCompiler.parse(text) match {
+        case Some(l) =>
+          assert(l.legs.length === 2 &&
+            l.otherwise === Some(IfLadderSqlCompiler.ReturnExit),
+            s"ladder mis-split on payload: $payload")
+          assert(l.legs.head._1 ===
+            IfLadderSqlCompiler.ScalarPred(s"@s = '$lit'"),
+            s"predicate slice corrupted for payload: $payload")
+        case None => fail(s"ladder failed to parse on literal payload: $payload")
+      }
+    }
+  }
 }
