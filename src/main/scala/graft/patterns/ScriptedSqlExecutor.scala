@@ -762,6 +762,103 @@ object ScriptedSqlExecutor {
         // @@IDENTITY/@@ERROR/@@TRANCOUNT…: state this replay cannot
         // produce — decline the whole script, never substitute garbage
         if (otherSysVarRe.findFirstIn(msk0).isDefined) return None
+        // IF LADDERS (q149–q151): multi-statement BEGIN…END branches,
+        // conditional SET/SELECT-assign legs, ELSE IF cascades, and
+        // the top-level early-exit RETURN leg — the dispatcher-level
+        // promotion of the r17 chain members. HERE the executor's
+        // variable state is in reach: each predicate folds eagerly
+        // through bindVars (an unfoldable predicate — a surviving
+        // @token — declines the whole script, never guesses), and the
+        // first true leg's statements run through this same compileOne
+        // so assignments mutate `vars` and DML stages through the
+        // overlay. This handler parses the RAW text and runs BEFORE
+        // the whole-statement @@ROWCOUNT substitution: a PREDICATE
+        // read substitutes the pre-IF count below, while a read inside
+        // a branch statement substitutes at ITS point in the branch
+        // sequence via the recursion — a branch DML between them must
+        // be visible to the later read, T-SQL point-of-read semantics.
+        // Single-simple IFs keep their r17 chain path (chainEquivalent
+        // — zero behavioral delta for q148/q109), EXCEPT assignment-
+        // shaped branches, which literal binding would silently turn
+        // into a boolean projection.
+        if ("(?is)^\\s*if\\b".r.findFirstIn(msk0).isDefined) {
+          IfLadderSqlCompiler.parse(s0) match {
+            case Some(l) if !l.chainEquivalent =>
+              // a RETURN leg under an explicit transaction bracket (or
+              // in a TRY body / emitted loop body, where batch exit is
+              // not this script's to decide) declines SHAPE-level:
+              // both directions of the guard must be ownable, so a
+              // data flip cannot turn a working package into a
+              // failing one
+              if (l.hasReturn && !allowEarlyExit) return None
+              def foldPredText(raw: String): String =
+                if (rowcountRe.findFirstIn(
+                    UpdateSqlCompiler.masked(raw)).isEmpty) raw
+                else lastAffected match {
+                  case Some(f) => substRowcount(raw, f())
+                  case None => return null // no countable predecessor
+                }
+              def fold(p: IfLadderSqlCompiler.Pred): Option[Boolean] = {
+                val raw = p match {
+                  case IfLadderSqlCompiler.ExistsPred(_, probe) => probe
+                  case IfLadderSqlCompiler.ScalarPred(e) => e
+                }
+                val rc = foldPredText(raw)
+                if (rc == null) return None
+                val b = bindVars(rc)
+                if (scalarVarRe.findFirstIn(
+                    UpdateSqlCompiler.masked(b)).isDefined) None
+                else p match {
+                  case IfLadderSqlCompiler.ExistsPred(neg, _) =>
+                    Some((!SqlPatternRewriter.runSelect(spark, b)
+                      .limit(1).isEmpty) != neg)
+                  case _: IfLadderSqlCompiler.ScalarPred =>
+                    Some(SqlPatternRewriter.runSelect(spark,
+                      s"SELECT CASE WHEN ($b) THEN true ELSE false END AS p")
+                      .head().getBoolean(0))
+                }
+              }
+              // first-match cascade: probe legs in order until one
+              // fires (T-SQL's ELSE IF is sequential, not nested);
+              // legs past the taken one never evaluate
+              var taken: Option[IfLadderSqlCompiler.Branch] = None
+              var decided = false
+              l.legs.foreach { case (p, br) =>
+                if (!decided) fold(p) match {
+                  case None => return None
+                  case Some(true) => decided = true; taken = Some(br)
+                  case Some(false) => ()
+                }
+              }
+              if (!decided) taken = l.otherwise
+              taken match {
+                case None =>
+                  // untaken with no ELSE: vacuous success; the count is
+                  // not this replay's to state (chain-member parity)
+                  lastAffected = None
+                  return Some(SqlOutcome(None, None))
+                case Some(IfLadderSqlCompiler.ReturnExit) =>
+                  earlyExit = true
+                  return Some(SqlOutcome(None, None))
+                case Some(IfLadderSqlCompiler.Stmts(ss, _)) =>
+                  var lastDf: Option[DataFrame] = None
+                  ss.foreach { s =>
+                    compileOne(s) match {
+                      case Some(o) =>
+                        if (forceFrames)
+                          (o.side.map(_._2) ++ o.df).foreach(_.foreach(_ => ()))
+                        stage(o); outcomes += o; lastDf = o.df
+                      case None => return None
+                    }
+                  }
+                  // the wrapper stages nothing itself (target None,
+                  // no side writes) but carries the last inner frame
+                  // so a result-set-final branch still binds
+                  return Some(SqlOutcome(lastDf, None))
+              }
+            case _ => () // chain-equivalent or unparseable: r17 paths
+          }
+        }
         val sRc =
           if (rowcountRe.findFirstIn(msk0).isEmpty) s0
           else lastAffected match {
@@ -987,86 +1084,6 @@ object ScriptedSqlExecutor {
           }
           return Some(SqlOutcome(None, None))
         }: Unit
-        // IF LADDERS (q149–q151): multi-statement BEGIN…END branches,
-        // conditional SET/SELECT-assign legs, ELSE IF cascades, and
-        // the top-level early-exit RETURN leg — the dispatcher-level
-        // promotion of the r17 chain members. HERE the executor's
-        // variable state is in reach: each predicate folds eagerly
-        // through bindVars (an unfoldable predicate — a surviving
-        // @token — declines the whole script, never guesses), and the
-        // first true leg's statements run through this same compileOne
-        // so assignments mutate `vars` and DML stages through the
-        // overlay. Single-simple IFs keep their r17 chain path
-        // (chainEquivalent — zero behavioral delta for q148/q109),
-        // EXCEPT assignment-shaped branches, which literal binding
-        // would silently turn into a boolean projection.
-        if ("(?is)^\\s*if\\b".r.findFirstIn(mskRc).isDefined) {
-          IfLadderSqlCompiler.parse(sRc) match {
-            case Some(l) if !l.chainEquivalent =>
-              // a RETURN leg under an explicit transaction bracket (or
-              // in a TRY body / emitted loop body, where batch exit is
-              // not this script's to decide) declines SHAPE-level:
-              // both directions of the guard must be ownable, so a
-              // data flip cannot turn a working package into a
-              // failing one
-              if (l.hasReturn && !allowEarlyExit) return None
-              def fold(p: IfLadderSqlCompiler.Pred): Option[Boolean] =
-                p match {
-                  case IfLadderSqlCompiler.ExistsPred(neg, probe) =>
-                    val b = bindVars(probe)
-                    if (scalarVarRe.findFirstIn(
-                        UpdateSqlCompiler.masked(b)).isDefined) None
-                    else Some((!SqlPatternRewriter.runSelect(spark, b)
-                      .limit(1).isEmpty) != neg)
-                  case IfLadderSqlCompiler.ScalarPred(e) =>
-                    val b = bindVars(e)
-                    if (scalarVarRe.findFirstIn(
-                        UpdateSqlCompiler.masked(b)).isDefined) None
-                    else Some(SqlPatternRewriter.runSelect(spark,
-                      s"SELECT CASE WHEN ($b) THEN true ELSE false END AS p")
-                      .head().getBoolean(0))
-                }
-              // first-match cascade: probe legs in order until one
-              // fires (T-SQL's ELSE IF is sequential, not nested);
-              // legs past the taken one never evaluate
-              var taken: Option[IfLadderSqlCompiler.Branch] = None
-              var decided = false
-              l.legs.foreach { case (p, br) =>
-                if (!decided) fold(p) match {
-                  case None => return None
-                  case Some(true) => decided = true; taken = Some(br)
-                  case Some(false) => ()
-                }
-              }
-              if (!decided) taken = l.otherwise
-              taken match {
-                case None =>
-                  // untaken with no ELSE: vacuous success; the count is
-                  // not this replay's to state (chain-member parity)
-                  lastAffected = None
-                  return Some(SqlOutcome(None, None))
-                case Some(IfLadderSqlCompiler.ReturnExit) =>
-                  earlyExit = true
-                  return Some(SqlOutcome(None, None))
-                case Some(IfLadderSqlCompiler.Stmts(ss, _)) =>
-                  var lastDf: Option[DataFrame] = None
-                  ss.foreach { s =>
-                    compileOne(s) match {
-                      case Some(o) =>
-                        if (forceFrames)
-                          (o.side.map(_._2) ++ o.df).foreach(_.foreach(_ => ()))
-                        stage(o); outcomes += o; lastDf = o.df
-                      case None => return None
-                    }
-                  }
-                  // the wrapper stages nothing itself (target None,
-                  // no side writes) but carries the last inner frame
-                  // so a result-set-final branch still binds
-                  return Some(SqlOutcome(lastDf, None))
-              }
-            case _ => () // chain-equivalent or unparseable: r17 paths
-          }
-        }
         // every other statement: bind declared @vars as typed literals;
         // an @reference that survives binding is undeclared — decline
         // the whole script rather than hand a compiler a bare @token

@@ -185,6 +185,35 @@ class IfLadderSpec extends AnyFunSuite {
     dropViews("t")
   }
 
+  test("@@ROWCOUNT: the predicate reads the pre-IF count; a branch read follows branch DML") {
+    import spark.implicits._
+    val w = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame](
+      "rc_t" -> Seq((1L, 5.0), (2L, 8.0), (3L, 12.0)).toDF("id", "v"),
+      "rc_log" -> Seq.empty[Long].toDF("n"))
+    w.foreach { case (k, f) => f.createOrReplaceTempView(k) }
+    // the first DELETE sets @@ROWCOUNT=2; the predicate reads THAT.
+    // Inside the taken block, the second DELETE affects 1 row and the
+    // INSERT's @@ROWCOUNT must read 1 — the point-of-read contract: a
+    // whole-statement substitution would have baked the stale pre-IF 2
+    // into the branch text
+    mkExec(w)(task(
+      "DELETE FROM rc_t WHERE v < 10; " +
+        "IF @@ROWCOUNT > 0 BEGIN DELETE FROM rc_t WHERE v >= 10; " +
+        "INSERT INTO rc_log (n) VALUES (@@ROWCOUNT); END"))
+      .getOrElse(fail("rowcount-ladder script did not compile"))
+    assert(w("rc_log").as[Long].collect().toList === List(1L),
+      "branch @@ROWCOUNT must read the branch DML's count, not the pre-IF count")
+    assert(w("rc_t").count() === 0L)
+    // a predicate @@ROWCOUNT with NO countable predecessor declines
+    val w2 = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame](
+      "rc_t" -> Seq((1L, 5.0)).toDF("id", "v"))
+    w2.foreach { case (k, f) => f.createOrReplaceTempView(k) }
+    assert(mkExec(w2)(task(
+      "IF @@ROWCOUNT > 0 BEGIN DELETE FROM rc_t WHERE v < 10; " +
+        "DELETE FROM rc_t WHERE v >= 10; END")).isEmpty)
+    dropViews("rc_t", "rc_log")
+  }
+
   // ---- execution: q150 ELSE IF cascade --------------------------------
 
   test("q150: ELSE IF cascade is first-match; EXISTS and scalar legs mix") {
