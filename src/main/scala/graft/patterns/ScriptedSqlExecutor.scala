@@ -414,7 +414,12 @@ object ScriptedSqlExecutor {
     val catchBody = text.substring(m.start(2), m.end(2))
     def raw(body: String) = SqlText.splitBatches(body)
       .flatMap(SqlText.splitStatements)
-    val tsRaw = raw(tryBody)
+    // positions are taken over the REGROUPED list — the same list
+    // stmtsOf hands the sequencer (r18: IF blocks in TRY bodies
+    // regroup; a SAVE TRAN fragment can only merge into a block when
+    // it sits textually INSIDE one, and then saveTranStmtRe no longer
+    // matches it → saves.size != 1 → decline, never a misaligned index)
+    val tsRaw = IfLadderSqlCompiler.regroup(raw(tryBody))
     val csRaw = raw(catchBody)
     val saves = tsRaw.zipWithIndex.flatMap { case (s, i) =>
       saveTranStmtRe.findFirstMatchIn(s).map(mm =>
@@ -1270,8 +1275,13 @@ object ScriptedSqlExecutor {
         if ("(?is)begin\\s+try".r
             .findFirstIn(msk.substring(m.start(1), m.end(1))).isDefined) None
         else {
-          def stmtsOf(body: String) = SqlText.splitBatches(body)
-            .flatMap(SqlText.splitStatements)
+          // IF…BEGIN…END blocks inside TRY/CATCH bodies regroup like
+          // the generic path's (r18): the ladder handler owns them in
+          // the sequencer. RETURN legs still decline here — script()
+          // is called without allowEarlyExit, because a batch exit
+          // from inside a TRY is not this replay's to arbitrate.
+          def stmtsOf(body: String) = IfLadderSqlCompiler.regroup(
+            SqlText.splitBatches(body).flatMap(SqlText.splitStatements))
             .map(s => beginTranPrefixRe.replaceFirstIn(s, ""))
             .filterNot(s => txnNoopRe.findFirstMatchIn(s).isDefined)
           val savepoint = savepointSuffixOwned(text, msk, m)

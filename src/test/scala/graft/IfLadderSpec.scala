@@ -301,6 +301,50 @@ class IfLadderSpec extends AnyFunSuite {
     dropViews("src", "tgt", "log")
   }
 
+  test("compositions: IF inside a WHILE body; IF block inside a TRY body") {
+    import spark.implicits._
+    // single-statement IF in a WHILE body: the unroller binds the
+    // counter per iteration, the emitted IF re-enters the sequencer
+    // and the chain member owns it (guard false on i=1, fires on 2,3)
+    val w1 = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame](
+      "wt" -> Seq((1L, 0.0), (2L, 0.0), (3L, 0.0)).toDF("id", "v"))
+    w1.foreach { case (k, f) => f.createOrReplaceTempView(k) }
+    mkExec(w1)(task(
+      "DECLARE @i INT = 1; " +
+        "WHILE @i <= 3 BEGIN " +
+        "IF @i > 1 UPDATE wt SET v = v + @i WHERE id = @i; " +
+        "SET @i = @i + 1; END"))
+      .getOrElse(fail("WHILE-body IF did not compile"))
+    assert(w1("wt").orderBy("id").as[(Long, Double)].collect().toList
+      === List((1L, 0.0), (2L, 2.0), (3L, 3.0)))
+    // a multi-statement IF block inside a TRY body: stmtsOf regroups
+    // the shredded block exactly like the generic path (r18)
+    val w2 = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame](
+      "tt" -> Seq((1L, 5.0), (2L, 50.0)).toDF("id", "v"),
+      "tl" -> Seq.empty[String].toDF("s"))
+    w2.foreach { case (k, f) => f.createOrReplaceTempView(k) }
+    mkExec(w2)(task(
+      "BEGIN TRY " +
+        "DECLARE @n INT; SELECT @n = COUNT(*) FROM tt WHERE v > 10; " +
+        "IF @n > 0 BEGIN UPDATE tt SET v = 0 WHERE v > 10; " +
+        "INSERT INTO tl (s) VALUES ('capped'); END; " +
+        "END TRY BEGIN CATCH INSERT INTO tl (s) VALUES ('err'); END CATCH"))
+      .getOrElse(fail("TRY-body IF block did not compile"))
+    assert(w2("tt").orderBy("id").as[(Long, Double)].collect().toList
+      === List((1L, 5.0), (2L, 0.0)))
+    assert(w2("tl").as[String].collect().toList === List("capped"))
+    // a RETURN leg inside a TRY body stays manual review (batch exit
+    // from inside a handler is not this replay's to arbitrate)
+    val w3 = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame](
+      "tt" -> Seq((1L, 5.0)).toDF("id", "v"))
+    w3.foreach { case (k, f) => f.createOrReplaceTempView(k) }
+    assert(mkExec(w3)(task(
+      "BEGIN TRY DECLARE @n INT = 0; IF @n = 0 RETURN; " +
+        "UPDATE tt SET v = 1; " +
+        "END TRY BEGIN CATCH UPDATE tt SET v = 2 END CATCH")).isEmpty)
+    dropViews("wt", "tt", "tl")
+  }
+
   // ---- invariant: the IF-EXISTS probe sees STAGED state ---------------
 
   test("IF-EXISTS probe inside a script reads staged (uncommitted) warehouse state") {
