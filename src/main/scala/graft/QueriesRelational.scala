@@ -3244,6 +3244,33 @@ object QueriesRelational {
       |    THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS low
       |FROM orders GROUP BY o_orderstatus""".stripMargin
 
+  /** An IF guard BLOCK inside a TRY/CATCH body through the dtsx
+    * frontend (`TryIfETL.dtsx`) — the guarded-load-with-handler
+    * composition (r18): the TRY body's shredded `IF … BEGIN … END`
+    * regroups exactly like a top-level script's
+    * ([[graft.patterns.IfLadderSqlCompiler.regroup]] now runs in
+    * `stmtsOf`), the guard folds eagerly, both block statements run
+    * through the overlay, and the CATCH — never fired here — would
+    * see pre-failure staged state per the q107 contract. RETURN legs
+    * inside TRY bodies stay manual review. Scale: identical to q149 —
+    * one scalar-aggregate guard job, block statements plan their
+    * inline spellings. */
+  def q153_dtsx_try_if(spark: SparkSession, dir: String): DataFrame = {
+    val (w, _) = runDtsxWarehousePackage(spark, dir, "TryIfETL.dtsx")
+    w("ord_ti").select(
+      col("okey").cast(LongType).as("okey"),
+      col("price").cast(DoubleType).as("price"),
+      col("flag").cast(StringType).as("flag"))
+  }
+
+  val q153Oracle: String =
+    """SELECT o_orderkey AS okey,
+      |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+      |  CASE WHEN CAST(o_totalprice AS DECIMAL(12,2)) >= 300000 THEN 'HOT'
+      |       ELSE 'NEW' END AS flag
+      |FROM orders
+      |WHERE CAST(o_totalprice AS DECIMAL(12,2)) >= 2000""".stripMargin
+
   /** DEFAULT parameter values on a script-local helper through the
     * dtsx frontend (`ProcDefaultETL.dtsx`) — `@cut DECIMAL(12,2) =
     * 250000` in the signature (r17; the reference routes every EXEC
@@ -4741,6 +4768,7 @@ object QueriesRelational {
     "q150_dtsx_else_if" -> (q150_dtsx_else_if _),
     "q151_dtsx_early_exit" -> (q151_dtsx_early_exit _),
     "q152_dtsx_dynamic_pivot" -> (q152_dtsx_dynamic_pivot _),
+    "q153_dtsx_try_if" -> (q153_dtsx_try_if _),
     "q82_orc_roundtrip" -> (q82_orc_roundtrip _),
     "q80_dtsx_cdc_merge" -> (q80_dtsx_cdc_merge _),
     "q79_delete_cascade" -> (q79_delete_cascade _),
@@ -4886,6 +4914,7 @@ object QueriesRelational {
     "q150_dtsx_else_if" -> q150Oracle,
     "q151_dtsx_early_exit" -> q151Oracle,
     "q152_dtsx_dynamic_pivot" -> q152Oracle,
+    "q153_dtsx_try_if" -> q153Oracle,
     "q82_orc_roundtrip" -> q82Oracle,
     "q80_dtsx_cdc_merge" -> q80Oracle,
     "q79_delete_cascade" -> q79Oracle,
