@@ -3271,6 +3271,37 @@ object QueriesRelational {
       |FROM orders
       |WHERE CAST(o_totalprice AS DECIMAL(12,2)) >= 2000""".stripMargin
 
+  /** RAISERROR legs in mid-script IF ladders through the dtsx
+    * frontend (`GuardLadderETL.dtsx`) — the validation guard BEYOND
+    * the whole-text DECLARE/assign/guard-only block q15/q99 own
+    * (r18): a guard sharing its script with real DML, an
+    * informational (severity 1) ELSE leg that fires and CONTINUES,
+    * and a severity-16 guard inside a TRY whose CATCH handles the
+    * abort — the statement after the fired guard provably never runs
+    * (the oracle would read 'NEVER' on every row otherwise) and the
+    * CATCH's flag lands instead. [[graft.patterns.IfLadderSqlCompiler]]
+    * parses the leg; the sequencer fires it with
+    * [[graft.patterns.GuardBlockSqlCompiler]]'s exact severity/message
+    * contract (≥ 11 throws a T-SQL-catchable abort, ≤ 10 passes).
+    * GuardBlock's lazy predicate capture is now verb-gated so ladders
+    * ending in RAISERROR route here instead of mis-parsing. Scale:
+    * the guard is one scalar aggregate; a fired abort costs nothing
+    * downstream — later statements never plan. */
+  def q154_dtsx_guard_ladder(spark: SparkSession, dir: String): DataFrame = {
+    val (w, _) = runDtsxWarehousePackage(spark, dir, "GuardLadderETL.dtsx")
+    w("ord_gd").select(
+      col("okey").cast(LongType).as("okey"),
+      col("price").cast(DoubleType).as("price"),
+      col("flag").cast(StringType).as("flag"))
+  }
+
+  val q154Oracle: String =
+    """SELECT o_orderkey AS okey,
+      |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+      |  CASE WHEN CAST(o_totalprice AS DECIMAL(12,2)) >= 2000 THEN 'OK'
+      |       ELSE 'GUARD' END AS flag
+      |FROM orders""".stripMargin
+
   /** DEFAULT parameter values on a script-local helper through the
     * dtsx frontend (`ProcDefaultETL.dtsx`) — `@cut DECIMAL(12,2) =
     * 250000` in the signature (r17; the reference routes every EXEC
@@ -4769,6 +4800,7 @@ object QueriesRelational {
     "q151_dtsx_early_exit" -> (q151_dtsx_early_exit _),
     "q152_dtsx_dynamic_pivot" -> (q152_dtsx_dynamic_pivot _),
     "q153_dtsx_try_if" -> (q153_dtsx_try_if _),
+    "q154_dtsx_guard_ladder" -> (q154_dtsx_guard_ladder _),
     "q82_orc_roundtrip" -> (q82_orc_roundtrip _),
     "q80_dtsx_cdc_merge" -> (q80_dtsx_cdc_merge _),
     "q79_delete_cascade" -> (q79_delete_cascade _),
@@ -4915,6 +4947,7 @@ object QueriesRelational {
     "q151_dtsx_early_exit" -> q151Oracle,
     "q152_dtsx_dynamic_pivot" -> q152Oracle,
     "q153_dtsx_try_if" -> q153Oracle,
+    "q154_dtsx_guard_ladder" -> q154Oracle,
     "q82_orc_roundtrip" -> q82Oracle,
     "q80_dtsx_cdc_merge" -> q80Oracle,
     "q79_delete_cascade" -> q79Oracle,

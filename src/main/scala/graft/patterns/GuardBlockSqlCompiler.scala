@@ -67,7 +67,18 @@ object GuardBlockSqlCompiler {
           Some(A(Assign(s.substring(m.start(1), m.end(1)).toLowerCase,
             s.substring(m.start(2), m.end(2)))))
         case (_, Some(m)) =>
-          Some(Gu(Guard(s.substring(m.start(1), m.end(1)),
+          // the lazy predicate capture must not swallow statement text
+          // or an ELSE IF ladder that merely ENDS in RAISERROR
+          // (`IF @n > 100 UPDATE … ELSE IF @n < 10 RAISERROR(…)`) —
+          // those are [[IfLadderSqlCompiler]]'s (r18); a guard
+          // predicate is a pure @var comparison and carries no
+          // statement verb or control keyword
+          val pred = s.substring(m.start(1), m.end(1))
+          if (("(?i)\\b(select|insert|update|delete|merge|truncate|" +
+              "if|else|begin|end|while|goto|return|exec)\\b").r
+              .findFirstIn(UpdateSqlCompiler.masked(pred)).isDefined)
+            None
+          else Some(Gu(Guard(pred,
             s.substring(m.start(2), m.end(2)))))
         case _ => None
       }

@@ -55,6 +55,12 @@ object IfLadderSqlCompiler {
   sealed trait Branch
   /** A bare `RETURN` leg — batch exit. */
   case object ReturnExit extends Branch
+  /** A `RAISERROR(<args>)` leg — the mid-script validation guard.
+    * Severity ≥ 11 aborts the task exactly like
+    * [[GuardBlockSqlCompiler]]'s whole-text form (and is T-SQL-
+    * catchable, so a TRY/CATCH script catches it); ≤ 10 is
+    * informational and the batch continues. */
+  final case class Raise(args: String) extends Branch
   /** One or more ownable statements (BEGIN…END stripped). `hadSemi`
     * records a `;` inside the BEGIN…END body — the chain members'
     * single-statement contract declines those even when the body holds
@@ -88,7 +94,7 @@ object IfLadderSqlCompiler {
   // tokens that OPEN a branch after a scalar predicate (word-bounded,
   // not part of an identifier / bracket / @var / #temp)
   private val openerRe = ("(?i)(?<![\\w\\[.@#$])(insert|update|delete|" +
-    "truncate|merge|select|begin|set|return)(?![\\w\\]])").r
+    "truncate|merge|select|begin|set|return|raiserror)(?![\\w\\]])").r
   // control-flow keywords that may not appear inside a scalar
   // predicate span (the text is then not `IF <expr> <branch>`)
   private val predControlRe = "(?i)\\b(if|else|while|begin|end|goto)\\b".r
@@ -244,6 +250,28 @@ object IfLadderSqlCompiler {
     def parseBranch(): Option[Branch] = {
       ws()
       if (kwAt("return")) { i += "return".length; Some(ReturnExit) }
+      else if (kwAt("raiserror")) {
+        // RAISERROR('msg', severity, state) — paren-matched args; the
+        // leg must be exactly the call (trailing content beyond the
+        // close paren falls to the end-of-branch checks)
+        val open = msk.indexOf('(', i + "raiserror".length)
+        if (open < 0 || msk.substring(i + "raiserror".length, open)
+            .exists(!_.isWhitespace)) None
+        else {
+          var depth = 1
+          var j = open + 1
+          while (j < msk.length && depth > 0) {
+            val c = msk.charAt(j)
+            if (c == '(') depth += 1 else if (c == ')') depth -= 1
+            j += 1
+          }
+          if (depth != 0) None
+          else {
+            val args = text.substring(open + 1, j - 1).trim
+            if (args.isEmpty) None else { i = j; Some(Raise(args)) }
+          }
+        }
+      }
       else if (kwAt("begin") &&
           tranDressRe.findFirstIn(msk.substring(i + 5)).isEmpty) {
         // match this block's END by token walk (BEGIN/CASE push, END

@@ -571,7 +571,8 @@ object ScriptedSqlExecutor {
       if (ifs) Some("scalar-predicate IF branches (eager driver fold)")
       else None,
       if (ladder) Some("IF ladders (BEGIN…END branches / ELSE IF " +
-        "cascade / conditional assignment / RETURN early-exit)")
+        "cascade / conditional assignment / RETURN early-exit / " +
+        "RAISERROR guards)")
       else None)
       .flatten.mkString(" + "))
   }
@@ -844,6 +845,27 @@ object ScriptedSqlExecutor {
                   return Some(SqlOutcome(None, None))
                 case Some(IfLadderSqlCompiler.ReturnExit) =>
                   earlyExit = true
+                  return Some(SqlOutcome(None, None))
+                case Some(IfLadderSqlCompiler.Raise(args)) =>
+                  // the mid-script validation guard — GuardBlock's
+                  // fired-guard contract verbatim: severity ≥ 11
+                  // aborts the task (T-SQL-catchable, so a TRY/CATCH
+                  // script catches it and ERROR_MESSAGE binds the
+                  // text); ≤ 10 is informational and the batch
+                  // continues
+                  val bound = bindVars(args)
+                  if (scalarVarRe.findFirstIn(
+                      UpdateSqlCompiler.masked(bound)).isDefined)
+                    return None
+                  val parts = MergeSqlCompiler.splitTop(bound)
+                  val severity = parts.lift(1)
+                    .flatMap(_.trim.toIntOption).getOrElse(16)
+                  if (severity >= 11)
+                    throw new IllegalArgumentException(
+                      "RAISERROR: " + parts.headOption.map(_.trim)
+                        .getOrElse("").stripPrefix("'").stripSuffix("'")
+                        .replace("''", "'") + s" (severity $severity)")
+                  lastAffected = None
                   return Some(SqlOutcome(None, None))
                 case Some(IfLadderSqlCompiler.Stmts(ss, _)) =>
                   var lastDf: Option[DataFrame] = None

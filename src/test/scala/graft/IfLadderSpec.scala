@@ -345,6 +345,64 @@ class IfLadderSpec extends AnyFunSuite {
     dropViews("wt", "tt", "tl")
   }
 
+  test("RAISERROR legs: severity >= 11 aborts mid-script; <= 10 continues; TRY catches") {
+    import spark.implicits._
+    def fresh() = {
+      val w = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame](
+        "gt" -> Seq((1L, 5.0), (2L, 50.0)).toDF("id", "v"),
+        "gl" -> Seq.empty[String].toDF("s"))
+      w.foreach { case (k, f) => f.createOrReplaceTempView(k) }
+      w
+    }
+    // fired guard (severity 16) aborts the task — nothing commits,
+    // GuardBlock's exact message contract
+    val w1 = fresh()
+    val e = intercept[IllegalArgumentException] {
+      mkExec(w1)(task(
+        "DECLARE @n INT; SELECT @n = COUNT(*) FROM gt WHERE v > 999; " +
+          "IF @n = 0 RAISERROR('stage empty', 16, 1); " +
+          "UPDATE gt SET v = 0"))
+    }
+    assert(e.getMessage.contains("stage empty") &&
+      e.getMessage.contains("severity 16"))
+    assert(w1("gt").filter("v = 0").count() === 0L, "nothing may commit")
+    // informational severity (<= 10): the batch continues
+    val w2 = fresh()
+    mkExec(w2)(task(
+      "DECLARE @n INT; SELECT @n = COUNT(*) FROM gt; " +
+        "IF @n > 0 RAISERROR('note: stage has rows', 1, 1); " +
+        "UPDATE gt SET v = 0 WHERE v > 10"))
+      .getOrElse(fail("informational guard script did not compile"))
+    assert(w2("gt").filter("v = 0").count() === 1L)
+    // inside a TRY the fired guard is caught; ERROR_MESSAGE binds the
+    // text and pre-failure staged state is kept (the q107 contract)
+    val w3 = fresh()
+    mkExec(w3)(task(
+      "BEGIN TRY " +
+        "INSERT INTO gl (s) VALUES ('start'); " +
+        "DECLARE @n INT; SELECT @n = COUNT(*) FROM gt WHERE v > 999; " +
+        "IF @n = 0 RAISERROR('guard tripped', 16, 1); " +
+        "UPDATE gt SET v = -1; " +
+        "END TRY BEGIN CATCH INSERT INTO gl (s) VALUES (ERROR_MESSAGE()); " +
+        "END CATCH"))
+      .getOrElse(fail("TRY-guard script did not compile"))
+    assert(w3("gt").filter("v = -1").count() === 0L,
+      "the statement after the fired guard must not run")
+    val logs = w3("gl").as[String].collect().toList
+    assert(logs.head === "start" && logs(1).contains("guard tripped"))
+    // a RAISERROR leg in an ELSE IF cascade; a @var message binds
+    val w4 = fresh()
+    val e4 = intercept[IllegalArgumentException] {
+      mkExec(w4)(task(
+        "DECLARE @m VARCHAR(30) = 'low count'; " +
+          "DECLARE @n INT; SELECT @n = COUNT(*) FROM gt; " +
+          "IF @n > 100 UPDATE gt SET v = 1 " +
+          "ELSE IF @n < 10 RAISERROR(@m, 16, 1)"))
+    }
+    assert(e4.getMessage.contains("low count"))
+    dropViews("gt", "gl")
+  }
+
   // ---- invariant: the IF-EXISTS probe sees STAGED state ---------------
 
   test("IF-EXISTS probe inside a script reads staged (uncommitted) warehouse state") {
