@@ -75,8 +75,16 @@ object IfLadderSqlCompiler {
     /** Would the r17 chain members own this shape identically? True for
       * a single leg whose branches are each ONE plain (non-assignment)
       * statement with no `;` inside its block dressing — those keep
-      * the existing path untouched. */
+      * the existing path untouched. An EXISTS-HEADED compound scalar
+      * predicate (`IF EXISTS (…) AND @n > 0 …`) is NOT chain-ownable:
+      * IfExists can't parse past its first close paren and IfScalar
+      * declines EXISTS heads outright — the ladder folds it (r18). */
     def chainEquivalent: Boolean = legs.size == 1 &&
+      (legs.head._1 match {
+        case ScalarPred(e) => existsHeadRe
+          .findFirstIn(UpdateSqlCompiler.masked(e).trim).isEmpty
+        case _: ExistsPred => true
+      }) &&
       (legs.map(_._2) ++ otherwise).forall {
         case Stmts(List(s), hadSemi) => !hadSemi && assignHeadRe
           .findFirstIn(UpdateSqlCompiler.masked(s)).isEmpty
@@ -197,6 +205,29 @@ object IfLadderSqlCompiler {
 
     def parsePred(): Option[Pred] = {
       ws()
+      // the scalar form: predicate runs from here to the first depth-0
+      // branch-opener token. EXISTS subqueries inside it sit at paren
+      // depth ≥ 1, so their SELECTs never end the scan — Spark folds
+      // scalar-context EXISTS natively, so a compound predicate
+      // (`@n > 0 AND EXISTS (…)`, `EXISTS (…) OR EXISTS (…)`) rides
+      // the same CASE-WHEN fold as any other boolean expression.
+      def scalarPred(): Option[Pred] = {
+        val verb = openerRe.findAllMatchIn(msk)
+          .find(m => m.start >= i &&
+            WindowSqlLowering.depthAt(msk, m.start) == 0)
+          .getOrElse(return None)
+        val predTxt = text.substring(i, verb.start).trim
+        if (predTxt.isEmpty) return None
+        // control-flow keywords inside the predicate span mean the
+        // text is NOT `IF <expr> <branch>` — decline, never hand
+        // spark.sql an unevaluable predicate (CASE…END predicates
+        // included: their END token lands here — the chain member's
+        // exact gate)
+        if (predControlRe.findFirstIn(
+            msk.substring(i, verb.start)).isDefined) return None
+        i = verb.start
+        Some(ScalarPred(predTxt))
+      }
       existsHeadRe.findFirstMatchIn(msk.substring(i)) match {
         case Some(h) =>
           var depth = 1
@@ -208,31 +239,27 @@ object IfLadderSqlCompiler {
           }
           if (depth != 0) None
           else {
-            val probe = text.substring(i + h.end, j - 1).trim
-            if (selectHeadRe.findFirstIn(
-                UpdateSqlCompiler.masked(probe)).isEmpty) None
+            // peek past the close paren: a branch opener means the
+            // predicate was EXACTLY the EXISTS probe (the LIMIT-1
+            // path); anything else (AND/OR connectives) makes the
+            // EXISTS one conjunct of a compound SCALAR predicate
+            var k = j
+            while (k < msk.length && msk.charAt(k).isWhitespace) k += 1
+            val branchFollows = openerRe.findPrefixMatchOf(
+              msk.subSequence(k, msk.length)).isDefined
+            if (!branchFollows) scalarPred()
             else {
-              val neg = h.group(1) != null
-              i = j
-              Some(ExistsPred(neg, probe))
+              val probe = text.substring(i + h.end, j - 1).trim
+              if (selectHeadRe.findFirstIn(
+                  UpdateSqlCompiler.masked(probe)).isEmpty) None
+              else {
+                val neg = h.group(1) != null
+                i = j
+                Some(ExistsPred(neg, probe))
+              }
             }
           }
-        case None =>
-          val verb = openerRe.findAllMatchIn(msk)
-            .find(m => m.start >= i &&
-              WindowSqlLowering.depthAt(msk, m.start) == 0)
-            .getOrElse(return None)
-          val predTxt = text.substring(i, verb.start).trim
-          if (predTxt.isEmpty) return None
-          // control-flow keywords inside the predicate span mean the
-          // text is NOT `IF <expr> <branch>` — decline, never hand
-          // spark.sql an unevaluable predicate (CASE…END predicates
-          // included: their END token lands here — the chain member's
-          // exact gate)
-          if (predControlRe.findFirstIn(
-              msk.substring(i, verb.start)).isDefined) return None
-          i = verb.start
-          Some(ScalarPred(predTxt))
+        case None => scalarPred()
       }
     }
 

@@ -95,6 +95,23 @@ class IfLadderSpec extends AnyFunSuite {
       "IF @n > 0 SELECT @v = MAX(a) FROM t").get.chainEquivalent)
     assert(!IfLadderSqlCompiler.parse(
       "IF @n > 0 SET @v = 1").get.chainEquivalent)
+    // compound predicates (r18): an EXISTS tail rides the scalar fold;
+    // an EXISTS-HEADED compound is scalar too — and NOT chain-ownable
+    // (IfExists stops at its close paren, IfScalar declines the head)
+    assert(IfLadderSqlCompiler.parse(
+      "IF @n > 0 AND EXISTS (SELECT 1 FROM u) UPDATE t SET a = 1")
+      .get.legs.head._1 === IfLadderSqlCompiler.ScalarPred(
+        "@n > 0 AND EXISTS (SELECT 1 FROM u)"))
+    val cmp = IfLadderSqlCompiler.parse(
+      "IF EXISTS (SELECT 1 FROM u) AND @n > 0 UPDATE t SET a = 1").get
+    assert(cmp.legs.head._1 === IfLadderSqlCompiler.ScalarPred(
+      "EXISTS (SELECT 1 FROM u) AND @n > 0"))
+    assert(!cmp.chainEquivalent)
+    // …while a PURE EXISTS head with a branch right after stays the
+    // LIMIT-1 ExistsPred (and chain-equivalent for plain branches)
+    assert(IfLadderSqlCompiler.parse(
+      "IF NOT EXISTS (SELECT 1 FROM u) DELETE FROM t").get.legs.head._1
+      === IfLadderSqlCompiler.ExistsPred(true, "SELECT 1 FROM u"))
     // declines: nested control flow inside a block; WHILE; GOTO;
     // mid-block RETURN; EXISTS probe not SELECT-headed; empty pred
     assert(IfLadderSqlCompiler.parse(
@@ -249,6 +266,16 @@ class IfLadderSpec extends AnyFunSuite {
         "ELSE IF @v > 99 INSERT INTO out (band, v) VALUES ('b', @v)"))
       .getOrElse(fail("vacuous cascade did not compile"))
     assert(w3("out").count() === 0L)
+    // compound predicates execute: an EXISTS-headed conjunction folds
+    // as ONE scalar CASE fact (Spark's native scalar-context EXISTS)
+    val w4 = fresh()
+    mkExec(w4)(task(
+      "DECLARE @v FLOAT; SELECT @v = MAX(v) FROM m; " +
+        "IF EXISTS (SELECT 1 FROM m WHERE v > 50) AND @v < 100 " +
+        "INSERT INTO out (band, v) VALUES ('both', @v) " +
+        "ELSE INSERT INTO out (band, v) VALUES ('nope', @v)"))
+      .getOrElse(fail("compound predicate did not compile"))
+    assert(w4("out").as[(String, Double)].head() === (("both", 55.0)))
     dropViews("m", "out")
   }
 
