@@ -67,19 +67,23 @@ object GuardBlockSqlCompiler {
           Some(A(Assign(s.substring(m.start(1), m.end(1)).toLowerCase,
             s.substring(m.start(2), m.end(2)))))
         case (_, Some(m)) =>
-          // the lazy predicate capture must not swallow statement text
-          // or an ELSE IF ladder that merely ENDS in RAISERROR
-          // (`IF @n > 100 UPDATE … ELSE IF @n < 10 RAISERROR(…)`) —
-          // those are [[IfLadderSqlCompiler]]'s (r18); a guard
-          // predicate is a pure @var comparison and carries no
-          // statement verb or control keyword
+          // the lazy predicate AND args captures must not swallow
+          // statement text: an ELSE IF ladder ending in RAISERROR puts
+          // ladder text in the PREDICATE capture, and an ELSE leg
+          // AFTER the guard (`IF p RAISERROR(a) ELSE RAISERROR(b)`)
+          // backtracks into the ARGS capture — both are
+          // [[IfLadderSqlCompiler]]'s (r18); a guard predicate is a
+          // pure @var comparison and its args are literals, so
+          // neither carries a statement verb or control keyword
           val pred = s.substring(m.start(1), m.end(1))
-          if (("(?i)\\b(select|insert|update|delete|merge|truncate|" +
-              "if|else|begin|end|while|goto|return|exec)\\b").r
-              .findFirstIn(UpdateSqlCompiler.masked(pred)).isDefined)
+          val args = s.substring(m.start(2), m.end(2))
+          val verbRe = ("(?i)\\b(select|insert|update|delete|merge|" +
+            "truncate|if|else|begin|end|while|goto|return|exec|" +
+            "raiserror)\\b").r
+          if (verbRe.findFirstIn(UpdateSqlCompiler.masked(pred)).isDefined ||
+            verbRe.findFirstIn(UpdateSqlCompiler.masked(args)).isDefined)
             None
-          else Some(Gu(Guard(pred,
-            s.substring(m.start(2), m.end(2)))))
+          else Some(Gu(Guard(pred, args)))
         case _ => None
       }
     }
@@ -97,6 +101,18 @@ object GuardBlockSqlCompiler {
           .map(_.group(1).toLowerCase))).toSet
     if (!referenced.subsetOf(declared)) None
     else Some(Block(declared, assigns, guards))
+  }
+
+  /** Render a RAISERROR message argument: `[N]'…'` literals unquote
+    * and unescape (T-SQL reports the bare text); anything else passes
+    * through verbatim. Shared with [[ScriptedSqlExecutor]]'s ladder
+    * RAISERROR legs — one message contract for both guard forms. */
+  private[patterns] def raiseMsg(arg: String): String = {
+    val t = arg.trim
+    if (t.matches("(?is)^N?'.*'$")) {
+      val body = t.replaceFirst("(?is)^N", "")
+      body.substring(1, body.length - 1).replace("''", "'")
+    } else t
   }
 
   /** Parse-only classification twin of [[rewrite]] — no jobs run. */
@@ -137,9 +153,8 @@ object GuardBlockSqlCompiler {
             // T-SQL: severity ≤ 10 is informational — the batch continues
             if (severity >= 11)
               throw new IllegalArgumentException(
-                "RAISERROR: " + args.headOption.map(_.trim).getOrElse("")
-                  .stripPrefix("'").stripSuffix("'").replace("''", "'") +
-                  s" (severity $severity)")
+                "RAISERROR: " + args.headOption.map(raiseMsg).getOrElse("")
+                  + s" (severity $severity)")
           }
         }
         // guard passed: success, nothing written, no result set

@@ -105,47 +105,12 @@ object IfExistsSqlCompiler {
       } yield Parsed(neg, probe, t, e)
     }
 
-  /** A BEGIN…END branch carrying SEVERAL `;`-separated statements —
-    * T-SQL only allows multi-statement branches inside BEGIN/END, so
-    * an unwrapped branch stays single-statement. Statements must each
-    * be ownable and free of nested control flow. */
-  private def branchMulti(raw: String): Option[List[String]] = {
-    val msk0 = UpdateSqlCompiler.masked(raw)
-    beginRe.findFirstMatchIn(msk0) match {
-      case Some(b) =>
-        endRe.findFirstMatchIn(msk0) match {
-          case Some(e) if e.start >= b.end =>
-            val body = raw.substring(b.end, e.start)
-            val stmts = SqlText.splitStatements(body)
-            val ok = stmts.nonEmpty && stmts.forall { s =>
-              val m = UpdateSqlCompiler.masked(s)
-              stmtHeadRe.findFirstIn(m).isDefined &&
-                "(?i)\\b(if|while|begin)\\b".r.findFirstIn(m).isEmpty &&
-                !IfLadderSqlCompiler.fusedDml(m)
-            }
-            if (ok) Some(stmts) else None
-          case _ => None
-        }
-      case None => branch(raw).map(List(_))
-    }
-  }
-
-  /** The multi-statement form: Some((negated, probe, thenStmts,
-    * elseStmtsOpt)) when every branch parses; the DISPATCH routes the
-    * taken branch through the script overlay when any branch carries
-    * more than one statement. */
-  private[patterns] def parseMulti(text: String)
-      : Option[(Boolean, String, List[String], Option[List[String]])] =
-    split(text).flatMap { case (neg, probe, thenRaw, elseRaw) =>
-      if ("(?is)^\\s*select\\b".r.findFirstIn(probe).isEmpty) None
-      else for {
-        t <- branchMulti(thenRaw)
-        e <- elseRaw match {
-          case Some(r) => branchMulti(r).map(Some(_))
-          case None => Some(None)
-        }
-      } yield (neg, probe, t, e)
-    }
+  // NOTE (r18): the multi-statement `parseMulti` form this object
+  // carried since q109 is gone — [[IfLadderSqlCompiler]] owns EVERY
+  // beyond-chain IF shape (multi-statement branches included) through
+  // ONE parser, and the dispatcher routes whole-text ladders into the
+  // script overlay, so the q109 class keeps its semantics with no
+  // second probe/branch implementation to keep in sync.
 
   /** Parse-only classification twin (ledger / dry run) — no jobs. */
   private[graft] def shapeMatches(sqlRaw: String): Boolean =

@@ -371,11 +371,31 @@ object IfLadderSqlCompiler {
 
   /** Whole-TASK twin for the migration ledger: comments stripped, GO/;
     * split, shredded blocks regrouped — True when the task is exactly
-    * one ladder statement owned beyond the chain. */
+    * one ladder statement owned beyond the chain AND free of `@tokens`
+    * / `@@reads`: a one-statement task has no DECLARE to bind them and
+    * no countable predecessor, so the executor would decline at run —
+    * the ledger must not overclaim conversion for that class
+    * (IfScalarSqlCompiler's top-level gate, mirrored). */
   private[graft] def ownsWholeText(sqlRaw: String): Boolean = {
     val text = SqlText.stripComments(sqlRaw)
     val stmts = regroup(
       SqlText.splitBatches(text).flatMap(SqlText.splitStatements))
-    stmts.length == 1 && ownsBeyondChain(stmts.head)
+    stmts.length == 1 &&
+      // no scalar @tokens anywhere (unbindable without a DECLARE) —
+      // but @@ROWCOUNT is allowed INSIDE branches, where it composes
+      // off an earlier branch statement's count at run time
+      "(?<!@)@\\w+".r.findFirstIn(
+        UpdateSqlCompiler.masked(stmts.head)).isEmpty &&
+      parse(SqlText.stripComments(stmts.head)).exists { l =>
+        !l.chainEquivalent && l.legs.forall { case (p, _) =>
+          val predTxt = p match {
+            case ExistsPred(_, probe) => probe
+            case ScalarPred(e) => e
+          }
+          // a PREDICATE @@read has no countable predecessor at
+          // whole-task level — the executor declines it
+          !UpdateSqlCompiler.masked(predTxt).contains("@@")
+        }
+      }
   }
 }

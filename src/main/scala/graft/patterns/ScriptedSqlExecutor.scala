@@ -552,9 +552,8 @@ object ScriptedSqlExecutor {
     // the RETURN early-exit (which stays manual review under an
     // explicit transaction bracket — mirror the executor's gate)
     val ladder = stmts.exists(s =>
-      IfLadderSqlCompiler.ownsBeyondChain(s) &&
-        !(hadTxn && IfLadderSqlCompiler.parse(SqlText.stripComments(s))
-          .exists(_.hasReturn)))
+      IfLadderSqlCompiler.parse(SqlText.stripComments(s)).exists(l =>
+        !l.chainEquivalent && !(hadTxn && l.hasReturn)))
     if (!temp && !rc && !sv && !ddl && !tv && !spOut && !ifs && !ladder)
       None
     else Some(List(
@@ -862,9 +861,9 @@ object ScriptedSqlExecutor {
                     .flatMap(_.trim.toIntOption).getOrElse(16)
                   if (severity >= 11)
                     throw new IllegalArgumentException(
-                      "RAISERROR: " + parts.headOption.map(_.trim)
-                        .getOrElse("").stripPrefix("'").stripSuffix("'")
-                        .replace("''", "'") + s" (severity $severity)")
+                      "RAISERROR: " + parts.headOption
+                        .map(GuardBlockSqlCompiler.raiseMsg).getOrElse("")
+                        + s" (severity $severity)")
                   lastAffected = None
                   return Some(SqlOutcome(None, None))
                 case Some(IfLadderSqlCompiler.Stmts(ss, _)) =>
@@ -880,7 +879,13 @@ object ScriptedSqlExecutor {
                   }
                   // the wrapper stages nothing itself (target None,
                   // no side writes) but carries the last inner frame
-                  // so a result-set-final branch still binds
+                  // so a result-set-final branch still binds. Under a
+                  // CATCH, runSeq re-forces this frame (one bounded
+                  // recompute per ladder statement) — load-bearing
+                  // exactness: each inner frame must force BEFORE its
+                  // own stage() so a lazy abort fires at its statement
+                  // with that statement's effects unstaged, and the
+                  // wrapper cannot know its frame was the last forced
                   return Some(SqlOutcome(lastDf, None))
               }
             case _ => () // chain-equivalent or unparseable: r17 paths
@@ -1337,21 +1342,6 @@ object ScriptedSqlExecutor {
             catchRollsBack = rollsBack, savepointAt = savepoint)
         }
       }
-      // IF EXISTS with MULTI-statement BEGIN…END branches: probe
-      // eagerly, route the taken branch through the script overlay
-      // (single-statement branches stay with the chain member so they
-      // also compose INSIDE scripts)
-      else if (IfExistsSqlCompiler.parseMulti(text).exists { case (_, _, t, e) =>
-          t.length > 1 || e.exists(_.length > 1) }) {
-        val (neg, probe, thenStmts, elseOpt) =
-          IfExistsSqlCompiler.parseMulti(text).get
-        val found = !SqlPatternRewriter.runSelect(spark, probe)
-          .limit(1).isEmpty
-        (if (found != neg) Some(thenStmts) else elseOpt) match {
-          case None => Some(SqlOutcome(None, None)) // untaken, no ELSE
-          case Some(ss) => script(bound, ss)
-        }
-      }
       // the canonical one-DML CURSOR FETCH loop is a whole-text shape
       // too (its WHILE block would shred under statement splitting):
       // CursorLoopSqlCompiler emits the equivalent two-statement #temp
@@ -1415,16 +1405,22 @@ object ScriptedSqlExecutor {
             globalTempRe.findFirstIn(UpdateSqlCompiler.masked(s)).isDefined))
           None
         else if (stmts.length == 1) {
-          val msk = UpdateSqlCompiler.masked(stmts.head)
-          if (tempRefRe.findFirstIn(msk).isDefined ||
-            "@@".r.findFirstIn(msk).isDefined) None
-          // a whole-task IF ladder beyond the chain members (a
-          // subquery-comparison multi-branch, an ELSE IF cascade)
-          // routes through the script overlay, where the ladder
-          // handler lives — the chain would decline it
-          else if (IfLadderSqlCompiler.ownsBeyondChain(stmts.head))
+          // a whole-task IF ladder beyond the chain members (the q109
+          // multi-statement IF-EXISTS class, a subquery-comparison
+          // multi-branch, an ELSE IF cascade) routes through the
+          // script overlay, where the ladder handler lives — the chain
+          // would decline it. This runs BEFORE the temp/@@ gates:
+          // branch-scoped #temps detemp inside script() and branch
+          // @@ROWCOUNT reads compose through the sequencer exactly as
+          // the statements would in an unwrapped script
+          if (IfLadderSqlCompiler.ownsBeyondChain(stmts.head))
             script(bound, stmts, allowEarlyExit = !hadTxn)
-          else single(stmts.head)
+          else {
+            val msk = UpdateSqlCompiler.masked(stmts.head)
+            if (tempRefRe.findFirstIn(msk).isDefined ||
+              "@@".r.findFirstIn(msk).isDefined) None
+            else single(stmts.head)
+          }
         }
         // a #temp-bearing refresh shape must still run SEQUENTIALLY
         // (the INSERT…SELECT reads a temp an earlier statement creates)

@@ -417,6 +417,20 @@ class IfLadderSpec extends AnyFunSuite {
       "the statement after the fired guard must not run")
     val logs = w3("gl").as[String].collect().toList
     assert(logs.head === "start" && logs(1).contains("guard tripped"))
+    // the guard-only script with an ELSE RAISERROR leg (`IF p
+    // RAISERROR(a) ELSE RAISERROR(b)`): GuardBlock's lazy captures
+    // must NOT swallow the ELSE into the args (the review's regex-
+    // backtracking hazard) — the ladder owns it and fires the RIGHT
+    // leg; an N'…' message reports its bare text like T-SQL
+    val wEl = fresh()
+    val eEl = intercept[IllegalArgumentException] {
+      mkExec(wEl)(task(
+        "DECLARE @n INT; SELECT @n = COUNT(*) FROM gt WHERE v > 999; " +
+          "IF @n > 0 RAISERROR('has rows', 1, 1) " +
+          "ELSE RAISERROR(N'no big rows', 16, 1);"))
+    }
+    assert(eEl.getMessage.contains("RAISERROR: no big rows (severity 16)"),
+      s"wrong leg or mangled N-literal message: ${eEl.getMessage}")
     // a RAISERROR leg in an ELSE IF cascade; a @var message binds
     val w4 = fresh()
     val e4 = intercept[IllegalArgumentException] {
