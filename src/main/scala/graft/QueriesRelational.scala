@@ -3302,6 +3302,38 @@ object QueriesRelational {
       |       ELSE 'GUARD' END AS flag
       |FROM orders""".stripMargin
 
+  /** IF guard BLOCKS inside a counter WHILE body through the dtsx
+    * frontend (`WhileIfETL.dtsx`) — the guarded monthly-backfill
+    * composition (r18): [[graft.patterns.WhileLoopSqlCompiler]] now
+    * regroups the body's shredded `IF … BEGIN … END` and validates it
+    * loop-body-safe (no RETURN leg, no conditional assignment — a
+    * `SET @v = …` branch would be invisible to the unroller's
+    * driver-side variable model, so it declines rather than silently
+    * diverge), then emits the block once per iteration with the
+    * counter bound; each emitted copy executes through the ladder in
+    * the script overlay. Month 1's guard is false — its block skips;
+    * months 2/3 re-flag and purge. Scale: per FIRING iteration one
+    * folded guard + two narrow DML plans, exactly the hand-unrolled
+    * spelling; skipped iterations cost one driver-side fold. */
+  def q155_dtsx_while_if(spark: SparkSession, dir: String): DataFrame = {
+    val (w, _) = runDtsxWarehousePackage(spark, dir, "WhileIfETL.dtsx")
+    w("ord_wl").select(
+      col("okey").cast(LongType).as("okey"),
+      col("mth").cast(IntegerType).as("mth"),
+      col("price").cast(DoubleType).as("price"),
+      col("flag").cast(StringType).as("flag"))
+  }
+
+  val q155Oracle: String =
+    """SELECT o_orderkey AS okey,
+      |  CAST(MONTH(o_orderdate) AS INT) AS mth,
+      |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+      |  CASE WHEN MONTH(o_orderdate) IN (2, 3)
+      |       THEN CONCAT('M', MONTH(o_orderdate)) ELSE 'NEW' END AS flag
+      |FROM orders
+      |WHERE NOT (MONTH(o_orderdate) IN (2, 3)
+      |  AND CAST(o_totalprice AS DECIMAL(12,2)) < 10000)""".stripMargin
+
   /** DEFAULT parameter values on a script-local helper through the
     * dtsx frontend (`ProcDefaultETL.dtsx`) — `@cut DECIMAL(12,2) =
     * 250000` in the signature (r17; the reference routes every EXEC
@@ -4801,6 +4833,7 @@ object QueriesRelational {
     "q152_dtsx_dynamic_pivot" -> (q152_dtsx_dynamic_pivot _),
     "q153_dtsx_try_if" -> (q153_dtsx_try_if _),
     "q154_dtsx_guard_ladder" -> (q154_dtsx_guard_ladder _),
+    "q155_dtsx_while_if" -> (q155_dtsx_while_if _),
     "q82_orc_roundtrip" -> (q82_orc_roundtrip _),
     "q80_dtsx_cdc_merge" -> (q80_dtsx_cdc_merge _),
     "q79_delete_cascade" -> (q79_delete_cascade _),
@@ -4948,6 +4981,7 @@ object QueriesRelational {
     "q152_dtsx_dynamic_pivot" -> q152Oracle,
     "q153_dtsx_try_if" -> q153Oracle,
     "q154_dtsx_guard_ladder" -> q154Oracle,
+    "q155_dtsx_while_if" -> q155Oracle,
     "q82_orc_roundtrip" -> q82Oracle,
     "q80_dtsx_cdc_merge" -> q80Oracle,
     "q79_delete_cascade" -> q79Oracle,

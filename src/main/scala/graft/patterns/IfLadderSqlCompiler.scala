@@ -364,6 +364,23 @@ object IfLadderSqlCompiler {
     Some(Ladder(legs.toList, otherwise))
   }
 
+  /** May this statement be EMITTED inside an unrolled WHILE body
+    * ([[WhileLoopSqlCompiler]])? It must parse as a ladder with no
+    * RETURN leg (a batch exit from inside a loop is not the unroller's
+    * to decide) and no assignment branches (a conditional `SET @v = …`
+    * is invisible to the unroller's driver-side variable model — the
+    * loop would diverge silently from T-SQL); RAISERROR legs are fine
+    * (a fired guard aborts the task at its emitted position). */
+  private[graft] def loopBodySafe(stmt: String): Boolean =
+    parse(SqlText.stripComments(stmt)).exists { l =>
+      !(l.legs.map(_._2) ++ l.otherwise).exists {
+        case ReturnExit => true
+        case Stmts(ss, _) => ss.exists(s =>
+          assignHeadRe.findFirstIn(UpdateSqlCompiler.masked(s)).isDefined)
+        case _ => false
+      }
+    }
+
   /** Parse-only classification twin: does this STATEMENT text parse as
     * a ladder the dispatcher owns beyond the r17 chain members? */
   private[graft] def ownsBeyondChain(stmt: String): Boolean =

@@ -64,14 +64,25 @@ object WhileLoopSqlCompiler {
     val msk = UpdateSqlCompiler.masked(text)
     whileRe.findFirstMatchIn(msk).flatMap { m =>
       def g(i: Int) = text.substring(m.start(i), m.end(i))
-      val bodyMsk = msk.substring(m.start(3), m.end(3))
-      if ("(?i)\\bbegin\\b|\\bwhile\\b".r.findFirstIn(bodyMsk).isDefined)
-        None // nested control flow — manual review
-      else {
-        val preamble = SqlText.splitStatements(g(1))
-        val body = SqlText.splitStatements(g(3))
-        if (body.isEmpty) None else Some(Parsed(preamble, g(2), body))
+      val preamble = SqlText.splitStatements(g(1))
+      // body statements: IF…BEGIN…END blocks the splitter shredded
+      // regroup like everywhere else (r18), then validate PER
+      // STATEMENT — an IF-headed statement must be a loop-body-safe
+      // ladder (no RETURN, no conditional assignment the driver's
+      // variable model could not see; the chain-ownable single IF the
+      // body always allowed parses as a ladder too); any other
+      // statement keeps the original no-BEGIN/no-WHILE nested-control
+      // decline
+      val body = graft.patterns.IfLadderSqlCompiler.regroup(
+        SqlText.splitStatements(g(3)))
+      def bodyStmtOk(s: String): Boolean = {
+        val sm = UpdateSqlCompiler.masked(s)
+        if ("(?is)^\\s*if\\b".r.findFirstIn(sm).isDefined)
+          IfLadderSqlCompiler.loopBodySafe(s)
+        else "(?i)\\b(begin|while)\\b".r.findFirstIn(sm).isEmpty
       }
+      if (body.isEmpty || !body.forall(bodyStmtOk)) None
+      else Some(Parsed(preamble, g(2), body))
     }
   }
 

@@ -360,6 +360,32 @@ class IfLadderSpec extends AnyFunSuite {
     assert(w2("tt").orderBy("id").as[(Long, Double)].collect().toList
       === List((1L, 5.0), (2L, 0.0)))
     assert(w2("tl").as[String].collect().toList === List("capped"))
+    // an IF BLOCK inside a WHILE body (r18): the unroller regroups the
+    // shredded block, validates it loop-body-safe, and emits it per
+    // iteration with the counter bound — the ladder executes each copy
+    val w2b = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame](
+      "wb" -> Seq((1L, 0.0, 0L), (2L, 0.0, 0L), (3L, 0.0, 0L))
+        .toDF("id", "v", "hits"))
+    w2b.foreach { case (k, f) => f.createOrReplaceTempView(k) }
+    mkExec(w2b)(task(
+      "DECLARE @i INT = 1; " +
+        "WHILE @i <= 3 BEGIN " +
+        "IF @i > 1 BEGIN UPDATE wb SET v = v + @i WHERE id = @i; " +
+        "UPDATE wb SET hits = hits + 1 WHERE id = @i; END; " +
+        "SET @i = @i + 1; END"))
+      .getOrElse(fail("WHILE-body IF block did not compile"))
+    assert(w2b("wb").orderBy("id").as[(Long, Double, Long)].collect().toList
+      === List((1L, 0.0, 0L), (2L, 2.0, 1L), (3L, 3.0, 1L)))
+    // …but a conditional SET of a loop variable (invisible to the
+    // driver's variable model) and a RETURN leg both keep the decline
+    assert(mkExec(w2b)(task(
+      "DECLARE @i INT = 1; WHILE @i <= 3 BEGIN " +
+        "IF @i > 1 SET @i = 99; SET @i = @i + 1; END")).isEmpty)
+    assert(mkExec(w2b)(task(
+      "DECLARE @i INT = 1; WHILE @i <= 3 BEGIN " +
+        "IF @i > 1 RETURN; UPDATE wb SET v = 1 WHERE id = @i; " +
+        "SET @i = @i + 1; END")).isEmpty)
+    spark.catalog.dropTempView("wb")
     // a RETURN leg inside a TRY body stays manual review (batch exit
     // from inside a handler is not this replay's to arbitrate)
     val w3 = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame](
