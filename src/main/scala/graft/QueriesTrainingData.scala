@@ -6837,14 +6837,15 @@ object QueriesTrainingData {
     // one full-width "subspace": the coarse plane (x109's config)
     val sub = PqIndex.subspaces(emb, "vec_id", "embedding", 1, 64)
     val cb = PqIndex.trainCodebooks(sub, "vec_id", nCw = nCells, iters = 1)
-    // nearest cell + centroid distance in one partial-combining agg
-    sub.join(broadcast(cb), Seq("s"))
-      .withColumn("d", quantSqDist(col("sv"), col("cv")))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("d"), col("cw"))).as("mn"),
-        first(col("sv")).as("qv"))
-      .select(col("vec_id"), col("mn.cw").as("cell"), col("mn.d").as("cd"),
-        col("qv"))
+    // nearest cell + centroid distance in ONE narrow codegen'd argmin
+    // pass (graft_pq_argmin) — bit-identical to the former
+    // min(struct(d, cw)) over the codebook-exploding join, without the
+    // nCells× row explosion or the re-grouping shuffle (r18 opt)
+    val am = graft.functions.NativeFunctions.pqArgmin(col("sv"), col("entries"))
+    sub.join(broadcast(PqIndex.groupedCodebook(cb)), Seq("s"))
+      .select(col("vec_id"), col("sv"), am.as("am"))
+      .select(col("vec_id"), element_at(col("am"), 2).as("cell"),
+        element_at(col("am"), 1).as("cd"), col("sv").as("qv"))
   }
 
   /** Semantic cluster-scoped dedup — the SemDeDup shape (Abbas et al.

@@ -148,6 +148,14 @@ object NativeFunctions {
         case _ => throw new IllegalArgumentException(
           s"graft_might_contain takes 2 arguments, got ${exprs.length}")
       }),
+    (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_pq_argmin"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[PqArgmin].getCanonicalName, "graft_pq_argmin"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(sv, entries) => PqArgmin(sv, entries)
+        case _ => throw new IllegalArgumentException(
+          s"graft_pq_argmin takes 2 arguments, got ${exprs.length}")
+      }),
     (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_nfc"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[NfcNormalize].getCanonicalName, "graft_nfc"),
@@ -180,6 +188,13 @@ object NativeFunctions {
   def nfc(s: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_nfc", s)
+  }
+
+  /** Codegen'd nearest-codeword argmin ([[PqArgmin]]): `[d, cw]` over a
+    * grouped codebook column of `ARRAY<STRUCT<cw, cv>>`. */
+  def pqArgmin(sv: Column, entries: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_pq_argmin", sv, entries)
   }
 
   /** Codegen'd one-pass MinHash signature over a hashed shingle set. */

@@ -56,21 +56,43 @@ object PqIndex {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, v) => acc + v)
 
+  /** Codebook grouped per subspace — (s, entries = ARRAY<STRUCT<cw, cv>>),
+    * ≤ |subspaces| rows: the broadcast side of every argmin pass. The
+    * entries sort (by cw — the struct's first field) is not needed for
+    * correctness ([[graft.functions.PqArgmin]] tie-breaks explicitly) but
+    * keeps the tiny frame deterministic. */
+  private[graft] def groupedCodebook(cb: DataFrame): DataFrame =
+    cb.groupBy(col("s"))
+      .agg(sort_array(collect_list(struct(col("cw"), col("cv")))).as("entries"))
+
+  /** `[d, cw]` of the nearest codeword via the native codegen'd argmin —
+    * bit-identical to `min(struct(sqDist, cw))` over a codebook-exploding
+    * join (PqArgminSpec), without the |codebook|× row explosion, the
+    * interpreted per-element lambda, or the re-grouping shuffle on an
+    * array key (optimization guide §2.3/§2.4: shuffle fewer bytes, remove
+    * shuffles outright; §4: keep the hot loop inside codegen). */
+  private def argminCode(sv: Column, entries: Column): Column =
+    graft.functions.NativeFunctions.pqArgmin(sv, entries)
+
   /** Seeded k-means codebooks: init = the subvectors of the `nCw`
     * lowest ids; each Lloyd iteration assigns every subvector to its
     * nearest codeword (order-blind argmin, ties to the lower cw) and
     * re-averages on the integer grid (floor(mean + 0.5)). A codeword
-    * that loses all members drops out — standard k-means attrition. */
+    * that loses all members drops out — standard k-means attrition.
+    *
+    * NOT checkpointed here: single-consumer callers (x39/x110/x115's
+    * coarse planes) would pay an extra eager job for nothing (measured
+    * +0.2–0.5 s each, r18 opt). Multi-consumer callers checkpoint via
+    * [[dedupedCodebook]]. */
   private[graft] def trainCodebooks(sub: DataFrame, idCol: String,
       nCw: Int, iters: Int): DataFrame = {
     var cb = sub.filter(col(idCol) < nCw)
       .select(col(idCol).as("cw"), col("s"), col("sv").as("cv"))
     for (_ <- 1 to iters) {
-      val assigned = sub.join(broadcast(cb), Seq("s"))
-        .withColumn("d", sqDist(col("sv"), col("cv")))
-        .groupBy(col(idCol), col("s"), col("sv"))
-        .agg(min(struct(col("d"), col("cw"))).as("mn"))
-        .select(col("s"), col("mn.cw").as("cw"), col("sv"))
+      val assigned = sub.join(broadcast(groupedCodebook(cb)), Seq("s"))
+        .select(col("s"),
+          element_at(argminCode(col("sv"), col("entries")), 2).as("cw"),
+          col("sv"))
       cb = assigned
         .select(col("cw"), col("s"), posexplode(col("sv")).as(Seq("p", "v")))
         .groupBy(col("cw"), col("s"), col("p"))
@@ -85,15 +107,24 @@ object PqIndex {
     cb
   }
 
+  /** Eagerly `localCheckpoint` a trained codebook — for call sites with
+    * MULTIPLE consumers (x109's encode+LUT and cells+probes legs,
+    * adcTopK's encode+LUT): the ≤ |subspaces|×|codebook|-row frame's
+    * lineage contains a full corpus pass, and each consumer's broadcast
+    * build would otherwise re-run it (guide §5: cache tiny,
+    * recompute-heavy frames). Single-consumer callers skip this — the
+    * eager job costs more than the one recompute it saves. */
+  private def dedupedCodebook(cb: DataFrame): DataFrame =
+    cb.localCheckpoint(true)
+
   /** Each (vector, subspace) → its nearest codeword id; the argmin is
-    * an order-blind `min(struct(dist, cw))`, ties to the lower cw. */
+    * the native codegen'd [[graft.functions.PqArgmin]] over the grouped
+    * codebook (ties to the lower cw) — one narrow map, no explosion. */
   private[graft] def encode(sub: DataFrame, codebooks: DataFrame,
       idCol: String): DataFrame =
-    sub.join(broadcast(codebooks), Seq("s"))
-      .withColumn("d", sqDist(col("sv"), col("cv")))
-      .groupBy(col(idCol), col("s"))
-      .agg(min(struct(col("d"), col("cw"))).as("mn"))
-      .select(col(idCol), col("s"), col("mn.cw").as("code"))
+    sub.join(broadcast(groupedCodebook(codebooks)), Seq("s"))
+      .select(col(idCol), col("s"),
+        element_at(argminCode(col("sv"), col("entries")), 2).as("code"))
 
   /** IVF-PQ top-k — the composition the scaladoc above promises: a
     * coarse quantizer (this same machinery with ONE 64-dim "subspace"
@@ -117,9 +148,10 @@ object PqIndex {
   def coarseCandidates(emb: DataFrame, idCol: String,
       vecCol: String, queryPred: Column,
       nCells: Int, nProbe: Int, fullDim: Int, iters: Int): DataFrame = {
-    // coarse plane: one subspace spanning the whole vector
+    // coarse plane: one subspace spanning the whole vector; the codebook
+    // feeds TWO consumers (cells + probes) — checkpoint its corpus pass
     val subFull = subspaces(emb, idCol, vecCol, 1, fullDim)
-    val coarseCb = trainCodebooks(subFull, idCol, nCells, iters)
+    val coarseCb = dedupedCodebook(trainCodebooks(subFull, idCol, nCells, iters))
     val cells = encode(subFull, coarseCb, idCol)
       .select(col(idCol), col("code").as("cell"))
     val probes = subFull.filter(queryPred)
@@ -142,9 +174,10 @@ object PqIndex {
       : DataFrame = {
     val cand = coarseCandidates(emb, idCol, vecCol, queryPred,
       nCells, nProbe, m * subDim, iters)
-    // PQ plane, restricted to probed candidates
+    // PQ plane, restricted to probed candidates; the codebook feeds TWO
+    // consumers (encode + LUT) — checkpoint its corpus pass
     val sub = subspaces(emb, idCol, vecCol, m, subDim)
-    val codebooks = trainCodebooks(sub, idCol, nCw, iters)
+    val codebooks = dedupedCodebook(trainCodebooks(sub, idCol, nCw, iters))
     val codes = encode(sub, codebooks, idCol)
     val lut = sub.filter(queryPred)
       .toDF("query_id", "s", "qsv")
@@ -171,7 +204,8 @@ object PqIndex {
       m: Int = 32, subDim: Int = 2, nCw: Int = 64, iters: Int = 1)
       : DataFrame = {
     val sub = subspaces(emb, idCol, vecCol, m, subDim)
-    val codebooks = trainCodebooks(sub, idCol, nCw, iters)
+    // TWO consumers (encode + LUT) — checkpoint the codebook's corpus pass
+    val codebooks = dedupedCodebook(trainCodebooks(sub, idCol, nCw, iters))
     val codes = encode(sub, codebooks, idCol)
     // the ADC lookup table: |queries| × m × nCw distances, broadcast
     val lut = sub.filter(queryPred)
