@@ -38,7 +38,8 @@ object DevProbe {
       .select(col("doc_id"),
         DedupOps.bandKeysFromSigArray(
           DedupOps.minhashSignatureArray(
-            DedupOps.hashedShingles(DedupOps.shingles(col("text"), 3))),
+            DedupOps.hashedShinglesOf(
+              graft.text.TextOps.tokens(col("text")), 3)),
           rowsPerBand = 4, nBands = 2).as("bands"))
       .cache()
     time("signature+cache (banded)")(banded.count())

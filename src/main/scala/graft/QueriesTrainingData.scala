@@ -134,7 +134,7 @@ object QueriesTrainingData {
       .select(col("doc_id"),
         DedupOps.bandKeysFromSigArray(
           DedupOps.minhashSignatureArray(
-            DedupOps.hashedShingles(DedupOps.shingles(col("text"), 3))),
+            DedupOps.hashedShinglesOf(TextOps.tokens(col("text")), 3)),
           rowsPerBand = 4, nBands = 2).as("bands"))
       .cache()
     // pairs is REFERENCED three times downstream (final join + both cohort
@@ -982,7 +982,7 @@ object QueriesTrainingData {
         TextOps.fingerprintMd5(t).as("fp"),
         DedupOps.bandKeysFromSigArray(
           DedupOps.minhashSignatureArray(
-            DedupOps.hashedShingles(DedupOps.shinglesOf(col("toks"), 3))),
+            DedupOps.hashedShinglesOf(col("toks"), 3)),
           rowsPerBand = 4, nBands = 2).as("bands"))
       .cache()
     val survivors = base.groupBy(col("fp")).agg(min(col("doc_id")).as("sid"))
@@ -2838,12 +2838,14 @@ object QueriesTrainingData {
   def x52_cdc_chunking(spark: SparkSession, dir: String): DataFrame = {
     val w = col("toks")
     // boundary BEFORE token i (1-based, i >= 2) when the 2-token rolling
-    // hash lands in the 1/64 residue class
-    val bounds = filter(
-      when(size(w) >= 2, sequence(lit(2), size(w)))
-        .otherwise(array().cast(ArrayType(IntegerType))),
-      i => TextOps.stableHash64(
-        concat(element_at(w, i - 1), lit(" "), element_at(w, i))) % 64 === 0)
+    // hash lands in the 1/64 residue class — the native codegen'd scan
+    // (graft_cdc_bounds), bit-identical to the filter-over-sequence HOF
+    // it replaced (ShingleHashSpec pins parity; the interpreted lambda
+    // paid a per-token md5-hex + radix parse, r18 opt). coalesce keeps
+    // the old NULL-toks contract (empty bounds, not NULL).
+    val bounds = coalesce(
+      graft.functions.NativeFunctions.cdcBounds(w, 64L),
+      array().cast(ArrayType(IntegerType)))
     val starts = concat(array(lit(1)), col("bounds"))
     val ends = concat(col("bounds"), array(size(w) + 1))
     documents(spark, dir)
@@ -4155,7 +4157,7 @@ object QueriesTrainingData {
     def bandsOf(d: DataFrame) = d.select(col("doc_id"),
       posexplode(DedupOps.bandKeysFromSigArray(
         DedupOps.minhashSignatureArray(
-          DedupOps.hashedShingles(DedupOps.shingles(col("text"), 3))),
+          DedupOps.hashedShinglesOf(TextOps.tokens(col("text")), 3)),
         rowsPerBand = 4, nBands = 2)).as(Seq("band_idx", "band_key")))
     val corpusBands = bandsOf(docs.filter(!isDelta))
       .toDF("corpus_id", "band_idx", "band_key")
@@ -4808,7 +4810,7 @@ object QueriesTrainingData {
       .select(col("doc_id"), col("text"))
     val sig = docs.select(col("doc_id"),
       DedupOps.minhashSignatureArray(
-        DedupOps.hashedShingles(DedupOps.shingles(col("text"), 3))).as("sig"))
+        DedupOps.hashedShinglesOf(TextOps.tokens(col("text")), 3)).as("sig"))
       .cache()
     val cand = configs.map { case (r, b) =>
       val banded = sig.select(col("doc_id"),

@@ -56,9 +56,21 @@ object DedupOps {
 
   /** Shingle set → integer hash set: one md5 per shingle (engine-
     * reproducible), reduced mod 2³¹−1 so permutation arithmetic stays in
-    * Long range. */
+    * Long range. Interpreted HOF — prefer [[hashedShinglesOf]] in hot
+    * paths; this stays as the parity reference (ShingleHashSpec). */
   def hashedShingles(shingleSet: Column): Column =
     transform(shingleSet, s => TextOps.stableHash64(s) % HashPrime)
+
+  /** Fused token-array → distinct-shingle → 60-bit-hash front, backed by
+    * the native codegen'd [[graft.functions.HashedShingles]] — one
+    * compiled loop per row instead of three interpreted HOF passes
+    * (slice+concat per shingle, array_distinct, md5-hex+radix-parse per
+    * shingle). Bit-identical to
+    * `hashedShingles(shinglesOf(toks, n))` (ShingleHashSpec pins it);
+    * the signature pipeline's per-row cost is what every MinHash/LSH
+    * operator pays on the full corpus (guide §4). */
+  def hashedShinglesOf(toks: Column, n: Int): Column =
+    graft.functions.NativeFunctions.hashedShingles(toks, n, HashPrime)
 
   /** Numeric MinHash: min of (a·h + b) mod p over the hashed shingle set —
     * 8 signatures cost one md5 pass + cheap integer folds. */

@@ -156,6 +156,22 @@ object NativeFunctions {
         case _ => throw new IllegalArgumentException(
           s"graft_pq_argmin takes 2 arguments, got ${exprs.length}")
       }),
+    (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_hashed_shingles"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[HashedShingles].getCanonicalName, "graft_hashed_shingles"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(t, n, p) => HashedShingles(t, n, p)
+        case _ => throw new IllegalArgumentException(
+          s"graft_hashed_shingles takes 3 arguments, got ${exprs.length}")
+      }),
+    (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cdc_bounds"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[CdcBounds].getCanonicalName, "graft_cdc_bounds"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(t, d) => CdcBounds(t, d)
+        case _ => throw new IllegalArgumentException(
+          s"graft_cdc_bounds takes 2 arguments, got ${exprs.length}")
+      }),
     (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_nfc"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[NfcNormalize].getCanonicalName, "graft_nfc"),
@@ -195,6 +211,20 @@ object NativeFunctions {
   def pqArgmin(sv: Column, entries: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_pq_argmin", sv, entries)
+  }
+
+  /** Codegen'd fused distinct-shingle + 60-bit-hash pass ([[HashedShingles]]). */
+  def hashedShingles(toks: Column, n: Int, prime: Long): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    import org.apache.spark.sql.functions.lit
+    call_function("graft_hashed_shingles", toks, lit(n), lit(prime))
+  }
+
+  /** Codegen'd CDC boundary-position scan ([[CdcBounds]]). */
+  def cdcBounds(toks: Column, div: Long): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    import org.apache.spark.sql.functions.lit
+    call_function("graft_cdc_bounds", toks, lit(div))
   }
 
   /** Codegen'd one-pass MinHash signature over a hashed shingle set. */

@@ -1,0 +1,178 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared md5-60-bit kernel + the fused shingle/boundary loops behind
+  * [[HashedShingles]] and [[CdcBounds]]. The hash contract is the repo's
+  * oracle-parity hash ([[graft.text.TextOps.stableHash64]]): the first 15
+  * hex digits of md5 as a BIGINT — computed here directly from the first
+  * 8 digest bytes (big-endian >>> 4), no hex string, no string-radix
+  * parse. Bit-identical by construction (15 hex digits ARE the first 60
+  * bits of the digest); ShingleHashSpec pins it against the SQL spelling.
+  */
+object ShingleHashOps {
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** stableHash64 of raw UTF-8 bytes: first 60 bits of the md5 digest. */
+  def hash60(bytes: Array[Byte]): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(bytes)
+    (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
+      ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
+  }
+
+  private val SPACE = UTF8String.fromString(" ")
+
+  /** Fused `hashedShingles(shinglesOf(toks, n))`: distinct word n-gram
+    * shingles in FIRST-OCCURRENCE order (the array_distinct contract,
+    * byte-level UTF8 equality), each hashed to 60 bits mod `prime`.
+    * Parity contract (pinned by ShingleHashSpec):
+    *  - shingle i (1-based, i ≤ max(size − n + 1, 1)) = the space-joined
+    *    slice `toks[i .. i+n−1]` clamped to the array — short docs yield
+    *    their single truncated shingle, empty-ish docs the "" shingle;
+    *  - NULL tokens are SKIPPED inside a shingle (concat_ws semantics);
+    *  - NULL input array → NULL (handled by the expression's null gate).
+    */
+  def hashedShingles(toks: ArrayData, n: Int, prime: Long): ArrayData = {
+    val size = toks.numElements()
+    val count = math.max(size - n + 1, 1)
+    val seen = new java.util.LinkedHashSet[UTF8String](count * 2)
+    var i = 0
+    while (i < count) {
+      val hi = math.min(i + n, size)
+      // concat_ws over the slice, skipping nulls
+      var parts = List.empty[UTF8String]
+      var j = hi - 1
+      while (j >= i) {
+        if (!toks.isNullAt(j)) parts = toks.getUTF8String(j) :: parts
+        j -= 1
+      }
+      seen.add(UTF8String.concatWs(SPACE, parts: _*))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    var k = 0
+    val it = seen.iterator()
+    while (it.hasNext) {
+      out(k) = hash60(it.next().getBytes) % prime
+      k += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Fused CDC boundary scan (x52's filter lambda): 1-based positions
+    * `i ∈ [2, size]` where `hash60(toks[i−2] + " " + toks[i−1]) % div
+    * == 0` (0-based indexing of the adjacent pair). A NULL token makes
+    * its pair's hash NULL in the SQL spelling (plain `concat`), which
+    * the filter drops — so NULL-adjacent positions are skipped here
+    * too. Fewer than 2 tokens → empty array. */
+  def cdcBounds(toks: ArrayData, div: Long): ArrayData = {
+    val size = toks.numElements()
+    if (size < 2) return UnsafeArrayData.fromPrimitiveArray(Array.empty[Int])
+    val out = new java.util.ArrayList[Integer](8)
+    var i = 1
+    while (i < size) {
+      if (!toks.isNullAt(i - 1) && !toks.isNullAt(i)) {
+        val pair = UTF8String.concat(
+          toks.getUTF8String(i - 1), SPACE, toks.getUTF8String(i))
+        if (hash60(pair.getBytes) % div == 0L) out.add(i + 1)
+      }
+      i += 1
+    }
+    val arr = new Array[Int](out.size)
+    var k = 0
+    while (k < arr.length) { arr(k) = out.get(k); k += 1 }
+    UnsafeArrayData.fromPrimitiveArray(arr)
+  }
+}
+
+/** Native codegen'd fused shingle+hash: `graft_hashed_shingles(toks, n,
+  * prime)` ≡ `transform(array_distinct(transform(sequence(...), i =>
+  * concat_ws(" ", slice(toks, i, n)))), s => stableHash64(s) % prime)` —
+  * the per-document signature front of MinHash/LSH dedup (x06/x14/x98/
+  * x31/x72). The HOF chain evaluates interpreted, allocating a slice +
+  * joined string + md5-hex + radix-parse per shingle per row; this is
+  * one compiled loop per row (guide §4: keep the hot loop native). */
+case class HashedShingles(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = first.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }
+    if (ok && second.dataType == IntegerType && third.dataType == LongType &&
+      second.foldable && third.foldable)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (ARRAY<STRING>, foldable INT, foldable BIGINT), got " +
+        s"${first.dataType.simpleString} / ${second.dataType.simpleString} / " +
+        s"${third.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(toks: Any, n: Any, prime: Any): Any =
+    ShingleHashOps.hashedShingles(toks.asInstanceOf[ArrayData],
+      n.asInstanceOf[Int], prime.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, n, p) =>
+      s"${ev.value} = graft.functions.ShingleHashOps.hashedShingles($t, $n, $p);")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+
+  override def prettyName: String = "graft_hashed_shingles"
+}
+
+/** Native codegen'd CDC boundary positions: `graft_cdc_bounds(toks, div)`
+  * ≡ `filter(sequence(2, size(toks)), i => stableHash64(concat(toks[i−1],
+  * " ", toks[i])) % div == 0)` with the `size ≥ 2` guard folded in
+  * (empty array below 2 tokens) — x52's rolling-hash chunker front. */
+case class CdcBounds(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = left.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }
+    if (ok && right.dataType == LongType && right.foldable)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (ARRAY<STRING>, foldable BIGINT), got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(toks: Any, div: Any): Any =
+    ShingleHashOps.cdcBounds(toks.asInstanceOf[ArrayData],
+      div.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, d) =>
+      s"${ev.value} = graft.functions.ShingleHashOps.cdcBounds($t, $d);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_cdc_bounds"
+}
