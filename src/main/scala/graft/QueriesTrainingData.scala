@@ -3553,18 +3553,38 @@ object QueriesTrainingData {
     * per-domain rank is the banded two-phase prefix sum — never a bare
     * domain window, because one giant domain (the web has those) would
     * otherwise serialize into a single task at 100×. */
-  def x63_url_domain_dedup(spark: SparkSession, dir: String): DataFrame = {
+  def x63_url_domain_dedup(spark: SparkSession, dir: String): DataFrame =
+    x63UrlDedupPipeline(spark, dir, dedupeFlagged = true)
+
+  /** x63 with the flagged-frame checkpoint optional, so PlanShapeSpec
+    * can pin the dedup/rank plan shape that `localCheckpoint` erases
+    * from the public query (the x106/q79/x72 pattern). */
+  private[graft] def x63UrlDedupPipeline(spark: SparkSession, dir: String,
+      dedupeFlagged: Boolean): DataFrame = {
     import graft.text.UrlOps
     val raw = documents(spark, dir)
       .select(col("doc_id"), col("source"), col("lang"))
       .withColumn("url_raw", messyCrawlUrl)
+    // canonicalization (a regex pile) + the 4-level PSL broadcast chain
+    // is the expensive narrow work here, and `flagged` feeds THREE
+    // consumers (both legs of the final join + the ranked path): cache
+    // the canon pass and checkpoint the slim flagged frame so the PSL
+    // chain runs ONCE, not 3-4× (the before-plan held 12 parquet scans
+    // of the same chain; guide §5 reuse-over-recompute — r18 opt)
     val canon = UrlOps.withRegisteredDomain(raw, col("url_raw"), "domain")
       .select(col("doc_id"),
         UrlOps.canonicalize(col("url_raw")).as("url_canon"), col("domain"))
-    val keepers = canon.groupBy(col("url_canon"))
+    val canonC = if (dedupeFlagged) canon.cache() else canon
+    val keepers = canonC.groupBy(col("url_canon"))
       .agg(min(col("doc_id")).as("__graft_keeper"))
-    val flagged = canon.join(keepers, Seq("url_canon"))
+    val flagged0 = canonC.join(keepers, Seq("url_canon"))
       .withColumn("url_keep", col("doc_id") === col("__graft_keeper"))
+    val flagged =
+      if (dedupeFlagged) {
+        val f = flagged0.localCheckpoint(true)
+        canonC.unpersist()
+        f
+      } else flagged0
     val keyed = flagged.filter(col("url_keep"))
       .withColumn("__graft_bucket",
         lpad(call_function("div", col("doc_id"), lit(4096L)).cast(StringType),

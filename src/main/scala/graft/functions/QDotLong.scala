@@ -164,6 +164,14 @@ object NativeFunctions {
         case _ => throw new IllegalArgumentException(
           s"graft_hashed_shingles takes 3 arguments, got ${exprs.length}")
       }),
+    (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_ngrams"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[Ngrams].getCanonicalName, "graft_ngrams"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(t, n) => Ngrams(t, n)
+        case _ => throw new IllegalArgumentException(
+          s"graft_ngrams takes 2 arguments, got ${exprs.length}")
+      }),
     (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cdc_bounds"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[CdcBounds].getCanonicalName, "graft_cdc_bounds"),
@@ -218,6 +226,13 @@ object NativeFunctions {
     SparkSession.getActiveSession.foreach(register)
     import org.apache.spark.sql.functions.lit
     call_function("graft_hashed_shingles", toks, lit(n), lit(prime))
+  }
+
+  /** Codegen'd word n-grams ([[Ngrams]]); empty below n tokens. */
+  def ngrams(toks: Column, n: Int): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    import org.apache.spark.sql.functions.lit
+    call_function("graft_ngrams", toks, lit(n))
   }
 
   /** Codegen'd CDC boundary-position scan ([[CdcBounds]]). */

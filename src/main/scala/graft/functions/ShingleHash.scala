@@ -72,6 +72,30 @@ object ShingleHashOps {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Word n-grams over a token array — element i (0-based, i ≤ size−n)
+    * is the space-joined window `toks[i .. i+n−1]`; fewer than `n`
+    * tokens → EMPTY array (the [[graft.text.TextOps.ngrams]] contract;
+    * NULL input is handled by the expression's null gate + the
+    * wrapper's coalesce). NULL tokens are skipped inside a gram
+    * (concat_ws semantics). */
+  def ngrams(toks: ArrayData, n: Int): ArrayData = {
+    val size = toks.numElements()
+    if (size < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](size - n + 1)
+    var i = 0
+    while (i <= size - n) {
+      var parts = List.empty[UTF8String]
+      var j = i + n - 1
+      while (j >= i) {
+        if (!toks.isNullAt(j)) parts = toks.getUTF8String(j) :: parts
+        j -= 1
+      }
+      out(i) = UTF8String.concatWs(SPACE, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Fused CDC boundary scan (x52's filter lambda): 1-based positions
     * `i ∈ [2, size]` where `hash60(toks[i−2] + " " + toks[i−1]) % div
     * == 0` (0-based indexing of the adjacent pair). A NULL token makes
@@ -138,6 +162,45 @@ case class HashedShingles(first: Expression, second: Expression, third: Expressi
     copy(first = f, second = s, third = t)
 
   override def prettyName: String = "graft_hashed_shingles"
+}
+
+/** Native codegen'd word n-grams: `graft_ngrams(toks, n)` ≡
+  * `transform(sequence(0, size−n), i -> concat_ws(" ", slice(toks, i+1,
+  * n)))` under the size ≥ n guard — the corpus-pass front of every
+  * n-gram statistic (x28/x29/x44/x106/x112, the bigram-tf staging). The
+  * HOF spelling evaluates interpreted: one slice copy + one joined
+  * string per gram per row through a lambda frame; this is one compiled
+  * loop per row (guide §4). */
+case class Ngrams(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = left.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }
+    if (ok && right.dataType == IntegerType && right.foldable)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (ARRAY<STRING>, foldable INT), got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(toks: Any, n: Any): Any =
+    ShingleHashOps.ngrams(toks.asInstanceOf[ArrayData], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, n) =>
+      s"${ev.value} = graft.functions.ShingleHashOps.ngrams($t, $n);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_ngrams"
 }
 
 /** Native codegen'd CDC boundary positions: `graft_cdc_bounds(toks, div)`

@@ -23,12 +23,23 @@ object TextOps {
   def distinctTokenCount(text: Column): Column =
     when(length(text) === 0, 0).otherwise(size(array_distinct(tokens(text))))
 
-  /** Word n-grams over a token array as one narrow HOF: element i is the
-    * space-joined window `toks[i..i+n-1]`; fewer than `n` tokens → empty
-    * array (NOT null — callers explode/measure it directly). DuckDB
+  /** Word n-grams over a token array: element i is the space-joined
+    * window `toks[i..i+n-1]`; fewer than `n` tokens → empty array (NOT
+    * null — callers explode/measure it directly; NULL toks also yield
+    * empty, the old `when` guard's contract, via the coalesce). DuckDB
     * parity: `list_transform(generate_series(1, len(w)-(n-1)), i ->
-    * array_to_string(w[i:i+(n-1)], ' '))`. */
+    * array_to_string(w[i:i+(n-1)], ' '))`. Backed by the native
+    * codegen'd [[graft.functions.Ngrams]] — the interpreted HOF spelling
+    * ([[ngramsHof]], kept as the parity reference) paid a lambda frame +
+    * slice copy per gram per row on every corpus pass (r18 opt). */
   def ngrams(toks: Column, n: Int): Column =
+    coalesce(graft.functions.NativeFunctions.ngrams(toks, n),
+      array().cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType)))
+
+  /** The pre-r18 HOF spelling of [[ngrams]] — the reference
+    * ShingleHashSpec pins the native expression against. */
+  private[graft] def ngramsHof(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))

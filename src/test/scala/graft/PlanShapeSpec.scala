@@ -817,7 +817,18 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("x63: URL dedup is ONE hash shuffle on the canonical key, no UDFs") {
-    val plan = executedPlan("x63_url_domain_dedup")
+    // pin the UN-checkpointed pipeline: the public query localCheckpoints
+    // the flagged frame (so the PSL/canonicalization chain runs once, r18
+    // opt), which erases the dedup aggregate from its plan — the x106
+    // exposure pattern
+    val plan = QueriesTrainingData
+      .x63UrlDedupPipeline(spark, sf, dedupeFlagged = false)
+      .queryExecution.executedPlan.toString
+    // the PUBLIC query must still be UDF-free
+    val publicPlan = executedPlan("x63_url_domain_dedup")
+    assert(!publicPlan.contains("BatchEvalPython") &&
+      !publicPlan.contains("ScalaUDF"),
+      "public x63 plan must stay codegen'd built-ins")
     // canonicalization (regexp_extract/replace + array_sort) fuses into
     // the scan-side codegen; the dedup min partial-combines before the
     // single url_canon exchange

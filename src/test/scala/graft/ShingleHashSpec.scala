@@ -62,6 +62,23 @@ class ShingleHashSpec extends AnyFunSuite {
     }
   }
 
+  test("TextOps.ngrams (native) equals the HOF spelling (real + edge docs, n=2,5,8)") {
+    for (docs <- Seq(realDocs, edgeDocs); n <- Seq(2, 5, 8)) {
+      val toks = TextOps.tokens(col("text"))
+      val ref = docs.select(col("doc_id"), TextOps.ngramsHof(toks, n).as("g"))
+        .as[(Long, Seq[String])].collect().toMap
+      val got = docs.select(col("doc_id"), TextOps.ngrams(toks, n).as("g"))
+        .as[(Long, Seq[String])].collect().toMap
+      assert(got === ref, s"native ngrams drifted from the HOF form (n=$n)")
+    }
+    // NULL toks: the old `when` guard yielded [], the coalesce keeps that
+    val out = Seq(1).toDF("one")
+      .select(lit(null).cast("array<string>").as("toks"))
+      .select(TextOps.ngrams(col("toks"), 2).as("g"))
+      .as[Seq[String]].head()
+    assert(out === Seq.empty)
+  }
+
   test("hash60 kernel equals the SQL spelling conv(substring(md5, 1, 15), 16, 10)") {
     val strs = Seq("", " ", "a", "hello world", "üñïçödé", "0|x", "a b c")
     val df = strs.toDF("s")
