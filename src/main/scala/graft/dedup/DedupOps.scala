@@ -28,8 +28,17 @@ object DedupOps {
 
   /** Token-array variant: reuse an already-materialized `toks` column so
     * the split isn't re-evaluated per consumer (see
-    * [[graft.text.TextOps.stopwordCountOf]]). */
+    * [[graft.text.TextOps.stopwordCountOf]]). Backed by the native
+    * codegen'd [[graft.functions.Shingles]] (ShingleHashSpec pins parity
+    * with [[shinglesOfHof]]); the coalesce keeps the HOF chain's NULL-
+    * toks contract (the single "" shingle, never NULL). */
   def shinglesOf(ws: Column, n: Int): Column =
+    coalesce(graft.functions.NativeFunctions.shingles(ws, n),
+      typedLit(Seq("")))
+
+  /** The pre-r18 HOF spelling of [[shinglesOf]] — the parity
+    * reference. */
+  private[graft] def shinglesOfHof(ws: Column, n: Int): Column =
     array_distinct(
       transform(
         sequence(lit(1), greatest(size(ws) - (n - 1), lit(1))),
@@ -70,7 +79,11 @@ object DedupOps {
     * the signature pipeline's per-row cost is what every MinHash/LSH
     * operator pays on the full corpus (guide §4). */
   def hashedShinglesOf(toks: Column, n: Int): Column =
-    graft.functions.NativeFunctions.hashedShingles(toks, n, HashPrime)
+    coalesce(graft.functions.NativeFunctions.hashedShingles(toks, n, HashPrime),
+      // NULL toks contract of the HOF chain: greatest(size(null)−(n−1), 1)
+      // = 1 → the single "" shingle → [hash60("") % prime], never NULL
+      typedLit(Seq(
+        graft.functions.ShingleHashOps.hash60(Array.empty[Byte]) % HashPrime)))
 
   /** Numeric MinHash: min of (a·h + b) mod p over the hashed shingle set —
     * 8 signatures cost one md5 pass + cheap integer folds. */

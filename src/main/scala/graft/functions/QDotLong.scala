@@ -164,6 +164,22 @@ object NativeFunctions {
         case _ => throw new IllegalArgumentException(
           s"graft_hashed_shingles takes 3 arguments, got ${exprs.length}")
       }),
+    (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_shingles"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[Shingles].getCanonicalName, "graft_shingles"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(t, n) => Shingles(t, n)
+        case _ => throw new IllegalArgumentException(
+          s"graft_shingles takes 2 arguments, got ${exprs.length}")
+      }),
+    (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_lang_id"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[LangId].getCanonicalName, "graft_lang_id"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(t) => LangId(t)
+        case _ => throw new IllegalArgumentException(
+          s"graft_lang_id takes 1 argument, got ${exprs.length}")
+      }),
     (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_ngrams"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[Ngrams].getCanonicalName, "graft_ngrams"),
@@ -226,6 +242,19 @@ object NativeFunctions {
     SparkSession.getActiveSession.foreach(register)
     import org.apache.spark.sql.functions.lit
     call_function("graft_hashed_shingles", toks, lit(n), lit(prime))
+  }
+
+  /** Codegen'd distinct string shingles ([[Shingles]]). */
+  def shingles(toks: Column, n: Int): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    import org.apache.spark.sql.functions.lit
+    call_function("graft_shingles", toks, lit(n))
+  }
+
+  /** Codegen'd marker-count language id ([[LangId]]). */
+  def langId(toks: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_lang_id", toks)
   }
 
   /** Codegen'd word n-grams ([[Ngrams]]); empty below n tokens. */

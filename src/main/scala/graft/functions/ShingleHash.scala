@@ -72,6 +72,30 @@ object ShingleHashOps {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Distinct word n-gram shingles as STRINGS in first-occurrence order
+    * — [[hashedShingles]] minus the hashing: the
+    * `array_distinct(transform(sequence(1, greatest(size−(n−1), 1)), …))`
+    * contract (short docs contribute their single truncated shingle).
+    * NULL input handled by the expression's null gate + wrapper. */
+  def shingles(toks: ArrayData, n: Int): ArrayData = {
+    val size = toks.numElements()
+    val count = math.max(size - n + 1, 1)
+    val seen = new java.util.LinkedHashSet[UTF8String](count * 2)
+    var i = 0
+    while (i < count) {
+      val hi = math.min(i + n, size)
+      var parts = List.empty[UTF8String]
+      var j = hi - 1
+      while (j >= i) {
+        if (!toks.isNullAt(j)) parts = toks.getUTF8String(j) :: parts
+        j -= 1
+      }
+      seen.add(UTF8String.concatWs(SPACE, parts: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray(Array.empty[AnyRef]))
+  }
+
   /** Word n-grams over a token array — element i (0-based, i ≤ size−n)
     * is the space-joined window `toks[i .. i+n−1]`; fewer than `n`
     * tokens → EMPTY array (the [[graft.text.TextOps.ngrams]] contract;
@@ -164,6 +188,90 @@ case class HashedShingles(first: Expression, second: Expression, third: Expressi
   override def prettyName: String = "graft_hashed_shingles"
 }
 
+/** Static lookup tables + kernel for [[LangId]] — built from
+  * [[graft.text.TextOps.languageMarkers]] at class load so the native
+  * expression can never drift from the declared marker lists. */
+object LangIdOps {
+  /** Alphabetical language order — the tie-break order of the
+    * `foldRight` in [[graft.text.TextOps.languageIdOf]]. */
+  val langs: Array[UTF8String] =
+    graft.text.TextOps.languageMarkers.keys.toArray.sorted
+      .map(UTF8String.fromString)
+  private val markerToLangs: java.util.HashMap[UTF8String, Array[Int]] = {
+    val m = new java.util.HashMap[UTF8String, Array[Int]]()
+    val names = graft.text.TextOps.languageMarkers.keys.toArray.sorted
+    names.zipWithIndex.foreach { case (lang, i) =>
+      graft.text.TextOps.languageMarkers(lang).foreach { w =>
+        val k = UTF8String.fromString(w)
+        val prev = Option(m.get(k)).getOrElse(Array.empty[Int])
+        m.put(k, prev :+ i)
+      }
+    }
+    m
+  }
+  private val UND = UTF8String.fromString("und")
+
+  /** Argmax-of-marker-counts language id: counts each token's marker
+    * hits per language (multiplicity counts, the `filter`+`size`
+    * semantics; a token on two languages' lists — "la" is es AND fr —
+    * scores both), then the alphabetically-first language holding the
+    * max; "und" when every score is 0. NULL tokens never match
+    * (array_contains semantics). */
+  def langId(toks: ArrayData): UTF8String = {
+    val n = toks.numElements()
+    val counts = new Array[Int](langs.length)
+    var i = 0
+    while (i < n) {
+      if (!toks.isNullAt(i)) {
+        val hit = markerToLangs.get(toks.getUTF8String(i))
+        if (hit != null) {
+          var j = 0
+          while (j < hit.length) { counts(hit(j)) += 1; j += 1 }
+        }
+      }
+      i += 1
+    }
+    var best = 0
+    var bestIdx = -1
+    var k = 0
+    while (k < counts.length) {
+      if (counts(k) > best) { best = counts(k); bestIdx = k }
+      k += 1
+    }
+    if (bestIdx < 0) UND else langs(bestIdx)
+  }
+}
+
+/** Native codegen'd language id: `graft_lang_id(toks)` ≡
+  * [[graft.text.TextOps.languageIdOf]]'s greatest-of-5-interpreted-
+  * filter-passes fold, in ONE compiled pass over the token array
+  * (ShingleHashSpec pins parity; NULL input handled by the wrapper's
+  * coalesce to "und", the old fold's contract). */
+case class LangId(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(toks: Any): Any =
+    LangIdOps.langId(toks.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.LangIdOps.langId($t);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_lang_id"
+}
+
 /** Native codegen'd word n-grams: `graft_ngrams(toks, n)` ≡
   * `transform(sequence(0, size−n), i -> concat_ws(" ", slice(toks, i+1,
   * n)))` under the size ≥ n guard — the corpus-pass front of every
@@ -201,6 +309,43 @@ case class Ngrams(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 
   override def prettyName: String = "graft_ngrams"
+}
+
+/** Native codegen'd distinct string shingles: `graft_shingles(toks, n)`
+  * ≡ `array_distinct(transform(sequence(1, greatest(size−(n−1), 1)),
+  * i -> concat_ws(" ", slice(toks, i, n))))` — the verify-leg /
+  * pair-scoring twin of [[HashedShingles]] (x12's corpus-wide bigram
+  * sets, the x06/x14/x98 candidate legs). */
+case class Shingles(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = left.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }
+    if (ok && right.dataType == IntegerType && right.foldable)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (ARRAY<STRING>, foldable INT), got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(toks: Any, n: Any): Any =
+    ShingleHashOps.shingles(toks.asInstanceOf[ArrayData], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, n) =>
+      s"${ev.value} = graft.functions.ShingleHashOps.shingles($t, $n);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_shingles"
 }
 
 /** Native codegen'd CDC boundary positions: `graft_cdc_bounds(toks, div)`

@@ -122,8 +122,17 @@ object TextOps {
     * alphabetical tiebreak; "und" (undetermined) when all scores are 0. */
   def languageId(text: Column): Column = languageIdOf(tokens(text))
 
-  /** Token-array variant of [[languageId]] (see [[stopwordCountOf]]). */
-  def languageIdOf(toks: Column): Column = {
+  /** Token-array variant of [[languageId]] (see [[stopwordCountOf]]).
+    * Backed by the native codegen'd [[graft.functions.LangId]] — the
+    * fold spelling ([[languageIdOfHof]], the parity reference) paid 5
+    * interpreted filter passes over the token array per row (r18 opt);
+    * the coalesce keeps the old NULL-toks contract ("und", not NULL). */
+  def languageIdOf(toks: Column): Column =
+    coalesce(graft.functions.NativeFunctions.langId(toks), lit("und"))
+
+  /** The pre-r18 fold spelling of [[languageIdOf]] — the reference
+    * ShingleHashSpec pins the native expression against. */
+  private[graft] def languageIdOfHof(toks: Column): Column = {
     val langs = languageMarkers.keys.toSeq.sorted
     val scores = langs.map(l => languageScoreOf(toks, l))
     val best = greatest(scores: _*)

@@ -79,6 +79,40 @@ class ShingleHashSpec extends AnyFunSuite {
     assert(out === Seq.empty)
   }
 
+  test("DedupOps.shinglesOf (native) equals the HOF spelling (real + edge docs, n=2 and n=3)") {
+    for (docs <- Seq(realDocs, edgeDocs); n <- Seq(2, 3)) {
+      val toks = TextOps.tokens(col("text"))
+      val ref = docs.select(col("doc_id"), DedupOps.shinglesOfHof(toks, n).as("s"))
+        .as[(Long, Seq[String])].collect().toMap
+      val got = docs.select(col("doc_id"), DedupOps.shinglesOf(toks, n).as("s"))
+        .as[(Long, Seq[String])].collect().toMap
+      assert(got === ref, s"native shingles drifted from the HOF form (n=$n)")
+    }
+  }
+
+  test("TextOps.languageIdOf (native) equals the fold spelling (real + adversarial docs)") {
+    // adversarial: empty text, the es/fr-shared marker "la", exact ties
+    // between two languages (tie must break alphabetically), und
+    val tricky = Seq(
+      (101L, ""), (102L, "la la la"), (103L, "the la of la und"),
+      (104L, "el le"), (105L, "zzz qqq"), (106L, "的 的 the the"))
+      .toDF("doc_id", "text")
+    for (docs <- Seq(realDocs, tricky)) {
+      val toks = TextOps.tokens(col("text"))
+      val ref = docs.select(col("doc_id"), TextOps.languageIdOfHof(toks).as("l"))
+        .as[(Long, String)].collect().toMap
+      val got = docs.select(col("doc_id"), TextOps.languageIdOf(toks).as("l"))
+        .as[(Long, String)].collect().toMap
+      assert(got === ref, "native languageId drifted from the fold form")
+    }
+    // NULL toks: the fold yielded "und" (size(null) propagates to a
+    // null-guarded when) — the coalesce keeps that
+    val out = Seq(1).toDF("one")
+      .select(lit(null).cast("array<string>").as("toks"))
+      .select(TextOps.languageIdOf(col("toks")).as("l")).as[String].head()
+    assert(out === "und")
+  }
+
   test("hash60 kernel equals the SQL spelling conv(substring(md5, 1, 15), 16, 10)") {
     val strs = Seq("", " ", "a", "hello world", "üñïçödé", "0|x", "a b c")
     val df = strs.toDF("s")
@@ -91,13 +125,23 @@ class ShingleHashSpec extends AnyFunSuite {
     assert(kernel === sql)
   }
 
-  test("NULL toks yield NULL; expressions stay codegen'd over a real scan") {
+  test("NULL-toks contracts match the HOF chains; expressions stay codegen'd over a real scan") {
     val nulls = Seq(1).toDF("one")
       .select(lit(null).cast("array<string>").as("toks"))
+    // the HOF chains never yield NULL for NULL toks: shinglesOf gives the
+    // single "" shingle (greatest(size(null)−(n−1), 1) = 1), so the fused
+    // wrappers must reproduce [hash60("")] / [""] — pinned against the
+    // HOF spellings directly
     val out = nulls.select(
       DedupOps.hashedShinglesOf(col("toks"), 3).as("h"),
+      DedupOps.shinglesOf(col("toks"), 3).as("s"),
       NativeFunctions.cdcBounds(col("toks"), 64L).as("b")).head()
-    assert(out.isNullAt(0) && out.isNullAt(1))
+    val refNull = nulls.select(
+      DedupOps.hashedShingles(DedupOps.shinglesOfHof(col("toks"), 3)).as("h"),
+      DedupOps.shinglesOfHof(col("toks"), 3).as("s")).head()
+    assert(out.getSeq[Long](0) === refNull.getSeq[Long](0))
+    assert(out.getSeq[String](1) === refNull.getSeq[String](1))
+    assert(out.isNullAt(2)) // x52 wraps the bounds in its own coalesce
     val df = realDocs.select(
       DedupOps.hashedShinglesOf(TextOps.tokens(col("text")), 3).as("h"))
     df.collect()
