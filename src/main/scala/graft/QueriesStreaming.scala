@@ -419,9 +419,8 @@ object QueriesStreaming {
       .select(TextOps.tokens(col("text")).as("toks"))
     val sp = standing
       .filter(size(col("toks")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, size(toks) - 1), " +
-          "i -> struct(toks[i-1] AS a, toks[i] AS b))")).as("pr"))
+      .select(explode(
+        graft.functions.NativeFunctions.tokenTuples(col("toks"), 2)).as("pr"))
       .select(col("pr.a").as("a"), col("pr.b").as("b"))
       .filter(col("a") =!= "" && col("b") =!= "")
     val big = sp.groupBy(col("a"), col("b")).agg(count(lit(1)).as("bn"))
@@ -432,9 +431,8 @@ object QueriesStreaming {
     val delta = docsDeltaStream(spark, dir)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(toks) - 1), " +
-          "i -> struct(toks[i-1] AS a, toks[i] AS b))")).as("pr"))
+      .select(col("doc_id"), explode(
+        graft.functions.NativeFunctions.tokenTuples(col("toks"), 2)).as("pr"))
       .select(col("doc_id"), col("pr.a").as("a"), col("pr.b").as("b"))
       .filter(col("a") =!= "" && col("b") =!= "")
     val scored = delta

@@ -4637,9 +4637,8 @@ object QueriesTrainingData {
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
     val pairs = docs
       .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(toks) - 1), " +
-          "i -> struct(toks[i-1] AS a, toks[i] AS b))")).as("pr"))
+      .select(col("doc_id"), explode(
+        graft.functions.NativeFunctions.tokenTuples(col("toks"), 2)).as("pr"))
       .select(col("doc_id"), col("pr.a").as("a"), col("pr.b").as("b"))
       .filter(col("a") =!= "" && col("b") =!= "")
     val big = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("bn"))
@@ -5011,9 +5010,8 @@ object QueriesTrainingData {
   def x101_trigram_backoff(spark: SparkSession, dir: String): DataFrame = {
     def triplesOf(d: DataFrame, withId: Boolean): DataFrame = {
       val base = d.filter(size(col("toks")) >= 3)
-        .select((if (withId) Seq(col("doc_id")) else Nil) :+ explode(expr(
-          "transform(sequence(2, size(toks) - 1), " +
-            "i -> struct(toks[i-2] AS a, toks[i-1] AS b, toks[i] AS c))"))
+        .select((if (withId) Seq(col("doc_id")) else Nil) :+ explode(
+          graft.functions.NativeFunctions.tokenTuples(col("toks"), 3))
           .as("tr"): _*)
       base.select((if (withId) Seq(col("doc_id")) else Nil) ++
         Seq(col("tr.a").as("a"), col("tr.b").as("b"), col("tr.c").as("c")): _*)
@@ -5031,9 +5029,8 @@ object QueriesTrainingData {
       .groupBy(col("a"), col("b"), col("c")).agg(count(lit(1)).as("tn"))
     val pairs = standing
       .filter(size(col("toks")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, size(toks) - 1), " +
-          "i -> struct(toks[i-1] AS a, toks[i] AS b))")).as("pr"))
+      .select(explode(
+        graft.functions.NativeFunctions.tokenTuples(col("toks"), 2)).as("pr"))
       .select(col("pr.a").as("b"), col("pr.b").as("c"))
       .filter(col("b") =!= "" && col("c") =!= "")
     // trigram-lead totals roll up from the trigram table itself (a

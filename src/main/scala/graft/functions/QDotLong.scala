@@ -164,6 +164,14 @@ object NativeFunctions {
         case _ => throw new IllegalArgumentException(
           s"graft_hashed_shingles takes 3 arguments, got ${exprs.length}")
       }),
+    (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_token_tuples"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[TokenTuples].getCanonicalName, "graft_token_tuples"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(t, n) => TokenTuples(t, n)
+        case _ => throw new IllegalArgumentException(
+          s"graft_token_tuples takes 2 arguments, got ${exprs.length}")
+      }),
     (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_shingles"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[Shingles].getCanonicalName, "graft_shingles"),
@@ -242,6 +250,13 @@ object NativeFunctions {
     SparkSession.getActiveSession.foreach(register)
     import org.apache.spark.sql.functions.lit
     call_function("graft_hashed_shingles", toks, lit(n), lit(prime))
+  }
+
+  /** Codegen'd adjacent token tuples ([[TokenTuples]]), n ∈ [2, 3]. */
+  def tokenTuples(toks: Column, n: Int): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    import org.apache.spark.sql.functions.lit
+    call_function("graft_token_tuples", toks, lit(n))
   }
 
   /** Codegen'd distinct string shingles ([[Shingles]]). */

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Shared md5-60-bit kernel + the fused shingle/boundary loops behind
@@ -309,6 +309,78 @@ case class Ngrams(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 
   override def prettyName: String = "graft_ngrams"
+}
+
+/** Kernel for [[TokenTuples]]. */
+object TokenTupleOps {
+  /** All adjacent n-token windows as structs — the
+    * `transform(sequence(n−1, size−1), i -> struct(toks[i−n+1], …,
+    * toks[i]))` spelling of the bigram/trigram LM fronts. Fewer than n
+    * tokens → empty (callers filter `size ≥ n` first, which also keeps
+    * the HOF's descending-sequence edge unreachable). */
+  def tokenTuples(toks: ArrayData, n: Int): ArrayData = {
+    val size = toks.numElements()
+    if (size < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](size - n + 1)
+    var i = 0
+    while (i <= size - n) {
+      val fields = new Array[Any](n)
+      var j = 0
+      while (j < n) {
+        fields(j) = if (toks.isNullAt(i + j)) null else toks.getUTF8String(i + j)
+        j += 1
+      }
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(fields)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Native codegen'd adjacent token tuples: `graft_token_tuples(toks, n)`
+  * ≡ `transform(sequence(n−1, size(toks)−1), i -> struct(toks[i−n+1] AS
+  * a, …, toks[i]))` under the callers' `size ≥ n` guard — the
+  * bigram/trigram pair front of the LM-quality operators
+  * (x94/x95/x96/x97/x101/x112). Field names a, b (, c) match the HOF
+  * spelling so `pr.a`-style consumers are drop-in. */
+case class TokenTuples(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private lazy val n: Int = right.eval(null).asInstanceOf[Int]
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = left.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }
+    if (ok && right.dataType == IntegerType && right.foldable &&
+      { val v = right.eval(null); v != null &&
+        v.asInstanceOf[Int] >= 2 && v.asInstanceOf[Int] <= 3 })
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (ARRAY<STRING>, foldable INT in [2, 3]), got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq("a", "b", "c").take(n)
+      .map(StructField(_, StringType, nullable = true))),
+    containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(toks: Any, nAny: Any): Any =
+    TokenTupleOps.tokenTuples(toks.asInstanceOf[ArrayData], nAny.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, nv) =>
+      s"${ev.value} = graft.functions.TokenTupleOps.tokenTuples($t, $nv);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_token_tuples"
 }
 
 /** Native codegen'd distinct string shingles: `graft_shingles(toks, n)`

@@ -113,6 +113,25 @@ class ShingleHashSpec extends AnyFunSuite {
     assert(out === "und")
   }
 
+  test("graft_token_tuples equals the struct-transform HOF (pairs and triples)") {
+    for ((n, hof) <- Seq(
+      (2, "transform(sequence(1, size(toks) - 1), " +
+        "i -> struct(toks[i-1] AS a, toks[i] AS b))"),
+      (3, "transform(sequence(2, size(toks) - 1), " +
+        "i -> struct(toks[i-2] AS a, toks[i-1] AS b, toks[i] AS c))"))) {
+      val base = realDocs.unionByName(edgeDocs)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= n) // the callers' guard
+      val ref = base.select(col("doc_id"), expr(hof).cast("array<string>").as("t"))
+        .as[(Long, Seq[String])].collect().toMap
+      val got = base.select(col("doc_id"),
+        NativeFunctions.tokenTuples(col("toks"), n).cast("array<string>").as("t"))
+        .as[(Long, Seq[String])].collect().toMap
+      assert(got === ref, s"native token tuples drifted (n=$n)")
+      assert(got.values.exists(_.nonEmpty))
+    }
+  }
+
   test("hash60 kernel equals the SQL spelling conv(substring(md5, 1, 15), 16, 10)") {
     val strs = Seq("", " ", "a", "hello world", "üñïçödé", "0|x", "a b c")
     val df = strs.toDF("s")
