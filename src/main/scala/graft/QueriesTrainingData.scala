@@ -4831,13 +4831,26 @@ object QueriesTrainingData {
       DedupOps.minhashSignatureArray(
         DedupOps.hashedShinglesOf(TextOps.tokens(col("text")), 3)).as("sig"))
       .cache()
-    val cand = configs.map { case (r, b) =>
-      val banded = sig.select(col("doc_id"),
-        DedupOps.bandKeysFromSigArray(col("sig"), r, b).as("bands"))
-      DedupOps.lshCandidatePairs(banded, "doc_id", "bands")
-        .select(lit(r).as("rows_per_band"), lit(b).as("n_bands"),
-          col("doc_a"), col("doc_b"))
-    }.reduce(_ unionByName _).cache()
+    // ONE tagged candidate pass for all four configs (r18 opt): the
+    // per-config band keys concat into a single (r, b, band_idx,
+    // band_key) explode, buckets group once on the tagged key, pairs
+    // dedup once on (config, pair) — bit-identical to the former
+    // union of four lshCandidatePairs pipelines (per-config grouping
+    // and maxBucket semantics are unchanged; the x98 oracle replays
+    // the per-config union form) at a quarter of the shuffles.
+    val bandStructs = concat(configs.map { case (r, b) =>
+      transform(DedupOps.bandKeysFromSigArray(col("sig"), r, b),
+        (k, i) => struct(lit(r).as("r"), lit(b).as("nb"),
+          i.as("band_idx"), k.as("band_key")))
+    }: _*)
+    val exploded = sig
+      .select(col("doc_id").as("__id"), explode(bandStructs).as("e"))
+      .select(col("__id"), col("e.r").as("rows_per_band"),
+        col("e.nb").as("n_bands"), col("e.band_idx").as("band_idx"),
+        col("e.band_key").as("band_key"))
+    val cand = DedupOps.lshCandidatePairsTagged(exploded,
+        Seq("rows_per_band", "n_bands"))
+      .cache()
     cand.count()
     sig.unpersist()
     val distinctPairs = cand.select(col("doc_a"), col("doc_b")).distinct()

@@ -165,17 +165,32 @@ object DedupOps {
     val exploded = df.select(
       col(idCol).as("__id"),
       posexplode(col(bandsCol)).as(Seq("band_idx", "band_key")))
+    lshCandidatePairsTagged(exploded, Nil, maxBucket)
+  }
+
+  /** [[lshCandidatePairs]] over an ALREADY-EXPLODED band frame carrying
+    * extra tag columns (e.g. a per-config (rows_per_band, n_bands) pair):
+    * buckets group on (tags, band_idx, band_key) and pairs dedup on
+    * (tags, doc_a, doc_b) — exactly the per-tag union of the plain form,
+    * in ONE shuffle + one dedup instead of one pipeline per tag (x98's
+    * four-config S-curve sweep; equivalence pinned in
+    * TrainingDataOpsSpec and by the x98 oracle gate). `exploded` must
+    * carry `__id`, `band_idx`, `band_key` plus `tagCols`. */
+  private[graft] def lshCandidatePairsTagged(exploded: DataFrame,
+      tagCols: Seq[String], maxBucket: Int = 10000): DataFrame = {
+    val keyCols = (tagCols :+ "band_idx") :+ "band_key"
     val buckets = exploded
-      .groupBy(col("band_idx"), col("band_key"))
+      .groupBy(keyCols.map(col): _*)
       .agg(sort_array(collect_list(col("__id"))).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
     // all i<j combinations from the sorted bucket
     val combos = flatten(transform(col("ids"), (x, i) =>
       transform(slice(col("ids"), i + lit(2), size(col("ids")) - i - 1),
         y => struct(x.as("a"), y.as("b")))))
-    buckets.select(explode(combos).as("p"))
-      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
+    buckets.select(tagCols.map(col) :+ explode(combos).as("p"): _*)
+      .select(tagCols.map(col) ++ Seq(
+        col("p.a").as("doc_a"), col("p.b").as("doc_b")): _*)
+      .dropDuplicates(tagCols ++ Seq("doc_a", "doc_b"))
   }
 
   /** Jaccard similarity of two pre-distinct shingle arrays, as DOUBLE.

@@ -656,4 +656,38 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(nPruned > 0, "threshold pruned nothing — the audit is inert")
     assert(nPruned < rows.length / 2, s"threshold pruned half the corpus: $nPruned")
   }
+
+  test("lshCandidatePairsTagged equals the per-config union of lshCandidatePairs (x98 shape)") {
+    // the r18-opt single-pass candidate sweep must reproduce the former
+    // four-pipeline union exactly, per config — including per-config
+    // bucket grouping and maxBucket semantics
+    val configs = Seq((1, 8), (2, 4), (4, 2), (8, 1))
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val sig = docs.select(col("doc_id"),
+      DedupOps.minhashSignatureArray(
+        DedupOps.hashedShinglesOf(TextOps.tokens(col("text")), 3)).as("sig"))
+    val ref = configs.map { case (r, b) =>
+      val banded = sig.select(col("doc_id"),
+        DedupOps.bandKeysFromSigArray(col("sig"), r, b).as("bands"))
+      DedupOps.lshCandidatePairs(banded, "doc_id", "bands")
+        .select(lit(r).as("rows_per_band"), lit(b).as("n_bands"),
+          col("doc_a"), col("doc_b"))
+    }.reduce(_ unionByName _)
+      .as[(Int, Int, Long, Long)].collect().toSet
+    val bandStructs = concat(configs.map { case (r, b) =>
+      transform(DedupOps.bandKeysFromSigArray(col("sig"), r, b),
+        (k, i) => struct(lit(r).as("r"), lit(b).as("nb"),
+          i.as("band_idx"), k.as("band_key")))
+    }: _*)
+    val exploded = sig
+      .select(col("doc_id").as("__id"), explode(bandStructs).as("e"))
+      .select(col("__id"), col("e.r").as("rows_per_band"),
+        col("e.nb").as("n_bands"), col("e.band_idx").as("band_idx"),
+        col("e.band_key").as("band_key"))
+    val got = DedupOps.lshCandidatePairsTagged(exploded,
+        Seq("rows_per_band", "n_bands"))
+      .as[(Int, Int, Long, Long)].collect().toSet
+    assert(got === ref, "tagged candidate sweep drifted from the per-config union")
+    assert(got.nonEmpty)
+  }
 }
