@@ -194,10 +194,18 @@ object DedupOps {
   }
 
   /** Jaccard similarity of two pre-distinct shingle arrays, as DOUBLE.
-    * |∩| / |∪| — for distinct arrays |∪| = |a|+|b|−|∩|, so one intersect
-    * plus one union, each evaluated exactly once (no repeated
-    * subexpression for codegen to maybe-dedup). */
+    * Backed by the native codegen'd [[graft.functions.JaccardSim]]: one
+    * hash-set pass computes |∩| and |∪| without materializing either
+    * array — the HOF spelling pays three hash structures and two output
+    * arrays per candidate pair only to take their sizes. Bit-identical
+    * to [[jaccardHof]] (JaccardSpec pins it, incl. the empty∪empty →
+    * NULL divide edge and NULL/duplicate elements). */
   def jaccard(a: Column, b: Column): Column =
+    graft.functions.NativeFunctions.jaccardSim(a, b)
+
+  /** The pre-r19 intersect/union spelling of [[jaccard]] — the parity
+    * reference. */
+  private[graft] def jaccardHof(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast(DoubleType) /
       size(array_union(a, b)).cast(DoubleType)
 

@@ -82,6 +82,76 @@ case class QDotLong(left: Expression, right: Expression)
   override def prettyName: String = "graft_qdot"
 }
 
+/** Native codegen'd integer squared L2 distance of two `ARRAY<BIGINT>`
+  * columns — the LUT/probe-leg kernel of the PQ path
+  * ([[graft.sim.PqIndex]]): the one place the interpreted
+  * `aggregate(zip_with(a, b, (x,y) => (x−y)*(x−y)), 0L, _+_)` HOF was
+  * still evaluated after the r18 argmin rewrite ([[PqArgmin]] carries
+  * the same loop fused with the min). Equal-length arrays produce
+  * exactly the HOF's fold (PqArgminSpec pins the parity on the real
+  * LUT shape); the two documented divergences match [[QDotLong]]:
+  * unequal lengths take the shorter bound and overflow wraps — inputs
+  * this codebase never produces (codebook subvectors are fixed-width).
+  */
+case class SqDistLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<BIGINT> inputs, got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val d = x.getLong(i) - y.getLong(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName, NEVER fixed identifiers (see QDotLong above)
+      val n = ctx.freshName("sqdN")
+      val s = ctx.freshName("sqdS")
+      val i = ctx.freshName("sqdI")
+      val d = ctx.freshName("sqdD")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  final long $d = $a.getLong($i) - $b.getLong($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_sq_dist"
+}
+
 /** Session-scoped registration of the native functions; `Column`
   * construction goes through the function registry (`call_function`), the
   * supported public path in Spark 4. */
@@ -204,6 +274,22 @@ object NativeFunctions {
         case _ => throw new IllegalArgumentException(
           s"graft_cdc_bounds takes 2 arguments, got ${exprs.length}")
       }),
+    (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_sq_dist"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[SqDistLong].getCanonicalName, "graft_sq_dist"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(a, b) => SqDistLong(a, b)
+        case _ => throw new IllegalArgumentException(
+          s"graft_sq_dist takes 2 arguments, got ${exprs.length}")
+      }),
+    (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_jaccard"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[JaccardSim].getCanonicalName, "graft_jaccard"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(a, b) => JaccardSim(a, b)
+        case _ => throw new IllegalArgumentException(
+          s"graft_jaccard takes 2 arguments, got ${exprs.length}")
+      }),
     (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_nfc"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[NfcNormalize].getCanonicalName, "graft_nfc"),
@@ -230,6 +316,18 @@ object NativeFunctions {
   def qdot(a: Column, b: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_qdot", a, b)
+  }
+
+  /** Codegen'd integer squared L2 distance ([[SqDistLong]]). */
+  def sqDist(a: Column, b: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_sq_dist", a, b)
+  }
+
+  /** Codegen'd set-Jaccard of two string arrays ([[JaccardSim]]). */
+  def jaccardSim(a: Column, b: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_jaccard", a, b)
   }
 
   /** Codegen'd Unicode NFC normalization ([[NfcNormalize]]). */

@@ -51,8 +51,17 @@ object PqIndex {
           s"s -> slice(qvec, s * $subDim + 1, $subDim))"))
         .as(Seq("s", "sv")))
 
-  /** Integer squared L2 between two equal-length quantized arrays. */
+  /** Integer squared L2 between two equal-length quantized arrays —
+    * the native codegen'd [[graft.functions.SqDistLong]] (the LUT/probe
+    * legs were the one place the interpreted `aggregate(zip_with(...))`
+    * HOF survived the r18 argmin rewrite; guide §4). PqArgminSpec pins
+    * bit-parity against the HOF fold on the real LUT shape. */
   private def sqDist(a: Column, b: Column): Column =
+    graft.functions.NativeFunctions.sqDist(a, b)
+
+  /** The pre-r19 interpreted HOF spelling of [[sqDist]] — the parity
+    * reference. */
+  private[graft] def sqDistHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, v) => acc + v)
 

@@ -82,6 +82,33 @@ class PqArgminSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_sq_dist equals the aggregate(zip_with) HOF on the real LUT shape (r19)") {
+    // the LUT/probe legs: query subvectors × broadcast codebook, one
+    // distance per (query, s, cw) row — the exact shape ivfPqTopK/adcTopK
+    // build (the one place the interpreted HOF survived r18)
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    for ((m, subDim, nCw) <- Seq((32, 2, 64), (1, 64, 8))) {
+      val sub = PqIndex.subspaces(emb, "vec_id", "embedding", m, subDim)
+      val cb = PqIndex.trainCodebooks(sub, "vec_id", nCw = nCw, iters = 1)
+      val lut = sub.filter(col("vec_id") < 10)
+        .toDF("query_id", "s", "qsv")
+        .join(broadcast(cb), Seq("s"))
+      val both = lut.select(col("query_id"), col("s"), col("cw"),
+        NativeFunctions.sqDist(col("qsv"), col("cv")).as("got"),
+        PqIndex.sqDistHof(col("qsv"), col("cv")).as("ref"))
+        .as[(Long, Int, Long, Option[Long], Option[Long])].collect()
+      assert(both.nonEmpty)
+      both.foreach { case (q, s, cw, got, ref) =>
+        assert(got === ref, s"sq_dist drifted at (q=$q, s=$s, cw=$cw, m=$m)")
+      }
+    }
+    // edges: NULL array → NULL (HOF: zip_with over NULL is NULL)
+    val nulls = Seq((Some(Seq(1L, 2L)), Option.empty[Seq[Long]]),
+      (Option.empty[Seq[Long]], Some(Seq(1L)))).toDF("a", "b")
+    assert(nulls.select(NativeFunctions.sqDist(col("a"), col("b")))
+      .collect().forall(_.isNullAt(0)))
+  }
+
   test("expression participates in whole-stage codegen over a real scan") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val sub = PqIndex.subspaces(emb, "vec_id", "embedding", 1, 64)
