@@ -986,14 +986,25 @@ object QueriesTrainingData {
           rowsPerBand = 4, nBands = 2).as("bands"))
       .cache()
     val survivors = base.groupBy(col("fp")).agg(min(col("doc_id")).as("sid"))
+    // pairs is REFERENCED twice downstream (the candIds broadcast build
+    // and the verification join) — materialize it eagerly like x06 does
+    // (it is tiny: id pairs only, the survivors of the band buckets), so
+    // the band explode+bucket pipeline over the corpus runs once, not
+    // once per consumer (r19; guide §5 cache tiny, recompute-heavy)
     val pairs = DedupOps
       .lshCandidatePairs(base.select("doc_id", "bands"), "doc_id", "bands")
+      .cache()
+    pairs.count()
     // shingles only for candidate docs: join docs to the (small) id set
     // FIRST, then compute the arrays post-join
     val candIds = pairs.select(col("doc_a").as("doc_id"))
       .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    // candSh feeds both sides of the verification join — cache so the
+    // candidate shingle sets compute once, not once per join side (the
+    // x06 pattern; candidate-sized, freed before return)
     val candSh = docs.join(broadcast(candIds), Seq("doc_id"))
       .select(col("doc_id"), DedupOps.shingles(t, 3).as("sh"))
+      .cache()
     val nearDupDrop = pairs
       .join(candSh.toDF("doc_a", "sh_a"), "doc_a")
       .join(candSh.toDF("doc_b", "sh_b"), "doc_b")
@@ -1024,6 +1035,8 @@ object QueriesTrainingData {
           .as("n_tokens_clean"))
       .localCheckpoint(true)
     base.unpersist()
+    pairs.unpersist()
+    candSh.unpersist()
     res
   }
 

@@ -257,6 +257,19 @@ object CorpusOps {
     *    size is bounded by the DOCUMENT's own length, the same per-doc
     *    bound every reconstruction shape carries. */
   private[graft] def dupCovered(docs: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame =
+    dupGramStarts(docs, idCol, textCol, n)
+      .select(col(idCol),
+        explode(sequence(col("start"), col("start") + (n - 1))).as("pos"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("pos"))).as("cov"))
+
+  /** The shared front of the covered-position family: one row per
+    * duplicated `n`-gram INSTANCE — (idCol, start), start 1-based. The
+    * (doc, start, gram) branch feeds the gram-total aggregate and the
+    * join probe and is RECOMPUTED on both uses (recompute-over-cache:
+    * corpus-token-sized), with AQE skew-split on the join back. */
+  private def dupGramStarts(docs: DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame = {
     def grams = docs.select(col(idCol),
       posexplode(TextOps.ngrams(TextOps.tokens(col(textCol)), n))
@@ -264,18 +277,36 @@ object CorpusOps {
       .select(col(idCol), (col("i0") + 1).as("start"), col("gram"))
     val perGram = grams.groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
     grams.join(perGram.filter(col("cnt") > 1), "gram")
-      .select(col(idCol),
-        explode(sequence(col("start"), col("start") + (n - 1))).as("pos"))
-      .groupBy(col(idCol))
-      .agg(sort_array(collect_set(col("pos"))).as("cov"))
+      .select(col(idCol), col("start"))
   }
 
   /** Per-doc removed-token counts only (for compositions that budget on
-    * post-clean counts without reconstructing text, e.g. x14). */
+    * post-clean counts without reconstructing text, e.g. x14).
+    *
+    * r19 shape: |∪ of [start, start+n−1]| is computed by an INTERVAL
+    * MERGE over the sorted dup-gram starts — Σ min(next_start − start,
+    * n) with the last interval contributing n — instead of exploding
+    * every instance into its n positions and collect_set-deduplicating
+    * them: the shuffle carries one INT per dup-gram instance (n× fewer
+    * rows) and the aggregate builds no position set. Starts are distinct
+    * per doc by construction (one row per gram instance), so the merge
+    * is exactly `size(sorted distinct positions)` — CorpusOpsSpec pins
+    * the equivalence against [[dupCovered]] on planted overlap shapes. */
   def dupCoveredCounts(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 8): DataFrame =
-    dupCovered(docs, idCol, textCol, n)
-      .select(col(idCol), size(col("cov")).as("n_removed"))
+      n: Int = 8): DataFrame = {
+    val ss = sort_array(collect_list(col("start")))
+    dupGramStarts(docs, idCol, textCol, n)
+      .groupBy(col(idCol))
+      .agg(ss.as("ss"))
+      .select(col(idCol),
+        aggregate(
+          zip_with(
+            col("ss"),
+            concat(slice(col("ss"), lit(2), size(col("ss")) - 1),
+              array(element_at(col("ss"), -1) + n)),
+            (a, b) => least(b - a, lit(n))),
+          lit(0), (acc, v) => acc + v).as("n_removed"))
+  }
 
   /** Exact-substring dedup WITH REMOVAL — emits the cleaned text a
     * curation pipeline actually ships (x28 detects; this excises):

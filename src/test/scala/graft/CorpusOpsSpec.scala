@@ -1,6 +1,7 @@
 package graft
 
 import graft.text.CorpusOps
+import org.apache.spark.sql.functions.{col, size}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Planted-input semantics for the corpus-level pipeline steps behind
@@ -168,6 +169,31 @@ class CorpusOpsSpec extends AnyFunSuite {
     val counts = CorpusOps.dupCoveredCounts(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(counts === Map(1L -> 8, 2L -> 8, 3L -> 9))
+  }
+
+  test("dupCoveredCounts interval merge equals size of the covered-position set (r19)") {
+    // overlap shapes: nested/chained within-doc runs, cross-doc runs with
+    // interior gaps, fully-covered docs — the merge must agree with the
+    // explode+collect_set form it replaced on every one, and on the real
+    // sf0.001 corpus at the x14 config (n=8)
+    val planted = Seq(
+      (1L, "a b c d e f g h X a b c d e f g h"), // two instances, gap 9
+      (2L, "a b c d e f g h i j"),               // chained: starts 1,2,3
+      (3L, "a b c d e f g h i j"),
+      (4L, "k k k k k k k k k k k k"),           // fully covered
+      (5L, "p q r s t u v w"),                   // unique, no dup
+      (6L, "z")                                   // too short for an 8-gram
+    ).toDF("doc_id", "text")
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    for (docs <- Seq(planted, real); n <- Seq(3, 8)) {
+      val ref = CorpusOps.dupCovered(docs, "doc_id", "text", n)
+        .select(col("doc_id"), size(col("cov")).as("n"))
+        .as[(Long, Int)].collect().toMap
+      val got = CorpusOps.dupCoveredCounts(docs, "doc_id", "text", n)
+        .as[(Long, Int)].collect().toMap
+      assert(got === ref, s"interval merge drifted from the position set (n=$n)")
+    }
   }
 
   test("substring removal: interior gap survives between two covered runs") {
