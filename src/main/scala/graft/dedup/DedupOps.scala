@@ -347,13 +347,25 @@ object DedupOps {
     // only edge endpoints can ever receive a smaller label
     val active = e.select(col("__s").as("__id"))
       .unionByName(e.select(col("__d").as("__id"))).distinct()
+    // __chg marks labels that changed LAST round — the propagation
+    // frontier (r19; guide §2.3 shuffle fewer bytes): min-propagation is
+    // monotone, so a vertex whose label did not change last round already
+    // delivered that label to every neighbor the round it DID change —
+    // re-sending it can never lower any neighbor's min. Joining the
+    // symmetrized edges against the frontier only is therefore
+    // label-for-label identical per round (DedupPropertySpec's chain
+    // pin still walks multi-round convergence), while the per-round join
+    // probe shrinks with the frontier — on a near-dup graph (tiny cliques
+    // that settle in round 1) later rounds shuffle almost nothing.
     var labels = active
       .withColumn("__label", col("__id"))
+      .withColumn("__chg", lit(true))
       .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val incoming = sym.join(labels, sym("__s") === labels("__id"))
+      val incoming = sym.join(labels.filter(col("__chg")),
+          sym("__s") === col("__id"))
         .select(col("__d").as("__id"), col("__label"))
       // ONE action per round: the vertex's own row carries its previous
       // label through the min-aggregate (every __id has exactly one
@@ -373,9 +385,9 @@ object DedupOps {
         .unionByName(incoming.withColumn("__old", lit(null).cast(labelType)))
         .groupBy("__id")
         .agg(min("__label").as("__label"), max("__old").as("__old"))
-        .observe(obs, sum(when(col("__label") =!= col("__old"), 1L)
-          .otherwise(0L)).as("changed"))
-        .select(col("__id"), col("__label"))
+        .withColumn("__chg", col("__label") =!= col("__old"))
+        .observe(obs, sum(when(col("__chg"), 1L).otherwise(0L)).as("changed"))
+        .select(col("__id"), col("__label"), col("__chg"))
         .localCheckpoint(true)
       converged = obs.get("changed").asInstanceOf[Long] == 0L
       labels = next

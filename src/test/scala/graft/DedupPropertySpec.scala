@@ -99,6 +99,25 @@ class DedupPropertySpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
+  test("connected components: long chain converges through the shrinking frontier (r19)") {
+    // an 8-node chain keyed so the min label enters at one END: every
+    // round the frontier is exactly the wavefront (one vertex), the
+    // adversarial case for changed-only propagation — a dropped resend
+    // would freeze the wave and leave the tail self-labeled
+    val edges = (1L to 7L).map(i => (i, i + 1)).toDF("a", "b")
+    val verts = (1L to 8L).toDF("id")
+    val got = DedupOps.connectedComponents(edges, verts, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (1L to 8L).map(_ -> 1L).toMap)
+    // and with the min in the MIDDLE (waves travel both directions)
+    val edges2 = Seq((5L, 9L), (9L, 3L), (3L, 8L), (8L, 1L), (1L, 7L), (7L, 6L))
+      .toDF("a", "b")
+    val verts2 = Seq(5L, 9L, 3L, 8L, 1L, 7L, 6L).toDF("id")
+    val got2 = DedupOps.connectedComponents(edges2, verts2, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2.values.toSet === Set(1L))
+  }
+
   test("simhash(8) stays in [0, 255] and is deterministic") {
     val docs = sample(doc, 60)
     val df = docs.toDF("text")
