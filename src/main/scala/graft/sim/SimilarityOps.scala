@@ -263,19 +263,61 @@ object SimilarityOps {
       .select("id_a", "id_b", "cosine")
   }
 
-  /** Multi-table LSH near-dup: union the pair sets of `tables`
-    * independent hyperplane draws. Single-table sign-LSH misses a true
-    * near-dup pair whenever ONE of the sliced planes happens to separate
-    * it; an independent second table catches most of those misses
-    * (recall 1−(1−r)^T for per-table recall r), at T× the candidate
-    * cost — the standard recall/cost dial for LSH blocking at scale.
-    * Each table is the full [[nearDupPairsLsh]] shape (corpus-scaled
-    * modulus, reused signature exchange); identical scored pairs from
-    * different tables collapse in one distinct (cosine is deterministic,
-    * so duplicates are byte-identical rows — SQL UNION semantics). */
+  /** Multi-table LSH near-dup: the pair sets of `tables` independent
+    * hyperplane draws, collapsed by one distinct. Single-table sign-LSH
+    * misses a true near-dup pair whenever ONE of the sliced planes
+    * happens to separate it; an independent second table catches most
+    * of those misses (recall 1−(1−r)^T for per-table recall r), at T×
+    * the candidate cost — the standard recall/cost dial for LSH
+    * blocking at scale.
+    *
+    * r19 shape (the x98 tagged-pass rewrite, guide §2.4): ONE corpus
+    * pass computes every table's signature from the shared quantized
+    * scan, a (table, bucket) explode feeds ONE exchange, and a single
+    * tagged self-join emits all tables' candidates — where the union
+    * form ran the full quantize+signature+shuffle pipeline once PER
+    * TABLE. Identical scored pairs across tables stay byte-identical
+    * rows (cosine is deterministic), so the final distinct reproduces
+    * the SQL UNION exactly; [[nearDupPairsLshMultiUnion]] is kept as
+    * the spec-pinned reference (TrainingDataOpsSpec set-equality). */
   def nearDupPairsLshMulti(df: DataFrame, idCol: String, vecCol: String,
       minCosine: Double, tables: Int = 2, targetBlock: Double = 256.0,
-      maxBits: Int = 16, dim: Int = 64): DataFrame =
+      maxBits: Int = 16, dim: Int = 64): DataFrame = {
+    import graft.dedup.Blocking
+    val nb = Blocking.scaledBucketCount(df, targetBlock)
+    val planeSets = (0 until tables).map(t =>
+      lshHyperplanes(maxBits, dim, seed = if (t == 0) "" else s"t$t|"))
+    val tagged = array(planeSets.zipWithIndex.map { case (planes, t) =>
+      struct(lit(t).as("t"),
+        (lshBucket(col("qvec"), planes).cast(LongType) %
+          Blocking.powTwoModulus(col("nb"), maxBits)).as("blk"))
+    }: _*)
+    val base = withQuantized(df, vecCol)
+      .crossJoin(broadcast(nb))
+      .select(col(idCol), explode(tagged).as("tb"), col("qvec"), col("qn2"))
+      .select(col(idCol), col("tb.t").as("t"), col("tb.blk").as("lsh_blk"),
+        col("qvec"), col("qn2"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col("t"), col("lsh_blk"))
+    val a = base.select(col(idCol).as("id_a"), col("t").as("t_a"),
+      col("lsh_blk").as("blk"), col("qvec").as("va"), col("qn2").as("na"))
+    val b = base.select(col(idCol).as("id_b"), col("t").as("t_b"),
+      col("lsh_blk").as("blk2"), col("qvec").as("vb"), col("qn2").as("nb2"))
+    a.join(b, col("t_a") === col("t_b") && col("blk") === col("blk2") &&
+        col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        qdot(col("va"), col("vb")).cast(DoubleType) /
+          (sqrt(col("na").cast(DoubleType)) * sqrt(col("nb2").cast(DoubleType))))
+      .filter(col("cosine") > minCosine)
+      .select("id_a", "id_b", "cosine")
+      .distinct()
+  }
+
+  /** The pre-r19 one-pipeline-per-table spelling — the parity
+    * reference. */
+  private[graft] def nearDupPairsLshMultiUnion(df: DataFrame, idCol: String,
+      vecCol: String, minCosine: Double, tables: Int = 2,
+      targetBlock: Double = 256.0, maxBits: Int = 16, dim: Int = 64): DataFrame =
     (0 until tables)
       .map(t => nearDupPairsLsh(df, idCol, vecCol, minCosine, targetBlock,
         maxBits, dim, seed = if (t == 0) "" else s"t$t|"))

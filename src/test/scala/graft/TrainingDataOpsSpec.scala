@@ -225,6 +225,19 @@ class TrainingDataOpsSpec extends AnyFunSuite {
       SimilarityOps.lshHyperplanes(4, 8))
   }
 
+  test("tagged multi-table LSH pass equals the per-table union form (r19)") {
+    val emb = Tables.embeddings(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val tagged = rows(SimilarityOps.nearDupPairsLshMulti(
+      emb, "vec_id", "embedding", 0.3, tables = 2))
+    val union = rows(SimilarityOps.nearDupPairsLshMultiUnion(
+      emb, "vec_id", "embedding", 0.3, tables = 2))
+    assert(tagged === union,
+      "one tagged explode must emit exactly the per-table pipelines' union")
+    assert(tagged.nonEmpty)
+  }
+
   test("blocked n-gram jaccard keeps identical docs at 1.0") {
     val df = Seq(
       (1L, "en", "alpha beta gamma delta"),
