@@ -116,24 +116,45 @@ object PqIndex {
     cb
   }
 
-  /** Eagerly `localCheckpoint` a trained codebook — for call sites with
+  /** Eagerly `localCheckpoint` a trained codebook in its GROUPED form
+    * (`(s, entries)`, ≤ |subspaces| rows) — for call sites with
     * MULTIPLE consumers (x109's encode+LUT and cells+probes legs,
-    * adcTopK's encode+LUT): the ≤ |subspaces|×|codebook|-row frame's
-    * lineage contains a full corpus pass, and each consumer's broadcast
-    * build would otherwise re-run it (guide §5: cache tiny,
-    * recompute-heavy frames). Single-consumer callers skip this — the
-    * eager job costs more than the one recompute it saves. */
+    * adcTopK's encode+LUT): the frame's lineage contains a full corpus
+    * pass, and each consumer's broadcast build would otherwise re-run
+    * it (guide §5: cache tiny, recompute-heavy frames). r19: the
+    * checkpoint stores the grouped shape itself, so consumers broadcast
+    * it directly instead of each re-running the groupBy/collect_list
+    * aggregate (two stages per consumer × four consumers in ivfPqTopK).
+    * Single-consumer callers skip all of this — the eager job costs
+    * more than the one recompute it saves. */
   private def dedupedCodebook(cb: DataFrame): DataFrame =
-    cb.localCheckpoint(true)
+    groupedCodebook(cb).localCheckpoint(true)
 
   /** Each (vector, subspace) → its nearest codeword id; the argmin is
     * the native codegen'd [[graft.functions.PqArgmin]] over the grouped
     * codebook (ties to the lower cw) — one narrow map, no explosion. */
   private[graft] def encode(sub: DataFrame, codebooks: DataFrame,
       idCol: String): DataFrame =
-    sub.join(broadcast(groupedCodebook(codebooks)), Seq("s"))
+    encodeGrouped(sub, groupedCodebook(codebooks), idCol)
+
+  /** [[encode]] over an ALREADY-GROUPED codebook (the checkpointed
+    * multi-consumer shape) — broadcasts it as-is, no per-consumer
+    * re-aggregation. */
+  private[graft] def encodeGrouped(sub: DataFrame, grouped: DataFrame,
+      idCol: String): DataFrame =
+    sub.join(broadcast(grouped), Seq("s"))
       .select(col(idCol), col("s"),
         element_at(argminCode(col("sv"), col("entries")), 2).as("code"))
+
+  /** Per-(query, subspace, codeword) distances from an ALREADY-GROUPED
+    * codebook: one broadcast join on `s`, entries exploded back to
+    * (cw, cv) rows — the identical row set the ungrouped join produced,
+    * shared by the probe and LUT legs. */
+  private def distsGrouped(subQ: DataFrame, grouped: DataFrame): DataFrame =
+    subQ.join(broadcast(grouped), Seq("s"))
+      .select(col("query_id"), col("s"), col("qsv"), explode(col("entries")).as("e"))
+      .select(col("query_id"), col("s"), col("e.cw").as("cw"),
+        sqDist(col("qsv"), col("e.cv")).as("qd"))
 
   /** IVF-PQ top-k — the composition the scaladoc above promises: a
     * coarse quantizer (this same machinery with ONE 64-dim "subspace"
@@ -161,14 +182,20 @@ object PqIndex {
     // feeds TWO consumers (cells + probes) — checkpoint its corpus pass
     val subFull = subspaces(emb, idCol, vecCol, 1, fullDim)
     val coarseCb = dedupedCodebook(trainCodebooks(subFull, idCol, nCells, iters))
-    val cells = encode(subFull, coarseCb, idCol)
+    coarseCandidatesFrom(subFull, coarseCb, idCol, queryPred, nProbe)
+  }
+
+  /** The coarse plane over an already-trained (grouped, checkpointed)
+    * codebook — split out so [[ivfPqTopK]] can overlap the two
+    * independent training jobs (guide §2.6). */
+  private def coarseCandidatesFrom(subFull: DataFrame, coarseCb: DataFrame,
+      idCol: String, queryPred: Column, nProbe: Int): DataFrame = {
+    val cells = encodeGrouped(subFull, coarseCb, idCol)
       .select(col(idCol), col("code").as("cell"))
-    val probes = subFull.filter(queryPred)
-      .toDF("query_id", "s", "qsv")
-      .join(broadcast(coarseCb), Seq("s"))
-      .withColumn("d", sqDist(col("qsv"), col("cv")))
+    val probes = distsGrouped(
+        subFull.filter(queryPred).toDF("query_id", "s", "qsv"), coarseCb)
       .withColumn("pr", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("d"), col("cw"))))
+        Window.partitionBy(col("query_id")).orderBy(col("qd"), col("cw"))))
       .filter(col("pr") <= nProbe)
       .select(col("query_id"), col("cw").as("cell"))
     // the probe set is |queries| × nProbe rows — broadcast into cells
@@ -181,17 +208,28 @@ object PqIndex {
       nCells: Int = 8, nProbe: Int = 2,
       m: Int = 32, subDim: Int = 2, nCw: Int = 64, iters: Int = 1)
       : DataFrame = {
-    val cand = coarseCandidates(emb, idCol, vecCol, queryPred,
-      nCells, nProbe, m * subDim, iters)
-    // PQ plane, restricted to probed candidates; the codebook feeds TWO
-    // consumers (encode + LUT) — checkpoint its corpus pass
+    // the two training checkpoints (coarse plane, PQ plane) are
+    // INDEPENDENT eager jobs over different subspace views — submit them
+    // from two driver threads so the second's tasks back-fill the
+    // first's stragglers (guide §2.6 overlap independent jobs); failures
+    // propagate through Await
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val subFull = subspaces(emb, idCol, vecCol, 1, m * subDim)
     val sub = subspaces(emb, idCol, vecCol, m, subDim)
-    val codebooks = dedupedCodebook(trainCodebooks(sub, idCol, nCw, iters))
-    val codes = encode(sub, codebooks, idCol)
-    val lut = sub.filter(queryPred)
-      .toDF("query_id", "s", "qsv")
-      .join(broadcast(codebooks), Seq("s"))
-      .withColumn("qd", sqDist(col("qsv"), col("cv")))
+    val coarseF = Future {
+      dedupedCodebook(trainCodebooks(subFull, idCol, nCells, iters))
+    }
+    val pqF = Future {
+      dedupedCodebook(trainCodebooks(sub, idCol, nCw, iters))
+    }
+    val coarseCb = Await.result(coarseF, Duration.Inf)
+    val codebooks = Await.result(pqF, Duration.Inf)
+    val cand = coarseCandidatesFrom(subFull, coarseCb, idCol, queryPred, nProbe)
+    val codes = encodeGrouped(sub, codebooks, idCol)
+    val lut = distsGrouped(
+        sub.filter(queryPred).toDF("query_id", "s", "qsv"), codebooks)
       .select(col("query_id"), col("s"), col("cw").as("code"), col("qd"))
     val adc = codes.join(broadcast(cand), Seq(idCol))
       .join(broadcast(lut), Seq("query_id", "s", "code"))
@@ -215,12 +253,10 @@ object PqIndex {
     val sub = subspaces(emb, idCol, vecCol, m, subDim)
     // TWO consumers (encode + LUT) — checkpoint the codebook's corpus pass
     val codebooks = dedupedCodebook(trainCodebooks(sub, idCol, nCw, iters))
-    val codes = encode(sub, codebooks, idCol)
+    val codes = encodeGrouped(sub, codebooks, idCol)
     // the ADC lookup table: |queries| × m × nCw distances, broadcast
-    val lut = sub.filter(queryPred)
-      .toDF("query_id", "s", "qsv")
-      .join(broadcast(codebooks), Seq("s"))
-      .withColumn("qd", sqDist(col("qsv"), col("cv")))
+    val lut = distsGrouped(
+        sub.filter(queryPred).toDF("query_id", "s", "qsv"), codebooks)
       .select(col("query_id"), col("s"), col("cw"), col("qd"))
     val adc = codes.join(broadcast(lut),
         codes("s") === lut("s") && codes("code") === lut("cw"))
