@@ -4878,20 +4878,27 @@ object QueriesTrainingData {
       .select(col("doc_a"), col("doc_b"),
         (DedupOps.jaccard(col("sh_a"), col("sh_b")) >= 0.7).as("is_true"))
       .cache()
-    val totalTrue = scored.filter(col("is_true")).count()
-    candSh.unpersist()
+    // the ground-truth total rides a broadcast 1-row frame instead of a
+    // driver count() action (r19): one eager job fewer, and the scored/
+    // candSh caches stay live through the SINGLE final checkpoint job
+    // that now materializes everything (same values — sum(when) over the
+    // cached frame is the filter-count, and the division is the same
+    // IEEE op on the same long)
+    val totalTrue = scored
+      .agg(sum(when(col("is_true"), 1L).otherwise(0L)).as("n_true_total"))
     val res = cand.join(scored, Seq("doc_a", "doc_b"))
       .groupBy(col("rows_per_band"), col("n_bands"))
       .agg(count(lit(1)).as("n_candidates"),
         sum(when(col("is_true"), 1L).otherwise(0L)).as("n_true_caught"))
-      .withColumn("n_true_total", lit(totalTrue))
+      .crossJoin(broadcast(totalTrue))
       .withColumn("recall",
-        when(lit(totalTrue) === 0, lit(null).cast(DoubleType))
+        when(col("n_true_total") === 0, lit(null).cast(DoubleType))
           .otherwise(col("n_true_caught").cast(DoubleType) /
-            lit(totalTrue).cast(DoubleType)))
+            col("n_true_total").cast(DoubleType)))
       .localCheckpoint(true)
     cand.unpersist()
     scored.unpersist()
+    candSh.unpersist()
     res
   }
 
